@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped by
+graft.Verify, run the oracle SQL in DuckDB over the same sf tables and
+compare (schema, rows, values) with columns sorted by name and rows sorted
+by all values. Usage: check_oracle.py <sfdir> <outdir> [query ...]"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = f"{outdir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            mine = canon(con.sql(f"SELECT * FROM '{pdir}/*.parquet'").df())
+            ref = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        if list(mine.columns) != list(ref.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(ref.columns)}")
+            n_fail += 1; continue
+        if len(mine) != len(ref):
+            print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}"); n_fail += 1; continue
+        bad = None
+        for c in mine.columns:
+            a, b = mine[c].values, ref[c].values
+            if pd.api.types.is_float_dtype(mine[c]) and pd.api.types.is_float_dtype(ref[c]):
+                eq = (a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float)))
+            else:
+                eq = pd.Series(a).eq(pd.Series(b)) | (pd.Series(a).isna() & pd.Series(b).isna())
+                eq = eq.values
+            if not eq.all():
+                i = int(np.argmin(eq))
+                bad = (c, a[i], b[i], int((~eq).sum()))
+                break
+        if bad:
+            c, va, vb, n = bad
+            print(f"FAIL {name}: col {c}: {n} diffs, first spark={va!r} duckdb={vb!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(mine)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

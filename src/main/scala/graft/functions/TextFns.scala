@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's text-cleaning chain (Read_And_Clean.py:53-86) re-expressed
+  * as pure Column expressions: lowercase → punctuation strip → tokenize →
+  * digit removal → length filter → stopword removal → lemmatizer-lite.
+  *
+  * Everything stays inside whole-stage codegen (array higher-order functions,
+  * no UDFs), so the chain runs at scan speed over arbitrarily large corpora.
+  * The `*Sql` methods emit the EXACT same logic as DuckDB SQL for the
+  * correctness oracle — keep both sides in lock-step when editing.
+  *
+  * Divergences from the reference, by design (not a port):
+  *  - wordnet `morphy` lemmatization → deterministic suffix rules (the
+  *    reference's call is per-token Python; ours is a codegen'd CASE);
+  *  - spellcheck/dictionary-English filters (Read_And_Clean.py:19-29) are
+  *    modeled by the stopword + length filters; a full dictionary filter is
+  *    a broadcast semi-join against a vocabulary table (see Dictionary).
+  */
+object TextFns {
+
+  /** Compact english stopword list (reference uses nltk's; ours is explicit
+    * so the SQL oracle can inline it verbatim). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "were", "be", "been", "for", "on", "with", "as", "by", "at", "from",
+    "it", "this", "that", "these", "those", "not", "no", "but", "if")
+
+  /** lowercase, strip non-alphanumerics to spaces, split, drop empties. */
+  def rawTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +"),
+      t => t =!= "")
+
+  /** Deterministic suffix-rule lemmatizer (≈ wn.morphy for plural nouns). */
+  def lemma(t: Column): Column =
+    when(t.endsWith("ies") && length(t) > 4,
+      concat(t.substr(lit(1), length(t) - 3), lit("y")))
+      .when(t.endsWith("sses"), t.substr(lit(1), length(t) - 2))
+      .when(t.endsWith("s") && !t.endsWith("ss") && !t.endsWith("us") &&
+        !t.endsWith("is") && length(t) > 3, t.substr(lit(1), length(t) - 1))
+      .otherwise(t)
+
+  /** Full cleaning chain → array of clean tokens. */
+  def cleanTokens(text: Column): Column = {
+    val deDigit = transform(rawTokens(text), t => regexp_replace(t, "[0-9]", ""))
+    val kept = filter(deDigit, t => length(t) > 2 && !t.isin(Stopwords: _*))
+    transform(kept, t => lemma(t))
+  }
+
+  /** Word n-gram shingles over a token array (for Jaccard/MinHash dedup).
+    * Guarded: Spark's sequence(1, 0) would produce a DESCENDING [1, 0]. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle fragments — MUST mirror the Column logic above.
+  // ------------------------------------------------------------------
+
+  def stopListSql: String = Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+
+  def rawTokensSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(regexp_replace(lower($textExpr), " +
+      s"'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+
+  def cleanTokensSql(textExpr: String): String =
+    s"""list_transform(list_filter(list_transform(${rawTokensSql(textExpr)}, t -> regexp_replace(t, '[0-9]', '', 'g')), t -> len(t) > 2 AND t NOT IN $stopListSql), t -> CASE WHEN t LIKE '%ies' AND len(t) > 4 THEN substr(t, 1, len(t)-3) || 'y' WHEN t LIKE '%sses' THEN substr(t, 1, len(t)-2) WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND t NOT LIKE '%us' AND t NOT LIKE '%is' AND len(t) > 3 THEN substr(t, 1, len(t)-1) ELSE t END)"""
+
+  /** `toksCol` must be a bound list column name (bind via CTE at call site).
+    * range(1, k+1) yields 1..k and is empty for k<=0, matching the guard in
+    * `shingles`. */
+  def shinglesSql(toksCol: String, n: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => s"$toksCol[i]"
+      case k => s"$toksCol[i+$k]"
+    }.mkString(" || ' ' || ")
+    s"list_transform(range(1, len($toksCol) - ${n - 1} + 1), i -> $parts)"
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale design: nothing here is a cross join. Exact dedup is one
+  * groupBy(content-hash). Near-dup candidates come from inverted-index /
+  * band-bucket joins whose fan-out is bounded: shingle posting lists are
+  * capped (df cap), MinHash bands hash to narrow buckets, cosine pairs are
+  * blocked by LSH sign-buckets. That is what survives 100 TB; the exact
+  * Jaccard/cosine verification then runs only on candidates.
+  *
+  * MinHash/SimHash variants live in HashFns + LSH queries (rows-only oracle:
+  * their hash mixing is not reasonably expressible in SQL).
+  */
+object Dedup extends QueryModule {
+
+  /** Cap on shingle posting-list length: ultra-common shingles generate
+    * O(df²) candidate pairs and carry no dedup signal — standard trick. */
+  val ShingleDfCap = 100
+
+  /** q_dedup_exact: content-hash groupBy, min-id survivor. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  private val qDedupExactSql =
+    """SELECT md5(text) AS content_md5, min(doc_id) AS survivor_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)"""
+
+  /** Distinct word-3-gram shingles per doc (shared by Jaccard + MinHash).
+    * Tokens are bound as a column BEFORE shingling: composing
+    * shingles(rawTokens(text)) inline would duplicate the whole tokenizer
+    * into every element_at — O(tokens²·regex) per doc. */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))
+      .distinct()
+
+  /** q_dedup_jaccard: exact n-gram Jaccard via inverted-index self-join.
+    * |A∩B| from the posting-list join, |A|,|B| from per-doc shingle counts;
+    * J = c / (|A|+|B|-c). Pairs with J ≥ 0.12 (calibrated to the corpus). */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val capped = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= ShingleDfCap).select("shingle"),
+      Seq("shingle"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.12)
+  }
+
+  private val qDedupJaccardSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       capped AS (
+         SELECT sh.doc_id, sh.shingle FROM sh JOIN (
+           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $ShingleDfCap) g
+           USING (shingle)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
+  }
+
+  /** q_dedup_cosine: embedding near-dup pairs. Output is id-pairs only (no
+    * float column) so the compare is immune to fp representation; both
+    * engines evaluate the identical IEEE sequence (sequential dot in
+    * double). Bounded block: vec_id < 500 on both sides — the unbounded
+    * scale path is the LSH-bucketed variant (q_ann_lsh). */
+  def qDedupCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.v"), col("b.v")) /
+          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("vec_a", "vec_b")
+  }
+
+  private val qDedupCosineSql =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_cosine" -> (qDedupCosine _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_cosine" -> qDedupCosineSql)
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytics core: grouped aggregation, multi-way joins with
+  * broadcast dims, window functions, time-bucketed event aggregation,
+  * anti-join, gap-based sessionization.
+  *
+  * Scale notes (100 TB posture):
+  *  - dims (customer at filter selectivity, nation, region, supplier) are
+  *    broadcast — the only shuffles left are the fact-side groupBys;
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - money sums use exact DECIMAL accumulation (also what you want at
+  *    scale: no fp drift across billions of rows), final cast to DOUBLE;
+  *  - sessionization is a single shuffle on user_id, then one sort per
+  *    partition (window) — the classic scalable formulation.
+  */
+object Relational extends QueryModule {
+
+  /** exact revenue term: extendedprice * (1 - discount), DECIMAL-exact. */
+  private def revenueExpr =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(5,2)") - col("l_discount").cast("decimal(5,2)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+
+  /** TPC-H Q1-style pricing summary (sum/avg/count, decimal-exact). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(revenueExpr).cast("double").as("sum_disc_price"),
+        sum(revenueExpr * (lit(1).cast("decimal(5,2)") + col("l_tax").cast("decimal(5,2)")))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
+        round(col("sum_base_price") / col("count_order"), 6).as("avg_price"),
+        col("count_order"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum($revenueSql) AS DOUBLE) AS sum_disc_price,
+       CAST(sum($revenueSql * (CAST(1 AS DECIMAL(5,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
+    * Filtered customer dim is broadcast; single shuffle on orderkey. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), revenueExpr.as("rev"))
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey").as("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("revenue"))
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey AS o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(sum($revenueSql) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  /** TPC-H Q5-style: revenue per nation via a 6-way join; every dim chain
+    * (supplier⋈nation⋈region, customer) broadcasts, facts shuffle once. */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, dir).select("r_regionkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenueExpr.as("rev"))
+    li.join(broadcast(sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue, count(*) AS n_items
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name"""
+
+  /** Window functions: top-3 orders per customer by totalprice.
+    * row_number over a unique tiebreak (orderkey) keeps it deterministic. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  private val qWindowSql =
+    """SELECT * FROM (
+       SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+       FROM orders) WHERE rn <= 3"""
+
+  /** Tumbling-window (daily) event aggregation; the streaming twin lives in
+    * graft.streaming.EventStream. value sums go through DECIMAL(18,6). */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val qEventsWindowSql =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2"""
+
+  /** JSON-ish props extraction (regex — engine-portable) + modular grouping. */
+  def qEventsProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+
+  private val qEventsPropsSql =
+    """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+       FROM events GROUP BY 1"""
+
+  /** Anti join: customers that never ordered. */
+  def qAntijoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select("c_custkey", "c_name")
+      .join(Tables.orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+
+  private val qAntijoinSql =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** Gap-based sessionization (30-min inactivity): one shuffle on user_id,
+    * two stacked windows. Micros arithmetic keeps both engines integral. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+
+  private val qSessionizeSql =
+    """WITH t AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us,
+           ts
+         FROM events),
+       f AS (
+         SELECT user_id, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess,
+           ts
+         FROM t),
+       g AS (
+         SELECT user_id, us,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM f)
+       SELECT user_id, session_id, count(*) AS n_events,
+         max(us) - min(us) AS duration_us
+       FROM g GROUP BY user_id, session_id"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q5_join" -> (q5Join _),
+    "q_window" -> (qWindow _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_events_props" -> (qEventsProps _),
+    "q_antijoin" -> (qAntijoin _),
+    "q_sessionize" -> (qSessionize _))
+
+  override def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q3_join" -> q3Sql,
+    "q5_join" -> q5Sql,
+    "q_window" -> qWindowSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_events_props" -> qEventsPropsSql,
+    "q_antijoin" -> qAntijoinSql,
+    "q_sessionize" -> qSessionizeSql)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the QUERY side broadcast (the
+  * corpus is never collected or crossed with itself — at 100 TB the plan is
+  * broadcast(queries) ⋈ scan(corpus) → per-query top-k, one shuffle of size
+  * |queries|·k).
+  *
+  * Scale path: random-hyperplane LSH bucketing (deterministic planes from a
+  * seeded hash), candidates only within matching buckets — q_ann_lsh.
+  */
+object SimilaritySearch extends QueryModule {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** q_knn_search: top-5 neighbors for query vectors (vec_id < 10) among the
+    * rest, ranked by (cos desc, vec_id asc). */
+  def qKnnSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  private val qKnnSearchSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, vec_id AS nb_id,
+           list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, nb_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, rank, nb_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 5"""
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d component is
+    * derived from a splitmix-style integer mix — reproducible everywhere. */
+  def hyperplaneComponent(p: Int, d: Int): Double = {
+    var z = (p.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // map to [-1, 1)
+    (z.toDouble / 9.223372036854776e18)
+  }
+
+  /** q_ann_lsh: multi-table random-hyperplane LSH (8 tables × 6 planes).
+    * Each vector posts one (table, bucket) key per table; candidates are the
+    * union of bucket collisions across tables, then exact cosine re-ranks.
+    * This is the 100 TB path: candidate generation is an equi-join on
+    * (table, bucket), never a cross join; tables/planes trade recall vs
+    * candidate volume. Rows-only oracle (hash mixing isn't SQL-portable). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 8
+    val nPlanes = 6
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def bucketFor(t: Int): Column =
+      (0 until nPlanes).map { k =>
+        val planeId = t * nPlanes + k
+        val proj = aggregate(
+          zip_with(col("v"),
+            array((0 until 64).map(d => lit(hyperplaneComponent(planeId, d))): _*),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    val posted = e.select(col("vec_id"), col("v"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), bucketFor(t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val queries = posted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val cand = posted.filter(col("vec_id") >= 10)
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("vec_id").as("nb_id"), col("qv"), col("v"))
+      .distinct()
+      .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_search" -> (qKnnSearch _),
+    "q_ann_lsh" -> (qAnnLsh _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_knn_search" -> qKnnSearchSql)
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis, all per-row Column expressions (codegen,
+  * embarrassingly parallel — the 100 TB case is a pure map over the scan):
+  * language-ID (marker-word scoring), quality scoring, token counting
+  * (whitespace + BPE-ish regex), document fingerprinting (md5 canonical).
+  */
+object TextAnalysis extends QueryModule {
+
+  // marker lists for the n-gram/stopword language heuristic
+  val EnMarkers = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val DeMarkers = Seq("der", "die", "das", "und", "ist", "mit", "ein", "nicht")
+  val EsMarkers = Seq("el", "la", "los", "y", "es", "un", "una", "que")
+  val FrMarkers = Seq("le", "les", "et", "est", "une", "des", "du", "avec")
+
+  private def score(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  private def scoreSql(toksCol: String, markers: Seq[String]): String =
+    s"len(list_filter($toksCol, t -> t IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
+
+  /** q_lang_id: deterministic argmax over marker hit counts with fixed
+    * priority en > de > es > fr, 'und' when nothing matches. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks") // bound column: tokenize once, score four times
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        score(toks, EnMarkers).as("en_s"), score(toks, DeMarkers).as("de_s"),
+        score(toks, EsMarkers).as("es_s"), score(toks, FrMarkers).as("fr_s"))
+      .withColumn("pred_lang",
+        when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+          col("en_s") >= col("fr_s") && col("en_s") > 0, "en")
+          .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
+            col("de_s") > 0, "de")
+          .when(col("es_s") >= col("fr_s") && col("es_s") > 0, "es")
+          .when(col("fr_s") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  private val qLangIdSql = {
+    val t = TextFns.rawTokensSql("text")
+    s"""WITH sc AS (
+         SELECT doc_id,
+           CAST(${scoreSql("toks", EnMarkers)} AS INT) AS en_s,
+           CAST(${scoreSql("toks", DeMarkers)} AS INT) AS de_s,
+           CAST(${scoreSql("toks", EsMarkers)} AS INT) AS es_s,
+           CAST(${scoreSql("toks", FrMarkers)} AS INT) AS fr_s
+         FROM (SELECT doc_id, $t AS toks FROM documents))
+       SELECT doc_id, en_s, de_s, es_s, fr_s,
+         CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+              WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de'
+              WHEN es_s >= fr_s AND es_s > 0 THEN 'es'
+              WHEN fr_s > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+       FROM sc"""
+  }
+
+  /** q_quality: length / stopword-ratio / mean-word-length quality score.
+    * All ratios are double divisions of exact integers — engine-identical. */
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks") // bound column: tokenize once, derive four stats
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+        size(toks).as("n_toks"),
+        size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_chars_m"), col("n_toks"),
+        round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
+        round(col("tok_chars").cast("double") / col("n_toks"), 6).as("avg_tok_len"),
+        round(
+          least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
+            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3,
+          6).as("quality"))
+  }
+
+  private val qQualitySql = {
+    val t = TextFns.rawTokensSql("text")
+    s"""WITH b AS (
+         SELECT doc_id, CAST(len(text) AS INT) AS n_chars_m,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_filter(toks, t -> t IN ${TextFns.stopListSql})) AS INT) AS n_stop,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS tok_chars
+         FROM (SELECT doc_id, text, $t AS toks FROM documents))
+       SELECT doc_id, n_chars_m, n_toks,
+         round(CAST(n_stop AS DOUBLE) / n_toks, 6) AS stop_ratio,
+         round(CAST(tok_chars AS DOUBLE) / n_toks, 6) AS avg_tok_len,
+         round(
+           least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.4 +
+           (1.0 - CAST(n_stop AS DOUBLE) / n_toks) * 0.3 +
+           least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0) * 0.3,
+         6) AS quality
+       FROM b WHERE n_toks > 0"""
+  }
+
+  /** q_token_count: whitespace tokens + BPE-ish regex tokens. The regex
+    * avoids backslash classes so Java regex and RE2 agree literally. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.rawTokens(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .as("bpe_tokens"))
+
+  private val qTokenCountSql =
+    s"""SELECT doc_id,
+        CAST(len(${TextFns.rawTokensSql("text")}) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        FROM documents"""
+
+  /** q_fingerprint: canonical-text md5 (engine-portable fingerprint) plus
+    * clean-token count. A 61-bit rolling polynomial hash for streaming use
+    * lives in HashFns (spec-tested; not SQL-expressible). */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("fp_md5"),
+        size(col("toks")).as("n_toks"))
+
+  private val qFingerprintSql =
+    s"""SELECT doc_id, md5(array_to_string(${TextFns.cleanTokensSql("text")}, ' ')) AS fp_md5,
+        CAST(len(${TextFns.cleanTokensSql("text")}) AS INT) AS n_toks
+        FROM documents"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_lang_id" -> qLangIdSql,
+    "q_quality" -> qQualitySql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** gensim-equivalent corpus machinery, distributed:
+  *  - cleaning chain (Read_And_Clean.py:53-86) as codegen'd Columns;
+  *  - Dictionary build/compactify (webisalod_lda.py:41-48): one
+  *    explode+groupBy(token) shuffle; ids assigned by a window over the
+  *    (tiny) vocabulary — vocab ≪ corpus, so the single-partition window is
+  *    bounded by vocab size, not data size;
+  *  - filter_extremes(no_below, no_above) (webisalod_lda.py:42);
+  *  - doc2bow (polysemous_words.py:79): groupBy(doc, token) partial agg;
+  *  - TF-IDF (the reference's wiki_tfidf.mm): w = tf·ln(D/df), L2-normalized
+  *    per doc — dictionary broadcasts back to the corpus side.
+  */
+object TextPrep extends QueryModule {
+
+  /** doc_id → clean token array (shared stage). */
+  def cleanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
+
+  /** q_clean_text: reference cleaning chain end-to-end. */
+  def qCleanText(s: SparkSession, dir: String): DataFrame =
+    cleanDocs(s, dir).select(col("doc_id"), array_join(col("toks"), " ").as("clean_text"))
+
+  private val qCleanTextSql =
+    s"SELECT doc_id, array_to_string(${TextFns.cleanTokensSql("text")}, ' ') AS clean_text FROM documents"
+
+  /** q_tokens: per-doc term counts over clean tokens (doc2bow on tokens). */
+  def qTokens(s: SparkSession, dir: String): DataFrame =
+    cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+
+  private val qTokensSql =
+    s"""SELECT doc_id, tok, count(*) AS n FROM (
+        SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
+        GROUP BY doc_id, tok"""
+
+  /** Token→(id, df, cf) dictionary. Ids are dense (compactify) ordered by
+    * (df desc, token asc) — deterministic, unlike gensim's insertion order. */
+  def dictionary(s: SparkSession, dir: String): DataFrame = {
+    val byToken = cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    byToken.select(
+      row_number().over(Window.orderBy(col("df").desc, col("tok").asc)).as("token_id"),
+      col("tok"), col("df"), col("cf"))
+  }
+
+  def qDictionary(s: SparkSession, dir: String): DataFrame = dictionary(s, dir)
+
+  private def dictionarySqlBody(havingClause: String) =
+    s"""SELECT row_number() OVER (ORDER BY df DESC, tok ASC) AS token_id, tok, df, cf
+        FROM (
+          SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf FROM (
+            SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
+          GROUP BY tok $havingClause)"""
+
+  private val qDictionarySql = dictionarySqlBody("")
+
+  /** filter_extremes(no_below=3, no_above=0.8) + compactify (re-id). */
+  def qDictFiltered(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val d = docs.agg(count(lit(1)).as("n_docs"))
+    val byToken = cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .crossJoin(broadcast(d))
+      .filter(col("df") >= 3 && col("df") <= col("n_docs") * 0.8)
+    byToken.select(
+      row_number().over(Window.orderBy(col("df").desc, col("tok").asc)).as("token_id"),
+      col("tok"), col("df"), col("cf"))
+  }
+
+  private val qDictFilteredSql = dictionarySqlBody(
+    "HAVING count(DISTINCT doc_id) >= 3 AND count(DISTINCT doc_id) <= (SELECT count(*) FROM documents) * 0.8")
+
+  /** doc2bow against the compact dictionary (broadcast the dictionary). */
+  def qDoc2bow(s: SparkSession, dir: String): DataFrame = {
+    val counts = qTokens(s, dir)
+    counts.join(broadcast(dictionary(s, dir).select("token_id", "tok")), Seq("tok"))
+      .select("doc_id", "token_id", "n")
+  }
+
+  private val qDoc2bowSql =
+    s"""WITH counts AS (
+          SELECT doc_id, tok, count(*) AS n FROM (
+            SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        dict AS ($qDictionarySql)
+        SELECT doc_id, token_id, n FROM counts JOIN dict USING (tok)"""
+
+  /** L2-normalized TF-IDF: w = n · ln(D/df); out = w / sqrt(Σ w²) per doc.
+    * df==D terms (idf 0) are dropped before normalization. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val weighted = qTokens(s, dir)
+      .join(broadcast(dictionary(s, dir).select("tok", "df")), Seq("tok"))
+      .crossJoin(broadcast(d))
+      .select(col("doc_id"), col("tok"),
+        (col("n") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .filter(col("w") > 0)
+    val norm = Window.partitionBy("doc_id")
+    weighted
+      .select(col("doc_id"), col("tok"),
+        round(col("w") / sqrt(sum(col("w") * col("w")).over(norm)), 6).as("tfidf"))
+  }
+
+  private val qTfidfSql =
+    s"""WITH counts AS (
+          SELECT doc_id, tok, count(*) AS n FROM (
+            SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        dict AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
+          GROUP BY tok),
+        weighted AS (
+          SELECT doc_id, tok,
+            n * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS w
+          FROM counts JOIN dict USING (tok))
+        SELECT doc_id, tok,
+          round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS tfidf
+        FROM weighted WHERE w > 0"""
+
+  /** Concept-document assembly (Read_And_Clean.py:114-151): group docs by
+    * `source` (≈ WebIsALOD concept), order-stable concatenation. The md5 of
+    * the concatenation is the compared value — content-exact. */
+  def qConceptDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n")).as("content_md5"))
+
+  private val qConceptDocsSql =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
+       FROM documents GROUP BY source"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_text" -> (qCleanText _),
+    "q_tokens" -> (qTokens _),
+    "q_dictionary" -> (qDictionary _),
+    "q_dict_filtered" -> (qDictFiltered _),
+    "q_doc2bow" -> (qDoc2bow _),
+    "q_tfidf" -> (qTfidf _),
+    "q_concept_docs" -> (qConceptDocs _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_clean_text" -> qCleanTextSql,
+    "q_tokens" -> qTokensSql,
+    "q_dictionary" -> qDictionarySql,
+    "q_dict_filtered" -> qDictFilteredSql,
+    "q_doc2bow" -> qDoc2bowSql,
+    "q_tfidf" -> qTfidfSql,
+    "q_concept_docs" -> qConceptDocsSql)
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-Quads ingestion (reference: Read_And_Clean.py parses the WebIsALOD
+  * dump with rdflib; fix_dataset_uris.py repairs broken wasQuotedFrom IRIs).
+  *
+  * Spark-first re-expression: the dump is just lines — `spark.read.text` →
+  * one regexp_extract per field, fully parallel, no RDF library, no driver
+  * state. The URI repair is a Column transform applied before parsing.
+  * Grouping quads by graph/context = a groupBy, not an in-memory graph.
+  */
+object NQuads extends QueryModule {
+
+  val ConceptPrefix = "http://webisa.webdatacommons.org/concept/"
+  val ProvValue = "http://www.w3.org/ns/prov#value"
+
+  private val LineRegex = "^<([^>]+)> <([^>]+)> \"(.*)\" <([^>]+)> \\.$"
+
+  /** fix_dataset_uris.py as a Column transform. */
+  def fixUris(line: Column): Column =
+    regexp_replace(line, "wasQuotedFrom> <(?!http://)", "wasQuotedFrom> <http://")
+
+  /** Parse one N-Quad line into (subject, predicate, obj, graph). */
+  def parseLine(line: Column): DataFrame => DataFrame = df =>
+    df.select(
+      regexp_extract(line, LineRegex, 1).as("subject"),
+      regexp_extract(line, LineRegex, 2).as("predicate"),
+      regexp_extract(line, LineRegex, 3).as("obj"),
+      regexp_extract(line, LineRegex, 4).as("graph"))
+
+  /** Deterministic quad-line synthesis from `documents` (test fixture: the
+    * driver corpus has no .nq file, so we round-trip format→parse). */
+  def toLines(docs: DataFrame): DataFrame =
+    docs.select(concat(
+      lit("<" + ConceptPrefix), col("source"), lit("_"), col("doc_id"),
+      lit("> <" + ProvValue + "> \""), col("text"),
+      lit("\" <http://webisa.webdatacommons.org/prov/ctx"), col("doc_id"),
+      lit("> .")).as("line"))
+
+  /** q_nquads_parse: format each document as an N-Quad, parse it back, and
+    * emit the parsed fields plus the concept extracted from the subject IRI.
+    * The oracle constructs the EXPECTED fields directly from the columns, so
+    * any parser defect breaks the hash match. */
+  def qNquadsParse(s: SparkSession, dir: String): DataFrame = {
+    val lines = toLines(Tables.documents(s, dir))
+    parseLine(col("line"))(lines)
+      .select(col("subject"), col("predicate"), col("obj"), col("graph"),
+        regexp_replace(col("subject"), "^" + ConceptPrefix, "").as("concept"))
+  }
+
+  private val qNquadsParseSql =
+    s"""SELECT '$ConceptPrefix' || source || '_' || doc_id AS subject,
+        '$ProvValue' AS predicate,
+        text AS obj,
+        'http://webisa.webdatacommons.org/prov/ctx' || doc_id AS graph,
+        source || '_' || doc_id AS concept
+        FROM documents"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nquads_parse" -> (qNquadsParse _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_nquads_parse" -> qNquadsParseSql)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators._
+import graft.sources.{NQuads, Tables}
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics checks over sf0.001 for each operator family. The
+  * exhaustive value-level gate is the DuckDB oracle (scripts/check_oracle.py
+  * replicates the driver's compare at sf0.01). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q1_agg groups and decimal-exact sums") {
+    val r = Relational.q1Agg(spark, sfDir).collect()
+    assert(r.length === 6)
+    assert(r.map(_.getAs[Long]("count_order")).sum > 0)
+  }
+
+  test("q_window keeps at most 3 orders per customer, deterministic ranks") {
+    val r = Relational.qWindow(spark, sfDir)
+    val worst = r.groupBy("o_custkey").count().agg(max("count")).as[Long].head()
+    assert(worst <= 3)
+  }
+
+  test("sessionization: session ids contiguous from 1 per user") {
+    val r = Relational.qSessionize(spark, sfDir)
+    val bad = r.groupBy("user_id")
+      .agg(min("session_id").as("mn"), max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+
+  test("dictionary ids are dense 1..V and df<=docs") {
+    val d = TextPrep.qDictionary(spark, sfDir).collect()
+    val ids = d.map(_.getAs[Int]("token_id")).sorted
+    assert(ids === (1 to d.length).toArray)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(d.forall(_.getAs[Long]("df") <= nDocs))
+  }
+
+  test("tfidf vectors are L2-normalized per doc") {
+    val norms = TextPrep.qTfidf(spark, sfDir)
+      .groupBy("doc_id").agg(sum(col("tfidf") * col("tfidf")).as("n2"))
+      .select(abs(col("n2") - 1.0).as("err")).agg(max("err")).as[Double].head()
+    assert(norms < 1e-3) // rounding to 6dp perturbs the norm slightly
+  }
+
+  test("exact dedup is lossless on an all-distinct corpus") {
+    val n = Tables.documents(spark, sfDir).count()
+    assert(Dedup.qDedupExact(spark, sfDir).count() === n)
+  }
+
+  test("jaccard dedup: a doc is a perfect duplicate of itself") {
+    val docs = Seq((1L, "spark makes big data small again ok"),
+      (2L, "spark makes big data small again ok"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("dup_docs")
+    val sh = docs.select(col("doc_id"),
+      explode(functions.TextFns.shingles(functions.TextFns.rawTokens(col("text")), 3)).as("s"))
+      .distinct()
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count().collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Long]("count") === 5)
+  }
+
+  test("knn: neighbors ranked by cosine desc, k=5 per query") {
+    val r = SimilaritySearch.qKnnSearch(spark, sfDir)
+    val byQ = r.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(byQ.nonEmpty && byQ.forall(x => x.getAs[Long]("n") === 5 && x.getAs[Int]("mx") === 5))
+    // ranks ordered by similarity
+    val viol = r.as("x").join(r.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.rank") < col("y.rank") &&
+          col("x.cos_sim") < col("y.cos_sim")).count()
+    assert(viol === 0)
+  }
+
+  test("ann lsh: every query finds an intra-bucket neighbor set") {
+    assert(SimilaritySearch.qAnnLsh(spark, sfDir).count() > 0)
+  }
+
+  test("nquads round-trip inverts the formatter") {
+    val docs = Tables.documents(spark, sfDir)
+    val parsed = NQuads.qNquadsParse(spark, sfDir)
+    assert(parsed.count() === docs.count())
+    assert(parsed.filter(col("predicate") =!= NQuads.ProvValue).count() === 0)
+    val joined = parsed.join(docs, parsed("obj") === docs("text"))
+    assert(joined.count() === docs.count())
+  }
+
+  test("fixUris repairs only missing-scheme IRIs") {
+    val lines = Seq(
+      "x wasQuotedFrom> <broken.example.com/a>",
+      "y wasQuotedFrom> <http://ok.example.com/b>").toDF("line")
+    val fixed = lines.select(NQuads.fixUris(col("line")).as("l")).as[String].collect()
+    assert(fixed(0) === "x wasQuotedFrom> <http://broken.example.com/a>")
+    assert(fixed(1) === "y wasQuotedFrom> <http://ok.example.com/b>")
+  }
+
+  test("confusion metrics algebra") {
+    val scored = Seq((true, true), (true, false), (false, false), (false, true),
+      (true, true)).toDF("pred", "gold")
+    val m = Evaluation.confusionMetrics(scored).collect().head
+    assert(m.getAs[Long]("tp") === 2 && m.getAs[Long]("fp") === 1)
+    assert(m.getAs[Long]("tn") === 1 && m.getAs[Long]("fn") === 1)
+    // f1 is rounded to 6dp by the operator
+    assert(math.abs(m.getAs[Double]("f1") - 2.0 * 2 / (2 * 2 + 1 + 1)) < 1e-5)
+  }
+
+  test("multimodal stub decode plumbing") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    val out = Multimodal.decodeBatch(df).collect().head
+    assert(out.getAs[Int]("width") === 4 % 640 + 1)
+    assert(out.getAs[String]("format") === "png")
+  }
+
+  test("entry smoke: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
