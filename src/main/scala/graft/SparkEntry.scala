@@ -10,7 +10,7 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     Relational, TextPrep, TextAnalysis, Dedup, SimilaritySearch,
-    Evaluation, NQuads, Multimodal)
+    Evaluation, NQuads, Multimodal, TopicModeling, Classification)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
     * sf0.001; driver smoke-checks rows > 0. */

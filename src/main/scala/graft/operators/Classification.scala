@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.feature.StandardScaler
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's supervised zoo (supervised_classifier.py) on MLlib:
+  * LogisticRegression (≈ LR + its SGD variants), LinearSVC, NaiveBayes
+  * (GaussianNB slot), RandomForest, GBT, DecisionTree, MLP, and a
+  * broadcast brute-force KNN (no MLlib equivalent). StandardScaler before
+  * linear models, class rebalancing via instance weights (the distributed
+  * stand-in for class_weight='balanced'/SMOTE/Tomek — resampling driver
+  * state doesn't scale; weights do), deterministic split by id hash,
+  * binary F1 via Evaluation.confusionMetrics.
+  *
+  * Task: embeddings table, gold = (label < 5). Rows-only oracles
+  * (iterative optimizers aren't SQL-expressible); seeds fixed.
+  */
+object Classification extends QueryModule {
+
+  val Seed = 42L
+
+  /** features = scaled embedding vector; deterministic 80/20 split via
+    * vec_id % 5 == 0 (test) — the distributed analogue of
+    * train_test_split(random_state=42). */
+  def dataset(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.ModelCache.getOrElseUpdate(s"clf.dataset:$dir")(buildDataset(s, dir))
+
+  private def buildDataset(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"))
+    val scaler = new StandardScaler().setInputCol("raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    // scaler fit on train only (reference: fit_transform(train), transform(test))
+    val train = base.filter(col("vec_id") % 5 =!= 0)
+    val test = base.filter(col("vec_id") % 5 === 0)
+    val sm = scaler.fit(train)
+    // class_weight='balanced': w_c = n / (2 * n_c)
+    val counts = train.groupBy("y").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val wPos = n / (2.0 * counts.getOrElse(1.0, 1L))
+    val wNeg = n / (2.0 * counts.getOrElse(0.0, 1L))
+    val weighted = (df: DataFrame) => df.withColumn("w",
+      when(col("y") === 1.0, wPos).otherwise(wNeg))
+    (weighted(sm.transform(train)).cache(), weighted(sm.transform(test)).cache())
+  }
+
+  /** Train, predict on test, emit one metrics row via confusionMetrics. */
+  private def metricsRow(name: String, predictions: DataFrame): DataFrame =
+    Evaluation.confusionMetrics(
+      predictions.select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
+      .select(lit(name).as("model"), col("*"))
+
+  def qClassifyLr(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
+      .setMaxIter(100).setRegParam(0.1).fit(train) // C=0.1 ≈ reference LR
+    metricsRow("logistic_regression", m.transform(test))
+  }
+
+  def qClassifySvc(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new LinearSVC().setLabelCol("y").setWeightCol("w")
+      .setMaxIter(100).setTol(1e-3).fit(train)
+    metricsRow("linear_svc", m.transform(test))
+  }
+
+  def qClassifyNb(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    // gaussian NB over scaled (± ) features
+    val m = new NaiveBayes().setLabelCol("y").setModelType("gaussian").fit(train)
+    metricsRow("gaussian_nb", m.transform(test))
+  }
+
+  def qClassifyRf(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new RandomForestClassifier().setLabelCol("y").setSeed(Seed)
+      .setNumTrees(100).fit(train) // reference uses 1000; 100 is the same op
+    metricsRow("random_forest", m.transform(test))
+  }
+
+  def qClassifyGbt(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new GBTClassifier().setLabelCol("y").setSeed(Seed)
+      .setMaxIter(20).fit(train)
+    metricsRow("gradient_boosting", m.transform(test))
+  }
+
+  def qClassifyDt(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new DecisionTreeClassifier().setLabelCol("y").setSeed(Seed).fit(train)
+    metricsRow("decision_tree", m.transform(test))
+  }
+
+  def qClassifyMlp(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val m = new MultilayerPerceptronClassifier().setLabelCol("y").setSeed(Seed)
+      .setLayers(Array(64, 32, 2)).setMaxIter(60).fit(train)
+    metricsRow("mlp", m.transform(test))
+  }
+
+  /** Broadcast brute-force KNN (k=5, cosine vote): the TEST side broadcasts
+    * against the train scan — at 100 TB this is broadcast(queries) ⋈
+    * scan(corpus), one shuffle of |test|·k rows. */
+  def qClassifyKnn(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val tr = train.select(col("vec_id").as("t_id"),
+      vector_to_array(col("features")).as("tv"), col("y").as("ty"))
+    val te = test.select(col("vec_id").as("q_id"),
+      vector_to_array(col("features")).as("qv"), col("y"))
+    val scored = tr.join(broadcast(te))
+      .select(col("q_id"), col("y"), col("ty"),
+        SimilaritySearch.cosine(col("qv"), col("tv")).as("cos"), col("t_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("t_id").asc)
+    val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("q_id", "y")
+      .agg((sum(col("ty")) >= 3).cast("double").as("prediction"))
+    metricsRow("knn_5", votes)
+  }
+
+  /** q_features: the reference's getSingleVector (topic-probability vector ⊕
+    * doc-length feature, supervised_classifier.py:159-168) — emitted as
+    * summary stats so the rows-only check still pins shape. */
+  def qFeatures(s: SparkSession, dir: String): DataFrame = {
+    val topics = TopicModeling.docTopics(s, dir)
+    val lens = TextPrep.cleanDocs(s, dir).select(col("doc_id"), size(col("toks")).as("len"))
+    topics.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
+      .select(lit(1).as("g"), size(col("fvec")).as("dim"), col("fvec"))
+      .groupBy("g", "dim").agg(count(lit(1)).as("n_docs"))
+      .drop("g")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_classify_lr" -> (qClassifyLr _),
+    "q_classify_svc" -> (qClassifySvc _),
+    "q_classify_nb" -> (qClassifyNb _),
+    "q_classify_rf" -> (qClassifyRf _),
+    "q_classify_gbt" -> (qClassifyGbt _),
+    "q_classify_dt" -> (qClassifyDt _),
+    "q_classify_mlp" -> (qClassifyMlp _),
+    "q_classify_knn" -> (qClassifyKnn _),
+    "q_features" -> (qFeatures _))
+
+  override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only
+}

@@ -119,10 +119,101 @@ object Dedup extends QueryModule {
        WHERE list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
 
+  // ---------------- MinHash + LSH banding ----------------
+
+  val NumHashes = 128
+  val NumBands = 16 // 8 rows/band
+
+  /** MinHash signatures: 128 independent min-hashes per doc, computed as
+    * 128 min-aggregates over xxhash64(perm_id, shingle) — one shuffle on
+    * doc_id, map-side partial mins, no driver state. */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("shingle"))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+
+  /** q_dedup_minhash: band-bucket candidate pairs → exact-Jaccard verify.
+    * Verified pairs are by construction a SUBSET of q_dedup_jaccard's exact
+    * result (recall < 1 is the LSH trade); rows-only oracle (hash mixing
+    * not SQL-portable). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sig = minhashSignatures(sh)
+    val rowsPerBand = NumHashes / NumBands
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    exactJaccardOf(sh, cand).filter(col("jaccard") >= 0.12)
+  }
+
+  /** Exact Jaccard restricted to candidate pairs (the verify stage all
+    * LSH variants share). */
+  def exactJaccardOf(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash per doc: per-bit signed occurrence sums over token
+    * hashes, sign → bit. 64 sum-aggregates in one groupBy. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val sums = toks.groupBy("doc_id")
+      .agg(sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 64).map(j =>
+          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")): _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** q_dedup_simhash: 4×16-bit band buckets → hamming ≤ 6 verified pairs.
+    * Rows-only oracle. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * 16}) & 65535").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
-    "q_dedup_cosine" -> (qDedupCosine _))
+    "q_dedup_cosine" -> (qDedupCosine _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
+import org.apache.spark.ml.feature.CountVectorizer
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Topic modeling on Spark MLlib — the reference's gensim pipeline
+  * re-expressed (wiki_lda.py / webisalod_lda.py / wiki_hdp.py /
+  * coherence_log_perplexity.py / polysemous_words.py):
+  *
+  *  - LDA: MLlib online LDA (mini-batch variational — linear scans of the
+  *    corpus, the 100 TB-sane choice) over a CountVectorizer BoW built from
+  *    the same cleaning chain as TextPrep;
+  *  - per-doc topic distributions with gensim's minimum_probability filter
+  *    (polysemous_words.py:78-85, minimum_probability=0.0575);
+  *  - polysemy flag: #topics above threshold > minimum_topics (=2)
+  *    (polysemous_words.py:84);
+  *  - HDP replacement (wiki_hdp.py): Spark has no HDP; the equivalent
+  *    capability — choosing the topic count from data — is an LDA sweep
+  *    scored by u_mass coherence (≈ suggested_lda_model());
+  *  - u_mass coherence + log-perplexity (coherence_log_perplexity.py).
+  *
+  * All queries here are rows-only oracles (iterative ML is not
+  * SQL-expressible); determinism comes from fixed seeds.
+  */
+object TopicModeling extends QueryModule {
+
+  val Seed = 42L
+  val DefaultK = 10
+  val MinimumProbability = 0.0575 // polysemous_words.py:56
+  val MinimumTopicsPolysemous = 2 // polysemous_words.py:56
+  val MinDocTokens = 5            // MIN_DOC_WORDS, polysemous_words.py:41
+
+  /** BoW featurization shared by all topic queries (memoized per dir; the
+    * bow DataFrame is cached — six queries reuse one featurization). */
+  def corpus(s: SparkSession, dir: String): (DataFrame, Array[String]) =
+    graft.ModelCache.getOrElseUpdate(s"tm.corpus:$dir") {
+      val docs = TextPrep.cleanDocs(s, dir)
+        .filter(size(col("toks")) > MinDocTokens) // reference's MIN_DOC_WORDS gate
+      val cv = new CountVectorizer()
+        .setInputCol("toks").setOutputCol("features")
+        .setVocabSize(1 << 18).setMinDF(1)
+      val cvModel = cv.fit(docs)
+      val bow = cvModel.transform(docs).select("doc_id", "toks", "features").cache()
+      (bow, cvModel.vocabulary)
+    }
+
+  def fitLda(bow: DataFrame, k: Int, maxIter: Int = 20): LDAModel =
+    graft.ModelCache.getOrElseUpdate(s"tm.lda:${bow.sparkSession.hashCode}:${System.identityHashCode(bow)}:$k:$maxIter") {
+      new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
+        .setOptimizer("online").setFeaturesCol("features")
+        .fit(bow)
+    }
+
+  /** q_lda_topics: topic → top terms with weights (describeTopics). */
+  def qLdaTopics(s: SparkSession, dir: String): DataFrame = {
+    val (bow, vocab) = corpus(s, dir)
+    val model = fitLda(bow, DefaultK)
+    val vocabLit = array(vocab.map(lit): _*)
+    model.describeTopics(10)
+      .select(col("topic"),
+        expr("transform(termIndices, i -> i)").as("term_ids"),
+        transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"),
+        transform(col("termWeights"), w => round(w, 6)).as("weights"))
+  }
+
+  /** Per-doc topic distribution (dense), shared stage (memoized+cached:
+    * qDocTopics, qPolysemy and q_features all reuse it). */
+  def docTopics(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s"tm.docTopics:$dir:$k") {
+      val (bow, _) = corpus(s, dir)
+      val model = fitLda(bow, k)
+      model.transform(bow)
+        .select(col("doc_id"), vector_to_array(col("topicDistribution")).as("dist"))
+        .cache()
+    }
+
+  /** q_doc_topics: gensim get_document_topics with minimum_probability. */
+  def qDocTopics(s: SparkSession, dir: String): DataFrame =
+    docTopics(s, dir)
+      .select(col("doc_id"), posexplode(col("dist")).as(Seq("topic", "prob")))
+      .filter(col("prob") >= MinimumProbability)
+      .select(col("doc_id"), col("topic"), round(col("prob"), 6).as("prob"))
+
+  /** q_polysemy: polysemous iff #topics(prob ≥ minProb) > minimumTopics. */
+  def qPolysemy(s: SparkSession, dir: String): DataFrame =
+    docTopics(s, dir)
+      .select(col("doc_id"),
+        size(filter(col("dist"), p => p >= MinimumProbability)).as("n_topics"))
+      .select(col("doc_id"), col("n_topics"),
+        (col("n_topics") > MinimumTopicsPolysemous).as("polysemous"))
+
+  /** u_mass coherence of a topic's top terms from distributed doc
+    * co-occurrence counts: mean over ordered pairs (wi, wj), i>j, of
+    * ln((D(wi,wj)+1)/D(wj)). Counts come from one explode+join — the
+    * top-term set (k×10 strings) broadcasts. */
+  def umassCoherence(s: SparkSession, dir: String, topTerms: DataFrame): DataFrame = {
+    val docTerms = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+    val terms = topTerms.select(col("topic"), posexplode(col("terms")).as(Seq("pos", "term")))
+    val hits = docTerms.join(broadcast(terms), Seq("term")) // (doc, topic, pos, term)
+    val single = hits.groupBy("topic", "pos", "term")
+      .agg(countDistinct("doc_id").as("df"))
+    val pairs = hits.as("a").join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.topic") === col("b.topic") &&
+          col("a.pos") > col("b.pos"))
+      .groupBy(col("a.topic").as("topic"), col("a.pos").as("pos_i"),
+        col("b.pos").as("pos_j"))
+      .agg(countDistinct(col("a.doc_id")).as("codf"))
+    pairs
+      .join(single.select(col("topic"), col("pos").as("pos_j"), col("df").as("df_j")),
+        Seq("topic", "pos_j"))
+      .groupBy("topic")
+      .agg(round(avg(log((col("codf") + 1).cast("double") / col("df_j"))), 6)
+        .as("u_mass"), count(lit(1)).as("n_pairs"))
+  }
+
+  /** q_coherence: u_mass per topic for the k=10 model. */
+  def qCoherence(s: SparkSession, dir: String): DataFrame =
+    umassCoherence(s, dir, qLdaTopics(s, dir).select("topic", "terms"))
+
+  /** q_perplexity: bound-based log-perplexity (gensim log_perplexity twin). */
+  def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val (bow, _) = corpus(s, dir)
+    val model = fitLda(bow, DefaultK)
+    val lp = model.logPerplexity(bow)
+    val ll = model.logLikelihood(bow)
+    bow.sparkSession.range(1).select(
+      lit(DefaultK).as("k"), lit(lp).as("log_perplexity"), lit(ll).as("log_likelihood"))
+  }
+
+  /** q_model_select: HDP-style model-size selection — sweep k, score each
+    * model by mean u_mass coherence, emit the sweep with the argmax flagged
+    * (wiki_hdp.py's suggested_lda_model analogue). */
+  def qModelSelect(s: SparkSession, dir: String): DataFrame = {
+    val (bow, vocab) = corpus(s, dir)
+    val vocabLit = array(vocab.map(lit): _*)
+    val scores = Seq(5, 10, 15).map { k =>
+      val model = fitLda(bow, k, maxIter = 10)
+      val tops = model.describeTopics(10).select(col("topic"),
+        transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"))
+      val mean = umassCoherence(s, dir, tops)
+        .agg(avg("u_mass")).head().getDouble(0)
+      (k, mean)
+    }
+    val best = scores.maxBy(_._2)._1
+    import s.implicits._
+    scores.toDF("k", "mean_umass")
+      .select(col("k"), round(col("mean_umass"), 6).as("mean_umass"),
+        (col("k") === best).as("selected"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lda_topics" -> (qLdaTopics _),
+    "q_doc_topics" -> (qDocTopics _),
+    "q_polysemy" -> (qPolysemy _),
+    "q_coherence" -> (qCoherence _),
+    "q_perplexity" -> (qPerplexity _),
+    "q_model_select" -> (qModelSelect _))
+
+  override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts: stream result matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.windowedCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.5),
+        (Timestamp.valueOf("2024-01-01 02:00:00"), "click", 2.5),
+        (Timestamp.valueOf("2024-01-02 01:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts").collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(out === Set(("2024-01-01", "click", 2L, 4.0), ("2024-01-02", "view", 1L, 1.0)))
+
+      // batch twin over the same rows produces the same aggregate
+      val batch = EventStream.windowedCounts(
+        Seq((Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.5),
+          (Timestamp.valueOf("2024-01-01 02:00:00"), "click", 2.5),
+          (Timestamp.valueOf("2024-01-02 01:00:00"), "view", 1.0))
+          .toDF("ts", "event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch === out)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStream.UserEvent(7L, "click", 2.0),
+        EventStream.UserEvent(7L, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(EventStream.UserEvent(7L, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("user_totals").as[EventStream.UserRunning].collect()
+      val last = rows.maxBy(_.n_events)
+      assert(last === EventStream.UserRunning(7L, 3L, 10.0))
+    } finally q.stop()
+  }
+}
