@@ -33,7 +33,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        pdir = f"{outdir}/{name}"
+        pdir = f"{outdir}/{name}.parquet"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
