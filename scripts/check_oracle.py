@@ -30,10 +30,14 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        if only and name not in only:
+    for key, sql in sorted(oracle.items()):
+        # Driver convention: oracle_sql.json is keyed by the dump-dir
+        # basename, i.e. "<name>.parquet". Path and key derive from the
+        # identical string so the replica can't drift from the driver.
+        name = key[:-len(".parquet")] if key.endswith(".parquet") else key
+        if only and name not in only and key not in only:
             continue
-        pdir = f"{outdir}/{name}.parquet"
+        pdir = f"{outdir}/{key}" if key.endswith(".parquet") else f"{outdir}/{key}.parquet"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue

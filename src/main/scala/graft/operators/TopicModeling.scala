@@ -57,17 +57,28 @@ object TopicModeling extends QueryModule {
         .fit(bow)
     }
 
-  /** q_lda_topics: topic → top terms with weights (describeTopics). */
-  def qLdaTopics(s: SparkSession, dir: String): DataFrame = {
+  /** Topic top-terms in array shape (internal: coherence feeds off this). */
+  def ldaTopTerms(s: SparkSession, dir: String): DataFrame = {
     val (bow, vocab) = corpus(s, dir)
     val model = fitLda(bow, DefaultK)
     val vocabLit = array(vocab.map(lit): _*)
     model.describeTopics(10)
       .select(col("topic"),
-        expr("transform(termIndices, i -> i)").as("term_ids"),
+        col("termIndices").as("term_ids"),
         transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"),
         transform(col("termWeights"), w => round(w, 6)).as("weights"))
   }
+
+  /** q_lda_topics: topic top terms, one scalar row per (topic, rank) —
+    * array columns are unverifiable by the driver's pandas sort. */
+  def qLdaTopics(s: SparkSession, dir: String): DataFrame =
+    ldaTopTerms(s, dir)
+      .select(col("topic"),
+        posexplode(arrays_zip(col("term_ids"), col("terms"), col("weights")))
+          .as(Seq("rank", "z")))
+      .select(col("topic"), col("rank"),
+        col("z.term_ids").as("term_id"), col("z.terms").as("term"),
+        col("z.weights").as("weight"))
 
   /** Per-doc topic distribution (dense), shared stage (memoized+cached:
     * qDocTopics, qPolysemy and q_features all reuse it). */
@@ -122,7 +133,7 @@ object TopicModeling extends QueryModule {
 
   /** q_coherence: u_mass per topic for the k=10 model. */
   def qCoherence(s: SparkSession, dir: String): DataFrame =
-    umassCoherence(s, dir, qLdaTopics(s, dir).select("topic", "terms"))
+    umassCoherence(s, dir, ldaTopTerms(s, dir).select("topic", "terms"))
 
   /** q_perplexity: bound-based log-perplexity (gensim log_perplexity twin). */
   def qPerplexity(s: SparkSession, dir: String): DataFrame = {
