@@ -10,7 +10,8 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
     Relational, TextPrep, TextAnalysis, Dedup, SimilaritySearch,
-    Evaluation, NQuads, Multimodal, TopicModeling, Classification)
+    Evaluation, NQuads, Multimodal, TopicModeling, Classification,
+    PolysemyEval)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
     * sf0.001; driver smoke-checks rows > 0. */

@@ -43,9 +43,19 @@ object TextFns {
         !t.endsWith("is") && length(t) > 3, t.substr(lit(1), length(t) - 1))
       .otherwise(t)
 
-  /** Full cleaning chain → array of clean tokens. */
+  /** Full cleaning chain → array of clean tokens.
+    *
+    * Digit stripping runs at the DOCUMENT level (one regex pass per doc)
+    * rather than per token — semantically identical: digits never create
+    * token boundaries (deleted, not spaced), and tokens that were all
+    * digits are dropped either way (split drops the empty / len>2 filter
+    * dropped the ""). One pass per doc vs one per token is the difference
+    * between scan-speed and 2× scan cost on a 100 TB corpus. */
   def cleanTokens(text: Column): Column = {
-    val deDigit = transform(rawTokens(text), t => regexp_replace(t, "[0-9]", ""))
+    val deDigit = filter(
+      split(regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 ]", " "), "[0-9]", ""), " +"),
+      t => t =!= "")
     val kept = filter(deDigit, t => length(t) > 2 && !t.isin(Stopwords: _*))
     transform(kept, t => lemma(t))
   }
@@ -68,7 +78,7 @@ object TextFns {
       s"'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
 
   def cleanTokensSql(textExpr: String): String =
-    s"""list_transform(list_filter(list_transform(${rawTokensSql(textExpr)}, t -> regexp_replace(t, '[0-9]', '', 'g')), t -> len(t) > 2 AND t NOT IN $stopListSql), t -> CASE WHEN t LIKE '%ies' AND len(t) > 4 THEN substr(t, 1, len(t)-3) || 'y' WHEN t LIKE '%sses' THEN substr(t, 1, len(t)-2) WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND t NOT LIKE '%us' AND t NOT LIKE '%is' AND len(t) > 3 THEN substr(t, 1, len(t)-1) ELSE t END)"""
+    s"""list_transform(list_filter(list_filter(regexp_split_to_array(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9 ]', ' ', 'g'), '[0-9]', '', 'g'), ' +'), t -> t <> ''), t -> len(t) > 2 AND t NOT IN $stopListSql), t -> CASE WHEN t LIKE '%ies' AND len(t) > 4 THEN substr(t, 1, len(t)-3) || 'y' WHEN t LIKE '%sses' THEN substr(t, 1, len(t)-2) WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND t NOT LIKE '%us' AND t NOT LIKE '%is' AND len(t) > 3 THEN substr(t, 1, len(t)-1) ELSE t END)"""
 
   /** `toksCol` must be a bound list column name (bind via CTE at call site).
     * range(1, k+1) yields 1..k and is empty for k<=0, matching the guard in

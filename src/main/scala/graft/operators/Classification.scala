@@ -127,6 +127,42 @@ object Classification extends QueryModule {
     metricsRow("knn_5", votes)
   }
 
+  /** q_cv_train: REAL k-fold cross-validation for LogisticRegression
+    * (supervised_classifier.py:629-691): per fold, the scaler AND the model
+    * fit on the other k-1 folds only, then score the held-out fold; emits
+    * one confusion row per fold plus the mean-F1 summary row (fold = -1).
+    * The per-fold loop is driver-side by nature (k sequential fits — the
+    * reference's StratifiedKFold loop); each fit/eval is fully distributed
+    * and only the 8 confusion counts per fold ever reach the driver. */
+  def qCvTrain(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
+        (col("vec_id") % k).cast("int").as("fold"))
+      .cache()
+    val folds = (0 until k).map { f =>
+      val train = base.filter(col("fold") =!= f)
+      val test = base.filter(col("fold") === f)
+      val sm = new StandardScaler().setInputCol("raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true).fit(train)
+      val m = new LogisticRegression().setLabelCol("y")
+        .setMaxIter(100).setRegParam(0.1).fit(sm.transform(train))
+      val r = Evaluation.confusionMetrics(
+        m.transform(sm.transform(test))
+          .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
+        .head()
+      (f, r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("tn"),
+        r.getAs[Long]("fn"), r.getAs[Double]("f1"))
+    }
+    base.unpersist()
+    val meanF1 = folds.map(_._6).sum / k
+    import s.implicits._
+    (folds :+ (-1, 0L, 0L, 0L, 0L, math.rint(meanF1 * 1e6) / 1e6))
+      .toDF("fold", "tp", "fp", "tn", "fn", "f1")
+  }
+
   /** q_features: the reference's getSingleVector (topic-probability vector ⊕
     * doc-length feature, supervised_classifier.py:159-168) — emitted as
     * summary stats so the rows-only check still pins shape. */
@@ -149,6 +185,7 @@ object Classification extends QueryModule {
     "q_classify_dt" -> (qClassifyDt _),
     "q_classify_mlp" -> (qClassifyMlp _),
     "q_classify_knn" -> (qClassifyKnn _),
+    "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 
   override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only

@@ -59,9 +59,11 @@ object Dedup extends QueryModule {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // sizes is one row PER DOCUMENT — never broadcast it; a shuffle join on
+    // the pair keys is the plan that survives 100 TB (same as exactJaccardOf).
     pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), Seq("doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
           .as("jaccard"))
@@ -118,6 +120,33 @@ object Dedup extends QueryModule {
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
+
+  /** q_dedup_cosine_lsh: the SCALE path for embedding near-dup pairs.
+    * Candidates come from sign-bucket collisions (the same 8-table × 6-plane
+    * deterministic hyperplanes as q_ann_lsh) — an equi-join on (tbl, bucket),
+    * never all-pairs — then exact cosine ≥ τ verifies each candidate.
+    * Verified pairs ⊆ the exact all-pairs result (recall < 1 is the LSH
+    * trade; more tables buys recall). q_dedup_cosine keeps the hard-coded
+    * exact block as the small-scale oracle cross-check; THIS is the operator
+    * you run at 100 TB. Rows-only oracle (hash mixing isn't SQL-portable). */
+  def qDedupCosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val posted = SimilaritySearch.postedBuckets(s, dir)
+      .select("vec_id", "tbl", "bucket")
+    val cand = posted.as("a").join(posted.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        SimilaritySearch.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("vec_a", "vec_b")
+  }
 
   // ---------------- MinHash + LSH banding ----------------
 
@@ -212,6 +241,7 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_cosine" -> (qDedupCosine _),
+    "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 

@@ -17,19 +17,25 @@ import org.apache.spark.sql.functions._
 object Evaluation extends QueryModule {
 
   /** Generic confusion-matrix metrics for boolean (pred, gold) columns.
-    * Ratios are double divisions of exact integer counts. */
-  def confusionMetrics(scored: DataFrame): DataFrame =
+    * Ratios are double divisions of exact integer counts; zero denominators
+    * yield NULL (DuckDB's x/0 semantics — keeps the oracle in lock-step and
+    * avoids ANSI divide-by-zero when a class is empty). */
+  def confusionMetrics(scored: DataFrame): DataFrame = {
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den =!= 0, round(num.cast("double") / den, 6))
     scored.agg(
       sum(when(col("pred") && col("gold"), 1L).otherwise(0L)).as("tp"),
       sum(when(col("pred") && !col("gold"), 1L).otherwise(0L)).as("fp"),
       sum(when(!col("pred") && !col("gold"), 1L).otherwise(0L)).as("tn"),
       sum(when(!col("pred") && col("gold"), 1L).otherwise(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("tn"), col("fn"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
-        round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("accuracy"),
-        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"),
+        ratio(lit(2.0) * col("tp"),
+          lit(2.0) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
 
   /** q_eval_metrics: language-ID prediction ('en') vs the lang gold label —
     * the EVResult pipeline on a real prediction task. */

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.JaroWinkler
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The thesis headline, end-to-end: "is this concept polysemous, and how
+  * well do we detect it?" (polysemous_words.py:198 train_evaluate,
+  * evaluate.py:176 evaluate, evaluate.py:100-106 compareStrings).
+  *
+  * Pipeline: LDA polysemy predictions (TopicModeling.qPolysemy) → gold
+  * standard lookup by NAME (cleanString normalization + Jaro-Winkler ≥ 0.95,
+  * exactly the reference's compareStrings gate) → EVResult confusion row
+  * (tp/fp/tn/fn/precision/recall/accuracy/F1).
+  *
+  * Scale design of the name match — the reference's all-pairs Python loop
+  * does not scale, so ours is staged:
+  *   1. exact join on the cleaned name (hash join — covers the vast
+  *      majority of matches, arbitrarily scalable);
+  *   2. residual-only fuzzy pass: prefix-blocked equi-join (first 2 cleaned
+  *      chars) + JW ≥ 0.95 inside each block, best match per prediction by
+  *      (jw desc, name asc). JW ≥ 0.95 pairs that disagree in their first
+  *      two characters are sacrificed by the blocking — the bounded recall
+  *      loss that buys a shuffle-join plan instead of a cross join.
+  *
+  * Gold labels follow the reference encoding (evaluate.py:125-174):
+  * 1 = disambiguation page (polysemous), 2 = plain wiki page (not
+  * polysemous), 0 = not found — label-0 concepts are excluded from the
+  * confusion matrix, as in evaluate().
+  */
+object PolysemyEval extends QueryModule {
+
+  val JwThreshold = 0.95 // evaluate.py:106
+
+  /** cleanString (evaluate.py:88-98): lowercase, strip non-alphanumerics. */
+  def cleanName(c: Column): Column = regexp_replace(lower(c), "[^a-z0-9]", "")
+
+  /** Name-match predictions to gold: exact-clean-name fast path + prefix-
+    * blocked JW ≥ 0.95 residual pass. Inputs: pred(name, pred: Boolean),
+    * gold(name, label: Int). Output: one row per matched prediction with
+    * (name, pred, label, jw). */
+  def nameMatch(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val p = pred.select(col("name"), cleanName(col("name")).as("cn"), col("pred"))
+    val g = gold.select(col("name").as("g_name"), cleanName(col("name")).as("g_cn"), col("label"))
+    val exact = p.join(g, col("cn") === col("g_cn"))
+      .select(col("name"), col("pred"), col("label"), lit(1.0).as("jw"))
+    // fuzzy residual: only names with no exact match, blocked by prefix
+    val pRes = p.join(g.select(col("g_cn").as("cn")), Seq("cn"), "left_anti")
+      .withColumn("blk", substring(col("cn"), 1, 2))
+    val gRes = g.join(p.select(col("cn").as("g_cn")), Seq("g_cn"), "left_anti")
+      .withColumn("blk", substring(col("g_cn"), 1, 2))
+    val w = Window.partitionBy("name").orderBy(col("jw").desc, col("g_name").asc)
+    val fuzzy = pRes.join(gRes, Seq("blk"))
+      .select(col("name"), col("pred"), col("label"), col("g_name"),
+        JaroWinkler.similarity(col("cn"), col("g_cn")).as("jw"))
+      .filter(col("jw") >= JwThreshold)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("name"), col("pred"), col("label"), round(col("jw"), 6).as("jw"))
+    exact.unionByName(fuzzy)
+  }
+
+  /** Synthetic gold standard over documents — the deterministic analogue of
+    * the Wikipedia disambiguation dump (the OPERATOR under test is the
+    * JW-matched EVResult, not the gold itself): concept name is a formatted
+    * variant of the doc id (exercises cleanString), label 0 for every 7th
+    * concept (not-in-wiki), else 1 (polysemous) iff the doc is long. */
+  def docGold(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      concat(lit("Concept-"), col("doc_id")).as("name"),
+      when(col("doc_id") % 7 === 0, 0)
+        .when(col("n_chars") > 250, 1).otherwise(2).as("label"))
+
+  /** q_polysemy_eval: the end-to-end EVResult row. */
+  def qPolysemyEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = TopicModeling.qPolysemy(s, dir)
+      .select(concat(lit("concept "), col("doc_id")).as("name"), col("polysemous").as("pred"))
+    val matched = nameMatch(pred, docGold(s, dir))
+      .filter(col("label").isin(1, 2)) // 0 = not in wiki → excluded (evaluate.py)
+    Evaluation.confusionMetrics(
+      matched.select(col("pred"), (col("label") === 1).as("gold")))
+      .select(lit("polysemy_lda").as("model"), col("*"))
+  }
+
+  /** q_param_sweep: the skopt search space (polysemous_words.py:48-57) as a
+    * DISTRIBUTED grid sweep — one pass over the memoized per-doc topic
+    * distributions, every (minimum_probability, minimum_topics, MIN_DOC_LEN)
+    * combo scored against the gold standard in a single shuffle. The LDA is
+    * fit ONCE (ModelCache); the sweep itself is pure DataFrame algebra, so
+    * widening the grid costs one explode factor, not one model fit per cell. */
+  def qParamSweep(s: SparkSession, dir: String): DataFrame = {
+    val grid = for {
+      mp <- Seq(0.03, 0.0575, 0.1)
+      mt <- Seq(1, 2, 3)
+      mdl <- Seq(0, 10)
+    } yield (mp, mt, mdl)
+    val combos = array(grid.map { case (mp, mt, mdl) =>
+      struct(lit(mp).as("min_prob"), lit(mt).as("min_topics"), lit(mdl).as("min_len"))
+    }: _*)
+    val lens = TextPrep.cleanDocs(s, dir).select(col("doc_id"), size(col("toks")).as("len"))
+    val gold = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, 0)
+        .when(col("n_chars") > 250, 1).otherwise(2).as("label"))
+    TopicModeling.docTopics(s, dir)
+      .join(lens, Seq("doc_id"))
+      .join(gold, Seq("doc_id"))
+      .filter(col("label").isin(1, 2))
+      .select(col("doc_id"), col("dist"), col("len"), (col("label") === 1).as("gold"),
+        explode(combos).as("c"))
+      .filter(col("len") >= col("c.min_len")) // MIN_DOC_LEN gate per combo
+      .select(col("c.min_prob").as("min_prob"), col("c.min_topics").as("min_topics"),
+        col("c.min_len").as("min_len"), col("gold"),
+        (size(filter(col("dist"), p => p >= col("c.min_prob"))) > col("c.min_topics")).as("pred"))
+      .groupBy("min_prob", "min_topics", "min_len")
+      .agg(
+        sum(when(col("pred") && col("gold"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("gold"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && !col("gold"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("pred") && col("gold"), 1L).otherwise(0L)).as("fn"))
+      .select(col("min_prob"), col("min_topics"), col("min_len"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        when(lit(2.0) * col("tp") + col("fp") + col("fn") =!= 0,
+          round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_polysemy_eval" -> (qPolysemyEval _),
+    "q_param_sweep" -> (qParamSweep _))
+
+  override def oracles: Map[String, String] = Map.empty // LDA upstream: rows-only
+}

@@ -61,7 +61,9 @@ object Relational extends QueryModule {
        GROUP BY l_returnflag, l_linestatus"""
 
   /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
-    * Filtered customer dim is broadcast; single shuffle on orderkey. */
+    * Only the filtered customer DIM broadcasts; lineitem ⋈ orders is a
+    * fact-fact shuffle on orderkey (AQE picks SMJ + skew handling) — a
+    * broadcast of orders would OOM at scale. */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -71,7 +73,7 @@ object Relational extends QueryModule {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
       .select(col("l_orderkey"), revenueExpr.as("rev"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(col("rev")).cast("double").as("revenue"))

@@ -66,20 +66,19 @@ object SimilaritySearch extends QueryModule {
     (z.toDouble / 9.223372036854776e18)
   }
 
-  /** q_ann_lsh: multi-table random-hyperplane LSH (8 tables × 6 planes).
-    * Each vector posts one (table, bucket) key per table; candidates are the
-    * union of bucket collisions across tables, then exact cosine re-ranks.
-    * This is the 100 TB path: candidate generation is an equi-join on
-    * (table, bucket), never a cross join; tables/planes trade recall vs
-    * candidate volume. Rows-only oracle (hash mixing isn't SQL-portable). */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val nTables = 8
-    val nPlanes = 6
+  val NTables = 8
+  val NPlanes = 6
+
+  /** One (vec_id, v, tbl, bucket) row per vector per LSH table — the shared
+    * sign-bucket posting used by both ANN search and embedding dedup.
+    * Candidate generation downstream is ALWAYS an equi-join on
+    * (tbl, bucket), never a cross join. */
+  def postedBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     def bucketFor(t: Int): Column =
-      (0 until nPlanes).map { k =>
-        val planeId = t * nPlanes + k
+      (0 until NPlanes).map { k =>
+        val planeId = t * NPlanes + k
         val proj = aggregate(
           zip_with(col("v"),
             array((0 until 64).map(d => lit(hyperplaneComponent(planeId, d))): _*),
@@ -87,10 +86,20 @@ object SimilaritySearch extends QueryModule {
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, lit(1L << k)).otherwise(0L)
       }.reduce(_ + _)
-    val posted = e.select(col("vec_id"), col("v"),
-      explode(array((0 until nTables).map(t =>
+    e.select(col("vec_id"), col("v"),
+      explode(array((0 until NTables).map(t =>
         struct(lit(t).as("tbl"), bucketFor(t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** q_ann_lsh: multi-table random-hyperplane LSH (8 tables × 6 planes).
+    * Each vector posts one (table, bucket) key per table; candidates are the
+    * union of bucket collisions across tables, then exact cosine re-ranks.
+    * This is the 100 TB path: candidate generation is an equi-join on
+    * (table, bucket), never a cross join; tables/planes trade recall vs
+    * candidate volume. Rows-only oracle (hash mixing isn't SQL-portable). */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val posted = postedBuckets(s, dir)
     val queries = posted.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
     val cand = posted.filter(col("vec_id") >= 10)

@@ -3,9 +3,10 @@ package graft.operators
 import graft.QueryModule
 import graft.functions.TextFns
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** gensim-equivalent corpus machinery, distributed:
   *  - cleaning chain (Read_And_Clean.py:53-86) as codegen'd Columns;
@@ -43,17 +44,33 @@ object TextPrep extends QueryModule {
         SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)
         GROUP BY doc_id, tok"""
 
-  /** Token→(id, df, cf) dictionary. Ids are dense (compactify) ordered by
-    * (df desc, token asc) — deterministic, unlike gensim's insertion order. */
-  def dictionary(s: SparkSession, dir: String): DataFrame = {
-    val byToken = cleanDocs(s, dir)
+  /** Distributed dense-id assignment in (df desc, tok asc) order: a global
+    * range sort (orderBy → range partitioning, parallel sort) followed by
+    * zipWithIndex (one lightweight count job, then per-partition offsets).
+    * NO single-partition window: a 100 TB web corpus has 10⁸–10⁹ distinct
+    * tokens, so the vocabulary must never funnel through one task. */
+  private def withTokenIds(byToken: DataFrame): DataFrame = {
+    val s = byToken.sparkSession
+    val sorted = byToken.select("tok", "df", "cf").orderBy(col("df").desc, col("tok").asc)
+    val schema = StructType(
+      StructField("token_id", LongType, nullable = false) +: sorted.schema.fields)
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    s.createDataFrame(withId, schema)
+  }
+
+  /** (tok, df, cf) stats — the aggregation half of the dictionary; consumers
+    * that don't need ids (TF-IDF) join this directly so Catalyst can prune
+    * (the id assignment below has an RDD boundary it can't see through). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    cleanDocs(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("tok")
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
-    byToken.select(
-      row_number().over(Window.orderBy(col("df").desc, col("tok").asc)).as("token_id"),
-      col("tok"), col("df"), col("cf"))
-  }
+
+  /** Token→(id, df, cf) dictionary. Ids are dense (compactify) ordered by
+    * (df desc, token asc) — deterministic, unlike gensim's insertion order. */
+  def dictionary(s: SparkSession, dir: String): DataFrame =
+    withTokenIds(tokenStats(s, dir))
 
   def qDictionary(s: SparkSession, dir: String): DataFrame = dictionary(s, dir)
 
@@ -68,26 +85,22 @@ object TextPrep extends QueryModule {
 
   /** filter_extremes(no_below=3, no_above=0.8) + compactify (re-id). */
   def qDictFiltered(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val d = docs.agg(count(lit(1)).as("n_docs"))
-    val byToken = cleanDocs(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    val d = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val byToken = tokenStats(s, dir)
       .crossJoin(broadcast(d))
       .filter(col("df") >= 3 && col("df") <= col("n_docs") * 0.8)
-    byToken.select(
-      row_number().over(Window.orderBy(col("df").desc, col("tok").asc)).as("token_id"),
-      col("tok"), col("df"), col("cf"))
+    withTokenIds(byToken)
   }
 
   private val qDictFilteredSql = dictionarySqlBody(
     "HAVING count(DISTINCT doc_id) >= 3 AND count(DISTINCT doc_id) <= (SELECT count(*) FROM documents) * 0.8")
 
-  /** doc2bow against the compact dictionary (broadcast the dictionary). */
+  /** doc2bow against the compact dictionary. No broadcast hint: AQE
+    * auto-broadcasts while the vocab fits and falls back to a shuffle join
+    * on `tok` beyond that (a web-scale vocab is NOT broadcast-able). */
   def qDoc2bow(s: SparkSession, dir: String): DataFrame = {
     val counts = qTokens(s, dir)
-    counts.join(broadcast(dictionary(s, dir).select("token_id", "tok")), Seq("tok"))
+    counts.join(dictionary(s, dir).select("token_id", "tok"), Seq("tok"))
       .select("doc_id", "token_id", "n")
   }
 
@@ -104,7 +117,7 @@ object TextPrep extends QueryModule {
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val weighted = qTokens(s, dir)
-      .join(broadcast(dictionary(s, dir).select("tok", "df")), Seq("tok"))
+      .join(tokenStats(s, dir).select("tok", "df"), Seq("tok"))
       .crossJoin(broadcast(d))
       .select(col("doc_id"), col("tok"),
         (col("n") * log(col("n_docs").cast("double") / col("df"))).as("w"))

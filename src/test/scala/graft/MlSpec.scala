@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 class MlSpec extends SparkSpec {
   import spark.implicits._
 
-  test("lda topics: k topics, 10 terms each, weights descending") {
+  test("lda topics: k topics x 10 ranks, weights descending within topic") {
     val t = TopicModeling.qLdaTopics(spark, sfDir).collect()
-    assert(t.length === TopicModeling.DefaultK)
-    t.foreach { r =>
-      val ws: Seq[Double] = r.getSeq[Double](r.fieldIndex("weights"))
+    assert(t.length === TopicModeling.DefaultK * 10)
+    val byTopic = t.groupBy(_.getAs[Int]("topic"))
+    assert(byTopic.size === TopicModeling.DefaultK)
+    byTopic.foreach { case (_, rows) =>
+      val ws = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("weight")).toSeq
       assert(ws.length === 10)
-      assert(ws === ws.sortBy(-_))
+      assert(ws === ws.sortBy((w: Double) => -w))
     }
   }
 

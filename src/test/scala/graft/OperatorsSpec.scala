@@ -32,8 +32,8 @@ class OperatorsSpec extends SparkSpec {
 
   test("dictionary ids are dense 1..V and df<=docs") {
     val d = TextPrep.qDictionary(spark, sfDir).collect()
-    val ids = d.map(_.getAs[Int]("token_id")).sorted
-    assert(ids === (1 to d.length).toArray)
+    val ids = d.map(_.getAs[Long]("token_id")).sorted
+    assert(ids === (1L to d.length.toLong).toArray)
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(d.forall(_.getAs[Long]("df") <= nDocs))
   }

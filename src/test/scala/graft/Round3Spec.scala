@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: LSH-bucketed embedding dedup, end-to-end polysemy
+  * evaluation (JW-matched EVResult), distributed param sweep, real k-fold
+  * CV training. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine LSH dedup pairs verify to a subset of exact all-pairs") {
+    val exact = Dedup.qDedupCosine(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.qDedupCosineLsh(spark, sfDir)
+      .filter(col("vec_a") < 500 && col("vec_b") < 500)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "LSH dedup found no pairs in the exact block")
+    assert(lsh.subsetOf(exact), s"LSH found non-exact pairs: ${lsh -- exact}")
+  }
+
+  test("name match: exact fast path + prefix-blocked JW fuzzy residual") {
+    val pred = Seq(("Alpha Corp", true), ("beta inc", false),
+      ("Gamma LLC", true), ("zeta co", true)).toDF("name", "pred")
+    val gold = Seq(("alpha-corp!", 1), ("Beta Incc", 2), ("delta", 1))
+      .toDF("name", "label")
+    val m = PolysemyEval.nameMatch(pred, gold).collect()
+    val byName = m.map(r => r.getAs[String]("name") ->
+      (r.getAs[Int]("label"), r.getAs[Double]("jw"))).toMap
+    // exact: alphacorp == alphacorp (jw 1.0); fuzzy: betainc ~ betaincc
+    // (jw 0.975 >= 0.95); gamma/zeta have no gold within their block.
+    assert(m.length === 2)
+    assert(byName("Alpha Corp") === ((1, 1.0)))
+    assert(byName("beta inc")._1 === 2)
+    assert(byName("beta inc")._2 >= 0.95)
+  }
+
+  test("polysemy eval emits one EVResult row with consistent counts") {
+    val r = PolysemyEval.qPolysemyEval(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val total = row.getAs[Long]("tp") + row.getAs[Long]("fp") +
+      row.getAs[Long]("tn") + row.getAs[Long]("fn")
+    assert(total > 0, "no concepts matched the gold standard")
+    val acc = row.getAs[Double]("accuracy")
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("param sweep: full grid, counts bounded, positives shrink as min_prob grows") {
+    val rows = PolysemyEval.qParamSweep(spark, sfDir).collect()
+    assert(rows.length === 18) // 3 probs x 3 topic-mins x 2 len-mins
+    rows.foreach { r =>
+      val f1 = r.getAs[Double]("f1")
+      assert(f1.isNaN || (f1 >= 0.0 && f1 <= 1.0))
+    }
+    // predicted-positive count (tp+fp) is monotone non-increasing in
+    // min_prob for fixed (min_topics, min_len): a stricter probability
+    // gate can only drop topics.
+    rows.groupBy(r => (r.getAs[Int]("min_topics"), r.getAs[Int]("min_len")))
+      .foreach { case (_, g) =>
+        val byProb = g.sortBy(_.getAs[Double]("min_prob"))
+          .map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+        assert(byProb === byProb.sorted.reverse, s"not monotone: ${byProb.toSeq}")
+      }
+  }
+
+  test("cv train: one row per fold covering the fold, plus mean row") {
+    val cv = Classification.qCvTrain(spark, sfDir).collect()
+    assert(cv.length === 6)
+    val folds = cv.filter(_.getAs[Int]("fold") >= 0)
+    assert(folds.length === 5)
+    // 500 vectors, vec_id % 5 → 100 per fold
+    folds.foreach { r =>
+      val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("tn") + r.getAs[Long]("fn")
+      assert(total === 100)
+    }
+    val mean = cv.find(_.getAs[Int]("fold") === -1).get.getAs[Double]("f1")
+    val expected = folds.map(_.getAs[Double]("f1")).sum / 5
+    assert(math.abs(mean - expected) < 1e-5)
+  }
+}
