@@ -12,8 +12,8 @@ object Bench {
     "q1_agg", "q3_join", "q5_join", "q_window", "q_events_window",
     "q_sessionize", "q_clean_text", "q_tokens", "q_dictionary", "q_tfidf",
     "q_lang_id", "q_quality", "q_token_count", "q_fingerprint",
-    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_cosine", "q_knn_search",
-    "q_eval_metrics", "q_concept_docs")
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_cosine", "q_dedup_cosine_lsh",
+    "q_knn_search", "q_eval_metrics", "q_concept_docs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,16 +107,47 @@ object Classification extends QueryModule {
     metricsRow("mlp", m.transform(test))
   }
 
-  /** Broadcast brute-force KNN (k=5, cosine vote): the TEST side broadcasts
-    * against the train scan — at 100 TB this is broadcast(queries) ⋈
-    * scan(corpus), one shuffle of |test|·k rows. */
+  /** Sign-bucket a feature-vector column: one (id, tbl, bucket) row per
+    * vector per LSH table (same deterministic hyperplanes as q_ann_lsh). */
+  private def featureBuckets(df: DataFrame, idCol: String): DataFrame = {
+    val nTables = 8
+    val nPlanes = 6
+    val dim = 64
+    def bucketFor(t: Int): org.apache.spark.sql.Column =
+      (0 until nPlanes).map { k =>
+        val planeId = t * nPlanes + k
+        val proj = aggregate(
+          zip_with(col("fv"),
+            array((0 until dim).map(d =>
+              lit(SimilaritySearch.hyperplaneComponent(planeId, d))): _*),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << k)).otherwise(0L)
+      }.reduce(_ + _)
+    df.select(col(idCol), col("fv"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), bucketFor(t).as("bucket"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** KNN (k=5, cosine vote) via LSH-bucketed candidate generation: train and
+    * test both post sign-buckets, candidates are bucket collisions (an
+    * equi-join on (tbl, bucket) — the test split is PROPORTIONAL to the
+    * corpus, so broadcasting it does not survive 100 TB), exact cosine
+    * re-ranks the candidates, top-5 vote. Test rows with no collision fall
+    * back to the majority train class, so every query is still scored. */
   def qClassifyKnn(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val tr = train.select(col("vec_id").as("t_id"),
-      vector_to_array(col("features")).as("tv"), col("y").as("ty"))
+      vector_to_array(col("features")).as("fv"), col("y").as("ty"))
     val te = test.select(col("vec_id").as("q_id"),
-      vector_to_array(col("features")).as("qv"), col("y"))
-    val scored = tr.join(broadcast(te))
+      vector_to_array(col("features")).as("fv"), col("y"))
+    val cand = featureBuckets(tr.select(col("t_id"), col("fv")), "t_id")
+      .join(featureBuckets(te.select(col("q_id"), col("fv")), "q_id"), Seq("tbl", "bucket"))
+      .select("q_id", "t_id").distinct()
+    val scored = cand
+      .join(te.select(col("q_id"), col("fv").as("qv"), col("y")), Seq("q_id"))
+      .join(tr.select(col("t_id"), col("fv").as("tv"), col("ty")), Seq("t_id"))
       .select(col("q_id"), col("y"), col("ty"),
         SimilaritySearch.cosine(col("qv"), col("tv")).as("cos"), col("t_id"))
     val w = org.apache.spark.sql.expressions.Window
@@ -124,7 +155,29 @@ object Classification extends QueryModule {
     val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .groupBy("q_id", "y")
       .agg((sum(col("ty")) >= 3).cast("double").as("prediction"))
-    metricsRow("knn_5", votes)
+    val majority = tr.groupBy("ty").count()
+      .orderBy(col("count").desc, col("ty").asc).head().getDouble(0)
+    val unmatched = te.join(votes.select("q_id"), Seq("q_id"), "left_anti")
+      .select(col("q_id"), col("y"), lit(majority).as("prediction"))
+    metricsRow("knn_5", votes.select("q_id", "y", "prediction").unionByName(unmatched))
+  }
+
+  /** q_classify_lr_us: undersample-majority rebalancing — the distributed
+    * stand-in for TomekLinks/random undersampling (supervised_classifier
+    * .py:578-624): keep a deterministic hash-selected fraction of the
+    * majority class so classes balance, then fit unweighted LR. No driver
+    * resampling state; the filter is partition-local and reproducible. */
+  def qClassifyLrUndersample(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val counts = train.groupBy("y").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val (majY, majN) = counts.maxBy(_._2)
+    val minN = counts.minBy(_._2)._2
+    val keep = train.filter(col("y") =!= majY ||
+      pmod(xxhash64(col("vec_id")), lit(majN)) < lit(minN))
+    val m = new LogisticRegression().setLabelCol("y")
+      .setMaxIter(100).setRegParam(0.1).fit(keep)
+    metricsRow("lr_undersampled", m.transform(test))
   }
 
   /** q_cv_train: REAL k-fold cross-validation for LogisticRegression
@@ -164,16 +217,20 @@ object Classification extends QueryModule {
   }
 
   /** q_features: the reference's getSingleVector (topic-probability vector ⊕
-    * doc-length feature, supervised_classifier.py:159-168) — emitted as
-    * summary stats so the rows-only check still pins shape. */
+    * doc-length feature, supervised_classifier.py:159-168) — emitted as a
+    * per-dimension profile (count, mean, std) of the assembled feature
+    * matrix: one posexplode + one groupBy(dim), fully distributed, and the
+    * rows-only check pins both the dimensionality and the moments. */
   def qFeatures(s: SparkSession, dir: String): DataFrame = {
     val topics = TopicModeling.docTopics(s, dir)
     val lens = TextPrep.cleanDocs(s, dir).select(col("doc_id"), size(col("toks")).as("len"))
     topics.join(lens, Seq("doc_id"))
       .select(col("doc_id"), concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
-      .select(lit(1).as("g"), size(col("fvec")).as("dim"), col("fvec"))
-      .groupBy("g", "dim").agg(count(lit(1)).as("n_docs"))
-      .drop("g")
+      .select(posexplode(col("fvec")).as(Seq("dim_idx", "x")))
+      .groupBy("dim_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("x")), 6).as("mean"),
+        round(stddev_pop(col("x")), 6).as("std"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -185,6 +242,7 @@ object Classification extends QueryModule {
     "q_classify_dt" -> (qClassifyDt _),
     "q_classify_mlp" -> (qClassifyMlp _),
     "q_classify_knn" -> (qClassifyKnn _),
+    "q_classify_lr_us" -> (qClassifyLrUndersample _),
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 

@@ -146,23 +146,28 @@ object TopicModeling extends QueryModule {
   }
 
   /** q_model_select: HDP-style model-size selection — sweep k, score each
-    * model by mean u_mass coherence, emit the sweep with the argmax flagged
-    * (wiki_hdp.py's suggested_lda_model analogue). */
+    * model by mean u_mass coherence AND bound-based log-perplexity
+    * (coherence_log_perplexity.py:41-52 scores both per k; the reference
+    * sweeps k=10..990 step 10 — same sweep loop, smaller grid at test SF),
+    * emit the sweep with the coherence argmax flagged (wiki_hdp.py's
+    * suggested_lda_model analogue). One sequential fit per k is inherent
+    * (iterative ML); each fit/score is fully distributed. */
   def qModelSelect(s: SparkSession, dir: String): DataFrame = {
     val (bow, vocab) = corpus(s, dir)
     val vocabLit = array(vocab.map(lit): _*)
-    val scores = Seq(5, 10, 15).map { k =>
+    val scores = Seq(5, 10, 15, 20).map { k =>
       val model = fitLda(bow, k, maxIter = 10)
       val tops = model.describeTopics(10).select(col("topic"),
         transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"))
       val mean = umassCoherence(s, dir, tops)
         .agg(avg("u_mass")).head().getDouble(0)
-      (k, mean)
+      (k, mean, model.logPerplexity(bow))
     }
     val best = scores.maxBy(_._2)._1
     import s.implicits._
-    scores.toDF("k", "mean_umass")
+    scores.toDF("k", "mean_umass", "log_perplexity")
       .select(col("k"), round(col("mean_umass"), 6).as("mean_umass"),
+        round(col("log_perplexity"), 6).as("log_perplexity"),
         (col("k") === best).as("selected"))
   }
 

@@ -64,6 +64,23 @@ class Round3Spec extends SparkSpec {
       }
   }
 
+  test("undersampled LR covers the whole test split") {
+    val m = Classification.qClassifyLrUndersample(spark, sfDir).collect().head
+    val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
+      m.getAs[Long]("tn") + m.getAs[Long]("fn")
+    assert(total === 100)
+  }
+
+  test("model select sweeps k with coherence and log-perplexity per k") {
+    val ms = TopicModeling.qModelSelect(spark, sfDir).collect()
+    assert(ms.length === 4)
+    assert(ms.count(_.getAs[Boolean]("selected")) === 1)
+    ms.foreach { r =>
+      assert(r.getAs[Double]("mean_umass") <= 1e-9) // u_mass <= 0
+      assert(!r.isNullAt(r.fieldIndex("log_perplexity")))
+    }
+  }
+
   test("cv train: one row per fold covering the fold, plus mean row") {
     val cv = Classification.qCvTrain(spark, sfDir).collect()
     assert(cv.length === 6)
