@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.Column
 
 /** Jaro-Winkler string similarity (evaluate.py:100-106 uses strsimpy's with
   * a 0.95 match threshold). Standard definition: Jaro similarity boosted by
@@ -9,9 +8,9 @@ import org.apache.spark.sql.functions.udf
   * threshold — matches DuckDB's jaro_winkler_similarity so the oracle can
   * use the builtin.
   *
-  * Used only on small dimension-table pairs (names); not a hot-path op, so a
-  * deterministic scalar UDF is acceptable. A codegen Expression would be the
-  * next step if this ever ran over a fact table.
+  * Column surface is the native Catalyst [[JaroWinklerSimilarity]]
+  * expression (codegen'd static call — no UDF codegen break), so the op is
+  * fact-table-safe, not just dim-safe.
   */
 object JaroWinkler {
 
@@ -64,6 +63,5 @@ object JaroWinkler {
     j + l * 0.1 * (1.0 - j)
   }
 
-  val similarity: UserDefinedFunction =
-    udf((a: String, b: String) => jaroWinkler(a, b))
+  def similarity(a: Column, b: Column): Column = JaroWinklerSimilarity(a, b)
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `classic.ExpressionUtils` is private[sql],
+  * so this one-file shim lives inside the org.apache.spark.sql package —
+  * the conventional pattern for Spark-native libraries that ship custom
+  * Catalyst expressions (public Spark API offers no other classic-mode
+  * wrap). Everything else in graft stays in its own namespace. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -35,6 +35,17 @@ class Round3Spec extends SparkSpec {
     assert(byName("beta inc")._2 >= 0.95)
   }
 
+  test("native jaro-winkler expression: SQL registration + codegen column path") {
+    graft.plans.GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT jaro_winkler_similarity('martha', 'marhta') AS jw")
+      .head().getDouble(0)
+    assert(math.abs(sql - functions.JaroWinkler.jaroWinkler("martha", "marhta")) < 1e-12)
+    val viaCol = Seq(("dwayne", "duane")).toDF("a", "b")
+      .select(functions.JaroWinkler.similarity(col("a"), col("b")).as("jw"))
+      .head().getDouble(0)
+    assert(math.abs(viaCol - functions.JaroWinkler.jaroWinkler("dwayne", "duane")) < 1e-12)
+  }
+
   test("polysemy eval emits one EVResult row with consistent counts") {
     val r = PolysemyEval.qPolysemyEval(spark, sfDir).collect()
     assert(r.length === 1)
