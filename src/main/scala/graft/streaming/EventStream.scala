@@ -23,6 +23,15 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup twin of Dedup.qDedupExact: drop content-hash
+    * duplicates within the watermark horizon. State is bounded by the
+    * watermark (exact global dedup over an unbounded stream needs unbounded
+    * state by definition — the horizon is the streaming trade). */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs.withWatermark("ts", "1 hour")
+      .withColumn("content_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_md5")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops content duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.dedupedDocs(input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "same text"),
+        (Timestamp.valueOf("2024-01-01 01:00:01"), 2L, "same text"),
+        (Timestamp.valueOf("2024-01-01 01:00:02"), 3L, "other text"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_docs").select("text").as[String].collect().sorted
+      assert(texts === Array("other text", "same text"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
