@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * Task: embeddings table, gold = (label < 5). Rows-only oracles
   * (iterative optimizers aren't SQL-expressible); seeds fixed.
+  *
+  * Deliberate divergence: the reference's kernel SVC (rbf/poly,
+  * supervised_classifier.py:316-334) has no MLlib equivalent — kernel
+  * methods need the Gram matrix (quadratic in rows, inherently
+  * non-distributable at this scale); LinearSVC is the documented stand-in.
   */
 object Classification extends QueryModule {
 
@@ -180,6 +185,32 @@ object Classification extends QueryModule {
     metricsRow("lr_undersampled", m.transform(test))
   }
 
+  /** q_clf_param_sweep: the BayesSearchCV analogue (supervised_classifier
+    * .py:210-244, 493-524) as a deterministic grid — one LR fit per
+    * (regParam, elasticNet) cell, each fit fully distributed, scored on the
+    * held-out split by F1. Emits the whole grid with the argmax flagged. */
+  def qClfParamSweep(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val grid = for {
+      reg <- Seq(0.01, 0.1, 1.0)
+      en <- Seq(0.0, 0.5)
+    } yield (reg, en)
+    val scores = grid.map { case (reg, en) =>
+      val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
+        .setMaxIter(100).setRegParam(reg).setElasticNetParam(en).fit(train)
+      val f1 = Evaluation.confusionMetrics(
+        m.transform(test)
+          .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
+        .head().getAs[Double]("f1")
+      (reg, en, math.rint(f1 * 1e6) / 1e6)
+    }
+    val best = scores.maxBy(_._3)
+    import s.implicits._
+    scores.toDF("reg_param", "elastic_net", "f1")
+      .select(col("reg_param"), col("elastic_net"), col("f1"),
+        (col("reg_param") === best._1 && col("elastic_net") === best._2).as("selected"))
+  }
+
   /** q_cv_train: REAL k-fold cross-validation for LogisticRegression
     * (supervised_classifier.py:629-691): per fold, the scaler AND the model
     * fit on the other k-1 folds only, then score the held-out fold; emits
@@ -243,6 +274,7 @@ object Classification extends QueryModule {
     "q_classify_mlp" -> (qClassifyMlp _),
     "q_classify_knn" -> (qClassifyKnn _),
     "q_classify_lr_us" -> (qClassifyLrUndersample _),
+    "q_clf_param_sweep" -> (qClfParamSweep _),
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 

@@ -92,6 +92,14 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("classifier param sweep covers the grid with exactly one argmax") {
+    val rows = Classification.qClfParamSweep(spark, sfDir).collect()
+    assert(rows.length === 6)
+    assert(rows.count(_.getAs[Boolean]("selected")) === 1)
+    val bestF1 = rows.filter(_.getAs[Boolean]("selected")).head.getAs[Double]("f1")
+    assert(rows.forall(_.getAs[Double]("f1") <= bestF1))
+  }
+
   test("cv train: one row per fold covering the fold, plus mean row") {
     val cv = Classification.qCvTrain(spark, sfDir).collect()
     assert(cv.length === 6)
