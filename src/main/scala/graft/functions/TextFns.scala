@@ -60,6 +60,18 @@ object TextFns {
     transform(kept, t => lemma(t))
   }
 
+  /** Polynomial rolling hash over a token array (streaming fingerprint use:
+    * h(a ++ b) = (h(a)·B^|b| + h(b)) mod M, so a running hash extends
+    * incrementally without re-reading the prefix). One codegen fold; the
+    * per-token term is reduced mod M BEFORE the multiply-add so every
+    * intermediate stays < 2³⁸ — no Long overflow under ANSI mode.
+    * Not SQL-portable (DuckDB lacks xxhash64) → spec-tested, rows-only. */
+  val RollMod = 1000000007L
+  val RollBase = 131L
+  def rollingHash(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) =>
+      pmod(acc * RollBase + pmod(xxhash64(t), lit(RollMod)), lit(RollMod)))
+
   /** Word n-gram shingles over a token array (for Jaccard/MinHash dedup).
     * Guarded: Spark's sequence(1, 0) would produce a DESCENDING [1, 0]. */
   def shingles(tokens: Column, n: Int): Column =

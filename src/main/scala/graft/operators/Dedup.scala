@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * blocked by LSH sign-buckets. That is what survives 100 TB; the exact
   * Jaccard/cosine verification then runs only on candidates.
   *
-  * MinHash/SimHash variants live in HashFns + LSH queries (rows-only oracle:
-  * their hash mixing is not reasonably expressible in SQL).
+  * MinHash/SimHash signatures are built inline below from xxhash64
+  * aggregates (rows-only oracle: their hash mixing is not reasonably
+  * expressible in SQL).
   */
 object Dedup extends QueryModule {
 

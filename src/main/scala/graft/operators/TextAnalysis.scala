@@ -118,8 +118,8 @@ object TextAnalysis extends QueryModule {
         FROM documents"""
 
   /** q_fingerprint: canonical-text md5 (engine-portable fingerprint) plus
-    * clean-token count. A 61-bit rolling polynomial hash for streaming use
-    * lives in HashFns (spec-tested; not SQL-expressible). */
+    * clean-token count. The incremental rolling polynomial hash for
+    * streaming use is TextFns.rollingHash (spec-tested; not SQL-portable). */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))

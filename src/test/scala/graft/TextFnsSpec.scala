@@ -4,6 +4,20 @@ import graft.functions.TextFns
 import org.apache.spark.sql.functions._
 
 class TextFnsSpec extends SparkSpec {
+
+  test("rolling hash: deterministic, order-sensitive, incremental extension law") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val rows = Seq("one two three", "four five", "one two three four five",
+      "three two one").toDF("s")
+      .select(TextFns.rollingHash(split(col("s"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    val Array(ha, hb, hab, hrev) = rows
+    // h(a ++ b) = (h(a) * B^|b| + h(b)) mod M — the incremental property
+    val bPow = (0 until 2).foldLeft(1L)((p, _) => p * TextFns.RollBase % TextFns.RollMod)
+    assert(hab === (ha * bPow + hb) % TextFns.RollMod)
+    assert(ha !== hrev) // order matters
+  }
   import spark.implicits._
 
   private def clean(s: String): Seq[String] =
