@@ -14,7 +14,10 @@ object SparkEntry {
     PolysemyEval)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
-    * sf0.001; driver smoke-checks rows > 0. */
+    * sf0.001; driver smoke-checks rows > 0. (The end-to-end headline,
+    * qPolysemyEval, is NOT the smoke target on purpose: MLlib's LDA
+    * trips the REPL classloader under `sbt console` — "Prohibited package
+    * name: java.sql" — and the smoke must stay environment-robust.) */
   def entry(spark: SparkSession): DataFrame =
     TextPrep.qDictionary(spark, "/root/testdata/sf0.001")
 

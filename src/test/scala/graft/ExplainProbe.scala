@@ -1,4 +1,8 @@
 package graft
+
+/** Dev probe (test scope): dump physical plans of the heavy queries for the
+  * per-round scale audit — look for unexpected broadcasts, single-partition
+  * exchanges, and codegen breaks. */
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
@@ -7,11 +11,16 @@ object ExplainProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    println("===== q3_join =====")
-    operators.Relational.q3Join(spark, dir).explain("formatted")
-    println("===== q_dedup_jaccard =====")
-    operators.Dedup.qDedupJaccard(spark, dir).explain("formatted")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val targets: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      if (args.length > 1) args.drop(1).toSeq.map(n => n -> SparkEntry.queries(n)(spark, dir))
+      else Seq(
+        "q3_join" -> operators.Relational.q3Join(spark, dir),
+        "q_dedup_jaccard" -> operators.Dedup.qDedupJaccard(spark, dir))
+    targets.foreach { case (name, df) =>
+      println(s"===== $name =====")
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }
