@@ -38,6 +38,19 @@ class OperatorsSpec extends SparkSpec {
     assert(d.forall(_.getAs[Long]("df") <= nDocs))
   }
 
+  test("dictionary ids are independent of parallelism") {
+    def idsAt(parts: String): Map[String, Long] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try TextPrep.qDictionary(spark, sfDir).collect()
+        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("token_id")).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    // the (df desc, tok asc) order is total (tok is unique), so the
+    // range-sort + zipWithIndex assignment must not depend on partitioning
+    assert(idsAt("2") === idsAt("13"))
+  }
+
   test("tfidf vectors are L2-normalized per doc") {
     val norms = TextPrep.qTfidf(spark, sfDir)
       .groupBy("doc_id").agg(sum(col("tfidf") * col("tfidf")).as("n2"))
