@@ -112,9 +112,53 @@ object SimilaritySearch extends QueryModule {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** q_ann_ivf: inverted-file ANN — the coarse-quantizer scale path beside
+    * LSH (the two standard families). A seeded KMeans (nlist cells) indexes
+    * the corpus: every vector joins its nearest-centroid cell; a query
+    * probes only its nProbe nearest cells, and exact cosine re-ranks just
+    * those candidates. Candidate volume ≈ corpus · nProbe / nlist via an
+    * equi-join on cell id — never a cross join. Centroids are bounded
+    * (nlist × dim) BY CONSTRUCTION, so inlining them as literals is the
+    * rare broadcast that is always safe. Rows-only oracle (iterative
+    * clustering isn't SQL-expressible); seed fixed. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nlist = 16
+    val nProbe = 4
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val km = graft.ModelCache.getOrElseUpdate(s"ivf.km:$dir") {
+      new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features")
+        .fit(corpus.select(array_to_vector(col("v")).as("features")))
+    }
+    val cents = km.clusterCenters.map(_.toArray)
+    def dist2(cell: Int): Column = aggregate(
+      zip_with(col("v"), array(cents(cell).map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val cellRank = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val withDists = e.select(col("vec_id"), col("v"),
+      explode(array((0 until nlist).map(c =>
+        struct(lit(c).as("cell"), dist2(c).as("d2"))): _*)).as("cd"))
+      .select(col("vec_id"), col("v"), col("cd.cell").as("cell"), col("cd.d2").as("d2"))
+      .withColumn("crk", row_number().over(cellRank))
+    val indexed = withDists.filter(col("vec_id") >= 10 && col("crk") === 1)
+      .select(col("vec_id").as("nb_id"), col("v").as("nv"), col("cell"))
+    val probes = withDists.filter(col("vec_id") < 10 && col("crk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    indexed.join(probes, Seq("cell"))
+      .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
+      .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_search" -> (qKnnSearch _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   override def oracles: Map[String, String] = Map(
     "q_knn_search" -> qKnnSearchSql)

@@ -19,6 +19,20 @@ class Round3Spec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH found non-exact pairs: ${lsh -- exact}")
   }
 
+  test("IVF ANN: covers every query, never beats brute force, recall >= 0.7") {
+    val brute = SimilaritySearch.qKnnSearch(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("nb_id"), r.getAs[Double]("cos_sim")))
+      .toMap
+    val ivf = SimilaritySearch.qAnnIvf(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("nb_id"), r.getAs[Double]("cos_sim")))
+      .toMap
+    assert(ivf.keySet === brute.keySet) // all 10 queries answered
+    ivf.foreach { case (q, (_, cos)) => assert(cos <= brute(q)._2 + 1e-9) }
+    val hits = brute.keys.count(q => ivf(q)._1 == brute(q)._1)
+    assert(hits >= 7, s"IVF recall@1 too low: $hits/${brute.size}") // seeded: 8/10
+  }
+
   test("name match: exact fast path + prefix-blocked JW fuzzy residual") {
     val pred = Seq(("Alpha Corp", true), ("beta inc", false),
       ("Gamma LLC", true), ("zeta co", true)).toDF("name", "pred")
