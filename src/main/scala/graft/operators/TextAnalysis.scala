@@ -132,15 +132,50 @@ object TextAnalysis extends QueryModule {
         CAST(len(${TextFns.cleanTokensSql("text")}) AS INT) AS n_toks
         FROM documents"""
 
+  /** q_corpus_stats: the dataset-card rollup a training-data pipeline
+    * publishes per source — doc count, volume, exact-dup rate, mean quality
+    * — one shuffle on source, composing the per-doc quality scorer. */
+  def qCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val q = qQuality(s, dir).select(col("doc_id"), col("quality"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+      .join(q, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("h")).as("n_unique"),
+        round(avg(col("quality")), 6).as("mean_quality"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("mean_quality"))
+  }
+
+  private val qCorpusStatsSql =
+    s"""WITH q AS ($qQualitySql),
+       d AS (
+         SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+       g AS (
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT h) AS n_unique,
+           round(avg(quality), 6) AS mean_quality
+         FROM d JOIN q USING (doc_id) GROUP BY source)
+       SELECT source, n_docs, total_chars, n_unique,
+         round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+         mean_quality
+       FROM g"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
-    "q_fingerprint" -> (qFingerprint _))
+    "q_fingerprint" -> (qFingerprint _),
+    "q_corpus_stats" -> (qCorpusStats _))
 
   override def oracles: Map[String, String] = Map(
     "q_lang_id" -> qLangIdSql,
     "q_quality" -> qQualitySql,
     "q_token_count" -> qTokenCountSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_corpus_stats" -> qCorpusStatsSql)
 }
