@@ -155,11 +155,57 @@ object SimilaritySearch extends QueryModule {
       .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** q_embed_quant: int8 symmetric quantization of the embedding column
+    * (4× storage cut for the ANN index is how a 100 TB vector corpus stays
+    * affordable) with per-vector scale and reconstruction-error stats.
+    * floor(x + 0.5) instead of round() — Spark rounds half-up, DuckDB
+    * half-even; floor is engine-identical. */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("scale"))
+      .filter(col("scale") > 0)
+    // raw errors FIRST, rounding in a separate select: a sibling alias
+    // `round(scale).as("scale")` would lateral-shadow col("scale") in the
+    // same projection and silently quantize against the ROUNDED scale
+    e.select(col("vec_id"), col("scale"),
+      array_max(zip_with(col("v"),
+          transform(col("v"), x => floor(x / col("scale") * 127 + 0.5)),
+          (x, q) => abs(x - q * col("scale") / 127))).as("max_err_raw"),
+      aggregate(zip_with(col("v"),
+          transform(col("v"), x => floor(x / col("scale") * 127 + 0.5)),
+          (x, q) => (x - q * col("scale") / 127) * (x - q * col("scale") / 127)),
+        lit(0.0), (acc, x) => acc + x).as("sq_err_raw"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(col("max_err_raw"), 6).as("max_err"),
+        round(col("sq_err_raw"), 9).as("sq_err"))
+  }
+
+  private val qEmbedQuantSql =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+         FROM embeddings),
+       f AS (SELECT vec_id, v, scale FROM e WHERE scale > 0),
+       q AS (
+         SELECT vec_id, v, scale,
+           list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS qv
+         FROM f)
+       SELECT vec_id, round(scale, 6) AS scale,
+         round(list_max(list_transform(list_zip(v, qv),
+           p -> abs(p[1] - p[2] * scale / 127))), 6) AS max_err,
+         round(list_sum(list_transform(list_zip(v, qv),
+           p -> (p[1] - p[2] * scale / 127) * (p[1] - p[2] * scale / 127))), 9) AS sq_err
+       FROM q"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_search" -> (qKnnSearch _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
-    "q_knn_search" -> qKnnSearchSql)
+    "q_knn_search" -> qKnnSearchSql,
+    "q_embed_quant" -> qEmbedQuantSql)
 }

@@ -132,6 +132,50 @@ object TextAnalysis extends QueryModule {
         CAST(len(${TextFns.cleanTokensSql("text")}) AS INT) AS n_toks
         FROM documents"""
 
+  /** q_quality_rules: Gopher-style boolean quality gates per document —
+    * length window, mean-word-length window, repetition (distinct-token
+    * ratio), stopword presence — plus the conjunction. All comparisons are
+    * on exact integer ratios, so the booleans are engine-identical. */
+  def qQualityRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(toks).as("n_toks"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") >= 10 && col("n_toks") <= 100000).as("len_ok"),
+        (col("tok_chars").cast("double") / col("n_toks") >= 3.0 &&
+          col("tok_chars").cast("double") / col("n_toks") <= 10.0).as("wordlen_ok"),
+        (col("n_distinct").cast("double") / col("n_toks") > 0.3).as("rep_ok"),
+        (col("n_stop") >= 2).as("stop_ok"))
+      .withColumn("passes",
+        col("len_ok") && col("wordlen_ok") && col("rep_ok") && col("stop_ok"))
+  }
+
+  private val qQualityRulesSql = {
+    val t = TextFns.rawTokensSql("text")
+    s"""WITH b AS (
+         SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS tok_chars,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           CAST(len(list_filter(toks, t -> t IN ${TextFns.stopListSql})) AS INT) AS n_stop
+         FROM (SELECT doc_id, $t AS toks FROM documents))
+       SELECT doc_id, n_toks,
+         n_toks >= 10 AND n_toks <= 100000 AS len_ok,
+         CAST(tok_chars AS DOUBLE) / n_toks >= 3.0 AND
+           CAST(tok_chars AS DOUBLE) / n_toks <= 10.0 AS wordlen_ok,
+         CAST(n_distinct AS DOUBLE) / n_toks > 0.3 AS rep_ok,
+         n_stop >= 2 AS stop_ok,
+         (n_toks >= 10 AND n_toks <= 100000) AND
+           (CAST(tok_chars AS DOUBLE) / n_toks >= 3.0 AND
+            CAST(tok_chars AS DOUBLE) / n_toks <= 10.0) AND
+           (CAST(n_distinct AS DOUBLE) / n_toks > 0.3) AND n_stop >= 2 AS passes
+       FROM b WHERE n_toks > 0"""
+  }
+
   /** q_corpus_stats: the dataset-card rollup a training-data pipeline
     * publishes per source — doc count, volume, exact-dup rate, mean quality
     * — one shuffle on source, composing the per-doc quality scorer. */
@@ -170,6 +214,7 @@ object TextAnalysis extends QueryModule {
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_quality_rules" -> (qQualityRules _),
     "q_corpus_stats" -> (qCorpusStats _))
 
   override def oracles: Map[String, String] = Map(
@@ -177,5 +222,6 @@ object TextAnalysis extends QueryModule {
     "q_quality" -> qQualitySql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql)
 }
