@@ -178,6 +178,41 @@ object Relational extends QueryModule {
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events GROUP BY 1"""
 
+  /** Multi-dimensional aggregation: ROLLUP over (returnflag, linestatus)
+    * with grouping_id — subtotals and grand total in ONE pass (Spark plans
+    * a single Expand + aggregate; no per-level rescans). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * (n-1)·p linear-interpolation definition; rounded well above fp drift). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  private val qPercentilesSql =
+    """SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+       FROM events GROUP BY event_type"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -234,7 +269,9 @@ object Relational extends QueryModule {
     "q_events_window" -> (qEventsWindow _),
     "q_events_props" -> (qEventsProps _),
     "q_antijoin" -> (qAntijoin _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_rollup" -> (qRollup _),
+    "q_percentiles" -> (qPercentiles _))
 
   override def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -244,5 +281,7 @@ object Relational extends QueryModule {
     "q_events_window" -> qEventsWindowSql,
     "q_events_props" -> qEventsPropsSql,
     "q_antijoin" -> qAntijoinSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_rollup" -> qRollupSql,
+    "q_percentiles" -> qPercentilesSql)
 }

@@ -62,6 +62,58 @@ object TextAnalysis extends QueryModule {
        FROM sc"""
   }
 
+  // characteristic char-bigram profiles (tiny literal tables; scoring is a
+  // pure per-row expression via the replace-and-measure occurrence count)
+  val EnBigrams = Seq("th", "he", "in", "er", "an")
+  val DeBigrams = Seq("ch", "ei", "en", "de", "un")
+  val EsBigrams = Seq("la", "os", "el", "ue", "ar")
+  val FrBigrams = Seq("le", "es", "ou", "ai", "nt")
+
+  /** Non-overlapping occurrence count of each bigram via the replace trick:
+    * (len(t) − len(replace(t, b, ''))) / 2 — identical left-to-right
+    * semantics in Spark and DuckDB, fully codegen, no explode. */
+  private def bigramScore(tCol: String, bigrams: Seq[String]): Column =
+    bigrams.map(b =>
+      (length(col(tCol)) - length(expr(s"replace($tCol, '$b', '')"))) / 2)
+      .reduce(_ + _).cast("int")
+
+  private def bigramScoreSql(tCol: String, bigrams: Seq[String]): String =
+    "CAST(" + bigrams.map(b =>
+      s"(len($tCol) - len(replace($tCol, '$b', ''))) / 2").mkString(" + ") + " AS INT)"
+
+  /** q_lang_ngram: character-n-gram language ID — the n-gram counterpart of
+    * the marker-word heuristic (q_lang_id); same argmax + priority rule. */
+  def qLangNgram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        bigramScore("t", EnBigrams).as("en_s"), bigramScore("t", DeBigrams).as("de_s"),
+        bigramScore("t", EsBigrams).as("es_s"), bigramScore("t", FrBigrams).as("fr_s"))
+      .withColumn("pred_lang",
+        when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+          col("en_s") >= col("fr_s") && col("en_s") > 0, "en")
+          .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
+            col("de_s") > 0, "de")
+          .when(col("es_s") >= col("fr_s") && col("es_s") > 0, "es")
+          .when(col("fr_s") > 0, "fr")
+          .otherwise("und"))
+
+  private val qLangNgramSql =
+    s"""WITH sc AS (
+         SELECT doc_id,
+           ${bigramScoreSql("t", EnBigrams)} AS en_s,
+           ${bigramScoreSql("t", DeBigrams)} AS de_s,
+           ${bigramScoreSql("t", EsBigrams)} AS es_s,
+           ${bigramScoreSql("t", FrBigrams)} AS fr_s
+         FROM (SELECT doc_id, lower(text) AS t FROM documents))
+       SELECT doc_id, en_s, de_s, es_s, fr_s,
+         CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+              WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de'
+              WHEN es_s >= fr_s AND es_s > 0 THEN 'es'
+              WHEN fr_s > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+       FROM sc"""
+
   /** q_quality: length / stopword-ratio / mean-word-length quality score.
     * All ratios are double divisions of exact integers — engine-identical. */
   def qQuality(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +263,7 @@ object TextAnalysis extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> (qLangId _),
+    "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -219,6 +272,7 @@ object TextAnalysis extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_lang_id" -> qLangIdSql,
+    "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
