@@ -149,7 +149,9 @@ object SimilaritySearch extends QueryModule {
     val probes = withDists.filter(col("vec_id") < 10 && col("crk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
-    indexed.join(probes, Seq("cell"))
+    // broadcast the BOUNDED query side (|queries|·nProbe rows): a shuffle
+    // join on `cell` would collapse the corpus onto nlist partitions
+    indexed.join(broadcast(probes), Seq("cell"))
       .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
       .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
