@@ -14,4 +14,13 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Hive-style partitioned layout: one directory per key value, so a
+    * filter on the partition column prunes whole directories at planning
+    * time (PartitionFilters in the scan — proven by BucketingSpec) instead
+    * of reading 100 TB to discard most of it. */
+  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol)
+      .save(path)
 }

@@ -32,6 +32,12 @@ object EventStream {
       .withColumn("content_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Stream-static enrichment join: each micro-batch joins against a static
+    * dim snapshot (no state, no watermark needed — the standard pattern for
+    * attaching reference data to a stream; the dim broadcasts per batch). */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left_outer")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

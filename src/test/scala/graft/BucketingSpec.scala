@@ -7,6 +7,18 @@ import graft.sources.Bucketing
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val path = "/tmp/graft-test-warehouse/docs_by_lang"
+    graft.sources.Bucketing.writePartitioned(docs, "lang", path)
+    val en = spark.read.parquet(path).filter($"lang" === "en")
+    val expected = docs.filter($"lang" === "en").count()
+    assert(en.count() === expected)
+    val scan = en.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(lang"),
+      s"scan does not partition-prune:\n$scan")
+  }
+
   test("join over co-bucketed tables runs without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.enriched(input.toDF().toDF("event_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("enriched_ev")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "click"), (2L, "view"), (3L, "error"))
+      q.processAllAvailable()
+      val out = spark.table("enriched_ev")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("weight"))).toMap
+      assert(out === Map(1L -> Some(1.0), 2L -> Some(0.5), 3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops content duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
