@@ -228,6 +228,28 @@ object TextAnalysis extends QueryModule {
        FROM b WHERE n_toks > 0"""
   }
 
+  /** q_curation: the full curation funnel a training-data job runs —
+    * keep documents that pass every quality gate, survive exact dedup
+    * (min-id survivor), and are predicted English; emit the kept ids with
+    * their token counts. Pure composition of the per-doc operators: three
+    * hash joins on doc_id, no new shuffles beyond the components. */
+  def qCuration(s: SparkSession, dir: String): DataFrame = {
+    val pass = qQualityRules(s, dir).filter(col("passes")).select("doc_id")
+    val survivors = Dedup.qDedupExact(s, dir).select(col("survivor_id").as("doc_id"))
+    val en = qLangId(s, dir).filter(col("pred_lang") === "en").select("doc_id")
+    val toks = qTokenCount(s, dir).select(col("doc_id"), col("ws_tokens"))
+    pass.join(survivors, Seq("doc_id")).join(en, Seq("doc_id")).join(toks, Seq("doc_id"))
+  }
+
+  private val qCurationSql =
+    s"""WITH qr AS ($qQualityRulesSql),
+       li AS ($qLangIdSql),
+       surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       tc AS ($qTokenCountSql)
+       SELECT doc_id, ws_tokens
+       FROM qr JOIN surv USING (doc_id) JOIN li USING (doc_id) JOIN tc USING (doc_id)
+       WHERE qr.passes AND li.pred_lang = 'en'"""
+
   /** q_corpus_stats: the dataset-card rollup a training-data pipeline
     * publishes per source — doc count, volume, exact-dup rate, mean quality
     * — one shuffle on source, composing the per-doc quality scorer. */
@@ -268,7 +290,8 @@ object TextAnalysis extends QueryModule {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_quality_rules" -> (qQualityRules _),
-    "q_corpus_stats" -> (qCorpusStats _))
+    "q_corpus_stats" -> (qCorpusStats _),
+    "q_curation" -> (qCuration _))
 
   override def oracles: Map[String, String] = Map(
     "q_lang_id" -> qLangIdSql,
@@ -277,5 +300,6 @@ object TextAnalysis extends QueryModule {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_quality_rules" -> qQualityRulesSql,
-    "q_corpus_stats" -> qCorpusStatsSql)
+    "q_corpus_stats" -> qCorpusStatsSql,
+    "q_curation" -> qCurationSql)
 }
