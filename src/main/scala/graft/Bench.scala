@@ -10,10 +10,13 @@ object Bench {
 
   val Headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join", "q_window", "q_events_window",
-    "q_sessionize", "q_clean_text", "q_tokens", "q_dictionary", "q_tfidf",
-    "q_lang_id", "q_quality", "q_token_count", "q_fingerprint",
+    "q_sessionize", "q_rollup", "q_percentiles",
+    "q_clean_text", "q_tokens", "q_dictionary", "q_tfidf",
+    "q_lang_id", "q_lang_ngram", "q_quality", "q_quality_rules",
+    "q_token_count", "q_fingerprint", "q_corpus_stats", "q_curation",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_cosine", "q_dedup_cosine_lsh",
-    "q_knn_search", "q_eval_metrics", "q_concept_docs")
+    "q_knn_search", "q_embed_quant", "q_eval_metrics", "q_concept_docs",
+    "q_multimodal_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
