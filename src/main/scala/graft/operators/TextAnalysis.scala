@@ -228,6 +228,21 @@ object TextAnalysis extends QueryModule {
        FROM b WHERE n_toks > 0"""
   }
 
+  /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
+    * at 100 TB the exact countDistinct shuffles every distinct value, the
+    * HLL sketch shuffles a few KB per group; emitting both validates the
+    * configured 2% target (rows-only: sketch internals aren't SQL-portable;
+    * the error bound is also spec-asserted). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).as("exact_distinct"),
+        approx_count_distinct(col("h"), 0.02).as("approx_distinct"))
+      .select(col("source"), col("exact_distinct"), col("approx_distinct"),
+        round(abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
+          col("exact_distinct"), 6).as("rel_err"))
+
   /** q_curation: the full curation funnel a training-data job runs —
     * keep documents that pass every quality gate, survive exact dedup
     * (min-id survivor), and are predicted English; emit the kept ids with
@@ -291,7 +306,8 @@ object TextAnalysis extends QueryModule {
     "q_fingerprint" -> (qFingerprint _),
     "q_quality_rules" -> (qQualityRules _),
     "q_corpus_stats" -> (qCorpusStats _),
-    "q_curation" -> (qCuration _))
+    "q_curation" -> (qCuration _),
+    "q_approx_distinct" -> (qApproxDistinct _))
 
   override def oracles: Map[String, String] = Map(
     "q_lang_id" -> qLangIdSql,

@@ -106,6 +106,15 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("approx distinct stays within 5% of exact per source") {
+    val rows = TextAnalysis.qApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("classifier param sweep covers the grid with exactly one argmax") {
     val rows = Classification.qClfParamSweep(spark, sfDir).collect()
     assert(rows.length === 6)
