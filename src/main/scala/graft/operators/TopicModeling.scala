@@ -155,7 +155,13 @@ object TopicModeling extends QueryModule {
   def qModelSelect(s: SparkSession, dir: String): DataFrame = {
     val (bow, vocab) = corpus(s, dir)
     val vocabLit = array(vocab.map(lit): _*)
-    val scores = Seq(5, 10, 15, 20).map { k =>
+    // the reference sweeps k=10..990 step 10 (webisalod_lda.py:55-60); the
+    // default grid keeps test-SF verification fast — on a cluster, set
+    // GRAFT_MODEL_KS=10,20,...,990 to run the full range (same loop)
+    val ks = sys.env.get("GRAFT_MODEL_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(5, 10, 15, 20))
+    val scores = ks.map { k =>
       val model = fitLda(bow, k, maxIter = 10)
       val tops = model.describeTopics(10).select(col("topic"),
         transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"))
