@@ -106,6 +106,19 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("param sweep agrees with qPolysemy at the reference operating point") {
+    // the (0.0575, 2, 0) cell's predicted positives must equal qPolysemy's
+    // positives over the gold-matched domain (doc_id % 7 != 0)
+    val cell = PolysemyEval.qParamSweep(spark, sfDir)
+      .filter(col("min_prob") === TopicModeling.MinimumProbability &&
+        col("min_topics") === TopicModeling.MinimumTopicsPolysemous &&
+        col("min_len") === 0)
+      .collect().head
+    val expected = TopicModeling.qPolysemy(spark, sfDir)
+      .filter(col("polysemous") && col("doc_id") % 7 =!= 0).count()
+    assert(cell.getAs[Long]("tp") + cell.getAs[Long]("fp") === expected)
+  }
+
   test("approx distinct stays within 5% of exact per source") {
     val rows = TextAnalysis.qApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
