@@ -121,12 +121,9 @@ object Classification extends QueryModule {
     def bucketFor(t: Int): org.apache.spark.sql.Column =
       (0 until nPlanes).map { k =>
         val planeId = t * nPlanes + k
-        val proj = aggregate(
-          zip_with(col("fv"),
-            array((0 until dim).map(d =>
-              lit(SimilaritySearch.hyperplaneComponent(planeId, d))): _*),
-            (x, h) => x * h),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = SimilaritySearch.dot(col("fv"),
+          array((0 until dim).map(d =>
+            lit(SimilaritySearch.hyperplaneComponent(planeId, d))): _*))
         when(proj >= 0, lit(1L << k)).otherwise(0L)
       }.reduce(_ + _)
     df.select(col(idCol), col("fv"),

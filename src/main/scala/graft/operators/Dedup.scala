@@ -103,13 +103,9 @@ object Dedup extends QueryModule {
       .filter(col("vec_id") < 500)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.v"), col("b.v")) /
-          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
-          .as("cos"))
+        SimilaritySearch.cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= 0.35)
       .select("vec_a", "vec_b")
   }

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch extends QueryModule {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen vector kernels (graft.functions.VectorMath) — sequential
+    * accumulation, bit-identical to the HOF folds they replaced and to
+    * DuckDB's list_dot_product, but inside whole-stage codegen instead of
+    * CodegenFallback interpretation. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorMath.cosine(a, b)
 
   /** q_knn_search: top-5 neighbors for query vectors (vec_id < 10) among the
     * rest, ranked by (cos desc, vec_id asc). */
@@ -79,11 +81,8 @@ object SimilaritySearch extends QueryModule {
     def bucketFor(t: Int): Column =
       (0 until NPlanes).map { k =>
         val planeId = t * NPlanes + k
-        val proj = aggregate(
-          zip_with(col("v"),
-            array((0 until 64).map(d => lit(hyperplaneComponent(planeId, d))): _*),
-            (x, h) => x * h),
-          lit(0.0), (acc, x) => acc + x)
+        val proj = dot(col("v"),
+          array((0 until 64).map(d => lit(hyperplaneComponent(planeId, d))): _*))
         when(proj >= 0, lit(1L << k)).otherwise(0L)
       }.reduce(_ + _)
     e.select(col("vec_id"), col("v"),
