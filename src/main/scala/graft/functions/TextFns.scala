@@ -28,11 +28,11 @@ object TextFns {
     "were", "be", "been", "for", "on", "with", "as", "by", "at", "from",
     "it", "this", "that", "these", "those", "not", "no", "but", "if")
 
-  /** lowercase, strip non-alphanumerics to spaces, split, drop empties. */
-  def rawTokens(text: Column): Column =
-    filter(
-      split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +"),
-      t => t =!= "")
+  /** lowercase, strip non-alphanumerics to spaces, split, drop empties.
+    * Backed by the one-pass native kernel (TextKernel.rawTokens) — same
+    * steps, same regexes, inside whole-stage codegen instead of stacked
+    * CodegenFallback HOFs. */
+  def rawTokens(text: Column): Column = TextKernelCols.rawTokens(text)
 
   /** Deterministic suffix-rule lemmatizer (≈ wn.morphy for plural nouns). */
   def lemma(t: Column): Column =
@@ -51,14 +51,7 @@ object TextFns {
     * digits are dropped either way (split drops the empty / len>2 filter
     * dropped the ""). One pass per doc vs one per token is the difference
     * between scan-speed and 2× scan cost on a 100 TB corpus. */
-  def cleanTokens(text: Column): Column = {
-    val deDigit = filter(
-      split(regexp_replace(
-        regexp_replace(lower(text), "[^a-z0-9 ]", " "), "[0-9]", ""), " +"),
-      t => t =!= "")
-    val kept = filter(deDigit, t => length(t) > 2 && !t.isin(Stopwords: _*))
-    transform(kept, t => lemma(t))
-  }
+  def cleanTokens(text: Column): Column = TextKernelCols.cleanTokens(text)
 
   /** Polynomial rolling hash over a token array (streaming fingerprint use:
     * h(a ++ b) = (h(a)·B^|b| + h(b)) mod M, so a running hash extends
@@ -72,12 +65,8 @@ object TextFns {
     aggregate(tokens, lit(0L), (acc, t) =>
       pmod(acc * RollBase + pmod(xxhash64(t), lit(RollMod)), lit(RollMod)))
 
-  /** Word n-gram shingles over a token array (for Jaccard/MinHash dedup).
-    * Guarded: Spark's sequence(1, 0) would produce a DESCENDING [1, 0]. */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+  /** Word n-gram shingles over a token array (for Jaccard/MinHash dedup). */
+  def shingles(tokens: Column, n: Int): Column = TextKernelCols.shingles(tokens, n)
 
   // ------------------------------------------------------------------
   // DuckDB oracle fragments — MUST mirror the Column logic above.

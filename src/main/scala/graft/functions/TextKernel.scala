@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass text kernels.
+  *
+  * The Column formulation of the cleaning chain stacks higher-order
+  * functions (filter → filter → transform), all CodegenFallback —
+  * interpreted element by element with boxed lambdas. These kernels do the
+  * identical steps in one compiled pass per document: UTF8String.toLowerCase
+  * (the exact code path of Spark's Lower), the same java.util.regex
+  * patterns Spark's regexp_replace would compile, the same split(-1)
+  * semantics, the same filter and suffix-lemma rules — so every SQL-oracle
+  * hash is unchanged, at a fraction of the cost.
+  */
+object TextKernel {
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val Digits = java.util.regex.Pattern.compile("[0-9]")
+  private val Stop: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFns.Stopwords.foreach(s.add)
+    s
+  }
+
+  private def splitTokens(cleaned: String): Array[String] =
+    cleaned.split(" +", -1).filter(_.nonEmpty)
+
+  def lemma(t: String): String =
+    if (t.endsWith("ies") && t.length > 4) t.substring(0, t.length - 3) + "y"
+    else if (t.endsWith("sses")) t.substring(0, t.length - 2)
+    else if (t.endsWith("s") && !t.endsWith("ss") && !t.endsWith("us") &&
+      !t.endsWith("is") && t.length > 3) t.substring(0, t.length - 1)
+    else t
+
+  /** lower → strip non-alnum to space → split → drop empties. */
+  def rawTokens(s: UTF8String): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    val cleaned = NonAlnum.matcher(lowered).replaceAll(" ")
+    new GenericArrayData(
+      splitTokens(cleaned).map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** rawTokens + document-level digit strip + len>2 + stopword + lemma. */
+  def cleanTokens(s: UTF8String): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    val spaced = NonAlnum.matcher(lowered).replaceAll(" ")
+    val deDigit = Digits.matcher(spaced).replaceAll("")
+    val kept = splitTokens(deDigit).filter(t => t.length > 2 && !Stop.contains(t))
+    new GenericArrayData(
+      kept.map(t => UTF8String.fromString(lemma(t))).toArray[Any])
+  }
+
+  /** Word n-gram shingles over a token array (space-joined). */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class TextKernelExpression extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+}
+
+case class RawTokens(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "raw_tokens"
+  override def nullSafeEval(s: Any): Any =
+    TextKernel.rawTokens(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.rawTokens($c)")
+  override protected def withNewChildInternal(c: Expression): RawTokens = copy(child = c)
+}
+
+case class CleanTokens(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "clean_tokens"
+  override def nullSafeEval(s: Any): Any =
+    TextKernel.cleanTokens(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.cleanTokens($c)")
+  override protected def withNewChildInternal(c: Expression): CleanTokens = copy(child = c)
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextKernel.shingles(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+object TextKernelCols {
+  def rawTokens(text: Column): Column =
+    ColumnBridge.column(RawTokens(ColumnBridge.expression(text)))
+  def cleanTokens(text: Column): Column =
+    ColumnBridge.column(CleanTokens(ColumnBridge.expression(text)))
+  def shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+}
