@@ -228,6 +228,40 @@ object TextAnalysis extends QueryModule {
        FROM b WHERE n_toks > 0"""
   }
 
+  // PII/noise scrub patterns — RE2-compatible (no lookahead) so the Java
+  // and DuckDB regex engines agree literally
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val NumRunRe = "[0-9]{3,}"
+
+  /** PII/noise redaction over a (doc_id, text) frame — mask emails, URLs
+    * and long digit runs, emit the redacted-text digest plus per-category
+    * match counts. Pure per-row regex expressions. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailRe, "<EMAIL>"), UrlRe, "<URL>"), NumRunRe, "<NUM>")).as("scrubbed_md5"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("t"), lit(NumRunRe), lit(0))).as("n_num_runs"))
+
+  /** q_pii_scrub: the redaction stage over the documents table (the
+    * synthetic corpus carries no PII, so the query proves the zero case;
+    * the fixture spec proves each pattern fires). */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(s, dir))
+
+  private val qPiiScrubSql =
+    s"""SELECT doc_id,
+        md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+          '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5,
+        CAST(len(regexp_extract_all(lower(text), '$EmailRe')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(lower(text), '$UrlRe')) AS INT) AS n_urls,
+        CAST(len(regexp_extract_all(lower(text), '[0-9]{3,}')) AS INT) AS n_num_runs
+        FROM documents"""
+
   /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
     * at 100 TB the exact countDistinct shuffles every distinct value, the
     * HLL sketch shuffles a few KB per group; emitting both validates the
@@ -307,6 +341,7 @@ object TextAnalysis extends QueryModule {
     "q_quality_rules" -> (qQualityRules _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_curation" -> (qCuration _),
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   override def oracles: Map[String, String] = Map(
@@ -317,5 +352,6 @@ object TextAnalysis extends QueryModule {
     "q_fingerprint" -> qFingerprintSql,
     "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql,
-    "q_curation" -> qCurationSql)
+    "q_curation" -> qCurationSql,
+    "q_pii_scrub" -> qPiiScrubSql)
 }

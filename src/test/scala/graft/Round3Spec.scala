@@ -119,6 +119,26 @@ class Round3Spec extends SparkSpec {
     assert(cell.getAs[Long]("tp") + cell.getAs[Long]("fp") === expected)
   }
 
+  test("pii scrub masks emails, urls, and digit runs") {
+    val docs = Seq(
+      (1L, "Contact me at jane.doe@example.com or visit https://example.com/x now"),
+      (2L, "card 4111111111111111 pin 1234"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_urls"), r.getAs[Int]("n_num_runs")))
+      .toMap
+    assert(out(1L) === ((1, 1, 0)))
+    assert(out(2L) === ((0, 0, 2)))
+    assert(out(3L) === ((0, 0, 0)))
+    // redaction actually rewrites the text: digests differ from the originals
+    val digests = TextAnalysis.piiScrub(docs)
+      .join(docs.select(col("doc_id"), md5(lower(col("text"))).as("orig_md5")), Seq("doc_id"))
+      .filter(col("scrubbed_md5") === col("orig_md5"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(digests === Set(3L)) // only the clean doc is unchanged
+  }
+
   test("approx distinct stays within 5% of exact per source") {
     val rows = TextAnalysis.qApproxDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
