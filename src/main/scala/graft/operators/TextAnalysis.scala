@@ -262,6 +262,29 @@ object TextAnalysis extends QueryModule {
         CAST(len(regexp_extract_all(lower(text), '[0-9]{3,}')) AS INT) AS n_num_runs
         FROM documents"""
 
+  /** q_sample: DETERMINISTIC content-hash sampling (3/16 ≈ 19% of docs by
+    * the first md5 nibble of the id) with per-language acceptance stats.
+    * Unlike rng-based df.sample, the kept set is a pure function of the
+    * data — reproducible across runs, engines, partitionings, and retries,
+    * which is what a 100 TB pipeline needs for auditable subsets. */
+  def qSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("nib"))
+      .filter(col("nib").isin("0", "1", "2"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"),
+        min(col("doc_id")).as("min_id"))
+
+  private val qSampleSql =
+    """SELECT lang, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       min(doc_id) AS min_id
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+       GROUP BY lang"""
+
   /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
     * at 100 TB the exact countDistinct shuffles every distinct value, the
     * HLL sketch shuffles a few KB per group; emitting both validates the
@@ -342,6 +365,7 @@ object TextAnalysis extends QueryModule {
     "q_corpus_stats" -> (qCorpusStats _),
     "q_curation" -> (qCuration _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_sample" -> (qSample _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   override def oracles: Map[String, String] = Map(
@@ -353,5 +377,6 @@ object TextAnalysis extends QueryModule {
     "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_curation" -> qCurationSql,
-    "q_pii_scrub" -> qPiiScrubSql)
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_sample" -> qSampleSql)
 }
