@@ -14,6 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Catalog contract: the columns every operator in this library assumes.
+    * `validate` checks a data dir against it up front — at 100 TB you want
+    * a schema drift to fail the job at submit time, not 3 hours into a
+    * scan with a cryptic resolution error. */
+  val ExpectedColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** Returns one "table: missing [...]" line per violated contract; empty
+    * means the dir satisfies the catalog (extra columns are allowed). */
+  def validate(spark: SparkSession, dir: String): Seq[String] =
+    All.flatMap { t =>
+      val have = load(spark, dir, t).schema.fieldNames.toSet
+      val missing = ExpectedColumns(t).filterNot(have)
+      if (missing.isEmpty) None else Some(s"$t: missing ${missing.mkString(", ")}")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -30,6 +30,12 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("table catalog: every sf dir satisfies the schema contract") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      assert(Tables.validate(spark, d) === Seq.empty)
+    }
+  }
+
   test("dictionary ids are dense 1..V and df<=docs") {
     val d = TextPrep.qDictionary(spark, sfDir).collect()
     val ids = d.map(_.getAs[Long]("token_id")).sorted
