@@ -36,14 +36,19 @@ object Dedup extends QueryModule {
        FROM documents GROUP BY md5(text)"""
 
   /** Distinct word-3-gram shingles per doc (shared by Jaccard + MinHash).
-    * Tokens are bound as a column BEFORE shingling: composing
-    * shingles(rawTokens(text)) inline would duplicate the whole tokenizer
-    * into every element_at — O(tokens²·regex) per doc. */
+    * Memoized + persisted: the Jaccard query alone consumes this subtree
+    * from SIX positions (posting cap, both join sides, both size lookups) —
+    * 12 rescans of the corpus without materialization. MEMORY_AND_DISK is
+    * the honest 100 TB posture too: a shared stage this hot is materialized
+    * once (cache or checkpoint), never recomputed per consumer. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))
-      .distinct()
+    graft.ModelCache.getOrElseUpdate(s"dedup.shingles:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** q_dedup_jaccard: exact n-gram Jaccard via inverted-index self-join.
     * |A∩B| from the posting-list join, |A|,|B| from per-doc shingle counts;
