@@ -213,6 +213,44 @@ object Relational extends QueryModule {
        round(quantile_cont(value, 0.99), 4) AS p99
        FROM events GROUP BY event_type"""
 
+  /** Typed JSON props extraction (get_json_object ↔ json_extract) —
+    * the structured twin of the regex path in qEventsProps. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy((col("k") % 7).as("k_mod7"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+
+  private val qEventsJsonSql =
+    """SELECT CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod7,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+       FROM events GROUP BY 1"""
+
+  /** Cohort retention: users grouped by first-seen day, distinct active
+    * users per (cohort, day offset). Three shuffles — (user, day) distinct,
+    * first-day agg, cohort rollup — all on bounded keys. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val first = byDay.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    byDay.join(first, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val qRetentionSql =
+    """WITH bd AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+       f AS (SELECT user_id, min(day) AS cohort_day FROM bd GROUP BY user_id)
+       SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+         CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+         count(DISTINCT user_id) AS n_users
+       FROM bd JOIN f USING (user_id) GROUP BY 1, 2"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -271,7 +309,9 @@ object Relational extends QueryModule {
     "q_antijoin" -> (qAntijoin _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
-    "q_percentiles" -> (qPercentiles _))
+    "q_percentiles" -> (qPercentiles _),
+    "q_events_json" -> (qEventsJson _),
+    "q_retention" -> (qRetention _))
 
   override def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -283,5 +323,7 @@ object Relational extends QueryModule {
     "q_antijoin" -> qAntijoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
-    "q_percentiles" -> qPercentilesSql)
+    "q_percentiles" -> qPercentilesSql,
+    "q_events_json" -> qEventsJsonSql,
+    "q_retention" -> qRetentionSql)
 }
