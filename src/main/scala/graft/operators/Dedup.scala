@@ -156,13 +156,16 @@ object Dedup extends QueryModule {
   val NumBands = 16 // 8 rows/band
 
   /** MinHash signatures: 128 independent min-hashes per doc, computed as
-    * 128 min-aggregates over xxhash64(perm_id, shingle) — one shuffle on
-    * doc_id, map-side partial mins, no driver state. */
+    * 128 min-aggregates — one shuffle on doc_id, map-side partial mins, no
+    * driver state. The variable-length shingle string is hashed ONCE; the
+    * 128 permutations re-hash the fixed 8-byte result with the permutation
+    * id as seed — 128× less string hashing for the same LSH guarantees. */
   def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(min(xxhash64(lit(0), col("shingle"))).as("h0"),
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("h"))).as("h0"),
         (1 until NumHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+          min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
 
   /** q_dedup_minhash: band-bucket candidate pairs → exact-Jaccard verify.
     * Verified pairs are by construction a SUBSET of q_dedup_jaccard's exact
