@@ -197,7 +197,10 @@ object Relational extends QueryModule {
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
   /** Exact interpolated percentiles per group (both engines use the
-    * (n-1)·p linear-interpolation definition; rounded well above fp drift). */
+    * (n-1)·p linear-interpolation definition; rounded well above fp drift).
+    * Exact percentile buffers each group's values — right for the bounded
+    * per-event-type groups here; for unbounded groups at 100 TB switch to
+    * approx_percentile (t-digest sketch, constant memory per group). */
   def qPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
