@@ -16,5 +16,13 @@ object ModelCache {
   def getOrElseUpdate[T](key: String)(f: => T): T =
     cache.getOrElseUpdate(key, f).asInstanceOf[T]
 
+  /** Prefix a cache key with the OWNING SparkSession's identity: cached
+    * DataFrames/models are bound to the session that built them, so a new
+    * session in the same JVM must never see a dead session's plan. Entries
+    * for stopped sessions are orphaned (bounded: a handful of plans per
+    * session), not served. */
+  def scoped(s: org.apache.spark.sql.SparkSession, key: String): String =
+    s"${System.identityHashCode(s)}#$key"
+
   def clear(): Unit = cache.clear()
 }
