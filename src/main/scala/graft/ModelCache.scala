@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
 import scala.collection.concurrent.TrieMap
 
 /** Session-lifetime memoization for fitted models and featurized corpora.
@@ -9,20 +12,44 @@ import scala.collection.concurrent.TrieMap
   * topic-model queries would re-fit the same seeded LDA. Keys include the
   * data dir so different scale factors never collide. Seeds are fixed, so
   * a cached fit is bit-identical to a refit.
+  *
+  * Every entry is SCOPED to the owning SparkSession via a per-session
+  * token that is unique for the JVM's lifetime (monotonic counter in a
+  * WeakHashMap — unlike an identity hash, a token can never be reused
+  * after the session is GC'd): cached DataFrames/models are bound to the
+  * session that built them, so a new session in the same JVM never sees a
+  * dead session's plan. Entries are evicted when the owning context stops
+  * (SparkListener onApplicationEnd), so long-lived multi-session JVMs
+  * don't accumulate orphaned corpora.
   */
 object ModelCache {
   private val cache = TrieMap.empty[String, Any]
+  private val hooked = TrieMap.empty[String, Boolean]
+  private val ids = new java.util.WeakHashMap[SparkSession, String]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def getOrElseUpdate[T](key: String)(f: => T): T =
-    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+  /** JVM-lifetime-unique token for this session (stable across calls). */
+  def sessionToken(s: SparkSession): String = ids.synchronized {
+    ids.computeIfAbsent(s, _ => s"s${nextId.incrementAndGet()}")
+  }
 
-  /** Prefix a cache key with the OWNING SparkSession's identity: cached
-    * DataFrames/models are bound to the session that built them, so a new
-    * session in the same JVM must never see a dead session's plan. Entries
-    * for stopped sessions are orphaned (bounded: a handful of plans per
-    * session), not served. */
-  def scoped(s: org.apache.spark.sql.SparkSession, key: String): String =
-    s"${System.identityHashCode(s)}#$key"
+  /** Memoize `f` under `key`, scoped to `s` (see class doc). */
+  def getOrElseUpdate[T](s: SparkSession, key: String)(f: => T): T = {
+    val prefix = sessionToken(s)
+    if (hooked.putIfAbsent(prefix, true).isEmpty) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          evict(prefix)
+      })
+    }
+    cache.getOrElseUpdate(s"$prefix#$key", f).asInstanceOf[T]
+  }
 
-  def clear(): Unit = cache.clear()
+  /** Drop every entry owned by the session with this token. */
+  def evict(token: String): Unit = {
+    cache.keysIterator.filter(_.startsWith(token + "#")).foreach(cache.remove)
+    hooked.remove(token)
+  }
+
+  def clear(): Unit = { cache.clear(); hooked.clear() }
 }

@@ -34,7 +34,7 @@ object Classification extends QueryModule {
     * vec_id % 5 == 0 (test) — the distributed analogue of
     * train_test_split(random_state=42). */
   def dataset(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graft.ModelCache.getOrElseUpdate(s"clf.dataset:$dir")(buildDataset(s, dir))
+    graft.ModelCache.getOrElseUpdate(s, s"clf.dataset:$dir")(buildDataset(s, dir))
 
   private def buildDataset(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.embeddings(s, dir)
@@ -113,24 +113,13 @@ object Classification extends QueryModule {
   }
 
   /** Sign-bucket a feature-vector column: one (id, tbl, bucket) row per
-    * vector per LSH table (same deterministic hyperplanes as q_ann_lsh). */
-  private def featureBuckets(df: DataFrame, idCol: String): DataFrame = {
-    val nTables = 8
-    val nPlanes = 6
-    val dim = 64
-    def bucketFor(t: Int): org.apache.spark.sql.Column =
-      (0 until nPlanes).map { k =>
-        val planeId = t * nPlanes + k
-        val proj = SimilaritySearch.dot(col("fv"),
-          array((0 until dim).map(d =>
-            lit(SimilaritySearch.hyperplaneComponent(planeId, d))): _*))
-        when(proj >= 0, lit(1L << k)).otherwise(0L)
-      }.reduce(_ + _)
-    df.select(col(idCol), col("fv"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketFor(t).as("bucket"))): _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+    * vector per LSH table — the SAME hyperplane family and implementation
+    * as q_ann_lsh (SimilaritySearch.signBuckets), so the two can never
+    * silently desynchronize. Scaled features, not raw embeddings, so the
+    * persisted embedding posting is not reusable here. */
+  private def featureBuckets(df: DataFrame, idCol: String): DataFrame =
+    SimilaritySearch.signBuckets(df.withColumnRenamed("fv", "v"), idCol)
+      .select(col(idCol), col("tbl"), col("bucket"))
 
   /** KNN (k=5, cosine vote) via LSH-bucketed candidate generation: train and
     * test both post sign-buckets, candidates are bucket collisions (an

@@ -42,7 +42,7 @@ object Dedup extends QueryModule {
     * the honest 100 TB posture too: a shared stage this hot is materialized
     * once (cache or checkpoint), never recomputed per consumer. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
-    graft.ModelCache.getOrElseUpdate(s"dedup.shingles:$dir") {
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.shingles:$dir") {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))

@@ -68,28 +68,52 @@ object SimilaritySearch extends QueryModule {
     (z.toDouble / 9.223372036854776e18)
   }
 
-  val NTables = 8
-  val NPlanes = 6
+  /** LSH family sizing. Defaults suit the test corpus; both are
+    * env-overridable for real deployments. Sizing rule: each table splits
+    * the corpus into 2^planes sign-buckets, so expected bucket occupancy is
+    * N / 2^planes — pick planes ≈ log₂(N) − log₂(target candidates per
+    * probe) (e.g. N = 10⁹, ~1k-vector buckets → planes ≈ 20), then add
+    * tables until recall is met (recall rises ~ 1−(1−p^planes)^tables). */
+  val NTables: Int = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
+  val NPlanes: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
 
-  /** One (vec_id, v, tbl, bucket) row per vector per LSH table — the shared
-    * sign-bucket posting used by both ANN search and embedding dedup.
-    * Candidate generation downstream is ALWAYS an equi-join on
-    * (tbl, bucket), never a cross join. */
-  def postedBuckets(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+  /** Embedding dimensionality of the corpus (embeddings.parquet). */
+  val Dim = 64
+
+  /** Sign-bucket an (idCol, v: array<double>) frame: one (idCol, v, tbl,
+    * bucket) row per vector per LSH table, from the shared deterministic
+    * hyperplane family. The ONE implementation used by ANN search,
+    * embedding dedup, and KNN classification — candidate generation
+    * downstream is ALWAYS an equi-join on (tbl, bucket), never a cross
+    * join. */
+  def signBuckets(df: DataFrame, idCol: String,
+      nTables: Int = NTables, nPlanes: Int = NPlanes, dim: Int = Dim): DataFrame = {
     def bucketFor(t: Int): Column =
-      (0 until NPlanes).map { k =>
-        val planeId = t * NPlanes + k
+      (0 until nPlanes).map { k =>
+        val planeId = t * nPlanes + k
         val proj = dot(col("v"),
-          array((0 until 64).map(d => lit(hyperplaneComponent(planeId, d))): _*))
+          array((0 until dim).map(d => lit(hyperplaneComponent(planeId, d))): _*))
         when(proj >= 0, lit(1L << k)).otherwise(0L)
       }.reduce(_ + _)
-    e.select(col("vec_id"), col("v"),
-      explode(array((0 until NTables).map(t =>
+    df.select(col(idCol), col("v"),
+      explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"), bucketFor(t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col(idCol), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
+
+  /** The embedding corpus' sign-bucket posting — memoized per session and
+    * persisted (MEMORY_AND_DISK), because THREE consumers scan it
+    * (q_ann_lsh, q_dedup_cosine_lsh, and each builds candidates from both
+    * sides): 48 hyperplane projections per vector are paid once, not per
+    * consumer. Same treatment as Dedup.docShingles — at 100 TB a shared
+    * stage this hot is materialized once, never recomputed. */
+  def postedBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"ann.buckets:$dir:$NTables:$NPlanes") {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      signBuckets(e, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** q_ann_lsh: multi-table random-hyperplane LSH (8 tables × 6 planes).
     * Each vector posts one (table, bucket) key per table; candidates are the
@@ -128,7 +152,7 @@ object SimilaritySearch extends QueryModule {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val corpus = e.filter(col("vec_id") >= 10)
-    val km = graft.ModelCache.getOrElseUpdate(s"ivf.km:$dir") {
+    val km = graft.ModelCache.getOrElseUpdate(s, s"ivf.km:$dir") {
       new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
         .setFeaturesCol("features")
         .fit(corpus.select(array_to_vector(col("v")).as("features")))

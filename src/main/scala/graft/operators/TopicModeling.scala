@@ -39,7 +39,7 @@ object TopicModeling extends QueryModule {
   /** BoW featurization shared by all topic queries (memoized per dir; the
     * bow DataFrame is cached — six queries reuse one featurization). */
   def corpus(s: SparkSession, dir: String): (DataFrame, Array[String]) =
-    graft.ModelCache.getOrElseUpdate(s"tm.corpus:$dir") {
+    graft.ModelCache.getOrElseUpdate(s, s"tm.corpus:$dir") {
       val docs = TextPrep.cleanDocs(s, dir)
         .filter(size(col("toks")) > MinDocTokens) // reference's MIN_DOC_WORDS gate
       val cv = new CountVectorizer()
@@ -51,7 +51,8 @@ object TopicModeling extends QueryModule {
     }
 
   def fitLda(bow: DataFrame, k: Int, maxIter: Int = 20): LDAModel =
-    graft.ModelCache.getOrElseUpdate(s"tm.lda:${bow.sparkSession.hashCode}:${System.identityHashCode(bow)}:$k:$maxIter") {
+    graft.ModelCache.getOrElseUpdate(bow.sparkSession,
+      s"tm.lda:${System.identityHashCode(bow)}:$k:$maxIter") {
       new LDA().setK(k).setSeed(Seed).setMaxIter(maxIter)
         .setOptimizer("online").setFeaturesCol("features")
         .fit(bow)
@@ -83,7 +84,7 @@ object TopicModeling extends QueryModule {
   /** Per-doc topic distribution (dense), shared stage (memoized+cached:
     * qDocTopics, qPolysemy and q_features all reuse it). */
   def docTopics(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame =
-    graft.ModelCache.getOrElseUpdate(s"tm.docTopics:$dir:$k") {
+    graft.ModelCache.getOrElseUpdate(s, s"tm.docTopics:$dir:$k") {
       val (bow, _) = corpus(s, dir)
       val model = fitLda(bow, k)
       model.transform(bow)
