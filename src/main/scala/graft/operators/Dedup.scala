@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * blocked by LSH sign-buckets. That is what survives 100 TB; the exact
   * Jaccard/cosine verification then runs only on candidates.
   *
-  * MinHash/SimHash signatures are built inline below from xxhash64
-  * aggregates (rows-only oracle: their hash mixing is not reasonably
-  * expressible in SQL).
+  * MinHash/SimHash signatures come from one-pass native kernels
+  * (graft.functions.HashKernels) — pure projections, no signature shuffle
+  * (rows-only oracle: their hash mixing is not reasonably expressible in
+  * SQL).
   */
 object Dedup extends QueryModule {
 
@@ -35,7 +36,12 @@ object Dedup extends QueryModule {
     """SELECT md5(text) AS content_md5, min(doc_id) AS survivor_id, count(*) AS n_copies
        FROM documents GROUP BY md5(text)"""
 
-  /** Distinct word-3-gram shingles per doc (shared by Jaccard + MinHash).
+  /** Distinct word-3-gram shingles per doc (shared by Jaccard + MinHash),
+    * keyed by the 8-BYTE xxhash64 of the shingle — every downstream
+    * groupBy/join shuffles fixed-width longs instead of 20-40-byte strings
+    * (several-fold less shuffle volume; the sql-oracle hash-gate on
+    * q_dedup_jaccard proves pair identity is preserved — a 64-bit collision
+    * within one corpus is ~n²/2⁶⁵, vanishing even at 10¹⁰ shingles).
     * Memoized + persisted: the Jaccard query alone consumes this subtree
     * from SIX positions (posting cap, both join sides, both size lookups) —
     * 12 rescans of the corpus without materialization. MEMORY_AND_DISK is
@@ -46,6 +52,7 @@ object Dedup extends QueryModule {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -57,12 +64,12 @@ object Dedup extends QueryModule {
     val sh = docShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val capped = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
-        .filter(col("sdf") <= ShingleDfCap).select("shingle"),
-      Seq("shingle"))
+      sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= ShingleDfCap).select("sh"),
+      Seq("sh"))
     val pairs = capped.as("a")
       .join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     // sizes is one row PER DOCUMENT — never broadcast it; a shuffle join on
@@ -155,17 +162,22 @@ object Dedup extends QueryModule {
   val NumHashes = 128
   val NumBands = 16 // 8 rows/band
 
-  /** MinHash signatures: 128 independent min-hashes per doc, computed as
-    * 128 min-aggregates — one shuffle on doc_id, map-side partial mins, no
-    * driver state. The variable-length shingle string is hashed ONCE; the
-    * 128 permutations re-hash the fixed 8-byte result with the permutation
-    * id as seed — 128× less string hashing for the same LSH guarantees. */
-  def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(xxhash64(lit(0), col("h"))).as("h0"),
-        (1 until NumHashes).map(i =>
-          min(xxhash64(lit(i), col("h"))).as(s"h$i")): _*)
+  /** MinHash signatures via the one-pass native kernel
+    * (graft.functions.HashKernels.minhash): the full 128-wide signature is
+    * a PURE PROJECTION over each document's shingle array — no explode, no
+    * aggregate, no shuffle (the old formulation exploded shingles and ran
+    * 128 min-aggregate buffers through an exchange). min is blind to
+    * duplicates, so skipping the distinct() is exact. */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFns.shingles(col("toks"), 3).as("sgs"))
+      .filter(size(col("sgs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.HashKernelCols.minhash(col("sgs"), NumHashes).as("sig"))
+
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(s, dir))
 
   /** q_dedup_minhash: band-bucket candidate pairs → exact-Jaccard verify.
     * Verified pairs are by construction a SUBSET of q_dedup_jaccard's exact
@@ -173,13 +185,13 @@ object Dedup extends QueryModule {
     * not SQL-portable). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(s, dir)
     val rowsPerBand = NumHashes / NumBands
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-            .as("key"))
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col("sig")(i)): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -191,12 +203,13 @@ object Dedup extends QueryModule {
   }
 
   /** Exact Jaccard restricted to candidate pairs (the verify stage all
-    * LSH variants share). */
+    * LSH variants share). Joins on the 8-byte shingle hash from
+    * docShingles, not the string. */
   def exactJaccardOf(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
@@ -208,21 +221,15 @@ object Dedup extends QueryModule {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash per doc: per-bit signed occurrence sums over token
-    * hashes, sign → bit. 64 sum-aggregates in one groupBy. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  /** 64-bit SimHash per doc via the one-pass native kernel
+    * (graft.functions.HashKernels.simhash64): per-bit signed occurrence
+    * sums over xxhash64(token), sign → bit — identical signature to the
+    * 64-sum-aggregate formulation it replaces (MlSpec proves bit-equality),
+    * but as a pure projection: no explode, no aggregation exchange. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val sums = toks.groupBy("doc_id")
-      .agg(sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("s0"),
-        (1 until 64).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")): _*)
-    sums.select(col("doc_id"),
-      (0 until 64).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
-  }
+      .select(col("doc_id"), graft.functions.HashKernelCols.simhash64(col("toks")).as("simhash"))
 
   /** q_dedup_simhash: 4×16-bit band buckets → hamming ≤ 6 verified pairs.
     * Rows-only oracle. */

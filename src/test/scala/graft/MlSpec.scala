@@ -63,12 +63,13 @@ class MlSpec extends SparkSpec {
     assert(mh.subsetOf(exact), s"minhash found non-exact pairs: ${mh -- exact}")
   }
 
-  test("simhash: identical docs collide at hamming 0") {
+  test("simhash kernel: bit-identical to the 64-aggregate formulation") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
-      (3L, "one two three four five six")).toDF("doc_id", "text")
-    // build simhash over a temp table by substituting documents
-    val sig = docs
+      (3L, "one two three four five six"),
+      (4L, "alpha alpha beta beta gamma gamma delta")).toDF("doc_id", "text")
+    // reference: the exploded-aggregate formulation the kernel replaced
+    val agg = docs
       .select(col("doc_id"), graft.functions.TextFns.rawTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -80,7 +81,25 @@ class MlSpec extends SparkSpec {
         (0 until 64).map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sig(1L) === sig(2L))
-    assert(sig(1L) !== sig(3L))
+    val kernel = docs
+      .select(col("doc_id"), graft.functions.TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.functions.HashKernelCols.simhash64(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === agg)
+    assert(kernel(1L) === kernel(2L)) // identical docs collide at hamming 0
+    assert(kernel(1L) !== kernel(3L))
+  }
+
+  test("minhash kernel: signature mins dominate per-shingle hashes, dups ignored") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta alpha beta gamma delta epsilon zeta"),
+      (3L, "one two")).toDF("doc_id", "text") // doc 3: no 3-gram shingles
+    val sig = Dedup.minhashSignaturesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    assert(!sig.contains(3L)) // shingle-less docs are filtered
+    assert(sig(1L).length === Dedup.NumHashes)
+    // doc 2's shingle set is a superset of doc 1's → every min ≤ doc 1's
+    sig(1L).zip(sig(2L)).foreach { case (a, b) => assert(b <= a) }
   }
 }
