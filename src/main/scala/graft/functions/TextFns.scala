@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * Divergences from the reference, by design (not a port):
   *  - wordnet `morphy` lemmatization → deterministic suffix rules (the
   *    reference's call is per-token Python; ours is a codegen'd CASE);
-  *  - spellcheck/dictionary-English filters (Read_And_Clean.py:19-29) are
-  *    modeled by the stopword + length filters; a full dictionary filter is
-  *    a broadcast semi-join against a vocabulary table (see Dictionary).
+  *  - spellcheck/dictionary-English filters (Read_And_Clean.py:19-29):
+  *    the chain here stops at stopword + length + lemma; the dictionary
+  *    step is its own operator — a vocabulary semi-join, see
+  *    TextPrep.englishFilterOf (q_clean_english).
   */
 object TextFns {
 

@@ -57,9 +57,19 @@ object TextKernel {
       kept.map(t => UTF8String.fromString(lemma(t))).toArray[Any])
   }
 
-  /** Word n-gram shingles over a token array (space-joined). */
+  /** Word n-gram shingles over a token array (space-joined). Null
+    * elements are SKIPPED (the window runs over the non-null tokens):
+    * inputs typed ArrayType(StringType, containsNull=true) — e.g. from
+    * Spark's split() — are accepted without NPE-ing at runtime. */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
-    val m = toks.numElements()
+    val raw = toks.numElements()
+    var m = 0
+    val dense = new Array[UTF8String](raw)
+    var r = 0
+    while (r < raw) {
+      if (!toks.isNullAt(r)) { dense(m) = toks.getUTF8String(r); m += 1 }
+      r += 1
+    }
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m - n + 1)
     var i = 0
@@ -68,7 +78,7 @@ object TextKernel {
       var k = 0
       while (k < n) {
         if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        sb.append(dense(i + k).toString)
         k += 1
       }
       out(i) = UTF8String.fromString(sb.toString)

@@ -121,6 +121,20 @@ object Classification extends QueryModule {
     SimilaritySearch.signBuckets(df.withColumnRenamed("fv", "v"), idCol)
       .select(col(idCol), col("tbl"), col("bucket"))
 
+  /** Top-5-by-cosine vote per query over candidate rows
+    * (q_id, y, ty, cos, t_id): majority of the RETRIEVED neighbors —
+    * LSH buckets can return fewer than 5 candidates, so a fixed ≥3 cutoff
+    * would bias thin-candidate queries negative (a query with 2/2 positive
+    * neighbors must predict positive). Ties (impossible with an odd
+    * retrieved count, possible with an even one) resolve negative. */
+  def voteOf(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("t_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("q_id", "y")
+      .agg((sum(col("ty")) * 2 > count(lit(1))).cast("double").as("prediction"))
+  }
+
   /** KNN (k=5, cosine vote) via LSH-bucketed candidate generation: train and
     * test both post sign-buckets, candidates are bucket collisions (an
     * equi-join on (tbl, bucket) — the test split is PROPORTIONAL to the
@@ -143,9 +157,7 @@ object Classification extends QueryModule {
         SimilaritySearch.cosine(col("qv"), col("tv")).as("cos"), col("t_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("t_id").asc)
-    val votes = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .groupBy("q_id", "y")
-      .agg((sum(col("ty")) >= 3).cast("double").as("prediction"))
+    val votes = voteOf(scored)
     val majority = tr.groupBy("ty").count()
       .orderBy(col("count").desc, col("ty").asc).head().getDouble(0)
     val unmatched = te.join(votes.select("q_id"), Seq("q_id"), "left_anti")
@@ -184,13 +196,18 @@ object Classification extends QueryModule {
     val scores = grid.map { case (reg, en) =>
       val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
         .setMaxIter(100).setRegParam(reg).setElasticNetParam(en).fit(train)
-      val f1 = Evaluation.confusionMetrics(
+      // confusionMetrics emits NULL f1 when 2tp+fp+fn = 0 (degenerate
+      // cell); getAs[Double] would silently unbox that to 0.0 — read
+      // boxed and keep the Option so a degenerate cell scores below every
+      // real one and surfaces as NULL in the output
+      val f1 = Option(Evaluation.confusionMetrics(
         m.transform(test)
           .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
-        .head().getAs[Double]("f1")
-      (reg, en, math.rint(f1 * 1e6) / 1e6)
+        .head().getAs[java.lang.Double]("f1"))
+        .map(v => math.rint(v.doubleValue * 1e6) / 1e6)
+      (reg, en, f1)
     }
-    val best = scores.maxBy(_._3)
+    val best = scores.maxBy(_._3.getOrElse(-1.0))
     import s.implicits._
     scores.toDF("reg_param", "elastic_net", "f1")
       .select(col("reg_param"), col("elastic_net"), col("f1"),
@@ -223,13 +240,18 @@ object Classification extends QueryModule {
         m.transform(sm.transform(test))
           .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
         .head()
+      // boxed read: a degenerate fold (no positives anywhere) has NULL
+      // f1, which must stay NULL instead of unboxing to a silent 0.0
       (f, r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("tn"),
-        r.getAs[Long]("fn"), r.getAs[Double]("f1"))
+        r.getAs[Long]("fn"), Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
     }
     base.unpersist()
-    val meanF1 = folds.map(_._6).sum / k
+    val defined = folds.flatMap(_._6)
+    val meanF1 =
+      if (defined.isEmpty) None
+      else Some(math.rint(defined.sum / defined.size * 1e6) / 1e6)
     import s.implicits._
-    (folds :+ (-1, 0L, 0L, 0L, 0L, math.rint(meanF1 * 1e6) / 1e6))
+    (folds :+ ((-1, 0L, 0L, 0L, 0L, meanF1)))
       .toDF("fold", "tp", "fp", "tn", "fn", "f1")
   }
 

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * anti-join, gap-based sessionization.
   *
   * Scale notes (100 TB posture):
-  *  - dims (customer at filter selectivity, nation, region, supplier) are
-  *    broadcast — the only shuffles left are the fact-side groupBys;
+  *  - only CONSTANT-size dims (nation, region) carry broadcast hints;
+  *    fact-proportional relations (customer, supplier, orders) are left
+  *    to AQE, which broadcasts while they fit and shuffles beyond;
   *  - aggregations are partial (map-side combine) by construction;
   *  - money sums use exact DECIMAL accumulation (also what you want at
   *    scale: no fp drift across billions of rows), final cast to DOUBLE;
@@ -61,9 +62,12 @@ object Relational extends QueryModule {
        GROUP BY l_returnflag, l_linestatus"""
 
   /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
-    * Only the filtered customer DIM broadcasts; lineitem ⋈ orders is a
-    * fact-fact shuffle on orderkey (AQE picks SMJ + skew handling) — a
-    * broadcast of orders would OOM at scale. */
+    * NO forced broadcast: customer is fact-proportional (it grows with
+    * scale factor, unlike nation/region), so a broadcast hint that is
+    * convenient at sf0.1 would force executor OOM at 100×. AQE broadcasts
+    * the filtered side while it fits and falls back to a shuffle join
+    * beyond — the plan that survives scale-up. lineitem ⋈ orders is a
+    * fact-fact shuffle on orderkey (AQE picks SMJ + skew handling). */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -73,7 +77,7 @@ object Relational extends QueryModule {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
       .select(col("l_orderkey"), revenueExpr.as("rev"))
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(col("rev")).cast("double").as("revenue"))
@@ -94,8 +98,11 @@ object Relational extends QueryModule {
        GROUP BY l_orderkey, o_orderdate
        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
 
-  /** TPC-H Q5-style: revenue per nation via a 6-way join; every dim chain
-    * (supplier⋈nation⋈region, customer) broadcasts, facts shuffle once. */
+  /** TPC-H Q5-style: revenue per nation via a 6-way join. Only the TRUE
+    * dims (nation: 25 rows, region: 5 — constant at every scale factor)
+    * carry broadcast hints; supplier and customer are fact-proportional,
+    * so their joins are left to AQE (broadcast while they fit, shuffle
+    * join at a scale where a forced broadcast would OOM). */
   def q5Join(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
     val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
@@ -107,11 +114,11 @@ object Relational extends QueryModule {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), revenueExpr.as("rev"))
-    li.join(broadcast(sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))),
+    li.join(sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(col("rev")).cast("double").as("revenue"),
@@ -216,6 +223,22 @@ object Relational extends QueryModule {
        round(quantile_cont(value, 0.99), 4) AS p99
        FROM events GROUP BY event_type"""
 
+  /** q_percentiles_approx: the SKETCH twin of q_percentiles — Spark's
+    * approx_percentile (Greenwald-Khanna quantile summary: bounded memory
+    * per group, mergeable across partitions). THIS is the 100 TB posture
+    * for unbounded groups: exact percentile buffers every value of a group
+    * in one task; the sketch holds O(accuracy) entries regardless of group
+    * size. accuracy=10000 → rank error ≤ n/10000. Rows-only oracle (the
+    * sketch picks engine-specific sample points, not the interpolated
+    * exact value); Round5Spec bounds its error against the exact twin. */
+  def qPercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
+
   /** Typed JSON props extraction (get_json_object ↔ json_extract) —
     * the structured twin of the regex path in qEventsProps. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
@@ -313,6 +336,7 @@ object Relational extends QueryModule {
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_events_json" -> (qEventsJson _),
     "q_retention" -> (qRetention _))
 

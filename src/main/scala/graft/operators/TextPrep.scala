@@ -113,7 +113,13 @@ object TextPrep extends QueryModule {
         SELECT doc_id, token_id, n FROM counts JOIN dict USING (tok)"""
 
   /** L2-normalized TF-IDF: w = n · ln(D/df); out = w / sqrt(Σ w²) per doc.
-    * df==D terms (idf 0) are dropped before normalization. */
+    * df==D terms (idf 0) are dropped before normalization.
+    *
+    * Log base: gensim's smartirs 'ntc' (wiki_lda.py:14) uses log₂, this
+    * uses ln. Equivalent by design: log₂x = ln x / ln 2, so the constant
+    * 1/ln 2 scales every weight of a document equally and CANCELS under
+    * the per-doc L2 normalization — the normalized outputs are identical
+    * (and df==D drops identically: w > 0 iff log(D/df) > 0 in any base). */
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val weighted = qTokens(s, dir)
@@ -145,6 +151,63 @@ object TextPrep extends QueryModule {
           round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 6) AS tfidf
         FROM weighted WHERE w > 0"""
 
+  /** Minimum document frequency for a token to count as a "dictionary"
+    * word in the corpus-derived vocabulary (hapax ≈ misspelling/noise). */
+  val MinVocabDf = 2
+
+  /** Dictionary-word filter — the reference's removeMistakes /
+    * removeNonEnglish step (Read_And_Clean.py:19-29, applied at :76-81):
+    * every token must appear in a vocabulary, everything else is dropped,
+    * and the document is reassembled in token order.
+    *
+    * `vocab` is ANY one-column (`tok`) DataFrame: a curated English
+    * lexicon when one is available (the reference uses a spellchecker's),
+    * or the corpus-derived vocabulary below. The filter is a SEMI-join —
+    * no fan-out, vocab never duplicates rows — and is NOT hinted
+    * broadcast: a lexicon fits in a broadcast and AQE will choose that; a
+    * 10⁹-token web-corpus vocabulary does not, and the shuffle semi-join
+    * is the plan that survives. Reassembly sorts each doc's kept tokens by
+    * position inside one aggregate — grouped by doc_id, so the sort is
+    * per-document, never global. */
+  def englishFilterOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = toks.join(vocab.select("tok"), Seq("tok"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_n"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("english"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("english"), lit("")).as("english_text"),
+        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("kept_n"), lit(0L))).as("n_dropped"))
+  }
+
+  /** q_clean_english: the cleaning chain's final reference step over the
+    * corpus, with the corpus-derived vocabulary (df ≥ MinVocabDf — the
+    * no-external-data analogue of an English dictionary: words seen in
+    * only one document are overwhelmingly misspellings/noise). */
+  def qCleanEnglish(s: SparkSession, dir: String): DataFrame =
+    englishFilterOf(cleanDocs(s, dir),
+      tokenStats(s, dir).filter(col("df") >= MinVocabDf).select("tok"))
+
+  private val qCleanEnglishSql =
+    s"""WITH b AS (
+          SELECT doc_id, ${TextFns.cleanTokensSql("text")} AS toks FROM documents),
+        t AS (
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM b),
+        vocab AS (
+          SELECT tok FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= $MinVocabDf),
+        kept AS (
+          SELECT doc_id, count(*) AS kept_n, string_agg(tok, ' ' ORDER BY pos) AS english
+          FROM t SEMI JOIN vocab USING (tok) GROUP BY doc_id)
+        SELECT b.doc_id,
+          coalesce(kept.english, '') AS english_text,
+          CAST(coalesce(kept.kept_n, 0) AS BIGINT) AS n_kept,
+          CAST(len(b.toks) - coalesce(kept.kept_n, 0) AS BIGINT) AS n_dropped
+        FROM b LEFT JOIN kept ON b.doc_id = kept.doc_id"""
+
   /** Concept-document assembly (Read_And_Clean.py:114-151): group docs by
     * `source` (≈ WebIsALOD concept), order-stable concatenation. The md5 of
     * the concatenation is the compared value — content-exact. */
@@ -169,6 +232,7 @@ object TextPrep extends QueryModule {
     "q_dict_filtered" -> (qDictFiltered _),
     "q_doc2bow" -> (qDoc2bow _),
     "q_tfidf" -> (qTfidf _),
+    "q_clean_english" -> (qCleanEnglish _),
     "q_concept_docs" -> (qConceptDocs _))
 
   override def oracles: Map[String, String] = Map(
@@ -178,5 +242,6 @@ object TextPrep extends QueryModule {
     "q_dict_filtered" -> qDictFilteredSql,
     "q_doc2bow" -> qDoc2bowSql,
     "q_tfidf" -> qTfidfSql,
+    "q_clean_english" -> qCleanEnglishSql,
     "q_concept_docs" -> qConceptDocsSql)
 }

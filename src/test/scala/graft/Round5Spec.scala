@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators and latent-correctness fixes: dictionary-English
+  * filter, approx percentiles, thin-bucket KNN vote, degenerate-F1
+  * nullability, null-token shingles, parameterized LSH. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("english filter: misspellings dropped, order kept, empty docs survive") {
+    val docs = Seq(
+      (1L, Seq("quick", "brown", "fox", "jumps")),
+      (2L, Seq("teh", "quick", "qwickk", "fox")), // two misspellings
+      (3L, Seq("zzzqq"))).toDF("doc_id", "toks") // nothing in vocab
+    val vocab = Seq("quick", "brown", "fox", "jumps", "the").toDF("tok")
+    val out = TextPrep.englishFilterOf(docs, vocab).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("english_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+      .toMap
+    assert(out(1L) === (("quick brown fox jumps", 4L, 0L)))
+    assert(out(2L) === (("quick fox", 2L, 2L))) // order preserved, teh/qwickk dropped
+    assert(out(3L) === (("", 0L, 1L))) // all-dropped doc still emitted
+  }
+
+  test("q_clean_english drops exactly the sub-vocabulary token mass") {
+    val out = TextPrep.qCleanEnglish(spark, sfDir)
+    assert(out.count() === sources.Tables.documents(spark, sfDir).count())
+    val agg = out.agg(sum("n_kept").as("kept"), sum("n_dropped").as("dropped"))
+      .collect().head
+    // dropped mass == total collection frequency of tokens with df < MinVocabDf
+    val expectedDropped = TextPrep.tokenStats(spark, sfDir)
+      .filter(col("df") < TextPrep.MinVocabDf)
+      .agg(coalesce(sum("cf"), lit(0L))).head().getLong(0)
+    assert(agg.getAs[Long]("dropped") === expectedDropped)
+    // and kept+dropped == the full clean-token mass
+    val totalToks = TextPrep.cleanDocs(spark, sfDir)
+      .agg(sum(size(col("toks")))).head().getLong(0)
+    assert(agg.getAs[Long]("kept") + agg.getAs[Long]("dropped") === totalToks)
+  }
+
+  test("approx percentiles satisfy the sketch's RANK guarantee per group") {
+    // the GK sketch bounds rank error, not value error (a sparse tail can
+    // put adjacent elements far apart): assert the empirical CDF at each
+    // approx quantile brackets the target rank
+    val exact = Relational.qPercentiles(spark, sfDir)
+    val approx = Relational.qPercentilesApprox(spark, sfDir)
+    assert(approx.select("event_type").collect().toSet ===
+      exact.select("event_type").collect().toSet)
+    val fr = sources.Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      .join(approx, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        (sum(when(col("value") <= col("p50"), 1).otherwise(0)) / count(lit(1))).as("f50"),
+        (sum(when(col("value") <= col("p95"), 1).otherwise(0)) / count(lit(1))).as("f95"),
+        (sum(when(col("value") <= col("p99"), 1).otherwise(0)) / count(lit(1))).as("f99"))
+      .collect()
+    assert(fr.nonEmpty)
+    fr.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(math.abs(r.getAs[Double]("f50") - 0.50) < 0.02, s"$et f50 ${r.getAs[Double]("f50")}")
+      assert(math.abs(r.getAs[Double]("f95") - 0.95) < 0.02, s"$et f95 ${r.getAs[Double]("f95")}")
+      assert(r.getAs[Double]("f99") > 0.975, s"$et f99 ${r.getAs[Double]("f99")}")
+    }
+  }
+
+  test("knn vote: majority of retrieved, not of assumed k=5") {
+    // query 1: thin bucket, 2/2 positive neighbors -> must predict positive
+    // query 2: 3 candidates, 1 positive -> negative
+    // query 3: 6 candidates (top-5 kept: 3 positive of 5) -> positive
+    val scored = Seq(
+      (1L, 1.0, 1.0, 0.99, 10L), (1L, 1.0, 1.0, 0.98, 11L),
+      (2L, 0.0, 1.0, 0.99, 10L), (2L, 0.0, 0.0, 0.98, 11L), (2L, 0.0, 0.0, 0.97, 12L),
+      (3L, 1.0, 1.0, 0.99, 10L), (3L, 1.0, 1.0, 0.98, 11L), (3L, 1.0, 1.0, 0.97, 12L),
+      (3L, 1.0, 0.0, 0.96, 13L), (3L, 1.0, 0.0, 0.95, 14L), (3L, 1.0, 1.0, 0.10, 15L)
+    ).toDF("q_id", "y", "ty", "cos", "t_id")
+    val votes = Classification.voteOf(scored).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("prediction")).toMap
+    assert(votes(1L) === 1.0) // the old sum>=3 rule would have said 0.0
+    assert(votes(2L) === 0.0)
+    assert(votes(3L) === 1.0) // rank-6 positive neighbor is NOT counted
+  }
+
+  test("degenerate confusion slice yields NULL f1, not a silent 0.0") {
+    val scored = Seq((false, false), (false, false)).toDF("pred", "gold")
+    val r = Evaluation.confusionMetrics(scored).collect().head
+    assert(r.isNullAt(r.fieldIndex("f1")))
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    // the boxed-read pattern the sweeps use
+    assert(Option(r.getAs[java.lang.Double]("f1")).isEmpty)
+  }
+
+  test("shingles skip null tokens instead of NPE-ing") {
+    val df = Seq(1).toDF("i").select(
+      functions.TextFns.shingles(
+        array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")), 2).as("s"))
+    assert(df.head().getAs[Seq[String]]("s") === Seq("a b", "b c"))
+  }
+
+  test("signBuckets honors non-default table/plane counts") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5)), (2L, Array.fill(64)(-0.5)), (3L, Array.tabulate(64)(d => math.sin(d.toDouble)))
+    ).toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val posted = SimilaritySearch.signBuckets(vecs, "vec_id", nTables = 3, nPlanes = 4)
+    assert(posted.count() === 9) // 3 vectors x 3 tables
+    assert(posted.select(countDistinct(col("tbl"))).head().getLong(0) === 3)
+    val buckets = posted.select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16)) // 2^4 buckets per table
+  }
+}
