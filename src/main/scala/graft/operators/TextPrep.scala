@@ -21,10 +21,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object TextPrep extends QueryModule {
 
-  /** doc_id → clean token array (shared stage). */
+  /** doc_id → clean token array — THE shared stage of the text family
+    * (clean_text, tokens, dictionary, doc2bow, tfidf, clean_english, the
+    * whole topic-modeling corpus). Memoized per session + persisted
+    * (MEMORY_AND_DISK, same treatment as Dedup.docShingles): the cleaning
+    * kernel runs once per corpus, not once per consumer — q_clean_english
+    * alone would otherwise re-clean the corpus three times (tokens, vocab
+    * derivation, reassembly base). At 100 TB this materialization is a
+    * checkpoint of clean tokens, the standard shape for a corpus pipeline. */
   def cleanDocs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
+    graft.ModelCache.getOrElseUpdate(s, s"text.cleanDocs:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** (tok, df, cf) is vocabulary-sized (≪ corpus) and consumed by four
+    * operators — memoized+persisted for the same reason as cleanDocs. */
+  private def tokenStatsCached(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"text.tokenStats:$dir") {
+      tokenStatsOf(cleanDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** q_clean_text: reference cleaning chain end-to-end. */
   def qCleanText(s: SparkSession, dir: String): DataFrame =
@@ -61,11 +79,13 @@ object TextPrep extends QueryModule {
   /** (tok, df, cf) stats — the aggregation half of the dictionary; consumers
     * that don't need ids (TF-IDF) join this directly so Catalyst can prune
     * (the id assignment below has an RDD boundary it can't see through). */
-  def tokenStats(s: SparkSession, dir: String): DataFrame =
-    cleanDocs(s, dir)
+  private def tokenStatsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("tok")
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame = tokenStatsCached(s, dir)
 
   /** Token→(id, df, cf) dictionary. Ids are dense (compactify) ordered by
     * (df desc, token asc) — deterministic, unlike gensim's insertion order. */
