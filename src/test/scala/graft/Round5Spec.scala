@@ -98,6 +98,22 @@ class Round5Spec extends SparkSpec {
     assert(df.head().getAs[Seq[String]]("s") === Seq("a b", "b c"))
   }
 
+  test("q3/q5 force-broadcast only constant-size dims, never fact tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintedRelations(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint =>
+        h.child.collectLeaves().map(_.toString).mkString(";")
+      }
+    val q3Hints = hintedRelations(Relational.q3Join(spark, sfDir))
+    assert(q3Hints.isEmpty, s"q3 must leave join strategy to AQE, found hints on: $q3Hints")
+    val q5Hints = hintedRelations(Relational.q5Join(spark, sfDir))
+    assert(q5Hints.length === 2, s"q5 should hint exactly nation+region: $q5Hints")
+    q5Hints.foreach { h =>
+      assert(h.contains("nation") || h.contains("region"),
+        s"forced broadcast on a fact-proportional relation: $h")
+    }
+  }
+
   test("signBuckets honors non-default table/plane counts") {
     val vecs = Seq(
       (1L, Array.fill(64)(0.5)), (2L, Array.fill(64)(-0.5)), (3L, Array.tabulate(64)(d => math.sin(d.toDouble)))
