@@ -303,14 +303,42 @@ object TextAnalysis extends QueryModule {
   /** q_curation: the full curation funnel a training-data job runs —
     * keep documents that pass every quality gate, survive exact dedup
     * (min-id survivor), and are predicted English; emit the kept ids with
-    * their token counts. Pure composition of the per-doc operators: three
-    * hash joins on doc_id, no new shuffles beyond the components. */
+    * their token counts.
+    *
+    * FUSED single-pass formulation: every per-doc signal (quality gates,
+    * language-ID marker scores, token count) is computed from ONE
+    * tokenization in one projection over one scan, and the dedup survivor
+    * is `min(doc_id) over (partition by md5(text))` — so the whole funnel
+    * is a map + exactly one shuffle (the content-hash window). The
+    * compositional form (3 joins over the four component queries) reads
+    * the corpus four times and shuffles four times; at 100 TB the fused
+    * plan is the difference between one pass and four. Rows are identical
+    * to the composition — the DuckDB oracle keeps the compositional SQL,
+    * which is exactly the cross-check. */
   def qCuration(s: SparkSession, dir: String): DataFrame = {
-    val pass = qQualityRules(s, dir).filter(col("passes")).select("doc_id")
-    val survivors = Dedup.qDedupExact(s, dir).select(col("survivor_id").as("doc_id"))
-    val en = qLangId(s, dir).filter(col("pred_lang") === "en").select("doc_id")
-    val toks = qTokenCount(s, dir).select(col("doc_id"), col("ws_tokens"))
-    pass.join(survivors, Seq("doc_id")).join(en, Seq("doc_id")).join(toks, Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    val toks = col("toks")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(toks).as("n_toks"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
+        score(toks, EnMarkers).as("en_s"), score(toks, DeMarkers).as("de_s"),
+        score(toks, EsMarkers).as("es_s"), score(toks, FrMarkers).as("fr_s"),
+        min(col("doc_id")).over(w).as("survivor_id"))
+      .filter(col("n_toks") > 0 &&
+        col("n_toks") >= 10 && col("n_toks") <= 100000 &&
+        col("tok_chars").cast("double") / col("n_toks") >= 3.0 &&
+        col("tok_chars").cast("double") / col("n_toks") <= 10.0 &&
+        col("n_distinct").cast("double") / col("n_toks") > 0.3 &&
+        col("n_stop") >= 2 &&
+        col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+        col("en_s") >= col("fr_s") && col("en_s") > 0 &&
+        col("doc_id") === col("survivor_id"))
+      .select(col("doc_id"), col("n_toks").as("ws_tokens"))
   }
 
   private val qCurationSql =

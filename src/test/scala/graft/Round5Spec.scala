@@ -98,6 +98,41 @@ class Round5Spec extends SparkSpec {
     assert(df.head().getAs[Seq[String]]("s") === Seq("a b", "b c"))
   }
 
+  test("LSH ANN answers are true cosines bounded by brute force") {
+    val brute = SimilaritySearch.qKnnSearch(spark, sfDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = SimilaritySearch.qAnnLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty, "LSH answered no queries")
+    lsh.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      assert(r.getAs[Double]("cos_sim") <= brute(q) + 1e-9,
+        s"LSH 'best' for $q beats brute force — impossible")
+    }
+    // with 8 tables the deterministic planes find the true top-1 for at
+    // least one query on the seeded corpus (typically most)
+    val hits = lsh.count(r =>
+      math.abs(r.getAs[Double]("cos_sim") - brute(r.getAs[Long]("q_id"))) < 1e-9)
+    assert(hits >= 1, "LSH never found a true top-1")
+  }
+
+  test("fused curation funnel row-identical to the compositional join") {
+    val fused = TextAnalysis.qCuration(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ws_tokens")).toMap
+    val pass = TextAnalysis.qQualityRules(spark, sfDir)
+      .filter(col("passes")).select("doc_id")
+    val survivors = Dedup.qDedupExact(spark, sfDir)
+      .select(col("survivor_id").as("doc_id"))
+    val en = TextAnalysis.qLangId(spark, sfDir)
+      .filter(col("pred_lang") === "en").select("doc_id")
+    val toks = TextAnalysis.qTokenCount(spark, sfDir).select(col("doc_id"), col("ws_tokens"))
+    val composed = pass.join(survivors, Seq("doc_id")).join(en, Seq("doc_id"))
+      .join(toks, Seq("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ws_tokens")).toMap
+    assert(fused === composed)
+    assert(fused.nonEmpty)
+  }
+
   test("q3/q5 force-broadcast only constant-size dims, never fact tables") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     def hintedRelations(df: org.apache.spark.sql.DataFrame): Seq[String] =
