@@ -38,11 +38,13 @@ object Evaluation extends QueryModule {
   }
 
   /** q_eval_metrics: language-ID prediction ('en') vs the lang gold label —
-    * the EVResult pipeline on a real prediction task. */
+    * the EVResult pipeline on a real prediction task. Fused: prediction and
+    * gold come from the SAME row of one scan (qLangId's marker-score rule
+    * inline), so the whole evaluation is a map + one global aggregate —
+    * no self-join of the corpus. The oracle keeps the compositional SQL. */
   def qEvalMetrics(s: SparkSession, dir: String): DataFrame =
     confusionMetrics(
-      TextAnalysis.qLangId(s, dir)
-        .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      TextAnalysis.langIdOf(Tables.documents(s, dir))
         .select((col("pred_lang") === "en").as("pred"), (col("lang") === "en").as("gold")))
 
   private val qEvalMetricsSql = {

@@ -25,24 +25,39 @@ object TextAnalysis extends QueryModule {
   private def scoreSql(toksCol: String, markers: Seq[String]): String =
     s"len(list_filter($toksCol, t -> t IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
 
+  /** Deterministic argmax over the four score columns with fixed priority
+    * en > de > es > fr, 'und' when nothing matches (shared by both
+    * language-ID variants). */
+  private def argmaxLang: Column =
+    when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+      col("en_s") >= col("fr_s") && col("en_s") > 0, "en")
+      .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
+        col("de_s") > 0, "de")
+      .when(col("es_s") >= col("fr_s") && col("es_s") > 0, "es")
+      .when(col("fr_s") > 0, "fr")
+      .otherwise("und")
+
+  /** Marker-word language-ID over any frame with a `text` column — input
+    * columns are preserved, so consumers (q_eval_metrics) can score
+    * prediction against a same-row gold label without re-joining the
+    * corpus. */
+  def langIdOf(docs: DataFrame): DataFrame = {
+    val toks = col("toks") // bound column: tokenize once, score four times
+    docs
+      .withColumn("toks", TextFns.rawTokens(col("text")))
+      .withColumn("en_s", score(toks, EnMarkers))
+      .withColumn("de_s", score(toks, DeMarkers))
+      .withColumn("es_s", score(toks, EsMarkers))
+      .withColumn("fr_s", score(toks, FrMarkers))
+      .withColumn("pred_lang", argmaxLang)
+      .drop("toks")
+  }
+
   /** q_lang_id: deterministic argmax over marker hit counts with fixed
     * priority en > de > es > fr, 'und' when nothing matches. */
-  def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = col("toks") // bound column: tokenize once, score four times
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        score(toks, EnMarkers).as("en_s"), score(toks, DeMarkers).as("de_s"),
-        score(toks, EsMarkers).as("es_s"), score(toks, FrMarkers).as("fr_s"))
-      .withColumn("pred_lang",
-        when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
-          col("en_s") >= col("fr_s") && col("en_s") > 0, "en")
-          .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
-            col("de_s") > 0, "de")
-          .when(col("es_s") >= col("fr_s") && col("es_s") > 0, "es")
-          .when(col("fr_s") > 0, "fr")
-          .otherwise("und"))
-  }
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(s, dir))
+      .select("doc_id", "en_s", "de_s", "es_s", "fr_s", "pred_lang")
 
   private val qLangIdSql = {
     val t = TextFns.rawTokensSql("text")
@@ -89,14 +104,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"),
         bigramScore("t", EnBigrams).as("en_s"), bigramScore("t", DeBigrams).as("de_s"),
         bigramScore("t", EsBigrams).as("es_s"), bigramScore("t", FrBigrams).as("fr_s"))
-      .withColumn("pred_lang",
-        when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
-          col("en_s") >= col("fr_s") && col("en_s") > 0, "en")
-          .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
-            col("de_s") > 0, "de")
-          .when(col("es_s") >= col("fr_s") && col("es_s") > 0, "es")
-          .when(col("fr_s") > 0, "fr")
-          .otherwise("und"))
+      .withColumn("pred_lang", argmaxLang)
 
   private val qLangNgramSql =
     s"""WITH sc AS (
@@ -351,13 +359,29 @@ object TextAnalysis extends QueryModule {
        WHERE qr.passes AND li.pred_lang = 'en'"""
 
   /** q_corpus_stats: the dataset-card rollup a training-data pipeline
-    * publishes per source — doc count, volume, exact-dup rate, mean quality
-    * — one shuffle on source, composing the per-doc quality scorer. */
+    * publishes per source — doc count, volume, exact-dup rate, mean
+    * quality. FUSED like q_curation: the per-doc quality score is computed
+    * inline from one tokenization (identical formula and per-doc rounding
+    * as qQuality, whose compositional SQL remains the oracle), so the
+    * whole card is one scan + one groupBy(source) shuffle instead of two
+    * scans + a join. Docs with zero tokens are excluded exactly as the
+    * composition's inner join excluded them. */
   def qCorpusStats(s: SparkSession, dir: String): DataFrame = {
-    val q = qQuality(s, dir).select(col("doc_id"), col("quality"))
+    val toks = col("toks")
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
-      .join(q, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"),
+        TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("source"), col("n_chars"), col("h"),
+        size(toks).as("n_toks"),
+        size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .filter(col("n_toks") > 0)
+      .select(col("source"), col("n_chars"), col("h"),
+        round(
+          least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
+            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3,
+          6).as("quality"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
