@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.functions.TextFns
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines.
@@ -229,6 +229,9 @@ object Dedup extends QueryModule {
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // zero-token docs carry no signal (the
+      // aggregate formulation excluded them by construction; the kernel
+      // would give them all-identical signatures and spurious collisions)
       .select(col("doc_id"), graft.functions.HashKernelCols.simhash64(col("toks")).as("simhash"))
 
   /** q_dedup_simhash: 4×16-bit band buckets → hamming ≤ 6 verified pairs.
@@ -249,16 +252,78 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= 6)
   }
 
+  // ---------------- Benchmark decontamination ----------------
+
+  /** 5-gram windows are long enough to be distinctive (boilerplate 3-grams
+    * collide constantly; 5-token runs rarely do) and short enough to catch
+    * partial copies. ≥3 shared distinct 5-grams ≈ an 7+-token verbatim
+    * overlap — the standard contamination signal. */
+  val DecontamN = 5
+  val DecontamMinShared = 3
+
+  /** Cross-set n-gram overlap — training-data DECONTAMINATION: flag
+    * training documents that share ≥ minShared distinct word-n-grams with
+    * any benchmark document, so eval-set text can be purged from a
+    * training corpus.
+    *
+    * Scale shape: distinct (doc, xxhash64(shingle)) postings on both
+    * sides, one inverted-index equi-join on the 8-byte hash, one pair
+    * aggregate. Per-shingle fan-out is |train posts| × |bench posts|, and
+    * the BENCH side is a benchmark suite — small by construction — so the
+    * join output is bounded by |train posts| × O(1); no df cap needed
+    * (unlike the all-pairs Jaccard self-join). */
+  def decontaminate(docs: DataFrame, isBench: Column,
+      n: Int = DecontamN, minShared: Int = DecontamMinShared): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), isBench.as("is_bench"), TextFns.rawTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_bench"),
+        explode(TextFns.shingles(col("toks"), n)).as("shingle"))
+      .select(col("doc_id"), col("is_bench"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val bench = sh.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("sh"))
+    val train = sh.filter(!col("is_bench")).select(col("doc_id"), col("sh"))
+    train.join(bench, Seq("sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("n_shared")).as("max_shared"))
+  }
+
+  /** q_decontaminate: the corpus split by a deterministic id rule
+    * (doc_id % 7 = 0 plays the held-out benchmark; everything else is
+    * training data). */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+
+  private val qDecontaminateSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", DecontamN)}) AS shingle
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 7 = 0),
+       t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+       p AS (
+         SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+         FROM t JOIN b USING (shingle) GROUP BY 1, 2
+         HAVING count(*) >= $DecontamMinShared)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+         CAST(max(n_shared) AS BIGINT) AS max_shared
+       FROM p GROUP BY doc_id"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_minhash" -> (qDedupMinhash _),
-    "q_dedup_simhash" -> (qDedupSimhash _))
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_decontaminate" -> (qDecontaminate _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
-    "q_dedup_cosine" -> qDedupCosineSql)
+    "q_dedup_cosine" -> qDedupCosineSql,
+    "q_decontaminate" -> qDecontaminateSql)
 }

@@ -98,6 +98,22 @@ class Round5Spec extends SparkSpec {
     assert(df.head().getAs[Seq[String]]("s") === Seq("a b", "b c"))
   }
 
+  test("decontamination flags verbatim overlap with the benchmark only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // benchmark
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta closing"), // copies 8-token run
+      (3L, "totally unrelated content about completely different things here"),
+      (4L, "alpha beta gamma unrelated tail words beyond the shared prefix")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, col("doc_id") === 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bench_matches"), r.getAs[Long]("max_shared"))).toMap
+    // doc 2 shares the 7-token run "alpha..eta" = 3 distinct 5-grams -> flagged;
+    // doc 4 shares only a 3-token prefix (zero 5-grams) -> clean
+    assert(out.keySet === Set(2L))
+    assert(out(2L) === ((1L, 3L)))
+  }
+
   test("LSH ANN answers are true cosines bounded by brute force") {
     val brute = SimilaritySearch.qKnnSearch(spark, sfDir)
       .filter(col("rank") === 1).collect()
