@@ -270,6 +270,42 @@ object TextAnalysis extends QueryModule {
         CAST(len(regexp_extract_all(lower(text), '[0-9]{3,}')) AS INT) AS n_num_runs
         FROM documents"""
 
+  /** q_lm_score: unigram-LM surprisal scoring — the distributed analogue
+    * of the CCNet/KenLM perplexity filter every large corpus pipeline
+    * runs: score each document by the mean negative log-probability of
+    * its tokens under the corpus unigram distribution (high = rare/noisy
+    * vocabulary, low = boilerplate). The "LM" is the (tok, cf) table the
+    * dictionary stage already aggregates (memoized); scoring is one join
+    * (AQE broadcasts while the vocab fits) + one groupBy(doc_id). On 100
+    * TB the model table is corpus-derived exactly the same way — no
+    * driver state, no external artifact. Mean over ≤doc-length doubles →
+    * fp drift ~1e-13, rounded at 1e-6. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val stats = TextPrep.tokenStats(s, dir).select(col("tok"), col("cf"))
+    val total = stats.agg(sum(col("cf")).as("total_cf"))
+    TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(stats, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(-log(col("cf").cast("double") / col("total_cf"))), 6).as("avg_nll"),
+        round(max(-log(col("cf").cast("double") / col("total_cf"))), 6).as("max_nll"))
+  }
+
+  private val qLmScoreSql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest($t) AS tok FROM documents),
+       stats AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
+       tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total_cf FROM stats)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         round(avg(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS avg_nll,
+         round(max(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS max_nll
+       FROM toks JOIN stats USING (tok) CROSS JOIN tot
+       GROUP BY doc_id"""
+  }
+
   /** q_sample: DETERMINISTIC content-hash sampling (3/16 ≈ 19% of docs by
     * the first md5 nibble of the id) with per-language acceptance stats.
     * Unlike rng-based df.sample, the kept set is a pure function of the
@@ -418,6 +454,7 @@ object TextAnalysis extends QueryModule {
     "q_curation" -> (qCuration _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample" -> (qSample _),
+    "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
   override def oracles: Map[String, String] = Map(
@@ -430,5 +467,6 @@ object TextAnalysis extends QueryModule {
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_curation" -> qCurationSql,
     "q_pii_scrub" -> qPiiScrubSql,
-    "q_sample" -> qSampleSql)
+    "q_sample" -> qSampleSql,
+    "q_lm_score" -> qLmScoreSql)
 }
