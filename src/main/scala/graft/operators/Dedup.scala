@@ -252,6 +252,75 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= 6)
   }
 
+  // ---------------- Line-level dedup (C4-style) ----------------
+
+  /** A line seen in more than this many distinct documents is boilerplate
+    * (navigation, disclaimers, headers) and is removed from every doc. */
+  val LineDupMaxDocs = 2
+
+  /** Line-level dedup — the C4-style boilerplate purge: split documents
+    * into sentence-ish lines, count each normalized line's distinct-doc
+    * frequency corpus-wide, strip lines above the threshold, and
+    * reassemble the remaining lines in order.
+    *
+    * Scale shape: one explode, one groupBy on the 16-byte md5 of the
+    * normalized line (never the raw string — fixed-width shuffle), one
+    * semi-join-shaped filter back, one per-doc ordered reassembly. The
+    * dropped-line mass is exactly the boilerplate share of the corpus. */
+  def lineDedupOf(docs: DataFrame, maxDocs: Int = LineDupMaxDocs): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), col("pos"), col("line"),
+        md5(lower(trim(col("line")))).as("lk"))
+    val rare = lines.groupBy("lk")
+      .agg(countDistinct(col("doc_id")).as("line_docs"))
+      .filter(col("line_docs") <= maxDocs)
+      .select("lk")
+    val kept = lines.join(rare, Seq("lk"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), ". ")).as("kept_md5"))
+    docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\. "), l => length(trim(l)) > 0))
+          .cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** q_line_dedup: the boilerplate purge over the documents table. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(s, dir))
+
+  private val qLineDedupSql =
+    s"""WITH l0 AS (
+         SELECT doc_id, unnest(regexp_split_to_array(text, '\\. ')) AS line,
+           generate_subscripts(regexp_split_to_array(text, '\\. '), 1) AS pos
+         FROM documents),
+       lines AS (
+         SELECT doc_id, pos, line, md5(lower(trim(line))) AS lk
+         FROM l0 WHERE len(trim(line)) > 0),
+       rare AS (
+         SELECT lk FROM lines GROUP BY lk
+         HAVING count(DISTINCT doc_id) <= $LineDupMaxDocs),
+       kept AS (
+         SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(line, '. ' ORDER BY pos)) AS kept_md5
+         FROM lines SEMI JOIN rare USING (lk) GROUP BY doc_id),
+       base AS (
+         SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\. '),
+             l -> len(trim(l)) > 0)) AS BIGINT) AS n_lines
+         FROM documents)
+       SELECT base.doc_id, base.n_lines,
+         CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(kept.kept_md5, md5('')) AS kept_md5
+       FROM base LEFT JOIN kept ON base.doc_id = kept.doc_id"""
+
   // ---------------- Benchmark decontamination ----------------
 
   /** 5-gram windows are long enough to be distinctive (boilerplate 3-grams
@@ -319,11 +388,13 @@ object Dedup extends QueryModule {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_decontaminate" -> (qDecontaminate _))
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_line_dedup" -> (qLineDedup _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_cosine" -> qDedupCosineSql,
-    "q_decontaminate" -> qDecontaminateSql)
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_line_dedup" -> qLineDedupSql)
 }

@@ -98,6 +98,29 @@ class Round5Spec extends SparkSpec {
     assert(df.head().getAs[Seq[String]]("s") === Seq("a b", "b c"))
   }
 
+  test("line dedup strips corpus-wide boilerplate lines, keeps unique ones") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"unique alpha content. $boiler. more alpha"),
+      (2L, s"unique beta content. $boiler. more beta"),
+      (3L, s"unique gamma content. $boiler"),
+      (4L, "entirely original document text")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))).toMap
+    // the boilerplate line occurs in 3 > LineDupMaxDocs docs -> stripped
+    assert(out(1L) === ((3L, 2L)))
+    assert(out(2L) === ((3L, 2L)))
+    assert(out(3L) === ((2L, 1L)))
+    assert(out(4L) === ((1L, 1L)))
+    // reassembly preserves order: doc 1 keeps "unique alpha content. more alpha"
+    val kept1 = Dedup.lineDedupOf(docs).filter(col("doc_id") === 1L)
+      .select("kept_md5").head().getString(0)
+    val expect1 = docs.sparkSession.range(1)
+      .select(md5(lit("unique alpha content. more alpha"))).head().getString(0)
+    assert(kept1 === expect1)
+  }
+
   test("decontamination flags verbatim overlap with the benchmark only") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // benchmark
