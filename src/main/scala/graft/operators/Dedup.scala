@@ -204,12 +204,18 @@ object Dedup extends QueryModule {
 
   /** Exact Jaccard restricted to candidate pairs (the verify stage all
     * LSH variants share). Joins on the 8-byte shingle hash from
-    * docShingles, not the string. */
+    * docShingles, not the string — and FIRST prunes the posting to the
+    * docs that appear in a candidate pair (a semi-join against the tiny
+    * candidate id set): LSH's whole point is candidates ≪ corpus, so the
+    * expensive intersection joins must only ever see candidate docs. */
   def exactJaccardOf(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(shc.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))

@@ -16,7 +16,10 @@ object ExplainProbe {
       if (args.length > 1) args.drop(1).toSeq.map(n => n -> SparkEntry.queries(n)(spark, dir))
       else Seq(
         "q3_join" -> operators.Relational.q3Join(spark, dir),
-        "q_dedup_jaccard" -> operators.Dedup.qDedupJaccard(spark, dir))
+        "q_dedup_jaccard" -> operators.Dedup.qDedupJaccard(spark, dir),
+        "q_dedup_minhash" -> operators.Dedup.qDedupMinhash(spark, dir),
+        "q_curation" -> operators.TextAnalysis.qCuration(spark, dir),
+        "q_clean_english" -> operators.TextPrep.qCleanEnglish(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")

@@ -188,6 +188,31 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("native kernels are real codegen expressions, never CodegenFallback") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    val str = Literal("x")
+    val toks = Literal.create(Seq("a", "b", "c"), ArrayType(StringType, false))
+    val vec = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType, false))
+    val kernels: Seq[Expression] = Seq(
+      functions.RawTokens(str), functions.CleanTokens(str),
+      functions.WordShingles(toks, 2),
+      functions.SimHash64(toks), functions.MinHashSignature(toks, 8),
+      functions.DotProduct(vec, vec), functions.CosineSimilarity(vec, vec),
+      functions.JaroWinklerSimilarity(str, str))
+    kernels.foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.getClass.getName} fell back to interpreted evaluation")
+    }
+    // and a hot consumer actually executes inside a WholeStageCodegen span
+    // (AQE only materializes codegen stages at execution time)
+    val knn = SimilaritySearch.qKnnSearch(spark, sfDir)
+    knn.collect()
+    // codegen stages print as "*(n)" nodes in the AQE final plan
+    assert(knn.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("signBuckets honors non-default table/plane counts") {
     val vecs = Seq(
       (1L, Array.fill(64)(0.5)), (2L, Array.fill(64)(-0.5)), (3L, Array.tabulate(64)(d => math.sin(d.toDouble)))
