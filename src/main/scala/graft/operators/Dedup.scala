@@ -28,7 +28,7 @@ object Dedup extends QueryModule {
 
   /** q_dedup_exact: content-hash groupBy, min-id survivor. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    TextPrep.rawDocs(s, dir)
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
 
@@ -49,9 +49,8 @@ object Dedup extends QueryModule {
     * once (cache or checkpoint), never recomputed per consumer. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"dedup.shingles:$dir") {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 3)).as("shingle"))
+      TextPrep.rawDocs(s, dir)
+        .select(col("doc_id"), explode(TextFns.shingles(col("rtoks"), 3)).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -177,7 +176,11 @@ object Dedup extends QueryModule {
         graft.functions.HashKernelCols.minhash(col("sgs"), NumHashes).as("sig"))
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSignaturesOf(Tables.documents(s, dir))
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), TextFns.shingles(col("rtoks"), 3).as("sgs"))
+      .filter(size(col("sgs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.HashKernelCols.minhash(col("sgs"), NumHashes).as("sig"))
 
   /** q_dedup_minhash: band-bucket candidate pairs → exact-Jaccard verify.
     * Verified pairs are by construction a SUBSET of q_dedup_jaccard's exact
@@ -233,12 +236,11 @@ object Dedup extends QueryModule {
     * 64-sum-aggregate formulation it replaces (MlSpec proves bit-equality),
     * but as a pure projection: no explode, no aggregation exchange. */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0) // zero-token docs carry no signal (the
+    TextPrep.rawDocs(s, dir)
+      .filter(size(col("rtoks")) > 0) // zero-token docs carry no signal (the
       // aggregate formulation excluded them by construction; the kernel
       // would give them all-identical signatures and spurious collisions)
-      .select(col("doc_id"), graft.functions.HashKernelCols.simhash64(col("toks")).as("simhash"))
+      .select(col("doc_id"), graft.functions.HashKernelCols.simhash64(col("rtoks")).as("simhash"))
 
   /** q_dedup_simhash: 4×16-bit band buckets → hamming ≤ 6 verified pairs.
     * Rows-only oracle. */
@@ -300,7 +302,7 @@ object Dedup extends QueryModule {
 
   /** q_line_dedup: the boilerplate purge over the documents table. */
   def qLineDedup(s: SparkSession, dir: String): DataFrame =
-    lineDedupOf(Tables.documents(s, dir))
+    lineDedupOf(TextPrep.rawDocs(s, dir))
 
   private val qLineDedupSql =
     s"""WITH l0 AS (
@@ -349,10 +351,13 @@ object Dedup extends QueryModule {
     * (unlike the all-pairs Jaccard self-join). */
   def decontaminate(docs: DataFrame, isBench: Column,
       n: Int = DecontamN, minShared: Int = DecontamMinShared): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), isBench.as("is_bench"), TextFns.rawTokens(col("text")).as("toks"))
+    val toksDf =
+      if (docs.columns.contains("rtoks")) docs.select(col("doc_id"), col("rtoks"))
+      else docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+    val sh = toksDf
+      .select(col("doc_id"), isBench.as("is_bench"), col("rtoks"))
       .select(col("doc_id"), col("is_bench"),
-        explode(TextFns.shingles(col("toks"), n)).as("shingle"))
+        explode(TextFns.shingles(col("rtoks"), n)).as("shingle"))
       .select(col("doc_id"), col("is_bench"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val bench = sh.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("sh"))
@@ -369,7 +374,7 @@ object Dedup extends QueryModule {
     * (doc_id % 7 = 0 plays the held-out benchmark; everything else is
     * training data). */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
-    decontaminate(Tables.documents(s, dir), col("doc_id") % 7 === 0)
+    decontaminate(TextPrep.rawDocs(s, dir), col("doc_id") % 7 === 0)
 
   private val qDecontaminateSql = {
     val toks = TextFns.rawTokensSql("text")

@@ -44,7 +44,7 @@ object Evaluation extends QueryModule {
     * no self-join of the corpus. The oracle keeps the compositional SQL. */
   def qEvalMetrics(s: SparkSession, dir: String): DataFrame =
     confusionMetrics(
-      TextAnalysis.langIdOf(Tables.documents(s, dir))
+      TextAnalysis.langIdOf(TextPrep.rawDocs(s, dir))
         .select((col("pred_lang") === "en").as("pred"), (col("lang") === "en").as("gold")))
 
   private val qEvalMetricsSql = {

@@ -37,26 +37,27 @@ object TextAnalysis extends QueryModule {
       .when(col("fr_s") > 0, "fr")
       .otherwise("und")
 
-  /** Marker-word language-ID over any frame with a `text` column — input
-    * columns are preserved, so consumers (q_eval_metrics) can score
-    * prediction against a same-row gold label without re-joining the
-    * corpus. */
+  /** Marker-word language-ID over any frame with an `rtoks` raw-token
+    * column (or a `text` column to tokenize) — input columns are
+    * preserved, so consumers (q_eval_metrics) can score prediction
+    * against a same-row gold label without re-joining the corpus. */
   def langIdOf(docs: DataFrame): DataFrame = {
-    val toks = col("toks") // bound column: tokenize once, score four times
-    docs
-      .withColumn("toks", TextFns.rawTokens(col("text")))
+    val base =
+      if (docs.columns.contains("rtoks")) docs
+      else docs.withColumn("rtoks", TextFns.rawTokens(col("text")))
+    val toks = col("rtoks")
+    base
       .withColumn("en_s", score(toks, EnMarkers))
       .withColumn("de_s", score(toks, DeMarkers))
       .withColumn("es_s", score(toks, EsMarkers))
       .withColumn("fr_s", score(toks, FrMarkers))
       .withColumn("pred_lang", argmaxLang)
-      .drop("toks")
   }
 
   /** q_lang_id: deterministic argmax over marker hit counts with fixed
     * priority en > de > es > fr, 'und' when nothing matches. */
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    langIdOf(Tables.documents(s, dir))
+    langIdOf(TextPrep.rawDocs(s, dir))
       .select("doc_id", "en_s", "de_s", "es_s", "fr_s", "pred_lang")
 
   private val qLangIdSql = {
@@ -126,8 +127,8 @@ object TextAnalysis extends QueryModule {
     * All ratios are double divisions of exact integers — engine-identical. */
   def qQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks") // bound column: tokenize once, derive four stats
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), TextFns.rawTokens(col("text")).as("toks"))
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("text"), col("rtoks").as("toks"))
       .select(col("doc_id"), length(col("text")).as("n_chars_m"),
         size(toks).as("n_toks"),
         size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
@@ -165,9 +166,9 @@ object TextAnalysis extends QueryModule {
   /** q_token_count: whitespace tokens + BPE-ish regex tokens. The regex
     * avoids backslash classes so Java regex and RE2 agree literally. */
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    TextPrep.rawDocs(s, dir)
       .select(col("doc_id"),
-        size(TextFns.rawTokens(col("text"))).as("ws_tokens"),
+        size(col("rtoks")).as("ws_tokens"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
           .as("bpe_tokens"))
 
@@ -181,8 +182,7 @@ object TextAnalysis extends QueryModule {
     * clean-token count. The incremental rolling polynomial hash for
     * streaming use is TextFns.rollingHash (spec-tested; not SQL-portable). */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
+    TextPrep.cleanDocs(s, dir)
       .select(col("doc_id"),
         md5(array_join(col("toks"), " ")).as("fp_md5"),
         size(col("toks")).as("n_toks"))
@@ -198,8 +198,8 @@ object TextAnalysis extends QueryModule {
     * on exact integer ratios, so the booleans are engine-identical. */
   def qQualityRules(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.rawTokens(col("text")).as("toks"))
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("rtoks").as("toks"))
       .select(col("doc_id"), size(toks).as("n_toks"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
         size(array_distinct(toks)).as("n_distinct"),
@@ -259,7 +259,7 @@ object TextAnalysis extends QueryModule {
     * synthetic corpus carries no PII, so the query proves the zero case;
     * the fixture spec proves each pattern fires). */
   def qPiiScrub(s: SparkSession, dir: String): DataFrame =
-    piiScrub(Tables.documents(s, dir))
+    piiScrub(TextPrep.rawDocs(s, dir).select("doc_id", "text"))
 
   private val qPiiScrubSql =
     s"""SELECT doc_id,
@@ -363,8 +363,8 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text")))
     val toks = col("toks")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), TextFns.rawTokens(col("text")).as("toks"))
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("text"), col("rtoks").as("toks"))
       .select(col("doc_id"),
         size(toks).as("n_toks"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
@@ -404,9 +404,9 @@ object TextAnalysis extends QueryModule {
     * composition's inner join excluded them. */
   def qCorpusStats(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
-    Tables.documents(s, dir)
+    TextPrep.rawDocs(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"),
-        TextFns.rawTokens(col("text")).as("toks"))
+        col("rtoks").as("toks"))
       .select(col("source"), col("n_chars"), col("h"),
         size(toks).as("n_toks"),
         size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),

@@ -36,6 +36,18 @@ object TextPrep extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The RAW-token twin of cleanDocs: full document row + `rtoks`
+    * (lowercase alnum tokens, pre-stopword/lemma). Shared by the dedup
+    * family (shingles, simhash, minhash, decontamination) and the text
+    * analysis family (language-ID, quality, token counts, curation) —
+    * without it each of those re-tokenizes the corpus per query. */
+  def rawDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"text.rawDocs:$dir") {
+      Tables.documents(s, dir)
+        .withColumn("rtoks", TextFns.rawTokens(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** (tok, df, cf) is vocabulary-sized (≪ corpus) and consumed by four
     * operators — memoized+persisted for the same reason as cleanDocs. */
   private def tokenStatsCached(s: SparkSession, dir: String): DataFrame =
