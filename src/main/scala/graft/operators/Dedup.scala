@@ -188,20 +188,28 @@ object Dedup extends QueryModule {
     * not SQL-portable). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    val sig = minhashSignatures(s, dir)
-    val rowsPerBand = NumHashes / NumBands
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col("sig")(i)): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // candidate pairs are MATERIALIZED (memoized per session + persisted):
+    // the verify stage consumes them from three positions (both id-prune
+    // sides + the intersection join), which would otherwise re-run the
+    // signature/banding pipeline per consumer — the same shared-hot-stage
+    // rule as docShingles/postedBuckets
+    val cand = graft.ModelCache.getOrElseUpdate(s, s"dedup.minhash.cand:$dir") {
+      val sig = minhashSignatures(s, dir)
+      val rowsPerBand = NumHashes / NumBands
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => col("sig")(i)): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     exactJaccardOf(sh, cand).filter(col("jaccard") >= 0.12)
   }
 
