@@ -188,6 +188,19 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("rows-only ML queries are run-to-run deterministic (seeded)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // seeded fits + memoized featurization: a second invocation must
+    // reproduce the exact metric rows the driver's rows-only gate records
+    assert(rows(Classification.qClassifyLr(spark, sfDir)) ===
+      rows(Classification.qClassifyLr(spark, sfDir)))
+    assert(rows(Dedup.qDedupMinhash(spark, sfDir)) ===
+      rows(Dedup.qDedupMinhash(spark, sfDir)))
+    assert(rows(SimilaritySearch.qAnnLsh(spark, sfDir)) ===
+      rows(SimilaritySearch.qAnnLsh(spark, sfDir)))
+  }
+
   test("native kernels are real codegen expressions, never CodegenFallback") {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
