@@ -100,9 +100,14 @@ object TextPrep extends QueryModule {
   def tokenStats(s: SparkSession, dir: String): DataFrame = tokenStatsCached(s, dir)
 
   /** Token→(id, df, cf) dictionary. Ids are dense (compactify) ordered by
-    * (df desc, token asc) — deterministic, unlike gensim's insertion order. */
+    * (df desc, token asc) — deterministic, unlike gensim's insertion order.
+    * Memoized+persisted (vocab-sized): the id-assignment sort + zipWithIndex
+    * would otherwise re-run for every consumer (q_dictionary, doc2bow). */
   def dictionary(s: SparkSession, dir: String): DataFrame =
-    withTokenIds(tokenStats(s, dir))
+    graft.ModelCache.getOrElseUpdate(s, s"text.dictionary:$dir") {
+      withTokenIds(tokenStats(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def qDictionary(s: SparkSession, dir: String): DataFrame = dictionary(s, dir)
 
