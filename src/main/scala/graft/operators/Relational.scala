@@ -61,6 +61,60 @@ object Relational extends QueryModule {
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
        GROUP BY l_returnflag, l_linestatus"""
 
+  /** TPC-H Q6-style: predicate-heavy scan aggregation — the pushdown
+    * showcase: every filter (date range, discount band, quantity cap) is a
+    * plain comparison that reaches the parquet scan as a PushedFilter, so
+    * at 100 TB the query reads only row groups whose stats survive. */
+  def q6Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(5,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    """SELECT
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** TPC-H Q18-style: large-volume orders — a group-HAVING over the fact
+    * table feeding a join back to orders/customer. The heavy aggregate
+    * runs FIRST (map-side partial sums on orderkey), and only the few
+    * surviving keys join onward — the classic shape for "filter by an
+    * aggregate" at scale. */
+  def q18Having(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  private val q18Sql =
+    """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_totalprice, sum_qty
+       FROM orders
+       JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 200) big
+         ON o_orderkey = l_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+
   /** TPC-H Q3-style: top-10 unshipped-revenue orders for one segment.
     * NO forced broadcast: customer is fact-proportional (it grows with
     * scale factor, unlike nation/region), so a broadcast hint that is
@@ -327,6 +381,8 @@ object Relational extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "q6_agg" -> (q6Agg _),
+    "q18_having" -> (q18Having _),
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
     "q_window" -> (qWindow _),
@@ -342,6 +398,8 @@ object Relational extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
+    "q6_agg" -> q6Sql,
+    "q18_having" -> q18Sql,
     "q3_join" -> q3Sql,
     "q5_join" -> q5Sql,
     "q_window" -> qWindowSql,

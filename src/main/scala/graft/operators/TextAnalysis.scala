@@ -329,6 +329,44 @@ object TextAnalysis extends QueryModule {
        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
        GROUP BY lang"""
 
+  /** Per-language keep-rates for stratified sampling, as 2-hex-char md5
+    * prefix thresholds (lexicographic compare — identical in every
+    * engine): en 1.0, de ~0.5, es/fr ~0.25, everything else ~0.125. */
+  val StratThresholds: Seq[(String, String)] =
+    Seq("en" -> "zz", "de" -> "80", "es" -> "40", "fr" -> "40")
+  val StratDefaultThreshold = "20"
+
+  /** q_sample_stratified: per-stratum deterministic sampling — the
+    * domain-mixing knob of corpus assembly (upsample scarce languages,
+    * downsample dominant ones) with the same auditable content-hash gate
+    * as q_sample: the kept subset is a pure function of the data, stable
+    * across runs, engines and partitionings. Pure per-row filter + one
+    * groupBy — no shuffle beyond the final stats rollup. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val nib2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val thresh = StratThresholds.foldRight(lit(StratDefaultThreshold)) {
+      case ((l, t), acc) => when(col("lang") === l, t).otherwise(acc)
+    }
+    TextPrep.rawDocs(s, dir)
+      .filter(nib2 < thresh)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"),
+        min(col("doc_id")).as("min_id"))
+  }
+
+  private val qSampleStratifiedSql = {
+    val cases = StratThresholds
+      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT lang, count(*) AS n_sampled,
+        CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+        min(doc_id) AS min_id
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang $cases ELSE '$StratDefaultThreshold' END
+        GROUP BY lang"""
+  }
+
   /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
     * at 100 TB the exact countDistinct shuffles every distinct value, the
     * HLL sketch shuffles a few KB per group; emitting both validates the
@@ -454,6 +492,7 @@ object TextAnalysis extends QueryModule {
     "q_curation" -> (qCuration _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample" -> (qSample _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
@@ -468,5 +507,6 @@ object TextAnalysis extends QueryModule {
     "q_curation" -> qCurationSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_sample" -> qSampleSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_lm_score" -> qLmScoreSql)
 }
