@@ -38,6 +38,19 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left_outer")
 
+  /** Native session-window sessionization (30-min gap): Spark's
+    * session_window merges events into variable-length sessions inside
+    * the streaming state store, watermark-bounded — the streaming twin of
+    * the batch lag/sum formulation in Relational.qSessionize (same gap
+    * semantics; StreamingSpec pins a two-session fixture on both). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -73,6 +73,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessionizes with the same gap rule as the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStream.sessionCounts(
+      input.toDF().toDF("ts", "user_id").withColumn("event_id", col("user_id")))
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 7L),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), 7L), // same session (10 min gap)
+        (Timestamp.valueOf("2024-01-01 03:00:00"), 7L), // new session (>30 min)
+        (Timestamp.valueOf("2024-01-01 01:05:00"), 8L))
+      q.processAllAvailable()
+      val out = spark.table("sess_counts").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(out(7L) === Seq(1L, 2L)) // two sessions: [2 events], [1 event]
+      assert(out(8L) === Seq(1L))
+      // batch twin: the lag/sum formulation yields the same session count
+      val batch = Seq(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 7L, 1L),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), 7L, 2L),
+        (Timestamp.valueOf("2024-01-01 03:00:00"), 7L, 3L),
+        (Timestamp.valueOf("2024-01-01 01:05:00"), 8L, 4L))
+        .toDF("ts", "user_id", "event_id")
+      batch.createOrReplaceTempView("sess_fixture")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val batchSessions = batch
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L)
+            .otherwise(0L))
+        .agg(sum("new_sess")).head().getLong(0)
+      assert(batchSessions === 3L) // 2 sessions for user 7 + 1 for user 8
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
