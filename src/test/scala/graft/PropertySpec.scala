@@ -43,4 +43,35 @@ class PropertySpec extends SparkSpec {
       assert(rh >= 0L && rh < TextFns.RollMod)
     }
   }
+
+  test("signature-kernel laws hold on generated token lists") {
+    import graft.functions.HashKernelCols
+    // pairs of token lists (a, b) — compare kernel outputs on a, b, a++b,
+    // and a permutation of a, all evaluated in one Spark job
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+    val listGen = Gen.nonEmptyListOf(tokGen).map(_.take(20))
+    val pairs = Gen.listOfN(60, Gen.zip(listGen, listGen))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val rows = pairs.toDF("a", "b")
+      .select(
+        HashKernelCols.minhash(col("a"), 16).as("ma"),
+        HashKernelCols.minhash(col("b"), 16).as("mb"),
+        HashKernelCols.minhash(concat(col("a"), col("b")), 16).as("mab"),
+        HashKernelCols.simhash64(col("a")).as("sa"),
+        HashKernelCols.simhash64(reverse(col("a"))).as("sa_rev"),
+        HashKernelCols.simhash64(concat(col("a"), col("a"))).as("saa"))
+      .collect()
+    rows.foreach { r =>
+      val ma = r.getSeq[Long](0)
+      val mb = r.getSeq[Long](1)
+      val mab = r.getSeq[Long](2)
+      // minhash union law: sig(a ++ b) is the elementwise min of the sigs
+      assert(mab === ma.zip(mb).map { case (x, y) => math.min(x, y) })
+      // simhash is order-independent (sum over occurrences)
+      assert(r.getLong(3) === r.getLong(4))
+      // duplicating every token preserves every bit's SIGN (each per-bit
+      // sum doubles), so the signature is unchanged
+      assert(r.getLong(3) === r.getLong(5))
+    }
+  }
 }
