@@ -353,10 +353,11 @@ object Dedup extends QueryModule {
     *
     * Scale shape: distinct (doc, xxhash64(shingle)) postings on both
     * sides, one inverted-index equi-join on the 8-byte hash, one pair
-    * aggregate. Per-shingle fan-out is |train posts| × |bench posts|, and
-    * the BENCH side is a benchmark suite — small by construction — so the
-    * join output is bounded by |train posts| × O(1); no df cap needed
-    * (unlike the all-pairs Jaccard self-join). */
+    * aggregate. Per-shingle fan-out is |train posts| × |bench posts|;
+    * the bench side is normally a small benchmark suite, but a df cap on
+    * its posting lists ([[ShingleDfCap]]) hard-bounds the fan-out even
+    * against viral boilerplate n-grams — a 5-gram shared across 100+
+    * benchmark docs is boilerplate, not contamination signal. */
   def decontaminate(docs: DataFrame, isBench: Column,
       n: Int = DecontamN, minShared: Int = DecontamMinShared): DataFrame = {
     val toksDf =
@@ -368,7 +369,11 @@ object Dedup extends QueryModule {
         explode(TextFns.shingles(col("rtoks"), n)).as("shingle"))
       .select(col("doc_id"), col("is_bench"), xxhash64(col("shingle")).as("sh"))
       .distinct()
-    val bench = sh.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("sh"))
+    val benchAll = sh.filter(col("is_bench")).select(col("doc_id").as("bench_id"), col("sh"))
+    val bench = benchAll.join(
+      benchAll.groupBy("sh").agg(count(lit(1)).as("bdf"))
+        .filter(col("bdf") <= ShingleDfCap).select("sh"),
+      Seq("sh"))
     val train = sh.filter(!col("is_bench")).select(col("doc_id"), col("sh"))
     train.join(bench, Seq("sh"))
       .groupBy("doc_id", "bench_id")
@@ -389,7 +394,11 @@ object Dedup extends QueryModule {
     s"""WITH sh AS (
          SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", DecontamN)}) AS shingle
          FROM (SELECT doc_id, $toks AS toks FROM documents)),
-       b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 7 = 0),
+       b0 AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 7 = 0),
+       b AS (
+         SELECT b0.bench_id, b0.shingle FROM b0 JOIN (
+           SELECT shingle FROM b0 GROUP BY shingle HAVING count(*) <= $ShingleDfCap) g
+           USING (shingle)),
        t AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
        p AS (
          SELECT t.doc_id, b.bench_id, count(*) AS n_shared
