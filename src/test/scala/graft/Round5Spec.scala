@@ -188,6 +188,46 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("q6 predicates are pushed into the parquet scan") {
+    val fmt = Relational.q6Agg(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("PushedFilters"))
+    assert(fmt.contains("LessThan(l_quantity,24"),
+      "quantity filter did not reach the scan")
+    assert(fmt.contains("GreaterThanOrEqual(l_discount,0.05"),
+      "discount band did not reach the scan")
+  }
+
+  test("simhash pairs: ordered, deduplicated, hamming consistent with signatures") {
+    val sig = Dedup.simhash(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val pairs = Dedup.qDedupSimhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
+      val h = java.lang.Long.bitCount(sig(a) ^ sig(b))
+      assert(h === r.getAs[Int]("hamming") && h <= 6)
+    }
+  }
+
+  test("decontamination flags only train-side docs; line-dedup invariants hold") {
+    val flagged = Dedup.qDecontaminate(spark, sfDir).collect()
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 7 !== 0L, "benchmark doc flagged as train")
+      assert(r.getAs[Long]("max_shared") >= Dedup.DecontamMinShared)
+    }
+    val ld = Dedup.qLineDedup(spark, sfDir).collect()
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    ld.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))
+      assert(k >= 0 && k <= n)
+      assert((r.getAs[String]("kept_md5") == emptyMd5) === (k == 0L))
+    }
+  }
+
   test("rows-only ML queries are run-to-run deterministic (seeded)") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq.sorted
