@@ -13,6 +13,7 @@ object Bench {
     "q_sessionize", "q_rollup", "q_percentiles",
     "q_clean_text", "q_clean_english", "q_tokens", "q_dictionary", "q_tfidf",
     "q_lang_id", "q_lang_ngram", "q_quality", "q_quality_rules", "q_lm_score",
+    "q_rep_ngram",
     "q_token_count", "q_fingerprint", "q_corpus_stats", "q_curation",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_line_dedup",

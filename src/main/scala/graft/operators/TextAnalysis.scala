@@ -236,6 +236,43 @@ object TextAnalysis extends QueryModule {
        FROM b WHERE n_toks > 0"""
   }
 
+  /** Gopher's top-2-gram repetition threshold: a document whose most
+    * frequent bigram covers more than this fraction is template/spam. */
+  val RepTopBigramMax = 0.2
+
+  /** q_rep_ngram: top-bigram coverage — the Gopher repetition rule the
+    * distinct-token ratio (q_quality_rules) doesn't catch: looping
+    * templates repeat PHRASES, not single tokens. One explode + two
+    * groupBys (bigram counts per doc, then per-doc max/sum) — the
+    * per-row-quadratic array formulation is deliberately avoided. Docs
+    * with fewer than two tokens have no bigram and are excluded. */
+  def qRepNgram(s: SparkSession, dir: String): DataFrame =
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), explode(TextFns.shingles(col("rtoks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams") <= RepTopBigramMax)
+          .as("rep_ok"))
+
+  private val qRepNgramSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH bg AS (
+         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", 2)}) AS bg
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+       t AS (
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n
+         FROM c GROUP BY doc_id)
+       SELECT doc_id, n_bigrams, top_bigram_n,
+         round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_frac,
+         CAST(top_bigram_n AS DOUBLE) / n_bigrams <= $RepTopBigramMax AS rep_ok
+       FROM t"""
+  }
+
   // PII/noise scrub patterns — RE2-compatible (no lookahead) so the Java
   // and DuckDB regex engines agree literally
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -485,6 +522,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
+    "q_rep_ngram" -> (qRepNgram _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_quality_rules" -> (qQualityRules _),
@@ -500,6 +538,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,
+    "q_rep_ngram" -> qRepNgramSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_quality_rules" -> qQualityRulesSql,
