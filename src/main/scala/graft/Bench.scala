@@ -15,6 +15,7 @@ object Bench {
     "q_lang_id", "q_lang_ngram", "q_quality", "q_quality_rules", "q_lm_score",
     "q_rep_ngram",
     "q_token_count", "q_fingerprint", "q_corpus_stats", "q_curation",
+    "q_curation_full",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_line_dedup",
     "q_dedup_cosine", "q_dedup_cosine_lsh", "q_knn_search", "q_ann_lsh",

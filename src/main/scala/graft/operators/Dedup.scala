@@ -389,7 +389,7 @@ object Dedup extends QueryModule {
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(TextPrep.rawDocs(s, dir), col("doc_id") % 7 === 0)
 
-  private val qDecontaminateSql = {
+  private[operators] val qDecontaminateSql = {
     val toks = TextFns.rawTokensSql("text")
     s"""WITH sh AS (
          SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", DecontamN)}) AS shingle

@@ -469,6 +469,40 @@ object TextAnalysis extends QueryModule {
        FROM qr JOIN surv USING (doc_id) JOIN li USING (doc_id) JOIN tc USING (doc_id)
        WHERE qr.passes AND li.pred_lang = 'en'"""
 
+  /** q_curation_full: the COMPLETE modern training-data funnel — every
+    * gate family this engine implements, composed: Gopher quality rules ∧
+    * top-bigram repetition ∧ unigram-LM surprisal below the corpus p95 ∧
+    * predicted-English ∧ exact-dedup survivor ∧ NOT benchmark-contaminated.
+    * Each gate is a per-doc map/aggregate over the shared cached stages;
+    * composition is hash joins on doc_id plus one anti-join — the shape a
+    * 100 TB curation job actually has. The LM gate is RELATIVE (p95 of the
+    * corpus' own score distribution), so the funnel needs no hand-tuned
+    * absolute threshold at any scale. */
+  def qCurationFull(s: SparkSession, dir: String): DataFrame = {
+    val lm = qLmScore(s, dir).select(col("doc_id"), col("avg_nll"))
+    val p95 = lm.agg(expr("percentile(avg_nll, 0.95)").as("nll_p95"))
+    qCuration(s, dir)
+      .join(qRepNgram(s, dir).filter(col("rep_ok")).select("doc_id"), Seq("doc_id"))
+      .join(lm, Seq("doc_id")).crossJoin(broadcast(p95))
+      .filter(col("avg_nll") <= col("nll_p95"))
+      .join(Dedup.qDecontaminate(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("ws_tokens"))
+  }
+
+  private lazy val qCurationFullSql =
+    s"""WITH cur AS ($qCurationSql),
+       rep AS ($qRepNgramSql),
+       lm AS ($qLmScoreSql),
+       dec AS (${Dedup.qDecontaminateSql}),
+       p95 AS (SELECT quantile_cont(avg_nll, 0.95) AS nll_p95 FROM lm)
+       SELECT cur.doc_id, cur.ws_tokens
+       FROM cur
+       JOIN rep ON cur.doc_id = rep.doc_id AND rep.rep_ok
+       JOIN lm ON cur.doc_id = lm.doc_id
+       CROSS JOIN p95
+       WHERE lm.avg_nll <= p95.nll_p95
+         AND NOT EXISTS (SELECT 1 FROM dec WHERE dec.doc_id = cur.doc_id)"""
+
   /** q_corpus_stats: the dataset-card rollup a training-data pipeline
     * publishes per source — doc count, volume, exact-dup rate, mean
     * quality. FUSED like q_curation: the per-doc quality score is computed
@@ -528,6 +562,7 @@ object TextAnalysis extends QueryModule {
     "q_quality_rules" -> (qQualityRules _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_curation" -> (qCuration _),
+    "q_curation_full" -> (qCurationFull _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -544,6 +579,7 @@ object TextAnalysis extends QueryModule {
     "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_curation" -> qCurationSql,
+    "q_curation_full" -> qCurationFullSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_sample" -> qSampleSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
