@@ -228,6 +228,16 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("full funnel keeps a strict, non-empty subset of the base funnel") {
+    val base = TextAnalysis.qCuration(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val full = TextAnalysis.qCurationFull(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full.nonEmpty)
+    assert(full.subsetOf(base))
+    assert(full.size < base.size, "extra gates (LM p95 trims >=5%) must drop something")
+  }
+
   test("rows-only ML queries are run-to-run deterministic (seeded)") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq.sorted
