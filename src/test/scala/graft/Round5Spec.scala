@@ -228,6 +228,23 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("minhash signatures estimate Jaccard within statistical tolerance") {
+    // for the verified near-dup pairs, the fraction of equal signature
+    // components estimates J: with 128 components, |est - J| has std
+    // sqrt(J(1-J)/128) <= 0.045 — assert a generous 4-sigma band
+    val sig = Dedup.minhashSignatures(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("sig")).toMap
+    val pairs = Dedup.qDedupMinhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y } /
+        Dedup.NumHashes.toDouble
+      val j = r.getAs[Double]("jaccard")
+      assert(math.abs(est - j) < 0.18, s"pair ($a,$b): est $est vs exact $j")
+    }
+  }
+
   test("full funnel keeps a strict, non-empty subset of the base funnel") {
     val base = TextAnalysis.qCuration(spark, sfDir)
       .select("doc_id").as[Long].collect().toSet
