@@ -224,6 +224,38 @@ object Relational extends QueryModule {
        count(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1, 2"""
 
+  /** q_moving_avg: 7-day trailing average of daily revenue per event type —
+    * the windowed-FRAME aggregation shape (ROWS BETWEEN 6 PRECEDING AND
+    * CURRENT ROW). The frame aggregate stays DECIMAL (exact, associative —
+    * identical in any evaluation order/engine) and only the final division
+    * goes through DOUBLE; a double-typed frame sum would be at the mercy of
+    * each engine's accumulation order. */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("sv"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"), col("event_type"),
+      round(col("sv").cast("double"), 4).as("day_value"),
+      round(sum(col("sv")).over(w).cast("double") / count(lit(1)).over(w), 4)
+        .as("avg_7d"))
+  }
+
+  private val qMovingAvgSql =
+    """WITH daily AS (
+         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           sum(CAST(value AS DECIMAL(18,6))) AS sv
+         FROM events GROUP BY 1, 2)
+       SELECT day, event_type,
+         round(CAST(sv AS DOUBLE), 4) AS day_value,
+         round(CAST(sum(sv) OVER w AS DOUBLE) /
+               (count(*) OVER w), 4) AS avg_7d
+       FROM daily
+       WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
   /** JSON-ish props extraction (regex — engine-portable) + modular grouping. */
   def qEventsProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -386,6 +418,7 @@ object Relational extends QueryModule {
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
     "q_window" -> (qWindow _),
+    "q_moving_avg" -> (qMovingAvg _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_props" -> (qEventsProps _),
     "q_antijoin" -> (qAntijoin _),
@@ -403,6 +436,7 @@ object Relational extends QueryModule {
     "q3_join" -> q3Sql,
     "q5_join" -> q5Sql,
     "q_window" -> qWindowSql,
+    "q_moving_avg" -> qMovingAvgSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_props" -> qEventsPropsSql,
     "q_antijoin" -> qAntijoinSql,
