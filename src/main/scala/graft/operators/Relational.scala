@@ -340,6 +340,47 @@ object Relational extends QueryModule {
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events GROUP BY 1"""
 
+  /** q_funnel: view → purchase conversion within 7 days of the FIRST view
+    * — the sequential-funnel shape: per-user min over the entry event, a
+    * conditional min over the follow event restricted to the window, one
+    * global rollup. Two shuffles on user_id + one scalar aggregate; no
+    * self-join of the event stream (the naive formulation). Micros
+    * arithmetic keeps both engines integral; the median delay of
+    * converters is exact-interpolated over a bounded converter set. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val windowUs = 7L * 24 * 3600 * 1000000L
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") > col("t_view") && col("us") <= col("t_view") + windowUs)
+      .groupBy("user_id").agg(min(col("us") - col("t_view")).as("delay_us"))
+    firstView.join(conv, Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_viewers"),
+        count(col("delay_us")).as("n_converted"),
+        round(count(col("delay_us")).cast("double") / count(lit(1)), 6).as("conv_rate"),
+        round(expr("percentile(delay_us, 0.5)") / 1000000.0, 4).as("median_delay_sec"))
+  }
+
+  private val qFunnelSql =
+    """WITH fv AS (
+         SELECT user_id, min(epoch_us(ts)) AS t_view
+         FROM events WHERE event_type = 'view' GROUP BY user_id),
+       conv AS (
+         SELECT e.user_id, min(epoch_us(e.ts) - fv.t_view) AS delay_us
+         FROM events e JOIN fv ON e.user_id = fv.user_id
+         WHERE e.event_type = 'purchase'
+           AND epoch_us(e.ts) > fv.t_view
+           AND epoch_us(e.ts) <= fv.t_view + CAST(604800000000 AS BIGINT)
+         GROUP BY e.user_id)
+       SELECT count(*) AS n_viewers,
+         CAST(count(conv.delay_us) AS BIGINT) AS n_converted,
+         round(CAST(count(conv.delay_us) AS DOUBLE) / count(*), 6) AS conv_rate,
+         round(quantile_cont(conv.delay_us, 0.5) / 1000000.0, 4) AS median_delay_sec
+       FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id"""
+
   /** Cohort retention: users grouped by first-seen day, distinct active
     * users per (cohort, day offset). Three shuffles — (user, day) distinct,
     * first-day agg, cohort rollup — all on bounded keys. */
@@ -427,7 +468,8 @@ object Relational extends QueryModule {
     "q_percentiles" -> (qPercentiles _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_events_json" -> (qEventsJson _),
-    "q_retention" -> (qRetention _))
+    "q_retention" -> (qRetention _),
+    "q_funnel" -> (qFunnel _))
 
   override def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -444,5 +486,6 @@ object Relational extends QueryModule {
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,
     "q_events_json" -> qEventsJsonSql,
-    "q_retention" -> qRetentionSql)
+    "q_retention" -> qRetentionSql,
+    "q_funnel" -> qFunnelSql)
 }
