@@ -62,10 +62,15 @@ object Dedup extends QueryModule {
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val capped = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
-        .filter(col("sdf") <= ShingleDfCap).select("sh"),
-      Seq("sh"))
+    // the df-capped posting feeds BOTH sides of the pair self-join — a
+    // twice-referenced subtree is computed twice unless materialized
+    val capped = graft.ModelCache.getOrElseUpdate(s, s"dedup.capped:$dir") {
+      sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") <= ShingleDfCap).select("sh"),
+        Seq("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
