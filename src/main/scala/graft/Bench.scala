@@ -20,7 +20,10 @@ object Bench {
     "q_decontaminate", "q_line_dedup",
     "q_dedup_cosine", "q_dedup_cosine_lsh", "q_knn_search", "q_ann_lsh",
     "q_embed_quant", "q_eval_metrics", "q_concept_docs",
-    "q_multimodal_frames")
+    "q_multimodal", "q_multimodal_frames",
+    "q_events_json", "q_events_props", "q_antijoin", "q_retention",
+    "q_jaro_winkler", "q_gold_standard", "q_nquads_parse",
+    "q_sample", "q_sample_stratified", "q_percentiles_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -42,11 +42,12 @@ object Dedup extends QueryModule {
     * (several-fold less shuffle volume; the sql-oracle hash-gate on
     * q_dedup_jaccard proves pair identity is preserved — a 64-bit collision
     * within one corpus is ~n²/2⁶⁵, vanishing even at 10¹⁰ shingles).
-    * Memoized + persisted: the Jaccard query alone consumes this subtree
-    * from SIX positions (posting cap, both join sides, both size lookups) —
-    * 12 rescans of the corpus without materialization. MEMORY_AND_DISK is
-    * the honest 100 TB posture too: a shared stage this hot is materialized
-    * once (cache or checkpoint), never recomputed per consumer. */
+    * Memoized + persisted: the Jaccard query, the minhash verify stage
+    * and the per-doc size lookups all consume this subtree (and the
+    * df-capped posting derived from it is persisted separately below).
+    * MEMORY_AND_DISK is the honest 100 TB posture too: a shared stage
+    * this hot is materialized once (cache or checkpoint), never
+    * recomputed per consumer. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"dedup.shingles:$dir") {
       TextPrep.rawDocs(s, dir)
