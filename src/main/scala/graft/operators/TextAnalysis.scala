@@ -137,11 +137,16 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("n_chars_m"), col("n_toks"),
         round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
         round(col("tok_chars").cast("double") / col("n_toks"), 6).as("avg_tok_len"),
-        round(
+        // floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the three-term sum
+        // can land exactly on a .5 rounding boundary, where Spark's
+        // BigDecimal HALF_UP and DuckDB's rint disagree on the same double;
+        // floor runs the identical IEEE sequence in both engines (the
+        // q_embed_quant trick)
+        (floor((
           least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
             (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
-            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3,
-          6).as("quality"))
+            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
+          ) * 1000000.0 + 0.5) / 1000000.0).as("quality"))
   }
 
   private val qQualitySql = {
@@ -155,11 +160,11 @@ object TextAnalysis extends QueryModule {
        SELECT doc_id, n_chars_m, n_toks,
          round(CAST(n_stop AS DOUBLE) / n_toks, 6) AS stop_ratio,
          round(CAST(tok_chars AS DOUBLE) / n_toks, 6) AS avg_tok_len,
-         round(
+         floor((
            least(CAST(n_toks AS DOUBLE) / 50.0, 1.0) * 0.4 +
            (1.0 - CAST(n_stop AS DOUBLE) / n_toks) * 0.3 +
-           least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0) * 0.3,
-         6) AS quality
+           least((CAST(tok_chars AS DOUBLE) / n_toks) / 8.0, 1.0) * 0.3
+         ) * 1000000 + 0.5) / 1000000 AS quality
        FROM b WHERE n_toks > 0"""
   }
 
@@ -522,11 +527,11 @@ object TextAnalysis extends QueryModule {
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
       .filter(col("n_toks") > 0)
       .select(col("source"), col("n_chars"), col("h"),
-        round(
+        (floor((
           least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
             (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
-            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3,
-          6).as("quality"))
+            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
+          ) * 1000000.0 + 0.5) / 1000000.0).as("quality"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
