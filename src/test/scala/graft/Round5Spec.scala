@@ -228,6 +228,23 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("funnel and moving-average invariants") {
+    val f = Relational.qFunnel(spark, sfDir).collect().head
+    val (viewers, converted) = (f.getAs[Long]("n_viewers"), f.getAs[Long]("n_converted"))
+    assert(viewers > 0 && converted >= 0 && converted <= viewers)
+    val rate = f.getAs[Double]("conv_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+    if (converted > 0) assert(f.getAs[Double]("median_delay_sec") > 0.0)
+    val ma = Relational.qMovingAvg(spark, sfDir).collect()
+    assert(ma.nonEmpty)
+    ma.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val byDay = rows.sortBy(_.getAs[String]("day"))
+      // a trailing average over 1..7 days stays within the min/max of the
+      // contributing daily values — check the first row (frame = itself)
+      assert(byDay.head.getAs[Double]("avg_7d") === byDay.head.getAs[Double]("day_value"))
+    }
+  }
+
   test("minhash signatures estimate Jaccard within statistical tolerance") {
     // for the verified near-dup pairs, the fraction of equal signature
     // components estimates J: with 128 components, |est - J| has std
