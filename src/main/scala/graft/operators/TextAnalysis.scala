@@ -123,6 +123,19 @@ object TextAnalysis extends QueryModule {
               ELSE 'und' END AS pred_lang
        FROM sc"""
 
+  /** The composite quality score over (n_toks, n_stop, tok_chars) columns.
+    * floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the three-term sum can
+    * land exactly on a .5 rounding boundary, where Spark's BigDecimal
+    * HALF_UP and DuckDB's rint disagree on the same double; floor runs the
+    * identical IEEE sequence in both engines (the q_embed_quant trick).
+    * ONE definition shared by q_quality and the fused corpus-stats plan. */
+  private def qualityExpr: Column =
+    floor((
+      least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
+        least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
+      ) * 1000000.0 + 0.5) / 1000000.0
+
   /** q_quality: length / stopword-ratio / mean-word-length quality score.
     * All ratios are double divisions of exact integers — engine-identical. */
   def qQuality(s: SparkSession, dir: String): DataFrame = {
@@ -137,16 +150,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("n_chars_m"), col("n_toks"),
         round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
         round(col("tok_chars").cast("double") / col("n_toks"), 6).as("avg_tok_len"),
-        // floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the three-term sum
-        // can land exactly on a .5 rounding boundary, where Spark's
-        // BigDecimal HALF_UP and DuckDB's rint disagree on the same double;
-        // floor runs the identical IEEE sequence in both engines (the
-        // q_embed_quant trick)
-        (floor((
-          least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
-            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
-          ) * 1000000.0 + 0.5) / 1000000.0).as("quality"))
+        qualityExpr.as("quality"))
   }
 
   private val qQualitySql = {
@@ -526,12 +530,7 @@ object TextAnalysis extends QueryModule {
         size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
       .filter(col("n_toks") > 0)
-      .select(col("source"), col("n_chars"), col("h"),
-        (floor((
-          least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.3 +
-            least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
-          ) * 1000000.0 + 0.5) / 1000000.0).as("quality"))
+      .select(col("source"), col("n_chars"), col("h"), qualityExpr.as("quality"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
