@@ -201,10 +201,20 @@ object TextAnalysis extends QueryModule {
         CAST(len(${TextFns.cleanTokensSql("text")}) AS INT) AS n_toks
         FROM documents"""
 
+  // The four Gopher gates over (n_toks, tok_chars, n_distinct, n_stop)
+  // stat columns — ONE definition shared by q_quality_rules and the fused
+  // curation plan. All comparisons are on exact integer ratios, so the
+  // booleans are engine-identical.
+  private def lenOk: Column = col("n_toks") >= 10 && col("n_toks") <= 100000
+  private def wordlenOk: Column =
+    col("tok_chars").cast("double") / col("n_toks") >= 3.0 &&
+      col("tok_chars").cast("double") / col("n_toks") <= 10.0
+  private def repOk: Column = col("n_distinct").cast("double") / col("n_toks") > 0.3
+  private def stopOk: Column = col("n_stop") >= 2
+
   /** q_quality_rules: Gopher-style boolean quality gates per document —
     * length window, mean-word-length window, repetition (distinct-token
-    * ratio), stopword presence — plus the conjunction. All comparisons are
-    * on exact integer ratios, so the booleans are engine-identical. */
+    * ratio), stopword presence — plus the conjunction. */
   def qQualityRules(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     TextPrep.rawDocs(s, dir)
@@ -215,11 +225,8 @@ object TextAnalysis extends QueryModule {
         size(filter(toks, t => t.isin(TextFns.Stopwords: _*))).as("n_stop"))
       .filter(col("n_toks") > 0)
       .select(col("doc_id"), col("n_toks"),
-        (col("n_toks") >= 10 && col("n_toks") <= 100000).as("len_ok"),
-        (col("tok_chars").cast("double") / col("n_toks") >= 3.0 &&
-          col("tok_chars").cast("double") / col("n_toks") <= 10.0).as("wordlen_ok"),
-        (col("n_distinct").cast("double") / col("n_toks") > 0.3).as("rep_ok"),
-        (col("n_stop") >= 2).as("stop_ok"))
+        lenOk.as("len_ok"), wordlenOk.as("wordlen_ok"),
+        repOk.as("rep_ok"), stopOk.as("stop_ok"))
       .withColumn("passes",
         col("len_ok") && col("wordlen_ok") && col("rep_ok") && col("stop_ok"))
   }
@@ -458,13 +465,8 @@ object TextAnalysis extends QueryModule {
         score(toks, EsMarkers).as("es_s"), score(toks, FrMarkers).as("fr_s"),
         min(col("doc_id")).over(w).as("survivor_id"))
       .filter(col("n_toks") > 0 &&
-        col("n_toks") >= 10 && col("n_toks") <= 100000 &&
-        col("tok_chars").cast("double") / col("n_toks") >= 3.0 &&
-        col("tok_chars").cast("double") / col("n_toks") <= 10.0 &&
-        col("n_distinct").cast("double") / col("n_toks") > 0.3 &&
-        col("n_stop") >= 2 &&
-        col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
-        col("en_s") >= col("fr_s") && col("en_s") > 0 &&
+        lenOk && wordlenOk && repOk && stopOk &&
+        argmaxLang === "en" &&
         col("doc_id") === col("survivor_id"))
       .select(col("doc_id"), col("n_toks").as("ws_tokens"))
   }
