@@ -35,7 +35,9 @@ object Bench {
     // test, so map-only queries would be timed as empty scans. n=3 reps,
     // median: single-shot numbers at this scale carry ±2× JIT/IO noise.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = Headline.filter(qs.contains).map { name =>
+    // Optional comma-separated subset for local iteration (driver leaves unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = Headline.filter(qs.contains).filter(n => only.forall(_.contains(n))).map { name =>
       val times = (1 to reps).flatMap { _ =>
         try {
           val t0 = System.nanoTime()

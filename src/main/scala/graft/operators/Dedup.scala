@@ -63,19 +63,23 @@ object Dedup extends QueryModule {
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // the df-capped posting feeds BOTH sides of the pair self-join — a
-    // twice-referenced subtree is computed twice unless materialized
+    // Grouped df-capped posting lists (one row per shingle). The df cap is
+    // enforced with a count + semi-join BEFORE collect_list so the agg
+    // buffer is bounded by the cap even against viral shingles — then the
+    // i<j pair stream is expanded inline (graft.functions.Pairs): one
+    // shuffle and a projection where the old formulation sort-merge-joined
+    // the posting against itself.
     val capped = graft.ModelCache.getOrElseUpdate(s, s"dedup.capped:$dir") {
       sh.join(
         sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
-          .filter(col("sdf") <= ShingleDfCap).select("sh"),
+          .filter(col("sdf") <= ShingleDfCap && col("sdf") >= 2).select("sh"),
         Seq("sh"))
+        .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = capped
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     // sizes is one row PER DOCUMENT — never broadcast it; a shuffle join on
     // the pair keys is the plan that survives 100 TB (same as exactJaccardOf).
@@ -146,10 +150,11 @@ object Dedup extends QueryModule {
   def qDedupCosineLsh(s: SparkSession, dir: String): DataFrame = {
     val posted = SimilaritySearch.postedBuckets(s, dir)
       .select("vec_id", "tbl", "bucket")
-    val cand = posted.as("a").join(posted.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = posted.groupBy("tbl", "bucket")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
       .distinct()
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -209,10 +214,13 @@ object Dedup extends QueryModule {
               .map(i => col("sig")(i)): _*).as("key"))
         }: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // band buckets → inline pair expansion (identical pair stream to the
+      // old band self-join, one shuffle instead of a sort-merge join);
+      // bucket width is bounded by the duplicate-cluster size
+      bands.groupBy("band", "key").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -265,11 +273,12 @@ object Dedup extends QueryModule {
         struct(lit(b).as("band"),
           expr(s"(simhash >> ${b * 16}) & 65535").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    bands.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
   }
