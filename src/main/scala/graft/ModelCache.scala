@@ -33,7 +33,9 @@ object ModelCache {
     ids.computeIfAbsent(s, _ => s"s${nextId.incrementAndGet()}")
   }
 
-  /** Memoize `f` under `key`, scoped to `s` (see class doc). */
+  /** Memoize `f` under `key`, scoped to `s` (see class doc). Two racing
+    * first calls may both evaluate `f`; the loser's value is unpersisted
+    * so no orphaned persisted DataFrame stays pinned in the block manager. */
   def getOrElseUpdate[T](s: SparkSession, key: String)(f: => T): T = {
     val prefix = sessionToken(s)
     if (hooked.putIfAbsent(prefix, true).isEmpty) {
@@ -42,14 +44,41 @@ object ModelCache {
           evict(prefix)
       })
     }
-    cache.getOrElseUpdate(s"$prefix#$key", f).asInstanceOf[T]
+    val full = s"$prefix#$key"
+    cache.get(full) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = f
+        cache.putIfAbsent(full, v) match {
+          case Some(winner) => unpersistAll(v); winner.asInstanceOf[T]
+          case None => v
+        }
+    }
   }
 
-  /** Drop every entry owned by the session with this token. */
+  /** Release block-manager storage held by a cached value: a persisted
+    * Dataset, or a tuple/case class carrying persisted Datasets. Models
+    * and plain values are untouched. Best-effort — eviction also runs
+    * while the owning context is shutting down. */
+  private def unpersistAll(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      try ds.unpersist() catch { case _: Throwable => () }
+    case p: Product => p.productIterator.foreach(unpersistAll)
+    case _ => ()
+  }
+
+  /** Drop every entry owned by the session with this token, unpersisting
+    * what it held — a long-lived JVM whose logical sessions come and go
+    * must not accumulate dead sessions' corpora in the block manager. */
   def evict(token: String): Unit = {
-    cache.keysIterator.filter(_.startsWith(token + "#")).foreach(cache.remove)
+    cache.keysIterator.filter(_.startsWith(token + "#")).foreach { k =>
+      cache.remove(k).foreach(unpersistAll)
+    }
     hooked.remove(token)
   }
 
-  def clear(): Unit = { cache.clear(); hooked.clear() }
+  def clear(): Unit = {
+    cache.keysIterator.foreach(k => cache.remove(k).foreach(unpersistAll))
+    hooked.clear()
+  }
 }

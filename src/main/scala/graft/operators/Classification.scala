@@ -155,8 +155,6 @@ object Classification extends QueryModule {
       .join(tr.select(col("t_id"), col("fv").as("tv"), col("ty")), Seq("t_id"))
       .select(col("q_id"), col("y"), col("ty"),
         SimilaritySearch.cosine(col("qv"), col("tv")).as("cos"), col("t_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("t_id").asc)
     val votes = voteOf(scored)
     val majority = tr.groupBy("ty").count()
       .orderBy(col("count").desc, col("ty").asc).head().getDouble(0)

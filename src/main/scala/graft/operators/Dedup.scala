@@ -26,9 +26,11 @@ object Dedup extends QueryModule {
     * O(df²) candidate pairs and carry no dedup signal — standard trick. */
   val ShingleDfCap = 100
 
-  /** q_dedup_exact: content-hash groupBy, min-id survivor. */
+  /** q_dedup_exact: content-hash groupBy, min-id survivor. Reads the bare
+    * table, not the tokenized rawDocs stage — it never touches rtoks, so
+    * it must not pay (or pin) corpus-wide tokenization. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    TextPrep.rawDocs(s, dir)
+    Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
 

@@ -312,7 +312,7 @@ object TextAnalysis extends QueryModule {
     * synthetic corpus carries no PII, so the query proves the zero case;
     * the fixture spec proves each pattern fires). */
   def qPiiScrub(s: SparkSession, dir: String): DataFrame =
-    piiScrub(TextPrep.rawDocs(s, dir).select("doc_id", "text"))
+    piiScrub(graft.sources.Tables.documents(s, dir).select("doc_id", "text"))
 
   private val qPiiScrubSql =
     s"""SELECT doc_id,
@@ -497,6 +497,11 @@ object TextAnalysis extends QueryModule {
       .join(lm, Seq("doc_id")).crossJoin(broadcast(p95))
       .filter(col("avg_nll") <= col("nll_p95"))
       .join(Dedup.qDecontaminate(s, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      // the held-out benchmark partition (doc_id % 7 = 0) is itself not
+      // training data: decontamination only flags TRAINING docs that copy
+      // bench text, so bench rows would otherwise sail through the
+      // anti-join and leak verbatim eval text into the curated corpus
+      .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), col("ws_tokens"))
   }
 
@@ -512,6 +517,7 @@ object TextAnalysis extends QueryModule {
        JOIN lm ON cur.doc_id = lm.doc_id
        CROSS JOIN p95
        WHERE lm.avg_nll <= p95.nll_p95
+         AND cur.doc_id % 7 <> 0
          AND NOT EXISTS (SELECT 1 FROM dec WHERE dec.doc_id = cur.doc_id)"""
 
   /** q_corpus_stats: the dataset-card rollup a training-data pipeline

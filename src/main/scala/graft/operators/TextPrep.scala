@@ -249,7 +249,7 @@ object TextPrep extends QueryModule {
     * `source` (≈ WebIsALOD concept), order-stable concatenation. The md5 of
     * the concatenation is the compared value — content-exact. */
   def qConceptDocs(s: SparkSession, dir: String): DataFrame =
-    rawDocs(s, dir)
+    Tables.documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),

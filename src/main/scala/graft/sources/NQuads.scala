@@ -45,7 +45,7 @@ object NQuads extends QueryModule {
     * The oracle constructs the EXPECTED fields directly from the columns, so
     * any parser defect breaks the hash match. */
   def qNquadsParse(s: SparkSession, dir: String): DataFrame = {
-    val lines = toLines(graft.operators.TextPrep.rawDocs(s, dir))
+    val lines = toLines(Tables.documents(s, dir))
     parseLine(col("line"))(lines)
       .select(col("subject"), col("predicate"), col("obj"), col("graph"),
         regexp_replace(col("subject"), "^" + ConceptPrefix, "").as("concept"))

@@ -20,6 +20,19 @@ class ModelCacheSpec extends SparkSpec {
     ModelCache.evict(ModelCache.sessionToken(s2))
   }
 
+  test("evict unpersists cached DataFrames, including inside tuples") {
+    import org.apache.spark.storage.StorageLevel
+    val df1 = spark.range(10).toDF("n").persist(StorageLevel.MEMORY_AND_DISK)
+    val df2 = spark.range(5).toDF("m").persist(StorageLevel.MEMORY_AND_DISK)
+    ModelCache.getOrElseUpdate(spark, "spec.unpersist.df")(df1)
+    ModelCache.getOrElseUpdate(spark, "spec.unpersist.tup")((df2, "model"))
+    df1.count(); df2.count()
+    assert(df1.storageLevel !== StorageLevel.NONE)
+    ModelCache.evict(ModelCache.sessionToken(spark))
+    assert(df1.storageLevel === StorageLevel.NONE)
+    assert(df2.storageLevel === StorageLevel.NONE)
+  }
+
   test("evict drops only the named session's entries") {
     val s1 = spark
     val s2 = spark.newSession()
