@@ -285,6 +285,73 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= 6)
   }
 
+  // ---------------- Duplicate-cluster assembly ----------------
+
+  /** Connected components over an undirected edge list `(a, b)` by
+    * iterative min-label propagation: every node starts as its own label;
+    * each round takes the min of its own and its neighbors' labels until a
+    * fixpoint. Converges in O(component diameter) rounds — near-dup
+    * graphs are unions of near-cliques, so a handful in practice, with
+    * `maxIter` as the backstop.
+    *
+    * Scale shape: each round is one equi-join + one groupBy(min) on the
+    * node id, with the frontier persisted and the previous one released;
+    * the only thing that ever reaches the driver is the changed-row COUNT
+    * (the convergence test). This is the standard large-scale dedup
+    * clustering step (a pair list alone doesn't say which docs to drop —
+    * the cluster id does: keep min(doc_id) per cluster, drop the rest). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(lvl)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q_dedup_clusters: duplicate CLUSTERS from the exact-Jaccard pair
+    * graph — the operator that turns pairwise near-dup hits into a
+    * per-doc cluster assignment (cluster id = min doc_id reachable).
+    * Hash-gated against a DuckDB recursive-CTE transitive closure. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+  private val qDedupClustersSql =
+    s"""WITH RECURSIVE
+       pr AS ($qDedupJaccardSql),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pr
+         UNION ALL SELECT doc_b, doc_a FROM pr),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       walk(id, root) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id)
+       SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+       FROM walk GROUP BY id"""
+
   // ---------------- Line-level dedup (C4-style) ----------------
 
   /** A line seen in more than this many distinct documents is boilerplate
@@ -434,12 +501,14 @@ object Dedup extends QueryModule {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_line_dedup" -> (qLineDedup _))
+    "q_line_dedup" -> (qLineDedup _),
+    "q_dedup_clusters" -> (qDedupClusters _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
-    "q_line_dedup" -> qLineDedupSql)
+    "q_line_dedup" -> qLineDedupSql,
+    "q_dedup_clusters" -> qDedupClustersSql)
 }

