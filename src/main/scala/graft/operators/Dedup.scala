@@ -305,24 +305,25 @@ object Dedup extends QueryModule {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(lvl)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    // seed = round one, join-free: min of self and direct neighbors
+    var labels = sym.groupBy(col("a").as("id")).agg(min(col("b")).as("mb"))
+      .select(col("id"), least(col("id"), col("mb")).as("label"))
+      .persist(lvl)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
+      // `prev` is aliased BEFORE the new `label`: a lateral alias named
+      // `label` later in the same select would shadow the input column
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist(lvl)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      converged = next.filter(col("label") =!= col("prev")).limit(1).count() == 0
       labels.unpersist()
-      labels = next
-      converged = changed == 0
+      labels = next.select("id", "label")
       i += 1
     }
     sym.unpersist()
