@@ -481,6 +481,71 @@ object Relational extends QueryModule {
        SELECT p.event_id, p.user_id, CAST(coalesce(j.n, 0) AS BIGINT) AS n_clicks
        FROM p LEFT JOIN j USING (event_id)"""
 
+  /** The closed event-type vocabulary (pivot columns). Passing explicit
+    * values to pivot() skips the extra distinct-values pass — at scale the
+    * column vocabulary must be known or bounded anyway. */
+  val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** q_pivot: daily event counts pivoted to one column per event type —
+    * the long-to-wide reshape. One groupBy(day) shuffle; the pivot is a
+    * conditional aggregate per type, no join, no second pass. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+
+  private val qPivotSql = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(", ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, $cols
+       FROM events GROUP BY 1"""
+  }
+
+  /** q_anomaly: z-score outlier days per event type over daily value
+    * totals. Determinism discipline: daily totals and their squares are
+    * summed as exact DECIMALs (double summation is order-dependent —
+    * never hash-gate it), then mean/variance/z are double arithmetic over
+    * those exactly-equal inputs; sqrt is IEEE-correctly-rounded in both
+    * engines. Two bounded shuffles (event_type×day, then event_type). */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val stats = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("tot")).cast("double").as("s"),
+        sum(col("tot") * col("tot")).cast("double").as("ss"))
+      .filter(col("n") >= 2)
+    daily.join(stats, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("tot").cast("double").as("totd"),
+        ((col("tot").cast("double") - col("s") / col("n")) /
+          sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))).as("z"))
+      .filter(abs(col("z")) >= lit(2.0))
+      .select(col("event_type"), col("day"), col("totd").as("tot"),
+        (floor(col("z") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("z"))
+  }
+
+  private val qAnomalySql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, count(*) AS n,
+           CAST(sum(tot) AS DOUBLE) AS s,
+           CAST(sum(tot * tot) AS DOUBLE) AS ss
+         FROM daily GROUP BY 1 HAVING count(*) >= 2)
+       SELECT d.event_type, d.day, CAST(d.tot AS DOUBLE) AS tot,
+         floor(((CAST(d.tot AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1)))
+           * 1000000.0 + 0.5) / 1000000.0 AS z
+       FROM daily d JOIN st USING (event_type)
+       WHERE abs((CAST(d.tot AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1))) >= 2.0"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -542,6 +607,8 @@ object Relational extends QueryModule {
     "q_antijoin" -> (qAntijoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_anomaly" -> (qAnomaly _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -563,6 +630,8 @@ object Relational extends QueryModule {
     "q_antijoin" -> qAntijoinSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_pivot" -> qPivotSql,
+    "q_anomaly" -> qAnomalySql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

@@ -51,6 +51,24 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"))
 
+  /** Stream-stream interval join — the streaming twin of the batch range
+    * join (Relational.qRangeJoin): purchases matched to the same user's
+    * clicks from the preceding 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event time on BOTH ends, so the state store
+    * retains each side only for the interval plus the watermark delay —
+    * bounded state on an unbounded stream. */
+  def clicksBeforePurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("event_id"), p("user_id").as("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

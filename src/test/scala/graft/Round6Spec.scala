@@ -81,6 +81,48 @@ class Round6Spec extends SparkSpec {
     assert(mismatch === 0)
   }
 
+  // ---------------- plan shapes ----------------
+
+  test("temporal joins never degrade to nested-loop or cartesian plans") {
+    for (df <- Seq(Relational.qAsofJoin(spark, sfDir), Relational.qRangeJoin(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+    // the as-of join is join-free by construction: one window over the
+    // unioned streams, no join operator at all
+    val asofPlan = Relational.qAsofJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"), asofPlan.linesIterator.take(5).mkString("\n"))
+  }
+
+  // ---------------- pivot & anomaly ----------------
+
+  test("pivot preserves mass: per-day column sums equal the event total") {
+    val out = Relational.qPivot(spark, sfDir)
+    val total = Relational.EventTypes
+      .map(t => out.agg(sum(col(t))).head().getLong(0)).sum
+    assert(total === graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("anomaly query flags exactly the |z| >= 2 days of the naive computation") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).cast("double").as("tot"))
+    // naive two-pass z-score (population of daily totals per type)
+    val st = daily.groupBy("event_type")
+      .agg(avg(col("tot")).as("m"), stddev_samp(col("tot")).as("sd"), count(lit(1)).as("n"))
+    val naive = daily.join(st, Seq("event_type"))
+      .filter(col("n") >= 2 && col("sd") > 0)
+      .withColumn("z", (col("tot") - col("m")) / col("sd"))
+      .filter(abs(col("z")) >= 2.0 - 1e-9)
+    val out = Relational.qAnomaly(spark, sfDir)
+    // same flagged (type, day) set up to fp noise at the threshold
+    val extra = out.select("event_type", "day")
+      .except(naive.select("event_type", "day")).count()
+    assert(extra === 0)
+  }
+
   // ---------------- BM25 ----------------
 
   test("BM25 scores rank term-bearing docs and respect tf monotonicity") {

@@ -113,6 +113,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks in the preceding 30 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStream.clicksBeforePurchase(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L), // 10 min before: match
+        (Timestamp.valueOf("2024-01-01 09:30:00"), 1L), // 40 min before: out of range
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L)) // other user
+      purchases.addData((Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 100L))
+      q.processAllAvailable()
+      val out = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Timestamp]("c_ts"))).toSet
+      assert(out === Set((100L, Timestamp.valueOf("2024-01-01 10:00:00"))))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
