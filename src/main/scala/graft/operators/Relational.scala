@@ -546,6 +546,62 @@ object Relational extends QueryModule {
        FROM daily d JOIN st USING (event_type)
        WHERE abs((CAST(d.tot AS DOUBLE) - s / n) / sqrt((ss - s * s / n) / (n - 1))) >= 2.0"""
 
+  /** q_ntile: customer spend deciles — exact global ntile WITHOUT the
+    * single-partition window (`Window.orderBy` with no partition key is
+    * the canonical scale-killer): range-repartition parallel sort +
+    * per-partition offsets assign the global row number (functions.Ranks),
+    * then the SQL ntile bucket rule is a pure expression over (rn, N).
+    * Decimal-exact spend totals; the oracle uses the builtin ntile. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      totals, col("total").desc, col("o_custkey").asc)
+    ranked
+      .crossJoin(broadcast(totals.agg(count(lit(1)).as("N"))))
+      .withColumn("decile", graft.functions.Ranks.ntileOf(col("rn"), col("N"), 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("total")).cast("double").as("top_total"),
+        sum(col("total")).cast("double").as("sum_total"))
+  }
+
+  private val qNtileSql =
+    """WITH t AS (
+         SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders GROUP BY o_custkey),
+       r AS (
+         SELECT o_custkey, total,
+           ntile(10) OVER (ORDER BY total DESC, o_custkey ASC) AS decile
+         FROM t)
+       SELECT decile, count(*) AS n_customers,
+         CAST(max(total) AS DOUBLE) AS top_total,
+         CAST(sum(total) AS DOUBLE) AS sum_total
+       FROM r GROUP BY decile"""
+
+  /** q_compact: CDC latest-record-wins compaction — the upsert-view shape:
+    * one row per (user_id, event_type) key, the newest event by (ts,
+    * event_id) wins. One shuffle on the key; at scale this is the
+    * compaction pass a merge-on-read table format runs continuously. */
+  def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+  }
+
+  private val qCompactSql =
+    """SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rk
+             FROM events)
+       WHERE rk = 1"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -609,6 +665,8 @@ object Relational extends QueryModule {
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
     "q_anomaly" -> (qAnomaly _),
+    "q_ntile" -> (qNtile _),
+    "q_compact" -> (qCompact _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -632,6 +690,8 @@ object Relational extends QueryModule {
     "q_range_join" -> qRangeJoinSql,
     "q_pivot" -> qPivotSql,
     "q_anomaly" -> qAnomalySql,
+    "q_ntile" -> qNtileSql,
+    "q_compact" -> qCompactSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

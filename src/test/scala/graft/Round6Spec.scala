@@ -123,6 +123,38 @@ class Round6Spec extends SparkSpec {
     assert(extra === 0)
   }
 
+  // ---------------- global ranking / compaction ----------------
+
+  test("distributed global ntile equals the builtin single-partition ntile") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 23 rows / 10 buckets: total % k != 0 exercises the wider-first-buckets rule
+    val df = (1 to 23).map(i => (i.toLong, (i * 37 % 23).toLong)).toDF("id", "v")
+    val viaLib = graft.functions.Ranks
+      .globalRowNumber(df, col("v").desc, col("id").asc)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("N"))))
+      .select(col("id"), graft.functions.Ranks.ntileOf(col("rn"), col("N"), 10).as("b"))
+    val viaWindow = df.select(col("id"),
+      ntile(10).over(Window.orderBy(col("v").desc, col("id").asc)).as("b"))
+    assert(viaLib.except(viaWindow).count() === 0 && viaWindow.except(viaLib).count() === 0)
+    // and the lib plan contains no single-partition window exchange
+    val plan = viaLib.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("compaction keeps exactly one newest row per key") {
+    val out = Relational.qCompact(spark, sfDir)
+    val keys = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === keys)
+    // the kept ts is the key's max ts
+    val maxTs = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(max(unix_micros(col("ts"))).as("max_us"))
+    assert(out.join(maxTs, Seq("user_id", "event_type"))
+      .filter(col("us") =!= col("max_us")).count() === 0)
+  }
+
   // ---------------- BM25 ----------------
 
   test("BM25 scores rank term-bearing docs and respect tf monotonicity") {
