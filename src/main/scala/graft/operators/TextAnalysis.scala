@@ -629,8 +629,71 @@ object TextAnalysis extends QueryModule {
        ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK"""
   }
 
+  /** Minimum observed cell count for a (token, source) pair to be scored
+    * (the classic χ² small-cell guard). */
+  val ChisqMinCell = 5
+  val ChisqTopK = 50
+
+  /** q_chisq: χ² association between tokens and sources — the
+    * feature-selection / domain-signature scorer (which words mark which
+    * domain) a corpus-mixing pipeline uses for domain classifiers. Doc-level
+    * presence (one explode of per-doc distinct tokens), three bounded
+    * aggregates (per-source, per-token, per-cell), one vocabulary-keyed
+    * join + one broadcast of the source marginals; the 2×2 statistic is a
+    * pure expression over exact integer counts, so both engines compute
+    * identical doubles (at extreme corpus sizes the products approach
+    * 2^53 and the statistic should move to log-space). */
+  def qChisq(s: SparkSession, dir: String): DataFrame =
+    chisqOf(TextPrep.rawDocs(s, dir).select(col("doc_id"), col("source"), col("rtoks")))
+
+  /** χ² core over (doc_id, source, rtoks) rows — see [[qChisq]]. */
+  def chisqOf(docs: DataFrame): DataFrame = {
+    val pres = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(col("rtoks"))).as("tok"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val byTok = pres.groupBy("tok").agg(count(lit(1)).as("nt"))
+    val cell = pres.groupBy("tok", "source").agg(count(lit(1)).as("a"))
+    val aD = col("a").cast("double")
+    val bD = (col("nt") - col("a")).cast("double")
+    val cD = (col("ns") - col("a")).cast("double")
+    val dD = (col("nd") - col("nt") - col("ns") + col("a")).cast("double")
+    val nD = col("nd").cast("double")
+    val chi2 = nD * ((aD * dD - bD * cD) * (aD * dD - bD * cD)) /
+      ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD))
+    cell.join(byTok, Seq("tok"))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(n))
+      .filter(col("nt") < col("nd") && col("ns") < col("nd") &&
+        col("a") >= ChisqMinCell)
+      .select(col("tok"), col("source"),
+        (floor(chi2 * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("chi2"))
+      .orderBy(col("chi2").desc, col("tok").asc, col("source").asc)
+      .limit(ChisqTopK)
+  }
+
+  private val qChisqSql = {
+    val t = TextFns.rawTokensSql("text")
+    val chi2 = "CAST(nd AS DOUBLE) * " +
+      "((CAST(a AS DOUBLE) * CAST(nd - nt - ns + a AS DOUBLE) - CAST(nt - a AS DOUBLE) * CAST(ns - a AS DOUBLE)) * " +
+      " (CAST(a AS DOUBLE) * CAST(nd - nt - ns + a AS DOUBLE) - CAST(nt - a AS DOUBLE) * CAST(ns - a AS DOUBLE))) / " +
+      "((CAST(a AS DOUBLE) + CAST(nt - a AS DOUBLE)) * (CAST(ns - a AS DOUBLE) + CAST(nd - nt - ns + a AS DOUBLE)) * " +
+      " (CAST(a AS DOUBLE) + CAST(ns - a AS DOUBLE)) * (CAST(nt - a AS DOUBLE) + CAST(nd - nt - ns + a AS DOUBLE)))"
+    s"""WITH d AS (SELECT doc_id, source, $t AS toks FROM documents),
+       pres AS (SELECT DISTINCT doc_id, source, unnest(toks) AS tok FROM d),
+       n AS (SELECT count(*) AS nd FROM documents),
+       bysrc AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+       bytok AS (SELECT tok, count(*) AS nt FROM pres GROUP BY tok),
+       cell AS (SELECT tok, source, count(*) AS a FROM pres GROUP BY tok, source)
+       SELECT tok, source, floor(($chi2) * 1000000.0 + 0.5) / 1000000.0 AS chi2
+       FROM cell JOIN bytok USING (tok) JOIN bysrc USING (source) CROSS JOIN n
+       WHERE nt < nd AND ns < nd AND a >= $ChisqMinCell
+       ORDER BY chi2 DESC, tok ASC, source ASC LIMIT $ChisqTopK"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
+    "q_chisq" -> (qChisq _),
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
@@ -649,6 +712,7 @@ object TextAnalysis extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
+    "q_chisq" -> qChisqSql,
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,

@@ -155,6 +155,21 @@ class Round6Spec extends SparkSpec {
       .filter(col("us") =!= col("max_us")).count() === 0)
   }
 
+  // ---------------- chi-square association ----------------
+
+  test("chi-square hits N exactly for a perfectly source-exclusive token") {
+    import spark.implicits._
+    // 'zebra' in all 5 docs of source A and nowhere else; 7 docs of B
+    val docs = ((1 to 5).map(i => (i.toLong, "A", Seq("zebra", "common"))) ++
+      (6 to 12).map(i => (i.toLong, "B", Seq("common", "other")))).toDF("doc_id", "source", "rtoks")
+    val out = TextAnalysis.chisqOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // perfect association: chi2 == N == 12 (phi = 1)
+    assert(out(("zebra", "A")) === 12.0)
+    // 'common' is in every doc -> nt == nd, filtered out by the guard
+    assert(!out.keys.exists(_._1 == "common"))
+  }
+
   // ---------------- BM25 ----------------
 
   test("BM25 scores rank term-bearing docs and respect tf monotonicity") {
