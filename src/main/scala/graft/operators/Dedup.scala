@@ -353,6 +353,60 @@ object Dedup extends QueryModule {
        SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
        FROM walk GROUP BY id"""
 
+  /** q_graph_stats: structure of the near-dup pair graph in one row —
+    * nodes, edges, max degree, triangles, and global clustering
+    * (3·triangles / wedges). Duplicate graphs that are unions of
+    * near-cliques cluster ≈ 1; chain-like contamination clusters ≈ 0 —
+    * the shape diagnostic for a dedup run. Triangles come from two
+    * equi-joins over the (a<b)-oriented edge list (fan-out bounded by
+    * node degree, the standard distributed triangle count); wedges are
+    * Σ C(deg, 2) from one degree aggregate. */
+  def qGraphStats(s: SparkSession, dir: String): DataFrame =
+    graphStatsOf(qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** Graph-statistics core over an (a < b)-oriented edge list — see
+    * [[qGraphStats]]. */
+  def graphStatsOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(degStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          floor(lit(3.0) * col("n_triangles") / col("n_wedges") * lit(1000000.0) + lit(0.5))
+            / lit(1000000.0)).as("clustering"))
+  }
+
+  private val qGraphStatsSql =
+    s"""WITH pr AS ($qDedupJaccardSql),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pr),
+       deg AS (
+         SELECT id, count(*) AS deg FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+       tri AS (
+         SELECT count(*) AS n_triangles
+         FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       ds AS (
+         SELECT count(*) AS n_nodes, max(deg) AS max_degree,
+           CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+         FROM deg),
+       ec AS (SELECT count(*) AS n_edges FROM e)
+       SELECT n_nodes, n_edges, max_degree, CAST(n_triangles AS BIGINT) AS n_triangles,
+         n_wedges,
+         CASE WHEN n_wedges > 0
+           THEN floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5) / 1000000.0
+         END AS clustering
+       FROM ec CROSS JOIN ds CROSS JOIN tri"""
+
   // ---------------- Line-level dedup (C4-style) ----------------
 
   /** A line seen in more than this many distinct documents is boilerplate
@@ -503,7 +557,8 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_line_dedup" -> (qLineDedup _),
-    "q_dedup_clusters" -> (qDedupClusters _))
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_graph_stats" -> (qGraphStats _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -511,5 +566,6 @@ object Dedup extends QueryModule {
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_line_dedup" -> qLineDedupSql,
-    "q_dedup_clusters" -> qDedupClustersSql)
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_graph_stats" -> qGraphStatsSql)
 }

@@ -602,6 +602,37 @@ object Relational extends QueryModule {
              FROM events)
        WHERE rk = 1"""
 
+  /** Hop (12h) and width (24h) of the sliding event window, in µs. */
+  val HopUs = 12L * 3600 * 1000000L
+  val HopWindowUs = 2 * HopUs
+
+  /** q_events_hop: sliding (hopping) window aggregation — 24-hour windows
+    * every 12 hours. Each event lands in exactly width/hop = 2 windows,
+    * expanded INLINE (the same bounded fan-out trick as the range join) and
+    * aggregated in one shuffle; no per-window scan, no self-join. The
+    * batch twin of `window(ts, '1 day', '12 hours')`, kept in µs
+    * arithmetic so both engines stay integral. */
+  def qEventsHop(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w0 = floor(us / HopUs).cast("long") * HopUs
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"),
+        explode(array(w0, w0 - HopUs)).as("w_start"))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v")).cast("double"), 4).as("sum_value"))
+  }
+
+  private val qEventsHopSql =
+    s"""WITH e AS (
+         SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+           (epoch_us(ts) // $HopUs) * $HopUs AS w0, epoch_us(ts) AS us
+         FROM events)
+       SELECT w_start, event_type, count(*) AS n,
+         round(CAST(sum(v) AS DOUBLE), 4) AS sum_value
+       FROM (SELECT event_type, v, unnest([w0, w0 - $HopUs]) AS w_start FROM e)
+       GROUP BY w_start, event_type"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -667,6 +698,7 @@ object Relational extends QueryModule {
     "q_anomaly" -> (qAnomaly _),
     "q_ntile" -> (qNtile _),
     "q_compact" -> (qCompact _),
+    "q_events_hop" -> (qEventsHop _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -692,6 +724,7 @@ object Relational extends QueryModule {
     "q_anomaly" -> qAnomalySql,
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
+    "q_events_hop" -> qEventsHopSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

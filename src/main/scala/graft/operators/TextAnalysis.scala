@@ -691,9 +691,50 @@ object TextAnalysis extends QueryModule {
        ORDER BY chi2 DESC, tok ASC, source ASC LIMIT $ChisqTopK"""
   }
 
+  /** Global token budget as a fraction of the corpus (the mixing target). */
+  val MixBudgetFrac = 0.5
+
+  /** q_mix_rates: domain-mixing sampling-rate planner — given per-source
+    * token masses, the per-source KEEP RATE that equalizes token share
+    * across sources under a global budget (rate_s = min(1, budget/K /
+    * tokens_s)): the static version of the mixture-reweighting step every
+    * multi-source training corpus runs before sampling. One bounded
+    * groupBy(source) + one broadcast scalar aggregate; the rates then
+    * drive the deterministic hash gates of q_sample_stratified. */
+  def qMixRates(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = TextPrep.rawDocs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("rtoks"))).cast("long").as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).cast("double").as("tot"),
+      count(lit(1)).as("k"))
+    val rateRaw = least(lit(1.0),
+      col("tot") * lit(MixBudgetFrac) / col("k") / col("n_tokens"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (floor(rateRaw * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("rate"),
+        floor(rateRaw * col("n_tokens").cast("double")).cast("long").as("sampled_tokens"))
+  }
+
+  private val qMixRatesSql = {
+    val t = TextFns.rawTokensSql("text")
+    val rate = s"least(1.0, tot * $MixBudgetFrac / k / n_tokens)"
+    s"""WITH d AS (SELECT source, $t AS toks FROM documents),
+       ps AS (
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         FROM d GROUP BY source),
+       tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot, count(*) AS k FROM ps)
+       SELECT source, n_docs, n_tokens,
+         floor(($rate) * 1000000.0 + 0.5) / 1000000.0 AS rate,
+         CAST(floor(($rate) * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS sampled_tokens
+       FROM ps CROSS JOIN tot"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
+    "q_mix_rates" -> (qMixRates _),
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
@@ -713,6 +754,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,
+    "q_mix_rates" -> qMixRatesSql,
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,

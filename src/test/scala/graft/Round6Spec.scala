@@ -170,6 +170,34 @@ class Round6Spec extends SparkSpec {
     assert(!out.keys.exists(_._1 == "common"))
   }
 
+  // ---------------- graph stats / hop windows / mix rates ----------------
+
+  test("graph stats are exact on K4: 4 triangles, clustering 1") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val r = Dedup.graphStatsOf(k4).head()
+    assert(r.getAs[Long]("n_nodes") === 4 && r.getAs[Long]("n_edges") === 6)
+    assert(r.getAs[Long]("n_triangles") === 4 && r.getAs[Long]("n_wedges") === 12)
+    assert(r.getAs[Double]("clustering") === 1.0)
+  }
+
+  test("hopping windows count every event exactly width/hop times") {
+    val total = Relational.qEventsHop(spark, sfDir).agg(sum(col("n"))).head().getLong(0)
+    assert(total === 2 * graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("mix rates cap at 1 and land the corpus on the token budget") {
+    val out = TextAnalysis.qMixRates(spark, sfDir)
+    assert(out.filter(col("rate") > 1.0).count() === 0)
+    val tot = out.agg(sum(col("n_tokens")).cast("double").as("t"),
+      sum(col("sampled_tokens")).cast("double").as("s")).head()
+    // sampled mass never exceeds the budget fraction (floor + capped sources
+    // can only undershoot), and is within 25% of it on this corpus
+    val budget = tot.getDouble(0) * TextAnalysis.MixBudgetFrac
+    assert(tot.getDouble(1) <= budget + 1e-6)
+    assert(tot.getDouble(1) >= budget * 0.75)
+  }
+
   // ---------------- BM25 ----------------
 
   test("BM25 scores rank term-bearing docs and respect tf monotonicity") {
