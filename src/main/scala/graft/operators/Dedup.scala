@@ -334,9 +334,18 @@ object Dedup extends QueryModule {
     * graph — the operator that turns pairwise near-dup hits into a
     * per-doc cluster assignment (cluster id = min doc_id reachable).
     * Hash-gated against a DuckDB recursive-CTE transitive closure. */
+  /** The exact-Jaccard pair graph as an (a < b) edge list, memoized +
+    * persisted per session: the clusters query iterates over it and the
+    * graph-stats query references it from six join positions — without
+    * materialization each reference re-runs the whole pair pipeline. */
+  def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.jaccard.edges:$dir") {
+      qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+    connectedComponents(jaccardEdges(s, dir))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
   private val qDedupClustersSql =
@@ -362,7 +371,7 @@ object Dedup extends QueryModule {
     * node degree, the standard distributed triangle count); wedges are
     * Σ C(deg, 2) from one degree aggregate. */
   def qGraphStats(s: SparkSession, dir: String): DataFrame =
-    graphStatsOf(qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+    graphStatsOf(jaccardEdges(s, dir))
 
   /** Graph-statistics core over an (a < b)-oriented edge list — see
     * [[qGraphStats]]. */
