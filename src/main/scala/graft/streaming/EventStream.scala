@@ -69,6 +69,24 @@ object EventStream {
       .select(col("event_id"), p("user_id").as("user_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Idempotent micro-batch sink: land each micro-batch in a partitioned
+    * parquet table under `batch_id=<id>`, with dynamic partition overwrite
+    * so a REPLAYED batch (restart after a failure between sink commit and
+    * checkpoint commit) overwrites its own partition instead of
+    * duplicating rows — foreachBatch + overwrite-by-batch-id is the
+    * standard exactly-once recipe for sinks without transactional commit.
+    * Returns the started query. */
+  def toPartitionedParquet(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      }
+      .start()
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

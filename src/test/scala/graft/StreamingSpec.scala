@@ -135,6 +135,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink is idempotent under batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.toPartitionedParquet(
+      input.toDF().toDF("event_id", "event_type"), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      val once = spark.read.parquet(s"$dir/data")
+      assert(once.count() === 2)
+      val batchId = once.select(col("batch_id").cast("long")).head().getLong(0)
+      // simulate a replay of the SAME batch id: dynamic overwrite must
+      // replace the partition, not append a duplicate
+      import spark.implicits._
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(s"$dir/data")
+      assert(spark.read.parquet(s"$dir/data").count() === 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.UserEvent]
