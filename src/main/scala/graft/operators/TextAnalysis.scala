@@ -490,7 +490,12 @@ object TextAnalysis extends QueryModule {
     * corpus' own score distribution), so the funnel needs no hand-tuned
     * absolute threshold at any scale. */
   def qCurationFull(s: SparkSession, dir: String): DataFrame = {
-    val lm = qLmScore(s, dir).select(col("doc_id"), col("avg_nll"))
+    // the funnel reads lm from TWO positions (the global p95 and the
+    // per-doc join) — materialize per session or pay the scoring twice
+    val lm = graft.ModelCache.getOrElseUpdate(s, s"text.lmScores:$dir") {
+      qLmScore(s, dir).select(col("doc_id"), col("avg_nll"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val p95 = lm.agg(expr("percentile(avg_nll, 0.95)").as("nll_p95"))
     qCuration(s, dir)
       .join(qRepNgram(s, dir).filter(col("rep_ok")).select("doc_id"), Seq("doc_id"))
