@@ -22,6 +22,21 @@ class Round6Spec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents on an empty edge list returns no labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("global row numbers are invariant to input partitioning") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 31 % 97).toLong)).toDF("id", "v")
+    def rn(d: org.apache.spark.sql.DataFrame) = graft.functions.Ranks
+      .globalRowNumber(d, col("v").asc, col("id").asc)
+      .select("id", "rn")
+    assert(rn(df.repartition(7)).except(rn(df.coalesce(1))).count() === 0)
+  }
+
   test("q_dedup_clusters covers exactly the paired docs, consistently") {
     val pairs = Dedup.qDedupJaccard(spark, sfDir).select("doc_a", "doc_b")
     val clusters = Dedup.qDedupClusters(spark, sfDir)
