@@ -62,9 +62,18 @@ object Dedup extends QueryModule {
   /** q_dedup_jaccard: exact n-gram Jaccard via inverted-index self-join.
     * |A∩B| from the posting-list join, |A|,|B| from per-doc shingle counts;
     * J = c / (|A|+|B|-c). Pairs with J ≥ 0.12 (calibrated to the corpus). */
+  /** Per-doc distinct-shingle counts — consumed from two join positions
+    * of the Jaccard query (|A| and |B| lookups), materialized with the
+    * same shared-hot-stage rule as docShingles. */
+  private def docSizes(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.sizes:$dir") {
+      docShingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = docSizes(s, dir)
     // Grouped df-capped posting lists (one row per shingle). The df cap is
     // enforced with a count + semi-join BEFORE collect_list so the agg
     // buffer is bounded by the cap even against viral shingles — then the
