@@ -580,6 +580,28 @@ object Relational extends QueryModule {
          CAST(sum(total) AS DOUBLE) AS sum_total
        FROM r GROUP BY decile"""
 
+  /** q_ntile_approx: the SCALE PATH for decile bucketing — GK-sketch
+    * decile thresholds (one bounded-memory aggregate, broadcast back)
+    * instead of [[qNtile]]'s exact global ranking. Rank error is the ε
+    * trade; the exact twin stays the small-scale oracle cross-check,
+    * mirroring the q_percentiles / q_percentiles_approx pairing.
+    * Rows-only (sketch-dependent); the spec bounds bucket-size skew. */
+  def qNtileApprox(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    val cuts = totals.agg(expr(
+      "approx_percentile(total, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+      .as("cuts"))
+    totals.crossJoin(broadcast(cuts))
+      // decile 1 = highest spend, matching the exact twin's DESC ranking
+      .select(col("o_custkey"), col("total"),
+        (size(filter(col("cuts"), c => col("total") <= c)) + 1).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("total").cast("decimal(18,2)")).cast("double"), 2).as("sum_total"))
+  }
+
   /** q_compact: CDC latest-record-wins compaction — the upsert-view shape:
     * one row per (user_id, event_type) key, the newest event by (ts,
     * event_id) wins. One shuffle on the key; at scale this is the
@@ -697,6 +719,7 @@ object Relational extends QueryModule {
     "q_pivot" -> (qPivot _),
     "q_anomaly" -> (qAnomaly _),
     "q_ntile" -> (qNtile _),
+    "q_ntile_approx" -> (qNtileApprox _),
     "q_compact" -> (qCompact _),
     "q_events_hop" -> (qEventsHop _),
     "q_sessionize" -> (qSessionize _),

@@ -157,6 +157,21 @@ class Round6Spec extends SparkSpec {
     assert(!plan.contains("Window"), plan.linesIterator.take(3).mkString("\n"))
   }
 
+  test("approx decile buckets track the exact ntile within rank tolerance") {
+    val approx = Relational.qNtileApprox(spark, sfDir)
+      .select(col("decile"), col("n_customers")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = Relational.qNtile(spark, sfDir)
+      .select(col("decile"), col("n_customers")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum === exact.values.sum) // partition of the same set
+    val n = exact.values.sum.toDouble
+    // GK accuracy 10000 on a small-SF corpus: every bucket within 20% + 2
+    for (d <- 1 to 10)
+      assert(math.abs(approx.getOrElse(d, 0L) - exact(d)) <= n / 10 * 0.2 + 2,
+        s"decile $d: approx=${approx.getOrElse(d, 0L)} exact=${exact(d)}")
+  }
+
   test("compaction keeps exactly one newest row per key") {
     val out = Relational.qCompact(spark, sfDir)
     val keys = graft.sources.Tables.events(spark, sfDir)
