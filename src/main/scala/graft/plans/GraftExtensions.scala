@@ -15,17 +15,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.jaroWinklerFn)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val jaroWinklerFn = (
-    FunctionIdentifier("jaro_winkler_similarity"),
-    new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "jaro_winkler_similarity"),
-    (children: Seq[Expression]) => JaroWinklerSimilarity(children(0), children(1)))
+  import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64}
+
+  private def fn(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** Every native kernel, by SQL name: string similarity, the vector
+    * kernels, and the signature kernels — SQL users get the same codegen
+    * implementations the DataFrame API uses. */
+  private val functions = Seq(
+    fn("jaro_winkler_similarity", classOf[JaroWinklerSimilarity],
+      c => JaroWinklerSimilarity(c(0), c(1))),
+    fn("vec_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),
+    fn("vec_cosine", classOf[CosineSimilarity], c => CosineSimilarity(c(0), c(1))),
+    fn("simhash64", classOf[SimHash64], c => SimHash64(c(0))),
+    fn("minhash_signature", classOf[MinHashSignature], {
+      case Seq(child, w: org.apache.spark.sql.catalyst.expressions.Literal) =>
+        MinHashSignature(child, w.value.toString.toInt)
+      case c => MinHashSignature(c(0), 128)
+    }))
 
   /** Late registration into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      jaroWinklerFn._1, jaroWinklerFn._2, jaroWinklerFn._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   * monotonicity). */
 class Round6Spec extends SparkSpec {
 
+  // ---------------- SQL function registration ----------------
+
+  test("native kernels are callable from SQL with API-identical results") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq("a", "b", "a")))
+      .toDF("u", "v", "toks")
+    df.createOrReplaceTempView("r6_vecs")
+    val viaSql = spark.sql(
+      """SELECT vec_dot(u, v) AS d, vec_cosine(u, v) AS c,
+         simhash64(toks) AS sh, minhash_signature(toks, 4) AS mh FROM r6_vecs""").head()
+    val viaApi = df.select(
+      graft.functions.VectorMath.dot(col("u"), col("v")).as("d"),
+      graft.functions.VectorMath.cosine(col("u"), col("v")).as("c"),
+      graft.functions.HashKernelCols.simhash64(col("toks")).as("sh"),
+      graft.functions.HashKernelCols.minhash(col("toks"), 4).as("mh")).head()
+    assert(viaSql.getDouble(0) === viaApi.getDouble(0))
+    assert(viaSql.getDouble(1) === viaApi.getDouble(1))
+    assert(viaSql.getLong(2) === viaApi.getLong(2))
+    assert(viaSql.getSeq[Long](3) === viaApi.getSeq[Long](3))
+  }
+
   // ---------------- connected components ----------------
 
   test("connectedComponents labels a path graph in min-label, multi-hop") {
