@@ -655,6 +655,46 @@ object Relational extends QueryModule {
        FROM (SELECT event_type, v, unnest([w0, w0 - $HopUs]) AS w_start FROM e)
        GROUP BY w_start, event_type"""
 
+  /** q_gapfill: dense daily series per event type — generate the full
+    * (type × day) grid from the observed date bounds and left-join the
+    * sparse daily aggregate onto it, zero-filling gaps. The grid is a
+    * bounded broadcast (types × days, never corpus-proportional); the
+    * dense output is what window/forecast consumers downstream require.
+    * Decimal-exact daily sums, zero-filled identically in both engines. */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("sv").cast("double"), lit(0.0)), 4).as("sum_value"))
+  }
+
+  private val qGapfillSql =
+    """WITH daily AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv
+         FROM events GROUP BY 1, 2),
+       b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       grid AS (
+         SELECT t.event_type, CAST(g.day AS DATE) AS day
+         FROM (SELECT DISTINCT event_type FROM daily) t
+         CROSS JOIN b
+         CROSS JOIN unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS g(day))
+       SELECT grid.event_type, strftime(grid.day, '%Y-%m-%d') AS day,
+         CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+         round(coalesce(CAST(daily.sv AS DOUBLE), 0.0), 4) AS sum_value
+       FROM grid LEFT JOIN daily
+         ON grid.event_type = daily.event_type AND grid.day = daily.day"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -722,6 +762,7 @@ object Relational extends QueryModule {
     "q_ntile_approx" -> (qNtileApprox _),
     "q_compact" -> (qCompact _),
     "q_events_hop" -> (qEventsHop _),
+    "q_gapfill" -> (qGapfill _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -748,6 +789,7 @@ object Relational extends QueryModule {
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
     "q_events_hop" -> qEventsHopSql,
+    "q_gapfill" -> qGapfillSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

@@ -238,6 +238,15 @@ class Round6Spec extends SparkSpec {
     assert(total === 2 * graft.sources.Tables.events(spark, sfDir).count())
   }
 
+  test("gap filling yields a complete rectangular grid preserving mass") {
+    val out = Relational.qGapfill(spark, sfDir)
+    val types = out.select("event_type").distinct().count()
+    val days = out.select("day").distinct().count()
+    assert(out.count() === types * days) // dense rectangle
+    assert(out.agg(sum(col("n"))).head().getLong(0) ===
+      graft.sources.Tables.events(spark, sfDir).count()) // zero-fill adds no mass
+  }
+
   test("mix rates cap at 1 and land the corpus on the token budget") {
     val out = TextAnalysis.qMixRates(spark, sfDir)
     assert(out.filter(col("rate") > 1.0).count() === 0)
