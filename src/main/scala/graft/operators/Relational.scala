@@ -695,6 +695,32 @@ object Relational extends QueryModule {
        FROM grid LEFT JOIN daily
          ON grid.event_type = daily.event_type AND grid.day = daily.day"""
 
+  /** q_topk: exact top-3 events by value per event type via the typed
+    * [[graft.functions.TopKAggregator]] — O(k) aggregation state with
+    * map-side combining instead of a window's per-group sort; the oracle
+    * is the row_number formulation it replaces. Deterministic total order
+    * (value desc, event_id asc). */
+  def qTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = graft.functions.TopKAggregator(3).toColumn
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .flatMap { case (t, items) =>
+        items.zipWithIndex.map { case ((v, id), i) => (t, id, v, i + 1) } }
+      .toDF("event_type", "event_id", "value", "rank")
+  }
+
+  private val qTopkSql =
+    """SELECT event_type, event_id, value, CAST(rk AS INT) AS rank
+       FROM (SELECT event_type, event_id, value, row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+             FROM events)
+       WHERE rk <= 3"""
+
   /** Anti join: customers that never ordered. */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -763,6 +789,7 @@ object Relational extends QueryModule {
     "q_compact" -> (qCompact _),
     "q_events_hop" -> (qEventsHop _),
     "q_gapfill" -> (qGapfill _),
+    "q_topk" -> (qTopk _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_percentiles" -> (qPercentiles _),
@@ -790,6 +817,7 @@ object Relational extends QueryModule {
     "q_compact" -> qCompactSql,
     "q_events_hop" -> qEventsHopSql,
     "q_gapfill" -> qGapfillSql,
+    "q_topk" -> qTopkSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,

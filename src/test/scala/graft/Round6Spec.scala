@@ -222,6 +222,29 @@ class Round6Spec extends SparkSpec {
     assert(!out.keys.exists(_._1 == "common"))
   }
 
+  // ---------------- typed top-k aggregator ----------------
+
+  test("TopKAggregator equals sorted-take-k under any split and order") {
+    val agg = graft.functions.TopKAggregator(3)
+    val xs = Seq((5.0, 2L), (5.0, 1L), (1.0, 9L), (7.0, 4L), (3.0, 3L), (7.0, 5L), (2.0, 8L))
+    val expect = xs.sortBy { case (v, id) => (-v, id) }.take(3).toList
+    // single-pass reduce
+    assert(xs.foldLeft(agg.zero)(agg.reduce) === expect)
+    // every 2-way split merges to the same answer (combiner law)
+    for (i <- 0 to xs.size) {
+      val (l, r) = xs.splitAt(i)
+      assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)) === expect)
+    }
+  }
+
+  test("q_topk emits k rows per group in rank order") {
+    val out = Relational.qTopk(spark, sfDir)
+    val bad = out.groupBy("event_type").agg(count(lit(1)).as("n"),
+      max(col("rank")).as("mr")).filter(col("n") =!= 3 || col("mr") =!= 3).count()
+    assert(bad === 0)
+  }
+
   // ---------------- graph stats / hop windows / mix rates ----------------
 
   test("graph stats are exact on K4: 4 triangles, clustering 1") {
