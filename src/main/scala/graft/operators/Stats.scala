@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.Ranks
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / monitoring analytics a production data pipeline runs next
+  * to its ETL: distribution histograms, correlation + closed-form OLS,
+  * population-stability drift checks, event-sequence transition matrices,
+  * attribution, and corpus-shape diagnostics (readability, Zipf slope).
+  *
+  * Determinism discipline (the whole module is DuckDB hash-gated):
+  * moments are accumulated as EXACT DECIMAL sums (the inputs carry ≤2
+  * decimal digits) and only cast to DOUBLE once. The decimal→double cast
+  * itself can differ by 1 ulp between engines once the exact sum exceeds
+  * ~2⁵³ scaled units (observed at sf0.1), so every derived statistic is
+  * round()ed at 6 dp — far above ulp drift, far below signal.
+  *
+  * Scale notes: every query is a single scan plus one key-partitioned
+  * aggregation; global moments reduce to one row per group (no
+  * driver-side math on row data); the Zipf global ranking uses the
+  * distributed zipWithIndex construction (Ranks), never a
+  * single-partition window.
+  */
+object Stats extends QueryModule {
+
+  /** q_histogram: equi-width histogram of order totalprice (width 50k).
+    * floor(x/50000.0) is the same IEEE double in both engines, so bucket
+    * boundaries cannot drift; sums go through exact DECIMAL. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 50000.0).cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  private val qHistogramSql =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       FROM orders GROUP BY 1"""
+
+  /** Pearson r from exact co-moments: (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
+    * All Σ are DECIMAL-exact; callers round the result (see object doc). */
+  private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
+      syy: Column, sxy: Column): Column =
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+
+  /** q_corr_matrix: pairwise correlation of the lineitem measures in ONE
+    * scan — a single global aggregate of all 9 exact moments, then the 3
+    * pair rows are expanded from that one row (no per-pair rescans). */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val m = Tables.lineitem(s, dir).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(d("l_quantity")).cast("double").as("sq"),
+      sum(d("l_extendedprice")).cast("double").as("sp"),
+      sum(d("l_discount")).cast("double").as("sd"),
+      sum(d("l_quantity") * d("l_quantity")).cast("double").as("sqq"),
+      sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").as("spp"),
+      sum(d("l_discount") * d("l_discount")).cast("double").as("sdd"),
+      sum(d("l_quantity") * d("l_extendedprice")).cast("double").as("sqp"),
+      sum(d("l_quantity") * d("l_discount")).cast("double").as("sqd"),
+      sum(d("l_extendedprice") * d("l_discount")).cast("double").as("spd"))
+    def pair(a: String, b: String, r: Column) =
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), round(r, 6).as("corr"))
+    m.select(explode(array(
+        pair("l_quantity", "l_extendedprice",
+          pearson(col("n"), col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp"))),
+        pair("l_quantity", "l_discount",
+          pearson(col("n"), col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd"))),
+        pair("l_extendedprice", "l_discount",
+          pearson(col("n"), col("sp"), col("sd"), col("spp"), col("sdd"), col("spd")))))
+        .as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"), col("r.corr").as("corr"))
+  }
+
+  private val qCorrMatrixSql =
+    """WITH m AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+         FROM lineitem)
+       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr FROM m
+       UNION ALL
+       SELECT 'l_quantity', 'l_discount',
+         round((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) FROM m
+       UNION ALL
+       SELECT 'l_extendedprice', 'l_discount',
+         round((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) FROM m"""
+
+  /** q_regr: per-group closed-form OLS (extendedprice ~ quantity) from the
+    * same exact-moment discipline — the distributed shape of a regression:
+    * one partial-aggregable pass, one tiny row per group. */
+  def qRegr(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d("l_quantity")).cast("double").as("sx"),
+        sum(d("l_extendedprice")).cast("double").as("sy"),
+        sum(d("l_quantity") * d("l_quantity")).cast("double").as("sxx"),
+        sum(d("l_quantity") * d("l_extendedprice")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"), round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  private val qRegrSql =
+    """WITH m AS (
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, n,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       FROM m"""
+
+  /** q_psi: Population Stability Index — the standard drift gate between
+    * two corpus partitions (here: even vs odd event ids), per event type,
+    * over a fixed 10-bucket value grid with add-1 smoothing (empty cells
+    * are real signal, so the grid is densified before smoothing).
+    * PSI = Σ_buckets (p_a − p_b)·ln(p_a/p_b); ≳0.2 flags drift.
+    * Sum order over the 10 bucket terms is engine-dependent → round(6). */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      least(floor(col("value") / 50.0).cast("int"), lit(9)).as("bucket"),
+      (col("event_id") % 2 === 0).as("is_a"))
+    val counts = e.groupBy("event_type", "bucket").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(s.range(0, 10).select(col("id").cast("int").as("bucket")))
+    val dense = grid.join(counts, Seq("event_type", "bucket"), "left_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = dense.groupBy("event_type")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val pa = (col("na") + 1).cast("double") / (col("ta") + 10)
+    val pb = (col("nb") + 1).cast("double") / (col("tb") + 10)
+    dense.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("ta").as("n_a"), col("tb").as("n_b"))
+      .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+      .select("event_type", "n_a", "n_b", "psi")
+  }
+
+  private val qPsiSql =
+    """WITH counts AS (
+         SELECT event_type, least(CAST(floor(value / 50.0) AS INT), 9) AS bucket,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT t.event_type, b.bucket
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+       dense AS (
+         SELECT g.event_type, g.bucket,
+           coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+         FROM grid g LEFT JOIN counts c
+           ON g.event_type = c.event_type AND g.bucket = c.bucket),
+       tot AS (
+         SELECT event_type, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+         FROM dense GROUP BY 1)
+       SELECT d.event_type, t.ta AS n_a, t.tb AS n_b,
+         round(sum(
+           (CAST(d.na + 1 AS DOUBLE) / (t.ta + 10) - CAST(d.nb + 1 AS DOUBLE) / (t.tb + 10))
+           * ln((CAST(d.na + 1 AS DOUBLE) / (t.ta + 10)) / (CAST(d.nb + 1 AS DOUBLE) / (t.tb + 10)))
+         ), 6) AS psi
+       FROM dense d JOIN tot t ON d.event_type = t.event_type
+       GROUP BY d.event_type, t.ta, t.tb"""
+
+  /** q_markov: first-order event-type transition matrix. lead() over the
+    * per-user timeline (one shuffle on user_id, the natural stream key;
+    * ties broken by event_id so the order is total), then a count per
+    * (from,to) pair; the row-probability normalization runs as a window
+    * over the ALREADY-aggregated |types|² matrix, not over raw events. */
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy("from_type")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+  }
+
+  private val qMarkovSql =
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n FROM seq
+         WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+       FROM pairs"""
+
+  /** q_attribution: first-touch conversion attribution. The deterministic
+    * first event per user comes from min(struct(ts, event_id, type)) — a
+    * partial-aggregable min, ONE shuffle on user_id, no row_number pass —
+    * fused with the per-user conversion flag in the same aggregate. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      .withColumn("cvr", col("n_converted").cast("double") / col("n_users"))
+
+  private val qAttributionSql =
+    """WITH ranked AS (
+         SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       conv AS (
+         SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         FROM events GROUP BY 1)
+       SELECT r.event_type AS first_touch, count(*) AS n_users,
+         CAST(sum(c.converted) AS BIGINT) AS n_converted,
+         CAST(sum(c.converted) AS DOUBLE) / count(*) AS cvr
+       FROM ranked r JOIN conv c ON r.user_id = c.user_id
+       WHERE r.rn = 1 GROUP BY 1"""
+
+  /** q_readability: Flesch reading ease per document from pure per-row
+    * regex counts (codegen'd, no shuffle at all): words, sentence marks,
+    * and the vowel-group syllable heuristic. Counts are integers, so the
+    * score expression evaluates identically in both engines. */
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        greatest(regexp_count(col("text"), lit("[A-Za-z]+")), lit(1)).as("words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).as("syllables"))
+      .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+        (lit(206.835) - lit(1.015) * (col("words") / col("sentences"))
+          - lit(84.6) * (col("syllables") / col("words"))).as("flesch"))
+
+  private val qReadabilitySql =
+    """SELECT doc_id, words, sentences, syllables,
+         206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+           - 84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
+       FROM (
+         SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+         FROM documents)"""
+
+  /** q_zipf: the corpus rank–frequency slope (Zipf's-law exponent), a
+    * one-row corpus-shape diagnostic. Global frequency ranking uses the
+    * distributed zipWithIndex construction (Ranks.globalRowNumber) — a
+    * 100 TB vocabulary never funnels through one window task — then OLS of
+    * ln(cf) on ln(rank) from one global aggregate. Double sums accumulate
+    * in engine-dependent order → round(6). */
+  def qZipf(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranks.globalRowNumber(
+      TextPrep.dictionary(s, dir).select("tok", "cf"),
+      col("cf").desc, col("tok").asc)
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    ranked
+      .select(log(col("rn").cast("double")).as("x"), log(col("cf").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_tokens"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  private val qZipfSql = {
+    val dict = s"""SELECT tok, count(*) AS cf FROM (
+        SELECT unnest(${graft.functions.TextFns.cleanTokensSql("text")}) AS tok
+        FROM documents) GROUP BY tok"""
+    s"""WITH dict AS ($dict),
+       ranked AS (
+         SELECT cf, row_number() OVER (ORDER BY cf DESC, tok ASC) AS rn FROM dict),
+       m AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(ln(CAST(rn AS DOUBLE))) AS sx, sum(ln(CAST(cf AS DOUBLE))) AS sy,
+           sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))) AS sxx,
+           sum(ln(CAST(rn AS DOUBLE)) * ln(CAST(cf AS DOUBLE))) AS sxy
+         FROM ranked)
+       SELECT CAST(n AS BIGINT) AS n_tokens,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       FROM m"""
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_regr" -> (qRegr _),
+    "q_psi" -> (qPsi _),
+    "q_markov" -> (qMarkov _),
+    "q_attribution" -> (qAttribution _),
+    "q_readability" -> (qReadability _),
+    "q_zipf" -> (qZipf _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
+    "q_corr_matrix" -> qCorrMatrixSql,
+    "q_regr" -> qRegrSql,
+    "q_psi" -> qPsiSql,
+    "q_markov" -> qMarkovSql,
+    "q_attribution" -> qAttributionSql,
+    "q_readability" -> qReadabilitySql,
+    "q_zipf" -> qZipfSql)
+}
