@@ -67,6 +67,47 @@ object Evaluation extends QueryModule {
        FROM cm"""
   }
 
+  /** q_kappa: Cohen's kappa for the same lang-ID task — chance-corrected
+    * agreement, the standard complement to raw accuracy when classes are
+    * imbalanced (here 'en' dominates, so accuracy alone overstates skill).
+    * κ = (p_o − p_e)/(1 − p_e) from the exact confusion counts; count
+    * products stay in long arithmetic (≤(10⁸)² at 100 TB corpus scale
+    * still fits), one double division each for p_o and p_e. */
+  def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.langIdOf(TextPrep.rawDocs(s, dir))
+      .select((col("pred_lang") === "en").as("pred"), (col("lang") === "en").as("gold"))
+    val n = (col("tp") + col("fp") + col("tn") + col("fn")).cast("double")
+    val po = (col("tp") + col("tn")).cast("double") / n
+    val pe = ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+      + (col("fn") + col("tn")) * (col("fp") + col("tn"))).cast("double") / (n * n)
+    confusionMetrics(scored)
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  private val qKappaSql =
+    s"""WITH pred AS (
+         SELECT p.doc_id, p.pred_lang = 'en' AS pred, d.lang = 'en' AS gold
+         FROM (${TextAnalysis.oracles("q_lang_id")}) p
+         JOIN documents d ON p.doc_id = d.doc_id),
+       cm AS (
+         SELECT
+           CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         FROM pred),
+       k AS (
+         SELECT tp, fp, tn, fn,
+           CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE) AS po,
+           CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+             / (CAST(tp + fp + tn + fn AS DOUBLE) * CAST(tp + fp + tn + fn AS DOUBLE)) AS pe
+         FROM cm)
+       SELECT tp, fp, tn, fn, round(po, 6) AS po, round(pe, 6) AS pe,
+         round((po - pe) / (1.0 - pe), 6) AS kappa
+       FROM k"""
+
   /** q_gold_standard: conceptInWikiOrDisambiguation labels via set algebra
     * (1 = disambiguation page, 2 = plain wiki page, 0 = neither), modeled on
     * part names: disambiguation ≈ p_size > 25, wiki ≈ brand family 1x. */
@@ -136,11 +177,13 @@ object Evaluation extends QueryModule {
     "q_eval_metrics" -> (qEvalMetrics _),
     "q_gold_standard" -> (qGoldStandard _),
     "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_kappa" -> (qKappa _),
     "q_cv_folds" -> (qCvFolds _))
 
   override def oracles: Map[String, String] = Map(
     "q_eval_metrics" -> qEvalMetricsSql,
     "q_gold_standard" -> qGoldStandardSql,
     "q_jaro_winkler" -> qJaroWinklerSql,
+    "q_kappa" -> qKappaSql,
     "q_cv_folds" -> qCvFoldsSql)
 }

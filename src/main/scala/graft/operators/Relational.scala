@@ -289,6 +289,24 @@ object Relational extends QueryModule {
        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  /** q_cube: full CUBE over (returnflag, linestatus) — all four grouping
+    * sets in one pass (Spark expands the sets map-side; one shuffle).
+    * Same decimal-exact sum discipline as q_rollup. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+
   /** Exact interpolated percentiles per group (both engines use the
     * (n-1)·p linear-interpolation definition; rounded well above fp drift).
     * Exact percentile buffers each group's values — right for the bounded
@@ -792,6 +810,7 @@ object Relational extends QueryModule {
     "q_topk" -> (qTopk _),
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_percentiles" -> (qPercentiles _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_events_json" -> (qEventsJson _),
@@ -820,6 +839,7 @@ object Relational extends QueryModule {
     "q_topk" -> qTopkSql,
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_events_json" -> qEventsJsonSql,
     "q_retention" -> qRetentionSql,

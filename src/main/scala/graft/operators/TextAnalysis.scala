@@ -420,6 +420,32 @@ object TextAnalysis extends QueryModule {
         GROUP BY lang"""
   }
 
+  /** q_sample_weighted: deterministic weighted sampling without
+    * replacement (Efraimidis–Spirakis A-ES): each doc gets priority
+    * u^(1/w) — equivalently ln(u)/w, compared monotonically — where w is
+    * its size weight (n_chars) and u a content-hash uniform (52 md5 bits
+    * → exact double in [0,1)). The global top-k by priority IS a weighted
+    * sample, reproducible run-to-run and auditable like q_sample.
+    * Spark plans orderBy+limit as TakeOrderedAndProject: per-partition
+    * top-k heaps, only k rows per partition reach the driver merge — the
+    * distributed reservoir, no global sort at 100 TB. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(log(u) / col("n_chars"), 10).as("ws_key"))
+      .orderBy(col("ws_key").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val qSampleWeightedSql =
+    """SELECT doc_id, lang, n_chars,
+       round(ln(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+         / 4503599627370496.0) / n_chars, 10) AS ws_key
+       FROM documents
+       ORDER BY ws_key DESC, doc_id ASC LIMIT 20"""
+
   /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
     * at 100 TB the exact countDistinct shuffles every distinct value, the
     * HLL sketch shuffles a few KB per group; emitting both validates the
@@ -753,6 +779,7 @@ object TextAnalysis extends QueryModule {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
@@ -773,5 +800,6 @@ object TextAnalysis extends QueryModule {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_sample" -> qSampleSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_lm_score" -> qLmScoreSql)
 }

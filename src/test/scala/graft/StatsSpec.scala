@@ -93,4 +93,44 @@ class StatsSpec extends SparkSpec {
     assert(z.getLong(0) > 10)    // real (tiny-sf) vocabulary
     assert(z.getDouble(1) < 0.0) // Zipf exponent
   }
+
+  // --- round-6 statistics additions in sibling modules ---
+
+  test("cohen's kappa is consistent with the confusion matrix and bounded") {
+    val k = operators.Evaluation.qKappa(spark, sfDir).head()
+    val (tp, fp, tn, fn) = (k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(3))
+    val n = (tp + fp + tn + fn).toDouble
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    assert(math.abs(k.getDouble(6) - (po - pe) / (1 - pe)) < 1e-6)
+    assert(k.getDouble(6) >= -1.0 && k.getDouble(6) <= 1.0)
+  }
+
+  test("cube emits all four grouping sets over the rollup's three") {
+    val cube = operators.Relational.qCube(spark, sfDir).cache()
+    val li = Tables.lineitem(spark, sfDir)
+    val flags = li.select("l_returnflag").distinct().count()
+    val statuses = li.select("l_linestatus").distinct().count()
+    val cells = cube.filter(col("gid") === 0).count()
+    assert(cube.count() === cells + flags + statuses + 1)
+    // grand total row reproduces the full row count
+    assert(cube.filter(col("gid") === 3).head().getLong(3) === li.count())
+  }
+
+  test("weighted sampling is deterministic and size-biased") {
+    val a = operators.TextAnalysis.qSampleWeighted(spark, sfDir).collect()
+    val b = operators.TextAnalysis.qSampleWeighted(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 20)
+    // ln(u)/w is strictly negative and sorted descending
+    val keys = a.map(_.getDouble(3))
+    assert(keys.forall(_ < 0))
+    assert(keys.toSeq === keys.sortBy(-_).toSeq)
+    // A-ES with size weights: the sample's mean doc length should not fall
+    // below the corpus mean (larger docs get systematically higher priority)
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = a.map(_.getLong(2)).sum.toDouble / a.length
+    assert(sampleMean > corpusMean * 0.9)
+  }
 }
