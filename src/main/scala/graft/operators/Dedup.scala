@@ -178,6 +178,44 @@ object Dedup extends QueryModule {
       .select("vec_a", "vec_b")
   }
 
+  /** q_dedup_semantic: SemDeDup-style cluster-then-dedup — the modern
+    * embedding-dedup recipe for web-scale corpora (Abbas et al. 2023,
+    * arXiv:2303.09540): a seeded KMeans partitions the embedding space,
+    * and near-dup pairs are only sought WITHIN a cluster. k scales with
+    * corpus size (k ≈ n/128) so expected cluster size — and with it the
+    * per-cluster pair expansion — stays bounded as the corpus grows; the
+    * all-pairs cost becomes k·O(128²) instead of O(n²). Same verify
+    * threshold as the exact block, so reported pairs are a recall-traded
+    * subset of q_dedup_cosine (spec-pinned). Rows-only oracle (KMeans is
+    * not SQL-portable). */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val assigned = graft.ModelCache.getOrElseUpdate(s, s"semdedup.assigned:$dir") {
+      val feats = e.select(col("vec_id"), col("v"), array_to_vector(col("v")).as("features"))
+      val k = math.max(8L, e.count() / 128).toInt
+      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features").fit(feats)
+      km.transform(feats)
+        .select(col("vec_id"), col("v"), col("prediction").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val cand = assigned.groupBy("cluster")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("cluster"), explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("cluster"), col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+    cand
+      .join(assigned.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(assigned.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        SimilaritySearch.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("cluster", "vec_a", "vec_b")
+  }
+
   // ---------------- MinHash + LSH banding ----------------
 
   val NumHashes = 128
@@ -571,6 +609,7 @@ object Dedup extends QueryModule {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),

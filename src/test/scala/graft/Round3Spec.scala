@@ -19,6 +19,20 @@ class Round3Spec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH found non-exact pairs: ${lsh -- exact}")
   }
 
+  test("SemDeDup pairs verify to a subset of exact all-pairs") {
+    val exact = Dedup.qDedupCosine(spark, sfDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.qDedupSemantic(spark, sfDir)
+      .filter(col("vec_a") < 500 && col("vec_b") < 500)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), s"SemDeDup found non-exact pairs: ${sem -- exact}")
+    // the SemDeDup premise: near-dups land in the same KMeans cell, so
+    // intra-cluster search retains real recall (seeded → deterministic)
+    if (exact.nonEmpty) {
+      assert(sem.nonEmpty, "clustered dedup lost every exact pair")
+    }
+  }
+
   test("IVF ANN: covers every query, never beats brute force, recall >= 0.7") {
     val brute = SimilaritySearch.qKnnSearch(spark, sfDir)
       .filter(col("rank") === 1).collect()
