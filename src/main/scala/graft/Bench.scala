@@ -28,7 +28,8 @@ object Bench {
     "q_jaro_winkler", "q_gold_standard", "q_nquads_parse",
     "q_sample", "q_sample_stratified", "q_sample_weighted", "q_percentiles_approx",
     "q_histogram", "q_corr_matrix", "q_regr", "q_psi", "q_markov",
-    "q_attribution", "q_readability", "q_zipf", "q_kappa", "q_cube")
+    "q_attribution", "q_readability", "q_zipf", "q_kappa", "q_cube",
+    "q_copurchase", "q_unpivot", "q_profile", "q_key_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

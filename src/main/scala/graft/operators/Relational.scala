@@ -289,6 +289,50 @@ object Relational extends QueryModule {
        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  /** q_copurchase: market-basket association pairs — parts bought together
+    * in the same order, support-thresholded (the A-priori L2 building
+    * block). Baskets are grouped once and pairs expanded INSIDE the row
+    * (functions.Pairs — one shuffle, no posting self-join); basket width
+    * is naturally bounded (lineitems per order), the same precondition
+    * the dedup pair generators enforce with df-caps. */
+  def qCopurchase(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+
+  private val qCopurchaseSql =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+       FROM lp a JOIN lp b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+  /** q_unpivot: melt the lineitem measures to long form (the inverse of
+    * q_pivot) and re-aggregate — unpivot is a zero-shuffle projection
+    * (each input row fans out to |measures| rows map-side). */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,2)")).cast("double").as("total"))
+
+  private val qUnpivotSql =
+    """SELECT measure, count(*) AS n,
+       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (
+         SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+       GROUP BY 1"""
+
   /** q_cube: full CUBE over (returnflag, linestatus) — all four grouping
     * sets in one pass (Spark expands the sets map-side; one shuffle).
     * Same decimal-exact sum discipline as q_rollup. */
@@ -811,6 +855,8 @@ object Relational extends QueryModule {
     "q_sessionize" -> (qSessionize _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_copurchase" -> (qCopurchase _),
+    "q_unpivot" -> (qUnpivot _),
     "q_percentiles" -> (qPercentiles _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_events_json" -> (qEventsJson _),
@@ -840,6 +886,8 @@ object Relational extends QueryModule {
     "q_sessionize" -> qSessionizeSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_copurchase" -> qCopurchaseSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_percentiles" -> qPercentilesSql,
     "q_events_json" -> qEventsJsonSql,
     "q_retention" -> qRetentionSql,

@@ -315,6 +315,74 @@ object Stats extends QueryModule {
        FROM m"""
   }
 
+  /** q_profile: one-pass data-quality profile of the documents table —
+    * per-column null counts and exact distinct cardinalities (the schema
+    * contract a pipeline asserts before training). All profiles come from
+    * ONE aggregate (Spark plans multi-countDistinct via expand, still a
+    * single scan); the per-column rows are expanded from the single
+    * profile row. At 100 TB swap countDistinct for approx_count_distinct
+    * (q_approx_distinct shows the sketch path + error check). */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    Tables.documents(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"null_$c").as("n_nulls"),
+          col(s"dist_$c").as("n_distinct"))): _*)).as("r"))
+      .select(col("r.column").as("column"), col("n_rows"),
+        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"))
+  }
+
+  private val qProfileSql = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val rows = cols.map(c =>
+      s"""SELECT '$c' AS "column", (SELECT count(*) FROM documents) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct FROM documents""").mkString("\n UNION ALL ")
+    rows
+  }
+
+  /** q_key_skew: shuffle-key skew diagnostics for the events stream key —
+    * top-1/top-10 share and the Gini coefficient of the per-key count
+    * distribution (the number that says "salt this join"). Key counts
+    * reduce first (one shuffle); the Gini rank over the ALREADY-aggregated
+    * per-key counts uses the distributed zipWithIndex ranking, so no
+    * single-partition window even with 10⁹ distinct keys. */
+  def qKeySkew(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("tot"), count(lit(1)).as("nk"))
+    val ranked = Ranks.globalRowNumber(counts, col("cnt").asc, col("user_id").asc)
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("nk")).as("n_keys"), max(col("tot")).as("total"),
+        sum(col("rn") * col("cnt")).as("s"),
+        sum(when(col("rn") === col("nk"), col("cnt")).otherwise(0L)).as("top1"),
+        sum(when(col("rn") > col("nk") - 10, col("cnt")).otherwise(0L)).as("top10"))
+      .select(col("n_keys"), col("total"),
+        round(lit(2.0) * col("s") / (col("n_keys") * col("total"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"),
+        round(col("top1").cast("double") / col("total"), 6).as("top1_share"),
+        round(col("top10").cast("double") / col("total"), 6).as("top10_share"))
+  }
+
+  private val qKeySkewSql =
+    """WITH counts AS (
+         SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS nk FROM counts),
+       ranked AS (
+         SELECT cnt, row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS rn
+         FROM counts)
+       SELECT nk AS n_keys, tot AS total,
+         round(2.0 * CAST(sum(rn * cnt) AS BIGINT) / (nk * tot) - (nk + 1.0) / nk, 6) AS gini,
+         round(CAST(sum(CASE WHEN rn = nk THEN cnt ELSE 0 END) AS DOUBLE) / tot, 6) AS top1_share,
+         round(CAST(sum(CASE WHEN rn > nk - 10 THEN cnt ELSE 0 END) AS DOUBLE) / tot, 6) AS top10_share
+       FROM ranked CROSS JOIN tot
+       GROUP BY nk, tot"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -323,7 +391,9 @@ object Stats extends QueryModule {
     "q_markov" -> (qMarkov _),
     "q_attribution" -> (qAttribution _),
     "q_readability" -> (qReadability _),
-    "q_zipf" -> (qZipf _))
+    "q_zipf" -> (qZipf _),
+    "q_profile" -> (qProfile _),
+    "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
     "q_histogram" -> qHistogramSql,
@@ -333,5 +403,7 @@ object Stats extends QueryModule {
     "q_markov" -> qMarkovSql,
     "q_attribution" -> qAttributionSql,
     "q_readability" -> qReadabilitySql,
-    "q_zipf" -> qZipfSql)
+    "q_zipf" -> qZipfSql,
+    "q_profile" -> qProfileSql,
+    "q_key_skew" -> qKeySkewSql)
 }

@@ -94,6 +94,53 @@ class StatsSpec extends SparkSpec {
     assert(z.getDouble(1) < 0.0) // Zipf exponent
   }
 
+  test("profile: key column is unique and non-null, counts match the table") {
+    val p = Stats.qProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.documents(spark, sfDir).count()
+    assert(p("doc_id") === ((n, 0L, n))) // (n_rows, n_nulls, n_distinct)
+    p.values.foreach { case (rows, nulls, dist) =>
+      assert(rows === n && nulls + dist <= n + nulls) // distinct ≤ non-null rows
+    }
+  }
+
+  test("key skew: gini and shares are consistent bounds") {
+    val k = Stats.qKeySkew(spark, sfDir).head()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(k.getLong(0) === users)
+    val (gini, top1, top10) = (k.getDouble(2), k.getDouble(3), k.getDouble(4))
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(top1 <= top10 && top10 <= 1.0 && top1 > 0.0)
+    // the 10 largest keys hold at least a uniform share
+    assert(top10 >= math.min(10.0, users.toDouble) / users - 1e-9)
+  }
+
+  test("copurchase pairs are ordered and support-thresholded") {
+    val c = operators.Relational.qCopurchase(spark, sfDir).cache()
+    assert(c.filter(col("part_a") >= col("part_b")).count() === 0)
+    assert(c.filter(col("n_orders") < 2).count() === 0)
+    // spot-check one pair's support against a direct count
+    val top = c.orderBy(col("n_orders").desc, col("part_a"), col("part_b")).head()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val direct = li.filter(col("l_partkey") === top.getLong(0))
+      .select("l_orderkey")
+      .intersect(li.filter(col("l_partkey") === top.getLong(1)).select("l_orderkey"))
+      .count()
+    assert(direct === top.getLong(2))
+  }
+
+  test("unpivot melts every measure losslessly") {
+    val u = operators.Relational.qUnpivot(spark, sfDir)
+    val n = Tables.lineitem(spark, sfDir).count()
+    val rows = u.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("l_quantity", "l_extendedprice", "l_discount"))
+    rows.values.foreach { case (cnt, _) => assert(cnt === n) }
+    val direct = Tables.lineitem(spark, sfDir)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+    assert(math.abs(rows("l_quantity")._2 - direct) < 1e-6)
+  }
+
   // --- round-6 statistics additions in sibling modules ---
 
   test("cohen's kappa is consistent with the confusion matrix and bounded") {
