@@ -409,6 +409,65 @@ object Dedup extends QueryModule {
        SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
        FROM walk GROUP BY id"""
 
+  /** Damped PageRank over an undirected edge list, fixed-iteration power
+    * method. Each round is ONE equi-join (out-edges ⋈ current ranks, with
+    * the source degree pre-attached) plus one aggregation — the classic
+    * distributed formulation; ranks materialize + persist per round and
+    * the previous round unpersists, so state stays two node-sized tables
+    * regardless of iteration count. No dangling mass: symmetrized edges
+    * give every node out-degree ≥ 1. Literals 0.15/0.85 are written
+    * identically in the DuckDB oracle (1−0.85 ≠ 0.15 in IEEE doubles —
+    * the same discipline as every shared constant). */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    // localCheckpoint (eager) rather than persist: it TRUNCATES lineage,
+    // so iteration k's plan is one join over a materialized table — not k
+    // nested copies of the whole upstream pipeline (which blows up the
+    // driver during analysis long before executors see data)
+    val out = sym.join(deg, Seq("a"))
+      .select(col("a"), col("b"), col("deg")).localCheckpoint(true)
+    val n = out.select("a").distinct().count()
+    var ranks = deg.select(col("a").as("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = out
+        .join(ranks.select(col("id").as("a"), col("r")), Seq("a"))
+        .groupBy(col("b").as("id"))
+        .agg((lit(0.15) / n + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** q_pagerank: PageRank centrality of the near-dup graph — ranks the
+    * canonical representatives duplicates cluster around (high-rank nodes
+    * are the "hub" texts many near-copies orbit). Oracle: the identical
+    * 10-iteration power method as a DuckDB recursive CTE with aggregation
+    * in the recursive term. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    pageRank(jaccardEdges(s, dir))
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("pagerank"))
+
+  private val qPagerankSql =
+    s"""WITH RECURSIVE
+       pr0 AS ($qDedupJaccardSql),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pr0
+         UNION ALL SELECT doc_b, doc_a FROM pr0),
+       deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       nn AS (SELECT count(*) AS c FROM deg),
+       walk(iter, id, r) AS (
+         SELECT 0, a, 1.0 / (SELECT c FROM nn) FROM deg
+         UNION ALL
+         SELECT w.iter + 1, e.b, 0.15 / (SELECT c FROM nn) + 0.85 * sum(w.r / d.deg)
+         FROM walk w JOIN edges e ON e.a = w.id JOIN deg d ON d.a = w.id
+         WHERE w.iter < 10
+         GROUP BY w.iter + 1, e.b)
+       SELECT id AS doc_id, round(r, 6) AS pagerank FROM walk WHERE iter = 10"""
+
   /** q_graph_stats: structure of the near-dup pair graph in one row —
     * nodes, edges, max degree, triangles, and global clustering
     * (3·triangles / wedges). Duplicate graphs that are unions of
@@ -615,7 +674,8 @@ object Dedup extends QueryModule {
     "q_decontaminate" -> (qDecontaminate _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_graph_stats" -> (qGraphStats _))
+    "q_graph_stats" -> (qGraphStats _),
+    "q_pagerank" -> (qPagerank _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -624,5 +684,6 @@ object Dedup extends QueryModule {
     "q_decontaminate" -> qDecontaminateSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
-    "q_graph_stats" -> qGraphStatsSql)
+    "q_graph_stats" -> qGraphStatsSql,
+    "q_pagerank" -> qPagerankSql)
 }

@@ -33,6 +33,21 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("pagerank conserves total mass and favors high-degree hubs") {
+    val edges = Dedup.jaccardEdges(spark, sfDir)
+    val pr = Dedup.pageRank(edges).cache()
+    // undirected graph, no dangling nodes: Σ ranks stays 1 every iteration
+    val total = pr.agg(sum("r")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    assert(pr.filter(col("r") <= 0).count() === 0)
+    // the max-degree node must outrank the min-degree node
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val byDeg = pr.join(deg, Seq("id")).orderBy(col("d").desc, col("id")).collect()
+    assert(byDeg.head.getDouble(1) >= byDeg.last.getDouble(1))
+  }
+
   test("IVF ANN: covers every query, never beats brute force, recall >= 0.7") {
     val brute = SimilaritySearch.qKnnSearch(spark, sfDir)
       .filter(col("rank") === 1).collect()
