@@ -29,7 +29,7 @@ object Bench {
     "q_sample", "q_sample_stratified", "q_sample_weighted", "q_percentiles_approx",
     "q_histogram", "q_corr_matrix", "q_regr", "q_psi", "q_markov",
     "q_attribution", "q_readability", "q_zipf", "q_kappa", "q_cube",
-    "q_copurchase", "q_unpivot", "q_profile", "q_key_skew")
+    "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

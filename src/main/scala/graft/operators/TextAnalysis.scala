@@ -446,6 +446,108 @@ object TextAnalysis extends QueryModule {
        FROM documents
        ORDER BY ws_key DESC, doc_id ASC LIMIT 20"""
 
+  /** Adjacent-token bigram stream over clean tokens (shared by the PMI
+    * and TextRank operators): per-doc bigrams are a pure projection
+    * (shingles n=2 over the memoized cleanDocs stage), then one explode. */
+  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    TextPrep.cleanDocs(s, dir)
+      .select(explode(graft.functions.TextFns.shingles(col("toks"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("tok_a"),
+        split(col("bg"), " ").getItem(1).as("tok_b"))
+
+  /** q_pmi: pointwise mutual information of adjacent token pairs — the
+    * classic collocation detector ("new york" ≫ chance). Exact counts
+    * (three bounded aggregates: bigrams, unigrams, totals), then
+    * PMI = ln(p(ab) / (p(a)·p(b))) as one expression over exact ratios.
+    * Support-thresholded so the output is the collocation lexicon, not
+    * the long tail (τ=0.2 — calibrated to this near-uniform synthetic
+    * corpus; natural text runs τ≈1-3). */
+  def qPmi(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(s, dir)
+    val bgCounts = bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+    val uni = TextPrep.cleanDocs(s, dir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val totals = bgCounts.agg(sum("n_ab").as("n_bi"))
+      .crossJoin(uni.agg(sum("n_tok").as("n_uni")))
+    bgCounts.filter(col("n_ab") >= 5)
+      .join(uni.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("n_a").cast("double") / col("n_uni")) * (col("n_b").cast("double") / col("n_uni")))), 6)
+          .as("pmi"))
+      .filter(col("pmi") >= 0.2)
+  }
+
+  private val qPmiSql = {
+    val toks = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       bg AS (
+         SELECT split_part(b, ' ', 1) AS tok_a, split_part(b, ' ', 2) AS tok_b
+         FROM (SELECT unnest(${graft.functions.TextFns.shinglesSql("toks", 2)}) AS b FROM docs)),
+       bgc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+       uni AS (SELECT tok, count(*) AS n_tok FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1),
+       tot AS (
+         SELECT (SELECT CAST(sum(n_ab) AS BIGINT) FROM bgc) AS n_bi,
+                (SELECT CAST(sum(n_tok) AS BIGINT) FROM uni) AS n_uni)
+       SELECT b.tok_a, b.tok_b, b.n_ab,
+         round(ln((CAST(b.n_ab AS DOUBLE) / t.n_bi) /
+           ((CAST(ua.n_tok AS DOUBLE) / t.n_uni) * (CAST(ub.n_tok AS DOUBLE) / t.n_uni))), 6) AS pmi
+       FROM bgc b
+       JOIN uni ua ON ua.tok = b.tok_a
+       JOIN uni ub ON ub.tok = b.tok_b
+       CROSS JOIN tot t
+       WHERE b.n_ab >= 5
+         AND round(ln((CAST(b.n_ab AS DOUBLE) / t.n_bi) /
+           ((CAST(ua.n_tok AS DOUBLE) / t.n_uni) * (CAST(ub.n_tok AS DOUBLE) / t.n_uni))), 6) >= 0.2"""
+  }
+
+  /** q_keywords: TextRank keyword extraction — PageRank over the token
+    * co-occurrence graph (adjacent clean tokens, distinct pairs with
+    * support ≥ 2), top-20 by rank. Reuses the Dedup.pageRank power-method
+    * core; the oracle re-runs the identical 10 iterations as a recursive
+    * CTE. Ties (and the top-20 cut) break on the rounded rank then the
+    * token, so both engines cut identically. */
+  def qKeywords(s: SparkSession, dir: String): DataFrame = {
+    val edges = bigrams(s, dir)
+      .filter(col("tok_a") =!= col("tok_b"))
+      .select(least(col("tok_a"), col("tok_b")).as("a"),
+        greatest(col("tok_a"), col("tok_b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("a", "b")
+    Dedup.pageRank(edges)
+      .select(col("id").as("token"), round(col("r"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("token").asc)
+      .limit(20)
+  }
+
+  private val qKeywordsSql = {
+    val toks = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       bg AS (
+         SELECT split_part(b, ' ', 1) AS tok_a, split_part(b, ' ', 2) AS tok_b
+         FROM (SELECT unnest(${graft.functions.TextFns.shinglesSql("toks", 2)}) AS b FROM docs)),
+       e0 AS (
+         SELECT least(tok_a, tok_b) AS a, greatest(tok_a, tok_b) AS b
+         FROM bg WHERE tok_a <> tok_b),
+       e1 AS (SELECT a, b FROM e0 GROUP BY a, b HAVING count(*) >= 2),
+       edges AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+       deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       nn AS (SELECT count(*) AS c FROM deg),
+       walk(iter, id, r) AS (
+         SELECT 0, a, 1.0 / (SELECT c FROM nn) FROM deg
+         UNION ALL
+         SELECT w.iter + 1, e.b, 0.15 / (SELECT c FROM nn) + 0.85 * sum(w.r / d.deg)
+         FROM walk w JOIN edges e ON e.a = w.id JOIN deg d ON d.a = w.id
+         WHERE w.iter < 10
+         GROUP BY w.iter + 1, e.b)
+       SELECT id AS token, round(r, 6) AS textrank FROM walk WHERE iter = 10
+       ORDER BY textrank DESC, token ASC LIMIT 20"""
+  }
+
   /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
     * at 100 TB the exact countDistinct shuffles every distinct value, the
     * HLL sketch shuffles a few KB per group; emitting both validates the
@@ -780,6 +882,8 @@ object TextAnalysis extends QueryModule {
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_pmi" -> (qPmi _),
+    "q_keywords" -> (qKeywords _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinct _))
 
@@ -801,5 +905,7 @@ object TextAnalysis extends QueryModule {
     "q_sample" -> qSampleSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_weighted" -> qSampleWeightedSql,
+    "q_pmi" -> qPmiSql,
+    "q_keywords" -> qKeywordsSql,
     "q_lm_score" -> qLmScoreSql)
 }

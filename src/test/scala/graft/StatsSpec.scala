@@ -143,6 +143,38 @@ class StatsSpec extends SparkSpec {
 
   // --- round-6 statistics additions in sibling modules ---
 
+  test("pmi reproduces from raw counts for a spot-checked collocation") {
+    val pmi = operators.TextAnalysis.qPmi(spark, sfDir).cache()
+    assert(pmi.filter(col("n_ab") < 5).count() === 0)
+    if (pmi.count() > 0) {
+      val top = pmi.orderBy(col("pmi").desc, col("tok_a"), col("tok_b")).head()
+      val toks = operators.TextPrep.cleanDocs(spark, sfDir)
+        .select(explode(col("toks")).as("tok"))
+      val nUni = toks.count()
+      val na = toks.filter(col("tok") === top.getString(0)).count()
+      val nb = toks.filter(col("tok") === top.getString(1)).count()
+      val bg = operators.TextPrep.cleanDocs(spark, sfDir)
+        .select(explode(graft.functions.TextFns.shingles(col("toks"), 2)).as("bg"))
+      val nBi = bg.count()
+      val nab = bg.filter(col("bg") === (top.getString(0) + " " + top.getString(1))).count()
+      val expect = math.log((nab.toDouble / nBi) /
+        ((na.toDouble / nUni) * (nb.toDouble / nUni)))
+      assert(math.abs(top.getDouble(3) - expect) < 1e-5)
+    }
+  }
+
+  test("textrank returns 20 ranked vocabulary keywords") {
+    val kw = operators.TextAnalysis.qKeywords(spark, sfDir).cache()
+    assert(kw.count() === 20)
+    val ranks = kw.collect().map(_.getDouble(1))
+    assert(ranks.toSeq === ranks.sortBy(-_).toSeq)
+    assert(ranks.forall(_ > 0))
+    // every keyword is a real clean token of the corpus
+    val vocab = operators.TextPrep.cleanDocs(spark, sfDir)
+      .select(explode(col("toks")).as("token")).distinct()
+    assert(kw.join(vocab, Seq("token"), "left_anti").count() === 0)
+  }
+
   test("cohen's kappa is consistent with the confusion matrix and bounded") {
     val k = operators.Evaluation.qKappa(spark, sfDir).head()
     val (tp, fp, tn, fn) = (k.getLong(0), k.getLong(1), k.getLong(2), k.getLong(3))
