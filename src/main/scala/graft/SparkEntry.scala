@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
-    Relational, TextPrep, TextAnalysis, Dedup, SimilaritySearch,
+    Relational, Tpch, TextPrep, TextAnalysis, Dedup, SimilaritySearch,
     Evaluation, NQuads, Multimodal, TopicModeling, Classification,
     PolysemyEval, Stats)
 
