@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Operators a 100 TB training-data pipeline leans on that are about the
+  * EXECUTION shape more than the query semantics:
+  *
+  *  - q_chunk: fixed-size token chunking with overlap — the map that turns
+  *    documents into training windows. Pure per-row explode (no shuffle).
+  *  - q_fuzzy_vocab: edit-distance vocabulary matching with length-bucket
+  *    blocking — the scale-safe fuzzy-join shape (equi-join on a posted
+  *    blocking key, never an all-pairs product).
+  *  - q_bloom_semi: semi-join with a Bloom-filter pre-prune — builds a
+  *    bloom over the build side's join keys and applies it via Spark's
+  *    native `BloomFilterMightContain` BEFORE the shuffle, then closes
+  *    with the exact semi-join. At 100 TB this is the difference between
+  *    shuffling every probe row and shuffling ~the matching ones; the
+  *    final result is EXACTLY the semi-join (the oracle proves it).
+  *  - q_heavy_hitters: Count-Min-Sketch frequency estimates checked
+  *    against exact counts — emits the CMS one-sided guarantee
+  *    (estimate ≥ truth) and the ε-bound as hash-gated booleans.
+  *  - q_ewma: exponentially-weighted moving average as a closed-form
+  *    window aggregate — weights are exact powers of two (shiftleft) and
+  *    sums stay DECIMAL, so the "recursive" smoother becomes one
+  *    deterministic, engine-portable window pass.
+  */
+object ScaleOps extends QueryModule {
+
+  // ---------------------------------------------------------- chunking
+  private val ChunkSize = 64
+  private val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** Chunk every document into ChunkSize-token windows every ChunkStride
+    * tokens (trailing chunk may be short). Narrow transform: tokenize →
+    * sequence → posexplode; no shuffle, scales linearly with the scan. */
+  def chunksOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("rtoks"), size(col("rtoks")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("rtoks"), col("n_tokens"),
+        posexplode(sequence(lit(0), col("n_tokens") - 1, lit(ChunkStride))))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        col("col").cast("int").as("chunk_start"),
+        least(lit(ChunkSize), col("n_tokens") - col("col")).cast("int").as("chunk_len"),
+        element_at(col("rtoks"), col("col") + 1).as("first_tok"),
+        col("n_tokens"))
+
+  def qChunk(s: SparkSession, dir: String): DataFrame =
+    chunksOf(TextPrep.rawDocs(s, dir))
+
+  private val qChunkSql =
+    s"""WITH toks AS (SELECT doc_id, ${TextFns.rawTokensSql("text")} AS t FROM documents),
+       n AS (SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens FROM toks WHERE len(t) > 0),
+       st AS (SELECT doc_id, t, n_tokens,
+                unnest(generate_series(0, CAST(n_tokens AS BIGINT) - 1, $ChunkStride)) AS gs
+              FROM n)
+       SELECT doc_id, CAST(gs // $ChunkStride AS INT) AS chunk_id, CAST(gs AS INT) AS chunk_start,
+              CAST(least($ChunkSize, n_tokens - gs) AS INT) AS chunk_len,
+              t[gs+1] AS first_tok, n_tokens
+       FROM st"""
+
+  // ------------------------------------------------------- fuzzy vocab
+  /** All near-miss token pairs (edit distance ≤ 2, both length ≥ 3) in the
+    * corpus vocabulary, with corpus frequencies — the spell-match /
+    * vocabulary-reconciliation primitive. Blocking: the right side posts
+    * one copy per candidate length (±2), so candidates come from an
+    * EQUI-join on length — at a 10M-type vocabulary this is the shape
+    * that survives (5·|V| posted rows, never |V|²). */
+  def qFuzzyVocab(s: SparkSession, dir: String): DataFrame = {
+    val vocab = TextPrep.rawDocs(s, dir)
+      .select(explode(col("rtoks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("tok")) >= 3)
+    val posted = vocab.select(col("tok").as("tok_b"), col("cnt").as("cnt_b"),
+        explode(sequence(length(col("tok")) - 2, length(col("tok")) + 2)).as("blk"))
+    vocab.select(col("tok").as("tok_a"), col("cnt").as("cnt_a"),
+        length(col("tok")).as("len_a"))
+      .join(posted, col("len_a") === col("blk") && col("tok_a") < col("tok_b"))
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= 2)
+      .select(col("tok_a"), col("tok_b"),
+        levenshtein(col("tok_a"), col("tok_b")).as("dist"),
+        col("cnt_a"), col("cnt_b"))
+  }
+
+  private val qFuzzyVocabSql =
+    s"""WITH vocab AS (
+         SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(${TextFns.rawTokensSql("text")}) AS t FROM documents)
+         GROUP BY 1 HAVING len(tok) >= 3)
+       SELECT a.tok AS tok_a, b.tok AS tok_b,
+              CAST(levenshtein(a.tok, b.tok) AS INT) AS dist,
+              a.cnt AS cnt_a, b.cnt AS cnt_b
+       FROM vocab a JOIN vocab b
+         ON len(a.tok) BETWEEN len(b.tok)-2 AND len(b.tok)+2 AND a.tok < b.tok
+       WHERE levenshtein(a.tok, b.tok) <= 2"""
+
+  // --------------------------------------------------------- bloom semi
+  /** Bloom-filter membership as a Column: Spark's native codegen'd
+    * `BloomFilterMightContain` over `xxhash64(key)` — the same expression
+    * pair AQE's runtime row-level filtering injects. The bloom bitmap
+    * travels as a foldable binary literal (broadcast with the task
+    * binary), so the probe side prunes BEFORE any shuffle. */
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      XxHash64(Seq(ColumnBridge.expression(key)), 42L)))
+
+  /** Customers with ≥1 order, computed as bloom-prune → exact semi-join.
+    * The bloom is built over xxhash64(o_custkey) (matching the probe's
+    * hash — see bloomMightContain); false positives are removed by the
+    * closing semi-join, so the result is EXACTLY the plain semi-join and
+    * the DuckDB EXISTS oracle hash-gates it. */
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val orderKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    val bloom = orderKeys.select(xxhash64(col("o_custkey")).as("h"))
+      .stat.bloomFilter("h", 1L << 21, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      .filter(bloomMightContain(bytes, col("c_custkey")))
+      .join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+  }
+
+  private val qBloomSemiSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  // ------------------------------------------------------ heavy hitters
+  /** Top-20 corpus tokens with exact counts plus the Count-Min-Sketch
+    * guarantees as booleans: `cms_lower_ok` (estimate ≥ truth — holds
+    * with certainty) and `cms_upper_ok` (estimate ≤ truth + ε·N — holds
+    * with prob ≥ confidence; ε·N here is ~1000× the bucket load, so a
+    * FAIL would mean the sketch is broken, not unlucky). The sketch is a
+    * fixed-size mergeable summary — the 100 TB path is one sketch per
+    * partition merged on the driver, which is exactly what stat.countMinSketch
+    * does; only the 20 ranked rows leave the executors. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextPrep.rawDocs(s, dir).select(explode(col("rtoks")).as("tok"))
+    val eps = 0.001
+    val cms = toks.stat.countMinSketch("tok", eps, 0.99, 42)
+    val total = cms.totalCount()
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(20).collect()
+    val slack = math.ceil(eps * total).toLong
+    top.toSeq.map { r =>
+      val (tok, cnt) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(tok)
+      (tok, cnt, est >= cnt, est <= cnt + slack)
+    }.toDF("tok", "exact_cnt", "cms_lower_ok", "cms_upper_ok")
+  }
+
+  private val qHeavyHittersSql =
+    s"""SELECT t AS tok, CAST(count(*) AS BIGINT) AS exact_cnt,
+              TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+       FROM (SELECT unnest(${TextFns.rawTokensSql("text")}) AS t FROM documents)
+       GROUP BY 1 ORDER BY exact_cnt DESC, tok ASC LIMIT 20"""
+
+  // -------------------------------------------------------------- ewma
+  /** Per-user EWMA (α=1/2) of event values over each user's first 40
+    * events. The recursion e_t = (x_t + e_{t-1}·1)/… is unrolled into the
+    * closed form e_t = Σ 2^i·x_i / Σ 2^i, with 2^i as shiftleft (exact
+    * long) and both sums DECIMAL — every intermediate is exact in both
+    * engines, so only one final double division is compared. One shuffle
+    * on user_id, then a single ordered window pass. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val wOrder = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        row_number().over(wOrder).as("rn"))
+      .filter(col("rn") <= 40)
+      .select(col("user_id"), col("event_id"), col("rn"),
+        round(
+          sum(col("value").cast("decimal(18,6)") *
+            expr("shiftleft(1L, rn)").cast("decimal(20,0)")).over(wRun).cast("double") /
+          sum(expr("shiftleft(1L, rn)").cast("decimal(20,0)")).over(wRun).cast("double"),
+          6).as("ewma"))
+  }
+
+  private val qEwmaSql =
+    """WITH ranked AS (
+         SELECT user_id, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+         FROM events)
+       SELECT user_id, event_id, rn,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(CAST(1 AS BIGINT) << rn AS DECIMAL(20,0))) OVER w AS DOUBLE)
+               / CAST(sum(CAST(CAST(1 AS BIGINT) << rn AS DECIMAL(20,0))) OVER w AS DOUBLE), 6) AS ewma
+       FROM ranked WHERE rn <= 40
+       WINDOW w AS (PARTITION BY user_id ORDER BY rn ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> (qChunk _),
+    "q_fuzzy_vocab" -> (qFuzzyVocab _),
+    "q_bloom_semi" -> (qBloomSemi _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_ewma" -> (qEwma _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_chunk" -> qChunkSql,
+    "q_fuzzy_vocab" -> qFuzzyVocabSql,
+    "q_bloom_semi" -> qBloomSemiSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_ewma" -> qEwmaSql)
+}
