@@ -29,7 +29,11 @@ object Bench {
     "q_sample", "q_sample_stratified", "q_sample_weighted", "q_percentiles_approx",
     "q_histogram", "q_corr_matrix", "q_regr", "q_psi", "q_markov",
     "q_attribution", "q_readability", "q_zipf", "q_kappa", "q_cube",
-    "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords")
+    "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords",
+    "q2_topsupp", "q4_priority", "q7_volume", "q8_share", "q9_profit",
+    "q10_returns", "q12_priority", "q14_promo", "q16_suppcnt", "q17_smallqty",
+    "q19_disjunct", "q20_excess", "q21_blame", "q22_idle",
+    "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

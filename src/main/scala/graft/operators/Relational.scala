@@ -387,6 +387,32 @@ object Relational extends QueryModule {
         round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"),
         round(expr("approx_percentile(value, 0.99, 10000)"), 4).as("p99"))
 
+  /** q_percentiles_approx (registered, HASH-GATED form): the GK sketch's
+    * RANK guarantee as booleans — the empirical CDF at each approx
+    * quantile must bracket the target rank within 2% (the sketch's bound
+    * is 100× tighter at accuracy 10000, so TRUE is certain while staying
+    * a real assertion about the sketch). Group row counts hash-gate the
+    * underlying data. */
+  def qPercentilesApproxGate(s: SparkSession, dir: String): DataFrame = {
+    val cuts = qPercentilesApprox(s, dir)
+    Tables.events(s, dir).select(col("event_type"), col("value"))
+      .join(broadcast(cuts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("le99"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") - lit(0.50) * col("n")) <= col("n") * 0.02 + 2).as("p50_rank_ok"),
+        (abs(col("le95") - lit(0.95) * col("n")) <= col("n") * 0.02 + 2).as("p95_rank_ok"),
+        (col("le99") >= col("n") * 0.975).as("p99_rank_ok"))
+  }
+
+  private val qPercentilesApproxSql =
+    """SELECT event_type, count(*) AS n,
+              TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS p99_rank_ok
+       FROM events GROUP BY event_type"""
+
   /** Typed JSON props extraction (get_json_object ↔ json_extract) —
     * the structured twin of the regex path in qEventsProps. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
@@ -664,6 +690,25 @@ object Relational extends QueryModule {
         round(sum(col("total").cast("decimal(18,2)")).cast("double"), 2).as("sum_total"))
   }
 
+  /** q_ntile_approx (registered, HASH-GATED form): the sketch-bucketed
+    * deciles' size guarantee as booleans — every decile within 2%+2 of
+    * n/10 (the GK bound at accuracy 10000 is far tighter; the slack
+    * absorbs small-SF tie effects while still failing on a broken
+    * sketch), plus the partition total which hash-gates the data. */
+  def qNtileApproxGate(s: SparkSession, dir: String): DataFrame = {
+    val buckets = qNtileApprox(s, dir)
+    val total = buckets.agg(sum(col("n_customers")).as("n_total"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("decile"),
+        (abs(col("n_customers") - col("n_total") / 10.0) <=
+          col("n_total") * 0.02 + 2).as("size_ok"),
+        col("n_total"))
+  }
+
+  private val qNtileApproxSql =
+    """SELECT unnest(generate_series(1, 10)) AS decile, TRUE AS size_ok,
+              (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_total"""
+
   /** q_compact: CDC latest-record-wins compaction — the upsert-view shape:
     * one row per (user_id, event_type) key, the newest event by (ts,
     * event_id) wins. One shuffle on the key; at scale this is the
@@ -847,7 +892,7 @@ object Relational extends QueryModule {
     "q_pivot" -> (qPivot _),
     "q_anomaly" -> (qAnomaly _),
     "q_ntile" -> (qNtile _),
-    "q_ntile_approx" -> (qNtileApprox _),
+    "q_ntile_approx" -> (qNtileApproxGate _),
     "q_compact" -> (qCompact _),
     "q_events_hop" -> (qEventsHop _),
     "q_gapfill" -> (qGapfill _),
@@ -858,12 +903,14 @@ object Relational extends QueryModule {
     "q_copurchase" -> (qCopurchase _),
     "q_unpivot" -> (qUnpivot _),
     "q_percentiles" -> (qPercentiles _),
-    "q_percentiles_approx" -> (qPercentilesApprox _),
+    "q_percentiles_approx" -> (qPercentilesApproxGate _),
     "q_events_json" -> (qEventsJson _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _))
 
   override def oracles: Map[String, String] = Map(
+    "q_percentiles_approx" -> qPercentilesApproxSql,
+    "q_ntile_approx" -> qNtileApproxSql,
     "q1_agg" -> q1Sql,
     "q6_agg" -> q6Sql,
     "q18_having" -> q18Sql,

@@ -548,11 +548,11 @@ object TextAnalysis extends QueryModule {
        ORDER BY textrank DESC, token ASC LIMIT 20"""
   }
 
-  /** q_approx_distinct: HLL++ cardinality per source vs the exact count —
-    * at 100 TB the exact countDistinct shuffles every distinct value, the
-    * HLL sketch shuffles a few KB per group; emitting both validates the
-    * configured 2% target (rows-only: sketch internals aren't SQL-portable;
-    * the error bound is also spec-asserted). */
+  /** HLL++ cardinality per source vs the exact count — at 100 TB the
+    * exact countDistinct shuffles every distinct value, the HLL sketch
+    * shuffles a few KB per group; emitting both validates the configured
+    * 2% target (sketch internals aren't SQL-portable; Round3Spec asserts
+    * the error bound on this rich form). */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), md5(col("text")).as("h"))
@@ -562,6 +562,20 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("exact_distinct"), col("approx_distinct"),
         round(abs(col("approx_distinct") - col("exact_distinct")).cast("double") /
           col("exact_distinct"), 6).as("rel_err"))
+
+  /** q_approx_distinct (registered, HASH-GATED form): exact cardinality
+    * plus the HLL guarantee as a boolean — `hll_within_5pct` is TRUE with
+    * overwhelming margin for a 2%-rsd sketch, so the DuckDB oracle can
+    * assert it literally while the exact counts hash-gate the data. */
+  def qApproxDistinctGate(s: SparkSession, dir: String): DataFrame =
+    qApproxDistinct(s, dir)
+      .select(col("source"), col("exact_distinct"),
+        (col("rel_err") < 0.05).as("hll_within_5pct"))
+
+  private val qApproxDistinctSql =
+    """SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+              TRUE AS hll_within_5pct
+       FROM documents GROUP BY source"""
 
   /** q_curation: the full curation funnel a training-data job runs —
     * keep documents that pass every quality gate, survive exact dedup
@@ -885,9 +899,10 @@ object TextAnalysis extends QueryModule {
     "q_pmi" -> (qPmi _),
     "q_keywords" -> (qKeywords _),
     "q_lm_score" -> (qLmScore _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinctGate _))
 
   override def oracles: Map[String, String] = Map(
+    "q_approx_distinct" -> qApproxDistinctSql,
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,
     "q_mix_rates" -> qMixRatesSql,
