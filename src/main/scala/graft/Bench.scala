@@ -33,7 +33,8 @@ object Bench {
     "q2_topsupp", "q4_priority", "q7_volume", "q8_share", "q9_profit",
     "q10_returns", "q12_priority", "q14_promo", "q16_suppcnt", "q17_smallqty",
     "q19_disjunct", "q20_excess", "q21_blame", "q22_idle",
-    "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma")
+    "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma",
+    "q_zorder", "q_window_funcs", "q_setops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -207,6 +207,71 @@ object Relational extends QueryModule {
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
        FROM orders) WHERE rn <= 3"""
 
+  /** q_window_funcs: the full analytic-function surface in one pass —
+    * lag/lead, rank/dense_rank, percent_rank/cume_dist, first/last over
+    * a running frame — per customer order history. ONE window spec (one
+    * shuffle on custkey, one sort per partition) serves every function;
+    * ties are impossible (orderkey is unique within the sort key). */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        round(percent_rank().over(w), 6).as("pct_rk"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_totalprice")).over(wRun).as("first_price"),
+        max(col("o_totalprice")).over(wRun).as("run_max"))
+  }
+
+  private val qWindowFuncsSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         rank() OVER w AS rk,
+         dense_rank() OVER w AS drk,
+         round(percent_rank() OVER w, 6) AS pct_rk,
+         round(cume_dist() OVER w, 6) AS cume,
+         first_value(o_totalprice) OVER wr AS first_price,
+         max(o_totalprice) OVER wr AS run_max
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+              wr AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+  /** q_setops: INTERSECT / EXCEPT / UNION as one tagged result — the
+    * customers active in the BUILDING segment's order flow vs the
+    * MACHINERY segment's (set semantics, dedup built in). Each branch is
+    * a distinct-aggregate; the tag makes the three results one gated
+    * relation. */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    def seg(name: String) =
+      Tables.customer(s, dir).filter(col("c_mktsegment") === name)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_nationkey"))
+    val b = seg("BUILDING").distinct()
+    val m = seg("MACHINERY").distinct()
+    b.intersect(m).select(lit("both").as("op"), col("c_nationkey"))
+      .unionByName(b.except(m).select(lit("building_only").as("op"), col("c_nationkey")))
+      .unionByName(b.union(m).distinct().select(lit("either").as("op"), col("c_nationkey")))
+  }
+
+  private val qSetopsSql =
+    """WITH b AS (SELECT DISTINCT c_nationkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING'
+                    AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+          m AS (SELECT DISTINCT c_nationkey FROM customer
+                  WHERE c_mktsegment = 'MACHINERY'
+                    AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+       SELECT 'both' AS op, c_nationkey FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+       UNION ALL
+       SELECT 'building_only' AS op, c_nationkey FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+       UNION ALL
+       SELECT 'either' AS op, c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m)"""
+
   /** Tumbling-window (daily) event aggregation; the streaming twin lives in
     * graft.streaming.EventStream. value sums go through DECIMAL(18,6). */
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -883,6 +948,8 @@ object Relational extends QueryModule {
     "q3_join" -> (q3Join _),
     "q5_join" -> (q5Join _),
     "q_window" -> (qWindow _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_setops" -> (qSetops _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_props" -> (qEventsProps _),
@@ -917,6 +984,8 @@ object Relational extends QueryModule {
     "q3_join" -> q3Sql,
     "q5_join" -> q5Sql,
     "q_window" -> qWindowSql,
+    "q_window_funcs" -> qWindowFuncsSql,
+    "q_setops" -> qSetopsSql,
     "q_moving_avg" -> qMovingAvgSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_props" -> qEventsPropsSql,

@@ -203,7 +203,49 @@ object ScaleOps extends QueryModule {
        WINDOW w AS (PARTITION BY user_id ORDER BY rn ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
+  // ------------------------------------------------------------ z-order
+  private val ZBits = 10
+
+  /** Bit-interleave two ZBits-wide ints into a Z-order (Morton) key —
+    * pure integer Column arithmetic (shifts/masks unrolled at plan build:
+    * 2·ZBits terms, all codegen'd; no UDF). */
+  def zorderKey(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)).cast("long")
+    }.reduce(_ + _)
+
+  /** The same interleave as SQL text (mirrors zorderKey term-for-term). */
+  private def zorderKeySql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"CAST((($x >> $i) & 1) << ${2 * i} AS BIGINT) + CAST((($y >> $i) & 1) << ${2 * i + 1} AS BIGINT)"
+    }.mkString(" + ")
+
+  /** Z-order layout clustering: the Morton key over (custkey, price-band)
+    * that a 100 TB table would `repartitionByRange(zkey).sortWithinPartitions
+    * (zkey)` on before writing, so parquet row-group min/max stats prune
+    * 2-DIMENSIONAL predicates (a classic single-column sort only prunes
+    * one). Emits the key per order; both dims are exact integer maps
+    * (modulo bucket / exact-decimal floor-div) so the oracle hash-gates
+    * every row. The locality property (consecutive keys ⇒ nearby in both
+    * dims) is spec-asserted. */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 1024).cast("int").as("xb"),
+        (floor(col("o_totalprice").cast("decimal(18,2)") / 1000) % 1024).cast("int").as("yb"))
+      .select(col("o_orderkey"), col("xb"), col("yb"),
+        zorderKey(col("xb"), col("yb")).as("zkey"))
+
+  private val qZorderSql =
+    s"""SELECT o_orderkey, xb, yb, ${zorderKeySql("xb", "yb")} AS zkey
+       FROM (SELECT o_orderkey,
+               CAST(o_custkey % 1024 AS INT) AS xb,
+               CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) % 1024 AS INT) AS yb
+             FROM orders)"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_chunk" -> (qChunk _),
     "q_fuzzy_vocab" -> (qFuzzyVocab _),
     "q_bloom_semi" -> (qBloomSemi _),
@@ -211,6 +253,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_zorder" -> qZorderSql,
     "q_chunk" -> qChunkSql,
     "q_fuzzy_vocab" -> qFuzzyVocabSql,
     "q_bloom_semi" -> qBloomSemiSql,

@@ -69,6 +69,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(counts.sameElements(counts.sortBy(-_)))
   }
 
+  test("z-order locality: neighbors in key order are neighbors in both dims") {
+    import org.apache.spark.sql.expressions.Window
+    val z = ScaleOps.qZorder(spark, sfDir)
+    def meanStep(orderCol: String): Double = {
+      val w = Window.orderBy(col(orderCol).asc, col("o_orderkey").asc)
+      z.select(col("xb"), col("yb"),
+          lag("xb", 1).over(w).as("px"), lag("yb", 1).over(w).as("py"))
+        .filter(col("px").isNotNull)
+        .agg(avg(abs(col("xb") - col("px")) + abs(col("yb") - col("py"))))
+        .head().getDouble(0)
+    }
+    val zStep = meanStep("zkey")
+    val keyStep = meanStep("o_orderkey") // orderkey order ≈ random in (xb, yb)
+    assert(zStep < keyStep / 2, s"zStep=$zStep keyStep=$keyStep")
+    // interleave round-trips: de-interleaving the key recovers both dims
+    val bad = z.filter(
+      (0 until 10).map(i => (shiftright(col("zkey"), 2 * i).bitwiseAND(1) * (1 << i)).cast("int"))
+        .reduce(_ + _) =!= col("xb")).count()
+    assert(bad === 0)
+  }
+
   test("ewma stays inside the running value envelope, starts at the value") {
     val e = ScaleOps.qEwma(spark, sfDir).cache()
     val first = e.filter(col("rn") === 1)
