@@ -250,6 +250,61 @@ object Tpch extends QueryModule {
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        GROUP BY l_linestatus"""
 
+  // ---------------------------------------------------------------- Q13
+  /** Q13: customer order-count distribution — the two-level aggregate
+    * with an outer join (customers with zero orders count too), excluding
+    * one priority class. Shape: left-outer fact join, groupBy custkey,
+    * then the tiny histogram aggregate. */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+         GROUP BY c_custkey)
+       GROUP BY c_count"""
+
+  // ---------------------------------------------------------------- Q15
+  /** Q15: top supplier(s) by quarterly revenue — the "view + scalar max"
+    * shape: aggregate once, broadcast the one-row max back, keep ties.
+    * Exact-decimal revenue on both sides of the equality, so the tie
+    * comparison is deterministic in both engines. */
+  def q15TopSupp(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueExpr).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+         SELECT l_suppkey, sum($revenueSql) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+
   // ---------------------------------------------------------------- Q14
   /** Q14: promo revenue share for one month — conditional decimal sums,
     * single final division. The part join is fact⋈dim on partkey (AQE
@@ -501,6 +556,8 @@ object Tpch extends QueryModule {
     "q9_profit" -> (q9Profit _),
     "q10_returns" -> (q10Returns _),
     "q12_priority" -> (q12Priority _),
+    "q13_custdist" -> (q13CustDist _),
+    "q15_topsupp" -> (q15TopSupp _),
     "q14_promo" -> (q14Promo _),
     "q16_suppcnt" -> (q16SuppCount _),
     "q17_smallqty" -> (q17SmallQty _),
@@ -517,6 +574,8 @@ object Tpch extends QueryModule {
     "q9_profit" -> q9Sql,
     "q10_returns" -> q10Sql,
     "q12_priority" -> q12Sql,
+    "q13_custdist" -> q13Sql,
+    "q15_topsupp" -> q15Sql,
     "q14_promo" -> q14Sql,
     "q16_suppcnt" -> q16Sql,
     "q17_smallqty" -> q17Sql,

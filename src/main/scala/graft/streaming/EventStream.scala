@@ -89,6 +89,30 @@ object EventStream {
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  case class EwmaState(n_events: Long, num: Double, den: Double)
+  case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming EWMA (α=1/2, normalized weights) per user — the stateful
+    * twin of the batch closed-form ScaleOps.qEwma. The batch query's
+    * weights 2^i/Σ2^j are the "adjust" EWMA, whose streaming recursion is
+    * num ← x + num/2, den ← 1 + den/2, e = num/den — so state is ONE
+    * (count, num, den) triple per key regardless of stream length.
+    * Events must arrive in per-user order within a batch (the caller
+    * sorts; a production job would carry event-time and use a timer). */
+  def runningUserEwma(events: Dataset[UserEvent]): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, UserEwma](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[EwmaState]) =>
+          var cur = state.getOption.getOrElse(EwmaState(0L, 0.0, 0.0))
+          rows.foreach { e =>
+            cur = EwmaState(cur.n_events + 1, e.value + cur.num / 2.0, 1.0 + cur.den / 2.0)
+          }
+          state.update(cur)
+          Iterator(UserEwma(uid, cur.n_events, cur.num / cur.den))
+      }
+  }
 
   /** Custom keyed state: running per-user event count/value via
     * flatMapGroupsWithState. In production add a GroupStateTimeout

@@ -175,4 +175,30 @@ class StreamingSpec extends SparkSpec {
       assert(last === EventStream.UserRunning(7L, 3L, 10.0))
     } finally q.stop()
   }
+
+  test("stateful streaming EWMA matches the batch closed-form twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.UserEvent]
+    val q = EventStream.runningUserEwma(input.toDS())
+      .writeStream.format("memory").queryName("user_ewma")
+      .outputMode("update").start()
+    try {
+      // two users, values across two micro-batches (state carries over)
+      input.addData(EventStream.UserEvent(1L, "a", 10.0),
+        EventStream.UserEvent(1L, "a", 20.0), EventStream.UserEvent(2L, "a", 4.0))
+      q.processAllAvailable()
+      input.addData(EventStream.UserEvent(1L, "a", 40.0),
+        EventStream.UserEvent(2L, "a", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("user_ewma").as[EventStream.UserEwma].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events).ewma }
+      // batch closed form: e = sum(2^i x_i)/sum(2^i), i = 1..n
+      def closed(xs: Seq[Double]): Double = {
+        val w = xs.indices.map(i => math.pow(2.0, i + 1))
+        xs.zip(w).map { case (x, wi) => x * wi }.sum / w.sum
+      }
+      assert(math.abs(got(1L) - closed(Seq(10.0, 20.0, 40.0))) < 1e-9)
+      assert(math.abs(got(2L) - closed(Seq(4.0, 8.0))) < 1e-9)
+    } finally q.stop()
+  }
 }
