@@ -590,6 +590,45 @@ object Relational extends QueryModule {
        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
+  /** AS-OF join via the NATIVE whole-operator path (graft.plans.AsOfJoin:
+    * custom LogicalPlan → Strategy → SparkPlan, one merge pass over
+    * co-partitioned sorted children). Left-outer, rightTime <= leftTime,
+    * latest candidate wins — exactly DuckDB's ASOF LEFT JOIN. Key/time
+    * must be LongType on both sides. */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    // strategy is injected by GraftExtensions under GraftSession; register
+    // late for sessions built without the extensions (tests, REPL)
+    if (!spark.experimental.extraStrategies.exists(_ eq graft.plans.AsOfJoinStrategy) &&
+        !spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def ref(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"missing column $n"))
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp,
+        ref(lp, leftKey), ref(lp, leftTime), ref(rp, rightKey), ref(rp, rightTime)))
+  }
+
+  /** q_asof_native: the same purchases-to-latest-view join as q_asof_join,
+    * through the native operator instead of the union+window rewrite —
+    * both hash-gate against the identical DuckDB ASOF JOIN oracle, which
+    * proves operator/rewrite/oracle three-way agreement. */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    asofJoinNative(purchases, views, "user_id", "p_us", "v_user", "v_us")
+      .select(col("event_id"), col("user_id"),
+        (col("p_us") - col("v_us")).as("gap_us"))
+  }
+
   /** Range-join window width: 30 minutes, in microseconds. */
   val RangeJoinWindowUs = 1800L * 1000000L
 
@@ -955,6 +994,7 @@ object Relational extends QueryModule {
     "q_events_props" -> (qEventsProps _),
     "q_antijoin" -> (qAntijoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_native" -> (qAsofNative _),
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
     "q_anomaly" -> (qAnomaly _),
@@ -991,6 +1031,7 @@ object Relational extends QueryModule {
     "q_events_props" -> qEventsPropsSql,
     "q_antijoin" -> qAntijoinSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_asof_native" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_pivot" -> qPivotSql,
     "q_anomaly" -> qAnomalySql,

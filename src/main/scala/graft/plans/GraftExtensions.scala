@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
