@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the missing
+  * piece between "count tokens" and "own your tokenizer" in a training-data
+  * pipeline. Classic algorithm (Sennrich et al. 2016): start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair.
+  *
+  * Scale shape: the corpus is first compressed to WORD FREQUENCIES (one
+  * aggregate — state is vocabulary-sized, independent of corpus size; a
+  * 100 TB corpus and a 100 GB corpus with the same vocabulary train
+  * identically). Each merge round is then: adjacent-pair explode over the
+  * word table, one weighted count aggregate, ONE row (the argmax) to the
+  * driver, and a pure-Column fold that applies the merge — no UDF, no
+  * driver-side corpus. Rounds are lineage-truncated (localCheckpoint) so
+  * round k plans one job, not k nested pipelines.
+  *
+  * Determinism: argmax ties break (count desc, left asc, right asc);
+  * the left-to-right merge fold is exactly the reference algorithm's
+  * greedy scan (BpeSpec pins equality with a driver-side reimplementation).
+  */
+object Bpe extends QueryModule {
+
+  /** Apply merge (a, b) -> a+b to a symbol array, greedy left-to-right,
+    * as a pure aggregate() fold (no UDF; codegen'd). */
+  private def mergeFold(syms: Column, a: String, b: String): Column = {
+    val aLit = lit(a)
+    val bLit = lit(b)
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === aLit && x === bLit,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(aLit, bLit))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Vocabulary size up to which the merge loop runs on the driver: the
+    * corpus-scale work (word counting) is one distributed aggregate either
+    * way; the loop's state is VOCABULARY-sized, and below ~1M entries the
+    * per-round Spark job overhead (~40 jobs for 20 merges) dwarfs the
+    * actual work. Above the limit the distributed loop takes over
+    * (BpeSpec pins both paths to the same merge table). */
+  val LocalVocabLimit: Long = 1L << 20
+
+  /** Train `nMerges` BPE merges over the corpus' clean tokens. Returns
+    * (rank, left, right, merged, pair_count) — the merge table a
+    * tokenizer ships with. */
+  def train(s: SparkSession, dir: String, nMerges: Int = 20,
+      localVocabLimit: Long = LocalVocabLimit): DataFrame = {
+    import s.implicits._
+    // corpus -> word frequency table (the only corpus-scale pass)
+    val wordCounts = TextPrep.cleanDocs(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // ONE pass decides the path and fetches the vocab when it fits:
+    // take(limit+1) returns every row iff the vocab is within the limit
+    val head = wordCounts.take(math.min(localVocabLimit, Int.MaxValue - 1L).toInt + 1)
+    if (head.length <= localVocabLimit) {
+      val freq = head.toSeq.map(r => r.getString(0) -> r.getLong(1))
+      return localTrain(freq, nMerges).toDF("rank", "left", "right", "merged", "pair_count")
+    }
+    var words = wordCounts
+      .select(col("cnt"), expr("split(w, '')").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), col("syms"), posexplode(col("syms")).as(Seq("i", "a")))
+        .filter(col("i") < size(col("syms")) - 1)
+        .withColumn("b", expr("element_at(syms, i + 2)"))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, n))
+        val next = words.select(col("cnt"), mergeFold(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Driver-side merge loop over a word-frequency table (the vocab-scale
+    * path; same algorithm, same tie-breaks as the distributed loop). */
+  def localTrain(freq: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = freq
+      .groupBy(_._1.split("").toVector).map { case (k, v) => k -> v.map(_._2).sum }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + cnt
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), n) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        rank += 1
+        out += ((rank, a, b, a + b, n))
+        words = words.toSeq.map { case (syms, cnt) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b) { acc.remove(acc.length - 1); acc += (a + b) }
+            else acc += x
+          }
+          acc.toVector -> cnt
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      }
+    }
+    out.result()
+  }
+
+  /** q_bpe: the 20-merge table trained on the documents corpus. Rows-only
+    * (an iterative argmax is not one SQL query); BpeSpec pins the exact
+    * merge table against a single-node reference implementation. */
+  def qBpe(s: SparkSession, dir: String): DataFrame = train(s, dir, 20)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe" -> (qBpe _))
+
+  override def oracles: Map[String, String] = Map.empty
+}
