@@ -400,7 +400,7 @@ object TextAnalysis extends QueryModule {
     val thresh = StratThresholds.foldRight(lit(StratDefaultThreshold)) {
       case ((l, t), acc) => when(col("lang") === l, t).otherwise(acc)
     }
-    TextPrep.rawDocs(s, dir)
+    Tables.documents(s, dir) // not rawDocs: this query never reads rtoks
       .filter(nib2 < thresh)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"),
