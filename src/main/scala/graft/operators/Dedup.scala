@@ -418,6 +418,29 @@ object Dedup extends QueryModule {
     * give every node out-degree ≥ 1. Literals 0.15/0.85 are written
     * identically in the DuckDB oracle (1−0.85 ≠ 0.15 in IEEE doubles —
     * the same discipline as every shared constant). */
+  /** Driver-side power method over an edge list — the SAME math and
+    * iteration count as [[pageRank]], for graphs already known to be
+    * small (e.g. a vocabulary co-occurrence graph: node count is bounded
+    * by the vocabulary, not the corpus). Callers collect the edge list
+    * with a take(limit+1) probe and fall back to the distributed loop
+    * above the limit (the q_keywords pattern; KeywordsLocalSpec pins the
+    * two paths equal). */
+  def pageRankLocal(edges: Seq[(String, String)], iters: Int = 10): Seq[(String, Double)] = {
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg: Map[String, Long] =
+      sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size
+    var ranks: Map[String, Double] = deg.map { case (k, _) => k -> 1.0 / n }
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Double]
+      sym.foreach { case (a, b) =>
+        contrib(b) = contrib.getOrElse(b, 0.0) + ranks(a) / deg(a)
+      }
+      ranks = deg.map { case (k, _) => k -> (0.15 / n + 0.85 * contrib.getOrElse(k, 0.0)) }
+    }
+    ranks.toSeq
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))

@@ -90,6 +90,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("local and distributed pagerank paths agree (keywords hybrid)") {
+    import graft.operators.Dedup
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val local = Dedup.pageRankLocal(edges).toMap
+    import spark.implicits._
+    val dist = Dedup.pageRank(edges.toDF("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(local.keySet === dist.keySet)
+    local.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-12, k) }
+    // rank mass is conserved (power method invariant)
+    assert(math.abs(local.values.sum - 1.0) < 1e-9)
+  }
+
   test("ewma stays inside the running value envelope, starts at the value") {
     val e = ScaleOps.qEwma(spark, sfDir).cache()
     val first = e.filter(col("rn") === 1)
