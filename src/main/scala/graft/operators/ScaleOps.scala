@@ -244,7 +244,51 @@ object ScaleOps extends QueryModule {
                CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) % 1024 AS INT) AS yb
              FROM orders)"""
 
+  // ---------------------------------------------------------- table diff
+  /** Merkle-style table reconciliation — the audit a 100 TB migration or
+    * replica check runs: bucket each table by key, reduce every bucket to
+    * a content digest (md5 over the SORTED row-hash list — deterministic
+    * in any engine), and compare digests instead of rows. Only the
+    * 64-row digest tables meet; mismatched buckets pinpoint where to
+    * re-scan. Here the "replica" is the orders table with one priority
+    * class dropped, so exactly the buckets containing such orders flag. */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    def digest(df: DataFrame, side: String): DataFrame =
+      df.select((col("o_orderkey") % 64).cast("int").as("bucket"),
+          md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            col("o_orderpriority"))).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$side"),
+          md5(concat_ws("", sort_array(collect_list(col("h"))))).as(s"d_$side"))
+    val left = digest(Tables.orders(s, dir), "left")
+    val right = digest(
+      Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW"), "right")
+    left.join(right, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n_left"), col("n_right"),
+        (col("d_left") === col("d_right")).as("digest_match"))
+  }
+
+  private val qTableDiffSql =
+    """WITH l AS (
+         SELECT CAST(o_orderkey % 64 AS INT) AS bucket, count(*) AS n_left,
+           md5(string_agg(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderpriority)), '' ORDER BY
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderpriority)))) AS d_left
+         FROM orders GROUP BY 1),
+       r AS (
+         SELECT CAST(o_orderkey % 64 AS INT) AS bucket, count(*) AS n_right,
+           md5(string_agg(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderpriority)), '' ORDER BY
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), o_orderpriority)))) AS d_right
+         FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1)
+       SELECT bucket, n_left, n_right, d_left = d_right AS digest_match
+       FROM l FULL OUTER JOIN r USING (bucket)"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_diff" -> (qTableDiff _),
     "q_zorder" -> (qZorder _),
     "q_chunk" -> (qChunk _),
     "q_fuzzy_vocab" -> (qFuzzyVocab _),
@@ -253,6 +297,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_table_diff" -> qTableDiffSql,
     "q_zorder" -> qZorderSql,
     "q_chunk" -> qChunkSql,
     "q_fuzzy_vocab" -> qFuzzyVocabSql,

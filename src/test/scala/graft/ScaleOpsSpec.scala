@@ -90,6 +90,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("table diff flags exactly the buckets containing dropped rows") {
+    val diff = ScaleOps.qTableDiff(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    val dirty = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "5-LOW")
+      .select((col("o_orderkey") % 64).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(diff.size === 64)
+    diff.foreach { case (b, ok) => assert(ok === !dirty.contains(b), s"bucket $b") }
+  }
+
   test("local and distributed pagerank paths agree (keywords hybrid)") {
     import graft.operators.Dedup
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
