@@ -224,7 +224,30 @@ object SimilaritySearch extends QueryModule {
            p -> (p[1] - p[2] * scale / 127) * (p[1] - p[2] * scale / 127))), 9) AS sq_err
        FROM q"""
 
+  /** q_pca: PCA whitening of the embedding space — the standard pre-step
+    * before quantization/clustering in an embedding pipeline (most
+    * variance in few dims → cheaper ANN, better IVF cells). Distributed
+    * covariance accumulation in MLlib, eigendecomposition on the driver
+    * (d×d, corpus-size-independent). Emits per-component explained
+    * variance plus the cumulative curve. Rows-only (eigensolvers aren't
+    * one SQL query); PcaSpec pins orthonormality, monotone variance, and
+    * the reconstruction-error ordering. */
+  def qPca(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = Tables.embeddings(s, dir)
+      .select(array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(8).setInputCol("features").setOutputCol("pc")
+      .fit(feats)
+    import s.implicits._
+    val ev = model.explainedVariance.toArray
+    ev.zipWithIndex.map { case (v, i) =>
+      (i + 1, math.rint(v * 1e6) / 1e6, math.rint(ev.take(i + 1).sum * 1e6) / 1e6)
+    }.toSeq.toDF("component", "explained_var", "cum_var")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca" -> (qPca _),
     "q_knn_search" -> (qKnnSearch _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
