@@ -34,7 +34,8 @@ object Bench {
     "q10_returns", "q12_priority", "q13_custdist", "q15_topsupp", "q14_promo", "q16_suppcnt", "q17_smallqty",
     "q19_disjunct", "q20_excess", "q21_blame", "q22_idle",
     "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma",
-    "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff")
+    "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff",
+    "q_pca", "q_freq_itemsets", "q_seq_patterns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

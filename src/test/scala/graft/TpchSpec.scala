@@ -115,6 +115,26 @@ class TpchSpec extends SparkSpec {
     assert(parts.sorted.sameElements(parts)) // ordered by partkey
   }
 
+  test("plan audit: q19 prunes scans to the referenced columns only") {
+    val plan = Tpch.q19Disjunct(spark, sfDir).queryExecution.executedPlan.toString
+    // lineitem scan reads exactly the 4 columns the query touches
+    assert(plan.contains("struct<l_partkey:bigint,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double>"), plan)
+    // part scan reads exactly brand/size/key
+    assert(plan.contains("struct<p_partkey:bigint,p_brand:string,p_size:int>"), plan)
+  }
+
+  test("plan audit: no forced broadcast of fact-proportional relations") {
+    // q10 joins customer (fact-proportional): the only broadcast HINTS in
+    // the logical plan must be on nation/region-derived inputs
+    val analyzed = Tpch.q10Returns(spark, sfDir).queryExecution.analyzed.toString
+    val hintLines = analyzed.linesIterator.filter(_.contains("UnresolvedHint")).toSeq
+    assert(hintLines.isEmpty || !analyzed.contains("broadcast(customer)"))
+    val optimized = Tpch.q10Returns(spark, sfDir).queryExecution.optimizedPlan.toString
+    val hinted = optimized.linesIterator.filter(_.contains("hints=[broadcast]")).mkString("\n")
+    assert(!hinted.contains("c_custkey"), hinted) // customer never hint-broadcast
+  }
+
   test("q10/q19 smoke: deterministic and non-negative revenue") {
     Tpch.q10Returns(spark, sfDir).collect().foreach(r => assert(r.getDouble(4) > 0))
     val r19 = Tpch.q19Disjunct(spark, sfDir).head()
