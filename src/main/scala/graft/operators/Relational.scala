@@ -272,6 +272,29 @@ object Relational extends QueryModule {
        UNION ALL
        SELECT 'either' AS op, c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m)"""
 
+  /** q_scd2: slowly-changing-dimension type-2 history build — turn an
+    * event log into validity intervals per (user, type): each event's
+    * value is valid from its timestamp until the next event's (open-ended
+    * last row). One shuffle on the key, one lead() pass — the warehouse
+    * history-table shape (the complement of q_compact's latest-wins). */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("valid_from"),
+        lead(unix_micros(col("ts")), 1).over(w).as("valid_to"),
+        (lead(col("event_id"), 1).over(w).isNull).as("is_current"))
+  }
+
+  private val qScd2Sql =
+    """SELECT user_id, event_type, event_id,
+         epoch_us(ts) AS valid_from,
+         lead(epoch_us(ts), 1) OVER w AS valid_to,
+         lead(event_id, 1) OVER w IS NULL AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)"""
+
   /** Tumbling-window (daily) event aggregation; the streaming twin lives in
     * graft.streaming.EventStream. value sums go through DECIMAL(18,6). */
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -1001,6 +1024,7 @@ object Relational extends QueryModule {
     "q_ntile" -> (qNtile _),
     "q_ntile_approx" -> (qNtileApproxGate _),
     "q_compact" -> (qCompact _),
+    "q_scd2" -> (qScd2 _),
     "q_events_hop" -> (qEventsHop _),
     "q_gapfill" -> (qGapfill _),
     "q_topk" -> (qTopk _),
@@ -1037,6 +1061,7 @@ object Relational extends QueryModule {
     "q_anomaly" -> qAnomalySql,
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
+    "q_scd2" -> qScd2Sql,
     "q_events_hop" -> qEventsHopSql,
     "q_gapfill" -> qGapfillSql,
     "q_topk" -> qTopkSql,

@@ -364,6 +364,28 @@ object TextAnalysis extends QueryModule {
     * Unlike rng-based df.sample, the kept set is a pure function of the
     * data — reproducible across runs, engines, partitionings, and retries,
     * which is what a 100 TB pipeline needs for auditable subsets. */
+  /** q_sample_group: exact-k-per-group reservoir sampling, deterministic —
+    * rank within each language by a content-hash uniform (md5 of the id,
+    * ties impossible) and keep the first 5. One shuffle on the group key;
+    * the hash makes the "reservoir" reproducible across runs/engines,
+    * which a debugging workflow needs far more than fresh randomness. */
+  def qSampleGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
+  private val qSampleGroupSql =
+    """SELECT lang, doc_id, n_chars, rk FROM (
+         SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+         FROM documents)
+       WHERE rk <= 5"""
+
   def qSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -911,6 +933,7 @@ object TextAnalysis extends QueryModule {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample" -> (qSample _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_group" -> (qSampleGroup _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pmi" -> (qPmi _),
     "q_keywords" -> (qKeywords _),
@@ -935,6 +958,7 @@ object TextAnalysis extends QueryModule {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_sample" -> qSampleSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_group" -> qSampleGroupSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_pmi" -> qPmiSql,
     "q_keywords" -> qKeywordsSql,
