@@ -136,6 +136,68 @@ object Stats extends QueryModule {
          round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
        FROM m"""
 
+  /** q_regr_multi: per-group multiple regression (extendedprice ~ quantity
+    * + discount) solved in CLOSED FORM — one partial-aggregable pass
+    * accumulates the 9 exact-decimal moments of the 3×3 normal equations,
+    * then Cramer's rule as a plain expression over the (identical) doubles.
+    * The determinant formulas are written with the same term structure in
+    * both engines, so every IEEE operation matches and round(6) hash-gates
+    * distributed linear-model FITTING — the shape a 100 TB regression
+    * actually has (moments shuffle, solve is O(1)). StatsSpec cross-checks
+    * the coefficients against MLlib's LinearRegression normal solver. */
+  def qRegrMulti(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("sx1") * (col("sx1") * col("s22") - col("s12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("sx1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("sx2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("sx1") * col("s22") - col("s12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("s2y") - col("s1y") * col("sx2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("sx1") * (col("sx1") * col("s2y") - col("s1y") * col("sx2")) +
+      col("sy") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d("l_quantity")).cast("double").as("sx1"),
+        sum(d("l_discount")).cast("double").as("sx2"),
+        sum(d("l_extendedprice")).cast("double").as("sy"),
+        sum(d("l_quantity") * d("l_quantity")).cast("double").as("s11"),
+        sum(d("l_quantity") * d("l_discount")).cast("double").as("s12"),
+        sum(d("l_discount") * d("l_discount")).cast("double").as("s22"),
+        sum(d("l_quantity") * d("l_extendedprice")).cast("double").as("s1y"),
+        sum(d("l_discount") * d("l_extendedprice")).cast("double").as("s2y"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round(det0 / det, 6).as("b0"),
+        round(det1 / det, 6).as("b_qty"),
+        round(det2 / det, 6).as("b_disc"))
+  }
+
+  private val qRegrMultiSql =
+    """WITH m AS (
+         SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         round((sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) + sx2 * (s1y * s12 - s11 * s2y))
+               / (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)), 6) AS b0,
+         round((n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s2y - s1y * sx2))
+               / (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)), 6) AS b_qty,
+         round((n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) + sy * (sx1 * s12 - s11 * sx2))
+               / (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)), 6) AS b_disc
+       FROM m"""
+
   /** q_psi: Population Stability Index — the standard drift gate between
     * two corpus partitions (here: even vs odd event ids), per event type,
     * over a fixed 10-bucket value grid with add-1 smoothing (empty cells
@@ -387,6 +449,7 @@ object Stats extends QueryModule {
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_regr" -> (qRegr _),
+    "q_regr_multi" -> (qRegrMulti _),
     "q_psi" -> (qPsi _),
     "q_markov" -> (qMarkov _),
     "q_attribution" -> (qAttribution _),
@@ -399,6 +462,7 @@ object Stats extends QueryModule {
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regr" -> qRegrSql,
+    "q_regr_multi" -> qRegrMultiSql,
     "q_psi" -> qPsiSql,
     "q_markov" -> qMarkovSql,
     "q_attribution" -> qAttributionSql,

@@ -48,6 +48,26 @@ class StatsSpec extends SparkSpec {
       }
   }
 
+  test("Cramer-rule multiple regression matches MLlib's normal-equation solver") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val got = Stats.qRegrMulti(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    got.keySet.foreach { flag =>
+      val df = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === flag)
+        .select(col("l_quantity"), col("l_discount"),
+          col("l_extendedprice").as("label"))
+      val feats = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_discount")).setOutputCol("features")
+        .transform(df)
+      val m = new LinearRegression().setSolver("normal").setRegParam(0.0).fit(feats)
+      val (b0, bq, bd) = got(flag)
+      assert(math.abs(b0 - m.intercept) < 1e-3, s"$flag b0=$b0 vs ${m.intercept}")
+      assert(math.abs(bq - m.coefficients(0)) < 1e-3, s"$flag")
+      assert(math.abs(bd - m.coefficients(1)) < 1e-3, s"$flag")
+    }
+  }
+
   test("corr is bit-identical across runs (decimal-exact moments)") {
     // double-sum moments would wobble in the last ulp between runs as
     // partial-aggregate order shifts; decimal-exact moments cannot
