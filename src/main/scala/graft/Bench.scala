@@ -27,7 +27,7 @@ object Bench {
     "q_events_json", "q_events_props", "q_antijoin", "q_retention",
     "q_jaro_winkler", "q_gold_standard", "q_nquads_parse",
     "q_sample", "q_sample_stratified", "q_sample_weighted", "q_sample_group",
-    "q_scd2", "q_percentiles_approx",
+    "q_scd2", "q_wau", "q_percentiles_approx",
     "q_histogram", "q_corr_matrix", "q_regr", "q_regr_multi", "q_psi", "q_markov",
     "q_attribution", "q_readability", "q_zipf", "q_kappa", "q_cube",
     "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords",

@@ -272,6 +272,37 @@ object Relational extends QueryModule {
        UNION ALL
        SELECT 'either' AS op, c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m)"""
 
+  /** q_wau: 7-day sliding distinct users ("weekly active") per day — the
+    * sliding-distinct shape: each (user, day) posts to the 7 window-days
+    * it supports (bounded ×7 fan-out, an equi-shuffle on window-day; no
+    * self-join over the stream), then per window-day an exact distinct
+    * AND the HLL sketch whose 5% guarantee the oracle asserts literally
+    * (at 100 TB the exact count is the audit path, the sketch is the
+    * always-on dashboard path — this query IS the audit of that pair). */
+  def qWau(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    userDays
+      .select(col("user_id"), explode(expr(
+        "sequence(day, day + interval 6 days, interval 1 day)")).as("wday"))
+      .groupBy(date_format(col("wday"), "yyyy-MM-dd").as("wday"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        approx_count_distinct(col("user_id"), 0.02).as("wau_hll"))
+      .select(col("wday"), col("wau"),
+        (abs(col("wau_hll") - col("wau")).cast("double") / col("wau") < 0.05)
+          .as("hll_within_5pct"))
+  }
+
+  private val qWauSql =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+       posted AS (
+         SELECT user_id, day + to_days(CAST(o AS INT)) AS wday
+         FROM ud, unnest(generate_series(0, 6)) t(o))
+       SELECT strftime(wday, '%Y-%m-%d') AS wday,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+              TRUE AS hll_within_5pct
+       FROM posted GROUP BY 1"""
+
   /** q_scd2: slowly-changing-dimension type-2 history build — turn an
     * event log into validity intervals per (user, type): each event's
     * value is valid from its timestamp until the next event's (open-ended
@@ -1025,6 +1056,7 @@ object Relational extends QueryModule {
     "q_ntile_approx" -> (qNtileApproxGate _),
     "q_compact" -> (qCompact _),
     "q_scd2" -> (qScd2 _),
+    "q_wau" -> (qWau _),
     "q_events_hop" -> (qEventsHop _),
     "q_gapfill" -> (qGapfill _),
     "q_topk" -> (qTopk _),
@@ -1062,6 +1094,7 @@ object Relational extends QueryModule {
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
     "q_scd2" -> qScd2Sql,
+    "q_wau" -> qWauSql,
     "q_events_hop" -> qEventsHopSql,
     "q_gapfill" -> qGapfillSql,
     "q_topk" -> qTopkSql,
