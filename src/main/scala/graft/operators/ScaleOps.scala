@@ -31,6 +31,10 @@ import org.apache.spark.sql.types.BinaryType
   *    window aggregate — weights are exact powers of two (shiftleft) and
   *    sums stay DECIMAL, so the "recursive" smoother becomes one
   *    deterministic, engine-portable window pass.
+  *  - q_zorder: Morton layout-clustering keys (unrolled bit interleave as
+  *    integer Column arithmetic) — 2-D row-group pruning via sort order.
+  *  - q_table_diff: Merkle-bucket reconciliation — per-bucket content
+  *    digests instead of row-by-row compares for replica/migration audits.
   */
 object ScaleOps extends QueryModule {
 
