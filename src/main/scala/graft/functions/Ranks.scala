@@ -30,6 +30,41 @@ object Ranks {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Append the EXCLUSIVE global prefix sum of `weightCol` (LongType) in
+    * the total order given by `sortCols`, as `cum_before` — the same
+    * zipWithIndex construction generalized from counts to weights: range
+    * partition (parallel total sort), one lightweight per-partition sum
+    * pass (numPartitions longs to the driver), then per-partition running
+    * sums started from the partition offsets. The distributed form of
+    * `sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`
+    * — which as a bare window would collapse to one task. */
+  def globalPrefixSum(df: DataFrame, weightCol: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val widx = sorted.schema.fieldIndex(weightCol)
+    val rdd0 = sorted.rdd
+    rdd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = rdd0
+      .mapPartitions(it => Iterator(it.map(_.getLong(widx)).sum), preservesPartitioning = true)
+      .collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add("cum_before", LongType, nullable = false)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(widx)
+        out
+      }
+    }
+    val res = df.sparkSession.createDataFrame(rdd, schema)
+    // rdd0 stays persisted for the result's lifetime (two passes share it);
+    // freed with the session's block manager like any cached lineage.
+    res
+  }
+
   /** SQL-standard ntile bucket for global position `rn` of `total` rows:
     * with q = total/k and r = total%k, the first r buckets take q+1 rows.
     * Mirrors the builtin ntile() exactly, as a Column over `rn`. */

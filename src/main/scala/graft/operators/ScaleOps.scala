@@ -248,6 +248,45 @@ object ScaleOps extends QueryModule {
                CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 1000) % 1024 AS INT) AS yb
              FROM orders)"""
 
+  // ------------------------------------------------------------- packing
+  /** Training-sequence capacity, in whitespace tokens. */
+  val PackCapacity = 256L
+
+  /** q_pack: GPT-style sequence packing — concatenate the token stream in
+    * a canonical document order and split at fixed capacity boundaries,
+    * so every training sequence is full (documents straddle boundaries;
+    * that is what production packing does, it never pads). Per doc:
+    * global token offset (distributed prefix sum — Ranks.globalPrefixSum,
+    * never a single-task window), the first/last sequence it lands in,
+    * and its offset inside the first. The per-sequence fill is exactly
+    * PackCapacity by construction; the oracle recomputes everything from
+    * a window cumsum over the same order. */
+  def qPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), size(col("rtoks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.functions.Ranks.globalPrefixSum(docs, "n_tokens", col("doc_id").asc)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") / PackCapacity).cast("long").as("start_seq"),
+        ((col("cum_before") + col("n_tokens") - 1) / PackCapacity).cast("long").as("end_seq"),
+        (col("cum_before") % PackCapacity).as("offset_in_seq"))
+  }
+
+  private val qPackSql =
+    s"""WITH toks AS (
+         SELECT doc_id, CAST(len(${TextFns.rawTokensSql("text")}) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM toks WHERE n_tokens > 0)
+       SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+         CAST(cum_before // $PackCapacity AS BIGINT) AS start_seq,
+         CAST((cum_before + n_tokens - 1) // $PackCapacity AS BIGINT) AS end_seq,
+         CAST(cum_before % $PackCapacity AS BIGINT) AS offset_in_seq
+       FROM c"""
+
   // ---------------------------------------------------------- table diff
   /** Merkle-style table reconciliation — the audit a 100 TB migration or
     * replica check runs: bucket each table by key, reduce every bucket to
@@ -293,6 +332,7 @@ object ScaleOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_diff" -> (qTableDiff _),
+    "q_pack" -> (qPack _),
     "q_zorder" -> (qZorder _),
     "q_chunk" -> (qChunk _),
     "q_fuzzy_vocab" -> (qFuzzyVocab _),
@@ -302,6 +342,7 @@ object ScaleOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_table_diff" -> qTableDiffSql,
+    "q_pack" -> qPackSql,
     "q_zorder" -> qZorderSql,
     "q_chunk" -> qChunkSql,
     "q_fuzzy_vocab" -> qFuzzyVocabSql,

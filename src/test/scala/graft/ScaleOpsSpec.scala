@@ -90,6 +90,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("sequence packing: distributed prefix sum matches the window form, sequences are full") {
+    import org.apache.spark.sql.expressions.Window
+    val p = ScaleOps.qPack(spark, sfDir).cache()
+    // cum_before law vs the single-partition window (fine at test scale)
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWindow = p.select(col("doc_id"), col("n_tokens"))
+      .withColumn("cb", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    p.collect().foreach(r => assert(r.getLong(2) === viaWindow(r.getLong(0))))
+    // every doc's span is consistent: offset + tokens crosses into end_seq
+    assert(p.filter(col("end_seq") =!=
+      floor((col("cum_before") + col("n_tokens") - 1) / 256).cast("long")).count() === 0)
+    // total tokens = last doc's cum_before + n_tokens
+    val total = p.agg(max(col("cum_before") + col("n_tokens"))).head().getLong(0)
+    assert(total === p.agg(sum("n_tokens")).head().getLong(0))
+  }
+
   test("table diff flags exactly the buckets containing dropped rows") {
     val diff = ScaleOps.qTableDiff(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getBoolean(3)).toMap
