@@ -24,6 +24,30 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("product quantization: codebook shape, code ranges, and ADC fidelity") {
+    val books = SimilaritySearch.pqCodebooks(spark, sfDir).collect()
+    assert(books.length === SimilaritySearch.PqM * SimilaritySearch.PqK)
+    books.foreach(r => assert(r.getSeq[Double](2).length === SimilaritySearch.PqSubDim))
+    val out = SimilaritySearch.qAnnPq(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // ADC distances are non-negative and each query reports exactly one row
+    out.foreach(r => assert(r.getDouble(2) >= 0.0))
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // fidelity: the PQ winner's TRUE L2 distance beats the corpus median
+    // distance for that query (ADC is lossy, but not that lossy)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    out.foreach { r =>
+      val (q, nb) = (r.getLong(0), r.getLong(1))
+      val dists = e.keys.filter(_ >= 10).map(id => l2(e(q), e(id))).toSeq.sorted
+      val median = dists(dists.length / 2)
+      assert(l2(e(q), e(nb)) <= median, s"query $q: PQ pick worse than median")
+    }
+  }
+
   test("principal components are orthonormal and reduce reconstruction error with k") {
     val feats = Tables.embeddings(spark, sfDir)
       .select(array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
