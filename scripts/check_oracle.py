@@ -11,6 +11,12 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+class DriverUnsortable(Exception):
+    """The driver's pandas sort would throw on this output (e.g. an
+    array<...> column -> numpy.ndarray cells, unhashable/unsortable).
+    The local gate must FAIL such outputs, since the driver registers
+    them as `err` (see CORRECTNESS_r06 q_freq_itemsets)."""
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -19,6 +25,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
+            if df[c].map(lambda v: isinstance(v, (np.ndarray, list, dict))).any():
+                raise DriverUnsortable(f"column {c} holds array/map cells")
             df[c] = df[c].apply(lambda v: float(v) if hasattr(v, "as_tuple") else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
@@ -48,6 +56,14 @@ def main():
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         if list(mine.columns) != list(ref.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} vs {list(ref.columns)}")
+            n_fail += 1; continue
+        # The driver hashes typed values: int64 vs float64 after canon is a
+        # hash mismatch even when values compare equal (q12_priority, r6).
+        dbad = [(c, str(mine[c].dtype), str(ref[c].dtype)) for c in mine.columns
+                if str(mine[c].dtype) != str(ref[c].dtype)]
+        if dbad:
+            c, a, b = dbad[0]
+            print(f"FAIL {name}: dtype mismatch col {c}: spark={a} duckdb={b}")
             n_fail += 1; continue
         if len(mine) != len(ref):
             print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}"); n_fail += 1; continue

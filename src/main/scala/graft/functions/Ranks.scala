@@ -44,8 +44,12 @@ object Ranks {
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val widx = sorted.schema.fieldIndex(weightCol)
+    // NO persist: both passes hang off the same RDD lineage, so the range
+    // shuffle is written once and the second job reuses its shuffle files
+    // (the map stage shows as "skipped") — the only recomputed work is the
+    // in-memory partition sort. A persist here would pin the full relation
+    // in the block manager for the session lifetime (r6 ADVICE leak).
     val rdd0 = sorted.rdd
-    rdd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = rdd0
       .mapPartitions(it => Iterator(it.map(_.getLong(widx)).sum), preservesPartitioning = true)
       .collect()
@@ -59,10 +63,7 @@ object Ranks {
         out
       }
     }
-    val res = df.sparkSession.createDataFrame(rdd, schema)
-    // rdd0 stays persisted for the result's lifetime (two passes share it);
-    // freed with the session's block manager like any cached lineage.
-    res
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** SQL-standard ntile bucket for global position `rn` of `total` rows:

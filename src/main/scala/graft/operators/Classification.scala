@@ -184,7 +184,13 @@ object Classification extends QueryModule {
   /** q_clf_param_sweep: the BayesSearchCV analogue (supervised_classifier
     * .py:210-244, 493-524) as a deterministic grid — one LR fit per
     * (regParam, elasticNet) cell, each fit fully distributed, scored on the
-    * held-out split by F1. Emits the whole grid with the argmax flagged. */
+    * held-out split by F1. Emits the whole grid with the argmax flagged.
+    *
+    * INTENTIONAL DIVERGENCE from the reference: skopt's BayesSearchCV
+    * samples the space adaptively (GP surrogate); a distributed engine
+    * prefers the deterministic grid — same argmax contract, reproducible
+    * run-to-run (no surrogate RNG), and cells are embarrassingly parallel
+    * across a cluster instead of sequential by acquisition. */
   def qClfParamSweep(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val grid = for {

@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   * FP-trees / projected prefix databases — no candidate-generation blowup,
   * partition-local mining after one grouping shuffle).
   *
-  * Rows-only: tree/projection mining isn't one SQL query. The spec
-  * re-verifies every reported support with a direct recount over the same
-  * baskets/sequences — the strongest possible gate short of a full oracle
-  * reimplementation.
+  * HASH-GATED, not rows-only: the event-type vocabulary is tiny (5 types
+  * in the synthetic corpus, and bounded in any clickstream), so the DuckDB
+  * oracle can ENUMERATE every candidate — all 2^|V|-1 subsets for
+  * itemsets, all |V|+|V|²+|V|³ ordered sequences for patterns — and
+  * recount supports directly (subset containment via list_has_all; ordered
+  * subsequence containment via greedy first-occurrence matching, which is
+  * exact for the existence test). Outputs are canonical strings
+  * (space-joined, itemsets sorted) so the driver can sort and hash them;
+  * both engines apply the same minCount = ceil(minSupport · N) cut. The
+  * spec additionally recounts supports in Spark itself.
   */
 object PatternMining extends QueryModule {
 
@@ -34,9 +40,30 @@ object PatternMining extends QueryModule {
       .setItemsCol("items").setMinSupport(0.05).setMinConfidence(0.5)
       .fit(b)
     model.freqItemsets
-      .select(array_sort(col("items")).as("itemset"), col("freq"))
-      .orderBy(col("freq").desc, col("itemset").cast("string").asc)
+      .select(array_join(array_sort(col("items")), " ").as("itemset"), col("freq"))
+      .orderBy(col("freq").desc, col("itemset").asc)
   }
+
+  /** Oracle: every non-empty subset of the (bounded) event-type vocabulary
+    * via a recursive CTE in lexicographic order, supports recounted with
+    * list_has_all, the identical ceil(0.05·N) double-arithmetic cut. */
+  private val qFreqItemsetsSql =
+    """WITH RECURSIVE
+       baskets AS (
+         SELECT list_sort(list(DISTINCT event_type)) AS items
+         FROM events GROUP BY user_id, date_trunc('day', ts)),
+       tot AS (SELECT count(*) AS n FROM baskets),
+       types AS (SELECT DISTINCT event_type AS t FROM events),
+       subsets AS (
+         SELECT [t] AS iset, t AS last FROM types
+         UNION ALL
+         SELECT list_append(s.iset, ty.t), ty.t FROM subsets s JOIN types ty ON ty.t > s.last),
+       supp AS (
+         SELECT array_to_string(s.iset, ' ') AS itemset, count(*) AS freq
+         FROM subsets s JOIN baskets b ON list_has_all(b.items, s.iset)
+         GROUP BY 1)
+       SELECT itemset, freq FROM supp, tot
+       WHERE freq >= CAST(ceil(CAST(0.05 AS DOUBLE) * tot.n) AS BIGINT)"""
 
   /** Per-user-day ordered event-type sequences (each event its own
     * itemset — strict temporal order, ties broken by event_id). */
@@ -55,13 +82,48 @@ object PatternMining extends QueryModule {
       .setSequenceCol("sequence")
       .setMinSupport(0.1).setMaxPatternLength(3)
       .findFrequentSequentialPatterns(seqs)
-      .select(flatten(col("sequence")).as("pattern"), col("freq"))
-      .orderBy(col("freq").desc, col("pattern").cast("string").asc)
+      .select(array_join(flatten(col("sequence")), " ").as("pattern"), col("freq"))
+      .orderBy(col("freq").desc, col("pattern").asc)
   }
+
+  /** Oracle: every ordered event-type sequence of length ≤ 3 (|V|+|V|²+|V|³
+    * candidates), supports recounted by greedy first-occurrence subsequence
+    * matching (list_position is 0 when absent → NULLIF), the identical
+    * ceil(0.1·N) cut. */
+  private val qSeqPatternsSql =
+    """WITH
+       seqs AS (
+         SELECT list(event_type ORDER BY ts, event_id) AS seq
+         FROM events GROUP BY user_id, date_trunc('day', ts)),
+       tot AS (SELECT count(*) AS n FROM seqs),
+       types AS (SELECT DISTINCT event_type AS t FROM events),
+       cands AS (
+         SELECT t1.t AS a, CAST(NULL AS VARCHAR) AS b, CAST(NULL AS VARCHAR) AS c FROM types t1
+         UNION ALL
+         SELECT t1.t, t2.t, NULL FROM types t1, types t2
+         UNION ALL
+         SELECT t1.t, t2.t, t3.t FROM types t1, types t2, types t3),
+       hits AS (
+         SELECT concat_ws(' ', c.a, c.b, c.c) AS pattern, count(*) AS freq
+         FROM cands c
+         CROSS JOIN seqs s
+         CROSS JOIN LATERAL (SELECT nullif(list_position(s.seq, c.a), 0) AS p1) l1
+         CROSS JOIN LATERAL (SELECT CASE WHEN c.b IS NULL OR l1.p1 IS NULL THEN NULL
+           ELSE nullif(list_position(s.seq[l1.p1+1:], c.b), 0) + l1.p1 END AS p2) l2
+         CROSS JOIN LATERAL (SELECT CASE WHEN c.c IS NULL OR l2.p2 IS NULL THEN NULL
+           ELSE nullif(list_position(s.seq[l2.p2+1:], c.c), 0) END AS p3) l3
+         WHERE l1.p1 IS NOT NULL
+           AND (c.b IS NULL OR l2.p2 IS NOT NULL)
+           AND (c.c IS NULL OR l3.p3 IS NOT NULL)
+         GROUP BY 1)
+       SELECT pattern, freq FROM hits, tot
+       WHERE freq >= CAST(ceil(CAST(0.1 AS DOUBLE) * tot.n) AS BIGINT)"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freq_itemsets" -> (qFreqItemsets _),
     "q_seq_patterns" -> (qSeqPatterns _))
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = Map(
+    "q_freq_itemsets" -> qFreqItemsetsSql,
+    "q_seq_patterns" -> qSeqPatternsSql)
 }

@@ -244,8 +244,8 @@ object Tpch extends QueryModule {
 
   private val q12Sql =
     """SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        GROUP BY l_linestatus"""
@@ -452,16 +452,20 @@ object Tpch extends QueryModule {
   /** Q21: suppliers who blocked multi-supplier orders — this supplier's
     * latest ship date equals the order's latest ship date AND at least
     * one other supplier participates (no commitdate in the schema, so
-    * "late" = ships last). Two grouped aggregates on the same shuffle
-    * key, then a top-10 ranking with a suppkey tiebreak. */
+    * "late" = ships last). The per-order rollup is a WINDOW over the
+    * per-(order, supplier) aggregate — ONE lineitem scan (the former
+    * self-join recomputed perSupp, scanning the fact table twice), one
+    * partial-agg shuffle on (orderkey, suppkey), one window shuffle on
+    * orderkey over the already-reduced rows, then a top-10 ranking with a
+    * suppkey tiebreak. */
   def q21Blame(s: SparkSession, dir: String): DataFrame = {
-    val perSupp = Tables.lineitem(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(s, dir)
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("l_shipdate")).as("supp_last"))
-    val perOrder = perSupp.groupBy(col("l_orderkey").as("ok"))
-      .agg(max(col("supp_last")).as("order_last"),
-        count(lit(1)).as("n_supp"))
-    perSupp.join(perOrder, col("l_orderkey") === col("ok"))
+      .withColumn("order_last", max(col("supp_last")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
       .filter(col("n_supp") > 1 && col("supp_last") === col("order_last"))
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))

@@ -32,6 +32,13 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression) extends BinaryNode {
+  // Fail at plan construction, not silently at runtime: a non-long key
+  // would unbox garbage in the merge loop. (Null VALUES are handled by the
+  // exec — a null key/time never matches, SQL equality semantics.)
+  for ((e, role) <- Seq(leftKey -> "leftKey", leftTime -> "leftTime",
+      rightKey -> "rightKey", rightTime -> "rightTime"))
+    require(e.dataType == org.apache.spark.sql.types.LongType,
+      s"AsOfJoin $role must be LongType, got ${e.dataType} — map orderable keys to longs first")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -83,21 +90,38 @@ case class AsOfJoinExec(
       var lastRight: InternalRow = null
       var lastRightKey: Long = 0L
       lIter.map { l =>
-        val key = lk.eval(l).asInstanceOf[Long]
-        val time = lt.eval(l).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val h = rBuf.head
-          val hk = rk.eval(h).asInstanceOf[Long]
-          if (hk < key || (hk == key && rt.eval(h).asInstanceOf[Long] <= time)) {
-            // candidate (or stale earlier-key row): remember only same-key rows
-            lastRight = h.copy(); lastRightKey = hk
-            rBuf.next()
-          } else advance = false
+        val keyB = lk.eval(l)
+        val timeB = lt.eval(l)
+        if (keyB == null || timeB == null) {
+          // SQL equality semantics: a null key/time matches nothing.
+          // Nulls sort first, so not advancing rBuf here is safe.
+          toUnsafe(joined(l, nullRight))
+        } else {
+          val key = keyB.asInstanceOf[Long]
+          val time = timeB.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val h = rBuf.head
+            val hkB = rk.eval(h)
+            if (hkB == null) rBuf.next() // null-key build rows: never candidates
+            else {
+              val hk = hkB.asInstanceOf[Long]
+              if (hk < key) {
+                // stale earlier-key row: remember (filtered by key at match)
+                lastRight = h.copy(); lastRightKey = hk; rBuf.next()
+              } else if (hk == key) {
+                val htB = rt.eval(h)
+                if (htB == null) rBuf.next() // null-time: never a candidate
+                else if (htB.asInstanceOf[Long] <= time) {
+                  lastRight = h.copy(); lastRightKey = hk; rBuf.next()
+                } else advance = false
+              } else advance = false
+            }
+          }
+          val matched = lastRight != null && lastRightKey == key &&
+            rt.eval(lastRight).asInstanceOf[Long] <= time
+          toUnsafe(joined(l, if (matched) lastRight else nullRight))
         }
-        val matched = lastRight != null && lastRightKey == key &&
-          rt.eval(lastRight).asInstanceOf[Long] <= time
-        toUnsafe(joined(l, if (matched) lastRight else nullRight))
       }
     }
   }

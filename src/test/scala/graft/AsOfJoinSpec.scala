@@ -43,6 +43,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.except(rewrite).count() === 0 && rewrite.except(native).count() === 0)
   }
 
+  test("null keys/times never match: left nulls emit null-extended rows, right nulls are skipped") {
+    val left = Seq(
+      (1L, Some(1L), Some(100L)), // normal probe -> matches rt=90
+      (2L, None, Some(100L)),     // null key -> null row
+      (3L, Some(1L), None),       // null time -> null row
+      (4L, Some(9L), Some(50L))   // key whose only build rows have null key/time -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(1L), Some(90L)),
+      (None, Some(40L)),   // null build key: never a candidate
+      (Some(9L), None)     // null build time: never a candidate
+    ).toDF("rk", "rt")
+    val got = Relational.asofJoinNative(left, right, "k", "t", "rk", "rt")
+      .select(col("id"), col("rt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(90L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("non-long key/time is rejected at plan construction") {
+    val l = Seq((1, 10L)).toDF("k", "t") // k is IntegerType
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoinNative(l, r, "k", "t", "rk", "rt")
+    }
+    assert(e.getMessage.contains("must be LongType"))
+  }
+
   test("many keys across partitions: agrees with a window-based recomputation") {
     val left = (1L to 500L).map(i => (i % 37, i, i * 2)).toDF("k", "id", "t")
     val right = (1L to 300L).map(i => (i % 37, i * 3 + 1)).toDF("rk", "rt")

@@ -17,7 +17,7 @@ class PatternMiningSpec extends SparkSpec {
     val found = PatternMining.qFreqItemsets(spark, sfDir).collect()
     assert(found.nonEmpty)
     found.foreach { r =>
-      val itemset = r.getSeq[String](0).toSet
+      val itemset = r.getString(0).split(' ').toSet
       val freq = r.getLong(1)
       val direct = baskets.count(b => itemset.subsetOf(b))
       assert(direct === freq, s"$itemset")
@@ -40,7 +40,7 @@ class PatternMiningSpec extends SparkSpec {
     val found = PatternMining.qSeqPatterns(spark, sfDir).collect()
     assert(found.nonEmpty)
     found.foreach { r =>
-      val pat = r.getSeq[String](0)
+      val pat = r.getString(0).split(' ').toSeq
       val freq = r.getLong(1)
       assert(pat.length <= 3)
       val direct = seqs.count(s => isSubseq(pat, s))
