@@ -76,50 +76,59 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
+    val lkt = Seq(BindReferences.bindReference(leftKey, left.output),
+      BindReferences.bindReference(leftTime, left.output))
+    val rkt = Seq(BindReferences.bindReference(rightKey, right.output),
+      BindReferences.bindReference(rightTime, right.output))
     val rightWidth = right.output.length
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // key/time are evaluated through GENERATED projections (Janino-
+      // compiled, same machinery as whole-stage codegen's expression eval;
+      // UnsafeProjection.create falls back to interpreted mode only if
+      // compilation fails) — no per-row interpreted Expression.eval in the
+      // merge loop. Each projection reuses one UnsafeRow buffer, so the
+      // scalars are extracted before the next call.
+      val lProj = UnsafeProjection.create(lkt)
+      val rProj = UnsafeProjection.create(rkt)
       val rBuf = rIter.buffered
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow()
       val toUnsafe = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
       var lastRight: InternalRow = null
       var lastRightKey: Long = 0L
+      var lastRightTime: Long = 0L
       lIter.map { l =>
-        val keyB = lk.eval(l)
-        val timeB = lt.eval(l)
-        if (keyB == null || timeB == null) {
+        val lr = lProj(l)
+        if (lr.isNullAt(0) || lr.isNullAt(1)) {
           // SQL equality semantics: a null key/time matches nothing.
           // Nulls sort first, so not advancing rBuf here is safe.
           toUnsafe(joined(l, nullRight))
         } else {
-          val key = keyB.asInstanceOf[Long]
-          val time = timeB.asInstanceOf[Long]
+          val key = lr.getLong(0)
+          val time = lr.getLong(1)
           var advance = true
           while (advance && rBuf.hasNext) {
-            val h = rBuf.head
-            val hkB = rk.eval(h)
-            if (hkB == null) rBuf.next() // null-key build rows: never candidates
+            val rr = rProj(rBuf.head)
+            if (rr.isNullAt(0)) rBuf.next() // null-key build rows: never candidates
             else {
-              val hk = hkB.asInstanceOf[Long]
-              if (hk < key) {
-                // stale earlier-key row: remember (filtered by key at match)
-                lastRight = h.copy(); lastRightKey = hk; rBuf.next()
-              } else if (hk == key) {
-                val htB = rt.eval(h)
-                if (htB == null) rBuf.next() // null-time: never a candidate
-                else if (htB.asInstanceOf[Long] <= time) {
-                  lastRight = h.copy(); lastRightKey = hk; rBuf.next()
-                } else advance = false
+              val hk = rr.getLong(0)
+              if (hk < key) rBuf.next() // stale earlier-key row: can never match again
+              else if (hk == key) {
+                if (rr.isNullAt(1)) rBuf.next() // null-time: never a candidate
+                else {
+                  val ht = rr.getLong(1)
+                  if (ht <= time) {
+                    // candidate: the buffered row object is reused by the
+                    // shuffle reader, so the remembered one must be copied
+                    lastRight = rBuf.head.copy(); lastRightKey = hk; lastRightTime = ht
+                    rBuf.next()
+                  } else advance = false
+                }
               } else advance = false
             }
           }
-          val matched = lastRight != null && lastRightKey == key &&
-            rt.eval(lastRight).asInstanceOf[Long] <= time
+          val matched = lastRight != null && lastRightKey == key && lastRightTime <= time
           toUnsafe(joined(l, if (matched) lastRight else nullRight))
         }
       }
