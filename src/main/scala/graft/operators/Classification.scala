@@ -181,6 +181,84 @@ object Classification extends QueryModule {
     metricsRow("lr_undersampled", m.transform(test))
   }
 
+  /** SMOTE-augmented training set (supervised_classifier.py:578-624's
+    * imblearn SMOTE, re-expressed for a cluster): for every minority-class
+    * training row, the nearest SAME-class neighbor is found among LSH
+    * bucket collisions (sklearn's exact minority KNN is quadratic; the
+    * sign-hyperplane buckets are the same family as q_ann_lsh and bound
+    * candidates at any scale), and a synthetic row is interpolated at
+    * x + u·(x_nn − x) with u a content-hash uniform in [0,1) — no driver
+    * RNG, bit-reproducible run to run. Each minority row synthesizes
+    * ceil(need/minN) replicas (distinct u per replica); the last partial
+    * replica is cut to EXACTLY need = majN − minN rows by a distributed
+    * global rank over a hash order (Ranks.globalRowNumber — no take/limit
+    * on the driver), so the augmented classes balance exactly, matching
+    * imblearn's contract. Bucket-orphan minority rows (no candidate) fall
+    * back to duplicating themselves — plain random oversampling, which is
+    * what SMOTE degenerates to with zero neighbors.
+    * Returns (augmented train, minority label). */
+  private[graft] def smoteAugmented(s: SparkSession, dir: String): (DataFrame, Double) = {
+    val (train, _) = dataset(s, dir)
+    val counts = train.groupBy("y").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val (majY, majN) = counts.maxBy(_._2)
+    val (minY, minN) = counts.filter(_._1 != majY).minBy(_._2)
+    val need = majN - minN
+    val base = train.select(col("vec_id"), col("features"), col("y"))
+    if (need == 0L) return (base, minY)
+
+    val mino = train.filter(col("y") === minY)
+      .select(col("vec_id"), vector_to_array(col("features")).as("fv"))
+    val cand = featureBuckets(mino.select(col("vec_id").as("a_id"), col("fv")), "a_id")
+      .join(featureBuckets(mino.select(col("vec_id").as("b_id"), col("fv")), "b_id"),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // deterministic nearest neighbor: min (squared euclidean, b_id)
+    val d2 = SimilaritySearch.dot(col("av"), col("av")) +
+      SimilaritySearch.dot(col("bv"), col("bv")) -
+      SimilaritySearch.dot(col("av"), col("bv")) * 2.0
+    val nn = cand
+      .join(mino.select(col("vec_id").as("a_id"), col("fv").as("av")), Seq("a_id"))
+      .join(mino.select(col("vec_id").as("b_id"), col("fv").as("bv")), Seq("b_id"))
+      .select(col("a_id"), struct(d2.as("d2"), col("b_id")).as("cd"))
+      .groupBy("a_id").agg(min(col("cd")).getField("b_id").as("nn_id"))
+    val nRep = ((need + minN - 1) / minN).toInt
+    val fullRep = (need / minN).toInt
+    val rem = need % minN
+    val replicas = mino.select(col("vec_id").as("a_id"), col("fv"))
+      .join(nn, Seq("a_id"), "left_outer")
+      .join(mino.select(col("vec_id").as("nn_id"), col("fv").as("nv")), Seq("nn_id"), "left_outer")
+      .select(col("a_id"), col("fv"), coalesce(col("nv"), col("fv")).as("nv"),
+        explode(sequence(lit(0), lit(nRep - 1))).as("rep"))
+    val keepFull = replicas.filter(col("rep") < fullRep)
+    val partial =
+      if (rem == 0L) keepFull.limit(0)
+      else graft.functions.Ranks.globalRowNumber(
+        replicas.filter(col("rep") === fullRep),
+        xxhash64(col("a_id")).asc, col("a_id").asc)
+        .filter(col("rn") <= rem).drop("rn")
+    val u = conv(substring(md5(concat_ws("_", col("a_id"), col("rep"))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val synth = keepFull.unionByName(partial)
+      .select(col("a_id"), col("rep"),
+        zip_with(col("fv"), col("nv"), (x, y) => x + u * (y - x)).as("sv"))
+      .select(lit(-1L).as("vec_id"),
+        array_to_vector(col("sv")).as("features"), lit(minY).as("y"))
+    (base.unionByName(synth), minY)
+  }
+
+  /** q_classify_smote: unweighted LR on the SMOTE-balanced training set —
+    * closes the reference's third rebalancing strategy (class weights and
+    * undersampling are q_classify_lr / q_classify_lr_us). */
+  def qClassifySmote(s: SparkSession, dir: String): DataFrame = {
+    val (aug, _) = smoteAugmented(s, dir)
+    val (_, test) = dataset(s, dir)
+    val m = new LogisticRegression().setLabelCol("y")
+      .setMaxIter(100).setRegParam(0.1).fit(aug)
+    metricsRow("lr_smote", m.transform(test))
+  }
+
   /** q_clf_param_sweep: the BayesSearchCV analogue (supervised_classifier
     * .py:210-244, 493-524) as a deterministic grid — one LR fit per
     * (regParam, elasticNet) cell, each fit fully distributed, scored on the
@@ -286,6 +364,7 @@ object Classification extends QueryModule {
     "q_classify_mlp" -> (qClassifyMlp _),
     "q_classify_knn" -> (qClassifyKnn _),
     "q_classify_lr_us" -> (qClassifyLrUndersample _),
+    "q_classify_smote" -> (qClassifySmote _),
     "q_clf_param_sweep" -> (qClfParamSweep _),
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
