@@ -124,11 +124,49 @@ object Bpe extends QueryModule {
 
   /** q_bpe: the 20-merge table trained on the documents corpus. Rows-only
     * (an iterative argmax is not one SQL query); BpeSpec pins the exact
-    * merge table against a single-node reference implementation. */
-  def qBpe(s: SparkSession, dir: String): DataFrame = train(s, dir, 20)
+    * merge table against a single-node reference implementation. Memoized
+    * per (session, dir) so q_bpe_encode shares one training run. */
+  def qBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"bpe.table:$dir")(train(s, dir, 20))
+
+  /** Encode a DISTINCT-word relation against a trained merge table: chars,
+    * then each merge applied in rank order as a chained codegen'd fold —
+    * one projection per merge (sequential statements in one whole-stage
+    * span, not one deeply nested expression). Work is VOCABULARY-sized:
+    * callers join the encoded vocab back to the corpus instead of folding
+    * per occurrence. */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.withColumn("syms", expr("split(w, '')"))) {
+      case (df, (a, b)) => df.select(col("w"), mergeFold(col("syms"), a, b).as("syms"))
+    }
+
+  /** q_bpe_encode: tokenize the corpus with the TRAINED tokenizer and emit
+    * per-doc word and BPE-piece counts — the exact token accounting a
+    * packing/mixing pipeline needs under its own tokenizer (whitespace
+    * counts drift from the real piece count; q_token_count vs this query
+    * is that drift, made measurable). Scale shape: the 20-fold encode runs
+    * once per DISTINCT word (vocabulary-sized, corpus-size-independent),
+    * then one equi-join maps it over the (doc_id, word) pairs and one
+    * aggregate rolls up per doc. Rows-only (the merge table is data-
+    * derived, so no static SQL oracle can reproduce it); BpeEncodeSpec
+    * pins the encoding against a driver-side reference encoder and gates
+    * the piece-concatenation and vocabulary-closure invariants. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = qBpe(s, dir).orderBy(col("rank").asc)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val pairs = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = encodeWords(pairs.select("w").distinct(), merges)
+      .select(col("w"), size(col("syms")).as("n_pieces"))
+    pairs.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe" -> (qBpe _))
+    "q_bpe" -> (qBpe _),
+    "q_bpe_encode" -> (qBpeEncode _))
 
   override def oracles: Map[String, String] = Map.empty
 }
