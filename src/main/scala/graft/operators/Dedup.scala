@@ -614,6 +614,79 @@ object Dedup extends QueryModule {
          coalesce(kept.kept_md5, md5('')) AS kept_md5
        FROM base LEFT JOIN kept ON base.doc_id = kept.doc_id"""
 
+  // ---------------- Repeated-span detection ----------------
+
+  /** Span shingle width: 5-token windows (the decontamination width — long
+    * enough to be distinctive, short enough to catch partial copies). */
+  val SpanN = 5
+
+  /** Repeated n-gram SPAN detection — the exact-substring dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": substrings repeated anywhere in the corpus are memorization
+    * fuel; they are removed span-wise, not doc-wise). The suffix-array
+    * construction of the paper is single-machine; the distributed
+    * equivalent: every n-token window that occurs more than once
+    * corpus-wide (one posting count on the 8-byte window hash) marks its
+    * start position, and per doc the marked positions merge into MAXIMAL
+    * spans — two starts chain while their gap is ≤ n (their windows
+    * overlap or touch), one lag+running-sum island pass per doc. Output is
+    * one row per maximal repeated span with its token bounds — exactly
+    * what a span-removal rewrite consumes.
+    *
+    * Scale shape: posting count is one aggregate on a fixed-width key;
+    * the island pass shuffles once on doc_id. Nothing is quadratic and no
+    * suffix array is materialized. */
+  def repeatedSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf =
+      if (docs.columns.contains("rtoks")) docs.select(col("doc_id"), col("rtoks"))
+      else docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+    val starts = toksDf
+      .select(col("doc_id"), posexplode(TextFns.shingles(col("rtoks"), n)).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("sh"))
+    val dupKeys = starts.groupBy("sh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("sh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    starts.join(dupKeys, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_toks"))
+  }
+
+  /** q_dup_spans: maximal repeated 5-gram spans over the documents table. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    repeatedSpans(TextPrep.rawDocs(s, dir))
+
+  private val qDupSpansSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       s AS (
+         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", SpanN)}) AS shingle,
+           generate_subscripts(${TextFns.shinglesSql("toks", SpanN)}, 1) - 1 AS pos
+         FROM t),
+       dup AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 1),
+       d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (shingle)),
+       m AS (
+         SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+           OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanN THEN 0 ELSE 1 END AS new_span
+         FROM d),
+       g AS (
+         SELECT doc_id, pos, sum(new_span)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+         FROM m)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + ${SpanN - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) + ${SpanN - 1} - min(pos) + 1 AS BIGINT) AS span_toks
+       FROM g GROUP BY doc_id, span_id"""
+  }
+
   // ---------------- Benchmark decontamination ----------------
 
   /** 5-gram windows are long enough to be distinctive (boilerplate 3-grams
@@ -695,6 +768,7 @@ object Dedup extends QueryModule {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_graph_stats" -> (qGraphStats _),
@@ -705,6 +779,7 @@ object Dedup extends QueryModule {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_dup_spans" -> qDupSpansSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_graph_stats" -> qGraphStatsSql,

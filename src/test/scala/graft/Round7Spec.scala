@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: repeated-span detection semantics on a hand-built
+  * corpus (shared phrases yield maximal spans; unique text yields none;
+  * within-doc repetition counts as duplication). */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val shared = "the quick brown fox jumps over the lazy dog tonight"
+
+  test("cross-doc shared phrase produces one maximal span per doc covering it") {
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"one two three four five six $shared"),
+      (3L, "totally unique text with no repetition at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).groupBy(_._1)
+    // doc 1: shared phrase = tokens 2..11 (10 tokens); windows 2..7 dup
+    // -> span [2, 11]
+    assert(spans(1L).map(_._2).toSeq === Seq((2L, 11L)))
+    // doc 2: phrase at tokens 6..15 -> span [6, 15]
+    assert(spans(2L).map(_._2).toSeq === Seq((6L, 15L)))
+    assert(!spans.contains(3L))
+  }
+
+  test("within-doc repetition is duplication too") {
+    val docs = Seq(
+      (1L, s"$shared and then again $shared"),
+      (2L, "filler text that shares nothing with anything else here now")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both copies inside doc 1 are marked (10 tokens each, 3-token gap)
+    assert(spans.count(_._1 == 1L) === 2)
+    assert(!spans.exists(_._1 == 2L))
+  }
+
+  test("span_toks is end - start + 1 and spans never overlap within a doc") {
+    val spans = Dedup.qDupSpans(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, e, n) => assert(n === e - s + 1) }
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1, "overlapping spans")
+        case _ =>
+      }
+    }
+  }
+}
