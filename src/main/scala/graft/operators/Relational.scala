@@ -889,6 +889,61 @@ object Relational extends QueryModule {
              FROM events)
        WHERE rk = 1"""
 
+  /** q_merge_upsert: batch MERGE INTO — the write-side upsert every table
+    * format (Delta/Iceberg/Hudi) runs under the hood, minus the file
+    * rewrite: ONE co-partitioned full-outer join between the target and
+    * the change feed, with per-row action classification
+    * (matched → update, source-only → insert, target-only → keep). The
+    * change feed here derives deterministically from the target itself
+    * (every 3rd key's balance bumped = updates, every 5th key mirrored
+    * negative = inserts) so the oracle can rebuild it. At scale the source
+    * is usually a small CDC batch — AQE broadcasts it and the merge is
+    * shuffle-free; a corpus-proportional source degrades to the one
+    * key-partitioned shuffle this query exercises. Money stays
+    * decimal-exact through the merge; the final cast-to-double is a
+    * round() over exactly-equal decimals. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val updates = t.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("bal") + lit(new java.math.BigDecimal("10.00"))).as("bal"))
+    // key 0 is its own negation — excluded so the change feed stays
+    // key-unique (a MERGE source with duplicate keys is ill-formed)
+    val inserts = t.filter(col("c_custkey") % 5 === 0 && col("c_custkey") =!= 0)
+      .select((-col("c_custkey")).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"), col("bal"))
+    val src = updates.unionByName(inserts)
+    t.select(col("c_custkey"), struct(col("c_name"), col("bal")).as("t"))
+      .join(src.select(col("c_custkey"), struct(col("c_name"), col("bal")).as("s")),
+        Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        coalesce(col("s.c_name"), col("t.c_name")).as("c_name"),
+        round(coalesce(col("s.bal"), col("t.bal")).cast("double"), 2).as("c_acctbal"),
+        when(col("t").isNull, "insert")
+          .when(col("s").isNull, "keep").otherwise("update").as("action"))
+  }
+
+  private val qMergeUpsertSql =
+    """WITH t AS (
+         SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+         FROM customer),
+       u AS (
+         SELECT c_custkey, c_name, bal + CAST(10.00 AS DECIMAL(4,2)) AS bal
+         FROM t WHERE c_custkey % 3 = 0),
+       i AS (
+         SELECT -c_custkey AS c_custkey, 'NEW ' || c_name AS c_name, bal
+         FROM t WHERE c_custkey % 5 = 0 AND c_custkey <> 0),
+       s AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+       SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+         coalesce(s.c_name, t.c_name) AS c_name,
+         round(CAST(coalesce(s.bal, t.bal) AS DOUBLE), 2) AS c_acctbal,
+         CASE WHEN t.c_custkey IS NULL THEN 'insert'
+              WHEN s.c_custkey IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+       FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey"""
+
   /** Hop (12h) and width (24h) of the sliding event window, in µs. */
   val HopUs = 12L * 3600 * 1000000L
   val HopWindowUs = 2 * HopUs
@@ -1055,6 +1110,7 @@ object Relational extends QueryModule {
     "q_ntile" -> (qNtile _),
     "q_ntile_approx" -> (qNtileApproxGate _),
     "q_compact" -> (qCompact _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2" -> (qScd2 _),
     "q_wau" -> (qWau _),
     "q_events_hop" -> (qEventsHop _),
@@ -1093,6 +1149,7 @@ object Relational extends QueryModule {
     "q_anomaly" -> qAnomalySql,
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
+    "q_merge_upsert" -> qMergeUpsertSql,
     "q_scd2" -> qScd2Sql,
     "q_wau" -> qWauSql,
     "q_events_hop" -> qEventsHopSql,

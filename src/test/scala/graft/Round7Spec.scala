@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Round-7 operators: repeated-span detection semantics on a hand-built
@@ -36,6 +37,26 @@ class Round7Spec extends SparkSpec {
     // both copies inside doc 1 are marked (10 tokens each, 3-token gap)
     assert(spans.count(_._1 == 1L) === 2)
     assert(!spans.exists(_._1 == 2L))
+  }
+
+  test("merge upsert: action counts reconcile with the change-feed rules") {
+    val cust = Tables.customer(spark, sfDir)
+    val n = cust.count()
+    val nUpd = cust.filter(col("c_custkey") % 3 === 0).count()
+    val nIns = cust.filter(col("c_custkey") % 5 === 0 && col("c_custkey") =!= 0).count()
+    val merged = Relational.qMergeUpsert(spark, sfDir)
+    val byAction = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction("update") === nUpd)
+    assert(byAction("insert") === nIns)
+    assert(byAction.getOrElse("keep", 0L) === n - nUpd)
+    assert(merged.count() === n + nIns)
+    // updates really moved the balance by +10.00
+    val probe = cust.filter(col("c_custkey") % 3 === 0).limit(1)
+      .select(col("c_custkey"), round(col("c_acctbal").cast("decimal(12,2)").cast("double") + 10.0, 2).as("want"))
+      .collect().head
+    val got = merged.filter(col("c_custkey") === probe.getLong(0)).collect().head
+    assert(got.getDouble(2) === probe.getDouble(1))
   }
 
   test("span_toks is end - start + 1 and spans never overlap within a doc") {

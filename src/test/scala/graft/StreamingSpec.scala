@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunking: the batch chunker runs unchanged under readStream") {
+    // chunksOf is a pure narrow transform (tokenize -> sequence ->
+    // posexplode, no shuffle/state), so the SAME function chunks an
+    // unbounded stream micro-batch by micro-batch — the streaming
+    // ingestion path of a training-data pipeline.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("rtoks", graft.functions.TextFns.rawTokens(col("text")))
+    val q = graft.operators.ScaleOps.chunksOf(docs)
+      .writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      val longDoc = (1 to 100).map(i => s"tok$i").mkString(" ")
+      input.addData((1L, longDoc), (2L, "short doc"))
+      q.processAllAvailable()
+      val got = spark.table("stream_chunks")
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "first_tok")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      val batch = graft.operators.ScaleOps.chunksOf(
+        Seq((1L, longDoc), (2L, "short doc")).toDF("doc_id", "text")
+          .withColumn("rtoks", graft.functions.TextFns.rawTokens(col("text"))))
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "first_tok")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      assert(got === batch)
+      assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("session_window sessionizes with the same gap rule as the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
