@@ -172,6 +172,57 @@ object TextAnalysis extends QueryModule {
        FROM b WHERE n_toks > 0"""
   }
 
+  /** Low-entropy gate: below ~2.5 nats a doc's token distribution is
+    * dominated by a few repeated tokens — templated/looping text. */
+  val EntropyMin = 2.5
+
+  /** q_entropy: per-doc Shannon entropy of the token distribution (in
+    * nats) — the repetitiveness signal complementing the top-bigram gate:
+    * H = ln(n) − (Σ c·ln c)/n over per-doc token counts. Pure per-row
+    * codegen (no shuffle): counts come from higher-order array functions
+    * over the one shared tokenization, and the Σ c·ln c fold runs over the
+    * SORTED distinct tokens, so the floating addition order is identical
+    * in both engines (the PMI/zipf ln() determinism pattern) and round(6)
+    * lands on the same value. Per-doc cost is O(k·n) array scanning with
+    * k distinct tokens — bounded by document length, never corpus size. */
+  def entropyOf(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks).cast("double")
+    val ds = array_sort(array_distinct(toks))
+    val sum_clnc = aggregate(ds, lit(0.0), (acc, t) => {
+      val c = size(filter(toks, x => x === t)).cast("double")
+      acc + c * log(c)
+    })
+    val base =
+      if (docs.columns.contains("rtoks")) docs.select(col("doc_id"), col("rtoks"))
+      else docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+    base
+      .select(col("doc_id"), col("rtoks").as("toks"))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), size(toks).as("n_toks"),
+        round(log(n) - sum_clnc / n, 6).as("entropy"))
+      .select(col("doc_id"), col("n_toks"), col("entropy"),
+        (col("entropy") >= EntropyMin).as("entropy_ok"))
+  }
+
+  def qEntropy(s: SparkSession, dir: String): DataFrame =
+    entropyOf(TextPrep.rawDocs(s, dir))
+
+  private val qEntropySql = {
+    val t = TextFns.rawTokensSql("text")
+    s"""WITH b AS (SELECT doc_id, $t AS toks FROM documents),
+       e AS (
+         SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+           round(ln(CAST(len(toks) AS DOUBLE)) -
+             list_sum(list_transform(list_sort(list_distinct(toks)),
+               t -> CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) *
+                    ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE))))
+             / CAST(len(toks) AS DOUBLE), 6) AS entropy
+         FROM b WHERE len(toks) > 0)
+       SELECT doc_id, n_toks, entropy, entropy >= $EntropyMin AS entropy_ok
+       FROM e"""
+  }
+
   /** q_token_count: whitespace tokens + BPE-ish regex tokens. The regex
     * avoids backslash classes so Java regex and RE2 agree literally. */
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -923,6 +974,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
+    "q_entropy" -> (qEntropy _),
     "q_rep_ngram" -> (qRepNgram _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -948,6 +1000,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,
+    "q_entropy" -> qEntropySql,
     "q_rep_ngram" -> qRepNgramSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Relational, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,20 @@ class Round7Spec extends SparkSpec {
     // both copies inside doc 1 are marked (10 tokens each, 3-token gap)
     assert(spans.count(_._1 == 1L) === 2)
     assert(!spans.exists(_._1 == 2L))
+  }
+
+  test("entropy: templated text scores below diverse text and trips the gate") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied longer sentence where every single token differs completely from its neighbors and nothing repeats anywhere")
+    ).toDF("doc_id", "text")
+    // route through the same op via a temp dir? qEntropy reads the table;
+    // exercise the expression path directly instead
+    val got = TextAnalysis.entropyOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 === 0.0) // all-identical tokens: zero entropy
+    assert(!got(1L)._2)
+    assert(got(2L)._1 > 2.5 && got(2L)._2) // ln(19) ≈ 2.944 for 19 distinct
   }
 
   test("merge upsert: action counts reconcile with the change-feed rules") {
