@@ -445,7 +445,68 @@ object Stats extends QueryModule {
        FROM ranked CROSS JOIN tot
        GROUP BY nk, tot"""
 
+  /** q_ab_test: Welch's two-sample t-test between the 'click' and 'view'
+    * event groups on `value` — the experimentation primitive an analytics
+    * engine ships (unequal variances, no pooling assumption). All moments
+    * are DECIMAL-exact in one grouped scan (values carry ≤6 dp, so v and
+    * v·v sum exactly); means/variances/t/df are then one identical IEEE
+    * double sequence in both engines, floor-rounded to 6 dp (the q_anomaly
+    * trick). df via Welch–Satterthwaite; the gate is |t| ≥ 1.96. The two
+    * one-row group frames meet in a broadcast cross join — corpus-scale
+    * work is exactly one aggregate. */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sx"),
+        sum(col("v") * col("v")).cast("double").as("sxx"))
+    val a = m.filter(col("event_type") === "click")
+      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = m.filter(col("event_type") === "view")
+      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sx_a") / na; val mb = col("sx_b") / nb
+    val va = (col("sxx_a") - col("sx_a") * col("sx_a") / na) / (na - 1.0)
+    val vb = (col("sxx_b") - col("sx_b") * col("sx_b") / nb) / (nb - 1.0)
+    val sea = va / na; val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"), r6(ma).as("mean_a"), r6(mb).as("mean_b"),
+        r6(t).as("t_stat"), r6(df).as("df_welch"),
+        (abs(t) >= 1.96).as("significant"))
+  }
+
+  private val qAbTestSql =
+    """WITH m AS (
+         SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+       a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m WHERE event_type = 'click'),
+       b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM m WHERE event_type = 'view'),
+       c AS (
+         SELECT n_a, n_b,
+           sx_a / CAST(n_a AS DOUBLE) AS ma, sx_b / CAST(n_b AS DOUBLE) AS mb,
+           ((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sea,
+           ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS seb,
+           CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+         FROM a CROSS JOIN b)
+       SELECT n_a, n_b,
+         floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+         floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+         floor(((ma - mb) / sqrt(sea + seb)) * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+         floor(((sea + seb) * (sea + seb) /
+           (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS df_welch,
+         abs((ma - mb) / sqrt(sea + seb)) >= 1.96 AS significant
+       FROM c"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> (qAbTest _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_regr" -> (qRegr _),
@@ -459,6 +520,7 @@ object Stats extends QueryModule {
     "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
+    "q_ab_test" -> qAbTestSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regr" -> qRegrSql,
