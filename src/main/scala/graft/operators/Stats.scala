@@ -451,21 +451,21 @@ object Stats extends QueryModule {
     * are DECIMAL-exact in one grouped scan (values carry ≤6 dp, so v and
     * v·v sum exactly); means/variances/t/df are then one identical IEEE
     * double sequence in both engines, floor-rounded to 6 dp (the q_anomaly
-    * trick). df via Welch–Satterthwaite; the gate is |t| ≥ 1.96. The two
-    * one-row group frames meet in a broadcast cross join — corpus-scale
-    * work is exactly one aggregate. */
+    * trick). df via Welch–Satterthwaite; the gate is |t| ≥ 1.96. All six
+    * moments are CONDITIONAL sums in ONE global aggregate — a single scan
+    * of the fact table, no join, no per-group branch recomputation. */
   def qAbTest(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.events(s, dir)
+    val isA = col("event_type") === "click"
+    val ab = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("v")).cast("double").as("sx"),
-        sum(col("v") * col("v")).cast("double").as("sxx"))
-    val a = m.filter(col("event_type") === "click")
-      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
-    val b = m.filter(col("event_type") === "view")
-      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, col("v"))).cast("double").as("sx_a"),
+        sum(when(!isA, col("v"))).cast("double").as("sx_b"),
+        sum(when(isA, col("v") * col("v"))).cast("double").as("sxx_a"),
+        sum(when(!isA, col("v") * col("v"))).cast("double").as("sxx_b"))
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ma = col("sx_a") / na; val mb = col("sx_b") / nb
@@ -475,27 +475,28 @@ object Stats extends QueryModule {
     val t = (ma - mb) / sqrt(sea + seb)
     val df = (sea + seb) * (sea + seb) /
       (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
-    a.crossJoin(broadcast(b))
-      .select(col("n_a"), col("n_b"), r6(ma).as("mean_a"), r6(mb).as("mean_b"),
-        r6(t).as("t_stat"), r6(df).as("df_welch"),
-        (abs(t) >= 1.96).as("significant"))
+    ab.select(col("n_a"), col("n_b"), r6(ma).as("mean_a"), r6(mb).as("mean_b"),
+      r6(t).as("t_stat"), r6(df).as("df_welch"),
+      (abs(t) >= 1.96).as("significant"))
   }
 
   private val qAbTestSql =
-    """WITH m AS (
-         SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
-         FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
-       a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m WHERE event_type = 'click'),
-       b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM m WHERE event_type = 'view'),
+    """WITH ab AS (
+         SELECT
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_a,
+           CAST(sum(CASE WHEN event_type <> 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx_b,
+           CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sxx_a,
+           CAST(sum(CASE WHEN event_type <> 'click' THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sxx_b
+         FROM events WHERE event_type IN ('click', 'view')),
        c AS (
          SELECT n_a, n_b,
            sx_a / CAST(n_a AS DOUBLE) AS ma, sx_b / CAST(n_b AS DOUBLE) AS mb,
            ((sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sea,
            ((sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS seb,
            CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
-         FROM a CROSS JOIN b)
+         FROM ab)
        SELECT n_a, n_b,
          floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
          floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
