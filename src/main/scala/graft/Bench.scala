@@ -37,7 +37,8 @@ object Bench {
     "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma",
     "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff",
     "q_pca", "q_freq_itemsets", "q_seq_patterns", "q_pack",
-    "q_dup_spans", "q_merge_upsert", "q_entropy", "q_ab_test", "q_bpe_encode")
+    "q_dup_spans", "q_merge_upsert", "q_entropy", "q_ab_test", "q_bpe_encode",
+    "q_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,6 +57,48 @@ object SimilaritySearch extends QueryModule {
          FROM scored)
        SELECT q_id, rank, nb_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 5"""
 
+  /** q_hard_negatives: hard-negative mining for contrastive/embedding
+    * training — for each anchor (vec_id < 10), the top-3 most-similar
+    * vectors with a DIFFERENT label: maximally confusable cross-class
+    * pairs, the negatives that actually move an embedding model. Same
+    * broadcast-blocked exact shape as q_knn_search (anchors are a
+    * mini-batch, the corpus is the index; the LSH/IVF candidate paths
+    * apply unchanged when the anchor set grows), plus one label-inequality
+    * filter BEFORE ranking so every ranked candidate is a true negative.
+    * Ranked (cos desc, neg_id asc) — deterministic cut. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val anchors = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"), col("v").as("av"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(anchors))
+      .filter(col("label") =!= col("a_label"))
+      .select(col("a_id"), col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        cosine(col("av"), col("v")).as("cos"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id"), col("rank"), col("neg_id"), col("neg_label"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  private val qHardNegativesSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       a AS (SELECT vec_id AS a_id, label AS a_label, v AS av FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+       scored AS (
+         SELECT a_id, vec_id AS neg_id, c.label AS neg_label,
+           list_dot_product(av, v) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN a WHERE c.label <> a.a_label),
+       ranked AS (
+         SELECT a_id, neg_id, neg_label, cos,
+           row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id ASC) AS rank
+         FROM scored)
+       SELECT a_id, rank, neg_id, neg_label, round(cos, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3"""
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component is
     * derived from a splitmix-style integer mix — reproducible everywhere. */
   def hyperplaneComponent(p: Int, d: Int): Double = {
@@ -350,11 +392,13 @@ object SimilaritySearch extends QueryModule {
     "q_pca" -> (qPca _),
     "q_ann_pq" -> (qAnnPq _),
     "q_knn_search" -> (qKnnSearch _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
     "q_knn_search" -> qKnnSearchSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }
