@@ -687,6 +687,79 @@ object Dedup extends QueryModule {
        FROM g GROUP BY doc_id, span_id"""
   }
 
+  /** q_span_scrub: the span-REMOVAL rewrite that consumes q_dup_spans —
+    * every token inside any repeated span is dropped (conservative
+    * remove-all, the q_line_dedup convention: no survivor election across
+    * docs), and each doc emits its before/after token accounting plus an
+    * md5 over the kept tokens in order, so the rewrite is verifiable
+    * without shipping text. Dropped-position marking is an explode of the
+    * span ranges into (doc, pos) keys — bounded by the duplicated mass —
+    * followed by one equi-anti-join; no non-equi join anywhere. */
+  def qSpanScrub(s: SparkSession, dir: String): DataFrame =
+    qSpanScrubOf(TextPrep.rawDocs(s, dir))
+
+  def qSpanScrubOf(docsIn: DataFrame): DataFrame = {
+    val docs =
+      if (docsIn.columns.contains("rtoks")) docsIn.select(col("doc_id"), col("rtoks"))
+      else docsIn.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("rtoks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val dropped = repeatedSpans(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = toks.join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+    docs
+      .select(col("doc_id"), size(col("rtoks")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  private val qSpanScrubSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       s AS (
+         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", SpanN)}) AS shingle,
+           generate_subscripts(${TextFns.shinglesSql("toks", SpanN)}, 1) - 1 AS pos
+         FROM t),
+       dup AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 1),
+       d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (shingle)),
+       m AS (
+         SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+           OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanN THEN 0 ELSE 1 END AS new_span
+         FROM d),
+       g AS (
+         SELECT doc_id, pos, sum(new_span)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+         FROM m),
+       spans AS (
+         SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanN - 1} AS span_end
+         FROM g GROUP BY doc_id, span_id),
+       dropped AS (
+         SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans),
+       tk AS (
+         SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) - 1 AS pos
+         FROM t),
+       kept AS (
+         SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tk.tok, ' ' ORDER BY tk.pos)) AS kept_md5
+         FROM tk ANTI JOIN dropped ON tk.doc_id = dropped.doc_id AND tk.pos = dropped.pos
+         GROUP BY tk.doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         coalesce(kept.n_kept, 0) AS n_kept,
+         coalesce(kept.kept_md5, md5('')) AS kept_md5
+       FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+       WHERE len(t.toks) > 0"""
+  }
+
   // ---------------- Benchmark decontamination ----------------
 
   /** 5-gram windows are long enough to be distinctive (boilerplate 3-grams
@@ -769,6 +842,7 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_span_scrub" -> (qSpanScrub _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_graph_stats" -> (qGraphStats _),
@@ -780,6 +854,7 @@ object Dedup extends QueryModule {
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_span_scrub" -> qSpanScrubSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_graph_stats" -> qGraphStatsSql,

@@ -39,6 +39,22 @@ class Round7Spec extends SparkSpec {
     assert(!spans.exists(_._1 == 2L))
   }
 
+  test("span scrub drops exactly the repeated-span tokens, keeps the rest in order") {
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"one two three four five six $shared"),
+      (3L, "totally unique text with no repetition at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.qSpanScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: 15 tokens, span [2,11] dropped -> kept = alpha beta gamma delta epsilon
+    assert(got(1L)._1 === 15L && got(1L)._2 === 5L)
+    assert(got(1L)._3 === org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "alpha beta gamma delta epsilon"))
+    // doc 3 untouched: kept == all, md5 over its own tokens
+    assert(got(3L)._1 === got(3L)._2)
+  }
+
   test("entropy: templated text scores below diverse text and trips the gate") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
