@@ -687,6 +687,42 @@ object Dedup extends QueryModule {
        FROM g GROUP BY doc_id, span_id"""
   }
 
+  /** q_split_leakfree: LEAKAGE-AWARE train/test split — the reason dedup
+    * clusters exist in a training pipeline: near-duplicate docs must land
+    * on the SAME side, or eval leaks paraphrases of training data. Every
+    * doc's split group is its near-dup cluster id (its own id when
+    * unclustered — singleton group), and the side is a content-hash gate
+    * on the GROUP id (md5 first nibble ∈ {0,1,2} → test, ≈ 18.75%), so
+    * the assignment is reproducible, driver-state-free, and whole clusters
+    * move together by construction. One left join against the cluster
+    * relation on top of the corpus scan. */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(qDedupClusters(s, dir), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        when(substring(md5(col("group_id").cast("string")), 1, 1).isin("0", "1", "2"), "test")
+          .otherwise("train").as("split"))
+
+  private lazy val qSplitLeakfreeSql =
+    s"""WITH RECURSIVE
+       pr AS ($qDedupJaccardSql),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pr
+         UNION ALL SELECT doc_b, doc_a FROM pr),
+       nodes AS (SELECT DISTINCT a AS id FROM edges),
+       walk(id, root) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id),
+       cl AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+              FROM walk GROUP BY id)
+       SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id,
+         CASE WHEN substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)
+                IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
+       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"""
+
   /** q_span_scrub: the span-REMOVAL rewrite that consumes q_dup_spans —
     * every token inside any repeated span is dropped (conservative
     * remove-all, the q_line_dedup convention: no survivor election across
@@ -843,6 +879,7 @@ object Dedup extends QueryModule {
     "q_decontaminate" -> (qDecontaminate _),
     "q_dup_spans" -> (qDupSpans _),
     "q_span_scrub" -> (qSpanScrub _),
+    "q_split_leakfree" -> (qSplitLeakfree _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_graph_stats" -> (qGraphStats _),
@@ -855,6 +892,7 @@ object Dedup extends QueryModule {
     "q_decontaminate" -> qDecontaminateSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_span_scrub" -> qSpanScrubSql,
+    "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_graph_stats" -> qGraphStatsSql,

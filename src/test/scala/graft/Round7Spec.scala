@@ -55,6 +55,19 @@ class Round7Spec extends SparkSpec {
     assert(got(3L)._1 === got(3L)._2)
   }
 
+  test("leakfree split: whole near-dup clusters land on one side, both sides populated") {
+    val split = Dedup.qSplitLeakfree(spark, sfDir)
+    val mixed = split.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(mixed === 0L, "a cluster straddles the split")
+    val sides = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.contains("train") && sides.contains("test"))
+    // every doc appears exactly once
+    assert(split.count() === split.select("doc_id").distinct().count())
+  }
+
   test("entropy: templated text scores below diverse text and trips the gate") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
