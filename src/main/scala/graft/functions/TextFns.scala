@@ -35,6 +35,10 @@ object TextFns {
     * CodegenFallback HOFs. */
   def rawTokens(text: Column): Column = TextKernelCols.rawTokens(text)
 
+  /** Unicode NFC canonicalization (native codegen expression; matches
+    * DuckDB's nfc_normalize — both implement TR-15 canonical composition). */
+  def nfcNormalize(text: Column): Column = TextKernelCols.nfcNormalize(text)
+
   /** Deterministic suffix-rule lemmatizer (≈ wn.morphy for plural nouns). */
   def lemma(t: Column): Column =
     when(t.endsWith("ies") && length(t) > 4,

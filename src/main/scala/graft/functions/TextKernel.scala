@@ -88,6 +88,36 @@ object TextKernel {
   }
 }
 
+object TextKernelNorm {
+  /** Unicode NFC canonicalization — the dedup/fingerprint pre-step a real
+    * text pipeline needs (composed vs decomposed accents hash differently
+    * while rendering identically). Fast path: already-normalized input
+    * (all ASCII, the overwhelming case) returns the SAME UTF8String with
+    * no allocation; only genuinely decomposed rows pay the normalize. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** NFC normalization as a native codegen expression (matches DuckDB's
+  * nfc_normalize — both implement Unicode TR-15 canonical composition). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def nullSafeEval(s: Any): Any =
+    TextKernelNorm.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelNorm.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
 abstract class TextKernelExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -129,6 +159,8 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object TextKernelCols {
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def rawTokens(text: Column): Column =
     ColumnBridge.column(RawTokens(ColumnBridge.expression(text)))
   def cleanTokens(text: Column): Column =

@@ -223,6 +223,26 @@ object TextAnalysis extends QueryModule {
        FROM e"""
   }
 
+  /** q_normalize: Unicode NFC canonicalization audit — composed vs
+    * decomposed accent sequences render identically but hash differently,
+    * so every fingerprint/dedup pass needs NFC first. The normalizer is a
+    * NATIVE codegen expression (functions.TextKernel.NfcNormalize, with an
+    * isNormalized fast path so ASCII rows allocate nothing); the audit
+    * emits the canonical-text md5 and whether normalization changed the
+    * row. DuckDB's nfc_normalize implements the same TR-15 composition, so
+    * the md5s hash-gate exactly. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextFns.nfcNormalize(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("norm_md5"),
+        (norm =!= col("text")).as("changed"))
+  }
+
+  private val qNormalizeSql =
+    """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+       nfc_normalize(text) <> text AS changed
+       FROM documents"""
+
   /** q_token_count: whitespace tokens + BPE-ish regex tokens. The regex
     * avoids backslash classes so Java regex and RE2 agree literally. */
   def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -975,6 +995,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_ngram" -> (qLangNgram _),
     "q_quality" -> (qQuality _),
     "q_entropy" -> (qEntropy _),
+    "q_normalize" -> (qNormalize _),
     "q_rep_ngram" -> (qRepNgram _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1001,6 +1022,7 @@ object TextAnalysis extends QueryModule {
     "q_lang_ngram" -> qLangNgramSql,
     "q_quality" -> qQualitySql,
     "q_entropy" -> qEntropySql,
+    "q_normalize" -> qNormalizeSql,
     "q_rep_ngram" -> qRepNgramSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,

@@ -68,6 +68,19 @@ class Round7Spec extends SparkSpec {
     assert(split.count() === split.select("doc_id").distinct().count())
   }
 
+  test("NFC normalization composes decomposed accents; ASCII passes through unchanged") {
+    val composed = "caf\u00e9"           // e-acute precomposed
+    val decomposed = "cafe\u0301"        // e + combining acute
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.nfcNormalize(col("text")).as("n"),
+        (graft.functions.TextFns.nfcNormalize(col("text")) =!= col("text")).as("changed"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(rows(1L)._1 === composed && rows(1L)._2) // decomposed -> composed
+    assert(rows(2L)._1 === composed && !rows(2L)._2)
+    assert(rows(3L)._1 === "plain ascii" && !rows(3L)._2)
+  }
+
   test("entropy: templated text scores below diverse text and trips the gate") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
