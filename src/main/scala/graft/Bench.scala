@@ -38,7 +38,8 @@ object Bench {
     "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff",
     "q_pca", "q_freq_itemsets", "q_seq_patterns", "q_pack",
     "q_dup_spans", "q_merge_upsert", "q_entropy", "q_ab_test", "q_bpe_encode",
-    "q_hard_negatives", "q_span_scrub", "q_split_leakfree", "q_normalize")
+    "q_hard_negatives", "q_span_scrub", "q_split_leakfree", "q_normalize",
+    "q_class_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

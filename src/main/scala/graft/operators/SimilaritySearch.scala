@@ -99,6 +99,40 @@ object SimilaritySearch extends QueryModule {
        SELECT a_id, rank, neg_id, neg_label, round(cos, 6) AS cos_sim
        FROM ranked WHERE rank <= 3"""
 
+  /** q_class_centroids: per-label mean embedding (class prototypes — the
+    * nearest-centroid classifier's model, SemDeDup's seed points, and the
+    * drift monitor's per-class reference). Emitted LONG (label, dim, n,
+    * centroid) so the output is flat-sortable. Determinism: floating sums
+    * are order-sensitive, so each (label, dim) group's values are summed
+    * in vec_id order via a sorted-collect fold — the same ordered-fold
+    * pattern as q_entropy, matched by ORDER BY inside DuckDB's list() —
+    * making both engines run the identical IEEE addition sequence. This is
+    * the exact audit formulation; a production 100 TB run uses plain avg()
+    * (map-side combining, no per-group collect) and tolerates last-ulp
+    * drift. Group state here is bounded by class size at test SF. */
+  def qClassCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), col("vec_id"), col("v").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+            x => x.getField("v")),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("s") / col("n"), 6).as("centroid"))
+
+  private val qClassCentroidsSql =
+    """WITH x AS (
+         SELECT label, vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+         FROM embeddings)
+       SELECT label, dim, count(*) AS n,
+         round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid
+       FROM x GROUP BY label, dim"""
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component is
     * derived from a splitmix-style integer mix — reproducible everywhere. */
   def hyperplaneComponent(p: Int, d: Int): Double = {
@@ -393,6 +427,7 @@ object SimilaritySearch extends QueryModule {
     "q_ann_pq" -> (qAnnPq _),
     "q_knn_search" -> (qKnnSearch _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_class_centroids" -> (qClassCentroids _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_quant" -> (qEmbedQuant _))
@@ -400,5 +435,6 @@ object SimilaritySearch extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,
+    "q_class_centroids" -> qClassCentroidsSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }
