@@ -3,9 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.SparkStrategy
 
 /** Native AS-OF join — the whole-operator extension point exercised end to
@@ -57,7 +59,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTime: Expression)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,6 +136,113 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ------------------------------------------------ whole-stage codegen
+  // The merge loop as a generated produce loop (the SortMergeJoin shape:
+  // two input iterators zipped by WholeStageCodegenExec, downstream
+  // operators fused into this loop via consume()). doExecute above stays
+  // as the codegen-disabled / fallback path with identical semantics.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // one output row can alias the latched build row across iterations
+  override def needCopyResult: Boolean = true
+
+  /** Column extraction var: value/isNull locals read from `row`, with an
+    * optional extra null condition short-circuiting BEFORE any row access
+    * (guards the null-extended right side). */
+  private def genRowVar(ctx: CodegenContext, row: String, a: Attribute, i: Int,
+      extraNullCond: Option[String]): ExprCode = {
+    val javaType = CodeGenerator.javaType(a.dataType)
+    val value = ctx.freshName("value")
+    val getter = CodeGenerator.getValue(row, a.dataType, i.toString)
+    if (extraNullCond.isEmpty && !a.nullable) {
+      ExprCode(code"$javaType $value = $getter;",
+        FalseLiteral, JavaCode.variable(value, a.dataType))
+    } else {
+      val isNull = ctx.freshName("isNull")
+      val rowNull = if (a.nullable) s"$row.isNullAt($i)" else "false"
+      val cond = extraNullCond.map(c => s"$c || $rowNull").getOrElse(rowNull)
+      ExprCode(
+        code"""boolean $isNull = $cond;
+           $javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);""",
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead")
+    val lastRight = ctx.addMutableState("InternalRow", "asofLastRight")
+    val lastKey = ctx.addMutableState("long", "asofLastKey")
+    val lastTime = ctx.addMutableState("long", "asofLastTime")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    ctx.INPUT_ROW = rightHead
+    val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    val matched = ctx.freshName("asofMatched")
+    val key = ctx.freshName("asofKey")
+    val time = ctx.freshName("asofTime")
+    val hk = ctx.freshName("asofHk")
+    val ht = ctx.freshName("asofHt")
+    val advance = ctx.freshName("asofAdvance")
+
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      genRowVar(ctx, leftRow, a, i, None)
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      genRowVar(ctx, lastRight, a, i, Some(s"!$matched"))
+    }
+    // matched implies lastRight != null and lastKey == key, so the right
+    // vars never touch a null or stale row.
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.code}
+       |  ${ltEv.code}
+       |  boolean $matched = false;
+       |  if (!(${lkEv.isNull} || ${ltEv.isNull})) {
+       |    long $key = ${lkEv.value};
+       |    long $time = ${ltEv.value};
+       |    boolean $advance = true;
+       |    while ($advance) {
+       |      if ($rightHead == null) {
+       |        if ($rightInput.hasNext()) { $rightHead = (InternalRow) $rightInput.next(); }
+       |        else { break; }
+       |      }
+       |      ${rkEv.code}
+       |      if (${rkEv.isNull}) { $rightHead = null; continue; }
+       |      long $hk = ${rkEv.value};
+       |      if ($hk < $key) { $rightHead = null; continue; }
+       |      if ($hk == $key) {
+       |        ${rtEv.code}
+       |        if (${rtEv.isNull}) { $rightHead = null; continue; }
+       |        long $ht = ${rtEv.value};
+       |        if ($ht <= $time) {
+       |          $lastRight = $rightHead.copy();
+       |          $lastKey = $hk;
+       |          $lastTime = $ht;
+       |          $rightHead = null;
+       |        } else { $advance = false; }
+       |      } else { $advance = false; }
+       |    }
+       |    $matched = $lastRight != null && $lastKey == $key && $lastTime <= $time;
+       |  }
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -43,6 +43,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.except(rewrite).count() === 0 && rewrite.except(native).count() === 0)
   }
 
+  test("operator participates in whole-stage codegen (starred in the final plan)") {
+    val l = (1L to 100L).map(i => (i % 7, i, i * 2)).toDF("k", "id", "t")
+    val r = (1L to 60L).map(i => (i % 7, i * 3 + 1)).toDF("rk", "rt")
+    val j = Relational.asofJoinNative(l, r, "k", "t", "rk", "rt")
+    j.collect() // finalize AQE so codegen stages are visible
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(ln => ln.contains("AsOfJoin") && ln.contains("*(")),
+      plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("null keys/times never match: left nulls emit null-extended rows, right nulls are skipped") {
     val left = Seq(
       (1L, Some(1L), Some(100L)), // normal probe -> matches rt=90
