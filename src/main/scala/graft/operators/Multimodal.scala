@@ -83,11 +83,84 @@ object Multimodal extends QueryModule {
          md5(substring(text, 1 + ((n_bytes - 16) * frame_idx) // 3, 16)) AS frame_md5
        FROM f"""
 
+  /** Signature geometry shared by the Spark query and the oracle: 63
+    * sample points keep the bit accumulator inside a signed long in every
+    * engine (bit 63 would overflow DuckDB's checked `<<`), and 7 bands of
+    * 9 bits make the band join COMPLETE for hamming ≤ 6 by pigeonhole —
+    * the banded candidate set provably equals the all-pairs scan the
+    * oracle runs. */
+  val SigBits = 63
+  val SigBands = 7
+  val SigBandBits = 9
+  val SigMaxHamming = 6
+
+  /** q_media_phash: perceptual-hash-ANALOGUE near-dup over the binary
+    * payloads — the average-hash recipe (sample a fixed grid, threshold
+    * against the grid mean, compare signatures by hamming distance)
+    * applied honestly to raw BYTES, since the container ships no image
+    * codecs: 63 evenly spaced bytes, 63-bit signature, banded candidate
+    * join + exact bit_count re-rank — the q_dedup_simhash shape, so the
+    * scale story is identical (no all-pairs anywhere in Spark; the
+    * all-pairs appears only in the oracle, which the banding provably
+    * matches). A real deployment swaps the byte grid for decoded-pixel
+    * luma and keeps every line below unchanged. */
+  def qMediaPhash(s: SparkSession, dir: String): DataFrame =
+    mediaPhashOf(Tables.documents(s, dir))
+
+  def mediaPhashOf(docs: DataFrame): DataFrame = {
+    val n = SigBits
+    val base = docs
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= n)
+    val cs = (0 until n).map(i =>
+      ascii(expr(s"substr(text, 1 + cast(floor($i * (length(text)-1) / ${n - 1}.0) as int), 1)"))
+        .as(s"c$i"))
+    val withC = base.select(col("doc_id") +: cs: _*)
+    val mean = (0 until n).map(i => col(s"c$i")).reduce(_ + _) / lit(n.toDouble)
+    val sigExpr = (0 until n).map(i =>
+      when(col(s"c$i") > col("m"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val sig = withC.withColumn("m", mean).select(col("doc_id"), sigExpr.as("sig"))
+    val mask = (1 << SigBandBits) - 1
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until SigBands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(sig >> ${b * SigBandBits}) & $mask").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("cast(bit_count(p.a.sig ^ p.b.sig) as int)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SigMaxHamming)
+  }
+
+  private val qMediaPhashSql = {
+    val n = SigBits
+    val terms = (0 until n).map(i =>
+      s"ascii(substr(text, 1 + CAST(floor($i * (len(text)-1) / ${n - 1}.0) AS INT), 1)) AS c$i")
+      .mkString(", ")
+    val msum = (0 until n).map(i => s"c$i").mkString(" + ")
+    val sig = (0 until n).map(i =>
+      s"(CASE WHEN c$i > m THEN 1::BIGINT << $i ELSE 0::BIGINT END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= $n),
+       c AS (SELECT doc_id, $terms FROM t),
+       m AS (SELECT *, ($msum) / $n.0 AS m FROM c),
+       s AS (SELECT doc_id, ($sig) AS sig FROM m)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sig, b.sig)) <= $SigMaxHamming"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> (qMultimodal _),
-    "q_multimodal_frames" -> (qMultimodalFrames _))
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_media_phash" -> (qMediaPhash _))
 
   override def oracles: Map[String, String] = Map(
     "q_multimodal" -> qMultimodalSql,
-    "q_multimodal_frames" -> qMultimodalFramesSql)
+    "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_media_phash" -> qMediaPhashSql)
 }

@@ -68,6 +68,19 @@ class Round7Spec extends SparkSpec {
     assert(split.count() === split.select("doc_id").distinct().count())
   }
 
+  test("media phash: identical payloads collide at hamming 0, dissimilar ones don't pair") {
+    val base = "the quick brown fox jumps over the lazy dog while seventeen astronauts assemble"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact copy -> hamming 0
+      (3L, "entirely different content with other characters and numbers 0123456789 repeated here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.mediaPhashOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("NFC normalization composes decomposed accents; ASCII passes through unchanged") {
     val composed = "caf\u00e9"           // e-acute precomposed
     val decomposed = "cafe\u0301"        // e + combining acute
