@@ -59,9 +59,29 @@ object NQuads extends QueryModule {
         source || '_' || doc_id AS concept
         FROM documents"""
 
+  /** q_nquads_source: the SAME round-trip through the DataSource V2
+    * connector — format the corpus as N-Quad line shards on disk, read
+    * them back with `spark.read.format("nquads")` (one partition per
+    * shard, pruning pushed to the reader), and emit the identical fields.
+    * Gated by the SAME oracle as q_nquads_parse, so the connector and the
+    * Column-transform parser can never drift. The shard directory is
+    * memoized per (session, dir) — one write, many reads. */
+  def qNquadsSource(s: SparkSession, dir: String): DataFrame = {
+    val shardDir = graft.ModelCache.getOrElseUpdate(s, s"nquads.shards:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft_nquads").toString
+      toLines(Tables.documents(s, dir)).write.mode("overwrite").text(p)
+      p
+    }
+    s.read.format("nquads").load(shardDir)
+      .select(col("subject"), col("predicate"), col("obj"), col("graph"),
+        regexp_replace(col("subject"), "^" + ConceptPrefix, "").as("concept"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_nquads_parse" -> (qNquadsParse _))
+    "q_nquads_parse" -> (qNquadsParse _),
+    "q_nquads_source" -> (qNquadsSource _))
 
   override def oracles: Map[String, String] = Map(
-    "q_nquads_parse" -> qNquadsParseSql)
+    "q_nquads_parse" -> qNquadsParseSql,
+    "q_nquads_source" -> qNquadsParseSql)
 }
