@@ -4,10 +4,11 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,26 +43,48 @@ object NQuadsTable {
       .map(StructField(_, StringType, nullable = true)))
 }
 
-class NQuadsTable(path: String) extends Table with SupportsRead {
+class NQuadsTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"nquads($path)"
   override def schema(): StructType = NQuadsTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NQuadsScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new NQuadsWriteBuilder(path, info.schema())
 }
 
 class NQuadsScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = NQuadsTable.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new NQuadsScan(path, required)
+  /** Accept equality and prefix filters on any quad field — the reader
+    * pre-filters on the parsed groups BEFORE materializing the pruned row.
+    * All filters are also returned as residual (Spark re-applies them),
+    * the conservative connector contract: the pushdown is an IO/alloc
+    * saver, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, _: String) => NQuadsTable.Schema.fieldNames.contains(a)
+      case StringStartsWith(a, _) => NQuadsTable.Schema.fieldNames.contains(a)
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new NQuadsScan(path, required, pushed)
 }
 
-class NQuadsScan(path: String, required: StructType) extends Scan with Batch {
+class NQuadsScan(path: String, required: StructType,
+    val pushedFilters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"nquads($path) PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new java.io.File(path)
     val files =
@@ -72,33 +95,40 @@ class NQuadsScan(path: String, required: StructType) extends Scan with Batch {
     files.sortBy(_.getName).map(f => NQuadsPartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new NQuadsReaderFactory(required.fieldNames)
+    new NQuadsReaderFactory(required.fieldNames, pushedFilters)
 }
 
 case class NQuadsPartition(file: String) extends InputPartition
 
-class NQuadsReaderFactory(fields: Array[String])
+class NQuadsReaderFactory(fields: Array[String], filters: Array[Filter])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NQuadsReader(partition.asInstanceOf[NQuadsPartition].file, fields)
+    new NQuadsReader(partition.asInstanceOf[NQuadsPartition].file, fields, filters)
 }
 
-/** Per-file line reader: URI repair → regex parse → only the PRUNED
-  * fields materialize as UTF8Strings; malformed lines are skipped. */
-class NQuadsReader(file: String, fields: Array[String])
+/** Per-file line reader: URI repair → regex parse → pushed filters
+  * evaluated on the parsed groups → only the PRUNED fields materialize as
+  * UTF8Strings; malformed lines are skipped. */
+class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter])
   extends PartitionReader[InternalRow] {
   private val LinePattern =
     java.util.regex.Pattern.compile("^<([^>]+)> <([^>]+)> \"(.*)\" <([^>]+)> \\.$")
   private val br = new java.io.BufferedReader(
     new java.io.InputStreamReader(new java.io.FileInputStream(file),
       java.nio.charset.StandardCharsets.UTF_8))
-  // group index per required field, in the pruned schema's order
-  private val groups = fields.map {
+  private def groupOf(name: String): Int = name match {
     case "subject" => 1
     case "predicate" => 2
     case "obj" => 3
     case "graph" => 4
     case other => sys.error(s"nquads: unknown column $other")
+  }
+  // group index per required field, in the pruned schema's order
+  private val groups = fields.map(groupOf)
+  private val checks: Array[java.util.regex.Matcher => Boolean] = filters.map {
+    case EqualTo(a, v: String) => val g = groupOf(a); m => m.group(g) == v
+    case StringStartsWith(a, v) => val g = groupOf(a); m => m.group(g).startsWith(v)
+    case f => sys.error(s"nquads: unpushable filter $f")
   }
   private var current: InternalRow = _
 
@@ -107,15 +137,75 @@ class NQuadsReader(file: String, fields: Array[String])
     while (line != null) {
       val fixed = line.replaceAll("wasQuotedFrom> <(?!http://)", "wasQuotedFrom> <http://")
       val m = LinePattern.matcher(fixed)
-      if (m.matches()) {
+      if (m.matches() && checks.forall(_(m))) {
         current = new GenericInternalRow(
           groups.map(g => UTF8String.fromString(m.group(g)): Any))
         return true
       }
-      line = br.readLine() // malformed line: skip, don't poison the read
+      line = br.readLine() // malformed or filtered line: skip
     }
     false
   }
   override def get(): InternalRow = current
   override def close(): Unit = br.close()
+}
+
+// ---------------------------------------------------------------- write
+
+/** Write path: each task streams its partition straight into one
+  * `part-<partition>-<task>.nq` shard in the target directory (atomic
+  * enough for a line format: a shard appears only after its writer
+  * commits the rename from a dot-hidden temp name, which the reader's
+  * hidden-file filter ignores until then); abort deletes the temp.
+  * Overwrite truncates existing shards on the driver before launching. */
+class NQuadsWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.toSeq == NQuadsTable.Schema.fieldNames.toSeq,
+    s"nquads write expects columns ${NQuadsTable.Schema.fieldNames.mkString(", ")}, " +
+      s"got ${schema.fieldNames.mkString(", ")}")
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new NQuadsBatchWrite(path, doTruncate)
+  }
+}
+
+class NQuadsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      dir.listFiles().filter(_.getName.endsWith(".nq")).foreach(_.delete())
+    new NQuadsWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class NQuadsWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NQuadsWriter(path, partitionId, taskId)
+}
+
+case class NQuadsCommit(file: String) extends WriterCommitMessage
+
+class NQuadsWriter(path: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val finalFile = new java.io.File(path, f"part-$partitionId%05d-$taskId.nq")
+  private val tmpFile = new java.io.File(path, s".${finalFile.getName}.inprogress")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmpFile),
+      java.nio.charset.StandardCharsets.UTF_8))
+  override def write(row: InternalRow): Unit = {
+    out.write(s"<${row.getUTF8String(0)}> <${row.getUTF8String(1)}> " +
+      s""""${row.getUTF8String(2)}" <${row.getUTF8String(3)}> .""")
+    out.newLine()
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!tmpFile.renameTo(finalFile)) sys.error(s"nquads: commit rename failed for $finalFile")
+    NQuadsCommit(finalFile.getAbsolutePath)
+  }
+  override def abort(): Unit = { out.close(); tmpFile.delete(); () }
+  override def close(): Unit = ()
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * partitioning, URI repair, malformed-line skipping, and column pruning
   * pushed all the way into the reader. */
 class NQuadsSourceSpec extends SparkSpec {
+  import spark.implicits._
 
   private def writeFixture(): String = {
     val dir = Files.createTempDirectory("nquads_spec").toString
@@ -54,6 +55,39 @@ class NQuadsSourceSpec extends SparkSpec {
     })
     assert(scan.isDefined, df.queryExecution.executedPlan.toString)
     assert(scan.get.fieldNames.toSeq === Seq("obj"), scan.get.treeString)
+  }
+
+  test("filter pushdown reaches the reader and is recorded on the scan") {
+    val dir = writeFixture()
+    val df = spark.read.format("nquads").load(dir)
+      .filter(col("subject") === "http://ex/s1")
+    val rows = df.collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("v one"))
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    } match {
+      case Some(s: graft.sources.NQuadsScan) =>
+        assert(s.pushedFilters.nonEmpty, "no filters pushed")
+      case other => fail(s"unexpected scan: $other")
+    }
+  }
+
+  test("write path round-trips through the connector, overwrite truncates") {
+    val dir = Files.createTempDirectory("nquads_write").toString
+    val df = Seq(
+      ("http://ex/s1", "http://ex/p", "v one", "http://ex/g1"),
+      ("http://ex/s2", "http://ex/p", "v two", "http://ex/g2"))
+      .toDF("subject", "predicate", "obj", "graph")
+    df.write.format("nquads").mode("append").save(dir)
+    val back = spark.read.format("nquads").load(dir)
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("http://ex/s1", "http://ex/s2"))
+    // overwrite drops the old shards
+    Seq(("http://ex/s9", "http://ex/p", "v nine", "http://ex/g9"))
+      .toDF("subject", "predicate", "obj", "graph")
+      .write.format("nquads").mode("overwrite").save(dir)
+    assert(spark.read.format("nquads").load(dir)
+      .collect().map(_.getString(0)).toSeq === Seq("http://ex/s9"))
   }
 
   test("connector round-trip matches the Column-transform parser row for row") {
