@@ -395,9 +395,12 @@ object Dedup extends QueryModule {
     connectedComponents(jaccardEdges(s, dir))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
-  private val qDedupClustersSql =
-    s"""WITH RECURSIVE
-       pr AS ($qDedupJaccardSql),
+  /** The recursive transitive-closure CTE chain (pr/edges/nodes/walk) —
+    * ONE definition shared by the cluster oracle and the leakage-free
+    * split oracle, so the cluster-id convention cannot drift between the
+    * two gated queries. Callers prepend WITH RECURSIVE. */
+  private lazy val clusterWalkCtes =
+    s"""pr AS ($qDedupJaccardSql),
        edges AS (
          SELECT doc_a AS a, doc_b AS b FROM pr
          UNION ALL SELECT doc_b, doc_a FROM pr),
@@ -405,7 +408,11 @@ object Dedup extends QueryModule {
        walk(id, root) AS (
          SELECT id, id FROM nodes
          UNION
-         SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id)
+         SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id)"""
+
+  private lazy val qDedupClustersSql =
+    s"""WITH RECURSIVE
+       $clusterWalkCtes
        SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
        FROM walk GROUP BY id"""
 
@@ -664,9 +671,13 @@ object Dedup extends QueryModule {
   def qDupSpans(s: SparkSession, dir: String): DataFrame =
     repeatedSpans(TextPrep.rawDocs(s, dir))
 
-  private val qDupSpansSql = {
+  /** The duplicated-position island chain (t/s/dup/d/m/g) — ONE
+    * definition shared by the span-detection and span-scrub oracles, so
+    * the merge rule cannot drift between the two gated queries. Callers
+    * prepend WITH. */
+  private lazy val spanChainCtes = {
     val toks = TextFns.rawTokensSql("text")
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        s AS (
          SELECT doc_id, unnest(${TextFns.shinglesSql("toks", SpanN)}) AS shingle,
            generate_subscripts(${TextFns.shinglesSql("toks", SpanN)}, 1) - 1 AS pos
@@ -680,12 +691,15 @@ object Dedup extends QueryModule {
        g AS (
          SELECT doc_id, pos, sum(new_span)
            OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
-         FROM m)
+         FROM m)"""
+  }
+
+  private lazy val qDupSpansSql =
+    s"""WITH $spanChainCtes
        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          CAST(max(pos) + ${SpanN - 1} AS BIGINT) AS span_end,
          CAST(max(pos) + ${SpanN - 1} - min(pos) + 1 AS BIGINT) AS span_toks
        FROM g GROUP BY doc_id, span_id"""
-  }
 
   /** q_split_leakfree: LEAKAGE-AWARE train/test split — the reason dedup
     * clusters exist in a training pipeline: near-duplicate docs must land
@@ -707,15 +721,7 @@ object Dedup extends QueryModule {
 
   private lazy val qSplitLeakfreeSql =
     s"""WITH RECURSIVE
-       pr AS ($qDedupJaccardSql),
-       edges AS (
-         SELECT doc_a AS a, doc_b AS b FROM pr
-         UNION ALL SELECT doc_b, doc_a FROM pr),
-       nodes AS (SELECT DISTINCT a AS id FROM edges),
-       walk(id, root) AS (
-         SELECT id, id FROM nodes
-         UNION
-         SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.id),
+       $clusterWalkCtes,
        cl AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
               FROM walk GROUP BY id)
        SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id,
@@ -758,23 +764,8 @@ object Dedup extends QueryModule {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
-  private val qSpanScrubSql = {
-    val toks = TextFns.rawTokensSql("text")
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-       s AS (
-         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", SpanN)}) AS shingle,
-           generate_subscripts(${TextFns.shinglesSql("toks", SpanN)}, 1) - 1 AS pos
-         FROM t),
-       dup AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 1),
-       d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (shingle)),
-       m AS (
-         SELECT doc_id, pos, CASE WHEN pos - lag(pos)
-           OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanN THEN 0 ELSE 1 END AS new_span
-         FROM d),
-       g AS (
-         SELECT doc_id, pos, sum(new_span)
-           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
-         FROM m),
+  private lazy val qSpanScrubSql = {
+    s"""WITH $spanChainCtes,
        spans AS (
          SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanN - 1} AS span_end
          FROM g GROUP BY doc_id, span_id),

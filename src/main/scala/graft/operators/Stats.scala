@@ -475,9 +475,14 @@ object Stats extends QueryModule {
     val t = (ma - mb) / sqrt(sea + seb)
     val df = (sea + seb) * (sea + seb) /
       (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    // degenerate-data guard, IDENTICAL in the oracle: with n<2 the n-1
+    // division (or with zero pooled variance the sqrt(0) division) yields
+    // Infinity in Spark but NULL in DuckDB — emit NULL in both instead
+    val degenerate = col("n_a") < 2 || col("n_b") < 2 || (sea + seb) === 0.0
     ab.select(col("n_a"), col("n_b"), r6(ma).as("mean_a"), r6(mb).as("mean_b"),
-      r6(t).as("t_stat"), r6(df).as("df_welch"),
-      (abs(t) >= 1.96).as("significant"))
+      when(degenerate, lit(null)).otherwise(r6(t)).as("t_stat"),
+      when(degenerate, lit(null)).otherwise(r6(df)).as("df_welch"),
+      when(degenerate, lit(null)).otherwise(abs(t) >= 1.96).as("significant"))
   }
 
   private val qAbTestSql =
@@ -500,10 +505,13 @@ object Stats extends QueryModule {
        SELECT n_a, n_b,
          floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
          floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
-         floor(((ma - mb) / sqrt(sea + seb)) * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
-         floor(((sea + seb) * (sea + seb) /
-           (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS df_welch,
-         abs((ma - mb) / sqrt(sea + seb)) >= 1.96 AS significant
+         CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb = 0 THEN NULL
+              ELSE floor(((ma - mb) / sqrt(sea + seb)) * 1000000.0 + 0.5) / 1000000.0 END AS t_stat,
+         CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb = 0 THEN NULL
+              ELSE floor(((sea + seb) * (sea + seb) /
+                (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0))) * 1000000.0 + 0.5) / 1000000.0 END AS df_welch,
+         CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb = 0 THEN NULL
+              ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

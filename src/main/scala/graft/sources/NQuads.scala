@@ -67,10 +67,16 @@ object NQuads extends QueryModule {
     * Column-transform parser can never drift. The shard directory is
     * memoized per (session, dir) — one write, many reads. */
   def qNquadsSource(s: SparkSession, dir: String): DataFrame = {
-    val shardDir = graft.ModelCache.getOrElseUpdate(s, s"nquads.shards:$dir") {
-      val p = java.nio.file.Files.createTempDirectory("graft_nquads").toString
-      toLines(Tables.documents(s, dir)).write.mode("overwrite").text(p)
-      p
+    // DETERMINISTIC shard location keyed by the corpus dir, written once
+    // and reused across sessions (the _SUCCESS marker from the text
+    // writer gates the rewrite) — a fresh createTempDirectory per session
+    // would accumulate a corpus-sized copy in /tmp per run
+    val shardDir = {
+      val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(dir)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_nquads_$digest")
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        toLines(Tables.documents(s, dir)).write.mode("overwrite").text(p.toString)
+      p.toString
     }
     s.read.format("nquads").load(shardDir)
       .select(col("subject"), col("predicate"), col("obj"), col("graph"),

@@ -33,8 +33,12 @@ class NQuadsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NQuadsTable.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new NQuadsTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null,
+      "nquads: exactly one path is required — load(dir) / save(dir); multi-path load is not supported")
+    new NQuadsTable(path)
+  }
 }
 
 object NQuadsTable {
@@ -152,12 +156,16 @@ class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter])
 
 // ---------------------------------------------------------------- write
 
-/** Write path: each task streams its partition straight into one
-  * `part-<partition>-<task>.nq` shard in the target directory (atomic
-  * enough for a line format: a shard appears only after its writer
-  * commits the rename from a dot-hidden temp name, which the reader's
-  * hidden-file filter ignores until then); abort deletes the temp.
-  * Overwrite truncates existing shards on the driver before launching. */
+/** Write path: each task streams its partition into one
+  * `part-<partition>-<task>.nq` shard, committing via rename from a
+  * dot-hidden temp name (which the reader's hidden-file filter ignores
+  * until then); task abort deletes the temp. OVERWRITE is truncate-on-
+  * COMMIT: pre-existing shards are recorded at job start and deleted only
+  * after every task has committed, and JOB abort deletes the shards that
+  * committed tasks had already published — so a failed overwrite leaves
+  * the old data intact instead of destroying it up front. (A concurrent
+  * reader can briefly see old+new shards between task commits and the
+  * job commit — the line-format trade-off, documented not hidden.) */
 class NQuadsWriteBuilder(path: String, schema: StructType)
   extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
   require(schema.fieldNames.toSeq == NQuadsTable.Schema.fieldNames.toSeq,
@@ -171,15 +179,24 @@ class NQuadsWriteBuilder(path: String, schema: StructType)
 }
 
 class NQuadsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  private var preExisting: Array[java.io.File] = Array.empty
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     dir.mkdirs()
     if (truncate)
-      dir.listFiles().filter(_.getName.endsWith(".nq")).foreach(_.delete())
+      preExisting = dir.listFiles().filter(_.getName.endsWith(".nq"))
     new NQuadsWriterFactory(path)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // truncate-on-commit: old shards go only once every task succeeded;
+    // a same-name collision with a freshly committed shard is kept
+    val fresh = messages.collect { case NQuadsCommit(f) => f }.toSet
+    preExisting.filterNot(f => fresh.contains(f.getAbsolutePath)).foreach(_.delete())
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // committed tasks already published their shards — retract them so the
+    // directory still holds exactly the pre-job data
+    messages.collect { case NQuadsCommit(f) => new java.io.File(f) }.foreach(_.delete())
 }
 
 class NQuadsWriterFactory(path: String) extends DataWriterFactory {
@@ -197,6 +214,20 @@ class NQuadsWriter(path: String, partitionId: Int, taskId: Long)
     new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmpFile),
       java.nio.charset.StandardCharsets.UTF_8))
   override def write(row: InternalRow): Unit = {
+    // fail LOUDLY on rows the line grammar cannot carry: a null field
+    // would serialize as the literal "null", and an embedded newline would
+    // split the quad so the reader silently drops both halves
+    var i = 0
+    while (i < 4) {
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nquads: null in column ${NQuadsTable.Schema.fieldNames(i)} — the line format has no null representation")
+      val v = row.getUTF8String(i).toString
+      if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+        throw new IllegalArgumentException(
+          s"nquads: newline in column ${NQuadsTable.Schema.fieldNames(i)} — escape upstream before writing")
+      i += 1
+    }
     out.write(s"<${row.getUTF8String(0)}> <${row.getUTF8String(1)}> " +
       s""""${row.getUTF8String(2)}" <${row.getUTF8String(3)}> .""")
     out.newLine()
