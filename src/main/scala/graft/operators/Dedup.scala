@@ -391,9 +391,19 @@ object Dedup extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Cluster labels memoized per (session, dir): the iterative
+    * min-label-propagation loop (dozens of jobs) runs ONCE even though two
+    * gated queries (q_dedup_clusters, q_split_leakfree) consume it — the
+    * docShingles shared-hot-stage rule. */
+  private def clustersOf(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.clusters:$dir") {
+      connectedComponents(jaccardEdges(s, dir))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(jaccardEdges(s, dir))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    clustersOf(s, dir)
 
   /** The recursive transitive-closure CTE chain (pr/edges/nodes/walk) —
     * ONE definition shared by the cluster oracle and the leakage-free
@@ -667,9 +677,17 @@ object Dedup extends QueryModule {
         (col("span_end") - col("span_start") + 1L).as("span_toks"))
   }
 
+  /** Corpus spans memoized per (session, dir): the shingle posting count
+    * runs once for q_dup_spans AND q_span_scrub. */
+  private def spansOf(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.spans:$dir") {
+      repeatedSpans(TextPrep.rawDocs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** q_dup_spans: maximal repeated 5-gram spans over the documents table. */
   def qDupSpans(s: SparkSession, dir: String): DataFrame =
-    repeatedSpans(TextPrep.rawDocs(s, dir))
+    spansOf(s, dir)
 
   /** The duplicated-position island chain (t/s/dup/d/m/g) — ONE
     * definition shared by the span-detection and span-scrub oracles, so
@@ -738,16 +756,19 @@ object Dedup extends QueryModule {
     * span ranges into (doc, pos) keys — bounded by the duplicated mass —
     * followed by one equi-anti-join; no non-equi join anywhere. */
   def qSpanScrub(s: SparkSession, dir: String): DataFrame =
-    qSpanScrubOf(TextPrep.rawDocs(s, dir))
+    scrubWith(TextPrep.rawDocs(s, dir), spansOf(s, dir))
 
-  def qSpanScrubOf(docsIn: DataFrame): DataFrame = {
+  def qSpanScrubOf(docsIn: DataFrame): DataFrame =
+    scrubWith(docsIn, repeatedSpans(docsIn))
+
+  private def scrubWith(docsIn: DataFrame, spans: DataFrame): DataFrame = {
     val docs =
       if (docsIn.columns.contains("rtoks")) docsIn.select(col("doc_id"), col("rtoks"))
       else docsIn.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
     val toks = docs
       .select(col("doc_id"), posexplode(col("rtoks")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val dropped = repeatedSpans(docs)
+    val dropped = spans
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val kept = toks.join(dropped, Seq("doc_id", "pos"), "left_anti")

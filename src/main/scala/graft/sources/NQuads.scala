@@ -66,16 +66,35 @@ object NQuads extends QueryModule {
     * Gated by the SAME oracle as q_nquads_parse, so the connector and the
     * Column-transform parser can never drift. The shard directory is
     * memoized per (session, dir) — one write, many reads. */
+  /** Content identity of the documents table: path plus mtime/size of its
+    * file(s) — a regenerated corpus at the same path gets a NEW shard
+    * cache instead of being served stale. */
+  private def docsFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val files = if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName)
+                else Array(root)
+    val sig = files.map(f => s"${f.getName}:${f.lastModified}:${f.length}").mkString("|")
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$dir|$sig")
+  }
+
   def qNquadsSource(s: SparkSession, dir: String): DataFrame = {
-    // DETERMINISTIC shard location keyed by the corpus dir, written once
-    // and reused across sessions (the _SUCCESS marker from the text
-    // writer gates the rewrite) — a fresh createTempDirectory per session
-    // would accumulate a corpus-sized copy in /tmp per run
+    // Shard location keyed by the corpus CONTENT fingerprint, written once
+    // and reused across sessions — a fresh createTempDirectory per session
+    // would accumulate a corpus-sized copy in /tmp per run, and a
+    // path-only key would serve stale shards after the driver regenerates
+    // the table. Publication is ATOMIC (write to a staging dir, rename
+    // into place) so a concurrent JVM never reads a half-written cache.
     val shardDir = {
-      val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(dir)
-      val p = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_nquads_$digest")
-      if (!new java.io.File(p, "_SUCCESS").exists())
-        toLines(Tables.documents(s, dir)).write.mode("overwrite").text(p.toString)
+      val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_nquads_${docsFingerprint(dir)}")
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val staging = new java.io.File(p.getParentFile,
+          s".${p.getName}.staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        toLines(Tables.documents(s, dir)).write.mode("overwrite").text(staging.toString)
+        if (!staging.renameTo(p)) { // lost the race: someone else published
+          staging.listFiles().foreach(_.delete()); staging.delete()
+        }
+      }
       p.toString
     }
     s.read.format("nquads").load(shardDir)

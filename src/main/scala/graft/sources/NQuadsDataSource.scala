@@ -91,10 +91,16 @@ class NQuadsScan(path: String, required: StructType,
     s"nquads($path) PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new java.io.File(path)
+    if (!root.exists())
+      throw new IllegalArgumentException(s"nquads: path does not exist: $path")
     val files =
       if (root.isDirectory)
-        root.listFiles().filter(f => f.isFile &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        // listFiles() is null if the dir vanishes/turns unreadable between
+        // the check and the listing — surface that at planning time
+        Option(root.listFiles()).getOrElse(
+          throw new IllegalArgumentException(s"nquads: cannot list directory: $path"))
+          .filter(f => f.isFile &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
       else Array(root)
     files.sortBy(_.getName).map(f => NQuadsPartition(f.getAbsolutePath): InputPartition)
   }
@@ -226,6 +232,11 @@ class NQuadsWriter(path: String, partitionId: Int, taskId: Long)
       if (v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
         throw new IllegalArgumentException(
           s"nquads: newline in column ${NQuadsTable.Schema.fieldNames(i)} — escape upstream before writing")
+      // IRI slots: an embedded angle bracket terminates the reader's group
+      // early, so the line reparses wrong or drops silently
+      if (i != 2 && (v.indexOf('<') >= 0 || v.indexOf('>') >= 0))
+        throw new IllegalArgumentException(
+          s"nquads: angle bracket in IRI column ${NQuadsTable.Schema.fieldNames(i)} — not representable")
       i += 1
     }
     out.write(s"<${row.getUTF8String(0)}> <${row.getUTF8String(1)}> " +
