@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native one-pass text kernels.
@@ -88,6 +88,56 @@ object TextKernel {
   }
 }
 
+object TextKernelPhash {
+  /** 63-point MEDIAN-hash byte signature in ONE pass: sample n evenly
+    * spaced characters (the same 1 + floor(i·(len−1)/(n−1)) grid as the
+    * SQL twin — integer division equals the double floor for any
+    * realistic length), set bit i iff c_i > median(samples). The median
+    * threshold (the dHash-family variant of average-hash) is what makes
+    * the signature BALANCED: text byte stats are skewed (spaces drag the
+    * mean below almost every letter), so a mean threshold sets nearly all
+    * bits and every band key collapses into a few hot buckets — measured
+    * 2.1M candidate pairs at sf0.1 vs 171k with the median. Pure integer,
+    * no fp anywhere. Positions are UTF-16 units — identical to
+    * ascii(substr(...)) on the ASCII payloads this signature is defined
+    * over. */
+  def sig(s: UTF8String, n: Int): Long = {
+    val str = s.toString
+    val len = str.length
+    val cs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      cs(i) = str.charAt((i.toLong * (len - 1) / (n - 1)).toInt).toInt
+      i += 1
+    }
+    val sorted = cs.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(n / 2)
+    var out = 0L
+    i = 0
+    while (i < n) {
+      if (cs(i) > med) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
+/** The average-hash signature as a native codegen expression. */
+case class PhashSig(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "phash_sig"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+  override def nullSafeEval(s: Any): Any =
+    TextKernelPhash.sig(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelPhash.sig($c, $n)")
+  override protected def withNewChildInternal(c: Expression): PhashSig = copy(child = c)
+}
+
 object TextKernelNorm {
   /** Unicode NFC canonicalization — the dedup/fingerprint pre-step a real
     * text pipeline needs (composed vs decomposed accents hash differently
@@ -159,6 +209,8 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object TextKernelCols {
+  def phashSig(text: Column, n: Int): Column =
+    ColumnBridge.column(PhashSig(ColumnBridge.expression(text), n))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def rawTokens(text: Column): Column =

@@ -95,31 +95,51 @@ object Multimodal extends QueryModule {
   val SigMaxHamming = 6
 
   /** q_media_phash: perceptual-hash-ANALOGUE near-dup over the binary
-    * payloads — the average-hash recipe (sample a fixed grid, threshold
-    * against the grid mean, compare signatures by hamming distance)
+    * payloads — the median-hash recipe (sample a fixed grid, threshold
+    * against the grid MEDIAN, compare signatures by hamming distance;
+    * the median keeps the signature balanced on skewed byte stats —
+    * see TextKernelPhash.sig)
     * applied honestly to raw BYTES, since the container ships no image
     * codecs: 63 evenly spaced bytes, 63-bit signature, banded candidate
     * join + exact bit_count re-rank — the q_dedup_simhash shape, so the
     * scale story is identical (no all-pairs anywhere in Spark; the
     * all-pairs appears only in the oracle, which the banding provably
     * matches). A real deployment swaps the byte grid for decoded-pixel
-    * luma and keeps every line below unchanged. */
+    * luma and keeps every line below unchanged.
+    *
+    * The corpus signature stage is memoized + persisted per (session,
+    * dir): the band fan-out references sig 8 times (7 band keys + the
+    * passthrough), and project collapse would otherwise re-inline the
+    * full sampling expression into every reference — the q_dedup_simhash
+    * materialize-the-signature rule. */
   def qMediaPhash(s: SparkSession, dir: String): DataFrame =
-    mediaPhashOf(Tables.documents(s, dir))
+    pairsFromSigs(graft.ModelCache.getOrElseUpdate(s, s"media.phashsig:$dir") {
+      phashSigsOf(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
-  def mediaPhashOf(docs: DataFrame): DataFrame = {
+  def mediaPhashOf(docs: DataFrame): DataFrame =
+    pairsFromSigs(phashSigsOf(docs).localCheckpoint(true))
+
+  /** (doc_id, sig): the 63-point median-hash signature per payload. */
+  def phashSigsOf(docs: DataFrame): DataFrame = {
     val n = SigBits
     val base = docs
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= n)
-    val cs = (0 until n).map(i =>
-      ascii(expr(s"substr(text, 1 + cast(floor($i * (length(text)-1) / ${n - 1}.0) as int), 1)"))
-        .as(s"c$i"))
-    val withC = base.select(col("doc_id") +: cs: _*)
-    val mean = (0 until n).map(i => col(s"c$i")).reduce(_ + _) / lit(n.toDouble)
-    val sigExpr = (0 until n).map(i =>
-      when(col(s"c$i") > col("m"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    val sig = withC.withColumn("m", mean).select(col("doc_id"), sigExpr.as("sig"))
+    // ONE native codegen kernel call per row (functions.PhashSig): the
+    // stacked-Column formulation re-inlined the 63-sample grid under
+    // project collapse (~4000 substr calls per row at its worst) and the
+    // HOF rewrite still paid interpreted lambda evaluation — the same
+    // evolution MinHash/SimHash went through (HashKernels). Pure integer
+    // median threshold, identical to the oracle's (see TextKernelPhash).
+    base.select(col("doc_id"),
+      graft.functions.TextKernelCols.phashSig(col("text"), n).as("sig"))
+  }
+
+  /** Banded candidate join + exact hamming re-rank over a MATERIALIZED
+    * (doc_id, sig) relation. */
+  private def pairsFromSigs(sig: DataFrame): DataFrame = {
     val mask = (1 << SigBandBits) - 1
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until SigBands).map(b =>
@@ -141,12 +161,14 @@ object Multimodal extends QueryModule {
     val terms = (0 until n).map(i =>
       s"ascii(substr(text, 1 + CAST(floor($i * (len(text)-1) / ${n - 1}.0) AS INT), 1)) AS c$i")
       .mkString(", ")
-    val msum = (0 until n).map(i => s"c$i").mkString(" + ")
+    // identical pure-integer MEDIAN threshold as the kernel: the lower
+    // median of 63 samples is the 1-based 32nd element of the sorted list
+    val clist = (0 until n).map(i => s"c$i").mkString(", ")
     val sig = (0 until n).map(i =>
-      s"(CASE WHEN c$i > m THEN 1::BIGINT << $i ELSE 0::BIGINT END)").mkString(" + ")
+      s"(CASE WHEN c$i > med THEN 1::BIGINT << $i ELSE 0::BIGINT END)").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= $n),
        c AS (SELECT doc_id, $terms FROM t),
-       m AS (SELECT *, ($msum) / $n.0 AS m FROM c),
+       m AS (SELECT *, list_sort([$clist])[${n / 2 + 1}] AS med FROM c),
        s AS (SELECT doc_id, ($sig) AS sig FROM m)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
