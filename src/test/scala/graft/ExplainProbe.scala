@@ -19,7 +19,11 @@ object ExplainProbe {
         "q_dedup_jaccard" -> operators.Dedup.qDedupJaccard(spark, dir),
         "q_dedup_minhash" -> operators.Dedup.qDedupMinhash(spark, dir),
         "q_curation" -> operators.TextAnalysis.qCuration(spark, dir),
-        "q_clean_english" -> operators.TextPrep.qCleanEnglish(spark, dir))
+        "q_clean_english" -> operators.TextPrep.qCleanEnglish(spark, dir),
+        "q_dup_spans" -> operators.Dedup.qDupSpans(spark, dir),
+        "q_merge_upsert" -> operators.Relational.qMergeUpsert(spark, dir),
+        "q_media_phash" -> operators.Multimodal.qMediaPhash(spark, dir),
+        "q_asof_native" -> operators.Relational.qAsofNative(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")
