@@ -737,7 +737,7 @@ object Dedup extends QueryModule {
         when(substring(md5(col("group_id").cast("string")), 1, 1).isin("0", "1", "2"), "test")
           .otherwise("train").as("split"))
 
-  private lazy val qSplitLeakfreeSql =
+  private[operators] lazy val qSplitLeakfreeSql =
     s"""WITH RECURSIVE
        $clusterWalkCtes,
        cl AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
@@ -785,7 +785,7 @@ object Dedup extends QueryModule {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
-  private lazy val qSpanScrubSql = {
+  private[operators] lazy val qSpanScrubSql = {
     s"""WITH $spanChainCtes,
        spans AS (
          SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanN - 1} AS span_end

@@ -287,6 +287,54 @@ object ScaleOps extends QueryModule {
          CAST(cum_before % $PackCapacity AS BIGINT) AS offset_in_seq
        FROM c"""
 
+  /** q_pipeline: the END-TO-END training-data pipeline capstone — every
+    * major family composed into ONE hash-gated query: the full curation
+    * funnel (quality ∧ repetition ∧ LM-surprisal ∧ language ∧ dedup
+    * survivor ∧ decontaminated), exact-substring SPAN SCRUB for the
+    * post-scrub token counts, the LEAKAGE-FREE train split (near-dup
+    * clusters move together), then GPT-style sequence packing of the
+    * surviving train tokens (distributed prefix sum, PackCapacity
+    * boundaries), rolled up per training shard. This is the query a 100 TB
+    * corpus actually runs end to end; each stage reuses its memoized
+    * shared stage (LM scores, spans, clusters), so composition adds joins,
+    * not recomputation. The DuckDB oracle nests the component oracles as
+    * CTE subqueries — any drift in ANY stage breaks this hash. */
+  def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val curated = TextAnalysis.qCurationFull(s, dir).select("doc_id")
+    val kept = Dedup.qSpanScrub(s, dir).select(col("doc_id"), col("n_kept"))
+    val split = Dedup.qSplitLeakfree(s, dir).select(col("doc_id"), col("split"))
+    val train = curated
+      .join(kept, Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+      .filter(col("split") === "train" && col("n_kept") > 0)
+      .select(col("doc_id"), col("n_kept"))
+    graft.functions.Ranks.globalPrefixSum(train, "n_kept", col("doc_id").asc)
+      .select(col("doc_id"), col("n_kept"),
+        expr(s"cum_before DIV $PackCapacity").as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("n_tokens"))
+  }
+
+  private lazy val qPipelineSql =
+    s"""WITH
+       cur AS (${TextAnalysis.qCurationFullSql}),
+       kept AS (${Dedup.qSpanScrubSql}),
+       sp AS (${Dedup.qSplitLeakfreeSql}),
+       train AS (
+         SELECT cur.doc_id, kept.n_kept
+         FROM cur
+         JOIN kept ON cur.doc_id = kept.doc_id
+         JOIN sp ON cur.doc_id = sp.doc_id
+         WHERE sp.split = 'train' AND kept.n_kept > 0),
+       summed AS (
+         SELECT doc_id, n_kept,
+           coalesce(sum(n_kept) OVER (ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM train)
+       SELECT CAST(cum_before // $PackCapacity AS BIGINT) AS shard_id,
+         count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS n_tokens
+       FROM summed GROUP BY 1"""
+
   // ---------------------------------------------------------- table diff
   /** Merkle-style table reconciliation — the audit a 100 TB migration or
     * replica check runs: bucket each table by key, reduce every bucket to
@@ -333,6 +381,7 @@ object ScaleOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_diff" -> (qTableDiff _),
     "q_pack" -> (qPack _),
+    "q_pipeline" -> (qPipeline _),
     "q_zorder" -> (qZorder _),
     "q_chunk" -> (qChunk _),
     "q_fuzzy_vocab" -> (qFuzzyVocab _),
@@ -343,6 +392,7 @@ object ScaleOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_table_diff" -> qTableDiffSql,
     "q_pack" -> qPackSql,
+    "q_pipeline" -> qPipelineSql,
     "q_zorder" -> qZorderSql,
     "q_chunk" -> qChunkSql,
     "q_fuzzy_vocab" -> qFuzzyVocabSql,

@@ -761,7 +761,7 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("ws_tokens"))
   }
 
-  private lazy val qCurationFullSql =
+  private[operators] lazy val qCurationFullSql =
     s"""WITH cur AS ($qCurationSql),
        rep AS ($qRepNgramSql),
        lm AS ($qLmScoreSql),

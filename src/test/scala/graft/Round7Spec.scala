@@ -128,6 +128,24 @@ class Round7Spec extends SparkSpec {
     assert(got.getDouble(2) === probe.getDouble(1))
   }
 
+  test("pipeline capstone: shard totals reconcile with its component stages") {
+    import graft.operators.{ScaleOps, TextAnalysis => TA}
+    val shards = ScaleOps.qPipeline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(shards.nonEmpty)
+    // shard ids are contiguous from 0
+    val ids = shards.map(_._1).sorted
+    assert(ids.toSeq === (0L until ids.length).toSeq)
+    // totals equal the curated ∩ train ∩ scrubbed token mass
+    val expected = TA.qCurationFull(spark, sfDir).select("doc_id")
+      .join(Dedup.qSpanScrub(spark, sfDir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
+      .join(Dedup.qSplitLeakfree(spark, sfDir).select(col("doc_id"), col("split")), Seq("doc_id"))
+      .filter(col("split") === "train" && col("n_kept") > 0)
+      .agg(count(lit(1)), sum(col("n_kept"))).collect().head
+    assert(shards.map(_._2).sum === expected.getLong(0))
+    assert(shards.map(_._3).sum === expected.getLong(1))
+  }
+
   test("span_toks is end - start + 1 and spans never overlap within a doc") {
     val spans = Dedup.qDupSpans(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
