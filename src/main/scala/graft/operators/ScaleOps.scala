@@ -300,14 +300,17 @@ object ScaleOps extends QueryModule {
     * not recomputation. The DuckDB oracle nests the component oracles as
     * CTE subqueries — any drift in ANY stage breaks this hash. */
   def qPipeline(s: SparkSession, dir: String): DataFrame = {
-    val curated = TextAnalysis.qCurationFull(s, dir).select("doc_id")
-    val kept = Dedup.qSpanScrub(s, dir).select(col("doc_id"), col("n_kept"))
-    val split = Dedup.qSplitLeakfree(s, dir).select(col("doc_id"), col("split"))
-    val train = curated
-      .join(kept, Seq("doc_id"))
-      .join(split, Seq("doc_id"))
-      .filter(col("split") === "train" && col("n_kept") > 0)
-      .select(col("doc_id"), col("n_kept"))
+    // the curated-train relation is the "training corpus" — a genuinely
+    // shared stage (the prefix sum alone reads it from two passes), so it
+    // is memoized + persisted like every other hot stage
+    val train = graft.ModelCache.getOrElseUpdate(s, s"pipeline.train:$dir") {
+      TextAnalysis.qCurationFull(s, dir).select("doc_id")
+        .join(Dedup.qSpanScrub(s, dir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
+        .join(Dedup.qSplitLeakfree(s, dir).select(col("doc_id"), col("split")), Seq("doc_id"))
+        .filter(col("split") === "train" && col("n_kept") > 0)
+        .select(col("doc_id"), col("n_kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     graft.functions.Ranks.globalPrefixSum(train, "n_kept", col("doc_id").asc)
       .select(col("doc_id"), col("n_kept"),
         expr(s"cum_before DIV $PackCapacity").as("shard_id"))
