@@ -114,6 +114,39 @@ object EventStream {
       }
   }
 
+  case class TaggedEvent(user_id: Long, kind: String, event_id: Long, ts_us: Long)
+  case class AsofState(last_view_us: Long)
+  case class AsofMatch(event_id: Long, user_id: Long, view_us: Option[Long], gap_us: Option[Long])
+
+  /** Streaming AS-OF join — the stateful twin of the native batch
+    * operator (plans.AsOfJoin): each purchase is matched to the SAME
+    * user's latest view at-or-before it. State is ONE long per user (the
+    * latest view time) regardless of history length — exactly the
+    * single-buffered-row invariant of the batch merge pass, carried in
+    * the state store instead of a sort order. Events are processed in
+    * (ts, event_id) order within each micro-batch (sorted per group
+    * here — the EWMA ordering convention); state carries the latest view
+    * ACROSS batches, so a purchase in batch N matches a view from batch
+    * N−1. In production add an event-time timeout so idle users age out. */
+  def streamingAsof(events: Dataset[TaggedEvent]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[AsofState]) =>
+          var lastView = state.getOption.map(_.last_view_us).getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).flatMap { e =>
+            if (e.kind == "view") { lastView = math.max(lastView, e.ts_us); None }
+            else {
+              val v = if (lastView == Long.MinValue) None else Some(lastView)
+              Some(AsofMatch(e.event_id, uid, v, v.map(e.ts_us - _)))
+            }
+          }
+          state.update(AsofState(lastView))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user event count/value via
     * flatMapGroupsWithState. In production add a GroupStateTimeout
     * (processing- or event-time) so idle keys age out of the state store. */

@@ -73,6 +73,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of matches the native batch operator, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.TaggedEvent
+    val input = MemoryStream[TaggedEvent]
+    val q = EventStream.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("stream_asof")
+      .outputMode("update").start()
+    try {
+      // batch 1: a view, then a purchase after it; a purchase with no view
+      input.addData(
+        TaggedEvent(1L, "view", 10L, 100L),
+        TaggedEvent(1L, "purchase", 11L, 150L),
+        TaggedEvent(2L, "purchase", 20L, 90L))
+      q.processAllAvailable()
+      // batch 2: purchase matching the view from batch 1 (cross-batch
+      // state), then a newer view that must NOT match it retroactively
+      input.addData(
+        TaggedEvent(1L, "purchase", 12L, 200L),
+        TaggedEvent(1L, "view", 13L, 300L),
+        TaggedEvent(1L, "purchase", 14L, 350L))
+      q.processAllAvailable()
+      val got = spark.table("stream_asof")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("view_us")).map(_.longValue)).toMap
+      assert(got === Map(11L -> Some(100L), 20L -> None,
+        12L -> Some(100L), 14L -> Some(300L)))
+      // agrees with the native batch as-of on the same data
+      val all = Seq((1L, 10L, 100L, "view"), (1L, 11L, 150L, "purchase"),
+        (2L, 20L, 90L, "purchase"), (1L, 12L, 200L, "purchase"),
+        (1L, 13L, 300L, "view"), (1L, 14L, 350L, "purchase"))
+      val l = all.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+        .toDF("k", "event_id", "t")
+      val r = all.filter(_._4 == "view").map(e => (e._1, e._3)).toDF("rk", "rt")
+      val batch = graft.operators.Relational.asofJoinNative(l, r, "k", "t", "rk", "rt")
+        .collect().map(x => x.getAs[Long]("event_id") ->
+          Option(x.getAs[java.lang.Long]("rt")).map(_.longValue)).toMap
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming chunking: the batch chunker runs unchanged under readStream") {
     // chunksOf is a pure narrow transform (tokenize -> sequence ->
     // posexplode, no shuffle/state), so the SAME function chunks an
