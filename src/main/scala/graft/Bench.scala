@@ -39,7 +39,8 @@ object Bench {
     "q_pca", "q_freq_itemsets", "q_seq_patterns", "q_pack",
     "q_dup_spans", "q_merge_upsert", "q_entropy", "q_ab_test", "q_bpe_encode",
     "q_hard_negatives", "q_span_scrub", "q_split_leakfree", "q_normalize",
-    "q_class_centroids", "q_media_phash", "q_nquads_source", "q_pipeline")
+    "q_class_centroids", "q_media_phash", "q_nquads_source", "q_pipeline",
+    "q_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -808,6 +808,48 @@ object Dedup extends QueryModule {
        WHERE len(t.toks) > 0"""
   }
 
+  /** q_source_overlap: pairwise cross-SOURCE content overlap — the
+    * dataset-card matrix that says which ingestion sources duplicate each
+    * other (mirror sites, syndication, re-crawls): distinct 3-gram
+    * shingles per source (source count is small and fixed, so this is a
+    * bounded rollup of the shared docShingles stage), one self-join on
+    * the shingle key for the pair intersections, Jaccard per source pair.
+    * Fan-out per shingle is ≤ sources², a constant — scale-safe at any
+    * corpus size. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcSh = docShingles(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("sh")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = srcSh.as("a").join(srcSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  private val qSourceOverlapSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH sh AS (
+         SELECT DISTINCT source, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
+         FROM (SELECT source, $toks AS toks FROM documents)),
+       sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       pairs AS (
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT source_a, source_b, n_shared,
+         round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.source = source_a
+       JOIN sizes sb ON sb.source = source_b"""
+  }
+
   // ---------------- Benchmark decontamination ----------------
 
   /** 5-gram windows are long enough to be distinctive (boilerplate 3-grams
@@ -889,6 +931,7 @@ object Dedup extends QueryModule {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_dup_spans" -> (qDupSpans _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_split_leakfree" -> (qSplitLeakfree _),
@@ -902,6 +945,7 @@ object Dedup extends QueryModule {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_span_scrub" -> qSpanScrubSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
