@@ -71,27 +71,33 @@ object Dedup extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    val sizes = docSizes(s, dir)
-    // Grouped df-capped posting lists (one row per shingle). The df cap is
-    // enforced with a count + semi-join BEFORE collect_list so the agg
-    // buffer is bounded by the cap even against viral shingles — then the
-    // i<j pair stream is expanded inline (graft.functions.Pairs): one
-    // shuffle and a projection where the old formulation sort-merge-joined
-    // the posting against itself.
-    val capped = graft.ModelCache.getOrElseUpdate(s, s"dedup.capped:$dir") {
-      sh.join(
+  /** The (doc_a, doc_b, common-shingle-count) candidate-pair stream off
+    * the df-capped posting — memoized + persisted: TWO gated consumers
+    * (exact Jaccard and Broder containment) read it. Grouped df-capped
+    * posting lists (one row per shingle); the df cap is enforced with a
+    * count + semi-join BEFORE collect_list so the agg buffer is bounded
+    * by the cap even against viral shingles — then the i<j pair stream is
+    * expanded inline (graft.functions.Pairs): one shuffle and a
+    * projection where a self-join formulation would sort-merge the
+    * posting against itself. */
+  private def cappedPairCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.paircounts:$dir") {
+      val sh = docShingles(s, dir)
+      val capped = sh.join(
         sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
           .filter(col("sdf") <= ShingleDfCap && col("sdf") >= 2).select("sh"),
         Seq("sh"))
         .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+      capped
+        .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val pairs = capped
-      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sizes = docSizes(s, dir)
+    val pairs = cappedPairCounts(s, dir)
     // sizes is one row PER DOCUMENT — never broadcast it; a shuffle join on
     // the pair keys is the plan that survives 100 TB (same as exactJaccardOf).
     pairs
@@ -123,6 +129,49 @@ object Dedup extends QueryModule {
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
+  }
+
+  /** q_containment: Broder CONTAINMENT pairs — the asymmetric near-dup
+    * measure Jaccard misses: a short doc quoted wholesale inside a long
+    * one has tiny Jaccard (union is huge) but containment
+    * C(A→B) = |A∩B|/|A| ≈ 1. Same shared posting/size stages and the
+    * same df-capped intersection stream as q_dedup_jaccard — one more
+    * formula over the identical candidate pairs, no new corpus pass.
+    * Emits both directions; kept when either side is ≥ 0.5 contained. */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val sizes = docSizes(s, dir)
+    val pairs = cappedPairCounts(s, dir)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / col("sz_a"), 6).as("cont_a"),
+        round(col("common").cast("double") / col("sz_b"), 6).as("cont_b"))
+      .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
+  }
+
+  private val qContainmentSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       capped AS (
+         SELECT sh.doc_id, sh.shingle FROM sh JOIN (
+           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $ShingleDfCap) g
+           USING (shingle)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / sa.sz, 6) AS cont_a,
+         round(CAST(common AS DOUBLE) / sb.sz, 6) AS cont_b
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(common AS DOUBLE) / sa.sz, 6) >= 0.5
+          OR round(CAST(common AS DOUBLE) / sb.sz, 6) >= 0.5"""
   }
 
   /** q_dedup_cosine: embedding near-dup pairs. Output is id-pairs only (no
@@ -925,6 +974,7 @@ object Dedup extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_containment" -> (qContainment _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -943,6 +993,7 @@ object Dedup extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_containment" -> qContainmentSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_source_overlap" -> qSourceOverlapSql,
