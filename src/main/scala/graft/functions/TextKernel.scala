@@ -104,6 +104,7 @@ object TextKernelPhash {
   def sig(s: UTF8String, n: Int): Long = {
     val str = s.toString
     val len = str.length
+    if (len == 0) return 0L // the grid formula would index charAt(-1)
     val cs = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -123,7 +124,7 @@ object TextKernelPhash {
   }
 }
 
-/** The average-hash signature as a native codegen expression. */
+/** The median-hash signature as a native codegen expression. */
 case class PhashSig(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "phash_sig"
   override def dataType: DataType = LongType

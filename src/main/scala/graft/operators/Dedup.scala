@@ -109,9 +109,13 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= 0.12)
   }
 
-  private val qDedupJaccardSql = {
+  /** The sh/capped/sizes/pairs CTE block — ONE definition shared by the
+    * Jaccard and containment oracles (their Spark twins genuinely share
+    * docShingles/cappedPairCounts, so the SQL twins must share the
+    * candidate definition too). Callers prepend WITH. */
+  private lazy val pairCountCtes = {
     val toks = TextFns.rawTokensSql("text")
-    s"""WITH sh AS (
+    s"""sh AS (
          SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
          FROM (SELECT doc_id, $toks AS toks FROM documents)),
        capped AS (
@@ -122,14 +126,17 @@ object Dedup extends QueryModule {
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+  }
+
+  private lazy val qDedupJaccardSql =
+    s"""WITH $pairCountCtes
        SELECT doc_a, doc_b,
          round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
        FROM pairs
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
-  }
 
   /** q_containment: Broder CONTAINMENT pairs — the asymmetric near-dup
     * measure Jaccard misses: a short doc quoted wholesale inside a long
@@ -150,20 +157,8 @@ object Dedup extends QueryModule {
       .filter(col("cont_a") >= 0.5 || col("cont_b") >= 0.5)
   }
 
-  private val qContainmentSql = {
-    val toks = TextFns.rawTokensSql("text")
-    s"""WITH sh AS (
-         SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
-         FROM (SELECT doc_id, $toks AS toks FROM documents)),
-       capped AS (
-         SELECT sh.doc_id, sh.shingle FROM sh JOIN (
-           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $ShingleDfCap) g
-           USING (shingle)),
-       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       pairs AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+  private lazy val qContainmentSql = {
+    s"""WITH $pairCountCtes
        SELECT doc_a, doc_b,
          round(CAST(common AS DOUBLE) / sa.sz, 6) AS cont_a,
          round(CAST(common AS DOUBLE) / sb.sz, 6) AS cont_b
@@ -866,9 +861,15 @@ object Dedup extends QueryModule {
     * Fan-out per shingle is ≤ sources², a constant — scale-safe at any
     * corpus size. */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val srcSh = docShingles(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("sh")).distinct()
+    // the (source, shingle) relation appears FOUR times in this one query
+    // (both self-join sides + both size lookups) — materialize it, the
+    // shared-hot-stage rule
+    val srcSh = graft.ModelCache.getOrElseUpdate(s, s"dedup.srcsh:$dir") {
+      docShingles(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("sh")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
     val pairs = srcSh.as("a").join(srcSh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))

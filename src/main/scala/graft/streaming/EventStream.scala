@@ -124,10 +124,15 @@ object EventStream {
     * latest view time) regardless of history length — exactly the
     * single-buffered-row invariant of the batch merge pass, carried in
     * the state store instead of a sort order. Events are processed in
-    * (ts, event_id) order within each micro-batch (sorted per group
-    * here — the EWMA ordering convention); state carries the latest view
-    * ACROSS batches, so a purchase in batch N matches a view from batch
-    * N−1. In production add an event-time timeout so idle users age out. */
+    * event-time order within each micro-batch, VIEWS FIRST on timestamp
+    * ties so the at-or-before match is inclusive exactly like the batch
+    * operator; state carries the latest view ACROSS batches, so a
+    * purchase in batch N matches a view from batch N−1. A purchase
+    * arriving LATE (older than the latest view in state) matches nothing
+    * rather than a future view — single-value state cannot recover
+    * already-superseded views; full late-data handling needs
+    * watermark-bounded multi-view state, the streaming trade. In
+    * production add an event-time timeout so idle users age out. */
   def streamingAsof(events: Dataset[TaggedEvent]): Dataset[AsofMatch] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -135,10 +140,14 @@ object EventStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[AsofState]) =>
           var lastView = state.getOption.map(_.last_view_us).getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).flatMap { e =>
+          val ordered = rows.toSeq
+            .sortBy(r => (r.ts_us, if (r.kind == "view") 0 else 1, r.event_id))
+          val out = ordered.flatMap { e =>
             if (e.kind == "view") { lastView = math.max(lastView, e.ts_us); None }
             else {
-              val v = if (lastView == Long.MinValue) None else Some(lastView)
+              // at-or-BEFORE only: a late purchase must not match a view
+              // from its future that happens to sit in state
+              val v = if (lastView != Long.MinValue && lastView <= e.ts_us) Some(lastView) else None
               Some(AsofMatch(e.event_id, uid, v, v.map(e.ts_us - _)))
             }
           }

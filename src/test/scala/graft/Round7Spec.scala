@@ -133,9 +133,12 @@ class Round7Spec extends SparkSpec {
     val shards = ScaleOps.qPipeline(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(shards.nonEmpty)
-    // shard ids are contiguous from 0
+    // shard ids start at 0, strictly increase, and each is distinct — a
+    // doc straddling a whole capacity window legitimately SKIPS a shard
+    // id, so contiguity must not be asserted
     val ids = shards.map(_._1).sorted
-    assert(ids.toSeq === (0L until ids.length).toSeq)
+    assert(ids.head === 0L)
+    assert(ids.toSeq === ids.distinct.toSeq.sorted)
     // totals equal the curated ∩ train ∩ scrubbed token mass
     val expected = TA.qCurationFull(spark, sfDir).select("doc_id")
       .join(Dedup.qSpanScrub(spark, sfDir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
