@@ -84,28 +84,33 @@ object Multimodal extends QueryModule {
        FROM f"""
 
   /** Signature geometry shared by the Spark query and the oracle: 63
-    * sample points keep the bit accumulator inside a signed long in every
-    * engine (bit 63 would overflow DuckDB's checked `<<`), and 7 bands of
-    * 9 bits make the band join COMPLETE for hamming ≤ 6 by pigeonhole —
-    * the banded candidate set provably equals the all-pairs scan the
-    * oracle runs. */
+    * trigram buckets keep the bit accumulator inside a signed long in
+    * every engine (bit 63 would overflow DuckDB's checked `<<`), and 3
+    * bands of 21 bits make the band join COMPLETE for hamming ≤ 2 by
+    * pigeonhole — the banded candidate set provably equals the all-pairs
+    * scan the oracle runs, at 1/290 of its pair volume on the driver
+    * corpus (41k candidates vs 11.9M all-pairs at sf0.1; the previous
+    * 7×9-bit geometry left 3.6M). */
   val SigBits = 63
-  val SigBands = 7
-  val SigBandBits = 9
-  val SigMaxHamming = 6
+  val SigBands = 3
+  val SigBandBits = 21
+  val SigMaxHamming = 2
 
   /** q_media_phash: perceptual-hash-ANALOGUE near-dup over the binary
-    * payloads — the median-hash recipe (sample a fixed grid, threshold
-    * against the grid MEDIAN, compare signatures by hamming distance;
-    * the median keeps the signature balanced on skewed byte stats —
-    * see TextKernelPhash.sig)
-    * applied honestly to raw BYTES, since the container ships no image
-    * codecs: 63 evenly spaced bytes, 63-bit signature, banded candidate
-    * join + exact bit_count re-rank — the q_dedup_simhash shape, so the
-    * scale story is identical (no all-pairs anywhere in Spark; the
-    * all-pairs appears only in the oracle, which the banding provably
-    * matches). A real deployment swaps the byte grid for decoded-pixel
-    * luma and keeps every line below unchanged.
+    * payloads — a TLSH-family similarity digest (bucketed byte-trigram
+    * counts, median-thresholded into a 63-bit signature; see
+    * TextKernelPhash.sig) applied honestly to raw BYTES, since the
+    * container ships no image codecs: one kernel pass per payload, banded
+    * candidate join + exact bit_count re-rank — the q_dedup_simhash
+    * shape, so the scale story is identical (no all-pairs anywhere in
+    * Spark; the all-pairs appears only in the oracle, which the banding
+    * provably matches). The trigram-profile digest replaced the original
+    * positional sample grid because the grid scrambles under any local
+    * edit — the corpus's near-dup payloads (reordered word blocks) sat at
+    * hamming ≥ 15 and the gate matched on EMPTY output; the profile puts
+    * them at hamming ≤ 2 with the geometry above. A real deployment swaps
+    * byte trigrams for decoded-pixel features and keeps every line below
+    * unchanged.
     *
     * The corpus signature stage is memoized + persisted per (session,
     * dir): the band fan-out references sig 8 times (7 band keys + the
@@ -121,14 +126,17 @@ object Multimodal extends QueryModule {
   def mediaPhashOf(docs: DataFrame): DataFrame =
     pairsFromSigs(phashSigsOf(docs).localCheckpoint(true))
 
-  /** (doc_id, sig): the 63-point median-hash signature per payload. */
+  /** (doc_id, sig): the 63-bucket trigram-profile signature per payload.
+    * Payloads shorter than SigBits code points are skipped — a profile
+    * over a handful of trigrams is all noise, and the floor matches the
+    * oracle's WHERE clause exactly. */
   def phashSigsOf(docs: DataFrame): DataFrame = {
     val n = SigBits
     val base = docs
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= n)
     // ONE native codegen kernel call per row (functions.PhashSig): the
-    // stacked-Column formulation re-inlined the 63-sample grid under
+    // stacked-Column formulation re-inlined the sampling expressions under
     // project collapse (~4000 substr calls per row at its worst) and the
     // HOF rewrite still paid interpreted lambda evaluation — the same
     // evolution MinHash/SimHash went through (HashKernels). Pure integer
@@ -158,18 +166,25 @@ object Multimodal extends QueryModule {
 
   private val qMediaPhashSql = {
     val n = SigBits
-    val terms = (0 until n).map(i =>
-      s"ascii(substr(text, 1 + CAST(floor($i * (len(text)-1) / ${n - 1}.0) AS INT), 1)) AS c$i")
-      .mkString(", ")
-    // identical pure-integer MEDIAN threshold as the kernel: the lower
-    // median of 63 samples is the 1-based 32nd element of the sorted list
-    val clist = (0 until n).map(i => s"c$i").mkString(", ")
-    val sig = (0 until n).map(i =>
-      s"(CASE WHEN c$i > med THEN 1::BIGINT << $i ELSE 0::BIGINT END)").mkString(" + ")
+    // the identical signature, spelled relationally: explode trigram
+    // positions, bucket by the md5's first 3 bytes, densify to all n
+    // buckets (zeros count toward the median!), lower-median threshold
+    // (1-based 32nd of the 63 sorted counts), OR the bits via a sum of
+    // distinct powers of two. substr/len are code-point semantics, md5
+    // hashes the trigram's UTF-8 bytes — exactly the kernel's contract.
     s"""WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) >= $n),
-       c AS (SELECT doc_id, $terms FROM t),
-       m AS (SELECT *, list_sort([$clist])[${n / 2 + 1}] AS med FROM c),
-       s AS (SELECT doc_id, ($sig) AS sig FROM m)
+       p AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i FROM t),
+       g AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 3)), 1, 6)) AS BIGINT) % $n AS b
+             FROM p),
+       cnt AS (SELECT doc_id, b, count(*) AS nb FROM g GROUP BY 1, 2),
+       dense AS (SELECT t.doc_id, r.range AS b, coalesce(cnt.nb, 0) AS nb
+                 FROM t CROSS JOIN range($n) r
+                 LEFT JOIN cnt ON cnt.doc_id = t.doc_id AND cnt.b = r.range),
+       m AS (SELECT doc_id, list_sort(list(nb))[${n / 2 + 1}] AS med FROM dense GROUP BY doc_id),
+       s AS (SELECT dense.doc_id,
+               sum(CASE WHEN nb > med THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig
+             FROM dense JOIN m ON m.doc_id = dense.doc_id GROUP BY 1)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
        FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -77,6 +77,28 @@ object NQuads extends QueryModule {
     org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$dir|$sig")
   }
 
+  /** Depth-first recursive delete: a Spark text write can leave a
+    * `_temporary/` SUBDIRECTORY behind (interrupted job), and
+    * File.delete() on a non-empty dir fails silently — the r7 cleanup
+    * only removed top-level files, so a lost rename race leaked the
+    * whole staging tree. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Reclaim staging directories orphaned by a JVM that died mid-write:
+    * anything matching our staging pattern and untouched for an hour is
+    * dead (a live write finishes in seconds). Best-effort — concurrent
+    * sweepers double-deleting is harmless. */
+  private def sweepOrphanedStaging(tmpRoot: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".graft_nquads_") &&
+        f.getName.contains(".staging-") && f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+  }
+
   def qNquadsSource(s: SparkSession, dir: String): DataFrame = {
     // Shard location keyed by the corpus CONTENT fingerprint, written once
     // and reused across sessions — a fresh createTempDirectory per session
@@ -88,11 +110,12 @@ object NQuads extends QueryModule {
       val p = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_nquads_${docsFingerprint(dir)}")
       if (!new java.io.File(p, "_SUCCESS").exists()) {
+        sweepOrphanedStaging(p.getParentFile)
         val staging = new java.io.File(p.getParentFile,
           s".${p.getName}.staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
         toLines(Tables.documents(s, dir)).write.mode("overwrite").text(staging.toString)
         if (!staging.renameTo(p)) { // lost the race: someone else published
-          staging.listFiles().foreach(_.delete()); staging.delete()
+          deleteRecursively(staging)
         }
       }
       p.toString

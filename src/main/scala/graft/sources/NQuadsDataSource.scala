@@ -83,49 +83,75 @@ class NQuadsScanBuilder(path: String)
   override def build(): Scan = new NQuadsScan(path, required, pushed)
 }
 
+/** Hadoop Configuration with Java serialization — the connector ships
+  * the driver's conf to executor-side readers/writers exactly like the
+  * built-in file sources do, so the connector works wherever a Hadoop
+  * FileSystem does (HDFS, S3A, local), not only when driver and
+  * executors share a local disk (the r7 java.io.File defect). */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** The active session's Hadoop conf (driver side). */
+  def fromSession(): SerializableHadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+}
+
 class NQuadsScan(path: String, required: StructType,
     val pushedFilters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"nquads($path) PushedFilters: ${pushedFilters.mkString("[", ", ", "]")}"
+  private lazy val conf = SerializableHadoopConf.fromSession()
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new java.io.File(path)
-    if (!root.exists())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf.value)
+    if (!fs.exists(root))
       throw new IllegalArgumentException(s"nquads: path does not exist: $path")
     val files =
-      if (root.isDirectory)
-        // listFiles() is null if the dir vanishes/turns unreadable between
-        // the check and the listing — surface that at planning time
-        Option(root.listFiles()).getOrElse(
-          throw new IllegalArgumentException(s"nquads: cannot list directory: $path"))
-          .filter(f => f.isFile &&
-            !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      else Array(root)
-    files.sortBy(_.getName).map(f => NQuadsPartition(f.getAbsolutePath): InputPartition)
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root)
+          .filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      else Array(fs.getFileStatus(root))
+    files.sortBy(_.getPath.getName)
+      .map(st => NQuadsPartition(st.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new NQuadsReaderFactory(required.fieldNames, pushedFilters)
+    new NQuadsReaderFactory(required.fieldNames, pushedFilters, conf)
 }
 
 case class NQuadsPartition(file: String) extends InputPartition
 
-class NQuadsReaderFactory(fields: Array[String], filters: Array[Filter])
-  extends PartitionReaderFactory {
+class NQuadsReaderFactory(fields: Array[String], filters: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NQuadsReader(partition.asInstanceOf[NQuadsPartition].file, fields, filters)
+    new NQuadsReader(partition.asInstanceOf[NQuadsPartition].file, fields, filters, conf)
 }
 
 /** Per-file line reader: URI repair → regex parse → pushed filters
   * evaluated on the parsed groups → only the PRUNED fields materialize as
   * UTF8Strings; malformed lines are skipped. */
-class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter])
-  extends PartitionReader[InternalRow] {
+class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
   private val LinePattern =
     java.util.regex.Pattern.compile("^<([^>]+)> <([^>]+)> \"(.*)\" <([^>]+)> \\.$")
-  private val br = new java.io.BufferedReader(
-    new java.io.InputStreamReader(new java.io.FileInputStream(file),
-      java.nio.charset.StandardCharsets.UTF_8))
+  private val br = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getFileSystem(conf.value).open(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
   private def groupOf(name: String): Int = name match {
     case "subject" => 1
     case "predicate" => 2
@@ -185,39 +211,51 @@ class NQuadsWriteBuilder(path: String, schema: StructType)
 }
 
 class NQuadsBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
-  private var preExisting: Array[java.io.File] = Array.empty
+  // driver-side: capture the session conf once; writers get it via the
+  // (serialized) factory
+  private val conf = SerializableHadoopConf.fromSession()
+  private var preExisting: Array[org.apache.hadoop.fs.Path] = Array.empty
+  private def fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(dir)
     if (truncate)
-      preExisting = dir.listFiles().filter(_.getName.endsWith(".nq"))
-    new NQuadsWriterFactory(path)
+      preExisting = fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".nq")).map(_.getPath)
+    new NQuadsWriterFactory(path, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // truncate-on-commit: old shards go only once every task succeeded;
     // a same-name collision with a freshly committed shard is kept
     val fresh = messages.collect { case NQuadsCommit(f) => f }.toSet
-    preExisting.filterNot(f => fresh.contains(f.getAbsolutePath)).foreach(_.delete())
+    preExisting.filterNot(p => fresh.contains(p.toString))
+      .foreach(fs.delete(_, false))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // committed tasks already published their shards — retract them so the
     // directory still holds exactly the pre-job data
-    messages.collect { case NQuadsCommit(f) => new java.io.File(f) }.foreach(_.delete())
+    messages.collect { case NQuadsCommit(f) => new org.apache.hadoop.fs.Path(f) }
+      .foreach(fs.delete(_, false))
 }
 
-class NQuadsWriterFactory(path: String) extends DataWriterFactory {
+class NQuadsWriterFactory(path: String, conf: SerializableHadoopConf)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NQuadsWriter(path, partitionId, taskId)
+    new NQuadsWriter(path, partitionId, taskId, conf)
 }
 
 case class NQuadsCommit(file: String) extends WriterCommitMessage
 
-class NQuadsWriter(path: String, partitionId: Int, taskId: Long)
-  extends DataWriter[InternalRow] {
-  private val finalFile = new java.io.File(path, f"part-$partitionId%05d-$taskId.nq")
-  private val tmpFile = new java.io.File(path, s".${finalFile.getName}.inprogress")
+class NQuadsWriter(path: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+  private val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf.value)
+  // fs-qualified so commit-message paths compare equal to the driver's
+  // listStatus paths in NQuadsBatchWrite.commit
+  private val finalFile = fs.makeQualified(
+    new org.apache.hadoop.fs.Path(path, f"part-$partitionId%05d-$taskId.nq"))
+  private val tmpFile = new org.apache.hadoop.fs.Path(path, s".${finalFile.getName}.inprogress")
   private val out = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmpFile),
+    new java.io.OutputStreamWriter(fs.create(tmpFile, true),
       java.nio.charset.StandardCharsets.UTF_8))
   override def write(row: InternalRow): Unit = {
     // fail LOUDLY on rows the line grammar cannot carry: a null field
@@ -245,9 +283,10 @@ class NQuadsWriter(path: String, partitionId: Int, taskId: Long)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (!tmpFile.renameTo(finalFile)) sys.error(s"nquads: commit rename failed for $finalFile")
-    NQuadsCommit(finalFile.getAbsolutePath)
+    if (!fs.rename(tmpFile, finalFile))
+      sys.error(s"nquads: commit rename failed for $finalFile")
+    NQuadsCommit(finalFile.toString)
   }
-  override def abort(): Unit = { out.close(); tmpFile.delete(); () }
+  override def abort(): Unit = { out.close(); fs.delete(tmpFile, false); () }
   override def close(): Unit = ()
 }

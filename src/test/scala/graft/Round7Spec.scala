@@ -81,6 +81,59 @@ class Round7Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("media phash: block-reordered payload pairs with the original (trigram profile is order-robust)") {
+    // the corpus's actual near-dup shape: same word multiset, reordered —
+    // at realistic payload length (~600 chars; an 80-char toy has too few
+    // trigrams per bucket and boundary noise dominates the median split)
+    val words = ("filter hash row line join query window data customer slow merge fast " +
+      "column vector agg batch big value order sort scan part stream key table small spark the").split(" ")
+    val base = Array.fill(4)(words).flatten.mkString(" ")
+    val rotated = Array.fill(4)(words.drop(13) ++ words.take(13)).flatten.mkString(" ")
+    val other = Array.fill(3)(("completely different vocabulary about astronomy telescopes " +
+      "galaxies nebulae quasars pulsars comets asteroids meteors planets moons orbits").split(" ")).flatten.mkString(" ")
+    val docs = Seq((1L, base), (2L, rotated), (3L, other)).toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.mediaPhashOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L &&
+      p._3 <= graft.operators.Multimodal.SigMaxHamming))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("media phash gate is non-vacuous on the driver corpus") {
+    // ADVICE r7: the sf0.01 hash gate matched on EMPTY output for three
+    // rounds. Pin non-emptiness on the fixture so a signature change that
+    // re-vacates the gate fails HERE, not silently at the driver.
+    val pairs = graft.operators.Multimodal.qMediaPhash(spark, sfDir)
+    assert(pairs.limit(1).count() === 1L, "q_media_phash found no pairs on the fixture corpus")
+  }
+
+  test("PhashSig hashes code-point trigrams (UTF-8 bytes), matching the oracle on non-ASCII") {
+    // reference model iterating CODE POINTS — charAt/UTF-16 units would
+    // diverge on the astral characters below (each is a surrogate pair)
+    def model(s: String): Long = {
+      val n = graft.operators.Multimodal.SigBits
+      val cps = s.codePoints().toArray
+      val counts = new Array[Int](n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (i <- 0 until cps.length - 2) {
+        val tri = new String(cps, i, 3)
+        val d = md.digest(tri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        counts(((d(0) & 0xff) << 16 | (d(1) & 0xff) << 8 | (d(2) & 0xff)) % n) += 1
+      }
+      val sorted = counts.clone(); java.util.Arrays.sort(sorted)
+      val med = sorted(n / 2)
+      (0 until n).foldLeft(0L)((acc, i) => if (counts(i) > med) acc | (1L << i) else acc)
+    }
+    val texts = Seq(
+      "café naïve résumé " + ("😀 astral plane words here " * 4),
+      "plain ascii payload with nothing exotic about it at all repeated " * 2)
+    val got = texts.toDF("text")
+      .select(graft.functions.TextKernelCols.phashSig(col("text"),
+        graft.operators.Multimodal.SigBits).as("sig"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === texts.map(model))
+  }
+
   test("NFC normalization composes decomposed accents; ASCII passes through unchanged") {
     val composed = "caf\u00e9"           // e-acute precomposed
     val decomposed = "cafe\u0301"        // e + combining acute
