@@ -40,7 +40,10 @@ object Bench {
     "q_dup_spans", "q_merge_upsert", "q_entropy", "q_ab_test", "q_bpe_encode",
     "q_hard_negatives", "q_span_scrub", "q_split_leakfree", "q_normalize",
     "q_class_centroids", "q_media_phash", "q_nquads_source", "q_pipeline",
-    "q_source_overlap", "q_containment")
+    "q_source_overlap", "q_containment",
+    "q_ccnet_buckets", "q_bigram_lm", "q_tok_fertility", "q_dup_ngrams",
+    "q_fleiss", "q_dp_counts", "q_winsorize", "q_mutual_info", "q_rocchio",
+    "q_cusum", "q_calibration", "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val modules: Seq[QueryModule] = Seq(
-    Relational, Tpch, TextPrep, TextAnalysis, Dedup, SimilaritySearch,
-    Evaluation, NQuads, Multimodal, TopicModeling, Classification,
-    PolysemyEval, Stats, ScaleOps, Bpe, PatternMining)
+    Relational, Tpch, TextPrep, TextAnalysis, TextScoring, Dedup,
+    SimilaritySearch, Evaluation, NQuads, Multimodal, TopicModeling,
+    Classification, PolysemyEval, Stats, RobustStats, ScaleOps, Bpe,
+    PatternMining)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
     * sf0.001; driver smoke-checks rows > 0. (The end-to-end headline,

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Annotation-reliability, privacy and robust-aggregate operators: Fleiss'
+  * multi-rater kappa, a differential-privacy-style Laplace release,
+  * nearest-rank winsorized means, and the source↔language mutual-
+  * information cell table.
+  *
+  * Reference framing: the thesis evaluates single-rater agreement with
+  * Cohen's kappa (evaluation.py); Fleiss generalizes it to the m-rater
+  * labeling campaigns a production annotation pipeline runs. The rest are
+  * the release/robustness steps a corpus-statistics service needs.
+  * Everything is exact-integer-counts → a fixed double expression, so the
+  * DuckDB oracle hashes bit-identically.
+  */
+object RobustStats extends QueryModule {
+
+  // ---------------------------------------------------------------- fleiss
+
+  /** Simulated rater panel: m raters, per-rater flip probability 3/16.
+    * Votes are a pure function of the data (doc length signal XOR an
+    * md5-nibble flip keyed by (doc_id, rater)) — reproducible across
+    * engines, which is what lets the kappa be hash-gated at all. */
+  val FleissRaters = 3
+  val FleissLenThreshold = 300
+
+  /** q_fleiss: Fleiss' kappa over a deterministic 3-rater panel — the
+    * multi-rater generalization of q_kappa (Cohen): per-doc agreement
+    * P_i = Σ_j n_ij(n_ij−1) / (m(m−1)), chance agreement from the global
+    * category shares, κ = (P̄−P̄e)/(1−P̄e). Every sum is an exact integer
+    * aggregate; the final expression is a handful of identically-ordered
+    * double ops, rounded at 1e-6. One narrow pass + one 1-row aggregate. */
+  def qFleiss(s: SparkSession, dir: String): DataFrame = {
+    val m = FleissRaters
+    val votes = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("n_chars") >= FleissLenThreshold).as("base"))
+      .select(col("doc_id"), col("base"),
+        explode(array((0 until m).map(lit): _*)).as("r"))
+      .select(col("doc_id"),
+        when(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 1), 16, 10).cast("int") < 3,
+          !col("base")).otherwise(col("base")).cast("int").as("vote"))
+    val perDoc = votes.groupBy("doc_id")
+      .agg(sum(col("vote")).as("g"))
+      .select(col("g"),
+        (col("g") * (col("g") - 1) + (lit(m) - col("g")) * (lit(m - 1) - col("g")))
+          .as("p_num"))
+    perDoc.agg(count(lit(1)).as("n_docs"),
+        sum(col("p_num")).as("s_pnum"), sum(col("g")).as("s_g"))
+      .select(col("n_docs"),
+        (col("s_pnum").cast("double") / (col("n_docs") * m * (m - 1))).as("p_bar"),
+        (col("s_g").cast("double") / (col("n_docs") * m)).as("p_good"))
+      .select(col("n_docs"), col("p_bar"),
+        (col("p_good") * col("p_good") +
+          (lit(1.0) - col("p_good")) * (lit(1.0) - col("p_good"))).as("p_e"))
+      .select(col("n_docs"), round(col("p_bar"), 6).as("p_bar"),
+        round(col("p_e"), 6).as("p_e"),
+        round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6).as("kappa"))
+  }
+
+  private lazy val qFleissSql = {
+    val m = FleissRaters
+    s"""WITH v AS (
+         SELECT doc_id, r,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(r AS VARCHAR)), 1, 1)) AS INT) < 3
+                THEN CAST(NOT (n_chars >= $FleissLenThreshold) AS INT)
+                ELSE CAST(n_chars >= $FleissLenThreshold AS INT) END AS vote
+         FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+       d AS (SELECT doc_id, sum(vote) AS g FROM v GROUP BY doc_id),
+       p AS (SELECT g, g*(g-1) + ($m-g)*(${m - 1}-g) AS p_num FROM d),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(p_num) AS s_pnum, sum(g) AS s_g FROM p),
+       b AS (SELECT n_docs,
+               CAST(s_pnum AS DOUBLE) / (n_docs * $m * ${m - 1}) AS p_bar,
+               CAST(s_g AS DOUBLE) / (n_docs * $m) AS p_good FROM a),
+       c AS (SELECT n_docs, p_bar,
+               p_good * p_good + (1.0 - p_good) * (1.0 - p_good) AS p_e FROM b)
+       SELECT n_docs, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+         round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+       FROM c"""
+  }
+
+  // ------------------------------------------------------------- dp counts
+
+  /** Laplace scale b = sensitivity/ε; per-source counts have sensitivity 1
+    * (one doc moves one count). */
+  val DpEpsilon = 1.0
+
+  /** q_dp_counts: differential-privacy-style noisy release of the
+    * per-source document counts — the Laplace mechanism with the noise
+    * drawn by inverse-CDF from a CONTENT-KEYED uniform (md5 of the source
+    * → 52-bit mantissa), the same determinism move as the content-hash
+    * samplers: the release is a pure function of the data, so the gate
+    * can hash it, and a replayed release is identical (in production the
+    * key would be a secret salt; the mechanism is unchanged). True counts
+    * are emitted alongside for the gate — a real release drops them. */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("source")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"), u.as("u"))
+      .select(col("source"), col("n"),
+        round(col("n") +
+          when(col("u") >= 0.5, -log(lit(2.0) * (lit(1.0) - col("u"))))
+            .otherwise(log(lit(2.0) * col("u"))) / lit(DpEpsilon), 6)
+          .as("noisy_n"))
+  }
+
+  private lazy val qDpCountsSql =
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+       g AS (SELECT source, n,
+               CAST(CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496 AS u
+             FROM c)
+       SELECT source, n,
+         round(n + (CASE WHEN u >= 0.5 THEN -ln(2.0 * (1.0 - u))
+                         ELSE ln(2.0 * u) END) / $DpEpsilon, 6) AS noisy_n
+       FROM g"""
+
+  // ------------------------------------------------------------- winsorize
+
+  /** q_winsorize: winsorized mean per group — outlier-robust aggregation
+    * that clips each value into the [p05, p95] NEAREST-RANK order
+    * statistics before averaging. Nearest-rank (not interpolated) on
+    * purpose: the thresholds are actual data values, so clipping and
+    * summation stay in exact DECIMAL and only the final mean divides.
+    * Rank k = ⌈p·n⌉ in pure integer arithmetic ((n·5+99) div 100). This
+    * is the exact audit formulation (a per-group sort); the bounded-
+    * memory path at 100 TB swaps the rank pick for the GK sketch exactly
+    * as q_ntile → q_ntile_approx. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    // money lands in parquet as double — cast to DECIMAL(12,2) FIRST (the
+    // lineitem oracle convention) so clipping and summation are exact and
+    // partition-order-independent; a double sum here would drift at the
+    // last ulp between engines and across Spark partitionings
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    val counts = base.groupBy("flag").agg(count(lit(1)).as("n"))
+      .select(col("flag"), col("n"),
+        expr("(n*5+99) div 100").as("k_lo"), expr("(n*95+99) div 100").as("k_hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("flag").orderBy(col("price").asc)
+    val ranked = base.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("flag"))
+    val lo = ranked.filter(col("rn") === col("k_lo"))
+      .select(col("flag"), col("price").as("lo"))
+    val hi = ranked.filter(col("rn") === col("k_hi"))
+      .select(col("flag"), col("price").as("hi"))
+    val cuts = counts.select("flag", "n").join(lo, Seq("flag")).join(hi, Seq("flag"))
+    base.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(first(col("n")).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(col("price")).as("raw_sum"),
+        sum(least(greatest(col("price"), col("lo")), col("hi"))).as("wins_sum"))
+      .select(col("flag"), col("n"), col("lo"), col("hi"),
+        round(col("raw_sum").cast("double") / col("n"), 6).as("raw_mean"),
+        round(col("wins_sum").cast("double") / col("n"), 6).as("wins_mean"))
+  }
+
+  private lazy val qWinsorizeSql =
+    """WITH base AS (SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem),
+       c AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               (count(*)*5+99)//100 AS k_lo, (count(*)*95+99)//100 AS k_hi
+             FROM base GROUP BY flag),
+       r AS (SELECT flag, price,
+               row_number() OVER (PARTITION BY flag ORDER BY price ASC) AS rn
+             FROM base),
+       lo AS (SELECT r.flag, r.price AS lo FROM r JOIN c ON c.flag = r.flag AND r.rn = c.k_lo),
+       hi AS (SELECT r.flag, r.price AS hi FROM r JOIN c ON c.flag = r.flag AND r.rn = c.k_hi),
+       cuts AS (SELECT c.flag, c.n, lo.lo, hi.hi FROM c JOIN lo ON lo.flag = c.flag
+                JOIN hi ON hi.flag = c.flag)
+       SELECT base.flag, any_value(n) AS n, any_value(lo) AS lo, any_value(hi) AS hi,
+         round(CAST(sum(price) AS DOUBLE) / any_value(n), 6) AS raw_mean,
+         round(CAST(sum(least(greatest(price, lo), hi)) AS DOUBLE) / any_value(n), 6) AS wins_mean
+       FROM base JOIN cuts ON cuts.flag = base.flag
+       GROUP BY base.flag"""
+
+  // ----------------------------------------------------------- mutual info
+
+  /** q_mutual_info: the source↔language mutual-information cell table —
+    * the dataset-card diagnostic for "does provenance predict language"
+    * (vocabulary-level association lives in q_chisq; this is the
+    * column-level counterpart). Emitted PER CELL (n_xy and its MI term)
+    * instead of one summed scalar: the per-cell terms are each a fixed
+    * double expression over exact integers (hashable), while a cross-cell
+    * fp sum would be order-sensitive. Downstream sums the ~|X|·|Y| tiny
+    * terms however it likes. */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_xy"))
+    val nx = docs.groupBy("source").agg(count(lit(1)).as("n_x"))
+    val ny = docs.groupBy("lang").agg(count(lit(1)).as("n_y"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    cells.join(nx, Seq("source")).join(broadcast(ny), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_xy"),
+        round((col("n_xy").cast("double") / col("n")) *
+          log((col("n_xy") * col("n")).cast("double") / (col("n_x") * col("n_y"))), 6)
+          .as("mi_term"))
+  }
+
+  private lazy val qMutualInfoSql =
+    """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_xy
+               FROM documents GROUP BY source, lang),
+       nx AS (SELECT source, CAST(count(*) AS BIGINT) AS n_x FROM documents GROUP BY source),
+       ny AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_y FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       SELECT source, lang, n_xy,
+         round((CAST(n_xy AS DOUBLE) / n) *
+           ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y)), 6) AS mi_term
+       FROM cells JOIN nx USING (source) JOIN ny USING (lang) CROSS JOIN tot"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fleiss" -> (qFleiss _),
+    "q_dp_counts" -> (qDpCounts _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_mutual_info" -> (qMutualInfo _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_fleiss" -> qFleissSql,
+    "q_dp_counts" -> qDpCountsSql,
+    "q_winsorize" -> qWinsorizeSql,
+    "q_mutual_info" -> qMutualInfoSql)
+}

@@ -123,15 +123,74 @@ object SimilaritySearch extends QueryModule {
       .select(col("label"), col("dim"), col("n"),
         round(col("s") / col("n"), 6).as("centroid"))
 
-  private val qClassCentroidsSql =
-    """WITH x AS (
+  /** The centroid CTE block (… → `cent(label, dim, n, centroid)`) — ONE
+    * definition shared by the q_class_centroids oracle and the Rocchio
+    * classifier oracle (q_rocchio), whose Spark twin genuinely consumes
+    * qClassCentroids. Callers prepend WITH. */
+  private[operators] lazy val classCentroidCtes =
+    """x AS (
          SELECT label, vec_id,
            CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
            unnest(CAST(embedding AS DOUBLE[])) AS v
-         FROM embeddings)
-       SELECT label, dim, count(*) AS n,
-         round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid
-       FROM x GROUP BY label, dim"""
+         FROM embeddings),
+       cent AS (
+         SELECT label, dim, count(*) AS n,
+           round(list_sum(list(v ORDER BY vec_id)) / count(*), 6) AS centroid
+         FROM x GROUP BY label, dim)"""
+
+  private lazy val qClassCentroidsSql =
+    s"""WITH $classCentroidCtes
+       SELECT label, dim, n, centroid FROM cent"""
+
+  /** q_rocchio: nearest-centroid (Rocchio) classification — assign every
+    * vector to the class whose prototype (q_class_centroids, ROUNDED at
+    * 1e-6 so both engines score against identical prototypes) it is most
+    * cosine-similar to. The centroid table is labels×dims tiny, so the
+    * model broadcasts and scoring is a per-row loop over k classes — the
+    * no-shuffle classifier a 100 TB corpus can afford (vs KNN's
+    * candidate joins). Argmax via (cos DESC, label ASC) rank — the
+    * deterministic-cut rule; cosine is the sequential-fold kernel, bit-
+    * identical to DuckDB's list_dot_product. */
+  def qRocchio(s: SparkSession, dir: String): DataFrame = {
+    val cv = qClassCentroids(s, dir)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cv"))
+      .select(col("label").as("pred_label"), col("cv"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").as("true_label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("pred_label").asc)
+    e.crossJoin(broadcast(cv))
+      .select(col("vec_id"), col("true_label"), col("pred_label"),
+        cosine(col("v"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("true_label"), col("pred_label"),
+        round(col("cos"), 6).as("score"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
+  private lazy val qRocchioSql =
+    s"""WITH $classCentroidCtes,
+       cv AS (SELECT label AS pred_label, list(centroid ORDER BY dim) AS cv
+              FROM cent GROUP BY label),
+       e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       scored AS (
+         SELECT vec_id, true_label, pred_label,
+           list_dot_product(v, cv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+         FROM e CROSS JOIN cv),
+       ranked AS (
+         SELECT vec_id, true_label, pred_label, cos,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, pred_label ASC) AS rk
+         FROM scored)
+       SELECT vec_id, true_label, pred_label, round(cos, 6) AS score,
+         true_label = pred_label AS correct
+       FROM ranked WHERE rk = 1"""
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component is
     * derived from a splitmix-style integer mix — reproducible everywhere. */
@@ -209,6 +268,36 @@ object SimilaritySearch extends QueryModule {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
       .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** q_ann_recall: recall@5 of the LSH index against the brute-force
+    * ground truth — the metric that decides whether an ANN index is
+    * usable at all, computed as a pipeline would at scale: the exact
+    * top-5 (q_knn_search's plan) inner-joined with the LSH candidate
+    * top-5 (q_ann_lsh's posting join, rank ≤ 5) on (q_id, nb_id); recall
+    * = matched/5 per query. Rows-only (LSH bucketing is not
+    * SQL-expressible); the spec lower-bounds the mean recall so an index
+    * regression fails loudly. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val exact = qKnnSearch(s, dir).select(col("q_id"), col("nb_id"))
+    val posted = postedBuckets(s, dir)
+    val queries = posted.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    val approx = posted.filter(col("vec_id") >= 10)
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .select(col("q_id"), col("vec_id").as("nb_id"), col("qv"), col("v"))
+      .distinct()
+      .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("nb_id"))
+    exact.join(approx, Seq("q_id", "nb_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_matched"))
+      .join(exact.select("q_id").distinct(), Seq("q_id"), "right")
+      .na.fill(0L, Seq("n_matched"))
+      .select(col("q_id"), col("n_matched"),
+        round(col("n_matched").cast("double") / k, 6).as("recall_at_5"))
   }
 
   /** q_ann_ivf: inverted-file ANN — the coarse-quantizer scale path beside
@@ -428,6 +517,8 @@ object SimilaritySearch extends QueryModule {
     "q_knn_search" -> (qKnnSearch _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_class_centroids" -> (qClassCentroids _),
+    "q_rocchio" -> (qRocchio _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_quant" -> (qEmbedQuant _))
@@ -436,5 +527,6 @@ object SimilaritySearch extends QueryModule {
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_class_centroids" -> qClassCentroidsSql,
+    "q_rocchio" -> qRocchioSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }

@@ -514,7 +514,65 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** CUSUM drift flag threshold, as a multiple of the mean daily total:
+    * flag when CUSUM > 0.5·mean (calibrated so the synthetic corpus
+    * trips it on 42 of 150 type-days — discriminating both ways). */
+  val CusumK2 = 2 // flag ⇔ 2·CUSUM_scaled > S  (i.e. CUSUM > S/(2N) · N = mean/2)
+
+  /** q_cusum: CUSUM change-point detection over daily value totals per
+    * event type — the standard drift monitor (Page 1954) beside the
+    * z-score outlier gate (q_anomaly): CUSUM_t = Σ≤t(x−μ) − min_i≤t
+    * Σ≤i(x−μ), which accumulates sustained upward drift that no single
+    * day's z-score trips. EXACT everywhere: daily totals in DECIMAL, the
+    * mean subtraction cross-multiplied away (P_t = N·cumsum_t − t·S, so
+    * scaled CUSUM = N·CUSUM stays an exact decimal), the flag compared in
+    * the scaled integer domain (2·cusum > S ⇔ CUSUM > mean/2), and only
+    * the reported value divides back to daily units. Two window passes
+    * over day-count-bounded groups (cumsum, running min) — the q_anomaly
+    * scale posture. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(st, Seq("event_type"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("csum", sum(col("tot")).over(wRun))
+      .withColumn("pref", col("n") * col("csum") - col("t") * col("s"))
+      .withColumn("cusum", col("pref") - min(col("pref")).over(wRun))
+      .select(col("event_type"), col("day"), col("tot").cast("double").as("tot"),
+        round(col("cusum").cast("double") / col("n"), 6).as("cusum"),
+        (col("cusum") * CusumK2 > col("s")).as("drifting"))
+  }
+
+  private lazy val qCusumSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(tot) AS s
+              FROM daily GROUP BY 1),
+       idx AS (
+         SELECT d.event_type, d.day, d.tot, st.n, st.s,
+           row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+           sum(d.tot) OVER (PARTITION BY d.event_type ORDER BY d.day
+             ROWS UNBOUNDED PRECEDING) AS csum
+         FROM daily d JOIN st ON st.event_type = d.event_type),
+       p AS (SELECT *, n*csum - t*s AS pref FROM idx),
+       c AS (SELECT *, pref - min(pref) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS cusum FROM p)
+       SELECT event_type, day, CAST(tot AS DOUBLE) AS tot,
+         round(CAST(cusum AS DOUBLE) / n, 6) AS cusum,
+         cusum * $CusumK2 > s AS drifting
+       FROM c"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (qCusum _),
     "q_ab_test" -> (qAbTest _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -529,6 +587,7 @@ object Stats extends QueryModule {
     "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
+    "q_cusum" -> qCusumSql,
     "q_ab_test" -> qAbTestSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

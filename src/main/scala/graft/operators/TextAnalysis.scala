@@ -153,7 +153,7 @@ object TextAnalysis extends QueryModule {
         qualityExpr.as("quality"))
   }
 
-  private val qQualitySql = {
+  private[operators] val qQualitySql = {
     val t = TextFns.rawTokensSql("text")
     s"""WITH b AS (
          SELECT doc_id, CAST(len(text) AS INT) AS n_chars_m,
@@ -302,7 +302,7 @@ object TextAnalysis extends QueryModule {
         col("len_ok") && col("wordlen_ok") && col("rep_ok") && col("stop_ok"))
   }
 
-  private val qQualityRulesSql = {
+  private[operators] val qQualityRulesSql = {
     val t = TextFns.rawTokensSql("text")
     s"""WITH b AS (
          SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
@@ -417,18 +417,27 @@ object TextAnalysis extends QueryModule {
         round(max(-log(col("cf").cast("double") / col("total_cf"))), 6).as("max_nll"))
   }
 
-  private val qLmScoreSql = {
+  /** The unigram-surprisal CTE block (… → `lmscore(doc_id, n_toks,
+    * avg_nll, max_nll)`) — ONE definition shared by the q_lm_score oracle
+    * and the CCNet-bucketing oracle (q_ccnet_buckets), whose Spark twin
+    * genuinely consumes qLmScore. Callers prepend WITH. */
+  private[operators] lazy val lmScoreCtes = {
     val t = TextFns.cleanTokensSql("text")
-    s"""WITH toks AS (
+    s"""toks AS (
          SELECT doc_id, unnest($t) AS tok FROM documents),
        stats AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
-       tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total_cf FROM stats)
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         round(avg(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS avg_nll,
-         round(max(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS max_nll
-       FROM toks JOIN stats USING (tok) CROSS JOIN tot
-       GROUP BY doc_id"""
+       tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total_cf FROM stats),
+       lmscore AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS avg_nll,
+           round(max(-ln(CAST(cf AS DOUBLE) / total_cf)), 6) AS max_nll
+         FROM toks JOIN stats USING (tok) CROSS JOIN tot
+         GROUP BY doc_id)"""
   }
+
+  private lazy val qLmScoreSql =
+    s"""WITH $lmScoreCtes
+       SELECT doc_id, n_toks, avg_nll, max_nll FROM lmscore"""
 
   /** q_sample: DETERMINISTIC content-hash sampling (3/16 ≈ 19% of docs by
     * the first md5 nibble of the id) with per-language acceptance stats.

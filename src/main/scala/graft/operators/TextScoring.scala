@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scoring operators a large-scale training-data pipeline runs on
+  * top of the LM/quality stages: CCNet-style perplexity bucketing, a
+  * bigram LM (the first-order upgrade of q_lm_score's unigram surprisal),
+  * tokenizer fertility per language, and Gopher's intra-document
+  * duplicate-n-gram fraction.
+  *
+  * Reference framing: the thesis corpus work stops at TF-IDF/LDA
+  * (wiki_lda.py); these are the scoring operators its pipeline would need
+  * at web scale, kept in the same Spark-first shape — per-row codegen
+  * expressions or single bounded shuffles, DuckDB-oracle-gated.
+  */
+object TextScoring extends QueryModule {
+
+  // ---------------------------------------------------------------- ccnet
+
+  /** q_ccnet_buckets: CCNet head/middle/tail perplexity bucketing (Wenzek
+    * et al. 2020): score every doc with the corpus LM (qLmScore's mean
+    * token NLL — memoized stages underneath), cut the score distribution
+    * at its terciles, and label each doc head (cleanest third) / middle /
+    * tail. The cuts are the exact interpolated percentiles (the
+    * q_percentiles contract — both engines implement (n−1)·p linear
+    * interpolation), rounded at 1e-6 like every fp gate here; the
+    * per-doc scores they cut are themselves already rounded. Scale shape:
+    * scoring is the LM join, the terciles are one tiny aggregate
+    * broadcast back — no extra corpus pass. */
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sc = TextAnalysis.qLmScore(s, dir).select(col("doc_id"), col("avg_nll"))
+    val cuts = sc.agg(
+      round(expr("percentile(avg_nll, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
+      round(expr("percentile(avg_nll, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("t1"), "head")
+          .when(col("avg_nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private lazy val qCcnetBucketsSql =
+    s"""WITH ${TextAnalysis.lmScoreCtes},
+       cuts AS (
+         SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS t1,
+           round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS t2
+         FROM lmscore)
+       SELECT doc_id, avg_nll,
+         CASE WHEN avg_nll <= t1 THEN 'head'
+              WHEN avg_nll <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM lmscore CROSS JOIN cuts"""
+
+  // ------------------------------------------------------------ bigram LM
+
+  /** Interpolation weight of the bigram maximum-likelihood estimate; the
+    * unigram backoff carries the rest (Jelinek–Mercer smoothing). */
+  val BigramLambda = 0.9
+
+  /** q_bigram_lm: first-order interpolated LM scoring — the bigram
+    * upgrade of q_lm_score that actually catches scrambled word ORDER
+    * (a bag-of-words duplicate scores identically under a unigram LM):
+    * P(w₂|w₁) = λ·c(w₁w₂)/cf(w₁) + (1−λ)·cf(w₂)/N with ML bigram counts
+    * and the unigram collection-frequency backoff (c(w₁w₂) ≤ cf(w₁), so
+    * the ML term is a true probability). Per-doc mean/max NLL over its
+    * bigrams, rounded at 1e-6 (the qLmScore fp posture). Scale shape: the
+    * bigram and unigram count tables are vocabulary-sized aggregates of
+    * one corpus pass; scoring is three equi-joins AQE broadcasts while
+    * the vocab fits, then one groupBy(doc_id). */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bgDocs = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 2)).as("bg"))
+    val c2 = bgDocs.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val stats = TextPrep.tokenStats(s, dir).select(col("tok"), col("cf"))
+    val total = stats.agg(sum(col("cf")).cast("double").as("total_cf"))
+    val p = lit(BigramLambda) * (col("c2").cast("double") / col("cf1")) +
+      lit(1.0 - BigramLambda) * (col("cf2").cast("double") / col("total_cf"))
+    bgDocs
+      .select(col("doc_id"), col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+      .join(c2, Seq("bg"))
+      .join(stats.select(col("tok").as("w1"), col("cf").as("cf1")), Seq("w1"))
+      .join(stats.select(col("tok").as("w2"), col("cf").as("cf2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_nll2"),
+        round(max(-log(p)), 6).as("max_nll2"))
+  }
+
+  private lazy val qBigramLmSql = {
+    val t = TextFns.cleanTokensSql("text")
+    val p = s"$BigramLambda * (CAST(c2 AS DOUBLE) / cf1) + " +
+      s"${1.0 - BigramLambda} * (CAST(cf2 AS DOUBLE) / total_cf)"
+    s"""WITH docs AS (SELECT doc_id, $t AS toks FROM documents),
+       bg AS (SELECT doc_id, unnest(${TextFns.shinglesSql("toks", 2)}) AS bg FROM docs),
+       c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+       toks AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+       stats AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
+       tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total_cf FROM stats),
+       scored AS (
+         SELECT bg.doc_id, $p AS p
+         FROM bg
+         JOIN c2 USING (bg)
+         JOIN stats s1 ON s1.tok = string_split(bg.bg, ' ')[1]
+         JOIN stats s2 ON s2.tok = string_split(bg.bg, ' ')[2],
+         LATERAL (SELECT s1.cf AS cf1, s2.cf AS cf2) l
+         CROSS JOIN tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln(p)), 6) AS avg_nll2,
+         round(max(-ln(p)), 6) AS max_nll2
+       FROM scored GROUP BY doc_id"""
+  }
+
+  // ------------------------------------------------------------ fertility
+
+  /** q_tok_fertility: tokenizer fertility per language — BPE-ish tokens
+    * emitted per whitespace word (the multilingual-tokenizer health
+    * metric: a tokenizer with fertility ≫ 1 on a language wastes context
+    * window on it). Reuses q_token_count's two per-row counters, rolled
+    * up by the table's language column; one division over exact integer
+    * sums. */
+  def qTokFertility(s: SparkSession, dir: String): DataFrame =
+    TextPrep.rawDocs(s, dir)
+      .select(col("lang"),
+        size(col("rtoks")).as("ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws").cast("long")).as("sum_words"),
+        sum(col("bpe").cast("long")).as("sum_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_words"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / col("sum_words"), 6).as("fertility"))
+
+  private lazy val qTokFertilitySql =
+    s"""WITH c AS (
+         SELECT lang,
+           CAST(len(${TextFns.rawTokensSql("text")}) AS BIGINT) AS ws,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS sum_words, CAST(sum(bpe) AS BIGINT) AS sum_tokens,
+         round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility
+       FROM c GROUP BY lang"""
+
+  // ------------------------------------------------------ dup-ngram gate
+
+  /** Gopher's duplicate-n-gram ceiling: documents where more than this
+    * fraction of bigram occurrences are internal repeats are looping
+    * templates. (n = 2 and a 0.1 ceiling calibrated to the corpus: 349 of
+    * 500 sf0.01 docs carry SOME internal bigram repetition and the worst
+    * reach ~0.13, so both the fraction and the boolean discriminate; at
+    * n = 5 the corpus has zero repeats and the gate would be vacuous.) */
+  val DupNgramN = 2
+  val DupNgramMax = 0.1
+
+  /** q_dup_ngrams: intra-document duplicate n-gram fraction (Gopher's
+    * repetition family, the within-doc counterpart of q_rep_ngram's
+    * top-bigram rule): fraction of a doc's bigram occurrences that are
+    * repeats of an earlier bigram in the SAME doc. Pure per-row array
+    * expressions over the shared tokenization — no shuffle at all; the
+    * fraction is a ratio of two per-row integers. */
+  def qDupNgrams(s: SparkSession, dir: String): DataFrame =
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), TextFns.shingles(col("rtoks"), DupNgramN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(col("sh")).as("n_grams"),
+        (size(col("sh")) - size(array_distinct(col("sh")))).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"),
+        (col("n_dup").cast("double") / col("n_grams") <= DupNgramMax).as("rep_ok"))
+
+  private lazy val qDupNgramsSql =
+    s"""WITH sh AS (
+         SELECT doc_id, ${TextFns.shinglesSql("toks", DupNgramN)} AS sh
+         FROM (SELECT doc_id, ${TextFns.rawTokensSql("text")} AS toks FROM documents)),
+       c AS (
+         SELECT doc_id, CAST(len(sh) AS INT) AS n_grams,
+           CAST(len(sh) - len(list_distinct(sh)) AS INT) AS n_dup
+         FROM sh WHERE len(sh) > 0)
+       SELECT doc_id, n_grams, n_dup,
+         round(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac,
+         CAST(n_dup AS DOUBLE) / n_grams <= $DupNgramMax AS rep_ok
+       FROM c"""
+
+  // ------------------------------------------------------------ calibration
+
+  /** q_calibration: reliability table for the continuous quality score
+    * against the boolean Gopher gates — bin the score into deciles and
+    * measure the empirical pass rate per bin (the monotone-increasing
+    * curve a usable ranking score must show; the ECE/reliability-diagram
+    * primitive, computed the only way a 100 TB corpus can: one join on
+    * doc_id of two per-row scorings + one tiny groupBy). The bin edge is
+    * floor(score·10) over identically-rounded doubles, so both engines
+    * bin identically. */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id"))
+      .groupBy(least(floor(col("quality") * 10), lit(9)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("passes").cast("long")).as("n_pass"))
+      .select(col("bin"), col("n"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n"), 6).as("pass_rate"))
+
+  private lazy val qCalibrationSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       r AS (${TextAnalysis.qQualityRulesSql})
+       SELECT CAST(least(floor(q.quality * 10), 9) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN r.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         round(CAST(sum(CASE WHEN r.passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS pass_rate
+       FROM q JOIN r ON r.doc_id = q.doc_id
+       GROUP BY 1"""
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_tok_fertility" -> (qTokFertility _),
+    "q_dup_ngrams" -> (qDupNgrams _),
+    "q_calibration" -> (qCalibration _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_ccnet_buckets" -> qCcnetBucketsSql,
+    "q_bigram_lm" -> qBigramLmSql,
+    "q_tok_fertility" -> qTokFertilitySql,
+    "q_dup_ngrams" -> qDupNgramsSql,
+    "q_calibration" -> qCalibrationSql)
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{RobustStats, SimilaritySearch, TextScoring}
+import org.apache.spark.sql.functions._
+
+/** Round-8 operators: semantic properties the DuckDB hash gates cannot
+  * express — bucket balance and ordering for the CCNet cut, classifier
+  * lift over chance for Rocchio, agreement bounds for Fleiss, noise
+  * bounds and reproducibility for the DP release, and clipping algebra
+  * for the winsorized mean. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("ccnet buckets: terciles partition the corpus near-evenly and order by score") {
+    val rows = TextScoring.qCcnetBuckets(spark, sfDir)
+      .groupBy("bucket").agg(count(lit(1)).as("n"), avg("avg_nll").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    val ns = rows.values.map(_._1)
+    assert(ns.max - ns.min <= 2, s"tercile sizes skewed: $rows")
+    assert(rows("head")._2 < rows("middle")._2 && rows("middle")._2 < rows("tail")._2)
+  }
+
+  test("bigram LM: every scored doc has exactly (clean tokens - 1) bigrams and positive NLL") {
+    val lm = TextScoring.qBigramLm(spark, sfDir)
+    val toks = graft.operators.TextPrep.cleanDocs(spark, sfDir)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"))
+    val joined = lm.join(toks, Seq("doc_id"))
+    assert(joined.filter(col("n_bigrams") =!= col("n_toks") - 1).count() === 0L)
+    assert(lm.filter(col("avg_nll2") <= 0 || col("max_nll2") < col("avg_nll2")).count() === 0L)
+    // docs with < 2 clean tokens have no bigram and must be absent
+    assert(lm.count() === toks.filter(col("n_toks") >= 2).count())
+  }
+
+  test("dup ngrams: fraction bounded, corpus non-vacuous, ceiling trips somewhere") {
+    val d = TextScoring.qDupNgrams(spark, sfDir)
+    assert(d.filter(col("n_dup") > col("n_grams") || col("dup_frac") < 0 || col("dup_frac") > 1).count() === 0L)
+    assert(d.filter(col("n_dup") > 0).count() > 0L, "no intra-doc repetition found: vacuous")
+  }
+
+  test("tokenizer fertility: BPE-ish tokens never fewer than whitespace words") {
+    val rows = TextScoring.qTokFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") >= r.getAs[Long]("sum_words"))
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
+  test("fleiss kappa: positive (raters share the length signal), below perfect (noise flips)") {
+    val r = RobustStats.qFleiss(spark, sfDir).collect().head
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa > 0.1 && kappa < 0.95, s"kappa=$kappa")
+    assert(r.getAs[Double]("p_bar") > r.getAs[Double]("p_e"))
+  }
+
+  test("dp counts: release is reproducible and noise stays within the Laplace tail") {
+    val a = RobustStats.qDpCounts(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val b = RobustStats.qDpCounts(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(a === b, "noisy release not reproducible")
+    // P(|Laplace(1)| > 15) = e^-15; the md5 uniform can't reach the
+    // extreme tail at 52-bit resolution over 20 sources
+    a.values.foreach { case (n, noisy) => assert(math.abs(noisy - n) < 15.0) }
+  }
+
+  test("winsorize: thresholds are order stats and the clipped mean lies inside them") {
+    val rows = RobustStats.qWinsorize(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val lo = r.getAs[java.math.BigDecimal]("lo").doubleValue()
+      val hi = r.getAs[java.math.BigDecimal]("hi").doubleValue()
+      val wm = r.getAs[Double]("wins_mean")
+      assert(lo < hi)
+      assert(wm >= lo && wm <= hi)
+    }
+  }
+
+  test("winsorize matches a local reference computation on one group") {
+    val prices = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_extendedprice").cast("double")).as[Double].collect().sorted
+    val n = prices.length
+    val lo = prices((n * 5 + 99) / 100 - 1)
+    val hi = prices((n * 95 + 99) / 100 - 1)
+    val expect = prices.map(p => math.min(math.max(p, lo), hi)).sum / n
+    val got = RobustStats.qWinsorize(spark, sfDir)
+      .filter(col("flag") === "A").collect().head.getAs[Double]("wins_mean")
+    assert(math.abs(got - expect) < 1e-4, s"got $got expect $expect")
+  }
+
+  test("mutual information: terms sum to a non-negative MI and cells cover the corpus") {
+    val mi = RobustStats.qMutualInfo(spark, sfDir)
+    val total = mi.agg(sum("mi_term"), sum("n_xy")).collect().head
+    assert(total.getDouble(0) > -1e-4, "MI must be non-negative (up to rounding)")
+    assert(total.getLong(1) === graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("cusum: starts at zero per type, stays non-negative, flags only sustained drift") {
+    val c = graft.operators.Stats.qCusum(spark, sfDir)
+    assert(c.filter(col("cusum") < 0).count() === 0L)
+    // first day of every type has CUSUM 0 (prefix minus its own min)
+    val firsts = c.groupBy("event_type").agg(min("day").as("day"))
+      .join(c, Seq("event_type", "day"))
+    assert(firsts.filter(col("cusum") =!= 0.0).count() === 0L)
+    // the flag discriminates: some rows drift, some don't
+    val byFlag = c.groupBy("drifting").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byFlag.getOrElse(true, 0L) > 0L && byFlag.getOrElse(false, 0L) > 0L, s"flag vacuous: $byFlag")
+  }
+
+  test("calibration: bins cover all scored docs and the weighted rate reconciles") {
+    val cal = TextScoring.qCalibration(spark, sfDir).collect()
+    assert(cal.length >= 3, "calibration needs several populated bins")
+    cal.foreach { r =>
+      val rate = r.getAs[Double]("pass_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val n = cal.map(_.getAs[Long]("n")).sum
+    val nPass = cal.map(_.getAs[Long]("n_pass")).sum
+    val rules = graft.operators.TextAnalysis.qQualityRules(spark, sfDir)
+    assert(n === rules.count())
+    assert(nPass === rules.filter(col("passes")).count())
+  }
+
+  test("ann recall: one row per query, bounded, and the index finds most true neighbors") {
+    val r = SimilaritySearch.qAnnRecall(spark, sfDir).collect()
+    assert(r.length === 10)
+    r.foreach { row =>
+      val rec = row.getAs[Double]("recall_at_5")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val mean = r.map(_.getAs[Double]("recall_at_5")).sum / r.length
+    assert(mean >= 0.2, s"mean recall@5 $mean — LSH index degraded")
+  }
+
+  test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
+    val r = SimilaritySearch.qRocchio(spark, sfDir)
+    val n = r.count()
+    val acc = r.filter(col("correct")).count().toDouble / n
+    assert(n === graft.sources.Tables.embeddings(spark, sfDir).count())
+    assert(acc > 0.25, s"accuracy $acc vs 0.1 chance over 10 labels")
+  }
+}
