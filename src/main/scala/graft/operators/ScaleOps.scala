@@ -381,7 +381,42 @@ object ScaleOps extends QueryModule {
        SELECT bucket, n_left, n_right, d_left = d_right AS digest_match
        FROM l FULL OUTER JOIN r USING (bucket)"""
 
+  /** q_hll_merge: MERGEABLE distinct-count sketches (DataSketches HLL,
+    * Spark 4 hll_sketch_agg/hll_union_agg) — the two-level aggregation an
+    * incremental 100 TB pipeline runs: sketch each partition/source once,
+    * persist the tiny sketches, and answer global distinct queries by
+    * UNIONING sketches instead of rescanning the corpus. Two gated
+    * claims: (1) union-of-partials equals the direct one-pass sketch
+    * EXACTLY (register-wise max is order-invariant, so the sketch algebra
+    * is deterministic — a true boolean, not a tolerance), and (2) the
+    * estimate lands within the lgK=12 error envelope of the exact count
+    * (the q_approx_distinct guarantee-gate pattern: exact count hash-gates
+    * the data, the envelope is asserted literally). */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextPrep.rawDocs(s, dir)
+      .select(col("source"), explode(col("rtoks")).as("tok"))
+    val merged = toks.groupBy("source")
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val direct = toks.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))").as("est_direct"),
+      countDistinct(col("tok")).as("exact_distinct"))
+    merged.crossJoin(direct)
+      .select(col("exact_distinct"),
+        (col("est_merged") === col("est_direct")).as("merge_consistent"),
+        (abs(col("est_merged") - col("exact_distinct")).cast("double") /
+          col("exact_distinct") < 0.05).as("hll_within_5pct"))
+  }
+
+  private lazy val qHllMergeSql = {
+    val toks = graft.functions.TextFns.rawTokensSql("text")
+    s"""SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+         TRUE AS merge_consistent, TRUE AS hll_within_5pct
+       FROM (SELECT unnest($toks) AS tok FROM documents)"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_merge" -> (qHllMerge _),
     "q_table_diff" -> (qTableDiff _),
     "q_pack" -> (qPack _),
     "q_pipeline" -> (qPipeline _),
@@ -393,6 +428,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_hll_merge" -> qHllMergeSql,
     "q_table_diff" -> qTableDiffSql,
     "q_pack" -> qPackSql,
     "q_pipeline" -> qPipelineSql,

@@ -23,7 +23,10 @@ object ExplainProbe {
         "q_dup_spans" -> operators.Dedup.qDupSpans(spark, dir),
         "q_merge_upsert" -> operators.Relational.qMergeUpsert(spark, dir),
         "q_media_phash" -> operators.Multimodal.qMediaPhash(spark, dir),
-        "q_asof_native" -> operators.Relational.qAsofNative(spark, dir))
+        "q_asof_native" -> operators.Relational.qAsofNative(spark, dir),
+        "q_bigram_lm" -> operators.TextScoring.qBigramLm(spark, dir),
+        "q_rocchio" -> operators.SimilaritySearch.qRocchio(spark, dir),
+        "q_winsorize" -> operators.RobustStats.qWinsorize(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")

@@ -134,6 +134,16 @@ class Round8Spec extends SparkSpec {
     assert(mean >= 0.2, s"mean recall@5 $mean — LSH index degraded")
   }
 
+  test("hll merge: union of per-source sketches is register-identical to the direct sketch") {
+    val r = graft.operators.ScaleOps.qHllMerge(spark, sfDir).collect().head
+    assert(r.getAs[Boolean]("merge_consistent"),
+      "sketch union must equal the one-pass sketch exactly")
+    assert(r.getAs[Boolean]("hll_within_5pct"))
+    val exact = graft.operators.TextPrep.rawDocs(spark, sfDir)
+      .select(explode(col("rtoks")).as("tok")).agg(countDistinct("tok")).collect().head.getLong(0)
+    assert(r.getAs[Long]("exact_distinct") === exact)
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
