@@ -218,13 +218,95 @@ object RobustStats extends QueryModule {
            ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y)), 6) AS mi_term
        FROM cells JOIN nx USING (source) JOIN ny USING (lang) CROSS JOIN tot"""
 
+  // --------------------------------------------------------------- ks test
+
+  /** KS significance coefficient for α = 0.05 (two-sided). */
+  val KsAlpha005 = 1.358
+
+  /** Two-sample Kolmogorov–Smirnov over every group pair of a (g, x)
+    * relation: D = sup|F_a − F_b| with the ECDF difference kept in the
+    * CROSS-MULTIPLIED integer domain (|c_a·n_b − c_b·n_a|, exact) until
+    * the single final division, evaluated at distinct-x granularity (a
+    * partial tie position would overstate the sup). One narrow pass +
+    * one window per pair over distinct values — group count is bounded
+    * (languages), value count is data-sized. */
+  def ksPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(max(abs(col("c1") * col("nb") - col("c2") * col("na"))).as("d_scaled"))
+      .select(ksOutputCols: _*)
+  }
+
+  private def ksOutputCols: Seq[org.apache.spark.sql.Column] = {
+    val dExpr = col("d_scaled").cast("double") / (col("na") * col("nb"))
+    val critExpr = lit(KsAlpha005) *
+      sqrt((col("na") + col("nb")).cast("double") / (col("na") * col("nb")))
+    Seq(col("ga").as("g_a"), col("gb").as("g_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(dExpr, 6).as("d"), round(critExpr, 6).as("d_crit"),
+      (dExpr > critExpr).as("significant"))
+  }
+
+  /** q_ks_test: the KS drift matrix over document-length distributions
+    * per language — the distribution-level counterpart of q_psi's binned
+    * drift gate (KS needs no binning choice). On the synthetic corpus all
+    * ten pairs are honest true negatives (one generating distribution —
+    * the spec proves the flag trips on shifted fixtures); D and its
+    * critical value still vary per pair, so the gate hashes real
+    * structure. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    ksPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qKsTestSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb,
+               sum(d1) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               max(abs(c1*nb - c2*na)) AS d_scaled
+             FROM c GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(CAST(d_scaled AS DOUBLE) / (na * nb), 6) AS d,
+         round($KsAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6) AS d_crit,
+         CAST(d_scaled AS DOUBLE) / (na * nb) >
+           $KsAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)) AS significant
+       FROM m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
     "q_fleiss" -> (qFleiss _),
     "q_dp_counts" -> (qDpCounts _),
     "q_winsorize" -> (qWinsorize _),
     "q_mutual_info" -> (qMutualInfo _))
 
   override def oracles: Map[String, String] = Map(
+    "q_ks_test" -> qKsTestSql,
     "q_fleiss" -> qFleissSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -30,7 +30,10 @@ object TextScoring extends QueryModule {
     * interpolation), rounded at 1e-6 like every fp gate here; the
     * per-doc scores they cut are themselves already rounded. Scale shape:
     * scoring is the LM join, the terciles are one tiny aggregate
-    * broadcast back — no extra corpus pass. */
+    * broadcast back — no extra corpus pass. Exact percentile buffers the
+    * per-doc scores in the final reduce task; at billions of docs swap
+    * the cut computation for approx_percentile exactly as q_percentiles →
+    * q_percentiles_approx (bucket semantics unchanged). */
   def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val sc = TextAnalysis.qLmScore(s, dir).select(col("doc_id"), col("avg_nll"))
     val cuts = sc.agg(
@@ -189,6 +192,56 @@ object TextScoring extends QueryModule {
          CAST(n_dup AS DOUBLE) / n_grams <= $DupNgramMax AS rep_ok
        FROM c"""
 
+  // ----------------------------------------------------- temperature mixing
+
+  /** q_temp_sampling: temperature-based multilingual sampling weights
+    * (the XLM-R recipe): language i with token share p_i is sampled with
+    * probability q_i ∝ p_i^α, flattening the language distribution so
+    * low-resource languages are upsampled (boost = q/p > 1) and the head
+    * language is downsampled. α = 0.5 on purpose — p^0.5 = sqrt(p) is
+    * correctly rounded by every IEEE implementation, so both engines
+    * compute the identical weight (a general pow(x, 0.7) is NOT
+    * guaranteed bit-identical across libm builds). The normalizer Z is a
+    * language-count-sized fold summed in sorted-lang order (the
+    * q_class_centroids ordered-fold rule). Complements q_mix_rates'
+    * budget-capped planner with the temperature-law planner. */
+  def qTempSampling(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextPrep.rawDocs(s, dir)
+      .select(col("lang"), size(col("rtoks")).cast("long").as("nt"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
+    val tot = tok.agg(sum(col("toks")).as("t"))
+    val withP = tok.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("toks"),
+        sqrt(col("toks").cast("double") / col("t")).as("s"),
+        (col("toks").cast("double") / col("t")).as("p"))
+    val z = withP
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("toks"),
+        round(col("p"), 6).as("p"),
+        round(col("s") / col("z"), 6).as("q"),
+        round((col("s") / col("z")) / col("p"), 6).as("boost"))
+  }
+
+  private lazy val qTempSamplingSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH d AS (SELECT lang, CAST(len($toks) AS BIGINT) AS nt FROM documents),
+       tok AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS toks
+               FROM d GROUP BY lang),
+       tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM tok),
+       wp AS (SELECT lang, n_docs, toks,
+                sqrt(CAST(toks AS DOUBLE) / t) AS s,
+                CAST(toks AS DOUBLE) / t AS p
+              FROM tok CROSS JOIN tot),
+       z AS (SELECT list_sum(list(s ORDER BY lang)) AS z FROM wp)
+       SELECT lang, n_docs, toks, round(p, 6) AS p,
+         round(s / z, 6) AS q, round((s / z) / p, 6) AS boost
+       FROM wp CROSS JOIN z"""
+  }
+
   // ------------------------------------------------------------ calibration
 
   /** q_calibration: reliability table for the continuous quality score
@@ -225,6 +278,7 @@ object TextScoring extends QueryModule {
     "q_bigram_lm" -> (qBigramLm _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_temp_sampling" -> (qTempSampling _),
     "q_calibration" -> (qCalibration _))
 
   override def oracles: Map[String, String] = Map(
@@ -232,5 +286,6 @@ object TextScoring extends QueryModule {
     "q_bigram_lm" -> qBigramLmSql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_dup_ngrams" -> qDupNgramsSql,
+    "q_temp_sampling" -> qTempSamplingSql,
     "q_calibration" -> qCalibrationSql)
 }

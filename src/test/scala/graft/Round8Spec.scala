@@ -144,6 +144,40 @@ class Round8Spec extends SparkSpec {
     assert(r.getAs[Long]("exact_distinct") === exact)
   }
 
+  test("ks test: shifted samples trip the flag, identical samples don't, D is exact") {
+    // two clearly separated samples (shift ≫ spread) and one identical pair
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = (1 to 100).map(i => ("b", i.toLong + 80L))   // shifted: D large
+    val c = (1 to 100).map(i => ("c", i.toLong))          // identical to a: D = 0
+    val out = RobustStats.ksPairs((a ++ b ++ c).toDF("g", "x")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("d"), r.getAs[Boolean]("significant")))).toMap
+    assert(out(("a", "b"))._2, "shifted distributions must be significant")
+    assert(out(("a", "b"))._1 === 0.8) // overlap of 20 values → D = 80/100
+    assert(!out(("a", "c"))._2 && out(("a", "c"))._1 === 0.0)
+  }
+
+  test("ks test on the corpus: ten lang pairs, D in [0,1], honest true negatives") {
+    val rows = RobustStats.qKsTest(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("d")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
+  test("temperature sampling: boosts tail languages, q still sums to one") {
+    val rows = TextScoring.qTempSampling(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("toks"),
+        r.getAs[Double]("p"), r.getAs[Double]("q"), r.getAs[Double]("boost")))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    val byToks = rows.sortBy(_._2)
+    assert(byToks.head._5 > 1.0, "rarest language must be upsampled")
+    assert(byToks.last._5 < 1.0, "head language must be downsampled")
+    // flattening: q-share ordering preserves p-share ordering
+    assert(byToks.map(_._4).toSeq === byToks.map(_._4).sorted.toSeq)
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
