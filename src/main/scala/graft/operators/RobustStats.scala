@@ -142,18 +142,23 @@ object RobustStats extends QueryModule {
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
-    val counts = base.groupBy("flag").agg(count(lit(1)).as("n"))
-      .select(col("flag"), col("n"),
-        expr("(n*5+99) div 100").as("k_lo"), expr("(n*95+99) div 100").as("k_hi"))
+    // ONE sorted pass finds both order statistics: the group count rides
+    // the same partitioning as the rank window (unordered frame — no
+    // second sort), so the fact table is scanned twice total (thresholds +
+    // final clip), not three times (separate count + rank + clip)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("flag").orderBy(col("price").asc)
-    val ranked = base.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(counts), Seq("flag"))
-    val lo = ranked.filter(col("rn") === col("k_lo"))
-      .select(col("flag"), col("price").as("lo"))
-    val hi = ranked.filter(col("rn") === col("k_hi"))
-      .select(col("flag"), col("price").as("hi"))
-    val cuts = counts.select("flag", "n").join(lo, Seq("flag")).join(hi, Seq("flag"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val cuts = ranked
+      .filter(col("rn") === expr("(n*5+99) div 100") ||
+        col("rn") === expr("(n*95+99) div 100"))
+      .groupBy("flag")
+      .agg(first(col("n")).as("n"),
+        min(when(col("rn") === expr("(n*5+99) div 100"), col("price"))).as("lo"),
+        max(when(col("rn") === expr("(n*95+99) div 100"), col("price"))).as("hi"))
     base.join(broadcast(cuts), Seq("flag"))
       .groupBy("flag")
       .agg(first(col("n")).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"),

@@ -415,7 +415,26 @@ object ScaleOps extends QueryModule {
        FROM (SELECT unnest($toks) AS tok FROM documents)"""
   }
 
+  /** q_bitmap_distinct: exact distinct users per event type through the
+    * native bitmap aggregate (functions.BitmapDistinct) — gated against
+    * the oracle's count(DISTINCT …), so the bitmap path must agree with
+    * exact distinct to the row. The plan difference is the point: the
+    * bitmap aggregates in ONE pass with compressed-bitmap combiners,
+    * where count(DISTINCT) plans a two-phase Expand/deduplicating
+    * aggregate; the spec pins the single-Aggregate plan shape. */
+  def qBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val qBitmapDistinctSql =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_events
+       FROM events GROUP BY event_type"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_hll_merge" -> (qHllMerge _),
     "q_table_diff" -> (qTableDiff _),
     "q_pack" -> (qPack _),
@@ -428,6 +447,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_hll_merge" -> qHllMergeSql,
     "q_table_diff" -> qTableDiffSql,
     "q_pack" -> qPackSql,

@@ -41,7 +41,9 @@ object GraftExtensions {
       case Seq(child, w: org.apache.spark.sql.catalyst.expressions.Literal) =>
         MinHashSignature(child, w.value.toString.toInt)
       case c => MinHashSignature(c(0), 128)
-    }))
+    }),
+    fn("bitmap_distinct", classOf[graft.functions.BitmapDistinct],
+      c => graft.functions.BitmapDistinct(c(0))))
 
   /** Late registration into an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -178,6 +178,34 @@ class Round8Spec extends SparkSpec {
     assert(byToks.map(_._4).toSeq === byToks.map(_._4).sorted.toSeq)
   }
 
+  test("bitmap distinct: agrees with countDistinct, plans ONE aggregate, rejects out-of-range ids") {
+    import graft.functions.BitmapDistinct.bitmapDistinct
+    val df = Seq((1L, "a"), (2L, "a"), (1L, "a"), (3L, "b"), (3L, "b"), (0L, "b"))
+      .toDF("id", "g")
+    val got = df.groupBy("g").agg(bitmapDistinct(col("id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 2L))
+    // the scale claim: bitmap distinct is a single two-phase aggregate;
+    // count(DISTINCT) plans an extra deduplicating aggregate level
+    val bmAggs = df.groupBy("g").agg(bitmapDistinct(col("id")))
+      .queryExecution.executedPlan.toString.split("\n").count(_.contains("HashAggregate"))
+    val cdAggs = df.groupBy("g").agg(countDistinct(col("id")))
+      .queryExecution.executedPlan.toString.split("\n").count(_.contains("HashAggregate"))
+    assert(bmAggs < cdAggs, s"bitmap=$bmAggs vs countDistinct=$cdAggs aggregate levels")
+    // ids outside the 32-bit bitmap domain must fail loudly, not truncate
+    val err = intercept[Exception] {
+      Seq((-1L, "x")).toDF("id", "g").groupBy("g")
+        .agg(bitmapDistinct(col("id"))).collect()
+    }
+    assert(err.getMessage != null)
+    // SQL surface via GraftExtensions
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("bm_ids")
+    val viaSql = spark.sql("SELECT g, bitmap_distinct(id) AS n FROM bm_ids GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === got)
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
