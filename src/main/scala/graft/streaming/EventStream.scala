@@ -114,6 +114,38 @@ object EventStream {
       }
   }
 
+  case class TypedValue(event_type: String, seq: Long, value: Double)
+  case class CusumState(n: Long, pref: Double, minPref: Double)
+  case class CusumOut(event_type: String, n: Long, cusum: Double, drifting: Boolean)
+
+  /** Streaming CUSUM drift monitor per event type — the stateful twin of
+    * the batch Stats.qCusum, against a FIXED reference target (batch
+    * CUSUM derives the target from the global mean in a second pass; a
+    * monitor watches a known baseline). Same prefix-minus-running-min
+    * identity, carried as ONE (count, prefix, minPrefix) triple per key
+    * regardless of stream length: pref ← pref + (x − target),
+    * CUSUM = pref − min(pref seen so far). Rows are processed in seq
+    * order within a batch (the caller orders; a production job carries
+    * event-time); state persists across micro-batches so drift
+    * accumulates over the whole stream. */
+  def runningCusum(values: Dataset[TypedValue], target: Double,
+      threshold: Double): Dataset[CusumOut] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[CusumState]) =>
+          var cur = state.getOption.getOrElse(CusumState(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val pref = cur.pref + (r.value - target)
+            cur = CusumState(cur.n + 1, pref, math.min(cur.minPref, pref))
+          }
+          state.update(cur)
+          val cusum = cur.pref - cur.minPref
+          Iterator(CusumOut(et, cur.n, cusum, cusum > threshold))
+      }
+  }
+
   case class TaggedEvent(user_id: Long, kind: String, event_id: Long, ts_us: Long)
   case class AsofState(last_view_us: Long)
   case class AsofMatch(event_id: Long, user_id: Long, view_us: Option[Long], gap_us: Option[Long])

@@ -73,6 +73,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM matches the local fold, accumulates drift across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = 10.0
+    val threshold = 6.0
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningCusum(input.toDS(), target, threshold)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Double, Boolean)] =
+      spark.table("cusum_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }.toMap
+    def model(xs: Seq[Double]): Double = {
+      var pref = 0.0; var minp = 0.0; var out = 0.0
+      xs.foreach { x => pref += x - target; minp = math.min(minp, pref); out = pref - minp }
+      out
+    }
+    try {
+      // batch 1: on-target values — no drift
+      val b1 = Seq(9.0, 11.0, 10.0)
+      input.addData(b1.zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("click", i.toLong, v) })
+      q.processAllAvailable()
+      val r1 = latest()("click")
+      assert(r1._1 === 3L && math.abs(r1._2 - model(b1)) < 1e-12 && !r1._3)
+      // batch 2: sustained upward shift — drift accumulates ACROSS batches
+      val b2 = Seq(13.0, 14.0, 13.0)
+      input.addData(b2.zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("click", (3 + i).toLong, v) })
+      q.processAllAvailable()
+      val r2 = latest()("click")
+      assert(r2._1 === 6L && math.abs(r2._2 - model(b1 ++ b2)) < 1e-12)
+      assert(r2._3, s"sustained +3 shift over 3 events must trip threshold $threshold: $r2")
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the native batch operator, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStream.TaggedEvent
