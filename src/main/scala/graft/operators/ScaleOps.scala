@@ -415,6 +415,42 @@ object ScaleOps extends QueryModule {
        FROM (SELECT unnest($toks) AS tok FROM documents)"""
   }
 
+  /** q_incr_agg: incremental aggregate maintenance — the algebraic
+    * contract every materialized rollup at 100 TB depends on: aggregate
+    * the BASE partitions once, aggregate only the DELTA partition (here
+    * the newest event day), and refresh by MERGING the partials; the
+    * merged result must equal the direct full recompute to the row.
+    * Counts and DECIMAL sums are the mergeable pair (avg is re-derived,
+    * never merged); `consistent` compares in the exact-decimal domain, so
+    * it is a hard identity, not a tolerance. The oracle recomputes the
+    * full aggregate directly and asserts the identity literally. */
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val cut = ev.agg(max(col("day")).as("delta_day"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def aggOf(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val base = aggOf(tagged.filter(col("day") < col("delta_day")))
+      .select(col("event_type"), col("n").as("n_base"), col("s").as("s_base"))
+    val delta = aggOf(tagged.filter(col("day") === col("delta_day")))
+      .select(col("event_type"), col("n").as("n_delta"), col("s").as("s_delta"))
+    val full = aggOf(ev)
+      .select(col("event_type"), col("n").as("n_full"), col("s").as("s_full"))
+    full.join(base, Seq("event_type")).join(delta, Seq("event_type"))
+      .select(col("event_type"), col("n_full"),
+        round(col("s_full").cast("double"), 6).as("sum_full"),
+        (col("n_base") + col("n_delta") === col("n_full") &&
+          col("s_base") + col("s_delta") === col("s_full")).as("consistent"))
+  }
+
+  private val qIncrAggSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_full,
+         TRUE AS consistent
+       FROM events GROUP BY event_type"""
+
   /** q_bitmap_distinct: exact distinct users per event type through the
     * native bitmap aggregate (functions.BitmapDistinct) — gated against
     * the oracle's count(DISTINCT …), so the bitmap path must agree with
@@ -434,6 +470,7 @@ object ScaleOps extends QueryModule {
        FROM events GROUP BY event_type"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (qIncrAgg _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_hll_merge" -> (qHllMerge _),
     "q_table_diff" -> (qTableDiff _),
@@ -447,6 +484,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_incr_agg" -> qIncrAggSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_hll_merge" -> qHllMergeSql,
     "q_table_diff" -> qTableDiffSql,

@@ -206,6 +206,13 @@ class Round8Spec extends SparkSpec {
     assert(viaSql === got)
   }
 
+  test("incremental aggregate: base+delta merge is identical to the full recompute") {
+    val rows = graft.operators.ScaleOps.qIncrAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("consistent"),
+      s"merge drifted from full recompute for ${r.getString(0)}"))
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
