@@ -114,18 +114,31 @@ object TextKernelPhash {
     * identical signature on non-ASCII payloads too (UTF-16 charAt would
     * diverge on any surrogate pair). */
   def sig(s: UTF8String, n: Int): Long = {
-    val str = s.toString
-    val cps = str.codePoints().toArray
-    val m = cps.length
+    // A code-point trigram's UTF-8 encoding IS a contiguous slice of the
+    // document's UTF-8 bytes, so hash slices in place: one getBytes per
+    // row, md.update(bytes, off, len) per trigram, digest into a reused
+    // buffer — no per-trigram String/array allocation in the corpus's
+    // hottest new kernel. `offs` holds the byte offset of each code
+    // point's first byte (UTF-8 start bytes are everything except
+    // 10xxxxxx continuations), plus the end sentinel.
+    val bytes = s.getBytes
+    val len = bytes.length
+    val offs = new Array[Int](len + 1)
+    var m = 0
+    var b = 0
+    while (b < len) {
+      if ((bytes(b) & 0xc0) != 0x80) { offs(m) = b; m += 1 }
+      b += 1
+    }
+    offs(m) = len
     val counts = new Array[Int](n)
     val md = Md5.get()
-    val sb = new java.lang.StringBuilder(12)
+    val digest = new Array[Byte](16)
     var i = 0
     while (i + 2 < m) {
-      sb.setLength(0)
-      sb.appendCodePoint(cps(i)).appendCodePoint(cps(i + 1)).appendCodePoint(cps(i + 2))
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+      md.update(bytes, offs(i), offs(i + 3) - offs(i))
+      md.digest(digest, 0, 16)
+      val v = ((digest(0) & 0xff) << 16) | ((digest(1) & 0xff) << 8) | (digest(2) & 0xff)
       counts(v % n) += 1
       i += 1
     }

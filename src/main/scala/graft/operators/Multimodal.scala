@@ -113,10 +113,10 @@ object Multimodal extends QueryModule {
     * unchanged.
     *
     * The corpus signature stage is memoized + persisted per (session,
-    * dir): the band fan-out references sig 8 times (7 band keys + the
-    * passthrough), and project collapse would otherwise re-inline the
-    * full sampling expression into every reference — the q_dedup_simhash
-    * materialize-the-signature rule. */
+    * dir): the band fan-out references sig once per band key plus the
+    * passthrough (SigBands + 1 = 4 references), and project collapse
+    * would otherwise re-inline the full kernel expression into every
+    * reference — the q_dedup_simhash materialize-the-signature rule. */
   def qMediaPhash(s: SparkSession, dir: String): DataFrame =
     pairsFromSigs(graft.ModelCache.getOrElseUpdate(s, s"media.phashsig:$dir") {
       phashSigsOf(Tables.documents(s, dir))

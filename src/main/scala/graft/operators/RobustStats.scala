@@ -70,7 +70,7 @@ object RobustStats extends QueryModule {
                   CAST(r AS VARCHAR)), 1, 1)) AS INT) < 3
                 THEN CAST(NOT (n_chars >= $FleissLenThreshold) AS INT)
                 ELSE CAST(n_chars >= $FleissLenThreshold AS INT) END AS vote
-         FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
+         FROM documents CROSS JOIN (SELECT unnest([${(0 until m).mkString(", ")}]) AS r)),
        d AS (SELECT doc_id, sum(vote) AS g FROM v GROUP BY doc_id),
        p AS (SELECT g, g*(g-1) + ($m-g)*(${m - 1}-g) AS p_num FROM d),
        a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -438,11 +438,18 @@ object ScaleOps extends QueryModule {
       .select(col("event_type"), col("n").as("n_delta"), col("s").as("s_delta"))
     val full = aggOf(ev)
       .select(col("event_type"), col("n").as("n_full"), col("s").as("s_full"))
-    full.join(base, Seq("event_type")).join(delta, Seq("event_type"))
+    // LEFT joins + zero-fill: an event type whose rows all fall on (or
+    // all before) the delta day has no row in one partial — that is a
+    // legitimate empty partial (n=0, s=0), not a type to drop; inner
+    // joins here would silently shrink the output below the oracle's
+    // full GROUP BY and fail the gate on such a corpus
+    full.join(base, Seq("event_type"), "left").join(delta, Seq("event_type"), "left")
       .select(col("event_type"), col("n_full"),
         round(col("s_full").cast("double"), 6).as("sum_full"),
-        (col("n_base") + col("n_delta") === col("n_full") &&
-          col("s_base") + col("s_delta") === col("s_full")).as("consistent"))
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)) === col("n_full") &&
+          coalesce(col("s_base"), lit(0).cast("decimal(18,6)")) +
+            coalesce(col("s_delta"), lit(0).cast("decimal(18,6)")) === col("s_full"))
+          .as("consistent"))
   }
 
   private val qIncrAggSql =

@@ -256,17 +256,25 @@ object SimilaritySearch extends QueryModule {
     * This is the 100 TB path: candidate generation is an equi-join on
     * (table, bucket), never a cross join; tables/planes trade recall vs
     * candidate volume. Rows-only oracle (hash mixing isn't SQL-portable). */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The scored LSH candidate stream (q_id, nb_id, cos) — ONE definition
+    * consumed by both the q_ann_lsh query (rank ≤ 1) and the q_ann_recall
+    * audit (rank ≤ 5), so the audit always measures the candidate
+    * pipeline the index actually serves. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val posted = postedBuckets(s, dir)
     val queries = posted.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
-    val cand = posted.filter(col("vec_id") >= 10)
+    posted.filter(col("vec_id") >= 10)
       .join(broadcast(queries), Seq("tbl", "bucket"))
       .select(col("q_id"), col("vec_id").as("nb_id"), col("qv"), col("v"))
       .distinct()
       .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("v")).as("cos"))
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
+    lshCandidates(s, dir)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
       .select(col("q_id"), col("nb_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
@@ -281,15 +289,8 @@ object SimilaritySearch extends QueryModule {
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val exact = qKnnSearch(s, dir).select(col("q_id"), col("nb_id"))
-    val posted = postedBuckets(s, dir)
-    val queries = posted.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
-    val approx = posted.filter(col("vec_id") >= 10)
-      .join(broadcast(queries), Seq("tbl", "bucket"))
-      .select(col("q_id"), col("vec_id").as("nb_id"), col("qv"), col("v"))
-      .distinct()
-      .select(col("q_id"), col("nb_id"), cosine(col("qv"), col("v")).as("cos"))
+    val approx = lshCandidates(s, dir)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("nb_id"))
     exact.join(approx, Seq("q_id", "nb_id"))

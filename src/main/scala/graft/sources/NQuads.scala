@@ -89,14 +89,20 @@ object NQuads extends QueryModule {
 
   /** Reclaim staging directories orphaned by a JVM that died mid-write:
     * anything matching our staging pattern and untouched for an hour is
-    * dead (a live write finishes in seconds). Best-effort — concurrent
-    * sweepers double-deleting is harmless. */
+    * presumed dead. The victim is RENAMED ASIDE atomically before any
+    * deletion — if the owner is actually alive (a >1h write), its later
+    * `staging.renameTo(publish)` fails LOUDLY on the vanished path
+    * instead of publishing a directory the sweeper half-emptied; and
+    * concurrent sweepers race on the rename, so only one ever deletes. */
   private def sweepOrphanedStaging(tmpRoot: java.io.File): Unit = {
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(tmpRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".graft_nquads_") &&
         f.getName.contains(".staging-") && f.lastModified < cutoff)
-      .foreach(deleteRecursively)
+      .foreach { victim =>
+        val doomed = new java.io.File(tmpRoot, s"${victim.getName}.sweeping")
+        if (victim.renameTo(doomed)) deleteRecursively(doomed)
+      }
   }
 
   def qNquadsSource(s: SparkSession, dir: String): DataFrame = {
