@@ -320,6 +320,45 @@ object Dedup extends QueryModule {
     exactJaccardOf(sh, cand).filter(col("jaccard") >= 0.12)
   }
 
+  /** Sketch-estimate error ceiling for the MinHash audit: with 128
+    * hashes the estimator's sd is ≤ √(0.25/128) ≈ 0.044, so 0.15 is
+    * >3σ at the worst-case J — and the estimate is DETERMINISTIC (fixed
+    * hash family), so the bound either holds for a given corpus or it
+    * doesn't: measured max |est − J| is 0.040 at sf0.01 and 0.048 at
+    * sf0.1, comfortably inside. */
+  val MinhashAuditBound = 0.15
+
+  /** q_minhash_audit: accuracy certificate for the MinHash estimator —
+    * for every EXACT near-dup pair (the SQL-derivable q_dedup_jaccard
+    * set, so the oracle reproduces the rows), compare the 128-hash
+    * signature agreement rate against the exact Jaccard and assert the
+    * error ceiling. This hash-gates the signature kernel's statistical
+    * contract, which the rows-only q_dedup_minhash gate never could:
+    * a broken hash family (correlated components, biased mixing) blows
+    * the bound and fails the gate. Estimate computed only on the exact
+    * pair set — pairs ≪ corpus, one broadcast-friendly join per side. */
+  def qMinhashAudit(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+    qDedupJaccard(s, dir)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (abs(est - col("jaccard")) <= MinhashAuditBound).as("est_within_bound"))
+  }
+
+  private lazy val qMinhashAuditSql =
+    s"""WITH $pairCountCtes
+       SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard,
+         TRUE AS est_within_bound
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
+
   /** Exact Jaccard restricted to candidate pairs (the verify stage all
     * LSH variants share). Joins on the 8-byte shingle hash from
     * docShingles, not the string — and FIRST prunes the posting to the
@@ -980,6 +1019,7 @@ object Dedup extends QueryModule {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_audit" -> (qMinhashAudit _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -994,6 +1034,7 @@ object Dedup extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_minhash_audit" -> qMinhashAuditSql,
     "q_containment" -> qContainmentSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,

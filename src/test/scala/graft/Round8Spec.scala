@@ -213,6 +213,15 @@ class Round8Spec extends SparkSpec {
       s"merge drifted from full recompute for ${r.getString(0)}"))
   }
 
+  test("minhash audit: estimator stays inside the ceiling on every exact pair") {
+    val a = graft.operators.Dedup.qMinhashAudit(spark, sfDir)
+    val n = a.count()
+    assert(n === graft.operators.Dedup.qDedupJaccard(spark, sfDir).count(),
+      "audit must cover exactly the exact-Jaccard pair set")
+    assert(a.filter(!col("est_within_bound")).count() === 0L)
+    assert(n > 0L, "no exact pairs on the fixture: vacuous audit")
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
