@@ -1089,7 +1089,42 @@ object Relational extends QueryModule {
          max(us) - min(us) AS duration_us
        FROM g GROUP BY user_id, session_id"""
 
+  /** q_skyline: 2-D skyline (Pareto frontier) over parts — minimize
+    * retail price, maximize size; a point survives iff nothing is both
+    * cheaper-or-equal and bigger-or-equal with one strict. The naive
+    * formulation is the O(n²) NOT-EXISTS anti-join the ORACLE runs; the
+    * Spark plan is the sort-based linear identity instead: group to
+    * distinct prices (bounded ≪ rows), one ordered window over prices for
+    * the running size maxima, and a point is on the skyline iff its size
+    * beats every strictly-cheaper price's max (lag of the running max)
+    * and ties its own price's max. One small window + one equi-join back
+    * — no self-join anywhere, which is the only shape that survives
+    * 100 TB. Exact duplicates of a frontier point are all kept (neither
+    * strictly dominates), matching the oracle's strict-dominance clause. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"), col("p_size").as("size"))
+    val wOrd = Window.orderBy("price")
+    val perPrice = pts.groupBy("price").agg(max(col("size")).as("ms"))
+      .withColumn("run_incl", max(col("ms")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("run_excl", lag(col("run_incl"), 1).over(wOrd))
+    pts.join(perPrice.select("price", "run_incl", "run_excl"), Seq("price"))
+      .filter(col("size") >= col("run_incl") &&
+        (col("run_excl").isNull || col("size") > col("run_excl")))
+      .select(col("p_partkey"), col("price"), col("size"))
+  }
+
+  private val qSkylineSql =
+    """SELECT a.p_partkey, a.p_retailprice AS price, a.p_size AS size
+       FROM part a WHERE NOT EXISTS (
+         SELECT 1 FROM part b
+         WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+           AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q1_agg" -> (q1Agg _),
     "q6_agg" -> (q6Agg _),
     "q18_having" -> (q18Having _),
@@ -1135,6 +1170,7 @@ object Relational extends QueryModule {
     "q18_having" -> q18Sql,
     "q3_join" -> q3Sql,
     "q5_join" -> q5Sql,
+    "q_skyline" -> qSkylineSql,
     "q_window" -> qWindowSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q_setops" -> qSetopsSql,

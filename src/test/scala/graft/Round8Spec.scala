@@ -222,6 +222,32 @@ class Round8Spec extends SparkSpec {
     assert(n > 0L, "no exact pairs on the fixture: vacuous audit")
   }
 
+  test("skyline window identity matches brute-force dominance on a tie-heavy fixture") {
+    val pts = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5),   // exact duplicates on the frontier: both kept
+      (3L, 10.0, 3),                  // same price, smaller size: dominated by 1/2
+      (4L, 8.0, 4),                   // cheaper but smaller: also on the frontier
+      (5L, 12.0, 9), (6L, 7.0, 2),
+      (7L, 12.0, 9),                  // duplicate frontier point
+      (8L, 13.0, 9)                   // same size as 5/7 but pricier: dominated
+    )
+    // brute force strict-dominance reference
+    val expect = pts.filter { a => !pts.exists(b =>
+      b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)) }.map(_._1).toSet
+    val df = pts.toDF("p_partkey", "price", "size")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("price")
+    val per = df.groupBy("price").agg(max(col("size")).as("ms"))
+      .withColumn("run_incl", max(col("ms")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("run_excl", lag(col("run_incl"), 1).over(w))
+    val got = df.join(per.select("price", "run_incl", "run_excl"), Seq("price"))
+      .filter(col("size") >= col("run_incl") &&
+        (col("run_excl").isNull || col("size") > col("run_excl")))
+      .select("p_partkey").as[Long].collect().toSet
+    assert(got === expect)
+    assert(got === Set(1L, 2L, 4L, 5L, 6L, 7L))
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
