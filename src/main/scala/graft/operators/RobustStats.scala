@@ -188,6 +188,36 @@ object RobustStats extends QueryModule {
        FROM base JOIN cuts ON cuts.flag = base.flag
        GROUP BY base.flag"""
 
+  // ---------------------------------------------------------- k-anonymity
+
+  /** Minimum admissible quasi-identifier group size. */
+  val KAnonK = 5
+
+  /** q_kanon: k-anonymity audit over the (lang, source) quasi-identifier
+    * — the release-side check that pairs with q_dp_counts' noisy
+    * mechanism: any equivalence class smaller than k re-identifies its
+    * members, so a compliant release must suppress or generalize those
+    * cells. Emits every class with its size, the at-risk flag, and the
+    * class's share of the corpus — one groupBy, exact integers
+    * throughout. */
+  def qKanon(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"),
+        (col("n") < KAnonK).as("at_risk"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+  }
+
+  private lazy val qKanonSql =
+    s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang, source),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+       SELECT lang, source, n, n < $KAnonK AS at_risk,
+         round(CAST(n AS DOUBLE) / n_total, 6) AS share
+       FROM c CROSS JOIN t"""
+
   // ----------------------------------------------------------- mutual info
 
   /** q_mutual_info: the source↔language mutual-information cell table —
@@ -307,6 +337,7 @@ object RobustStats extends QueryModule {
     "q_ks_test" -> (qKsTest _),
     "q_fleiss" -> (qFleiss _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_kanon" -> (qKanon _),
     "q_winsorize" -> (qWinsorize _),
     "q_mutual_info" -> (qMutualInfo _))
 
@@ -314,6 +345,7 @@ object RobustStats extends QueryModule {
     "q_ks_test" -> qKsTestSql,
     "q_fleiss" -> qFleissSql,
     "q_dp_counts" -> qDpCountsSql,
+    "q_kanon" -> qKanonSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_mutual_info" -> qMutualInfoSql)
 }

@@ -248,6 +248,16 @@ class Round8Spec extends SparkSpec {
     assert(got === Set(1L, 2L, 4L, 5L, 6L, 7L))
   }
 
+  test("k-anonymity audit: classes partition the corpus and the risk flag discriminates") {
+    val rows = RobustStats.qKanon(spark, sfDir).collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    rows.foreach(r => assert(r.getAs[Boolean]("at_risk") ===
+      (r.getAs[Long]("n") < RobustStats.KAnonK)))
+    val flags = rows.map(_.getAs[Boolean]("at_risk")).toSet
+    assert(flags === Set(true, false), "risk flag must discriminate on the fixture")
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
