@@ -571,7 +571,103 @@ object Stats extends QueryModule {
          cusum * $CusumK2 > s AS drifting
        FROM c"""
 
+  /** q_benford: first-significant-digit distribution audit (Benford's
+    * law — the classic fabricated-data / unit-mixing smell test for a
+    * measure column): per digit 1–9, the observed count, observed and
+    * expected shares, and the χ² contribution. The digit is extracted
+    * arithmetically — floor(v / 10^⌊log10 v⌋) — never via string
+    * formatting, which is NOT engine-portable for doubles; log10/floor
+    * over identical doubles are. Digits are densified against 1..9 so a
+    * zero-count digit still reports. One narrow pass + one 9-row
+    * aggregate. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .filter(col("value") > 0)
+      .select(floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+        .cast("int").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val digits = s.range(1, 10).select(col("id").cast("int").as("d"))
+    val tot = counts.agg(sum(col("n")).as("n_total"))
+    val p = log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0))
+    // (n − Np)² spelled as a product, not pow(x, 2): libm pow is not
+    // guaranteed bit-identical across engines, multiplication is
+    val e = col("n") - col("n_total") * p
+    digits.join(counts, Seq("d"), "left").na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("observed"),
+        round(p, 6).as("expected"),
+        round(e * e / (col("n_total") * p), 6).as("chi_term"))
+  }
+
+  private lazy val qBenfordSql =
+    """WITH c AS (
+         SELECT CAST(floor(value / power(10, floor(log10(value)))) AS INT) AS d,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE value > 0 GROUP BY 1),
+       digits AS (SELECT CAST(range AS INT) AS d FROM range(1, 10)),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+       dense AS (SELECT digits.d, coalesce(c.n, 0) AS n FROM digits LEFT JOIN c USING (d))
+       SELECT d, n,
+         round(CAST(n AS DOUBLE) / n_total, 6) AS observed,
+         round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS expected,
+         round((n - n_total * (ln(1.0 + 1.0 / d) / ln(10.0)))
+             * (n - n_total * (ln(1.0 + 1.0 / d) / ln(10.0)))
+           / (n_total * (ln(1.0 + 1.0 / d) / ln(10.0))), 6) AS chi_term
+       FROM dense CROSS JOIN tot"""
+
+  /** q_autocorr: lag-1 autocorrelation of the daily value totals per
+    * event type — the serial-dependence diagnostic beside CUSUM (drift)
+    * and the z-gate (outliers): r₁ = Σ(xₜ−x̄)(xₜ₊₁−x̄) / Σ(xₜ−x̄)².
+    * The mean subtraction is cross-multiplied away (dₜ = N·xₜ − S kept
+    * in an explicitly re-cast DECIMAL(18,6) so products stay inside
+    * DECIMAL(38,12) in BOTH engines), numerator and denominator are
+    * exact-decimal sums, and only the final ratio divides in double. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(st, Seq("event_type"))
+      .withColumn("d", (col("n") * col("tot") - col("s")).cast("decimal(18,6)"))
+      .withColumn("d_next", lead(col("d"), 1).over(w))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n_days"),
+        sum(col("d") * col("d_next")).as("num"),
+        sum(col("d") * col("d")).as("den"))
+      .filter(col("den") =!= lit(0).cast("decimal(38,12)"))
+      .select(col("event_type"), col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("r1"))
+  }
+
+  private lazy val qAutocorrSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(tot) AS s
+              FROM daily GROUP BY 1),
+       d AS (SELECT daily.event_type, daily.day,
+               CAST(st.n * daily.tot - st.s AS DECIMAL(18,6)) AS d, st.n
+             FROM daily JOIN st ON st.event_type = daily.event_type),
+       l AS (SELECT event_type, n, CAST(d AS DECIMAL(19,6)) AS d,
+               CAST(lead(d, 1) OVER (PARTITION BY event_type ORDER BY day)
+                 AS DECIMAL(19,6)) AS d_next
+             FROM d),
+       a AS (SELECT event_type, any_value(n) AS n_days,
+               sum(d * d_next) AS num, sum(d * d) AS den
+             FROM l GROUP BY event_type)
+       SELECT event_type, n_days,
+         round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1
+       FROM a WHERE den <> 0"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
+    "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
     "q_ab_test" -> (qAbTest _),
     "q_histogram" -> (qHistogram _),
@@ -587,6 +683,8 @@ object Stats extends QueryModule {
     "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
+    "q_benford" -> qBenfordSql,
+    "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,
     "q_ab_test" -> qAbTestSql,
     "q_histogram" -> qHistogramSql,

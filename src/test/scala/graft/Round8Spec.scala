@@ -258,6 +258,35 @@ class Round8Spec extends SparkSpec {
     assert(flags === Set(true, false), "risk flag must discriminate on the fixture")
   }
 
+  test("benford: shares sum to one, expectations are the Benford constants") {
+    val rows = graft.operators.Stats.qBenford(spark, sfDir).collect()
+    assert(rows.length === 9)
+    assert(math.abs(rows.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("d")
+      assert(math.abs(r.getAs[Double]("expected") - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(r.getAs[Double]("chi_term") >= 0.0)
+    }
+  }
+
+  test("autocorr: r1 within [-1,1] and matches a local reference on one type") {
+    val rows = graft.operators.Stats.qAutocorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("r1")) <= 1.0 + 1e-9))
+    // local reference for one event type
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .filter(col("event_type") === "click")
+      .groupBy("day").agg(sum("v").as("tot")).orderBy("day")
+      .collect().map(_.getAs[java.math.BigDecimal]("tot").doubleValue())
+    val m = daily.sum / daily.length
+    val num = daily.init.zip(daily.tail).map { case (a, b) => (a - m) * (b - m) }.sum
+    val den = daily.map(x => (x - m) * (x - m)).sum
+    val got = rows.find(_.getString(0) == "click").get.getAs[Double]("r1")
+    assert(math.abs(got - num / den) < 1e-4, s"got $got expect ${num / den}")
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
