@@ -665,7 +665,68 @@ object Stats extends QueryModule {
          round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1
        FROM a WHERE den <> 0"""
 
+  /** q_spearman: Spearman rank correlation between the quality score and
+    * Flesch readability — the robust (monotone-invariant) alternative to
+    * 52b's Pearson matrix. Average ranks with tie handling, computed
+    * DISTRIBUTED: Ranks.globalRowNumber (range-partitioned parallel
+    * sort, never a one-task global window) + a per-value groupBy, where
+    * average rank = (min rn + max rn)/2 ≡ rank() + (ties−1)/2. Ranks are
+    * DECIMAL(19,1) (halves exact, and 19+19 respects DuckDB's 38-width
+    * multiply rule), moment sums are exact decimals, and the final ρ
+    * combination runs in double over quantities that are all exactly
+    * representable at this scale (integers/halves ≪ 2⁵³) — at 10⁹+ rows
+    * the combination would switch to the decimal cross-multiplied form. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    def avgRanks(df: DataFrame, v: String, out: String): DataFrame = {
+      val rn = graft.functions.Ranks.globalRowNumber(
+        df.select(col("doc_id"), col(v)), col(v), col("doc_id"))
+      val ar = rn.groupBy(v).agg(
+        ((min(col("rn")) + max(col("rn"))).cast("decimal(19,1)") / 2)
+          .cast("decimal(19,1)").as(out))
+      rn.join(ar, Seq(v)).select(col("doc_id"), col(out))
+    }
+    val joined = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(qReadability(s, dir).select(col("doc_id"), col("flesch")), Seq("doc_id"))
+    val ra = avgRanks(joined.select(col("doc_id"), col("quality")), "quality", "ra")
+    val rb = avgRanks(joined.select(col("doc_id"), col("flesch")), "flesch", "rb")
+    ra.join(rb, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).cast("double").as("sa"), sum(col("rb")).cast("double").as("sb"),
+        sum(col("ra") * col("ra")).cast("double").as("saa"),
+        sum(col("rb") * col("rb")).cast("double").as("sbb"),
+        sum(col("ra") * col("rb")).cast("double").as("sab"))
+      .select(col("n"),
+        round((col("n") * col("sab") - col("sa") * col("sb")) /
+          (sqrt(col("n") * col("saa") - col("sa") * col("sa")) *
+            sqrt(col("n") * col("sbb") - col("sb") * col("sb"))), 6).as("rho"))
+  }
+
+  private lazy val qSpearmanSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       f AS ($qReadabilitySql),
+       j AS (SELECT q.doc_id, q.quality, f.flesch FROM q JOIN f ON f.doc_id = q.doc_id),
+       ra AS (SELECT doc_id,
+                CAST(CAST(rank() OVER (ORDER BY quality) AS DECIMAL(19,1))
+                  + CAST(count(*) OVER (PARTITION BY quality) - 1 AS DECIMAL(19,1)) / 2
+                  AS DECIMAL(19,1)) AS ra
+              FROM j),
+       rb AS (SELECT doc_id,
+                CAST(CAST(rank() OVER (ORDER BY flesch) AS DECIMAL(19,1))
+                  + CAST(count(*) OVER (PARTITION BY flesch) - 1 AS DECIMAL(19,1)) / 2
+                  AS DECIMAL(19,1)) AS rb
+              FROM j),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra) AS DOUBLE) AS sa, CAST(sum(rb) AS DOUBLE) AS sb,
+               CAST(sum(ra * ra) AS DOUBLE) AS saa,
+               CAST(sum(rb * rb) AS DOUBLE) AS sbb,
+               CAST(sum(ra * rb) AS DOUBLE) AS sab
+             FROM ra JOIN rb USING (doc_id))
+       SELECT n, round((n * sab - sa * sb) /
+         (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6) AS rho
+       FROM m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
     "q_benford" -> (qBenford _),
     "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
@@ -683,6 +744,7 @@ object Stats extends QueryModule {
     "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
+    "q_spearman" -> qSpearmanSql,
     "q_benford" -> qBenfordSql,
     "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,

@@ -287,6 +287,37 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(got - num / den) < 1e-4, s"got $got expect ${num / den}")
   }
 
+  test("spearman: matches a local tie-aware reference computation") {
+    val row = graft.operators.Stats.qSpearman(spark, sfDir).collect().head
+    val rho = row.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // local reference: average ranks + Pearson over ranks
+    val joined = graft.operators.TextAnalysis.qQuality(spark, sfDir).select("doc_id", "quality")
+      .join(graft.operators.Stats.qReadability(spark, sfDir).select("doc_id", "flesch"), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Double]("quality"), r.getAs[Double]("flesch")))
+    def avgRanks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val rank = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val ar = (i + 1 + j + 1) / 2.0
+        (i to j).foreach(k => rank(sorted(k)._2) = ar)
+        i = j + 1
+      }
+      rank.toSeq
+    }
+    val ra = avgRanks(joined.map(_._1)); val rb = avgRanks(joined.map(_._2))
+    val n = ra.length
+    val (sa, sb) = (ra.sum, rb.sum)
+    val saa = ra.map(x => x * x).sum; val sbb = rb.map(x => x * x).sum
+    val sab = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val expect = (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    assert(math.abs(rho - expect) < 1e-5, s"got $rho expect $expect")
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
