@@ -296,6 +296,83 @@ object RobustStats extends QueryModule {
       (dExpr > critExpr).as("significant"))
   }
 
+  /** Mann–Whitney U (rank-sum) over every group pair of a (g, x)
+    * relation — the LOCATION test beside ksPairs' distribution-shape
+    * test: U₁ = n₁n₂ + n₁(n₁+1)/2 − R₁ with R₁ the tie-averaged rank sum
+    * of group a in the combined sample. Ranks are DECIMAL(19,1) halves
+    * (the q_spearman rule), U and its mean are exact decimals, and only
+    * the normal-approximation z divides in double (no tie correction —
+    * documented screening statistic; at these tie rates the correction
+    * shifts σ by <1%). Per-pair ranking runs in a (pair)-partitioned
+    * window — bounded by two groups' sizes; swap in the distributed
+    * ranker (Ranks.globalRowNumber per pair) when single groups outgrow
+    * a task. */
+  def mannWhitneyPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+      col("g") === col("ga") || col("g") === col("gb"))
+    val wOrd = Window.partitionBy("ga", "gb").orderBy("x")
+    val wVal = Window.partitionBy("ga", "gb", "x")
+    val ranked = tagged
+      .withColumn("rmin", rank().over(wOrd).cast("decimal(19,1)"))
+      .withColumn("ar", (col("rmin") +
+        (count(lit(1)).over(wVal) - 1).cast("decimal(19,1)") / 2).cast("decimal(19,1)"))
+    ranked.filter(col("g") === col("ga"))
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum(col("ar")).as("r1"))
+      .select(mwOutputCols: _*)
+  }
+
+  private def mwOutputCols: Seq[org.apache.spark.sql.Column] = {
+    val u1 = col("na") * col("nb") +
+      (col("na") * (col("na") + 1)).cast("decimal(19,1)") / 2 - col("r1")
+    val mu = (col("na") * col("nb")).cast("decimal(19,1)") / 2
+    val sigma = sqrt((col("na") * col("nb") * (col("na") + col("nb") + 1))
+      .cast("double") / 12.0)
+    val z = (u1.cast("double") - mu.cast("double")) / sigma
+    Seq(col("ga").as("g_a"), col("gb").as("g_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(u1.cast("double"), 6).as("u1"),
+      round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  /** q_mannwhitney: the rank-sum location matrix over document lengths
+    * per language pair — honest true negatives on this corpus (one
+    * generating distribution; the spec proves the flag trips on shifted
+    * fixtures), with z varying per pair. */
+  def qMannwhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qMannwhitneySql =
+    """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, v.g, v.x
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb),
+       rk AS (SELECT ga, gb, na, nb, g,
+                CAST(CAST(rank() OVER (PARTITION BY ga, gb ORDER BY x) AS DECIMAL(19,1))
+                  + CAST(count(*) OVER (PARTITION BY ga, gb, x) - 1 AS DECIMAL(19,1)) / 2
+                  AS DECIMAL(19,1)) AS ar
+              FROM tg),
+       agg AS (SELECT ga, gb, na, nb, sum(ar) AS r1
+               FROM rk WHERE g = ga GROUP BY 1, 2, 3, 4),
+       u AS (SELECT ga, gb, na, nb,
+               na * nb + CAST(na * (na + 1) AS DECIMAL(19,1)) / 2 - r1 AS u1,
+               CAST(na * nb AS DECIMAL(19,1)) / 2 AS mu,
+               sqrt(CAST(na * nb * (na + nb + 1) AS DOUBLE) / 12.0) AS sigma
+             FROM agg)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(CAST(u1 AS DOUBLE), 6) AS u1,
+         round((CAST(u1 AS DOUBLE) - CAST(mu AS DOUBLE)) / sigma, 6) AS z,
+         abs((CAST(u1 AS DOUBLE) - CAST(mu AS DOUBLE)) / sigma) > 1.96 AS significant
+       FROM u"""
+
   /** q_ks_test: the KS drift matrix over document-length distributions
     * per language — the distribution-level counterpart of q_psi's binned
     * drift gate (KS needs no binning choice). On the synthetic corpus all
@@ -335,6 +412,7 @@ object RobustStats extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
+    "q_mannwhitney" -> (qMannwhitney _),
     "q_fleiss" -> (qFleiss _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
@@ -343,6 +421,7 @@ object RobustStats extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_ks_test" -> qKsTestSql,
+    "q_mannwhitney" -> qMannwhitneySql,
     "q_fleiss" -> qFleissSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,

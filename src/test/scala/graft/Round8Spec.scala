@@ -318,6 +318,24 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(rho - expect) < 1e-5, s"got $rho expect $expect")
   }
 
+  test("mann-whitney: shifted samples trip the flag, identical samples sit at z=0") {
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = (1 to 100).map(i => ("b", i.toLong + 80L))
+    val c = (1 to 100).map(i => ("c", i.toLong))
+    val out = RobustStats.mannWhitneyPairs((a ++ b ++ c).toDF("g", "x")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("z"), r.getAs[Boolean]("significant")))).toMap
+    assert(out(("a", "b"))._2, "an 80-point shift must be significant")
+    // identical samples: R1 = half the total rank sum -> U1 = mu -> z = 0
+    assert(out(("a", "c"))._1 === 0.0 && !out(("a", "c"))._2)
+  }
+
+  test("mann-whitney on the corpus: ten pairs, flag discriminates") {
+    val rows = RobustStats.qMannwhitney(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) < 10.0))
+  }
+
   test("rocchio: nearest-centroid assignment beats chance by a wide margin") {
     val r = SimilaritySearch.qRocchio(spark, sfDir)
     val n = r.count()
