@@ -2,7 +2,9 @@
 """Local replica of the driver's correctness gate: for each query dumped by
 graft.Verify, run the oracle SQL in DuckDB over the same sf tables and
 compare (schema, rows, values) with columns sorted by name and rows sorted
-by all values. Usage: check_oracle.py <sfdir> <outdir> [query ...]"""
+by all values. A 0-row-both-sides match is VACUOUS (proves the plan
+compiles, not that it's right) and is warned; with --strict it fails.
+Usage: check_oracle.py [--strict] <sfdir> <outdir> [query ...]"""
 import sys, os, json, glob
 import duckdb
 import pandas as pd
@@ -31,8 +33,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -83,6 +87,15 @@ def main():
             c, va, vb, n = bad
             print(f"FAIL {name}: col {c}: {n} diffs, first spark={va!r} duckdb={vb!r}")
             n_fail += 1
+        elif len(mine) == 0:
+            # 0 == 0 rows: the gate compares nothing. r7/r8 carried three
+            # such gates (q20_excess, q22_idle, q_antijoin) for two rounds.
+            if strict:
+                print(f"FAIL {name}: VACUOUS (0 rows both sides)")
+                n_fail += 1
+            else:
+                print(f"WARN {name}: vacuous PASS (0 rows both sides)")
+                n_pass += 1
         else:
             print(f"PASS {name} ({len(mine)} rows)")
             n_pass += 1

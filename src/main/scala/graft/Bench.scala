@@ -60,15 +60,23 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = Headline.filter(qs.contains).filter(n => only.forall(_.contains(n))).map { name =>
-      val times = (1 to reps).flatMap { _ =>
-        try {
-          val t0 = System.nanoTime()
-          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+    val names = Headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
+    // INTERLEAVED rep rounds (A,B,C,A,B,C — not A,A,A,B,B,B): a transient
+    // contention spike (GC pause, page-cache eviction, a co-tenant burst)
+    // lands in one round and the per-query median absorbs it, instead of
+    // poisoning every rep of whichever query was running (r8: q_key_skew
+    // 0.37→2.01 s on unchanged code, adjudicated as suite contention).
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; name <- names) {
+      try {
+        val t0 = System.nanoTime()
+        qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
+      } catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
+      val ts = times.getOrElse(name, Nil)
+      name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -66,6 +66,51 @@ object Ranks {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Append the EXCLUSIVE global prefix max of `valueCol` (LongType) in
+    * the total order given by `sortCols`, as `max_before` (NULL for rows
+    * with no strict predecessor) — the distributed form of
+    * `max(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING)`, which as a bare window collapses the relation into one
+    * task. Same shape as globalPrefixSum: range partition (parallel total
+    * sort), one lightweight per-partition max pass (numPartitions options
+    * to the driver), then per-partition running maxima seeded from the
+    * preceding partitions' maxima. */
+  def globalPrefixMax(df: DataFrame, valueCol: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vidx = sorted.schema.fieldIndex(valueCol)
+    // no persist: both jobs share the range shuffle via lineage (see
+    // globalPrefixSum's note)
+    val rdd0 = sorted.rdd
+    val partMax: Array[Option[Long]] = rdd0
+      .mapPartitions({ it =>
+        var m = Option.empty[Long]
+        it.foreach { r =>
+          val v = r.getLong(vidx)
+          if (m.isEmpty || v > m.get) m = Some(v)
+        }
+        Iterator(m)
+      }, preservesPartitioning = true)
+      .collect()
+    val offsets = partMax.scanLeft(Option.empty[Long]) {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case (a, b)             => a.orElse(b)
+    }
+    val schema = sorted.schema.add("max_before", LongType, nullable = true)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ acc.map(Long.box).orNull)
+        val v = r.getLong(vidx)
+        if (acc.isEmpty || v > acc.get) acc = Some(v)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** SQL-standard ntile bucket for global position `rn` of `total` rows:
     * with q = total/k and r = total%k, the first r buckets take q+1 rows.
     * Mirrors the builtin ntile() exactly, as a Column over `rn`. */

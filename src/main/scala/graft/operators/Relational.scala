@@ -1041,15 +1041,23 @@ object Relational extends QueryModule {
              FROM events)
        WHERE rk <= 3"""
 
-  /** Anti join: customers that never ordered. */
+  /** Anti join: customers with no order since 2001-01-01 (lapsed
+    * customers). Every driver-corpus customer has some order, so the
+    * classic "never ordered" anti-join is structurally 0-row; filtering
+    * the build side to recent orders keeps the left_anti shape and
+    * returns real rows (615 at sf0.01). */
   def qAntijoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select("c_custkey", "c_name")
-      .join(Tables.orders(s, dir).select("o_custkey"),
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
 
   private val qAntijoinSql =
     """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01')"""
 
   /** Gap-based sessionization (30-min inactivity): one shuffle on user_id,
     * two stacked windows. Micros arithmetic keeps both engines integral. */
@@ -1094,22 +1102,23 @@ object Relational extends QueryModule {
     * cheaper-or-equal and bigger-or-equal with one strict. The naive
     * formulation is the O(n²) NOT-EXISTS anti-join the ORACLE runs; the
     * Spark plan is the sort-based linear identity instead: group to
-    * distinct prices (bounded ≪ rows), one ordered window over prices for
-    * the running size maxima, and a point is on the skyline iff its size
-    * beats every strictly-cheaper price's max (lag of the running max)
-    * and ties its own price's max. One small window + one equi-join back
-    * — no self-join anywhere, which is the only shape that survives
-    * 100 TB. Exact duplicates of a frontier point are all kept (neither
-    * strictly dominates), matching the oracle's strict-dominance clause. */
+    * distinct prices (bounded ≪ rows), a DISTRIBUTED exclusive prefix max
+    * over prices for the running size maxima (Ranks.globalPrefixMax —
+    * range-partitioned, never the one-task global Window.orderBy), and a
+    * point is on the skyline iff its size beats every strictly-cheaper
+    * price's max and ties its own price's max. One prefix-max pass + one
+    * equi-join back — no self-join anywhere, which is the only shape that
+    * survives 100 TB. Exact duplicates of a frontier point are all kept
+    * (neither strictly dominates), matching the oracle's strict-dominance
+    * clause. */
   def qSkyline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pts = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_retailprice").as("price"), col("p_size").as("size"))
-    val wOrd = Window.orderBy("price")
-    val perPrice = pts.groupBy("price").agg(max(col("size")).as("ms"))
-      .withColumn("run_incl", max(col("ms")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("run_excl", lag(col("run_incl"), 1).over(wOrd))
+    val perPrice = graft.functions.Ranks.globalPrefixMax(
+        pts.groupBy("price").agg(max(col("size")).cast("long").as("ms")),
+        "ms", col("price").asc)
+      .withColumn("run_excl", col("max_before"))
+      .withColumn("run_incl", greatest(col("ms"), col("max_before")))
     pts.join(perPrice.select("price", "run_incl", "run_excl"), Seq("price"))
       .filter(col("size") >= col("run_incl") &&
         (col("run_excl").isNull || col("size") > col("run_excl")))

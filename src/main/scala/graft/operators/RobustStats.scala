@@ -100,8 +100,13 @@ object RobustStats extends QueryModule {
     * key would be a secret salt; the mechanism is unchanged). True counts
     * are emitted alongside for the gate — a real release drops them. */
   def qDpCounts(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(col("source")), 1, 13), 16, 10)
-      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    // clamp u away from 0: Spark's log(0) is NULL while DuckDB's ln(0) is
+    // -inf, so an exactly-zero 52-bit uniform would diverge the engines
+    // silently instead of failing identically; 2^-52 is the smallest
+    // nonzero value the mantissa construction can produce
+    val u = greatest(conv(substring(md5(col("source")), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0), // 2^52
+      lit(2.220446049250313e-16))
     Tables.documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n"))
       .select(col("source"), col("n"), u.as("u"))
@@ -115,8 +120,8 @@ object RobustStats extends QueryModule {
   private lazy val qDpCountsSql =
     s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
        g AS (SELECT source, n,
-               CAST(CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) AS DOUBLE)
-                 / 4503599627370496 AS u
+               greatest(CAST(CAST(('0x' || substr(md5(source), 1, 13)) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496, 2.220446049250313e-16) AS u
              FROM c)
        SELECT source, n,
          round(n + (CASE WHEN u >= 0.5 THEN -ln(2.0 * (1.0 - u))
@@ -130,10 +135,15 @@ object RobustStats extends QueryModule {
     * statistics before averaging. Nearest-rank (not interpolated) on
     * purpose: the thresholds are actual data values, so clipping and
     * summation stay in exact DECIMAL and only the final mean divides.
-    * Rank k = ⌈p·n⌉ in pure integer arithmetic ((n·5+99) div 100). This
-    * is the exact audit formulation (a per-group sort); the bounded-
-    * memory path at 100 TB swaps the rank pick for the GK sketch exactly
-    * as q_ntile → q_ntile_approx. */
+    * Rank k = ⌈p·n⌉ in pure integer arithmetic ((n·5+99) div 100). The
+    * rank pick is DISTRIBUTED: l_returnflag has 3 values, so a
+    * per-group window sort would funnel ~1/3 of the fact table into one
+    * task each — instead, ONE global range-partitioned rank over
+    * (flag, price) (Ranks.globalRowNumber, the parallel total sort) and
+    * per-flag rank = global rn − the flag's first rn + 1 (each flag
+    * occupies a contiguous rn range in the (flag, price) order). The
+    * bounded-memory path at 100 TB further swaps the exact rank pick for
+    * the GK sketch exactly as q_ntile → q_ntile_approx. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     // money lands in parquet as double — cast to DECIMAL(12,2) FIRST (the
     // lineitem oracle convention) so clipping and summation are exact and
@@ -142,23 +152,18 @@ object RobustStats extends QueryModule {
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
-    // ONE sorted pass finds both order statistics: the group count rides
-    // the same partitioning as the rank window (unordered frame — no
-    // second sort), so the fact table is scanned twice total (thresholds +
-    // final clip), not three times (separate count + rank + clip)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("flag").orderBy(col("price").asc)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("flag")
-    val ranked = base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val cuts = ranked
-      .filter(col("rn") === expr("(n*5+99) div 100") ||
-        col("rn") === expr("(n*95+99) div 100"))
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      base, col("flag").asc, col("price").asc)
+    val stats = ranked.groupBy("flag")
+      .agg(count(lit(1)).as("n"), min(col("rn")).as("rn0"))
+    val cuts = ranked.join(broadcast(stats), Seq("flag"))
+      .withColumn("grn", col("rn") - col("rn0") + 1)
+      .filter(col("grn") === expr("(n*5+99) div 100") ||
+        col("grn") === expr("(n*95+99) div 100"))
       .groupBy("flag")
       .agg(first(col("n")).as("n"),
-        min(when(col("rn") === expr("(n*5+99) div 100"), col("price"))).as("lo"),
-        max(when(col("rn") === expr("(n*95+99) div 100"), col("price"))).as("hi"))
+        min(when(col("grn") === expr("(n*5+99) div 100"), col("price"))).as("lo"),
+        max(when(col("grn") === expr("(n*95+99) div 100"), col("price"))).as("hi"))
     base.join(broadcast(cuts), Seq("flag"))
       .groupBy("flag")
       .agg(first(col("n")).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"),
@@ -303,10 +308,14 @@ object RobustStats extends QueryModule {
     * (the q_spearman rule), U and its mean are exact decimals, and only
     * the normal-approximation z divides in double (no tie correction —
     * documented screening statistic; at these tie rates the correction
-    * shifts σ by <1%). Per-pair ranking runs in a (pair)-partitioned
-    * window — bounded by two groups' sizes; swap in the distributed
-    * ranker (Ranks.globalRowNumber per pair) when single groups outgrow
-    * a task. */
+    * shifts σ by <1%). Ranking runs at DISTINCT-VALUE granularity (the
+    * ksPairs trick): per (pair, x) tie counts for each side first, so the
+    * only window scans distinct values — partition size bounded by the
+    * value domain, never the fact table (a row-level per-pair rank window
+    * would funnel both groups' rows into one task). Every row at x has
+    * tie-averaged rank c_before + (t+1)/2 (c_before = combined rows
+    * strictly below x, t = combined ties at x), so the group-a rank sum
+    * is Σ_x d1·(c_before + (t+1)/2) — identical to ranking row-by-row. */
   def mannWhitneyPairs(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
@@ -314,16 +323,19 @@ object RobustStats extends QueryModule {
       .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
       .filter(col("ga") < col("gb"))
     val tagged = broadcast(pairs).join(vals,
-      col("g") === col("ga") || col("g") === col("gb"))
-    val wOrd = Window.partitionBy("ga", "gb").orderBy("x")
-    val wVal = Window.partitionBy("ga", "gb", "x")
-    val ranked = tagged
-      .withColumn("rmin", rank().over(wOrd).cast("decimal(19,1)"))
-      .withColumn("ar", (col("rmin") +
-        (count(lit(1)).over(wVal) - 1).cast("decimal(19,1)") / 2).cast("decimal(19,1)"))
-    ranked.filter(col("g") === col("ga"))
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("t", col("d1") + col("d2"))
+      .withColumn("c", sum(col("t")).over(w))
+      .withColumn("ar", ((col("c") - col("t")).cast("decimal(19,1)") +
+        (col("t") + 1).cast("decimal(19,1)") / 2).cast("decimal(19,1)"))
       .groupBy("ga", "gb", "na", "nb")
-      .agg(sum(col("ar")).as("r1"))
+      .agg(sum(col("d1") * col("ar")).as("r1"))
       .select(mwOutputCols: _*)
   }
 

@@ -581,9 +581,14 @@ object Stats extends QueryModule {
     * zero-count digit still reports. One narrow pass + one 9-row
     * aggregate. */
   def qBenford(s: SparkSession, dir: String): DataFrame = {
+    // clamp into 1..9: Java guarantees log10(10^n)==n but C libm does not,
+    // so an exact power of ten may floor to the previous exponent in ONE
+    // engine, yielding digit 10 — which the densify join would silently
+    // drop while the row still counts in n_total, diverging the gate
     val counts = Tables.events(s, dir)
       .filter(col("value") > 0)
-      .select(floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+      .select(least(greatest(
+          floor(col("value") / pow(lit(10.0), floor(log10(col("value"))))), lit(1)), lit(9))
         .cast("int").as("d"))
       .groupBy("d").agg(count(lit(1)).as("n"))
     val digits = s.range(1, 10).select(col("id").cast("int").as("d"))
@@ -602,7 +607,7 @@ object Stats extends QueryModule {
 
   private lazy val qBenfordSql =
     """WITH c AS (
-         SELECT CAST(floor(value / power(10, floor(log10(value)))) AS INT) AS d,
+         SELECT CAST(least(greatest(floor(value / power(10, floor(log10(value)))), 1), 9) AS INT) AS d,
            CAST(count(*) AS BIGINT) AS n
          FROM events WHERE value > 0 GROUP BY 1),
        digits AS (SELECT CAST(range AS INT) AS d FROM range(1, 10)),

@@ -222,7 +222,7 @@ class Round8Spec extends SparkSpec {
     assert(n > 0L, "no exact pairs on the fixture: vacuous audit")
   }
 
-  test("skyline window identity matches brute-force dominance on a tie-heavy fixture") {
+  test("skyline prefix-max identity matches brute-force dominance on a tie-heavy fixture") {
     val pts = Seq(
       (1L, 10.0, 5), (2L, 10.0, 5),   // exact duplicates on the frontier: both kept
       (3L, 10.0, 3),                  // same price, smaller size: dominated by 1/2
@@ -235,11 +235,13 @@ class Round8Spec extends SparkSpec {
     val expect = pts.filter { a => !pts.exists(b =>
       b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)) }.map(_._1).toSet
     val df = pts.toDF("p_partkey", "price", "size")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("price")
-    val per = df.groupBy("price").agg(max(col("size")).as("ms"))
-      .withColumn("run_incl", max(col("ms")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("run_excl", lag(col("run_incl"), 1).over(w))
+    // the operator's distributed path: exclusive prefix max via
+    // Ranks.globalPrefixMax, never a one-task global window
+    val per = graft.functions.Ranks.globalPrefixMax(
+        df.groupBy("price").agg(max(col("size")).cast("long").as("ms")),
+        "ms", col("price").asc)
+      .withColumn("run_excl", col("max_before"))
+      .withColumn("run_incl", greatest(col("ms"), col("max_before")))
     val got = df.join(per.select("price", "run_incl", "run_excl"), Seq("price"))
       .filter(col("size") >= col("run_incl") &&
         (col("run_excl").isNull || col("size") > col("run_excl")))

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Relational, Tpch}
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: the distributed prefix-max primitive, non-vacuity
+  * pins for the de-vacuated TPC-H gates, and engine-divergence clamps —
+  * invariants a hash-compare alone doesn't pin down. */
+class Round9Spec extends SparkSpec {
+
+  // ---------------- Ranks.globalPrefixMax ----------------
+
+  test("globalPrefixMax matches the one-task window reference, ties and duplicates included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values deliberately non-monotone with duplicates and a tie on the
+    // sort key so partition boundaries and tie order are both exercised
+    val rows = Seq(
+      (1L, 5L), (2L, 3L), (3L, 9L), (4L, 9L), (5L, 1L),
+      (6L, 12L), (7L, 2L), (8L, 12L), (9L, 7L), (10L, 0L))
+    val df = rows.toDF("k", "v").repartition(4)
+    val got = graft.functions.Ranks.globalPrefixMax(df, "v", col("k").asc)
+      .select("k", "max_before").as[(Long, Option[Long])].collect().toMap
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df.withColumn("mb", max(col("v")).over(w))
+      .select(col("k"), col("mb")).as[(Long, Option[Long])].collect().toMap
+    assert(got === ref)
+    assert(got(1L).isEmpty, "global first row has no strict predecessor")
+  }
+
+  test("globalPrefixMax survives more partitions than rows (empty partitions)") {
+    import spark.implicits._
+    val df = Seq((1L, 4L), (2L, 2L)).toDF("k", "v")
+    val got = graft.functions.Ranks.globalPrefixMax(df, "v", col("k").asc)
+      .select("k", "max_before").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(4L)))
+  }
+
+  // ---------------- de-vacuated gates stay non-vacuous ----------------
+
+  test("formerly vacuous gates return real rows on the driver corpus") {
+    assert(Tpch.q20Excess(spark, sfDir).count() > 0, "q20_excess vacuous again")
+    assert(Tpch.q22Idle(spark, sfDir).count() > 0, "q22_idle vacuous again")
+    assert(Relational.qAntijoin(spark, sfDir).count() > 0, "q_antijoin vacuous again")
+  }
+
+  test("antijoin keeps exactly the customers with no post-cutoff order") {
+    val lapsed = Relational.qAntijoin(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val recent = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val all = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(lapsed === all.diff(recent))
+    assert(lapsed.nonEmpty && recent.nonEmpty, "both sides must bite")
+  }
+
+  // ---------------- engine-divergence clamps ----------------
+
+  test("benford digit clamp pins boundary values into 1..9") {
+    import spark.implicits._
+    // the exact expression qBenford applies, on values where a 1-ulp
+    // log10 difference could shift the exponent floor
+    val vals = Seq(1.0, 10.0, 100.0, 1000.0, 9.999999999999998, 0.1, 0.01)
+    val d = vals.toDF("value")
+      .select(least(greatest(
+        floor(col("value") / pow(lit(10.0), floor(log10(col("value"))))), lit(1)), lit(9))
+        .cast("int").as("d"))
+      .as[Int].collect()
+    assert(d.forall(x => x >= 1 && x <= 9))
+    assert(d.take(4).forall(_ === 1), "powers of ten lead with digit 1")
+  }
+
+  test("dp_counts uniform clamp keeps the log argument strictly positive") {
+    import spark.implicits._
+    val u = Seq(0.0, 2.220446049250313e-16, 0.5, 1.0 - 2.220446049250313e-16)
+      .toDF("u0")
+      .select(greatest(col("u0"), lit(2.220446049250313e-16)).as("u"))
+      .select(
+        when(col("u") >= 0.5, -log(lit(2.0) * (lit(1.0) - col("u"))))
+          .otherwise(log(lit(2.0) * col("u"))).as("noise"))
+      .as[Double].collect()
+    assert(u.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}

@@ -76,17 +76,19 @@ class TpchSpec extends SparkSpec {
     assert(math.abs(got - expected) < math.max(1.0, expected * 1e-6) + 1.0)
   }
 
-  test("q20: every dominant supplier shipped more than half of some red part") {
+  test("q20: every dominant supplier shipped >2x its fair share of some red part") {
     val dominant = Tpch.q20Excess(spark, sfDir).collect().map(_.getLong(0)).toSet
     val red = Tables.part(spark, sfDir).filter(col("p_name").like("red%")).select("p_partkey")
     val shipped = Tables.lineitem(spark, sfDir)
       .join(red, col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("sq"))
-    val totals = shipped.groupBy(col("l_partkey").as("tk")).agg(sum("sq").as("tq"))
+    val totals = shipped.groupBy(col("l_partkey").as("tk"))
+      .agg(sum("sq").as("tq"), count(lit(1)).as("ns"))
     val recomputed = shipped.join(totals, col("l_partkey") === col("tk"))
-      .filter(col("sq") * 2 > col("tq"))
+      .filter(col("sq") * col("ns") > col("tq") * 2)
       .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
     assert(dominant === recomputed)
+    assert(dominant.nonEmpty, "vacuous gate: the fair-share predicate must bite")
   }
 
   test("q21: blamed suppliers exist only if multi-supplier orders exist") {
@@ -97,15 +99,17 @@ class TpchSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= orders))
   }
 
-  test("q22: idle customers have above-average balance and no orders") {
+  test("q22: idle customers have above-average balance and no urgent orders") {
     val rows = Tpch.q22Idle(spark, sfDir).collect()
     val cust = Tables.customer(spark, sfDir)
     val avgPos = cust.filter(col("c_acctbal") > 0).agg(avg("c_acctbal")).head().getDouble(0)
     // recompute the anti-join count over the same threshold
     val expected = cust.filter(col("c_acctbal") > avgPos)
-      .join(Tables.orders(spark, sfDir).select("o_custkey"),
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti").count()
     assert(rows.map(_.getLong(1)).sum === expected)
+    assert(expected > 0, "vacuous gate: idle-rich customers must exist in the corpus")
   }
 
   test("q2: exactly one best supplier per part, balances are the max") {
