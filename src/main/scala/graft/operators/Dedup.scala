@@ -359,6 +359,99 @@ object Dedup extends QueryModule {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
 
+  /** SimHash audit ceilings, calibrated on the driver corpus (the
+    * signature is DETERMINISTIC — fixed hash family — so each bound
+    * either holds for a corpus or it doesn't): identical token streams
+    * (jaccard = 1.0) must collide EXACTLY (hamming 0, sharp); strong
+    * pairs (J ≥ 0.5) measured max hamming 11 at sf0.1 → ceiling 20; weak
+    * pairs measured max 28 → ceiling 44 = E[hamming | unrelated] + 3σ
+    * (32 + 3·√(64·0.25)), the catastrophic-breakage bound a constant or
+    * anti-correlated bit plane would blow. */
+  val SimhashAuditStrongBound = 20
+  val SimhashAuditWeakBound = 44
+
+  /** q_simhash_audit: accuracy certificate for the SimHash kernel — the
+    * q_minhash_audit pattern applied to the second rows-only signature
+    * path: for every EXACT near-dup pair (the SQL-derivable
+    * q_dedup_jaccard set, so the oracle reproduces the rows), the 64-bit
+    * signature hamming distance must respect the jaccard-banded ceiling,
+    * asserted as a boolean the oracle gates literally. A broken kernel
+    * (biased mixing, dead bits, a sign error in the occurrence sums)
+    * fails the jaccard=1.0 exact-collision clause or the strong-pair
+    * ceiling. Signatures join onto pairs ≪ corpus — one projection +
+    * two broadcast-friendly joins. */
+  def qSimhashAudit(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir)
+    val hamming = expr("bit_count(sig_a ^ sig_b)")
+    qDedupJaccard(s, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("jaccard") === 1.0, hamming === 0)
+          .when(col("jaccard") >= 0.5, hamming <= SimhashAuditStrongBound)
+          .otherwise(hamming <= SimhashAuditWeakBound).as("hamming_ok"))
+  }
+
+  private lazy val qSimhashAuditSql =
+    s"""WITH $pairCountCtes
+       SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard,
+         TRUE AS hamming_ok
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12"""
+
+  /** Cosine-LSH recall floor: 4·n_caught ≥ n_pairs (recall ≥ 0.25,
+    * cross-multiplied — no fp ratio in the gate). Measured recall of the
+    * 8×6 hyperplane index over the exact ≥0.35 pair set: 0.384 at
+    * sf0.01, 0.437 at sf0.1 (deterministic planes — the number is a
+    * property of the corpus, not a draw). Chance collision would sit
+    * orders below the floor: a broken plane family or bucket join fails
+    * the gate. */
+  val CosineLshRecallDen = 4
+
+  /** q_cosine_lsh_audit: accuracy certificate for the hyperplane-LSH
+    * candidate generator — q_ann_recall made DuckDB-gated: ground truth
+    * is the SQL-derivable exact cosine pair set (the q_dedup_cosine
+    * block), Spark left-joins the LSH bucket-collision candidates onto
+    * it and emits ONE row: the exact pair count (oracle recomputes it)
+    * and the cross-multiplied recall floor as a boolean the oracle
+    * asserts literally. Candidate generation stays the (tbl, bucket)
+    * equi-join — the audit never runs all-pairs outside the bounded
+    * <500 ground-truth block. */
+  def qCosineLshAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        SimilaritySearch.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.35)
+    val cand = SimilaritySearch.postedBuckets(s, dir)
+      .select("vec_id", "tbl", "bucket")
+      .groupBy("tbl", "bucket")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    exact.join(cand, Seq("vec_a", "vec_b"), "left_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .select(col("n_pairs"),
+        (col("n_caught") * CosineLshRecallDen >= col("n_pairs")).as("recall_ok"))
+  }
+
+  private val qCosineLshAuditSql =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS recall_ok
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
+
   /** Exact Jaccard restricted to candidate pairs (the verify stage all
     * LSH variants share). Joins on the 8-byte shingle hash from
     * docShingles, not the string — and FIRST prunes the posting to the
@@ -1020,6 +1113,8 @@ object Dedup extends QueryModule {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_audit" -> (qMinhashAudit _),
+    "q_simhash_audit" -> (qSimhashAudit _),
+    "q_cosine_lsh_audit" -> (qCosineLshAudit _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_source_overlap" -> (qSourceOverlap _),
@@ -1035,6 +1130,8 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_minhash_audit" -> qMinhashAuditSql,
+    "q_simhash_audit" -> qSimhashAuditSql,
+    "q_cosine_lsh_audit" -> qCosineLshAuditSql,
     "q_containment" -> qContainmentSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,

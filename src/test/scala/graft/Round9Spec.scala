@@ -56,6 +56,36 @@ class Round9Spec extends SparkSpec {
     assert(lapsed.nonEmpty && recent.nonEmpty, "both sides must bite")
   }
 
+  // ---------------- sketch accuracy certificates ----------------
+
+  test("simhash audit: every exact pair respects its banded hamming ceiling") {
+    val a = graft.operators.Dedup.qSimhashAudit(spark, sfDir)
+    val n = a.count()
+    assert(n === graft.operators.Dedup.qDedupJaccard(spark, sfDir).count(),
+      "audit must cover exactly the exact-Jaccard pair set")
+    assert(a.filter(!col("hamming_ok")).count() === 0L)
+    assert(n > 0L, "no exact pairs on the fixture: vacuous audit")
+  }
+
+  test("simhash audit: identical token streams collide exactly (hamming 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.HashKernelCols.simhash64(
+        graft.functions.TextFns.rawTokens(col("text"))).as("h"))
+    val hs = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) === hs(2L), "identical docs must have identical simhash")
+    assert(hs(1L) !== hs(3L), "distinct docs should differ on this fixture")
+  }
+
+  test("cosine LSH audit: one row, recall floor holds, ground truth non-empty") {
+    val rows = graft.operators.Dedup.qCosineLshAudit(spark, sfDir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("n_pairs") > 0L, "vacuous audit: no exact pairs")
+    assert(rows(0).getAs[Boolean]("recall_ok"), "LSH recall fell below the floor")
+  }
+
   // ---------------- engine-divergence clamps ----------------
 
   test("benford digit clamp pins boundary values into 1..9") {
