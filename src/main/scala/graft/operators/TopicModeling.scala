@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    (polysemous_words.py:78-85, minimum_probability=0.0575);
   *  - polysemy flag: #topics above threshold > minimum_topics (=2)
   *    (polysemous_words.py:84);
-  *  - HDP replacement (wiki_hdp.py): Spark has no HDP; the equivalent
-  *    capability — choosing the topic count from data — is an LDA sweep
-  *    scored by u_mass coherence (≈ suggested_lda_model());
+  *  - HDP (wiki_hdp.py): q_hdp runs the truncated stick-breaking
+  *    variational posterior over corpus-level topic proportions (true
+  *    nonparametric topic-count inference); q_model_select keeps the
+  *    complementary sweep-and-score selection the thesis also runs;
   *  - u_mass coherence + log-perplexity (coherence_log_perplexity.py).
   *
   * All queries here are rows-only oracles (iterative ML is not
@@ -154,14 +155,13 @@ object TopicModeling extends QueryModule {
     * suggested_lda_model analogue). One sequential fit per k is inherent
     * (iterative ML); each fit/score is fully distributed.
     *
-    * INTENTIONAL DIVERGENCE from the reference: wiki_hdp.py:1-30 infers
-    * the topic count nonparametrically (gensim HdpModel, truncated
-    * stick-breaking at T=1000, then suggested_lda_model()). MLlib has no
-    * HDP; this engine keeps the same CONTRACT — "return the best LDA and
-    * its k without the user fixing k" — via an explicit sweep + coherence
-    * argmax, which is also how HDP results are validated in practice. A
-    * user replaying the thesis gets the same artifact (a chosen k and its
-    * model), selected by sweep rather than stick-breaking inference. */
+    * Relation to the reference: wiki_hdp.py:1-30 infers the topic count
+    * nonparametrically (gensim HdpModel, truncated stick-breaking at
+    * T=1000, then suggested_lda_model()) — that inference now lives in
+    * q_hdp (the truncated stick-breaking variational posterior). This
+    * operator keeps the complementary sweep-and-score path
+    * (coherence_log_perplexity.py sweeps k and scores both metrics),
+    * which is also how HDP results are validated in practice. */
   def qModelSelect(s: SparkSession, dir: String): DataFrame = {
     val (bow, vocab) = corpus(s, dir)
     val vocabLit = array(vocab.map(lit): _*)
@@ -187,13 +187,73 @@ object TopicModeling extends QueryModule {
         (col("k") === best).as("selected"))
   }
 
+  // ---------------------------------------------------------------- HDP
+
+  /** Corpus-level concentration γ (gensim HdpModel gamma default). */
+  val HdpGamma = 1.0
+  /** Corpus truncation T at test SF (reference uses T=1000 at wiki scale —
+    * wiki_hdp.py:19; set GRAFT_HDP_T=1000 on a cluster, same code path). */
+  val HdpTruncation = 20
+  /** Keep topic k iff its expected corpus weight E[β_k] ≥ this. */
+  val HdpBetaThreshold = 0.01
+
+  /** q_hdp: TRUE nonparametric topic-count inference — the truncated
+    * stick-breaking variational HDP posterior over corpus-level topic
+    * proportions (Wang, Paisley, Blei 2011, "Online Variational Inference
+    * for the Hierarchical Dirichlet Process"), replacing the former
+    * sweep-and-argmax stand-in for reference wiki_hdp.py:19-27
+    * (HdpModel(T=1000) → suggested_lda_model()).
+    *
+    * Factorization: the topic-word half of the variational family is the
+    * T-truncated online-LDA fit (the same mean-field family WPB §3 uses);
+    * this operator runs the corpus-stick half exactly: with φ_dk the
+    * doc-topic posterior mass, the Beta posterior of stick v_k is
+    * a_k = 1 + Σ_d φ_dk,  b_k = γ + Σ_d Σ_{j>k} φ_dj, and the expected
+    * weight is E[β_k] = E[v_k]·Π_{j<k}(1−E[v_j]) with E[v_k] =
+    * a_k/(a_k+b_k). Topics with E[β_k] ≥ τ survive — that surviving set
+    * IS suggested_lda_model(): the LDA restricted to the topics the
+    * stick-breaking posterior says the corpus uses.
+    *
+    * Scale shape: the E-step aggregate Σ_d φ_dk is one distributed
+    * explode+groupBy over the doc-topic output; only T partial sums reach
+    * the driver (tail sums Σ_{j>k} S_j are suffix sums over those T
+    * values), and the emitted relation is T rows. Rows-only gate
+    * (iterative ML is not SQL-expressible); seeded, so deterministic. */
+  def qHdp(s: SparkSession, dir: String): DataFrame = {
+    val t = sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)
+    val totals = docTopics(s, dir, t)
+      .select(posexplode(col("dist")).as(Seq("topic", "phi")))
+      .groupBy("topic").agg(sum(col("phi")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // sticks are ordered by corpus usage (the WPB/gensim greedy ordering —
+    // tightest variational bound puts the heaviest topics on the earliest
+    // sticks); ties broken by topic id for determinism
+    val ordered = (0 until t).map(k => (totals.getOrElse(k, 0.0), k))
+      .sortBy { case (sk, k) => (-sk, k) }
+    val tails = ordered.map(_._1).scanRight(0.0)(_ + _).tail // Σ over later sticks
+    val rows = ordered.zip(tails).zipWithIndex
+      .scanLeft((0, 0, 0.0, 0.0, 0.0, 1.0)) {
+        case ((_, _, _, _, _, remain), (((sk, topicId), tail), stick)) =>
+          val a = 1.0 + sk
+          val b = HdpGamma + tail
+          val v = a / (a + b)
+          (stick, topicId, a, b, v * remain, remain * (1.0 - v))
+      }.tail
+    import s.implicits._
+    rows.map { case (stick, topicId, a, b, beta, _) =>
+      (stick, topicId, math.floor(a * 1e6) / 1e6, math.floor(b * 1e6) / 1e6,
+        math.floor(beta * 1e6) / 1e6, beta >= HdpBetaThreshold)
+    }.toDF("stick", "topic", "stick_a", "stick_b", "beta", "kept")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lda_topics" -> (qLdaTopics _),
     "q_doc_topics" -> (qDocTopics _),
     "q_polysemy" -> (qPolysemy _),
     "q_coherence" -> (qCoherence _),
     "q_perplexity" -> (qPerplexity _),
-    "q_model_select" -> (qModelSelect _))
+    "q_model_select" -> (qModelSelect _),
+    "q_hdp" -> (qHdp _))
 
   override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only
 }

@@ -86,6 +86,29 @@ class Round9Spec extends SparkSpec {
     assert(rows(0).getAs[Boolean]("recall_ok"), "LSH recall fell below the floor")
   }
 
+  // ---------------- truncated stick-breaking HDP ----------------
+
+  test("hdp: stick posterior is a valid truncated stick-breaking measure") {
+    val t = graft.operators.TopicModeling.HdpTruncation
+    val rows = graft.operators.TopicModeling.qHdp(spark, sfDir).collect()
+    assert(rows.length === t, "one row per truncation stick")
+    val betas = rows.map(_.getAs[Double]("beta"))
+    assert(betas.sum <= 1.0 + 1e-6, "stick weights must sum below one")
+    assert(betas.forall(_ >= 0.0))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stick_a") >= 1.0 - 1e-6, "Beta prior a=1 floor")
+      assert(r.getAs[Double]("stick_b") >=
+        graft.operators.TopicModeling.HdpGamma - 1e-6, "Beta prior b=gamma floor")
+    }
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+    assert(kept.nonEmpty, "the posterior must keep at least one topic")
+    kept.foreach(r => assert(r.getAs[Double]("beta") >=
+      graft.operators.TopicModeling.HdpBetaThreshold - 1e-6))
+    // sticks are usage-ordered: stick_a (1 + corpus mass) is non-increasing
+    val as = rows.sortBy(_.getAs[Int]("stick")).map(_.getAs[Double]("stick_a"))
+    assert(as.zip(as.tail).forall { case (x, y) => x >= y - 1e-6 })
+  }
+
   // ---------------- engine-divergence clamps ----------------
 
   test("benford digit clamp pins boundary values into 1..9") {
