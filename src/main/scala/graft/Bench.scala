@@ -46,7 +46,8 @@ object Bench {
     "q_cusum", "q_calibration", "q_ann_recall", "q_hll_merge",
     "q_ks_test", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
-    "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit")
+    "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
+    "q_mad", "q_wasserstein", "q_krippendorff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,9 +34,11 @@ object RobustStats extends QueryModule {
     * category shares, κ = (P̄−P̄e)/(1−P̄e). Every sum is an exact integer
     * aggregate; the final expression is a handful of identically-ordered
     * double ops, rounded at 1e-6. One narrow pass + one 1-row aggregate. */
-  def qFleiss(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic m-rater vote table (doc_id, vote) shared by the
+    * agreement statistics (Fleiss' kappa, Krippendorff's alpha). */
+  private def raterVotes(s: SparkSession, dir: String): DataFrame = {
     val m = FleissRaters
-    val votes = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), (col("n_chars") >= FleissLenThreshold).as("base"))
       .select(col("doc_id"), col("base"),
         explode(array((0 until m).map(lit): _*)).as("r"))
@@ -44,6 +46,22 @@ object RobustStats extends QueryModule {
         when(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
           col("r").cast("string"))), 1, 1), 16, 10).cast("int") < 3,
           !col("base")).otherwise(col("base")).cast("int").as("vote"))
+  }
+
+  /** The vote table as a SQL CTE body (the oracle twin of raterVotes). */
+  private lazy val raterVotesSql = {
+    val m = FleissRaters
+    s"""SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(r AS VARCHAR)), 1, 1)) AS INT) < 3
+                THEN CAST(NOT (n_chars >= $FleissLenThreshold) AS INT)
+                ELSE CAST(n_chars >= $FleissLenThreshold AS INT) END AS vote
+         FROM documents CROSS JOIN (SELECT unnest([${(0 until m).mkString(", ")}]) AS r)"""
+  }
+
+  def qFleiss(s: SparkSession, dir: String): DataFrame = {
+    val m = FleissRaters
+    val votes = raterVotes(s, dir)
     val perDoc = votes.groupBy("doc_id")
       .agg(sum(col("vote")).as("g"))
       .select(col("g"),
@@ -64,13 +82,7 @@ object RobustStats extends QueryModule {
 
   private lazy val qFleissSql = {
     val m = FleissRaters
-    s"""WITH v AS (
-         SELECT doc_id, r,
-           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                  CAST(r AS VARCHAR)), 1, 1)) AS INT) < 3
-                THEN CAST(NOT (n_chars >= $FleissLenThreshold) AS INT)
-                ELSE CAST(n_chars >= $FleissLenThreshold AS INT) END AS vote
-         FROM documents CROSS JOIN (SELECT unnest([${(0 until m).mkString(", ")}]) AS r)),
+    s"""WITH v AS ($raterVotesSql),
        d AS (SELECT doc_id, sum(vote) AS g FROM v GROUP BY doc_id),
        p AS (SELECT g, g*(g-1) + ($m-g)*(${m - 1}-g) AS p_num FROM d),
        a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -83,6 +95,53 @@ object RobustStats extends QueryModule {
        SELECT n_docs, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
          round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
        FROM c"""
+  }
+
+  // ---------------------------------------------------------- krippendorff
+
+  /** q_krippendorff: Krippendorff's alpha over the same deterministic
+    * m-rater panel as q_fleiss — the third member of the agreement family
+    * (Cohen: 2 raters; Fleiss: m raters, chance from rater pools;
+    * Krippendorff: m raters, chance from the COINCIDENCE matrix, the form
+    * that generalizes to missing votes and other metrics). For complete
+    * binary nominal data: observed disagreement D_o = 2·Σ_u g_u(m−g_u) /
+    * ((m−1)·n·m), expected D_e = 2·n₀·n₁ / (N·(N−1)) with N = n·m,
+    * n₁ = Σ g_u; α = 1 − D_o/D_e. Every sum is an exact integer
+    * aggregate; the final combination is a fixed identically-ordered
+    * double expression, rounded at 1e-6. One narrow pass + one 1-row
+    * aggregate — same scale shape as q_fleiss. */
+  def qKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    val m = FleissRaters
+    raterVotes(s, dir)
+      .groupBy("doc_id").agg(sum(col("vote")).as("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g")).as("n_good"),
+        sum(col("g") * (lit(m) - col("g"))).as("s_gm"))
+      .select(col("n_docs"), col("n_good"),
+        ((col("s_gm") * 2).cast("double") /
+          ((lit(m - 1)) * col("n_docs") * m)).as("d_o"),
+        ((col("n_good") * (col("n_docs") * m - col("n_good")) * 2).cast("double") /
+          ((col("n_docs") * m) * (col("n_docs") * m - 1))).as("d_e"))
+      .select(col("n_docs"), col("n_good"),
+        round(col("d_o"), 6).as("d_o"), round(col("d_e"), 6).as("d_e"),
+        round(lit(1.0) - col("d_o") / col("d_e"), 6).as("alpha"))
+  }
+
+  private lazy val qKrippendorffSql = {
+    val m = FleissRaters
+    s"""WITH v AS ($raterVotesSql),
+       d AS (SELECT doc_id, sum(vote) AS g FROM v GROUP BY doc_id),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g) AS BIGINT) AS n_good,
+               CAST(sum(g * ($m - g)) AS BIGINT) AS s_gm FROM d),
+       b AS (SELECT n_docs, n_good,
+               CAST(s_gm * 2 AS DOUBLE) / ((${m - 1}) * n_docs * $m) AS d_o,
+               CAST(n_good * (n_docs * $m - n_good) * 2 AS DOUBLE) /
+                 ((n_docs * $m) * (n_docs * $m - 1)) AS d_e
+             FROM a)
+       SELECT n_docs, n_good, round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+         round(1.0 - d_o / d_e, 6) AS alpha
+       FROM b"""
   }
 
   // ------------------------------------------------------------- dp counts
@@ -193,6 +252,61 @@ object RobustStats extends QueryModule {
        FROM base JOIN cuts ON cuts.flag = base.flag
        GROUP BY base.flag"""
 
+  // ---------------------------------------------------------------- MAD
+
+  /** q_mad: median absolute deviation per group — the robust dispersion
+    * companion to q_winsorize's robust location (a production scoring
+    * pipeline clips with winsorize and standardizes with MAD). Both order
+    * statistics are NEAREST-RANK (k = ⌈n/2⌉ = (n·50+99) div 100) so every
+    * intermediate stays exact DECIMAL, and BOTH rank picks run through
+    * the distributed ranker: global range-partitioned rank over
+    * (flag, value) + contiguous-range offsets — never a per-group window
+    * sort (each l_returnflag group is ~1/3 of the fact table). Two total
+    * sorts are inherent to the nested statistic (MAD needs the median
+    * first); the 100 TB bounded-memory swap is the GK sketch at both
+    * picks, exactly as q_ntile → q_ntile_approx. */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    val kMed = "(n*50+99) div 100"
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      base, col("flag").asc, col("price").asc)
+    val stats = ranked.groupBy("flag")
+      .agg(count(lit(1)).as("n"), min(col("rn")).as("rn0"))
+    val med = ranked.join(broadcast(stats), Seq("flag"))
+      .filter(col("rn") - col("rn0") + 1 === expr(kMed))
+      .groupBy("flag").agg(first(col("n")).as("n"), min(col("price")).as("med"))
+    val devs = base.join(broadcast(med), Seq("flag"))
+      .select(col("flag"), col("n"), abs(col("price") - col("med")).as("dev"))
+    val ranked2 = graft.functions.Ranks.globalRowNumber(
+      devs, col("flag").asc, col("dev").asc)
+    val stats2 = ranked2.groupBy("flag").agg(min(col("rn")).as("rn0"))
+    val mad = ranked2.join(broadcast(stats2), Seq("flag"))
+      .filter(col("rn") - col("rn0") + 1 === expr(kMed))
+      .groupBy("flag").agg(min(col("dev")).as("mad"))
+    med.join(mad, Seq("flag"))
+      .select(col("flag"), col("n"), col("med"), col("mad"))
+  }
+
+  private lazy val qMadSql =
+    """WITH base AS (SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem),
+       c AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               (count(*)*50+99)//100 AS k_med FROM base GROUP BY flag),
+       r AS (SELECT flag, price,
+               row_number() OVER (PARTITION BY flag ORDER BY price ASC) AS rn
+             FROM base),
+       med AS (SELECT r.flag, r.price AS med FROM r JOIN c ON c.flag = r.flag AND r.rn = c.k_med),
+       d AS (SELECT base.flag, abs(base.price - med.med) AS dev
+             FROM base JOIN med ON med.flag = base.flag),
+       r2 AS (SELECT flag, dev,
+               row_number() OVER (PARTITION BY flag ORDER BY dev ASC) AS rn
+             FROM d),
+       mad AS (SELECT r2.flag, r2.dev AS mad FROM r2 JOIN c ON c.flag = r2.flag AND r2.rn = c.k_med)
+       SELECT c.flag, c.n, med.med, mad.mad
+       FROM c JOIN med ON med.flag = c.flag JOIN mad ON mad.flag = c.flag"""
+
   // ---------------------------------------------------------- k-anonymity
 
   /** Minimum admissible quasi-identifier group size. */
@@ -300,6 +414,77 @@ object RobustStats extends QueryModule {
       round(dExpr, 6).as("d"), round(critExpr, 6).as("d_crit"),
       (dExpr > critExpr).as("significant"))
   }
+
+  /** Wasserstein-1 (earth-mover) distance over every group pair of a
+    * (g, x) relation with INTEGRAL x — the magnitude-aware member of the
+    * drift family (PSI is binned, KS is the sup, W1 integrates the whole
+    * ECDF gap): W1 = Σ_i |F_a(x_i) − F_b(x_i)|·(x_{i+1} − x_i) over
+    * distinct combined values. Kept EXACT until the single final
+    * division: |c_a·n_b − c_b·n_a| is integer, the value gap is integer,
+    * their products sum in DECIMAL(38,0), and W1 divides once by
+    * n_a·n_b. Same distinct-value-granularity shape as ksPairs — the
+    * window is bounded by the value domain, never the fact table. */
+  def w1Pairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val wCum = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("ga", "gb").orderBy("x")
+    tagged
+      .withColumn("c1", sum(col("d1")).over(wCum))
+      .withColumn("c2", sum(col("d2")).over(wCum))
+      .withColumn("gap", lead(col("x"), 1).over(wLead) - col("x"))
+      // the max combined value contributes nothing (both ECDFs are 1
+      // there), so dropping the null-gap last row is exact
+      .filter(col("gap").isNotNull)
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum(abs(col("c1") * col("nb") - col("c2") * col("na"))
+        .cast("decimal(19,0)") * col("gap").cast("decimal(19,0)")).as("num"))
+      .select(col("ga").as("g_a"), col("gb").as("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("num").cast("double") / (col("na") * col("nb")), 6).as("w1"))
+  }
+
+  /** q_wasserstein: the W1 drift matrix over document-length
+    * distributions per language pair — rounds out q_psi (binned) and
+    * q_ks_test (sup-norm) with the transport distance production drift
+    * monitors alert on. */
+  def qWasserstein(s: SparkSession, dir: String): DataFrame =
+    w1Pairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qWassersteinSql =
+    """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb, x,
+               sum(d1) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2,
+               lead(x) OVER (PARTITION BY ga, gb ORDER BY x) - x AS gap
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               sum(CAST(abs(c1*nb - c2*na) AS DECIMAL(19,0))
+                 * CAST(gap AS DECIMAL(19,0))) AS num
+             FROM c WHERE gap IS NOT NULL GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(CAST(num AS DOUBLE) / (na * nb), 6) AS w1
+       FROM m"""
 
   /** Mann–Whitney U (rank-sum) over every group pair of a (g, x)
     * relation — the LOCATION test beside ksPairs' distribution-shape
@@ -424,19 +609,25 @@ object RobustStats extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
+    "q_wasserstein" -> (qWasserstein _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_fleiss" -> (qFleiss _),
+    "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
     "q_winsorize" -> (qWinsorize _),
+    "q_mad" -> (qMad _),
     "q_mutual_info" -> (qMutualInfo _))
 
   override def oracles: Map[String, String] = Map(
     "q_ks_test" -> qKsTestSql,
+    "q_wasserstein" -> qWassersteinSql,
     "q_mannwhitney" -> qMannwhitneySql,
     "q_fleiss" -> qFleissSql,
+    "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,
     "q_winsorize" -> qWinsorizeSql,
+    "q_mad" -> qMadSql,
     "q_mutual_info" -> qMutualInfoSql)
 }

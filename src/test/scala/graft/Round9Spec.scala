@@ -86,6 +86,62 @@ class Round9Spec extends SparkSpec {
     assert(rows(0).getAs[Boolean]("recall_ok"), "LSH recall fell below the floor")
   }
 
+  // ---------------- robust stats additions ----------------
+
+  test("mad matches a local nearest-rank reference computation per group") {
+    import graft.operators.RobustStats
+    val got = RobustStats.qMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val local = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+      .groupBy(_._1).map { case (f, rows) => f -> rows.map(_._2).sorted }
+    assert(got.keySet === local.keySet)
+    local.foreach { case (f, sortedPrices) =>
+      val n = sortedPrices.length
+      val k = (n * 50 + 99) / 100
+      val med = sortedPrices(k - 1)
+      val devs = sortedPrices.map(p => p.subtract(med).abs).sorted
+      val mad = devs(k - 1)
+      assert(got(f).getAs[java.math.BigDecimal]("med").compareTo(med) === 0,
+        s"median mismatch for $f")
+      assert(got(f).getAs[java.math.BigDecimal]("mad").compareTo(mad) === 0,
+        s"mad mismatch for $f")
+      assert(got(f).getAs[Long]("n") === n.toLong)
+    }
+  }
+
+  test("wasserstein-1 of a shifted copy equals the shift exactly") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => ("a", (i % 7) * 3L))
+    val b = a.map { case (_, x) => ("b", x + 7L) } // pure translation
+    val out = graft.operators.RobustStats
+      .w1Pairs((a ++ b).toDF("g", "x")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("w1") === 7.0,
+      "W1 between a distribution and its c-shift is exactly c")
+  }
+
+  test("wasserstein matrix: every language pair, non-negative, n columns consistent") {
+    val rows = graft.operators.RobustStats.qWasserstein(spark, sfDir).collect()
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(rows.length === (langs * (langs - 1) / 2).toInt)
+    rows.foreach(r => assert(r.getAs[Double]("w1") >= 0.0))
+  }
+
+  test("krippendorff: alpha is a valid agreement coefficient on the panel") {
+    val r = graft.operators.RobustStats.qKrippendorff(spark, sfDir).head()
+    val (dO, dE, alpha) = (r.getAs[Double]("d_o"), r.getAs[Double]("d_e"),
+      r.getAs[Double]("alpha"))
+    assert(dO >= 0.0 && dE > 0.0)
+    assert(alpha <= 1.0 && alpha >= -1.0)
+    assert(math.abs(alpha - (1.0 - dO / dE)) < 2e-6, "alpha ties to its parts")
+    // flip probability 3/16 per rater => substantial but imperfect agreement
+    assert(alpha > 0.2 && alpha < 0.99)
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
