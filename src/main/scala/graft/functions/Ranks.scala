@@ -111,6 +111,73 @@ object Ranks {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Exact nearest-rank ORDER-STATISTIC PICK per group, without numbering
+    * every row: when a query needs only the value at rank k (median,
+    * p05/p95 cuts), materializing a global row number for the whole
+    * relation (zipWithIndex: full row copies, one count job per consumer)
+    * is wasted work. This runs the selection directly on the range
+    * shuffle: (1) one range partition on (group, value) — the parallel
+    * total sort; (2) a lightweight per-partition per-group count pass
+    * (run lengths in first-appearance order — groups are contiguous
+    * after the sort) both fixes the per-group totals (so the target
+    * ranks) AND locates each target rank's (partition, local offset), no
+    * separate count job; (3) a final pick pass emits ONLY the #groups ×
+    * #ranks hit rows. The shuffle is written once and reused by jobs 2
+    * and 3 via lineage. Returns (per-group counts, picked values as
+    * (group, rank, value)) — both driver-sized.
+    *
+    * Ties: any consistent order among equal values yields the same value
+    * at rank k, so no tie-break key is needed for value picks. */
+  def groupedValueAtRanks(df: DataFrame, groupCol: String, valueCol: String,
+      ranksFor: Long => Seq[Long]): (Map[Any, Long], Seq[(Any, Long, Any)]) = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(nPart, col(groupCol).asc, col(valueCol).asc)
+      .sortWithinPartitions(col(groupCol).asc, col(valueCol).asc)
+    val gidx = sorted.schema.fieldIndex(groupCol)
+    val vidx = sorted.schema.fieldIndex(valueCol)
+    val rdd0 = sorted.rdd
+    val partGroupCounts: Array[Seq[(Any, Long)]] = rdd0.mapPartitions({ it =>
+      val buf = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val g = r.get(gidx); buf(g) = buf.getOrElse(g, 0L) + 1L }
+      Iterator(buf.toSeq)
+    }, preservesPartitioning = true).collect()
+    val counts: Map[Any, Long] = partGroupCounts.flatten
+      .groupBy(_._1).map { case (g, s) => g -> s.map(_._2).sum }
+    val targets: Map[Any, Seq[Long]] =
+      counts.map { case (g, n) => g -> ranksFor(n).distinct.sorted }
+    val seen = scala.collection.mutable.Map.empty[Any, Long]
+    val wanted: Array[Map[Any, Seq[(Long, Long)]]] = partGroupCounts.map { seq =>
+      seq.flatMap { case (g, cnt) =>
+        val start = seen.getOrElse(g, 0L)
+        seen(g) = start + cnt
+        val hits = targets.getOrElse(g, Nil)
+          .filter(k => k > start && k <= start + cnt)
+          .map(k => (k - start - 1, k)) // (local offset in this run, rank)
+        if (hits.isEmpty) Nil else Seq(g -> hits)
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(wanted)
+    val picked = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val want = bc.value(pid)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val pos = scala.collection.mutable.Map.empty[Any, Long]
+        it.flatMap { r =>
+          val g = r.get(gidx)
+          want.get(g) match {
+            case None => Iterator.empty
+            case Some(hs) =>
+              val i = pos.getOrElse(g, 0L); pos(g) = i + 1
+              hs.collect { case (li, k) if li == i => (g, k, r.get(vidx)) }.iterator
+          }
+        }
+      }
+    }.collect().toSeq
+    (counts, picked)
+  }
+
   /** SQL-standard ntile bucket for global position `rn` of `total` rows:
     * with q = total/k and r = total%k, the first r buckets take q+1 rows.
     * Mirrors the builtin ntile() exactly, as a Column over `rn`. */

@@ -173,11 +173,70 @@ object Evaluation extends QueryModule {
        CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_class0
        FROM embeddings GROUP BY 1"""
 
+  /** q_auc: ROC AUC of the continuous quality score against the boolean
+    * Gopher gate — the threshold-free ranking metric beside the
+    * confusion-matrix family (18/55), via the rank-sum identity
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with tie-averaged ranks. Ranks
+    * are computed at DISTINCT-VALUE granularity (the Mann–Whitney
+    * machinery: per-score tie counts, rank sum = Σ d₊·(c_before +
+    * (t+1)/2)), so the only window scans distinct rounded scores —
+    * bounded by the score domain, never the corpus. Everything stays in
+    * exact decimals until the single final division; gini = 2·AUC − 1
+    * rides along. */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id"))
+    val byVal = j.groupBy(col("quality").as("x"))
+      .agg(sum(when(col("passes"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("passes"), 1L).otherwise(0L)).as("d2"))
+    val wCum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val auc = (col("r_pos") -
+      (col("n_pos") * (col("n_pos") + 1)).cast("decimal(19,1)") / 2).cast("double") /
+      (col("n_pos") * col("n_neg"))
+    byVal
+      .withColumn("t", col("d1") + col("d2"))
+      .withColumn("c", sum(col("t")).over(wCum))
+      .withColumn("ar", ((col("c") - col("t")).cast("decimal(19,1)") +
+        (col("t") + 1).cast("decimal(19,1)") / 2).cast("decimal(19,1)"))
+      .agg(sum(col("d1")).as("n_pos"), sum(col("d2")).as("n_neg"),
+        sum(col("d1") * col("ar")).as("r_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        round(auc, 6).as("auc"), round(auc * 2 - 1, 6).as("gini"))
+  }
+
+  private lazy val qAucSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       r AS (${TextAnalysis.qQualityRulesSql}),
+       j AS (SELECT q.doc_id, q.quality AS x, r.passes
+             FROM q JOIN r ON r.doc_id = q.doc_id),
+       bv AS (SELECT x, CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS d2
+              FROM j GROUP BY x),
+       c AS (SELECT x, d1, d2, d1 + d2 AS t,
+               sum(d1 + d2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c
+             FROM bv),
+       rk AS (SELECT d1, d2,
+                CAST(CAST(c - t AS DECIMAL(19,1))
+                  + CAST(t + 1 AS DECIMAL(19,1)) / 2 AS DECIMAL(19,1)) AS ar
+              FROM c),
+       a AS (SELECT CAST(sum(d1) AS BIGINT) AS n_pos,
+               CAST(sum(d2) AS BIGINT) AS n_neg, sum(d1 * ar) AS r_pos FROM rk)
+       SELECT n_pos, n_neg,
+         round(CAST(r_pos - CAST(n_pos * (n_pos + 1) AS DECIMAL(19,1)) / 2 AS DOUBLE)
+           / (n_pos * n_neg), 6) AS auc,
+         round(CAST(r_pos - CAST(n_pos * (n_pos + 1) AS DECIMAL(19,1)) / 2 AS DOUBLE)
+           / (n_pos * n_neg) * 2 - 1, 6) AS gini
+       FROM a"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_metrics" -> (qEvalMetrics _),
     "q_gold_standard" -> (qGoldStandard _),
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_kappa" -> (qKappa _),
+    "q_auc" -> (qAuc _),
     "q_cv_folds" -> (qCvFolds _))
 
   override def oracles: Map[String, String] = Map(
@@ -185,5 +244,6 @@ object Evaluation extends QueryModule {
     "q_gold_standard" -> qGoldStandardSql,
     "q_jaro_winkler" -> qJaroWinklerSql,
     "q_kappa" -> qKappaSql,
+    "q_auc" -> qAucSql,
     "q_cv_folds" -> qCvFoldsSql)
 }

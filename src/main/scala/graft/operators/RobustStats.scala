@@ -195,15 +195,17 @@ object RobustStats extends QueryModule {
     * purpose: the thresholds are actual data values, so clipping and
     * summation stay in exact DECIMAL and only the final mean divides.
     * Rank k = ⌈p·n⌉ in pure integer arithmetic ((n·5+99) div 100). The
-    * rank pick is DISTRIBUTED: l_returnflag has 3 values, so a
-    * per-group window sort would funnel ~1/3 of the fact table into one
-    * task each — instead, ONE global range-partitioned rank over
-    * (flag, price) (Ranks.globalRowNumber, the parallel total sort) and
-    * per-flag rank = global rn − the flag's first rn + 1 (each flag
-    * occupies a contiguous rn range in the (flag, price) order). The
-    * bounded-memory path at 100 TB further swaps the exact rank pick for
-    * the GK sketch exactly as q_ntile → q_ntile_approx. */
+    * rank pick is DISTRIBUTED and pick-only: l_returnflag has 3 values,
+    * so a per-group window sort would funnel ~1/3 of the fact table into
+    * one task each — instead Ranks.groupedValueAtRanks runs the
+    * selection on one range shuffle over (flag, price) and ships only
+    * the 3×2 cut values (plus per-group counts) to the driver; no row of
+    * the fact table is ever numbered or copied. The bounded-memory path
+    * at 100 TB further swaps the exact pick for the GK sketch exactly as
+    * q_ntile → q_ntile_approx. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // money lands in parquet as double — cast to DECIMAL(12,2) FIRST (the
     // lineitem oracle convention) so clipping and summation are exact and
     // partition-order-independent; a double sum here would drift at the
@@ -211,18 +213,20 @@ object RobustStats extends QueryModule {
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
-    val ranked = graft.functions.Ranks.globalRowNumber(
-      base, col("flag").asc, col("price").asc)
-    val stats = ranked.groupBy("flag")
-      .agg(count(lit(1)).as("n"), min(col("rn")).as("rn0"))
-    val cuts = ranked.join(broadcast(stats), Seq("flag"))
-      .withColumn("grn", col("rn") - col("rn0") + 1)
-      .filter(col("grn") === expr("(n*5+99) div 100") ||
-        col("grn") === expr("(n*95+99) div 100"))
-      .groupBy("flag")
-      .agg(first(col("n")).as("n"),
-        min(when(col("grn") === expr("(n*5+99) div 100"), col("price"))).as("lo"),
-        max(when(col("grn") === expr("(n*95+99) div 100"), col("price"))).as("hi"))
+    def kLo(n: Long) = (n * 5 + 99) / 100
+    def kHi(n: Long) = (n * 95 + 99) / 100
+    val (counts, picks) = graft.functions.Ranks.groupedValueAtRanks(
+      base, "flag", "price", n => Seq(kLo(n), kHi(n)))
+    val byG = picks.groupBy(_._1).map { case (g, s) =>
+      g -> s.map(t => t._2 -> t._3).toMap }
+    val cutRows = counts.toSeq.map { case (g, n) =>
+      Row(g, n, byG(g)(kLo(n)), byG(g)(kHi(n))) }
+    val cuts = s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(cutRows).asJava),
+      StructType(Seq(base.schema("flag"),
+        StructField("n", LongType, nullable = false),
+        StructField("lo", base.schema("price").dataType),
+        StructField("hi", base.schema("price").dataType))))
     base.join(broadcast(cuts), Seq("flag"))
       .groupBy("flag")
       .agg(first(col("n")).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"),
@@ -259,34 +263,47 @@ object RobustStats extends QueryModule {
     * pipeline clips with winsorize and standardizes with MAD). Both order
     * statistics are NEAREST-RANK (k = ⌈n/2⌉ = (n·50+99) div 100) so every
     * intermediate stays exact DECIMAL, and BOTH rank picks run through
-    * the distributed ranker: global range-partitioned rank over
-    * (flag, value) + contiguous-range offsets — never a per-group window
-    * sort (each l_returnflag group is ~1/3 of the fact table). Two total
-    * sorts are inherent to the nested statistic (MAD needs the median
-    * first); the 100 TB bounded-memory swap is the GK sketch at both
-    * picks, exactly as q_ntile → q_ntile_approx. */
+    * the distributed PICK path (Ranks.groupedValueAtRanks: one range
+    * shuffle per statistic, only the picked values reach the driver) —
+    * never a per-group window sort (each l_returnflag group is ~1/3 of
+    * the fact table). Two range shuffles are inherent to the nested
+    * statistic (MAD needs the median first); the 100 TB bounded-memory
+    * swap is the GK sketch at both picks, exactly as q_ntile →
+    * q_ntile_approx. The final relation is #groups rows, assembled
+    * driver-side from the two bounded pick sets. */
   def qMad(s: SparkSession, dir: String): DataFrame = {
-    val kMed = "(n*50+99) div 100"
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    def k(n: Long) = (n * 50 + 99) / 100
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
-    val ranked = graft.functions.Ranks.globalRowNumber(
-      base, col("flag").asc, col("price").asc)
-    val stats = ranked.groupBy("flag")
-      .agg(count(lit(1)).as("n"), min(col("rn")).as("rn0"))
-    val med = ranked.join(broadcast(stats), Seq("flag"))
-      .filter(col("rn") - col("rn0") + 1 === expr(kMed))
-      .groupBy("flag").agg(first(col("n")).as("n"), min(col("price")).as("med"))
-    val devs = base.join(broadcast(med), Seq("flag"))
-      .select(col("flag"), col("n"), abs(col("price") - col("med")).as("dev"))
-    val ranked2 = graft.functions.Ranks.globalRowNumber(
-      devs, col("flag").asc, col("dev").asc)
-    val stats2 = ranked2.groupBy("flag").agg(min(col("rn")).as("rn0"))
-    val mad = ranked2.join(broadcast(stats2), Seq("flag"))
-      .filter(col("rn") - col("rn0") + 1 === expr(kMed))
-      .groupBy("flag").agg(min(col("dev")).as("mad"))
-    med.join(mad, Seq("flag"))
-      .select(col("flag"), col("n"), col("med"), col("mad"))
+    val (counts, medPicks) = graft.functions.Ranks.groupedValueAtRanks(
+      base, "flag", "price", n => Seq(k(n)))
+    val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
+    val medRows = counts.toSeq.map { case (g, n) => Row(g, n, meds(g)) }
+    val medDf = s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(medRows).asJava),
+      StructType(Seq(base.schema("flag"),
+        StructField("n", LongType, nullable = false),
+        StructField("med", base.schema("price").dataType))))
+    // persist across the second pick's two jobs (sample + shuffle write),
+    // then release — the helper's actions all complete before it returns,
+    // so nothing stays pinned past this call (the r7 ModelCache rule)
+    val devs = base.join(broadcast(medDf), Seq("flag"))
+      .select(col("flag"), abs(col("price") - col("med")).as("dev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, madPicks) = graft.functions.Ranks.groupedValueAtRanks(
+      devs, "flag", "dev", n => Seq(k(n)))
+    devs.unpersist()
+    val mads = madPicks.map { case (g, _, v) => g -> v }.toMap
+    val outRows = counts.toSeq.map { case (g, n) => Row(g, n, meds(g), mads(g)) }
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
+      StructType(Seq(base.schema("flag"),
+        StructField("n", LongType, nullable = false),
+        StructField("med", base.schema("price").dataType),
+        StructField("mad", DecimalType(13, 2)))))
   }
 
   private lazy val qMadSql =

@@ -571,6 +571,60 @@ object Stats extends QueryModule {
          cusum * $CusumK2 > s AS drifting
        FROM c"""
 
+  /** q_changepoint: binary-segmentation changepoint LOCALIZATION per
+    * event type — the companion to q_cusum's drift DETECTION: the split
+    * day maximizing the centered-prefix statistic |S_t − (t/n)·S_n|,
+    * i.e. the first cut binary segmentation would make. Cross-multiplied
+    * into exact decimals (stat = |n·S_t − t·S_n|, the same `pref` the
+    * CUSUM pass builds), argmax by exact-decimal equality join with a
+    * min-day tie-break — no fp comparison anywhere before the final
+    * display cast. Windows run at day granularity per type (bounded by
+    * the calendar, never the fact table). */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(st, Seq("event_type"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("csum", sum(col("tot")).over(wRun))
+      .withColumn("stat", abs(col("n") * col("csum") - col("t") * col("s")))
+    val best = scored.groupBy("event_type").agg(max(col("stat")).as("ms"))
+    scored.join(best, Seq("event_type"))
+      .filter(col("stat") === col("ms"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n_days"), min(col("day")).as("cp_day"),
+        first(col("ms")).as("ms"))
+      .select(col("event_type"), col("n_days"), col("cp_day"),
+        round(col("ms").cast("double") / (col("n_days") * col("n_days")), 6)
+          .as("cp_stat"))
+  }
+
+  private lazy val qChangepointSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(tot) AS s
+              FROM daily GROUP BY 1),
+       idx AS (
+         SELECT d.event_type, d.day, st.n, st.s,
+           row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+           sum(d.tot) OVER (PARTITION BY d.event_type ORDER BY d.day
+             ROWS UNBOUNDED PRECEDING) AS csum
+         FROM daily d JOIN st ON st.event_type = d.event_type),
+       p AS (SELECT event_type, day, n, abs(n*csum - t*s) AS stat FROM idx),
+       m AS (SELECT event_type, max(stat) AS ms FROM p GROUP BY event_type)
+       SELECT p.event_type, any_value(p.n) AS n_days, min(p.day) AS cp_day,
+         round(CAST(any_value(m.ms) AS DOUBLE) / (any_value(p.n) * any_value(p.n)), 6) AS cp_stat
+       FROM p JOIN m ON m.event_type = p.event_type AND p.stat = m.ms
+       GROUP BY p.event_type"""
+
   /** q_benford: first-significant-digit distribution audit (Benford's
     * law — the classic fabricated-data / unit-mixing smell test for a
     * measure column): per digit 1–9, the observed count, observed and
@@ -735,6 +789,7 @@ object Stats extends QueryModule {
     "q_benford" -> (qBenford _),
     "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
+    "q_changepoint" -> (qChangepoint _),
     "q_ab_test" -> (qAbTest _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -753,6 +808,7 @@ object Stats extends QueryModule {
     "q_benford" -> qBenfordSql,
     "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,
+    "q_changepoint" -> qChangepointSql,
     "q_ab_test" -> qAbTestSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

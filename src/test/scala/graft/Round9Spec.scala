@@ -142,6 +142,30 @@ class Round9Spec extends SparkSpec {
     assert(alpha > 0.2 && alpha < 0.99)
   }
 
+  test("auc: the quality score is a genuinely discriminative ranker for the gate") {
+    val r = graft.operators.Evaluation.qAuc(spark, sfDir).head()
+    val (auc, gini) = (r.getAs[Double]("auc"), r.getAs[Double]("gini"))
+    assert(auc > 0.5 && auc < 1.0,
+      "AUC at chance or perfect would make the gate vacuous")
+    assert(math.abs(gini - (2 * auc - 1)) < 2e-6)
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0,
+      "both classes must be present")
+  }
+
+  test("changepoint: localization lands inside the observed range, stat non-negative") {
+    val rows = graft.operators.Stats.qChangepoint(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cp_stat") >= 0.0)
+      assert(r.getAs[Long]("n_days") > 1)
+      val d = r.getAs[String]("cp_day")
+      assert(d >= "2020-01-01" && d <= "2030-12-31")
+    }
+    // the argmax tie-break makes the result a pure function of the data
+    val again = graft.operators.Stats.qChangepoint(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
