@@ -47,7 +47,8 @@ object Bench {
     "q_ks_test", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
-    "q_mad", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint")
+    "q_mad", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint",
+    "q_oov", "q_ctfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

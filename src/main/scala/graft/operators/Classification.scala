@@ -354,7 +354,32 @@ object Classification extends QueryModule {
         round(stddev_pop(col("x")), 6).as("std"))
   }
 
+  /** q_isotonic: isotonic (PAV) calibration of the quality score against
+    * the Gopher gate — the monotone regression that turns a raw ranking
+    * score into calibrated pass-probabilities (the fitted-map companion
+    * to q_calibration's reliability TABLE and q_auc's ranking SCALAR).
+    * MLlib's IsotonicRegression runs the parallel pool-adjacent-violators
+    * algorithm (chunk-wise PAV + merge, distributed); the emitted relation
+    * is the fitted step function (boundary, calibrated probability) —
+    * model-sized, not corpus-sized. Rows-only gate (iterative pooling is
+    * not SQL-expressible); PAV on a fixed input is deterministic, and the
+    * spec pins monotonicity + probability range. */
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val data = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id"))
+      .select(col("quality").as("features"),
+        when(col("passes"), 1.0).otherwise(0.0).as("label"))
+    val model = new IsotonicRegression().setIsotonic(true).fit(data)
+    val pts = model.boundaries.toArray.zip(model.predictions.toArray).zipWithIndex
+      .map { case ((b, p), i) => (i, math.floor(b * 1e6) / 1e6, math.floor(p * 1e6) / 1e6) }
+    import s.implicits._
+    pts.toSeq.toDF("idx", "boundary", "calibrated")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_isotonic" -> (qIsotonic _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_nb" -> (qClassifyNb _),

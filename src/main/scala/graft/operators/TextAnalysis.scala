@@ -956,6 +956,53 @@ object TextAnalysis extends QueryModule {
        ORDER BY chi2 DESC, tok ASC, source ASC LIMIT $ChisqTopK"""
   }
 
+  /** Top class-signature terms kept per source. */
+  val CtfidfTopK = 5
+
+  /** q_ctfidf: class-based TF-IDF top terms per source (the BERTopic-style
+    * domain signature: aggregate each source into one pseudo-document,
+    * weight w = tf·ln(S/sdf) with sdf = #sources containing the term) —
+    * the ranked-list complement to q_chisq's significance scores: χ² says
+    * WHICH tokens associate, c-TF-IDF says what each source is ABOUT.
+    * Determinism: tf and sdf are exact integers, S/sdf is an exact ratio
+    * so ln() matches across engines, and the per-source ranking breaks w
+    * ties on token asc. The ranking window runs over vocabulary-sized
+    * per-source term lists, never the corpus. */
+  def qCtfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = TextPrep.cleanDocs(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), explode(col("toks")).as("tok"))
+    val tf = tk.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val sdf = tf.groupBy("tok").agg(count(lit(1)).as("sdf"))
+    val ns = Tables.documents(s, dir)
+      .agg(countDistinct(col("source")).as("s"))
+    val win = Window.partitionBy("source").orderBy(col("w").desc, col("tok").asc)
+    tf.join(sdf, Seq("tok")).crossJoin(broadcast(ns))
+      .withColumn("w", col("tf").cast("double") *
+        log(col("s").cast("double") / col("sdf")))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= CtfidfTopK)
+      .select(col("source"), col("rank").cast("int").as("rank"), col("tok"),
+        col("tf"), col("sdf"), round(col("w"), 6).as("ctfidf"))
+  }
+
+  private lazy val qCtfidfSql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH tk AS (SELECT source, unnest($t) AS tok FROM documents),
+       tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       sdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS sdf FROM tf GROUP BY tok),
+       ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s FROM documents),
+       w AS (SELECT source, tok, tf, sdf,
+               CAST(tf AS DOUBLE) * ln(CAST(s AS DOUBLE) / sdf) AS w
+             FROM tf JOIN sdf USING (tok) CROSS JOIN ns),
+       r AS (SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY w DESC, tok ASC) AS rank FROM w)
+       SELECT source, CAST(rank AS INT) AS rank, tok, tf, sdf,
+         round(w, 6) AS ctfidf
+       FROM r WHERE rank <= $CtfidfTopK"""
+  }
+
   /** Global token budget as a fraction of the corpus (the mixing target). */
   val MixBudgetFrac = 0.5
 
@@ -999,6 +1046,7 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
+    "q_ctfidf" -> (qCtfidf _),
     "q_mix_rates" -> (qMixRates _),
     "q_lang_id" -> (qLangId _),
     "q_lang_ngram" -> (qLangNgram _),
@@ -1026,6 +1074,7 @@ object TextAnalysis extends QueryModule {
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,
+    "q_ctfidf" -> qCtfidfSql,
     "q_mix_rates" -> qMixRatesSql,
     "q_lang_id" -> qLangIdSql,
     "q_lang_ngram" -> qLangNgramSql,

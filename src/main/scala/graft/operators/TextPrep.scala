@@ -262,6 +262,38 @@ object TextPrep extends QueryModule {
        md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5
        FROM documents GROUP BY source"""
 
+  /** q_oov: dictionary-coverage / out-of-vocabulary rate per language —
+    * the tokenizer-coverage diagnostic every multilingual corpus card
+    * reports (a language whose OOV rate spikes against the shared
+    * filtered vocabulary is under-served by it). Tokens come from the
+    * memoized cleanDocs stage; the vocabulary side is the
+    * filter_extremes dictionary (9), joined with AQE's broadcast-or-
+    * shuffle choice — a web-scale vocab is not broadcast-able. Exact
+    * integer counts, one final division. */
+  def qOov(s: SparkSession, dir: String): DataFrame = {
+    val tk = cleanDocs(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+    val vocab = qDictFiltered(s, dir).select(col("tok"))
+      .withColumn("known", lit(true))
+    tk.join(vocab, Seq("tok"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_toks"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_rate"))
+  }
+
+  private lazy val qOovSql =
+    s"""WITH fd AS ($qDictFilteredSql),
+       tk AS (SELECT lang, unnest(${TextFns.cleanTokensSql("text")}) AS tok
+              FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(CASE WHEN tok IN (SELECT tok FROM fd) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM fd) THEN 0 ELSE 1 END) AS DOUBLE)
+           / count(*), 6) AS oov_rate
+       FROM tk GROUP BY lang"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_text" -> (qCleanText _),
     "q_tokens" -> (qTokens _),
@@ -270,6 +302,7 @@ object TextPrep extends QueryModule {
     "q_doc2bow" -> (qDoc2bow _),
     "q_tfidf" -> (qTfidf _),
     "q_clean_english" -> (qCleanEnglish _),
+    "q_oov" -> (qOov _),
     "q_concept_docs" -> (qConceptDocs _))
 
   override def oracles: Map[String, String] = Map(
@@ -280,5 +313,6 @@ object TextPrep extends QueryModule {
     "q_doc2bow" -> qDoc2bowSql,
     "q_tfidf" -> qTfidfSql,
     "q_clean_english" -> qCleanEnglishSql,
+    "q_oov" -> qOovSql,
     "q_concept_docs" -> qConceptDocsSql)
 }

@@ -166,6 +166,42 @@ class Round9Spec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("oov: rates in [0,1], token totals partition by language, vocab coverage real") {
+    val rows = graft.operators.TextPrep.qOov(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_toks"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate < 1.0, "a fully-OOV language would mean a broken vocab join")
+    }
+  }
+
+  test("ctfidf: k terms per source, deterministic rank order, weights finite") {
+    val rows = graft.operators.TextAnalysis.qCtfidf(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.length <= graft.operators.TextAnalysis.CtfidfTopK)
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rs.length), "dense ranks from 1")
+      val ws = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("ctfidf"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "ranked by weight desc")
+      ws.foreach(w => assert(!w.isNaN && !w.isInfinite))
+    }
+  }
+
+  test("isotonic: the fitted calibration map is monotone with probabilities in range") {
+    val rows = graft.operators.Classification.qIsotonic(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("idx"))
+    assert(rows.length >= 2, "a constant map would make the gate vacuous")
+    val bs = rows.map(_.getAs[Double]("boundary"))
+    val ps = rows.map(_.getAs[Double]("calibrated"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, "boundaries sorted")
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "isotonic: non-decreasing")
+    ps.foreach(p => assert(p >= 0.0 && p <= 1.0))
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
