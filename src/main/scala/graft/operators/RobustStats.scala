@@ -503,6 +503,93 @@ object RobustStats extends QueryModule {
          round(CAST(num AS DOUBLE) / (na * nb), 6) AS w1
        FROM m"""
 
+  /** Top shared-vocabulary terms the JS divergence is evaluated over. */
+  val JsTopTerms = 50
+
+  /** q_js_terms: Jensen–Shannon divergence terms between language
+    * UNIGRAM distributions over the top-N global vocabulary — the drift
+    * family applied to CONTENT (q_psi/q_ks_test/q_wasserstein watch the
+    * length distribution; this watches what is actually said). Emitted
+    * PER (pair, term) — the q_mutual_info rule: each term's contribution
+    * is a fixed double expression over exact integers (add-one-smoothed
+    * counts, and the mixture ratios 2p/(p+q) reduce to exact integer
+    * ratios via cross-multiplication), while a cross-term fp sum would be
+    * order-sensitive. Downstream sums the 10·N tiny terms however it
+    * likes; JS/2 per term is symmetric and bounded by ln 2. Term set is
+    * the top-N by global count with token tie-break — deterministic and
+    * vocabulary-bounded. */
+  def qJsTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = TextPrep.cleanDocs(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+    val topTerms = tk.groupBy("tok").agg(count(lit(1)).as("n_glob"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n_glob").desc, col("tok").asc)))
+      .filter(col("r") <= JsTopTerms)
+      .select("tok")
+    val counts = tk.join(broadcast(topTerms), Seq("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val langTot = tk.groupBy("lang").agg(count(lit(1)).as("n"))
+    val langs = langTot.select(col("lang").as("la"), col("n").as("na"))
+      .crossJoin(langTot.select(col("lang").as("lb"), col("n").as("nb")))
+      .filter(col("la") < col("lb"))
+    // densify: every (pair, top-term) cell exists; add-one smoothing keeps
+    // zero-count cells finite and both engines identical
+    val grid = broadcast(langs).crossJoin(broadcast(topTerms))
+    val cells = grid
+      .join(counts.select(col("lang").as("la"), col("tok"), col("c").as("ca0")),
+        Seq("la", "tok"), "left_outer")
+      .join(counts.select(col("lang").as("lb"), col("tok"), col("c").as("cb0")),
+        Seq("lb", "tok"), "left_outer")
+      .select(col("la"), col("lb"), col("tok"), col("na"), col("nb"),
+        (coalesce(col("ca0"), lit(0L)) + 1).as("ca"),
+        (coalesce(col("cb0"), lit(0L)) + 1).as("cb"))
+    // p = ca/(na+V), q = cb/(nb+V); js_term = (p·ln(2p/(p+q)) +
+    // q·ln(2q/(p+q)))/2 with the ratios cross-multiplied exact:
+    // 2p/(p+q) = 2·ca·(nb+V) / (ca·(nb+V) + cb·(na+V))
+    val v = lit(JsTopTerms)
+    val x = col("ca") * (col("nb") + v)
+    val y = col("cb") * (col("na") + v)
+    val p = col("ca").cast("double") / (col("na") + v)
+    val q = col("cb").cast("double") / (col("nb") + v)
+    cells.select(col("la").as("lang_a"), col("lb").as("lang_b"), col("tok"),
+      col("ca"), col("cb"),
+      round((p * log(lit(2.0) * x.cast("double") / (x + y).cast("double")) +
+        q * log(lit(2.0) * y.cast("double") / (x + y).cast("double"))) / 2, 6)
+        .as("js_term"))
+  }
+
+  private lazy val qJsTermsSql = {
+    val t = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH tk AS (SELECT lang, unnest($t) AS tok FROM documents),
+       top AS (SELECT tok FROM (
+                 SELECT tok, count(*) AS n_glob,
+                   row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+                 FROM tk GROUP BY tok) WHERE r <= $JsTopTerms),
+       c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk SEMI JOIN top USING (tok) GROUP BY lang, tok),
+       lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY lang),
+       pr AS (SELECT a.lang AS la, a.n AS na, b.lang AS lb, b.n AS nb
+              FROM lt a JOIN lt b ON a.lang < b.lang),
+       grid AS (SELECT la, na, lb, nb, tok FROM pr CROSS JOIN top),
+       cells AS (SELECT la, lb, grid.tok AS tok, na, nb,
+                   coalesce(ca.c, 0) + 1 AS ca, coalesce(cb.c, 0) + 1 AS cb
+                 FROM grid
+                 LEFT JOIN c ca ON ca.lang = grid.la AND ca.tok = grid.tok
+                 LEFT JOIN c cb ON cb.lang = grid.lb AND cb.tok = grid.tok)
+       SELECT la AS lang_a, lb AS lang_b, tok, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+         round((
+           (CAST(ca AS DOUBLE) / (na + $JsTopTerms)) *
+             ln(2.0 * CAST(ca * (nb + $JsTopTerms) AS DOUBLE)
+               / CAST(ca * (nb + $JsTopTerms) + cb * (na + $JsTopTerms) AS DOUBLE)) +
+           (CAST(cb AS DOUBLE) / (nb + $JsTopTerms)) *
+             ln(2.0 * CAST(cb * (na + $JsTopTerms) AS DOUBLE)
+               / CAST(ca * (nb + $JsTopTerms) + cb * (na + $JsTopTerms) AS DOUBLE))
+         ) / 2, 6) AS js_term
+       FROM cells"""
+  }
+
   /** Mann–Whitney U (rank-sum) over every group pair of a (g, x)
     * relation — the LOCATION test beside ksPairs' distribution-shape
     * test: U₁ = n₁n₂ + n₁(n₁+1)/2 − R₁ with R₁ the tie-averaged rank sum
@@ -627,6 +714,7 @@ object RobustStats extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
     "q_wasserstein" -> (qWasserstein _),
+    "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
@@ -639,6 +727,7 @@ object RobustStats extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_ks_test" -> qKsTestSql,
     "q_wasserstein" -> qWassersteinSql,
+    "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,
     "q_fleiss" -> qFleissSql,
     "q_krippendorff" -> qKrippendorffSql,

@@ -131,6 +131,27 @@ class Round9Spec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("w1") >= 0.0))
   }
 
+  test("js divergence terms: pointwise non-negative (log-sum inequality), full grid") {
+    val rows = graft.operators.RobustStats.qJsTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every term contribution respects the log-sum lower bound of 0 and
+    // the ln 2 mixture ceiling
+    rows.foreach { r =>
+      val t = r.getAs[Double]("js_term")
+      assert(t >= -1e-9 && t < math.log(2.0))
+      assert(r.getAs[Long]("ca") >= 1 && r.getAs[Long]("cb") >= 1,
+        "add-one smoothing floors every cell at 1")
+    }
+    val pairs = rows.map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")))
+      .distinct
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select("lang").distinct().count().toInt
+    assert(pairs.length === langs * (langs - 1) / 2, "every language pair present")
+    val perPair = rows.groupBy(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")))
+      .values.map(_.length).toSet
+    assert(perPair.size === 1, "identical term grid per pair")
+  }
+
   test("krippendorff: alpha is a valid agreement coefficient on the panel") {
     val r = graft.operators.RobustStats.qKrippendorff(spark, sfDir).head()
     val (dO, dE, alpha) = (r.getAs[Double]("d_o"), r.getAs[Double]("d_e"),
