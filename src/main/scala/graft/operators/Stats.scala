@@ -571,6 +571,290 @@ object Stats extends QueryModule {
          cusum * $CusumK2 > s AS drifting
        FROM c"""
 
+  /** Poisson-bootstrap resample count. */
+  val BootstrapB = 20
+
+  /** q_bootstrap: Poisson bootstrap of the mean event value — THE
+    * at-scale resampling scheme (each row draws its multiplicity w ~
+    * Poisson(1) independently, so no pass needs the global n and
+    * resamples stream in one scan; the classic multinomial bootstrap
+    * cannot be distributed this way). Multiplicities come from the
+    * content-keyed 52-bit md5 uniform (the q_dp_counts determinism move)
+    * through the fixed Poisson(1) inverse-CDF thresholds, so the whole
+    * resample set is a pure function of the data: per resample b, the
+    * weighted sum stays exact DECIMAL, and only the final mean divides.
+    * The B-fold fan-out is a bounded constant multiplier (B=20), map-side
+    * only. Downstream reads the B means as the CI sample. */
+  def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    // Poisson(1) inverse CDF: cumulative e^-1 * (1, 2, 2.5, 2.666..., 2.708...)
+    val w = when(col("u") < 0.3678794411714423, 0L)
+      .when(col("u") < 0.7357588823428846, 1L)
+      .when(col("u") < 0.9196986029286058, 2L)
+      .when(col("u") < 0.9810118431238462, 3L)
+      .when(col("u") < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"),
+        explode(array((0 until BootstrapB).map(lit): _*)).as("b"))
+      .select(col("b"), col("v"), u.as("u"))
+      .select(col("b"), col("v"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"), sum(col("v") * col("w")).as("wsum"))
+      .select(col("b"), col("n_eff"),
+        round(col("wsum").cast("double") / col("n_eff"), 6).as("mean"))
+  }
+
+  private lazy val qBootstrapSql =
+    s"""WITH e AS (
+         SELECT event_id, CAST(value AS DECIMAL(18,6)) AS v, b
+         FROM events CROSS JOIN (SELECT unnest([${(0 until BootstrapB).mkString(", ")}]) AS b)),
+       g AS (SELECT b, v,
+               CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                 CAST(b AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+                 / 4503599627370496 AS u
+             FROM e),
+       wts AS (SELECT b, v,
+                 CASE WHEN u < 0.3678794411714423 THEN 0
+                      WHEN u < 0.7357588823428846 THEN 1
+                      WHEN u < 0.9196986029286058 THEN 2
+                      WHEN u < 0.9810118431238462 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      ELSE 5 END AS w
+               FROM g)
+       SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) AS mean
+       FROM wts GROUP BY b"""
+
+  /** Order statistics used by the Hill estimator. */
+  val HillK = 50
+
+  /** q_hill: Hill tail-index terms of the document-length distribution —
+    * the heavy-tail diagnostic that says whether length outliers are
+    * log-normal noise or a genuine power law (decides truncation policy
+    * for packing/batching): for the top-k order statistics, the per-rank
+    * term ln(x_(i)/x_(k)); the Hill estimate is the mean of the k−1
+    * terms, left to the reader (a cross-row fp sum is order-sensitive —
+    * per-rank terms are each a fixed double over exact integers, the
+    * q_mutual_info rule). Global top-k is a distributed TakeOrdered with
+    * doc_id tie-break; everything after runs on k = 50 rows. */
+  def qHill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      .orderBy(col("x").desc, col("doc_id").asc)
+      .limit(HillK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("x").desc, col("doc_id").asc)))
+    val xk = ranked.filter(col("rank") === HillK)
+      .select(col("x").as("x_k"))
+    ranked.crossJoin(broadcast(xk))
+      .filter(col("rank") < HillK)
+      .select(col("rank"), col("x"),
+        round(log(col("x").cast("double") / col("x_k")), 6).as("hill_term"))
+  }
+
+  private lazy val qHillSql =
+    s"""WITH r AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+         FROM documents),
+       top AS (SELECT rank, x FROM r WHERE rank <= $HillK),
+       xk AS (SELECT x AS x_k FROM top WHERE rank = $HillK)
+       SELECT CAST(rank AS INT) AS rank, x,
+         round(ln(CAST(x AS DOUBLE) / x_k), 6) AS hill_term
+       FROM top CROSS JOIN xk WHERE rank < $HillK"""
+
+  /** q_gini: exact Gini coefficient of the document-length distribution
+    * per language — the inequality summary that says how skewed each
+    * slice's length mass is (feeds packing/truncation policy beside
+    * q_hill's tail diagnosis). Formula over sorted values:
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σ x) / (n·Σ x), every term an exact integer
+    * until the single final division. The per-group rank comes from ONE
+    * distributed global ranking over (lang, x, doc_id) — groups are
+    * contiguous after the range sort, so per-group position = global rn
+    * minus the group's min(rn), recovered with a language-bounded
+    * broadcast join. No single-task window anywhere; rank products sum
+    * in DECIMAL(38,0) (HUGEINT in the oracle) because Σ i·x overflows a
+    * long at 10⁹-row groups. Tie order cannot change the result: equal
+    * x values contribute identical i·x sums under any permutation. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("x"))
+    val ranked = Ranks.globalRowNumber(
+      base, col("lang").asc, col("x").asc, col("doc_id").asc)
+    val offsets = ranked.groupBy("lang").agg(min(col("rn")).as("rn0"))
+    ranked.join(broadcast(offsets), Seq("lang"))
+      .select(col("lang"), col("x"),
+        (col("rn") - col("rn0") + 1L).cast("decimal(38,0)").as("i"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("lang"), col("n"), col("sx"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  private lazy val qGiniSql =
+    """WITH r AS (
+         SELECT lang, CAST(n_chars AS BIGINT) AS x,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS i
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         round(CAST(2*sum(i*x) - (count(*)+1)*sum(x) AS DOUBLE)
+           / CAST(count(*)*sum(x) AS DOUBLE), 6) AS gini
+       FROM r GROUP BY lang"""
+
+  /** q_kendall: Kendall τ-b between daily event VOLUME and daily event
+    * COUNT per event type — the rank-correlation companion to
+    * q_spearman that is exact under ties (τ-b's tie correction) and
+    * needs no rank assignment at all: concordant/discordant/tied pair
+    * counts over the per-day aggregate, which is bounded by the
+    * calendar (types × days), so the O(days²) self-join is a constant,
+    * never fact-table-shaped. Volume sums are DECIMAL-exact, so every
+    * pair classification is an exact comparison; τ-b's one sqrt runs
+    * over exact integer products (IEEE-correctly-rounded, identical in
+    * both engines). */
+  def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("x"), count(lit(1)).as("y"))
+    val d1 = daily.select(col("event_type"), col("day").as("day1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val d2 = daily.select(col("event_type"), col("day").as("day2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val conc = (col("x1") < col("x2") && col("y1") < col("y2")) ||
+      (col("x1") > col("x2") && col("y1") > col("y2"))
+    val disc = (col("x1") < col("x2") && col("y1") > col("y2")) ||
+      (col("x1") > col("x2") && col("y1") < col("y2"))
+    val pairs = d1.join(d2, Seq("event_type")).filter(col("day1") < col("day2"))
+      .groupBy("event_type")
+      .agg(sum(when(conc, 1L).otherwise(0L)).as("nc"),
+        sum(when(disc, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("ntx"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("nty"))
+    val n0 = col("n_days") * (col("n_days") - 1) / 2
+    daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(pairs, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("nc"), col("nd"),
+        col("ntx"), col("nty"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt(((n0 - col("ntx")) * (n0 - col("nty"))).cast("double")), 6)
+          .as("tau_b"))
+  }
+
+  private lazy val qKendallSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS x, CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+       p AS (
+         SELECT a.event_type,
+           CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+             THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS ntx,
+           CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS nty
+         FROM daily a JOIN daily b
+           ON b.event_type = a.event_type AND a.day < b.day
+         GROUP BY a.event_type)
+       SELECT p.event_type, st.n_days, p.nc, p.nd, p.ntx, p.nty,
+         round(CAST(p.nc - p.nd AS DOUBLE) /
+           sqrt(CAST((st.n_days*(st.n_days-1)//2 - p.ntx)
+             * (st.n_days*(st.n_days-1)//2 - p.nty) AS DOUBLE)), 6) AS tau_b
+       FROM p JOIN st ON st.event_type = p.event_type"""
+
+  /** q_dispersion: index of dispersion (Fano factor, sample
+    * variance/mean) of the daily event-count series per event type —
+    * the burstiness gate (Poisson arrivals ⇒ 1; >1 = clumped traffic
+    * that skews per-day partitions). Sample variance and mean stay in
+    * cross-multiplied exact integers until one final division, and the
+    * overdispersion flag itself is an EXACT integer comparison
+    * (n·Σc² − (Σc)² > (n−1)·Σc) — no fp anywhere in the decision.
+    * Squared counts sum in DECIMAL(38,0) (HUGEINT oracle-side):
+    * (10⁹/day)² overflows a long. One day-granularity aggregate. */
+  def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"), col("sc").cast("long").as("n_events"),
+        round((col("n_days") * col("scc") - col("sc") * col("sc")).cast("double") /
+          ((col("n_days") - 1) * col("sc")).cast("double"), 6).as("fano"),
+        (col("n_days") * col("scc") - col("sc") * col("sc") >
+          (col("n_days") - 1) * col("sc")).as("overdispersed"))
+  }
+
+  private lazy val qDispersionSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               sum(c) AS sc, sum(c*c) AS scc
+             FROM daily GROUP BY 1)
+       SELECT event_type, n_days, CAST(sc AS BIGINT) AS n_events,
+         round(CAST(n_days*scc - sc*sc AS DOUBLE)
+           / CAST((n_days-1)*sc AS DOUBLE), 6) AS fano,
+         n_days*scc - sc*sc > (n_days-1)*sc AS overdispersed
+       FROM m WHERE n_days > 1"""
+
+  /** q_kaplan_meier: Kaplan–Meier survival-curve terms over user
+    * activity lifetimes (days between first and last event; every user
+    * is fully observed in the window, so the estimator reduces to its
+    * uncensored form but keeps the standard (deaths, at-risk) table a
+    * churn analysis consumes). Per distinct lifetime t: d_t (users
+    * ending at t), r_t (users surviving ≥ t, via N minus an exclusive
+    * prefix sum), the hazard d/r and the survival FACTOR (r−d)/r —
+    * per-row factors, never the cross-row product (fp products are
+    * order-fragile; the reader multiplies, the q_mutual_info rule).
+    * Lifetimes aggregate to distinct-day granularity first, so the
+    * prefix window runs over a calendar-bounded table, never the fact
+    * table (the q_ks_test bound). */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lifetimes = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(datediff(max(col("day")), min(col("day"))).as("t"))
+    val deaths = lifetimes.groupBy("t").agg(count(lit(1)).as("d"))
+    val tot = deaths.agg(sum(col("d")).as("n_users"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deaths.crossJoin(broadcast(tot))
+      .withColumn("ended_before", coalesce(sum(col("d")).over(wCum), lit(0L)))
+      .select(col("t").as("t_days"), col("d").as("n_deaths"),
+        (col("n_users") - col("ended_before")).as("n_at_risk"))
+      .select(col("t_days"), col("n_deaths"), col("n_at_risk"),
+        round(col("n_deaths").cast("double") / col("n_at_risk"), 6).as("hazard"),
+        round((col("n_at_risk") - col("n_deaths")).cast("double") /
+          col("n_at_risk"), 6).as("surv_factor"))
+  }
+
+  private lazy val qKaplanMeierSql =
+    """WITH lt AS (
+         SELECT user_id, date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t
+         FROM events GROUP BY user_id),
+       d AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM lt GROUP BY t),
+       tot AS (SELECT CAST(sum(d) AS BIGINT) AS n_users FROM d),
+       r AS (
+         SELECT t, d, n_users - coalesce(CAST(sum(d) OVER (ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk
+         FROM d CROSS JOIN tot)
+       SELECT t AS t_days, d AS n_deaths, n_at_risk,
+         round(CAST(d AS DOUBLE) / n_at_risk, 6) AS hazard,
+         round(CAST(n_at_risk - d AS DOUBLE) / n_at_risk, 6) AS surv_factor
+       FROM r"""
+
   /** q_changepoint: binary-segmentation changepoint LOCALIZATION per
     * event type — the companion to q_cusum's drift DETECTION: the split
     * day maximizing the centered-prefix statistic |S_t − (t/n)·S_n|,
@@ -790,6 +1074,12 @@ object Stats extends QueryModule {
     "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
+    "q_bootstrap" -> (qBootstrap _),
+    "q_hill" -> (qHill _),
+    "q_gini" -> (qGini _),
+    "q_kendall" -> (qKendall _),
+    "q_dispersion" -> (qDispersion _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
     "q_ab_test" -> (qAbTest _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -809,6 +1099,12 @@ object Stats extends QueryModule {
     "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,
     "q_changepoint" -> qChangepointSql,
+    "q_bootstrap" -> qBootstrapSql,
+    "q_hill" -> qHillSql,
+    "q_gini" -> qGiniSql,
+    "q_kendall" -> qKendallSql,
+    "q_dispersion" -> qDispersionSql,
+    "q_kaplan_meier" -> qKaplanMeierSql,
     "q_ab_test" -> qAbTestSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

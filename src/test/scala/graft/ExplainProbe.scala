@@ -26,7 +26,16 @@ object ExplainProbe {
         "q_asof_native" -> operators.Relational.qAsofNative(spark, dir),
         "q_bigram_lm" -> operators.TextScoring.qBigramLm(spark, dir),
         "q_rocchio" -> operators.SimilaritySearch.qRocchio(spark, dir),
-        "q_winsorize" -> operators.RobustStats.qWinsorize(spark, dir))
+        "q_winsorize" -> operators.RobustStats.qWinsorize(spark, dir),
+        "q_mad" -> operators.RobustStats.qMad(spark, dir),
+        "q_skyline" -> operators.Relational.qSkyline(spark, dir),
+        "q_mannwhitney" -> operators.RobustStats.qMannwhitney(spark, dir),
+        "q_ctfidf" -> operators.TextAnalysis.qCtfidf(spark, dir),
+        "q_js_terms" -> operators.RobustStats.qJsTerms(spark, dir),
+        "q_simhash_audit" -> operators.Dedup.qSimhashAudit(spark, dir),
+        "q_cosine_lsh_audit" -> operators.Dedup.qCosineLshAudit(spark, dir),
+        "q_gini" -> operators.Stats.qGini(spark, dir),
+        "q_kendall" -> operators.Stats.qKendall(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")

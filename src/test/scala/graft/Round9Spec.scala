@@ -223,6 +223,97 @@ class Round9Spec extends SparkSpec {
     ps.foreach(p => assert(p >= 0.0 && p <= 1.0))
   }
 
+  test("poisson bootstrap: B resamples, effective sizes near n, means spread around the truth") {
+    val rows = graft.operators.Stats.qBootstrap(spark, sfDir).collect()
+    assert(rows.length === graft.operators.Stats.BootstrapB)
+    val n = graft.sources.Tables.events(spark, sfDir).count()
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Poisson(1) multiplicities: E[n_eff] = n, sd ~ sqrt(n) — 6 sigma box
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 6,
+        s"n_eff $nEff implausible for n $n")
+    }
+    val means = rows.map(_.getAs[Double]("mean"))
+    assert(means.distinct.length > 1, "resamples must actually differ")
+  }
+
+  test("hill terms: non-negative, non-increasing in rank, k-1 rows") {
+    val rows = graft.operators.Stats.qHill(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length === graft.operators.Stats.HillK - 1)
+    val terms = rows.map(_.getAs[Double]("hill_term"))
+    assert(terms.forall(_ >= 0.0), "x_(i) >= x_(k) for i < k")
+    assert(terms.zip(terms.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "order statistics decrease, so do the log ratios")
+  }
+
+  test("l-diversity: flag trips on a skewed fixture and clears on a diverse one") {
+    import spark.implicits._
+    val skewed = (1 to 40).map(i => ("xx", "s1", if (i <= 38) 100 else i * 200)) // one band dominates
+    val diverse = (1 to 40).map(i => ("yy", "s2", (i % 8) * 250)) // 8 distinct bands, none >half
+    val out = graft.operators.RobustStats
+      .ldiversityOf(skewed.union(diverse).toDF("lang", "source", "n_chars"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("at_risk")).toMap
+    assert(out("xx"), "dominant-band class must be flagged")
+    assert(!out("yy"), "diverse class must be safe")
+  }
+
+  test("gini: per-language coefficients in [0,1), counts partition the corpus") {
+    val rows = graft.operators.Stats.qGini(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === graft.sources.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    }
+  }
+
+  test("kendall: tau_b in [-1,1], pair counts bounded by n0") {
+    val rows = graft.operators.Stats.qKendall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_days")
+      val n0 = nd * (nd - 1) / 2
+      assert(r.getAs[Long]("nc") + r.getAs[Long]("nd") <= n0)
+      val t = r.getAs[Double]("tau_b")
+      assert(t >= -1.0 && t <= 1.0, s"tau_b $t out of range")
+    }
+  }
+
+  test("dispersion: fano positive and the flag is exactly fano > 1") {
+    val rows = graft.operators.Stats.qDispersion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fano")
+      assert(f > 0.0)
+      // the flag is computed in exact integers; rounded fano must agree
+      // except exactly at the boundary
+      if (math.abs(f - 1.0) > 1e-6)
+        assert(r.getAs[Boolean]("overdispersed") === (f > 1.0))
+    }
+  }
+
+  test("kaplan-meier: at-risk counts telescope and factors stay in [0,1]") {
+    val rows = graft.operators.Stats.qKaplanMeier(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("t_days"))
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_at_risk") === users)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // r_{t+1} = r_t - d_t over the distinct observed lifetimes
+        assert(b.getAs[Long]("n_at_risk") ===
+          a.getAs[Long]("n_at_risk") - a.getAs[Long]("n_deaths"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Double]("surv_factor")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
