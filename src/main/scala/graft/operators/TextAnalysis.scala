@@ -956,6 +956,74 @@ object TextAnalysis extends QueryModule {
        ORDER BY chi2 DESC, tok ASC, source ASC LIMIT $ChisqTopK"""
   }
 
+  val LlrTopK = 50
+
+  /** q_llr: Dunning log-likelihood-ratio (G²) token↔source association —
+    * the significance scorer that stays calibrated where χ² breaks down
+    * (sparse cells / rare tokens, Dunning 1993), which is exactly the
+    * regime of a web-corpus vocabulary; the standard keyword/collocation
+    * statistic beside q_chisq. Same contingency pipeline (doc-level
+    * presence, three bounded aggregates, vocabulary-keyed join +
+    * broadcast marginals); G² = 2·Σ k·ln(k·N / (row·col)) over the four
+    * 2×2 cells, each term guarded to 0 when k = 0 (the 0·ln 0 limit —
+    * unguarded it is NULL in both engines and the row silently drops).
+    * Every ln argument is a ratio of exact integer counts cast to
+    * double, so both engines produce identical terms; the fixed 4-term
+    * sum is one expression, not a cross-row fp aggregate. */
+  def qLlr(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextPrep.rawDocs(s, dir).select(col("doc_id"), col("source"), col("rtoks"))
+    val pres = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(col("rtoks"))).as("tok"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val byTok = pres.groupBy("tok").agg(count(lit(1)).as("nt"))
+    val cell = pres.groupBy("tok", "source").agg(count(lit(1)).as("a"))
+    def term(k: Column, row: Column, colTot: Column): Column =
+      when(k > 0, k.cast("double") *
+        log((k * col("nd")).cast("double") / (row * colTot).cast("double")))
+        .otherwise(lit(0.0))
+    val b = col("nt") - col("a")
+    val c = col("ns") - col("a")
+    val d = col("nd") - col("nt") - col("ns") + col("a")
+    val g2 = lit(2.0) * (
+      term(col("a"), col("nt"), col("ns")) +
+      term(b, col("nt"), col("nd") - col("ns")) +
+      term(c, col("nd") - col("nt"), col("ns")) +
+      term(d, col("nd") - col("nt"), col("nd") - col("ns")))
+    cell.join(byTok, Seq("tok"))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(n))
+      .filter(col("nt") < col("nd") && col("ns") < col("nd") &&
+        col("a") >= ChisqMinCell)
+      .select(col("tok"), col("source"),
+        (floor(g2 * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("g2"))
+      .orderBy(col("g2").desc, col("tok").asc, col("source").asc)
+      .limit(LlrTopK)
+  }
+
+  private lazy val qLlrSql = {
+    val t = TextFns.rawTokensSql("text")
+    def term(k: String, row: String, colTot: String): String =
+      s"CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST(($k) * nd AS DOUBLE) / CAST(($row) * ($colTot) AS DOUBLE)) " +
+        "ELSE 0.0 END"
+    val g2 = "2.0 * (" +
+      term("a", "nt", "ns") + " + " +
+      term("nt - a", "nt", "nd - ns") + " + " +
+      term("ns - a", "nd - nt", "ns") + " + " +
+      term("nd - nt - ns + a", "nd - nt", "nd - ns") + ")"
+    s"""WITH d AS (SELECT doc_id, source, $t AS toks FROM documents),
+       pres AS (SELECT DISTINCT doc_id, source, unnest(toks) AS tok FROM d),
+       n AS (SELECT count(*) AS nd FROM documents),
+       bysrc AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+       bytok AS (SELECT tok, count(*) AS nt FROM pres GROUP BY tok),
+       cell AS (SELECT tok, source, count(*) AS a FROM pres GROUP BY tok, source)
+       SELECT tok, source, floor(($g2) * 1000000.0 + 0.5) / 1000000.0 AS g2
+       FROM cell JOIN bytok USING (tok) JOIN bysrc USING (source) CROSS JOIN n
+       WHERE nt < nd AND ns < nd AND a >= $ChisqMinCell
+       ORDER BY g2 DESC, tok ASC, source ASC LIMIT $LlrTopK"""
+  }
+
   /** Top class-signature terms kept per source. */
   val CtfidfTopK = 5
 
@@ -1046,6 +1114,7 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
+    "q_llr" -> (qLlr _),
     "q_ctfidf" -> (qCtfidf _),
     "q_mix_rates" -> (qMixRates _),
     "q_lang_id" -> (qLangId _),
@@ -1074,6 +1143,7 @@ object TextAnalysis extends QueryModule {
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,
+    "q_llr" -> qLlrSql,
     "q_ctfidf" -> qCtfidfSql,
     "q_mix_rates" -> qMixRatesSql,
     "q_lang_id" -> qLangIdSql,

@@ -273,8 +273,55 @@ object TextScoring extends QueryModule {
        FROM q JOIN r ON r.doc_id = q.doc_id
        GROUP BY 1"""
 
+  // ---------------------------------------------------------- good-turing
+
+  /** Katz-style cutoff: only low frequencies get GT-adjusted counts. */
+  val GoodTuringMaxR = 20
+
+  /** q_good_turing: simple Good–Turing frequency-of-frequencies table
+    * over word-TRIGRAM counts — the LM-smoothing diagnostic that says
+    * how much probability mass an n-gram LM should reserve for UNSEEN
+    * events (the companion to q_oov, which measures the seen/unseen
+    * split against a fixed vocab): for each low frequency r, N_r
+    * (trigrams seen exactly r times) and the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r. Trigrams, not unigrams, deliberately: the
+    * driver corpus draws from a ~31-token vocabulary whose every
+    * unigram is frequent (min cf 26 at sf0.01 — a unigram gate would
+    * be VACUOUS below any sane cutoff), while trigram counts show the
+    * classic Zipfian count-of-counts (N_1 ≈ 9.4k at sf0.01) that GT
+    * exists for. One explode off the memoized raw-token stage + two
+    * bounded aggregates; the r↔r+1 alignment is a self-join on the
+    * tiny distinct-frequency table (Katz cutoff r ≤ 20). r* stays an
+    * exact integer product over one division — identical doubles in
+    * both engines. */
+  def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tri = TextPrep.rawDocs(s, dir)
+      .select(explode(TextFns.shingles(col("rtoks"), 3)).as("tri"))
+    val nr = tri.groupBy("tri").agg(count(lit(1)).as("cf"))
+      .groupBy(col("cf").as("r")).agg(count(lit(1)).as("n_r"))
+      .filter(col("r") <= GoodTuringMaxR + 1)
+    val nr1 = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    nr.join(nr1, Seq("r"), "left").na.fill(0L, Seq("n_r1"))
+      .filter(col("r") <= GoodTuringMaxR)
+      .select(col("r").cast("int").as("r"), col("n_r"), col("n_r1"),
+        round(((col("r") + 1) * col("n_r1")).cast("double") / col("n_r"), 6)
+          .as("r_star"))
+  }
+
+  private lazy val qGoodTuringSql =
+    s"""WITH d AS (SELECT ${TextFns.rawTokensSql("text")} AS toks FROM documents),
+       tg AS (SELECT unnest(${TextFns.shinglesSql("toks", 3)}) AS tri FROM d),
+       ts AS (SELECT tri, CAST(count(*) AS BIGINT) AS cf FROM tg GROUP BY tri),
+       nr AS (SELECT cf AS r, CAST(count(*) AS BIGINT) AS n_r
+              FROM ts GROUP BY cf)
+       SELECT CAST(a.r AS INT) AS r, a.n_r, coalesce(b.n_r, 0) AS n_r1,
+         round(CAST((a.r + 1) * coalesce(b.n_r, 0) AS DOUBLE) / a.n_r, 6) AS r_star
+       FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+       WHERE a.r <= $GoodTuringMaxR"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_good_turing" -> (qGoodTuring _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_dup_ngrams" -> (qDupNgrams _),
@@ -283,6 +330,7 @@ object TextScoring extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBucketsSql,
+    "q_good_turing" -> qGoodTuringSql,
     "q_bigram_lm" -> qBigramLmSql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_dup_ngrams" -> qDupNgramsSql,

@@ -314,6 +314,26 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("good-turing: N_r table internally consistent, r* recomputes exactly") {
+    val rows = graft.operators.TextScoring.qGoodTuring(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.TextScoring.GoodTuringMaxR)
+    rows.foreach { r =>
+      val (rr, nr, nr1) = (r.getAs[Int]("r"), r.getAs[Long]("n_r"), r.getAs[Long]("n_r1"))
+      assert(nr > 0)
+      val expect = math.floor(((rr + 1) * nr1).toDouble / nr * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("r_star") - expect) < 1e-9)
+    }
+  }
+
+  test("llr: top-k positive G2 scores with deterministic ordering") {
+    val rows = graft.operators.TextAnalysis.qLlr(spark, sfDir).collect()
+    assert(rows.length === graft.operators.TextAnalysis.LlrTopK)
+    val scores = rows.map(_.getAs[Double]("g2"))
+    assert(scores.forall(_ >= 0.0), "G2 is a deviance — non-negative")
+    assert(scores.sorted.reverse.sameElements(scores) ||
+      scores.sorted(Ordering[Double].reverse).sameElements(scores))
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
