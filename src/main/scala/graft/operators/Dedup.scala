@@ -95,6 +95,40 @@ object Dedup extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** q_novelty: per-document trigram commonness — mean corpus document-
+    * frequency of the doc's distinct 3-gram shingles (high = boilerplate
+    * assembled from phrases every other doc also uses, low = novel
+    * content). The continuous companion to the pairwise dedup family:
+    * where Jaccard asks "which pair is near-identical", this scores how
+    * TEMPLATE-LIKE each doc is against the whole corpus, the signal a
+    * curation pipeline thresholds before any pair join. Reuses the
+    * memoized docShingles stage (no new corpus pass); df is one shingle-
+    * keyed aggregate joined back, then per-doc sums stay exact integers
+    * to one division. Hash-keyed shingles Spark-side vs string shingles
+    * oracle-side — identical counts under the same vanishing-collision
+    * argument as q_dedup_jaccard. */
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("sdf")).as("df_sum"))
+      .select(col("doc_id"), col("n_tri"), col("df_sum"),
+        round(col("df_sum").cast("double") / col("n_tri"), 6).as("mean_df"))
+  }
+
+  private lazy val qNoveltySql =
+    s"""WITH d AS (SELECT doc_id, ${graft.functions.TextFns.rawTokensSql("text")} AS toks
+         FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(${graft.functions.TextFns.shinglesSql("toks", 3)}) AS shingle
+              FROM d),
+       df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS sdf FROM sh GROUP BY shingle)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(sum(sdf) AS BIGINT) AS df_sum,
+         round(CAST(sum(sdf) AS DOUBLE) / count(*), 6) AS mean_df
+       FROM sh JOIN df USING (shingle) GROUP BY doc_id"""
+
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sizes = docSizes(s, dir)
     val pairs = cappedPairCounts(s, dir)
@@ -1107,6 +1141,7 @@ object Dedup extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_novelty" -> (qNovelty _),
     "q_containment" -> (qContainment _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
@@ -1129,6 +1164,7 @@ object Dedup extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_novelty" -> qNoveltySql,
     "q_minhash_audit" -> qMinhashAuditSql,
     "q_simhash_audit" -> qSimhashAuditSql,
     "q_cosine_lsh_audit" -> qCosineLshAuditSql,

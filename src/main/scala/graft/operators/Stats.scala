@@ -407,6 +407,110 @@ object Stats extends QueryModule {
     rows
   }
 
+  /** One referential-integrity check row: child rows whose key finds no
+    * parent (left-anti on the key equi-join — the distributed FK audit
+    * shape), beside the child's total. Fixture-testable core of
+    * [[qDqChecks]]. */
+  def fkCheck(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val viol = child
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    child.agg(count(lit(1)).as("n_checked")).crossJoin(viol)
+      .select(lit(name).as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+  }
+
+  /** One predicate-expectation check row: rows violating `bad`. */
+  private def predCheck(name: String, df: DataFrame, bad: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_checked"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+
+  /** q_dq_checks: the data-contract expectation suite — the audit a
+    * pipeline runs BEFORE q_profile's column stats: referential
+    * integrity across the star schema (FK anti-joins), predicate
+    * expectations (value ranges, null keys), uniqueness (count vs
+    * distinct), and a coverage expectation (orders with no lineitems)
+    * that legitimately FAILS on the driver corpus (257 childless orders
+    * at sf0.01) — so the pass column discriminates and the gate hashes
+    * real structure, not a wall of constant trues. Every check is one
+    * bounded one-row aggregate (anti-joins shuffle on their key, dims
+    * broadcast); the union is constant-width. Violation counts are
+    * exact integers; pass is an exact zero-test. */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val ev = Tables.events(s, dir)
+    val docs = Tables.documents(s, dir)
+    val dup = docs.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_violations"))
+      .select(lit("documents_unique_id").as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0).as("pass"))
+    fkCheck("lineitem_fk_orders", li, "l_orderkey", ord, "o_orderkey")
+      .unionAll(fkCheck("orders_fk_customer", ord, "o_custkey", cust, "c_custkey"))
+      .unionAll(fkCheck("customer_fk_nation", cust, "c_nationkey", nat, "n_nationkey"))
+      .unionAll(fkCheck("orders_have_lineitems", ord, "o_orderkey", li, "l_orderkey"))
+      .unionAll(predCheck("orders_positive_total", ord,
+        col("o_totalprice") <= 0))
+      .unionAll(predCheck("lineitem_qty_range", li,
+        col("l_quantity") <= 0 || col("l_quantity") > 50))
+      .unionAll(predCheck("events_user_not_null", ev, col("user_id").isNull))
+      .unionAll(predCheck("documents_nonempty_text", docs,
+        col("text").isNull || length(col("text")) === 0))
+      .unionAll(dup)
+  }
+
+  private lazy val qDqChecksSql =
+    """SELECT 'lineitem_fk_orders' AS check_name,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_violations,
+         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders)) = 0 AS pass
+       UNION ALL SELECT 'orders_fk_customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer)),
+         (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer)) = 0
+       UNION ALL SELECT 'customer_fk_nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+           (SELECT n_nationkey FROM nation)),
+         (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+           (SELECT n_nationkey FROM nation)) = 0
+       UNION ALL SELECT 'orders_have_lineitems',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
+           (SELECT l_orderkey FROM lineitem)),
+         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
+           (SELECT l_orderkey FROM lineitem)) = 0
+       UNION ALL SELECT 'orders_positive_total',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+         (SELECT count(*) FROM orders WHERE o_totalprice <= 0) = 0
+       UNION ALL SELECT 'lineitem_qty_range',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50),
+         (SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50) = 0
+       UNION ALL SELECT 'events_user_not_null',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events WHERE user_id IS NULL),
+         (SELECT count(*) FROM events WHERE user_id IS NULL) = 0
+       UNION ALL SELECT 'documents_nonempty_text',
+         (SELECT count(*) FROM documents),
+         (SELECT count(*) FROM documents WHERE text IS NULL OR length(text) = 0),
+         (SELECT count(*) FROM documents WHERE text IS NULL OR length(text) = 0) = 0
+       UNION ALL SELECT 'documents_unique_id',
+         (SELECT count(*) FROM documents),
+         (SELECT count(*) - count(DISTINCT doc_id) FROM documents),
+         (SELECT count(*) - count(DISTINCT doc_id) FROM documents) = 0"""
+
   /** q_key_skew: shuffle-key skew diagnostics for the events stream key —
     * top-1/top-10 share and the Gini coefficient of the per-key count
     * distribution (the number that says "salt this join"). Key counts
@@ -1078,6 +1182,7 @@ object Stats extends QueryModule {
     "q_hill" -> (qHill _),
     "q_gini" -> (qGini _),
     "q_kendall" -> (qKendall _),
+    "q_dq_checks" -> (qDqChecks _),
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_ab_test" -> (qAbTest _),
@@ -1103,6 +1208,7 @@ object Stats extends QueryModule {
     "q_hill" -> qHillSql,
     "q_gini" -> qGiniSql,
     "q_kendall" -> qKendallSql,
+    "q_dq_checks" -> qDqChecksSql,
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_ab_test" -> qAbTestSql,

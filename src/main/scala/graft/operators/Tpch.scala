@@ -327,6 +327,58 @@ object Tpch extends QueryModule {
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'"""
 
+  // ---------------------------------------------------------------- Q11
+  /** Q11: important-stock identification — per-part value concentration
+    * for one region's suppliers with a nested-aggregate HAVING, the last
+    * of the 22 TPC-H query shapes. Stand-ins for the missing partsupp
+    * table (same rule as Q9/Q16/Q2): the part↔supplier relationship is
+    * the lineitem bridge and value = Σ l_extendedprice. Two predicate
+    * adaptations, both data-forced: scope is a REGION not a nation
+    * (supplier nations are sparse — the sf0.001 corpus has 10 suppliers
+    * over 25 nations, so any single-nation filter is empty at some SF),
+    * and the reference HAVING (value > fraction·total) is restated
+    * against the MEAN part value (part values are near-uniform; no part
+    * reaches 0.5% of the total at any SF): value > 1.5·mean, cross-
+    * multiplied to 2·value·nparts > 3·total in exact decimals — selects
+    * a stable 7–16% of parts at every SF. Plan: region+nation+supplier
+    * dims broadcast into the fact scan, one groupBy on l_partkey,
+    * one-row total broadcast back — no global sort (the driver compare
+    * is order-insensitive). */
+  def q11Value(s: SparkSession, dir: String): DataFrame = {
+    val eurNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(eurNat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(19,2)").as("value"))
+    val t = v.agg(sum(col("value")).cast("decimal(19,2)").as("tot"),
+      count(lit(1)).as("nparts"))
+    v.crossJoin(broadcast(t))
+      .filter(col("value") * col("nparts") * 2 > col("tot") * 3)
+      .select(col("l_partkey"),
+        round(col("value").cast("double"), 2).as("value"))
+  }
+
+  private val q11Sql =
+    """WITH sup AS (
+         SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+       v AS (
+         SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS value
+         FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+         GROUP BY l_partkey),
+       t AS (SELECT CAST(sum(value) AS DECIMAL(19,2)) AS tot,
+               CAST(count(*) AS BIGINT) AS nparts FROM v)
+       SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value
+       FROM v CROSS JOIN t
+       WHERE value * nparts * 2 > tot * 3"""
+
   // ---------------------------------------------------------------- Q16
   /** Q16: supplier count by part attributes over the DERIVED part-supplier
     * bridge (distinct l_partkey,l_suppkey stands in for partsupp), minus
@@ -573,6 +625,7 @@ object Tpch extends QueryModule {
     "q16_suppcnt" -> (q16SuppCount _),
     "q17_smallqty" -> (q17SmallQty _),
     "q19_disjunct" -> (q19Disjunct _),
+    "q11_value" -> (q11Value _),
     "q20_excess" -> (q20Excess _),
     "q21_blame" -> (q21Blame _),
     "q22_idle" -> (q22Idle _))
@@ -591,6 +644,7 @@ object Tpch extends QueryModule {
     "q16_suppcnt" -> q16Sql,
     "q17_smallqty" -> q17Sql,
     "q19_disjunct" -> q19Sql,
+    "q11_value" -> q11Sql,
     "q20_excess" -> q20Sql,
     "q21_blame" -> q21Sql,
     "q22_idle" -> q22Sql)

@@ -334,6 +334,33 @@ class Round9Spec extends SparkSpec {
       scores.sorted(Ordering[Double].reverse).sameElements(scores))
   }
 
+  test("q11: important parts exceed twice the mean part value") {
+    val rows = graft.operators.Tpch.q11Value(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("value") > 0.0))
+  }
+
+  test("novelty: every shingle counts itself, so mean df >= 1") {
+    val rows = graft.operators.Dedup.qNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tri") > 0)
+      assert(r.getAs[Double]("mean_df") >= 1.0)
+    }
+  }
+
+  test("dq checks: planted orphan trips the FK core; real FKs hold, coverage fails") {
+    import spark.implicits._
+    val child = Seq((1, "a"), (2, "b"), (99, "orphan")).toDF("k", "v")
+    val parent = Seq((1, "x"), (2, "y"), (3, "z")).toDF("pk", "w")
+    val f = graft.operators.Stats.fkCheck("t", child, "k", parent, "pk").collect().head
+    assert(f.getAs[Long]("n_violations") === 1L && !f.getAs[Boolean]("pass"))
+    val out = graft.operators.Stats.qDqChecks(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(out("lineitem_fk_orders") && out("orders_fk_customer"))
+    assert(!out("orders_have_lineitems"), "driver corpus has childless orders")
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
