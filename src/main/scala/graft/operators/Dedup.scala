@@ -636,6 +636,62 @@ object Dedup extends QueryModule {
        SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
        FROM walk GROUP BY id"""
 
+  /** Backstop on BFS rounds (near-dup components are near-cliques; their
+    * diameter is tiny — the cap only guards pathological chains). */
+  val BfsMaxDepth = 20
+
+  /** q_bfs_depth: BFS hop distance from each near-dup cluster's CANONICAL
+    * doc (the min-id survivor exact dedup keeps) to every other member —
+    * the "how far from the kept copy" diagnostic that distinguishes
+    * direct near-dups (depth 1) from transitive ones (depth ≥ 2, members
+    * only connected through intermediate revisions; the pairs a
+    * threshold tightening would orphan). Distributed multi-source BFS:
+    * seed = the canonical nodes, each round ONE equi-join of the current
+    * distance map against the symmetric edge list + a min-groupBy — the
+    * same shape/persist discipline as connectedComponents; only the
+    * reached-node COUNT hits the driver (BFS layering makes first-reach
+    * minimal, so convergence = no new nodes). Hash-gated against a
+    * DuckDB recursive-CTE shortest-path with the same depth cap. */
+  def qBfsDepth(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = jaccardEdges(s, dir)
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var dist = qDedupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("id"), lit(0L).as("d"))
+      .persist(lvl)
+    var total = dist.count()
+    var changed = true
+    var i = 0
+    while (changed && i < BfsMaxDepth) {
+      val nxt = sym
+        .join(dist.select(col("id").as("a"), col("d")), Seq("a"))
+        .select(col("b").as("id"), (col("d") + 1L).as("d"))
+        .unionByName(dist)
+        .groupBy("id").agg(min(col("d")).as("d"))
+        .persist(lvl)
+      val n = nxt.count()
+      changed = n != total
+      total = n
+      dist.unpersist()
+      dist = nxt
+      i += 1
+    }
+    dist.select(col("id").as("doc_id"), col("d").cast("int").as("depth"))
+  }
+
+  private lazy val qBfsDepthSql =
+    s"""WITH RECURSIVE
+       $clusterWalkCtes,
+       roots AS (SELECT id, min(root) AS canon FROM walk GROUP BY id),
+       bfs(id, d) AS (
+         SELECT id, 0 FROM roots WHERE id = canon
+         UNION
+         SELECT e.b, b.d + 1 FROM bfs b JOIN edges e ON e.a = b.id
+         WHERE b.d < $BfsMaxDepth)
+       SELECT id AS doc_id, CAST(min(d) AS INT) AS depth
+       FROM bfs GROUP BY id"""
+
   /** Damped PageRank over an undirected edge list, fixed-iteration power
     * method. Each round is ONE equi-join (out-edges ⋈ current ranks, with
     * the source degree pre-attached) plus one aggregation — the classic
@@ -1142,6 +1198,7 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_novelty" -> (qNovelty _),
+    "q_bfs_depth" -> (qBfsDepth _),
     "q_containment" -> (qContainment _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
@@ -1165,6 +1222,7 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_novelty" -> qNoveltySql,
+    "q_bfs_depth" -> qBfsDepthSql,
     "q_minhash_audit" -> qMinhashAuditSql,
     "q_simhash_audit" -> qSimhashAuditSql,
     "q_cosine_lsh_audit" -> qCosineLshAuditSql,

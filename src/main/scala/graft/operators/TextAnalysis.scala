@@ -258,6 +258,56 @@ object TextAnalysis extends QueryModule {
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_tokens
         FROM documents"""
 
+  /** q_ttr: type-token ratio per document (lexical diversity — distinct
+    * clean tokens over total clean tokens; low TTR = repetitive/template
+    * text, the per-doc cousin of the corpus-level Zipf/entropy gates and
+    * a standard feature beside quality scores). Pure per-row array
+    * expressions off the memoized clean-token stage — codegen, zero
+    * shuffle; counts are exact integers to one division. */
+  def qTtr(s: SparkSession, dir: String): DataFrame =
+    TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        size(col("toks")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+
+  private lazy val qTtrSql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH d AS (SELECT doc_id, $t AS toks FROM documents)
+       SELECT doc_id, CAST(len(list_distinct(toks)) AS INT) AS n_types,
+         CAST(len(toks) AS INT) AS n_tokens,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+       FROM d WHERE len(toks) > 0"""
+  }
+
+  /** q_burstiness: per-token burstiness (Church & Gale: collection
+    * frequency over document frequency — mean occurrences per CONTAINING
+    * doc; function words spread evenly ≈ docs·tf while topical/bursty
+    * terms clump). Reads the memoized vocabulary stats (no corpus pass);
+    * burst = cf/df is an exact-integer ratio to one division; ranked
+    * (burst desc, tok asc) with a top-k cut so the output stays bounded
+    * when the vocabulary is 10⁸ tokens. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    TextPrep.tokenStats(s, dir)
+      .select(col("tok"), col("df"), col("cf"),
+        (floor(col("cf").cast("double") / col("df") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("burst"))
+      .orderBy(col("burst").desc, col("tok").asc)
+      .limit(50)
+
+  private lazy val qBurstinessSql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH ts AS (
+         SELECT tok, count(DISTINCT doc_id) AS df, CAST(count(*) AS BIGINT) AS cf
+         FROM (SELECT doc_id, unnest($t) AS tok FROM documents)
+         GROUP BY tok)
+       SELECT tok, df, cf,
+         floor(CAST(cf AS DOUBLE) / df * 1000000.0 + 0.5) / 1000000.0 AS burst
+       FROM ts ORDER BY burst DESC, tok ASC LIMIT 50"""
+  }
+
   /** q_fingerprint: canonical-text md5 (engine-portable fingerprint) plus
     * clean-token count. The incremental rolling polynomial hash for
     * streaming use is TextFns.rollingHash (spec-tested; not SQL-portable). */
@@ -1115,6 +1165,8 @@ object TextAnalysis extends QueryModule {
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
     "q_llr" -> (qLlr _),
+    "q_ttr" -> (qTtr _),
+    "q_burstiness" -> (qBurstiness _),
     "q_ctfidf" -> (qCtfidf _),
     "q_mix_rates" -> (qMixRates _),
     "q_lang_id" -> (qLangId _),
@@ -1144,6 +1196,8 @@ object TextAnalysis extends QueryModule {
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,
     "q_llr" -> qLlrSql,
+    "q_ttr" -> qTtrSql,
+    "q_burstiness" -> qBurstinessSql,
     "q_ctfidf" -> qCtfidfSql,
     "q_mix_rates" -> qMixRatesSql,
     "q_lang_id" -> qLangIdSql,

@@ -361,6 +361,42 @@ class Round9Spec extends SparkSpec {
     assert(!out("orders_have_lineitems"), "driver corpus has childless orders")
   }
 
+  test("embed outliers: every flagged vector is below tau") {
+    val rows = graft.operators.SimilaritySearch.qEmbedOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("cos") <
+      graft.operators.SimilaritySearch.EmbedOutlierTau + 1e-6))
+  }
+
+  test("ttr: types bounded by tokens, ratio in (0,1]") {
+    val rows = graft.operators.TextAnalysis.qTtr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))
+      val t = r.getAs[Double]("ttr")
+      assert(t > 0.0 && t <= 1.0)
+    }
+  }
+
+  test("burstiness: cf >= df so burst >= 1, ranked descending") {
+    val rows = graft.operators.TextAnalysis.qBurstiness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bs = rows.map(_.getAs[Double]("burst"))
+    assert(bs.forall(_ >= 1.0))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bfs depth: one depth-0 node per cluster, all graph nodes reached") {
+    val depths = graft.operators.Dedup.qBfsDepth(spark, sfDir).collect()
+    assert(depths.nonEmpty)
+    val clusters = graft.operators.Dedup.qDedupClusters(spark, sfDir)
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nNodes = clusters.count()
+    assert(depths.count(_.getAs[Int]("depth") == 0) === nClusters)
+    assert(depths.length === nNodes)
+    depths.foreach(r => assert(r.getAs[Int]("depth") >= 0))
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
