@@ -395,6 +395,66 @@ object RobustStats extends QueryModule {
          count(*) < $LDivL OR max(c) * 2 > sum(c) AS at_risk
        FROM bc GROUP BY lang, source"""
 
+  // ------------------------------------------------------------ cramers v
+
+  /** q_cramers_v: Cramér's V effect size of the lang↔source association —
+    * the single [0,1] number beside q_mutual_info's per-cell table and
+    * q_chisq's per-token scores (is the corpus's language mix actually
+    * source-dependent, and how strongly). The contingency is densified
+    * (zero cells still carry expectation mass); each cell's χ² term uses
+    * the cross-multiplied form (o·n − n_l·n_s)²/(n·n_l·n_s) so every
+    * input to the fp arithmetic is an exact integer; the cell sum is an
+    * ordered fold over the langs×sources-bounded cell list (the
+    * q_class_centroids trick — both engines add in (lang, source) order,
+    * so the double is bit-identical). */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cell = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val byL = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val byS = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    val diff = (col("o") * col("n") - col("n_l") * col("n_s")).cast("double")
+    val t = diff * diff /
+      (col("n").cast("decimal(38,0)") * col("n_l") * col("n_s")).cast("double")
+    byL.crossJoin(byS)
+      .join(cell, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"), col("r"), col("c"), t.as("t"))
+      .groupBy("n", "r", "c")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("lang"), col("source"), col("t")))),
+          x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("chi2"))
+      .select(col("n"), col("r"), col("c"), round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (col("n") * least(col("r") - 1, col("c") - 1))
+          .cast("double")), 6).as("cramers_v"))
+  }
+
+  private lazy val qCramersVSql =
+    """WITH cell AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                     FROM documents GROUP BY 1, 2),
+       byl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+       bys AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                 CAST(count(DISTINCT source) AS BIGINT) AS c
+               FROM documents),
+       dense AS (
+         SELECT byl.lang, bys.source, coalesce(cell.o, 0) AS o, n_l, n_s, n, r, c,
+           (CAST(coalesce(cell.o, 0) * n - n_l * n_s AS DOUBLE)
+             * CAST(coalesce(cell.o, 0) * n - n_l * n_s AS DOUBLE))
+             / CAST(n * n_l * n_s AS DOUBLE) AS t
+         FROM byl CROSS JOIN bys
+         LEFT JOIN cell ON cell.lang = byl.lang AND cell.source = bys.source
+         CROSS JOIN tot),
+       agg AS (
+         SELECT n, r, c, list_sum(list(t ORDER BY lang, source)) AS chi2
+         FROM dense GROUP BY n, r, c)
+       SELECT n, r, c, round(chi2, 6) AS chi2,
+         round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v
+       FROM agg"""
+
   // ----------------------------------------------------------- mutual info
 
   /** q_mutual_info: the source↔language mutual-information cell table —
@@ -761,6 +821,7 @@ object RobustStats extends QueryModule {
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
+    "q_cramers_v" -> (qCramersV _),
     "q_ldiversity" -> (qLdiversity _),
     "q_winsorize" -> (qWinsorize _),
     "q_mad" -> (qMad _),
@@ -775,6 +836,7 @@ object RobustStats extends QueryModule {
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,
+    "q_cramers_v" -> qCramersVSql,
     "q_ldiversity" -> qLdiversitySql,
     "q_winsorize" -> qWinsorizeSql,
     "q_mad" -> qMadSql,

@@ -811,6 +811,48 @@ object Stats extends QueryModule {
            / CAST(count(*)*sum(x) AS DOUBLE), 6) AS gini
        FROM r GROUP BY lang"""
 
+  /** q_lorenz: Lorenz-curve decile points of the document-length
+    * distribution — the curve behind q_gini's single number (which
+    * deciles hold the length mass; the packing/batching planner reads
+    * this to size buckets). Ranks come from the distributed global
+    * ranking; the decile cut reuses the SQL-exact ntile helper
+    * (Ranks.ntileOf, pinned against the builtin by q_ntile); per-decile
+    * mass stays exact integers, and the cumulative share runs over the
+    * 10-row decile table — bounded, never the relation. */
+  def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+    val tot = base.agg(count(lit(1)).as("n_total"), sum(col("x")).as("sx"))
+    val ranked = Ranks.globalRowNumber(base, col("x").asc, col("doc_id").asc)
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(tot))
+      .select(Ranks.ntileOf(col("rn"), col("n_total"), 10).as("decile"),
+        col("x"), col("sx"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("mass"), max(col("sx")).as("sx"))
+      .withColumn("cum_mass", sum(col("mass")).over(wCum))
+      .select(col("decile"), col("n"), col("mass"),
+        round(col("mass").cast("double") / col("sx"), 6).as("share"),
+        round(col("cum_mass").cast("double") / col("sx"), 6).as("cum_share"))
+  }
+
+  private lazy val qLorenzSql =
+    """WITH r AS (
+         SELECT CAST(n_chars AS BIGINT) AS x,
+           ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+         FROM documents),
+       t AS (SELECT CAST(sum(x) AS BIGINT) AS sx FROM r),
+       d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS mass
+             FROM r GROUP BY decile)
+       SELECT CAST(decile AS INT) AS decile, n, mass,
+         round(CAST(mass AS DOUBLE) / sx, 6) AS share,
+         round(CAST(sum(mass) OVER (ORDER BY decile ASC
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / sx, 6) AS cum_share
+       FROM d CROSS JOIN t"""
+
   /** q_kendall: Kendall τ-b between daily event VOLUME and daily event
     * COUNT per event type — the rank-correlation companion to
     * q_spearman that is exact under ties (τ-b's tie correction) and
@@ -1181,6 +1223,7 @@ object Stats extends QueryModule {
     "q_bootstrap" -> (qBootstrap _),
     "q_hill" -> (qHill _),
     "q_gini" -> (qGini _),
+    "q_lorenz" -> (qLorenz _),
     "q_kendall" -> (qKendall _),
     "q_dq_checks" -> (qDqChecks _),
     "q_dispersion" -> (qDispersion _),
@@ -1207,6 +1250,7 @@ object Stats extends QueryModule {
     "q_bootstrap" -> qBootstrapSql,
     "q_hill" -> qHillSql,
     "q_gini" -> qGiniSql,
+    "q_lorenz" -> qLorenzSql,
     "q_kendall" -> qKendallSql,
     "q_dq_checks" -> qDqChecksSql,
     "q_dispersion" -> qDispersionSql,

@@ -308,6 +308,43 @@ object TextAnalysis extends QueryModule {
        FROM ts ORDER BY burst DESC, tok ASC LIMIT 50"""
   }
 
+  /** Concordance target and context half-width (tokens per side). */
+  val ConcordanceTerm = "window"
+  val ConcordanceCtx = 2
+
+  /** q_concordance: keyword-in-context (KWIC) extraction for a fixed
+    * term — every occurrence with its ±2-token context, the classic
+    * corpus-linguistics view (how is this term actually used, which
+    * collocates precede/follow) and the drill-down companion to the
+    * PMI/TextRank/burstiness aggregates. Pure per-row work off the
+    * memoized raw-token stage: one posexplode, a filter on the hit, and
+    * bounded array slices — codegen, no shuffle, output proportional to
+    * term frequency (bounded by choosing the term, exactly as a user
+    * would). Positions are 1-based in both engines. */
+  def qConcordance(s: SparkSession, dir: String): DataFrame = {
+    val hits = TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("rtoks"), posexplode(col("rtoks")).as(Seq("p0", "tok")))
+      .filter(col("tok") === ConcordanceTerm)
+      .select(col("doc_id"), col("rtoks"), (col("p0") + 1).as("pos"))
+    val lstart = greatest(col("pos") - ConcordanceCtx, lit(1))
+    hits.select(col("doc_id"), col("pos").cast("int").as("pos"),
+      concat_ws(" ", slice(col("rtoks"), lstart, col("pos") - lstart)).as("left_ctx"),
+      concat_ws(" ", slice(col("rtoks"), col("pos") + 1, lit(ConcordanceCtx))).as("right_ctx"))
+  }
+
+  private lazy val qConcordanceSql = {
+    val t = TextFns.rawTokensSql("text")
+    s"""WITH d AS (SELECT doc_id, $t AS toks FROM documents),
+       u AS (SELECT doc_id, toks,
+               unnest(toks) AS tok,
+               CAST(generate_subscripts(toks, 1) AS INT) AS pos
+             FROM d)
+       SELECT doc_id, pos,
+         coalesce(array_to_string(toks[greatest(pos - $ConcordanceCtx, 1):pos - 1], ' '), '') AS left_ctx,
+         coalesce(array_to_string(toks[pos + 1:pos + $ConcordanceCtx], ' '), '') AS right_ctx
+       FROM u WHERE tok = '$ConcordanceTerm'"""
+  }
+
   /** q_fingerprint: canonical-text md5 (engine-portable fingerprint) plus
     * clean-token count. The incremental rolling polynomial hash for
     * streaming use is TextFns.rollingHash (spec-tested; not SQL-portable). */
@@ -1167,6 +1204,7 @@ object TextAnalysis extends QueryModule {
     "q_llr" -> (qLlr _),
     "q_ttr" -> (qTtr _),
     "q_burstiness" -> (qBurstiness _),
+    "q_concordance" -> (qConcordance _),
     "q_ctfidf" -> (qCtfidf _),
     "q_mix_rates" -> (qMixRates _),
     "q_lang_id" -> (qLangId _),
@@ -1198,6 +1236,7 @@ object TextAnalysis extends QueryModule {
     "q_llr" -> qLlrSql,
     "q_ttr" -> qTtrSql,
     "q_burstiness" -> qBurstinessSql,
+    "q_concordance" -> qConcordanceSql,
     "q_ctfidf" -> qCtfidfSql,
     "q_mix_rates" -> qMixRatesSql,
     "q_lang_id" -> qLangIdSql,

@@ -397,6 +397,37 @@ class Round9Spec extends SparkSpec {
     depths.foreach(r => assert(r.getAs[Int]("depth") >= 0))
   }
 
+  test("lorenz: shares sum to 1, cumulative curve is convex-increasing") {
+    val rows = graft.operators.Stats.qLorenz(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.length === 10)
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(math.abs(cum.last - 1.0) < 1e-5)
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    val shares = rows.map(_.getAs[Double]("share"))
+    // sorted ascending by length, so decile mass shares are non-decreasing
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-6 })
+  }
+
+  test("cramers v: effect size in [0,1] with consistent dimensions") {
+    val r = graft.operators.RobustStats.qCramersV(spark, sfDir).collect().head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("r") > 1 && r.getAs[Long]("c") > 1)
+  }
+
+  test("concordance: contexts bounded by the window, hits are real positions") {
+    val rows = graft.operators.TextAnalysis.qConcordance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("pos") >= 1)
+      val ctx = graft.operators.TextAnalysis.ConcordanceCtx
+      assert(r.getAs[String]("left_ctx").split(" ").count(_.nonEmpty) <= ctx)
+      assert(r.getAs[String]("right_ctx").split(" ").count(_.nonEmpty) <= ctx)
+    }
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
