@@ -732,6 +732,44 @@ object Stats extends QueryModule {
          round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) AS mean
        FROM wts GROUP BY b"""
 
+  /** q_jackknife: delete-a-GROUP jackknife over languages for the mean
+    * document length — the resampling companion to q_bootstrap for
+    * CLUSTERED data (rows within a language correlate, so row-level
+    * resampling understates variance; deleting whole groups is the
+    * standard fix). Per language: the leave-that-group-out mean and the
+    * jackknife pseudo-value g·θ̂ − (g−1)·θ̂₍ᵢ₎, every numerator and
+    * denominator an exact integer until the per-row division (the
+    * variance combination across groups is left to the reader — the
+    * per-cell rule). Two bounded aggregates + one broadcast; nothing
+    * fact-sized moves. */
+  def qJackknife(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+    val per = docs.groupBy("lang").agg(count(lit(1)).as("n_i"), sum(col("x")).as("sx_i"))
+    val tot = per.agg(sum(col("n_i")).as("n"), sum(col("sx_i")).as("sx"),
+      count(lit(1)).as("g"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_i"), col("sx_i"),
+        round((col("sx") - col("sx_i")).cast("double") / (col("n") - col("n_i")), 6)
+          .as("loo_mean"),
+        round(col("g") * (col("sx").cast("double") / col("n")) -
+          (col("g") - 1) * ((col("sx") - col("sx_i")).cast("double") /
+            (col("n") - col("n_i"))), 6).as("pseudo_value"))
+  }
+
+  private lazy val qJackknifeSql =
+    """WITH per AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_i,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx_i
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(sx_i) AS BIGINT) AS sx,
+                 CAST(count(*) AS BIGINT) AS g FROM per)
+       SELECT lang, n_i, sx_i,
+         round(CAST(sx - sx_i AS DOUBLE) / (n - n_i), 6) AS loo_mean,
+         round(g * (CAST(sx AS DOUBLE) / n) -
+           (g - 1) * (CAST(sx - sx_i AS DOUBLE) / (n - n_i)), 6) AS pseudo_value
+       FROM per CROSS JOIN tot"""
+
   /** Order statistics used by the Hill estimator. */
   val HillK = 50
 
@@ -1221,6 +1259,7 @@ object Stats extends QueryModule {
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
     "q_bootstrap" -> (qBootstrap _),
+    "q_jackknife" -> (qJackknife _),
     "q_hill" -> (qHill _),
     "q_gini" -> (qGini _),
     "q_lorenz" -> (qLorenz _),
@@ -1248,6 +1287,7 @@ object Stats extends QueryModule {
     "q_cusum" -> qCusumSql,
     "q_changepoint" -> qChangepointSql,
     "q_bootstrap" -> qBootstrapSql,
+    "q_jackknife" -> qJackknifeSql,
     "q_hill" -> qHillSql,
     "q_gini" -> qGiniSql,
     "q_lorenz" -> qLorenzSql,

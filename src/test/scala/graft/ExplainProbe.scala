@@ -35,7 +35,12 @@ object ExplainProbe {
         "q_simhash_audit" -> operators.Dedup.qSimhashAudit(spark, dir),
         "q_cosine_lsh_audit" -> operators.Dedup.qCosineLshAudit(spark, dir),
         "q_gini" -> operators.Stats.qGini(spark, dir),
-        "q_kendall" -> operators.Stats.qKendall(spark, dir))
+        "q_kendall" -> operators.Stats.qKendall(spark, dir),
+        "q_lorenz" -> operators.Stats.qLorenz(spark, dir),
+        "q11_value" -> operators.Tpch.q11Value(spark, dir),
+        "q_novelty" -> operators.Dedup.qNovelty(spark, dir),
+        "q_embed_outliers" -> operators.SimilaritySearch.qEmbedOutliers(spark, dir),
+        "q_llr" -> operators.TextAnalysis.qLlr(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")

@@ -428,6 +428,20 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("jackknife: pseudo-values average back to the full-sample mean") {
+    val rows = graft.operators.Stats.qJackknife(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_i")).sum
+    val sx = rows.map(_.getAs[Long]("sx_i")).sum
+    val theta = sx.toDouble / n
+    // mean of pseudo-values ~= g*theta - (g-1)*mean(loo) which recenters on theta
+    val ps = rows.map(_.getAs[Double]("pseudo_value"))
+    val loo = rows.map(_.getAs[Double]("loo_mean"))
+    assert(loo.forall(m => m > 0))
+    assert(math.abs(ps.sum / ps.length - theta) < theta * 0.5,
+      "pseudo-values must recenter near the full-sample mean")
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
