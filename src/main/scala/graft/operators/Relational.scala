@@ -30,6 +30,44 @@ object Relational extends QueryModule {
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))"
 
+  /** Salt fan-out for the manual skew-mitigation join. */
+  val SaltBuckets = 8
+
+  /** q_salted_join: MANUAL skew-salted equi-join as a first-class
+    * operator — the deterministic alternative to AQE's runtime skew
+    * split when one knows the key is hot (the q_key_skew diagnostic's
+    * consumer): the build side (per-user first-seen dim) is replicated
+    * ×S with an explicit salt column, the probe side tags each row with
+    * salt = hash(row id) mod S, and the join runs on (key, salt) — a
+    * hot key's rows now land on S reducers instead of one. The oracle
+    * is the PLAIN join with the same final aggregate, so the gate
+    * proves the salting is semantics-preserving (every probe row meets
+    * exactly one replica). Output aggregates to (event_type,
+    * first_day) counts — calendar×types bounded. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    val dim = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"))
+    val salted = dim.withColumn("salt",
+      explode(array((0 until SaltBuckets).map(lit): _*)))
+    val fact = ev.withColumn("salt",
+      pmod(xxhash64(col("event_id")), lit(SaltBuckets.toLong)).cast("int"))
+    fact.join(salted, Seq("user_id", "salt"))
+      .groupBy("event_type", "first_day")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private lazy val qSaltedJoinSql =
+    """WITH dim AS (
+         SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS first_day
+         FROM events GROUP BY user_id)
+       SELECT event_type, first_day, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events JOIN dim USING (user_id)
+       GROUP BY event_type, first_day"""
+
   /** TPC-H Q1-style pricing summary (sum/avg/count, decimal-exact). */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -1161,6 +1199,7 @@ object Relational extends QueryModule {
     "q_gapfill" -> (qGapfill _),
     "q_topk" -> (qTopk _),
     "q_sessionize" -> (qSessionize _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_copurchase" -> (qCopurchase _),
@@ -1201,6 +1240,7 @@ object Relational extends QueryModule {
     "q_gapfill" -> qGapfillSql,
     "q_topk" -> qTopkSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_copurchase" -> qCopurchaseSql,

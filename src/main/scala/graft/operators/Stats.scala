@@ -1039,6 +1039,124 @@ object Stats extends QueryModule {
          round(CAST(n_at_risk - d AS DOUBLE) / n_at_risk, 6) AS surv_factor
        FROM r"""
 
+  /** Holt smoothing constants — DYADIC on purpose (0.5, 0.25, 0.75 are
+    * exact binary fractions, so the only fp error in the recursion is
+    * the adds/multiplies themselves, identical in both engines). */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  /** q_holt: Holt double-exponential smoothing (level + trend) of the
+    * daily value totals per event type — the forecasting primitive one
+    * step up from q_ewma (which tracks level only and lags any trend).
+    * The recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently sequential, so it
+    * runs as an ordered fold over each type's COLLECTED daily series —
+    * bounded by the calendar, the q_ks_test granularity rule, never the
+    * fact table — via the aggregate HOF (whole-stage codegen, no UDF).
+    * The oracle replays the identical recursion as a recursive CTE;
+    * inputs are exact-decimal daily sums cast once to double, constants
+    * are dyadic, operation order is matched term by term, and rounding
+    * happens on emission only — so both engines walk the same IEEE
+    * sequence. */
+  def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+    val outType = "array<struct<day:string,l:double,b:double>>"
+    val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(true).as("first"),
+      array().cast(outType).as("out"))
+    val folded = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .select(col("event_type"), aggregate(col("arr"), acc0, (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val y = x.getField("y")
+        val nl = when(acc.getField("first"), y)
+          .otherwise(lit(HoltAlpha) * y + lit(1 - HoltAlpha) * (l + b))
+        val nb = when(acc.getField("first"), lit(0.0))
+          .otherwise(lit(HoltBeta) * (nl - l) + lit(1 - HoltBeta) * b)
+        struct(nl.as("l"), nb.as("b"), lit(false).as("first"),
+          concat(acc.getField("out"),
+            array(struct(x.getField("day").as("day"), nl.as("l"), nb.as("b"))))
+            .as("out"))
+      }).getField("out").as("out"))
+    folded.select(col("event_type"), explode(col("out")).as("h"))
+      .select(col("event_type"), col("h.day").as("day"),
+        (floor(col("h.l") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("level"),
+        (floor(col("h.b") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("trend"))
+  }
+
+  private lazy val qHoltSql =
+    s"""WITH RECURSIVE daily AS (
+         SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT et, day, y,
+                 row_number() OVER (PARTITION BY et ORDER BY day) AS i
+               FROM daily),
+       h(et, i, day, l, b) AS (
+         SELECT et, i, day, y, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+         UNION ALL
+         SELECT d.et, d.i, d.day,
+           $HoltAlpha*d.y + ${1 - HoltAlpha}*(h.l + h.b),
+           $HoltBeta*(($HoltAlpha*d.y + ${1 - HoltAlpha}*(h.l + h.b)) - h.l)
+             + ${1 - HoltBeta}*h.b
+         FROM h JOIN idx d ON d.et = h.et AND d.i = h.i + 1)
+       SELECT et AS event_type, day,
+         floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+         floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend
+       FROM h"""
+
+  /** Residual-over-weekday-mean multiple above which a day is flagged
+    * (|resid| > 1/10 of the weekday mean — calibrated so the flag
+    * discriminates at both test SFs: 84/150 days at sf0.01, 4/150 at
+    * sf0.1; daily means concentrate as √n, so the fraction that trips
+    * shrinks with scale — honest true negatives, never constant). */
+  val SeasonalFlagFrac = 10
+
+  /** q_seasonal: day-of-week seasonal baseline + residuals for the daily
+    * value totals per event type — the deseasonalized twin of q_anomaly
+    * (whose global z-score flags every Saturday if weekends run hot):
+    * each day is compared to ITS WEEKDAY's mean. The comparison stays in
+    * cross-multiplied exact decimals (y·n_w vs Σ_w), the flag is the
+    * exact-integer test |y·n_w − Σ_w|·10 > Σ_w (residual above 10% of
+    * the weekday mean), and only the reported residual divides. Weekday
+    * numbering normalized to 0=Sunday in both engines. One
+    * calendar-bounded aggregate + one 7-row-per-type join. */
+  def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("y"))
+      .withColumn("weekday", (dayofweek(to_date(col("day"))) - 1).cast("int"))
+    val byW = daily.groupBy("event_type", "weekday")
+      .agg(count(lit(1)).as("n_w"), sum(col("y")).as("sum_w"))
+    val resid = col("y") * col("n_w") - col("sum_w")
+    daily.join(byW, Seq("event_type", "weekday"))
+      .select(col("event_type"), col("day"), col("weekday"),
+        round(resid.cast("double") / col("n_w"), 6).as("residual"),
+        (abs(resid) * SeasonalFlagFrac > col("sum_w")).as("anomalous"))
+  }
+
+  private lazy val qSeasonalSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       wd AS (SELECT event_type, day, y,
+                CAST(dayofweek(CAST(day AS DATE)) AS INT) AS weekday
+              FROM daily),
+       byw AS (SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n_w,
+                 sum(y) AS sum_w
+               FROM wd GROUP BY 1, 2)
+       SELECT wd.event_type, wd.day, wd.weekday,
+         round(CAST(wd.y * n_w - sum_w AS DOUBLE) / n_w, 6) AS residual,
+         abs(wd.y * n_w - sum_w) * $SeasonalFlagFrac > sum_w AS anomalous
+       FROM wd JOIN byw ON byw.event_type = wd.event_type
+         AND byw.weekday = wd.weekday"""
+
   /** q_changepoint: binary-segmentation changepoint LOCALIZATION per
     * event type — the companion to q_cusum's drift DETECTION: the split
     * day maximizing the centered-prefix statistic |S_t − (t/n)·S_n|,
@@ -1258,6 +1376,8 @@ object Stats extends QueryModule {
     "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
+    "q_holt" -> (qHolt _),
+    "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
     "q_hill" -> (qHill _),
@@ -1286,6 +1406,8 @@ object Stats extends QueryModule {
     "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,
     "q_changepoint" -> qChangepointSql,
+    "q_holt" -> qHoltSql,
+    "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,
     "q_hill" -> qHillSql,

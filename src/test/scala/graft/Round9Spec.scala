@@ -442,6 +442,48 @@ class Round9Spec extends SparkSpec {
       "pseudo-values must recenter near the full-sample mean")
   }
 
+  test("salted join: salt column in the plan, result identical to the plain join") {
+    val salted = graft.operators.Relational.qSaltedJoin(spark, sfDir)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("salt"), "the salt key must survive into the join")
+    val plain = {
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+      val dim = graft.sources.Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("first_day"))
+      ev.join(dim, Seq("user_id"))
+        .groupBy("event_type", "first_day")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must be semantics-preserving")
+  }
+
+  test("holt: level tracks the daily series, trend finite, one row per day") {
+    val rows = graft.operators.Stats.qHolt(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).distinct.length === rs.length, "one row per day")
+      rs.foreach { r =>
+        assert(!r.getAs[Double]("level").isNaN && !r.getAs[Double]("trend").isNaN)
+      }
+    }
+  }
+
+  test("seasonal: weekday residuals center near zero per weekday group") {
+    val rows = graft.operators.Stats.qSeasonal(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // residual = y - weekday mean, so per (type, weekday) they sum to ~0
+    rows.groupBy(r => (r.getString(0), r.getAs[Int]("weekday"))).foreach {
+      case (_, rs) =>
+        val s = rs.map(_.getAs[Double]("residual")).sum
+        assert(math.abs(s) < 0.01 * rs.length + 0.01, s"residual sum $s not centered")
+    }
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
