@@ -422,10 +422,13 @@ object Stats extends QueryModule {
         col("n_violations"), (col("n_violations") === 0).as("pass"))
   }
 
-  /** One predicate-expectation check row: rows violating `bad`. */
+  /** One predicate-expectation check row: rows violating `bad`. The
+    * coalesce matters: sum() over an EMPTY table is NULL, which would
+    * poison n_violations and pass while the oracle's count(*) form
+    * yields 0/true. */
   private def predCheck(name: String, df: DataFrame, bad: Column): DataFrame =
     df.agg(count(lit(1)).as("n_checked"),
-        sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_checked"),
         col("n_violations"), (col("n_violations") === 0).as("pass"))
 
@@ -465,31 +468,35 @@ object Stats extends QueryModule {
       .unionAll(dup)
   }
 
+  // NOT EXISTS, not NOT IN: NOT IN over a NULL-bearing key set returns
+  // zero violations for EVERY child row, and a NULL child key counts as a
+  // violation in Spark's left_anti but not in NOT IN — NOT EXISTS with an
+  // equality correlate is the exact SQL equivalent of the anti-join.
   private lazy val qDqChecksSql =
     """SELECT 'lineitem_fk_orders' AS check_name,
          CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
-         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-           (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_violations,
-         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-           (SELECT o_orderkey FROM orders)) = 0 AS pass
+         CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations,
+         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS pass
        UNION ALL SELECT 'orders_fk_customer',
          (SELECT count(*) FROM orders),
-         (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-           (SELECT c_custkey FROM customer)),
-         (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-           (SELECT c_custkey FROM customer)) = 0
+         (SELECT count(*) FROM orders od WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey)),
+         (SELECT count(*) FROM orders od WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey)) = 0
        UNION ALL SELECT 'customer_fk_nation',
          (SELECT count(*) FROM customer),
-         (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
-           (SELECT n_nationkey FROM nation)),
-         (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
-           (SELECT n_nationkey FROM nation)) = 0
+         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+         (SELECT count(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0
        UNION ALL SELECT 'orders_have_lineitems',
          (SELECT count(*) FROM orders),
-         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
-           (SELECT l_orderkey FROM lineitem)),
-         (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
-           (SELECT l_orderkey FROM lineitem)) = 0
+         (SELECT count(*) FROM orders od WHERE NOT EXISTS
+           (SELECT 1 FROM lineitem l WHERE l.l_orderkey = od.o_orderkey)),
+         (SELECT count(*) FROM orders od WHERE NOT EXISTS
+           (SELECT 1 FROM lineitem l WHERE l.l_orderkey = od.o_orderkey)) = 0
        UNION ALL SELECT 'orders_positive_total',
          (SELECT count(*) FROM orders),
          (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
@@ -832,11 +839,15 @@ object Stats extends QueryModule {
       .select(col("lang"), col("x"),
         (col("rn") - col("rn0") + 1L).cast("decimal(38,0)").as("i"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      .agg(count(lit(1)).as("n"),
+        // the auxiliary products (n+1)·Σx and n·Σx hit 10²² at the same
+        // 10⁹-row groups that force Σ i·x into DECIMAL — a long multiply
+        // would wrap silently (non-ANSI), so they stay DECIMAL too
+        sum(col("x")).cast("decimal(38,0)").as("sxd"),
         sum(col("i") * col("x")).as("six"))
-      .select(col("lang"), col("n"), col("sx"),
-        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
-          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+      .select(col("lang"), col("n"), col("sxd").cast("long").as("sx"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sxd")).cast("double") /
+          (col("n").cast("decimal(38,0)") * col("sxd")).cast("double"), 6).as("gini"))
   }
 
   private lazy val qGiniSql =

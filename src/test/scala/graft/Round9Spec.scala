@@ -334,10 +334,25 @@ class Round9Spec extends SparkSpec {
       scores.sorted(Ordering[Double].reverse).sameElements(scores))
   }
 
-  test("q11: important parts exceed twice the mean part value") {
+  test("q11: every important part exceeds 1.5x the mean regional part value") {
+    import org.apache.spark.sql.functions._
     val rows = graft.operators.Tpch.q11Value(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Double]("value") > 0.0))
+    // recompute the regional per-part mean independently of the operator
+    val eurNat = graft.sources.Tables.nation(spark, sfDir)
+      .join(graft.sources.Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val sup = graft.sources.Tables.supplier(spark, sfDir)
+      .join(eurNat, col("s_nationkey") === col("n_nationkey")).select("s_suppkey")
+    val v = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("value"))
+      .agg(sum(col("value")).as("tot"), count(lit(1)).as("nparts")).collect().head
+    val mean = v.getAs[Double]("tot") / v.getAs[Long]("nparts")
+    rows.foreach(r => assert(r.getAs[Double]("value") > 1.5 * mean - 0.01,
+      s"${r.getAs[Double]("value")} not above 1.5x mean $mean"))
   }
 
   test("novelty: every shingle counts itself, so mean df >= 1") {
@@ -404,9 +419,14 @@ class Round9Spec extends SparkSpec {
     val cum = rows.map(_.getAs[Double]("cum_share"))
     assert(math.abs(cum.last - 1.0) < 1e-5)
     assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
-    val shares = rows.map(_.getAs[Double]("share"))
-    // sorted ascending by length, so decile mass shares are non-decreasing
-    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a - 1e-6 })
+    // NOTE: per-decile SHARES need not be monotone — ntile hands its
+    // remainder rows to the FIRST tiles, so with near-constant lengths an
+    // early decile can out-mass a later one; only the cumulative curve
+    // and the mass partition are operator invariants.
+    val mass = rows.map(_.getAs[Long]("mass")).sum
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === graft.sources.Tables.documents(spark, sfDir).count())
+    assert(mass > 0)
   }
 
   test("cramers v: effect size in [0,1] with consistent dimensions") {
