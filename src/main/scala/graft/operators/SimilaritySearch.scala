@@ -234,6 +234,69 @@ object SimilaritySearch extends QueryModule {
        SELECT vec_id, label, round(cos, 6) AS cos
        FROM scored WHERE cos < $EmbedOutlierTau"""
 
+  /** Truncation width for the Matryoshka-style dimension audit. */
+  val MrlDims = 16
+
+  /** q_mrl_audit: dimension-truncation retrieval audit (the Matryoshka-
+    * representation question: can the index serve the FIRST 16 of 64
+    * dims and still find what full-precision search finds?). For each
+    * query vector: the full-space top-1 neighbor, the RANK that same
+    * neighbor lands at under truncated cosine (how far the cheap index
+    * must probe before rescoring recovers it — the nProbe/rerank-depth
+    * sizing input), and the top-5 set overlap. Exact and deterministic:
+    * both cosines are the sequential fold kernel on the same scored
+    * join, rankings break ties on nb_id, and the audit emits ranks and
+    * counts, never averaged floats. Same broadcast-query shape as
+    * q_knn_search — the corpus is scanned once for both scores. */
+  def qMrlAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        cosine(col("qv"), col("v")).as("cf"),
+        cosine(slice(col("qv"), 1, MrlDims), slice(col("v"), 1, MrlDims)).as("ct"))
+    val wF = Window.partitionBy("q_id").orderBy(col("cf").desc, col("nb_id").asc)
+    val wT = Window.partitionBy("q_id").orderBy(col("ct").desc, col("nb_id").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+    val top1 = ranked.filter(col("rf") === 1)
+      .select(col("q_id"), col("nb_id"), col("rt").as("trunc_rank_of_top1"))
+    val overlap = ranked.filter(col("rf") <= 5 && col("rt") <= 5)
+      .groupBy("q_id").agg(count(lit(1)).as("overlap5"))
+    top1.join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("overlap5"))
+      .select(col("q_id"), col("nb_id"), col("trunc_rank_of_top1"), col("overlap5"))
+  }
+
+  private lazy val qMrlAuditSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+       s AS (
+         SELECT q_id, vec_id AS nb_id,
+           list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cf,
+           list_dot_product(qv[1:$MrlDims], v[1:$MrlDims]) /
+             (sqrt(list_dot_product(qv[1:$MrlDims], qv[1:$MrlDims]))
+              * sqrt(list_dot_product(v[1:$MrlDims], v[1:$MrlDims]))) AS ct
+         FROM c CROSS JOIN q),
+       r AS (
+         SELECT q_id, nb_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, nb_id ASC) AS rf,
+           row_number() OVER (PARTITION BY q_id ORDER BY ct DESC, nb_id ASC) AS rt
+         FROM s),
+       t1 AS (SELECT q_id, nb_id, CAST(rt AS INT) AS trunc_rank_of_top1
+              FROM r WHERE rf = 1),
+       ov AS (SELECT q_id, CAST(count(*) AS BIGINT) AS overlap5
+              FROM r WHERE rf <= 5 AND rt <= 5 GROUP BY q_id)
+       SELECT t1.q_id, t1.nb_id, t1.trunc_rank_of_top1,
+         coalesce(ov.overlap5, 0) AS overlap5
+       FROM t1 LEFT JOIN ov ON ov.q_id = t1.q_id"""
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component is
     * derived from a splitmix-style integer mix — reproducible everywhere. */
   def hyperplaneComponent(p: Int, d: Int): Double = {
@@ -562,6 +625,7 @@ object SimilaritySearch extends QueryModule {
     "q_class_centroids" -> (qClassCentroids _),
     "q_rocchio" -> (qRocchio _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_mrl_audit" -> (qMrlAudit _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -573,5 +637,6 @@ object SimilaritySearch extends QueryModule {
     "q_class_centroids" -> qClassCentroidsSql,
     "q_rocchio" -> qRocchioSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_mrl_audit" -> qMrlAuditSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }

@@ -504,6 +504,16 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("mrl audit: one row per query, ranks positive, overlap bounded by 5") {
+    val rows = graft.operators.SimilaritySearch.qMrlAudit(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("trunc_rank_of_top1") >= 1)
+      val o = r.getAs[Long]("overlap5")
+      assert(o >= 0 && o <= 5)
+    }
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {
