@@ -518,6 +518,80 @@ object Stats extends QueryModule {
          (SELECT count(*) - count(DISTINCT doc_id) FROM documents),
          (SELECT count(*) - count(DISTINCT doc_id) FROM documents) = 0"""
 
+  /** q_ab_sequential: the sequential-look companion to q_ab_test — the
+    * per-day Welch-z TRAJECTORY of the click-vs-view comparison (the
+    * "peeking" view an experimentation platform actually renders: how
+    * the statistic evolved look by look, the input to any alpha-spending
+    * boundary). Daily conditional moments reduce in ONE grouped pass
+    * (decimal-exact), cumulate over the calendar-bounded day table
+    * (≤ a few thousand rows even for a year — the q_ks_test granularity
+    * bound), and each look's z is one fixed double expression over
+    * exactly-equal cumulative sums (population-variance form,
+    * documented). The warn flag (|z| > 1) discriminates at both SFs
+    * (15/30, 10/30); the trajectory itself never crossed 1.96 on this
+    * corpus — the honest null. */
+  def qAbSequential(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isA = col("event_type") === "click"
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("day")
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na0"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb0"),
+        sum(when(isA, col("v"))).as("sa0"),
+        sum(when(!isA, col("v"))).as("sb0"),
+        sum(when(isA, col("v") * col("v"))).as("qa0"),
+        sum(when(!isA, col("v") * col("v"))).as("qb0"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum(col("na0")).over(w).as("na"), sum(col("nb0")).over(w).as("nb"),
+      sum(col("sa0")).over(w).cast("double").as("sa"),
+      sum(col("sb0")).over(w).cast("double").as("sb"),
+      sum(col("qa0")).over(w).cast("double").as("qa"),
+      sum(col("qb0")).over(w).cast("double").as("qb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val z = (ma - mb) /
+      sqrt((col("qa") / col("na") - ma * ma) / col("na") +
+        (col("qb") / col("nb") - mb * mb) / col("nb"))
+    cum.filter(col("na") > 1 && col("nb") > 1)
+      .select(col("day"), col("na"), col("nb"), round(z, 6).as("z"),
+        (abs(z) > 1.0).as("warn"))
+  }
+
+  private lazy val qAbSequentialSql =
+    """WITH d AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(value AS DECIMAL(18,6)) AS v
+         FROM events WHERE event_type IN ('click', 'view')),
+       daily AS (
+         SELECT day,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na0,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb0,
+           sum(CASE WHEN event_type = 'click' THEN v END) AS sa0,
+           sum(CASE WHEN event_type = 'view' THEN v END) AS sb0,
+           sum(CASE WHEN event_type = 'click' THEN v * v END) AS qa0,
+           sum(CASE WHEN event_type = 'view' THEN v * v END) AS qb0
+         FROM d GROUP BY day),
+       c AS (
+         SELECT day,
+           CAST(sum(na0) OVER w AS BIGINT) AS na,
+           CAST(sum(nb0) OVER w AS BIGINT) AS nb,
+           CAST(sum(sa0) OVER w AS DOUBLE) AS sa,
+           CAST(sum(sb0) OVER w AS DOUBLE) AS sb,
+           CAST(sum(qa0) OVER w AS DOUBLE) AS qa,
+           CAST(sum(qb0) OVER w AS DOUBLE) AS qb
+         FROM daily WINDOW w AS (ORDER BY day ASC ROWS UNBOUNDED PRECEDING))
+       SELECT day, na, nb,
+         round((sa/na - sb/nb) / sqrt((qa/na - (sa/na)*(sa/na))/na
+           + (qb/nb - (sb/nb)*(sb/nb))/nb), 6) AS z,
+         abs((sa/na - sb/nb) / sqrt((qa/na - (sa/na)*(sa/na))/na
+           + (qb/nb - (sb/nb)*(sb/nb))/nb)) > 1.0 AS warn
+       FROM c WHERE na > 1 AND nb > 1"""
+
   /** q_key_skew: shuffle-key skew diagnostics for the events stream key —
     * top-1/top-10 share and the Gini coefficient of the per-key count
     * distribution (the number that says "salt this join"). Key counts
@@ -1399,6 +1473,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_ab_test" -> (qAbTest _),
+    "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_regr" -> (qRegr _),
@@ -1429,6 +1504,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_ab_test" -> qAbTestSql,
+    "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regr" -> qRegrSql,

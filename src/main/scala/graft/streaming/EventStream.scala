@@ -146,6 +146,41 @@ object EventStream {
       }
   }
 
+  case class HoltState(n: Long, level: Double, trend: Double)
+  case class HoltOut(event_type: String, n: Long, level: Double, trend: Double)
+
+  /** Streaming Holt level+trend smoothing per event type — the stateful
+    * twin of the batch ordered fold (Stats.qHolt): the IDENTICAL
+    * recursion (dyadic α = Stats.HoltAlpha, β = Stats.HoltBeta, same
+    * term order, seeded l₁ = y₁, b₁ = 0), carried as ONE
+    * (count, level, trend) triple per key regardless of stream length —
+    * the forecasting monitor a pipeline runs against live metric
+    * streams while the batch twin backfills history. Rows are processed
+    * in seq order within a batch (caller orders; production carries
+    * event-time); state persists across micro-batches. */
+  def runningHolt(values: Dataset[TypedValue]): Dataset[HoltOut] = {
+    import values.sparkSession.implicits._
+    val a = graft.operators.Stats.HoltAlpha
+    val b = graft.operators.Stats.HoltBeta
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[HoltState]) =>
+          var cur = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            cur =
+              if (cur.n == 0L) HoltState(1L, r.value, 0.0)
+              else {
+                val nl = a * r.value + (1 - a) * (cur.level + cur.trend)
+                val nb = b * (nl - cur.level) + (1 - b) * cur.trend
+                HoltState(cur.n + 1, nl, nb)
+              }
+          }
+          state.update(cur)
+          Iterator(HoltOut(et, cur.n, cur.level, cur.trend))
+      }
+  }
+
   case class TaggedEvent(user_id: Long, kind: String, event_id: Long, ts_us: Long)
   case class AsofState(last_view_us: Long)
   case class AsofMatch(event_id: Long, user_id: Long, view_us: Option[Long], gap_us: Option[Long])

@@ -514,6 +514,26 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("ab sequential: one look per day, warn flag is exactly |z| > 1") {
+    val rows = graft.operators.Stats.qAbSequential(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN)
+      if (math.abs(math.abs(z) - 1.0) > 1e-6)
+        assert(r.getAs[Boolean]("warn") === (math.abs(z) > 1.0))
+    }
+    // cumulative looks: arm sizes are non-decreasing over days
+    val sorted = rows.sortBy(_.getString(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("na") >= a.getAs[Long]("na"))
+        assert(b.getAs[Long]("nb") >= a.getAs[Long]("nb"))
+      case _ =>
+    }
+  }
+
   // ---------------- truncated stick-breaking HDP ----------------
 
   test("hdp: stick posterior is a valid truncated stick-breaking measure") {

@@ -109,6 +109,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt matches the batch recursion, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningHolt(input.toDS())
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Double, Double)] =
+      spark.table("holt_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }.toMap
+    // the identical recursion as batch qHolt's ordered fold
+    def model(xs: Seq[Double]): (Double, Double) = {
+      val a = graft.operators.Stats.HoltAlpha
+      val b = graft.operators.Stats.HoltBeta
+      var l = 0.0; var t = 0.0; var first = true
+      xs.foreach { y =>
+        if (first) { l = y; t = 0.0; first = false }
+        else {
+          val nl = a * y + (1 - a) * (l + t)
+          t = b * (nl - l) + (1 - b) * t
+          l = nl
+        }
+      }
+      (l, t)
+    }
+    try {
+      val b1 = Seq(10.0, 12.0, 14.0)
+      input.addData(b1.zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("click", i.toLong, v) })
+      q.processAllAvailable()
+      val r1 = latest()("click")
+      val m1 = model(b1)
+      assert(r1._1 === 3L && math.abs(r1._2 - m1._1) < 1e-12 &&
+        math.abs(r1._3 - m1._2) < 1e-12)
+      assert(r1._3 > 0.0, "rising series must show positive trend")
+      // second batch continues the recursion from carried state
+      val b2 = Seq(16.0, 18.0)
+      input.addData(b2.zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("click", (3 + i).toLong, v) })
+      q.processAllAvailable()
+      val r2 = latest()("click")
+      val m2 = model(b1 ++ b2)
+      assert(r2._1 === 5L && math.abs(r2._2 - m2._1) < 1e-12 &&
+        math.abs(r2._3 - m2._2) < 1e-12)
+    } finally q.stop()
+  }
+
   test("streaming as-of matches the native batch operator, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStream.TaggedEvent
