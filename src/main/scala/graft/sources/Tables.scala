@@ -52,10 +52,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
-    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/tests).
-    * Normalize back to a timestamp column (micros, truncated — matching
-    * DuckDB's epoch_us on the same data). */
+  /** events.parquet has carried two timestamp encodings across driver
+    * generations: TIMESTAMP(NANOS) (readable only via
+    * spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    * TIMESTAMP_NTZ. Normalize BOTH to a session-TZ timestamp column: the
+    * session is pinned to UTC (GraftSession), so the NTZ→LTZ cast
+    * reinterprets the same wall-clock value as the same instant DuckDB's
+    * naive timestamps compare as — and unix_micros()/window() downstream
+    * require the LTZ type. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
@@ -63,6 +68,10 @@ object Tables {
         // integer `div` — a double division would lose precision on ns epochs
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
