@@ -11,8 +11,8 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(
     Relational, Tpch, TextPrep, TextAnalysis, TextScoring, Dedup,
     SimilaritySearch, Evaluation, NQuads, Multimodal, TopicModeling,
-    Classification, PolysemyEval, Stats, RobustStats, ScaleOps, Bpe,
-    PatternMining)
+    Classification, PolysemyEval, Stats, RobustStats, Inference, ScaleOps,
+    Bpe, PatternMining)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
     * sf0.001; driver smoke-checks rows > 0. (The end-to-end headline,

@@ -1,0 +1,439 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Effect-size and sequential-inference operators: Cliff's delta and
+  * Cohen's d (the MAGNITUDE companions to q_mannwhitney's and q_ks_test's
+  * yes/no significance matrices), the Theil–Sen robust trend slope, the
+  * Benjamini–Hochberg FDR correction over the Mann–Whitney p-value matrix
+  * (every drift matrix in this repo is a multiple-testing problem), and a
+  * baseline-calibrated Page–Hinkley drift detector (the third member of
+  * the sequential family beside q_cusum and q_changepoint).
+  *
+  * Reference framing: the thesis reports classifier quality as raw
+  * accuracy/F1 deltas (evaluation.py, supervised_classifier.py) with no
+  * effect-size or multiplicity control; a production corpus monitor that
+  * alerts on q_mannwhitney's 10-pair matrix NEEDS both (how big is the
+  * shift, and which alarms survive FDR control). Determinism discipline
+  * follows the module convention: exact integer/DECIMAL arithmetic
+  * cross-multiplied to the last possible moment, one fixed double
+  * expression at the end, round(…, 6), ordering ties broken by keys.
+  */
+object Inference extends QueryModule {
+
+  // ------------------------------------------------------------ cliffs delta
+
+  /** Magnitude thresholds (Romano et al.): |d| < .147 negligible,
+    * < .33 small, < .474 medium, else large. */
+  val CliffNegligible = 0.147
+  val CliffSmall = 0.33
+  val CliffMedium = 0.474
+
+  /** Cliff's delta over every group pair of a (g, x) relation —
+    * d = (#{x_a > x_b} − #{x_a < x_b}) / (n_a·n_b), the [-1, 1]
+    * dominance effect size that pairs with mannWhitneyPairs' z (U and d
+    * are affine: d = 2U/(n_a·n_b) − 1, but the win/loss decomposition is
+    * the auditable form). Evaluated at DISTINCT-VALUE granularity (the
+    * ksPairs trick): per (pair, x) side counts first, then wins =
+    * Σ_x d1·(b-rows strictly below x) and losses = Σ_x d1·(b-rows
+    * strictly above x) from one cumulative window over distinct values —
+    * partition size bounded by the value domain, never the fact table.
+    * Wins/losses/n are exact integers; d divides once. */
+  def cliffsDeltaPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (col("wins") - col("losses")).cast("double") / (col("na") * col("nb"))
+    tagged
+      .withColumn("c2", sum(col("d2")).over(w))
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum(col("d1") * (col("c2") - col("d2"))).as("wins"),
+        sum(col("d1") * (col("nb") - col("c2"))).as("losses"))
+      .select(col("ga").as("g_a"), col("gb").as("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("wins"), col("losses"), round(d, 6).as("delta"),
+        when(abs(d) < CliffNegligible, "negligible")
+          .when(abs(d) < CliffSmall, "small")
+          .when(abs(d) < CliffMedium, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /** q_cliffs_delta: the dominance effect-size matrix over document
+    * lengths per language pair — the magnitude column q_mannwhitney's
+    * significance matrix is missing. One generating distribution on this
+    * corpus → honest negligible deltas (the spec proves the magnitude
+    * ladder on shifted fixtures); wins/losses still vary per pair, so the
+    * gate hashes real structure. */
+  def qCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    cliffsDeltaPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qCliffsDeltaSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb, x, d1, d2,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               CAST(sum(d1 * (c2 - d2)) AS BIGINT) AS wins,
+               CAST(sum(d1 * (nb - c2)) AS BIGINT) AS losses
+             FROM c GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b, wins, losses,
+         round(CAST(wins - losses AS DOUBLE) / (na * nb), 6) AS delta,
+         CASE WHEN abs(CAST(wins - losses AS DOUBLE) / (na * nb)) < $CliffNegligible THEN 'negligible'
+              WHEN abs(CAST(wins - losses AS DOUBLE) / (na * nb)) < $CliffSmall THEN 'small'
+              WHEN abs(CAST(wins - losses AS DOUBLE) / (na * nb)) < $CliffMedium THEN 'medium'
+              ELSE 'large' END AS magnitude
+       FROM m"""
+
+  // -------------------------------------------------------------- cohens d
+
+  /** Magnitude thresholds (Cohen): |d| < 0.2 negligible, < 0.5 small,
+    * < 0.8 medium, else large. */
+  val CohenSmall = 0.2
+  val CohenMedium = 0.5
+  val CohenLarge = 0.8
+
+  /** Cohen's d over every group pair of a (g, x) relation with INTEGRAL
+    * x — the parametric effect size beside cliffsDeltaPairs' dominance
+    * form: d = (m̄_a − m̄_b) / s_pooled, plus Hedges' small-sample
+    * correction g = J·d, J = 1 − 3/(4(n_a+n_b) − 9). Per-group moments
+    * (n, Σx, Σx²) are one exact-integer aggregate pass; the pair matrix
+    * is a bounded broadcast cross join of those 1-row-per-group moments
+    * (never a row-level pair join); each sum-of-squares survives in the
+    * cross-multiplied DECIMAL(38,0) domain (n·Σx² − (Σx)²) and divides
+    * exactly once into double. */
+  def cohensDPairs(vals: DataFrame): DataFrame = {
+    val moments = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val a = moments.select(col("g").as("ga"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = moments.select(col("g").as("gb"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    // SS_g = Σx² − (Σx)²/n, kept cross-multiplied: (n·Σx² − (Σx)²)/n
+    val ssa = (col("na") * col("sxxa") - col("sxa") * col("sxa")).cast("double") / col("na")
+    val ssb = (col("nb") * col("sxxb") - col("sxb") * col("sxb")).cast("double") / col("nb")
+    val meanA = col("sxa").cast("double") / col("na")
+    val meanB = col("sxb").cast("double") / col("nb")
+    val pooled = sqrt((ssa + ssb) / (col("na") + col("nb") - 2))
+    val d = (meanA - meanB) / pooled
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (col("na") + col("nb")) - 9)
+    broadcast(a).crossJoin(broadcast(b)).filter(col("ga") < col("gb"))
+      .select(col("ga").as("g_a"), col("gb").as("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+        round(d, 6).as("d"), round(j * d, 6).as("g_hedges"),
+        when(abs(d) < CohenSmall, "negligible")
+          .when(abs(d) < CohenMedium, "small")
+          .when(abs(d) < CohenLarge, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /** q_cohens_d: the standardized-mean-difference matrix over document
+    * lengths per language pair — parametric twin of q_cliffs_delta (a
+    * dataset card reports both: d assumes rough normality, delta does
+    * not). Same honest-negligible posture on this corpus. */
+  def qCohensD(s: SparkSession, dir: String): DataFrame =
+    cohensDPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qCohensDSql =
+    s"""WITH m AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+               sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+             FROM documents GROUP BY 1),
+       pr AS (SELECT a.g AS ga, a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+                b.g AS gb, b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+              FROM m a JOIN m b ON a.g < b.g),
+       e AS (SELECT ga, gb, na, nb,
+               CAST(sxa AS DOUBLE) / na AS mean_a,
+               CAST(sxb AS DOUBLE) / nb AS mean_b,
+               (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb) /
+                 sqrt((CAST(na * sxxa - sxa * sxa AS DOUBLE) / na +
+                       CAST(nb * sxxb - sxb * sxb AS DOUBLE) / nb)
+                      / (na + nb - 2)) AS d
+             FROM pr)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+         round(d, 6) AS d,
+         round((1.0 - 3.0 / (4.0 * (na + nb) - 9)) * d, 6) AS g_hedges,
+         CASE WHEN abs(d) < $CohenSmall THEN 'negligible'
+              WHEN abs(d) < $CohenMedium THEN 'small'
+              WHEN abs(d) < $CohenLarge THEN 'medium'
+              ELSE 'large' END AS magnitude
+       FROM e"""
+
+  // ------------------------------------------------------------- theil-sen
+
+  /** q_theil_sen: Theil–Sen robust trend slope of the daily event totals
+    * per event type — the median of all pairwise day-to-day slopes, the
+    * estimator that shrugs off the outlier days that flip an OLS fit
+    * (emitted beside the OLS slope so the divergence itself is the
+    * diagnostic). The series is first reduced to CALENDAR-BOUNDED daily
+    * totals (exact DECIMAL), so the pair set is days², bounded regardless
+    * of fact-table size; each pairwise slope is one division of exact
+    * decimals, the median is a nearest-rank row_number pick over the
+    * bounded pair list (slope order, (ti, tj) tie-break), and the OLS
+    * slope stays cross-multiplied integer×DECIMAL until its single
+    * division. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot")))
+
+  /** Core on a (event_type, day, tot) daily relation — split out so specs
+    * can feed synthetic series with known slopes. */
+  def theilSenOf(dailyIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyIn
+      .withColumn("t", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+    val a = daily.select(col("event_type"), col("t").as("ti"), col("tot").as("yi"))
+    val b = daily.select(col("event_type"), col("t").as("tj"), col("tot").as("yj"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("ti") < col("tj"))
+      .select(col("event_type"), col("ti"), col("tj"),
+        ((col("yj") - col("yi")).cast("double") / (col("tj") - col("ti"))).as("slope"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(col("slope").asc, col("ti").asc, col("tj").asc)
+    val ranked = slopes.withColumn("rn", row_number().over(wRank))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"),
+        sum(col("tot")).as("sy"),
+        sum(col("tot") * col("t")).as("sty"))
+    val ols = (col("n_days") * col("sty") - col("st") * col("sy")).cast("double") /
+      (col("n_days") * col("stt") - col("st") * col("st")).cast("double")
+    ranked
+      .join(stats, Seq("event_type"))
+      // nearest-rank median over n(n−1)/2 pairs: k = ⌈n_pairs/2⌉ — `div`
+      // keeps the whole rank computation integral (Spark's `/` on
+      // integers widens to double)
+      .filter(col("rn") ===
+        expr("(n_days * (n_days - 1) div 2 * 50 + 99) div 100"))
+      .select(col("event_type"), col("n_days"),
+        expr("n_days * (n_days - 1) div 2").as("n_pairs"),
+        round(col("slope"), 6).as("ts_slope"), round(ols, 6).as("ols_slope"))
+  }
+
+  private lazy val qTheilSenSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT event_type, tot,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+               FROM daily),
+       sl AS (SELECT a.event_type, a.t AS ti, b.t AS tj,
+                CAST(b.tot - a.tot AS DOUBLE) / (b.t - a.t) AS slope
+              FROM idx a JOIN idx b
+                ON a.event_type = b.event_type AND a.t < b.t),
+       rk AS (SELECT event_type, slope,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY slope ASC, ti ASC, tj ASC) AS rn
+              FROM sl),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                sum(t) AS st, sum(t * t) AS stt,
+                sum(tot) AS sy, sum(tot * t) AS sty
+              FROM idx GROUP BY 1)
+       SELECT st.event_type, n_days,
+         CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs,
+         round(rk.slope, 6) AS ts_slope,
+         round(CAST(n_days * sty - st * sy AS DOUBLE) /
+               CAST(n_days * stt - st * st AS DOUBLE), 6) AS ols_slope
+       FROM st JOIN rk ON rk.event_type = st.event_type
+         AND rk.rn = (n_days * (n_days - 1) // 2 * 50 + 99) // 100"""
+
+  // ---------------------------------------------------------------- bh fdr
+
+  /** BH rejection level. */
+  val FdrQ = 0.05
+
+  /** erf-complement tail via Abramowitz–Stegun 7.1.26 (|ε| < 1.5e-7),
+    * shared by the Spark expression and the SQL twin in the SAME
+    * operation order: p = 2(1 − Φ(|z|)) = erfc(|z|/√2) =
+    * poly(t)·exp(−y²), t = 1/(1 + 0.3275911·y). The only
+    * libm-dependent op is exp(); its ≤1-ulp engine spread is killed by
+    * the round(…, 6) BEFORE the BH arithmetic, so every downstream
+    * comparison sees identical doubles in both engines. */
+  private def pFromZ(z: Column): Column = {
+    val y = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * y)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    round(poly * exp(-(y * y)), 6)
+  }
+
+  /** Spec hook: the two-sided p expression, for calibration assertions. */
+  def pForSpec(z: Column): Column = pFromZ(z)
+
+  private val pFromZSqlOf: String => String = z =>
+    s"""round((((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        - 0.284496736) * tt + 0.254829592) * tt)
+        * exp(-(abs($z) / 1.4142135623730951) * (abs($z) / 1.4142135623730951)), 6)"""
+
+  /** q_bh_fdr: Benjamini–Hochberg FDR correction over the Mann–Whitney
+    * language-pair matrix — the multiplicity control every drift matrix
+    * in this repo needs before it pages anyone (10 pairs tested at
+    * α=.05 expect a false alarm every other run; BH caps the EXPECTED
+    * false-discovery share at q instead). p-values come from the
+    * normal approximation via a fixed-order A-S erfc polynomial
+    * (identical IEEE in both engines after round-6); ranking is by the
+    * exactly-matching (p, pair-key) order; adj_p_i = min_{j≥i} p_j·m/j
+    * is one reversed cumulative-min window over the BOUNDED pair matrix
+    * (never data-sized); rejected = adj_p ≤ q. */
+  def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mw = RobustStats.mannWhitneyPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+    val withP = mw.select(col("g_a"), col("g_b"), col("z"),
+      pFromZ(col("z")).as("p"))
+    val m = withP.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(col("p").asc, col("g_a").asc, col("g_b").asc)
+    val wRevMin = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("adj_p",
+        least(lit(1.0), min(col("p") * col("m") / col("rank")).over(wRevMin)))
+      .select(col("g_a"), col("g_b"), col("z"), col("p"), col("rank"),
+        round(col("adj_p"), 6).as("adj_p"),
+        (col("adj_p") <= FdrQ).as("rejected"))
+  }
+
+  private lazy val qBhFdrSql =
+    s"""WITH mw AS (SELECT g_a, g_b, z FROM (${RobustStats.qMannwhitneySql}) x),
+       pt AS (SELECT g_a, g_b, z,
+                1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS tt
+              FROM mw),
+       pv AS (SELECT g_a, g_b, z, ${pFromZSqlOf("z")} AS p FROM pt),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+       rk AS (SELECT g_a, g_b, z, p, m,
+                row_number() OVER (ORDER BY p ASC, g_a ASC, g_b ASC) AS rank
+              FROM pv CROSS JOIN mm),
+       adj AS (SELECT g_a, g_b, z, p, rank,
+                 least(1.0, min(p * m / rank) OVER (ORDER BY rank DESC
+                   ROWS UNBOUNDED PRECEDING)) AS adj_p
+               FROM rk)
+       SELECT g_a, g_b, z, p, rank, round(adj_p, 6) AS adj_p,
+         adj_p <= $FdrQ AS rejected
+       FROM adj"""
+
+  // ----------------------------------------------------------- page-hinkley
+
+  /** Warmup days fixing the baseline mean, drift tolerance as a fraction
+    * of the baseline (5% ⇒ ×21/20 cross-multiplied ×20), and the alarm
+    * threshold as a fraction of the baseline day mass. */
+  val PhWarmupDays = 7
+  val PhDeltaNum = 21   // 1 + δ with δ = 0.05, scaled by PhDeltaDen
+  val PhDeltaDen = 20
+  val PhLambdaFrac = 0.5
+
+  /** q_page_hinkley: baseline-calibrated Page–Hinkley drift detector over
+    * the daily event totals per event type — the third sequential monitor
+    * beside q_cusum (mean-shift mass) and q_changepoint (single split):
+    * PH accumulates positive drift against a FIXED warmup baseline and
+    * alarms when the accumulated excess minus its running minimum clears
+    * λ. The textbook running-mean variant needs a per-step division (a
+    * double recursion); fixing the reference to the K-day warmup mean —
+    * what a production monitor does anyway, calibrate then watch — keeps
+    * the whole recursion in the cross-multiplied exact-DECIMAL domain
+    * (the q_cusum move): m̂_t = den·K·(csum_t − csum_K) −
+    * (t−K)·S_K·num, ph = m̂_t − min_{i≤t} m̂_i, alarm ⇔ ph > λ·den·K·S_K
+    * — every comparison exact, one division at the very end for the
+    * human-scale report. Two bounded windows over the calendar-day
+    * series, honest-negative alarms on this stationary corpus (the spec
+    * proves the alarm trips on an injected level shift). */
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame =
+    pageHinkleyOf(Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot")))
+
+  /** Core on a (event_type, day, tot) daily relation — split out so specs
+    * can inject level shifts and prove the alarm trips. */
+  def pageHinkleyOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = PhWarmupDays
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("csum", sum(col("tot")).over(wRun))
+    val base = cum.filter(col("t") === k)
+      .select(col("event_type"), col("csum").as("s_k"))
+    cum.join(broadcast(base), Seq("event_type"))
+      .filter(col("t") > k)
+      .withColumn("m_hat",
+        (col("csum") - col("s_k")) * (PhDeltaDen * k) -
+          (col("t") - k) * col("s_k") * PhDeltaNum)
+      .withColumn("ph", col("m_hat") - min(col("m_hat")).over(wRun))
+      .select(col("event_type"), col("day"), col("tot").cast("double").as("tot"),
+        round(col("ph").cast("double") / (PhDeltaDen * k), 6).as("ph"),
+        (col("ph") > col("s_k") * lit(PhLambdaFrac * PhDeltaDen * k)).as("alarm"))
+  }
+
+  private lazy val qPageHinkleySql = {
+    val k = PhWarmupDays
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       cum AS (SELECT event_type, day, tot,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+                 sum(tot) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS csum
+               FROM daily),
+       base AS (SELECT event_type, csum AS s_k FROM cum WHERE t = $k),
+       m AS (SELECT cum.event_type, day, tot,
+               (csum - s_k) * ${PhDeltaDen * k} -
+                 (t - $k) * s_k * $PhDeltaNum AS m_hat,
+               s_k
+             FROM cum JOIN base ON base.event_type = cum.event_type
+             WHERE t > $k),
+       p AS (SELECT event_type, day, tot, s_k,
+               m_hat - min(m_hat) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS ph
+             FROM m)
+       SELECT event_type, day, CAST(tot AS DOUBLE) AS tot,
+         round(CAST(ph AS DOUBLE) / ${PhDeltaDen * k}, 6) AS ph,
+         ph > s_k * ${PhLambdaFrac * PhDeltaDen * k} AS alarm
+       FROM p"""
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_cohens_d" -> (qCohensD _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_bh_fdr" -> (qBhFdr _),
+    "q_page_hinkley" -> (qPageHinkley _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_cliffs_delta" -> qCliffsDeltaSql,
+    "q_cohens_d" -> qCohensDSql,
+    "q_theil_sen" -> qTheilSenSql,
+    "q_bh_fdr" -> qBhFdrSql,
+    "q_page_hinkley" -> qPageHinkleySql)
+}

@@ -750,7 +750,9 @@ object RobustStats extends QueryModule {
     mannWhitneyPairs(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
-  private lazy val qMannwhitneySql =
+  /** Package-visible: Inference.qBhFdr wraps this matrix as a derived
+    * table to attach p-values and the BH correction. */
+  private[operators] lazy val qMannwhitneySql =
     """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
        n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
        pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb

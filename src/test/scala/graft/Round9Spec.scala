@@ -584,4 +584,122 @@ class Round9Spec extends SparkSpec {
       .as[Double].collect()
     assert(u.forall(v => !v.isNaN && !v.isInfinite))
   }
+
+  // ---------------- effect sizes & sequential inference ----------------
+
+  test("cliffs delta: full dominance hits ±1, identical samples sit at 0") {
+    import spark.implicits._
+    val dom = Seq(("a", 10), ("a", 20), ("a", 30), ("b", 1), ("b", 2), ("b", 3))
+      .toDF("g", "x")
+    val r = graft.operators.Inference.cliffsDeltaPairs(dom).collect().head
+    assert(r.getAs[Long]("wins") === 9L && r.getAs[Long]("losses") === 0L)
+    assert(r.getAs[Double]("delta") === 1.0)
+    assert(r.getAs[String]("magnitude") === "large")
+    val same = Seq(("a", 5), ("a", 7), ("b", 5), ("b", 7)).toDF("g", "x")
+    val r2 = graft.operators.Inference.cliffsDeltaPairs(same).collect().head
+    assert(r2.getAs[Double]("delta") === 0.0)
+    assert(r2.getAs[String]("magnitude") === "negligible")
+  }
+
+  test("cliffs delta agrees with mann-whitney U: d = 2U/(n_a n_b) − 1") {
+    val vals = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang").as("g"), col("n_chars").as("x"))
+    val d = graft.operators.Inference.cliffsDeltaPairs(vals)
+      .select("g_a", "g_b", "n_a", "n_b", "delta").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val u = graft.operators.RobustStats.mannWhitneyPairs(vals)
+      .select("g_a", "g_b", "u1").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(d.keySet === u.keySet)
+    d.foreach { case (k, (na, nb, delta)) =>
+      // U1 counts b-over-a wins (+ half-ties): delta = 1 − 2U1/(na·nb)
+      val viaU = 1.0 - 2.0 * u(k) / (na * nb)
+      assert(math.abs(delta - viaU) < 1e-5, s"$k: $delta vs $viaU")
+    }
+  }
+
+  test("cohens d: a one-sd shift lands near d=1 and hedges shrinks toward zero") {
+    import spark.implicits._
+    // two spread-out groups, b shifted by exactly one pooled sd ≈ 10
+    val a = (1 to 50).map(i => ("a", 100 + (i % 21 - 10) * 3))
+    val b = (1 to 50).map(i => ("b", 110 + (i % 21 - 10) * 3))
+    val r = graft.operators.Inference.cohensDPairs((a ++ b).toDF("g", "x"))
+      .collect().head
+    val d = r.getAs[Double]("d")
+    val g = r.getAs[Double]("g_hedges")
+    assert(d < 0.0, "mean_a < mean_b ⇒ negative d")
+    assert(math.abs(d) > 0.3, "a visible shift must not read as negligible")
+    assert(math.abs(g) < math.abs(d), "hedges correction shrinks |d|")
+    // d and g_hedges are independently round(…,6)ed, so the identity
+    // holds to the rounding grain, not machine epsilon
+    assert(math.abs(g - d * (1.0 - 3.0 / (4.0 * 100 - 9))) < 2e-6)
+  }
+
+  test("theil-sen: recovers a clean slope through one wild outlier day, OLS does not") {
+    import spark.implicits._
+    // y = 7 + 2t except the LAST day spikes to 1000 (max OLS leverage —
+    // a mid-series spike barely moves the fit): the pairwise-slope
+    // median holds 2.0 while the OLS fit is dragged off by the outlier
+    val daily = (1 to 20).map { t =>
+      val y = if (t == 20) BigDecimal(1000) else BigDecimal(7 + 2 * t)
+      ("purchase", f"2024-02-$t%02d", y)
+    }.toDF("event_type", "day", "tot")
+      .select(col("event_type"), col("day"), col("tot").cast("decimal(18,6)").as("tot"))
+    val r = graft.operators.Inference.theilSenOf(daily).collect().head
+    assert(r.getAs[Long]("n_pairs") === 190L)
+    assert(math.abs(r.getAs[Double]("ts_slope") - 2.0) < 1e-9, "median slope is robust")
+    assert(math.abs(r.getAs[Double]("ols_slope") - 2.0) > 1.0, "OLS is not")
+  }
+
+  test("bh fdr: p-values calibrate, adjustment is monotone and never below raw p") {
+    import spark.implicits._
+    // the A-S erfc tail at the textbook z values
+    val p = Seq(0.0, 1.959963985, 2.575829304).toDF("z")
+      .select(col("z"),
+        graft.operators.Inference.pForSpec(col("z")).as("p"))
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(p(0.0) - 1.0) < 1e-6)
+    assert(math.abs(p(1.959963985) - 0.05) < 1e-4)
+    assert(math.abs(p(2.575829304) - 0.01) < 1e-4)
+    val rows = graft.operators.Inference.qBhFdr(spark, sfDir)
+      .orderBy("rank").collect()
+    assert(rows.length === 10, "ten language pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("adj_p") >= r.getAs[Double]("p") - 1e-12)
+      assert(r.getAs[Double]("adj_p") <= 1.0)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("adj_p") >= a.getAs[Double]("adj_p") - 1e-12,
+          "BH adjusted p is monotone in rank")
+      case _ =>
+    }
+    // rejections, if any, form a prefix of the rank order
+    val rej = rows.map(_.getAs[Boolean]("rejected"))
+    assert(!rej.dropWhile(identity).contains(true), "rejection set is a rank prefix")
+  }
+
+  test("page-hinkley: stationary series stays quiet, a level shift trips the alarm") {
+    import spark.implicits._
+    def series(shiftFrom: Int, shiftTo: BigDecimal): Seq[(String, String, BigDecimal)] =
+      (1 to 30).map { t =>
+        val base = BigDecimal(100 + (t % 3))   // mild stationary wiggle
+        ("view", f"2024-03-$t%02d", if (t >= shiftFrom) shiftTo else base)
+      }
+    def run(s: Seq[(String, String, BigDecimal)]) =
+      graft.operators.Inference.pageHinkleyOf(
+        s.toDF("event_type", "day", "tot")
+          .select(col("event_type"), col("day"),
+            col("tot").cast("decimal(18,6)").as("tot"))).collect()
+    val quiet = run(series(99, 0))
+    assert(quiet.length === 30 - graft.operators.Inference.PhWarmupDays)
+    assert(quiet.forall(!_.getAs[Boolean]("alarm")), "no alarm on stationary data")
+    assert(quiet.forall(_.getAs[Double]("ph") >= 0.0), "ph is a running excess, ≥ 0")
+    val shifted = run(series(15, BigDecimal(220)))   // +120% level shift
+    assert(shifted.exists(_.getAs[Boolean]("alarm")), "a 2.2× shift must alarm")
+    // once tripped the cumulative excess keeps the alarm latched
+    val alarms = shifted.sortBy(_.getAs[String]("day")).map(_.getAs[Boolean]("alarm"))
+    assert(!alarms.dropWhile(!_).contains(false), "alarm is monotone after the shift")
+  }
 }
