@@ -157,6 +157,81 @@ object Evaluation extends QueryModule {
        FROM n a JOIN n b ON a.name < b.name
        WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.8"""
 
+  /** Levenshtein match threshold for ER candidate generation. */
+  val ErMaxDist = 3
+
+  /** q_er_blocking: blocked fuzzy-match candidate generation — the
+    * entity-resolution front end that makes pairwise matching feasible at
+    * scale (naive ER is n² comparisons; blocking bounds the quadratic to
+    * within-block). Blocks = (first name word, p_size). The load-bearing
+    * scale move: string distance is computed on the DISTINCT-NAME domain
+    * per block (bounded by the name vocabulary, ≤8 nouns per adjective
+    * here), and record-level candidate counts come from MULTIPLYING the
+    * per-name multiplicities — Σ cnt_a·cnt_b over matching name pairs and
+    * Σ cnt·(cnt−1)/2 within identical names — so no record-level pair is
+    * ever materialized (at 100 TB the name-pair relation stays vocabulary²
+    * while records grow unbounded). Levenshtein is exact-integer in both
+    * engines; every count is exact; the block reduction ratio divides
+    * once. Cites reference evaluate.py:compareStrings (the thesis matches
+    * concept titles fuzzily; blocking is how that survives scale). */
+  def qErBlocking(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(split(col("p_name"), " ").getItem(0).as("blk"),
+        col("p_size"), col("p_name"))
+    val names = parts.groupBy("blk", "p_size", "p_name")
+      .agg(count(lit(1)).as("cnt"))
+    val a = names.select(col("blk"), col("p_size"),
+      col("p_name").as("name_a"), col("cnt").as("cnt_a"))
+    val b = names.select(col("blk"), col("p_size"),
+      col("p_name").as("name_b"), col("cnt").as("cnt_b"))
+    val fuzzy = a.join(b, Seq("blk", "p_size"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= ErMaxDist)
+      .groupBy("blk", "p_size")
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum(col("cnt_a") * col("cnt_b")).as("fuzzy_pairs"))
+    val blocks = names.groupBy("blk", "p_size")
+      .agg(sum(col("cnt")).as("block_n"),
+        count(lit(1)).as("n_names"),
+        // `div` — Spark's `/` on integers widens to double
+        sum(expr("cnt * (cnt - 1) div 2")).as("exact_pairs"))
+    blocks.join(fuzzy, Seq("blk", "p_size"), "left")
+      .na.fill(0L, Seq("n_name_pairs", "fuzzy_pairs"))
+      .select(col("blk"), col("p_size"), col("block_n"), col("n_names"),
+        col("exact_pairs"), col("n_name_pairs"), col("fuzzy_pairs"),
+        // candidate share of the naive within-block quadratic
+        when(col("block_n") < 2, lit(null)).otherwise(
+          round((col("exact_pairs") + col("fuzzy_pairs")).cast("double") /
+            (col("block_n") * (col("block_n") - 1) / 2), 6)).as("cand_share"))
+  }
+
+  private lazy val qErBlockingSql =
+    s"""WITH names AS (
+         SELECT split_part(p_name, ' ', 1) AS blk, p_size, p_name,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM part GROUP BY 1, 2, 3),
+       fz AS (
+         SELECT a.blk, a.p_size,
+           CAST(count(*) AS BIGINT) AS n_name_pairs,
+           CAST(sum(a.cnt * b.cnt) AS BIGINT) AS fuzzy_pairs
+         FROM names a JOIN names b
+           ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist
+         GROUP BY 1, 2),
+       blocks AS (
+         SELECT blk, p_size, CAST(sum(cnt) AS BIGINT) AS block_n,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS exact_pairs
+         FROM names GROUP BY 1, 2)
+       SELECT blocks.blk, blocks.p_size, block_n, n_names, exact_pairs,
+         coalesce(n_name_pairs, 0) AS n_name_pairs,
+         coalesce(fuzzy_pairs, 0) AS fuzzy_pairs,
+         CASE WHEN block_n < 2 THEN NULL ELSE
+           round(CAST(exact_pairs + coalesce(fuzzy_pairs, 0) AS DOUBLE) /
+             (block_n * (block_n - 1) // 2), 6) END AS cand_share
+       FROM blocks LEFT JOIN fz
+         ON fz.blk = blocks.blk AND fz.p_size = blocks.p_size"""
+
   /** q_cv_folds: deterministic stratified-ish fold assignment + per-fold
     * class balance (the distributed analogue of StratifiedKFold bookkeeping). */
   def qCvFolds(s: SparkSession, dir: String): DataFrame =
@@ -237,6 +312,7 @@ object Evaluation extends QueryModule {
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_kappa" -> (qKappa _),
     "q_auc" -> (qAuc _),
+    "q_er_blocking" -> (qErBlocking _),
     "q_cv_folds" -> (qCvFolds _))
 
   override def oracles: Map[String, String] = Map(
@@ -245,5 +321,6 @@ object Evaluation extends QueryModule {
     "q_jaro_winkler" -> qJaroWinklerSql,
     "q_kappa" -> qKappaSql,
     "q_auc" -> qAucSql,
+    "q_er_blocking" -> qErBlockingSql,
     "q_cv_folds" -> qCvFoldsSql)
 }

@@ -617,7 +617,90 @@ object SimilaritySearch extends QueryModule {
     }.toSeq.toDF("component", "explained_var", "cum_var")
   }
 
+  /** nDCG cutoff. */
+  val NdcgK = 10
+
+  /** q_ndcg: graded retrieval quality of the exact cosine ranking —
+    * nDCG@10 per query with binary label-match relevance, the
+    * rank-position-weighted companion to q_ann_recall's set-overlap
+    * (recall can't see WHERE in the list the relevant items land; nDCG
+    * discounts by log₂ rank). Same broadcast(queries) ⋈ scan(corpus)
+    * shape as q_knn_search; DCG is an ordered fold over the K collected
+    * terms in rank order (the q_class_centroids determinism move —
+    * a grouped fp sum would be partition-order-sensitive), and the ideal
+    * DCG unrolls a bounded min(K, n_rel) sequence per query, so both
+    * engines walk identical IEEE additions. n_rel counts come from a
+    * label-bounded broadcast aggregate, never a second corpus pass per
+    * query. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val k = NdcgK
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val relCounts = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_rel_corpus"))
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("nb_id"), col("label"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val dcgTerm = col("rel").cast("double") / log2(col("rank") + 1)
+    val agg = top.groupBy("q_id", "q_label")
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), dcgTerm.as("term")))),
+            x => x.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("dcg"))
+    val idcg = aggregate(
+      transform(sequence(lit(1L), least(lit(k.toLong), col("n_rel_corpus"))),
+        i => lit(1.0) / log2(i.cast("double") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    agg.join(broadcast(relCounts), Seq("q_label"))
+      .withColumn("idcg", idcg)
+      .select(col("q_id"), col("q_label"), col("n_rel_corpus"), col("n_rel_topk"),
+        round(col("dcg"), 6).as("dcg"), round(col("idcg"), 6).as("idcg"),
+        when(col("idcg") === 0.0, lit(null))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
+  private val qNdcgSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+       rc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS n_rel_corpus
+              FROM c GROUP BY 1),
+       scored AS (
+         SELECT q_id, q_label, c.vec_id AS nb_id, c.label AS nb_label,
+           list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, q_label, nb_id, nb_label, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS rank
+         FROM scored),
+       top AS (SELECT q_id, q_label, rank,
+                 CASE WHEN nb_label = q_label THEN 1 ELSE 0 END AS rel
+               FROM ranked WHERE rank <= $NdcgK),
+       a AS (SELECT q_id, q_label, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+               list_sum(list(CAST(rel AS DOUBLE) / log2(rank + 1) ORDER BY rank)) AS dcg
+             FROM top GROUP BY 1, 2),
+       i AS (SELECT a.q_id, a.q_label, a.n_rel_topk, a.dcg, rc.n_rel_corpus,
+               list_sum(list_transform(generate_series(1,
+                 CAST(least($NdcgK, rc.n_rel_corpus) AS INT)),
+                 x -> 1.0 / log2(CAST(x AS DOUBLE) + 1))) AS idcg
+             FROM a JOIN rc USING (q_label))
+       SELECT q_id, q_label, n_rel_corpus, n_rel_topk,
+         round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         CASE WHEN idcg = 0 THEN NULL ELSE round(dcg / idcg, 6) END AS ndcg
+       FROM i"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
     "q_ann_pq" -> (qAnnPq _),
     "q_knn_search" -> (qKnnSearch _),
@@ -632,6 +715,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
+    "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_class_centroids" -> qClassCentroidsSql,

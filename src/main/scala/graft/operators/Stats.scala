@@ -699,6 +699,108 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** Pre/post boundary day for the CUPED covariate window. */
+  val CupedSplitDay = "2024-01-15"
+
+  /** q_cuped: CUPED variance-reduced A/B readout — the industry-standard
+    * pre-experiment covariate adjustment (Deng et al. 2013): per user,
+    * X = pre-period value mass, Y = post-period value mass; the adjusted
+    * metric Y − θ(X − X̄) with θ = cov(X,Y)/var(X) keeps the same
+    * expectation but sheds the between-user variance X explains. Arms are
+    * a deterministic md5-nibble split of user_id (the content-keyed
+    * device of q_dp_counts — replayable, so the gate can hash it). The
+    * plan: ONE fact scan → per-user conditional DECIMAL sums → one
+    * bounded moment aggregate per arm plus one pooled (θ is fit pooled,
+    * standard practice); var(Y−θX) = var_Y − 2θ·cov + θ²·var_X is
+    * computed ALGEBRAICALLY from the exact moments — never a second
+    * per-user pass with a double θ in it (that sum would be
+    * partition-order-sensitive; the moment identity keeps every input to
+    * the final fp expression exact). Cross-multiplied sums-of-squares,
+    * one division each, round 6. */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(18,6)")
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        (date_format(col("ts"), "yyyy-MM-dd") <= CupedSplitDay).as("pre"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("pre"), col("v"))), zero).as("x"),
+        coalesce(sum(when(!col("pre"), col("v"))), zero).as("y"))
+      .select(col("user_id"), col("x"), col("y"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val arms = perUser.groupBy("treat").agg(count(lit(1)).as("n_a"),
+      sum(col("x")).as("sx_a"), sum(col("y")).as("sy_a"),
+      sum(col("x") * col("y")).as("sxy_a"),
+      sum(col("x") * col("x")).as("sxx_a"),
+      sum(col("y") * col("y")).as("syy_a"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val nd = col("n_a").cast("double")
+    val meanY = col("sy_a").cast("double") / nd
+    val meanXAll = col("sx").cast("double") / col("n")
+    val meanXArm = col("sx_a").cast("double") / nd
+    val varY = (col("n_a") * col("syy_a") - col("sy_a") * col("sy_a")).cast("double") /
+      (nd * (nd - 1.0))
+    val varX = (col("n_a") * col("sxx_a") - col("sx_a") * col("sx_a")).cast("double") /
+      (nd * (nd - 1.0))
+    val covXY = (col("n_a") * col("sxy_a") - col("sx_a") * col("sy_a")).cast("double") /
+      (nd * (nd - 1.0))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("theta", theta)
+      .select(col("treat"), col("n_a").as("n_users"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - col("theta") * (meanXArm - meanXAll), 6).as("mean_y_adj"),
+        round(varY, 6).as("var_y"),
+        round(varY - lit(2.0) * col("theta") * covXY +
+          col("theta") * col("theta") * varX, 6).as("var_y_adj"),
+        round(lit(1.0) - (varY - lit(2.0) * col("theta") * covXY +
+          col("theta") * col("theta") * varX) / varY, 6).as("var_reduction"),
+        round(col("theta"), 6).as("theta"))
+  }
+
+  private lazy val qCupedSql =
+    s"""WITH pu AS (
+         SELECT user_id,
+           coalesce(sum(CASE WHEN strftime(ts, '%Y-%m-%d') <= '$CupedSplitDay'
+             THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS x,
+           coalesce(sum(CASE WHEN strftime(ts, '%Y-%m-%d') > '$CupedSplitDay'
+             THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY user_id),
+       pt AS (SELECT x, y,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+              FROM pu),
+       pooled AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pt),
+       arms AS (SELECT treat, CAST(count(*) AS BIGINT) AS n_a,
+                  sum(x) AS sx_a, sum(y) AS sy_a, sum(x * y) AS sxy_a,
+                  sum(x * x) AS sxx_a, sum(y * y) AS syy_a
+                FROM pt GROUP BY treat),
+       e AS (SELECT treat, n_a,
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y,
+               CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_arm,
+               CAST(sx AS DOUBLE) / n AS mean_x_all,
+               CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS var_y,
+               CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS var_x,
+               CAST(n_a * sxy_a - sx_a * sy_a AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS cov_xy
+             FROM arms CROSS JOIN pooled)
+       SELECT treat, n_a AS n_users,
+         round(mean_y, 6) AS mean_y,
+         round(mean_y - theta * (mean_x_arm - mean_x_all), 6) AS mean_y_adj,
+         round(var_y, 6) AS var_y,
+         round(var_y - 2.0 * theta * cov_xy + theta * theta * var_x, 6) AS var_y_adj,
+         round(1.0 - (var_y - 2.0 * theta * cov_xy + theta * theta * var_x) / var_y, 6)
+           AS var_reduction,
+         round(theta, 6) AS theta
+       FROM e"""
+
   /** CUSUM drift flag threshold, as a multiple of the mean daily total:
     * flag when CUSUM > 0.5·mean (calibrated so the synthetic corpus
     * trips it on 42 of 150 type-days — discriminating both ways). */
@@ -1473,6 +1575,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_ab_test" -> (qAbTest _),
+    "q_cuped" -> (qCuped _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1504,6 +1607,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_ab_test" -> qAbTestSql,
+    "q_cuped" -> qCupedSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

@@ -702,4 +702,94 @@ class Round9Spec extends SparkSpec {
     val alarms = shifted.sortBy(_.getAs[String]("day")).map(_.getAs[Boolean]("alarm"))
     assert(!alarms.dropWhile(!_).contains(false), "alarm is monotone after the shift")
   }
+
+  // ---------------- retrieval quality, ER blocking, CUPED ----------------
+
+  test("ndcg matches a local brute-force recomputation exactly") {
+    val k = graft.operators.SimilaritySearch.NdcgK
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val queries = all.filter(_._1 < 10)
+    val corpus = all.filter(_._1 >= 10)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val expected = queries.map { case (qid, qlab, qv) =>
+      val ranked = corpus.map { case (id, lab, v) => (id, lab, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(k)
+      val dcg = ranked.zipWithIndex.map { case ((_, lab, _), i) =>
+        (if (lab == qlab) 1.0 else 0.0) / log2(i + 2.0) }.sum
+      val nRel = corpus.count(_._2 == qlab)
+      val idcg = (1 to math.min(k, nRel)).map(i => 1.0 / log2(i + 1.0)).sum
+      qid -> (dcg / idcg)
+    }.toMap
+    val got = graft.operators.SimilaritySearch.qNdcg(spark, sfDir)
+      .select("q_id", "ndcg").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (q, n) =>
+      assert(math.abs(n - expected(q)) < 1e-5, s"query $q: $n vs ${expected(q)}")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+
+  test("er blocking: multiplicity-weighted counts equal the record-level brute force") {
+    val parts = graft.sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"),
+        split(col("p_name"), " ").getItem(0).as("blk"), col("p_name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = parts.groupBy(p => (p._3, p._2)).map { case (blockKey, rs) =>
+      val pairs = for {
+        x <- rs; y <- rs if x._1 < y._1
+      } yield (x._4, y._4)
+      val exact = pairs.count { case (na, nb) => na == nb }
+      val fuzzy = pairs.count { case (na, nb) =>
+        na != nb && lev(na, nb) <= graft.operators.Evaluation.ErMaxDist }
+      blockKey -> (rs.length.toLong, exact.toLong, fuzzy.toLong)
+    }
+    val got = graft.operators.Evaluation.qErBlocking(spark, sfDir)
+      .select("blk", "p_size", "block_n", "exact_pairs", "fuzzy_pairs").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (k2, v) => assert(v === brute(k2), s"block $k2") }
+  }
+
+  test("cuped: mean is preserved in the weighted aggregate, identities hold per arm") {
+    val rows = graft.operators.Stats.qCuped(spark, sfDir).collect()
+    assert(rows.length === 2, "both md5-split arms present")
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    val thetas = rows.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length === 1, "theta is fit pooled — identical across arms")
+    // CUPED is mean-preserving in aggregate: Σ n·adj == Σ n·raw (the
+    // per-arm shifts are ± the same covariate imbalance)
+    val raw = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_y")).sum
+    val adj = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_y_adj")).sum
+    assert(math.abs(raw - adj) / math.abs(raw) < 1e-6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_y_adj") >= 0.0, "a variance cannot be negative")
+      val red = r.getAs[Double]("var_reduction")
+      val viaVar = 1.0 - r.getAs[Double]("var_y_adj") / r.getAs[Double]("var_y")
+      assert(math.abs(red - viaVar) < 1e-4, "reduction consistent with the variances")
+    }
+  }
 }
