@@ -423,7 +423,105 @@ object Inference extends QueryModule {
        FROM p"""
   }
 
+  // ------------------------------------------------------- split conformal
+
+  /** Miscoverage target: intervals aim at 90% coverage. */
+  val ConfAlphaNum = 9   // (1−α) = 9/10
+  val ConfAlphaDen = 10
+
+  /** q_conformal: split-conformal prediction intervals per event type —
+    * the distribution-free uncertainty wrapper modern ML pipelines put
+    * around ANY point predictor (here the train-split mean): q̂ = the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration residual gives intervals with
+    * guaranteed ≥1−α marginal coverage, no normality assumed. The whole
+    * computation stays EXACT: splits are md5-nibble deterministic
+    * (train/cal/test 8:4:4); the residual is kept cross-multiplied as
+    * |v·n_train − S_train| (exact DECIMAL — never |v − mean| with a
+    * double mean in it); the rank pick runs through the DISTRIBUTED
+    * pick-only selector (Ranks.groupedValueAtRanks — value-at-rank is
+    * tie-safe, no per-group window sort of a fact-proportional
+    * partition); test coverage is an exact-decimal comparison against
+    * the scaled q̂. Only the reported mean/q̂/coverage divide, once each,
+    * at the end. */
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val nib = conv(substring(md5(col("event_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(18,6)").as("v"),
+        when(nib < 8, "train").when(nib < 12, "cal").otherwise("test").as("split"))
+    val train = ev.filter(col("split") === "train").groupBy("event_type")
+      .agg(sum(col("v")).as("s_tr"), count(lit(1)).as("n_tr"))
+    val cal = ev.filter(col("split") === "cal")
+      .join(broadcast(train), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") * col("n_tr") - col("s_tr")).as("r"))
+    def kConf(n: Long): Long =
+      math.min(n, ((n + 1) * ConfAlphaNum + ConfAlphaDen - 1) / ConfAlphaDen)
+    val (calCounts, picks) = graft.functions.Ranks.groupedValueAtRanks(
+      cal, "event_type", "r", n => Seq(kConf(n)))
+    val byG = picks.map { case (g, _, v) => g -> v }.toMap
+    val qRows = calCounts.toSeq.map { case (g, n) => Row(g, n, byG(g)) }
+    val qhatDf = s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(qRows).asJava),
+      StructType(Seq(cal.schema("event_type"),
+        StructField("n_cal", LongType, nullable = false),
+        StructField("qhat_scaled", cal.schema("r").dataType))))
+    ev.filter(col("split") === "test")
+      .join(broadcast(train), Seq("event_type"))
+      .join(broadcast(qhatDf), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("n_tr")).as("n_train"), first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        first(col("s_tr")).as("s_tr"), first(col("qhat_scaled")).as("qs"),
+        sum(when(abs(col("v") * col("n_tr") - col("s_tr")) <= col("qhat_scaled"),
+          1L).otherwise(0L)).as("covered"))
+      .select(col("event_type"), col("n_train"), col("n_cal"), col("n_test"),
+        round(col("s_tr").cast("double") / col("n_train"), 6).as("mean_pred"),
+        round(col("qs").cast("double") / col("n_train"), 6).as("qhat"),
+        col("covered"),
+        round(col("covered").cast("double") / col("n_test"), 6).as("coverage"))
+  }
+
+  private lazy val qConformalSql =
+    s"""WITH ev AS (
+         SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) AS INT) < 8
+                  THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) AS INT) < 12
+                  THEN 'cal'
+                ELSE 'test' END AS split
+         FROM events),
+       tr AS (SELECT event_type, sum(v) AS s_tr, CAST(count(*) AS BIGINT) AS n_tr
+              FROM ev WHERE split = 'train' GROUP BY event_type),
+       cal AS (SELECT ev.event_type, abs(v * n_tr - s_tr) AS r
+               FROM ev JOIN tr USING (event_type) WHERE split = 'cal'),
+       cn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY event_type),
+       rk AS (SELECT event_type, r,
+                row_number() OVER (PARTITION BY event_type ORDER BY r ASC) AS rn
+              FROM cal),
+       qh AS (SELECT rk.event_type, cn.n_cal, rk.r AS qhat_scaled
+              FROM rk JOIN cn ON cn.event_type = rk.event_type
+              WHERE rk.rn = least(cn.n_cal,
+                ((cn.n_cal + 1) * $ConfAlphaNum + ${ConfAlphaDen - 1}) // $ConfAlphaDen)),
+       te AS (SELECT ev.event_type, n_tr, s_tr, n_cal, qhat_scaled,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN abs(v * n_tr - s_tr) <= qhat_scaled
+                  THEN 1 ELSE 0 END) AS BIGINT) AS covered
+              FROM ev JOIN tr USING (event_type) JOIN qh USING (event_type)
+              WHERE split = 'test'
+              GROUP BY 1, 2, 3, 4, 5)
+       SELECT event_type, n_tr AS n_train, n_cal, n_test,
+         round(CAST(s_tr AS DOUBLE) / n_tr, 6) AS mean_pred,
+         round(CAST(qhat_scaled AS DOUBLE) / n_tr, 6) AS qhat,
+         covered,
+         round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+       FROM te"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conformal" -> (qConformal _),
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_cohens_d" -> (qCohensD _),
     "q_theil_sen" -> (qTheilSen _),
@@ -431,6 +529,7 @@ object Inference extends QueryModule {
     "q_page_hinkley" -> (qPageHinkley _))
 
   override def oracles: Map[String, String] = Map(
+    "q_conformal" -> qConformalSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,
     "q_cohens_d" -> qCohensDSql,
     "q_theil_sen" -> qTheilSenSql,

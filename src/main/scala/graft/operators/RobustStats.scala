@@ -814,7 +814,72 @@ object RobustStats extends QueryModule {
            $KsAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)) AS significant
        FROM m"""
 
+  // ---------------------------------------------------- quantile normalize
+
+  /** Quantile normalization of a (g, x) relation with INTEGRAL x: map
+    * each group's value to the POOLED distribution's value at the same
+    * quantile — the classic batch-effect correction (microarray lineage,
+    * now feature alignment across data sources) that makes per-group
+    * distributions identical while preserving within-group order. Runs
+    * entirely at DISTINCT-VALUE granularity: per-group ECDF positions
+    * c_g(x) from one cumulative window bounded by the value domain (the
+    * ksPairs posture), target rank k = ⌈c_g(x)·N / n_g⌉ cross-multiplied
+    * in exact integers, and the pooled value at rank k found by a
+    * bounded broadcast range-join against the pooled distinct-value
+    * cumulative table (C_prev < k ≤ C). Every output column is an exact
+    * integer — the strongest possible hash gate. (c·N needs DECIMAL
+    * widening past ~10¹⁸ rows; long is exact to that point.) */
+  def quantileNormalizeOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perG = vals.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = perG.withColumn("c", sum(col("cnt")).over(wg))
+    val ng = vals.groupBy("g").agg(count(lit(1)).as("n_g"))
+    val tot = vals.agg(count(lit(1)).as("n_all"))
+    val wp = Window.orderBy("px")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = vals.groupBy(col("x").as("px")).agg(count(lit(1)).as("pcnt"))
+      .withColumn("cc", sum(col("pcnt")).over(wp))
+      .withColumn("cp", col("cc") - col("pcnt"))
+    gcum.join(ng, Seq("g")).crossJoin(broadcast(tot))
+      .withColumn("k", expr("(c * n_all + n_g - 1) div n_g"))
+      .join(broadcast(pooled), col("k") > col("cp") && col("k") <= col("cc"))
+      .select(col("g"), col("x"), col("cnt"), col("k").as("pooled_rank"),
+        col("px").as("mapped"))
+  }
+
+  /** q_quantile_norm: document lengths per language, aligned to the
+    * pooled length distribution — after this map every language has the
+    * same length histogram (the cross-source feature-alignment step a
+    * mixed-corpus curriculum needs). */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    quantileNormalizeOf(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  private lazy val qQuantileNormSql =
+    """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       pg AS (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY g, x),
+       gc AS (SELECT g, x, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY g ORDER BY x
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM pg),
+       ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM v GROUP BY g),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM v),
+       pooled AS (SELECT x AS px, CAST(count(*) AS BIGINT) AS pcnt
+                  FROM v GROUP BY x),
+       pc AS (SELECT px, pcnt,
+                CAST(sum(pcnt) OVER (ORDER BY px ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+              FROM pooled),
+       pr AS (SELECT px, cc, cc - pcnt AS cp FROM pc),
+       kk AS (SELECT gc.g, gc.x, gc.cnt,
+                (gc.c * n_all + ng.n_g - 1) // ng.n_g AS k
+              FROM gc JOIN ng ON ng.g = gc.g CROSS JOIN tot)
+       SELECT g, x, cnt, k AS pooled_rank, px AS mapped
+       FROM kk JOIN pr ON kk.k > pr.cp AND kk.k <= pr.cc"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm" -> (qQuantileNorm _),
     "q_ks_test" -> (qKsTest _),
     "q_wasserstein" -> (qWasserstein _),
     "q_js_terms" -> (qJsTerms _),
@@ -830,6 +895,7 @@ object RobustStats extends QueryModule {
     "q_mutual_info" -> (qMutualInfo _))
 
   override def oracles: Map[String, String] = Map(
+    "q_quantile_norm" -> qQuantileNormSql,
     "q_ks_test" -> qKsTestSql,
     "q_wasserstein" -> qWassersteinSql,
     "q_js_terms" -> qJsTermsSql,

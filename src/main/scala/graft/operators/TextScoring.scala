@@ -120,6 +120,95 @@ object TextScoring extends QueryModule {
        FROM scored GROUP BY doc_id"""
   }
 
+  // ----------------------------------------------------------- kneser-ney
+
+  /** Absolute discount (the standard 0.75 = 3/4 — dyadic, so the
+    * discounted count 4c−3 stays exactly integral ×4). */
+  val KnDiscountNum = 3
+  val KnDiscountDen = 4
+
+  /** q_kneser_ney: interpolated Kneser–Ney bigram scoring — the smoothing
+    * that replaced Jelinek–Mercer (q_bigram_lm) as the n-gram standard:
+    * the backoff is the CONTINUATION probability (in how many distinct
+    * left contexts does w₂ appear) rather than raw frequency, which stops
+    * high-frequency-but-context-bound tokens from leaking probability
+    * ("francisco" is frequent but only ever follows "san").
+    * P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    * with D = 3/4. Every count — bigram c, left-context mass c(w₁·),
+    * continuation type counts N₁₊ — is an exact integer aggregate of the
+    * one bigram table; D is dyadic so 4c−3 is exact; the probability is
+    * one fixed double expression per bigram. Same scale shape as
+    * q_bigram_lm: vocabulary-sized count tables, equi-join scoring, one
+    * groupBy(doc_id). Scored bigrams are observed (c ≥ 1), so the
+    * max(c−D, 0) clamp never binds and is omitted IDENTICALLY in both
+    * engines. */
+  def qKneserNey(s: SparkSession, dir: String): DataFrame =
+    kneserNeyOf(TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(TextFns.shingles(col("toks"), 2)).as("bg")))
+
+  /** Core on a (doc_id, bg) exploded-bigram relation — split out so specs
+    * can feed fixtures with controlled context diversity. */
+  def kneserNeyOf(bgDocs: DataFrame): DataFrame = {
+    val bg = bgDocs
+      .select(col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    // left-context mass and continuation TYPES after w1 (one pass each
+    // over the type table, never the token stream)
+    val types = bg.select("w1", "w2").groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = types.groupBy("w1")
+      .agg(sum(col("c")).as("c1dot"), count(lit(1)).as("n1_w1"))
+    val cont = types.groupBy(col("w2")).agg(count(lit(1)).as("n1_w2"))
+    val nAll = types.agg(count(lit(1)).as("n1_all"))
+    val p = (lit(KnDiscountDen) * col("c2") - lit(KnDiscountNum)).cast("double") /
+      (lit(KnDiscountDen) * col("c1dot")).cast("double") +
+      (lit(KnDiscountNum).cast("double") / lit(KnDiscountDen)) *
+        col("n1_w1").cast("double") / col("c1dot") *
+        (col("n1_w2").cast("double") / col("n1_all"))
+    bgDocs
+      .select(col("doc_id"), col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+      .join(c2, Seq("bg"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nAll))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_nll_kn"),
+        round(max(-log(p)), 6).as("max_nll_kn"))
+  }
+
+  private lazy val qKneserNeySql = {
+    val t = TextFns.cleanTokensSql("text")
+    val p = s"CAST($KnDiscountDen * c2 - $KnDiscountNum AS DOUBLE) / " +
+      s"CAST($KnDiscountDen * c1dot AS DOUBLE) + " +
+      s"(CAST($KnDiscountNum AS DOUBLE) / $KnDiscountDen) * " +
+      s"CAST(n1_w1 AS DOUBLE) / c1dot * (CAST(n1_w2 AS DOUBLE) / n1_all)"
+    s"""WITH docs AS (SELECT doc_id, $t AS toks FROM documents),
+       bgd AS (SELECT doc_id, unnest(${TextFns.shinglesSql("toks", 2)}) AS bg FROM docs),
+       bg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+                string_split(bg, ' ')[2] AS w2 FROM bgd),
+       c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+       types AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1dot,
+                 CAST(count(*) AS BIGINT) AS n1_w1 FROM types GROUP BY w1),
+       cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_w2 FROM types GROUP BY w2),
+       nall AS (SELECT CAST(count(*) AS BIGINT) AS n1_all FROM types),
+       scored AS (
+         SELECT bg.doc_id, $p AS p
+         FROM bg
+         JOIN c2 USING (bg)
+         JOIN lft USING (w1)
+         JOIN cont USING (w2)
+         CROSS JOIN nall)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln(p)), 6) AS avg_nll_kn,
+         round(max(-ln(p)), 6) AS max_nll_kn
+       FROM scored GROUP BY doc_id"""
+  }
+
   // ------------------------------------------------------------ fertility
 
   /** q_tok_fertility: tokenizer fertility per language — BPE-ish tokens
@@ -323,6 +412,7 @@ object TextScoring extends QueryModule {
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_good_turing" -> (qGoodTuring _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_kneser_ney" -> (qKneserNey _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_temp_sampling" -> (qTempSampling _),
@@ -332,6 +422,7 @@ object TextScoring extends QueryModule {
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_good_turing" -> qGoodTuringSql,
     "q_bigram_lm" -> qBigramLmSql,
+    "q_kneser_ney" -> qKneserNeySql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_temp_sampling" -> qTempSamplingSql,

@@ -792,4 +792,99 @@ class Round9Spec extends SparkSpec {
       assert(math.abs(red - viaVar) < 1e-4, "reduction consistent with the variances")
     }
   }
+
+  // ---------------- kneser-ney, quantile norm, conformal ----------------
+
+  test("kneser-ney: hand-computed fixture score and the continuation-diversity property") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c", "d c" — c(a·)=3, N1+(a·)=2;
+    // continuation counts: b follows {a} (1 context), c follows {a,d} (2)
+    val bgDocs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d c"))
+      .toDF("doc_id", "bg")
+    val got = graft.operators.TextScoring.kneserNeyOf(bgDocs)
+      .select("doc_id", "n_bigrams", "avg_nll_kn").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._1 === 1L))
+    // P(b|a) = (2−.75)/3 + .75·(2/3)·(1/3) = 0.75/0.75... compute exactly:
+    val nAll = 3.0 // distinct bigram types: (a,b), (a,c), (d,c)
+    def p(c2: Double, c1dot: Double, n1w1: Double, n1w2: Double) =
+      (c2 - 0.75) / c1dot + 0.75 * n1w1 / c1dot * (n1w2 / nAll)
+    val pBgivenA = p(2, 3, 2, 1)
+    val pCgivenA = p(1, 3, 2, 2)
+    val pCgivenD = p(1, 1, 1, 2)
+    assert(math.abs(got(1L)._2 - (-math.log(pBgivenA))) < 1e-5)
+    assert(math.abs(got(3L)._2 - (-math.log(pCgivenA))) < 1e-5)
+    assert(math.abs(got(4L)._2 - (-math.log(pCgivenD))) < 1e-5)
+    // the KN signature: "c" has MORE distinct left contexts than "b", so
+    // despite equal unigram frequency (2 each) its backoff mass is larger
+    assert(pCgivenA > p(1, 3, 2, 1), "continuation diversity raises the backoff")
+    // interpolated KN is a proper distribution: the continuation vocab is
+    // {b, c} and Σ Pcont = 1, so Σ_{w2∈{b,c}} P(w2|a) =
+    // (2−D + 1−D)/3 + D·(2/3)·(1/3 + 2/3) = 1 exactly
+    assert(math.abs(pBgivenA + pCgivenA - 1.0) < 1e-12)
+  }
+
+  test("kneser-ney on the corpus: same bigram table as bigram_lm, positive NLLs") {
+    val kn = graft.operators.TextScoring.qKneserNey(spark, sfDir)
+      .select("doc_id", "n_bigrams", "avg_nll_kn", "max_nll_kn").collect()
+    val jm = graft.operators.TextScoring.qBigramLm(spark, sfDir)
+      .select("doc_id", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kn.nonEmpty)
+    kn.foreach { r =>
+      assert(r.getLong(1) === jm(r.getLong(0)), "identical bigram decomposition")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) >= r.getDouble(2),
+        "probabilities in (0,1): NLL positive, max ≥ avg")
+    }
+  }
+
+  test("quantile normalization equalizes group distributions on a fixture") {
+    import spark.implicits._
+    val vals = (Seq(1, 2, 3).map(("a", _)) ++ Seq(10, 20, 30).map(("b", _)))
+      .toDF("g", "x")
+    val got = graft.operators.RobustStats.quantileNormalizeOf(vals)
+      .orderBy("g", "x").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getInt(4)))
+    // both groups occupy ranks 2,4,6 of the pooled 6 and map to the SAME
+    // pooled values — the definition of quantile normalization
+    assert(got.filter(_._1 == "a").map(_._4).toSeq === Seq(2, 10, 30))
+    assert(got.filter(_._1 == "b").map(_._4).toSeq === Seq(2, 10, 30))
+    assert(got.map(_._3).toSeq === Seq(2L, 4L, 6L, 2L, 4L, 6L))
+  }
+
+  test("quantile normalization on the corpus: monotone, rank-bounded, max maps to max") {
+    val rows = graft.operators.RobustStats.qQuantileNorm(spark, sfDir).collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    val pooledMax = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max("n_chars")).collect().head.getLong(0)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("x"))
+      val mapped = sorted.map(_.getAs[Long]("mapped"))
+      assert(mapped.zip(mapped.tail).forall { case (a, b) => a <= b },
+        "mapping preserves within-group order")
+      assert(sorted.last.getAs[Long]("mapped") === pooledMax,
+        "each group's max lands on the pooled max")
+      rs.foreach { r =>
+        val k = r.getAs[Long]("pooled_rank")
+        assert(k >= 1 && k <= n)
+      }
+    }
+  }
+
+  test("conformal: splits partition the facts, coverage lands near the 90% target") {
+    val rows = graft.operators.Inference.qConformal(spark, sfDir).collect()
+    val totals = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === totals.keySet)
+    rows.foreach { r =>
+      val parts = r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test")
+      assert(parts === totals(r.getString(0)), "md5 splits partition every event")
+      assert(r.getAs[Double]("qhat") > 0.0)
+      val cov = r.getAs[Double]("coverage")
+      // finite-sample: E[cov] ≥ 0.9 but a small test split fluctuates
+      assert(cov >= 0.7 && cov <= 1.0, s"coverage $cov out of plausible band")
+    }
+  }
 }
