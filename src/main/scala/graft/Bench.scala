@@ -56,7 +56,8 @@ object Bench {
     "q_salted_join", "q_holt", "q_seasonal", "q_mrl_audit", "q_ab_sequential",
     "q_cliffs_delta", "q_cohens_d", "q_theil_sen", "q_bh_fdr", "q_page_hinkley",
     "q_ndcg", "q_er_blocking", "q_cuped",
-    "q_kneser_ney", "q_quantile_norm", "q_conformal")
+    "q_kneser_ney", "q_quantile_norm", "q_conformal",
+    "q_rrf", "q_cms_audit", "q_sprt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -520,7 +520,77 @@ object Inference extends QueryModule {
          round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
        FROM te"""
 
+  // ------------------------------------------------------------------ sprt
+
+  /** SPRT hypotheses on the click share among click+view events, and the
+    * Wald error targets. The log-likelihood-ratio CONSTANTS are computed
+    * once here and inlined as identical decimal literals into BOTH the
+    * Spark expression and the SQL twin — the one place a libm ln() could
+    * have differed between engines is removed entirely. */
+  val SprtP0 = 0.50
+  val SprtP1 = 0.52
+  val SprtAlpha = 0.05
+  val SprtBeta = 0.05
+  private val sprtL1 = math.log(SprtP1 / SprtP0)             // per-click LLR step
+  private val sprtL0 = math.log((1 - SprtP1) / (1 - SprtP0)) // per-view LLR step
+  private val sprtUpper = math.log((1 - SprtBeta) / SprtAlpha)
+  private val sprtLower = math.log(SprtBeta / (1 - SprtAlpha))
+
+  /** q_sprt: Wald's sequential probability ratio test over the daily
+    * click-vs-view stream — the third sequential monitor framing beside
+    * q_ab_sequential (peeking z trajectory) and q_page_hinkley (drift):
+    * SPRT is the OPTIMAL stopping rule for a simple-vs-simple hypothesis
+    * pair, walking LLR_t = k_t·ln(p₁/p₀) + (n_t−k_t)·ln((1−p₁)/(1−p₀))
+    * between Wald's boundaries ln((1−β)/α) and ln(β/(1−α)). Daily
+    * (clicks, trials) are exact integer aggregates; cumulative counts
+    * come from one window over the calendar-bounded day table; each
+    * day's LLR is integers × two INLINED literal constants (identical in
+    * both engines by construction) — one fixed double expression per
+    * look, the q_ab_sequential posture. Decisions are emitted per look
+    * (the full audit trajectory), not just the stopping day. */
+  def qSprt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("event_type") === "click").cast("long").as("is_click"))
+      .groupBy("day")
+      .agg(sum(col("is_click")).as("k_day"), count(lit(1)).as("n_day"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = col("k_t") * lit(sprtL1) + (col("n_t") - col("k_t")) * lit(sprtL0)
+    daily
+      .withColumn("k_t", sum(col("k_day")).over(w))
+      .withColumn("n_t", sum(col("n_day")).over(w))
+      .select(col("day"), col("n_t"), col("k_t"),
+        round(llr, 6).as("llr"),
+        when(llr >= sprtUpper, "accept_h1")
+          .when(llr <= sprtLower, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
+  private lazy val qSprtSql =
+    s"""WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k_day,
+           CAST(count(*) AS BIGINT) AS n_day
+         FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+       cum AS (
+         SELECT day,
+           CAST(sum(k_day) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_t,
+           CAST(sum(n_day) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_t
+         FROM daily),
+       e AS (SELECT day, n_t, k_t,
+               k_t * $sprtL1 + (n_t - k_t) * $sprtL0 AS llr
+             FROM cum)
+       SELECT day, n_t, k_t, round(llr, 6) AS llr,
+         CASE WHEN llr >= $sprtUpper THEN 'accept_h1'
+              WHEN llr <= $sprtLower THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+       FROM e"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sprt" -> (qSprt _),
     "q_conformal" -> (qConformal _),
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_cohens_d" -> (qCohensD _),
@@ -529,6 +599,7 @@ object Inference extends QueryModule {
     "q_page_hinkley" -> (qPageHinkley _))
 
   override def oracles: Map[String, String] = Map(
+    "q_sprt" -> qSprtSql,
     "q_conformal" -> qConformalSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,
     "q_cohens_d" -> qCohensDSql,

@@ -415,6 +415,77 @@ object ScaleOps extends QueryModule {
        FROM (SELECT unnest($toks) AS tok FROM documents)"""
   }
 
+  /** Count-min sketch geometry: d independent hash rows × w buckets, and
+    * the audited head size. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  val CmsTopK = 50
+
+  /** q_cms_audit: count-min sketch accuracy certificate — the third
+    * mergeable-sketch contract beside q_hll_merge (distinct counts) and
+    * q_bitmap_distinct (exact bitmap union): CMS answers point-frequency
+    * queries in d·w integers, merges by cell-wise ADDITION (any partition
+    * of the stream sums to the identical sketch — addition is the
+    * mergeable algebra, so the audit needs no separate merge leg), and
+    * guarantees est ≥ true with P(est − true > εN) ≤ δ. The sketch is
+    * built from the (token, cf) TYPE table — bucket counts are additive,
+    * so aggregating the pre-counted types equals streaming every
+    * occurrence, one vocabulary-sized pass instead of a token-stream
+    * pass. The audit: for the top-K head, the exact cf (hash-gates the
+    * data), the CMS estimate (min over d md5-keyed rows), the
+    * overestimate slack, and the ε = e/w envelope flag — every column an
+    * exact integer, the envelope comparison cross-multiplied
+    * (slack·w ≤ 3·N ⊃ e·N/w). */
+  def qCmsAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = TextPrep.tokenStats(s, dir).select(col("tok"), col("cf"))
+    val hashed = stats.select(col("tok"), col("cf"),
+      explode(array((0 until CmsDepth).map(lit): _*)).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("tok"))),
+          1, 8), 16, 10).cast("long") % CmsWidth)
+    val sketch = hashed.groupBy("j", "bucket").agg(sum(col("cf")).as("cnt"))
+    val total = stats.agg(sum(col("cf")).as("n_total"))
+    val top = stats
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cf").desc, col("tok").asc)))
+      .filter(col("r") <= CmsTopK)
+      .select("tok", "cf")
+    hashed.join(broadcast(top.select("tok")), Seq("tok"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy("tok").agg(min(col("cnt")).as("est"))
+      .join(broadcast(top), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("cf"), col("est"),
+        (col("est") - col("cf")).as("slack"),
+        ((col("est") - col("cf")) * CmsWidth <= lit(3) * col("n_total"))
+          .as("within_bound"))
+  }
+
+  private lazy val qCmsAuditSql = {
+    val t = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH toks AS (SELECT unnest($t) AS tok FROM documents),
+       stats AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
+       hashed AS (
+         SELECT tok, cf, j,
+           CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+             % $CmsWidth AS bucket
+         FROM stats CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS j)),
+       sk AS (SELECT j, bucket, CAST(sum(cf) AS BIGINT) AS cnt
+              FROM hashed GROUP BY j, bucket),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM stats),
+       top AS (SELECT tok, cf FROM (
+                 SELECT tok, cf, row_number() OVER (ORDER BY cf DESC, tok ASC) AS r
+                 FROM stats) WHERE r <= $CmsTopK),
+       est AS (SELECT hashed.tok, CAST(min(cnt) AS BIGINT) AS est
+               FROM hashed SEMI JOIN top ON top.tok = hashed.tok
+               JOIN sk ON sk.j = hashed.j AND sk.bucket = hashed.bucket
+               GROUP BY hashed.tok)
+       SELECT top.tok, top.cf, est, est - top.cf AS slack,
+         (est - top.cf) * $CmsWidth <= 3 * n_total AS within_bound
+       FROM est JOIN top ON top.tok = est.tok CROSS JOIN tot"""
+  }
+
   /** q_incr_agg: incremental aggregate maintenance — the algebraic
     * contract every materialized rollup at 100 TB depends on: aggregate
     * the BASE partitions once, aggregate only the DELTA partition (here
@@ -480,6 +551,7 @@ object ScaleOps extends QueryModule {
     "q_incr_agg" -> (qIncrAgg _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_hll_merge" -> (qHllMerge _),
+    "q_cms_audit" -> (qCmsAudit _),
     "q_table_diff" -> (qTableDiff _),
     "q_pack" -> (qPack _),
     "q_pipeline" -> (qPipeline _),
@@ -494,6 +566,7 @@ object ScaleOps extends QueryModule {
     "q_incr_agg" -> qIncrAggSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_hll_merge" -> qHllMergeSql,
+    "q_cms_audit" -> qCmsAuditSql,
     "q_table_diff" -> qTableDiffSql,
     "q_pack" -> qPackSql,
     "q_pipeline" -> qPipelineSql,

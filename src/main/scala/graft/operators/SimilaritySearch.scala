@@ -699,7 +699,70 @@ object SimilaritySearch extends QueryModule {
          CASE WHEN idcg = 0 THEN NULL ELSE round(dcg / idcg, 6) END AS ndcg
        FROM i"""
 
+  /** RRF fusion constant (the standard 60 from Cormack et al.). */
+  val RrfC = 60
+
+  /** q_rrf: reciprocal-rank fusion of two retrieval rankings — the
+    * hybrid-search combiner (sparse+dense, or here full-space and
+    * Matryoshka-truncated cosine, the two rankings q_mrl_audit already
+    * audits): score(d) = Σ_r 1/(C + rank_r(d)), which needs no score
+    * calibration between systems because only RANKS enter. One scored
+    * corpus scan produces both rankings (the q_mrl_audit shape); the
+    * fused score is a fixed double expression of two integer ranks, so
+    * the gate hashes exactly; fused order breaks ties on nb_id. */
+  def qRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        cosine(col("qv"), col("v")).as("cf"),
+        cosine(slice(col("qv"), 1, MrlDims), slice(col("v"), 1, MrlDims)).as("ct"))
+    val wF = Window.partitionBy("q_id").orderBy(col("cf").desc, col("nb_id").asc)
+    val wT = Window.partitionBy("q_id").orderBy(col("ct").desc, col("nb_id").asc)
+    val rrf = lit(1.0) / (lit(RrfC) + col("rf")) + lit(1.0) / (lit(RrfC) + col("rt"))
+    val wFuse = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("nb_id").asc)
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+      .withColumn("rrf", rrf)
+      .withColumn("fused_rank", row_number().over(wFuse))
+      .filter(col("fused_rank") <= 5)
+      .select(col("q_id"), col("fused_rank"), col("nb_id"),
+        col("rf"), col("rt"), round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  private lazy val qRrfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, c.vec_id AS nb_id,
+           list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cf,
+           list_dot_product(qv[1:$MrlDims], v[1:$MrlDims]) /
+             (sqrt(list_dot_product(qv[1:$MrlDims], qv[1:$MrlDims]))
+              * sqrt(list_dot_product(v[1:$MrlDims], v[1:$MrlDims]))) AS ct
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, nb_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, nb_id ASC) AS rf,
+           row_number() OVER (PARTITION BY q_id ORDER BY ct DESC, nb_id ASC) AS rt
+         FROM scored),
+       fused AS (
+         SELECT q_id, nb_id, rf, rt,
+           1.0 / ($RrfC + rf) + 1.0 / ($RrfC + rt) AS rrf,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY 1.0 / ($RrfC + rf) + 1.0 / ($RrfC + rt) DESC, nb_id ASC)
+             AS fused_rank
+         FROM ranked)
+       SELECT q_id, fused_rank, nb_id, rf, rt, round(rrf, 6) AS rrf_score
+       FROM fused WHERE fused_rank <= 5"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf" -> (qRrf _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
     "q_ann_pq" -> (qAnnPq _),
@@ -715,6 +778,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
+    "q_rrf" -> qRrfSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,

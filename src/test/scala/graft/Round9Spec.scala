@@ -872,6 +872,61 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("rrf: fused score is exactly the reciprocal-rank identity, top-5 per query in order") {
+    val rows = graft.operators.SimilaritySearch.qRrf(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("fused_rank"))
+      assert(sorted.map(_.getAs[Int]("fused_rank")).toSeq === (1 to 5))
+      sorted.foreach { r =>
+        val c = graft.operators.SimilaritySearch.RrfC
+        val expect = 1.0 / (c + r.getAs[Int]("rf")) + 1.0 / (c + r.getAs[Int]("rt"))
+        assert(math.abs(r.getAs[Double]("rrf_score") - expect) < 1e-6)
+      }
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "fused order follows the fused score")
+    }
+  }
+
+  test("cms: estimates never underestimate and the head stays inside the e/w envelope") {
+    val rows = graft.operators.ScaleOps.qCmsAudit(spark, sfDir).collect()
+    val vocab = graft.operators.TextPrep.tokenStats(spark, sfDir).count()
+    assert(rows.length === math.min(graft.operators.ScaleOps.CmsTopK, vocab).toInt,
+      "one audit row per head token (sf0.001's cleaned vocab is sub-K)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cf"),
+        "count-min is one-sided: est >= true, always")
+      assert(r.getAs[Long]("slack") === r.getAs[Long]("est") - r.getAs[Long]("cf"))
+    }
+    // the envelope is probabilistic per row but with d=4 rows the whole
+    // head exceeding it would mean the sketch is broken
+    assert(rows.count(_.getAs[Boolean]("within_bound")) >= rows.length - 2)
+  }
+
+  test("sprt: llr walks the exact per-look identity and decisions match the boundaries") {
+    val rows = graft.operators.Inference.qSprt(spark, sfDir)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val l1 = math.log(graft.operators.Inference.SprtP1 / graft.operators.Inference.SprtP0)
+    val l0 = math.log((1 - graft.operators.Inference.SprtP1) /
+      (1 - graft.operators.Inference.SprtP0))
+    val ub = math.log((1 - graft.operators.Inference.SprtBeta) /
+      graft.operators.Inference.SprtAlpha)
+    val lb = math.log(graft.operators.Inference.SprtBeta /
+      (1 - graft.operators.Inference.SprtAlpha))
+    val ns = rows.map(_.getAs[Long]("n_t"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b > a }, "cumulative trials grow")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k_t"); val n = r.getAs[Long]("n_t")
+      val llr = k * l1 + (n - k) * l0
+      assert(math.abs(r.getAs[Double]("llr") - llr) < 1e-5)
+      val want = if (llr >= ub) "accept_h1" else if (llr <= lb) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") === want)
+    }
+  }
+
   test("conformal: splits partition the facts, coverage lands near the 90% target") {
     val rows = graft.operators.Inference.qConformal(spark, sfDir).collect()
     val totals = graft.sources.Tables.events(spark, sfDir)
