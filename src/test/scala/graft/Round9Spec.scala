@@ -927,6 +927,46 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---------------- scale-posture plan probes for the new operators ----------------
+
+  test("new operators keep their scale posture: broadcasts where claimed, no cartesian fact joins") {
+    // er_blocking: the name-pair similarity join must run on the DISTINCT
+    // name relation; the fact table never appears in a pair join, and the
+    // bounded sides broadcast
+    val er = graft.operators.Evaluation.qErBlocking(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!er.contains("CartesianProduct"),
+      "blocked ER must never degrade to a cartesian pair join")
+    // rrf / ndcg: query side broadcast against one corpus scan
+    Seq(graft.operators.SimilaritySearch.qRrf(spark, sfDir),
+      graft.operators.SimilaritySearch.qNdcg(spark, sfDir)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        "retrieval fan-out keeps the query side broadcast")
+    }
+    // conformal: the calibration rank pick happens in the distributed
+    // selector, so the FINAL plan carries no rank window at all
+    val conf = graft.operators.Inference.qConformal(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!conf.toLowerCase.contains("window"),
+      "conformal q-hat must come from the pick-only selector, not a window sort")
+    // quantile_norm: windows exist but ONLY over distinct-value relations
+    // (the per-group and pooled cumulative tables), never the fact table —
+    // the aggregate runs before every window
+    // (logical plan: the physical tree hides inside the AQE wrapper)
+    val qn = graft.operators.RobustStats.qQuantileNorm(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = qn.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggBelow.isDefined,
+        "every quantile-norm window ranks an aggregated distinct-value table")
+    }
+  }
+
   test("conformal: splits partition the facts, coverage lands near the 90% target") {
     val rows = graft.operators.Inference.qConformal(spark, sfDir).collect()
     val totals = graft.sources.Tables.events(spark, sfDir)
