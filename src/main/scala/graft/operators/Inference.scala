@@ -531,10 +531,10 @@ object Inference extends QueryModule {
   val SprtP1 = 0.52
   val SprtAlpha = 0.05
   val SprtBeta = 0.05
-  private val sprtL1 = math.log(SprtP1 / SprtP0)             // per-click LLR step
-  private val sprtL0 = math.log((1 - SprtP1) / (1 - SprtP0)) // per-view LLR step
-  private val sprtUpper = math.log((1 - SprtBeta) / SprtAlpha)
-  private val sprtLower = math.log(SprtBeta / (1 - SprtAlpha))
+  private[graft] val sprtL1 = math.log(SprtP1 / SprtP0)             // per-click LLR step
+  private[graft] val sprtL0 = math.log((1 - SprtP1) / (1 - SprtP0)) // per-view LLR step
+  private[graft] val sprtUpper = math.log((1 - SprtBeta) / SprtAlpha)
+  private[graft] val sprtLower = math.log(SprtBeta / (1 - SprtAlpha))
 
   /** q_sprt: Wald's sequential probability ratio test over the daily
     * click-vs-view stream — the third sequential monitor framing beside

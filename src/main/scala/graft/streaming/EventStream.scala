@@ -181,6 +181,43 @@ object EventStream {
       }
   }
 
+  case class BernoulliObs(key: String, seq: Long, success: Boolean)
+  case class SprtState(k: Long, n: Long)
+  case class SprtOut(key: String, n: Long, k: Long, llr: Double, decision: String)
+
+  /** Streaming Wald SPRT per key — the stateful twin of the batch
+    * Inference.qSprt: the IDENTICAL LLR walk (same inlined log constants,
+    * same Wald boundaries) carried as ONE (successes, trials) pair per
+    * key regardless of stream length. A sequential test is the native
+    * streaming statistic — the batch twin replays history, the stream
+    * decides live. Rows are processed in seq order within a batch
+    * (caller orders; production carries event-time); state persists
+    * across micro-batches so the trajectory is the full-stream one. */
+  def runningSprt(obs: Dataset[BernoulliObs]): Dataset[SprtOut] = {
+    import obs.sparkSession.implicits._
+    // hoist the four constants into closure-local primitives — capturing
+    // the Inference module itself would drag a non-serializable object
+    // into the state function
+    val (l1, l0) = (graft.operators.Inference.sprtL1, graft.operators.Inference.sprtL0)
+    val (ub, lb) = (graft.operators.Inference.sprtUpper, graft.operators.Inference.sprtLower)
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[SprtState]) =>
+          var cur = state.getOption.getOrElse(SprtState(0L, 0L))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            cur = SprtState(cur.k + (if (r.success) 1L else 0L), cur.n + 1L)
+          }
+          state.update(cur)
+          val llr = cur.k * l1 + (cur.n - cur.k) * l0
+          val decision =
+            if (llr >= ub) "accept_h1"
+            else if (llr <= lb) "accept_h0"
+            else "continue"
+          Iterator(SprtOut(key, cur.n, cur.k, llr, decision))
+      }
+  }
+
   case class TaggedEvent(user_id: Long, kind: String, event_id: Long, ts_us: Long)
   case class AsofState(last_view_us: Long)
   case class AsofMatch(event_id: Long, user_id: Long, view_us: Option[Long], gap_us: Option[Long])

@@ -366,4 +366,36 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(got(2L) - closed(Seq(4.0, 8.0))) < 1e-9)
     } finally q.stop()
   }
+
+  test("streaming SPRT walks the batch LLR identity and decides across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val inf = graft.operators.Inference
+    val input = MemoryStream[EventStream.BernoulliObs]
+    val q = EventStream.runningSprt(input.toDS())
+      .writeStream.format("memory").queryName("sprt_out")
+      .outputMode("update").start()
+    def latest(): Map[String, EventStream.SprtOut] =
+      spark.table("sprt_out").as[EventStream.SprtOut].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.n) }
+    try {
+      // batch 1: a balanced run — no decision yet
+      input.addData((0 until 40).map(i =>
+        EventStream.BernoulliObs("exp", i.toLong, i % 2 == 0)))
+      q.processAllAvailable()
+      val r1 = latest()("exp")
+      assert(r1.n === 40L && r1.k === 20L)
+      assert(math.abs(r1.llr - (20 * inf.sprtL1 + 20 * inf.sprtL0)) < 1e-12,
+        "identical constants to the batch qSprt")
+      assert(r1.decision === "continue")
+      // batch 2: a long favorable streak — state accumulates ACROSS
+      // batches until the H1 boundary is crossed
+      input.addData((40 until 2500).map(i =>
+        EventStream.BernoulliObs("exp", i.toLong, i % 20 != 0)))
+      q.processAllAvailable()
+      val r2 = latest()("exp")
+      assert(r2.n === 2500L)
+      assert(r2.llr >= inf.sprtUpper, s"95% successes must cross Wald's upper bound: $r2")
+      assert(r2.decision === "accept_h1")
+    } finally q.stop()
+  }
 }
