@@ -57,7 +57,8 @@ object Bench {
     "q_cliffs_delta", "q_cohens_d", "q_theil_sen", "q_bh_fdr", "q_page_hinkley",
     "q_ndcg", "q_er_blocking", "q_cuped",
     "q_kneser_ney", "q_quantile_norm", "q_conformal",
-    "q_rrf", "q_cms_audit", "q_sprt")
+    "q_rrf", "q_cms_audit", "q_sprt",
+    "q_holm", "q_eb_shrink", "q_two_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -423,6 +423,54 @@ object Inference extends QueryModule {
        FROM p"""
   }
 
+  // --------------------------------------------------------------- holm
+
+  /** q_holm: Holm–Bonferroni step-down over the same Mann–Whitney p-value
+    * matrix as q_bh_fdr — the FWER control beside BH's FDR control (a
+    * dataset card reports both: Holm bounds ANY false alarm, BH bounds
+    * the false share; Holm rejects less, guarantees more). adj_p_i =
+    * min(1, max_{j≤i} p_j·(m−j+1)) — one FORWARD cumulative-max window
+    * over the bounded pair matrix (BH needed the reversed cumulative
+    * min); the cummax makes the adjusted sequence monotone, so the
+    * rejection set is automatically a rank prefix. Same fixed-order
+    * erfc p-values, identical in both engines after round-6. */
+  def qHolm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mw = RobustStats.mannWhitneyPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+    val withP = mw.select(col("g_a"), col("g_b"), col("z"),
+      pFromZ(col("z")).as("p"))
+    val m = withP.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(col("p").asc, col("g_a").asc, col("g_b").asc)
+    val wFwdMax = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("adj_p",
+        least(lit(1.0), max(col("p") * (col("m") - col("rank") + 1)).over(wFwdMax)))
+      .select(col("g_a"), col("g_b"), col("z"), col("p"), col("rank"),
+        round(col("adj_p"), 6).as("adj_p"),
+        (col("adj_p") <= FdrQ).as("rejected"))
+  }
+
+  private lazy val qHolmSql =
+    s"""WITH mw AS (SELECT g_a, g_b, z FROM (${RobustStats.qMannwhitneySql}) x),
+       pt AS (SELECT g_a, g_b, z,
+                1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS tt
+              FROM mw),
+       pv AS (SELECT g_a, g_b, z, ${pFromZSqlOf("z")} AS p FROM pt),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+       rk AS (SELECT g_a, g_b, z, p, m,
+                row_number() OVER (ORDER BY p ASC, g_a ASC, g_b ASC) AS rank
+              FROM pv CROSS JOIN mm),
+       adj AS (SELECT g_a, g_b, z, p, rank,
+                 least(1.0, max(p * (m - rank + 1)) OVER (ORDER BY rank ASC
+                   ROWS UNBOUNDED PRECEDING)) AS adj_p
+               FROM rk)
+       SELECT g_a, g_b, z, p, rank, round(adj_p, 6) AS adj_p,
+         adj_p <= $FdrQ AS rejected
+       FROM adj"""
+
   // ------------------------------------------------------- split conformal
 
   /** Miscoverage target: intervals aim at 90% coverage. */
@@ -590,6 +638,7 @@ object Inference extends QueryModule {
        FROM e"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holm" -> (qHolm _),
     "q_sprt" -> (qSprt _),
     "q_conformal" -> (qConformal _),
     "q_cliffs_delta" -> (qCliffsDelta _),
@@ -599,6 +648,7 @@ object Inference extends QueryModule {
     "q_page_hinkley" -> (qPageHinkley _))
 
   override def oracles: Map[String, String] = Map(
+    "q_holm" -> qHolmSql,
     "q_sprt" -> qSprtSql,
     "q_conformal" -> qConformalSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,

@@ -814,6 +814,92 @@ object RobustStats extends QueryModule {
            $KsAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)) AS significant
        FROM m"""
 
+  // ------------------------------------------------------------ eb shrink
+
+  /** q_eb_shrink: empirical-Bayes (James–Stein-style) shrinkage of
+    * per-source mean document lengths — the estimator a corpus dashboard
+    * should show instead of raw per-source means: small sources borrow
+    * strength from the corpus (λ→0 pulls to the grand mean), large ones
+    * keep their own signal (λ→1). One-way random-effects method of
+    * moments, unbalanced form: pooled within-variance σ̂² = ΣSS_i/(N−k),
+    * between-mass SSB = Σnᵢ(mᵢ−m̄)², τ̂² = max(0, (SSB−(k−1)σ̂²) /
+    * (N−Σnᵢ²/N)), λᵢ = τ̂²/(τ̂²+σ̂²/nᵢ), shrunk = m̄+λᵢ(mᵢ−m̄). All
+    * inputs are exact integer moments (n, Σx, Σx² per source, one pass);
+    * the two cross-source fp sums (SSB and ΣSS) fold in SOURCE ORDER over
+    * the sources-bounded collected list (the q_cramers_v determinism
+    * move), so both engines run identical IEEE additions. */
+  def qEbShrink(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"))
+    val tot = m.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+      sum(col("sx")).as("sx_tot"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("snn"))
+    val mean = col("sx").cast("double") / col("n")
+    val grand = col("sx_tot").cast("double") / col("n_tot")
+    // SS_i and nᵢ(mᵢ−m̄)² as per-source doubles from exact ints
+    val ssw = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / col("n")
+    val ssb = col("n") * (mean - grand) * (mean - grand)
+    val terms = m.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("k"), col("n_tot"), col("sx_tot"),
+        col("snn"), mean.as("m_i"), ssw.as("ss_i"), ssb.as("b_i"))
+    val folded = terms
+      .groupBy("k", "n_tot", "sx_tot", "snn")
+      .agg(
+        aggregate(transform(array_sort(collect_list(struct(col("source"),
+          col("ss_i").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("ss_within"),
+        aggregate(transform(array_sort(collect_list(struct(col("source"),
+          col("b_i").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("ss_between"))
+    val sigma2 = col("ss_within") / (col("n_tot") - col("k"))
+    val denom = col("n_tot").cast("double") -
+      col("snn").cast("double") / col("n_tot")
+    val tau2 = greatest(lit(0.0),
+      (col("ss_between") - (col("k") - 1) * sigma2) / denom)
+    val lam = col("tau2") / (col("tau2") + col("sigma2") / col("n"))
+    terms.join(broadcast(folded
+        .select(col("k").as("k2"), sigma2.as("sigma2"), tau2.as("tau2"))),
+        col("k") === col("k2"))
+      .select(col("source"), col("n"),
+        round(col("m_i"), 6).as("mean"),
+        round(col("sx_tot").cast("double") / col("n_tot") +
+          lam * (col("m_i") - col("sx_tot").cast("double") / col("n_tot")), 6)
+          .as("shrunk"),
+        round(lam, 6).as("lambda"))
+  }
+
+  private lazy val qEbShrinkSql =
+    """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+               sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+             FROM documents GROUP BY source),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_tot,
+                 sum(sx) AS sx_tot, sum(CAST(n AS DECIMAL(38,0)) * n) AS snn
+               FROM m),
+       terms AS (SELECT source, n, k, n_tot, sx_tot, snn,
+                   CAST(sx AS DOUBLE) / n AS m_i,
+                   CAST(n * sxx - sx * sx AS DOUBLE) / n AS ss_i,
+                   n * (CAST(sx AS DOUBLE) / n - CAST(sx_tot AS DOUBLE) / n_tot)
+                     * (CAST(sx AS DOUBLE) / n - CAST(sx_tot AS DOUBLE) / n_tot) AS b_i
+                 FROM m CROSS JOIN tot),
+       folded AS (SELECT k, n_tot, sx_tot, snn,
+                    list_sum(list(ss_i ORDER BY source)) AS ss_within,
+                    list_sum(list(b_i ORDER BY source)) AS ss_between
+                  FROM terms GROUP BY 1, 2, 3, 4),
+       hyper AS (SELECT k,
+                   ss_within / (n_tot - k) AS sigma2,
+                   greatest(0.0, (ss_between - (k - 1) * (ss_within / (n_tot - k)))
+                     / (CAST(n_tot AS DOUBLE) - CAST(snn AS DOUBLE) / n_tot)) AS tau2
+                 FROM folded)
+       SELECT source, n, round(m_i, 6) AS mean,
+         round(CAST(sx_tot AS DOUBLE) / n_tot +
+           (tau2 / (tau2 + sigma2 / n)) *
+             (m_i - CAST(sx_tot AS DOUBLE) / n_tot), 6) AS shrunk,
+         round(tau2 / (tau2 + sigma2 / n), 6) AS lambda
+       FROM terms JOIN hyper ON hyper.k = terms.k"""
+
   // ---------------------------------------------------- quantile normalize
 
   /** Quantile normalization of a (g, x) relation with INTEGRAL x: map
@@ -879,6 +965,7 @@ object RobustStats extends QueryModule {
        FROM kk JOIN pr ON kk.k > pr.cp AND kk.k <= pr.cc"""
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eb_shrink" -> (qEbShrink _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ks_test" -> (qKsTest _),
     "q_wasserstein" -> (qWasserstein _),
@@ -895,6 +982,7 @@ object RobustStats extends QueryModule {
     "q_mutual_info" -> (qMutualInfo _))
 
   override def oracles: Map[String, String] = Map(
+    "q_eb_shrink" -> qEbShrinkSql,
     "q_quantile_norm" -> qQuantileNormSql,
     "q_ks_test" -> qKsTestSql,
     "q_wasserstein" -> qWassersteinSql,

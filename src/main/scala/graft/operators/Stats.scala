@@ -699,6 +699,104 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** z for 95% two-sided intervals, inlined identically in both engines. */
+  val WilsonZ = 1.959963985
+
+  /** q_two_prop: two-proportion z-test with Wilson score intervals — the
+    * binary-outcome member of the experimentation family (q_ab_test is
+    * the continuous-metric Welch test; conversion metrics are binomial
+    * and their textbook Wald CI collapses near 0/1, which Wilson does
+    * not). Unit = USER (not event — events within a user are correlated):
+    * success = the user ever purchased; arms = the same md5-nibble split
+    * as q_cuped. Per-arm (n, k) are exact integers from one scan +
+    * per-user aggregate; the pooled z and each Wilson bound are single
+    * fixed double expressions; the z constant is an inlined literal. */
+  /** Success = a HIGH-VALUE purchase (value > 95): every user in the
+    * corpus purchases SOMETHING, so "any purchase" is degenerate (p̂=1 on
+    * both arms, zero pooled variance); the premium-purchase event sits
+    * mid-range and discriminates. */
+  val TwoPropValueCut = 95.0
+
+  def qTwoProp(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" &&
+        col("value") > TwoPropValueCut).cast("int")).as("success"))
+      .select(col("user_id"), col("success"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val arms = perUser.groupBy("treat")
+      .agg(count(lit(1)).as("n"), sum(col("success")).as("k"))
+    val byArm = arms.select(col("treat"), col("n"), col("k"))
+    val wide = byArm.filter(col("treat")).select(col("n").as("n_a"), col("k").as("k_a"))
+      .crossJoin(byArm.filter(!col("treat")).select(col("n").as("n_b"), col("k").as("k_b")))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val pPool = (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (pa - pb) / sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // degenerate guard, IDENTICAL in the oracle (the qAbTest rule): all
+    // successes or none → zero pooled variance → NULL z in both engines
+    val degenerate = pPool === 0.0 || pPool === 1.0
+    def wilson(p: Column, n: Column): (Column, Column) = {
+      val z2 = lit(WilsonZ * WilsonZ)
+      val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+      val half = lit(WilsonZ) * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n)) / (lit(1.0) + z2 / n)
+      (center - half, center + half)
+    }
+    val (loA, hiA) = wilson(pa, col("n_a").cast("double"))
+    val (loB, hiB) = wilson(pb, col("n_b").cast("double"))
+    wide.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(loA, 6).as("wilson_lo_a"), round(hiA, 6).as("wilson_hi_a"),
+      round(loB, 6).as("wilson_lo_b"), round(hiB, 6).as("wilson_hi_b"),
+      when(degenerate, lit(null)).otherwise(round(z, 6)).as("z"),
+      when(degenerate, lit(null)).otherwise(abs(z) >= lit(WilsonZ)).as("significant"))
+  }
+
+  private lazy val qTwoPropSql = {
+    val z2 = s"($WilsonZ * $WilsonZ)"
+    def wilsonLo(p: String, n: String) =
+      s"(($p + $z2 / (2.0 * $n)) / (1.0 + $z2 / $n)) - " +
+        s"$WilsonZ * sqrt($p * (1.0 - $p) / $n + $z2 / (4.0 * $n * $n)) / (1.0 + $z2 / $n)"
+    def wilsonHi(p: String, n: String) =
+      s"(($p + $z2 / (2.0 * $n)) / (1.0 + $z2 / $n)) + " +
+        s"$WilsonZ * sqrt($p * (1.0 - $p) / $n + $z2 / (4.0 * $n * $n)) / (1.0 + $z2 / $n)"
+    s"""WITH pu AS (
+         SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+             THEN 1 ELSE 0 END) AS success
+         FROM events GROUP BY user_id),
+       pt AS (SELECT success,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+              FROM pu),
+       arms AS (SELECT treat, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(success) AS BIGINT) AS k
+                FROM pt GROUP BY treat),
+       wide AS (SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+                FROM (SELECT n, k FROM arms WHERE treat) a
+                CROSS JOIN (SELECT n, k FROM arms WHERE NOT treat) b),
+       e AS (SELECT n_a, k_a, n_b, k_b,
+               CAST(k_a AS DOUBLE) / n_a AS pa, CAST(k_b AS DOUBLE) / n_b AS pb,
+               CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS pp,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+             FROM wide),
+       zc AS (SELECT *,
+                CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+                     ELSE (pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+                END AS z
+              FROM e)
+       SELECT n_a, k_a, n_b, k_b,
+         round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         round(${wilsonLo("pa", "nad")}, 6) AS wilson_lo_a,
+         round(${wilsonHi("pa", "nad")}, 6) AS wilson_hi_a,
+         round(${wilsonLo("pb", "nbd")}, 6) AS wilson_lo_b,
+         round(${wilsonHi("pb", "nbd")}, 6) AS wilson_hi_b,
+         round(z, 6) AS z, abs(z) >= $WilsonZ AS significant
+       FROM zc"""
+  }
+
   /** Pre/post boundary day for the CUPED covariate window. */
   val CupedSplitDay = "2024-01-15"
 
@@ -1576,6 +1674,7 @@ object Stats extends QueryModule {
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_ab_test" -> (qAbTest _),
     "q_cuped" -> (qCuped _),
+    "q_two_prop" -> (qTwoProp _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1608,6 +1707,7 @@ object Stats extends QueryModule {
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_ab_test" -> qAbTestSql,
     "q_cuped" -> qCupedSql,
+    "q_two_prop" -> qTwoPropSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

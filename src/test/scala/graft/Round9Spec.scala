@@ -967,6 +967,62 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("holm dominates bh pointwise and stays a monotone rank prefix") {
+    val holm = graft.operators.Inference.qHolm(spark, sfDir)
+      .orderBy("rank").collect()
+    val bh = graft.operators.Inference.qBhFdr(spark, sfDir)
+      .select("g_a", "g_b", "adj_p").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(holm.length === 10)
+    holm.foreach { r =>
+      val hp = r.getAs[Double]("adj_p")
+      assert(hp >= r.getAs[Double]("p") - 1e-12)
+      // FWER control is never looser than FDR control on the same p's
+      assert(hp >= bh((r.getString(0), r.getString(1))) - 1e-9,
+        "Holm adjusted p dominates BH")
+    }
+    val seq2 = holm.map(_.getAs[Double]("adj_p"))
+    assert(seq2.zip(seq2.tail).forall { case (a, b) => b >= a - 1e-12 })
+    val rej = holm.map(_.getAs[Boolean]("rejected"))
+    assert(!rej.dropWhile(identity).contains(true), "rejections form a rank prefix")
+  }
+
+  test("eb shrinkage: lambda in [0,1], shrunk means stay between group and grand mean") {
+    val rows = graft.operators.RobustStats.qEbShrink(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val grand = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("mean")).sum / n
+    rows.foreach { r =>
+      val lam = r.getAs[Double]("lambda")
+      assert(lam >= 0.0 && lam <= 1.0)
+      val m = r.getAs[Double]("mean"); val sh = r.getAs[Double]("shrunk")
+      assert(math.abs(sh - grand) <= math.abs(m - grand) + 1e-6,
+        "shrinkage moves every source TOWARD the grand mean")
+      // the convex-combination identity: shrunk = grand + λ(mean − grand)
+      assert(math.abs(sh - (grand + lam * (m - grand))) < 1e-3)
+    }
+    // larger sources shrink less (λ monotone in n) whenever τ² > 0
+    val byN = rows.sortBy(_.getAs[Long]("n")).map(_.getAs[Double]("lambda"))
+    if (byN.exists(_ > 0.0))
+      assert(byN.zip(byN.tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
+  test("two-prop: wilson intervals contain the point estimates and arms partition users") {
+    val r = graft.operators.Stats.qTwoProp(spark, sfDir).collect().head
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === users)
+    Seq(("a", "p_a"), ("b", "p_b")).foreach { case (arm, pc) =>
+      val p = r.getAs[Double](pc)
+      val lo = r.getAs[Double](s"wilson_lo_$arm")
+      val hi = r.getAs[Double](s"wilson_hi_$arm")
+      assert(lo <= p && p <= hi, s"wilson interval covers p̂ for arm $arm")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, "wilson never leaves [0,1]")
+    }
+    assert(r.getAs[Long]("k_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("k_b") <= r.getAs[Long]("n_b"))
+  }
+
   test("conformal: splits partition the facts, coverage lands near the 90% target") {
     val rows = graft.operators.Inference.qConformal(spark, sfDir).collect()
     val totals = graft.sources.Tables.events(spark, sfDir)
