@@ -58,7 +58,8 @@ object Bench {
     "q_ndcg", "q_er_blocking", "q_cuped",
     "q_kneser_ney", "q_quantile_norm", "q_conformal",
     "q_rrf", "q_cms_audit", "q_sprt",
-    "q_holm", "q_eb_shrink", "q_two_prop")
+    "q_holm", "q_eb_shrink", "q_two_prop",
+    "q_mrr", "q_shapley_attrib", "q_slo_burn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -761,7 +761,50 @@ object SimilaritySearch extends QueryModule {
        SELECT q_id, fused_rank, nb_id, rf, rt, round(rrf, 6) AS rrf_score
        FROM fused WHERE fused_rank <= 5"""
 
+  /** q_mrr: reciprocal rank of the FIRST relevant hit per query — the
+    * retrieval metric that grades single-answer lookups (nDCG grades the
+    * whole list; MRR only cares where the first same-label item lands).
+    * Same one-scan broadcast shape as q_ndcg; the first-relevant rank is
+    * a plain min over the relevant subset (no second window), rr = 1/rank
+    * divides once. */
+  def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("nb_id"), col("label"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("label") === col("q_label"))
+      .groupBy("q_id", "q_label")
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+      .select(col("q_id"), col("q_label"), col("first_rel_rank"),
+        round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
+  }
+
+  private val qMrrSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, q_label, c.vec_id AS nb_id, c.label AS nb_label,
+           list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, q_label, nb_label,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, q_label, CAST(min(rank) AS BIGINT) AS first_rel_rank,
+         round(1.0 / min(rank), 6) AS rr
+       FROM ranked WHERE nb_label = q_label GROUP BY q_id, q_label"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mrr" -> (qMrr _),
     "q_rrf" -> (qRrf _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
@@ -778,6 +821,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
+    "q_mrr" -> qMrrSql,
     "q_rrf" -> qRrfSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,

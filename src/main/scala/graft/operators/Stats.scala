@@ -699,6 +699,181 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** SLO target (error-free share), burn-rate alert threshold ×1000, and
+    * the two window lengths in days. Error budget = 1 − SLO = 1/4;
+    * burn > 1.1 ⇔ err_share > 1.1/4 ⇔ err·4000 > 1100·n — every alert
+    * comparison stays in exact integers. */
+  val SloTarget = 0.75
+  val SloBurnThresholdX1000 = 1100
+  val SloShortDays = 1
+  val SloLongDays = 7
+
+  /** q_slo_burn: multi-window error-budget burn-rate alerting — the SRE
+    * alerting rule (Google SRE workbook) an ops-analytics engine ships:
+    * burn = error_share / (1 − SLO), and a page fires only when BOTH the
+    * short window (fast signal) and the long window (sustained signal)
+    * burn above threshold — single-window alerts either flap or lag.
+    * Daily (n, err) are exact integer aggregates; the trailing windows
+    * are ROWS frames over the calendar-bounded day table; the alert
+    * comparisons are cross-multiplied integers (never a rounded double);
+    * only the reported burn ratios divide, once each. */
+  def qSloBurn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_day"), sum(col("is_err")).as("err_day"))
+    val wS = Window.orderBy("day").rowsBetween(-(SloShortDays - 1), 0)
+    val wL = Window.orderBy("day").rowsBetween(-(SloLongDays - 1), 0)
+    val budgetInv = math.round(1.0 / (1.0 - SloTarget)) // 4, exact by choice of SLO
+    def burn(err: Column, n: Column) =
+      round(err.cast("double") * budgetInv / n, 6)
+    def hot(err: Column, n: Column) =
+      err * (budgetInv * 1000) > n * SloBurnThresholdX1000
+    daily
+      .withColumn("n_s", sum(col("n_day")).over(wS))
+      .withColumn("e_s", sum(col("err_day")).over(wS))
+      .withColumn("n_l", sum(col("n_day")).over(wL))
+      .withColumn("e_l", sum(col("err_day")).over(wL))
+      .select(col("day"), col("n_s"), col("e_s"), col("n_l"), col("e_l"),
+        burn(col("e_s"), col("n_s")).as("burn_short"),
+        burn(col("e_l"), col("n_l")).as("burn_long"),
+        (hot(col("e_s"), col("n_s")) && hot(col("e_l"), col("n_l"))).as("page"))
+  }
+
+  private lazy val qSloBurnSql = {
+    val budgetInv = math.round(1.0 / (1.0 - SloTarget))
+    s"""WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_day,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_day
+         FROM events GROUP BY 1),
+       w AS (SELECT day,
+               CAST(sum(n_day) OVER (ORDER BY day ROWS ${SloShortDays - 1} PRECEDING) AS BIGINT) AS n_s,
+               CAST(sum(err_day) OVER (ORDER BY day ROWS ${SloShortDays - 1} PRECEDING) AS BIGINT) AS e_s,
+               CAST(sum(n_day) OVER (ORDER BY day ROWS ${SloLongDays - 1} PRECEDING) AS BIGINT) AS n_l,
+               CAST(sum(err_day) OVER (ORDER BY day ROWS ${SloLongDays - 1} PRECEDING) AS BIGINT) AS e_l
+             FROM daily)
+       SELECT day, n_s, e_s, n_l, e_l,
+         round(CAST(e_s AS DOUBLE) * $budgetInv / n_s, 6) AS burn_short,
+         round(CAST(e_l AS DOUBLE) * $budgetInv / n_l, 6) AS burn_long,
+         (e_s * ${budgetInv * 1000} > n_s * $SloBurnThresholdX1000 AND
+          e_l * ${budgetInv * 1000} > n_l * $SloBurnThresholdX1000) AS page
+       FROM w"""
+  }
+
+  /** Early-journey length for Shapley channel attribution. */
+  val ShapEarlyK = 5
+
+  /** The four attribution channels and their mask bits. */
+  val ShapChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "view" -> 2, "signup" -> 4, "error" -> 8)
+
+  /** q_shapley_attrib: EXACT Shapley-value channel attribution — the
+    * coalition-game upgrade of q_attribution's first-touch heuristic
+    * (first-touch gives the whole credit to one channel; Shapley splits
+    * it by each channel's average marginal contribution over every
+    * coalition order). Channels = which of the four non-purchase event
+    * types appear in the user's first-K events; conversion = the premium
+    * purchase of q_two_prop. The whole game is computed on the BOUNDED
+    * 2⁴-subset lattice: users reduce to a 16-row (mask, conv) table (one
+    * per-user aggregate, bit_or of channel bits); coalition value
+    * v(S) ∝ conv mass of masks ⊆ S via a 16×16 containment join; the
+    * 32 (channel, S, S∪i) marginal terms and their factorial weights
+    * s!(3−s)! are INLINED literal rows computed once in Scala and
+    * identical in the SQL twin, so Shapley×4! is an exact integer
+    * combination of counts — one division at the end. Spec pins the
+    * efficiency axiom Σφᵢ = v(full) − v(∅). (Set-scoped attribution, not
+    * a causal claim — the scaladoc'd limitation of every Shapley
+    * attribution.) */
+  def qShapleyAttrib(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val nCh = ShapChannels.size
+    def factorial(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    def popcount(x: Int): Int = Integer.bitCount(x)
+    val denom = factorial(nCh) // 4! = 24
+    // (channel, S-without-i, S-with-i, weight) — 4 × 8 literal rows
+    val contrib = (for {
+      (ch, bit) <- ShapChannels
+      sub <- 0 until (1 << nCh) if (sub & bit) == 0
+    } yield (ch, sub, sub | bit, factorial(popcount(sub)) *
+        factorial(nCh - 1 - popcount(sub)))).toDF("channel", "s0", "s1", "wgt")
+    val ev = Tables.events(s, dir)
+    val wU = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val chanBit = ShapChannels.foldLeft(lit(0)) { case (acc, (ch, bit)) =>
+      when(col("event_type") === ch, lit(bit)).otherwise(acc) }
+    val perUser = ev
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= ShapEarlyK)
+      .select(col("user_id"), chanBit.as("b"))
+      .groupBy("user_id").agg(expr("bit_or(b)").as("mask"))
+    val conv = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > TwoPropValueCut, 1L).otherwise(0L)).as("converted"))
+    val masks = perUser.join(conv, Seq("user_id"))
+      .groupBy("mask").agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val lattice = (0 until (1 << nCh)).toDF("sset")
+    val cmass = broadcast(lattice)
+      .join(masks, (col("mask").bitwiseAND(col("sset")) === col("mask")), "left")
+      .groupBy("sset").agg(coalesce(sum(col("c")), lit(0L)).as("cm"))
+    val nTot = perUser.agg(count(lit(1)).as("n_users"))
+    broadcast(contrib)
+      .join(cmass.select(col("sset").as("s0"), col("cm").as("cm0")), Seq("s0"))
+      .join(cmass.select(col("sset").as("s1"), col("cm").as("cm1")), Seq("s1"))
+      .groupBy("channel")
+      .agg(sum(col("wgt") * (col("cm1") - col("cm0"))).as("shap_scaled"))
+      .crossJoin(broadcast(nTot))
+      .select(col("channel"), col("shap_scaled"),
+        round(col("shap_scaled").cast("double") / (lit(denom) * col("n_users")), 6)
+          .as("shapley"))
+      .orderBy("channel")
+  }
+
+  private lazy val qShapleyAttribSql = {
+    val nCh = ShapChannels.size
+    def factorial(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val denom = factorial(nCh)
+    val contribRows = (for {
+      (ch, bit) <- ShapChannels
+      sub <- 0 until (1 << nCh) if (sub & bit) == 0
+    } yield s"('$ch', $sub, ${sub | bit}, " +
+        s"${factorial(Integer.bitCount(sub)) * factorial(nCh - 1 - Integer.bitCount(sub))})")
+      .mkString(", ")
+    val chanCase = ShapChannels.map { case (ch, bit) =>
+      s"WHEN event_type = '$ch' THEN $bit" }.mkString(" ")
+    s"""WITH ranked AS (
+         SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events),
+       pu AS (SELECT user_id,
+                bit_or(CASE $chanCase ELSE 0 END) AS mask
+              FROM ranked WHERE rn <= $ShapEarlyK GROUP BY user_id),
+       cv AS (SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+                  THEN 1 ELSE 0 END) AS converted
+              FROM events GROUP BY user_id),
+       masks AS (SELECT mask, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS c
+                 FROM pu JOIN cv USING (user_id) GROUP BY mask),
+       lattice AS (SELECT CAST(range AS INT) AS sset FROM range(0, ${1 << nCh})),
+       cmass AS (SELECT sset, CAST(coalesce(sum(c), 0) AS BIGINT) AS cm
+                 FROM lattice LEFT JOIN masks ON (mask & sset) = mask
+                 GROUP BY sset),
+       contrib(channel, s0, s1, wgt) AS (VALUES $contribRows),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM pu)
+       SELECT channel, CAST(sum(wgt * (c1.cm - c0.cm)) AS BIGINT) AS shap_scaled,
+         round(CAST(sum(wgt * (c1.cm - c0.cm)) AS DOUBLE) / ($denom * n_users), 6)
+           AS shapley
+       FROM contrib
+       JOIN cmass c0 ON c0.sset = contrib.s0
+       JOIN cmass c1 ON c1.sset = contrib.s1
+       CROSS JOIN nt
+       GROUP BY channel, n_users
+       ORDER BY channel"""
+  }
+
   /** z for 95% two-sided intervals, inlined identically in both engines. */
   val WilsonZ = 1.959963985
 
@@ -1675,6 +1850,8 @@ object Stats extends QueryModule {
     "q_ab_test" -> (qAbTest _),
     "q_cuped" -> (qCuped _),
     "q_two_prop" -> (qTwoProp _),
+    "q_shapley_attrib" -> (qShapleyAttrib _),
+    "q_slo_burn" -> (qSloBurn _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1708,6 +1885,8 @@ object Stats extends QueryModule {
     "q_ab_test" -> qAbTestSql,
     "q_cuped" -> qCupedSql,
     "q_two_prop" -> qTwoPropSql,
+    "q_shapley_attrib" -> qShapleyAttribSql,
+    "q_slo_burn" -> qSloBurnSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

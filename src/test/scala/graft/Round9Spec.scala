@@ -967,6 +967,66 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("mrr agrees with ndcg on where the first relevant item lands") {
+    val mrr = graft.operators.SimilaritySearch.qMrr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("first_rel_rank")).toMap
+    val ndcg = graft.operators.SimilaritySearch.qNdcg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_rel_topk")).toMap
+    val k = graft.operators.SimilaritySearch.NdcgK
+    assert(mrr.keySet === ndcg.keySet)
+    mrr.foreach { case (q, rank) =>
+      assert(rank >= 1)
+      if (ndcg(q) > 0) assert(rank <= k, s"query $q has top-$k relevance, MRR must see it")
+      else assert(rank > k, s"query $q has NO top-$k relevance, MRR must agree")
+    }
+  }
+
+  test("shapley attribution satisfies the efficiency axiom exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.operators.Stats.qShapleyAttrib(spark, sfDir).collect()
+    assert(rows.length === 4, "one row per channel")
+    // recompute v(full) − v(∅) from the raw events: total premium
+    // converters minus converters whose early journey touched NO channel
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val wU = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val chanBit = graft.operators.Stats.ShapChannels.foldLeft(lit(0)) {
+      case (acc, (ch, bit)) => when(col("event_type") === ch, lit(bit)).otherwise(acc) }
+    val perUser = ev.withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= graft.operators.Stats.ShapEarlyK)
+      .select(col("user_id"), chanBit.as("b"))
+      .groupBy("user_id").agg(expr("bit_or(b)").as("mask"))
+    val conv = ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > graft.operators.Stats.TwoPropValueCut, 1L)
+        .otherwise(0L)).as("converted"))
+    val joined = perUser.join(conv, Seq("user_id")).collect()
+    val nUsers = joined.length
+    val vFull = joined.map(_.getAs[Long]("converted")).sum
+    val vEmpty = joined.filter(_.getAs[Int]("mask") == 0).map(_.getAs[Long]("converted")).sum
+    val sumScaled = rows.map(_.getAs[Long]("shap_scaled")).sum
+    // Σφᵢ·4! = (v(full) − v(∅))·4! exactly, in integers
+    assert(sumScaled === (vFull - vEmpty) * 24L,
+      s"efficiency: $sumScaled vs ${(vFull - vEmpty) * 24L}")
+    val sumShap = rows.map(_.getAs[Double]("shapley")).sum
+    assert(math.abs(sumShap - (vFull - vEmpty).toDouble / nUsers) < 1e-4)
+  }
+
+  test("slo burn: ratios recompute from the window counts, page needs BOTH windows hot") {
+    val rows = graft.operators.Stats.qSloBurn(spark, sfDir).orderBy("day").collect()
+    assert(rows.length === 30, "one row per calendar day")
+    val inv = math.round(1.0 / (1.0 - graft.operators.Stats.SloTarget))
+    val thr = graft.operators.Stats.SloBurnThresholdX1000
+    rows.foreach { r =>
+      val (ns, es) = (r.getAs[Long]("n_s"), r.getAs[Long]("e_s"))
+      val (nl, el) = (r.getAs[Long]("n_l"), r.getAs[Long]("e_l"))
+      assert(nl >= ns, "the long window contains the short one")
+      assert(math.abs(r.getAs[Double]("burn_short") - es.toDouble * inv / ns) < 1e-6)
+      assert(math.abs(r.getAs[Double]("burn_long") - el.toDouble * inv / nl) < 1e-6)
+      val hot = es * inv * 1000 > ns * thr && el * inv * 1000 > nl * thr
+      assert(r.getAs[Boolean]("page") === hot, "page iff both windows burn hot")
+    }
+  }
+
   test("holm dominates bh pointwise and stays a monotone rank prefix") {
     val holm = graft.operators.Inference.qHolm(spark, sfDir)
       .orderBy("rank").collect()
