@@ -446,6 +446,73 @@ object Relational extends QueryModule {
        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
+  /** q_grouping_sets: EXPLICIT grouping sets — the third member of the
+    * multi-dimensional trio (35b ROLLUP is the prefix lattice, q_cube the
+    * full lattice; GROUPING SETS picks exactly the marginals a dashboard
+    * needs and skips the rest). Sets = {(flag, status), (flag), (status),
+    * ()} — the CUBE of two columns spelled explicitly, still ONE Expand +
+    * aggregate pass, never per-set rescans. Exact counts + DECIMAL sums,
+    * grouping_id disambiguates NULL-as-subtotal from NULL-as-value. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         (l_returnflag), (l_linestatus), ())"""
+
+  /** Trailing RANGE-frame window length in days. */
+  val RangeFrameDays = 30
+
+  /** q_range_frame: VALUE-range window frames — the semantic ROWS frames
+    * (33b moving average) cannot express: "this customer's order volume
+    * in the 30 days BEFORE each order" must scale the frame by the GAPS
+    * in the date sequence, not by a row count (a customer with sparse
+    * orders gets a thin frame, a bursty one a wide frame). Ordering key =
+    * exact integer epoch-day, frame = RANGE 30 PRECEDING — identical
+    * integer semantics in both engines (Spark's rangeBetween and
+    * DuckDB's RANGE both take the numeric key). Per-customer partitions
+    * are order-count-bounded; sums stay DECIMAL. */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-RangeFrameDays, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum(col("price")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("trail_n"), round(col("trail_sum"), 2).as("trail_sum"))
+  }
+
+  private lazy val qRangeFrameSql =
+    s"""WITH o AS (
+         SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders)
+       SELECT o_custkey, o_orderkey, day,
+         CAST(count(*) OVER w AS BIGINT) AS trail_n,
+         round(CAST(sum(price) OVER w AS DOUBLE), 2) AS trail_sum
+       FROM o
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN $RangeFrameDays PRECEDING AND CURRENT ROW)"""
+
   /** q_copurchase: market-basket association pairs — parts bought together
     * in the same order, support-thresholded (the A-priori L2 building
     * block). Baskets are grouped once and pairs expanded INSIDE the row
@@ -1201,6 +1268,8 @@ object Relational extends QueryModule {
     "q_sessionize" -> (qSessionize _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_rollup" -> (qRollup _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_cube" -> (qCube _),
     "q_copurchase" -> (qCopurchase _),
     "q_unpivot" -> (qUnpivot _),
@@ -1242,6 +1311,8 @@ object Relational extends QueryModule {
     "q_sessionize" -> qSessionizeSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_rollup" -> qRollupSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_range_frame" -> qRangeFrameSql,
     "q_cube" -> qCubeSql,
     "q_copurchase" -> qCopurchaseSql,
     "q_unpivot" -> qUnpivotSql,

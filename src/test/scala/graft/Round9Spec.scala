@@ -967,6 +967,41 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("grouping sets over the 2-column full lattice equals CUBE row-for-row") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val gs = norm(graft.operators.Relational.qGroupingSets(spark, sfDir))
+    val cube = norm(graft.sources.Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty"))
+    assert(gs === cube, "explicit sets {(a,b),(a),(b),()} ARE the 2-col cube")
+  }
+
+  test("range frame scales with date gaps: matches a brute-force per-customer recompute") {
+    val rows = graft.operators.Relational.qRangeFrame(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("trail_n"), r.getAs[Double]("trail_sum")))
+    val byCust = rows.groupBy(_._1)
+    assert(byCust.nonEmpty)
+    val d = graft.operators.Relational.RangeFrameDays
+    byCust.values.foreach { os =>
+      os.foreach { case (_, _, day, tn, ts) =>
+        val inFrame = os.filter(o => o._3 >= day - d && o._3 <= day)
+        assert(tn === inFrame.length.toLong, "RANGE frame counts by VALUE distance")
+      }
+    }
+    // the semantic point: somewhere a customer has a gap > frame, so the
+    // trailing count RESETS below its row position (ROWS could not do this)
+    val resets = byCust.values.exists { os =>
+      val sorted = os.sortBy(_._3).zipWithIndex
+      sorted.exists { case ((_, _, _, tn, _), i) => tn < i + 1 }
+    }
+    assert(resets, "at least one sparse customer exercises the gap semantics")
+  }
+
   test("mrr agrees with ndcg on where the first relevant item lands") {
     val mrr = graft.operators.SimilaritySearch.qMrr(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("first_rel_rank")).toMap
