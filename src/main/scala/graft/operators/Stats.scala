@@ -699,6 +699,176 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** q_did: difference-in-differences — the quasi-experimental estimator
+    * for "did the post-period change differ between arms beyond the
+    * common trend": δ = (ȲT,post − ȲT,pre) − (ȲC,post − ȲC,pre), with a
+    * Welch-style SE from the four cell variances. Unit = user-period
+    * (per-user value mass in each half of the calendar, the q_cuped
+    * windows); arms = the md5 split. One fact scan → per-(user, period)
+    * DECIMAL sums → FOUR moment cells (n, Σy, Σy²) — every input to the
+    * final fixed double expression is exact; one row out. */
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    val perUserPeriod = Tables.events(s, dir)
+      .select(col("user_id"),
+        when(date_format(col("ts"), "yyyy-MM-dd") <= CupedSplitDay, "pre")
+          .otherwise("post").as("period"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("user_id", "period").agg(sum(col("v")).as("y"))
+      .select(col("period"), col("y"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val cells = perUserPeriod.groupBy("treat", "period")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    def cell(t: Boolean, p: String, suffix: String) =
+      cells.filter(col("treat") === t && col("period") === p)
+        .select(col("n").as(s"n_$suffix"), col("sy").as(s"sy_$suffix"),
+          col("syy").as(s"syy_$suffix"))
+    val wide = cell(true, "post", "tp").crossJoin(cell(true, "pre", "tr"))
+      .crossJoin(cell(false, "post", "cp")).crossJoin(cell(false, "pre", "cr"))
+    def mean(sfx: String) = col(s"sy_$sfx").cast("double") / col(s"n_$sfx")
+    def se2(sfx: String) = {
+      val n = col(s"n_$sfx").cast("double")
+      (col(s"n_$sfx") * col(s"syy_$sfx") - col(s"sy_$sfx") * col(s"sy_$sfx"))
+        .cast("double") / (n * (n - 1.0)) / n
+    }
+    val delta = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    val se = sqrt(se2("tp") + se2("tr") + se2("cp") + se2("cr"))
+    wide.select(
+      round(mean("tp"), 6).as("mean_t_post"), round(mean("tr"), 6).as("mean_t_pre"),
+      round(mean("cp"), 6).as("mean_c_post"), round(mean("cr"), 6).as("mean_c_pre"),
+      round(delta, 6).as("did"), round(se, 6).as("se"),
+      round(delta / se, 6).as("z"), (abs(delta / se) >= lit(WilsonZ)).as("significant"))
+  }
+
+  private lazy val qDidSql =
+    s"""WITH pup AS (
+         SELECT user_id,
+           CASE WHEN strftime(ts, '%Y-%m-%d') <= '$CupedSplitDay'
+             THEN 'pre' ELSE 'post' END AS period,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       pt AS (SELECT period, y,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+              FROM pup),
+       cells AS (SELECT treat, period, CAST(count(*) AS BIGINT) AS n,
+                   sum(y) AS sy, sum(y * y) AS syy
+                 FROM pt GROUP BY 1, 2),
+       wide AS (SELECT
+           tp.n AS n_tp, tp.sy AS sy_tp, tp.syy AS syy_tp,
+           tr.n AS n_tr, tr.sy AS sy_tr, tr.syy AS syy_tr,
+           cp.n AS n_cp, cp.sy AS sy_cp, cp.syy AS syy_cp,
+           cr.n AS n_cr, cr.sy AS sy_cr, cr.syy AS syy_cr
+         FROM (SELECT * FROM cells WHERE treat AND period = 'post') tp
+         CROSS JOIN (SELECT * FROM cells WHERE treat AND period = 'pre') tr
+         CROSS JOIN (SELECT * FROM cells WHERE NOT treat AND period = 'post') cp
+         CROSS JOIN (SELECT * FROM cells WHERE NOT treat AND period = 'pre') cr),
+       e AS (SELECT
+           CAST(sy_tp AS DOUBLE) / n_tp AS m_tp, CAST(sy_tr AS DOUBLE) / n_tr AS m_tr,
+           CAST(sy_cp AS DOUBLE) / n_cp AS m_cp, CAST(sy_cr AS DOUBLE) / n_cr AS m_cr,
+           CAST(n_tp * syy_tp - sy_tp * sy_tp AS DOUBLE)
+             / (CAST(n_tp AS DOUBLE) * (CAST(n_tp AS DOUBLE) - 1.0)) / CAST(n_tp AS DOUBLE) AS v_tp,
+           CAST(n_tr * syy_tr - sy_tr * sy_tr AS DOUBLE)
+             / (CAST(n_tr AS DOUBLE) * (CAST(n_tr AS DOUBLE) - 1.0)) / CAST(n_tr AS DOUBLE) AS v_tr,
+           CAST(n_cp * syy_cp - sy_cp * sy_cp AS DOUBLE)
+             / (CAST(n_cp AS DOUBLE) * (CAST(n_cp AS DOUBLE) - 1.0)) / CAST(n_cp AS DOUBLE) AS v_cp,
+           CAST(n_cr * syy_cr - sy_cr * sy_cr AS DOUBLE)
+             / (CAST(n_cr AS DOUBLE) * (CAST(n_cr AS DOUBLE) - 1.0)) / CAST(n_cr AS DOUBLE) AS v_cr
+         FROM wide)
+       SELECT round(m_tp, 6) AS mean_t_post, round(m_tr, 6) AS mean_t_pre,
+         round(m_cp, 6) AS mean_c_post, round(m_cr, 6) AS mean_c_pre,
+         round((m_tp - m_tr) - (m_cp - m_cr), 6) AS did,
+         round(sqrt(v_tp + v_tr + v_cp + v_cr), 6) AS se,
+         round(((m_tp - m_tr) - (m_cp - m_cr)) / sqrt(v_tp + v_tr + v_cp + v_cr), 6) AS z,
+         abs(((m_tp - m_tr) - (m_cp - m_cr)) / sqrt(v_tp + v_tr + v_cp + v_cr))
+           >= $WilsonZ AS significant
+       FROM e"""
+
+  /** q_logrank: two-sample log-rank test — the survival-family
+    * significance test beside q_kaplan_meier's descriptive curve: does
+    * time-to-first-premium-purchase differ between the md5 arms? Emitted
+    * PER EVENT-DAY (the q_mutual_info rule): each day's at-risk counts
+    * (n1t, n2t), deaths (d1t, d2t), expected deaths e1t = dt·n1t/nt and
+    * the hypergeometric variance term — every column a fixed double
+    * expression over exact integers, no cross-day fp sum in the gate
+    * (the spec assembles z = Σ(d1−e1)/√Σvar locally). At-risk counts
+    * come from one cumulative window over the day-bounded event-time
+    * table. Censoring: users with no premium purchase carry t=31 and
+    * event=0 — they leave the risk set after every real event time. */
+  def qLogrank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstPrem = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase" &&
+          col("value") > TwoPropValueCut,
+        date_format(col("ts"), "yyyy-MM-dd"))).as("first_day"))
+      .select(col("user_id"),
+        when(col("first_day").isNotNull,
+          (datediff(col("first_day").cast("date"), lit("2024-01-01").cast("date")) + 1))
+          .otherwise(lit(31)).cast("int").as("t"),
+        col("first_day").isNotNull.as("event"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val perDay = firstPrem.groupBy("t")
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("enter1"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("enter2"),
+        sum(when(col("treat") && col("event"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("treat") && col("event"), 1L).otherwise(0L)).as("d2"))
+    val tot = firstPrem.agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).as("tot1"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("tot2"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n1 = col("tot1") - coalesce(sum(col("enter1")).over(wCum), lit(0L))
+    val n2 = col("tot2") - coalesce(sum(col("enter2")).over(wCum), lit(0L))
+    val base = perDay.crossJoin(broadcast(tot))
+      .withColumn("n1t", n1).withColumn("n2t", n2)
+      .filter(col("d1") + col("d2") > 0)
+    val nt = (col("n1t") + col("n2t")).cast("double")
+    val dt = (col("d1") + col("d2")).cast("double")
+    val e1 = dt * col("n1t") / nt
+    val varT = dt * (col("n1t").cast("double") / nt) *
+      (col("n2t").cast("double") / nt) * ((nt - dt) / (nt - 1.0))
+    base.select(col("t"), col("n1t"), col("n2t"), col("d1"), col("d2"),
+      round(e1, 6).as("e1"), round(varT, 6).as("var_t"))
+  }
+
+  private lazy val qLogrankSql =
+    s"""WITH fp AS (
+         SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+             THEN strftime(ts, '%Y-%m-%d') END) AS first_day
+         FROM events GROUP BY user_id),
+       lt AS (SELECT
+           CASE WHEN first_day IS NOT NULL
+             THEN CAST(date_diff('day', DATE '2024-01-01', CAST(first_day AS DATE)) + 1 AS INT)
+             ELSE 31 END AS t,
+           first_day IS NOT NULL AS event,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+         FROM fp),
+       pd AS (SELECT t,
+                CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS enter1,
+                CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS enter2,
+                CAST(sum(CASE WHEN treat AND event THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN NOT treat AND event THEN 1 ELSE 0 END) AS BIGINT) AS d2
+              FROM lt GROUP BY t),
+       tt AS (SELECT CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS tot1,
+                CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS tot2
+              FROM lt),
+       ar AS (SELECT t, d1, d2,
+                tot1 - CAST(coalesce(sum(enter1) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1t,
+                tot2 - CAST(coalesce(sum(enter2) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n2t
+              FROM pd CROSS JOIN tt)
+       SELECT t, n1t, n2t, d1, d2,
+         round(CAST(d1 + d2 AS DOUBLE) * n1t / (n1t + n2t), 6) AS e1,
+         round(CAST(d1 + d2 AS DOUBLE) * (CAST(n1t AS DOUBLE) / (n1t + n2t))
+           * (CAST(n2t AS DOUBLE) / (n1t + n2t))
+           * ((CAST(n1t + n2t AS DOUBLE) - (d1 + d2)) / (CAST(n1t + n2t AS DOUBLE) - 1.0)), 6)
+           AS var_t
+       FROM ar WHERE d1 + d2 > 0"""
+
   /** SLO target (error-free share), burn-rate alert threshold ×1000, and
     * the two window lengths in days. Error budget = 1 − SLO = 1/4;
     * burn > 1.1 ⇔ err_share > 1.1/4 ⇔ err·4000 > 1100·n — every alert
@@ -1852,6 +2022,8 @@ object Stats extends QueryModule {
     "q_two_prop" -> (qTwoProp _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
+    "q_did" -> (qDid _),
+    "q_logrank" -> (qLogrank _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1887,6 +2059,8 @@ object Stats extends QueryModule {
     "q_two_prop" -> qTwoPropSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
+    "q_did" -> qDidSql,
+    "q_logrank" -> qLogrankSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,
     "q_corr_matrix" -> qCorrMatrixSql,

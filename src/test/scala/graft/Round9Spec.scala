@@ -967,6 +967,45 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("did: the estimator is exactly the four-cell mean identity") {
+    val r = graft.operators.Stats.qDid(spark, sfDir).collect().head
+    val did = (r.getAs[Double]("mean_t_post") - r.getAs[Double]("mean_t_pre")) -
+      (r.getAs[Double]("mean_c_post") - r.getAs[Double]("mean_c_pre"))
+    assert(math.abs(r.getAs[Double]("did") - did) < 1e-5)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(math.abs(r.getAs[Double]("z") -
+      r.getAs[Double]("did") / r.getAs[Double]("se")) < 1e-4)
+    // same generating process on both arms → the null is true; a huge z
+    // would mean the md5 split or the cell moments are broken
+    assert(math.abs(r.getAs[Double]("z")) < 6.0, "honest null on a synthetic corpus")
+  }
+
+  test("logrank: risk sets account for every user and shrink monotonically") {
+    val rows = graft.operators.Stats.qLogrank(spark, sfDir).orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val first = rows.head
+    assert(first.getAs[Long]("n1t") + first.getAs[Long]("n2t") === users,
+      "everyone is at risk at the first event time")
+    val risks = rows.map(r => r.getAs[Long]("n1t") + r.getAs[Long]("n2t"))
+    assert(risks.zip(risks.tail).forall { case (a, b) => b < a },
+      "the combined risk set strictly shrinks at every event time")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d1") <= r.getAs[Long]("n1t"))
+      assert(r.getAs[Long]("d2") <= r.getAs[Long]("n2t"))
+      val dt = r.getAs[Long]("d1") + r.getAs[Long]("d2")
+      assert(r.getAs[Double]("e1") >= 0.0 && r.getAs[Double]("e1") <= dt.toDouble)
+      assert(r.getAs[Double]("var_t") >= 0.0)
+    }
+    // assemble the test statistic the way a consumer would
+    val o1 = rows.map(_.getAs[Long]("d1")).sum.toDouble
+    val e1 = rows.map(_.getAs[Double]("e1")).sum
+    val v = rows.map(_.getAs[Double]("var_t")).sum
+    val z = (o1 - e1) / math.sqrt(v)
+    assert(!z.isNaN && math.abs(z) < 6.0, "honest null between md5 arms")
+  }
+
   test("grouping sets over the 2-column full lattice equals CUBE row-for-row") {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
