@@ -699,6 +699,66 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** Seasonal period for the seasonal-naive forecaster. */
+  val ForecastSeason = 7
+
+  /** q_forecast_eval: forecast-accuracy scoreboard (the M-competition
+    * metrics) for the two benchmark forecasters every real model must
+    * beat — naive-1 (ŷ_t = y_{t−1}) and seasonal-naive-7 (ŷ_t = y_{t−7})
+    * — on the daily totals per event type. Both forecasts are LAG
+    * windows over the calendar-bounded day table, so each error is an
+    * EXACT DECIMAL difference; the eval window is days where BOTH
+    * forecasts exist (same n, so MASE = Σ|e₇| / Σ|e₁| is a single
+    * division of exact decimal sums, no mean-of-means drift); MAE
+    * divides once, RMSE squares exact decimals and takes one
+    * sqrt-of-division. MASE < 1 ⇔ weekday seasonality carries real
+    * signal (the q_seasonal finding, now quantified). */
+  def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("f1", lag(col("y"), 1).over(w))
+      .withColumn("f7", lag(col("y"), ForecastSeason).over(w))
+      .filter(col("f1").isNotNull && col("f7").isNotNull)
+      .select(col("event_type"),
+        abs(col("y") - col("f1")).as("e1"), abs(col("y") - col("f7")).as("e7"))
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("e1")).as("s1"), sum(col("e7")).as("s7"),
+        sum(col("e1") * col("e1")).as("ss1"),
+        sum(col("e7") * col("e7")).as("ss7"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("s1").cast("double") / col("n_eval"), 6).as("mae_naive"),
+        round(col("s7").cast("double") / col("n_eval"), 6).as("mae_snaive"),
+        round(sqrt(col("ss1").cast("double") / col("n_eval")), 6).as("rmse_naive"),
+        round(sqrt(col("ss7").cast("double") / col("n_eval")), 6).as("rmse_snaive"),
+        round(col("s7").cast("double") / col("s1").cast("double"), 6).as("mase_snaive"))
+  }
+
+  private lazy val qForecastEvalSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       lagged AS (
+         SELECT event_type,
+           abs(y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY day)) AS e1,
+           abs(y - lag(y, $ForecastSeason) OVER (PARTITION BY event_type ORDER BY day)) AS e7
+         FROM daily),
+       f AS (SELECT event_type, e1, e7 FROM lagged
+             WHERE e1 IS NOT NULL AND e7 IS NOT NULL)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+         round(CAST(sum(e1) AS DOUBLE) / count(*), 6) AS mae_naive,
+         round(CAST(sum(e7) AS DOUBLE) / count(*), 6) AS mae_snaive,
+         round(sqrt(CAST(sum(e1 * e1) AS DOUBLE) / count(*)), 6) AS rmse_naive,
+         round(sqrt(CAST(sum(e7 * e7) AS DOUBLE) / count(*)), 6) AS rmse_snaive,
+         round(CAST(sum(e7) AS DOUBLE) / CAST(sum(e1) AS DOUBLE), 6) AS mase_snaive
+       FROM f GROUP BY event_type"""
+
   /** q_did: difference-in-differences — the quasi-experimental estimator
     * for "did the post-period change differ between arms beyond the
     * common trend": δ = (ȲT,post − ȲT,pre) − (ȲC,post − ȲC,pre), with a
@@ -2023,6 +2083,7 @@ object Stats extends QueryModule {
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
+    "q_forecast_eval" -> (qForecastEval _),
     "q_logrank" -> (qLogrank _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
@@ -2060,6 +2121,7 @@ object Stats extends QueryModule {
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,
+    "q_forecast_eval" -> qForecastEvalSql,
     "q_logrank" -> qLogrankSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,

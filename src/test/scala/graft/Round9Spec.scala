@@ -967,6 +967,22 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("forecast eval: metric identities hold and rmse dominates mae") {
+    val rows = graft.operators.Stats.qForecastEval(spark, sfDir).collect()
+    assert(rows.length === 5, "one scoreboard row per event type")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eval") > 0)
+      Seq("naive", "snaive").foreach { m =>
+        val mae = r.getAs[Double](s"mae_$m"); val rmse = r.getAs[Double](s"rmse_$m")
+        assert(mae >= 0.0 && rmse >= mae - 1e-9,
+          "RMSE >= MAE (Jensen) for any error sample")
+      }
+      val mase = r.getAs[Double]("mase_snaive")
+      val viaMae = r.getAs[Double]("mae_snaive") / r.getAs[Double]("mae_naive")
+      assert(math.abs(mase - viaMae) < 1e-4, "MASE is the MAE ratio on the shared window")
+    }
+  }
+
   test("did: the estimator is exactly the four-cell mean identity") {
     val r = graft.operators.Stats.qDid(spark, sfDir).collect().head
     val did = (r.getAs[Double]("mean_t_post") - r.getAs[Double]("mean_t_pre")) -
