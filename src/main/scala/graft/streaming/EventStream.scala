@@ -181,6 +181,52 @@ object EventStream {
       }
   }
 
+  case class PhState(n: Long, csum: BigDecimal, sK: BigDecimal, minM: BigDecimal)
+  case class PhOut(event_type: String, n: Long, ph: Double, alarm: Boolean)
+
+  /** Streaming baseline-calibrated Page–Hinkley per key — the stateful
+    * twin of the batch Inference.qPageHinkley: the IDENTICAL
+    * cross-multiplied exact-DECIMAL recursion (warmup K, tolerance
+    * 21/20, λ as a fraction of baseline mass), carried as ONE
+    * (count, cumsum, baseline, running-min) quadruple per key. The
+    * first K observations calibrate S_K; afterwards
+    * m̂ = 20K(csum−S_K) − (n−K)·S_K·21 and ph = m̂ − min m̂ — every
+    * comparison exact, the single division only on emission. Rows are
+    * processed in seq order within a batch; state persists across
+    * micro-batches. */
+  def runningPageHinkley(values: Dataset[TypedValue]): Dataset[PhOut] = {
+    import values.sparkSession.implicits._
+    val k = graft.operators.Inference.PhWarmupDays
+    val num = graft.operators.Inference.PhDeltaNum
+    val den = graft.operators.Inference.PhDeltaDen
+    val lamFrac = graft.operators.Inference.PhLambdaFrac
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[PhState]) =>
+          var cur = state.getOption.getOrElse(
+            PhState(0L, BigDecimal(0), BigDecimal(0), BigDecimal(0)))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val n = cur.n + 1
+            val csum = cur.csum + BigDecimal(r.value)
+            val sK = if (n == k) csum else cur.sK
+            val m =
+              if (n <= k) BigDecimal(0)
+              else (csum - sK) * (den * k) - sK * num * (n - k)
+            val minM = if (n <= k + 1) m else cur.minM.min(m)
+            cur = PhState(n, csum, sK, minM)
+          }
+          state.update(cur)
+          val mNow =
+            if (cur.n <= k) BigDecimal(0)
+            else (cur.csum - cur.sK) * (den * k) - cur.sK * num * (cur.n - k)
+          val ph = mNow - cur.minM
+          val alarm = cur.n > k &&
+            ph > cur.sK * BigDecimal(lamFrac) * BigDecimal(den * k)
+          Iterator(PhOut(et, cur.n, (ph / BigDecimal(den * k)).toDouble, alarm))
+      }
+  }
+
   case class BernoulliObs(key: String, seq: Long, success: Boolean)
   case class SprtState(k: Long, n: Long)
   case class SprtOut(key: String, n: Long, k: Long, llr: Double, decision: String)

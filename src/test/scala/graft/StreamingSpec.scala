@@ -367,6 +367,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Page-Hinkley matches the batch detector on the same series") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningPageHinkley(input.toDS())
+      .writeStream.format("memory").queryName("ph_out")
+      .outputMode("update").start()
+    // stationary warmup+watch in batch 1, a level shift in batch 2
+    val series = (1 to 14).map(i => 100.0 + (i % 3)) ++ (15 to 30).map(_ => 220.0)
+    def latest(): EventStream.PhOut =
+      spark.table("ph_out").as[EventStream.PhOut].collect().maxBy(_.n)
+    try {
+      input.addData(series.take(14).zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("view", i.toLong, v) })
+      q.processAllAvailable()
+      val mid = latest()
+      assert(mid.n === 14L && !mid.alarm, "stationary prefix stays quiet")
+      input.addData(series.drop(14).zipWithIndex.map { case (v, i) =>
+        EventStream.TypedValue("view", (14 + i).toLong, v) })
+      q.processAllAvailable()
+      val fin = latest()
+      assert(fin.n === 30L)
+      assert(fin.alarm, "the 2.2x level shift must alarm across batches")
+      // the batch twin on the identical series agrees on the final state
+      val daily = series.zipWithIndex.map { case (v, i) =>
+        ("view", f"2024-03-${i + 1}%02d", BigDecimal(v)) }
+        .toDF("event_type", "day", "tot")
+        .select(col("event_type"), col("day"),
+          col("tot").cast("decimal(18,6)").as("tot"))
+      val batch = graft.operators.Inference.pageHinkleyOf(daily)
+        .orderBy(col("day").desc).collect().head
+      assert(math.abs(batch.getAs[Double]("ph") - fin.ph) < 1e-6,
+        s"stream ph ${fin.ph} == batch ph ${batch.getAs[Double]("ph")}")
+      assert(batch.getAs[Boolean]("alarm") === fin.alarm)
+    } finally q.stop()
+  }
+
   test("streaming SPRT walks the batch LLR identity and decides across batches") {
     implicit val sqlCtx = spark.sqlContext
     val inf = graft.operators.Inference
