@@ -699,6 +699,77 @@ object Stats extends QueryModule {
               ELSE abs((ma - mb) / sqrt(sea + seb)) >= 1.96 END AS significant
        FROM c"""
 
+  /** q_partial_corr: first-order partial correlations of the lineitem
+    * measures — the confounder-adjusted companion to q_corr_matrix
+    * (marginal r says quantity and price co-move; partial r asks whether
+    * they still do once discount is held fixed):
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). SAME one-scan
+    * nine-moment aggregate as q_corr_matrix — the three marginal r's and
+    * the three partials all expand from that single row, a fixed double
+    * expression each; no second pass, no per-pair rescans. */
+  def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val m = Tables.lineitem(s, dir).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(d("l_quantity")).cast("double").as("sq"),
+      sum(d("l_extendedprice")).cast("double").as("sp"),
+      sum(d("l_discount")).cast("double").as("sd"),
+      sum(d("l_quantity") * d("l_quantity")).cast("double").as("sqq"),
+      sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").as("spp"),
+      sum(d("l_discount") * d("l_discount")).cast("double").as("sdd"),
+      sum(d("l_quantity") * d("l_extendedprice")).cast("double").as("sqp"),
+      sum(d("l_quantity") * d("l_discount")).cast("double").as("sqd"),
+      sum(d("l_extendedprice") * d("l_discount")).cast("double").as("spd"))
+    val rQP = pearson(col("n"), col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp"))
+    val rQD = pearson(col("n"), col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd"))
+    val rPD = pearson(col("n"), col("sp"), col("sd"), col("spp"), col("sdd"), col("spd"))
+    def partial(rxy: Column, rxz: Column, ryz: Column) =
+      (rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    def row(a: String, b: String, z: String, rxy: Column, rxz: Column, ryz: Column) =
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), lit(z).as("control"),
+        round(rxy, 6).as("corr"), round(partial(rxy, rxz, ryz), 6).as("partial"))
+    m.select(explode(array(
+        row("l_quantity", "l_extendedprice", "l_discount", rQP, rQD, rPD),
+        row("l_quantity", "l_discount", "l_extendedprice", rQD, rQP, rPD),
+        row("l_extendedprice", "l_discount", "l_quantity", rPD, rQP, rQD))).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.control").as("control"), col("r.corr").as("corr"),
+        col("r.partial").as("partial"))
+  }
+
+  private lazy val qPartialCorrSql = {
+    def pear(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      s"((n * $sxy - $sx * $sy) / (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy)))"
+    val rQP = pear("sq", "sp", "sqq", "spp", "sqp")
+    val rQD = pear("sq", "sd", "sqq", "sdd", "sqd")
+    val rPD = pear("sp", "sd", "spp", "sdd", "spd")
+    def part(rxy: String, rxz: String, ryz: String) =
+      s"(($rxy - $rxz * $ryz) / sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)))"
+    s"""WITH m AS (SELECT
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+       FROM lineitem)
+       SELECT col_a, col_b, control, corr, partial FROM (
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           'l_discount' AS control, round($rQP, 6) AS corr,
+           round(${part(rQP, rQD, rPD)}, 6) AS partial FROM m
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', 'l_extendedprice',
+           round($rQD, 6), round(${part(rQD, rQP, rPD)}, 6) FROM m
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', 'l_quantity',
+           round($rPD, 6), round(${part(rPD, rQP, rQD)}, 6) FROM m)"""
+  }
+
   /** Seasonal period for the seasonal-naive forecaster. */
   val ForecastSeason = 7
 
@@ -2084,6 +2155,7 @@ object Stats extends QueryModule {
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
     "q_forecast_eval" -> (qForecastEval _),
+    "q_partial_corr" -> (qPartialCorr _),
     "q_logrank" -> (qLogrank _),
     "q_ab_sequential" -> (qAbSequential _),
     "q_histogram" -> (qHistogram _),
@@ -2122,6 +2194,7 @@ object Stats extends QueryModule {
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,
     "q_forecast_eval" -> qForecastEvalSql,
+    "q_partial_corr" -> qPartialCorrSql,
     "q_logrank" -> qLogrankSql,
     "q_ab_sequential" -> qAbSequentialSql,
     "q_histogram" -> qHistogramSql,

@@ -967,6 +967,30 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("partial corr: matches the textbook identity against the marginal matrix") {
+    val marg = graft.operators.Stats.qCorrMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val part = graft.operators.Stats.qPartialCorr(spark, sfDir).collect()
+    assert(part.length === 3)
+    val r = Map(
+      ("q", "p") -> marg(("l_quantity", "l_extendedprice")),
+      ("q", "d") -> marg(("l_quantity", "l_discount")),
+      ("p", "d") -> marg(("l_extendedprice", "l_discount")))
+    def expect(rxy: Double, rxz: Double, ryz: Double) =
+      (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    part.foreach { row =>
+      assert(math.abs(row.getAs[Double]("corr") -
+        marg((row.getString(0), row.getString(1)))) < 1e-5,
+        "marginal column replays q_corr_matrix")
+      val p = row.getAs[Double]("partial")
+      assert(p >= -1.0 - 1e-9 && p <= 1.0 + 1e-9)
+    }
+    val qp = part.find(_.getString(0) == "l_quantity")
+      .filter(_.getString(1) == "l_extendedprice").get
+    assert(math.abs(qp.getAs[Double]("partial") -
+      expect(r(("q", "p")), r(("q", "d")), r(("p", "d")))) < 1e-5)
+  }
+
   test("forecast eval: metric identities hold and rmse dominates mae") {
     val rows = graft.operators.Stats.qForecastEval(spark, sfDir).collect()
     assert(rows.length === 5, "one scoreboard row per event type")
