@@ -1198,7 +1198,76 @@ object TextAnalysis extends QueryModule {
        FROM ps CROSS JOIN tot"""
   }
 
+  /** Number of corpus prefixes on the vocabulary-growth curve. */
+  val HeapsBuckets = 10
+
+  /** q_heaps: vocabulary-growth (Heaps'-law) curve — distinct types vs
+    * token mass over ten growing corpus prefixes, the scaling diagnostic
+    * that says how the dictionary (and every vocabulary-sized structure
+    * in this engine) grows as the corpus does. The load-bearing move:
+    * prefix distinct-counts are NOT ten separate countDistincts — each
+    * token reduces to its FIRST prefix bucket (min over docs, one
+    * vocabulary-sized aggregate) and each prefix's type count is a
+    * cumulative sum over the 10-row bucket table; token mass cumulates
+    * the same way. All exact integers; TTR divides once. The Heaps
+    * exponent is left to the consumer (spec fits the log-log slope) —
+    * the gate carries the raw curve. */
+  def qHeaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextPrep.cleanDocs(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_docs"), explode(col("toks")).as("tok"))
+      // bucket = which tenth of the doc-id order this doc belongs to
+      .withColumn("bucket",
+        least(expr(s"(doc_id * $HeapsBuckets) div n_docs + 1"), lit(HeapsBuckets))
+          .cast("int"))
+    val tokensPerBucket = toks.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+    val firstBucket = toks.groupBy("tok").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val docsPerBucket = docs.crossJoin(broadcast(nDocs))
+      .select(least(expr(s"(doc_id * $HeapsBuckets) div n_docs + 1"),
+        lit(HeapsBuckets)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs_b"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPerBucket
+      .join(tokensPerBucket, Seq("bucket"), "left").na.fill(0L, Seq("n_tok"))
+      .join(firstBucket, Seq("bucket"), "left").na.fill(0L, Seq("n_new_types"))
+      .withColumn("n_docs", sum(col("n_docs_b")).over(wCum))
+      .withColumn("n_tokens", sum(col("n_tok")).over(wCum))
+      .withColumn("n_types", sum(col("n_new_types")).over(wCum))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+  }
+
+  private lazy val qHeapsSql = {
+    val t = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       docs AS (SELECT doc_id,
+                  least((doc_id * $HeapsBuckets) // n_docs + 1, $HeapsBuckets) AS bucket,
+                  $t AS toks
+                FROM documents CROSS JOIN nd),
+       tk AS (SELECT bucket, unnest(toks) AS tok FROM docs),
+       tpb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok FROM tk GROUP BY bucket),
+       fb AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new_types FROM (
+                SELECT tok, min(bucket) AS fb FROM tk GROUP BY tok) GROUP BY fb),
+       dpb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs_b FROM docs GROUP BY bucket),
+       j AS (SELECT dpb.bucket, n_docs_b,
+               coalesce(n_tok, 0) AS n_tok, coalesce(n_new_types, 0) AS n_new_types
+             FROM dpb LEFT JOIN tpb ON tpb.bucket = dpb.bucket
+             LEFT JOIN fb ON fb.bucket = dpb.bucket)
+       SELECT CAST(bucket AS INT) AS bucket,
+         CAST(sum(n_docs_b) OVER w AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) OVER w AS BIGINT) AS n_tokens,
+         CAST(sum(n_new_types) OVER w AS BIGINT) AS n_types,
+         round(CAST(sum(n_new_types) OVER w AS DOUBLE) / sum(n_tok) OVER w, 6) AS ttr
+       FROM j
+       WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heaps" -> (qHeaps _),
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
     "q_llr" -> (qLlr _),
@@ -1249,6 +1318,7 @@ object TextAnalysis extends QueryModule {
     "q_fingerprint" -> qFingerprintSql,
     "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql,
+    "q_heaps" -> qHeapsSql,
     "q_curation" -> qCurationSql,
     "q_curation_full" -> qCurationFullSql,
     "q_pii_scrub" -> qPiiScrubSql,

@@ -362,6 +362,69 @@ object TextScoring extends QueryModule {
        FROM q JOIN r ON r.doc_id = q.doc_id
        GROUP BY 1"""
 
+  // ----------------------------------------------------------------- lift
+
+  /** q_lift: cumulative-gains / lift table at score deciles — the
+    * business-facing twin of q_calibration's reliability diagram (a
+    * ranking score earns its keep by concentrating positives in the top
+    * deciles: gain = share of positives captured, lift = gain ÷ share of
+    * population). Docs are ranked by (quality desc, doc_id) through the
+    * DISTRIBUTED ranker (a bare global window would collapse to one
+    * task); the decile is cross-multiplied integer arithmetic
+    * ⌈rank·10/N⌉; the cumulative pass is one window over the 10-row
+    * decile table. Counts exact; gain/lift divide once each. */
+  def qLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id"))
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      scored, col("quality").desc, col("doc_id").asc)
+    val tot = scored.agg(count(lit(1)).as("n_all"),
+      sum(col("passes").cast("long")).as("pos_all"))
+    val byDecile = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(rn * 10 + n_all - 1) div n_all").cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("passes").cast("long")).as("n_pos"),
+        first(col("n_all")).as("n_all"), first(col("pos_all")).as("pos_all"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("pos_all"), 6).as("gain"),
+        round((col("cum_pos").cast("double") / col("pos_all")) /
+          (col("cum_n").cast("double") / col("n_all")), 6).as("lift"))
+  }
+
+  private lazy val qLiftSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       r AS (${TextAnalysis.qQualityRulesSql}),
+       sc AS (SELECT q.doc_id, q.quality, r.passes
+              FROM q JOIN r ON r.doc_id = q.doc_id),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS pos_all
+               FROM sc),
+       rk AS (SELECT doc_id, passes,
+                row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM sc),
+       dec AS (SELECT CAST((rn * 10 + n_all - 1) // n_all AS INT) AS decile,
+                 passes, n_all, pos_all
+               FROM rk CROSS JOIN tot),
+       agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 any_value(n_all) AS n_all, any_value(pos_all) AS pos_all
+               FROM dec GROUP BY decile),
+       cum AS (SELECT decile, n, n_pos, n_all, pos_all,
+                 CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                 CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+               FROM agg)
+       SELECT decile, n, n_pos, cum_n, cum_pos,
+         round(CAST(cum_pos AS DOUBLE) / pos_all, 6) AS gain,
+         round((CAST(cum_pos AS DOUBLE) / pos_all) / (CAST(cum_n AS DOUBLE) / n_all), 6) AS lift
+       FROM cum"""
+
   // ---------------------------------------------------------- good-turing
 
   /** Katz-style cutoff: only low frequencies get GT-adjusted counts. */
@@ -416,7 +479,8 @@ object TextScoring extends QueryModule {
     "q_tok_fertility" -> (qTokFertility _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_temp_sampling" -> (qTempSampling _),
-    "q_calibration" -> (qCalibration _))
+    "q_calibration" -> (qCalibration _),
+    "q_lift" -> (qLift _))
 
   override def oracles: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBucketsSql,
@@ -426,5 +490,6 @@ object TextScoring extends QueryModule {
     "q_tok_fertility" -> qTokFertilitySql,
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_temp_sampling" -> qTempSamplingSql,
-    "q_calibration" -> qCalibrationSql)
+    "q_calibration" -> qCalibrationSql,
+    "q_lift" -> qLiftSql)
 }

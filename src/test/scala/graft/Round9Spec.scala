@@ -967,6 +967,46 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("lift table: structural identities and full-corpus closure at decile 10") {
+    val rows = graft.operators.TextScoring.qLift(spark, sfDir).orderBy("decile").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val last = rows.last
+    assert(last.getAs[Long]("cum_n") === n, "deciles partition the corpus")
+    assert(math.abs(last.getAs[Double]("gain") - 1.0) < 1e-9, "all positives by decile 10")
+    assert(math.abs(last.getAs[Double]("lift") - 1.0) < 1e-9, "lift closes at 1")
+    val gains = rows.map(_.getAs[Double]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a - 1e-12 },
+      "cumulative gain is monotone")
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gain"); val l = r.getAs[Double]("lift")
+      val popShare = r.getAs[Long]("cum_n").toDouble / n
+      assert(math.abs(l * popShare - g) < 1e-4, "lift × population share = gain")
+    }
+  }
+
+  test("heaps curve: cumulative closure and sublinear vocabulary growth") {
+    val rows = graft.operators.TextAnalysis.qHeaps(spark, sfDir).orderBy("bucket").collect()
+    assert(rows.length === graft.operators.TextAnalysis.HeapsBuckets)
+    val vocab = graft.operators.TextPrep.tokenStats(spark, sfDir).count()
+    val last = rows.last
+    assert(last.getAs[Long]("n_types") === vocab, "final prefix sees the whole vocabulary")
+    Seq("n_docs", "n_tokens", "n_types").foreach { c =>
+      val xs = rows.map(_.getAs[Long](c))
+      assert(xs.zip(xs.tail).forall { case (a, b) => b >= a }, s"$c cumulates")
+    }
+    // sublinearity (Heaps β < 1): the log-log slope across the curve
+    val pts = rows.filter(_.getAs[Long]("n_types") > 0)
+      .map(r => (math.log(r.getAs[Long]("n_tokens").toDouble),
+        math.log(r.getAs[Long]("n_types").toDouble)))
+    val nn = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(beta < 1.0, s"vocabulary must grow sublinearly in tokens (beta=$beta)")
+  }
+
   test("partial corr: matches the textbook identity against the marginal matrix") {
     val marg = graft.operators.Stats.qCorrMatrix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
