@@ -425,6 +425,57 @@ object TextScoring extends QueryModule {
          round((CAST(cum_pos AS DOUBLE) / pos_all) / (CAST(cum_n AS DOUBLE) / n_all), 6) AS lift
        FROM cum"""
 
+  // ------------------------------------------------------------ four-fifths
+
+  /** q_fourfifths: disparate-impact audit of the quality gate across
+    * languages — the four-fifths rule (EEOC 1978, now the standard
+    * first-pass fairness screen): a group whose selection rate falls
+    * below 4/5 of the most-selected group's rate is adversely impacted.
+    * Here the "selection" is the Gopher rules gate (q_quality_rules) and
+    * the protected attribute is document language — exactly the audit a
+    * multilingual curation pipeline owes its corpus (aggressive quality
+    * filters are known to disproportionately drop low-resource
+    * languages). Per-language (n, passes) are exact integers; the
+    * max-rate group is an argmax with language tie-break; the 4/5 flag is
+    * CROSS-MULTIPLIED exact (5·p_g·n_max < 4·p_max·n_g — no rounded
+    * ratio ever decides); only the reported rates divide. */
+  def qFourFifths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes"))
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("passes").cast("long")).as("p"))
+    val top = byLang
+      .withColumn("r", row_number().over(Window.orderBy(
+        (col("p").cast("double") / col("n")).desc, col("lang").asc)))
+      .filter(col("r") === 1)
+      .select(col("lang").as("ref_lang"), col("n").as("n_max"), col("p").as("p_max"))
+    byLang.crossJoin(broadcast(top))
+      .select(col("lang"), col("n"), col("p"),
+        round(col("p").cast("double") / col("n"), 6).as("pass_rate"),
+        col("ref_lang"),
+        round((col("p").cast("double") / col("n")) /
+          (col("p_max").cast("double") / col("n_max")), 6).as("impact_ratio"),
+        (col("p") * 5 * col("n_max") < col("p_max") * 4 * col("n"))
+          .as("adverse_impact"))
+  }
+
+  private lazy val qFourFifthsSql =
+    s"""WITH r AS (${TextAnalysis.qQualityRulesSql}),
+       bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM r JOIN documents USING (doc_id) GROUP BY lang),
+       top AS (SELECT lang AS ref_lang, n AS n_max, p AS p_max FROM (
+                 SELECT lang, n, p, row_number() OVER (
+                   ORDER BY CAST(p AS DOUBLE) / n DESC, lang ASC) AS rr
+                 FROM bl) WHERE rr = 1)
+       SELECT lang, n, p,
+         round(CAST(p AS DOUBLE) / n, 6) AS pass_rate,
+         ref_lang,
+         round((CAST(p AS DOUBLE) / n) / (CAST(p_max AS DOUBLE) / n_max), 6) AS impact_ratio,
+         p * 5 * n_max < p_max * 4 * n AS adverse_impact
+       FROM bl CROSS JOIN top"""
+
   // ---------------------------------------------------------- good-turing
 
   /** Katz-style cutoff: only low frequencies get GT-adjusted counts. */
@@ -480,7 +531,8 @@ object TextScoring extends QueryModule {
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_temp_sampling" -> (qTempSampling _),
     "q_calibration" -> (qCalibration _),
-    "q_lift" -> (qLift _))
+    "q_lift" -> (qLift _),
+    "q_fourfifths" -> (qFourFifths _))
 
   override def oracles: Map[String, String] = Map(
     "q_ccnet_buckets" -> qCcnetBucketsSql,
@@ -491,5 +543,6 @@ object TextScoring extends QueryModule {
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_temp_sampling" -> qTempSamplingSql,
     "q_calibration" -> qCalibrationSql,
-    "q_lift" -> qLiftSql)
+    "q_lift" -> qLiftSql,
+    "q_fourfifths" -> qFourFifthsSql)
 }

@@ -967,6 +967,28 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("four-fifths audit: reference group is never impacted, flag matches the exact ratio") {
+    val rows = graft.operators.TextScoring.qFourFifths(spark, sfDir).collect()
+    assert(rows.length === 5, "one row per language")
+    val refLang = rows.head.getAs[String]("ref_lang")
+    assert(rows.forall(_.getAs[String]("ref_lang") === refLang))
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("impact_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0 + 1e-9,
+        "no group can out-select the reference group")
+      if (r.getAs[String]("lang") == refLang) {
+        assert(math.abs(ratio - 1.0) < 1e-9)
+        assert(!r.getAs[Boolean]("adverse_impact"))
+      }
+      // the flag agrees with the exact cross-multiplied comparison
+      val exact = r.getAs[Long]("p") * 5 *
+        rows.find(_.getAs[String]("lang") == refLang).get.getAs[Long]("n") <
+        rows.find(_.getAs[String]("lang") == refLang).get.getAs[Long]("p") * 4 *
+          r.getAs[Long]("n")
+      assert(r.getAs[Boolean]("adverse_impact") === exact)
+    }
+  }
+
   test("lift table: structural identities and full-corpus closure at decile 10") {
     val rows = graft.operators.TextScoring.qLift(spark, sfDir).orderBy("decile").collect()
     assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
