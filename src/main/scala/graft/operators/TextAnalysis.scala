@@ -1198,6 +1198,39 @@ object TextAnalysis extends QueryModule {
        FROM ps CROSS JOIN tot"""
   }
 
+  /** q_lang_confusion: confusion matrix of the marker-based language
+    * identifier against the corpus's ground-truth lang column — the
+    * honest end-to-end evaluation the heuristic classifier owes its
+    * users (q_lang_id emits predictions; this says where they are
+    * RIGHT). Cells are exact integer counts over observed (true, pred)
+    * pairs; per-cell recall share divides once by the true-language
+    * row total. One join of the per-row prediction with the documents
+    * table, one groupBy — language-bounded output. */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = langIdOf(TextPrep.rawDocs(s, dir)).select("doc_id", "pred_lang")
+    val truth = Tables.documents(s, dir).select(col("doc_id"), col("lang").as("true_lang"))
+    val cells = pred.join(truth, Seq("doc_id"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("true_lang").agg(sum(col("n")).as("n_true"))
+    cells.join(rowTot, Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"), col("n_true"),
+        (col("true_lang") === col("pred_lang")).as("correct"),
+        round(col("n").cast("double") / col("n_true"), 6).as("share_of_true"))
+  }
+
+  private lazy val qLangConfusionSql =
+    s"""WITH li AS ($qLangIdSql),
+       cells AS (SELECT d.lang AS true_lang, li.pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM li JOIN documents d ON d.doc_id = li.doc_id
+                 GROUP BY 1, 2),
+       rt AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+              FROM cells GROUP BY 1)
+       SELECT cells.true_lang, pred_lang, n, n_true,
+         cells.true_lang = pred_lang AS correct,
+         round(CAST(n AS DOUBLE) / n_true, 6) AS share_of_true
+       FROM cells JOIN rt ON rt.true_lang = cells.true_lang"""
+
   /** Number of corpus prefixes on the vocabulary-growth curve. */
   val HeapsBuckets = 10
 
@@ -1268,6 +1301,7 @@ object TextAnalysis extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heaps" -> (qHeaps _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_bm25" -> (qBm25 _),
     "q_chisq" -> (qChisq _),
     "q_llr" -> (qLlr _),
@@ -1319,6 +1353,7 @@ object TextAnalysis extends QueryModule {
     "q_quality_rules" -> qQualityRulesSql,
     "q_corpus_stats" -> qCorpusStatsSql,
     "q_heaps" -> qHeapsSql,
+    "q_lang_confusion" -> qLangConfusionSql,
     "q_curation" -> qCurationSql,
     "q_curation_full" -> qCurationFullSql,
     "q_pii_scrub" -> qPiiScrubSql,

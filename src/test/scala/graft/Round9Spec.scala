@@ -967,6 +967,21 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("lang confusion: cells partition the corpus, shares sum to one per true language") {
+    val rows = graft.operators.TextAnalysis.qLangConfusion(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === docs, "every doc lands in one cell")
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val nTrue = cells.head.getAs[Long]("n_true")
+      assert(cells.map(_.getAs[Long]("n")).sum === nTrue)
+      assert(math.abs(cells.map(_.getAs[Double]("share_of_true")).sum - 1.0) < 1e-4)
+      cells.foreach { c =>
+        assert(c.getAs[Boolean]("correct") ===
+          (c.getString(0) == c.getString(1)))
+      }
+    }
+  }
+
   test("four-fifths audit: reference group is never impacted, flag matches the exact ratio") {
     val rows = graft.operators.TextScoring.qFourFifths(spark, sfDir).collect()
     assert(rows.length === 5, "one row per language")
