@@ -127,7 +127,10 @@ object Inference extends QueryModule {
     val moments = vals.groupBy("g")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        // widen BEFORE squaring: x²  in the native integer type would
+        // silently wrap (non-ANSI) for 32-bit x above ~46k while DuckDB
+        // errors — the engines must diverge loudly or not at all
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
     val a = moments.select(col("g").as("ga"), col("n").as("na"),
       col("sx").as("sxa"), col("sxx").as("sxxa"))
     val b = moments.select(col("g").as("gb"), col("n").as("nb"),
@@ -162,7 +165,7 @@ object Inference extends QueryModule {
   private lazy val qCohensDSql =
     s"""WITH m AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
                sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
-               sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+               sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
              FROM documents GROUP BY 1),
        pr AS (SELECT a.g AS ga, a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
                 b.g AS gb, b.n AS nb, b.sx AS sxb, b.sxx AS sxxb

@@ -269,41 +269,58 @@ object RobustStats extends QueryModule {
     * the fact table). Two range shuffles are inherent to the nested
     * statistic (MAD needs the median first); the 100 TB bounded-memory
     * swap is the GK sketch at both picks, exactly as q_ntile →
-    * q_ntile_approx. The final relation is #groups rows, assembled
-    * driver-side from the two bounded pick sets. */
+    * q_ntile_approx. The final relation is #groups rows.
+    *
+    * Gate hardening (r10, after the one driver-only hash flake in r9
+    * that never reproduced locally): ONE persisted base feeds the scan,
+    * both pick passes, and the deviation join (no second parquet scan,
+    * no lineage recompute under memory pressure between the two picks);
+    * output rows are assembled in SORTED group order (never Map
+    * iteration order) and re-sorted in the final plan; and med/mad
+    * leave as round(double, 6) — computed by Spark's own `round`, with
+    * the oracle doing the identical CAST(… AS DOUBLE) — so no
+    * decimal-representation subtlety can reach the driver's typed-value
+    * hash. The picked values themselves are exact 2-decimal DECIMALs in
+    * both engines, so the double conversion is the same correctly-
+    * rounded IEEE value on both sides. */
   def qMad(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     def k(n: Long) = (n * 50 + 99) / 100
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
-    val (counts, medPicks) = graft.functions.Ranks.groupedValueAtRanks(
-      base, "flag", "price", n => Seq(k(n)))
-    val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
-    val medRows = counts.toSeq.map { case (g, n) => Row(g, n, meds(g)) }
-    val medDf = s.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(medRows).asJava),
-      StructType(Seq(base.schema("flag"),
-        StructField("n", LongType, nullable = false),
-        StructField("med", base.schema("price").dataType))))
-    // persist across the second pick's two jobs (sample + shuffle write),
-    // then release — the helper's actions all complete before it returns,
-    // so nothing stays pinned past this call (the r7 ModelCache rule)
-    val devs = base.join(broadcast(medDf), Seq("flag"))
-      .select(col("flag"), abs(col("price") - col("med")).as("dev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (_, madPicks) = graft.functions.Ranks.groupedValueAtRanks(
-      devs, "flag", "dev", n => Seq(k(n)))
-    devs.unpersist()
-    val mads = madPicks.map { case (g, _, v) => g -> v }.toMap
-    val outRows = counts.toSeq.map { case (g, n) => Row(g, n, meds(g), mads(g)) }
-    s.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
-      StructType(Seq(base.schema("flag"),
-        StructField("n", LongType, nullable = false),
-        StructField("med", base.schema("price").dataType),
-        StructField("mad", DecimalType(13, 2)))))
+    try {
+      val (counts, medPicks) = graft.functions.Ranks.groupedValueAtRanks(
+        base, "flag", "price", n => Seq(k(n)))
+      val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
+      val groups = counts.keySet.toSeq.sortBy(_.toString)
+      val medRows = groups.map(g => Row(g, meds(g)))
+      val medDf = s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(medRows).asJava),
+        StructType(Seq(base.schema("flag"),
+          StructField("med", base.schema("price").dataType))))
+      val devs = base.join(broadcast(medDf), Seq("flag"))
+        .select(col("flag"), abs(col("price") - col("med")).as("dev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, madPicks) = graft.functions.Ranks.groupedValueAtRanks(
+        devs, "flag", "dev", n => Seq(k(n)))
+      devs.unpersist()
+      val mads = madPicks.map { case (g, _, v) => g -> v }.toMap
+      val outRows = groups.map(g => Row(g, counts(g), meds(g), mads(g)))
+      val devType = devs.schema("dev").dataType
+      s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
+        StructType(Seq(base.schema("flag"),
+          StructField("n", LongType, nullable = false),
+          StructField("med0", base.schema("price").dataType),
+          StructField("mad0", devType))))
+        .select(col("flag"), col("n"),
+          round(col("med0").cast("double"), 6).as("med"),
+          round(col("mad0").cast("double"), 6).as("mad"))
+        .orderBy("flag")
+    } finally base.unpersist()
   }
 
   private lazy val qMadSql =
@@ -321,7 +338,8 @@ object RobustStats extends QueryModule {
                row_number() OVER (PARTITION BY flag ORDER BY dev ASC) AS rn
              FROM d),
        mad AS (SELECT r2.flag, r2.dev AS mad FROM r2 JOIN c ON c.flag = r2.flag AND r2.rn = c.k_med)
-       SELECT c.flag, c.n, med.med, mad.mad
+       SELECT c.flag, c.n, round(CAST(med.med AS DOUBLE), 6) AS med,
+         round(CAST(mad.mad AS DOUBLE), 6) AS mad
        FROM c JOIN med ON med.flag = c.flag JOIN mad ON mad.flag = c.flag"""
 
   // ---------------------------------------------------------- k-anonymity
@@ -617,17 +635,18 @@ object RobustStats extends QueryModule {
     * ratios via cross-multiplication), while a cross-term fp sum would be
     * order-sensitive. Downstream sums the 10·N tiny terms however it
     * likes; JS/2 per term is symmetric and bounded by ln 2. Term set is
-    * the top-N by global count with token tie-break — deterministic and
-    * vocabulary-bounded. */
+    * the top-N by global count with token tie-break — deterministic, and
+    * picked with orderBy+limit (TakeOrderedAndProject: O(N) heap per
+    * partition, merged on one tiny reduce) rather than a vocabulary-wide
+    * row_number window, which would force the whole 10⁸–10⁹-token web
+    * vocabulary through ONE sort task. */
   def qJsTerms(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tk = TextPrep.cleanDocs(s, dir)
       .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
       .select(col("lang"), explode(col("toks")).as("tok"))
     val topTerms = tk.groupBy("tok").agg(count(lit(1)).as("n_glob"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("n_glob").desc, col("tok").asc)))
-      .filter(col("r") <= JsTopTerms)
+      .orderBy(col("n_glob").desc, col("tok").asc)
+      .limit(JsTopTerms)
       .select("tok")
     val counts = tk.join(broadcast(topTerms), Seq("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
@@ -832,7 +851,9 @@ object RobustStats extends QueryModule {
     val m = Tables.documents(s, dir).groupBy("source")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
-        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"))
+        // widen BEFORE squaring (the snn rule below): native-int x² would
+        // wrap silently for 32-bit inputs while DuckDB errors
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
     val tot = m.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
       sum(col("sx")).as("sx_tot"),
       sum(col("n").cast("decimal(38,0)") * col("n")).as("snn"))
@@ -873,7 +894,7 @@ object RobustStats extends QueryModule {
   private lazy val qEbShrinkSql =
     """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
                sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
-               sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+               sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
              FROM documents GROUP BY source),
        tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_tot,
                  sum(sx) AS sx_tot, sum(CAST(n AS DECIMAL(38,0)) * n) AS snn

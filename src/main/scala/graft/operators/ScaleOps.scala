@@ -435,9 +435,12 @@ object ScaleOps extends QueryModule {
     * data), the CMS estimate (min over d md5-keyed rows), the
     * overestimate slack, and the ε = e/w envelope flag — every column an
     * exact integer, the envelope comparison cross-multiplied
-    * (slack·w ≤ 3·N ⊃ e·N/w). */
+    * (slack·w ≤ 3·N ⊃ e·N/w). The audited head is picked with
+    * orderBy+limit (TakeOrderedAndProject — per-partition K-heaps, one
+    * K-row reduce), never a vocabulary-wide row_number window: at web
+    * scale the type table is 10⁸–10⁹ rows and a global window would pull
+    * all of it through one sort task. */
   def qCmsAudit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stats = TextPrep.tokenStats(s, dir).select(col("tok"), col("cf"))
     val hashed = stats.select(col("tok"), col("cf"),
       explode(array((0 until CmsDepth).map(lit): _*)).as("j"))
@@ -447,9 +450,8 @@ object ScaleOps extends QueryModule {
     val sketch = hashed.groupBy("j", "bucket").agg(sum(col("cf")).as("cnt"))
     val total = stats.agg(sum(col("cf")).as("n_total"))
     val top = stats
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("cf").desc, col("tok").asc)))
-      .filter(col("r") <= CmsTopK)
+      .orderBy(col("cf").desc, col("tok").asc)
+      .limit(CmsTopK)
       .select("tok", "cf")
     hashed.join(broadcast(top.select("tok")), Seq("tok"))
       .join(sketch, Seq("j", "bucket"))

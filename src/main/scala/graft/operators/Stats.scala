@@ -924,19 +924,28 @@ object Stats extends QueryModule {
     * expression over exact integers, no cross-day fp sum in the gate
     * (the spec assembles z = Σ(d1−e1)/√Σvar locally). At-risk counts
     * come from one cumulative window over the day-bounded event-time
-    * table. Censoring: users with no premium purchase carry t=31 and
-    * event=0 — they leave the risk set after every real event time. */
+    * table. Censoring: users with no premium purchase carry
+    * t = (last observed event day + 1) and event=0 — they leave the
+    * risk set after every real event time. Both the epoch and the
+    * censoring horizon are DERIVED from the data (min/max event date,
+    * one 1-row broadcast agg, the identical expression in the oracle
+    * SQL) — never calendar literals, so a regenerated corpus with a
+    * longer window can't silently push censored users out of the risk
+    * set before real event times. */
   def qLogrank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bounds = Tables.events(s, dir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
     val firstPrem = Tables.events(s, dir)
       .groupBy("user_id")
       .agg(min(when(col("event_type") === "purchase" &&
           col("value") > TwoPropValueCut,
         date_format(col("ts"), "yyyy-MM-dd"))).as("first_day"))
+      .crossJoin(broadcast(bounds))
       .select(col("user_id"),
         when(col("first_day").isNotNull,
-          (datediff(col("first_day").cast("date"), lit("2024-01-01").cast("date")) + 1))
-          .otherwise(lit(31)).cast("int").as("t"),
+          (datediff(col("first_day").cast("date"), col("d0")) + 1))
+          .otherwise(datediff(col("d1"), col("d0")) + 2).cast("int").as("t"),
         col("first_day").isNotNull.as("event"),
         (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
           .cast("int") < 8).as("treat"))
@@ -970,13 +979,15 @@ object Stats extends QueryModule {
            min(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
              THEN strftime(ts, '%Y-%m-%d') END) AS first_day
          FROM events GROUP BY user_id),
+       bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+                  FROM events),
        lt AS (SELECT
            CASE WHEN first_day IS NOT NULL
-             THEN CAST(date_diff('day', DATE '2024-01-01', CAST(first_day AS DATE)) + 1 AS INT)
-             ELSE 31 END AS t,
+             THEN CAST(date_diff('day', d0, CAST(first_day AS DATE)) + 1 AS INT)
+             ELSE CAST(date_diff('day', d0, d1) + 2 AS INT) END AS t,
            first_day IS NOT NULL AS event,
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
-         FROM fp),
+         FROM fp CROSS JOIN bounds),
        pd AS (SELECT t,
                 CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS enter1,
                 CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS enter2,

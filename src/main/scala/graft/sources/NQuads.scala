@@ -16,20 +16,40 @@ object NQuads extends QueryModule {
 
   val ConceptPrefix = "http://webisa.webdatacommons.org/concept/"
   val ProvValue = "http://www.w3.org/ns/prov#value"
+  val WasDerivedFrom = "http://www.w3.org/ns/prov#wasDerivedFrom"
+  val WasQuotedFrom = "http://www.w3.org/ns/prov#wasQuotedFrom"
 
-  private val LineRegex = "^<([^>]+)> <([^>]+)> \"(.*)\" <([^>]+)> \\.$"
+  /** The full line grammar of the real WebIsALOD dump (r10 — verified
+    * against the genuine `webisalod-instances` slice committed at
+    * src/test/resources/webisalod-instances.sample.nq, which carries all
+    * four shapes): IRI *or* literal object, optional `^^<datatype>` /
+    * `@lang` literal suffix, OPTIONAL graph term, and flexible
+    * whitespace (the dump writes `<o>  <g>.` with two spaces and no
+    * space before the period). Groups: 1 subject, 2 predicate, 3 object
+    * IRI, 4 object literal lexical form, 5 graph. The literal capture is
+    * greedy to the LAST quote, so embedded quotes survive; the datatype
+    * suffix is matched but NOT captured — `"2"^^<xsd:integer>` parses to
+    * the bare lexical `2`, which is what the downstream text pipeline
+    * consumes. */
+  val LineRegex = "^\\s*<([^>]+)>\\s+<([^>]+)>\\s+(?:<([^>]+)>|\"(.*)\"" +
+    "(?:\\^\\^<[^>]+>|@[A-Za-z][A-Za-z0-9-]*)?)\\s*(?:<([^>]+)>\\s*)?\\.\\s*$"
 
   /** fix_dataset_uris.py as a Column transform. */
   def fixUris(line: Column): Column =
     regexp_replace(line, "wasQuotedFrom> <(?!http://)", "wasQuotedFrom> <http://")
 
-  /** Parse one N-Quad line into (subject, predicate, obj, graph). */
+  /** Parse one N-Quad line into (subject, predicate, obj, graph): obj is
+    * the IRI or the literal lexical form, graph is "" for triples in the
+    * default graph (regexp_extract's unmatched-optional-group value —
+    * the DSv2 reader emits the identical ""). */
   def parseLine(line: Column): DataFrame => DataFrame = df =>
     df.select(
       regexp_extract(line, LineRegex, 1).as("subject"),
       regexp_extract(line, LineRegex, 2).as("predicate"),
-      regexp_extract(line, LineRegex, 3).as("obj"),
-      regexp_extract(line, LineRegex, 4).as("graph"))
+      when(regexp_extract(line, LineRegex, 3) =!= "",
+        regexp_extract(line, LineRegex, 3))
+        .otherwise(regexp_extract(line, LineRegex, 4)).as("obj"),
+      regexp_extract(line, LineRegex, 5).as("graph"))
 
   /** Deterministic quad-line synthesis from `documents` (test fixture: the
     * driver corpus has no .nq file, so we round-trip format→parse). */

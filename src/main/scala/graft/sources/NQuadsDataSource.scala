@@ -144,26 +144,31 @@ class NQuadsReaderFactory(fields: Array[String], filters: Array[Filter],
   * UTF8Strings; malformed lines are skipped. */
 class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter],
     conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
-  private val LinePattern =
-    java.util.regex.Pattern.compile("^<([^>]+)> <([^>]+)> \"(.*)\" <([^>]+)> \\.$")
+  // the SAME grammar as the Column-transform twin (NQuads.LineRegex):
+  // IRI or literal object, optional datatype/lang suffix, optional graph
+  private val LinePattern = java.util.regex.Pattern.compile(NQuads.LineRegex)
   private val br = {
     val p = new org.apache.hadoop.fs.Path(file)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getFileSystem(conf.value).open(p),
         java.nio.charset.StandardCharsets.UTF_8))
   }
-  private def groupOf(name: String): Int = name match {
-    case "subject" => 1
-    case "predicate" => 2
-    case "obj" => 3
-    case "graph" => 4
-    case other => sys.error(s"nquads: unknown column $other")
-  }
-  // group index per required field, in the pruned schema's order
-  private val groups = fields.map(groupOf)
+  // per-field extraction mirrors the Column parser: obj is the IRI group
+  // or the literal group; an absent graph is "" (never null), matching
+  // regexp_extract's unmatched-optional-group value
+  private def extractorOf(name: String): java.util.regex.Matcher => String =
+    name match {
+      case "subject" => _.group(1)
+      case "predicate" => _.group(2)
+      case "obj" => m => { val i = m.group(3); if (i != null) i else m.group(4) }
+      case "graph" => m => { val g = m.group(5); if (g != null) g else "" }
+      case other => sys.error(s"nquads: unknown column $other")
+    }
+  // extractor per required field, in the pruned schema's order
+  private val extractors = fields.map(extractorOf)
   private val checks: Array[java.util.regex.Matcher => Boolean] = filters.map {
-    case EqualTo(a, v: String) => val g = groupOf(a); m => m.group(g) == v
-    case StringStartsWith(a, v) => val g = groupOf(a); m => m.group(g).startsWith(v)
+    case EqualTo(a, v: String) => val e = extractorOf(a); m => e(m) == v
+    case StringStartsWith(a, v) => val e = extractorOf(a); m => e(m).startsWith(v)
     case f => sys.error(s"nquads: unpushable filter $f")
   }
   private var current: InternalRow = _
@@ -175,7 +180,7 @@ class NQuadsReader(file: String, fields: Array[String], filters: Array[Filter],
       val m = LinePattern.matcher(fixed)
       if (m.matches() && checks.forall(_(m))) {
         current = new GenericInternalRow(
-          groups.map(g => UTF8String.fromString(m.group(g)): Any))
+          extractors.map(e => UTF8String.fromString(e(m)): Any))
         return true
       }
       line = br.readLine() // malformed or filtered line: skip

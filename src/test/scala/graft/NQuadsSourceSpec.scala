@@ -34,14 +34,20 @@ class NQuadsSourceSpec extends SparkSpec {
 
   test("wasQuotedFrom URI repair runs before parsing") {
     val dir = Files.createTempDirectory("nquads_spec2").toString
-    // object IRI missing http:// — fix_dataset_uris.py analogue repairs it;
-    // quads with IRI objects don't match the literal-object grammar, so
-    // verify via a literal line carrying the marker in the subject slot
+    // object IRI missing http:// — fix_dataset_uris.py analogue repairs
+    // it; r10's generalized grammar parses IRI-object triples too (the
+    // real dump's dominant shape), so the repaired IRI must come back
     Files.write(java.nio.file.Paths.get(dir, "a.nq"), java.util.Arrays.asList(
       "<http://ex/s> <http://ex/wasQuotedFrom> <broken.example/x> .",
       "<http://ex/s> <http://ex/p> \"kept\" <http://ex/g> ."))
     val df = spark.read.format("nquads").load(dir)
-    assert(df.count() === 1) // IRI-object line isn't a literal quad; no crash
+    assert(df.count() === 2)
+    val repaired = df.filter(org.apache.spark.sql.functions.col("predicate")
+      === "http://ex/wasQuotedFrom").collect()
+    assert(repaired.length === 1)
+    assert(repaired(0).getAs[String]("obj") === "http://broken.example/x")
+    assert(repaired(0).getAs[String]("graph") === "",
+      "triple without a graph term carries the empty graph")
   }
 
   test("column pruning reaches the reader (scan ReadSchema shrinks)") {

@@ -104,9 +104,12 @@ class Round9Spec extends SparkSpec {
       val med = sortedPrices(k - 1)
       val devs = sortedPrices.map(p => p.subtract(med).abs).sorted
       val mad = devs(k - 1)
-      assert(got(f).getAs[java.math.BigDecimal]("med").compareTo(med) === 0,
+      // r10: med/mad leave as round(double, 6) — exact 2-decimal values,
+      // so the comparison against the local BigDecimal reference is an
+      // exact double equality, not a tolerance
+      assert(got(f).getAs[Double]("med") === med.doubleValue,
         s"median mismatch for $f")
-      assert(got(f).getAs[java.math.BigDecimal]("mad").compareTo(mad) === 0,
+      assert(got(f).getAs[Double]("mad") === mad.doubleValue,
         s"mad mismatch for $f")
       assert(got(f).getAs[Long]("n") === n.toLong)
     }
