@@ -96,7 +96,23 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets truncated by log captures once the suite is
+    // hundreds of queries (r9: 180 of 256 medians lost to the tail), so
+    // the FULL result — medians plus every interleaved rep, so a reader
+    // can judge spread, not just the median — also lands in a sidecar
+    // file for round-over-round per-query diffing.
+    val repsJson = names.map { name =>
+      val ts = times.getOrElse(name, Nil).reverse
+      "\"" + name + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line.dropRight(1) + s""","reps":$repsJson}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
   }
 }

@@ -296,6 +296,64 @@ object Classification extends QueryModule {
         (col("reg_param") === best._1 && col("elastic_net") === best._2).as("selected"))
   }
 
+  /** Evaluation budget of the Bayesian sweep (reference: BayesSearchCV
+    * n_iter=30 — supervised_classifier.py:233; trimmed at test SF, raise
+    * via GRAFT_BAYES_ITERS on a cluster, same loop). */
+  def bayesIters: Int =
+    sys.env.get("GRAFT_BAYES_ITERS").map(_.toInt).getOrElse(14)
+
+  /** q_bayes_sweep: seeded sequential-model-based hyper-parameter search
+    * over (regParam, elasticNet) — the reference's ACTUAL optimizer is
+    * Bayesian, not a grid (skopt BayesSearchCV, scoring='f1',
+    * random_state pinned: supervised_classifier.py:227-235, 507-515;
+    * C is Real(1e-5, 100, 'log-uniform') — the same log-uniform span
+    * here as regParam = 10^x, x ∈ [-5, 2]). The q_clf_param_sweep GRID
+    * is the warm-start design (evaluate the coarse grid first, then
+    * refine — so the search matches the grid argmax by construction and
+    * spends its remaining budget where the surrogate says improvement is
+    * likely; F1 over confusion counts is a cliffy landscape, and a
+    * cold-started smooth surrogate can stall on a plateau while the grid
+    * sits on a ridge). A GP-EI loop (Smbo.maximize: fixed candidate
+    * lattice, exact tie-breaks — fully deterministic, no RNG) proposes
+    * each next point; every objective evaluation is one distributed LR
+    * fit + F1 score. The surrogate is driver-side and model-sized (n ≤
+    * budget points); the data never leaves the cluster. Emits the full
+    * trajectory with the argmax flagged; Round10Spec pins the
+    * matches-or-beats-the-grid contract and that EI leaves the grid.
+    * Rows-only gate (iterative ML). */
+  def qBayesSweep(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    def f1Of(reg: Double, en: Double): Option[Double] = {
+      val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
+        .setMaxIter(100).setRegParam(reg).setElasticNetParam(en).fit(train)
+      Option(Evaluation.confusionMetrics(
+        m.transform(test)
+          .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
+        .head().getAs[java.lang.Double]("f1"))
+        .map(v => math.rint(v.doubleValue * 1e6) / 1e6)
+    }
+    // raw params are (log10 regParam, elasticNet); warm start = the
+    // q_clf_param_sweep grid {0.01, 0.1, 1.0} × {0.0, 0.5}; lattice 29×11
+    val init = for {
+      x <- Seq(-2.0, -1.0, 0.0); e <- Seq(0.0, 0.5)
+    } yield Array(x, e)
+    val candidates = for {
+      x <- -20 to 8; e <- 0 to 10
+    } yield Array(x * 0.25, e * 0.1)
+    val lo = Array(-5.0, 0.0); val hi = Array(2.0, 1.0)
+    val norm = (p: Array[Double]) =>
+      Array.tabulate(2)(i => (p(i) - lo(i)) / (hi(i) - lo(i)))
+    val traj = graft.functions.Smbo.maximize(init, candidates, bayesIters,
+      norm, p => f1Of(math.pow(10.0, p(0)), p(1)))
+    val best = traj.zipWithIndex
+      .maxBy { case (e, i) => (e.value.getOrElse(-1.0), -i) }._2
+    import s.implicits._
+    traj.zipWithIndex.map { case (e, i) =>
+      (i, math.rint(math.pow(10.0, e.params(0)) * 1e9) / 1e9, e.params(1),
+        e.value, if (e.init) "init" else "ei", i == best)
+    }.toDF("iter", "reg_param", "elastic_net", "f1", "phase", "selected")
+  }
+
   /** q_cv_train: REAL k-fold cross-validation for LogisticRegression
     * (supervised_classifier.py:629-691): per fold, the scaler AND the model
     * fit on the other k-1 folds only, then score the held-out fold; emits
@@ -391,6 +449,7 @@ object Classification extends QueryModule {
     "q_classify_lr_us" -> (qClassifyLrUndersample _),
     "q_classify_smote" -> (qClassifySmote _),
     "q_clf_param_sweep" -> (qClfParamSweep _),
+    "q_bayes_sweep" -> (qBayesSweep _),
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 

@@ -90,12 +90,23 @@ object PolysemyEval extends QueryModule {
     * combo scored against the gold standard in a single shuffle. The LDA is
     * fit ONCE (ModelCache); the sweep itself is pure DataFrame algebra, so
     * widening the grid costs one explode factor, not one model fit per cell. */
-  def qParamSweep(s: SparkSession, dir: String): DataFrame = {
-    val grid = for {
-      mp <- Seq(0.03, 0.0575, 0.1)
-      mt <- Seq(1, 2, 3)
-      mdl <- Seq(0, 10)
-    } yield (mp, mt, mdl)
+  def qParamSweep(s: SparkSession, dir: String): DataFrame =
+    scoreCombos(s, dir, ParamGrid)
+
+  /** The skopt search-space grid (polysemous_words.py:48-57). */
+  val ParamGrid: Seq[(Double, Int, Int)] = for {
+    mp <- Seq(0.03, 0.0575, 0.1)
+    mt <- Seq(1, 2, 3)
+    mdl <- Seq(0, 10)
+  } yield (mp, mt, mdl)
+
+  /** Score EVERY (min_prob, min_topics, min_len) combo against the gold
+    * standard in one distributed pass — the explode-over-combos plan
+    * shared by the grid sweep and the Bayesian search's warm start. A
+    * combo whose min_len gate excludes the whole corpus emits no row
+    * (callers treat the absence as a degenerate evaluation). */
+  def scoreCombos(s: SparkSession, dir: String,
+      grid: Seq[(Double, Int, Int)]): DataFrame = {
     val combos = array(grid.map { case (mp, mt, mdl) =>
       struct(lit(mp).as("min_prob"), lit(mt).as("min_topics"), lit(mdl).as("min_len"))
     }: _*)
@@ -126,9 +137,61 @@ object PolysemyEval extends QueryModule {
           .as("f1"))
   }
 
+  /** Total evaluation budget of the polysemy Bayesian search (reference:
+    * forest_minimize n_calls — polysemous_words.py:273; the default adds
+    * 8 EI refinements to the 18-point grid warm start). */
+  def polysemyBayesIters: Int =
+    sys.env.get("GRAFT_POLYSEMY_BAYES_ITERS").map(_.toInt)
+      .getOrElse(ParamGrid.size + 8)
+
+  /** q_polysemy_bayes: the reference's ACTUAL polysemy-threshold
+    * optimizer — skopt model-based minimize over (MIN_DOC_LEN,
+    * minimum_probability, minimum_topics) maximizing F1
+    * (polysemous_words.py:48-57 SPACE, :238-242 objective, :273
+    * forest_minimize) — as a seeded GP-EI loop (Smbo) over the same
+    * space. The whole warm-start grid is batch-scored in ONE distributed
+    * pass (scoreCombos' explode plan), then each EI proposal costs one
+    * more pass over the memoized doc-topic relation; the surrogate stays
+    * driver-side and model-sized. Matches-or-beats the grid argmax by
+    * construction; deterministic (fixed lattice, exact tie-breaks, no
+    * RNG). Rows-only gate (LDA upstream). */
+  def qPolysemyBayes(s: SparkSession, dir: String): DataFrame = {
+    def f1Of(rows: Array[org.apache.spark.sql.Row],
+        combo: (Double, Int, Int)): Option[Double] =
+      rows.find(r => r.getDouble(0) == combo._1 &&
+          r.getInt(1) == combo._2 && r.getInt(2) == combo._3)
+        .flatMap(r => Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
+    val preRows = scoreCombos(s, dir, ParamGrid).collect()
+    val pre = ParamGrid.map { c =>
+      Array(c._1, c._2.toDouble, c._3.toDouble) -> f1Of(preRows, c)
+    }
+    // lattice: min_prob 0.005..0.15, min_topics 1..4, min_len 0..20 —
+    // the reference's Real/Integer space at corpus-appropriate bounds
+    val candidates = for {
+      mp <- 1 to 30; mt <- 1 to 4; mdl <- 0 to 10
+    } yield Array(mp * 0.005, mt.toDouble, mdl * 2.0)
+    val lo = Array(0.005, 1.0, 0.0); val hi = Array(0.15, 4.0, 20.0)
+    val norm = (p: Array[Double]) =>
+      Array.tabulate(3)(i => (p(i) - lo(i)) / (hi(i) - lo(i)))
+    val f = (p: Array[Double]) => {
+      val combo = (p(0), p(1).toInt, p(2).toInt)
+      f1Of(scoreCombos(s, dir, Seq(combo)).collect(), combo)
+    }
+    val traj = graft.functions.Smbo.maximizeFrom(
+      pre, candidates, polysemyBayesIters, norm, f)
+    val best = traj.zipWithIndex
+      .maxBy { case (e, i) => (e.value.getOrElse(-1.0), -i) }._2
+    import s.implicits._
+    traj.zipWithIndex.map { case (e, i) =>
+      (i, e.params(0), e.params(1).toInt, e.params(2).toInt,
+        e.value, if (e.init) "init" else "ei", i == best)
+    }.toDF("iter", "min_prob", "min_topics", "min_len", "f1", "phase", "selected")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_polysemy_eval" -> (qPolysemyEval _),
-    "q_param_sweep" -> (qParamSweep _))
+    "q_param_sweep" -> (qParamSweep _),
+    "q_polysemy_bayes" -> (qPolysemyBayes _))
 
   override def oracles: Map[String, String] = Map.empty // LDA upstream: rows-only
 }

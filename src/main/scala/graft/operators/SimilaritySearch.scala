@@ -595,6 +595,115 @@ object SimilaritySearch extends QueryModule {
       .select(col("q_id"), col("nb_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** Recall floors of the two quantizer indexes, cross-multiplied
+    * (Den·hits ≥ Num·queries — no fp ratio in the gate), sitting WELL
+    * below the measured deterministic values (seeded quantizers: each
+    * number is a corpus property, not a draw) so an honest corpus
+    * regeneration passes while a broken codebook/cell join fails loudly:
+    * - IVF: top-1 lands in the exact top-5 (measured 10/10 at every SF;
+    *   floor 1/2; chance is 5/|corpus|).
+    * - PQ: ADC is lossy by design and fixed-k containment is not
+    *   scale-stable (measured top-5 hits 2/10…6/10 move with corpus
+    *   size), so its contract is scale-INVARIANT: top-1's exact rank in
+    *   the top DECILE of the corpus ranking (measured 6–8/10 across
+    *   SFs; floor 1/2; chance is 1/10 per query, so all-broken sits far
+    *   below the floor). */
+  val AnnAuditRecallNum = 1
+  val AnnAuditRecallDen = 2
+
+  /** One-row accuracy certificate shared by the IVF and PQ audits:
+    * n_queries and the exact top-1 cosine mass are SQL-derivable (DuckDB
+    * recomputes them from the embeddings table — they hash-gate the
+    * ground truth), and the index's recall floor is a boolean the oracle
+    * asserts literally (the q_cosine_lsh_audit pattern). The exact side
+    * reuses q_knn_search's broadcast(queries) ⋈ scan(corpus) plan; the
+    * index side is the audited operator itself — so the certificate
+    * exercises the REAL search path, not a copy. The top-1 cosine sum
+    * folds in q_id order over the ≤ n_queries collected values (fp order
+    * discipline). `hits` is any 1-row (n_hit) relation counting queries
+    * that meet the index's contract. */
+  private def annAudit(s: SparkSession, dir: String,
+      hits: DataFrame, okCol: String): DataFrame = {
+    val top1 = qKnnSearch(s, dir).filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_sim"))
+    top1.crossJoin(broadcast(hits))
+      .groupBy("n_hit")
+      .agg(count(lit(1)).as("n_queries"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("q_id"), col("cos_sim").as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (acc, x) => acc + x).as("cos_mass"))
+      .select(col("n_queries"),
+        round(col("cos_mass"), 6).as("exact_top1_cos_mass"),
+        (col("n_hit") * AnnAuditRecallDen >= col("n_queries") * AnnAuditRecallNum)
+          .as(okCol))
+  }
+
+  /** q_ann_ivf_audit: the IVF index's certificate — its top-1 must land
+    * in the exact top-5 for at least Num/Den of the queries. Upgrades
+    * q_ann_ivf from rows-only to a DuckDB-hash-gated contract. */
+  def qAnnIvfAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact5 = qKnnSearch(s, dir).select(col("q_id"), col("nb_id"))
+    val hits = qAnnIvf(s, dir).select(col("q_id"), col("nb_id"))
+      .join(exact5, Seq("q_id", "nb_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    annAudit(s, dir, hits, "ivf_recall_ok")
+  }
+
+  /** q_ann_pq_audit: the ADC product-quantizer certificate — top-1's
+    * exact rank must fall in the corpus top decile for at least Num/Den
+    * of the queries (see AnnAuditRecallNum doc for why containment-at-k
+    * is the wrong contract for a lossy code). The rank is computed by
+    * counting corpus vectors that beat the pick under the exact
+    * (cos desc, nb_id asc) order — one more broadcast(10-row) ⋈ scan
+    * pass, never a global sort. */
+  def qAnnPqAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("nb_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val picks = scored.join(
+        broadcast(qAnnPq(s, dir).select(col("q_id"), col("nb_id"))),
+        Seq("q_id", "nb_id"))
+      .select(col("q_id"), col("nb_id").as("pq_nb"), col("cos").as("pq_cos"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    val better = scored.join(broadcast(picks), Seq("q_id"))
+      .filter(col("cos") > col("pq_cos") ||
+        (col("cos") === col("pq_cos") && col("nb_id") < col("pq_nb")))
+      .groupBy("q_id").agg(count(lit(1)).as("n_better"))
+    val hits = picks.join(better, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_better"))
+      .crossJoin(broadcast(n))
+      .filter((col("n_better") + 1) * 10 <= col("n_corpus"))
+      .agg(count(lit(1)).as("n_hit"))
+    annAudit(s, dir, hits, "pq_recall_ok")
+  }
+
+  private def annAuditSql(okCol: String) =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, vec_id AS nb_id,
+           list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN q),
+       top1 AS (
+         SELECT q_id, round(cos, 6) AS cos_sim FROM (
+           SELECT q_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS rank
+           FROM scored) WHERE rank = 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(list_sum(list(cos_sim ORDER BY q_id)), 6) AS exact_top1_cos_mass,
+         TRUE AS $okCol
+       FROM top1"""
+
+  private lazy val qAnnIvfAuditSql = annAuditSql("ivf_recall_ok")
+  private lazy val qAnnPqAuditSql = annAuditSql("pq_recall_ok")
+
   /** q_pca: PCA whitening of the embedding space — the standard pre-step
     * before quantization/clustering in an embedding pipeline (most
     * variance in few dims → cheaper ANN, better IVF cells). Distributed
@@ -818,6 +927,8 @@ object SimilaritySearch extends QueryModule {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_audit" -> (qAnnIvfAudit _),
+    "q_ann_pq_audit" -> (qAnnPqAudit _),
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
@@ -830,5 +941,7 @@ object SimilaritySearch extends QueryModule {
     "q_rocchio" -> qRocchioSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_mrl_audit" -> qMrlAuditSql,
+    "q_ann_ivf_audit" -> qAnnIvfAuditSql,
+    "q_ann_pq_audit" -> qAnnPqAuditSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }

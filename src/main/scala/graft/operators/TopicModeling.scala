@@ -171,14 +171,29 @@ object TopicModeling extends QueryModule {
     val ks = sys.env.get("GRAFT_MODEL_KS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(5, 10, 15, 20))
-    val scores = ks.map { k =>
-      val model = fitLda(bow, k, maxIter = 10)
-      val tops = model.describeTopics(10).select(col("topic"),
-        transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"))
-      val mean = umassCoherence(s, dir, tops)
-        .agg(avg("u_mass")).head().getDouble(0)
-      (k, mean, model.logPerplexity(bow))
-    }
+    // the sweep is embarrassingly parallel ACROSS k (each fit is an
+    // independent seeded job DAG over the shared cached bow), so fits are
+    // dispatched from a bounded driver pool and the cluster scheduler
+    // interleaves their stages — on a 99-point cluster sweep this is the
+    // difference between one fit's latency × 99 and ~pool-depth × the
+    // slowest fit. Each fit is seeded and fits don't interact, so the
+    // result is bit-identical to the sequential loop (par.map preserves
+    // input order).
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.max(1, math.min(ks.size, 4)))
+    val scores = try {
+      val par = ks.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map { k =>
+        val model = fitLda(bow, k, maxIter = 10)
+        val tops = model.describeTopics(10).select(col("topic"),
+          transform(col("termIndices"), i => element_at(vocabLit, i + 1)).as("terms"))
+        val mean = umassCoherence(s, dir, tops)
+          .agg(avg("u_mass")).head().getDouble(0)
+        (k, mean, model.logPerplexity(bow))
+      }.seq.toSeq
+    } finally pool.shutdown()
     val best = scores.maxBy(_._2)._1
     import s.implicits._
     scores.toDF("k", "mean_umass", "log_perplexity")

@@ -69,6 +69,71 @@ class Round10Spec extends SparkSpec {
     assert(flags === flags.sorted, "output rows must arrive in sorted flag order")
   }
 
+  // ---------------- seeded Bayesian hyper-parameter search ----------------
+
+  test("bayes sweep matches or beats the plain grid argmax, deterministically") {
+    import graft.operators.Classification
+    val bayes = Classification.qBayesSweep(spark, sfDir).collect()
+    assert(bayes.length === Classification.bayesIters)
+    val bayesBest = bayes.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue)).max
+    val gridBest = Classification.qClfParamSweep(spark, sfDir).collect()
+      .flatMap(r => Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue)).max
+    assert(bayesBest >= gridBest,
+      s"EI search ($bayesBest) fell below the grid argmax ($gridBest)")
+    assert(bayes.count(_.getAs[Boolean]("selected")) === 1)
+    assert(bayes.count(_.getAs[String]("phase") == "init") === 6)
+    // the EI phase must actually leave the warm-start grid
+    val gridPts = (for { r <- Seq(0.01, 0.1, 1.0); e <- Seq(0.0, 0.5) } yield (r, e)).toSet
+    val eiPts = bayes.filter(_.getAs[String]("phase") == "ei")
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(eiPts.nonEmpty && eiPts.forall(p => !gridPts.contains(p)),
+      "EI proposals must explore beyond the warm-start grid")
+    // deterministic trajectory: the whole point of the seeded design
+    val again = Classification.qBayesSweep(spark, sfDir).collect()
+    assert(bayes.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "SMBO trajectory must be identical across runs")
+  }
+
+  test("polysemy bayes search matches or beats its grid, deterministically") {
+    import graft.operators.PolysemyEval
+    val traj = PolysemyEval.qPolysemyBayes(spark, sfDir).collect()
+    assert(traj.length === PolysemyEval.polysemyBayesIters)
+    assert(traj.count(_.getAs[String]("phase") == "init") === PolysemyEval.ParamGrid.size)
+    def bestOf(rows: Array[org.apache.spark.sql.Row]) = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue)).max
+    val gridBest = bestOf(PolysemyEval.qParamSweep(spark, sfDir).collect())
+    assert(bestOf(traj) >= gridBest,
+      s"polysemy EI (${bestOf(traj)}) fell below grid argmax ($gridBest)")
+    assert(traj.count(_.getAs[Boolean]("selected")) === 1)
+    val again = PolysemyEval.qPolysemyBayes(spark, sfDir).collect()
+    assert(traj.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  // ---------------- ANN index certificates ----------------
+
+  test("ivf/pq audits: floors hold with margin and the anchor matches the exact plan") {
+    import graft.operators.SimilaritySearch
+    val exact5 = SimilaritySearch.qKnnSearch(spark, sfDir).select("q_id", "nb_id")
+    val nq = exact5.select("q_id").distinct().count()
+    val ivfHits = SimilaritySearch.qAnnIvf(spark, sfDir)
+      .select("q_id", "nb_id").join(exact5, Seq("q_id", "nb_id")).count()
+    info(s"ivf top1-in-top5 hits: $ivfHits/$nq")
+    assert(ivfHits * SimilaritySearch.AnnAuditRecallDen >=
+      nq * SimilaritySearch.AnnAuditRecallNum, s"ivf $ivfHits/$nq below floor")
+    val ivfRow = SimilaritySearch.qAnnIvfAudit(spark, sfDir).collect()(0)
+    assert(ivfRow.getAs[Long]("n_queries") === nq)
+    assert(ivfRow.getAs[Boolean]("ivf_recall_ok"))
+    // PQ's contract is the scale-invariant top-decile rank floor — the
+    // audit's own counting path is the thing under test here
+    val pqRow = SimilaritySearch.qAnnPqAudit(spark, sfDir).collect()(0)
+    assert(pqRow.getAs[Long]("n_queries") === nq)
+    assert(pqRow.getAs[Boolean]("pq_recall_ok"))
+    assert(pqRow.getAs[Double]("exact_top1_cos_mass") ===
+      ivfRow.getAs[Double]("exact_top1_cos_mass"),
+      "both audits must anchor on the identical exact ground truth")
+  }
+
   // ---------------- q_logrank data-derived horizon ----------------
 
   test("logrank censored users carry t = last observed event day + 1, derived from data") {
