@@ -232,6 +232,141 @@ object Evaluation extends QueryModule {
        FROM blocks LEFT JOIN fz
          ON fz.blk = blocks.blk AND fz.p_size = blocks.p_size"""
 
+  /** Fellegi–Sunter EM iteration count and probability clamp. */
+  val FsIters = 20
+  val FsClamp = 0.000001
+
+  /** Bounded pair-universe cap for the FS audit block (the SQL-derivable
+    * ground set, the q_cosine_lsh_audit move — production feeds the
+    * BLOCKED candidate stream from q_er_blocking instead). */
+  val FsBlockCap = 300
+
+  /** q_fellegi: Fellegi–Sunter probabilistic record linkage — the
+    * decision-theoretic back end behind q_er_blocking's candidate front
+    * end: per comparison pattern γ ∈ {0,1}⁴, EM estimates the
+    * match-class probabilities m_k = P(γ_k=1 | match), u_k = P(γ_k=1 |
+    * non-match) and the prevalence λ, then scores each pattern with its
+    * posterior and log-likelihood-ratio weight (the 1969 JASA model;
+    * every modern linker — Splink et al. — is this machinery).
+    *
+    * The scale split is the whole point: the DISTRIBUTED part reduces
+    * the pair stream to the ≤2⁴-cell pattern CONTINGENCY (one groupBy —
+    * at 100 TB the cells stay 16 rows while pairs grow unbounded), and
+    * EM runs driver-side on those cells — model-sized, like the BPE
+    * merge table. Comparison fields here are scalar equalities (lang,
+    * source, |Δn_chars| ≤ 20, same length centile) over a bounded
+    * doc_id < FsBlockCap universe so the ORACLE can rebuild the exact
+    * ground set; production swaps in the blocked candidates unchanged.
+    *
+    * HASH-GATED EM: the oracle unrolls all FsIters iterations as
+    * generated CTE pairs with every cross-cell fp sum an ordered fold
+    * (list_sum(list(… ORDER BY cell)) ↔ the identical foldLeft in cell
+    * order), every update the identical IEEE expression tree, and the
+    * clamp mirrored — EM uses no transcendentals, so 20 iterations are
+    * bit-identical across engines; the single ln in the output weight is
+    * rounded to 6 like every libm call in this repo. */
+  def qFellegi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < FsBlockCap)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cells = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (col("a.lang") === col("b.lang")).cast("int").as("g1"),
+        (col("a.source") === col("b.source")).cast("int").as("g2"),
+        (abs(col("a.n_chars") - col("b.n_chars")) <= 20).cast("int").as("g3"),
+        (expr("a.n_chars div 100") === expr("b.n_chars div 100")).cast("int").as("g4"))
+      .groupBy("g1", "g2", "g3", "g4").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy { case (g1, g2, g3, g4, _) => g1 * 8 + g2 * 4 + g3 * 2 + g4 }
+    def lik(g: Int, p: Double): Double = if (g == 1) p else 1 - p
+    def clamp(x: Double): Double = math.max(math.min(x, 1 - FsClamp), FsClamp)
+    var m = Array(0.9, 0.9, 0.9, 0.9)
+    var u = Array(0.1, 0.1, 0.1, 0.1)
+    var lam = 0.5
+    def fmOf(c: (Int, Int, Int, Int, Long)): Double =
+      lam * lik(c._1, m(0)) * lik(c._2, m(1)) * lik(c._3, m(2)) * lik(c._4, m(3))
+    def fuOf(c: (Int, Int, Int, Int, Long)): Double =
+      (1 - lam) * lik(c._1, u(0)) * lik(c._2, u(1)) * lik(c._3, u(2)) * lik(c._4, u(3))
+    for (_ <- 1 to FsIters) {
+      // every cross-cell sum folds in ascending cell order — the exact
+      // sequence the oracle's list_sum(list(… ORDER BY cell)) runs
+      val post = cells.map { c => val fm = fmOf(c); (c, fm / (fm + fuOf(c))) }
+      val gOf = Array[((Int, Int, Int, Int, Long)) => Int](_._1, _._2, _._3, _._4)
+      val sPostN = post.foldLeft(0.0) { case (a, (c, p)) => a + p * c._5 }
+      val sNotN = post.foldLeft(0.0) { case (a, (c, p)) => a + (1 - p) * c._5 }
+      val sN = cells.foldLeft(0L)(_ + _._5)
+      val m2 = Array.tabulate(4) { k =>
+        clamp(post.foldLeft(0.0) { case (a, (c, p)) =>
+          a + p * c._5 * gOf(k)(c) } / sPostN)
+      }
+      val u2 = Array.tabulate(4) { k =>
+        clamp(post.foldLeft(0.0) { case (a, (c, p)) =>
+          a + (1 - p) * c._5 * gOf(k)(c) } / sNotN)
+      }
+      lam = sPostN / sN
+      m = m2; u = u2
+    }
+    import s.implicits._
+    // raw doubles leave the driver; the 6-digit cut runs through Spark's
+    // own `round` so HALF_UP semantics mirror DuckDB's round exactly
+    cells.toSeq.map { c =>
+      val fm = fmOf(c); val fu = fuOf(c)
+      (c._1, c._2, c._3, c._4, c._5,
+        fm / (fm + fu), math.log((fm / lam) / (fu / (1 - lam))))
+    }.toDF("g_lang", "g_source", "g_len", "g_bucket", "n", "posterior0", "weight0")
+      .select(col("g_lang"), col("g_source"), col("g_len"), col("g_bucket"),
+        col("n"), round(col("posterior0"), 6).as("posterior"),
+        round(col("weight0"), 6).as("weight"))
+  }
+
+  private lazy val qFellegiSql = {
+    def likSql(g: String, p: String) = s"(CASE WHEN $g = 1 THEN $p ELSE 1 - $p END)"
+    def fmSql = s"lam * ${likSql("g1", "m1")} * ${likSql("g2", "m2")} * " +
+      s"${likSql("g3", "m3")} * ${likSql("g4", "m4")}"
+    def fuSql = s"(1 - lam) * ${likSql("g1", "u1")} * ${likSql("g2", "u2")} * " +
+      s"${likSql("g3", "u3")} * ${likSql("g4", "u4")}"
+    val lo = FsClamp; val hi = s"1 - $FsClamp"
+    def mUpd(k: Int) =
+      s"""greatest(least(
+         list_sum(list(fm / (fm + fu) * n * g$k ORDER BY cell)) /
+         list_sum(list(fm / (fm + fu) * n ORDER BY cell)), $hi), $lo) AS m$k"""
+    def uUpd(k: Int) =
+      s"""greatest(least(
+         list_sum(list((1 - fm / (fm + fu)) * n * g$k ORDER BY cell)) /
+         list_sum(list((1 - fm / (fm + fu)) * n ORDER BY cell)), $hi), $lo) AS u$k"""
+    val iters = (1 to FsIters).map { i =>
+      s"""post$i AS (SELECT cell, n, g1, g2, g3, g4, $fmSql AS fm, $fuSql AS fu
+           FROM cells CROSS JOIN par${i - 1}),
+         par$i AS (SELECT ${(1 to 4).map(mUpd).mkString(", ")},
+           ${(1 to 4).map(uUpd).mkString(", ")},
+           list_sum(list(fm / (fm + fu) * n ORDER BY cell)) / sum(n) AS lam
+           FROM post$i)"""
+    }.mkString(",\n       ")
+    s"""WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents
+           WHERE doc_id < $FsBlockCap),
+       pairs AS (SELECT
+           CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g1,
+           CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g2,
+           CASE WHEN abs(a.n_chars - b.n_chars) <= 20 THEN 1 ELSE 0 END AS g3,
+           CASE WHEN a.n_chars // 100 = b.n_chars // 100 THEN 1 ELSE 0 END AS g4
+         FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       cells AS (SELECT g1, g2, g3, g4, g1*8 + g2*4 + g3*2 + g4 AS cell,
+           CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY 1, 2, 3, 4),
+       par0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+           CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+           CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+           CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4,
+           CAST(0.5 AS DOUBLE) AS lam),
+       $iters,
+       scored AS (SELECT cell, n, g1, g2, g3, g4, $fmSql AS fm, $fuSql AS fu, lam
+         FROM cells CROSS JOIN par$FsIters)
+       SELECT g1 AS g_lang, g2 AS g_source, g3 AS g_len, g4 AS g_bucket, n,
+         round(fm / (fm + fu), 6) AS posterior,
+         round(ln((fm / lam) / (fu / (1 - lam))), 6) AS weight
+       FROM scored"""
+  }
+
   /** q_cv_folds: deterministic stratified-ish fold assignment + per-fold
     * class balance (the distributed analogue of StratifiedKFold bookkeeping). */
   def qCvFolds(s: SparkSession, dir: String): DataFrame =
@@ -313,6 +448,7 @@ object Evaluation extends QueryModule {
     "q_kappa" -> (qKappa _),
     "q_auc" -> (qAuc _),
     "q_er_blocking" -> (qErBlocking _),
+    "q_fellegi" -> (qFellegi _),
     "q_cv_folds" -> (qCvFolds _))
 
   override def oracles: Map[String, String] = Map(
@@ -322,5 +458,6 @@ object Evaluation extends QueryModule {
     "q_kappa" -> qKappaSql,
     "q_auc" -> qAucSql,
     "q_er_blocking" -> qErBlockingSql,
+    "q_fellegi" -> qFellegiSql,
     "q_cv_folds" -> qCvFoldsSql)
 }

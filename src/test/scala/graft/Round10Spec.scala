@@ -110,6 +110,32 @@ class Round10Spec extends SparkSpec {
     assert(traj.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  // ---------------- Fellegi–Sunter EM linkage ----------------
+
+  test("fellegi-sunter: posteriors rank with weights and EM behaves") {
+    import graft.operators.Evaluation
+    val rows = Evaluation.qFellegi(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    // the posterior is a monotone transform of the log-likelihood weight
+    // (both are functions of the same fm/fu ratio at fixed λ)
+    val byWeight = rows.sortBy(_.getAs[Double]("weight"))
+    val posts = byWeight.map(_.getAs[Double]("posterior"))
+    assert(posts.zip(posts.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "posterior must be monotone in the match weight")
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("posterior"); p >= 0.0 && p <= 1.0 })
+    // agreement on every field must outrank disagreement on every field
+    val all = rows.find(r => r.getAs[Int]("g_lang") == 1 && r.getAs[Int]("g_source") == 1 &&
+      r.getAs[Int]("g_len") == 1 && r.getAs[Int]("g_bucket") == 1)
+    val none = rows.find(r => r.getAs[Int]("g_lang") == 0 && r.getAs[Int]("g_source") == 0 &&
+      r.getAs[Int]("g_len") == 0 && r.getAs[Int]("g_bucket") == 0)
+    for (a <- all; z <- none)
+      assert(a.getAs[Double]("posterior") > z.getAs[Double]("posterior"))
+    // determinism: fixed init + fixed iterations + ordered folds
+    val again = Evaluation.qFellegi(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).sortBy(_.toString) === again.map(_.toSeq).sortBy(_.toString))
+  }
+
   // ---------------- ANN index certificates ----------------
 
   test("ivf/pq audits: floors hold with margin and the anchor matches the exact plan") {
