@@ -40,7 +40,10 @@ object ExplainProbe {
         "q11_value" -> operators.Tpch.q11Value(spark, dir),
         "q_novelty" -> operators.Dedup.qNovelty(spark, dir),
         "q_embed_outliers" -> operators.SimilaritySearch.qEmbedOutliers(spark, dir),
-        "q_llr" -> operators.TextAnalysis.qLlr(spark, dir))
+        "q_llr" -> operators.TextAnalysis.qLlr(spark, dir),
+        "q_fellegi" -> operators.Evaluation.qFellegi(spark, dir),
+        "q_ann_ivf_audit" -> operators.SimilaritySearch.qAnnIvfAudit(spark, dir),
+        "q_ann_pq_audit" -> operators.SimilaritySearch.qAnnPqAudit(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")
