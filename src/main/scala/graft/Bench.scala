@@ -62,7 +62,7 @@ object Bench {
     "q_mrr", "q_shapley_attrib", "q_slo_burn",
     "q_grouping_sets", "q_range_frame", "q_did", "q_logrank", "q_forecast_eval", "q_partial_corr",
     "q_lift", "q_heaps", "q_fourfifths", "q_lang_confusion",
-    "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit")
+    "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit", "q_bloom_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

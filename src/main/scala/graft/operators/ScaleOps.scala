@@ -141,6 +141,60 @@ object ScaleOps extends QueryModule {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
 
+  /** FPR ceiling of the bloom certificate, cross-multiplied: false
+    * positives × Den ≤ non-members (≤ 5% — generous vs the 1% design
+    * point at a fraction of design load, so an honest regeneration
+    * passes while a corrupted bitmap, which passes ~everything, fails). */
+  val BloomFprDen = 20
+
+  /** Synthetic non-member probe set: BloomAlienProbes keys offset far
+    * above every real custkey — on this corpus nearly every customer HAS
+    * an order, so auditing FPR against real non-members would be
+    * vacuous; the alien range is guaranteed disjoint and SQL-derivable. */
+  val BloomAlienProbes = 10000
+  val BloomAlienOffset = 10000000L
+
+  /** q_bloom_audit: bloom-filter accuracy certificate — completes the
+    * sketch-contract family (q_hll_merge distinct counts, q_cms_audit /
+    * q_heavy_hitters point frequencies, q_minhash/simhash/cosine-LSH
+    * audits, q_percentiles_approx rank bounds): the member count is
+    * SQL-derivable (DuckDB recomputes distinct order custkeys),
+    * `no_false_negatives` asserts the bloom's HARD guarantee over EVERY
+    * member (a member can never fail the filter — bit-OR construction),
+    * and `fpr_ok` floors the probabilistic half over the alien probe
+    * range. Same filter build as q_bloom_semi (order-independent
+    * insertion → deterministic bitmap), probes evaluated as the
+    * codegen'd BloomFilterMightContain expression — the audit exercises
+    * the REAL prune path. */
+  def qBloomAudit(s: SparkSession, dir: String): DataFrame = {
+    val orderKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    val bloom = orderKeys.select(xxhash64(col("o_custkey")).as("h"))
+      .stat.bloomFilter("h", 1L << 21, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val m = orderKeys.distinct()
+      .agg(count(lit(1)).as("n_members"),
+        sum(bloomMightContain(bytes, col("o_custkey")).cast("long"))
+          .as("members_passing"))
+    val a = s.range(1, BloomAlienProbes + 1)
+      .select((col("id") + BloomAlienOffset).as("k"))
+      .agg(count(lit(1)).as("n_alien_probes"),
+        sum(bloomMightContain(bytes, col("k")).cast("long")).as("fp"))
+    m.crossJoin(a)
+      .select(col("n_members"), col("n_alien_probes"),
+        (col("members_passing") === col("n_members")).as("no_false_negatives"),
+        (col("fp") * BloomFprDen <= col("n_alien_probes")).as("fpr_ok"))
+  }
+
+  private lazy val qBloomAuditSql =
+    s"""SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_members,
+         CAST($BloomAlienProbes AS BIGINT) AS n_alien_probes,
+         TRUE AS no_false_negatives, TRUE AS fpr_ok
+       FROM orders"""
+
   // ------------------------------------------------------ heavy hitters
   /** Top-20 corpus tokens with exact counts plus the Count-Min-Sketch
     * guarantees as booleans: `cms_lower_ok` (estimate ≥ truth — holds
@@ -561,6 +615,7 @@ object ScaleOps extends QueryModule {
     "q_chunk" -> (qChunk _),
     "q_fuzzy_vocab" -> (qFuzzyVocab _),
     "q_bloom_semi" -> (qBloomSemi _),
+    "q_bloom_audit" -> (qBloomAudit _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_ewma" -> (qEwma _))
 
@@ -576,6 +631,7 @@ object ScaleOps extends QueryModule {
     "q_chunk" -> qChunkSql,
     "q_fuzzy_vocab" -> qFuzzyVocabSql,
     "q_bloom_semi" -> qBloomSemiSql,
+    "q_bloom_audit" -> qBloomAuditSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_ewma" -> qEwmaSql)
 }

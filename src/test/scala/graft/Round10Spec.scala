@@ -110,6 +110,22 @@ class Round10Spec extends SparkSpec {
     assert(traj.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  // ---------------- bloom certificate ----------------
+
+  test("bloom audit: hard no-false-negative guarantee, non-vacuous probe sets") {
+    import graft.operators.ScaleOps
+    val r = ScaleOps.qBloomAudit(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("no_false_negatives"),
+      "a bloom filter can NEVER reject a member — broken bitmap or probe")
+    assert(r.getAs[Boolean]("fpr_ok"))
+    assert(r.getAs[Long]("n_members") > 0)
+    assert(r.getAs[Long]("n_alien_probes") === ScaleOps.BloomAlienProbes.toLong)
+    // the alien range really is disjoint from the member keys
+    val maxKey = graft.sources.Tables.orders(spark, sfDir)
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    assert(maxKey < ScaleOps.BloomAlienOffset)
+  }
+
   // ---------------- Fellegi–Sunter EM linkage ----------------
 
   test("fellegi-sunter: posteriors rank with weights and EM behaves") {
