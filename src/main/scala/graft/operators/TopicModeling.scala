@@ -170,7 +170,7 @@ object TopicModeling extends QueryModule {
     // GRAFT_MODEL_KS=10,20,...,990 to run the full range (same loop)
     val ks = sys.env.get("GRAFT_MODEL_KS")
       .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(5, 10, 15, 20))
+      .getOrElse(Seq(5, 10, 15, 20, 25, 30))
     // the sweep is embarrassingly parallel ACROSS k (each fit is an
     // independent seeded job DAG over the shared cached bow), so fits are
     // dispatched from a bounded driver pool and the cluster scheduler

@@ -127,7 +127,7 @@ class Round3Spec extends SparkSpec {
 
   test("model select sweeps k with coherence and log-perplexity per k") {
     val ms = TopicModeling.qModelSelect(spark, sfDir).collect()
-    assert(ms.length === 4)
+    assert(ms.length === 6) // r10: default widened, one row per swept k
     assert(ms.count(_.getAs[Boolean]("selected")) === 1)
     ms.foreach { r =>
       assert(r.getAs[Double]("mean_umass") <= 1e-9) // u_mass <= 0
