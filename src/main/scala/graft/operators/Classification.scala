@@ -422,13 +422,18 @@ object Classification extends QueryModule {
     * model-sized, not corpus-sized. Rows-only gate (iterative pooling is
     * not SQL-expressible); PAV on a fixed input is deterministic, and the
     * spec pins monotonicity + probability range. */
-  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.regression.IsotonicRegression
-    val data = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+  /** The (score, 0/1 label) training relation shared by q_isotonic and
+    * its audit. */
+  private def isotonicData(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
       .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
         Seq("doc_id"))
       .select(col("quality").as("features"),
         when(col("passes"), 1.0).otherwise(0.0).as("label"))
+
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val data = isotonicData(s, dir)
     val model = new IsotonicRegression().setIsotonic(true).fit(data)
     val pts = model.boundaries.toArray.zip(model.predictions.toArray).zipWithIndex
       .map { case ((b, p), i) => (i, math.floor(b * 1e6) / 1e6, math.floor(p * 1e6) / 1e6) }
@@ -436,8 +441,59 @@ object Classification extends QueryModule {
     pts.toSeq.toDF("idx", "boundary", "calibrated")
   }
 
+  /** q_isotonic_audit: PAVA conservation certificate — upgrades rows-only
+    * q_isotonic with a DuckDB-hash-gated contract (the q_minhash_audit
+    * pattern applied to the calibration path). The data-side anchors are
+    * SQL-derivable: `n` (training rows) and `label_mass` (gate passes —
+    * labels are 0/1 so the double sum is an exact integer). The
+    * guarantees: pool-adjacent-violators replaces each block of labels
+    * with its mean, so the fitted values at the training points MUST
+    * conserve total label mass (Σfit = Σy, `mass_preserved_ok`, 1e-6·n
+    * tolerance absorbing fp summation order), stay inside [0,1]
+    * (`range_ok` — block means of 0/1 labels), and be nondecreasing over
+    * strictly increasing boundaries (`monotone_ok`). A broken pooling
+    * merge, a dropped block, or a miscalibrated prediction path fails
+    * the conservation or monotonicity clause. Model transform is one
+    * broadcast-model map pass; the audit aggregate is one row. */
+  def qIsotonicAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.regression.IsotonicRegression
+    val data = isotonicData(s, dir)
+    val model = new IsotonicRegression().setIsotonic(true).fit(data)
+    val agg = model.transform(data)
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("label_mass"),
+        sum(col("prediction")).as("fit_mass"),
+        min(col("prediction")).as("minp"),
+        max(col("prediction")).as("maxp"))
+      .collect().head
+    val n = agg.getAs[Long]("n")
+    val labelMass = agg.getAs[Long]("label_mass")
+    val b = model.boundaries.toArray
+    val p = model.predictions.toArray
+    val monotone =
+      p.sliding(2).forall(a => a.length < 2 || a(0) <= a(1)) &&
+        b.sliding(2).forall(a => a.length < 2 || a(0) < a(1))
+    val rangeOk = agg.getAs[Double]("minp") >= 0.0 &&
+      agg.getAs[Double]("maxp") <= 1.0
+    val massOk =
+      math.abs(agg.getAs[Double]("fit_mass") - labelMass.toDouble) <= 1e-6 * n
+    import s.implicits._
+    Seq((n, labelMass, monotone, rangeOk, massOk))
+      .toDF("n", "label_mass", "monotone_ok", "range_ok", "mass_preserved_ok")
+  }
+
+  private lazy val qIsotonicAuditSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       r AS (${TextAnalysis.qQualityRulesSql}),
+       j AS (SELECT q.doc_id, r.passes FROM q JOIN r ON r.doc_id = q.doc_id)
+       SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS label_mass,
+         TRUE AS monotone_ok, TRUE AS range_ok, TRUE AS mass_preserved_ok
+       FROM j"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_isotonic" -> (qIsotonic _),
+    "q_isotonic_audit" -> (qIsotonicAudit _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_nb" -> (qClassifyNb _),
@@ -453,5 +509,8 @@ object Classification extends QueryModule {
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 
-  override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only
+  // Iterative-ML training stays rows-only; the PAVA conservation
+  // certificate is the one SQL-checkable contract (q_minhash_audit rule).
+  override def oracles: Map[String, String] = Map(
+    "q_isotonic_audit" -> qIsotonicAuditSql)
 }

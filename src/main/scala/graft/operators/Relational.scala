@@ -537,6 +537,84 @@ object Relational extends QueryModule {
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** HITS iteration count (synchronous updates — see [[qHits]]). */
+  val HitsIters = 8
+
+  /** q_hits: Kleinberg HITS hubs/authorities over the customer→part
+    * purchase bipartite graph — the DIRECTED centrality companion to
+    * q_pagerank's undirected rank: hub customers buy many authoritative
+    * parts, authoritative parts are bought by many hub customers (the
+    * recommender-warm-start signal q_copurchase's pair counts can't
+    * express). Synchronous variant (both sides update from the previous
+    * iteration — power iteration on AᵀA/AAᵀ per two steps), with NO
+    * per-iteration normalization: un-normalized synchronous HITS scales
+    * each side by a constant per step, so the final max-normalized
+    * ratios are identical — and dropping the norm keeps every score an
+    * exact INTEGER carried as DECIMAL(38,0), making the whole fixed
+    * point bit-exact in both engines (growth ~(deg_c·deg_p)^(k/2) ≈
+    * 10³⁰ worst-case at k=8, far inside decimal range; overflow would
+    * surface as NULL, not silent drift). Each round is ONE equi-join
+    * (adjacency ⋈ scores) + one aggregation, state two node-sized
+    * tables via eager localCheckpoint (the q_pagerank discipline); the
+    * oracle replays the identical iterations as a recursive CTE. */
+  def qHits(s: SparkSession, dir: String): DataFrame =
+    hitsOf(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_partkey").as("auth")))
+
+  /** HITS core over a (hub, auth) directed bipartite edge relation —
+    * see [[qHits]]. Ids are prefix-namespaced internally so the two
+    * sides can never collide. */
+  def hitsOf(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(concat(lit("c"), col("hub")).as("c"),
+        concat(lit("p"), col("auth")).as("p"))
+      .distinct()
+    val adj = e.select(col("c").as("src"), col("p").as("tgt"))
+      .unionByName(e.select(col("p").as("src"), col("c").as("tgt")))
+      .localCheckpoint(true)
+    var score = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1).cast("decimal(38,0)").as("score"))
+      .localCheckpoint(true)
+    for (_ <- 1 to HitsIters) {
+      val next = adj.join(score.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("tgt").as("id"))
+        .agg(sum(col("score")).cast("decimal(38,0)").as("score"))
+        .localCheckpoint(true)
+      score.unpersist()
+      score = next
+    }
+    val side = substring(col("id"), 1, 1)
+    val mx = score.groupBy(side.as("node_type")).agg(max(col("score")).as("mx"))
+    score.select(side.as("node_type"),
+        expr("substring(id, 2)").cast("long").as("node_key"), col("score"))
+      .join(broadcast(mx), Seq("node_type"))
+      .select(col("node_type"), col("node_key"),
+        round(col("score").cast("double") / col("mx").cast("double"), 6)
+          .as("score"))
+  }
+
+  private val qHitsSql =
+    s"""WITH RECURSIVE
+       e AS (SELECT DISTINCT 'c' || o_custkey AS c, 'p' || l_partkey AS p
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       adj AS (SELECT c AS src, p AS tgt FROM e
+               UNION ALL SELECT p, c FROM e),
+       walk(iter, id, score) AS (
+         SELECT 0, src, CAST(1 AS DECIMAL(38,0))
+         FROM (SELECT DISTINCT src FROM adj)
+         UNION ALL
+         SELECT w.iter + 1, a.tgt, CAST(sum(w.score) AS DECIMAL(38,0))
+         FROM walk w JOIN adj a ON a.src = w.id
+         WHERE w.iter < $HitsIters
+         GROUP BY 1, 2),
+       fin AS (SELECT id, score FROM walk WHERE iter = $HitsIters),
+       mx AS (SELECT id[1] AS node_type, max(score) AS mx FROM fin GROUP BY 1)
+       SELECT f.id[1] AS node_type, CAST(f.id[2:] AS BIGINT) AS node_key,
+         round(CAST(f.score AS DOUBLE) / CAST(mx.mx AS DOUBLE), 6) AS score
+       FROM fin f JOIN mx ON mx.node_type = f.id[1]"""
+
   /** q_unpivot: melt the lineitem measures to long form (the inverse of
     * q_pivot) and re-aggregate — unpivot is a zero-shuffle projection
     * (each input row fans out to |measures| rows map-side). */
@@ -1272,6 +1350,7 @@ object Relational extends QueryModule {
     "q_range_frame" -> (qRangeFrame _),
     "q_cube" -> (qCube _),
     "q_copurchase" -> (qCopurchase _),
+    "q_hits" -> (qHits _),
     "q_unpivot" -> (qUnpivot _),
     "q_percentiles" -> (qPercentiles _),
     "q_percentiles_approx" -> (qPercentilesApproxGate _),
@@ -1315,6 +1394,7 @@ object Relational extends QueryModule {
     "q_range_frame" -> qRangeFrameSql,
     "q_cube" -> qCubeSql,
     "q_copurchase" -> qCopurchaseSql,
+    "q_hits" -> qHitsSql,
     "q_unpivot" -> qUnpivotSql,
     "q_percentiles" -> qPercentilesSql,
     "q_events_json" -> qEventsJsonSql,

@@ -413,6 +413,72 @@ object RobustStats extends QueryModule {
          count(*) < $LDivL OR max(c) * 2 > sum(c) AS at_risk
        FROM bc GROUP BY lang, source"""
 
+  // ------------------------------------------------------------ t-closeness
+
+  /** t-closeness threshold (flag compares exact integers cross-multiplied
+    * against the rational 1/5 — change together with the `* 5` /`* 2`
+    * literals in both engines). */
+  val TCloseT = 0.2
+
+  /** q_tcloseness: t-closeness audit over the (lang, source)
+    * quasi-identifier — the third rung of the privacy ladder after
+    * q_kanon (class size) and q_ldiversity (distinct sensitive values):
+    * a class can be k-large and l-diverse yet still leak if its
+    * sensitive-value DISTRIBUTION sits far from the corpus-wide one.
+    * Distance = total variation between the class's length-band
+    * distribution and the global one, kept EXACT: the grid is every
+    * class × every GLOBAL band (absent class bands enter as c=0 — the
+    * rows a naive class-only groupBy silently drops), and
+    * TVD = Σ_b |c_b·N − g_b·n| / (2·n·N) stays in integers until one
+    * final division of exactly-representable operands. Scale: the grid
+    * is classes × band domain (both bounded — band count is
+    * max-doc-length / $LDivBand), never corpus-sized; global band
+    * counts broadcast. */
+  def qTcloseness(s: SparkSession, dir: String): DataFrame =
+    tclosenessOf(Tables.documents(s, dir))
+
+  /** t-closeness core over a (lang, source, n_chars) relation — see
+    * [[qTcloseness]]. */
+  def tclosenessOf(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("lang"), col("source"),
+        (col("n_chars").cast("long") / LDivBand).cast("long").as("band"))
+    val cb = d.groupBy("lang", "source", "band").agg(count(lit(1)).as("c"))
+    val cls = cb.groupBy("lang", "source").agg(sum(col("c")).as("n"))
+    val gb = d.groupBy("band").agg(count(lit(1)).as("g"))
+    val tot = d.agg(count(lit(1)).as("nn"))
+    cls.crossJoin(broadcast(gb)).crossJoin(broadcast(tot))
+      .join(cb, Seq("lang", "source", "band"), "left")
+      .select(col("lang"), col("source"), col("n"), col("nn"),
+        abs(coalesce(col("c"), lit(0L)) * col("nn") - col("g") * col("n"))
+          .as("num"))
+      .groupBy("lang", "source", "n", "nn")
+      .agg(sum(col("num")).as("num"))
+      .select(col("lang"), col("source"), col("n"),
+        round(col("num").cast("double") /
+          (lit(2.0) * col("n") * col("nn")), 6).as("tvd"),
+        (col("num") * 5 > col("n") * col("nn") * 2).as("at_risk"))
+  }
+
+  private lazy val qTclosenessSql =
+    s"""WITH d AS (SELECT lang, source, n_chars // $LDivBand AS band FROM documents),
+       cb AS (SELECT lang, source, band, CAST(count(*) AS BIGINT) AS c
+              FROM d GROUP BY 1, 2, 3),
+       cls AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY 1, 2),
+       gb AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM d GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+       grid AS (SELECT cls.lang, cls.source, cls.n, t.nn,
+                  abs(COALESCE(cb.c, 0) * t.nn - gb.g * cls.n) AS num
+                FROM cls CROSS JOIN gb CROSS JOIN t
+                LEFT JOIN cb ON cb.lang = cls.lang AND cb.source = cls.source
+                  AND cb.band = gb.band),
+       agg AS (SELECT lang, source, n, nn, CAST(sum(num) AS BIGINT) AS num
+               FROM grid GROUP BY 1, 2, 3, 4)
+       SELECT lang, source, n,
+         round(CAST(num AS DOUBLE) / (2.0 * n * nn), 6) AS tvd,
+         num * 5 > n * nn * 2 AS at_risk
+       FROM agg"""
+
   // ------------------------------------------------------------ cramers v
 
   /** q_cramers_v: Cramér's V effect size of the lang↔source association —
@@ -769,6 +835,99 @@ object RobustStats extends QueryModule {
     mannWhitneyPairs(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
+  /** χ²(df=4) 95th percentile for the q_kruskal flag — a fixed literal
+    * written identically in both engines (the q_ab_test 1.96 rule). */
+  val KruskalChiCrit = 9.487729
+
+  /** q_kruskal: Kruskal–Wallis H over document lengths across ALL
+    * language groups at once — the k-group generalization of
+    * q_mannwhitney's pairwise U matrix (one omnibus test instead of 10
+    * pairs + multiplicity, the screening step q_holm then refines). Same
+    * determinism discipline: tie-averaged ranks computed at
+    * DISTINCT-VALUE granularity (per-x group counts → one cumulative
+    * window over the VALUE DOMAIN — n_chars, bounded by document length,
+    * never the corpus), ranks as exact DECIMAL(19,1) halves, per-group
+    * rank sums Rⱼ exact; H = 12/(N(N+1))·ΣⱼRⱼ²/nⱼ − 3(N+1) with the
+    * exact-integer tie correction C = 1 − Σ(t³−t)/(N³−N). The one
+    * order-sensitive double sum (ΣⱼRⱼ²/nⱼ, k=5 terms) folds over a
+    * sorted group array (the q_anova/q_ndcg discipline). Honest true
+    * negative on this corpus; Round10bSpec proves H trips on a shifted
+    * fixture. */
+  def qKruskal(s: SparkSession, dir: String): DataFrame =
+    kruskalWallis(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  /** Kruskal–Wallis core over a (g, x) relation — see [[qKruskal]]. */
+  def kruskalWallis(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGx = vals.groupBy("g", "x").agg(count(lit(1)).as("d"))
+    val tx = byGx.groupBy("x").agg(sum(col("d")).as("t"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ar = tx.withColumn("c", sum(col("t")).over(w))
+      .select(col("x"), col("t"),
+        ((col("c") - col("t")).cast("decimal(19,1)") +
+          (col("t") + 1).cast("decimal(19,1)") / 2)
+          .cast("decimal(19,1)").as("ar"))
+    val ties = ar.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_num"))
+    val rj = byGx.join(ar.select(col("x"), col("ar")), Seq("x"))
+      .groupBy("g")
+      .agg(sum(col("d")).as("nj"), sum(col("d") * col("ar")).as("rj"))
+      .select(col("g"), col("nj"),
+        (col("rj").cast("double") * col("rj").cast("double") /
+          col("nj").cast("double")).as("term"))
+    val m = rj.agg(
+      count(lit(1)).as("k"),
+      sum(col("nj")).as("n"),
+      aggregate(array_sort(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("sr"))
+      .crossJoin(broadcast(ties))
+    val nn = col("n").cast("double")
+    val h = lit(12.0) / (nn * (nn + 1)) * col("sr") - lit(3.0) * (nn + 1)
+    val corr = lit(1.0) -
+      col("tie_num").cast("double") / (nn * nn * nn - nn)
+    val hc = h / corr
+    m.select(col("k"), col("n"), round(h, 6).as("h"),
+      round(hc, 6).as("h_tie_corrected"),
+      (col("k") - 1).as("df"),
+      (hc > KruskalChiCrit).as("significant"))
+  }
+
+  private lazy val qKruskalSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       gx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS d FROM v GROUP BY 1, 2),
+       tx AS (SELECT x, CAST(sum(d) AS BIGINT) AS t FROM gx GROUP BY 1),
+       ar AS (SELECT x, t,
+                CAST(CAST(sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t
+                    AS DECIMAL(19,1))
+                  + CAST(t + 1 AS DECIMAL(19,1)) / 2 AS DECIMAL(19,1)) AS ar
+              FROM tx),
+       ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_num FROM ar),
+       rj AS (SELECT g, CAST(sum(d) AS BIGINT) AS nj, sum(d * ar) AS rj
+              FROM gx JOIN ar USING (x) GROUP BY 1),
+       tm AS (SELECT g, nj,
+                CAST(rj AS DOUBLE) * CAST(rj AS DOUBLE) / CAST(nj AS DOUBLE) AS term
+              FROM rj),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               list_sum(list(term ORDER BY g)) AS sr
+             FROM tm)
+       SELECT k, n,
+         round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sr
+           - 3 * (CAST(n AS DOUBLE) + 1), 6) AS h,
+         round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sr
+             - 3 * (CAST(n AS DOUBLE) + 1))
+           / (1.0 - CAST(tie_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE))), 6) AS h_tie_corrected,
+         k - 1 AS df,
+         (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sr
+             - 3 * (CAST(n AS DOUBLE) + 1))
+           / (1.0 - CAST(tie_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE))) > $KruskalChiCrit AS significant
+       FROM m CROSS JOIN ties"""
+
   /** Package-visible: Inference.qBhFdr wraps this matrix as a derived
     * table to attach p-values and the BH correction. */
   private[operators] lazy val qMannwhitneySql =
@@ -992,12 +1151,14 @@ object RobustStats extends QueryModule {
     "q_wasserstein" -> (qWasserstein _),
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
+    "q_kruskal" -> (qKruskal _),
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
     "q_cramers_v" -> (qCramersV _),
     "q_ldiversity" -> (qLdiversity _),
+    "q_tcloseness" -> (qTcloseness _),
     "q_winsorize" -> (qWinsorize _),
     "q_mad" -> (qMad _),
     "q_mutual_info" -> (qMutualInfo _))
@@ -1009,12 +1170,14 @@ object RobustStats extends QueryModule {
     "q_wasserstein" -> qWassersteinSql,
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,
+    "q_kruskal" -> qKruskalSql,
     "q_fleiss" -> qFleissSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,
     "q_cramers_v" -> qCramersVSql,
     "q_ldiversity" -> qLdiversitySql,
+    "q_tcloseness" -> qTclosenessSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_mad" -> qMadSql,
     "q_mutual_info" -> qMutualInfoSql)

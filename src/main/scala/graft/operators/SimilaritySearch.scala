@@ -726,6 +726,93 @@ object SimilaritySearch extends QueryModule {
     }.toSeq.toDF("component", "explained_var", "cum_var")
   }
 
+  /** q_pca_audit: eigen-spectrum accuracy certificate for the PCA path —
+    * upgrades rows-only q_pca with a DuckDB-hash-gated contract (the
+    * q_minhash_audit pattern applied to the eigensolver): the data-side
+    * anchor `total_var_pop` is the POPULATION total variance accumulated
+    * as EXACT decimals (float→double→DECIMAL(18,9) per cell, identical
+    * cast chain in the oracle; Σ_d (n·Σx² − (Σx)²) stays integer-scaled
+    * decimal to one final double division), and the trace identity
+    * Σλ·(n−1)/n = total_var_pop must hold to 1e-6 relative — tying the
+    * DISTRIBUTED covariance accumulation (RowMatrix, one pass) AND the
+    * driver-side d×d eigendecomposition (breeze eigSym; d² work,
+    * corpus-size-independent) to an independently-computed exact value.
+    * A broken Gram accumulation, a transposed covariance, or a
+    * non-converged eigensolver fails trace/orthonormality/PSD; a
+    * desynced MLlib pipeline fails `mllib_consistent` (ml.feature.PCA's
+    * k=8 explained-variance proportions vs λᵢ/Σλ). */
+  def qPcaAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val dec = col("x").cast("double").cast("decimal(18,9)")
+    val mom = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), dec.as("xd"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+        sum(col("xd") * col("xd")).as("sxx"))
+    val tot = mom
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_dims"),
+        sum(col("n") * col("sxx") - col("sx") * col("sx")).as("num"))
+      .select(col("n"), col("n_dims"),
+        (col("num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("tv"))
+      .collect().head
+    val n = tot.getAs[Long]("n")
+    val nDims = tot.getAs[Long]("n_dims")
+    val totalVarPop = tot.getAs[Double]("tv")
+    val feats = Tables.embeddings(s, dir)
+      .select(array_to_vector(
+        transform(col("embedding"), x => x.cast("double"))).as("features"))
+    val rm = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+      feats.rdd.map(r => org.apache.spark.mllib.linalg.Vectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](0))))
+    val cov = rm.computeCovariance() // SAMPLE covariance (n−1 denominator)
+    val d = cov.numRows
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix[Double](d, d, cov.toArray))
+    val lambda = es.eigenvalues.toArray.sorted.reverse
+    val vtv = es.eigenvectors.t * es.eigenvectors
+    var orthoDev = 0.0
+    for (i <- 0 until d; j <- 0 until d)
+      orthoDev = math.max(orthoDev,
+        math.abs(vtv(i, j) - (if (i == j) 1.0 else 0.0)))
+    val sumL = lambda.sum
+    val traceOk =
+      math.abs(sumL * (n - 1).toDouble / n.toDouble - totalVarPop) <=
+        1e-6 * totalVarPop
+    val spectrumOk = lambda.min >= -1e-10 &&
+      lambda.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+    val ev = new org.apache.spark.ml.feature.PCA().setK(8)
+      .setInputCol("features").setOutputCol("pc").fit(feats)
+      .explainedVariance.toArray
+    val mllibOk = ev.zip(lambda.take(8)).forall { case (p, l) =>
+      math.abs(p - l / sumL) <= 1e-6
+    }
+    import s.implicits._
+    Seq((n, nDims, math.rint(totalVarPop * 1e6) / 1e6, traceOk, spectrumOk,
+      orthoDev < 1e-8, mllibOk))
+      .toDF("n", "n_dims", "total_var_pop", "trace_ok", "spectrum_ok",
+        "orthonormal_ok", "mllib_consistent")
+  }
+
+  private lazy val qPcaAuditSql =
+    """WITH ex AS (SELECT unnest(embedding) AS xf,
+           generate_subscripts(embedding, 1) AS dim FROM embeddings),
+       dm AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,9))) AS sx,
+                sum(CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,9))
+                  * CAST(CAST(xf AS DOUBLE) AS DECIMAL(18,9))) AS sxx
+              FROM ex GROUP BY 1),
+       t AS (SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_dims,
+               sum(n * sxx - sx * sx) AS num
+             FROM dm)
+       SELECT n, n_dims,
+         round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+           AS total_var_pop,
+         TRUE AS trace_ok, TRUE AS spectrum_ok, TRUE AS orthonormal_ok,
+         TRUE AS mllib_consistent
+       FROM t"""
+
   /** nDCG cutoff. */
   val NdcgK = 10
 
@@ -917,6 +1004,7 @@ object SimilaritySearch extends QueryModule {
     "q_rrf" -> (qRrf _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
+    "q_pca_audit" -> (qPcaAudit _),
     "q_ann_pq" -> (qAnnPq _),
     "q_knn_search" -> (qKnnSearch _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -932,6 +1020,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
+    "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,
     "q_rrf" -> qRrfSql,
     "q_ndcg" -> qNdcgSql,

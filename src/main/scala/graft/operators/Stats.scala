@@ -2142,7 +2142,92 @@ object Stats extends QueryModule {
          (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6) AS rho
        FROM m"""
 
+  /** F-flag threshold for q_anova: F(2, ∞) 95th percentile ≈ 3.00 — a
+    * fixed literal (like q_ab_test's 1.96) written identically in both
+    * engines; with df₂ in the tens of thousands the asymptote is exact
+    * to 3 decimals. */
+  val AnovaFCrit = 3.0
+
+  /** q_anova: one-way ANOVA of l_quantity across the l_returnflag groups
+    * — the k-group parametric location test beside q_ab_test's two-group
+    * Welch t (and the parametric twin of q_kruskal's rank version). All
+    * moments are exact decimals (q carries 2 dp), combined in double only
+    * at the closed form: SSB = Σⱼsⱼ²/nⱼ − S²/N, SSW = Σss − Σⱼsⱼ²/nⱼ,
+    * F = (SSB/(k−1))/(SSW/(N−k)), η² = SSB/SST. The one
+    * order-sensitive double sum (Σⱼ sⱼ²/nⱼ, k=3 terms) folds over a
+    * SORTED group array so both engines walk identical IEEE additions
+    * (the q_ndcg/annAudit discipline); everything else is exact-decimal
+    * aggregation. One scan, one k-row shuffle — the group count, not the
+    * fact table, bounds the second stage at any SF. Honest true negative
+    * on this corpus (one generating distribution per flag; Round10bSpec
+    * proves F trips on a shifted fixture). */
+  def qAnova(s: SparkSession, dir: String): DataFrame =
+    anovaOf(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x")))
+
+  /** One-way ANOVA core over a (g, x) relation (x carries ≤2 decimal
+    * digits) — see [[qAnova]]. */
+  def anovaOf(vals: DataFrame): DataFrame = {
+    val d = col("x").cast("decimal(18,2)")
+    val g = vals
+      .groupBy("g")
+      .agg(count(lit(1)).as("nj"),
+        sum(d).as("s"),
+        sum(d * d).as("ss"))
+      .select(col("g"), col("nj"), col("s"), col("ss"),
+        (col("s").cast("double") * col("s").cast("double") /
+          col("nj").cast("double")).as("term"))
+    val m = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("nj")).as("n"),
+      sum(col("s")).cast("double").as("stot"),
+      sum(col("ss")).cast("double").as("sstot"),
+      aggregate(array_sort(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("sb"))
+    val nn = col("n").cast("double")
+    val cf = col("stot") * col("stot") / nn
+    val ssb = col("sb") - cf
+    val sst = col("sstot") - cf
+    val ssw = sst - ssb
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      (ssw / (nn - col("k").cast("double")))
+    m.select(col("k"), col("n"),
+      round(ssb, 4).as("ss_between"), round(ssw, 4).as("ss_within"),
+      round(f, 6).as("f"), round(ssb / sst, 6).as("eta_sq"),
+      (f > AnovaFCrit).as("significant"))
+  }
+
+  private lazy val qAnovaSql =
+    s"""WITH g AS (
+         SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT g, nj, s, ss,
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nj AS DOUBLE) AS term
+             FROM g),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               CAST(sum(s) AS DOUBLE) AS stot, CAST(sum(ss) AS DOUBLE) AS sstot,
+               list_sum(list(term ORDER BY g)) AS sb
+             FROM t)
+       SELECT k, n,
+         round(sb - stot * stot / CAST(n AS DOUBLE), 4) AS ss_between,
+         round((sstot - stot * stot / CAST(n AS DOUBLE))
+           - (sb - stot * stot / CAST(n AS DOUBLE)), 4) AS ss_within,
+         round((sb - stot * stot / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+           / (((sstot - stot * stot / CAST(n AS DOUBLE))
+               - (sb - stot * stot / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f,
+         round((sb - stot * stot / CAST(n AS DOUBLE))
+           / (sstot - stot * stot / CAST(n AS DOUBLE)), 6) AS eta_sq,
+         (sb - stot * stot / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+           / (((sstot - stot * stot / CAST(n AS DOUBLE))
+               - (sb - stot * stot / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) > $AnovaFCrit AS significant
+       FROM m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (qAnova _),
     "q_spearman" -> (qSpearman _),
     "q_benford" -> (qBenford _),
     "q_autocorr" -> (qAutocorr _),
@@ -2182,6 +2267,7 @@ object Stats extends QueryModule {
     "q_key_skew" -> (qKeySkew _))
 
   override def oracles: Map[String, String] = Map(
+    "q_anova" -> qAnovaSql,
     "q_spearman" -> qSpearmanSql,
     "q_benford" -> qBenfordSql,
     "q_autocorr" -> qAutocorrSql,

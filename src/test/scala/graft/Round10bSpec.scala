@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{RobustStats, Stats}
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: the k-group omnibus tests (one-way ANOVA and its
+  * rank twin Kruskal–Wallis) and the third privacy-audit rung
+  * (t-closeness). Each gets the discrimination pin the hash gate can't
+  * provide on a true-negative corpus: a shifted/skewed fixture must trip
+  * the flag, a null fixture must not.
+  */
+class Round10bSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- one-way ANOVA
+
+  test("anova: a shifted group trips F, identical groups sit at F=0") {
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = (1 to 100).map(i => ("b", i.toLong + 200L))
+    val r = Stats.anovaOf((a ++ b).toDF("g", "x")).collect().head
+    assert(r.getAs[Boolean]("significant"), "a 200-point shift must be significant")
+    assert(r.getAs[Double]("eta_sq") > 0.5)
+    val r0 = Stats.anovaOf((a ++ a.map { case (_, x) => ("b", x) })
+      .toDF("g", "x")).collect().head
+    assert(r0.getAs[Double]("f") === 0.0 && !r0.getAs[Boolean]("significant"))
+  }
+
+  test("anova: matches a local reference on a small fixture") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0), ("c", 10.0), ("c", 11.0))
+    val r = Stats.anovaOf(rows.toDF("g", "x")).collect().head
+    // reference: group means 2, 3, 10.5; grand mean 4.5
+    // SSB = 3*(2-4.5)^2 + 3*(3-4.5)^2 + 2*(10.5-4.5)^2 = 97.5
+    // SSW = 2 + 2 + 0.5 = 4.5; F = (97.5/2)/(4.5/5) = 54.1666…
+    assert(r.getAs[Double]("ss_between") === 97.5)
+    assert(r.getAs[Double]("ss_within") === 4.5)
+    assert(math.abs(r.getAs[Double]("f") - 54.166667) < 1e-5)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 97.5 / 102.0) < 1e-6)
+  }
+
+  test("anova on the corpus: one row, honest true negative") {
+    val r = Stats.qAnova(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("k") === 3)
+    assert(r.head.getAs[Double]("eta_sq") >= 0.0)
+  }
+
+  // ------------------------------------------------- Kruskal–Wallis H
+
+  test("kruskal-wallis: a shifted group trips H, identical groups do not") {
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = (1 to 100).map(i => ("b", i.toLong + 150L))
+    val c = (1 to 100).map(i => ("c", i.toLong))
+    val r = RobustStats.kruskalWallis((a ++ b ++ c).toDF("g", "x"))
+      .collect().head
+    assert(r.getAs[Boolean]("significant"), "a 150-point shift must be significant")
+    val r0 = RobustStats.kruskalWallis(
+      (a ++ a.map { case (_, x) => ("b", x) }).toDF("g", "x")).collect().head
+    assert(!r0.getAs[Boolean]("significant"))
+    assert(math.abs(r0.getAs[Double]("h")) < 1e-9,
+      "identical groups: every rank sum is exactly half the total")
+  }
+
+  test("kruskal-wallis: matches a local tie-aware reference on a fixture") {
+    // groups with heavy ties; reference computed by hand:
+    // pooled sorted: 1,1,2,2,2,3  ranks: (1.5,1.5),(4,4,4),(6)
+    // a = {1,2,3} -> R_a = 1.5 + 4 + 6 = 11.5 ; b = {1,2,2} -> R_b = 9.5
+    // H = 12/(6*7) * (11.5^2/3 + 9.5^2/3) - 3*7 = 0.19047619…
+    // ties: t=2 -> 6, t=3 -> 24 ; C = 1 - 30/210 = 6/7 ; Hc = 0.2222…
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("b", 2L))
+    val r = RobustStats.kruskalWallis(rows.toDF("g", "x")).collect().head
+    assert(math.abs(r.getAs[Double]("h") - 0.190476) < 1e-6)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - 0.222222) < 1e-6)
+    assert(r.getAs[Long]("df") === 1L)
+  }
+
+  test("kruskal-wallis on the corpus: five groups, H finite") {
+    val r = RobustStats.qKruskal(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("k") === 5)
+    assert(r.head.getAs[Double]("h_tie_corrected") >= 0.0)
+  }
+
+  // ---------------------------------------------------- t-closeness
+
+  test("t-closeness: a skewed class trips the flag, a proportional one does not") {
+    // global: 60 docs in band 0 (n_chars 0..199), 60 in band 2 (400..599)
+    // class (en, skew): all 20 docs in band 0 -> TVD = |1-0.5|/1 = 0.5
+    // class (en, prop): 20 docs split 10/10 -> TVD = 0
+    val skew = (1 to 20).map(i => ("en", "skew", 10L))
+    val prop = (1 to 10).map(i => ("en", "prop", 10L)) ++
+      (1 to 10).map(i => ("en", "prop", 450L))
+    val rest = (1 to 30).map(i => ("de", "rest", 10L)) ++
+      (1 to 50).map(i => ("de", "rest", 450L))
+    val out = RobustStats.tclosenessOf(
+      (skew ++ prop ++ rest).toDF("lang", "source", "n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("tvd"), r.getAs[Boolean]("at_risk")))).toMap
+    assert(out(("en", "skew"))._1 === 0.5 && out(("en", "skew"))._2)
+    assert(out(("en", "prop"))._1 === 0.0 && !out(("en", "prop"))._2)
+  }
+
+  // ----------------------------------------- eigen / PAVA certificates
+
+  test("pca audit: every contract clause holds on the corpus") {
+    val r = graft.operators.SimilaritySearch.qPcaAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_dims") === 64)
+    assert(r.getAs[Double]("total_var_pop") > 0.0)
+    Seq("trace_ok", "spectrum_ok", "orthonormal_ok", "mllib_consistent")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
+  test("isotonic audit: PAVA conserves label mass, stays monotone in [0,1]") {
+    val r = graft.operators.Classification.qIsotonicAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") > 0)
+    assert(r.getAs[Long]("label_mass") > 0 &&
+      r.getAs[Long]("label_mass") < r.getAs[Long]("n"),
+      "both label classes must be present for the audit to be non-vacuous")
+    Seq("monotone_ok", "range_ok", "mass_preserved_ok")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
+  // -------------------------------------------------- HITS hubs/auth
+
+  test("hits: matches an exact local power iteration on a bipartite fixture") {
+    import graft.operators.Relational
+    // c1-{p1,p2,p3}, c2-{p1}, c3-{p2}: by symmetry p1==p2>p3, c2==c3<c1
+    val edges = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 2L))
+    val out = Relational.hitsOf(edges.toDF("hub", "auth")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("score"))
+      .toMap
+    // exact integer reference: synchronous updates, BigInt arithmetic
+    val cs = Seq(1L, 2L, 3L); val ps = Seq(1L, 2L, 3L)
+    var hub = cs.map(_ -> BigInt(1)).toMap
+    var auth = ps.map(_ -> BigInt(1)).toMap
+    for (_ <- 1 to Relational.HitsIters) {
+      val na = ps.map(p => p -> edges.filter(_._2 == p).map(e => hub(e._1)).sum).toMap
+      val nh = cs.map(c => c -> edges.filter(_._1 == c).map(e => auth(e._2)).sum).toMap
+      auth = na; hub = nh
+    }
+    val hmx = hub.values.max; val amx = auth.values.max
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    cs.foreach { c =>
+      assert(out(("c", c)) === r6(hub(c).toDouble / hmx.toDouble), s"hub c$c")
+    }
+    ps.foreach { p =>
+      assert(out(("p", p)) === r6(auth(p).toDouble / amx.toDouble), s"auth p$p")
+    }
+    assert(out(("p", 1L)) === out(("p", 2L)) && out(("p", 3L)) < out(("p", 1L)))
+    assert(out(("c", 1L)) === 1.0 && out(("c", 2L)) === out(("c", 3L)))
+  }
+
+  test("hits on the corpus: both sides max-normalized to 1, scores in (0,1]") {
+    import graft.operators.Relational
+    val rows = Relational.qHits(spark, sfDir).collect()
+    val bySide = rows.groupBy(_.getString(0))
+    assert(bySide.keySet === Set("c", "p"))
+    bySide.foreach { case (_, rs) =>
+      val scores = rs.map(_.getAs[Double]("score"))
+      assert(scores.max === 1.0)
+      assert(scores.forall(s => s > 0.0 && s <= 1.0))
+    }
+  }
+
+  test("t-closeness on the corpus: classes partition the corpus, tvd in [0,1]") {
+    val rows = RobustStats.qTcloseness(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(total === docs, "every document in exactly one class")
+    rows.foreach { r =>
+      val t = r.getAs[Double]("tvd")
+      assert(t >= 0.0 && t <= 1.0)
+    }
+  }
+}
