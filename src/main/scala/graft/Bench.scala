@@ -62,7 +62,11 @@ object Bench {
     "q_mrr", "q_shapley_attrib", "q_slo_burn",
     "q_grouping_sets", "q_range_frame", "q_did", "q_logrank", "q_forecast_eval", "q_partial_corr",
     "q_lift", "q_heaps", "q_fourfifths", "q_lang_confusion",
-    "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit", "q_bloom_audit")
+    "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit", "q_bloom_audit",
+    "q_anova", "q_kruskal", "q_tcloseness", "q_hits", "q_pca_audit",
+    "q_isotonic_audit")
+  // q_features_audit / q_lda_audit stay out of the headline set: they
+  // trigger the LDA fit (the module doc's ML-training exclusion).
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

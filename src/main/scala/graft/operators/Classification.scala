@@ -482,6 +482,69 @@ object Classification extends QueryModule {
       .toDF("n", "label_mass", "monotone_ok", "range_ok", "mass_preserved_ok")
   }
 
+  /** q_features_audit: feature-assembly + StandardScaler certificate —
+    * upgrades rows-only q_features with SQL-derivable anchors: `n_docs`
+    * is the distinct-document count of the (hash-gated) doc2bow
+    * relation — exactly the rows the LDA transform emits and the
+    * length join preserves — and `len_mass` is the exact-integer total
+    * of the appended length feature over those documents (the oracle
+    * recomputes both from the clean-token pipeline SQL). Guarantees:
+    * the assembled dimensionality is k+1, and after
+    * StandardScaler(withMean, withStd) every dimension is centered
+    * (|mean| ≤ 1e-9) and unit-scaled (|sd−1| ≤ 1e-6, constant dims
+    * exempt — scaler leaves σ=0 dims at 0). A dropped join row, a
+    * mis-appended length column, or a scaler fed the wrong moments
+    * fails an anchor or a clause. */
+  def qFeaturesAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.StandardScaler
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val topics = TopicModeling.docTopics(s, dir)
+    val lens = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), size(col("toks")).as("len"))
+    val j = topics.join(lens, Seq("doc_id"))
+      .select(col("len"),
+        concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
+      .persist()
+    val anchor = j
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("len_mass"),
+        min(size(col("fvec"))).as("dmin"), max(size(col("fvec"))).as("dmax"))
+      .collect().head
+    val vecs = j.select(array_to_vector(col("fvec")).as("features"))
+    val model = new StandardScaler().setWithMean(true).setWithStd(true)
+      .setInputCol("features").setOutputCol("scaled").fit(vecs)
+    val dims = model.transform(vecs)
+      .select(posexplode(vector_to_array(col("scaled"))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(avg(col("x")).as("m"), stddev_samp(col("x")).as("sd"))
+      .collect()
+    j.unpersist()
+    val k1 = TopicModeling.DefaultK + 1
+    val dimsOk = anchor.getAs[Int]("dmin") == k1 &&
+      anchor.getAs[Int]("dmax") == k1 && dims.length == k1
+    val centeredOk = dims.forall(r => math.abs(r.getAs[Double]("m")) <= 1e-9)
+    val unitOk = dims.forall { r =>
+      val sd = r.getAs[Double]("sd")
+      math.abs(sd - 1.0) <= 1e-6 || sd == 0.0
+    }
+    import s.implicits._
+    Seq((anchor.getAs[Long]("n_docs"), anchor.getAs[Long]("len_mass"),
+      k1.toLong, dimsOk, centeredOk, unitOk))
+      .toDF("n_docs", "len_mass", "n_dims", "dims_ok", "centered_ok", "unit_ok")
+  }
+
+  private lazy val qFeaturesAuditSql = {
+    val k1 = TopicModeling.DefaultK + 1
+    s"""WITH bow AS (SELECT DISTINCT doc_id FROM (${TextPrep.qDoc2bowSql})),
+       l AS (SELECT doc_id,
+               len(${graft.functions.TextFns.cleanTokensSql("text")}) AS len
+             FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS len_mass,
+         CAST($k1 AS BIGINT) AS n_dims,
+         TRUE AS dims_ok, TRUE AS centered_ok, TRUE AS unit_ok
+       FROM bow JOIN l USING (doc_id)"""
+  }
+
   private lazy val qIsotonicAuditSql =
     s"""WITH q AS (${TextAnalysis.qQualitySql}),
        r AS (${TextAnalysis.qQualityRulesSql}),
@@ -494,6 +557,7 @@ object Classification extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_isotonic" -> (qIsotonic _),
     "q_isotonic_audit" -> (qIsotonicAudit _),
+    "q_features_audit" -> (qFeaturesAudit _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_nb" -> (qClassifyNb _),
@@ -512,5 +576,6 @@ object Classification extends QueryModule {
   // Iterative-ML training stays rows-only; the PAVA conservation
   // certificate is the one SQL-checkable contract (q_minhash_audit rule).
   override def oracles: Map[String, String] = Map(
-    "q_isotonic_audit" -> qIsotonicAuditSql)
+    "q_isotonic_audit" -> qIsotonicAuditSql,
+    "q_features_audit" -> qFeaturesAuditSql)
 }

@@ -141,7 +141,7 @@ object TextPrep extends QueryModule {
       .select("doc_id", "token_id", "n")
   }
 
-  private val qDoc2bowSql =
+  private[operators] val qDoc2bowSql =
     s"""WITH counts AS (
           SELECT doc_id, tok, count(*) AS n FROM (
             SELECT doc_id, unnest(${TextFns.cleanTokensSql("text")}) AS tok FROM documents)

@@ -261,6 +261,40 @@ object TopicModeling extends QueryModule {
     }.toDF("stick", "topic", "stick_a", "stick_b", "beta", "kept")
   }
 
+  /** q_lda_audit: LDA doc-topic coverage certificate — the posterior
+    * VALUES can't be SQL-oracled (iterative variational fit), but the
+    * transform's accounting contract can: `n_docs` must equal the
+    * distinct-document count of the hash-gated doc2bow relation (the
+    * exact corpus the fit consumed — a silently dropped partition or a
+    * desynced corpus() fails this anchor), every emitted distribution
+    * must be a k-simplex point (Σ=1 ± 1e-6, no negative mass), and k
+    * must be the declared model size. The q_minhash_audit rule applied
+    * to the topic-model pipeline's shape. */
+  def qLdaAudit(s: SparkSession, dir: String): DataFrame = {
+    val agg = docTopics(s, dir)
+      .select(size(col("dist")).as("k"),
+        aggregate(col("dist"), lit(0.0), (a, x) => a + x).as("mass"),
+        aggregate(col("dist"), lit(0L),
+          (a, x) => a + when(x < 0.0, 1L).otherwise(0L)).as("neg"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("k")).as("kmin"), max(col("k")).as("kmax"),
+        max(abs(col("mass") - 1.0)).as("dev"), sum(col("neg")).as("negs"))
+      .collect().head
+    import s.implicits._
+    Seq((agg.getAs[Long]("n_docs"), DefaultK.toLong,
+      agg.getAs[Int]("kmin") == DefaultK && agg.getAs[Int]("kmax") == DefaultK,
+      agg.getAs[Double]("dev") <= 1e-6,
+      agg.getAs[Long]("negs") == 0L))
+      .toDF("n_docs", "k", "k_ok", "normalized_ok", "nonneg_ok")
+  }
+
+  private lazy val qLdaAuditSql =
+    s"""WITH bow AS (SELECT DISTINCT doc_id FROM (${TextPrep.qDoc2bowSql}))
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST($DefaultK AS BIGINT) AS k,
+         TRUE AS k_ok, TRUE AS normalized_ok, TRUE AS nonneg_ok
+       FROM bow"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lda_topics" -> (qLdaTopics _),
     "q_doc_topics" -> (qDocTopics _),
@@ -268,7 +302,11 @@ object TopicModeling extends QueryModule {
     "q_coherence" -> (qCoherence _),
     "q_perplexity" -> (qPerplexity _),
     "q_model_select" -> (qModelSelect _),
-    "q_hdp" -> (qHdp _))
+    "q_hdp" -> (qHdp _),
+    "q_lda_audit" -> (qLdaAudit _))
 
-  override def oracles: Map[String, String] = Map.empty // iterative ML: rows-only
+  // Posterior values stay rows-only (iterative ML); the coverage
+  // certificate is the one SQL-checkable contract.
+  override def oracles: Map[String, String] = Map(
+    "q_lda_audit" -> qLdaAuditSql)
 }

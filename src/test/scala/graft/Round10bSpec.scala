@@ -121,6 +121,23 @@ class Round10bSpec extends SparkSpec {
       .foreach(c => assert(r.getAs[Boolean](c), c))
   }
 
+  test("features audit: scaler contract and exact anchors hold") {
+    val r = graft.operators.Classification.qFeaturesAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") > 0)
+    assert(r.getAs[Long]("len_mass") > r.getAs[Long]("n_docs"),
+      "clean docs average more than one token")
+    assert(r.getAs[Long]("n_dims") === graft.operators.TopicModeling.DefaultK + 1)
+    Seq("dims_ok", "centered_ok", "unit_ok")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
+  test("lda audit: transform covers the bow corpus with simplex rows") {
+    val r = graft.operators.TopicModeling.qLdaAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") > 0)
+    Seq("k_ok", "normalized_ok", "nonneg_ok")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
   // -------------------------------------------------- HITS hubs/auth
 
   test("hits: matches an exact local power iteration on a bipartite fixture") {
