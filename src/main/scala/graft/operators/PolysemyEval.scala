@@ -188,10 +188,48 @@ object PolysemyEval extends QueryModule {
     }.toDF("iter", "min_prob", "min_topics", "min_len", "f1", "phase", "selected")
   }
 
+  /** q_polysemy_eval_audit: end-to-end accounting certificate for the
+    * thesis-headline EVResult — the LDA predictions themselves can't be
+    * SQL-oracled, but the evaluation's BOOKKEEPING can, because every
+    * stage anchor is data-derivable: the predictions cover exactly the
+    * doc2bow corpus, the synthetic gold is pure SQL over documents, and
+    * the clean-name join maps each prediction to its own concept. So
+    * the confusion matrix MUST satisfy tp+fp+tn+fn = |bow docs with
+    * label≠0| (the evaluate.py label-0 exclusion) and tp+fn = |those
+    * with the long-doc gold| — both recomputed independently by the
+    * oracle. A broken name match (lost rows), a wrong exclusion, or a
+    * confusion cell swap fails an anchor; metric-range booleans guard
+    * the ratio algebra. */
+  def qPolysemyEvalAudit(s: SparkSession, dir: String): DataFrame = {
+    val r = qPolysemyEval(s, dir).collect().head
+    val (tp, fp, tn, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn"))
+    val inRange = Seq("precision", "recall", "accuracy", "f1").forall { c =>
+      Option(r.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
+    }
+    import s.implicits._
+    Seq((tp + fp + tn + fn, tp + fn, inRange))
+      .toDF("n_eval", "n_gold_pos", "metrics_ok")
+  }
+
+  private lazy val qPolysemyEvalAuditSql =
+    s"""WITH bow AS (SELECT DISTINCT doc_id FROM (${TextPrep.qDoc2bowSql})),
+       j AS (SELECT d.doc_id, d.n_chars
+             FROM documents d JOIN bow ON bow.doc_id = d.doc_id)
+       SELECT CAST(count(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT) AS n_eval,
+         CAST(count(*) FILTER (WHERE doc_id % 7 <> 0 AND n_chars > 250) AS BIGINT)
+           AS n_gold_pos,
+         TRUE AS metrics_ok
+       FROM j"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_polysemy_eval" -> (qPolysemyEval _),
+    "q_polysemy_eval_audit" -> (qPolysemyEvalAudit _),
     "q_param_sweep" -> (qParamSweep _),
     "q_polysemy_bayes" -> (qPolysemyBayes _))
 
-  override def oracles: Map[String, String] = Map.empty // LDA upstream: rows-only
+  // LDA-upstream posteriors stay rows-only; the accounting certificate is
+  // the SQL-checkable contract.
+  override def oracles: Map[String, String] = Map(
+    "q_polysemy_eval_audit" -> qPolysemyEvalAuditSql)
 }

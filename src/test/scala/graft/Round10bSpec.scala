@@ -138,6 +138,15 @@ class Round10bSpec extends SparkSpec {
       .foreach(c => assert(r.getAs[Boolean](c), c))
   }
 
+  test("polysemy-eval audit: confusion cells account for the whole eval set") {
+    val r = graft.operators.PolysemyEval.qPolysemyEvalAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_eval") > 0)
+    assert(r.getAs[Long]("n_gold_pos") > 0 &&
+      r.getAs[Long]("n_gold_pos") < r.getAs[Long]("n_eval"),
+      "both gold classes present — the audit is non-vacuous")
+    assert(r.getAs[Boolean]("metrics_ok"))
+  }
+
   // -------------------------------------------------- HITS hubs/auth
 
   test("hits: matches an exact local power iteration on a bipartite fixture") {
