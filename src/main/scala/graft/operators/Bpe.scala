@@ -164,9 +164,64 @@ object Bpe extends QueryModule {
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
   }
 
+  /** q_bpe_audit: tokenizer-contract certificate — the merge table is
+    * data-derived (no static SQL can reproduce it), but the trained
+    * tokenizer's CONTRACT is checkable against SQL-derivable anchors:
+    * `n_words` (corpus word occurrences) and `total_chars` (their
+    * summed lengths) are recomputed by the oracle from the clean-token
+    * pipeline; the guarantees assert lossless segmentation (every
+    * distinct word's pieces concatenate back to the word — the
+    * invariant a broken merge fold destroys first), the compression
+    * bounds n_words ≤ Σpieces ≤ total_chars (each word ≥1 piece, never
+    * more pieces than characters), and a well-formed merge table
+    * (contiguous ranks, merged = left·right). Vocabulary-sized encode +
+    * one equi-join, the q_bpe_encode scale shape. */
+  def qBpeAudit(s: SparkSession, dir: String): DataFrame = {
+    val mergeRows = qBpe(s, dir).orderBy(col("rank").asc).collect()
+    val merges = mergeRows.map(r =>
+      (r.getAs[Int]("rank"), r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("merged"))).toSeq
+    val mergesOk = merges.zipWithIndex.forall { case ((rk, a, b, m), i) =>
+      rk == i + 1 && m == a + b
+    }
+    val pairs = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = encodeWords(pairs.select("w").distinct(),
+      merges.map { case (_, a, b, _) => (a, b) })
+      .select(col("w"), size(col("syms")).as("n_pieces"),
+        (concat_ws("", col("syms")) === col("w")).as("rt"))
+    val agg = pairs.join(vocab, Seq("w"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("total_chars"),
+        sum(col("n_pieces")).as("total_pieces"),
+        min(col("rt").cast("int")).as("rt_min"))
+      .collect().head
+    val nWords = agg.getAs[Long]("n_words")
+    val totalChars = agg.getAs[Long]("total_chars")
+    val totalPieces = agg.getAs[Long]("total_pieces")
+    import s.implicits._
+    Seq((nWords, totalChars,
+      agg.getAs[Int]("rt_min") == 1,
+      nWords <= totalPieces && totalPieces <= totalChars,
+      mergesOk))
+      .toDF("n_words", "total_chars", "roundtrip_ok", "bounds_ok", "merges_ok")
+  }
+
+  private lazy val qBpeAuditSql =
+    s"""WITH t AS (SELECT unnest(${graft.functions.TextFns.cleanTokensSql("text")}) AS w
+             FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(w)) AS BIGINT) AS total_chars,
+         TRUE AS roundtrip_ok, TRUE AS bounds_ok, TRUE AS merges_ok
+       FROM t"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe" -> (qBpe _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_audit" -> (qBpeAudit _))
 
-  override def oracles: Map[String, String] = Map.empty
+  // The merge table itself stays rows-only (data-derived); the tokenizer
+  // contract certificate is the SQL-checkable piece.
+  override def oracles: Map[String, String] = Map(
+    "q_bpe_audit" -> qBpeAuditSql)
 }

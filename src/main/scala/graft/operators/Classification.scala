@@ -482,6 +482,58 @@ object Classification extends QueryModule {
       .toDF("n", "label_mass", "monotone_ok", "range_ok", "mass_preserved_ok")
   }
 
+  /** q_classify_audit: supervised-harness accounting certificate — the
+    * classifier WEIGHTS can't be SQL-oracled (iterative fits), but the
+    * shared train/eval harness is pure relational algebra the oracle
+    * recomputes end-to-end: the deterministic vec_id%5 split sizes, the
+    * test-side gold positives, and the class_weight='balanced' values
+    * w_c = n/(2·n_c) (read back from the ACTUAL per-row weight column,
+    * with per-class min=max consistency — a drifted weight formula or a
+    * leaked test row changes a value the oracle computes independently).
+    * The representative LR confusion must then account for exactly the
+    * test partition (tp+fp+tn+fn = n_test, tp+fn = n_test_pos). */
+  def qClassifyAudit(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val w = train.groupBy("y")
+      .agg(count(lit(1)).as("n"), min(col("w")).as("wmin"), max(col("w")).as("wmax"))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val weightsConsistent = w.values.forall(r =>
+      r.getAs[Double]("wmin") == r.getAs[Double]("wmax"))
+    val nTrain = w.values.map(_.getAs[Long]("n")).sum
+    val t = test.agg(count(lit(1)).as("n"),
+      sum(col("y")).cast("long").as("npos")).collect().head
+    val (nTest, nTestPos) = (t.getAs[Long]("n"), t.getAs[Long]("npos"))
+    val lr = qClassifyLr(s, dir).collect().head
+    val (tp, fp, tn, fn) = (lr.getAs[Long]("tp"), lr.getAs[Long]("fp"),
+      lr.getAs[Long]("tn"), lr.getAs[Long]("fn"))
+    val cellsOk = tp + fp + tn + fn == nTest && tp + fn == nTestPos
+    val metricsOk = Seq("precision", "recall", "accuracy", "f1").forall { c =>
+      Option(lr.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    import s.implicits._
+    Seq((nTrain, nTest, nTestPos,
+      r6(w(1.0).getAs[Double]("wmax")), r6(w(0.0).getAs[Double]("wmax")),
+      cellsOk && weightsConsistent, metricsOk))
+      .toDF("n_train", "n_test", "n_test_pos", "w_pos", "w_neg",
+        "cells_ok", "metrics_ok")
+  }
+
+  private lazy val qClassifyAuditSql =
+    """WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+             FROM embeddings),
+       tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                CAST(sum(y) AS BIGINT) AS n_pos
+              FROM e WHERE vec_id % 5 <> 0),
+       te AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(y) AS BIGINT) AS n_test_pos
+              FROM e WHERE vec_id % 5 = 0)
+       SELECT n_train, n_test, n_test_pos,
+         round(CAST(n_train AS DOUBLE) / (2.0 * n_pos), 6) AS w_pos,
+         round(CAST(n_train AS DOUBLE) / (2.0 * (n_train - n_pos)), 6) AS w_neg,
+         TRUE AS cells_ok, TRUE AS metrics_ok
+       FROM tr CROSS JOIN te"""
+
   /** q_features_audit: feature-assembly + StandardScaler certificate —
     * upgrades rows-only q_features with SQL-derivable anchors: `n_docs`
     * is the distinct-document count of the (hash-gated) doc2bow
@@ -558,6 +610,7 @@ object Classification extends QueryModule {
     "q_isotonic" -> (qIsotonic _),
     "q_isotonic_audit" -> (qIsotonicAudit _),
     "q_features_audit" -> (qFeaturesAudit _),
+    "q_classify_audit" -> (qClassifyAudit _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_nb" -> (qClassifyNb _),
@@ -577,5 +630,6 @@ object Classification extends QueryModule {
   // certificate is the one SQL-checkable contract (q_minhash_audit rule).
   override def oracles: Map[String, String] = Map(
     "q_isotonic_audit" -> qIsotonicAuditSql,
-    "q_features_audit" -> qFeaturesAuditSql)
+    "q_features_audit" -> qFeaturesAuditSql,
+    "q_classify_audit" -> qClassifyAuditSql)
 }

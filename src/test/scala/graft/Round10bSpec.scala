@@ -147,6 +147,22 @@ class Round10bSpec extends SparkSpec {
     assert(r.getAs[Boolean]("metrics_ok"))
   }
 
+  test("bpe audit: lossless segmentation and compression bounds hold") {
+    val r = graft.operators.Bpe.qBpeAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_words") > 0)
+    assert(r.getAs[Long]("total_chars") > r.getAs[Long]("n_words"))
+    Seq("roundtrip_ok", "bounds_ok", "merges_ok")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
+  test("classify audit: the harness accounts for the whole test partition") {
+    val r = graft.operators.Classification.qClassifyAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_train") > r.getAs[Long]("n_test"),
+      "80/20 split direction")
+    assert(r.getAs[Double]("w_pos") > 0.0 && r.getAs[Double]("w_neg") > 0.0)
+    Seq("cells_ok", "metrics_ok").foreach(c => assert(r.getAs[Boolean](c), c))
+  }
+
   // -------------------------------------------------- HITS hubs/auth
 
   test("hits: matches an exact local power iteration on a bipartite fixture") {
