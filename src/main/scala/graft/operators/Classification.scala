@@ -482,6 +482,40 @@ object Classification extends QueryModule {
       .toDF("n", "label_mass", "monotone_ok", "range_ok", "mass_preserved_ok")
   }
 
+  /** q_cv_audit: cross-validation accounting certificate — one row per
+    * fold, hash-gating the CV harness's bookkeeping: the oracle
+    * recomputes each vec_id%5 fold's size and gold-positive count
+    * directly from embeddings, and each fold's confusion cells (from
+    * the REAL per-fold fit/eval in q_cv_train) must account for exactly
+    * that held-out fold (tp+fp+tn+fn = n_fold, tp+fn = n_fold_pos). A
+    * leaked row, an overlapping fold, or a per-fold scaler fit on the
+    * wrong side shows up as a cell-count mismatch. */
+  def qCvAudit(s: SparkSession, dir: String): DataFrame = {
+    val cv = qCvTrain(s, dir).filter(col("fold") >= 0).collect()
+    val sizes = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 5).cast("int").as("fold"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    import s.implicits._
+    cv.map { r =>
+      val f = r.getInt(0)
+      val cells = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("tn") + r.getAs[Long]("fn")
+      val goldPos = r.getAs[Long]("tp") + r.getAs[Long]("fn")
+      val (n, npos) = sizes(f)
+      (f, n, npos, cells == n, goldPos == npos)
+    }.toSeq.toDF("fold", "n_fold", "n_fold_pos", "cells_ok", "gold_ok")
+  }
+
+  private lazy val qCvAuditSql =
+    """SELECT CAST(vec_id % 5 AS INT) AS fold,
+         CAST(count(*) AS BIGINT) AS n_fold,
+         CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fold_pos,
+         TRUE AS cells_ok, TRUE AS gold_ok
+       FROM embeddings GROUP BY 1"""
+
   /** q_classify_audit: supervised-harness accounting certificate — the
     * classifier WEIGHTS can't be SQL-oracled (iterative fits), but the
     * shared train/eval harness is pure relational algebra the oracle
@@ -611,6 +645,7 @@ object Classification extends QueryModule {
     "q_isotonic_audit" -> (qIsotonicAudit _),
     "q_features_audit" -> (qFeaturesAudit _),
     "q_classify_audit" -> (qClassifyAudit _),
+    "q_cv_audit" -> (qCvAudit _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_nb" -> (qClassifyNb _),
@@ -631,5 +666,6 @@ object Classification extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_isotonic_audit" -> qIsotonicAuditSql,
     "q_features_audit" -> qFeaturesAuditSql,
-    "q_classify_audit" -> qClassifyAuditSql)
+    "q_classify_audit" -> qClassifyAuditSql,
+    "q_cv_audit" -> qCvAuditSql)
 }
