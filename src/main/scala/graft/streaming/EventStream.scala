@@ -306,6 +306,43 @@ object EventStream {
       }
   }
 
+  case class TypedUser(event_type: String, user_id: Long)
+  case class DistinctOut(event_type: String, n_distinct: Long)
+
+  /** Streaming exact-distinct twin of ScaleOps.qBitmapDistinct: running
+    * distinct users per event type, with the SAME RoaringBitmap sketch
+    * carried as keyed state (serialized bytes in the state store — the
+    * store is untyped, and the bitmap's own serialization is far more
+    * compact than a JVM-object encoder). Each micro-batch ORs the new
+    * ids in and emits the updated exact cardinality; state per key is
+    * one compressed bitmap bounded by the id space, not the stream
+    * length — the groupBitmap posture carried into Structured
+    * Streaming. Ids outside [0, 2³¹) fail loudly, matching the batch
+    * aggregate's contract. */
+  def runningDistinct(events: Dataset[TypedUser]): Dataset[DistinctOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Byte], DistinctOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (t, rows, state: GroupState[Array[Byte]]) =>
+          val bm = state.getOption.map { bytes =>
+            val m = new org.roaringbitmap.RoaringBitmap()
+            m.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            m
+          }.getOrElse(new org.roaringbitmap.RoaringBitmap())
+          rows.foreach { e =>
+            require(e.user_id >= 0 && e.user_id < Int.MaxValue,
+              s"id outside the bitmap space: ${e.user_id}")
+            bm.add(e.user_id.toInt)
+          }
+          bm.runOptimize()
+          val buf = java.nio.ByteBuffer.allocate(bm.serializedSizeInBytes())
+          bm.serialize(buf)
+          state.update(buf.array())
+          Iterator(DistinctOut(t, bm.getLongCardinality))
+      }
+  }
+
   /** Custom keyed state: running per-user event count/value via
     * flatMapGroupsWithState. In production add a GroupStateTimeout
     * (processing- or event-time) so idle keys age out of the state store. */

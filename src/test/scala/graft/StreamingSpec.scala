@@ -435,4 +435,27 @@ class StreamingSpec extends SparkSpec {
       assert(r2.decision === "accept_h1")
     } finally q.stop()
   }
+
+  test("streaming bitmap distinct matches exact counts, dedups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedUser]
+    val q = EventStream.runningDistinct(input.toDS())
+      .writeStream.format("memory").queryName("distinct_out")
+      .outputMode("update").start()
+    def latest(): Map[String, Long] =
+      spark.table("distinct_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }.toMap
+    try {
+      input.addData(Seq(1L, 2L, 2L, 3L).map(EventStream.TypedUser("click", _)) ++
+        Seq(7L).map(EventStream.TypedUser("view", _)))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1("click") === 3L && r1("view") === 1L)
+      // batch 2: overlap with batch 1 must NOT recount; new ids must
+      input.addData(Seq(2L, 3L, 4L, 4L, 5L).map(EventStream.TypedUser("click", _)))
+      q.processAllAvailable()
+      assert(latest()("click") === 5L, "bitmap state must dedup across batches")
+    } finally q.stop()
+  }
 }
