@@ -43,7 +43,11 @@ object ExplainProbe {
         "q_llr" -> operators.TextAnalysis.qLlr(spark, dir),
         "q_fellegi" -> operators.Evaluation.qFellegi(spark, dir),
         "q_ann_ivf_audit" -> operators.SimilaritySearch.qAnnIvfAudit(spark, dir),
-        "q_ann_pq_audit" -> operators.SimilaritySearch.qAnnPqAudit(spark, dir))
+        "q_ann_pq_audit" -> operators.SimilaritySearch.qAnnPqAudit(spark, dir),
+        "q_anova" -> operators.Stats.qAnova(spark, dir),
+        "q_kruskal" -> operators.RobustStats.qKruskal(spark, dir),
+        "q_tcloseness" -> operators.RobustStats.qTcloseness(spark, dir),
+        "q_hits" -> operators.Relational.qHits(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"===== $name =====")
       df.explain("formatted")

@@ -174,6 +174,30 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- scale-posture probes
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("t-closeness plans its grid with broadcasts, never a cartesian of facts") {
+    val p = plan(RobustStats.qTcloseness(spark, sfDir))
+    assert(p.contains("Broadcast"), "global band counts must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("anova plans as map-side partial aggregation over one scan") {
+    val p = plan(Stats.qAnova(spark, sfDir))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "a single-scan moment aggregate must not join")
+  }
+
+  test("hits final assembly broadcasts the side maxima") {
+    val p = plan(graft.operators.Relational.qHits(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   // -------------------------------------------------- HITS hubs/auth
 
   test("hits: matches an exact local power iteration on a bipartite fixture") {
