@@ -2226,8 +2226,81 @@ object Stats extends QueryModule {
              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) > $AnovaFCrit AS significant
        FROM m"""
 
+  /** q_levene: Brown–Forsythe variance-homogeneity test across the
+    * l_returnflag groups — the ASSUMPTION check beside q_anova (ANOVA
+    * compares means assuming equal variances; W is the F statistic on
+    * absolute deviations from each group's MEDIAN, the robust Levene
+    * variant). The median is nearest-rank through the distributed
+    * pick-only selector (Ranks.groupedValueAtRanks — one range shuffle,
+    * only picked values reach the driver, the q_mad discipline; never a
+    * per-group window over a third of the fact table), deviations stay
+    * exact 2-dp DECIMAL, and the F combination reuses the q_anova
+    * moment core verbatim. W ≈ 0 on this corpus (uniform quantities —
+    * honest true negative; Round10bSpec proves W trips on a
+    * heteroscedastic fixture). */
+  def qLevene(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("decimal(18,2)").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try leveneOf(s, base)
+    finally base.unpersist()
+  }
+
+  /** Brown–Forsythe core over a persisted (g, x DECIMAL) relation. */
+  def leveneOf(s: SparkSession, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def kMed(n: Long) = (n * 50 + 99) / 100
+    val (counts, medPicks) = Ranks.groupedValueAtRanks(
+      base, "g", "x", n => Seq(kMed(n)))
+    val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
+    val groups = counts.keySet.toSeq.sortBy(_.toString)
+    val medRows = groups.map(g => Row(g, meds(g)))
+    val medDf = s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(medRows).asJava),
+      StructType(Seq(base.schema("g"),
+        StructField("med", base.schema("x").dataType))))
+    val z = base.join(broadcast(medDf), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("x"))
+    anovaOf(z).select(col("k"), col("n"), col("f").as("w"), col("significant"))
+  }
+
+  private lazy val qLeveneSql =
+    s"""WITH base AS (SELECT l_returnflag AS g,
+               CAST(l_quantity AS DECIMAL(18,2)) AS x FROM lineitem),
+       c AS (SELECT g, (count(*)*50+99)//100 AS k_med FROM base GROUP BY g),
+       r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn
+             FROM base),
+       med AS (SELECT r.g, r.x AS med FROM r JOIN c ON c.g = r.g AND r.rn = c.k_med),
+       zz AS (SELECT base.g, abs(base.x - med.med) AS z
+              FROM base JOIN med ON med.g = base.g),
+       gg AS (SELECT g, CAST(count(*) AS BIGINT) AS nj,
+                sum(CAST(z AS DECIMAL(18,2))) AS s,
+                sum(CAST(z AS DECIMAL(18,2)) * CAST(z AS DECIMAL(18,2))) AS ss
+              FROM zz GROUP BY 1),
+       t AS (SELECT g, nj, s, ss,
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nj AS DOUBLE) AS term
+             FROM gg),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               CAST(sum(s) AS DOUBLE) AS stot, CAST(sum(ss) AS DOUBLE) AS sstot,
+               list_sum(list(term ORDER BY g)) AS sb
+             FROM t)
+       SELECT k, n,
+         round((sb - stot * stot / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+           / (((sstot - stot * stot / CAST(n AS DOUBLE))
+               - (sb - stot * stot / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS w,
+         (sb - stot * stot / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+           / (((sstot - stot * stot / CAST(n AS DOUBLE))
+               - (sb - stot * stot / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) > $AnovaFCrit AS significant
+       FROM m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
+    "q_levene" -> (qLevene _),
     "q_spearman" -> (qSpearman _),
     "q_benford" -> (qBenford _),
     "q_autocorr" -> (qAutocorr _),
@@ -2268,6 +2341,7 @@ object Stats extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_anova" -> qAnovaSql,
+    "q_levene" -> qLeveneSql,
     "q_spearman" -> qSpearmanSql,
     "q_benford" -> qBenfordSql,
     "q_autocorr" -> qAutocorrSql,

@@ -174,6 +174,31 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ Brown–Forsythe W
+
+  test("levene: heteroscedastic groups trip W, equal-spread groups do not") {
+    // group a: tight around 100 (spread 1); group b: wide (spread 30)
+    val a = (1 to 100).map(i => ("a", java.math.BigDecimal.valueOf(100 + (i % 3) - 1)))
+    val b = (1 to 100).map(i => ("b", java.math.BigDecimal.valueOf(100 + (i % 61) - 30)))
+    val df = (a ++ b).toDF("g", "x")
+      .select(col("g"), col("x").cast("decimal(18,2)").as("x"))
+    val r = Stats.leveneOf(spark, df).collect().head
+    assert(r.getAs[Boolean]("significant"), "30x spread ratio must be significant")
+    val same = (a ++ a.map { case (_, x) => ("b", x) }).toDF("g", "x")
+      .select(col("g"), col("x").cast("decimal(18,2)").as("x"))
+    val r0 = Stats.leveneOf(spark, same).collect().head
+    assert(!r0.getAs[Boolean]("significant"))
+    assert(math.abs(r0.getAs[Double]("w")) < 1e-9,
+      "identical spreads: deviation means equal across groups")
+  }
+
+  test("levene on the corpus: one row, W finite and non-negative") {
+    val r = Stats.qLevene(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("k") === 3)
+    assert(r.head.getAs[Double]("w") >= 0.0)
+  }
+
   // --------------------------------------------- scale-posture probes
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
