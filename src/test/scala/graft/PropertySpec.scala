@@ -74,4 +74,47 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(3) === r.getLong(5))
     }
   }
+
+  test("omnibus-test laws hold on generated group samples") {
+    import graft.operators.{RobustStats, Stats}
+    // seeded 3-group integer samples
+    val g = for {
+      gs <- Gen.listOfN(3, Gen.listOfN(60, Gen.chooseNum(0L, 40L)))
+    } yield gs
+    val gs = g.apply(Gen.Parameters.default, Seed(7L)).get
+    val rows = gs.zipWithIndex.flatMap { case (xs, i) => xs.map(x => (s"g$i", x)) }
+    // LAW 1: Kruskal–Wallis is RANK-based → invariant under any strictly
+    // monotone transform of x (here x -> 3x + 5, and x -> x³ which is
+    // monotone on non-negatives)
+    val h0 = RobustStats.kruskalWallis(rows.toDF("g", "x"))
+      .collect().head.getAs[Double]("h_tie_corrected")
+    val hAffine = RobustStats.kruskalWallis(
+      rows.map { case (g, x) => (g, 3 * x + 5) }.toDF("g", "x"))
+      .collect().head.getAs[Double]("h_tie_corrected")
+    val hCube = RobustStats.kruskalWallis(
+      rows.map { case (g, x) => (g, x * x * x) }.toDF("g", "x"))
+      .collect().head.getAs[Double]("h_tie_corrected")
+    assert(h0 === hAffine, "KW must be invariant under affine maps")
+    assert(h0 === hCube, "KW must be invariant under monotone maps")
+    // LAW 2: ANOVA F is invariant under affine maps a·x+b (a ≠ 0): both
+    // SSB and SSW scale by a², so F and η² are unchanged (up to the 6-dp
+    // round both engines share)
+    val f0 = Stats.anovaOf(rows.toDF("g", "x")).collect().head
+    val fA = Stats.anovaOf(rows.map { case (g, x) => (g, 2 * x + 7) }
+      .toDF("g", "x")).collect().head
+    assert(math.abs(f0.getAs[Double]("f") - fA.getAs[Double]("f")) <= 2e-6)
+    assert(math.abs(f0.getAs[Double]("eta_sq") - fA.getAs[Double]("eta_sq")) <= 2e-6)
+    // LAW 3: Brown–Forsythe W is invariant under SHIFTS (deviations from
+    // the median are unchanged) — and under sign flip (|x−med| preserved
+    // when both negate, up to nearest-rank median asymmetry on ties we
+    // avoid by shifting only)
+    val base = rows.toDF("g", "x")
+      .select(col("g"), col("x").cast("decimal(18,2)").as("x")).persist()
+    val shifted = rows.map { case (g, x) => (g, x + 100) }.toDF("g", "x")
+      .select(col("g"), col("x").cast("decimal(18,2)").as("x")).persist()
+    val w0 = Stats.leveneOf(spark, base).collect().head.getAs[Double]("w")
+    val wS = Stats.leveneOf(spark, shifted).collect().head.getAs[Double]("w")
+    base.unpersist(); shifted.unpersist()
+    assert(w0 === wS, "BF-W must be shift-invariant")
+  }
 }
