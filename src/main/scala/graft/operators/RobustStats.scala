@@ -857,16 +857,18 @@ object RobustStats extends QueryModule {
     kruskalWallis(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
-  /** Kruskal–Wallis core over a (g, x) relation — see [[qKruskal]]. */
+  /** Kruskal–Wallis core over a (g, x) relation — see [[qKruskal]].
+    * The cumulative tie count over distinct values runs through the
+    * DISTRIBUTED exclusive prefix sum (Ranks.globalPrefixSum — range
+    * partition + per-partition offsets), never a bare one-task global
+    * window: the distinct-value relation is domain-bounded here, but the
+    * same core then holds for unbounded value domains unchanged. */
   def kruskalWallis(vals: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byGx = vals.groupBy("g", "x").agg(count(lit(1)).as("d"))
     val tx = byGx.groupBy("x").agg(sum(col("d")).as("t"))
-    val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ar = tx.withColumn("c", sum(col("t")).over(w))
+    val ar = graft.functions.Ranks.globalPrefixSum(tx, "t", col("x").asc)
       .select(col("x"), col("t"),
-        ((col("c") - col("t")).cast("decimal(19,1)") +
+        (col("cum_before").cast("decimal(19,1)") +
           (col("t") + 1).cast("decimal(19,1)") / 2)
           .cast("decimal(19,1)").as("ar"))
     val ties = ar.agg(

@@ -210,6 +210,12 @@ class Round10bSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("kruskal-wallis ranks through the distributed prefix sum, no Window node") {
+    val p = plan(RobustStats.qKruskal(spark, sfDir))
+    assert(!p.contains("Window"),
+      "one-task global window crept back into the KW rank pass")
+  }
+
   test("anova plans as map-side partial aggregation over one scan") {
     val p = plan(Stats.qAnova(spark, sfDir))
     assert(p.contains("HashAggregate"), p.take(1500))
