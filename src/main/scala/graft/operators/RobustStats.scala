@@ -447,17 +447,23 @@ object RobustStats extends QueryModule {
     val cls = cb.groupBy("lang", "source").agg(sum(col("c")).as("n"))
     val gb = d.groupBy("band").agg(count(lit(1)).as("g"))
     val tot = d.agg(count(lit(1)).as("nn"))
+    // counts widen to DECIMAL(38,0) before the cross-multiplications:
+    // c·N and the n·N flag products overflow int64 once the corpus
+    // passes ~10⁹·10⁹ scaled units (non-ANSI Spark would wrap silently
+    // while DuckDB errors — exactly the divergence the hash gate can't
+    // see); decimal keeps both engines exact to 38 digits
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     cls.crossJoin(broadcast(gb)).crossJoin(broadcast(tot))
       .join(cb, Seq("lang", "source", "band"), "left")
       .select(col("lang"), col("source"), col("n"), col("nn"),
-        abs(coalesce(col("c"), lit(0L)) * col("nn") - col("g") * col("n"))
-          .as("num"))
+        abs(d38(coalesce(col("c"), lit(0L))) * d38(col("nn")) -
+          d38(col("g")) * d38(col("n"))).as("num"))
       .groupBy("lang", "source", "n", "nn")
-      .agg(sum(col("num")).as("num"))
+      .agg(sum(col("num")).cast("decimal(38,0)").as("num"))
       .select(col("lang"), col("source"), col("n"),
         round(col("num").cast("double") /
           (lit(2.0) * col("n") * col("nn")), 6).as("tvd"),
-        (col("num") * 5 > col("n") * col("nn") * 2).as("at_risk"))
+        (col("num") * 5 > d38(col("n")) * d38(col("nn")) * 2).as("at_risk"))
   }
 
   private lazy val qTclosenessSql =
@@ -468,15 +474,17 @@ object RobustStats extends QueryModule {
        gb AS (SELECT band, CAST(count(*) AS BIGINT) AS g FROM d GROUP BY 1),
        t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
        grid AS (SELECT cls.lang, cls.source, cls.n, t.nn,
-                  abs(COALESCE(cb.c, 0) * t.nn - gb.g * cls.n) AS num
+                  abs(CAST(COALESCE(cb.c, 0) AS DECIMAL(38,0)) * CAST(t.nn AS DECIMAL(38,0))
+                    - CAST(gb.g AS DECIMAL(38,0)) * CAST(cls.n AS DECIMAL(38,0))) AS num
                 FROM cls CROSS JOIN gb CROSS JOIN t
                 LEFT JOIN cb ON cb.lang = cls.lang AND cb.source = cls.source
                   AND cb.band = gb.band),
-       agg AS (SELECT lang, source, n, nn, CAST(sum(num) AS BIGINT) AS num
+       agg AS (SELECT lang, source, n, nn,
+                 CAST(sum(num) AS DECIMAL(38,0)) AS num
                FROM grid GROUP BY 1, 2, 3, 4)
        SELECT lang, source, n,
          round(CAST(num AS DOUBLE) / (2.0 * n * nn), 6) AS tvd,
-         num * 5 > n * nn * 2 AS at_risk
+         num * 5 > CAST(n AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0)) * 2 AS at_risk
        FROM agg"""
 
   // ------------------------------------------------------------ cramers v
