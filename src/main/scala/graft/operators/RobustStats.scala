@@ -879,8 +879,11 @@ object RobustStats extends QueryModule {
         (col("cum_before").cast("decimal(19,1)") +
           (col("t") + 1).cast("decimal(19,1)") / 2)
           .cast("decimal(19,1)").as("ar"))
+    // t widens to DECIMAL before cubing: a tie depth past ~2×10⁶ wraps
+    // t³ in int64 (the q_tcloseness decimal rule)
+    val td = col("t").cast("decimal(38,0)")
     val ties = ar.agg(
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie_num"))
+      sum(td * td * td - td).cast("decimal(38,0)").as("tie_num"))
     val rj = byGx.join(ar.select(col("x"), col("ar")), Seq("x"))
       .groupBy("g")
       .agg(sum(col("d")).as("nj"), sum(col("d") * col("ar")).as("rj"))
@@ -913,7 +916,9 @@ object RobustStats extends QueryModule {
                     AS DECIMAL(19,1))
                   + CAST(t + 1 AS DECIMAL(19,1)) / 2 AS DECIMAL(19,1)) AS ar
               FROM tx),
-       ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_num FROM ar),
+       ties AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                  * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS tie_num FROM ar),
        rj AS (SELECT g, CAST(sum(d) AS BIGINT) AS nj, sum(d * ar) AS rj
               FROM gx JOIN ar USING (x) GROUP BY 1),
        tm AS (SELECT g, nj,
