@@ -151,14 +151,22 @@ object Bpe extends QueryModule {
     * derived, so no static SQL oracle can reproduce it); BpeEncodeSpec
     * pins the encoding against a driver-side reference encoder and gates
     * the piece-concatenation and vocabulary-closure invariants. */
-  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, w) word occurrences and the trained-merge-encoded DISTINCT
+    * vocabulary (w, syms) — ONE assembly shared by q_bpe_encode and the
+    * audit (the featureVectors rule: a drifted copy would let the audit
+    * certify a different encode than the query ships). */
+  private def encodedVocab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val merges = qBpe(s, dir).orderBy(col("rank").asc)
       .select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val pairs = TextPrep.cleanDocs(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("w"))
-    val vocab = encodeWords(pairs.select("w").distinct(), merges)
-      .select(col("w"), size(col("syms")).as("n_pieces"))
+    (pairs, encodeWords(pairs.select("w").distinct(), merges))
+  }
+
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, encoded) = encodedVocab(s, dir)
+    val vocab = encoded.select(col("w"), size(col("syms")).as("n_pieces"))
     pairs.join(vocab, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
@@ -177,17 +185,14 @@ object Bpe extends QueryModule {
     * (contiguous ranks, merged = left·right). Vocabulary-sized encode +
     * one equi-join, the q_bpe_encode scale shape. */
   def qBpeAudit(s: SparkSession, dir: String): DataFrame = {
-    val mergeRows = qBpe(s, dir).orderBy(col("rank").asc).collect()
-    val merges = mergeRows.map(r =>
-      (r.getAs[Int]("rank"), r.getAs[String]("left"), r.getAs[String]("right"),
-        r.getAs[String]("merged"))).toSeq
-    val mergesOk = merges.zipWithIndex.forall { case ((rk, a, b, m), i) =>
-      rk == i + 1 && m == a + b
-    }
-    val pairs = TextPrep.cleanDocs(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-    val vocab = encodeWords(pairs.select("w").distinct(),
-      merges.map { case (_, a, b, _) => (a, b) })
+    val mergesOk = qBpe(s, dir).orderBy(col("rank").asc).collect()
+      .zipWithIndex.forall { case (r, i) =>
+        r.getAs[Int]("rank") == i + 1 &&
+          r.getAs[String]("merged") ==
+            r.getAs[String]("left") + r.getAs[String]("right")
+      }
+    val (pairs, encoded) = encodedVocab(s, dir)
+    val vocab = encoded
       .select(col("w"), size(col("syms")).as("n_pieces"),
         (concat_ws("", col("syms")) === col("w")).as("rt"))
     val agg = pairs.join(vocab, Seq("w"))

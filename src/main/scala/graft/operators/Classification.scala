@@ -400,17 +400,25 @@ object Classification extends QueryModule {
     * per-dimension profile (count, mean, std) of the assembled feature
     * matrix: one posexplode + one groupBy(dim), fully distributed, and the
     * rows-only check pins both the dimensionality and the moments. */
-  def qFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** Assembled per-doc feature vectors (topic distribution ⊕ length) —
+    * ONE definition shared by q_features and its audit, so the audit can
+    * never silently certify a different relation than the query emits. */
+  private def featureVectors(s: SparkSession, dir: String): DataFrame = {
     val topics = TopicModeling.docTopics(s, dir)
-    val lens = TextPrep.cleanDocs(s, dir).select(col("doc_id"), size(col("toks")).as("len"))
+    val lens = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), size(col("toks")).as("len"))
     topics.join(lens, Seq("doc_id"))
-      .select(col("doc_id"), concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
+      .select(col("doc_id"), col("len"),
+        concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
+  }
+
+  def qFeatures(s: SparkSession, dir: String): DataFrame =
+    featureVectors(s, dir)
       .select(posexplode(col("fvec")).as(Seq("dim_idx", "x")))
       .groupBy("dim_idx")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("x")), 6).as("mean"),
         round(stddev_pop(col("x")), 6).as("std"))
-  }
 
   /** q_isotonic: isotonic (PAV) calibration of the quality score against
     * the Gopher gate — the monotone regression that turns a raw ranking
@@ -544,7 +552,9 @@ object Classification extends QueryModule {
     val metricsOk = Seq("precision", "recall", "accuracy", "f1").forall { c =>
       Option(lr.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
     }
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // HALF-UP like DuckDB round() — math.rint is HALF_EVEN and would
+    // diverge from the oracle on exact .5 ties of these positive rationals
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     import s.implicits._
     Seq((nTrain, nTest, nTestPos,
       r6(w(1.0).getAs[Double]("wmax")), r6(w(0.0).getAs[Double]("wmax")),
@@ -584,13 +594,7 @@ object Classification extends QueryModule {
   def qFeaturesAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.StandardScaler
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val topics = TopicModeling.docTopics(s, dir)
-    val lens = TextPrep.cleanDocs(s, dir)
-      .select(col("doc_id"), size(col("toks")).as("len"))
-    val j = topics.join(lens, Seq("doc_id"))
-      .select(col("len"),
-        concat(col("dist"), array(col("len").cast("double"))).as("fvec"))
-      .persist()
+    val j = featureVectors(s, dir).select(col("len"), col("fvec")).persist()
     val anchor = j
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("len_mass"),
         min(size(col("fvec"))).as("dmin"), max(size(col("fvec"))).as("dmax"))

@@ -443,10 +443,14 @@ object RobustStats extends QueryModule {
     val d = docs
       .select(col("lang"), col("source"),
         (col("n_chars").cast("long") / LDivBand).cast("long").as("band"))
+    // ONE grouped scan of the fact relation; classes, global bands, and
+    // the corpus total all roll up from the (class, band) cell table
+    // (its exchange dedupes via ReuseExchange — no session-lifetime
+    // persist, the r6 ADVICE rule)
     val cb = d.groupBy("lang", "source", "band").agg(count(lit(1)).as("c"))
     val cls = cb.groupBy("lang", "source").agg(sum(col("c")).as("n"))
-    val gb = d.groupBy("band").agg(count(lit(1)).as("g"))
-    val tot = d.agg(count(lit(1)).as("nn"))
+    val gb = cb.groupBy("band").agg(sum(col("c")).as("g"))
+    val tot = cb.agg(sum(col("c")).as("nn"))
     // counts widen to DECIMAL(38,0) before the cross-multiplications:
     // c·N and the n·N flag products overflow int64 once the corpus
     // passes ~10⁹·10⁹ scaled units (non-ANSI Spark would wrap silently
@@ -843,9 +847,15 @@ object RobustStats extends QueryModule {
     mannWhitneyPairs(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
-  /** χ²(df=4) 95th percentile for the q_kruskal flag — a fixed literal
-    * written identically in both engines (the q_ab_test 1.96 rule). */
-  val KruskalChiCrit = 9.487729
+  /** χ² 95th-percentile critical values by df for the Kruskal–Wallis
+    * flag (df = k−1; the q_ab_test fixed-literal rule — the df=4 entry
+    * is the one the corpus-gated query and its oracle share). The core
+    * is reused at other k by specs/fixtures, so the flag must pick the
+    * right row rather than hardcode one df. */
+  val KruskalChiCrit: Map[Int, Double] = Map(
+    1 -> 3.841459, 2 -> 5.991465, 3 -> 7.814728, 4 -> 9.487729,
+    5 -> 11.070498, 6 -> 12.591587, 7 -> 14.067140, 8 -> 15.507313,
+    9 -> 16.918978, 10 -> 18.307038)
 
   /** q_kruskal: Kruskal–Wallis H over document lengths across ALL
     * language groups at once — the k-group generalization of
@@ -904,7 +914,9 @@ object RobustStats extends QueryModule {
     m.select(col("k"), col("n"), round(h, 6).as("h"),
       round(hc, 6).as("h_tie_corrected"),
       (col("k") - 1).as("df"),
-      (hc > KruskalChiCrit).as("significant"))
+      (hc > KruskalChiCrit.foldLeft(lit(Double.PositiveInfinity)) {
+        case (acc, (df, crit)) => when(col("k") - 1 === df, crit).otherwise(acc)
+      }).as("significant"))
   }
 
   private lazy val qKruskalSql =
@@ -940,7 +952,7 @@ object RobustStats extends QueryModule {
              - 3 * (CAST(n AS DOUBLE) + 1))
            / (1.0 - CAST(tie_num AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-               - CAST(n AS DOUBLE))) > $KruskalChiCrit AS significant
+               - CAST(n AS DOUBLE))) > ${KruskalChiCrit(4)} AS significant
        FROM m CROSS JOIN ties"""
 
   /** Package-visible: Inference.qBhFdr wraps this matrix as a derived

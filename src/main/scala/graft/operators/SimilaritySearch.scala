@@ -789,7 +789,9 @@ object SimilaritySearch extends QueryModule {
       math.abs(p - l / sumL) <= 1e-6
     }
     import s.implicits._
-    Seq((n, nDims, math.rint(totalVarPop * 1e6) / 1e6, traceOk, spectrumOk,
+    // HALF-UP like DuckDB round() (math.rint's HALF_EVEN would diverge
+    // on an exact .5 tie of this positive value)
+    Seq((n, nDims, math.floor(totalVarPop * 1e6 + 0.5) / 1e6, traceOk, spectrumOk,
       orthoDev < 1e-8, mllibOk))
       .toDF("n", "n_dims", "total_var_pop", "trace_ok", "spectrum_ok",
         "orthonormal_ok", "mllib_consistent")

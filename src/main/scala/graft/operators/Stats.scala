@@ -2243,8 +2243,17 @@ object Stats extends QueryModule {
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast("decimal(18,2)").as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try leveneOf(s, base)
-    finally base.unpersist()
+    try {
+      // materialize the 1-row result WHILE base is cached (the qMad
+      // rule) — returning the lazy plan would unpersist before the
+      // caller's collect and recompute the whole scan uncached
+      val out = leveneOf(s, base)
+      val rows = out.collect()
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        out.schema)
+    } finally base.unpersist()
   }
 
   /** Brown–Forsythe core over a persisted (g, x DECIMAL) relation. */

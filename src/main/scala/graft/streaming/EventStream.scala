@@ -331,7 +331,7 @@ object EventStream {
             m
           }.getOrElse(new org.roaringbitmap.RoaringBitmap())
           rows.foreach { e =>
-            require(e.user_id >= 0 && e.user_id < Int.MaxValue,
+            require(e.user_id >= 0 && e.user_id <= Int.MaxValue,
               s"id outside the bitmap space: ${e.user_id}")
             bm.add(e.user_id.toInt)
           }
