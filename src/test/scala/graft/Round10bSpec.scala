@@ -199,6 +199,36 @@ class Round10bSpec extends SparkSpec {
     assert(r.head.getAs[Double]("w") >= 0.0)
   }
 
+  // ---------------------------------------------- model persistence
+
+  test("model persistence: LDA and LR fits round-trip through disk save/load " +
+      "(ref: wiki_lda.py model.save / LdaModel.load)") {
+    import org.apache.spark.ml.clustering.LocalLDAModel
+    import org.apache.spark.ml.classification.LogisticRegressionModel
+    val tmp = java.nio.file.Files.createTempDirectory("graft-models").toString
+    // LDA: the reference persists the trained topic model between stages
+    val (bow, _) = graft.operators.TopicModeling.corpus(spark, sfDir)
+    val lda = graft.operators.TopicModeling.fitLda(bow, k = 3, maxIter = 3)
+    lda.write.overwrite().save(s"$tmp/lda")
+    val lda2 = LocalLDAModel.load(s"$tmp/lda")
+    val before = lda.transform(bow).select("doc_id", "topicDistribution")
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val after = lda2.transform(bow).select("doc_id", "topicDistribution")
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(before === after, "reloaded LDA must transform identically")
+    // classifier: supervised_classifier.py persists fitted models the same way
+    val (train, test) = graft.operators.Classification.dataset(spark, sfDir)
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setLabelCol("y").setWeightCol("w").setMaxIter(20).setRegParam(0.1)
+      .fit(train)
+    m.write.overwrite().save(s"$tmp/lr")
+    val m2 = LogisticRegressionModel.load(s"$tmp/lr")
+    assert(m2.coefficients === m.coefficients && m2.intercept === m.intercept)
+    val p1 = m.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    val p2 = m2.transform(test).select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(p1 === p2, "reloaded LR must predict identically")
+  }
+
   // --------------------------------------------- scale-posture probes
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
