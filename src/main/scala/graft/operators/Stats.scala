@@ -2307,9 +2307,91 @@ object Stats extends QueryModule {
              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) > $AnovaFCrit AS significant
        FROM m"""
 
+  /** q_trend: Cochran–Armitage trend test — does the quality-gate pass
+    * RATE trend across ORDERED document-length bands? The ordered-k-group
+    * member of the proportion-test family (q_two_prop compares two
+    * unordered groups; ANOVA/KW compare means/locations — CA is the
+    * standard dose-response test for binomials over ordered categories,
+    * here band scores wᵢ = n_chars div 200). All moments are exact
+    * integers widened to DECIMAL(38,0) at the cross products (the
+    * q_tcloseness rule): T = N·Σwr − R·Σwn, Var(T) = R(N−R)/N ·
+    * (N·Σw²n − (Σwn)²)/N, z = T/√Var — one grouped scan, a band-count
+    * second stage, and a single fixed double expression both engines
+    * share. Genuinely significant on this corpus: the Gopher gate's
+    * length clauses make pass rate rise with band. */
+  def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (col("n_chars").cast("long") / RobustStats.LDivBand).cast("long").as("w"))
+    trendOf(bands
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id")))
+  }
+
+  /** Cochran–Armitage core over a (w: score, passes: Boolean) relation —
+    * see [[qTrend]]. */
+  def trendOf(vals: DataFrame): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = vals
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("r"))
+    val m = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+      sum(d38(col("w")) * d38(col("n"))).cast("decimal(38,0)").as("swn"),
+      sum(d38(col("w")) * d38(col("w")) * d38(col("n")))
+        .cast("decimal(38,0)").as("swwn"),
+      sum(d38(col("w")) * d38(col("r"))).cast("decimal(38,0)").as("swr"))
+    val nD = col("nn").cast("double")
+    val rD = col("rr").cast("double")
+    val t = (d38(col("nn")) * col("swr") - d38(col("rr")) * col("swn"))
+      .cast("double")
+    // Var(N·T') = R(N−R)·[N·Σw²n − (Σwn)²]/N (one /N — Round10bSpec pins
+    // the scaled statistic against a hand-computed fixture)
+    val varT = (rD * (nD - rD)) *
+      ((nD * col("swwn").cast("double") -
+        col("swn").cast("double") * col("swn").cast("double")) / nD)
+    val z = t / sqrt(varT)
+    m.select(col("k"), col("nn").as("n"), col("rr").as("n_pass"),
+      round(z, 6).as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
+  private lazy val qTrendSql =
+    s"""WITH qr AS (${TextAnalysis.qQualityRulesSql}),
+       b AS (SELECT d.doc_id, d.n_chars // ${RobustStats.LDivBand} AS w, qr.passes
+             FROM documents d JOIN qr ON qr.doc_id = d.doc_id),
+       g AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS r
+             FROM b GROUP BY 1),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+               CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS swn,
+               CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))
+                 * CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS swwn,
+               CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS swr
+             FROM g)
+       SELECT k, nn AS n, rr AS n_pass,
+         round(CAST(CAST(nn AS DECIMAL(38,0)) * swr
+             - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)
+           / sqrt((CAST(rr AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)))
+             * ((CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)
+               - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))
+               / CAST(nn AS DOUBLE))), 6) AS z,
+         abs(CAST(CAST(nn AS DECIMAL(38,0)) * swr
+             - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)
+           / sqrt((CAST(rr AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)))
+             * ((CAST(nn AS DOUBLE) * CAST(swwn AS DOUBLE)
+               - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))
+               / CAST(nn AS DOUBLE)))) > 1.96 AS significant
+       FROM m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
     "q_levene" -> (qLevene _),
+    "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
     "q_benford" -> (qBenford _),
     "q_autocorr" -> (qAutocorr _),
@@ -2351,6 +2433,7 @@ object Stats extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_anova" -> qAnovaSql,
     "q_levene" -> qLeveneSql,
+    "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,
     "q_benford" -> qBenfordSql,
     "q_autocorr" -> qAutocorrSql,

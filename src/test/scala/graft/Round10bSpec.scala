@@ -199,6 +199,41 @@ class Round10bSpec extends SparkSpec {
     assert(r.head.getAs[Double]("w") >= 0.0)
   }
 
+  // ------------------------------------------ Cochran–Armitage trend
+
+  test("trend: matches a hand-computed reference, null on flat rates") {
+    // w=0: 1/2 pass; w=1: 1/2; w=2: 2/2 → rising trend
+    // by hand: N=6, R=4, p̄=2/3; T' = Σw(r−np̄) = (1−4/3)+(2−4/3)·2... per
+    // group: w=0: 0; w=1: 1−2·2/3 = −1/3; w=2: 2−2·2/3 = 2/3
+    // T' = −1/3 + 4/3 = 1  →  wait recompute in code below
+    val rows = Seq((0L, true), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true))
+    val r = Stats.trendOf(rows.toDF("w", "passes")).collect().head
+    // independent reference computation
+    val g = rows.groupBy(_._1).map { case (w, xs) =>
+      (w.toDouble, xs.size.toDouble, xs.count(_._2).toDouble)
+    }.toSeq
+    val n = g.map(_._2).sum; val rr = g.map(_._3).sum; val p = rr / n
+    val t = g.map { case (w, nj, rj) => w * (rj - nj * p) }.sum
+    val v = p * (1 - p) *
+      (g.map { case (w, nj, _) => w * w * nj }.sum -
+        math.pow(g.map { case (w, nj, _) => w * nj }.sum, 2) / n)
+    val zRef = t / math.sqrt(v)
+    assert(math.abs(r.getAs[Double]("z") - zRef) < 1e-6,
+      s"got ${r.getAs[Double]("z")}, reference $zRef")
+    // flat rates: every band passes exactly half → z = 0
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, false))
+    val r0 = Stats.trendOf(flat.toDF("w", "passes")).collect().head
+    assert(r0.getAs[Double]("z") === 0.0 && !r0.getAs[Boolean]("significant"))
+  }
+
+  test("trend on the corpus: pass rate genuinely rises with length band") {
+    val r = Stats.qTrend(spark, sfDir).collect().head
+    assert(r.getAs[Long]("k") === 3)
+    assert(r.getAs[Double]("z") > 0.0, "Gopher length clauses imply a rising trend")
+  }
+
   // ---------------------------------------------- model persistence
 
   test("model persistence: LDA and LR fits round-trip through disk save/load " +
