@@ -595,19 +595,23 @@ object Classification extends QueryModule {
     import org.apache.spark.ml.feature.StandardScaler
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val j = featureVectors(s, dir).select(col("len"), col("fvec")).persist()
-    val anchor = j
-      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("len_mass"),
-        min(size(col("fvec"))).as("dmin"), max(size(col("fvec"))).as("dmax"))
-      .collect().head
-    val vecs = j.select(array_to_vector(col("fvec")).as("features"))
-    val model = new StandardScaler().setWithMean(true).setWithStd(true)
-      .setInputCol("features").setOutputCol("scaled").fit(vecs)
-    val dims = model.transform(vecs)
-      .select(posexplode(vector_to_array(col("scaled"))).as(Seq("dim", "x")))
-      .groupBy("dim")
-      .agg(avg(col("x")).as("m"), stddev_samp(col("x")).as("sd"))
-      .collect()
-    j.unpersist()
+    // try/finally so a failed fit/aggregate can't leak the cached
+    // DataFrame for the session (the qLevene/qMad discipline).
+    val (anchor, dims) = try {
+      val anchor = j
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("len_mass"),
+          min(size(col("fvec"))).as("dmin"), max(size(col("fvec"))).as("dmax"))
+        .collect().head
+      val vecs = j.select(array_to_vector(col("fvec")).as("features"))
+      val model = new StandardScaler().setWithMean(true).setWithStd(true)
+        .setInputCol("features").setOutputCol("scaled").fit(vecs)
+      val dims = model.transform(vecs)
+        .select(posexplode(vector_to_array(col("scaled"))).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(avg(col("x")).as("m"), stddev_samp(col("x")).as("sd"))
+        .collect()
+      (anchor, dims)
+    } finally j.unpersist()
     val k1 = TopicModeling.DefaultK + 1
     val dimsOk = anchor.getAs[Int]("dmin") == k1 &&
       anchor.getAs[Int]("dmax") == k1 && dims.length == k1

@@ -914,7 +914,10 @@ object RobustStats extends QueryModule {
     m.select(col("k"), col("n"), round(h, 6).as("h"),
       round(hc, 6).as("h_tie_corrected"),
       (col("k") - 1).as("df"),
-      (hc > KruskalChiCrit.foldLeft(lit(Double.PositiveInfinity)) {
+      // df outside the 1..10 critical table → NULL, never a silent
+      // false: a caller reusing the core with >11 groups must see the
+      // missing-row condition, not a fake true negative (r10 advice).
+      (hc > KruskalChiCrit.foldLeft(lit(null).cast("double")) {
         case (acc, (df, crit)) => when(col("k") - 1 === df, crit).otherwise(acc)
       }).as("significant"))
   }

@@ -313,7 +313,9 @@ class Round10bSpec extends SparkSpec {
       auth = na; hub = nh
     }
     val hmx = hub.values.max; val amx = auth.values.max
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // HALF_UP like production's Spark round(), NOT math.rint (HALF_EVEN):
+    // a fixture ratio landing on a .5 tie at 6 dp would diverge.
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     cs.foreach { c =>
       assert(out(("c", c)) === r6(hub(c).toDouble / hmx.toDouble), s"hub c$c")
     }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.BinaryType
+
+/** Round-11 hardening pins:
+  *   - q_bloom_audit's bitmap must travel as a BROADCAST VARIABLE, not a
+  *     foldable binary literal baked into every task closure (r10 logged
+  *     "broadcasting large task binary 4.9 MiB": the ~2.5 MiB filter was
+  *     inlined at both probe sites). The probe walks every expression of
+  *     the optimized plan and caps the largest binary literal — the
+  *     exact source of task-binary bloat — at 1 KiB.
+  *   - the broadcast probe is bit-identical to the literal/codegen path:
+  *     same xxhash64 longs, same bitmap, same verdicts.
+  */
+class Round11Spec extends SparkSpec {
+
+  private def maxBinaryLiteralBytes(df: DataFrame): Int = {
+    var mx = 0
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case Literal(v: Array[Byte], BinaryType) if v != null =>
+          mx = math.max(mx, v.length)
+        case _ => ()
+      })
+    }
+    mx
+  }
+
+  test("q_bloom_audit plans with no MiB-sized binary literal (bitmap is broadcast)") {
+    val df = ScaleOps.qBloomAudit(spark, sfDir)
+    val mx = maxBinaryLiteralBytes(df)
+    assert(mx <= 1024,
+      s"a $mx-byte binary literal is back in the q_bloom_audit plan — " +
+        "the bloom bitmap must ship as a broadcast variable, not task binary")
+    // and the certificate itself still holds
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    assert(r.getAs[Boolean]("fpr_ok"))
+  }
+
+  test("broadcast probe is bit-identical to the literal BloomFilterMightContain path") {
+    import org.apache.spark.sql.functions._
+    val orderKeys = graft.sources.Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val bloom = orderKeys.select(xxhash64(col("o_custkey")).as("h"))
+      .stat.bloomFilter("h", 1L << 21, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probeBc = udf((h: Long) => bc.value.mightContainLong(h))
+    // probe members AND the alien range through both paths
+    val probes = orderKeys.distinct()
+      .union(spark.range(1, ScaleOps.BloomAlienProbes + 1)
+        .select((col("id") + ScaleOps.BloomAlienOffset).as("o_custkey")))
+    val both = probes.select(
+        ScaleOps.bloomMightContain(bos.toByteArray, col("o_custkey")).as("lit_path"),
+        probeBc(xxhash64(col("o_custkey"))).as("bc_path"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lit_path") === col("bc_path"), 0).otherwise(1)).as("diffs"))
+      .collect()(0)
+    assert(both.getAs[Long]("n") > 0)
+    assert(both.getAs[Long]("diffs") === 0L, "broadcast and literal probes diverged")
+  }
+}
