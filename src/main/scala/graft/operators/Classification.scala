@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * Task: embeddings table, gold = (label < 5). Rows-only oracles
   * (iterative optimizers aren't SQL-expressible); seeds fixed.
   *
-  * Deliberate divergence: the reference's kernel SVC (rbf/poly,
-  * supervised_classifier.py:316-334) has no MLlib equivalent — kernel
-  * methods need the Gram matrix (quadratic in rows, inherently
-  * non-distributable at this scale); LinearSVC is the documented stand-in.
+  * The reference's kernel SVC (rbf/poly, supervised_classifier
+  * .py:316-334) has no EXACT MLlib equivalent — kernel methods need the
+  * Gram matrix (quadratic in rows, inherently non-distributable at this
+  * scale). Two coverages: LinearSVC (q_classify_svc, the linear member)
+  * and random-Fourier-features + LinearSVC (q_classify_rbf — the
+  * standard bounded RBF approximation, kernel contract SQL-anchored by
+  * q_rbf_audit).
   */
 object Classification extends QueryModule {
 
@@ -77,6 +80,148 @@ object Classification extends QueryModule {
       .setMaxIter(100).setTol(1e-3).fit(train)
     metricsRow("linear_svc", m.transform(test))
   }
+
+  /** Dimensionality of the random-Fourier-feature map (D). Error of the
+    * kernel estimate decays as 1/√D; at D=256 the per-pair std is ≤
+    * 1/√D ≈ 0.06 — tight enough that the audit's thresholds are
+    * meaningful while the projected design matrix stays n×256. */
+  val RffDim = 256
+
+  /** Probe-id ceiling for the kernel-approximation certificate: test
+    * vectors with vec_id < 500 — a CONSTANT-size probe set (≤100
+    * vectors, ≤4950 pairs) at every SF, the q_ann_pq_audit
+    * scale-invariance rule. */
+  val RffProbeMaxId = 500L
+
+  /** Deterministic Rahimi–Recht random Fourier projection for the RBF
+    * kernel k(x,y) = exp(−γ‖x−y‖²): W rows ~ N(0, 2γI), phases
+    * b ~ U[0, 2π), both drawn from a FIXED-seed java.util.Random stream
+    * (its nextGaussian/nextDouble algorithms are pinned by the JDK spec,
+    * so the projection is bit-identical run to run and machine to
+    * machine — the no-driver-RNG discipline's seeded exception, same as
+    * KMeans setSeed). γ follows sklearn's gamma='scale' on standardized
+    * features: 1/(d·Var[x]) = 1/d. Model-sized (D×d doubles). */
+  private def rffPlanes(d: Int): (Array[Array[Double]], Array[Double]) = {
+    val gamma = 1.0 / d
+    val rng = new scala.util.Random(Seed)
+    val sd = math.sqrt(2.0 * gamma)
+    val w = Array.fill(RffDim)(Array.fill(d)(rng.nextGaussian() * sd))
+    val b = Array.fill(RffDim)(rng.nextDouble() * 2.0 * math.Pi)
+    (w, b)
+  }
+
+  /** z(x) = √(2/D)·cos(Wx + b) as a UDF over the array-typed feature
+    * column — the W matrix ships once per executor as a broadcast
+    * variable (the q_bloom_audit discipline), and E[z(x)·z(y)] =
+    * k(x,y), so a LINEAR model on z approximates the kernel machine. */
+  private def rffMap(s: SparkSession, d: Int) = {
+    val (w, b) = rffPlanes(d)
+    val bcW = s.sparkContext.broadcast(w)
+    val bcB = s.sparkContext.broadcast(b)
+    val scale = math.sqrt(2.0 / RffDim)
+    udf((x: Seq[Double]) => {
+      val xa = x.toArray
+      val ww = bcW.value; val bb = bcB.value
+      Array.tabulate(RffDim) { i =>
+        val wi = ww(i); var acc = 0.0; var j = 0
+        while (j < xa.length) { acc += wi(j) * xa(j); j += 1 }
+        scale * math.cos(acc + bb(i))
+      }
+    })
+  }
+
+  /** q_classify_rbf: kernel (RBF) SVC via random Fourier features +
+    * LinearSVC — the honest DISTRIBUTED equivalent of the reference's
+    * SVC(kernel='rbf') (supervised_classifier.py:316-334). An exact
+    * kernel SVC needs the n×n Gram matrix (quadratic in rows — the
+    * documented divergence above); the RFF map is the standard bounded
+    * workaround: project once (map-only, no shuffle), then the existing
+    * linear path. q_rbf_audit SQL-anchors the map's kernel contract. */
+  def qClassifyRbf(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val d = train.select(vector_to_array(col("features")).as("x"))
+      .head.getSeq[Double](0).size
+    val rff = rffMap(s, d)
+    val z = (df: DataFrame) => df.withColumn("zfeat",
+      array_to_vector(rff(vector_to_array(col("features")))))
+    val m = new LinearSVC().setLabelCol("y").setWeightCol("w")
+      .setFeaturesCol("zfeat").setMaxIter(100).setTol(1e-3).fit(z(train))
+    metricsRow("svc_rbf", m.transform(z(test)))
+  }
+
+  /** q_rbf_audit: random-Fourier-feature kernel certificate — the
+    * q_minhash_audit pattern applied to the RFF map. SQL-derivable
+    * anchors: the vec_id%5 split sizes, the input dimensionality (len
+    * of the embedding array), D, and the probe-pair count over the
+    * constant vec_id<500 test window. Guarantees (Spark-side, oracle
+    * asserts TRUE): every projected vector has exactly D components
+    * with ‖z‖² ≤ 2 (each z_i ∈ [−√(2/D), √(2/D)] by construction —
+    * `norm_ok` catches a broken scale), and over every probe pair
+    * |z(x)·z(y) − exp(−γ‖x−y‖²)| has MAE ≤ 0.1 and max ≤ 0.4 — at
+    * D=256 an honest map lands well inside both (per-pair std ≈ 0.06),
+    * while a transposed W, a lost phase, or a mis-scaled γ blows
+    * through them. The pair join is a bounded nested-loop over ≤100
+    * broadcast rows — constant work at any SF. */
+  def qRbfAudit(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val dAgg = Tables.embeddings(s, dir)
+      .agg(min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"),
+        count(lit(1)).as("n")).head
+    val d = dAgg.getAs[Int]("dmax")
+    val gamma = 1.0 / d
+    val rff = rffMap(s, d)
+    val nTrain = train.count(); val nTest = test.count()
+    val all = train.select(col("vec_id"), col("features"))
+      .unionByName(test.select(col("vec_id"), col("features")))
+      .select(col("vec_id"), vector_to_array(col("features")).as("x"))
+      .withColumn("z", rff(col("x")))
+    val zs = all.agg(
+      min(size(col("z"))).as("zdmin"), max(size(col("z"))).as("zdmax"),
+      max(SimilaritySearch.dot(col("z"), col("z"))).as("zn2max")).head
+    val probes = all.filter(col("vec_id") % 5 === 0 &&
+      col("vec_id") < RffProbeMaxId)
+    val d2 = SimilaritySearch.dot(col("xa"), col("xa")) +
+      SimilaritySearch.dot(col("xb"), col("xb")) -
+      SimilaritySearch.dot(col("xa"), col("xb")) * 2.0
+    val err = abs(SimilaritySearch.dot(col("za"), col("zb")) -
+      exp(lit(-gamma) * d2))
+    val ke = probes
+      .select(col("vec_id").as("a_id"), col("x").as("xa"), col("z").as("za"))
+      .join(broadcast(probes.select(col("vec_id").as("b_id"),
+        col("x").as("xb"), col("z").as("zb"))), col("a_id") < col("b_id"))
+      .agg(count(lit(1)).as("n_pairs"), avg(err).as("mae"),
+        max(err).as("emax")).head
+    val dimsOk = dAgg.getAs[Int]("dmin") == d &&
+      zs.getAs[Int]("zdmin") == RffDim && zs.getAs[Int]("zdmax") == RffDim
+    val normOk = zs.getAs[Double]("zn2max") <= 2.0 + 1e-9
+    val nPairs = ke.getAs[Long]("n_pairs")
+    val maeOk = nPairs > 0 && ke.getAs[Double]("mae") <= 0.1
+    val maxOk = nPairs > 0 && ke.getAs[Double]("emax") <= 0.4
+    import s.implicits._
+    Seq((nTrain, nTest, d.toLong, RffDim.toLong, nPairs,
+      dimsOk, normOk, maeOk, maxOk))
+      .toDF("n_train", "n_test", "d_in", "rff_dim", "n_pairs",
+        "dims_ok", "norm_ok", "kernel_mae_ok", "kernel_max_ok")
+  }
+
+  private lazy val qRbfAuditSql =
+    s"""WITH e AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+       p AS (SELECT vec_id FROM e
+             WHERE vec_id % 5 = 0 AND vec_id < $RffProbeMaxId),
+       pc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
+              FROM p a JOIN p b ON a.vec_id < b.vec_id)
+       SELECT
+         CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(max(d) AS BIGINT) AS d_in,
+         CAST($RffDim AS BIGINT) AS rff_dim,
+         (SELECT n_pairs FROM pc) AS n_pairs,
+         TRUE AS dims_ok, TRUE AS norm_ok,
+         TRUE AS kernel_mae_ok, TRUE AS kernel_max_ok
+       FROM e"""
 
   def qClassifyNb(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
@@ -656,6 +801,8 @@ object Classification extends QueryModule {
     "q_cv_audit" -> (qCvAudit _),
     "q_classify_lr" -> (qClassifyLr _),
     "q_classify_svc" -> (qClassifySvc _),
+    "q_classify_rbf" -> (qClassifyRbf _),
+    "q_rbf_audit" -> (qRbfAudit _),
     "q_classify_nb" -> (qClassifyNb _),
     "q_classify_rf" -> (qClassifyRf _),
     "q_classify_gbt" -> (qClassifyGbt _),
@@ -672,6 +819,7 @@ object Classification extends QueryModule {
   // Iterative-ML training stays rows-only; the PAVA conservation
   // certificate is the one SQL-checkable contract (q_minhash_audit rule).
   override def oracles: Map[String, String] = Map(
+    "q_rbf_audit" -> qRbfAuditSql,
     "q_isotonic_audit" -> qIsotonicAuditSql,
     "q_features_audit" -> qFeaturesAuditSql,
     "q_classify_audit" -> qClassifyAuditSql,

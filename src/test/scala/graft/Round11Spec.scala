@@ -62,4 +62,36 @@ class Round11Spec extends SparkSpec {
     assert(both.getAs[Long]("n") > 0)
     assert(both.getAs[Long]("diffs") === 0L, "broadcast and literal probes diverged")
   }
+
+  // ---------------- RFF kernel-SVC ----------------
+
+  test("q_rbf_audit: kernel approximation, dims and norm bound all hold") {
+    val r = graft.operators.Classification.qRbfAudit(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("dims_ok"), "projected dimensionality broken")
+    assert(r.getAs[Boolean]("norm_ok"), "‖z‖² > 2 — RFF scale broken")
+    assert(r.getAs[Boolean]("kernel_mae_ok"), "kernel MAE above 0.1")
+    assert(r.getAs[Boolean]("kernel_max_ok"), "kernel max error above 0.4")
+    assert(r.getAs[Long]("n_pairs") > 0, "vacuous probe set")
+    assert(r.getAs[Long]("rff_dim") === graft.operators.Classification.RffDim.toLong)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") > 0)
+  }
+
+  test("q_classify_rbf: one metrics row accounting for exactly the test split") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Classification.qClassifyRbf(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getString(0) === "svc_rbf")
+    val cells = row.getAs[Long]("tp") + row.getAs[Long]("fp") +
+      row.getAs[Long]("tn") + row.getAs[Long]("fn")
+    val nTest = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(cells === nTest, "RBF predictions must cover exactly the test partition")
+  }
+
+  test("q_classify_rbf is deterministic run to run (fixed-seed projection)") {
+    val a = graft.operators.Classification.qClassifyRbf(spark, sfDir).collect()(0)
+    val b = graft.operators.Classification.qClassifyRbf(spark, sfDir).collect()(0)
+    assert(a === b, "two fits of the seeded RFF+LinearSVC diverged")
+  }
 }
