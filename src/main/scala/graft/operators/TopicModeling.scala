@@ -137,6 +137,203 @@ object TopicModeling extends QueryModule {
   def qCoherence(s: SparkSession, dir: String): DataFrame =
     umassCoherence(s, dir, ldaTopTerms(s, dir).select("topic", "terms"))
 
+  // ------------------------------------------------------ c_v coherence
+
+  /** Boolean-sliding-window width for c_v (gensim CoherenceModel's
+    * window_size=110 default; docs shorter than the window contribute
+    * one whole-doc window, exactly gensim's behavior). */
+  val CvWindow = 110
+  /** gensim's EPSILON inside the NPMI logs. */
+  val CvEps = 1e-12
+
+  /** Number of size-[[CvWindow]] step-1 windows that contain ≥1 of the
+    * occurrence positions `ps` (sorted ascending longs), where valid
+    * window starts are 0..cap. Each occurrence p covers starts
+    * [max(0, p−L+1), min(p, cap)] — both endpoints nondecreasing in p,
+    * so the union length is one left fold carrying (last covered start,
+    * running total). Pure codegen'd higher-order functions: NO ×L
+    * posting fan-out — the naive window explode multiplies every hit by
+    * 110, this stays one row per (doc, term). */
+  private[graft] def windowUnionCount(ps: org.apache.spark.sql.Column,
+      cap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(ps,
+      struct(lit(-1L).as("pe"), lit(0L).as("tot")),
+      (acc, p) => {
+        val a = greatest(p - (CvWindow - 1), lit(0L), acc.getField("pe") + 1L)
+        val b = least(p, cap)
+        struct(
+          greatest(acc.getField("pe"), b).as("pe"),
+          (acc.getField("tot") + when(b >= a, b - a + 1L).otherwise(0L)).as("tot"))
+      },
+      acc => acc.getField("tot"))
+
+  /** Shared c_v pipeline: per-topic NPMI matrix over the top-term grid
+    * from boolean-sliding-window probabilities, plus the window-count
+    * relations the audit certifies. Returns (total windows T, singles
+    * (topic,pos,term,cnt), full ordered-pair grid with counts and npmi).
+    *
+    * Window counts per (doc, term) and per (doc, pair) come from the
+    * interval-union fold above; the PAIR count needs no second scan —
+    * |Uᵢ∩Uⱼ| = |Uᵢ|+|Uⱼ|−|Uᵢ∪Uⱼ| and Uᵢ∪Uⱼ is the same fold over the
+    * merged position arrays (every position spawns the same-shape start
+    * interval). The top-term set (k×10 strings) broadcasts; everything
+    * per-doc is bounded by the terms actually present. */
+  private def cvParts(s: SparkSession, dir: String): (Long, DataFrame, DataFrame) =
+    graft.ModelCache.getOrElseUpdate(s, s"tm.cvparts:$dir")(buildCvParts(s, dir))
+
+  private def buildCvParts(s: SparkSession, dir: String): (Long, DataFrame, DataFrame) = {
+    val terms = ldaTopTerms(s, dir)
+      .select(col("topic"), posexplode(col("terms")).as(Seq("pos", "term")))
+    val docs = TextPrep.cleanDocs(s, dir)
+      .filter(size(col("toks")) > MinDocTokens) // the LDA corpus gate
+      .select(col("doc_id"), col("toks"),
+        greatest(size(col("toks")).cast("long") - CvWindow, lit(0L)).as("cap"))
+    val totalWindows = docs.agg(sum(col("cap") + 1L)).head.getLong(0)
+    val perDoc = docs
+      .select(col("doc_id"), col("cap"),
+        posexplode(col("toks")).as(Seq("p", "term")))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("topic", "pos", "term", "doc_id", "cap")
+      .agg(array_sort(collect_list(col("p").cast("long"))).as("ps"))
+      .cache()
+    val singles = perDoc
+      .select(col("topic"), col("pos"), col("term"),
+        windowUnionCount(col("ps"), col("cap")).as("wd"))
+      .groupBy("topic", "pos", "term").agg(sum(col("wd")).as("cnt"))
+    val pairCnt = perDoc
+      .select(col("topic"), col("doc_id"), col("cap"),
+        col("pos").as("pos_i"), col("ps").as("ps_i"))
+      .join(perDoc.select(col("topic"), col("doc_id"),
+        col("pos").as("pos_j"), col("ps").as("ps_j")), Seq("topic", "doc_id"))
+      .filter(col("pos_i") > col("pos_j"))
+      .select(col("topic"), col("pos_i"), col("pos_j"),
+        (windowUnionCount(col("ps_i"), col("cap")) +
+          windowUnionCount(col("ps_j"), col("cap")) -
+          windowUnionCount(array_sort(concat(col("ps_i"), col("ps_j"))),
+            col("cap"))).as("wp"))
+      .groupBy("topic", "pos_i", "pos_j").agg(sum(col("wp")).as("pc"))
+    // full ordered grid incl. mirror and self (self pair count = cnt:
+    // U∩U = U, so npmi(w,w) lands at exactly 1 — the Röder S_one_set
+    // segmentation gensim implements)
+    val sym = pairCnt
+      .unionByName(pairCnt.select(col("topic"), col("pos_j").as("pos_i"),
+        col("pos_i").as("pos_j"), col("pc")))
+      .unionByName(singles.select(col("topic"), col("pos").as("pos_i"),
+        col("pos").as("pos_j"), col("cnt").as("pc")))
+    val grid = terms.select(col("topic"), col("pos").as("pos_i"))
+      .join(terms.select(col("topic"), col("pos").as("pos_j")), Seq("topic"))
+    val t = totalWindows.toDouble
+    val npmiAll = grid
+      .join(sym, Seq("topic", "pos_i", "pos_j"), "left_outer")
+      .na.fill(0L, Seq("pc"))
+      .join(singles.select(col("topic"), col("pos").as("pos_i"),
+        col("cnt").as("cnt_i")), Seq("topic", "pos_i"))
+      .join(singles.select(col("topic"), col("pos").as("pos_j"),
+        col("cnt").as("cnt_j")), Seq("topic", "pos_j"))
+      .withColumn("npmi",
+        log((col("pc").cast("double") / t + CvEps) /
+          ((col("cnt_i").cast("double") / t) * (col("cnt_j").cast("double") / t))) /
+          -log(col("pc").cast("double") / t + CvEps))
+    (totalWindows, singles, npmiAll)
+  }
+
+  /** q_coherence_cv: c_v topic coherence (Röder/Bouma NPMI + one-set
+    * cosine) — the better-correlated-with-humans metric the reference
+    * computes-but-comments-out as too slow single-node
+    * (coherence_log_perplexity.py:45-48: "c_v takes too long"); here the
+    * window counting is one distributed interval-union pass, so it runs
+    * beside u_mass. Per topic: each top term's context vector is its
+    * NPMI row against the topic's term set, φ_i = cos(v_i, Σ_j v_j),
+    * c_v = mean_i φ_i. All cross-term sums are ordered folds (the
+    * q_anova discipline) so the double math is byte-stable run to run.
+    * Rows-only gate (LDA-derived term sets); q_coherence_cv_audit
+    * SQL-anchors the window machinery. */
+  def qCoherenceCv(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, npmiAll) = cvParts(s, dir)
+    val vs = npmiAll.groupBy("topic", "pos_j")
+      .agg(aggregate(array_sort(collect_list(struct(col("pos_i"), col("npmi")))),
+        lit(0.0), (a, x) => a + x.getField("npmi")).as("vs"))
+    val vn = vs.groupBy("topic")
+      .agg(aggregate(array_sort(collect_list(struct(col("pos_j"), col("vs")))),
+        lit(0.0), (a, x) => a + x.getField("vs") * x.getField("vs")).as("vs2"))
+    val ci = npmiAll.join(vs, Seq("topic", "pos_j"))
+      .groupBy("topic", "pos_i")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos_j"), col("npmi"), col("vs")))),
+        struct(lit(0.0).as("num"), lit(0.0).as("n2")),
+        (a, x) => struct(
+          (a.getField("num") + x.getField("npmi") * x.getField("vs")).as("num"),
+          (a.getField("n2") + x.getField("npmi") * x.getField("npmi")).as("n2")))
+        .as("acc"))
+      .join(vn, Seq("topic"))
+      .select(col("topic"), col("pos_i"),
+        (col("acc.num") / sqrt(col("acc.n2") * col("vs2"))).as("cos"))
+    ci.groupBy("topic")
+      .agg(round(
+        aggregate(array_sort(collect_list(struct(col("pos_i"), col("cos")))),
+          lit(0.0), (a, x) => a + x.getField("cos")) / count(lit(1)), 6).as("c_v"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** q_coherence_cv_audit: c_v window-machinery certificate — the NPMI
+    * VALUES depend on the LDA top terms (not SQL-derivable), but the
+    * boolean-sliding-window substrate is: the oracle recomputes the doc
+    * count of the LDA corpus and the total window count
+    * Σ_d max(1, len_d − W + 1) from the clean-token SQL. Guarantees:
+    * every topic carries exactly 10 terms, every term's window count is
+    * in [1, T] (top terms must occur — the vocabulary came from these
+    * docs), every pair count obeys the INTERSECTION bound
+    * 0 ≤ pc ≤ min(cnt_i, cnt_j) (a broken inclusion-exclusion fold
+    * lands outside it), every NPMI is in [−1, 1] and self-NPMI is
+    * exactly 1, and every c_v is in [−1, 1]. */
+  def qCoherenceCvAudit(s: SparkSession, dir: String): DataFrame = {
+    val (totalWindows, singles, npmiAll) = cvParts(s, dir)
+    val nDocs = TextPrep.cleanDocs(s, dir)
+      .filter(size(col("toks")) > MinDocTokens).count()
+    val sAgg = singles.groupBy("topic")
+      .agg(count(lit(1)).as("nt"), min(col("cnt")).as("cmin"),
+        max(col("cnt")).as("cmax"))
+      .agg(min(col("nt")).as("ntmin"), max(col("nt")).as("ntmax"),
+        min(col("cmin")).as("cmin"), max(col("cmax")).as("cmax"),
+        count(lit(1)).as("ntopics")).head
+    val pAgg = npmiAll.agg(
+      sum(when(col("pc") < 0L ||
+        col("pc") > least(col("cnt_i"), col("cnt_j")), 1L).otherwise(0L))
+        .as("bad_pairs"),
+      min(col("npmi")).as("nmin"), max(col("npmi")).as("nmax"),
+      max(when(col("pos_i") === col("pos_j"), abs(col("npmi") - 1.0)))
+        .as("self_dev")).head
+    val cvAgg = qCoherenceCv(s, dir)
+      .agg(min(col("c_v")).as("cvmin"), max(col("c_v")).as("cvmax")).head
+    val termsOk = sAgg.getAs[Long]("ntmin") == 10L &&
+      sAgg.getAs[Long]("ntmax") == 10L &&
+      sAgg.getAs[Long]("ntopics") == DefaultK.toLong &&
+      sAgg.getAs[Long]("cmin") >= 1L &&
+      sAgg.getAs[Long]("cmax") <= totalWindows
+    val pairBoundOk = pAgg.getAs[Long]("bad_pairs") == 0L
+    val npmiOk = pAgg.getAs[Double]("nmin") >= -1.0 - 1e-9 &&
+      pAgg.getAs[Double]("nmax") <= 1.0 + 1e-9 &&
+      pAgg.getAs[Double]("self_dev") <= 1e-9
+    val cvOk = cvAgg.getAs[Double]("cvmin") >= -1.0 &&
+      cvAgg.getAs[Double]("cvmax") <= 1.0
+    import s.implicits._
+    Seq((nDocs, totalWindows, DefaultK.toLong,
+      termsOk, pairBoundOk, npmiOk, cvOk))
+      .toDF("n_docs", "n_windows", "n_topics",
+        "terms_ok", "pair_bound_ok", "npmi_range_ok", "cv_range_ok")
+  }
+
+  private lazy val qCoherenceCvAuditSql =
+    s"""WITH d AS (SELECT len(${TextFns.cleanTokensSql("text")}) AS len
+             FROM documents),
+       f AS (SELECT len FROM d WHERE len > $MinDocTokens)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(GREATEST(len - ${CvWindow - 1}, 1)) AS BIGINT) AS n_windows,
+         CAST($DefaultK AS BIGINT) AS n_topics,
+         TRUE AS terms_ok, TRUE AS pair_bound_ok,
+         TRUE AS npmi_range_ok, TRUE AS cv_range_ok
+       FROM f"""
+
   /** q_perplexity: bound-based log-perplexity (gensim log_perplexity twin). */
   def qPerplexity(s: SparkSession, dir: String): DataFrame = {
     val (bow, _) = corpus(s, dir)
@@ -300,6 +497,8 @@ object TopicModeling extends QueryModule {
     "q_doc_topics" -> (qDocTopics _),
     "q_polysemy" -> (qPolysemy _),
     "q_coherence" -> (qCoherence _),
+    "q_coherence_cv" -> (qCoherenceCv _),
+    "q_coherence_cv_audit" -> (qCoherenceCvAudit _),
     "q_perplexity" -> (qPerplexity _),
     "q_model_select" -> (qModelSelect _),
     "q_hdp" -> (qHdp _),
@@ -308,5 +507,6 @@ object TopicModeling extends QueryModule {
   // Posterior values stay rows-only (iterative ML); the coverage
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
-    "q_lda_audit" -> qLdaAuditSql)
+    "q_lda_audit" -> qLdaAuditSql,
+    "q_coherence_cv_audit" -> qCoherenceCvAuditSql)
 }

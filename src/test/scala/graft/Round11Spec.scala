@@ -94,4 +94,49 @@ class Round11Spec extends SparkSpec {
     val b = graft.operators.Classification.qClassifyRbf(spark, sfDir).collect()(0)
     assert(a === b, "two fits of the seeded RFF+LinearSVC diverged")
   }
+
+  // ---------------- c_v coherence ----------------
+
+  test("windowUnionCount matches a brute-force sliding-window count") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TopicModeling
+    val L = TopicModeling.CvWindow
+    // docs longer AND shorter than the window, clustered + spread positions
+    val cases: Seq[(Long, Seq[Long])] = Seq(
+      (400L, Seq(0L)), (400L, Seq(399L)), (400L, Seq(5L, 6L, 7L)),
+      (400L, Seq(10L, 250L, 399L)), (400L, Seq(100L, 150L, 200L, 205L)),
+      (50L, Seq(3L)), (50L, Seq(0L, 49L)), (110L, Seq(54L)),
+      (111L, Seq(0L)), (111L, Seq(110L)), (2000L, (0L until 2000L by 97L).toSeq)
+    )
+    def brute(n: Long, ps: Seq[Long]): Long = {
+      val cap = math.max(n - L, 0L)
+      (0L to cap).count(s => ps.exists(p => p >= s && p < s + L)).toLong
+    }
+    import spark.implicits._
+    val df = cases.zipWithIndex
+      .map { case ((n, ps), i) => (i, math.max(n - L, 0L), ps) }
+      .toDF("i", "cap", "ps")
+      .select(col("i"), TopicModeling.windowUnionCount(col("ps"), col("cap")).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case ((n, ps), i) =>
+      assert(df(i) === brute(n, ps), s"case $i: n=$n ps=$ps")
+    }
+  }
+
+  test("q_coherence_cv: one row per topic, c_v in [-1,1]; audit guarantees hold") {
+    import graft.operators.TopicModeling
+    val cv = TopicModeling.qCoherenceCv(spark, sfDir).collect()
+    assert(cv.length === TopicModeling.DefaultK)
+    cv.foreach { r =>
+      val v = r.getAs[Double]("c_v")
+      assert(v >= -1.0 && v <= 1.0, s"c_v out of range: $v")
+      assert(r.getAs[Long]("n_terms") === 10L)
+    }
+    val a = TopicModeling.qCoherenceCvAudit(spark, sfDir).collect()(0)
+    assert(a.getAs[Boolean]("terms_ok"))
+    assert(a.getAs[Boolean]("pair_bound_ok"), "inclusion-exclusion bound violated")
+    assert(a.getAs[Boolean]("npmi_range_ok"))
+    assert(a.getAs[Boolean]("cv_range_ok"))
+    assert(a.getAs[Long]("n_windows") >= a.getAs[Long]("n_docs"))
+  }
 }
