@@ -343,6 +343,54 @@ object EventStream {
       }
   }
 
+  case class DailyErr(service: String, day: String, n: Long, err: Long)
+  case class SloCell(day: String, n: Long, err: Long)
+  case class SloHist(cells: List[SloCell])
+  case class SloBurnOut(service: String, day: String, n_s: Long, e_s: Long,
+    n_l: Long, e_l: Long, burn_short: Double, burn_long: Double, page: Boolean)
+
+  /** Streaming multi-window SLO burn-rate monitor per service — the
+    * stateful twin of the batch Stats.qSloBurn (the alerting rule a
+    * pipeline actually runs CONTINUOUSLY while the batch twin backfills
+    * history): identical two-window Google-SRE rule — a page fires only
+    * when both the short (1-day) and long (7-day) trailing windows burn
+    * error budget above threshold — with the identical exact-integer
+    * comparisons (err·budgetInv·1000 > n·threshold, never a rounded
+    * double) and the identical HALF-UP 6-dp burn ratios. State is a ring
+    * buffer of at most [[graft.operators.Stats.SloLongDays]] (day, n,
+    * err) cells per key regardless of stream length. Daily rows are
+    * processed in day order within a batch (the caller aggregates a day
+    * per row; a production job closes days from watermarked windowed
+    * counts); state persists across micro-batches so a day in batch N
+    * windows over days from batch N−1. */
+  def runningSloBurn(days: Dataset[DailyErr]): Dataset[SloBurnOut] = {
+    import days.sparkSession.implicits._
+    val budgetInv = math.round(1.0 / (1.0 - graft.operators.Stats.SloTarget))
+    val thr = graft.operators.Stats.SloBurnThresholdX1000.toLong
+    val shortD = graft.operators.Stats.SloShortDays
+    val longD = graft.operators.Stats.SloLongDays
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    days.groupByKey(_.service)
+      .flatMapGroupsWithState[SloHist, SloBurnOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (svc, rows, state: GroupState[SloHist]) =>
+          var hist = state.getOption.map(_.cells).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.day).map { d =>
+            hist = (hist :+ SloCell(d.day, d.n, d.err)).takeRight(longD)
+            val shortW = hist.takeRight(shortD)
+            val (nS, eS) = (shortW.map(_.n).sum, shortW.map(_.err).sum)
+            val (nL, eL) = (hist.map(_.n).sum, hist.map(_.err).sum)
+            val page = eS * budgetInv * 1000 > nS * thr &&
+              eL * budgetInv * 1000 > nL * thr
+            SloBurnOut(svc, d.day, nS, eS, nL, eL,
+              r6(eS.toDouble * budgetInv / nS),
+              r6(eL.toDouble * budgetInv / nL), page)
+          }
+          state.update(SloHist(hist))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user event count/value via
     * flatMapGroupsWithState. In production add a GroupStateTimeout
     * (processing- or event-time) so idle keys age out of the state store. */

@@ -458,4 +458,49 @@ class StreamingSpec extends SparkSpec {
       assert(latest()("click") === 5L, "bitmap state must dedup across batches")
     } finally q.stop()
   }
+
+  test("streaming SLO burn matches the batch two-window rule on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch twin's full trajectory over the events table…
+    val batch = graft.operators.Stats.qSloBurn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n_s"), r.getAs[Long]("e_s"), r.getAs[Long]("n_l"),
+          r.getAs[Long]("e_l"), r.getAs[Double]("burn_short"),
+          r.getAs[Double]("burn_long"), r.getAs[Boolean]("page")))).toMap
+    assert(batch.nonEmpty)
+    // …and the same daily aggregates fed through the stateful monitor,
+    // split across two micro-batches to prove the window carries over
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("err"))
+      .orderBy("day").collect()
+      .map(r => EventStream.DailyErr("svc", r.getString(0), r.getLong(1), r.getLong(2)))
+    val (b1, b2) = daily.splitAt(daily.length / 2)
+    val input = MemoryStream[EventStream.DailyErr]
+    val q = EventStream.runningSloBurn(input.toDS())
+      .writeStream.format("memory").queryName("slo_out")
+      .outputMode("update").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val stream = spark.table("slo_out").collect()
+        .map(r => r.getAs[String]("day") ->
+          ((r.getAs[Long]("n_s"), r.getAs[Long]("e_s"), r.getAs[Long]("n_l"),
+            r.getAs[Long]("e_l"), r.getAs[Double]("burn_short"),
+            r.getAs[Double]("burn_long"), r.getAs[Boolean]("page")))).toMap
+      assert(stream.keySet === batch.keySet)
+      stream.foreach { case (day, row) =>
+        assert(row === batch(day), s"day $day diverged from the batch twin")
+      }
+      // the mid-stream boundary day must window over batch-1 days
+      if (b2.nonEmpty && b1.length >= graft.operators.Stats.SloLongDays) {
+        val firstB2 = b2.head.day
+        assert(stream(firstB2)._3 > stream(firstB2)._1 ||
+          graft.operators.Stats.SloLongDays == graft.operators.Stats.SloShortDays,
+          "long window on the first batch-2 day must include batch-1 days")
+      }
+    } finally q.stop()
+  }
 }
