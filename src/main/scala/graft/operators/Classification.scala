@@ -261,9 +261,16 @@ object Classification extends QueryModule {
     * vector per LSH table — the SAME hyperplane family and implementation
     * as q_ann_lsh (SimilaritySearch.signBuckets), so the two can never
     * silently desynchronize. Scaled features, not raw embeddings, so the
-    * persisted embedding posting is not reusable here. */
-  private def featureBuckets(df: DataFrame, idCol: String): DataFrame =
-    SimilaritySearch.signBuckets(df.withColumnRenamed("fv", "v"), idCol)
+    * persisted embedding posting is not reusable here. `planes` must be
+    * derived ONCE per consumer from its shared corpus size
+    * (SimilaritySearch.adaptivePlanes) and passed to EVERY side of a
+    * candidate equi-join — per-side adaptation would desync bucket
+    * spaces and silently drop all collisions. Below the adaptive floor
+    * (every test SF) this is the historical 6-plane posting. */
+  private def featureBuckets(df: DataFrame, idCol: String,
+      planes: Int = SimilaritySearch.NPlanes): DataFrame =
+    SimilaritySearch.signBuckets(df.withColumnRenamed("fv", "v"), idCol,
+      nPlanes = planes)
       .select(col(idCol), col("tbl"), col("bucket"))
 
   /** Top-5-by-cosine vote per query over candidate rows
@@ -292,8 +299,12 @@ object Classification extends QueryModule {
       vector_to_array(col("features")).as("fv"), col("y").as("ty"))
     val te = test.select(col("vec_id").as("q_id"),
       vector_to_array(col("features")).as("fv"), col("y"))
-    val cand = featureBuckets(tr.select(col("t_id"), col("fv")), "t_id")
-      .join(featureBuckets(te.select(col("q_id"), col("fv")), "q_id"), Seq("tbl", "bucket"))
+    // ONE plane count from the train-corpus size, shared by both join
+    // sides (bucket spaces must agree for collisions to exist)
+    val planes = SimilaritySearch.adaptivePlanes(tr.count())
+    val cand = featureBuckets(tr.select(col("t_id"), col("fv")), "t_id", planes)
+      .join(featureBuckets(te.select(col("q_id"), col("fv")), "q_id", planes),
+        Seq("tbl", "bucket"))
       .select("q_id", "t_id").distinct()
     val scored = cand
       .join(te.select(col("q_id"), col("fv").as("qv"), col("y")), Seq("q_id"))
@@ -354,8 +365,9 @@ object Classification extends QueryModule {
 
     val mino = train.filter(col("y") === minY)
       .select(col("vec_id"), vector_to_array(col("features")).as("fv"))
-    val cand = featureBuckets(mino.select(col("vec_id").as("a_id"), col("fv")), "a_id")
-      .join(featureBuckets(mino.select(col("vec_id").as("b_id"), col("fv")), "b_id"),
+    val planes = SimilaritySearch.adaptivePlanes(minN)
+    val cand = featureBuckets(mino.select(col("vec_id").as("a_id"), col("fv")), "a_id", planes)
+      .join(featureBuckets(mino.select(col("vec_id").as("b_id"), col("fv")), "b_id", planes),
         Seq("tbl", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()

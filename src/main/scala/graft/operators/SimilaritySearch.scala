@@ -317,6 +317,26 @@ object SimilaritySearch extends QueryModule {
   val NTables: Int = sys.env.getOrElse("GRAFT_LSH_TABLES", "8").toInt
   val NPlanes: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "6").toInt
 
+  /** Expected vectors per LSH bucket the posting targets. With a FIXED
+    * plane count, bucket load grows ∝ n and candidate PAIRS grow ∝ n² —
+    * the r11 scaling run measured exactly that (q_dedup_cosine_lsh
+    * slope ≈ 1.4 at fixed 6 planes). Growing planes with log₂(n/load)
+    * keeps per-bucket load ~constant, so candidates stay ~linear — the
+    * standard LSH sizing rule at 100 TB. */
+  val TargetBucketLoad = 32L
+
+  /** Data-adaptive plane count: ceil(log₂(n / TargetBucketLoad)),
+    * floored at [[NPlanes]] so every test-SF corpus (n ≤ 2000 →
+    * adaptive ≤ 6) keeps the EXACT historical posting — hash-gated
+    * audits and rows-only fixtures are unchanged below the floor. */
+  def adaptivePlanes(n: Long): Int = {
+    val cells = math.max(1L, (n + TargetBucketLoad - 1) / TargetBucketLoad)
+    val ceilLog2 =
+      if (cells <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.max(NPlanes, ceilLog2)
+  }
+
   /** Embedding dimensionality of the corpus (embeddings.parquet). */
   val Dim = 64
 
@@ -347,13 +367,18 @@ object SimilaritySearch extends QueryModule {
     * sides): 48 hyperplane projections per vector are paid once, not per
     * consumer. Same treatment as Dedup.docShingles — at 100 TB a shared
     * stage this hot is materialized once, never recomputed. */
-  def postedBuckets(s: SparkSession, dir: String): DataFrame =
-    graft.ModelCache.getOrElseUpdate(s, s"ann.buckets:$dir:$NTables:$NPlanes") {
+  def postedBuckets(s: SparkSession, dir: String): DataFrame = {
+    // adaptive plane count from the corpus size (one cheap count of the
+    // key column) — constant bucket load at any scale, identical posting
+    // to the historical 6-plane one at every test SF (n ≤ 2000)
+    val planes = adaptivePlanes(Tables.embeddings(s, dir).count())
+    graft.ModelCache.getOrElseUpdate(s, s"ann.buckets:$dir:$NTables:$planes") {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      signBuckets(e, "vec_id")
+      signBuckets(e, "vec_id", nPlanes = planes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
   /** q_ann_lsh: multi-table random-hyperplane LSH (8 tables × 6 planes).
     * Each vector posts one (table, bucket) key per table; candidates are the

@@ -95,6 +95,26 @@ class Round11Spec extends SparkSpec {
     assert(a === b, "two fits of the seeded RFF+LinearSVC diverged")
   }
 
+  // ---------------- adaptive LSH sizing ----------------
+
+  test("adaptivePlanes: floor keeps test-SF postings identical, then grows with log2(n)") {
+    import graft.operators.SimilaritySearch.{adaptivePlanes, NPlanes, TargetBucketLoad}
+    // every test-SF corpus stays at the historical floor → hash-gated
+    // audits and rows-only fixtures are unchanged
+    for (n <- Seq(1L, 100L, 500L, 2000L)) assert(adaptivePlanes(n) === NPlanes)
+    // beyond the floor: ceil(log2(n/load)), so bucket load stays bounded
+    assert(adaptivePlanes(18000L) === 10)
+    assert(adaptivePlanes(TargetBucketLoad << 20) === 20)
+    // monotone nondecreasing, and load n/2^planes stays ≤ target above the floor
+    var prev = 0
+    for (e <- 5 to 40) {
+      val n = 1L << e
+      val p = adaptivePlanes(n)
+      assert(p >= prev); prev = p
+      if (p > NPlanes) assert((n >> p) <= TargetBucketLoad)
+    }
+  }
+
   // ---------------- c_v coherence ----------------
 
   test("windowUnionCount matches a brute-force sliding-window count") {
