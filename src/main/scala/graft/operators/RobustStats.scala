@@ -922,6 +922,99 @@ object RobustStats extends QueryModule {
       }).as("significant"))
   }
 
+  /** Bonferroni-adjusted two-sided z critical values Φ⁻¹(1 − 0.025/m)
+    * keyed by the COMPARISON count m = k(k−1)/2 — the m=10 (k=5
+    * languages) entry is the one the corpus-gated query and its oracle
+    * share. Out-of-table m → NULL significance (the KruskalChiCrit
+    * discipline). */
+  val DunnZCrit: Map[Int, Double] = Map(
+    1 -> 1.959964, 3 -> 2.393980, 6 -> 2.638257, 10 -> 2.807034,
+    15 -> 2.935199, 21 -> 3.038074, 28 -> 3.123735, 36 -> 3.196950,
+    45 -> 3.260767)
+
+  /** q_dunn: Dunn's post-hoc after q_kruskal — WHICH language pairs
+    * differ in location once the omnibus H says "some do", on the SAME
+    * tie-averaged global ranks (q_mannwhitney re-ranks every pair
+    * independently — Dunn is the test that reuses the omnibus ranking,
+    * which is what makes it the standard KW follow-up), with Bonferroni
+    * FWER control over the m = k(k−1)/2 comparisons. Per pair:
+    * z = (R̄ᵢ − R̄ⱼ) / √(σ²·(1/nᵢ + 1/nⱼ)), σ² = (N(N+1) − Σ(t³−t)/(N−1))/12.
+    * Rank sums stay exact DECIMAL through the same distributed prefix
+    * sum as the omnibus (Ranks.globalPrefixSum — never a one-task
+    * window); ties widen to DECIMAL(38,0) before cubing; the pair join
+    * is k², bounded by the group count at any SF. Honest true negatives
+    * here (one generating distribution per language; the spec trips a
+    * pair on a shifted fixture). */
+  def qDunn(s: SparkSession, dir: String): DataFrame =
+    dunnOf(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  /** Dunn core over a (g, x) relation — see [[qDunn]]. */
+  def dunnOf(vals: DataFrame): DataFrame = {
+    val byGx = vals.groupBy("g", "x").agg(count(lit(1)).as("d"))
+    val tx = byGx.groupBy("x").agg(sum(col("d")).as("t"))
+    val ar = graft.functions.Ranks.globalPrefixSum(tx, "t", col("x").asc)
+      .select(col("x"), col("t"),
+        (col("cum_before").cast("decimal(19,1)") +
+          (col("t") + 1).cast("decimal(19,1)") / 2)
+          .cast("decimal(19,1)").as("ar"))
+    val td = col("t").cast("decimal(38,0)")
+    val ties = ar.agg(
+      sum(td * td * td - td).cast("decimal(38,0)").as("tie_num"))
+    val rj = byGx.join(ar.select(col("x"), col("ar")), Seq("x"))
+      .groupBy("g")
+      .agg(sum(col("d")).as("nj"),
+        sum(col("d") * col("ar")).cast("decimal(38,1)").as("rj"))
+    val m = rj.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"))
+      .crossJoin(broadcast(ties))
+    val a = rj.select(col("g").as("g_a"), col("nj").as("n_a"), col("rj").as("r_a"))
+    val b = rj.select(col("g").as("g_b"), col("nj").as("n_b"), col("rj").as("r_b"))
+    val nD = col("n").cast("double")
+    val sig2 = (nD * (nD + 1) -
+      col("tie_num").cast("double") / (nD - 1)) / 12.0
+    val meanA = col("r_a").cast("double") / col("n_a").cast("double")
+    val meanB = col("r_b").cast("double") / col("n_b").cast("double")
+    val z = (meanA - meanB) / sqrt(sig2 *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val mPairs = (col("k") * (col("k") - 1) / 2).cast("int")
+    val crit = DunnZCrit.foldLeft(lit(null).cast("double")) {
+      case (acc, (mm, c)) => when(mPairs === mm, c).otherwise(acc)
+    }
+    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(m))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(meanA, 6).as("mean_rank_a"), round(meanB, 6).as("mean_rank_b"),
+        round(z, 6).as("z"), (abs(z) > crit).as("significant"))
+  }
+
+  private lazy val qDunnSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       gx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS d FROM v GROUP BY 1, 2),
+       tx AS (SELECT x, CAST(sum(d) AS BIGINT) AS t FROM gx GROUP BY 1),
+       ar AS (SELECT x, t,
+                CAST(CAST(sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - t
+                    AS DECIMAL(19,1))
+                  + CAST(t + 1 AS DECIMAL(19,1)) / 2 AS DECIMAL(19,1)) AS ar
+              FROM tx),
+       ties AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                  * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS tie_num FROM ar),
+       rj AS (SELECT g, CAST(sum(d) AS BIGINT) AS nj,
+                CAST(sum(d * ar) AS DECIMAL(38,1)) AS rj
+              FROM gx JOIN ar USING (x) GROUP BY 1),
+       m AS (SELECT CAST(sum(nj) AS BIGINT) AS n FROM rj)
+       SELECT a.g AS g_a, b.g AS g_b, a.nj AS n_a, b.nj AS n_b,
+         round(CAST(a.rj AS DOUBLE) / a.nj, 6) AS mean_rank_a,
+         round(CAST(b.rj AS DOUBLE) / b.nj, 6) AS mean_rank_b,
+         round((CAST(a.rj AS DOUBLE) / a.nj - CAST(b.rj AS DOUBLE) / b.nj)
+           / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+               - CAST(tie_num AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12.0
+             * (1.0 / a.nj + 1.0 / b.nj)), 6) AS z,
+         abs((CAST(a.rj AS DOUBLE) / a.nj - CAST(b.rj AS DOUBLE) / b.nj)
+           / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+               - CAST(tie_num AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 12.0
+             * (1.0 / a.nj + 1.0 / b.nj))) > ${DunnZCrit(10)} AS significant
+       FROM rj a JOIN rj b ON a.g < b.g CROSS JOIN m CROSS JOIN ties"""
+
   private lazy val qKruskalSql =
     s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
        gx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS d FROM v GROUP BY 1, 2),
@@ -1182,6 +1275,7 @@ object RobustStats extends QueryModule {
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_kruskal" -> (qKruskal _),
+    "q_dunn" -> (qDunn _),
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
@@ -1201,6 +1295,7 @@ object RobustStats extends QueryModule {
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,
     "q_kruskal" -> qKruskalSql,
+    "q_dunn" -> qDunnSql,
     "q_fleiss" -> qFleissSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,

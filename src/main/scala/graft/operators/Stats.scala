@@ -2197,6 +2197,86 @@ object Stats extends QueryModule {
       (f > AnovaFCrit).as("significant"))
   }
 
+  /** Studentized-range 95th-percentile critical values q(0.95; k, ∞) —
+    * the df₂→∞ row, exact to 3 decimals once df₂ is in the tens of
+    * thousands (the AnovaFCrit argument). Keyed by GROUP COUNT k; the
+    * k=3 entry is the one the corpus-gated query and its oracle share.
+    * Out-of-table k → NULL significance, never a silent false (the
+    * r11 KruskalChiCrit discipline). */
+  val TukeyQCrit: Map[Int, Double] = Map(
+    2 -> 2.771808, 3 -> 3.314493, 4 -> 3.633162, 5 -> 3.857700,
+    6 -> 4.030099, 7 -> 4.169550, 8 -> 4.286203, 9 -> 4.386955,
+    10 -> 4.474413)
+
+  /** q_tukey: Tukey–Kramer HSD post-hoc after q_anova — WHICH pairs of
+    * l_returnflag groups differ, once the omnibus F says "some do"
+    * (running pairwise Welch tests instead would inflate FWER; the
+    * studentized-range statistic controls it by construction). Per pair:
+    * q = |x̄ᵢ − x̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ)) — the Kramer form, exact
+    * for unequal nⱼ. Every moment is the SAME exact-decimal (nⱼ, sⱼ,
+    * ssⱼ) triple the ANOVA core aggregates (one scan, k-row second
+    * stage); MSW combines them with the identical ordered fold; the
+    * pair join is k², bounded by the group count at any SF. Honest true
+    * negatives on this corpus (one generating distribution — the spec
+    * trips the flag on a shifted fixture). */
+  def qTukey(s: SparkSession, dir: String): DataFrame =
+    tukeyOf(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x")))
+
+  /** Tukey–Kramer core over a (g, x) relation — see [[qTukey]]. */
+  def tukeyOf(vals: DataFrame): DataFrame = {
+    val d = col("x").cast("decimal(18,2)")
+    val g = vals.groupBy("g")
+      .agg(count(lit(1)).as("nj"), sum(d).as("s"), sum(d * d).as("ss"))
+      .select(col("g"), col("nj"), col("s"), col("ss"),
+        (col("s").cast("double") * col("s").cast("double") /
+          col("nj").cast("double")).as("term"))
+    val m = g.agg(
+      count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      sum(col("ss")).cast("double").as("sstot"),
+      aggregate(array_sort(collect_list(struct(col("g"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("sb"))
+      .select(col("k"), col("n"),
+        // MSW = SSW/(N−k) = (Σss − Σⱼsⱼ²/nⱼ)/(N−k)
+        ((col("sstot") - col("sb")) /
+          (col("n").cast("double") - col("k").cast("double"))).as("msw"))
+    val a = g.select(col("g").as("g_a"), col("nj").as("n_a"), col("s").as("s_a"))
+    val b = g.select(col("g").as("g_b"), col("nj").as("n_b"), col("s").as("s_b"))
+    val diff = col("s_a").cast("double") / col("n_a").cast("double") -
+      col("s_b").cast("double") / col("n_b").cast("double")
+    val q = abs(diff) / sqrt(col("msw") / 2.0 *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val crit = TukeyQCrit.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, c)) => when(col("k") === k, c).otherwise(acc)
+    }
+    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(m))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(diff, 6).as("mean_diff"), round(q, 6).as("q"),
+        (q > crit).as("significant"))
+  }
+
+  private lazy val qTukeySql =
+    s"""WITH g AS (
+         SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT g, nj, s, ss,
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nj AS DOUBLE) AS term
+             FROM g),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               (CAST(sum(ss) AS DOUBLE) - list_sum(list(term ORDER BY g)))
+                 / (CAST(sum(nj) AS DOUBLE) - CAST(count(*) AS DOUBLE)) AS msw
+             FROM t)
+       SELECT a.g AS g_a, b.g AS g_b, a.nj AS n_a, b.nj AS n_b,
+         round(CAST(a.s AS DOUBLE) / a.nj - CAST(b.s AS DOUBLE) / b.nj, 6) AS mean_diff,
+         round(abs(CAST(a.s AS DOUBLE) / a.nj - CAST(b.s AS DOUBLE) / b.nj)
+           / sqrt(msw / 2.0 * (1.0 / a.nj + 1.0 / b.nj)), 6) AS q,
+         abs(CAST(a.s AS DOUBLE) / a.nj - CAST(b.s AS DOUBLE) / b.nj)
+           / sqrt(msw / 2.0 * (1.0 / a.nj + 1.0 / b.nj)) > ${TukeyQCrit(3)}
+           AS significant
+       FROM g a JOIN g b ON a.g < b.g CROSS JOIN m"""
+
   private lazy val qAnovaSql =
     s"""WITH g AS (
          SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
@@ -2390,6 +2470,7 @@ object Stats extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
+    "q_tukey" -> (qTukey _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
@@ -2432,6 +2513,7 @@ object Stats extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_anova" -> qAnovaSql,
+    "q_tukey" -> qTukeySql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,

@@ -115,6 +115,71 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------- post-hoc tests ----------------
+
+  test("tukey: hand-computed fixture, flags exactly the separated pair") {
+    import spark.implicits._
+    // groups a={1,2,3}, b={1.5,2.5,3.5} (near a), c={11,12,13} (far)
+    val vals = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(1.5, 2.5, 3.5).map(("b", _)) ++
+      Seq(11.0, 12.0, 13.0).map(("c", _))).toDF("g", "x")
+    val rows = graft.operators.Stats.tukeyOf(vals).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // hand: means 2, 2.5, 12; SSW = 2+2+2 = 6; MSW = 6/(9-3) = 1
+    // q(a,c) = 10/sqrt(1/2*(2/3)) = 10/sqrt(1/3) = 17.3205
+    assert(math.abs(rows(("a", "c")).getAs[Double]("q") - 17.320508) < 1e-5)
+    assert(math.abs(rows(("a", "b")).getAs[Double]("q") - 0.866025) < 1e-5)
+    assert(rows(("a", "c")).getAs[Boolean]("significant"))
+    assert(rows(("b", "c")).getAs[Boolean]("significant"))
+    assert(!rows(("a", "b")).getAs[Boolean]("significant"))
+  }
+
+  test("tukey on the corpus: all pairs, honest true negatives, q >= 0") {
+    val rows = graft.operators.Stats.qTukey(spark, sfDir).collect()
+    assert(rows.length === 3) // 3 returnflag groups -> 3 pairs
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q") >= 0.0)
+      assert(!r.getAs[Boolean]("significant"),
+        "uniform quantities must not separate any pair")
+    }
+  }
+
+  test("tukey: out-of-table k yields NULL significance, never false") {
+    import spark.implicits._
+    val vals = (1 to 12).flatMap(g => Seq(1.0, 2.0).map((s"g$g", _))).toDF("g", "x")
+    val sig = graft.operators.Stats.tukeyOf(vals).select("significant").collect()
+    assert(sig.forall(_.isNullAt(0)), "k=12 is outside TukeyQCrit")
+  }
+
+  test("dunn: separated fixture trips exactly the far pairs; ranks are tie-averaged") {
+    import spark.implicits._
+    // two overlapping groups + one far group, heavy ties; 40 rows/group
+    val vals = ((1 to 40).map(i => ("a", (i % 4).toLong)) ++
+      (1 to 40).map(i => ("b", (i % 4).toLong)) ++
+      (1 to 40).map(i => ("c", 100L + (i % 4)))).toDF("g", "x")
+    val rows = graft.operators.RobustStats.dunnOf(vals).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a and b are identical distributions -> mean ranks equal, z = 0
+    assert(rows(("a", "b")).getAs[Double]("z") === 0.0)
+    assert(!rows(("a", "b")).getAs[Boolean]("significant"))
+    assert(rows(("a", "c")).getAs[Boolean]("significant"))
+    assert(rows(("b", "c")).getAs[Boolean]("significant"))
+    // mean ranks: a/b split ranks 1..80 -> 40.5; c holds 81..120 -> 100.5
+    assert(math.abs(rows(("a", "c")).getAs[Double]("mean_rank_a") - 40.5) < 1e-9)
+    assert(math.abs(rows(("a", "c")).getAs[Double]("mean_rank_b") - 100.5) < 1e-9)
+  }
+
+  test("dunn on the corpus: ten language pairs, no false positives") {
+    val rows = graft.operators.RobustStats.qDunn(spark, sfDir).collect()
+    assert(rows.length === 10) // 5 langs -> 10 pairs
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("significant"),
+        "one generating distribution per language - honest true negative")
+    }
+  }
+
   // ---------------- c_v coherence ----------------
 
   test("windowUnionCount matches a brute-force sliding-window count") {
