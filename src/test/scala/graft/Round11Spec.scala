@@ -180,6 +180,45 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------- Friedman blocked ranks ----------------
+
+  test("friedman: consistently-ordered fixture trips, exchangeable one doesn't") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 12 blocks where treatment order is IDENTICAL every block: Q maximal
+    val ordered = (1 to 12).flatMap(b =>
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).map { case (g, y) =>
+        (s"b$b", g, java.math.BigDecimal.valueOf(y)) })
+      .toDF("b", "g", "y")
+    val r1 = Stats.friedmanOf(ordered).collect()(0)
+    // hand: rank sums 12,24,36 -> Q = 12*(144+576+1296)/(12*3*4) - 3*12*4 = 24
+    assert(r1.getAs[Double]("q") === 24.0)
+    assert(r1.getAs[Boolean]("significant"), "perfect ordering must trip df=2")
+    // rotating the order per block cancels: rank sums equal -> Q = 0
+    val rotated = (1 to 12).flatMap { b =>
+      val gs = Seq("a", "b", "c")
+      gs.zipWithIndex.map { case (g, i) =>
+        (s"b$b", g, java.math.BigDecimal.valueOf(((i + b) % 3) + 1.0)) }
+    }.toDF("b", "g", "y")
+    val r0 = Stats.friedmanOf(rotated).collect()(0)
+    assert(r0.getAs[Double]("q") === 0.0)
+    assert(!r0.getAs[Boolean]("significant"))
+    // an incomplete block must be dropped, not poison the ranking
+    val withPartial = ordered.unionByName(
+      Seq(("bx", "a", java.math.BigDecimal.valueOf(9.0))).toDF("b", "g", "y"))
+    val r2 = Stats.friedmanOf(withPartial).collect()(0)
+    assert(r2.getAs[Long]("n_blocks") === 12L, "partial block must drop")
+    assert(r2.getAs[Double]("q") === 24.0)
+  }
+
+  test("friedman on the corpus: complete 30-day blocks, honest true negative") {
+    val r = graft.operators.Stats.qFriedman(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("k") === 5L)
+    assert(r.getAs[Long]("n_blocks") > 0L)
+    assert(!r.getAs[Boolean]("significant"),
+      "exchangeable within-day orderings must not trip")
+  }
+
   // ---------------- c_v coherence ----------------
 
   test("windowUnionCount matches a brute-force sliding-window count") {
