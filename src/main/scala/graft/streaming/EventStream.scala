@@ -391,6 +391,57 @@ object EventStream {
       }
   }
 
+  case class TypedDaily(event_type: String, day: String, y: scala.math.BigDecimal)
+  case class SeasonCell(weekday: Int, n: Long, sum: scala.math.BigDecimal)
+  case class SeasonState(cells: List[SeasonCell])
+  case class SeasonOut(event_type: String, day: String, weekday: Int,
+    n_w: Long, residual: Double, anomalous: Boolean)
+
+  /** Streaming day-of-week seasonal monitor per event type — the
+    * stateful twin of the batch Stats.qSeasonal: each day's total is
+    * compared against ITS WEEKDAY's running mean (including itself,
+    * exactly the batch convention) with the IDENTICAL exact-decimal
+    * comparison — resid = y·n_w − Σ_w carried in BigDecimal, the flag
+    * the exact-integer test |resid|·SeasonalFlagFrac > Σ_w, only the
+    * reported residual divides. State is at most SEVEN (weekday, n,
+    * sum) cells per key regardless of stream length. Prequential
+    * semantics, stated: early days are judged against the weekday
+    * history seen SO FAR (a monitor cannot see the future), so they can
+    * differ from the batch backfill, but for every (type, weekday) the
+    * LAST day's verdict uses the complete weekday history and is
+    * value-identical to the batch row — StreamingSpec pins exactly
+    * that, plus the full trajectory against a local fold. */
+  def runningSeasonal(days: Dataset[TypedDaily]): Dataset[SeasonOut] = {
+    import days.sparkSession.implicits._
+    val frac = graft.operators.Stats.SeasonalFlagFrac
+    // Spark round(x, 6) semantics exactly (BigDecimal HALF_UP — matters
+    // for NEGATIVE residuals, where floor(x·1e6+0.5) would round ties
+    // toward +∞ instead of away from zero)
+    def r6(x: Double) =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    days.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SeasonState, SeasonOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[SeasonState]) =>
+          var cells = state.getOption.map(_.cells).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.day).map { d =>
+            val wd = java.time.LocalDate.parse(d.day).getDayOfWeek.getValue % 7
+            val cur = cells.find(_.weekday == wd)
+              .getOrElse(SeasonCell(wd, 0L, scala.math.BigDecimal(0)))
+            val next = SeasonCell(wd, cur.n + 1, cur.sum + d.y)
+            cells = next :: cells.filterNot(_.weekday == wd)
+            val resid = d.y * next.n - next.sum // exact decimal
+            val anomalous = resid.abs * frac > next.sum
+            // double(resid)/double(n), matching the batch cast order
+            SeasonOut(et, d.day, wd, next.n,
+              r6(resid.toDouble / next.n), anomalous)
+          }
+          state.update(SeasonState(cells))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user event count/value via
     * flatMapGroupsWithState. In production add a GroupStateTimeout
     * (processing- or event-time) so idle keys age out of the state store. */

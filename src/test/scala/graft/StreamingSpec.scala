@@ -459,6 +459,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming seasonal monitor: prequential fold, final weekday rows match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // daily (type, day, y) totals from the real corpus, exact decimal
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("y"))
+      .orderBy("event_type", "day").collect()
+      .map(r => EventStream.TypedDaily(r.getString(0), r.getString(1),
+        scala.math.BigDecimal(r.getDecimal(2))))
+    val (b1, b2) = daily.splitAt(daily.length / 2)
+    val input = MemoryStream[EventStream.TypedDaily]
+    val q = EventStream.runningSeasonal(input.toDS())
+      .writeStream.format("memory").queryName("season_out")
+      .outputMode("update").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val stream = spark.table("season_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getInt(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      // 1) full trajectory equals a local prequential fold
+      val hist = scala.collection.mutable.Map.empty[(String, Int), (Long, BigDecimal)]
+      daily.foreach { d =>
+        val wd = java.time.LocalDate.parse(d.day).getDayOfWeek.getValue % 7
+        val (n0, s0) = hist.getOrElse((d.event_type, wd), (0L, BigDecimal(0)))
+        val (n, s) = (n0 + 1, s0 + d.y)
+        hist((d.event_type, wd)) = (n, s)
+        val resid = d.y * n - s
+        val expResid = java.math.BigDecimal.valueOf(resid.toDouble / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val got = stream((d.event_type, d.day))
+        assert(got._1 === wd && got._2 === n)
+        assert(got._3 === expResid, s"residual diverged at ${d.event_type}/${d.day}")
+        assert(got._4 === (resid.abs * graft.operators.Stats.SeasonalFlagFrac > s))
+      }
+      // 2) for every (type, weekday) the LAST day saw the complete
+      //    weekday history -> its verdict is value-identical to batch
+      val batch = graft.operators.Stats.qSeasonal(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      val lastDays = daily.groupBy { d =>
+        (d.event_type, java.time.LocalDate.parse(d.day).getDayOfWeek.getValue % 7)
+      }.map { case (_, ds) => ds.maxBy(_.day) }
+      assert(lastDays.nonEmpty)
+      lastDays.foreach { d =>
+        val (swd, _, sres, sflag) = stream((d.event_type, d.day))
+        val (bwd, bres, bflag) = batch((d.event_type, d.day))
+        assert(swd === bwd && sres === bres && sflag === bflag,
+          s"final-weekday verdict diverged from batch at ${d.event_type}/${d.day}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming SLO burn matches the batch two-window rule on the real corpus") {
     implicit val sqlCtx = spark.sqlContext
     // the batch twin's full trajectory over the events table…
