@@ -17,7 +17,7 @@ object Bench {
     "q_token_count", "q_fingerprint", "q_corpus_stats", "q_curation",
     "q_curation_full",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-    "q_decontaminate", "q_line_dedup", "q_dedup_clusters",
+    "q_decontaminate", "q_decon_semantic", "q_line_dedup", "q_dedup_clusters",
     "q_asof_join", "q_asof_native", "q_range_join", "q_bm25", "q_pivot", "q_anomaly",
     "q_ntile", "q_ntile_approx", "q_compact", "q_chisq", "q_events_hop",
     "q_graph_stats", "q_pagerank", "q_mix_rates", "q_gapfill", "q_topk",

@@ -228,6 +228,70 @@ object Dedup extends QueryModule {
        WHERE list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
 
+  /** Benchmark-id ceiling and cosine threshold for semantic
+    * decontamination: vec_id < 100 plays the held-out benchmark
+    * embedding set (the q_decontaminate id-rule convention), τ shared
+    * with the cosine dedup family. */
+  val DeconBenchMax = 100L
+  val DeconSemTau = 0.35
+
+  /** q_decon_semantic: SEMANTIC benchmark decontamination — the
+    * embedding twin of q_decontaminate's 5-gram overlap: a paraphrased
+    * or translated benchmark item shares no shingles with its source
+    * but still sits next to it in embedding space, which is why modern
+    * pipelines run both lexical AND semantic decontamination passes.
+    * Each training vector is scored against EVERY benchmark vector and
+    * flagged when max cosine ≥ τ, with the argmax benchmark id
+    * (tie-broken to the smallest id) and the exact hit count emitted —
+    * ids and integers only, no float column, so the compare is immune
+    * to fp representation while both engines evaluate the identical
+    * IEEE dot-product sequence (the q_dedup_cosine discipline).
+    *
+    * Scale shape: the benchmark side BROADCASTS — benchmark suites are
+    * bounded by construction (thousands of items, not corpus-sized), so
+    * unlike near-dup dedup this operator's exact form IS the 100 TB
+    * plan: one map-side pass over training embeddings against the
+    * broadcast benchmark matrix, then a groupBy over only the flagged
+    * rows. No LSH approximation needed where one side is small. */
+  def qDeconSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bench = e.filter(col("vec_id") < DeconBenchMax)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    e.filter(col("vec_id") >= DeconBenchMax)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        SimilaritySearch.cosine(col("v"), col("bv")).as("cos"))
+      .filter(col("cos") >= DeconSemTau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct((-col("cos")).as("nc"), col("bench_id")))
+          .getField("bench_id").as("bench_id"))
+      .select(col("vec_id"), col("bench_id"), col("n_hits"))
+  }
+
+  private val qDeconSemanticSql =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       bench AS (SELECT vec_id AS bench_id, v AS bv FROM e
+                 WHERE vec_id < $DeconBenchMax),
+       train AS (SELECT vec_id, v FROM e WHERE vec_id >= $DeconBenchMax),
+       f AS (SELECT t.vec_id, b.bench_id,
+               list_dot_product(t.v, b.bv) /
+                 (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS cos
+             FROM train t CROSS JOIN bench b
+             WHERE list_dot_product(t.v, b.bv) /
+                 (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+               >= $DeconSemTau),
+       r AS (SELECT vec_id, bench_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, bench_id ASC) AS rn,
+               count(*) OVER (PARTITION BY vec_id) AS n_hits
+             FROM f)
+       SELECT vec_id, bench_id, CAST(n_hits AS BIGINT) AS n_hits
+       FROM r WHERE rn = 1"""
+
   /** q_dedup_cosine_lsh: the SCALE path for embedding near-dup pairs.
     * Candidates come from sign-bucket collisions (the same 8-table × 6-plane
     * deterministic hyperplanes as q_ann_lsh) — an equi-join on (tbl, bucket),
@@ -1216,6 +1280,7 @@ object Dedup extends QueryModule {
     "q_cosine_lsh_audit" -> (qCosineLshAudit _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decon_semantic" -> (qDeconSemantic _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_dup_spans" -> (qDupSpans _),
     "q_span_scrub" -> (qSpanScrub _),
@@ -1236,6 +1301,7 @@ object Dedup extends QueryModule {
     "q_containment" -> qContainmentSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decon_semantic" -> qDeconSemanticSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_span_scrub" -> qSpanScrubSql,

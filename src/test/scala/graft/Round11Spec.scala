@@ -180,6 +180,39 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------- semantic decontamination ----------------
+
+  test("q_decon_semantic: benchmark side broadcasts; hits agree with a local check") {
+    val df = graft.operators.Dedup.qDeconSemantic(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Long]("n_hits")))).toMap
+    // local brute-force reference over the same embeddings
+    val all = graft.sources.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = all.filter(_._1 < graft.operators.Dedup.DeconBenchMax)
+    val expect = all.filter(_._1 >= graft.operators.Dedup.DeconBenchMax)
+      .flatMap { case (vid, v) =>
+        val hits = bench.toSeq
+          .map { case (bid, bv) => (bid, cos(v, bv)) }
+          .filter(_._2 >= graft.operators.Dedup.DeconSemTau)
+        if (hits.isEmpty) None
+        else Some(vid -> ((hits.minBy { case (bid, c) => (-c, bid) }._1,
+          hits.size.toLong)))
+      }
+    assert(rows === expect, "flagged set / argmax / counts diverged from brute force")
+    assert(rows.nonEmpty, "vacuous decontamination fixture")
+  }
+
   // ---------------- Friedman blocked ranks ----------------
 
   test("friedman: consistently-ordered fixture trips, exchangeable one doesn't") {
