@@ -980,7 +980,9 @@ object RobustStats extends QueryModule {
     val crit = DunnZCrit.foldLeft(lit(null).cast("double")) {
       case (acc, (mm, c)) => when(mPairs === mm, c).otherwise(acc)
     }
-    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(m))
+    // broadcast the k-row build side (the qTukey rule: a non-equi join
+    // of two fresh aggregates otherwise plans as CartesianProduct)
+    a.join(broadcast(b), col("g_a") < col("g_b")).crossJoin(broadcast(m))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         round(meanA, 6).as("mean_rank_a"), round(meanB, 6).as("mean_rank_b"),
         round(z, 6).as("z"), (abs(z) > crit).as("significant"))

@@ -2249,7 +2249,10 @@ object Stats extends QueryModule {
     val crit = TukeyQCrit.foldLeft(lit(null).cast("double")) {
       case (acc, (k, c)) => when(col("k") === k, c).otherwise(acc)
     }
-    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(m))
+    // broadcast the k-row build side: without the hint the non-equi pair
+    // join plans as CartesianProduct (both inputs are fresh aggregates
+    // with unknown stats)
+    a.join(broadcast(b), col("g_a") < col("g_b")).crossJoin(broadcast(m))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         round(diff, 6).as("mean_diff"), round(q, 6).as("q"),
         (q > crit).as("significant"))

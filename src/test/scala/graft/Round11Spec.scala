@@ -180,6 +180,38 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---------------- plan probes for the round-11 operators ----------------
+
+  test("post-hoc and friedman plans: no CartesianProduct, bounded sides broadcast") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val tukey = plan(graft.operators.Stats.qTukey(spark, sfDir))
+    assert(!tukey.contains("CartesianProduct"))
+    // the k-row group relation pairs via a broadcast join, never a shuffle
+    assert(tukey.contains("Broadcast"), tukey.take(1500))
+    val dunn = plan(graft.operators.RobustStats.qDunn(spark, sfDir))
+    assert(!dunn.contains("CartesianProduct"))
+    assert(dunn.contains("Broadcast"), dunn.take(1500))
+    val fried = plan(graft.operators.Stats.qFriedman(spark, sfDir))
+    assert(!fried.contains("CartesianProduct"))
+    // ranks window is PARTITIONED by block — a global un-partitioned
+    // window over the daily relation would be a one-task sort
+    assert(!fried.contains("Window [")
+      || !fried.contains("windowspecdefinition()"), fried.take(1500))
+  }
+
+  test("c_v coherence plan: top-term side broadcasts into the posting join") {
+    val (_, _, cv) = {
+      // re-derive through the public query (cvParts is private): the
+      // physical plan of the final c_v relation carries the whole chain
+      val df = graft.operators.TopicModeling.qCoherenceCv(spark, sfDir)
+      (0, 0, df)
+    }
+    val p = cv.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   // ---------------- semantic decontamination ----------------
 
   test("q_decon_semantic: benchmark side broadcasts; hits agree with a local check") {
