@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
   *    mix — documented in SCALING.md.
   *  - embeddings: copy c applies a per-copy rotation of the 64 dims plus
   *    a ±1 sign mask — an ORTHOGONAL transform, so every within-copy
-  *    distance, cosine, norm and split is bit-faithfully preserved while
-  *    cross-copy cosines scatter to ~0 (same quadratic-pair rationale).
+  *    distance, cosine, norm and split is preserved (exactly as reals;
+  *    fp dots reassociate at the last ulp under the rotated summation
+  *    order) while cross-copy cosines scatter to ~0 (same
+  *    quadratic-pair rationale).
   *  - events: ids shift, timestamps pass through — the 30-day calendar
   *    stays fixed and per-day volume grows ×K, which is exactly how an
   *    event stream scales; day-bounded window queries keep constant
@@ -48,10 +50,17 @@ object Amplify {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, kStr) = args.take(3)
-    val k = kStr.toInt
-    require(k >= 1 && k <= 9, s"K must be in 1..9 (alien-range headroom), got $k")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, kStr.toInt)
+    spark.stop()
+  }
+
+  /** Amplify every table of `srcDir` ×k into `outDir` (see object doc);
+    * also the entry point AmplifySpec pins the invariants through. */
+  def run(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, k: Int): Unit = {
+    require(k >= 1 && k <= 9, s"K must be in 1..9 (alien-range headroom), got $k")
 
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
@@ -95,6 +104,5 @@ object Amplify {
     val counts = Seq("lineitem", "orders", "events", "documents", "embeddings")
       .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
     println(s"amplify: k=$k src=$srcDir out=$outDir ${counts.mkString(" ")}")
-    spark.stop()
   }
 }
