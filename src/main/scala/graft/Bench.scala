@@ -42,7 +42,7 @@ object Bench {
     "q_class_centroids", "q_media_phash", "q_nquads_source", "q_pipeline",
     "q_source_overlap", "q_containment",
     "q_ccnet_buckets", "q_bigram_lm", "q_tok_fertility", "q_dup_ngrams",
-    "q_fleiss", "q_dp_counts", "q_winsorize", "q_mutual_info", "q_rocchio",
+    "q_fleiss", "q_dp_counts", "q_winsorize", "q_winsorize_approx", "q_mutual_info", "q_rocchio",
     "q_cusum", "q_calibration", "q_ann_recall", "q_hll_merge",
     "q_ks_test", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",

@@ -256,6 +256,48 @@ object RobustStats extends QueryModule {
        FROM base JOIN cuts ON cuts.flag = base.flag
        GROUP BY base.flag"""
 
+  /** q_winsorize_approx: the documented 100 TB swap of [[qWinsorize]]
+    * made real — GK-sketch [p05, p95] thresholds (approx_percentile,
+    * accuracy 10000: one bounded-memory mergeable aggregate per group,
+    * broadcast back) instead of the exact distributed rank pick,
+    * mirroring the q_ntile → q_ntile_approx pairing. HASH-GATED form
+    * (the qNtileApproxGate rule): the per-group row count anchors the
+    * data, and the GK rank contract rides as booleans — the clipped-
+    * below/above fractions must sit within 5% ± (1% + 2/n) (the sketch's
+    * ε = 1/accuracy is far tighter; the slack absorbs tie plateaus at
+    * small SF while a broken sketch, which misplaces thresholds by whole
+    * percentiles, still fails), thresholds must lie inside the group's
+    * [min, max], and the winsorized mean inside [lo, hi]. */
+  def qWinsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("price"))
+    val cuts = base.groupBy("flag")
+      .agg(expr("approx_percentile(price, array(0.05, 0.95), 10000)").as("c"))
+      .select(col("flag"), col("c")(0).as("lo"), col("c")(1).as("hi"))
+    val slack = col("n") * 0.01 + 2
+    base.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        min(col("price")).as("pmin"), max(col("price")).as("pmax"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("price") < col("lo"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col("price") > col("hi"), 1L).otherwise(0L)).as("c_hi"),
+        avg(least(greatest(col("price"), col("lo")), col("hi"))).as("wm"))
+      .select(col("flag"), col("n"),
+        (col("lo") <= col("hi") && col("lo") >= col("pmin") &&
+          col("hi") <= col("pmax")).as("bounds_ok"),
+        (abs(col("c_lo") - col("n") * 0.05) <= slack).as("clip_lo_ok"),
+        (abs(col("c_hi") - col("n") * 0.05) <= slack).as("clip_hi_ok"),
+        (col("wm") >= col("lo") && col("wm") <= col("hi")).as("mean_ok"))
+  }
+
+  private lazy val qWinsorizeApproxSql =
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+         TRUE AS bounds_ok, TRUE AS clip_lo_ok, TRUE AS clip_hi_ok,
+         TRUE AS mean_ok
+       FROM lineitem GROUP BY 1"""
+
   // ---------------------------------------------------------------- MAD
 
   /** q_mad: median absolute deviation per group — the robust dispersion
@@ -1286,6 +1328,7 @@ object RobustStats extends QueryModule {
     "q_ldiversity" -> (qLdiversity _),
     "q_tcloseness" -> (qTcloseness _),
     "q_winsorize" -> (qWinsorize _),
+    "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_mad" -> (qMad _),
     "q_mutual_info" -> (qMutualInfo _))
 
@@ -1306,6 +1349,7 @@ object RobustStats extends QueryModule {
     "q_ldiversity" -> qLdiversitySql,
     "q_tcloseness" -> qTclosenessSql,
     "q_winsorize" -> qWinsorizeSql,
+    "q_winsorize_approx" -> qWinsorizeApproxSql,
     "q_mad" -> qMadSql,
     "q_mutual_info" -> qMutualInfoSql)
 }

@@ -245,6 +245,39 @@ class Round11Spec extends SparkSpec {
     assert(rows.nonEmpty, "vacuous decontamination fixture")
   }
 
+  // ---------------- GK winsorize ----------------
+
+  test("q_winsorize_approx: GK thresholds track the exact rank picks") {
+    val apx = graft.operators.RobustStats.qWinsorizeApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(apx.keySet.size === 3)
+    apx.values.foreach { r =>
+      assert(r.getAs[Boolean]("bounds_ok"))
+      assert(r.getAs[Boolean]("clip_lo_ok"), "clipped-below fraction off the GK bound")
+      assert(r.getAs[Boolean]("clip_hi_ok"), "clipped-above fraction off the GK bound")
+      assert(r.getAs[Boolean]("mean_ok"))
+    }
+    // and the sketch-clipped mean lands within 1% of the exact twin's
+    val exact = graft.operators.RobustStats.qWinsorize(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("wins_mean")).toMap
+    val apxMeans = {
+      import org.apache.spark.sql.functions._
+      val base = graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("double").as("price"))
+      val cuts = base.groupBy("flag")
+        .agg(expr("approx_percentile(price, array(0.05, 0.95), 10000)").as("c"))
+        .select(col("flag"), col("c")(0).as("lo"), col("c")(1).as("hi"))
+      base.join(broadcast(cuts), Seq("flag")).groupBy("flag")
+        .agg(avg(least(greatest(col("price"), col("lo")), col("hi"))).as("wm"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("wm")).toMap
+    }
+    exact.foreach { case (flag, em) =>
+      assert(math.abs(apxMeans(flag) - em) <= 0.01 * math.abs(em),
+        s"$flag: sketch-winsorized mean drifted >1% from the exact twin")
+    }
+  }
+
   // ---------------- Friedman blocked ranks ----------------
 
   test("friedman: consistently-ordered fixture trips, exchangeable one doesn't") {
