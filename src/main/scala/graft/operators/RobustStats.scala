@@ -201,8 +201,8 @@ object RobustStats extends QueryModule {
     * selection on one range shuffle over (flag, price) and ships only
     * the 3×2 cut values (plus per-group counts) to the driver; no row of
     * the fact table is ever numbered or copied. The bounded-memory path
-    * at 100 TB further swaps the exact pick for the GK sketch exactly as
-    * q_ntile → q_ntile_approx. */
+    * at 100 TB swaps the exact pick for the GK sketch — implemented as
+    * [[qWinsorizeApprox]], the q_ntile → q_ntile_approx pairing. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
