@@ -310,8 +310,9 @@ object RobustStats extends QueryModule {
     * never a per-group window sort (each l_returnflag group is ~1/3 of
     * the fact table). Two range shuffles are inherent to the nested
     * statistic (MAD needs the median first); the 100 TB bounded-memory
-    * swap is the GK sketch at both picks, exactly as q_ntile →
-    * q_ntile_approx. The final relation is #groups rows.
+    * swap is the GK sketch at both picks — implemented as
+    * [[qMadApprox]], the q_ntile → q_ntile_approx pairing. The final
+    * relation is #groups rows.
     *
     * Gate hardening (r10, after the one driver-only hash flake in r9
     * that never reproduced locally): ONE persisted base feeds the scan,
@@ -383,6 +384,53 @@ object RobustStats extends QueryModule {
        SELECT c.flag, c.n, round(CAST(med.med AS DOUBLE), 6) AS med,
          round(CAST(mad.mad AS DOUBLE), 6) AS mad
        FROM c JOIN med ON med.flag = c.flag JOIN mad ON mad.flag = c.flag"""
+
+  /** q_mad_approx: the GK swap for BOTH of [[qMad]]'s rank picks — the
+    * second documented bounded-memory path made real (q_winsorize →
+    * q_winsorize_approx was the first; with this the exact/sketch
+    * pairing covers the whole rank-statistic family). Two sketch
+    * passes are inherent (MAD nests: median first, then the median of
+    * deviations); each is one mergeable approx_percentile aggregate
+    * broadcast back — no range shuffle, no rank numbering. Hash-gated
+    * via the guarantee pattern: per-group counts anchor the data, and
+    * the GK rank contract rides as booleans — the approximate median
+    * must split the group 50% ± (1% + 2/n) (rows strictly below it vs
+    * n), the approximate MAD must split the DEVIATIONS the same way,
+    * and both must lie inside their population ranges. A broken sketch
+    * misplaces a threshold by whole percentiles and fails the split
+    * clause; the spec additionally bounds both values within 1% of the
+    * exact twin's. */
+  def qMadApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("price"))
+    val med = base.groupBy("flag")
+      .agg(expr("approx_percentile(price, 0.5, 10000)").as("med"))
+    val devs = base.join(broadcast(med), Seq("flag"))
+      .select(col("flag"), col("price"), col("med"),
+        abs(col("price") - col("med")).as("dev"))
+    val mad = devs.groupBy("flag")
+      .agg(expr("approx_percentile(dev, 0.5, 10000)").as("mad"))
+    val slack = col("n") * 0.01 + 2
+    devs.join(broadcast(mad), Seq("flag"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("m0"), first(col("mad")).as("d0"),
+        min(col("price")).as("pmin"), max(col("price")).as("pmax"),
+        max(col("dev")).as("dmax"),
+        sum(when(col("price") < col("med"), 1L).otherwise(0L)).as("below_med"),
+        sum(when(col("dev") < col("mad"), 1L).otherwise(0L)).as("below_mad"))
+      .select(col("flag"), col("n"),
+        (col("m0") >= col("pmin") && col("m0") <= col("pmax") &&
+          col("d0") >= 0.0 && col("d0") <= col("dmax")).as("bounds_ok"),
+        (abs(col("below_med") - col("n") * 0.5) <= slack).as("med_split_ok"),
+        (abs(col("below_mad") - col("n") * 0.5) <= slack).as("mad_split_ok"))
+  }
+
+  private lazy val qMadApproxSql =
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+         TRUE AS bounds_ok, TRUE AS med_split_ok, TRUE AS mad_split_ok
+       FROM lineitem GROUP BY 1"""
 
   // ---------------------------------------------------------- k-anonymity
 
@@ -1329,6 +1377,7 @@ object RobustStats extends QueryModule {
     "q_tcloseness" -> (qTcloseness _),
     "q_winsorize" -> (qWinsorize _),
     "q_winsorize_approx" -> (qWinsorizeApprox _),
+    "q_mad_approx" -> (qMadApprox _),
     "q_mad" -> (qMad _),
     "q_mutual_info" -> (qMutualInfo _))
 
@@ -1350,6 +1399,7 @@ object RobustStats extends QueryModule {
     "q_tcloseness" -> qTclosenessSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_winsorize_approx" -> qWinsorizeApproxSql,
+    "q_mad_approx" -> qMadApproxSql,
     "q_mad" -> qMadSql,
     "q_mutual_info" -> qMutualInfoSql)
 }

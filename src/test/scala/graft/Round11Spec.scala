@@ -278,6 +278,40 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_mad_approx: GK medians split their populations and track the exact twin") {
+    val apx = graft.operators.RobustStats.qMadApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(apx.keySet.size === 3)
+    apx.values.foreach { r =>
+      assert(r.getAs[Boolean]("bounds_ok"))
+      assert(r.getAs[Boolean]("med_split_ok"), "median split off the GK bound")
+      assert(r.getAs[Boolean]("mad_split_ok"), "MAD split off the GK bound")
+    }
+    // sketch med/mad within 1% of the exact twin's values
+    val exact = graft.operators.RobustStats.qMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("med"), r.getAs[Double]("mad")))).toMap
+    val apxVals = {
+      import org.apache.spark.sql.functions._
+      val base = graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("double").as("price"))
+      val med = base.groupBy("flag")
+        .agg(expr("approx_percentile(price, 0.5, 10000)").as("med"))
+      base.join(broadcast(med), Seq("flag"))
+        .select(col("flag"), col("med"), abs(col("price") - col("med")).as("dev"))
+        .groupBy("flag")
+        .agg(first(col("med")).as("med"),
+          expr("approx_percentile(dev, 0.5, 10000)").as("mad"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Double]("med"), r.getAs[Double]("mad")))).toMap
+    }
+    exact.foreach { case (flag, (em, ed)) =>
+      val (am, ad) = apxVals(flag)
+      assert(math.abs(am - em) <= 0.01 * math.abs(em), s"$flag median drift >1%")
+      assert(math.abs(ad - ed) <= 0.01 * math.abs(ed), s"$flag MAD drift >1%")
+    }
+  }
+
   // ---------------- Friedman blocked ranks ----------------
 
   test("friedman: consistently-ordered fixture trips, exchangeable one doesn't") {
