@@ -57,7 +57,9 @@ def main():
         rows.append({"query": name,
                      "t": [round(t, 3) for t in ts],
                      "slope": round(slope, 3), "class": cls})
-    rows.sort(key=lambda r: (-(r["slope"] if r["slope"] is not None else 99)))
+    # worst slope first; errored rows (slope None) sort LAST, not first
+    rows.sort(key=lambda r: -(r["slope"] if r["slope"] is not None
+                              else float("-inf")))
     summary = {
         "ks": KS, "noise_floor_sec": NOISE_FLOOR_SEC,
         "superlinear_threshold": SUPERLINEAR,

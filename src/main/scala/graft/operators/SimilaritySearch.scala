@@ -368,10 +368,14 @@ object SimilaritySearch extends QueryModule {
     * consumer. Same treatment as Dedup.docShingles — at 100 TB a shared
     * stage this hot is materialized once, never recomputed. */
   def postedBuckets(s: SparkSession, dir: String): DataFrame = {
-    // adaptive plane count from the corpus size (one cheap count of the
-    // key column) — constant bucket load at any scale, identical posting
-    // to the historical 6-plane one at every test SF (n ≤ 2000)
-    val planes = adaptivePlanes(Tables.embeddings(s, dir).count())
+    // adaptive plane count from the corpus size — constant bucket load at
+    // any scale, identical posting to the historical 6-plane one at every
+    // test SF (n ≤ 2000). The resolved count is memoized per (session,
+    // dir) so only the FIRST consumer pays the count job; repeat callers
+    // hit the posting cache without re-scanning the corpus.
+    val planes = graft.ModelCache.getOrElseUpdate(s, s"ann.planes:$dir") {
+      adaptivePlanes(Tables.embeddings(s, dir).count())
+    }
     graft.ModelCache.getOrElseUpdate(s, s"ann.buckets:$dir:$NTables:$planes") {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -28,13 +28,21 @@ import org.apache.spark.sql.functions._
   * distributed (spark.read.text + filter + split). */
 object GensimInterchange {
 
+  // gensim reads/writes these files as UTF-8; FileWriter would use the
+  // platform default charset (mangles multilingual tokens on JVM <18
+  // under a non-UTF-8 locale), so go through an explicit UTF-8 writer.
+  private def utf8Writer(path: String): java.io.PrintWriter =
+    new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(path),
+        java.nio.charset.StandardCharsets.UTF_8)))
+
   /** Write (token_id, tok, df) + the corpus doc count as
     * Dictionary.save_as_text format. Any extra columns are ignored. */
   def writeDictionary(dict: DataFrame, numDocs: Long, path: String): Unit = {
     val rows = dict.select(col("token_id").cast("long"), col("tok"),
       col("df").cast("long")).orderBy("tok").toLocalIterator()
-    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-      new java.io.FileWriter(path)))
+    val out = utf8Writer(path)
     try {
       out.println(numDocs.toString)
       while (rows.hasNext) {
@@ -76,8 +84,7 @@ object GensimInterchange {
     val rows = bow.select(col("doc_id").cast("long"),
       col("term_id").cast("long"), col("weight").cast("double"))
       .orderBy("doc_id", "term_id").toLocalIterator()
-    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
-      new java.io.FileWriter(path)))
+    val out = utf8Writer(path)
     try {
       out.println("%%MatrixMarket matrix coordinate real general")
       out.println(s"$numDocs $numTerms $nnz")
@@ -91,11 +98,14 @@ object GensimInterchange {
   /** Read a Matrix-Market coordinate file → 0-based
     * (doc_id, term_id, weight). Banner and `%` comment lines drop; the
     * size line is recognized POSITIONALLY (first non-comment line, the
-    * MM spec) via a distributed min over an input-order id, so a 2-row
-    * 3-column corpus can never be mistaken for its own header. */
+    * MM spec) via RDD zipWithIndex, which GUARANTEES input order —
+    * monotonically_increasing_id only happens to track file order under
+    * today's split packing, and a multi-file path or repacked splits
+    * would misidentify a data triple as the header. */
   def readMmCorpus(s: SparkSession, path: String): DataFrame = {
-    val lines = s.read.text(path)
-      .select(monotonically_increasing_id().as("ln"), col("value"))
+    import s.implicits._
+    val lines = s.sparkContext.textFile(path).zipWithIndex()
+      .map { case (v, ln) => (ln, v) }.toDF("ln", "value")
       .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
     val headerLn = lines.agg(min(col("ln"))).head.getLong(0)
     lines.filter(col("ln") > headerLn)
@@ -105,10 +115,12 @@ object GensimInterchange {
         element_at(col("f"), 3).cast("double").as("weight"))
   }
 
-  /** Declared (docs, terms, nnz) of a Matrix-Market file's size line. */
+  /** Declared (docs, terms, nnz) of a Matrix-Market file's size line
+    * (first non-comment line by guaranteed input order, as above). */
   def readMmHeader(s: SparkSession, path: String): (Long, Long, Long) = {
-    val first = s.read.text(path)
-      .select(monotonically_increasing_id().as("ln"), col("value"))
+    import s.implicits._
+    val first = s.sparkContext.textFile(path).zipWithIndex()
+      .map { case (v, ln) => (ln, v) }.toDF("ln", "value")
       .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
       .orderBy("ln").select("value").head.getString(0)
     val p = first.trim.split("\\s+")

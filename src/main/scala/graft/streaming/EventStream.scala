@@ -369,7 +369,12 @@ object EventStream {
     val thr = graft.operators.Stats.SloBurnThresholdX1000.toLong
     val shortD = graft.operators.Stats.SloShortDays
     val longD = graft.operators.Stats.SloLongDays
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // Spark round(x, 6) semantics exactly (BigDecimal HALF_UP over the
+    // shortest decimal repr), matching batch qSloBurn — floor(x·1e6+0.5)
+    // diverges from it on 6-dp tie values (see runningSeasonal).
+    def r6(x: Double) =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     days.groupByKey(_.service)
       .flatMapGroupsWithState[SloHist, SloBurnOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
