@@ -108,34 +108,134 @@ object TopicModeling extends QueryModule {
       .select(col("doc_id"), col("n_topics"),
         (col("n_topics") > MinimumTopicsPolysemous).as("polysemous"))
 
-  /** u_mass coherence of a topic's top terms from distributed doc
-    * co-occurrence counts: mean over ordered pairs (wi, wj), i>j, of
-    * ln((D(wi,wj)+1)/D(wj)). Counts come from one explode+join — the
-    * top-term set (k×10 strings) broadcasts. */
-  def umassCoherence(s: SparkSession, dir: String, topTerms: DataFrame): DataFrame = {
+  /** Shared u_mass substrate: per-(topic, pos, term) doc frequencies and
+    * the FULL ordered-pair grid (pos_i > pos_j, 45 pairs per 10-term
+    * topic) with smoothed co-document counts. gensim's s_one_pre
+    * segmentation (CoherenceModel u_mass, the reference's primary metric
+    * at coherence_log_perplexity.py:50-52) averages over EVERY pair —
+    * a zero-co-occurrence pair contributes ln(1/D(wj)) through the +1
+    * smoothing; an inner join on observed co-occurrences would silently
+    * drop it. Counts come from one explode+broadcast-join of the k×10
+    * top-term strings against the distinct (doc, term) posting. */
+  private def umassParts(s: SparkSession, dir: String,
+      topTerms: DataFrame): (DataFrame, DataFrame) = {
     val docTerms = TextPrep.cleanDocs(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
     val terms = topTerms.select(col("topic"), posexplode(col("terms")).as(Seq("pos", "term")))
     val hits = docTerms.join(broadcast(terms), Seq("term")) // (doc, topic, pos, term)
     val single = hits.groupBy("topic", "pos", "term")
       .agg(countDistinct("doc_id").as("df"))
-    val pairs = hits.as("a").join(hits.as("b"),
+    val co = hits.as("a").join(hits.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.topic") === col("b.topic") &&
           col("a.pos") > col("b.pos"))
       .groupBy(col("a.topic").as("topic"), col("a.pos").as("pos_i"),
         col("b.pos").as("pos_j"))
       .agg(countDistinct(col("a.doc_id")).as("codf"))
-    pairs
+    val grid = terms.select(col("topic"), col("pos").as("pos_i"))
+      .join(terms.select(col("topic"), col("pos").as("pos_j")), Seq("topic"))
+      .filter(col("pos_i") > col("pos_j"))
+    val pairs = grid
+      .join(co, Seq("topic", "pos_i", "pos_j"), "left_outer")
+      .na.fill(0L, Seq("codf"))
+      .join(single.select(col("topic"), col("pos").as("pos_i"), col("df").as("df_i")),
+        Seq("topic", "pos_i"))
       .join(single.select(col("topic"), col("pos").as("pos_j"), col("df").as("df_j")),
         Seq("topic", "pos_j"))
-      .groupBy("topic")
-      .agg(round(avg(log((col("codf") + 1).cast("double") / col("df_j"))), 6)
-        .as("u_mass"), count(lit(1)).as("n_pairs"))
+    (single, pairs)
   }
+
+  /** The default k=10 model's u_mass substrate (memoized: q_coherence and
+    * its audit both consume it). */
+  private def umassPartsDefault(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.ModelCache.getOrElseUpdate(s, s"tm.umassparts:$dir") {
+      val (single, pairs) =
+        umassParts(s, dir, ldaTopTerms(s, dir).select("topic", "terms"))
+      (single.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** u_mass per topic over a substrate: mean over ALL ordered pairs
+    * (wi, wj), i>j, of ln((D(wi,wj)+1)/D(wj)) — the Mimno 2011 score as
+    * gensim computes it. The cross-pair double sum is an ordered fold
+    * (the q_anova discipline) so the result is byte-stable run to run. */
+  private def umassFromParts(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("topic"), col("pos_i"), col("pos_j"),
+        log((col("codf") + 1).cast("double") / col("df_j")).as("term"))
+      .groupBy("topic")
+      .agg(round(
+        aggregate(
+          array_sort(collect_list(struct(col("pos_i"), col("pos_j"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")) / count(lit(1)), 6)
+        .as("u_mass"), count(lit(1)).as("n_pairs"))
+
+  /** u_mass coherence of arbitrary topic top terms (the model-select
+    * sweep scores every k through this). */
+  def umassCoherence(s: SparkSession, dir: String, topTerms: DataFrame): DataFrame =
+    umassFromParts(umassParts(s, dir, topTerms)._2)
 
   /** q_coherence: u_mass per topic for the k=10 model. */
   def qCoherence(s: SparkSession, dir: String): DataFrame =
-    umassCoherence(s, dir, ldaTopTerms(s, dir).select("topic", "terms"))
+    umassFromParts(umassPartsDefault(s, dir)._2)
+
+  /** q_coherence_audit: u_mass certificate — the thesis headline's
+    * primary topic-quality metric, SQL-anchored the q_coherence_cv_audit
+    * way. The pair VALUES depend on the LDA top terms (not
+    * SQL-derivable), but the counting substrate is: the oracle recomputes
+    * the corpus doc count and the distinct (doc, term) posting mass from
+    * the clean-token SQL. Guarantees: every topic carries exactly 10
+    * terms and exactly 45 ordered pairs (the FULL s_one_pre grid — a
+    * dropped zero-co-occurrence pair fails the count), every doc
+    * frequency is in [1, n_docs] (top terms come from this corpus' own
+    * vocabulary), every pair count obeys the intersection bound
+    * 0 ≤ D(wi,wj) ≤ min(D(wi), D(wj)), and every u_mass lands in the
+    * smoothing-implied range [−ln(n_docs), ln 2]. */
+  def qCoherenceAudit(s: SparkSession, dir: String): DataFrame = {
+    val (single, pairs) = umassPartsDefault(s, dir)
+    val nDocs = TextPrep.cleanDocs(s, dir).count()
+    val postingMass = TextPrep.cleanDocs(s, dir)
+      .select(explode(array_distinct(col("toks"))).as("term")).count()
+    val sAgg = single.groupBy("topic")
+      .agg(count(lit(1)).as("nt"), min(col("df")).as("dmin"),
+        max(col("df")).as("dmax"))
+      .agg(min(col("nt")).as("ntmin"), max(col("nt")).as("ntmax"),
+        min(col("dmin")).as("dmin"), max(col("dmax")).as("dmax"),
+        count(lit(1)).as("ntopics")).head
+    val pAgg = pairs.groupBy("topic").agg(count(lit(1)).as("np"),
+        sum(when(col("codf") < 0L ||
+          col("codf") > least(col("df_i"), col("df_j")), 1L).otherwise(0L))
+          .as("bad"))
+      .agg(min(col("np")).as("npmin"), max(col("np")).as("npmax"),
+        sum(col("bad")).as("bad_pairs")).head
+    val uAgg = qCoherence(s, dir)
+      .agg(min(col("u_mass")).as("umin"), max(col("u_mass")).as("umax"),
+        min(col("n_pairs")).as("pmin"), max(col("n_pairs")).as("pmax")).head
+    val termsOk = sAgg.getAs[Long]("ntmin") == 10L &&
+      sAgg.getAs[Long]("ntmax") == 10L &&
+      sAgg.getAs[Long]("ntopics") == DefaultK.toLong &&
+      sAgg.getAs[Long]("dmin") >= 1L &&
+      sAgg.getAs[Long]("dmax") <= nDocs
+    val pairGridOk = pAgg.getAs[Long]("npmin") == 45L &&
+      pAgg.getAs[Long]("npmax") == 45L &&
+      pAgg.getAs[Long]("bad_pairs") == 0L &&
+      uAgg.getAs[Long]("pmin") == 45L && uAgg.getAs[Long]("pmax") == 45L
+    val umassRangeOk =
+      uAgg.getAs[Double]("umin") >= -math.log(nDocs.toDouble) - 1e-9 &&
+        uAgg.getAs[Double]("umax") <= math.log(2.0) + 1e-9
+    import s.implicits._
+    Seq((nDocs, postingMass, DefaultK.toLong, termsOk, pairGridOk, umassRangeOk))
+      .toDF("n_docs", "posting_mass", "n_topics",
+        "terms_ok", "pair_grid_ok", "umass_range_ok")
+  }
+
+  private lazy val qCoherenceAuditSql =
+    s"""WITH d AS (SELECT list_distinct(${TextFns.cleanTokensSql("text")}) AS toks
+             FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS posting_mass,
+         CAST($DefaultK AS BIGINT) AS n_topics,
+         TRUE AS terms_ok, TRUE AS pair_grid_ok, TRUE AS umass_range_ok
+       FROM d"""
 
   // ------------------------------------------------------ c_v coherence
 
@@ -497,6 +597,7 @@ object TopicModeling extends QueryModule {
     "q_doc_topics" -> (qDocTopics _),
     "q_polysemy" -> (qPolysemy _),
     "q_coherence" -> (qCoherence _),
+    "q_coherence_audit" -> (qCoherenceAudit _),
     "q_coherence_cv" -> (qCoherenceCv _),
     "q_coherence_cv_audit" -> (qCoherenceCvAudit _),
     "q_perplexity" -> (qPerplexity _),
@@ -508,5 +609,6 @@ object TopicModeling extends QueryModule {
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
     "q_lda_audit" -> qLdaAuditSql,
+    "q_coherence_audit" -> qCoherenceAuditSql,
     "q_coherence_cv_audit" -> qCoherenceCvAuditSql)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{TextPrep, TopicModeling}
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: the certificate program's last un-anchored surfaces.
+  *
+  *  - u_mass coherence is gensim-exact: the s_one_pre segmentation
+  *    averages over the FULL ordered-pair grid, so a zero-co-occurrence
+  *    pair contributes ln(1/D(wj)) through the +1 smoothing. The r11
+  *    implementation inner-joined on observed co-occurrences and silently
+  *    dropped those pairs — the fixture here trips exactly that.
+  */
+class Round12Spec extends SparkSpec {
+
+  /** Three hand-traced docs written as a documents.parquet fixture dir:
+    * df(alpha)=2, df(beta)=2, df(gamma)=1; the (gamma, alpha) pair never
+    * co-occurs. */
+  private lazy val umassFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-umass").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta alpha", "en", "t", 16L),
+      (2L, "alpha", "en", "t", 5L),
+      (3L, "beta gamma", "en", "t", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("u_mass averages the FULL pair grid: zero-co-occurrence pairs count") {
+    import spark.implicits._
+    // guard: the cleaning chain must keep the fixture words verbatim,
+    // else the hand trace below is computed over different tokens
+    val toks = TextPrep.cleanDocs(spark, umassFixtureDir)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toList)
+    assert(toks(0) == Seq("alpha", "beta", "alpha"))
+    assert(toks(1) == Seq("alpha"))
+    assert(toks(2) == Seq("beta", "gamma"))
+    val topTerms = Seq((0, Seq("alpha", "beta", "gamma"))).toDF("topic", "terms")
+    val r = TopicModeling.umassCoherence(spark, umassFixtureDir, topTerms)
+      .collect()
+    assert(r.length == 1)
+    // pairs (i>j): (beta,alpha) codf=1,df_alpha=2 → ln(2/2)=0;
+    //              (gamma,alpha) codf=0 → ln(1/2);
+    //              (gamma,beta) codf=1,df_beta=2 → ln(2/2)=0.
+    // mean = ln(1/2)/3 = −0.231049…  (the dropped-pair bug yields 0 over
+    // n_pairs=2 instead)
+    assert(r(0).getAs[Long]("n_pairs") == 3L,
+      "zero-co-occurrence pair missing from the s_one_pre grid")
+    assert(math.abs(r(0).getAs[Double]("u_mass") - (math.log(0.5) / 3)) < 1e-6)
+  }
+
+  test("q_coherence_audit: full grid, intersection bounds, range all hold") {
+    val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
+    assert(a.getAs[Boolean]("terms_ok"))
+    assert(a.getAs[Boolean]("pair_grid_ok"))
+    assert(a.getAs[Boolean]("umass_range_ok"))
+    assert(a.getAs[Long]("n_docs") > 0)
+    assert(a.getAs[Long]("posting_mass") >= a.getAs[Long]("n_docs"))
+  }
+}
