@@ -532,6 +532,18 @@ object TopicModeling extends QueryModule {
     * values), and the emitted relation is T rows. Rows-only gate
     * (iterative ML is not SQL-expressible); seeded, so deterministic. */
   def qHdp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hdpSticks(s, dir).map { case (stick, topicId, a, b, beta, _) =>
+      (stick, topicId, math.floor(a * 1e6) / 1e6, math.floor(b * 1e6) / 1e6,
+        math.floor(beta * 1e6) / 1e6, beta >= HdpBetaThreshold)
+    }.toDF("stick", "topic", "stick_a", "stick_b", "beta", "kept")
+  }
+
+  /** The UNROUNDED stick table (stick, topic, a, b, beta, remain) shared
+    * by q_hdp and its audit — one code path, so the certificate checks
+    * the numbers the query actually emits. */
+  private def hdpSticks(s: SparkSession, dir: String)
+      : Seq[(Int, Int, Double, Double, Double, Double)] = {
     val t = sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)
     val totals = docTopics(s, dir, t)
       .select(posexplode(col("dist")).as(Seq("topic", "phi")))
@@ -543,7 +555,7 @@ object TopicModeling extends QueryModule {
     val ordered = (0 until t).map(k => (totals.getOrElse(k, 0.0), k))
       .sortBy { case (sk, k) => (-sk, k) }
     val tails = ordered.map(_._1).scanRight(0.0)(_ + _).tail // Σ over later sticks
-    val rows = ordered.zip(tails).zipWithIndex
+    ordered.zip(tails).zipWithIndex
       .scanLeft((0, 0, 0.0, 0.0, 0.0, 1.0)) {
         case ((_, _, _, _, _, remain), (((sk, topicId), tail), stick)) =>
           val a = 1.0 + sk
@@ -551,12 +563,62 @@ object TopicModeling extends QueryModule {
           val v = a / (a + b)
           (stick, topicId, a, b, v * remain, remain * (1.0 - v))
       }.tail
-    import s.implicits._
-    rows.map { case (stick, topicId, a, b, beta, _) =>
-      (stick, topicId, math.floor(a * 1e6) / 1e6, math.floor(b * 1e6) / 1e6,
-        math.floor(beta * 1e6) / 1e6, beta >= HdpBetaThreshold)
-    }.toDF("stick", "topic", "stick_a", "stick_b", "beta", "kept")
   }
+
+  /** q_hdp_audit: HDP stick-mass certificate — the variational posterior
+    * VALUES aren't SQL-expressible, but the corpus-stick sufficient
+    * statistics are ANCHORED: Σ_k φ_dk = 1 per document (the doc-topic
+    * posterior is a simplex point), so the total stick mass
+    * Σ_k (a_k − 1) = Σ_d Σ_k φ_dk must equal the doc2bow corpus' document
+    * count — the same relation the hash-gated q_lda_audit counts. A
+    * dropped partition, a desynced corpus, or a broken E-step aggregate
+    * all break the mass identity. Guarantees: T sticks over T distinct
+    * topics; the Beta-posterior recursion b_{k−1} − b_k = a_k − 1 with
+    * b_last = γ (the tail-sum telescope); stick usage nonincreasing (the
+    * greedy ordering); E[β] a sub-simplex (β_k ≥ 0, Σβ + remainder = 1);
+    * kept ⇔ β ≥ τ. */
+  def qHdpAudit(s: SparkSession, dir: String): DataFrame = {
+    val sticks = hdpSticks(s, dir)
+    val t = sticks.length
+    val nDocs = docTopics(s, dir,
+      sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)).count()
+    val mass = sticks.map(_._3 - 1.0).sum
+    // per-doc simplex deviation ≤ 1e-6 (q_lda_audit's bound) accumulates
+    // linearly at worst: tolerance n_docs·1e-6, floored at 1e-6
+    val massOk = math.abs(mass - nDocs.toDouble) <=
+      math.max(nDocs.toDouble * 1e-6, 1e-6)
+    val recursionOk = sticks.sliding(2).forall {
+        case Seq(prev, cur) =>
+          math.abs((prev._4 - cur._4) - (cur._3 - 1.0)) <= 1e-9 * (1.0 + cur._3)
+        case _ => true
+      } && math.abs(sticks.last._4 - HdpGamma) <= 1e-9
+    val orderOk = sticks.sliding(2).forall {
+      case Seq(prev, cur) => prev._3 >= cur._3 - 1e-12
+      case _ => true
+    }
+    val betaSum = sticks.map(_._5).sum + sticks.last._6
+    val simplexOk = sticks.forall(_._5 >= 0.0) &&
+      math.abs(betaSum - 1.0) <= 1e-9
+    // kept must survive the emitted 1e-6 floor rounding: τ·1e6 is an
+    // integer, so floor(β·1e6)/1e6 ≥ τ ⇔ β ≥ τ — a reader of the emitted
+    // relation reconstructs exactly the same keep set
+    val keptOk = sticks.forall(r => (r._5 >= HdpBetaThreshold) ==
+      (math.floor(r._5 * 1e6) / 1e6 >= HdpBetaThreshold))
+    val topicsOk = t == sticks.map(_._2).distinct.length
+    import s.implicits._
+    Seq((nDocs, t.toLong, massOk, recursionOk, orderOk, simplexOk,
+      keptOk && topicsOk))
+      .toDF("n_docs", "n_sticks", "mass_ok", "recursion_ok", "order_ok",
+        "simplex_ok", "kept_ok")
+  }
+
+  private lazy val qHdpAuditSql =
+    s"""WITH bow AS (SELECT DISTINCT doc_id FROM (${TextPrep.qDoc2bowSql}))
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST($HdpTruncation AS BIGINT) AS n_sticks,
+         TRUE AS mass_ok, TRUE AS recursion_ok, TRUE AS order_ok,
+         TRUE AS simplex_ok, TRUE AS kept_ok
+       FROM bow"""
 
   /** q_lda_audit: LDA doc-topic coverage certificate — the posterior
     * VALUES can't be SQL-oracled (iterative variational fit), but the
@@ -603,12 +665,14 @@ object TopicModeling extends QueryModule {
     "q_perplexity" -> (qPerplexity _),
     "q_model_select" -> (qModelSelect _),
     "q_hdp" -> (qHdp _),
+    "q_hdp_audit" -> (qHdpAudit _),
     "q_lda_audit" -> (qLdaAudit _))
 
   // Posterior values stay rows-only (iterative ML); the coverage
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
     "q_lda_audit" -> qLdaAuditSql,
+    "q_hdp_audit" -> qHdpAuditSql,
     "q_coherence_audit" -> qCoherenceAuditSql,
     "q_coherence_cv_audit" -> qCoherenceCvAuditSql)
 }

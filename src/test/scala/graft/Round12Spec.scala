@@ -52,6 +52,42 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("u_mass") - (math.log(0.5) / 3)) < 1e-6)
   }
 
+  test("q_hdp stick table satisfies the Beta-posterior algebra (independent re-derivation)") {
+    // re-derive every invariant from the EMITTED relation alone — an
+    // audit sharing qHdp's code path can't catch a bug in that shared
+    // path, this second derivation can
+    val rows = TopicModeling.qHdp(spark, sfDir)
+      .orderBy("stick").collect()
+    assert(rows.length == TopicModeling.HdpTruncation)
+    assert(rows.map(_.getAs[Int]("topic")).distinct.length == rows.length)
+    val tol = 3e-6 // emitted values are floor-rounded at 1e-6
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      // tail-sum telescope: b_{k−1} − b_k = a_k − 1
+      assert(math.abs((prev.getAs[Double]("stick_b") - cur.getAs[Double]("stick_b")) -
+        (cur.getAs[Double]("stick_a") - 1.0)) < tol)
+      // greedy ordering: stick usage nonincreasing
+      assert(prev.getAs[Double]("stick_a") >= cur.getAs[Double]("stick_a") - tol)
+    }
+    assert(math.abs(rows.last.getAs[Double]("stick_b") - TopicModeling.HdpGamma) < tol)
+    // total stick mass = corpus doc count (each doc's φ sums to 1)
+    val nDocs = TopicModeling.qLdaAudit(spark, sfDir).collect()(0).getAs[Long]("n_docs")
+    val mass = rows.map(_.getAs[Double]("stick_a") - 1.0).sum
+    assert(math.abs(mass - nDocs.toDouble) < nDocs * 1e-5 + rows.length * 1e-6)
+    // kept ⇔ β ≥ τ on the emitted (floor-rounded) betas — exact, since
+    // τ·1e6 is an integer
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[Double]("beta") >= TopicModeling.HdpBetaThreshold))
+    }
+  }
+
+  test("q_hdp_audit: mass, recursion, order, simplex, kept all certified") {
+    val a = TopicModeling.qHdpAudit(spark, sfDir).collect()(0)
+    for (c <- Seq("mass_ok", "recursion_ok", "order_ok", "simplex_ok", "kept_ok"))
+      assert(a.getAs[Boolean](c), s"$c failed")
+    assert(a.getAs[Long]("n_sticks") == TopicModeling.HdpTruncation.toLong)
+  }
+
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
     val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
     assert(a.getAs[Boolean]("terms_ok"))
