@@ -542,6 +542,56 @@ object Dedup extends QueryModule {
         (col("n_caught") * CosineLshRecallDen >= col("n_pairs")).as("recall_ok"))
   }
 
+  /** SemDeDup recall floor: 4·n_caught ≥ n_pairs (recall ≥ 0.25,
+    * cross-multiplied — no fp ratio in the gate). Recall here is the
+    * probability a true near-dup pair lands in one KMeans cell — the
+    * recall/cost trade SemDeDup makes by construction (seeded cells, so
+    * the number is a corpus property, not a draw). Measured over the
+    * exact ≥0.35 block: 0.410 at sf0.01 (111/271), 0.265 at sf0.1
+    * (63/238 — k ∝ n/128 spreads the probe block over more cells). */
+  val SemanticRecallDen = 4
+
+  /** q_semantic_audit: accuracy certificate for SemDeDup's
+    * cluster-then-dedup recall — q_cosine_lsh_audit's rule applied to the
+    * KMeans-cell candidate generator. Ground truth is the SQL-derivable
+    * exact cosine ≥0.35 pair set over the bounded vec_id<500 block; the
+    * emitted intra-cluster verified pairs left-join onto it. Two
+    * guarantees: the recall floor (cross-multiplied), and PRECISION — a
+    * SemDeDup pair inside the block that is NOT in the exact set means
+    * the verify threshold broke (SemDeDup's reported pairs are
+    * cosine-verified, so within the block they must be a subset). */
+  def qSemanticAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        SimilaritySearch.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.35)
+    val sem = qDedupSemantic(s, dir)
+      .filter(col("vec_a") < 500 && col("vec_b") < 500)
+      .select(col("vec_a"), col("vec_b")).withColumn("hit", lit(1L))
+    val recall = exact.join(sem, Seq("vec_a", "vec_b"), "left_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+    val falsePos = sem.join(exact.select(col("vec_a"), col("vec_b"))
+        .withColumn("truth", lit(1L)), Seq("vec_a", "vec_b"), "left_outer")
+      .agg(sum(when(col("truth").isNull, 1L).otherwise(0L)).as("n_false"))
+    recall.crossJoin(broadcast(falsePos))
+      .select(col("n_pairs"),
+        (col("n_caught") * SemanticRecallDen >= col("n_pairs")).as("recall_ok"),
+        (col("n_false") === 0L).as("precision_ok"))
+  }
+
+  private val qSemanticAuditSql =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS recall_ok,
+         TRUE AS precision_ok
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""
+
   private val qCosineLshAuditSql =
     """WITH e AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500)
@@ -1274,6 +1324,7 @@ object Dedup extends QueryModule {
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_semantic_audit" -> (qSemanticAudit _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_audit" -> (qMinhashAudit _),
     "q_simhash_audit" -> (qSimhashAudit _),
@@ -1298,6 +1349,7 @@ object Dedup extends QueryModule {
     "q_minhash_audit" -> qMinhashAuditSql,
     "q_simhash_audit" -> qSimhashAuditSql,
     "q_cosine_lsh_audit" -> qCosineLshAuditSql,
+    "q_semantic_audit" -> qSemanticAuditSql,
     "q_containment" -> qContainmentSql,
     "q_dedup_cosine" -> qDedupCosineSql,
     "q_decontaminate" -> qDecontaminateSql,

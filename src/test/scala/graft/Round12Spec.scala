@@ -88,6 +88,14 @@ class Round12Spec extends SparkSpec {
     assert(a.getAs[Long]("n_sticks") == TopicModeling.HdpTruncation.toLong)
   }
 
+  test("q_semantic_audit: SemDeDup pairs are a cosine-verified subset with floored recall") {
+    val a = graft.operators.Dedup.qSemanticAudit(spark, sfDir).collect()(0)
+    assert(a.getAs[Boolean]("recall_ok"), "SemDeDup recall fell below 1/4")
+    assert(a.getAs[Boolean]("precision_ok"),
+      "a SemDeDup pair inside the block is not in the exact >=0.35 set")
+    assert(a.getAs[Long]("n_pairs") > 0, "vacuous ground-truth block")
+  }
+
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
     val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
     assert(a.getAs[Boolean]("terms_ok"))
