@@ -511,21 +511,53 @@ object Classification extends QueryModule {
     }.toDF("iter", "reg_param", "elastic_net", "f1", "phase", "selected")
   }
 
+  /** k of the CV family: GRAFT_CV_K (default 5 at test SF; the reference
+    * runs StratifiedKFold(kfold=10) — set GRAFT_CV_K=10 to replay it,
+    * same code path). */
+  def cvK: Int = sys.env.get("GRAFT_CV_K").map(_.toInt).getOrElse(5)
+
+  /** Deterministic StratifiedKFold twin (supervised_classifier.py:629:
+    * StratifiedKFold(kfold, shuffle=True, random_state=42)): within each
+    * class, rows rank in a content-keyed shuffle order (md5 of the id —
+    * the reproducible analogue of shuffle+seed, computable verbatim by
+    * the DuckDB oracle) and fold = rank % k, which puts ⌈n_c/k⌉ or
+    * ⌊n_c/k⌋ rows of EVERY class in every fold — sklearn's
+    * stratification contract (per-class fold counts differ by ≤ 1).
+    * The per-class rank is the distributed ranking (Ranks.globalRowNumber
+    * over (y, h, id), minus broadcast per-class offsets — the classes
+    * are contiguous runs of the global order), never a single-partition
+    * window: the 100 TB path. `df` must carry unique `vec_id` and the
+    * class column `y`. */
+  private[graft] def stratifiedFolds(df: DataFrame, k: Int): DataFrame = {
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      df.withColumn("h", md5(col("vec_id").cast("string"))),
+      col("y").asc, col("h").asc, col("vec_id").asc)
+    val counts = df.groupBy("y").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (y, n) => val o = acc; acc += n; (y, o) }
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (y, o)) =>
+      when(col("y") === y, o).otherwise(e) }
+    ranked.withColumn("fold", ((col("rn") - 1L - offExpr) % k).cast("int"))
+      .drop("rn", "h")
+  }
+
   /** q_cv_train: REAL k-fold cross-validation for LogisticRegression
     * (supervised_classifier.py:629-691): per fold, the scaler AND the model
     * fit on the other k-1 folds only, then score the held-out fold; emits
     * one confusion row per fold plus the mean-F1 summary row (fold = -1).
-    * The per-fold loop is driver-side by nature (k sequential fits — the
-    * reference's StratifiedKFold loop); each fit/eval is fully distributed
-    * and only the 8 confusion counts per fold ever reach the driver. */
+    * Folds are the deterministic stratified assignment above. The per-fold
+    * loop is driver-side by nature (k sequential fits — the reference's
+    * StratifiedKFold loop); each fit/eval is fully distributed and only
+    * the 8 confusion counts per fold ever reach the driver. */
   def qCvTrain(s: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
-        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
-        (col("vec_id") % k).cast("int").as("fold"))
-      .cache()
+    val k = cvK
+    val base = stratifiedFolds(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
+          when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
+      k).cache()
     val folds = (0 until k).map { f =>
       val train = base.filter(col("fold") =!= f)
       val test = base.filter(col("fold") === f)
@@ -649,20 +681,29 @@ object Classification extends QueryModule {
 
   /** q_cv_audit: cross-validation accounting certificate — one row per
     * fold, hash-gating the CV harness's bookkeeping: the oracle
-    * recomputes each vec_id%5 fold's size and gold-positive count
-    * directly from embeddings, and each fold's confusion cells (from
-    * the REAL per-fold fit/eval in q_cv_train) must account for exactly
-    * that held-out fold (tp+fp+tn+fn = n_fold, tp+fn = n_fold_pos). A
-    * leaked row, an overlapping fold, or a per-fold scaler fit on the
-    * wrong side shows up as a cell-count mismatch. */
+    * recomputes each STRATIFIED fold's size and gold-positive count
+    * directly from embeddings (per-class rank in md5-shuffle order mod
+    * k — the exact assignment, expressible as one SQL window), and each
+    * fold's confusion cells (from the REAL per-fold fit/eval in
+    * q_cv_train) must account for exactly that held-out fold
+    * (tp+fp+tn+fn = n_fold, tp+fn = n_fold_pos). `strat_ok` asserts the
+    * stratification invariant itself: gold counts across folds differ by
+    * at most 1 (and fold sizes by at most the class count) — an
+    * unstratified assignment on imbalanced labels fails it. A leaked
+    * row, an overlapping fold, or a per-fold scaler fit on the wrong
+    * side shows up as a cell-count mismatch. */
   def qCvAudit(s: SparkSession, dir: String): DataFrame = {
     val cv = qCvTrain(s, dir).filter(col("fold") >= 0).collect()
-    val sizes = Tables.embeddings(s, dir)
-      .select((col("vec_id") % 5).cast("int").as("fold"),
-        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+    val sizes = stratifiedFolds(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
+      cvK)
       .groupBy("fold")
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stratOk =
+      sizes.values.map(_._2).max - sizes.values.map(_._2).min <= 1L &&
+        sizes.values.map(_._1).max - sizes.values.map(_._1).min <= 2L
     import s.implicits._
     cv.map { r =>
       val f = r.getInt(0)
@@ -670,16 +711,23 @@ object Classification extends QueryModule {
         r.getAs[Long]("tn") + r.getAs[Long]("fn")
       val goldPos = r.getAs[Long]("tp") + r.getAs[Long]("fn")
       val (n, npos) = sizes(f)
-      (f, n, npos, cells == n, goldPos == npos)
-    }.toSeq.toDF("fold", "n_fold", "n_fold_pos", "cells_ok", "gold_ok")
+      (f, n, npos, cells == n, goldPos == npos, stratOk)
+    }.toSeq.toDF("fold", "n_fold", "n_fold_pos", "cells_ok", "gold_ok", "strat_ok")
   }
 
   private lazy val qCvAuditSql =
-    """SELECT CAST(vec_id % 5 AS INT) AS fold,
-         CAST(count(*) AS BIGINT) AS n_fold,
-         CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fold_pos,
-         TRUE AS cells_ok, TRUE AS gold_ok
-       FROM embeddings GROUP BY 1"""
+    s"""WITH e AS (SELECT vec_id,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+           FROM embeddings),
+       f AS (SELECT y,
+               CAST((row_number() OVER (PARTITION BY y ORDER BY h, vec_id) - 1)
+                 % $cvK AS INT) AS fold
+             FROM e)
+       SELECT fold, CAST(count(*) AS BIGINT) AS n_fold,
+         CAST(sum(y) AS BIGINT) AS n_fold_pos,
+         TRUE AS cells_ok, TRUE AS gold_ok, TRUE AS strat_ok
+       FROM f GROUP BY 1"""
 
   /** q_classify_audit: supervised-harness accounting certificate — the
     * classifier WEIGHTS can't be SQL-oracled (iterative fits), but the

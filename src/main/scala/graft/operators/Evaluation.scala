@@ -367,21 +367,36 @@ object Evaluation extends QueryModule {
        FROM scored"""
   }
 
-  /** q_cv_folds: deterministic stratified-ish fold assignment + per-fold
-    * class balance (the distributed analogue of StratifiedKFold bookkeeping). */
+  /** q_cv_folds: deterministic STRATIFIED fold assignment + per-fold
+    * class balance — the distributed twin of the reference's
+    * StratifiedKFold(kfold, shuffle=True, random_state=42)
+    * (supervised_classifier.py:629): per-class md5-shuffle rank mod k
+    * (Classification.stratifiedFolds, the same assignment q_cv_train
+    * trains on), so every fold carries each gold class to within one
+    * row. */
   def qCvFolds(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select((col("vec_id") % 5).cast("int").as("fold"), col("label"))
+    Classification.stratifiedFolds(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
+      Classification.cvK)
       .groupBy("fold")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("label")).as("n_classes"),
         sum(when(col("label") < 5, 1L).otherwise(0L)).as("n_class0"))
 
-  private val qCvFoldsSql =
-    """SELECT CAST(vec_id % 5 AS INT) AS fold, count(*) AS n,
-       count(DISTINCT label) AS n_classes,
-       CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_class0
-       FROM embeddings GROUP BY 1"""
+  private lazy val qCvFoldsSql =
+    s"""WITH e AS (SELECT vec_id, label,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+           FROM embeddings),
+       f AS (SELECT label, y,
+               CAST((row_number() OVER (PARTITION BY y ORDER BY h, vec_id) - 1)
+                 % ${Classification.cvK} AS INT) AS fold
+             FROM e)
+       SELECT fold, count(*) AS n, count(DISTINCT label) AS n_classes,
+         CAST(sum(y) AS BIGINT) AS n_class0
+       FROM f GROUP BY 1"""
 
   /** q_auc: ROC AUC of the continuous quality score against the boolean
     * Gopher gate — the threshold-free ranking metric beside the

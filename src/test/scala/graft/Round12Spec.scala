@@ -96,6 +96,45 @@ class Round12Spec extends SparkSpec {
     assert(a.getAs[Long]("n_pairs") > 0, "vacuous ground-truth block")
   }
 
+  test("stratifiedFolds: balanced per-class fold counts on a skewed fixture; " +
+      "distributed rank matches the plain-window construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows, 13 positive — vec_id%5 would let fold gold counts drift;
+    // stratification must pin them to ceil(13/5)=3 / floor=2
+    val df = (0L until 103L)
+      .map(i => (i * 7 + 1, if (i % 8 == 0) 1.0 else 0.0))
+      .toDF("vec_id", "y")
+    val folds = graft.operators.Classification.stratifiedFolds(df, 5)
+    val byFold = folds.groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byFold.keySet == Set(0, 1, 2, 3, 4))
+    val pos = byFold.values.map(_._2)
+    assert(pos.max - pos.min <= 1, s"unstratified gold counts: $byFold")
+    assert(pos.sum == 13 && byFold.values.map(_._1).sum == 103)
+    // independent construction: single window per class (fine at test
+    // scale, the thing the distributed rank replaces at 100 TB)
+    val w = Window.partitionBy("y")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val windowed = df.withColumn("wfold",
+      ((row_number().over(w) - 1) % 5).cast("int"))
+    val diffs = folds.join(windowed, Seq("vec_id", "y"))
+      .filter(col("fold") =!= col("wfold")).count()
+    assert(diffs == 0, "distributed stratified rank diverges from the window twin")
+  }
+
+  test("q_cv_audit carries the stratification certificate") {
+    val rows = graft.operators.Classification.qCvAudit(spark, sfDir).collect()
+    assert(rows.length == graft.operators.Classification.cvK)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cells_ok") && r.getAs[Boolean]("gold_ok") &&
+        r.getAs[Boolean]("strat_ok"))
+    }
+    val pos = rows.map(_.getAs[Long]("n_fold_pos"))
+    assert(pos.max - pos.min <= 1)
+  }
+
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
     val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
     assert(a.getAs[Boolean]("terms_ok"))

@@ -190,12 +190,14 @@ class Round3Spec extends SparkSpec {
     assert(cv.length === 6)
     val folds = cv.filter(_.getAs[Int]("fold") >= 0)
     assert(folds.length === 5)
-    // 500 vectors, vec_id % 5 → 100 per fold
-    folds.foreach { r =>
-      val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+    // 500 vectors, stratified per-class rank mod 5 → 100 ± 1 per fold
+    // (per-class counts split ceil/floor), folds disjoint and exhaustive
+    val totals = folds.map { r =>
+      r.getAs[Long]("tp") + r.getAs[Long]("fp") +
         r.getAs[Long]("tn") + r.getAs[Long]("fn")
-      assert(total === 100)
     }
+    assert(totals.sum === 500)
+    totals.foreach(t => assert(t >= 99 && t <= 101))
     val mean = cv.find(_.getAs[Int]("fold") === -1).get.getAs[Double]("f1")
     val expected = folds.map(_.getAs[Double]("f1")).sum / 5
     assert(math.abs(mean - expected) < 1e-5)
