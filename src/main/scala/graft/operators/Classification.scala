@@ -33,22 +33,48 @@ object Classification extends QueryModule {
 
   val Seed = 42L
 
+  /** The excluded-CONCEPTS holdout (supervised_classifier.py:546-561,
+    * testModelonExcluded: documents excluded from the training corpus are
+    * scored separately from the regular test split). Two whole label
+    * concepts — 4 (gold-positive) and 9 (gold-negative) — never enter
+    * train OR test; q_classify_excluded scores the train-fitted model on
+    * them, answering the reference's question: does the classifier
+    * generalize to concepts it never saw? */
+  val ExcludedLabels: Seq[Int] = Seq(4, 9)
+
   /** features = scaled embedding vector; deterministic 80/20 split via
-    * vec_id % 5 == 0 (test) — the distributed analogue of
-    * train_test_split(random_state=42). */
-  def dataset(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    * vec_id % 5 == 0 (test) over the non-excluded concepts — the
+    * distributed analogue of train_test_split(random_state=42). */
+  def dataset(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (train, test, _) = datasetAll(s, dir)
+    (train, test)
+  }
+
+  /** The excluded-concepts partition, transformed with the TRAIN-fitted
+    * scaler. The reference re-fits the scaler on the excluded set
+    * (supervised_classifier.py:553-554, `scaler.fit_transform(X)`) — a
+    * train-statistics leak deliberately NOT reproduced here: the model
+    * saw train moments, so its inputs must be scaled by train moments. */
+  def excludedSet(s: SparkSession, dir: String): DataFrame =
+    datasetAll(s, dir)._3
+
+  private def datasetAll(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
     graft.ModelCache.getOrElseUpdate(s, s"clf.dataset:$dir")(buildDataset(s, dir))
 
-  private def buildDataset(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def buildDataset(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
         when(col("label") < 5, 1.0).otherwise(0.0).as("y"))
+    val kept = base.filter(!col("label").isin(ExcludedLabels: _*)).drop("label")
+    val excluded = base.filter(col("label").isin(ExcludedLabels: _*)).drop("label")
     val scaler = new StandardScaler().setInputCol("raw").setOutputCol("features")
       .setWithMean(true).setWithStd(true)
     // scaler fit on train only (reference: fit_transform(train), transform(test))
-    val train = base.filter(col("vec_id") % 5 =!= 0)
-    val test = base.filter(col("vec_id") % 5 === 0)
+    val train = kept.filter(col("vec_id") % 5 =!= 0)
+    val test = kept.filter(col("vec_id") % 5 === 0)
     val sm = scaler.fit(train)
     // class_weight='balanced': w_c = n / (2 * n_c)
     val counts = train.groupBy("y").count().collect()
@@ -58,7 +84,8 @@ object Classification extends QueryModule {
     val wNeg = n / (2.0 * counts.getOrElse(0.0, 1L))
     val weighted = (df: DataFrame) => df.withColumn("w",
       when(col("y") === 1.0, wPos).otherwise(wNeg))
-    (weighted(sm.transform(train)).cache(), weighted(sm.transform(test)).cache())
+    (weighted(sm.transform(train)).cache(), weighted(sm.transform(test)).cache(),
+      sm.transform(excluded).cache())
   }
 
   /** Train, predict on test, emit one metrics row via confusionMetrics. */
@@ -73,6 +100,45 @@ object Classification extends QueryModule {
       .setMaxIter(100).setRegParam(0.1).fit(train) // C=0.1 ≈ reference LR
     metricsRow("logistic_regression", m.transform(test))
   }
+
+  /** q_classify_excluded: the excluded-concepts evaluation
+    * (supervised_classifier.py:546-561) — the train-fitted LR scored on
+    * the two held-out concepts with the TRAIN-fitted scaler (see
+    * [[excludedSet]] for the scaler-leak divergence). Hash-gated the
+    * audit way: the oracle recomputes the excluded partition's size and
+    * gold positives from embeddings; `cells_ok` pins that the confusion
+    * accounts for exactly that partition, `metrics_ok` that every emitted
+    * ratio is a probability. The confusion VALUES stay spec-pinned
+    * (iterative fit). */
+  def qClassifyExcluded(s: SparkSession, dir: String): DataFrame = {
+    val (train, _) = dataset(s, dir)
+    val ex = excludedSet(s, dir)
+    val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
+      .setMaxIter(100).setRegParam(0.1).fit(train)
+    val r = Evaluation.confusionMetrics(
+      m.transform(ex)
+        .select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
+      .collect().head
+    val t = ex.agg(count(lit(1)).as("n"),
+      sum(col("y")).cast("long").as("npos")).collect().head
+    val (nEx, nExPos) = (t.getAs[Long]("n"), t.getAs[Long]("npos"))
+    val cellsOk = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("tn") + r.getAs[Long]("fn") == nEx &&
+      r.getAs[Long]("tp") + r.getAs[Long]("fn") == nExPos
+    val metricsOk = Seq("precision", "recall", "accuracy", "f1").forall { c =>
+      Option(r.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
+    }
+    import s.implicits._
+    Seq((nEx, nExPos, cellsOk, metricsOk))
+      .toDF("n_excluded", "n_excluded_pos", "cells_ok", "metrics_ok")
+  }
+
+  private lazy val qClassifyExcludedSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_excluded,
+         CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_excluded_pos,
+         TRUE AS cells_ok, TRUE AS metrics_ok
+       FROM embeddings WHERE label IN (${ExcludedLabels.mkString(", ")})"""
 
   def qClassifySvc(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
@@ -206,7 +272,8 @@ object Classification extends QueryModule {
   }
 
   private lazy val qRbfAuditSql =
-    s"""WITH e AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, len(embedding) AS d FROM embeddings
+             WHERE label NOT IN (${ExcludedLabels.mkString(", ")})),
        p AS (SELECT vec_id FROM e
              WHERE vec_id % 5 = 0 AND vec_id < $RffProbeMaxId),
        pc AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
@@ -769,8 +836,9 @@ object Classification extends QueryModule {
   }
 
   private lazy val qClassifyAuditSql =
-    """WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
-             FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+             FROM embeddings
+             WHERE label NOT IN (${ExcludedLabels.mkString(", ")})),
        tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
                 CAST(sum(y) AS BIGINT) AS n_pos
               FROM e WHERE vec_id % 5 <> 0),
@@ -860,6 +928,7 @@ object Classification extends QueryModule {
     "q_classify_audit" -> (qClassifyAudit _),
     "q_cv_audit" -> (qCvAudit _),
     "q_classify_lr" -> (qClassifyLr _),
+    "q_classify_excluded" -> (qClassifyExcluded _),
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_rbf" -> (qClassifyRbf _),
     "q_rbf_audit" -> (qRbfAudit _),
@@ -883,5 +952,6 @@ object Classification extends QueryModule {
     "q_isotonic_audit" -> qIsotonicAuditSql,
     "q_features_audit" -> qFeaturesAuditSql,
     "q_classify_audit" -> qClassifyAuditSql,
+    "q_classify_excluded" -> qClassifyExcludedSql,
     "q_cv_audit" -> qCvAuditSql)
 }

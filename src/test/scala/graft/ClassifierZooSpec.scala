@@ -3,8 +3,11 @@ package graft
 import graft.operators.Classification
 
 /** Every classifier in the zoo emits a well-formed EVResult row that covers
-  * the full 100-row test split (500 vectors, vec_id % 5 == 0). */
+  * the full test split (vec_id % 5 == 0 over the non-excluded concepts —
+  * labels 4/9 are the held-out excluded-concepts partition). */
 class ClassifierZooSpec extends SparkSpec {
+
+  private lazy val nTest = TestSplit.size(spark, sfDir)
 
   private val zoo = Seq(
     "q_classify_svc" -> (Classification.qClassifySvc _),
@@ -19,7 +22,7 @@ class ClassifierZooSpec extends SparkSpec {
       val m = q(spark, sfDir).collect().head
       val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
         m.getAs[Long]("tn") + m.getAs[Long]("fn")
-      assert(total === 100)
+      assert(total === nTest)
       val acc = m.getAs[Double]("accuracy")
       assert(acc >= 0.0 && acc <= 1.0)
       // a fitted model must beat the trivial all-one-class floor on accuracy

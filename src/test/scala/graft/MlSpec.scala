@@ -43,8 +43,8 @@ class MlSpec extends SparkSpec {
     val m = Classification.qClassifyLr(spark, sfDir).collect().head
     val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
       m.getAs[Long]("tn") + m.getAs[Long]("fn")
-    // test split = vec_id % 5 == 0 over 500 vectors
-    assert(total === 100)
+    // test split = vec_id % 5 == 0 over the non-excluded concepts
+    assert(total === TestSplit.size(spark, sfDir))
     assert(m.getAs[Double]("accuracy") >= 0.0 && m.getAs[Double]("accuracy") <= 1.0)
   }
 
@@ -52,7 +52,7 @@ class MlSpec extends SparkSpec {
     val m = Classification.qClassifyKnn(spark, sfDir).collect().head
     val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
       m.getAs[Long]("tn") + m.getAs[Long]("fn")
-    assert(total === 100)
+    assert(total === TestSplit.size(spark, sfDir))
   }
 
   test("minhash candidates verify to a subset of exact jaccard pairs") {

@@ -84,8 +84,7 @@ class Round11Spec extends SparkSpec {
     assert(row.getString(0) === "svc_rbf")
     val cells = row.getAs[Long]("tp") + row.getAs[Long]("fp") +
       row.getAs[Long]("tn") + row.getAs[Long]("fn")
-    val nTest = graft.sources.Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") % 5 === 0).count()
+    val nTest = TestSplit.size(spark, sfDir)
     assert(cells === nTest, "RBF predictions must cover exactly the test partition")
   }
 

@@ -135,6 +135,24 @@ class Round12Spec extends SparkSpec {
     assert(pos.max - pos.min <= 1)
   }
 
+  test("excluded concepts never leak into train or test; q_classify_excluded accounts for them") {
+    import graft.operators.Classification
+    val (train, test) = Classification.dataset(spark, sfDir)
+    val excludedIds = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("label").isin(Classification.ExcludedLabels: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(excludedIds.nonEmpty)
+    val trainIds = train.select("vec_id").collect().map(_.getLong(0)).toSet
+    val testIds = test.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(excludedIds).isEmpty, "excluded concept in train")
+    assert(testIds.intersect(excludedIds).isEmpty, "excluded concept in test")
+    val ex = Classification.excludedSet(spark, sfDir)
+    assert(ex.select("vec_id").collect().map(_.getLong(0)).toSet == excludedIds)
+    val a = Classification.qClassifyExcluded(spark, sfDir).collect()(0)
+    assert(a.getAs[Long]("n_excluded") == excludedIds.size.toLong)
+    assert(a.getAs[Boolean]("cells_ok") && a.getAs[Boolean]("metrics_ok"))
+  }
+
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
     val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
     assert(a.getAs[Boolean]("terms_ok"))

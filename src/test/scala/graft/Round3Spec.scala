@@ -122,7 +122,7 @@ class Round3Spec extends SparkSpec {
     val m = Classification.qClassifyLrUndersample(spark, sfDir).collect().head
     val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
       m.getAs[Long]("tn") + m.getAs[Long]("fn")
-    assert(total === 100)
+    assert(total === TestSplit.size(spark, sfDir))
   }
 
   test("model select sweeps k with coherence and log-perplexity per k") {

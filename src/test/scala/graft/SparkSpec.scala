@@ -25,3 +25,16 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sfDir: String = TestSession.sfDir
 }
+
+/** The classifier zoo's test-split size (vec_id % 5 == 0 over the
+  * non-excluded concepts) — specs pin full-coverage against this instead
+  * of a hardcoded count. */
+object TestSplit {
+  def size(spark: SparkSession, sfDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(!col("label").isin(graft.operators.Classification.ExcludedLabels: _*) &&
+        col("vec_id") % 5 === 0)
+      .count()
+  }
+}
