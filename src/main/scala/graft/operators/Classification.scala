@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's supervised zoo (supervised_classifier.py) on MLlib:
-  * LogisticRegression (≈ LR + its SGD variants), LinearSVC, NaiveBayes
+  * LogisticRegression (≈ LR + SGD `log` loss — a loss-level identity;
+  * the modified-huber SGD variant is its own first-class gradient
+  * trainer, q_classify_sgdh), LinearSVC, NaiveBayes
   * (GaussianNB slot), RandomForest, GBT, DecisionTree, MLP, and a
   * broadcast brute-force KNN (no MLlib equivalent). StandardScaler before
   * linear models, class rebalancing via instance weights (the distributed
@@ -289,6 +291,92 @@ object Classification extends QueryModule {
          TRUE AS dims_ok, TRUE AS norm_ok,
          TRUE AS kernel_mae_ok, TRUE AS kernel_max_ok
        FROM e"""
+
+  /** Iteration budget of the modified-huber trainer (GRAFT_SGDH_ITERS;
+    * the reference caps at max_iter=10000 with tol early-stop — at α=1
+    * strong convexity the 1/(α(t+t₀)) schedule is already inside the
+    * optimum's noise floor long before 100). */
+  def sgdHuberIters: Int =
+    sys.env.get("GRAFT_SGDH_ITERS").map(_.toInt).getOrElse(100)
+
+  /** sklearn's SGDClassifier(alpha=1, loss='modified_huber') L2 weight. */
+  val SgdHuberAlpha = 1.0
+
+  /** Distributed full-batch gradient trainer for the modified-huber loss
+    * (Zhang 2004's smoothed hinge with probability estimates):
+    * L(z) = 0 for z ≥ 1, (1−z)² for −1 ≤ z < 1, −4z for z < −1, with
+    * z = y·(w·x + b), instance-weighted + α/2·‖w‖² exactly like
+    * sklearn's objective. Each iteration is ONE codegen'd aggregation
+    * over the cached training relation — the dot product and the d+1
+    * gradient sums are plain column expressions, so a pass is a single
+    * map-side-combined job and only d+1 doubles reach the driver
+    * (LBFGS-style scan count, the scalable shape at any corpus size; the
+    * reference's sequential per-sample SGD cannot shard). Deterministic:
+    * no RNG anywhere — full-batch gradients from w₀ = 0 with the
+    * 1/(α(t+t₀)) sklearn 'optimal'-style schedule. Returns (w, b). */
+  private[graft] def fitModifiedHuber(tr: DataFrame, d: Int,
+      iters: Int, alpha: Double): (Array[Double], Double) = {
+    // partition count sized to the data (~100k rows per task): the loop
+    // schedules `iters` jobs over this relation, so a tiny corpus must
+    // not pay 32 near-empty tasks per pass while a 100 TB corpus still
+    // fans out to the cluster's full parallelism
+    val n = tr.count()
+    val parts = math.min(
+      math.max(1L, n / 100000L + 1L),
+      tr.sparkSession.sparkContext.defaultParallelism.toLong).toInt
+    val cached = tr.repartition(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sumW = cached.agg(sum(col("w"))).head.getDouble(0)
+      var wv = Array.fill(d)(0.0)
+      var b = 0.0
+      // step schedule: eta_t = 1/(alpha·(t + t0)), t0 ≈ curvature/alpha
+      // (2·d from the (1−z)² branch over unit-scaled features) — the
+      // standard strongly-convex rate, stable from the first step
+      val t0 = math.max(1.0, 2.0 * d / alpha)
+      for (t <- 0 until iters) {
+        val z = col("ys") * (SimilaritySearch.dot(col("x"),
+          array(wv.map(lit): _*)) + b)
+        val c = when(z >= 1.0, 0.0)
+          .when(z >= -1.0, (z - 1.0) * 2.0)
+          .otherwise(-4.0)
+        val g = col("w") * c * col("ys")
+        val sums = cached.agg(
+          sum(g).as("gb"),
+          (0 until d).map(j => sum(g * col("x")(j)).as(s"g$j")): _*).head
+        val eta = 1.0 / (alpha * (t + t0))
+        var j = 0
+        while (j < d) {
+          wv(j) -= eta * (sums.getAs[Double](s"g$j") / sumW + alpha * wv(j))
+          j += 1
+        }
+        b -= eta * (sums.getAs[Double]("gb") / sumW)
+      }
+      (wv, b)
+    } finally cached.unpersist()
+  }
+
+  /** q_classify_sgdh: the SGD modified-huber zoo member
+    * (supervised_classifier.py:268-290: SGDClassifier(alpha=1,
+    * loss='modified_huber', class_weight='balanced')) as a FIRST-CLASS
+    * gradient implementation — `log` loss ≡ LR folds into
+    * q_classify_lr, but modified huber is a genuinely different loss
+    * (smoothed hinge), so it gets its own trainer instead of a
+    * documented substitution. Full-batch distributed GD (see
+    * [[fitModifiedHuber]]); predict = sign of the decision function,
+    * sklearn's contract. Rows-only gate; the widened q_classify_audit
+    * carries its accounting row. */
+  def qClassifySgdHuber(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = dataset(s, dir)
+    val d = SimilaritySearch.Dim
+    val tr = train.select(vector_to_array(col("features")).as("x"),
+      (col("y") * 2.0 - 1.0).as("ys"), col("w"))
+    val (wv, b) = fitModifiedHuber(tr, d, sgdHuberIters, SgdHuberAlpha)
+    val dec = SimilaritySearch.dot(vector_to_array(col("features")),
+      array(wv.map(lit): _*)) + b
+    metricsRow("sgd_modified_huber",
+      test.withColumn("prediction", when(dec > 0.0, 1.0).otherwise(0.0)))
+  }
 
   def qClassifyNb(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
@@ -932,6 +1020,7 @@ object Classification extends QueryModule {
     "q_classify_svc" -> (qClassifySvc _),
     "q_classify_rbf" -> (qClassifyRbf _),
     "q_rbf_audit" -> (qRbfAudit _),
+    "q_classify_sgdh" -> (qClassifySgdHuber _),
     "q_classify_nb" -> (qClassifyNb _),
     "q_classify_rf" -> (qClassifyRf _),
     "q_classify_gbt" -> (qClassifyGbt _),

@@ -153,6 +153,33 @@ class Round12Spec extends SparkSpec {
     assert(a.getAs[Boolean]("cells_ok") && a.getAs[Boolean]("metrics_ok"))
   }
 
+  test("modified-huber trainer: hand-traced gradient steps on a 2-D fixture") {
+    import spark.implicits._
+    // two unit rows, one per class, from w=0: z=0 → c=−2 both, so after
+    // step 1 (t0 = 2d/α = 4, η₀ = 1/4): w = (+0.25, −0.25), b = 0;
+    // step 2: z=0.25 → c=−1.5, η₁=1/5, grad_j = ∓1.5/2 + α·w_j →
+    // w = (+0.35, −0.35), b = 0 (hand-traced)
+    val tr = Seq(
+      (Seq(1.0, 0.0), 1.0, 1.0),
+      (Seq(0.0, 1.0), -1.0, 1.0)).toDF("x", "ys", "w")
+    val (w1, b1) = graft.operators.Classification.fitModifiedHuber(tr, 2, 1, 1.0)
+    assert(math.abs(w1(0) - 0.25) < 1e-12 && math.abs(w1(1) + 0.25) < 1e-12)
+    assert(math.abs(b1) < 1e-12)
+    val (w2, b2) = graft.operators.Classification.fitModifiedHuber(tr, 2, 2, 1.0)
+    assert(math.abs(w2(0) - 0.35) < 1e-12 && math.abs(w2(1) + 0.35) < 1e-12)
+    assert(math.abs(b2) < 1e-12)
+  }
+
+  test("q_classify_sgdh: accounts for the test split, deterministic rerun") {
+    val a = graft.operators.Classification.qClassifySgdHuber(spark, sfDir).collect()(0)
+    assert(a.getAs[String]("model") == "sgd_modified_huber")
+    val cells = a.getAs[Long]("tp") + a.getAs[Long]("fp") +
+      a.getAs[Long]("tn") + a.getAs[Long]("fn")
+    assert(cells == TestSplit.size(spark, sfDir))
+    val b = graft.operators.Classification.qClassifySgdHuber(spark, sfDir).collect()(0)
+    assert(a == b, "full-batch GD from w0=0 must be bit-deterministic")
+  }
+
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
     val a = TopicModeling.qCoherenceAudit(spark, sfDir).collect()(0)
     assert(a.getAs[Boolean]("terms_ok"))
