@@ -96,7 +96,26 @@ object Classification extends QueryModule {
       predictions.select((col("prediction") === 1.0).as("pred"), (col("y") === 1.0).as("gold")))
       .select(lit(name).as("model"), col("*"))
 
-  def qClassifyLr(s: SparkSession, dir: String): DataFrame = {
+  /** Memoize a MODEL-SIZED relation per (session, key) as collected rows:
+    * every zoo query's confusion row is consumed twice per driver run —
+    * once by its own query, once by the per-model q_classify_audit — and
+    * without this each consumer would re-fit the model. Only for
+    * relations that are a handful of rows (the fit's confusion), never
+    * corpus-sized data. */
+  private def cachedMetrics(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val (schema, rows) = graft.ModelCache.getOrElseUpdate(s, key) {
+      val df = build
+      (df.schema, df.collect().toIndexedSeq)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  def qClassifyLr(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:logistic_regression")(buildClassifyLr(s, dir))
+
+  private def buildClassifyLr(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
       .setMaxIter(100).setRegParam(0.1).fit(train) // C=0.1 ≈ reference LR
@@ -142,7 +161,10 @@ object Classification extends QueryModule {
          TRUE AS cells_ok, TRUE AS metrics_ok
        FROM embeddings WHERE label IN (${ExcludedLabels.mkString(", ")})"""
 
-  def qClassifySvc(s: SparkSession, dir: String): DataFrame = {
+  def qClassifySvc(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:linear_svc")(buildClassifySvc(s, dir))
+
+  private def buildClassifySvc(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new LinearSVC().setLabelCol("y").setWeightCol("w")
       .setMaxIter(100).setTol(1e-3).fit(train)
@@ -205,7 +227,10 @@ object Classification extends QueryModule {
     * documented divergence above); the RFF map is the standard bounded
     * workaround: project once (map-only, no shuffle), then the existing
     * linear path. q_rbf_audit SQL-anchors the map's kernel contract. */
-  def qClassifyRbf(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyRbf(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:svc_rbf")(buildClassifyRbf(s, dir))
+
+  private def buildClassifyRbf(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val d = train.select(vector_to_array(col("features")).as("x"))
       .head.getSeq[Double](0).size
@@ -366,7 +391,10 @@ object Classification extends QueryModule {
     * [[fitModifiedHuber]]); predict = sign of the decision function,
     * sklearn's contract. Rows-only gate; the widened q_classify_audit
     * carries its accounting row. */
-  def qClassifySgdHuber(s: SparkSession, dir: String): DataFrame = {
+  def qClassifySgdHuber(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:sgd_modified_huber")(buildClassifySgdHuber(s, dir))
+
+  private def buildClassifySgdHuber(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val d = SimilaritySearch.Dim
     val tr = train.select(vector_to_array(col("features")).as("x"),
@@ -378,34 +406,49 @@ object Classification extends QueryModule {
       test.withColumn("prediction", when(dec > 0.0, 1.0).otherwise(0.0)))
   }
 
-  def qClassifyNb(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyNb(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:gaussian_nb")(buildClassifyNb(s, dir))
+
+  private def buildClassifyNb(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     // gaussian NB over scaled (± ) features
     val m = new NaiveBayes().setLabelCol("y").setModelType("gaussian").fit(train)
     metricsRow("gaussian_nb", m.transform(test))
   }
 
-  def qClassifyRf(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyRf(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:random_forest")(buildClassifyRf(s, dir))
+
+  private def buildClassifyRf(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new RandomForestClassifier().setLabelCol("y").setSeed(Seed)
       .setNumTrees(100).fit(train) // reference uses 1000; 100 is the same op
     metricsRow("random_forest", m.transform(test))
   }
 
-  def qClassifyGbt(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyGbt(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:gradient_boosting")(buildClassifyGbt(s, dir))
+
+  private def buildClassifyGbt(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new GBTClassifier().setLabelCol("y").setSeed(Seed)
       .setMaxIter(20).fit(train)
     metricsRow("gradient_boosting", m.transform(test))
   }
 
-  def qClassifyDt(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyDt(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:decision_tree")(buildClassifyDt(s, dir))
+
+  private def buildClassifyDt(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new DecisionTreeClassifier().setLabelCol("y").setSeed(Seed).fit(train)
     metricsRow("decision_tree", m.transform(test))
   }
 
-  def qClassifyMlp(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyMlp(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:mlp")(buildClassifyMlp(s, dir))
+
+  private def buildClassifyMlp(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val m = new MultilayerPerceptronClassifier().setLabelCol("y").setSeed(Seed)
       .setLayers(Array(64, 32, 2)).setMaxIter(60).fit(train)
@@ -448,7 +491,10 @@ object Classification extends QueryModule {
     * corpus, so broadcasting it does not survive 100 TB), exact cosine
     * re-ranks the candidates, top-5 vote. Test rows with no collision fall
     * back to the majority train class, so every query is still scored. */
-  def qClassifyKnn(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyKnn(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:knn_5")(buildClassifyKnn(s, dir))
+
+  private def buildClassifyKnn(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val tr = train.select(col("vec_id").as("t_id"),
       vector_to_array(col("features")).as("fv"), col("y").as("ty"))
@@ -479,7 +525,10 @@ object Classification extends QueryModule {
     * .py:578-624): keep a deterministic hash-selected fraction of the
     * majority class so classes balance, then fit unweighted LR. No driver
     * resampling state; the filter is partition-local and reproducible. */
-  def qClassifyLrUndersample(s: SparkSession, dir: String): DataFrame = {
+  def qClassifyLrUndersample(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:lr_undersampled")(buildClassifyLrUndersample(s, dir))
+
+  private def buildClassifyLrUndersample(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val counts = train.groupBy("y").count().collect()
       .map(r => r.getDouble(0) -> r.getLong(1)).toMap
@@ -563,7 +612,10 @@ object Classification extends QueryModule {
   /** q_classify_smote: unweighted LR on the SMOTE-balanced training set —
     * closes the reference's third rebalancing strategy (class weights and
     * undersampling are q_classify_lr / q_classify_lr_us). */
-  def qClassifySmote(s: SparkSession, dir: String): DataFrame = {
+  def qClassifySmote(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.metrics:$dir:lr_smote")(buildClassifySmote(s, dir))
+
+  private def buildClassifySmote(s: SparkSession, dir: String): DataFrame = {
     val (aug, _) = smoteAugmented(s, dir)
     val (_, test) = dataset(s, dir)
     val m = new LogisticRegression().setLabelCol("y")
@@ -884,16 +936,37 @@ object Classification extends QueryModule {
          TRUE AS cells_ok, TRUE AS gold_ok, TRUE AS strat_ok
        FROM f GROUP BY 1"""
 
-  /** q_classify_audit: supervised-harness accounting certificate — the
-    * classifier WEIGHTS can't be SQL-oracled (iterative fits), but the
-    * shared train/eval harness is pure relational algebra the oracle
-    * recomputes end-to-end: the deterministic vec_id%5 split sizes, the
-    * test-side gold positives, and the class_weight='balanced' values
-    * w_c = n/(2·n_c) (read back from the ACTUAL per-row weight column,
-    * with per-class min=max consistency — a drifted weight formula or a
-    * leaked test row changes a value the oracle computes independently).
-    * The representative LR confusion must then account for exactly the
-    * test partition (tp+fp+tn+fn = n_test, tp+fn = n_test_pos). */
+  /** Every zoo member the per-model audit accounts for, keyed by its
+    * emitted `model` name — the SAME query functions the driver runs
+    * (cachedMetrics dedupes the fits between the two consumers). */
+  private def zooMembers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "logistic_regression" -> (qClassifyLr _),
+    "linear_svc" -> (qClassifySvc _),
+    "svc_rbf" -> (qClassifyRbf _),
+    "sgd_modified_huber" -> (qClassifySgdHuber _),
+    "gaussian_nb" -> (qClassifyNb _),
+    "random_forest" -> (qClassifyRf _),
+    "gradient_boosting" -> (qClassifyGbt _),
+    "decision_tree" -> (qClassifyDt _),
+    "mlp" -> (qClassifyMlp _),
+    "knn_5" -> (qClassifyKnn _),
+    "lr_undersampled" -> (qClassifyLrUndersample _),
+    "lr_smote" -> (qClassifySmote _))
+
+  /** q_classify_audit: supervised-harness accounting certificate, ONE ROW
+    * PER ZOO MEMBER — the classifier WEIGHTS can't be SQL-oracled
+    * (iterative fits), but the shared train/eval harness is pure
+    * relational algebra the oracle recomputes end-to-end: the
+    * deterministic vec_id%5 split sizes over the non-excluded concepts,
+    * the test-side gold positives, and the class_weight='balanced'
+    * values w_c = n/(2·n_c) (read back from the ACTUAL per-row weight
+    * column, with per-class min=max consistency — a drifted weight
+    * formula or a leaked test row changes a value the oracle computes
+    * independently). EVERY model's confusion must then account for
+    * exactly the test partition (tp+fp+tn+fn = n_test, tp+fn =
+    * n_test_pos) with each emitted ratio a probability — a broken model
+    * wrapper that silently drops or double-scores rows fails its own
+    * row, not just a rows-only smoke. */
   def qClassifyAudit(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     val w = train.groupBy("y")
@@ -905,25 +978,30 @@ object Classification extends QueryModule {
     val t = test.agg(count(lit(1)).as("n"),
       sum(col("y")).cast("long").as("npos")).collect().head
     val (nTest, nTestPos) = (t.getAs[Long]("n"), t.getAs[Long]("npos"))
-    val lr = qClassifyLr(s, dir).collect().head
-    val (tp, fp, tn, fn) = (lr.getAs[Long]("tp"), lr.getAs[Long]("fp"),
-      lr.getAs[Long]("tn"), lr.getAs[Long]("fn"))
-    val cellsOk = tp + fp + tn + fn == nTest && tp + fn == nTestPos
-    val metricsOk = Seq("precision", "recall", "accuracy", "f1").forall { c =>
-      Option(lr.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
-    }
     // HALF-UP like DuckDB round() — math.rint is HALF_EVEN and would
     // diverge from the oracle on exact .5 ties of these positive rationals
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val wPos = r6(w(1.0).getAs[Double]("wmax"))
+    val wNeg = r6(w(0.0).getAs[Double]("wmax"))
     import s.implicits._
-    Seq((nTrain, nTest, nTestPos,
-      r6(w(1.0).getAs[Double]("wmax")), r6(w(0.0).getAs[Double]("wmax")),
-      cellsOk && weightsConsistent, metricsOk))
-      .toDF("n_train", "n_test", "n_test_pos", "w_pos", "w_neg",
-        "cells_ok", "metrics_ok")
+    zooMembers.map { case (name, q) =>
+      val m = q(s, dir).collect().head
+      require(m.getAs[String]("model") == name,
+        s"zoo registry desync: $name emitted ${m.getAs[String]("model")}")
+      val cellsOk = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
+        m.getAs[Long]("tn") + m.getAs[Long]("fn") == nTest &&
+        m.getAs[Long]("tp") + m.getAs[Long]("fn") == nTestPos
+      val metricsOk = Seq("precision", "recall", "accuracy", "f1").forall { c =>
+        Option(m.getAs[java.lang.Double](c)).forall(v => v >= 0.0 && v <= 1.0)
+      }
+      (name, nTrain, nTest, nTestPos, wPos, wNeg,
+        cellsOk && weightsConsistent, metricsOk)
+    }.toDF("model", "n_train", "n_test", "n_test_pos", "w_pos", "w_neg",
+      "cells_ok", "metrics_ok")
   }
 
-  private lazy val qClassifyAuditSql =
+  private lazy val qClassifyAuditSql = {
+    val models = zooMembers.map { case (n, _) => s"('$n')" }.mkString(", ")
     s"""WITH e AS (SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
              FROM embeddings
              WHERE label NOT IN (${ExcludedLabels.mkString(", ")})),
@@ -932,12 +1010,14 @@ object Classification extends QueryModule {
               FROM e WHERE vec_id % 5 <> 0),
        te AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
                 CAST(sum(y) AS BIGINT) AS n_test_pos
-              FROM e WHERE vec_id % 5 = 0)
-       SELECT n_train, n_test, n_test_pos,
+              FROM e WHERE vec_id % 5 = 0),
+       m(model) AS (VALUES $models)
+       SELECT model, n_train, n_test, n_test_pos,
          round(CAST(n_train AS DOUBLE) / (2.0 * n_pos), 6) AS w_pos,
          round(CAST(n_train AS DOUBLE) / (2.0 * (n_train - n_pos)), 6) AS w_neg,
          TRUE AS cells_ok, TRUE AS metrics_ok
-       FROM tr CROSS JOIN te"""
+       FROM tr CROSS JOIN te CROSS JOIN m"""
+  }
 
   /** q_features_audit: feature-assembly + StandardScaler certificate —
     * upgrades rows-only q_features with SQL-derivable anchors: `n_docs`

