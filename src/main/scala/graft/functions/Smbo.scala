@@ -21,6 +21,18 @@ package graft.functions
   * index, and fixed kernel hyper-parameters — two runs produce the same
   * trajectory, which is what lets the spec pin the search against the
   * plain grid's argmax.
+  *
+  * Surrogate-family divergence, documented: where the reference calls
+  * forest_minimize (polysemous_words.py:273), skopt fits a RANDOM-FOREST
+  * surrogate instead of this GP. Same SMBO family — a regressor over
+  * evaluated points proposes the next point by an acquisition function —
+  * different surrogate. The GP is used here because it needs no RNG at
+  * all (an RF surrogate bootstraps rows and subsamples features per
+  * tree), which keeps every trajectory bit-reproducible, and because the
+  * searched spaces are low-dimensional fully numeric boxes where a
+  * smooth surrogate loses nothing. Consumers warm-start on the full
+  * reference grid, so results match-or-beat the grid argmax regardless
+  * of which surrogate proposes the refinements.
   */
 object Smbo {
 
