@@ -66,8 +66,11 @@ object Bench {
     "q_anova", "q_kruskal", "q_tcloseness", "q_hits", "q_pca_audit",
     "q_levene", "q_trend", "q_tukey", "q_dunn", "q_friedman")
   // q_features_audit / q_lda_audit / q_isotonic_audit / q_classify_audit /
-  // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit stay out of the
-  // headline set: each triggers an ITERATIVE or heavyweight training fit
+  // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit — and the r12
+  // additions q_coherence_audit / q_hdp_audit (LDA upstream),
+  // q_semantic_audit (KMeans upstream), q_classify_excluded /
+  // q_classify_sgdh (classifier fits) — stay out of the headline set:
+  // each triggers an ITERATIVE or heavyweight training fit
   // (LR/CV/LDA/BPE pipelines — the module doc's ML-training exclusion).
   // q_pca_audit is deliberately IN: its PCA "fit" is a single covariance
   // pass plus a driver-side d×d eigendecomposition (d = embedding dim,
