@@ -191,8 +191,8 @@ object Classification extends QueryModule {
     * machine — the no-driver-RNG discipline's seeded exception, same as
     * KMeans setSeed). γ follows sklearn's gamma='scale' on standardized
     * features: 1/(d·Var[x]) = 1/d. Model-sized (D×d doubles). */
-  private def rffPlanes(d: Int): (Array[Array[Double]], Array[Double]) = {
-    val gamma = 1.0 / d
+  private def rffPlanes(d: Int,
+      gamma: Double): (Array[Array[Double]], Array[Double]) = {
     val rng = new scala.util.Random(Seed)
     val sd = math.sqrt(2.0 * gamma)
     val w = Array.fill(RffDim)(Array.fill(d)(rng.nextGaussian() * sd))
@@ -203,9 +203,14 @@ object Classification extends QueryModule {
   /** z(x) = √(2/D)·cos(Wx + b) as a UDF over the array-typed feature
     * column — the W matrix ships once per executor as a broadcast
     * variable (the q_bloom_audit discipline), and E[z(x)·z(y)] =
-    * k(x,y), so a LINEAR model on z approximates the kernel machine. */
-  private def rffMap(s: SparkSession, d: Int) = {
-    val (w, b) = rffPlanes(d)
+    * k(x,y), so a LINEAR model on z approximates the kernel machine.
+    * γ defaults to sklearn's gamma='scale' on standardized features
+    * (1/d); the kernel sweep passes the reference's explicit grid. The
+    * Gaussian draws are SHARED across γ values (same seed, scaled by
+    * √(2γ)) — common random numbers, so sweep cells differ only by
+    * bandwidth, never by draw. */
+  private def rffMap(s: SparkSession, d: Int, gammaOpt: Option[Double] = None) = {
+    val (w, b) = rffPlanes(d, gammaOpt.getOrElse(1.0 / d))
     val bcW = s.sparkContext.broadcast(w)
     val bcB = s.sparkContext.broadcast(b)
     val scale = math.sqrt(2.0 / RffDim)
