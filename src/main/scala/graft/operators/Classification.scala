@@ -341,9 +341,17 @@ object Classification extends QueryModule {
     * gradient sums are plain column expressions, so a pass is a single
     * map-side-combined job and only d+1 doubles reach the driver
     * (LBFGS-style scan count, the scalable shape at any corpus size; the
-    * reference's sequential per-sample SGD cannot shard). Deterministic:
-    * no RNG anywhere — full-batch gradients from w₀ = 0 with the
-    * 1/(α(t+t₀)) sklearn 'optimal'-style schedule. Returns (w, b). */
+    * reference's sequential per-sample SGD cannot shard). Deterministic
+    * up to FP summation order: no RNG anywhere — full-batch gradients
+    * from w₀ = 0 with the 1/(α(t+t₀)) sklearn 'optimal'-style schedule —
+    * but the d+1 plain sum() columns merge across partitions in
+    * scheduler order, so the trajectory is bit-reproducible only at a
+    * fixed partition count (parts tracks data size AND
+    * defaultParallelism below). The repo's ordered-fold discipline would
+    * buy byte-stability across cluster sizes, at the cost of a
+    * collect_list of the full training relation per iteration — not paid
+    * here; the gate is rows-only and q_classify_audit anchors the
+    * confusion accounting, not the weight bytes. Returns (w, b). */
   private[graft] def fitModifiedHuber(tr: DataFrame, d: Int,
       iters: Int, alpha: Double): (Array[Double], Double) = {
     // partition count sized to the data (~100k rows per task): the loop
@@ -401,7 +409,11 @@ object Classification extends QueryModule {
 
   private def buildClassifySgdHuber(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
-    val d = SimilaritySearch.Dim
+    // measured from the data like the sibling RBF path — a hardcoded
+    // SimilaritySearch.Dim would silently truncate the dot / read nulls
+    // if the feature assembly ever widened
+    val d = train.select(vector_to_array(col("features")).as("x"))
+      .head.getSeq[Double](0).size
     val tr = train.select(vector_to_array(col("features")).as("x"),
       (col("y") * 2.0 - 1.0).as("ys"), col("w"))
     val (wv, b) = fitModifiedHuber(tr, d, sgdHuberIters, SgdHuberAlpha)
@@ -761,11 +773,17 @@ object Classification extends QueryModule {
     * Folds are the deterministic stratified assignment above. The per-fold
     * loop is driver-side by nature (k sequential fits — the reference's
     * StratifiedKFold loop); each fit/eval is fully distributed and only
-    * the 8 confusion counts per fold ever reach the driver. */
+    * the 8 confusion counts per fold ever reach the driver. The CV corpus
+    * excludes [[ExcludedLabels]] exactly like the zoo's dataset(): in the
+    * reference, excluded documents never enter train_corpus at all
+    * (supervised_classifier.py:118-150), so its StratifiedKFold loop never
+    * sees them either — the CV family and the zoo model the SAME corpus
+    * composition. */
   def qCvTrain(s: SparkSession, dir: String): DataFrame = {
     val k = cvK
     val base = stratifiedFolds(
       Tables.embeddings(s, dir)
+        .filter(!col("label").isin(ExcludedLabels: _*))
         .select(col("vec_id"),
           array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("raw"),
           when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
@@ -908,6 +926,7 @@ object Classification extends QueryModule {
     val cv = qCvTrain(s, dir).filter(col("fold") >= 0).collect()
     val sizes = stratifiedFolds(
       Tables.embeddings(s, dir)
+        .filter(!col("label").isin(ExcludedLabels: _*))
         .select(col("vec_id"), when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
       cvK)
       .groupBy("fold")
@@ -931,7 +950,8 @@ object Classification extends QueryModule {
     s"""WITH e AS (SELECT vec_id,
              CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
              md5(CAST(vec_id AS VARCHAR)) AS h
-           FROM embeddings),
+           FROM embeddings
+           WHERE label NOT IN (${ExcludedLabels.mkString(", ")})),
        f AS (SELECT y,
                CAST((row_number() OVER (PARTITION BY y ORDER BY h, vec_id) - 1)
                  % $cvK AS INT) AS fold

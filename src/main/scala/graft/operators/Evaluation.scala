@@ -373,10 +373,13 @@ object Evaluation extends QueryModule {
     * (supervised_classifier.py:629): per-class md5-shuffle rank mod k
     * (Classification.stratifiedFolds, the same assignment q_cv_train
     * trains on), so every fold carries each gold class to within one
-    * row. */
+    * row. The base excludes Classification.ExcludedLabels — the
+    * reference's CV loop runs over train_corpus, which never contains
+    * the held-out concepts (supervised_classifier.py:118-150, 629). */
   def qCvFolds(s: SparkSession, dir: String): DataFrame =
     Classification.stratifiedFolds(
       Tables.embeddings(s, dir)
+        .filter(!col("label").isin(Classification.ExcludedLabels: _*))
         .select(col("vec_id"), col("label"),
           when(col("label") < 5, 1.0).otherwise(0.0).as("y")),
       Classification.cvK)
@@ -389,7 +392,8 @@ object Evaluation extends QueryModule {
     s"""WITH e AS (SELECT vec_id, label,
              CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
              md5(CAST(vec_id AS VARCHAR)) AS h
-           FROM embeddings),
+           FROM embeddings
+           WHERE label NOT IN (${Classification.ExcludedLabels.mkString(", ")})),
        f AS (SELECT label, y,
                CAST((row_number() OVER (PARTITION BY y ORDER BY h, vec_id) - 1)
                  % ${Classification.cvK} AS INT) AS fold

@@ -116,7 +116,15 @@ object TopicModeling extends QueryModule {
     * a zero-co-occurrence pair contributes ln(1/D(wj)) through the +1
     * smoothing; an inner join on observed co-occurrences would silently
     * drop it. Counts come from one explode+broadcast-join of the k×10
-    * top-term strings against the distinct (doc, term) posting. */
+    * top-term strings against the distinct (doc, term) posting. The
+    * df_i/df_j attachments are LEFT joins that raise_error on a null df:
+    * a top term with ZERO document frequency (out-of-vocabulary wrt the
+    * cleaned corpus) has an undefined u_mass (df_j divides), and an inner
+    * join would silently shrink the pair grid instead — the same
+    * silent-drop class as the zero-codf bug the full-grid left join
+    * fixes. q_coherence_audit's 45-pair count guards the default model;
+    * this guard covers EVERY substrate consumer (the model-select sweep
+    * included). */
   private def umassParts(s: SparkSession, dir: String,
       topTerms: DataFrame): (DataFrame, DataFrame) = {
     val docTerms = TextPrep.cleanDocs(s, dir)
@@ -134,13 +142,22 @@ object TopicModeling extends QueryModule {
     val grid = terms.select(col("topic"), col("pos").as("pos_i"))
       .join(terms.select(col("topic"), col("pos").as("pos_j")), Seq("topic"))
       .filter(col("pos_i") > col("pos_j"))
+    // the guard lives in a FILTER (assert_true returns null ⇒ the
+    // predicate keeps every row), not a projected coalesce(raise_error):
+    // umassFromParts only reads df_j, so a projected df_i guard would be
+    // column-pruned away and an out-of-vocabulary last term would pass
     val pairs = grid
       .join(co, Seq("topic", "pos_i", "pos_j"), "left_outer")
       .na.fill(0L, Seq("codf"))
       .join(single.select(col("topic"), col("pos").as("pos_i"), col("df").as("df_i")),
-        Seq("topic", "pos_i"))
+        Seq("topic", "pos_i"), "left_outer")
       .join(single.select(col("topic"), col("pos").as("pos_j"), col("df").as("df_j")),
-        Seq("topic", "pos_j"))
+        Seq("topic", "pos_j"), "left_outer")
+      .filter(assert_true(col("df_i").isNotNull && col("df_j").isNotNull,
+        concat(lit("umass: zero-df top term at topic="),
+          col("topic").cast("string"), lit(" pair="),
+          col("pos_i").cast("string"), lit(","),
+          col("pos_j").cast("string"))).isNull)
     (single, pairs)
   }
 
@@ -506,6 +523,12 @@ object TopicModeling extends QueryModule {
   /** Corpus truncation T at test SF (reference uses T=1000 at wiki scale —
     * wiki_hdp.py:19; set GRAFT_HDP_T=1000 on a cluster, same code path). */
   val HdpTruncation = 20
+  /** Effective truncation: the GRAFT_HDP_T override when set, else
+    * [[HdpTruncation]] — the ONE value qHdp, qHdpAudit AND the audit's
+    * oracle SQL all interpolate, so the hash gate holds under the env
+    * override too (the qCvAuditSql/$cvK pattern). */
+  def hdpT: Int =
+    sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)
   /** Keep topic k iff its expected corpus weight E[β_k] ≥ this. */
   val HdpBetaThreshold = 0.01
 
@@ -544,7 +567,7 @@ object TopicModeling extends QueryModule {
     * the numbers the query actually emits. */
   private def hdpSticks(s: SparkSession, dir: String)
       : Seq[(Int, Int, Double, Double, Double, Double)] = {
-    val t = sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)
+    val t = hdpT
     val totals = docTopics(s, dir, t)
       .select(posexplode(col("dist")).as(Seq("topic", "phi")))
       .groupBy("topic").agg(sum(col("phi")).as("s"))
@@ -580,8 +603,7 @@ object TopicModeling extends QueryModule {
   def qHdpAudit(s: SparkSession, dir: String): DataFrame = {
     val sticks = hdpSticks(s, dir)
     val t = sticks.length
-    val nDocs = docTopics(s, dir,
-      sys.env.get("GRAFT_HDP_T").map(_.toInt).getOrElse(HdpTruncation)).count()
+    val nDocs = docTopics(s, dir, hdpT).count()
     val mass = sticks.map(_._3 - 1.0).sum
     // per-doc simplex deviation ≤ 1e-6 (q_lda_audit's bound) accumulates
     // linearly at worst: tolerance n_docs·1e-6, floored at 1e-6
@@ -615,7 +637,7 @@ object TopicModeling extends QueryModule {
   private lazy val qHdpAuditSql =
     s"""WITH bow AS (SELECT DISTINCT doc_id FROM (${TextPrep.qDoc2bowSql}))
        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST($HdpTruncation AS BIGINT) AS n_sticks,
+         CAST($hdpT AS BIGINT) AS n_sticks,
          TRUE AS mass_ok, TRUE AS recursion_ok, TRUE AS order_ok,
          TRUE AS simplex_ok, TRUE AS kept_ok
        FROM bow"""

@@ -190,14 +190,16 @@ class Round3Spec extends SparkSpec {
     assert(cv.length === 6)
     val folds = cv.filter(_.getAs[Int]("fold") >= 0)
     assert(folds.length === 5)
-    // 500 vectors, stratified per-class rank mod 5 → 100 ± 1 per fold
-    // (per-class counts split ceil/floor), folds disjoint and exhaustive
+    // 389 vectors at sf0.001 (500 minus the ExcludedLabels {4, 9} concept
+    // holdout — the CV corpus is the zoo's train∪test corpus), stratified
+    // per-class rank mod 5 → y=1: 200 → 40×5, y=0: 189 → 38×4 + 37,
+    // fold totals {78, 78, 78, 78, 77}, disjoint and exhaustive
     val totals = folds.map { r =>
       r.getAs[Long]("tp") + r.getAs[Long]("fp") +
         r.getAs[Long]("tn") + r.getAs[Long]("fn")
     }
-    assert(totals.sum === 500)
-    totals.foreach(t => assert(t >= 99 && t <= 101))
+    assert(totals.sum === 389)
+    totals.foreach(t => assert(t >= 77 && t <= 78))
     val mean = cv.find(_.getAs[Int]("fold") === -1).get.getAs[Double]("f1")
     val expected = folds.map(_.getAs[Double]("f1")).sum / 5
     assert(math.abs(mean - expected) < 1e-5)
