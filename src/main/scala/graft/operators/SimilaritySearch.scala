@@ -1030,7 +1030,171 @@ object SimilaritySearch extends QueryModule {
          round(1.0 / min(rank), 6) AS rr
        FROM ranked WHERE nb_label = q_label GROUP BY q_id, q_label"""
 
+  /** Cluster count of the first-class k-means (GRAFT_KMEANS_K; the audit
+    * oracle interpolates the same value, the hdpT pattern). */
+  def kmK: Int = sys.env.get("GRAFT_KMEANS_K").map(_.toInt).getOrElse(8)
+  /** Lloyd iteration budget (fixed — the trajectory certificate checks
+    * descent over exactly these steps). */
+  val KmIters = 10
+
+  /** First-class DETERMINISTIC Lloyd's k-means over the embedding table —
+    * the clustering primitive under SemDeDup (arXiv:2303.09540 clusters
+    * with k-means before in-cluster dedup; q_dedup_semantic uses MLlib's
+    * seeded fit) promoted to an operator whose trajectory is
+    * bit-reproducible at ANY partitioning:
+    *
+    *  - init: deterministic farthest-first (Gonzalez) seeding — the first
+    *    seed is the md5(vec_id)-minimal point (the engine's
+    *    deterministic-shuffle draw), each next seed the point farthest
+    *    from its nearest chosen seed (smallest vec_id on ties). The
+    *    reproducible analogue of k-means++ (maximin is its
+    *    2-approximation backbone): on well-separated data it lands one
+    *    seed per natural group, where a plain random draw can seed two
+    *    centroids in one group and leave Lloyd in the split-group local
+    *    minimum. k−1 extra one-aggregation scans at init, scale-free
+    *    driver state;
+    *  - assignment: argmin squared L2 via the codegen'd dot kernel
+    *    (dist_c = v·v − 2·v·cen_c + cen_c·cen_c; the v·v term is common,
+    *    so the per-cluster expression is one fused dot against a literal
+    *    array), first-index tie-break;
+    *  - update: per-cluster per-dim sums as EXACT DECIMAL(38,20)
+    *    aggregations — decimal addition is associative-exact, so the
+    *    cross-partition merge order cannot change a single bit (the house
+    *    discipline fitModifiedHuber documents but does not pay; here ONE
+    *    aggregation per iteration carries k×(d+2) cells to the driver and
+    *    the relation is scanned, never collected);
+    *  - inertia: per-row double distance floored at 0, cast DECIMAL(38,18),
+    *    exact-summed — the recorded descent trajectory is deterministic.
+    *
+    * Each iteration is one map-side-combined aggregation job over the
+    * cached relation (k·(d+2) decimals to the driver — scale-free), the
+    * same 100 TB shape as the gradient trainer. Empty clusters keep their
+    * previous centroid (MLlib's behavior). Returns (final centroids,
+    * assignment-inertia trajectory, final per-cluster relation). */
+  private def kmeansRun(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Seq[Double], DataFrame) =
+    graft.ModelCache.getOrElseUpdate(s, s"ss.kmeans:$dir:$kmK") {
+      val k = kmK
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d = Dim
+      def minDist(cs: Array[Array[Double]]): Column =
+        greatest(array_min(array(cs.map { c =>
+          val c2 = c.map(x => x * x).sum
+          dot(col("v"), array(c.map(lit): _*)) * -2.0 + c2
+        }: _*)) + dot(col("v"), col("v")), lit(0.0))
+      val seed0 = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(1).collect()(0).getSeq[Double](1).toArray
+      val seeds = scala.collection.mutable.ArrayBuffer(seed0)
+      while (seeds.size < k) {
+        val far = e.agg(max(struct(minDist(seeds.toArray).as("md"),
+          (-col("vec_id")).as("nid"), col("v"))).as("m"))
+          .select(col("m.v")).collect()(0).getSeq[Double](0).toArray
+        seeds += far
+      }
+      var cens: Array[Array[Double]] = seeds.toArray
+      val traj = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def assigned: DataFrame = {
+        val dists = array(cens.map { c =>
+          val c2 = c.map(x => x * x).sum
+          dot(col("v"), array(c.map(lit): _*)) * -2.0 + c2
+        }: _*)
+        e.withColumn("cl", (array_position(dists, array_min(dists)) - 1).cast("int"))
+          .withColumn("mind",
+            greatest(array_min(dists) + dot(col("v"), col("v")), lit(0.0)))
+      }
+      for (_ <- 0 until KmIters) {
+        val aggs = Seq(count(lit(1)).as("n"),
+          sum(col("mind").cast("decimal(38,18)")).as("in")) ++
+          (0 until d).map(j =>
+            sum(col("v")(j).cast("decimal(38,20)")).as(s"s$j"))
+        val rows = assigned.groupBy("cl")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        traj += rows.map(r => r.getDecimal(2)).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          .doubleValue
+        val next = cens.map(_.clone())
+        rows.foreach { r =>
+          val c = r.getInt(0); val n = r.getLong(1)
+          if (n > 0L) next(c) = Array.tabulate(d)(j =>
+            r.getDecimal(3 + j).doubleValue / n)
+        }
+        cens = next
+      }
+      val fin = assigned.groupBy("cl")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("mind").cast("decimal(38,18)")).cast("double"), 6).as("inertia"))
+        .select(col("cl").as("cluster"), col("n"), col("inertia"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fin.count()
+      e.unpersist()
+      (cens, traj.toSeq, fin)
+    }
+
+  /** q_kmeans: the final per-cluster accounting (cluster, size, exact
+    * in-cluster inertia at 6dp) of the deterministic Lloyd run. Rows-only
+    * gate (iterative training); q_kmeans_audit hash-anchors the
+    * accounting. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = kmeansRun(s, dir)._3
+
+  /** q_kmeans_audit: k-means accounting certificate (the q_minhash_audit
+    * rule applied to the clustering primitive). SQL-derivable anchors:
+    * n_points (the embeddings row count — a dropped partition or a lost
+    * empty-cluster row breaks it) and k. Guarantees asserted Spark-side,
+    * oracle emits TRUE: `accounted_ok` (the emitted cluster sizes sum to
+    * the INDEPENDENTLY counted table size), `monotone_ok` (the recorded
+    * assignment-inertia trajectory descends — Lloyd's invariant; exact
+    * decimal sums make it deterministic, the 1e-9·I relative slack covers
+    * only the double distance kernel), and `assign_ok` (an independent
+    * re-derivation: every point's cluster equals the argmin of the
+    * textbook Σ(x−c)² fold against the final centroids — a DIFFERENT
+    * arithmetic path than the fused v·v−2v·c+c² kernel; disagreements
+    * closer than 1e-6 are fp near-ties, anything farther is a real
+    * assignment bug). */
+  def qKmeansAudit(s: SparkSession, dir: String): DataFrame = {
+    val (cens, traj, fin) = kmeansRun(s, dir)
+    val nPoints = Tables.embeddings(s, dir).count()
+    val sizes = fin.collect().map(_.getAs[Long]("n"))
+    val accountedOk = sizes.sum == nPoints
+    val monotoneOk = traj.sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-9 * math.abs(a)
+      case _ => true
+    }
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val kernelDists = array(cens.map { c =>
+      val c2 = c.map(x => x * x).sum
+      dot(col("v"), array(c.map(lit): _*)) * -2.0 + c2
+    }: _*)
+    val foldDists = array(cens.map { c =>
+      aggregate(zip_with(col("v"), array(c.map(lit): _*),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (a, x) => a + x)
+    }: _*)
+    val mism = e
+      .select(
+        (array_position(kernelDists, array_min(kernelDists)) - 1).as("ck"),
+        foldDists.as("fd"))
+      .select(col("ck"), (array_position(col("fd"), array_min(col("fd"))) - 1).as("cf"),
+        col("fd"))
+      .filter(col("ck") =!= col("cf") &&
+        abs(element_at(col("fd"), (col("ck") + 1).cast("int")) -
+          element_at(col("fd"), (col("cf") + 1).cast("int"))) > 1e-6)
+      .count()
+    import s.implicits._
+    Seq((nPoints, kmK.toLong, accountedOk, monotoneOk, mism == 0L))
+      .toDF("n_points", "k", "accounted_ok", "monotone_ok", "assign_ok")
+  }
+
+  private lazy val qKmeansAuditSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST($kmK AS BIGINT) AS k,
+         TRUE AS accounted_ok, TRUE AS monotone_ok, TRUE AS assign_ok
+       FROM embeddings"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (qKmeans _),
+    "q_kmeans_audit" -> (qKmeansAudit _),
     "q_mrr" -> (qMrr _),
     "q_rrf" -> (qRrf _),
     "q_ndcg" -> (qNdcg _),
@@ -1051,6 +1215,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
+    "q_kmeans_audit" -> qKmeansAuditSql,
     "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,
     "q_rrf" -> qRrfSql,

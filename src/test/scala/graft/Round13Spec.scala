@@ -47,6 +47,43 @@ class Round13Spec extends SparkSpec {
     assert(ok.length == 1 && ok(0).getAs[Long]("n_pairs") == 3L)
   }
 
+  /** 16 points in 8 tight, well-separated groups of 2 (group centers on
+    * distinct axes at ±10, members jittered ±0.25): farthest-first
+    * seeding must place one seed per group (maximin always prefers an
+    * unseeded group at this separation — a plain md5-random draw does
+    * NOT, it can seed two centroids in one group and Lloyd then sticks
+    * in the split-group local minimum), after which Lloyd lands on the
+    * obvious partition. */
+  private lazy val kmeansFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-km13").toString
+    import spark.implicits._
+    val pts = for (g <- 0 until 8; m <- 0 until 2) yield {
+      val v = Array.fill(64)(0.0f)
+      v(g * 8) = (if (g % 2 == 0) 10.0f else -10.0f) + (m * 0.5f - 0.25f)
+      ((g * 2 + m).toLong, v.toSeq, g)
+    }
+    pts.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q_kmeans: deterministic Lloyd separates an 8-group fixture exactly; " +
+    "audit certifies accounting, descent and the independent argmin") {
+    import graft.operators.SimilaritySearch
+    val fin = SimilaritySearch.qKmeans(spark, kmeansFixtureDir)
+      .orderBy("cluster").collect()
+    assert(fin.length == 8)
+    assert(fin.forall(_.getAs[Long]("n") == 2L),
+      "every tight group of 2 must land in its own cluster")
+    // in-cluster inertia per group: two points at center ±0.25 → centroid
+    // at the midpoint, 2 · 0.25² = 0.125 each
+    fin.foreach(r => assert(math.abs(r.getAs[Double]("inertia") - 0.125) < 1e-9))
+    val a = SimilaritySearch.qKmeansAudit(spark, kmeansFixtureDir).collect()(0)
+    assert(a.getAs[Long]("n_points") == 16L)
+    for (c <- Seq("accounted_ok", "monotone_ok", "assign_ok"))
+      assert(a.getAs[Boolean](c), s"$c failed")
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
