@@ -1315,7 +1315,89 @@ object Dedup extends QueryModule {
        FROM p GROUP BY doc_id"""
   }
 
+  /** q_rouge_pairs: ROUGE-1/ROUGE-2 F1 over the near-dup candidate pairs —
+    * the summarization-eval overlap family (Lin 2004) run as a dedup
+    * DIAGNOSTIC: once the shingle-Jaccard pass flags a candidate pair,
+    * ROUGE says how much of each doc's surface the overlap actually
+    * covers (multiset n-gram recall/precision), which separates
+    * "template with swapped slots" (high ROUGE-1, low ROUGE-2) from
+    * "near-verbatim copy" (both high). Multiset match
+    * mₙ = Σ_g min(cntₐ(g), cnt_b(g)) over raw-token n-grams;
+    * F1 = 2mₙ/(nₐ+n_b) (the harmonic identity — all arithmetic integer
+    * until ONE shared double division, so the 6dp round is fp-immune).
+    * Plan: the pair set is the SAME memoized df-capped candidate stream
+    * as Jaccard/containment (no new corpus pass for candidates); the
+    * per-pair gram join fans out by |pairs|·|doc grams| — bounded by the
+    * near-dup density times doc length, never corpus² — and shuffles on
+    * (doc, gram) keys. */
+  def qRougePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupJaccard(s, dir).select("doc_a", "doc_b")
+    val toks = TextPrep.rawDocs(s, dir).select(col("doc_id"), col("rtoks"))
+    val uni = toks.select(col("doc_id"), explode(col("rtoks")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val bi = toks
+      .select(col("doc_id"), explode(TextFns.shingles(col("rtoks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val tot = toks.select(col("doc_id"), size(col("rtoks")).cast("long").as("n1"),
+      greatest(size(col("rtoks")) - 1, lit(0)).cast("long").as("n2"))
+    def overlap(counts: DataFrame, name: String): DataFrame =
+      pairs
+        .join(counts.select(col("doc_id").as("doc_a"), col("g"), col("cnt").as("ca")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("g"), col("cnt").as("cb")),
+          Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ca"), col("cb"))).as(name))
+    pairs
+      .join(overlap(uni, "m1"), Seq("doc_a", "doc_b"), "left_outer")
+      .join(overlap(bi, "m2"), Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("m1", "m2"))
+      .join(tot.select(col("doc_id").as("doc_a"),
+        col("n1").as("n1a"), col("n2").as("n2a")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"),
+        col("n1").as("n1b"), col("n2").as("n2b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("m1"), col("m2"),
+        round((col("m1") * 2).cast("double") / (col("n1a") + col("n1b")), 6)
+          .as("rouge1_f"),
+        round((col("m2") * 2).cast("double") / (col("n2a") + col("n2b")), 6)
+          .as("rouge2_f"))
+  }
+
+  private lazy val qRougePairsSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH $pairCountCtes,
+       pr AS (
+         SELECT doc_a, doc_b FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.12),
+       t AS (SELECT doc_id, $toks AS toks FROM documents),
+       uni AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+       bi AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT doc_id, unnest(${TextFns.shinglesSql("toks", 2)}) AS g FROM t)
+         GROUP BY 1, 2),
+       tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n1,
+         CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n2 FROM t),
+       o1 AS (SELECT pr.doc_a, pr.doc_b, CAST(sum(LEAST(a.cnt, b.cnt)) AS BIGINT) AS m1
+         FROM pr JOIN uni a ON a.doc_id = pr.doc_a
+         JOIN uni b ON b.doc_id = pr.doc_b AND b.g = a.g GROUP BY 1, 2),
+       o2 AS (SELECT pr.doc_a, pr.doc_b, CAST(sum(LEAST(a.cnt, b.cnt)) AS BIGINT) AS m2
+         FROM pr JOIN bi a ON a.doc_id = pr.doc_a
+         JOIN bi b ON b.doc_id = pr.doc_b AND b.g = a.g GROUP BY 1, 2)
+       SELECT pr.doc_a, pr.doc_b,
+         COALESCE(o1.m1, 0) AS m1, COALESCE(o2.m2, 0) AS m2,
+         round(CAST(2 * COALESCE(o1.m1, 0) AS DOUBLE) / (ta.n1 + tb.n1), 6) AS rouge1_f,
+         round(CAST(2 * COALESCE(o2.m2, 0) AS DOUBLE) / (ta.n2 + tb.n2), 6) AS rouge2_f
+       FROM pr
+       LEFT JOIN o1 ON o1.doc_a = pr.doc_a AND o1.doc_b = pr.doc_b
+       LEFT JOIN o2 ON o2.doc_a = pr.doc_a AND o2.doc_b = pr.doc_b
+       JOIN tot ta ON ta.doc_id = pr.doc_a
+       JOIN tot tb ON tb.doc_id = pr.doc_b"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_novelty" -> (qNovelty _),
@@ -1342,6 +1424,7 @@ object Dedup extends QueryModule {
     "q_pagerank" -> (qPagerank _))
 
   override def oracles: Map[String, String] = Map(
+    "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_novelty" -> qNoveltySql,

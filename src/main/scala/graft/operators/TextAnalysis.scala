@@ -1299,7 +1299,97 @@ object TextAnalysis extends QueryModule {
        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)"""
   }
 
+  /** Top-k of the RAKE extraction (bounded output; the candidate/score
+    * stages are corpus-wide regardless). */
+  val RakeTopK = 25
+
+  /** q_rake: RAKE keyword extraction (Rose et al. 2010) — the
+    * degree/frequency PHRASE scorer that complements q_keywords'
+    * TextRank (graph centrality over single tokens): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) where freq counts its occurrences inside candidates
+    * and deg adds the length of the containing phrase per occurrence
+    * (within-phrase co-occurrence incl. self); a phrase scores the sum
+    * of its member word scores. Distributed shape: segmentation is a
+    * per-doc running stopword count (doc-bounded window), word stats one
+    * (w) aggregation, phrase scores one (phrase) aggregation — all
+    * value-domain-sized after the first groupBy; top-k is a distributed
+    * TakeOrdered, never a global single-partition window. Determinism:
+    * the per-phrase double sum is the ordered fold (q_anova discipline,
+    * list_sum(list(… ORDER BY pos)) in the oracle), so ranking compares
+    * byte-identical doubles in both engines; ties break (n_occur desc,
+    * phrase asc). */
+  def qRake(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(TextFns.Stopwords.map(lit): _*)
+    val tok = TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), posexplode(col("rtoks")).as(Seq("pos", "w")))
+      .withColumn("stop", array_contains(stopArr, col("w")))
+    val dw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = tok
+      .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(dw))
+      .filter(!col("stop"))
+      .select(col("doc_id"), col("grp"), col("pos"), col("w"))
+    val occ = members.groupBy("doc_id", "grp")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("phrase"),
+        count(lit(1)).as("len"))
+    val wsc = members
+      .join(occ.select(col("doc_id"), col("grp"), col("len")), Seq("doc_id", "grp"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"), (col("deg").cast("double") / col("freq")).as("wscore"))
+    val scored = occ.groupBy("phrase").agg(count(lit(1)).as("n_occur"))
+      .select(col("phrase"), col("n_occur"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos", "w")))
+      .join(wsc, Seq("w"))
+      .groupBy("phrase", "n_occur")
+      .agg(count(lit(1)).as("n_words"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("wscore")))),
+          lit(0.0), (a, x) => a + x.getField("wscore")).as("score"))
+    val top = scored
+      .orderBy(col("score").desc, col("n_occur").desc, col("phrase").asc)
+      .limit(RakeTopK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("n_occur").desc, col("phrase").asc)))
+      .select(col("rank"), col("phrase"), col("n_words"), col("n_occur"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private lazy val qRakeSql = {
+    val toks = TextFns.rawTokensSql("text")
+    val stop = TextFns.stopListSql
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       tok AS (SELECT doc_id, unnest(toks) AS w,
+           CAST(generate_subscripts(toks, 1) AS INT) AS pos FROM t),
+       g AS (SELECT doc_id, w, pos, w IN $stop AS stop,
+           sum(CASE WHEN w IN $stop THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM tok),
+       mem AS (SELECT doc_id, grp, pos, w FROM g WHERE NOT stop),
+       occ AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+           CAST(count(*) AS BIGINT) AS len
+         FROM mem GROUP BY 1, 2),
+       wsc AS (SELECT mem.w,
+           CAST(CAST(sum(occ.len) AS BIGINT) AS DOUBLE) / count(*) AS wscore
+         FROM mem JOIN occ ON occ.doc_id = mem.doc_id AND occ.grp = mem.grp
+         GROUP BY 1),
+       ph AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur FROM occ GROUP BY 1),
+       pw AS (SELECT phrase, n_occur,
+           unnest(regexp_split_to_array(phrase, ' ')) AS w,
+           CAST(generate_subscripts(regexp_split_to_array(phrase, ' '), 1) AS INT) AS pos
+         FROM ph),
+       sc AS (SELECT phrase, n_occur, CAST(count(*) AS BIGINT) AS n_words,
+           list_sum(list(wscore ORDER BY pos)) AS score
+         FROM pw JOIN wsc USING (w) GROUP BY 1, 2)
+       SELECT CAST(row_number() OVER (ORDER BY score DESC, n_occur DESC, phrase ASC) AS INT) AS rank,
+         phrase, n_words, n_occur, round(score, 6) AS score
+       FROM sc ORDER BY score DESC, n_occur DESC, phrase ASC LIMIT $RakeTopK"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rake" -> (qRake _),
     "q_heaps" -> (qHeaps _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_bm25" -> (qBm25 _),
@@ -1333,6 +1423,7 @@ object TextAnalysis extends QueryModule {
     "q_approx_distinct" -> (qApproxDistinctGate _))
 
   override def oracles: Map[String, String] = Map(
+    "q_rake" -> qRakeSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_bm25" -> qBm25Sql,
     "q_chisq" -> qChisqSql,

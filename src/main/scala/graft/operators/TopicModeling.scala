@@ -676,7 +676,44 @@ object TopicModeling extends QueryModule {
          TRUE AS k_ok, TRUE AS normalized_ok, TRUE AS nonneg_ok
        FROM bow"""
 
+  /** q_perplexity_audit: log-perplexity certificate — the bound VALUE is
+    * not SQL-derivable (variational fit), but its accounting is: the
+    * oracle recomputes the scored corpus' doc count and total token mass
+    * from the clean-token SQL (the same MIN_DOC_WORDS gate the corpus
+    * applies — a desynced corpus or a vocab-capped CountVectorizer that
+    * silently drops tokens breaks the mass anchor, since MLlib divides
+    * by exactly that count). Guarantees asserted Spark-side:
+    * `identity_ok` — the emitted log-perplexity obeys MLlib's defining
+    * identity lp = −ll / n_tokens against the INDEPENDENTLY aggregated
+    * token mass (not the model's internal count), and `range_ok` — both
+    * are finite with ll < 0 < lp (a degenerate fit or an empty corpus
+    * emits NaN/0 and fails). */
+  def qPerplexityAudit(s: SparkSession, dir: String): DataFrame = {
+    val (bow, _) = corpus(s, dir)
+    val model = fitLda(bow, DefaultK)
+    val lp = model.logPerplexity(bow)
+    val ll = model.logLikelihood(bow)
+    val agg = bow.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens")).head
+    val nDocs = agg.getLong(0); val nTok = agg.getLong(1)
+    val identityOk = math.abs(lp * nTok + ll) <= 1e-9 * math.max(1.0, math.abs(ll))
+    val rangeOk = !lp.isNaN && !lp.isInfinity && !ll.isNaN && !ll.isInfinity &&
+      ll < 0.0 && lp > 0.0
+    import s.implicits._
+    Seq((nDocs, nTok, identityOk, rangeOk))
+      .toDF("n_docs", "n_tokens", "identity_ok", "range_ok")
+  }
+
+  private lazy val qPerplexityAuditSql =
+    s"""WITH d AS (SELECT len(${TextFns.cleanTokensSql("text")}) AS len
+             FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len) AS BIGINT) AS n_tokens,
+         TRUE AS identity_ok, TRUE AS range_ok
+       FROM d WHERE len > $MinDocTokens"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity_audit" -> (qPerplexityAudit _),
     "q_lda_topics" -> (qLdaTopics _),
     "q_doc_topics" -> (qDocTopics _),
     "q_polysemy" -> (qPolysemy _),
@@ -693,6 +730,7 @@ object TopicModeling extends QueryModule {
   // Posterior values stay rows-only (iterative ML); the coverage
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
+    "q_perplexity_audit" -> qPerplexityAuditSql,
     "q_lda_audit" -> qLdaAuditSql,
     "q_hdp_audit" -> qHdpAuditSql,
     "q_coherence_audit" -> qCoherenceAuditSql,

@@ -84,6 +84,52 @@ class Round13Spec extends SparkSpec {
       assert(a.getAs[Boolean](c), s"$c failed")
   }
 
+  test("q_rouge_pairs: hand-traced multiset ROUGE-1/2 on a two-doc near-dup fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rouge13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aa bb cc dd ee aa", "en", "t", 17L),
+      (2L, "aa bb cc dd ee ff", "en", "t", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.qRougePairs(spark, dir).collect()
+    // 3-shingle Jaccard 3/(4+4−3) = 0.6 ≥ 0.12 → exactly the (1,2) pair.
+    // ROUGE-1: m1 = Σ min counts over {aa,bb,cc,dd,ee} = 5 (aa caps at
+    // doc2's single occurrence), F = 2·5/(6+6) = 0.833333.
+    // ROUGE-2: 4 shared bigrams of 5+5 → F = 0.8.
+    assert(r.length == 1)
+    val p = r(0)
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Long]("m1") == 5L && p.getAs[Long]("m2") == 4L)
+    assert(math.abs(p.getAs[Double]("rouge1_f") - 0.833333) < 1e-9)
+    assert(math.abs(p.getAs[Double]("rouge2_f") - 0.8) < 1e-9)
+  }
+
+  test("q_rake: hand-traced degree/frequency phrase scores on a stopword-split fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rake13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "red apple and green apple", "en", "t", 25L),
+      (2L, "the green apple juice", "en", "t", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // candidates: "red apple" (2), "green apple" (2), "green apple juice" (3)
+    // word scores deg/freq: red 2/1=2, apple 7/3, green 5/2=2.5, juice 3/1=3
+    // phrase scores: gaj = 2.5 + 7/3 + 3 = 7.833333; ga = 4.833333; ra = 4.333333
+    val r = graft.operators.TextAnalysis.qRake(spark, dir)
+      .orderBy("rank").collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[String]("phrase")).toSeq ==
+      Seq("green apple juice", "green apple", "red apple"))
+    val exp = Seq(2.5 + 7.0 / 3 + 3.0, 2.5 + 7.0 / 3, 2.0 + 7.0 / 3)
+    r.zip(exp).foreach { case (row, e) =>
+      assert(math.abs(row.getAs[Double]("score") -
+        math.floor(e * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(row.getAs[Long]("n_occur") == 1L)
+    }
+    assert(r.map(_.getAs[Long]("n_words")).toSeq == Seq(3L, 2L, 2L))
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
