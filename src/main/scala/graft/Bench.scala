@@ -18,6 +18,7 @@ object Bench {
     "q_curation_full",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_decon_semantic", "q_line_dedup", "q_dedup_clusters",
+    "q_rouge_pairs", "q_rake",
     "q_asof_join", "q_asof_native", "q_range_join", "q_bm25", "q_pivot", "q_anomaly",
     "q_ntile", "q_ntile_approx", "q_compact", "q_chisq", "q_events_hop",
     "q_graph_stats", "q_pagerank", "q_mix_rates", "q_gapfill", "q_topk",
@@ -76,6 +77,9 @@ object Bench {
   // pass plus a driver-side d×d eigendecomposition (d = embedding dim,
   // corpus-size-independent) — one-pass analytics, not iterative
   // training, so it benches like the other certificate queries.
+  // r13 additions: q_rouge_pairs / q_rake are IN (one-pass analytics);
+  // q_kmeans / q_kmeans_audit (10 Lloyd iterations) and
+  // q_perplexity_audit (LDA upstream) follow the ML-training exclusion.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

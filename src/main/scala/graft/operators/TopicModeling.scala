@@ -476,15 +476,37 @@ object TopicModeling extends QueryModule {
     * operator keeps the complementary sweep-and-score path
     * (coherence_log_perplexity.py sweeps k and scores both metrics),
     * which is also how HDP results are validated in practice. */
+  /** The sweep grid (env-aware; the reference sweeps k=10..990 step 10 —
+    * webisalod_lda.py:55-60 — set GRAFT_MODEL_KS=10,20,...,990 to replay
+    * it; the audit oracle interpolates the SAME grid, the hdpT rule). */
+  def modelKs: Seq[Int] = sys.env.get("GRAFT_MODEL_KS")
+    .map(_.split(",").map(_.trim.toInt).toSeq)
+    .getOrElse(Seq(5, 10, 15, 20, 25, 30))
+
+  /** The collected (k, mean_umass, log_perplexity) sweep — memoized:
+    * q_model_select and its audit both consume it (each LDA fit is
+    * ModelCache'd anyway, but the coherence scoring joins are not). */
+  private def modelSelectScores(s: SparkSession, dir: String)
+      : Seq[(Int, Double, Double)] =
+    graft.ModelCache.getOrElseUpdate(s, s"tm.modelselect:$dir") {
+      modelSelectScoresUncached(s, dir)
+    }
+
   def qModelSelect(s: SparkSession, dir: String): DataFrame = {
+    val scores = modelSelectScores(s, dir)
+    val best = scores.maxBy(_._2)._1
+    import s.implicits._
+    scores.toDF("k", "mean_umass", "log_perplexity")
+      .select(col("k"), round(col("mean_umass"), 6).as("mean_umass"),
+        round(col("log_perplexity"), 6).as("log_perplexity"),
+        (col("k") === best).as("selected"))
+  }
+
+  private def modelSelectScoresUncached(s: SparkSession, dir: String)
+      : Seq[(Int, Double, Double)] = {
     val (bow, vocab) = corpus(s, dir)
     val vocabLit = array(vocab.map(lit): _*)
-    // the reference sweeps k=10..990 step 10 (webisalod_lda.py:55-60); the
-    // default grid keeps test-SF verification fast — on a cluster, set
-    // GRAFT_MODEL_KS=10,20,...,990 to run the full range (same loop)
-    val ks = sys.env.get("GRAFT_MODEL_KS")
-      .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(5, 10, 15, 20, 25, 30))
+    val ks = modelKs
     // the sweep is embarrassingly parallel ACROSS k (each fit is an
     // independent seeded job DAG over the shared cached bow), so fits are
     // dispatched from a bounded driver pool and the cluster scheduler
@@ -508,13 +530,42 @@ object TopicModeling extends QueryModule {
         (k, mean, model.logPerplexity(bow))
       }.seq.toSeq
     } finally pool.shutdown()
-    val best = scores.maxBy(_._2)._1
-    import s.implicits._
-    scores.toDF("k", "mean_umass", "log_perplexity")
-      .select(col("k"), round(col("mean_umass"), 6).as("mean_umass"),
-        round(col("log_perplexity"), 6).as("log_perplexity"),
-        (col("k") === best).as("selected"))
+    scores
   }
+
+  /** q_model_select_audit: sweep accounting certificate — the last
+    * rows-only topic-model family gains its SQL anchor. The oracle
+    * re-emits the declared k grid (env-aware, so the gate holds under
+    * GRAFT_MODEL_KS); guarantees asserted Spark-side per row:
+    * `umass_range_ok` — the k's mean u_mass lands in the smoothing-
+    * implied [−ln D, ln 2] envelope (D = the INDEPENDENTLY counted
+    * cleaned corpus the df denominators come from; the q_coherence_audit
+    * bound applied across the whole sweep), `ppl_ok` — its bound-based
+    * log-perplexity is finite and positive, and `argmax_ok` (global,
+    * every row) — exactly one grid point is selected and it carries the
+    * maximum mean u_mass. A sweep that scored against a desynced corpus,
+    * emitted a NaN fit, or selected anything but the coherence argmax
+    * fails its row. */
+  def qModelSelectAudit(s: SparkSession, dir: String): DataFrame = {
+    val scores = modelSelectScores(s, dir)
+    val sel = qModelSelect(s, dir).filter(col("selected"))
+      .select("k", "mean_umass").collect()
+    val nDocs = TextPrep.cleanDocs(s, dir).count()
+    val lo = -math.log(nDocs.toDouble); val hi = math.log(2.0)
+    val maxUmass = scores.map(_._2).max
+    val argmaxOk = sel.length == 1 &&
+      math.abs(sel(0).getAs[Double]("mean_umass") -
+        math.floor(maxUmass * 1e6 + 0.5) / 1e6) < 1e-12
+    import s.implicits._
+    scores.map { case (k, um, lp) =>
+      (k, um >= lo - 1e-9 && um <= hi + 1e-9,
+        !lp.isNaN && !lp.isInfinity && lp > 0.0, argmaxOk)
+    }.toDF("k", "umass_range_ok", "ppl_ok", "argmax_ok")
+  }
+
+  private lazy val qModelSelectAuditSql =
+    s"""SELECT CAST(unnest([${modelKs.mkString(", ")}]) AS INT) AS k,
+         TRUE AS umass_range_ok, TRUE AS ppl_ok, TRUE AS argmax_ok"""
 
   // ---------------------------------------------------------------- HDP
 
@@ -723,6 +774,7 @@ object TopicModeling extends QueryModule {
     "q_coherence_cv_audit" -> (qCoherenceCvAudit _),
     "q_perplexity" -> (qPerplexity _),
     "q_model_select" -> (qModelSelect _),
+    "q_model_select_audit" -> (qModelSelectAudit _),
     "q_hdp" -> (qHdp _),
     "q_hdp_audit" -> (qHdpAudit _),
     "q_lda_audit" -> (qLdaAudit _))
@@ -731,6 +783,7 @@ object TopicModeling extends QueryModule {
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
     "q_perplexity_audit" -> qPerplexityAuditSql,
+    "q_model_select_audit" -> qModelSelectAuditSql,
     "q_lda_audit" -> qLdaAuditSql,
     "q_hdp_audit" -> qHdpAuditSql,
     "q_coherence_audit" -> qCoherenceAuditSql,

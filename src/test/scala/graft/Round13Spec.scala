@@ -130,6 +130,21 @@ class Round13Spec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_words")).toSeq == Seq(3L, 2L, 2L))
   }
 
+  test("q_model_select_audit certifies the sweep grid, score ranges and the argmax") {
+    import graft.operators.TopicModeling
+    val rows = TopicModeling.qModelSelectAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("k")).sorted.toSeq == TopicModeling.modelKs.sorted)
+    rows.foreach { r =>
+      for (c <- Seq("umass_range_ok", "ppl_ok", "argmax_ok"))
+        assert(r.getAs[Boolean](c), s"$c failed at k=${r.getAs[Int]("k")}")
+    }
+    // cross-check against the sweep itself: the selected row carries max coherence
+    val sel = TopicModeling.qModelSelect(spark, sfDir).collect()
+    assert(sel.count(_.getAs[Boolean]("selected")) == 1)
+    val best = sel.filter(_.getAs[Boolean]("selected")).head.getAs[Double]("mean_umass")
+    assert(sel.forall(_.getAs[Double]("mean_umass") <= best))
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
