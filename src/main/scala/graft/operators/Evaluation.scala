@@ -232,6 +232,51 @@ object Evaluation extends QueryModule {
        FROM blocks LEFT JOIN fz
          ON fz.blk = blocks.blk AND fz.p_size = blocks.p_size"""
 
+  /** Sorted-neighborhood window size (candidates = names within w−1 sort
+    * positions). */
+  val SnmWindow = 5
+
+  /** q_er_sorted: sorted-neighborhood ER candidate generation (Hernández
+    * & Stolfo 1995) — the OTHER classic blocking strategy beside
+    * q_er_blocking's equi-key blocks: sort the match domain by key and
+    * take every pair within a w-record window. Its selling point is the
+    * pairs BLOCKING MISSES — near-misses in the first block token (a
+    * typo'd leading word lands in a different block but sorts adjacently)
+    * still become candidates here. Distributed shape: the sort runs on
+    * the DISTINCT-NAME domain (vocabulary-sized, the q_er_blocking rule)
+    * through the range-partitioned global ranking — never a
+    * single-partition window — and the w-window expands as ONE equi-join
+    * on rn+d (d exploded from 1..w−1), never a non-equi join (which
+    * plans as a cartesian product against a fresh aggregate). Record-
+    * level candidate mass is the multiplicity product; Levenshtein stays
+    * exact-integer in both engines. */
+  def qErSorted(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val r = graft.functions.Ranks.globalRowNumber(names, col("name").asc)
+    val probes = r.select(col("name").as("name_a"), col("cnt").as("cnt_a"),
+        explode(array((1 until SnmWindow).map(lit): _*)).as("d"),
+        col("rn"))
+      .select(col("name_a"), col("cnt_a"), col("d"), (col("rn") + col("d")).as("rn"))
+    probes.join(r.select(col("name").as("name_b"), col("cnt").as("cnt_b"), col("rn")),
+        Seq("rn"))
+      .select(col("name_a"), col("name_b"), col("d").as("w_dist"),
+        levenshtein(col("name_a"), col("name_b")).as("lev"),
+        (col("cnt_a") * col("cnt_b")).as("cand_pairs"))
+      .withColumn("matched", col("lev") <= ErMaxDist)
+  }
+
+  private lazy val qErSortedSql =
+    s"""WITH names AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+           FROM part GROUP BY 1),
+       r AS (SELECT name, cnt, row_number() OVER (ORDER BY name) AS rn FROM names)
+       SELECT a.name AS name_a, b.name AS name_b,
+         CAST(b.rn - a.rn AS INT) AS w_dist,
+         CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+         CAST(a.cnt * b.cnt AS BIGINT) AS cand_pairs,
+         levenshtein(a.name, b.name) <= $ErMaxDist AS matched
+       FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + ${SnmWindow - 1}"""
+
   /** Fellegi–Sunter EM iteration count and probability clamp. */
   val FsIters = 20
   val FsClamp = 0.000001
@@ -467,6 +512,7 @@ object Evaluation extends QueryModule {
     "q_kappa" -> (qKappa _),
     "q_auc" -> (qAuc _),
     "q_er_blocking" -> (qErBlocking _),
+    "q_er_sorted" -> (qErSorted _),
     "q_fellegi" -> (qFellegi _),
     "q_cv_folds" -> (qCvFolds _))
 
@@ -477,6 +523,7 @@ object Evaluation extends QueryModule {
     "q_kappa" -> qKappaSql,
     "q_auc" -> qAucSql,
     "q_er_blocking" -> qErBlockingSql,
+    "q_er_sorted" -> qErSortedSql,
     "q_fellegi" -> qFellegiSql,
     "q_cv_folds" -> qCvFoldsSql)
 }

@@ -163,11 +163,15 @@ class Round10bSpec extends SparkSpec {
     Seq("cells_ok", "metrics_ok").foreach(c => assert(r.getAs[Boolean](c), c))
   }
 
-  test("cv audit: five disjoint folds account for every embedding row") {
+  test("cv audit: five disjoint folds account for every CV-corpus row " +
+    "(embeddings minus the ExcludedLabels concept holdout, r13)") {
+    import org.apache.spark.sql.functions.col
     val rows = graft.operators.Classification.qCvAudit(spark, sfDir).collect()
     assert(rows.length === 5)
     val total = rows.map(_.getAs[Long]("n_fold")).sum
-    assert(total === graft.sources.Tables.embeddings(spark, sfDir).count())
+    assert(total === graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(!col("label").isin(
+        graft.operators.Classification.ExcludedLabels: _*)).count())
     rows.foreach { r =>
       assert(r.getAs[Boolean]("cells_ok"), s"fold ${r.getInt(0)} cells")
       assert(r.getAs[Boolean]("gold_ok"), s"fold ${r.getInt(0)} gold")

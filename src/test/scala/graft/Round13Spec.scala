@@ -145,6 +145,23 @@ class Round13Spec extends SparkSpec {
     assert(sel.forall(_.getAs[Double]("mean_umass") <= best))
   }
 
+  test("q_er_sorted matches a locally sorted neighborhood construction exactly") {
+    import graft.operators.Evaluation
+    val got = Evaluation.qErSorted(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("w_dist"))).toSet
+    val names = graft.sources.Tables.part(spark, sfDir)
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    val want = (for {
+      i <- names.indices
+      d <- 1 until Evaluation.SnmWindow
+      if i + d < names.length
+    } yield (names(i), names(i + d), d)).toSet
+    assert(got == want, "window pair set diverges from the local construction")
+    // every candidate sorts forward: name_a strictly precedes name_b
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
