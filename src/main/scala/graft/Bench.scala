@@ -56,7 +56,7 @@ object Bench {
     "q_lorenz", "q_cramers_v", "q_concordance", "q_jackknife",
     "q_salted_join", "q_holt", "q_seasonal", "q_mrl_audit", "q_ab_sequential",
     "q_cliffs_delta", "q_cohens_d", "q_theil_sen", "q_bh_fdr", "q_page_hinkley",
-    "q_ndcg", "q_er_blocking", "q_cuped",
+    "q_ndcg", "q_er_blocking", "q_er_sorted", "q_cuped",
     "q_kneser_ney", "q_quantile_norm", "q_conformal",
     "q_rrf", "q_cms_audit", "q_sprt",
     "q_holm", "q_eb_shrink", "q_two_prop",
@@ -77,9 +77,10 @@ object Bench {
   // pass plus a driver-side d×d eigendecomposition (d = embedding dim,
   // corpus-size-independent) — one-pass analytics, not iterative
   // training, so it benches like the other certificate queries.
-  // r13 additions: q_rouge_pairs / q_rake are IN (one-pass analytics);
-  // q_kmeans / q_kmeans_audit (10 Lloyd iterations) and
-  // q_perplexity_audit (LDA upstream) follow the ML-training exclusion.
+  // r13 additions: q_rouge_pairs / q_rake / q_er_sorted are IN (one-pass
+  // analytics); q_kmeans / q_kmeans_audit / q_silhouette (Lloyd
+  // iterations upstream) and q_perplexity_audit / q_model_select_audit
+  // (LDA upstream) follow the ML-training exclusion.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

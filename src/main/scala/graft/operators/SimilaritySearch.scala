@@ -1186,6 +1186,42 @@ object SimilaritySearch extends QueryModule {
       .toDF("n_points", "k", "accounted_ok", "monotone_ok", "assign_ok")
   }
 
+  /** q_silhouette: simplified silhouette per cluster (the centroid-based
+    * silhouette MLlib also evaluates — a(i) = distance to OWN centroid,
+    * b(i) = min distance to any OTHER centroid, s = (b−a)/max(a,b)) over
+    * the deterministic Lloyd run's final centroids. One pass over the
+    * corpus (k fused dot kernels per row, no pairwise silhouette's n²);
+    * the per-cluster mean is deterministic: each point's s is floored to
+    * 1e-9 and exact-DECIMAL-summed, so partition merge order cannot move
+    * the 6dp-rounded mean. Rows-only gate (centroids are iterative);
+    * the kmeans audit anchors the underlying accounting, and the spec
+    * pins s ≈ 1 on the well-separated fixture. */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val (cens, _, _) = kmeansRun(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dists = array(cens.map { c =>
+      val c2 = c.map(x => x * x).sum
+      sqrt(greatest(dot(col("v"), array(c.map(lit): _*)) * -2.0 + c2 +
+        dot(col("v"), col("v")), lit(0.0)))
+    }: _*)
+    val scored = e.select(col("vec_id"), dists.as("ds"))
+      .select(
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int").as("cluster"),
+        array_min(col("ds")).as("a"),
+        array_min(filter(col("ds"), d => d > array_min(col("ds")))).as("b0"))
+      .select(col("cluster"),
+        when(greatest(col("a"), coalesce(col("b0"), col("a"))) === 0.0, lit(0.0))
+          .otherwise((coalesce(col("b0"), col("a")) - col("a")) /
+            greatest(col("a"), coalesce(col("b0"), col("a")))).as("sil"))
+    scored
+      .select(col("cluster"),
+        (floor(col("sil") * 1e9) / 1e9).cast("decimal(38,12)").as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("sil")) / count(lit(1))).cast("double"), 6).as("mean_sil"))
+  }
+
   private lazy val qKmeansAuditSql =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
          CAST($kmK AS BIGINT) AS k,
@@ -1194,6 +1230,7 @@ object SimilaritySearch extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> (qKmeans _),
+    "q_silhouette" -> (qSilhouette _),
     "q_kmeans_audit" -> (qKmeansAudit _),
     "q_mrr" -> (qMrr _),
     "q_rrf" -> (qRrf _),

@@ -82,6 +82,15 @@ class Round13Spec extends SparkSpec {
     assert(a.getAs[Long]("n_points") == 16L)
     for (c <- Seq("accounted_ok", "monotone_ok", "assign_ok"))
       assert(a.getAs[Boolean](c), s"$c failed")
+    // simplified silhouette on the same fixture: a = 0.25 (jitter to the
+    // group midpoint), b = √200 (nearest other centroid, distinct axes at
+    // ±10) → s = 1 − 0.25/√200 = 0.982322 for every point
+    val sil = SimilaritySearch.qSilhouette(spark, kmeansFixtureDir)
+      .orderBy("cluster").collect()
+    assert(sil.length == 8 && sil.forall(_.getAs[Long]("n") == 2L))
+    sil.foreach(r => assert(
+      math.abs(r.getAs[Double]("mean_sil") - (1.0 - 0.25 / math.sqrt(200.0))) < 1e-4,
+      s"cluster ${r.getAs[Int]("cluster")}: ${r.getAs[Double]("mean_sil")}"))
   }
 
   test("q_rouge_pairs: hand-traced multiset ROUGE-1/2 on a two-doc near-dup fixture") {
