@@ -702,7 +702,54 @@ object Classification extends QueryModule {
     * trajectory with the argmax flagged; Round10Spec pins the
     * matches-or-beats-the-grid contract and that EI leaves the grid.
     * Rows-only gate (iterative ML). */
-  def qBayesSweep(s: SparkSession, dir: String): DataFrame = {
+  def qBayesSweep(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.bayes:$dir")(buildBayesSweep(s, dir))
+
+  /** Warm-start design size of the Bayesian sweep (the q_clf_param_sweep
+    * grid: 3 regParam decades × 2 elasticNet points). */
+  val BayesInitN = 6
+
+  /** q_bayes_audit: SMBO trajectory certificate — the hyper-parameter
+    * search's bookkeeping, SQL-anchored (the q_cv_audit shape): the
+    * oracle re-emits the full iteration sequence with its declared
+    * phase split (warm-start grid first, EI refinements after — both
+    * env-aware via GRAFT_BAYES_ITERS). Guarantees per row:
+    * `lattice_ok` — the emitted phase matches the declared split AND
+    * the proposed point sits inside the reference's search space
+    * (C ∈ [1e-5, 100] log-uniform, elasticNet ∈ [0, 1] —
+    * supervised_classifier.py:227-235; a surrogate proposing outside
+    * the space is a real optimizer bug), and `argmax_ok` (global) —
+    * exactly one trajectory point is selected and no point beats its
+    * F1. The sweep's fits are memoized, so audit and sweep consume one
+    * trajectory. */
+  def qBayesAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = qBayesSweep(s, dir).collect()
+    val f1s = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
+    val sel = rows.filter(_.getAs[Boolean]("selected"))
+    val argmaxOk = sel.length == 1 && f1s.nonEmpty &&
+      Option(sel(0).getAs[java.lang.Double]("f1")).map(_.doubleValue)
+        .contains(f1s.max)
+    import s.implicits._
+    rows.sortBy(_.getAs[Int]("iter")).map { r =>
+      val i = r.getAs[Int]("iter")
+      val phase = r.getAs[String]("phase")
+      val phaseOk = phase == (if (i < BayesInitN) "init" else "ei")
+      val boundsOk = r.getAs[Double]("reg_param") >= 1e-5 - 1e-15 &&
+        r.getAs[Double]("reg_param") <= 100.0 + 1e-9 &&
+        r.getAs[Double]("elastic_net") >= 0.0 &&
+        r.getAs[Double]("elastic_net") <= 1.0
+      (i, phase, phaseOk && boundsOk, argmaxOk)
+    }.toSeq.toDF("iter", "phase", "lattice_ok", "argmax_ok")
+  }
+
+  private lazy val qBayesAuditSql =
+    s"""SELECT iter,
+         CASE WHEN iter < $BayesInitN THEN 'init' ELSE 'ei' END AS phase,
+         TRUE AS lattice_ok, TRUE AS argmax_ok
+       FROM (SELECT CAST(unnest(generate_series(0, ${bayesIters - 1})) AS INT) AS iter)"""
+
+  private def buildBayesSweep(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
     def f1Of(reg: Double, en: Double): Option[Double] = {
       val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
@@ -1136,6 +1183,7 @@ object Classification extends QueryModule {
     "q_classify_smote" -> (qClassifySmote _),
     "q_clf_param_sweep" -> (qClfParamSweep _),
     "q_bayes_sweep" -> (qBayesSweep _),
+    "q_bayes_audit" -> (qBayesAudit _),
     "q_cv_train" -> (qCvTrain _),
     "q_features" -> (qFeatures _))
 
@@ -1147,5 +1195,6 @@ object Classification extends QueryModule {
     "q_features_audit" -> qFeaturesAuditSql,
     "q_classify_audit" -> qClassifyAuditSql,
     "q_classify_excluded" -> qClassifyExcludedSql,
-    "q_cv_audit" -> qCvAuditSql)
+    "q_cv_audit" -> qCvAuditSql,
+    "q_bayes_audit" -> qBayesAuditSql)
 }

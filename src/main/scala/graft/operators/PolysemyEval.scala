@@ -170,6 +170,52 @@ object PolysemyEval extends QueryModule {
     * can only match-or-beat the grid argmax regardless of surrogate
     * quality (spec-pinned ≥-grid in Round10Spec). */
   def qPolysemyBayes(s: SparkSession, dir: String): DataFrame = {
+    val (schema, rows) = graft.ModelCache.getOrElseUpdate(s, s"pe.bayes:$dir") {
+      val df = buildPolysemyBayes(s, dir)
+      (df.schema, df.collect().toIndexedSeq)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  /** q_polysemy_bayes_audit: the forest_minimize trajectory's
+    * bookkeeping certificate (twin of Classification.qBayesAudit): the
+    * oracle re-emits the iteration sequence with the declared warm-start
+    * /EI split (grid size + GRAFT_POLYSEMY_BAYES_ITERS, both
+    * env-aware); `lattice_ok` pins each proposal inside the reference's
+    * space (min_prob ∈ [0.005, 0.15], min_topics ∈ [1, 4],
+    * MIN_DOC_LEN ∈ [0, 20] — polysemous_words.py:48-57 at
+    * corpus-appropriate bounds) with the right phase label; `argmax_ok`
+    * asserts exactly one selected point carrying the trajectory-max F1.
+    * The trajectory is memoized — audit and sweep consume one search. */
+  def qPolysemyBayesAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = qPolysemyBayes(s, dir).collect()
+    val f1s = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
+    val sel = rows.filter(_.getAs[Boolean]("selected"))
+    val argmaxOk = sel.length == 1 && f1s.nonEmpty &&
+      Option(sel(0).getAs[java.lang.Double]("f1")).map(_.doubleValue)
+        .contains(f1s.max)
+    import s.implicits._
+    rows.sortBy(_.getAs[Int]("iter")).map { r =>
+      val i = r.getAs[Int]("iter")
+      val phaseOk = r.getAs[String]("phase") ==
+        (if (i < ParamGrid.size) "init" else "ei")
+      val boundsOk = r.getAs[Double]("min_prob") >= 0.005 - 1e-12 &&
+        r.getAs[Double]("min_prob") <= 0.15 + 1e-12 &&
+        r.getAs[Int]("min_topics") >= 1 && r.getAs[Int]("min_topics") <= 4 &&
+        r.getAs[Int]("min_len") >= 0 && r.getAs[Int]("min_len") <= 20
+      (i, r.getAs[String]("phase"), phaseOk && boundsOk, argmaxOk)
+    }.toSeq.toDF("iter", "phase", "lattice_ok", "argmax_ok")
+  }
+
+  private lazy val qPolysemyBayesAuditSql =
+    s"""SELECT iter,
+         CASE WHEN iter < ${ParamGrid.size} THEN 'init' ELSE 'ei' END AS phase,
+         TRUE AS lattice_ok, TRUE AS argmax_ok
+       FROM (SELECT CAST(unnest(generate_series(0, ${polysemyBayesIters - 1})) AS INT) AS iter)"""
+
+  private def buildPolysemyBayes(s: SparkSession, dir: String): DataFrame = {
     def f1Of(rows: Array[org.apache.spark.sql.Row],
         combo: (Double, Int, Int)): Option[Double] =
       rows.find(r => r.getDouble(0) == combo._1 &&
@@ -240,10 +286,12 @@ object PolysemyEval extends QueryModule {
     "q_polysemy_eval" -> (qPolysemyEval _),
     "q_polysemy_eval_audit" -> (qPolysemyEvalAudit _),
     "q_param_sweep" -> (qParamSweep _),
-    "q_polysemy_bayes" -> (qPolysemyBayes _))
+    "q_polysemy_bayes" -> (qPolysemyBayes _),
+    "q_polysemy_bayes_audit" -> (qPolysemyBayesAudit _))
 
   // LDA-upstream posteriors stay rows-only; the accounting certificate is
   // the SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
-    "q_polysemy_eval_audit" -> qPolysemyEvalAuditSql)
+    "q_polysemy_eval_audit" -> qPolysemyEvalAuditSql,
+    "q_polysemy_bayes_audit" -> qPolysemyBayesAuditSql)
 }

@@ -171,6 +171,18 @@ class Round13Spec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a < b })
   }
 
+  test("q_polysemy_bayes_audit certifies the trajectory's phase split, lattice and argmax") {
+    import graft.operators.PolysemyEval
+    val rows = PolysemyEval.qPolysemyBayesAudit(spark, sfDir).collect()
+    assert(rows.length == PolysemyEval.polysemyBayesIters)
+    assert(rows.count(_.getAs[String]("phase") == "init") ==
+      PolysemyEval.ParamGrid.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("lattice_ok"), s"iter ${r.getAs[Int]("iter")}")
+      assert(r.getAs[Boolean]("argmax_ok"))
+    }
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
