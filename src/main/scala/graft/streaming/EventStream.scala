@@ -465,4 +465,52 @@ object EventStream {
           Iterator(next)
       }
   }
+
+  /** Space-saving capacity of the streaming heavy-hitter monitor (m
+    * counters per key; every item with true frequency > n/m is
+    * guaranteed tracked). */
+  val TopKCapacity = 8
+
+  case class SsEntry(id: Long, est: Long, err: Long)
+  case class TopKOut(event_type: String, user_id: Long, est: Long,
+    err: Long, n_seen: Long)
+
+  /** Streaming heavy hitters per key — the space-saving summary (Metwally
+    * 2005) run as a monitor, the stateful twin of the batch
+    * q_heavy_hitters CMS check: per event_type, at most [[TopKCapacity]]
+    * (id, est, err) counters regardless of stream length. Arrival rule:
+    * tracked id → est+1; free slot → (1, 0); full → evict the minimum-est
+    * entry e (smallest id on ties — deterministic) and adopt (e.est+1,
+    * e.est). Invariants (the algorithm's guarantee, spec-pinned):
+    * est − err ≤ true count ≤ est per tracked id, and any id with true
+    * frequency > n/m is tracked. Emits the full ranked summary plus the
+    * exact stream length after every batch; state persists across
+    * micro-batches. */
+  def runningTopK(events: Dataset[TypedUser]): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    val m = TopKCapacity
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(List[SsEntry], Long), TopKOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (t, rows, state: GroupState[(List[SsEntry], Long)]) =>
+          var (entries, n) = state.getOption.getOrElse((Nil: List[SsEntry], 0L))
+          var map = entries.map(e => e.id -> e).toMap
+          rows.foreach { e =>
+            n += 1L
+            map.get(e.user_id) match {
+              case Some(cur) =>
+                map = map.updated(e.user_id, cur.copy(est = cur.est + 1L))
+              case None if map.size < m =>
+                map = map.updated(e.user_id, SsEntry(e.user_id, 1L, 0L))
+              case None =>
+                val victim = map.values.minBy(v => (v.est, v.id))
+                map = (map - victim.id)
+                  .updated(e.user_id, SsEntry(e.user_id, victim.est + 1L, victim.est))
+            }
+          }
+          val ranked = map.values.toList.sortBy(v => (-v.est, v.id))
+          state.update((ranked, n))
+          ranked.iterator.map(v => TopKOut(t, v.id, v.est, v.err, n))
+      }
+  }
 }

@@ -436,6 +436,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming space-saving top-k: hand-traced evictions, bounds hold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedUser]
+    val q = EventStream.runningTopK(input.toDS())
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    def latest(): Map[Long, (Long, Long, Long)] = {
+      val rows = spark.table("topk_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val maxN = rows.map(_._4).max
+      rows.filter(_._4 == maxN).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    try {
+      // batch 1: 1×3, 2×2, 3..8 fill the m=8 slots, 9 evicts the
+      // (est=1, smallest-id) victim id 3 → 9 carries (2, 1); n = 12
+      input.addData(Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+        .map(EventStream.TypedUser("click", _)))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1.size == EventStream.TopKCapacity)
+      assert(r1(1L) == ((3L, 0L, 12L)))
+      assert(r1(9L) == ((2L, 1L, 12L)), "space-saving adoption est+err")
+      assert(!r1.contains(3L), "deterministic min-est smallest-id eviction")
+      // batch 2 (state persists): 9×2 → 4, 1 → 4, 10 evicts id 4 → (2,1); n = 16
+      input.addData(Seq(9L, 9L, 1L, 10L).map(EventStream.TypedUser("click", _)))
+      q.processAllAvailable()
+      val r2 = latest()
+      assert(r2(1L)._1 == 4L && r2(9L) == ((4L, 1L, 16L)))
+      assert(r2(10L) == ((2L, 1L, 16L)) && !r2.contains(4L))
+      // the space-saving contract on every survivor: est−err ≤ true ≤ est
+      val truth = Map(1L -> 4L, 2L -> 2L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+        8L -> 1L, 9L -> 3L, 10L -> 1L)
+      r2.foreach { case (id, (est, err, _)) =>
+        assert(est - err <= truth(id) && truth(id) <= est, s"bounds broken for $id")
+      }
+    } finally q.stop()
+  }
+
   test("streaming bitmap distinct matches exact counts, dedups across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.TypedUser]
