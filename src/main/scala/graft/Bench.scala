@@ -80,7 +80,8 @@ object Bench {
   // r13 additions: q_rouge_pairs / q_rake / q_er_sorted are IN (one-pass
   // analytics); q_kmeans / q_kmeans_audit / q_silhouette (Lloyd
   // iterations upstream) and q_perplexity_audit / q_model_select_audit
-  // (LDA upstream) follow the ML-training exclusion.
+  // (LDA upstream) follow the ML-training exclusion, as does the whole
+  // q_unigram family (EM training upstream).
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
