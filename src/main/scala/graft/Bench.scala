@@ -18,7 +18,7 @@ object Bench {
     "q_curation_full",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_decon_semantic", "q_line_dedup", "q_dedup_clusters",
-    "q_rouge_pairs", "q_rake",
+    "q_rouge_pairs", "q_rake", "q_blocklist",
     "q_asof_join", "q_asof_native", "q_range_join", "q_bm25", "q_pivot", "q_anomaly",
     "q_ntile", "q_ntile_approx", "q_compact", "q_chisq", "q_events_hop",
     "q_graph_stats", "q_pagerank", "q_mix_rates", "q_gapfill", "q_topk",
@@ -60,7 +60,7 @@ object Bench {
     "q_kneser_ney", "q_quantile_norm", "q_conformal",
     "q_rrf", "q_cms_audit", "q_sprt",
     "q_holm", "q_eb_shrink", "q_two_prop",
-    "q_mrr", "q_shapley_attrib", "q_slo_burn",
+    "q_mrr", "q_map", "q_shapley_attrib", "q_slo_burn",
     "q_grouping_sets", "q_range_frame", "q_did", "q_logrank", "q_forecast_eval", "q_partial_corr",
     "q_lift", "q_heaps", "q_fourfifths", "q_lang_confusion",
     "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit", "q_bloom_audit",
@@ -77,7 +77,8 @@ object Bench {
   // pass plus a driver-side d×d eigendecomposition (d = embedding dim,
   // corpus-size-independent) — one-pass analytics, not iterative
   // training, so it benches like the other certificate queries.
-  // r13 additions: q_rouge_pairs / q_rake / q_er_sorted are IN (one-pass
+  // r13 additions: q_rouge_pairs / q_rake / q_er_sorted / q_map /
+  // q_blocklist are IN (one-pass
   // analytics); q_kmeans / q_kmeans_audit / q_silhouette (Lloyd
   // iterations upstream) and q_perplexity_audit / q_model_select_audit
   // (LDA upstream) follow the ML-training exclusion, as does the whole

@@ -1013,6 +1013,75 @@ object SimilaritySearch extends QueryModule {
         round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
   }
 
+  /** MAP cutoff (standard MAP@10). LCM(1..10) = 2520 keeps every
+    * precision@k term integer. */
+  val MapK = 10
+
+  /** q_map: mean-average-precision@10 per query — completes the
+    * retrieval-metric family (recall@k, nDCG@10, MRR, RRF): AP averages
+    * precision@k over the relevant ranks, rewarding relevant mass packed
+    * at the top. Exact-integer discipline: precision@k = relcnt/k is a
+    * rational with denominator ≤ 10, so every AP term is scaled by
+    * LCM(1..10) = 2520 — ap_num = Σ rel_k · relcnt_k · (2520 div k) stays
+    * a BIGINT, and ONE shared double division by 2520·min(R, 10) makes
+    * the 6dp round fp-immune (no order-sensitive double sum anywhere).
+    * Same broadcast-queries ⋈ corpus scan shape as q_mrr. */
+  def qMap(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val relTotals = corpus.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_rel"))
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("nb_id"), col("label"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MapK)
+      .withColumn("rel", (col("label") === col("q_label")).cast("long"))
+      .withColumn("relcnt", sum(col("rel")).over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nb_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    top
+      .withColumn("term", col("rel") * col("relcnt") * expr("2520 div rank"))
+      .groupBy("q_id", "q_label")
+      .agg(sum(col("rel")).as("n_rel10"), sum(col("term")).as("ap_num"))
+      .join(broadcast(relTotals), Seq("q_label"))
+      .select(col("q_id"), col("q_label"), col("n_rel10"),
+        round(col("ap_num").cast("double") /
+          (lit(2520L) * least(col("n_rel"), lit(MapK.toLong))), 6).as("ap"))
+  }
+
+  private val qMapSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+       c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+       rt AS (SELECT label AS q_label, CAST(count(*) AS BIGINT) AS n_rel FROM c GROUP BY 1),
+       scored AS (
+         SELECT q_id, q_label, vec_id AS nb_id, label,
+           list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, q_label, label, cos, nb_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS rank
+         FROM scored),
+       top AS (
+         SELECT q_id, q_label, rank,
+           CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+           CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+             OVER (PARTITION BY q_id ORDER BY cos DESC, nb_id ASC) AS BIGINT) AS relcnt
+         FROM ranked WHERE rank <= $MapK),
+       agg AS (
+         SELECT q_id, q_label, CAST(sum(rel) AS BIGINT) AS n_rel10,
+           CAST(sum(rel * relcnt * (2520 // rank)) AS BIGINT) AS ap_num
+         FROM top GROUP BY 1, 2)
+       SELECT q_id, q_label, n_rel10,
+         round(CAST(ap_num AS DOUBLE) / (2520 * LEAST(n_rel, $MapK)), 6) AS ap
+       FROM agg JOIN rt USING (q_label)"""
+
   private val qMrrSql =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
@@ -1233,6 +1302,7 @@ object SimilaritySearch extends QueryModule {
     "q_silhouette" -> (qSilhouette _),
     "q_kmeans_audit" -> (qKmeansAudit _),
     "q_mrr" -> (qMrr _),
+    "q_map" -> (qMap _),
     "q_rrf" -> (qRrf _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
@@ -1255,6 +1325,7 @@ object SimilaritySearch extends QueryModule {
     "q_kmeans_audit" -> qKmeansAuditSql,
     "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,
+    "q_map" -> qMapSql,
     "q_rrf" -> qRrfSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,

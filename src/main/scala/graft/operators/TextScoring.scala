@@ -522,7 +522,43 @@ object TextScoring extends QueryModule {
        FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
        WHERE a.r <= $GoodTuringMaxR"""
 
+  /** Phrase blocklist of the policy filter (the C4 "bad words" stage shape
+    * — C4 drops any page containing a blocklist phrase; the LIST here is a
+    * deterministic stand-in over the synthetic vocabulary, the OPERATOR is
+    * the real thing). Multi-word phrases exercise the token-boundary
+    * matching a naive substring check gets wrong. */
+  val Blocklist: Seq[String] = Seq("slow", "hash value", "merge batch", "fast table")
+
+  /** q_blocklist: phrase-blocklist policy filter — per doc, the number of
+    * distinct blocklist phrases present and the total hit count
+    * (token-boundary regex on the lowercased text; `\b` word boundaries
+    * behave identically in Java regex and RE2), plus the C4-style
+    * `blocked` verdict. Pure per-row codegen map over the scan — the
+    * 100 TB plan is the scan itself; the blocklist is a bounded literal
+    * (a production list broadcast-joins the same shape). */
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val txt = lower(col("text"))
+    val hits = Blocklist.map(p => regexp_count(txt, lit("\\b" + p + "\\b")))
+    val nPhrases = hits.map(h => when(h > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val nHits = hits.reduce(_ + _).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nPhrases.as("n_phrases"), nHits.as("n_hits"),
+        (nHits > 0L).as("blocked"))
+  }
+
+  private lazy val qBlocklistSql = {
+    val hits = Blocklist.map(p =>
+      s"len(regexp_extract_all(lower(text), '\\b${p}\\b'))")
+    val nPhrases = hits.map(h => s"CASE WHEN $h > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val nHits = hits.mkString(" + ")
+    s"""SELECT doc_id, CAST($nPhrases AS BIGINT) AS n_phrases,
+         CAST($nHits AS BIGINT) AS n_hits, ($nHits) > 0 AS blocked
+       FROM documents"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blocklist" -> (qBlocklist _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_good_turing" -> (qGoodTuring _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -535,6 +571,7 @@ object TextScoring extends QueryModule {
     "q_fourfifths" -> (qFourFifths _))
 
   override def oracles: Map[String, String] = Map(
+    "q_blocklist" -> qBlocklistSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_good_turing" -> qGoodTuringSql,
     "q_bigram_lm" -> qBigramLmSql,

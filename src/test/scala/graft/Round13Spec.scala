@@ -183,6 +183,37 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q_blocklist: token-boundary phrase matching, hand-checked hits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bl13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a slow merge batch and a slower one", "en", "t", 36L),
+      (2L, "hash values are not a hash value hash value", "en", "t", 43L),
+      (3L, "nothing objectionable here", "en", "t", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextScoring.qBlocklist(spark, dir)
+      .orderBy("doc_id").collect()
+    // doc 1: "slow" once ("slower" must NOT match — token boundary),
+    // "merge batch" once → 2 phrases, 2 hits
+    assert(r(0).getAs[Long]("n_phrases") == 2L && r(0).getAs[Long]("n_hits") == 2L)
+    // doc 2: "hash value" twice ("hash values" must NOT match) → 1 phrase, 2 hits
+    assert(r(1).getAs[Long]("n_phrases") == 1L && r(1).getAs[Long]("n_hits") == 2L)
+    assert(!r(2).getAs[Boolean]("blocked") && r(0).getAs[Boolean]("blocked"))
+  }
+
+  test("q_map: AP@10 stays a valid average precision on the corpus") {
+    val rows = graft.operators.SimilaritySearch.qMap(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ap = r.getAs[Double]("ap")
+      assert(ap >= 0.0 && ap <= 1.0)
+      assert(r.getAs[Long]("n_rel10") >= 0L && r.getAs[Long]("n_rel10") <= 10L)
+      // a query with zero relevant in the top-10 must score exactly 0
+      if (r.getAs[Long]("n_rel10") == 0L) assert(ap == 0.0)
+    }
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
