@@ -23,9 +23,13 @@ object KmScaleProbe {
         graft.operators.SimilaritySearch.qSilhouette(s, dir)
           .write.format("noop").mode("overwrite").save()
       }
-      (tk, tsil)
+      val tu = time {
+        graft.operators.Unigram.qUnigram(s, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (tk, tsil, tu)
     }
-    println(s"""KMSCALE {"dir":"$dir","q_kmeans":${ts.map(_._1).min},"q_silhouette":${ts.map(_._2).min}}""")
+    println(s"""KMSCALE {"dir":"$dir","q_kmeans":${ts.map(_._1).min},"q_silhouette":${ts.map(_._2).min},"q_unigram":${ts.map(_._3).min}}""")
     s.stop()
   }
 }

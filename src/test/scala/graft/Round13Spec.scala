@@ -214,6 +214,33 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- scale-posture probes
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("r13 plans: no CartesianProduct anywhere; SNM window is an equi-join") {
+    import graft.operators.{Dedup, Evaluation, SimilaritySearch, TextAnalysis, TextScoring}
+    val plans = Map(
+      "q_rouge_pairs" -> plan(Dedup.qRougePairs(spark, sfDir)),
+      "q_rake" -> plan(TextAnalysis.qRake(spark, sfDir)),
+      "q_er_sorted" -> plan(Evaluation.qErSorted(spark, sfDir)),
+      "q_map" -> plan(SimilaritySearch.qMap(spark, sfDir)),
+      "q_blocklist" -> plan(TextScoring.qBlocklist(spark, sfDir)))
+    plans.foreach { case (q, p) =>
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+    // the w-window expansion must be the rn+d equi-join (a non-equi
+    // range formulation plans as BroadcastNestedLoopJoin)
+    assert(!plans("q_er_sorted").contains("BroadcastNestedLoopJoin"),
+      plans("q_er_sorted").take(800))
+    // q_map's query side broadcasts into the corpus scan
+    assert(plans("q_map").contains("Broadcast"), plans("q_map").take(800))
+    // q_blocklist is a pure projection over the scan — no join, no shuffle
+    assert(!plans("q_blocklist").contains("Exchange"),
+      "blocklist must stay a per-row map over the scan")
+  }
+
   test("CV family holds out ExcludedLabels exactly like the zoo's dataset()") {
     import graft.operators.{Classification, Evaluation}
     val folds = Evaluation.qCvFolds(spark, sfDir).collect()
