@@ -281,6 +281,130 @@ object Stats extends QueryModule {
          CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
        FROM pairs"""
 
+  /** Power-iteration budget of the stationary-distribution query. */
+  val MarkovIters = 30
+
+  /** q_markov_stationary: the long-run event-type mix — π = πP of
+    * q_markov's transition matrix by power iteration. The chain is
+    * BOUNDED (k event types), so the iteration runs driver-side on the
+    * collected k² matrix (the Smbo/BPE bounded-state rule: the cluster
+    * produced P, the k-vector loop costs nothing) and the oracle replays
+    * it as a recursive CTE. Determinism discipline: each π'_j is the
+    * ordered fold Σ_i π_i·p(i,j) over states sorted ascending
+    * (list_sum(list(… ORDER BY st)) in the oracle — term-by-term
+    * identical arithmetic), from the exact uniform start. Transitions
+    * into a state with no outgoing edges are dropped IDENTICALLY in both
+    * engines (π then sums to < 1 by the leaked mass — on this corpus
+    * every type recurs, so the chain is closed and π stays a simplex
+    * point); no renormalization, so there is no cross-engine division
+    * seam. */
+  def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val rows = qMarkov(s, dir).select("from_type", "to_type", "p").collect()
+    val states = rows.map(_.getString(0)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val p = Array.ofDim[Double](states.length, states.length)
+    rows.foreach { r =>
+      (idx.get(r.getString(0)), idx.get(r.getString(1))) match {
+        case (Some(i), Some(j)) => p(i)(j) = r.getDouble(2)
+        case _ => () // transition into a from-less state: dropped (doc above)
+      }
+    }
+    var pi = Array.fill(states.length)(1.0 / states.length)
+    for (_ <- 0 until MarkovIters) {
+      // ordered fold over i ascending — the oracle's list_sum(ORDER BY st)
+      pi = Array.tabulate(states.length) { j =>
+        var acc = 0.0; var i = 0
+        while (i < states.length) { acc += pi(i) * p(i)(j); i += 1 }
+        acc
+      }
+    }
+    import s.implicits._
+    states.zip(pi).map { case (st, v) =>
+      (st, math.floor(v * 1e6 + 0.5) / 1e6)
+    }.toSeq.toDF("state", "pi")
+  }
+
+  private lazy val qMarkovStationarySql =
+    s"""WITH RECURSIVE seq AS (
+         SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n FROM seq
+         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tp AS (
+         SELECT from_type, to_type,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+         FROM pairs),
+       states AS (SELECT DISTINCT from_type AS st FROM tp),
+       tpc AS (SELECT * FROM tp WHERE to_type IN (SELECT st FROM states)),
+       walk(iter, st, pi) AS (
+         SELECT 0, st, 1.0 / (SELECT count(*) FROM states) FROM states
+         UNION ALL
+         SELECT w.iter + 1, t.to_type,
+           list_sum(list(w.pi * t.p ORDER BY w.st))
+         FROM walk w JOIN tpc t ON t.from_type = w.st
+         WHERE w.iter < $MarkovIters
+         GROUP BY w.iter + 1, t.to_type)
+       SELECT st AS state, round(pi, 6) AS pi
+       FROM walk WHERE iter = $MarkovIters"""
+
+  /** q_nelson_aalen: cumulative-hazard estimator beside q_kaplan_meier —
+    * the additive survival summary (H(t) = Σ_{s≤t} d_s/r_s with the
+    * Poisson variance Σ d_s/r_s², Nelson 1972 / Aalen 1978): where KM
+    * emits per-row FACTORS and leaves the order-fragile product to the
+    * reader, NA's statistic is a running SUM, which both engines compute
+    * sequentially over the same ORDER BY t frame — byte-stable without
+    * any fold gymnastics (each d/r term is one double division of exact
+    * integers). Same calendar-bounded (deaths, at-risk) table as KM; exp
+    * is deliberately NOT applied (the libm seam rule — the reader
+    * exponentiates). */
+  def qNelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lifetimes = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(datediff(max(col("day")), min(col("day"))).as("t"))
+    val deaths = lifetimes.groupBy("t").agg(count(lit(1)).as("d"))
+    val tot = deaths.agg(sum(col("d")).as("n_users"))
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deaths.crossJoin(broadcast(tot))
+      .withColumn("ended_before", coalesce(sum(col("d")).over(wPrev), lit(0L)))
+      .select(col("t").as("t_days"), col("d").as("n_deaths"),
+        (col("n_users") - col("ended_before")).as("n_at_risk"))
+      .withColumn("h", col("n_deaths").cast("double") / col("n_at_risk"))
+      .withColumn("hv", col("n_deaths").cast("double") /
+        (col("n_at_risk") * col("n_at_risk")))
+      .select(col("t_days"), col("n_deaths"), col("n_at_risk"),
+        round(sum(col("h")).over(wCum), 6).as("cum_hazard"),
+        round(sum(col("hv")).over(wCum), 6).as("cum_hazard_var"))
+  }
+
+  private lazy val qNelsonAalenSql =
+    """WITH lt AS (
+         SELECT user_id, date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t
+         FROM events GROUP BY user_id),
+       d AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM lt GROUP BY t),
+       tot AS (SELECT CAST(sum(d) AS BIGINT) AS n_users FROM d),
+       r AS (
+         SELECT t, d, n_users - coalesce(CAST(sum(d) OVER (ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_at_risk
+         FROM d CROSS JOIN tot),
+       h AS (
+         SELECT t, d, n_at_risk,
+           CAST(d AS DOUBLE) / n_at_risk AS h,
+           CAST(d AS DOUBLE) / (n_at_risk * n_at_risk) AS hv
+         FROM r)
+       SELECT t AS t_days, d AS n_deaths, n_at_risk,
+         round(sum(h) OVER (ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_hazard,
+         round(sum(hv) OVER (ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_hazard_var
+       FROM h"""
+
   /** q_attribution: first-touch conversion attribution. The deterministic
     * first event per user comes from min(struct(ts, event_id, type)) — a
     * partial-aggregable min, ONE shuffle on user_id, no row_number pass —
@@ -2603,6 +2727,8 @@ object Stats extends QueryModule {
     "q_dq_checks" -> (qDqChecks _),
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_nelson_aalen" -> (qNelsonAalen _),
+    "q_markov_stationary" -> (qMarkovStationary _),
     "q_ab_test" -> (qAbTest _),
     "q_cuped" -> (qCuped _),
     "q_two_prop" -> (qTwoProp _),
@@ -2647,6 +2773,8 @@ object Stats extends QueryModule {
     "q_dq_checks" -> qDqChecksSql,
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_nelson_aalen" -> qNelsonAalenSql,
+    "q_markov_stationary" -> qMarkovStationarySql,
     "q_ab_test" -> qAbTestSql,
     "q_cuped" -> qCupedSql,
     "q_two_prop" -> qTwoPropSql,

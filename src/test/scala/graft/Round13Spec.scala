@@ -214,6 +214,43 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q_markov_stationary: simplex fixed point of the hash-gated transition matrix") {
+    import graft.operators.Stats
+    val pi = Stats.qMarkovStationary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pi")).toMap
+    assert(pi.values.forall(_ >= 0.0))
+    // closed chain on this corpus: no leaked mass
+    assert(math.abs(pi.values.sum - 1.0) < 1e-5, s"mass ${pi.values.sum}")
+    // independent fixed-point check: pi ≈ pi·P after 30 power iterations
+    val p = Stats.qMarkov(spark, sfDir).select("from_type", "to_type", "p").collect()
+    val next = p.groupBy(_.getString(1)).map { case (to, rows) =>
+      to -> rows.map(r => pi(r.getString(0)) * r.getDouble(2)).sum
+    }
+    next.foreach { case (st, v) =>
+      assert(math.abs(v - pi(st)) < 1e-5, s"$st: $v vs ${pi(st)}")
+    }
+  }
+
+  test("q_nelson_aalen: cumulative hazard is the running sum of KM's per-step hazards") {
+    import graft.operators.Stats
+    val km = Stats.qKaplanMeier(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("t_days"), r.getAs[Double]("hazard"))).sortBy(_._1)
+    val na = Stats.qNelsonAalen(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("t_days"), r.getAs[Double]("cum_hazard"))).sortBy(_._1)
+    assert(na.map(_._1).toSeq == km.map(_._1).toSeq)
+    var acc = 0.0
+    km.zip(na).foreach { case ((_, h), (t, ch)) =>
+      acc += h
+      // both sides carry 6dp rounding; the running sum accumulates it
+      assert(math.abs(ch - acc) < 2e-6 * (t + 1), s"t=$t: $ch vs $acc")
+    }
+    // cum_hazard is nondecreasing
+    na.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a)
+      case _ =>
+    }
+  }
+
   // --------------------------------------------- scale-posture probes
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
