@@ -1291,6 +1291,46 @@ object SimilaritySearch extends QueryModule {
         round((sum(col("sil")) / count(lit(1))).cast("double"), 6).as("mean_sil"))
   }
 
+  /** q_hac: complete-linkage agglomerative dendrogram over the
+    * deterministic k-means centroids — the standard two-level clustering
+    * recipe at scale (BIRCH/"HAC on summaries"): the corpus collapses to
+    * k centroid summaries (the distributed part, already certified), and
+    * the O(k³) hierarchy builds driver-side on that bounded relation
+    * (the bounded-state rule — k² distances for k=8 is nothing, and at
+    * k=32k it is still driver-feasible). scipy linkage conventions:
+    * initial clusters 0..k−1, the merge at step s creates cluster
+    * k+s−1; complete linkage d(A,B) = max pairwise centroid distance;
+    * deterministic tie-break (dist, smaller id, larger id). Emits the
+    * full merge table (step, cluster_a, cluster_b, dist, n_points).
+    * Rows-only (centroids are iterative); the spec drives the all-ties
+    * fixture where every merge lands at exactly √200. */
+  def qHac(s: SparkSession, dir: String): DataFrame = {
+    val (cens, _, fin) = kmeansRun(s, dir)
+    val sizes0 = fin.collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // active: id -> (member leaf ids, size)
+    var active = cens.indices.map(i => i -> ((Set(i), sizes0.getOrElse(i, 0L)))).toMap
+    def linkage(a: Set[Int], b: Set[Int]): Double =
+      (for (x <- a; y <- b) yield dist(cens(x), cens(y))).max
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Long)]
+    var nextId = cens.length
+    var step = 1
+    while (active.size > 1) {
+      val cand = (for {
+        (ia, (sa, _)) <- active.toSeq; (ib, (sb, _)) <- active.toSeq
+        if ia < ib
+      } yield (linkage(sa, sb), ia, ib)).minBy { case (d, a, b) => (d, a, b) }
+      val (d, a, b) = cand
+      val (ma, na) = active(a); val (mb, nb) = active(b)
+      merges += ((step, a, b, math.floor(d * 1e6 + 0.5) / 1e6, na + nb))
+      active = (active - a - b).updated(nextId, (ma ++ mb, na + nb))
+      nextId += 1; step += 1
+    }
+    import s.implicits._
+    merges.toSeq.toDF("step", "cluster_a", "cluster_b", "dist", "n_points")
+  }
+
   private lazy val qKmeansAuditSql =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
          CAST($kmK AS BIGINT) AS k,
@@ -1300,6 +1340,7 @@ object SimilaritySearch extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> (qKmeans _),
     "q_silhouette" -> (qSilhouette _),
+    "q_hac" -> (qHac _),
     "q_kmeans_audit" -> (qKmeansAudit _),
     "q_mrr" -> (qMrr _),
     "q_map" -> (qMap _),

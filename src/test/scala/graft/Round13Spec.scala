@@ -214,6 +214,25 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("q_hac: complete-linkage dendrogram over the all-ties fixture merges in id order") {
+    import graft.operators.SimilaritySearch
+    // the 8 fixture centroids sit on distinct axes at ±10 → every
+    // pairwise (and by complete linkage every cluster-pair) distance is
+    // exactly √200, so all 7 merges land at √200 and the deterministic
+    // (dist, smaller id, larger id) tie-break fully determines the tree:
+    // (0,1)→8, (2,3)→9, ..., then (8,9)→12, (10,11)→13, then (12,13)→14
+    val m = SimilaritySearch.qHac(spark, kmeansFixtureDir)
+      .orderBy("step").collect()
+    assert(m.length == 7)
+    val d200 = math.floor(math.sqrt(200.0) * 1e6 + 0.5) / 1e6
+    m.foreach(r => assert(math.abs(r.getAs[Double]("dist") - d200) < 1e-9))
+    assert(m.map(r => (r.getAs[Int]("cluster_a"), r.getAs[Int]("cluster_b"))).toSeq ==
+      Seq((0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13)))
+    assert(m.last.getAs[Long]("n_points") == 16L)
+    // sizes telescope: each merge's n_points is the sum of its children
+    assert(m.map(_.getAs[Long]("n_points")).toSeq == Seq(4L, 4L, 4L, 4L, 8L, 8L, 16L))
+  }
+
   test("q_markov_stationary: simplex fixed point of the hash-gated transition matrix") {
     import graft.operators.Stats
     val pi = Stats.qMarkovStationary(spark, sfDir).collect()
