@@ -79,7 +79,8 @@ object Bench {
   // training, so it benches like the other certificate queries.
   // r13 additions: q_rouge_pairs / q_rake / q_er_sorted / q_map /
   // q_blocklist are IN (one-pass
-  // analytics); q_kmeans / q_kmeans_audit / q_silhouette / q_hac (Lloyd
+  // analytics); q_kmeans / q_kmeans_audit / q_silhouette / q_hac /
+  // q_hac_audit (Lloyd
   // iterations upstream) and q_perplexity_audit / q_model_select_audit
   // (LDA upstream) follow the ML-training exclusion, as does the whole
   // q_unigram family (EM training upstream).

@@ -1331,6 +1331,49 @@ object SimilaritySearch extends QueryModule {
     merges.toSeq.toDF("step", "cluster_a", "cluster_b", "dist", "n_points")
   }
 
+  /** q_hac_audit: dendrogram certificate — SQL anchors: n_merges (k−1
+    * for the declared k) and n_points (the embeddings row count — the
+    * root of a complete dendrogram over certified cluster sizes MUST
+    * account for every corpus point). Guarantees: `monotone_ok` —
+    * complete linkage is a monotone linkage, so merge distances never
+    * decrease step to step (an inversion is a real agglomeration bug,
+    * not a data condition), `sizes_ok` — every merge's n_points equals
+    * the sum of its two children's (leaves carry the certified k-means
+    * sizes) and the last merge carries exactly n_points, and `ids_ok` —
+    * scipy id discipline: step s merges ids < k+s and creates k+s. */
+  def qHacAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = qHac(s, dir).orderBy("step").collect()
+    val k = kmK
+    val nPoints = Tables.embeddings(s, dir).count()
+    val leafSizes = kmeansRun(s, dir)._3.collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+    val monotoneOk = m.map(_.getAs[Double]("dist")).sliding(2).forall {
+      case Array(a, b) => b >= a - 1e-9
+      case _ => true
+    }
+    val sizeOf = scala.collection.mutable.Map.empty[Int, Long]
+    leafSizes.foreach { case (i, n) => sizeOf(i) = n }
+    var sizesOk = true; var idsOk = true
+    m.foreach { r =>
+      val step = r.getAs[Int]("step")
+      val a = r.getAs[Int]("cluster_a"); val b = r.getAs[Int]("cluster_b")
+      idsOk &&= a < k + step - 1 && b < k + step - 1 && a != b
+      val merged = sizeOf.getOrElse(a, -1L) + sizeOf.getOrElse(b, -1L)
+      sizesOk &&= merged == r.getAs[Long]("n_points")
+      sizeOf(k + step - 1) = r.getAs[Long]("n_points")
+    }
+    sizesOk &&= m.lastOption.exists(_.getAs[Long]("n_points") == nPoints)
+    import s.implicits._
+    Seq((m.length.toLong, nPoints, monotoneOk, sizesOk, idsOk))
+      .toDF("n_merges", "n_points", "monotone_ok", "sizes_ok", "ids_ok")
+  }
+
+  private lazy val qHacAuditSql =
+    s"""SELECT CAST(${kmK - 1} AS BIGINT) AS n_merges,
+         CAST(count(*) AS BIGINT) AS n_points,
+         TRUE AS monotone_ok, TRUE AS sizes_ok, TRUE AS ids_ok
+       FROM embeddings"""
+
   private lazy val qKmeansAuditSql =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
          CAST($kmK AS BIGINT) AS k,
@@ -1341,6 +1384,7 @@ object SimilaritySearch extends QueryModule {
     "q_kmeans" -> (qKmeans _),
     "q_silhouette" -> (qSilhouette _),
     "q_hac" -> (qHac _),
+    "q_hac_audit" -> (qHacAudit _),
     "q_kmeans_audit" -> (qKmeansAudit _),
     "q_mrr" -> (qMrr _),
     "q_map" -> (qMap _),
@@ -1364,6 +1408,7 @@ object SimilaritySearch extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_kmeans_audit" -> qKmeansAuditSql,
+    "q_hac_audit" -> qHacAuditSql,
     "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,
     "q_map" -> qMapSql,
