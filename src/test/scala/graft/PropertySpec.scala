@@ -117,4 +117,36 @@ class PropertySpec extends SparkSpec {
     base.unpersist(); shifted.unpersist()
     assert(w0 === wS, "BF-W must be shift-invariant")
   }
+
+  test("unigram lattice laws on generated words and vocabularies") {
+    import graft.operators.Unigram
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(12).mkString)
+    val words = Gen.listOfN(120, wordGen).apply(Gen.Parameters.default, Seed(7L)).get
+    // vocab: the three chars (coverage) + a few multi-char pieces, random
+    // positive weights normalized to a sub-simplex
+    val pieceGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(3).mkString)
+    val extra = Gen.listOfN(12, pieceGen).apply(Gen.Parameters.default, Seed(8L)).get
+    val raw = (Seq("a", "b", "c") ++ extra).distinct.zipWithIndex
+      .map { case (p, i) => p -> (1.0 + (i % 5)) }
+    val tot = raw.map(_._2).sum
+    val theta = raw.map { case (p, wgt) => p -> wgt / tot }.toMap
+    words.foreach { w =>
+      // Viterbi is lossless: pieces concatenate back to the word, every
+      // piece is in the vocabulary, and 1 ≤ |pieces| ≤ |w|
+      val seg = Unigram.viterbi(w, theta)
+      assert(seg.mkString("") == w, s"roundtrip broke on '$w'")
+      assert(seg.forall(theta.contains) && seg.nonEmpty && seg.length <= w.length)
+      // forward-backward: Z is a true marginal (0 < Z ≤ 1 for a
+      // sub-simplex vocab → lnZ ≤ 0), Viterbi's path mass never exceeds
+      // it, and the expected piece count per position band holds:
+      // 1 ≤ Σ E[piece] ≤ |w|
+      val (counts, lnZ) = Unigram.forwardBackward(w, theta)
+      assert(lnZ <= 1e-12, s"lnZ $lnZ > 0 on sub-simplex vocab")
+      val viterbiMass = seg.map(p => math.log(theta(p))).sum
+      assert(viterbiMass <= lnZ + 1e-9, "best path exceeded the marginal")
+      val mass = counts.values.sum
+      assert(mass >= 1.0 - 1e-9 && mass <= w.length + 1e-9,
+        s"expected piece mass $mass outside [1, ${w.length}] for '$w'")
+    }
+  }
 }
