@@ -1396,7 +1396,93 @@ object Dedup extends QueryModule {
        JOIN tot tb ON tb.doc_id = pr.doc_b"""
   }
 
+  /** q_modularity: Newman modularity of the near-dup graph under the
+    * SOURCE partition — "does duplication concentrate within sources, or
+    * does it cross them?" (cross-source duplication is the syndication/
+    * mirror signal q_source_overlap measures at the shingle level; this
+    * is its graph-theoretic summary on the certified pair graph).
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over source communities; rearranged to
+    * the all-integer form (4m·Σe_c − Σd_c²) / 4m² — degree sums and
+    * intra-edge counts are exact integers, squares widen to
+    * DECIMAL(38,0) (the 100 TB cross-multiplication rule), ONE double
+    * division feeds the 6dp round. Per-source accounting rows (docs in
+    * graph, degree mass, intra edges, exact contribution) plus the
+    * total row (source = '__total__', q = modularity). Edges and
+    * degrees reuse the memoized candidate stream — no new corpus
+    * pass. */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = jaccardEdges(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val es = e
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+    val m = e.count()
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(src.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    val perSrc = deg.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("deg")).as("d_c"))
+      .join(
+        es.filter(col("src_a") === col("src_b"))
+          .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("e_c")),
+        Seq("source"), "left_outer")
+      .na.fill(0L, Seq("e_c"))
+    // contribution_c = (4m·e_c − d_c²) / 4m² — exact integers, one division
+    val num = (lit(4L) * m * col("e_c")).cast("decimal(38,0)") -
+      (col("d_c").cast("decimal(38,0)") * col("d_c").cast("decimal(38,0)"))
+    val den = lit(4.0) * m * m
+    val rows = perSrc.select(col("source"), col("n_docs"), col("d_c"), col("e_c"),
+      round(num.cast("double") / den, 6).as("q"))
+    val total = perSrc.agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("d_c")).as("d_c"),
+        sum(col("e_c")).as("e_c"),
+        round((sum((lit(4L) * m * col("e_c")).cast("decimal(38,0)") -
+          col("d_c").cast("decimal(38,0)") * col("d_c").cast("decimal(38,0)")))
+          .cast("double") / den, 6).as("q"))
+      .select(lit("__total__").as("source"), col("n_docs"), col("d_c"),
+        col("e_c"), col("q"))
+    rows.unionByName(total)
+  }
+
+  private lazy val qModularitySql =
+    s"""WITH pr AS ($qDedupJaccardSql),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pr),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       deg AS (
+         SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       degs AS (
+         SELECT d.id, d.deg, doc.source FROM deg d
+         JOIN documents doc ON doc.doc_id = d.id),
+       intra AS (
+         SELECT da.source, CAST(count(*) AS BIGINT) AS e_c
+         FROM e
+         JOIN documents da ON da.doc_id = e.a
+         JOIN documents db ON db.doc_id = e.b
+         WHERE da.source = db.source GROUP BY 1),
+       per AS (
+         SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.deg) AS BIGINT) AS d_c,
+           coalesce(any_value(i.e_c), 0) AS e_c
+         FROM degs s LEFT JOIN intra i ON i.source = s.source
+         GROUP BY 1),
+       scored AS (
+         SELECT source, n_docs, d_c, CAST(e_c AS BIGINT) AS e_c,
+           round(CAST(CAST(4 * m.m * e_c AS DECIMAL(38,0)) -
+             CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0)) AS DOUBLE)
+             / (4.0 * m.m * m.m), 6) AS q
+         FROM per CROSS JOIN m)
+       SELECT source, n_docs, d_c, e_c, q FROM scored
+       UNION ALL
+       SELECT '__total__', CAST(sum(n_docs) AS BIGINT), CAST(sum(d_c) AS BIGINT),
+         CAST(sum(e_c) AS BIGINT),
+         round(CAST(sum(CAST(4 * m.m * e_c AS DECIMAL(38,0)) -
+           CAST(d_c AS DECIMAL(38,0)) * CAST(d_c AS DECIMAL(38,0))) AS DOUBLE)
+           / (4.0 * m.m * m.m), 6)
+       FROM per CROSS JOIN m GROUP BY m.m"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
@@ -1424,6 +1510,7 @@ object Dedup extends QueryModule {
     "q_pagerank" -> (qPagerank _))
 
   override def oracles: Map[String, String] = Map(
+    "q_modularity" -> qModularitySql,
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,

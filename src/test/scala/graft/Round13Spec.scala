@@ -233,6 +233,30 @@ class Round13Spec extends SparkSpec {
     assert(m.map(_.getAs[Long]("n_points")).toSeq == Seq(4L, 4L, 4L, 4L, 8L, 8L, 16L))
   }
 
+  test("q_modularity: hand-computed Newman Q on a two-source near-dup fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod13").toString
+    import spark.implicits._
+    // pairs by construction: (1,2) within s1, (3,4) across s1/s2 —
+    // disjoint shingle vocabularies keep the cross pairs out
+    Seq(
+      (1L, "aa bb cc dd ee aa", "en", "s1", 17L),
+      (2L, "aa bb cc dd ee ff", "en", "s1", 17L),
+      (3L, "gg hh ii jj kk gg", "en", "s1", 17L),
+      (4L, "gg hh ii jj kk ll", "en", "s2", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.qModularity(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // m = 2; s1: {1,2,3} d=3, e=1; s2: {4} d=1, e=0
+    // Q = (1/2 − (3/4)²) + (0 − (1/4)²) = −0.125
+    assert(rows("s1").getAs[Long]("d_c") == 3L && rows("s1").getAs[Long]("e_c") == 1L)
+    assert(rows("s2").getAs[Long]("d_c") == 1L && rows("s2").getAs[Long]("e_c") == 0L)
+    assert(math.abs(rows("__total__").getAs[Double]("q") - (-0.125)) < 1e-9)
+    // per-source contributions sum to the total exactly (shared denominator)
+    val parts = Seq("s1", "s2").map(rows(_).getAs[Double]("q")).sum
+    assert(math.abs(parts - rows("__total__").getAs[Double]("q")) < 2e-6)
+  }
+
   test("q_markov_stationary: simplex fixed point of the hash-gated transition matrix") {
     import graft.operators.Stats
     val pi = Stats.qMarkovStationary(spark, sfDir).collect()
