@@ -1481,7 +1481,64 @@ object Dedup extends QueryModule {
            / (4.0 * m.m * m.m), 6)
        FROM per CROSS JOIN m GROUP BY m.m"""
 
+  /** q_assortativity: degree assortativity of the near-dup graph (Newman
+    * 2002) — do heavy duplicators pair with heavy duplicators (template
+    * farms, r > 0) or with singletons (hub-and-spoke syndication,
+    * r < 0)? Pearson correlation of endpoint degrees over the 2m ordered
+    * edge endpoints, reduced to FOUR exact-integer edge sums
+    * (Σdadb, Σ(da+db), Σ(da²+db²), m): r = (n·Sxy − Sx²)/(n·Sxx − Sx²)
+    * with n = 2m and Sxy doubled for symmetry — every moment widened to
+    * DECIMAL(38,0) (the cross-multiplication rule), ONE double division,
+    * NULL on a degree-regular graph (zero variance) like the
+    * critical-value tables. Reuses the memoized edges; one join against
+    * the degree table. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = jaccardEdges(s, dir)
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val agg = ed.agg(
+      count(lit(1)).as("m"),
+      sum(d(col("da")) * d(col("db"))).as("sxy"),
+      sum(d(col("da")) + d(col("db"))).as("sx"),
+      sum(d(col("da")) * d(col("da")) + d(col("db")) * d(col("db")))
+        .as("sxx"))
+    agg.select(col("m").as("n_edges"),
+      when(d(lit(2L) * col("m")) * col("sxx") - col("sx") * col("sx") =!= 0,
+        round((d(lit(2L) * col("m")) * (lit(2L).cast("decimal(38,0)") * col("sxy")) -
+          col("sx") * col("sx")).cast("double") /
+          (d(lit(2L) * col("m")) * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+        .as("r"))
+  }
+
+  private lazy val qAssortativitySql =
+    s"""WITH pr AS ($qDedupJaccardSql),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pr),
+       deg AS (
+         SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       ed AS (
+         SELECT da.deg AS da, db.deg AS db FROM e
+         JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS m,
+           sum(CAST(da AS DECIMAL(38,0)) * CAST(db AS DECIMAL(38,0))) AS sxy,
+           sum(CAST(da AS DECIMAL(38,0)) + CAST(db AS DECIMAL(38,0))) AS sx,
+           sum(CAST(da AS DECIMAL(38,0)) * CAST(da AS DECIMAL(38,0)) +
+             CAST(db AS DECIMAL(38,0)) * CAST(db AS DECIMAL(38,0))) AS sxx
+         FROM ed)
+       SELECT m AS n_edges,
+         CASE WHEN CAST(2 * m AS DECIMAL(38,0)) * sxx - sx * sx = 0 THEN NULL
+           ELSE round(CAST(CAST(2 * m AS DECIMAL(38,0)) * (2 * sxy) - sx * sx AS DOUBLE)
+             / CAST(CAST(2 * m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6)
+         END AS r
+       FROM agg"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (qAssortativity _),
     "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1511,6 +1568,7 @@ object Dedup extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_modularity" -> qModularitySql,
+    "q_assortativity" -> qAssortativitySql,
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,

@@ -257,6 +257,23 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(parts - rows("__total__").getAs[Double]("q")) < 2e-6)
   }
 
+  test("q_assortativity: a hub-and-spoke dup fixture scores exactly r = −1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assort13").toString
+    import spark.implicits._
+    // doc 1 is the hub: it shares a disjoint shingle half with each spoke
+    // (jaccard 3/9 = 0.333 to both), spokes share nothing → edges
+    // (1,2), (1,3); degrees 2/1/1 — the classic disassortative star
+    Seq(
+      (1L, "aa bb cc dd ee qq ff gg hh ii jj", "en", "t", 32L),
+      (2L, "aa bb cc dd ee", "en", "t", 14L),
+      (3L, "ff gg hh ii jj", "en", "t", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.qAssortativity(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 2L)
+    assert(math.abs(r.getAs[Double]("r") - (-1.0)) < 1e-9)
+  }
+
   test("q_markov_stationary: simplex fixed point of the hash-gated transition matrix") {
     import graft.operators.Stats
     val pi = Stats.qMarkovStationary(spark, sfDir).collect()
