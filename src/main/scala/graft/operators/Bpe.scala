@@ -172,6 +172,35 @@ object Bpe extends QueryModule {
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_tokens"))
   }
 
+  /** q_bpe_encode_audit: per-doc encode accounting — q_bpe_encode's
+    * corpus-coverage and compression contract, hash-gated at DOC
+    * granularity (q_bpe_audit certifies the same bounds as one corpus
+    * row; this relation proves the encoded corpus covers EXACTLY the
+    * clean-token corpus, doc by doc). The oracle recomputes each doc's
+    * clean-token word count; the guarantee re-derives the per-doc
+    * bounds n_words ≤ Σpieces ≤ Σchars (every word ≥ 1 piece, never
+    * more pieces than characters). Same scale shape as the encode
+    * itself: vocabulary-sized fold + one equi-join + one aggregate. */
+  def qBpeEncodeAudit(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, encoded) = encodedVocab(s, dir)
+    val vocab = encoded.select(col("w"), size(col("syms")).as("n_pieces"))
+    pairs.join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("pieces"),
+        sum(length(col("w"))).as("chars"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") <= col("pieces") && col("pieces") <= col("chars"))
+          .as("bounds_ok"))
+  }
+
+  private lazy val qBpeEncodeAuditSql =
+    s"""WITH t AS (SELECT doc_id,
+             unnest(${graft.functions.TextFns.cleanTokensSql("text")}) AS w
+           FROM documents)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, TRUE AS bounds_ok
+       FROM t GROUP BY doc_id"""
+
   /** q_bpe_audit: tokenizer-contract certificate — the merge table is
     * data-derived (no static SQL can reproduce it), but the trained
     * tokenizer's CONTRACT is checkable against SQL-derivable anchors:
@@ -223,10 +252,12 @@ object Bpe extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe" -> (qBpe _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_encode_audit" -> (qBpeEncodeAudit _),
     "q_bpe_audit" -> (qBpeAudit _))
 
   // The merge table itself stays rows-only (data-derived); the tokenizer
-  // contract certificate is the SQL-checkable piece.
+  // contract certificates are the SQL-checkable pieces.
   override def oracles: Map[String, String] = Map(
-    "q_bpe_audit" -> qBpeAuditSql)
+    "q_bpe_audit" -> qBpeAuditSql,
+    "q_bpe_encode_audit" -> qBpeEncodeAuditSql)
 }

@@ -650,13 +650,21 @@ object Classification extends QueryModule {
     * prefers the deterministic grid — same argmax contract, reproducible
     * run-to-run (no surrogate RNG), and cells are embarrassingly parallel
     * across a cluster instead of sequential by acquisition. */
-  def qClfParamSweep(s: SparkSession, dir: String): DataFrame = {
+  /** The declared (regParam, elasticNet) lattice — ONE definition shared
+    * by the sweep, its audit and the audit's oracle SQL (a drifted copy
+    * would let the certificate certify a different grid than the sweep
+    * scores). */
+  val ClfGrid: Seq[(Double, Double)] = for {
+    reg <- Seq(0.01, 0.1, 1.0)
+    en <- Seq(0.0, 0.5)
+  } yield (reg, en)
+
+  def qClfParamSweep(s: SparkSession, dir: String): DataFrame =
+    cachedMetrics(s, s"clf.sweep:$dir")(buildClfParamSweep(s, dir))
+
+  private def buildClfParamSweep(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = dataset(s, dir)
-    val grid = for {
-      reg <- Seq(0.01, 0.1, 1.0)
-      en <- Seq(0.0, 0.5)
-    } yield (reg, en)
-    val scores = grid.map { case (reg, en) =>
+    val scores = ClfGrid.map { case (reg, en) =>
       val m = new LogisticRegression().setLabelCol("y").setWeightCol("w")
         .setMaxIter(100).setRegParam(reg).setElasticNetParam(en).fit(train)
       // confusionMetrics emits NULL f1 when 2tp+fp+fn = 0 (degenerate
@@ -675,6 +683,43 @@ object Classification extends QueryModule {
     scores.toDF("reg_param", "elastic_net", "f1")
       .select(col("reg_param"), col("elastic_net"), col("f1"),
         (col("reg_param") === best._1 && col("elastic_net") === best._2).as("selected"))
+  }
+
+  /** q_clf_param_sweep_audit: sweep accounting certificate (the
+    * q_model_select_audit pattern applied to the classifier grid —
+    * supervised_classifier.py:493-524's search space). The oracle
+    * re-emits the declared lattice; guarantees per cell: `lattice_ok`
+    * (global) — the scored coordinate multiset equals [[ClfGrid]]
+    * exactly (a dropped, duplicated or off-lattice cell fails every
+    * row AND the row-count gate), `range_ok` — the cell's F1 is NULL
+    * (degenerate split) or in [0,1], `argmax_ok` (global) — exactly
+    * one cell is selected and it carries the maximum F1. Model-sized
+    * collect (|grid| rows). */
+  def qClfParamSweepAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = qClfParamSweep(s, dir).collect()
+    val coords = rows.toSeq.map(r =>
+      (r.getAs[Double]("reg_param"), r.getAs[Double]("elastic_net")))
+    val latticeOk = coords.sorted == ClfGrid.sorted
+    val f1s = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))
+    val sel = rows.filter(_.getAs[Boolean]("selected"))
+    val argmaxOk = sel.length == 1 && f1s.nonEmpty &&
+      Option(sel(0).getAs[java.lang.Double]("f1")).map(_.doubleValue)
+        .contains(f1s.max)
+    import s.implicits._
+    rows.toSeq.map { r =>
+      val f1 = Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue)
+      (r.getAs[Double]("reg_param"), r.getAs[Double]("elastic_net"),
+        latticeOk, f1.forall(v => v >= 0.0 && v <= 1.0), argmaxOk)
+    }.toDF("reg_param", "elastic_net", "lattice_ok", "range_ok", "argmax_ok")
+  }
+
+  private lazy val qClfParamSweepAuditSql = {
+    val cells = ClfGrid.map { case (reg, en) =>
+      s"(CAST($reg AS DOUBLE), CAST($en AS DOUBLE), TRUE, TRUE, TRUE)"
+    }
+    s"""SELECT * FROM (VALUES ${cells.mkString(", ")})
+         AS t(reg_param, elastic_net, lattice_ok, range_ok, argmax_ok)"""
   }
 
   /** Evaluation budget of the Bayesian sweep (reference: BayesSearchCV
@@ -1182,6 +1227,7 @@ object Classification extends QueryModule {
     "q_classify_lr_us" -> (qClassifyLrUndersample _),
     "q_classify_smote" -> (qClassifySmote _),
     "q_clf_param_sweep" -> (qClfParamSweep _),
+    "q_clf_param_sweep_audit" -> (qClfParamSweepAudit _),
     "q_bayes_sweep" -> (qBayesSweep _),
     "q_bayes_audit" -> (qBayesAudit _),
     "q_cv_train" -> (qCvTrain _),
@@ -1196,5 +1242,6 @@ object Classification extends QueryModule {
     "q_classify_audit" -> qClassifyAuditSql,
     "q_classify_excluded" -> qClassifyExcludedSql,
     "q_cv_audit" -> qCvAuditSql,
+    "q_clf_param_sweep_audit" -> qClfParamSweepAuditSql,
     "q_bayes_audit" -> qBayesAuditSql)
 }

@@ -137,6 +137,55 @@ object PolysemyEval extends QueryModule {
           .as("f1"))
   }
 
+  /** q_param_sweep_audit: sweep accounting certificate for the skopt
+    * search-space grid (polysemous_words.py:48-57) — the
+    * q_model_select_audit pattern, with a GENUINE cross-engine anchor:
+    * `n_eval` (the cell's evaluation mass tp+fp+tn+fn) is recomputed by
+    * the oracle from the documents table alone (gold labels ∈ {1,2},
+    * clean-token length > MIN_DOC_WORDS — the LDA corpus gate — and
+    * length ≥ the cell's MIN_DOC_LEN), so a sweep scored against a
+    * desynced corpus, a leaked label-0 row or a broken per-cell length
+    * gate hash-fails on the VALUE, not just a boolean. Guarantees:
+    * `lattice_ok` (global) — the scored coordinate multiset equals
+    * [[ParamGrid]] exactly; `f1_ok` — the emitted F1 is NULL iff
+    * 2·tp+fp+fn = 0 and otherwise re-derives (half-up 6dp) from the
+    * integer confusion counts. Model-sized collect (|grid| rows). */
+  def qParamSweepAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = qParamSweep(s, dir).collect()
+    val coords = rows.toSeq.map(r => (r.getAs[Double]("min_prob"),
+      r.getAs[Int]("min_topics"), r.getAs[Int]("min_len")))
+    val latticeOk = coords.sorted == ParamGrid.sorted
+    import s.implicits._
+    rows.toSeq.map { r =>
+      val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+      val tn = r.getAs[Long]("tn"); val fn = r.getAs[Long]("fn")
+      val f1 = Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue)
+      val denom = 2.0 * tp + fp + fn
+      val f1Ok =
+        if (denom == 0.0) f1.isEmpty
+        else f1.exists(v =>
+          math.abs(v - math.floor(2.0 * tp / denom * 1e6 + 0.5) / 1e6) < 1e-12)
+      (r.getAs[Double]("min_prob"), r.getAs[Int]("min_topics"),
+        r.getAs[Int]("min_len"), tp + fp + tn + fn, latticeOk, f1Ok)
+    }.toDF("min_prob", "min_topics", "min_len", "n_eval", "lattice_ok", "f1_ok")
+  }
+
+  private lazy val qParamSweepAuditSql = {
+    val cells = ParamGrid.map { case (mp, mt, mdl) => s"($mp, $mt, $mdl)" }
+    s"""WITH d AS (SELECT doc_id, n_chars,
+             len(${graft.functions.TextFns.cleanTokensSql("text")}) AS len
+           FROM documents),
+         g AS (SELECT len FROM d
+           WHERE (CASE WHEN doc_id % 7 = 0 THEN 0
+                       WHEN n_chars > 250 THEN 1 ELSE 2 END) IN (1, 2)
+             AND len > ${TopicModeling.MinDocTokens})
+       SELECT CAST(c.mp AS DOUBLE) AS min_prob, CAST(c.mt AS INT) AS min_topics,
+         CAST(c.ml AS INT) AS min_len,
+         (SELECT CAST(count(*) AS BIGINT) FROM g WHERE len >= c.ml) AS n_eval,
+         TRUE AS lattice_ok, TRUE AS f1_ok
+       FROM (VALUES ${cells.mkString(", ")}) AS c(mp, mt, ml)"""
+  }
+
   /** Total evaluation budget of the polysemy Bayesian search (reference:
     * forest_minimize n_calls — polysemous_words.py:273; the default adds
     * 8 EI refinements to the 18-point grid warm start). */
@@ -286,6 +335,7 @@ object PolysemyEval extends QueryModule {
     "q_polysemy_eval" -> (qPolysemyEval _),
     "q_polysemy_eval_audit" -> (qPolysemyEvalAudit _),
     "q_param_sweep" -> (qParamSweep _),
+    "q_param_sweep_audit" -> (qParamSweepAudit _),
     "q_polysemy_bayes" -> (qPolysemyBayes _),
     "q_polysemy_bayes_audit" -> (qPolysemyBayesAudit _))
 
@@ -293,5 +343,6 @@ object PolysemyEval extends QueryModule {
   // the SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
     "q_polysemy_eval_audit" -> qPolysemyEvalAuditSql,
+    "q_param_sweep_audit" -> qParamSweepAuditSql,
     "q_polysemy_bayes_audit" -> qPolysemyBayesAuditSql)
 }

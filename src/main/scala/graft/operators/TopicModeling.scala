@@ -108,6 +108,28 @@ object TopicModeling extends QueryModule {
       .select(col("doc_id"), col("n_topics"),
         (col("n_topics") > MinimumTopicsPolysemous).as("polysemous"))
 
+  /** q_polysemy_audit: accounting certificate for the thesis headline
+    * flag relation (polysemous_words.py:84). The oracle recomputes the
+    * LDA corpus doc SET (every doc with > MIN_DOC_WORDS clean tokens —
+    * the same gate [[corpus]] applies), so a sweep scored against a
+    * desynced corpus fails on row count/ids; the guarantees re-derive
+    * the flag from the emitted columns per doc: `range_ok` — the
+    * ≥minProb topic count lands in [0, k]; `flag_ok` — polysemous ⇔
+    * n_topics > MinimumTopicsPolysemous. Fully distributed (pure column
+    * algebra over the memoized docTopics; no collect). */
+  def qPolysemyAudit(s: SparkSession, dir: String): DataFrame =
+    qPolysemy(s, dir).select(
+      col("doc_id"),
+      (col("n_topics") >= 0 && col("n_topics") <= DefaultK).as("range_ok"),
+      (col("polysemous") === (col("n_topics") > MinimumTopicsPolysemous))
+        .as("flag_ok"))
+
+  private lazy val qPolysemyAuditSql =
+    s"""WITH d AS (SELECT doc_id, len(${TextFns.cleanTokensSql("text")}) AS len
+             FROM documents)
+       SELECT doc_id, TRUE AS range_ok, TRUE AS flag_ok
+       FROM d WHERE len > $MinDocTokens"""
+
   /** Shared u_mass substrate: per-(topic, pos, term) doc frequencies and
     * the FULL ordered-pair grid (pos_i > pos_j, 45 pairs per 10-term
     * topic) with smoothed co-document counts. gensim's s_one_pre
@@ -605,9 +627,14 @@ object TopicModeling extends QueryModule {
     * the driver (tail sums Σ_{j>k} S_j are suffix sums over those T
     * values), and the emitted relation is T rows. Rows-only gate
     * (iterative ML is not SQL-expressible); seeded, so deterministic. */
-  def qHdp(s: SparkSession, dir: String): DataFrame = {
+  def qHdp(s: SparkSession, dir: String): DataFrame = qHdpAt(s, dir, hdpT)
+
+  /** [[qHdp]] at an EXPLICIT truncation — the T-generic core the env
+    * override routes through (Round13Spec runs it at T=100 to prove the
+    * thesis-scale path: same math, driver state strictly T-bounded). */
+  private[graft] def qHdpAt(s: SparkSession, dir: String, t: Int): DataFrame = {
     import s.implicits._
-    hdpSticks(s, dir).map { case (stick, topicId, a, b, beta, _) =>
+    hdpSticks(s, dir, t).map { case (stick, topicId, a, b, beta, _) =>
       (stick, topicId, math.floor(a * 1e6) / 1e6, math.floor(b * 1e6) / 1e6,
         math.floor(beta * 1e6) / 1e6, beta >= HdpBetaThreshold)
     }.toDF("stick", "topic", "stick_a", "stick_b", "beta", "kept")
@@ -616,9 +643,8 @@ object TopicModeling extends QueryModule {
   /** The UNROUNDED stick table (stick, topic, a, b, beta, remain) shared
     * by q_hdp and its audit — one code path, so the certificate checks
     * the numbers the query actually emits. */
-  private def hdpSticks(s: SparkSession, dir: String)
+  private def hdpSticks(s: SparkSession, dir: String, t: Int)
       : Seq[(Int, Int, Double, Double, Double, Double)] = {
-    val t = hdpT
     val totals = docTopics(s, dir, t)
       .select(posexplode(col("dist")).as(Seq("topic", "phi")))
       .groupBy("topic").agg(sum(col("phi")).as("s"))
@@ -651,10 +677,14 @@ object TopicModeling extends QueryModule {
     * b_last = γ (the tail-sum telescope); stick usage nonincreasing (the
     * greedy ordering); E[β] a sub-simplex (β_k ≥ 0, Σβ + remainder = 1);
     * kept ⇔ β ≥ τ. */
-  def qHdpAudit(s: SparkSession, dir: String): DataFrame = {
-    val sticks = hdpSticks(s, dir)
+  def qHdpAudit(s: SparkSession, dir: String): DataFrame =
+    qHdpAuditAt(s, dir, hdpT)
+
+  /** [[qHdpAudit]] at an explicit truncation (see [[qHdpAt]]). */
+  private[graft] def qHdpAuditAt(s: SparkSession, dir: String, tr: Int): DataFrame = {
+    val sticks = hdpSticks(s, dir, tr)
     val t = sticks.length
-    val nDocs = docTopics(s, dir, hdpT).count()
+    val nDocs = docTopics(s, dir, tr).count()
     val mass = sticks.map(_._3 - 1.0).sum
     // per-doc simplex deviation ≤ 1e-6 (q_lda_audit's bound) accumulates
     // linearly at worst: tolerance n_docs·1e-6, floored at 1e-6
@@ -768,6 +798,7 @@ object TopicModeling extends QueryModule {
     "q_lda_topics" -> (qLdaTopics _),
     "q_doc_topics" -> (qDocTopics _),
     "q_polysemy" -> (qPolysemy _),
+    "q_polysemy_audit" -> (qPolysemyAudit _),
     "q_coherence" -> (qCoherence _),
     "q_coherence_audit" -> (qCoherenceAudit _),
     "q_coherence_cv" -> (qCoherenceCv _),
@@ -783,6 +814,7 @@ object TopicModeling extends QueryModule {
   // certificate is the one SQL-checkable contract.
   override def oracles: Map[String, String] = Map(
     "q_perplexity_audit" -> qPerplexityAuditSql,
+    "q_polysemy_audit" -> qPolysemyAuditSql,
     "q_model_select_audit" -> qModelSelectAuditSql,
     "q_lda_audit" -> qLdaAuditSql,
     "q_hdp_audit" -> qHdpAuditSql,

@@ -349,4 +349,98 @@ class Round13Spec extends SparkSpec {
     // label alphabet (10 − 2 = 8 at every test SF)
     folds.foreach(r => assert(r.getAs[Long]("n_classes") == 8L))
   }
+
+  test("HDP at thesis-scale truncation T=100: the GRAFT_HDP_T code path " +
+    "keeps the mass identity, telescope and simplex, driver state T-bounded") {
+    import graft.operators.TopicModeling
+    // qHdpAt IS the env path: qHdp(s, dir) = qHdpAt(s, dir, hdpT), and
+    // hdpT only selects the integer — this runs the same core at the
+    // scale the scaladoc promises (wiki_hdp.py uses T=1000; 100 here
+    // keeps the extra LDA fit test-sized while exercising T ≫ k)
+    val t = 100
+    val sticks = TopicModeling.qHdpAt(spark, sfDir, t).collect()
+    assert(sticks.length == t, "emitted relation must be exactly T rows")
+    assert(sticks.map(_.getAs[Int]("topic")).distinct.length == t)
+    val audit = TopicModeling.qHdpAuditAt(spark, sfDir, t).collect()(0)
+    assert(audit.getAs[Long]("n_sticks") == t.toLong)
+    for (c <- Seq("mass_ok", "recursion_ok", "order_ok", "simplex_ok", "kept_ok"))
+      assert(audit.getAs[Boolean](c), s"$c failed at T=$t")
+    // the corpus-mass anchor is T-invariant: same doc count as the T=20 run
+    val base = TopicModeling.qHdpAudit(spark, sfDir).collect()(0)
+    assert(audit.getAs[Long]("n_docs") == base.getAs[Long]("n_docs"))
+  }
+
+  test("q_param_sweep_audit: lattice completeness, f1 re-derivation and the " +
+    "independently counted evaluation mass") {
+    import graft.operators.{PolysemyEval, TextPrep, TopicModeling}
+    val rows = PolysemyEval.qParamSweepAudit(spark, sfDir).collect()
+    assert(rows.length == PolysemyEval.ParamGrid.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("lattice_ok"))
+      assert(r.getAs[Boolean]("f1_ok"),
+        s"f1 re-derivation failed at ${r.getAs[Double]("min_prob")}")
+    }
+    // the anchor value, recomputed here a THIRD way (DataFrame algebra on
+    // the clean corpus, independent of both the sweep and the oracle SQL)
+    val lens = TextPrep.cleanDocs(spark, sfDir)
+      .select(col("doc_id"), size(col("toks")).as("len"))
+    val gold = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, 0)
+          .when(col("n_chars") > 250, 1).otherwise(2).as("label"))
+    val base = lens.join(gold, Seq("doc_id"))
+      .filter(col("label").isin(1, 2) &&
+        col("len") > TopicModeling.MinDocTokens)
+    for (ml <- Seq(0, 10)) {
+      val want = base.filter(col("len") >= ml).count()
+      rows.filter(_.getAs[Int]("min_len") == ml).foreach(r =>
+        assert(r.getAs[Long]("n_eval") == want,
+          s"n_eval at min_len=$ml: got ${r.getAs[Long]("n_eval")}, want $want"))
+    }
+  }
+
+  test("q_clf_param_sweep_audit certifies the grid, F1 ranges and the argmax") {
+    import graft.operators.Classification
+    val rows = Classification.qClfParamSweepAudit(spark, sfDir).collect()
+    assert(rows.map(r => (r.getAs[Double]("reg_param"),
+      r.getAs[Double]("elastic_net"))).sorted.toSeq ==
+      Classification.ClfGrid.sorted)
+    rows.foreach { r =>
+      for (c <- Seq("lattice_ok", "range_ok", "argmax_ok"))
+        assert(r.getAs[Boolean](c),
+          s"$c failed at reg=${r.getAs[Double]("reg_param")}")
+    }
+    // cross-check against the sweep itself
+    val sweep = Classification.qClfParamSweep(spark, sfDir).collect()
+    assert(sweep.count(_.getAs[Boolean]("selected")) == 1)
+  }
+
+  test("q_polysemy_audit covers exactly the LDA corpus and re-derives the flag") {
+    import graft.operators.{TextPrep, TopicModeling}
+    val rows = TopicModeling.qPolysemyAudit(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("range_ok"), s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("flag_ok"), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    val want = TextPrep.cleanDocs(spark, sfDir)
+      .filter(size(col("toks")) > TopicModeling.MinDocTokens)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == want.toSeq,
+      "audit doc set must equal the MIN_DOC_WORDS-gated clean corpus")
+  }
+
+  test("q_bpe_encode_audit: per-doc word counts equal the clean corpus and " +
+    "the piece bounds hold everywhere") {
+    import graft.operators.{Bpe, TextPrep}
+    val rows = Bpe.qBpeEncodeAudit(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[Boolean]("bounds_ok"),
+      s"doc ${r.getAs[Long]("doc_id")}"))
+    val want = TextPrep.cleanDocs(spark, sfDir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"))).toMap
+    assert(got == want, "per-doc encode coverage diverges from the clean corpus")
+  }
 }
