@@ -577,20 +577,32 @@ object Relational extends QueryModule {
     var score = adj.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1).cast("decimal(38,0)").as("score"))
       .localCheckpoint(true)
-    for (_ <- 1 to HitsIters) {
-      // scores are NODE-sized (≪ edges) → broadcast them and keep the
-      // edge table in place: each round is a map-side hash join + one
-      // partial-aggregated shuffle of contribution sums, instead of
-      // re-shuffling the full adjacency every iteration (measured 9.9 s
-      // → ~3 s at sf0.1). Above broadcast scale (≳10⁸ nodes) swap to
-      // the q_pagerank shuffle-join form — the adjacency is already
-      // checkpointed for exactly that.
-      val next = adj.join(broadcast(score.withColumnRenamed("id", "src")), Seq("src"))
+    // scores are NODE-sized (≪ edges) → broadcast them and keep the
+    // edge table in place: each half-step is a map-side hash join + one
+    // partial-aggregated shuffle of contribution sums, instead of
+    // re-shuffling the full adjacency every iteration (measured 9.9 s
+    // → ~3 s at sf0.1). Above broadcast scale (≳10⁸ nodes) swap to
+    // the q_pagerank shuffle-join form — the adjacency is already
+    // checkpointed for exactly that.
+    //
+    // TWO half-steps run per eager checkpoint: the first lands inside
+    // the second's broadcast-exchange build (its agg is node-sized, so
+    // the materialization is free compared to a full checkpoint), which
+    // halves the checkpoint jobs of the synchronous loop. Exactness is
+    // untouched — the per-node sums are exact DECIMAL(38,0) integers,
+    // associative under any regrouping.
+    def halfStep(prev: DataFrame): DataFrame =
+      adj.join(broadcast(prev.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("tgt").as("id"))
         .agg(sum(col("score")).cast("decimal(38,0)").as("score"))
+    var done = 0
+    while (done < HitsIters) {
+      val step = math.min(2, HitsIters - done)
+      val next = (1 to step).foldLeft(score)((acc, _) => halfStep(acc))
         .localCheckpoint(true)
       score.unpersist()
       score = next
+      done += step
     }
     val side = substring(col("id"), 1, 1)
     val mx = score.groupBy(side.as("node_type")).agg(max(col("score")).as("mx"))
