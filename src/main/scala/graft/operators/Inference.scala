@@ -640,8 +640,66 @@ object Inference extends QueryModule {
               ELSE 'continue' END AS decision
        FROM e"""
 
+  // ------------------------------------------------------------ mcnemar
+
+  /** q_mcnemar: McNemar's paired test between two document-quality
+    * filters — the Gopher boolean gate (q_quality_rules `passes`) vs the
+    * token-entropy gate (q_entropy `entropy_ok`) on the SAME documents.
+    * The unpaired two-proportion z (q_two_prop) is wrong for this
+    * comparison because the two gates score identical subjects; McNemar
+    * conditions on the discordant pairs only: χ² = (|b−c|−1)²/(b+c)
+    * (Edwards continuity correction, numerator floored at 0) with
+    * b = passes∧¬entropy_ok, c = ¬passes∧entropy_ok, χ²(1) under H₀.
+    * A significant result says the filters disagree DIRECTIONALLY —
+    * one gate is systematically stricter, so swapping them shifts the
+    * curated corpus, the exact question a pipeline migration asks.
+    * All four cell counts are exact integer aggregates of one equi-join
+    * (both sides doc-keyed, corpus-partitioned); the statistic is one
+    * double division; b+c = 0 → NULL, never a fabricated verdict. */
+  def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val j = TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes"))
+      .join(TextAnalysis.qEntropy(s, dir).select(col("doc_id"), col("entropy_ok")),
+        Seq("doc_id"))
+    val agg = j.agg(
+      sum(when(col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_gopher_only"),
+      sum(when(!col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_entropy_only"),
+      sum(when(!col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_neither"))
+    val b = col("n_gopher_only"); val c = col("n_entropy_only")
+    val num = greatest(abs(b - c) - 1, lit(0L))
+    val chi = (num * num).cast("double") / (b + c).cast("double")
+    agg.select(col("n_both"), col("n_gopher_only"), col("n_entropy_only"),
+      col("n_neither"),
+      when(b + c === 0, lit(null).cast("double"))
+        .otherwise(round(chi, 6)).as("chi2"),
+      when(b + c === 0, lit(null).cast("boolean"))
+        .otherwise(chi > RobustStats.KruskalChiCrit(1)).as("significant"))
+  }
+
+  private lazy val qMcnemarSql =
+    s"""WITH g AS (${TextAnalysis.qQualityRulesSql}),
+       e AS (${TextAnalysis.qEntropySql}),
+       j AS (SELECT g.passes, e.entropy_ok FROM g JOIN e USING (doc_id)),
+       a AS (SELECT
+           CAST(count(*) FILTER (WHERE passes AND entropy_ok) AS BIGINT) AS n_both,
+           CAST(count(*) FILTER (WHERE passes AND NOT entropy_ok) AS BIGINT) AS n_gopher_only,
+           CAST(count(*) FILTER (WHERE NOT passes AND entropy_ok) AS BIGINT) AS n_entropy_only,
+           CAST(count(*) FILTER (WHERE NOT passes AND NOT entropy_ok) AS BIGINT) AS n_neither
+         FROM j),
+       t AS (SELECT *, greatest(abs(n_gopher_only - n_entropy_only) - 1, 0) AS num,
+               n_gopher_only + n_entropy_only AS disc
+             FROM a)
+       SELECT n_both, n_gopher_only, n_entropy_only, n_neither,
+         CASE WHEN disc = 0 THEN NULL
+              ELSE round(CAST(num * num AS DOUBLE) / CAST(disc AS DOUBLE), 6) END AS chi2,
+         CASE WHEN disc = 0 THEN NULL
+              ELSE CAST(num * num AS DOUBLE) / CAST(disc AS DOUBLE)
+                > ${RobustStats.KruskalChiCrit(1)} END AS significant
+       FROM t"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_holm" -> (qHolm _),
+    "q_mcnemar" -> (qMcnemar _),
     "q_sprt" -> (qSprt _),
     "q_conformal" -> (qConformal _),
     "q_cliffs_delta" -> (qCliffsDelta _),
@@ -652,6 +710,7 @@ object Inference extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_holm" -> qHolmSql,
+    "q_mcnemar" -> qMcnemarSql,
     "q_sprt" -> qSprtSql,
     "q_conformal" -> qConformalSql,
     "q_cliffs_delta" -> qCliffsDeltaSql,

@@ -42,7 +42,7 @@ object RobustStats extends QueryModule {
       .select(col("doc_id"), (col("n_chars") >= FleissLenThreshold).as("base"))
       .select(col("doc_id"), col("base"),
         explode(array((0 until m).map(lit): _*)).as("r"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("r"),
         when(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
           col("r").cast("string"))), 1, 1), 16, 10).cast("int") < 3,
           !col("base")).otherwise(col("base")).cast("int").as("vote"))
@@ -51,7 +51,7 @@ object RobustStats extends QueryModule {
   /** The vote table as a SQL CTE body (the oracle twin of raterVotes). */
   private lazy val raterVotesSql = {
     val m = FleissRaters
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, r,
            CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
                   CAST(r AS VARCHAR)), 1, 1)) AS INT) < 3
                 THEN CAST(NOT (n_chars >= $FleissLenThreshold) AS INT)
@@ -95,6 +95,50 @@ object RobustStats extends QueryModule {
        SELECT n_docs, round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
          round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
        FROM c"""
+  }
+
+  /** q_cochran_q: Cochran's Q over the deterministic m-rater panel — the
+    * BINARY repeated-measures member of the agreement/blocked family
+    * (q_friedman is the ranked form over continuous outcomes; Cochran's
+    * Q asks "do the m raters differ in their marginal pass rates on the
+    * SAME documents?", the complement of q_fleiss which asks how much
+    * they agree per document). Q = (m−1)·(m·ΣG_j² − (ΣG_j)²) /
+    * (m·ΣL_i − ΣL_i²) with G_j the per-rater totals and L_i the per-doc
+    * totals — every sum an exact integer aggregate, ONE double division
+    * at the end, so the 6dp round is fp-immune. Q ~ χ²(m−1) under H₀;
+    * m is a declared constant so the critical value interpolates
+    * directly (no when-chain needed). Two narrow doc-or-rater-keyed
+    * aggregates over the vote relation; rater count bounds one side,
+    * nothing corpus-sized leaves the shuffle. */
+  def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val m = FleissRaters
+    val v = raterVotes(s, dir)
+    val a = v.groupBy("r").agg(sum(col("vote")).as("gj"))
+      .agg(sum(col("gj")).as("sg"), sum(col("gj") * col("gj")).as("sg2"))
+    val b = v.groupBy("doc_id").agg(sum(col("vote")).as("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("l")).as("sl"), sum(col("l") * col("l")).as("sl2"))
+    val q = ((lit(m - 1) * (lit(m) * col("sg2") - col("sg") * col("sg")))
+      .cast("double")) / (lit(m) * col("sl") - col("sl2")).cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("n_docs"), lit(m).as("m"), round(q, 6).as("q"),
+        (q > KruskalChiCrit(m - 1)).as("significant"))
+  }
+
+  private lazy val qCochranQSql = {
+    val m = FleissRaters
+    s"""WITH v AS ($raterVotesSql),
+       a AS (SELECT sum(gj) AS sg, sum(gj * gj) AS sg2
+             FROM (SELECT r, sum(vote) AS gj FROM v GROUP BY r)),
+       b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               sum(l) AS sl, sum(l * l) AS sl2
+             FROM (SELECT doc_id, sum(vote) AS l FROM v GROUP BY doc_id))
+       SELECT n_docs, CAST($m AS INT) AS m,
+         round(CAST(${m - 1} * ($m * sg2 - sg * sg) AS DOUBLE)
+           / CAST($m * sl - sl2 AS DOUBLE), 6) AS q,
+         CAST(${m - 1} * ($m * sg2 - sg * sg) AS DOUBLE)
+           / CAST($m * sl - sl2 AS DOUBLE) > ${KruskalChiCrit(m - 1)} AS significant
+       FROM a, b"""
   }
 
   // ---------------------------------------------------------- krippendorff
@@ -1369,6 +1413,7 @@ object RobustStats extends QueryModule {
     "q_kruskal" -> (qKruskal _),
     "q_dunn" -> (qDunn _),
     "q_fleiss" -> (qFleiss _),
+    "q_cochran_q" -> (qCochranQ _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
@@ -1391,6 +1436,7 @@ object RobustStats extends QueryModule {
     "q_kruskal" -> qKruskalSql,
     "q_dunn" -> qDunnSql,
     "q_fleiss" -> qFleissSql,
+    "q_cochran_q" -> qCochranQSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,

@@ -2321,6 +2321,78 @@ object Stats extends QueryModule {
       (f > AnovaFCrit).as("significant"))
   }
 
+  /** q_bartlett: Bartlett's variance-homogeneity test over the
+    * l_returnflag groups of l_quantity — the PARAMETRIC member of the
+    * variance-check pair (q_levene/Brown–Forsythe is the robust one;
+    * Bartlett is the classical likelihood-ratio form, more powerful
+    * under normality and the textbook pre-check before q_anova's pooled
+    * denominator). T = [(N−k)·ln(s_p²) − Σ(n_j−1)·ln(s_j²)] / C with
+    * C = 1 + (Σ 1/(n_j−1) − 1/(N−k)) / (3(k−1)), s_p² the pooled
+    * variance. Group moments are exact DECIMAL sums cast to double
+    * once; the three order-sensitive k-term double sums each fold over
+    * a SORTED group array (the anovaOf discipline) so both engines walk
+    * identical IEEE additions. Significance vs χ²(k−1) from the shared
+    * critical table — out-of-table df → NULL, never a silent false.
+    * One scan + one k-row shuffle, k bounds everything downstream. */
+  def qBartlett(s: SparkSession, dir: String): DataFrame =
+    bartlettOf(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x")))
+
+  /** Bartlett core over a (g, x) relation — see [[qBartlett]]. */
+  def bartlettOf(vals: DataFrame): DataFrame = {
+    val d = col("x").cast("decimal(18,2)")
+    val g = vals.groupBy("g")
+      .agg(count(lit(1)).as("nj"), sum(d).as("s"), sum(d * d).as("ss"))
+      .select(col("g"), col("nj"),
+        ((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("nj").cast("double")) /
+          (col("nj") - 1).cast("double")).as("v"))
+    def fold(term: Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("g"), term.as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as(name)
+    val m = g.agg(
+      count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      fold((col("nj") - 1).cast("double") * col("v"), "sw"),
+      fold((col("nj") - 1).cast("double") * log(col("v")), "sl"),
+      fold(lit(1.0) / (col("nj") - 1).cast("double"), "si"))
+    val nk = (col("n") - col("k")).cast("double")
+    val t = nk * log(col("sw") / nk) - col("sl")
+    val c = lit(1.0) +
+      (col("si") - lit(1.0) / nk) / (lit(3.0) * (col("k") - 1).cast("double"))
+    val crit = RobustStats.KruskalChiCrit
+      .foldLeft(lit(null).cast("double")) { case (acc, (df, cv)) =>
+        when(col("k") - 1 === df, cv).otherwise(acc)
+      }
+    m.select(col("k"), col("n"), round(t / c, 6).as("stat"),
+      (t / c > crit).as("significant"))
+  }
+
+  private lazy val qBartlettSql =
+    s"""WITH g AS (
+         SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
+         FROM lineitem GROUP BY 1),
+       gv AS (SELECT g, nj,
+                (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(nj AS DOUBLE)) / CAST(nj - 1 AS DOUBLE) AS v
+              FROM g),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               list_sum(list(CAST(nj - 1 AS DOUBLE) * v ORDER BY g)) AS sw,
+               list_sum(list(CAST(nj - 1 AS DOUBLE) * ln(v) ORDER BY g)) AS sl,
+               list_sum(list(CAST(1 AS DOUBLE) / CAST(nj - 1 AS DOUBLE) ORDER BY g)) AS si
+             FROM gv)
+       SELECT k, n,
+         round((CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
+           / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+              / (3 * CAST(k - 1 AS DOUBLE))), 6) AS stat,
+         (CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
+           / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+              / (3 * CAST(k - 1 AS DOUBLE)))
+           > ${RobustStats.KruskalChiCrit(2)} AS significant
+       FROM m"""
+
   /** Studentized-range 95th-percentile critical values q(0.95; k, ∞) —
     * the df₂→∞ row, exact to 3 decimals once df₂ is in the tens of
     * thousands (the AnovaFCrit argument). Keyed by GROUP COUNT k; the
@@ -2707,6 +2779,7 @@ object Stats extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
+    "q_bartlett" -> (qBartlett _),
     "q_tukey" -> (qTukey _),
     "q_friedman" -> (qFriedman _),
     "q_levene" -> (qLevene _),
@@ -2753,6 +2826,7 @@ object Stats extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_anova" -> qAnovaSql,
+    "q_bartlett" -> qBartlettSql,
     "q_tukey" -> qTukeySql,
     "q_friedman" -> qFriedmanSql,
     "q_levene" -> qLeveneSql,

@@ -208,7 +208,7 @@ object TextAnalysis extends QueryModule {
   def qEntropy(s: SparkSession, dir: String): DataFrame =
     entropyOf(TextPrep.rawDocs(s, dir))
 
-  private val qEntropySql = {
+  private[operators] val qEntropySql = {
     val t = TextFns.rawTokensSql("text")
     s"""WITH b AS (SELECT doc_id, $t AS toks FROM documents),
        e AS (

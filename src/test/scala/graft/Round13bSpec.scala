@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{Inference, RobustStats, Stats, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-13 widening pins: the classical-inference additions
+  * (Bartlett, Cochran's Q, McNemar) each checked against an
+  * INDEPENDENT driver-side re-derivation — a different arithmetic
+  * path than the operator's SQL-shaped plan.
+  */
+class Round13bSpec extends SparkSpec {
+
+  private def bartlettRef(groups: Map[String, Seq[Double]]): (Double, Boolean) = {
+    // textbook formula, straight Scala over sorted groups
+    val ks = groups.keys.toSeq.sorted
+    val nj = ks.map(g => groups(g).size.toDouble)
+    val vj = ks.map { g =>
+      val xs = groups(g); val n = xs.size.toDouble
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    val n = nj.sum; val k = ks.size.toDouble
+    val sp2 = ks.indices.map(i => (nj(i) - 1) * vj(i)).sum / (n - k)
+    val t = (n - k) * math.log(sp2) -
+      ks.indices.map(i => (nj(i) - 1) * math.log(vj(i))).sum
+    val c = 1.0 + (ks.indices.map(i => 1.0 / (nj(i) - 1)).sum - 1.0 / (n - k)) /
+      (3.0 * (k - 1))
+    (t / c, t / c > RobustStats.KruskalChiCrit(ks.size - 1))
+  }
+
+  test("q_bartlett core: hand-computed two-group fixture (equal-ish variances " +
+    "→ not significant; 30x variance ratio → significant)") {
+    import spark.implicits._
+    // v_a = 1, v_b = 4: T = 4·ln 2.5 − 2·ln 4, C = 1.25
+    val calm = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0))
+    val got = Stats.bartlettOf(calm.toDF("g", "x")).collect()(0)
+    val (refT, refSig) = bartlettRef(calm.groupBy(_._1).map {
+      case (g, xs) => g -> xs.map(_._2)
+    })
+    assert(got.getAs[Long]("k") == 2L && got.getAs[Long]("n") == 6L)
+    assert(math.abs(got.getAs[Double]("stat") - refT) < 1e-6,
+      s"stat ${got.getAs[Double]("stat")} vs ref $refT")
+    assert(got.getAs[Boolean]("significant") == refSig && !refSig)
+    // wildly heteroskedastic fixture must trip the gate
+    val wild = (1 to 12).map(i => ("a", 10.0 + (i % 2))) ++
+      (1 to 12).map(i => ("b", if (i % 2 == 0) 0.0 else 30.0))
+    val got2 = Stats.bartlettOf(wild.toDF("g", "x")).collect()(0)
+    val (refT2, refSig2) = bartlettRef(wild.groupBy(_._1).map {
+      case (g, xs) => g -> xs.map(_._2)
+    })
+    assert(math.abs(got2.getAs[Double]("stat") - refT2) < 1e-6)
+    assert(got2.getAs[Boolean]("significant") && refSig2)
+  }
+
+  test("q_cochran_q matches a full panel re-derivation from the documents table") {
+    val m = RobustStats.FleissRaters
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def vote(docId: Long, r: Int, base: Boolean): Int = {
+      val h = md.digest(s"$docId:$r".getBytes("UTF-8"))
+      val nib = (h(0) & 0xff) >> 4
+      val v = if (nib < 3) !base else base
+      if (v) 1 else 0
+    }
+    val votes = for {
+      (id, nc) <- docs; r <- 0 until m
+    } yield (id, r, vote(id, r, nc >= RobustStats.FleissLenThreshold))
+    val gj = votes.groupBy(_._2).view.mapValues(_.map(_._3).sum).values.toSeq
+    val li = votes.groupBy(_._1).view.mapValues(_.map(_._3).sum).values.toSeq
+    val sg = gj.sum.toLong; val sg2 = gj.map(g => g.toLong * g).sum
+    val sl = li.sum.toLong; val sl2 = li.map(l => l.toLong * l).sum
+    val refQ = ((m - 1) * (m * sg2 - sg * sg)).toDouble / (m * sl - sl2).toDouble
+    val got = RobustStats.qCochranQ(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n_docs") == docs.length.toLong)
+    assert(got.getAs[Int]("m") == m)
+    assert(math.abs(got.getAs[Double]("q") -
+      math.floor(refQ * 1e6 + 0.5) / 1e6) < 1e-12,
+      s"q ${got.getAs[Double]("q")} vs ref $refQ")
+    assert(got.getAs[Boolean]("significant") ==
+      (refQ > RobustStats.KruskalChiCrit(m - 1)))
+  }
+
+  test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
+    val g = TextAnalysis.qQualityRules(spark, sfDir)
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val e = TextAnalysis.qEntropy(spark, sfDir)
+      .select(col("doc_id"), col("entropy_ok")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val keys = g.keySet intersect e.keySet
+    val b = keys.count(k => g(k) && !e(k)).toLong
+    val c = keys.count(k => !g(k) && e(k)).toLong
+    val row = Inference.qMcnemar(spark, sfDir).collect()(0)
+    assert(row.getAs[Long]("n_gopher_only") == b)
+    assert(row.getAs[Long]("n_entropy_only") == c)
+    assert(row.getAs[Long]("n_both") == keys.count(k => g(k) && e(k)).toLong)
+    assert(row.getAs[Long]("n_neither") == keys.count(k => !g(k) && !e(k)).toLong)
+    if (b + c == 0) {
+      assert(row.isNullAt(row.fieldIndex("chi2")))
+    } else {
+      val num = math.max(math.abs(b - c) - 1, 0L)
+      val ref = (num * num).toDouble / (b + c).toDouble
+      assert(math.abs(row.getAs[Double]("chi2") -
+        math.floor(ref * 1e6 + 0.5) / 1e6) < 1e-12)
+      assert(row.getAs[Boolean]("significant") ==
+        (ref > RobustStats.KruskalChiCrit(1)))
+    }
+  }
+}
