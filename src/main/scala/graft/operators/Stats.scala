@@ -1714,6 +1714,68 @@ object Stats extends QueryModule {
     * in DECIMAL(38,0) (HUGEINT in the oracle) because Σ i·x overflows a
     * long at 10⁹-row groups. Tie order cannot change the result: equal
     * x values contribute identical i·x sums under any permutation. */
+  /** q_theil: Theil T inequality of the doc-length distribution per
+    * language, WITH the between-group decomposition term — the
+    * decomposable member of the inequality family (q_gini/q_lorenz rank
+    * the whole distribution but a Gini does not split into
+    * within + between; Theil does exactly: T_total = Σ_g s_g·T_g +
+    * Σ_g between_term_g with s_g the group's length share — the
+    * "how much inequality is BETWEEN languages vs inside them"
+    * question a mixing planner asks). Identity used: T_g =
+    * (Σ x·ln x)/(n_g·μ_g) − ln μ_g, so only ONE order-sensitive sum
+    * exists per group — and it is made order-IMMUNE by the fixed-point
+    * discipline: each x·ln(x) term is rounded half-up at 1e-6 and
+    * summed as exact DECIMAL(38,0), so any partitioning yields the
+    * identical total (the q_kmeans decimal-trainer pattern).
+    * between_term_g = (X_g/X)·ln((X_g/X)/(n_g/n)) needs only the
+    * exact global totals, broadcast as one row. Zero-length docs are
+    * excluded (x·ln x undefined); n ≤ 0 groups never emit. */
+  def qTheil(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+      .filter(col("x") > 0)
+      .select(col("lang"), col("x"),
+        floor(col("x").cast("double") * log(col("x").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("decimal(38,0)").as("t"))
+    val g = terms.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("t")).as("st"))
+    val tot = g.agg(sum(col("n")).as("nt"), sum(col("sx")).as("sxt"))
+    val mu = col("sx").cast("double") / col("n").cast("double")
+    val share = col("sx").cast("double") / col("sxt").cast("double")
+    val within = (col("st").cast("double") / lit(1e6)) /
+      (col("n").cast("double") * mu) - log(mu)
+    val between = share *
+      log(share / (col("n").cast("double") / col("nt").cast("double")))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n").as("n_docs"),
+        col("sx").cast("long").as("total_chars"),
+        round(within, 6).as("theil_within"),
+        round(between, 6).as("between_term"))
+  }
+
+  private lazy val qTheilSql =
+    s"""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents
+             WHERE n_chars > 0),
+       t AS (SELECT lang, x,
+               CAST(floor(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)) * 1e6 + 0.5)
+                 AS DECIMAL(38,0)) AS t
+             FROM b),
+       g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx, sum(t) AS st
+             FROM t GROUP BY lang),
+       tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                CAST(sum(sx) AS DECIMAL(38,0)) AS sxt FROM g)
+       SELECT lang, n AS n_docs, CAST(sx AS BIGINT) AS total_chars,
+         round((CAST(st AS DOUBLE) / 1e6)
+             / (CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           - ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS theil_within,
+         round((CAST(sx AS DOUBLE) / CAST(sxt AS DOUBLE))
+           * ln((CAST(sx AS DOUBLE) / CAST(sxt AS DOUBLE))
+               / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS between_term
+       FROM g, tt"""
+
   def qGini(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("x"))
@@ -2795,6 +2857,7 @@ object Stats extends QueryModule {
     "q_jackknife" -> (qJackknife _),
     "q_hill" -> (qHill _),
     "q_gini" -> (qGini _),
+    "q_theil" -> (qTheil _),
     "q_lorenz" -> (qLorenz _),
     "q_kendall" -> (qKendall _),
     "q_dq_checks" -> (qDqChecks _),
@@ -2842,6 +2905,7 @@ object Stats extends QueryModule {
     "q_jackknife" -> qJackknifeSql,
     "q_hill" -> qHillSql,
     "q_gini" -> qGiniSql,
+    "q_theil" -> qTheilSql,
     "q_lorenz" -> qLorenzSql,
     "q_kendall" -> qKendallSql,
     "q_dq_checks" -> qDqChecksSql,

@@ -289,6 +289,56 @@ object TextAnalysis extends QueryModule {
     * burst = cf/df is an exact-integer ratio to one division; ranked
     * (burst desc, tok asc) with a top-k cut so the output stays bounded
     * when the vocabulary is 10⁸ tokens. */
+  /** q_yule_k: Yule's characteristic K and Simpson's diversity D per
+    * language — the CORPUS-level lexical-concentration pair beside the
+    * per-doc measures (q_ttr is per-doc type/token, q_entropy per-doc
+    * distributional; K and D summarize the whole language's frequency
+    * SPECTRUM and, unlike TTR, are length-invariant — the reason
+    * stylometry uses K). From the per-(lang, token) counts f:
+    * K = 10⁴·(Σf² − N)/N², D = (Σf² − N)/(N(N−1)) — the probability two
+    * randomly drawn tokens are the same type. Everything is an exact
+    * integer aggregate until one double division per language; N ≤ 1 →
+    * NULL D (undefined), never a fabricated 0. Scale shape: explode →
+    * (lang, token)-keyed count (vocabulary-×-lang-sized) → k-row rollup;
+    * the spectrum never leaves the shuffle un-aggregated. */
+  def qYuleK(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextPrep.cleanDocs(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+    val n = col("n_tokens").cast("double")
+    tf.groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_tokens"),
+        sum(col("f") * col("f")).as("s2"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        round(lit(1e4) * (col("s2") - col("n_tokens")).cast("double") / (n * n), 6)
+          .as("yule_k"),
+        when(col("n_tokens") > 1,
+          round((col("s2") - col("n_tokens")).cast("double") /
+            (n * (col("n_tokens") - 1).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("simpson_d"))
+  }
+
+  private lazy val qYuleKSql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH w AS (SELECT lang, unnest($t) AS tok FROM documents),
+       tf AS (SELECT lang, tok, count(*) AS f FROM w GROUP BY lang, tok),
+       a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(sum(f * f) AS BIGINT) AS s2
+             FROM tf GROUP BY lang)
+       SELECT lang, n_types, n_tokens,
+         round(1e4 * CAST(s2 - n_tokens AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k,
+         CASE WHEN n_tokens > 1 THEN
+           round(CAST(s2 - n_tokens AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 6)
+         END AS simpson_d
+       FROM a"""
+  }
+
   def qBurstiness(s: SparkSession, dir: String): DataFrame =
     TextPrep.tokenStats(s, dir)
       .select(col("tok"), col("df"), col("cf"),
@@ -1396,6 +1446,7 @@ object TextAnalysis extends QueryModule {
     "q_chisq" -> (qChisq _),
     "q_llr" -> (qLlr _),
     "q_ttr" -> (qTtr _),
+    "q_yule_k" -> (qYuleK _),
     "q_burstiness" -> (qBurstiness _),
     "q_concordance" -> (qConcordance _),
     "q_ctfidf" -> (qCtfidf _),
@@ -1429,6 +1480,7 @@ object TextAnalysis extends QueryModule {
     "q_chisq" -> qChisqSql,
     "q_llr" -> qLlrSql,
     "q_ttr" -> qTtrSql,
+    "q_yule_k" -> qYuleKSql,
     "q_burstiness" -> qBurstinessSql,
     "q_concordance" -> qConcordanceSql,
     "q_ctfidf" -> qCtfidfSql,

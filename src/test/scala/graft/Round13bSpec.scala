@@ -83,6 +83,51 @@ class Round13bSpec extends SparkSpec {
       (refQ > RobustStats.KruskalChiCrit(m - 1)))
   }
 
+  test("q_yule_k: hand-computed spectrum on a two-doc fixture; corpus values in range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-yule13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "alpha alpha beta", "en", "t", 16L),
+      (2L, "alpha beta gamma", "en", "t", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // spectrum: f = (3, 2, 1) → N = 6, Σf² = 14
+    // K = 10⁴(14−6)/36, D = (14−6)/(6·5)
+    val r = TextAnalysis.qYuleK(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_types") == 3L && r(0).getAs[Long]("n_tokens") == 6L)
+    assert(math.abs(r(0).getAs[Double]("yule_k") - 2222.222222) < 1e-6)
+    assert(math.abs(r(0).getAs[Double]("simpson_d") - 0.266667) < 1e-6)
+    // corpus: D ∈ [0, 1], K ≥ 0 for every language
+    TextAnalysis.qYuleK(spark, sfDir).collect().foreach { row =>
+      assert(row.getAs[Double]("yule_k") >= 0.0)
+      val d = row.getAs[Double]("simpson_d")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+
+  test("q_theil: two-language fixture decomposes exactly (within 0, between " +
+    "carries all inequality, terms sum to the undecomposed total)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-theil13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "x", "aa", "t", 10L), (2L, "x", "aa", "t", 10L),
+      (3L, "x", "bb", "t", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Stats.qTheil(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("theil_within"), r.getAs[Double]("between_term"))).toMap
+    // equal lengths inside each language → zero within-inequality
+    assert(math.abs(rows("aa")._1) < 1e-6 && math.abs(rows("bb")._1) < 1e-6)
+    assert(math.abs(rows("aa")._2 - (1.0 / 3) * math.log(0.5)) < 1e-6)
+    assert(math.abs(rows("bb")._2 - (2.0 / 3) * math.log(2.0)) < 1e-6)
+    // decomposition identity: Σ between (within = 0) equals the direct
+    // one-group Theil of (10, 10, 40): (1/3)[ln(1/2) + 2·ln 2]
+    val direct = (0.5 * math.log(0.5) * 2 + 2.0 * math.log(2.0)) / 3
+    assert(math.abs(rows.values.map(_._2).sum - direct) < 1e-6)
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
