@@ -66,7 +66,8 @@ object Bench {
     "q_fellegi", "q_ann_ivf_audit", "q_ann_pq_audit", "q_bloom_audit",
     "q_anova", "q_kruskal", "q_tcloseness", "q_hits", "q_pca_audit",
     "q_levene", "q_trend", "q_tukey", "q_dunn", "q_friedman",
-    "q_bartlett", "q_cochran_q", "q_mcnemar", "q_yule_k", "q_theil")
+    "q_bartlett", "q_cochran_q", "q_mcnemar", "q_yule_k", "q_theil",
+    "q_page_trend", "q_jonckheere")
   // q_features_audit / q_lda_audit / q_isotonic_audit / q_classify_audit /
   // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit — and the r12
   // additions q_coherence_audit / q_hdp_audit (LDA upstream),
@@ -79,12 +80,15 @@ object Bench {
   // corpus-size-independent) — one-pass analytics, not iterative
   // training, so it benches like the other certificate queries.
   // r13 additions: q_rouge_pairs / q_rake / q_er_sorted / q_map /
-  // q_blocklist are IN (one-pass
+  // q_blocklist / q_bartlett / q_cochran_q / q_mcnemar / q_yule_k /
+  // q_theil / q_page_trend / q_jonckheere are IN (one-pass
   // analytics); q_kmeans / q_kmeans_audit / q_silhouette / q_hac /
   // q_hac_audit (Lloyd
-  // iterations upstream) and q_perplexity_audit / q_model_select_audit
-  // (LDA upstream) follow the ML-training exclusion, as does the whole
-  // q_unigram family (EM training upstream).
+  // iterations upstream), q_perplexity_audit / q_model_select_audit /
+  // q_polysemy_audit / q_param_sweep_audit (LDA upstream),
+  // q_clf_param_sweep_audit (6 LR fits) and q_bpe_encode_audit (BPE
+  // training upstream) follow the ML-training exclusion, as does the
+  // whole q_unigram family (EM training upstream).
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

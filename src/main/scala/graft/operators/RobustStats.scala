@@ -1009,6 +1009,120 @@ object RobustStats extends QueryModule {
     kruskalWallis(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
+  /** q_jonckheere: Jonckheere–Terpstra ordered-alternative test of
+    * l_quantity across order MONTHS (the calendar is the natural ordered
+    * k-group lattice in this schema) — the rank member of the ordered
+    * family (q_trend is Cochran–Armitage for proportions, q_page_trend
+    * the blocked form; JT is the unblocked k-sample one, strictly more
+    * powerful than q_kruskal when the alternative is monotone in the
+    * declared order). JT = Σ_{i<j} U_ij with ties counted ½; computed at
+    * DISTINCT-VALUE granularity: per-(month, quantity) cells (k×|domain|,
+    * quantity ≤ 50 — the bounded-value-domain contract shared with
+    * q_mannwhitney; bucket first for unbounded x), a per-group
+    * cumulative over the value grid, and ONE cell-level pair join —
+    * 2·U_ij = Σ_x c_j(x)·(2·cum<_i(x) + c_i(x)) keeps everything in
+    * exact integers (JT doubled to avoid halves). The null moments use
+    * the FULL tie-corrected variance (Hollander–Wolfe 6.19: the 1/72
+    * term minus per-group and per-tie penalties, plus the 1/(36·) and
+    * 1/(8·) interaction terms) — every moment an exact DECIMAL(38,0)
+    * aggregate, widened BEFORE cross-multiplication, with the two
+    * 10³⁰-scale factor products cast to double exactly once. */
+  def qJonckheere(s: SparkSession, dir: String): DataFrame =
+    jonckheereOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_quantity").cast("long").as("x"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), month(col("o_orderdate")).as("g")),
+        Seq("ok")))
+
+  /** JT core over a (g: ordered group, x) relation — see
+    * [[qJonckheere]]. */
+  def jonckheereOf(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val grid = cells.select("g").distinct()
+      .crossJoin(cells.select("x").distinct())
+      .join(cells, Seq("g", "x"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cumlt",
+        sum(col("c")).over(Window.partitionBy("g").orderBy("x")) - col("c"))
+    val jt = grid.as("a").join(grid.as("b"),
+        col("a.x") === col("b.x") && col("a.g") < col("b.g"))
+      .agg(sum(col("b.c").cast("decimal(38,0)") *
+        (col("a.cumlt") * 2 + col("a.c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("jt2"))
+    val nd = col("n_i").cast("decimal(38,0)")
+    val gm = cells.groupBy("g").agg(sum(col("c")).as("n_i"))
+      .agg(count(lit(1)).as("k"),
+        sum(nd).cast("decimal(38,0)").as("n"),
+        sum(nd * nd).cast("decimal(38,0)").as("sn2"),
+        sum(nd * (nd - 1)).cast("decimal(38,0)").as("sn_1"),
+        sum(nd * (nd - 1) * (nd - 2)).cast("decimal(38,0)").as("sn_2"),
+        sum(nd * (nd - 1) * (nd * 2 + 5)).cast("decimal(38,0)").as("sn25"))
+    val td = col("t_u").cast("decimal(38,0)")
+    val tm = cells.groupBy("x").agg(sum(col("c")).as("t_u"))
+      .agg(sum(td * (td - 1)).cast("decimal(38,0)").as("st_1"),
+        sum(td * (td - 1) * (td - 2)).cast("decimal(38,0)").as("st_2"),
+        sum(td * (td - 1) * (td * 2 + 5)).cast("decimal(38,0)").as("st25"))
+    val jtD = col("jt2").cast("double") / 2
+    val eD = (col("n") * col("n") - col("sn2")).cast("double") / 4
+    val v1 = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+      col("sn25") - col("st25")).cast("double") / 72
+    val v2 = col("sn_2").cast("double") * col("st_2").cast("double") /
+      (lit(36.0) * (col("n") * (col("n") - 1) * (col("n") - 2)).cast("double"))
+    val v3 = col("sn_1").cast("double") * col("st_1").cast("double") /
+      (lit(8.0) * (col("n") * (col("n") - 1)).cast("double"))
+    val z = (jtD - eD) / sqrt(v1 + v2 + v3)
+    jt.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      .select(col("k"), col("n").cast("long").as("n"),
+        round(jtD, 1).as("jt"), round(z, 6).as("z"),
+        (abs(z) > DunnZCrit(1)).as("significant"))
+  }
+
+  private lazy val qJonckheereSql =
+    s"""WITH base AS (
+         SELECT month(o_orderdate) AS g, CAST(l_quantity AS BIGINT) AS x
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       cells AS (SELECT g, x, count(*) AS c FROM base GROUP BY g, x),
+       grid AS (SELECT gg.g, xx.x, coalesce(c.c, 0) AS c
+                FROM (SELECT DISTINCT g FROM cells) gg
+                CROSS JOIN (SELECT DISTINCT x FROM cells) xx
+                LEFT JOIN cells c ON c.g = gg.g AND c.x = xx.x),
+       cum AS (SELECT g, x, c,
+                 sum(c) OVER (PARTITION BY g ORDER BY x) - c AS cumlt
+               FROM grid),
+       jt AS (SELECT CAST(sum(CAST(b.c AS HUGEINT)
+                  * CAST(2 * a.cumlt + a.c AS HUGEINT)) AS HUGEINT) AS jt2
+              FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g),
+       gm AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n_i) AS HUGEINT) AS n,
+                CAST(sum(n_i * n_i) AS HUGEINT) AS sn2,
+                CAST(sum(n_i * (n_i - 1)) AS HUGEINT) AS sn_1,
+                CAST(sum(n_i * (n_i - 1) * (n_i - 2)) AS HUGEINT) AS sn_2,
+                CAST(sum(n_i * (n_i - 1) * (n_i * 2 + 5)) AS HUGEINT) AS sn25
+              FROM (SELECT g, CAST(sum(c) AS HUGEINT) AS n_i
+                    FROM cells GROUP BY g)),
+       tm AS (SELECT CAST(sum(t_u * (t_u - 1)) AS HUGEINT) AS st_1,
+                CAST(sum(t_u * (t_u - 1) * (t_u - 2)) AS HUGEINT) AS st_2,
+                CAST(sum(t_u * (t_u - 1) * (t_u * 2 + 5)) AS HUGEINT) AS st25
+              FROM (SELECT x, CAST(sum(c) AS HUGEINT) AS t_u
+                    FROM cells GROUP BY x))
+       SELECT k, CAST(n AS BIGINT) AS n,
+         round(CAST(jt2 AS DOUBLE) / 2, 1) AS jt,
+         round((CAST(jt2 AS DOUBLE) / 2 - CAST(n * n - sn2 AS DOUBLE) / 4)
+           / sqrt(CAST(n * (n - 1) * (n * 2 + 5) - sn25 - st25 AS DOUBLE) / 72
+             + CAST(sn_2 AS DOUBLE) * CAST(st_2 AS DOUBLE)
+               / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+             + CAST(sn_1 AS DOUBLE) * CAST(st_1 AS DOUBLE)
+               / (8.0 * CAST(n * (n - 1) AS DOUBLE))), 6) AS z,
+         abs((CAST(jt2 AS DOUBLE) / 2 - CAST(n * n - sn2 AS DOUBLE) / 4)
+           / sqrt(CAST(n * (n - 1) * (n * 2 + 5) - sn25 - st25 AS DOUBLE) / 72
+             + CAST(sn_2 AS DOUBLE) * CAST(st_2 AS DOUBLE)
+               / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+             + CAST(sn_1 AS DOUBLE) * CAST(st_1 AS DOUBLE)
+               / (8.0 * CAST(n * (n - 1) AS DOUBLE))))
+           > ${DunnZCrit(1)} AS significant
+       FROM jt CROSS JOIN gm CROSS JOIN tm"""
+
   /** Kruskal–Wallis core over a (g, x) relation — see [[qKruskal]].
     * The cumulative tie count over distinct values runs through the
     * DISTRIBUTED exclusive prefix sum (Ranks.globalPrefixSum — range
@@ -1411,6 +1525,7 @@ object RobustStats extends QueryModule {
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_kruskal" -> (qKruskal _),
+    "q_jonckheere" -> (qJonckheere _),
     "q_dunn" -> (qDunn _),
     "q_fleiss" -> (qFleiss _),
     "q_cochran_q" -> (qCochranQ _),
@@ -1434,6 +1549,7 @@ object RobustStats extends QueryModule {
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,
     "q_kruskal" -> qKruskalSql,
+    "q_jonckheere" -> qJonckheereSql,
     "q_dunn" -> qDunnSql,
     "q_fleiss" -> qFleissSql,
     "q_cochran_q" -> qCochranQSql,

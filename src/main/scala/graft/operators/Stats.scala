@@ -2592,9 +2592,12 @@ object Stats extends QueryModule {
         col("value").cast("decimal(18,6)").as("x"))
       .groupBy("b", "g").agg(sum(col("x")).as("y")))
 
-  /** Friedman core over a (b: block, g: treatment, y) relation — see
-    * [[qFriedman]]. */
-  def friedmanOf(vals: DataFrame): DataFrame = {
+  /** Shared blocked-rank substrate: complete blocks only, tie-averaged
+    * within-block ranks as exact DECIMAL(19,1) halves — consumed by
+    * [[friedmanOf]] and [[pageOf]] (one construction, so the trend test
+    * walks the identical ranks the omnibus scored). Returns (ranked,
+    * k). */
+  private def blockRanked(vals: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val k = vals.select(countDistinct(col("g"))).head.getLong(0)
     val complete = vals
@@ -2608,6 +2611,13 @@ object Stats extends QueryModule {
         (col("rk").cast("decimal(19,1)") +
           (col("t") - 1).cast("decimal(19,1)") / 2)
           .cast("decimal(19,1)").as("ar"))
+    (ranked, k)
+  }
+
+  /** Friedman core over a (b: block, g: treatment, y) relation — see
+    * [[qFriedman]]. */
+  def friedmanOf(vals: DataFrame): DataFrame = {
+    val (ranked, k) = blockRanked(vals)
     val td = col("t").cast("decimal(38,0)")
     // Σ(t³−t) over tie GROUPS: each (b,y) group of depth t contributes t
     // rows, so divide the per-row sum by t → sum (t³−t)/t = t²−1 per row
@@ -2635,6 +2645,84 @@ object Stats extends QueryModule {
       round(q, 6).as("q"), round(qc, 6).as("q_tie_corrected"),
       lit(k - 1).as("df"), (qc > crit).as("significant"))
   }
+
+  /** q_page_trend: Page's L trend test over the SAME blocked ranks as
+    * q_friedman — the ORDERED-alternative member of the repeated-measures
+    * family (Friedman asks "do the treatments differ at all?"; Page asks
+    * "do they increase along a DECLARED order?" — the blocked twin of
+    * q_trend's Cochran–Armitage, with far more power than the omnibus
+    * when the alternative is monotone). The declared order here is the
+    * lexicographic event-type sequence (j = 1..k by name — the fixed,
+    * reproducible contract; any other hypothesis is a rename away).
+    * L = Σ_j j·R_j over the tie-averaged within-block rank sums —
+    * exact DECIMAL until the final z = (L − bk(k+1)²/4) /
+    * √(bk²(k+1)(k²−1)/144), the CLASSICAL tie-naive moments (ties enter
+    * L exactly through the averaged ranks; the null variance is the
+    * standard Page form — documented, not hidden). Two-sided gate at
+    * z₀.₉₇₅ since the lexicographic order is a neutral hypothesis. */
+  def qPageTrend(s: SparkSession, dir: String): DataFrame =
+    pageOf(Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("b"),
+        col("event_type").as("g"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("b", "g").agg(sum(col("x")).as("y")))
+
+  /** Page core over a (b, g, y) relation — see [[qPageTrend]]. */
+  def pageOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (ranked, k) = blockRanked(vals)
+    val blocks = ranked.agg((count(lit(1)) / k).cast("long").as("n_blocks"))
+    val lsum = ranked.groupBy("g")
+      .agg(sum(col("ar")).cast("decimal(38,1)").as("rj"))
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("g"))).cast("decimal(38,0)"))
+      .agg(sum(col("j") * col("rj")).cast("decimal(38,1)").as("l"))
+    val kD = lit(k.toDouble)
+    val bD = col("n_blocks").cast("double")
+    val e = bD * kD * (kD + 1) * (kD + 1) / 4
+    val v = bD * kD * kD * (kD + 1) * (kD * kD - 1) / 144
+    val z = (col("l").cast("double") - e) / sqrt(v)
+    lsum.crossJoin(broadcast(blocks))
+      .select(lit(k).as("k"), col("n_blocks"),
+        col("l").cast("double").as("l"), round(z, 6).as("z"),
+        (abs(z) > RobustStats.DunnZCrit(1)).as("significant"))
+  }
+
+  private lazy val qPageTrendSql =
+    s"""WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS b, event_type AS g,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily),
+       cb AS (SELECT b, g, y FROM daily
+              WHERE b IN (SELECT b FROM daily GROUP BY b
+                          HAVING count(*) = (SELECT k FROM kk))),
+       rk AS (SELECT b, g,
+                CAST(CAST(rank() OVER (PARTITION BY b ORDER BY y) AS DECIMAL(19,1))
+                  + CAST(count(*) OVER (PARTITION BY b, y) - 1 AS DECIMAL(19,1)) / 2
+                  AS DECIMAL(19,1)) AS ar
+              FROM cb),
+       blocks AS (SELECT CAST(count(*) // (SELECT k FROM kk) AS BIGINT) AS n_blocks
+                  FROM rk),
+       rj AS (SELECT g, CAST(sum(ar) AS DECIMAL(38,1)) AS rj FROM rk GROUP BY 1),
+       jr AS (SELECT rj, CAST(row_number() OVER (ORDER BY g) AS DECIMAL(38,0)) AS j
+              FROM rj),
+       ls AS (SELECT CAST(sum(j * rj) AS DECIMAL(38,1)) AS l FROM jr)
+       SELECT k, n_blocks, CAST(l AS DOUBLE) AS l,
+         round((CAST(l AS DOUBLE)
+             - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) + 1) / 4)
+           / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) / 144), 6) AS z,
+         abs((CAST(l AS DOUBLE)
+             - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1) * (CAST(k AS DOUBLE) + 1) / 4)
+           / sqrt(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1)
+               * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) / 144))
+           > ${RobustStats.DunnZCrit(1)} AS significant
+       FROM ls CROSS JOIN blocks CROSS JOIN kk"""
 
   private lazy val qFriedmanSql =
     s"""WITH daily AS (
@@ -2844,6 +2932,7 @@ object Stats extends QueryModule {
     "q_bartlett" -> (qBartlett _),
     "q_tukey" -> (qTukey _),
     "q_friedman" -> (qFriedman _),
+    "q_page_trend" -> (qPageTrend _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
@@ -2892,6 +2981,7 @@ object Stats extends QueryModule {
     "q_bartlett" -> qBartlettSql,
     "q_tukey" -> qTukeySql,
     "q_friedman" -> qFriedmanSql,
+    "q_page_trend" -> qPageTrendSql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,

@@ -128,6 +128,48 @@ class Round13bSpec extends SparkSpec {
     assert(math.abs(rows.values.map(_._2).sum - direct) < 1e-6)
   }
 
+  test("q_page_trend: Page L on a monotone fixture recovers the textbook " +
+    "statistic and trips; a constant-order fixture sits at the null mean") {
+    import spark.implicits._
+    // 10 blocks, 3 treatments ordered a<b<c with a strictly monotone
+    // effect in every block: within-block ranks are always (1,2,3), so
+    // R = (10, 20, 30) and L = 1·10 + 2·20 + 3·30 = 140, the maximum.
+    // E = b·k(k+1)²/4 = 120, Var = b·k²(k+1)(k²−1)/144 = 20
+    val mono = for (b <- 1 to 10; (g, v) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+      yield (s"b$b", g, v + b)
+    val got = Stats.pageOf(mono.toDF("b", "g", "y")).collect()(0)
+    assert(got.getAs[Long]("k") == 3L && got.getAs[Long]("n_blocks") == 10L)
+    assert(math.abs(got.getAs[Double]("l") - 140.0) < 1e-12)
+    assert(math.abs(got.getAs[Double]("z") -
+      (140.0 - 120.0) / math.sqrt(20.0)) < 1e-6)
+    assert(got.getAs[Boolean]("significant"))
+    // anti-monotone assignment in half the blocks cancels the trend
+    val flat = for (b <- 1 to 10; (g, i) <- Seq("a", "b", "c").zipWithIndex)
+      yield (s"b$b", g, if (b % 2 == 0) i.toDouble else -i.toDouble)
+    val got2 = Stats.pageOf(flat.toDF("b", "g", "y")).collect()(0)
+    assert(math.abs(got2.getAs[Double]("l") - 120.0) < 1e-12,
+      "balanced up/down blocks must land exactly on the null mean")
+    assert(!got2.getAs[Boolean]("significant"))
+  }
+
+  test("q_jonckheere: hand-computed tied three-group fixture (JT = 11, " +
+    "tie-corrected z) and directional sanity") {
+    import spark.implicits._
+    // groups 1:{1,2} 2:{2,3} 3:{3,4}: 2U = 7+8+7 = 22 → JT = 11, E = 6,
+    // Var = 420/72 + 0 + 24/240 = 5.9333…
+    val fx = Seq((1, 1L), (1, 2L), (2, 2L), (2, 3L), (3, 3L), (3, 4L))
+    val got = RobustStats.jonckheereOf(fx.toDF("g", "x")).collect()(0)
+    assert(got.getAs[Long]("k") == 3L && got.getAs[Long]("n") == 6L)
+    assert(math.abs(got.getAs[Double]("jt") - 11.0) < 1e-12)
+    val refZ = (11.0 - 6.0) / math.sqrt(420.0 / 72 + 24.0 / 240)
+    assert(math.abs(got.getAs[Double]("z") - refZ) < 1e-6)
+    assert(got.getAs[Boolean]("significant"))
+    // reversing the group order must flip the sign exactly
+    val rev = RobustStats.jonckheereOf(
+      fx.map { case (g, x) => (4 - g, x) }.toDF("g", "x")).collect()(0)
+    assert(math.abs(rev.getAs[Double]("z") + got.getAs[Double]("z")) < 1e-9)
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
