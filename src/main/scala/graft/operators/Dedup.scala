@@ -1537,8 +1537,73 @@ object Dedup extends QueryModule {
          END AS r
        FROM agg"""
 
+  /** k-core peel constants: core order and the FIXED simultaneous-peel
+    * round count — both engines run EXACTLY this many rounds (near-dup
+    * components are near-cliques; pendant chains collapse in a handful
+    * of rounds, and an unconverged tail is identical on both sides by
+    * construction, so the gate never depends on convergence). */
+  val KCoreK = 2
+  val KCoreRounds = 8
+
+  /** q_kcore: bounded-round k-core peel of the near-dup graph — the
+    * density skeleton beside the other graph diagnostics (q_graph_stats
+    * counts triangles, q_pagerank scores centrality; the 2-core strips
+    * PENDANT matches — docs attached to a dup cluster by a single edge,
+    * the ones a threshold tightening orphans first — leaving the dense
+    * dup-farm skeleton). Simultaneous peel: round i keeps nodes with
+    * ≥ k neighbors INSIDE round i−1's survivor set; [[KCoreRounds]]
+    * rounds, each ONE node-keyed semi-join pair + count (edges
+    * checkpointed once, survivor sets node-sized, eager checkpoint per
+    * round — the connectedComponents lineage rule). The oracle unrolls
+    * the identical rounds as generated CTEs. Emits every graph node
+    * with its degree (hash-anchored) and core membership. */
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOf(jaccardEdges(s, dir))
+
+  /** Peel core over an undirected (a, b) edge relation — see
+    * [[qKcore]]. */
+  def kcoreOf(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("degree"))
+    var keep = deg.select("a").localCheckpoint(true)
+    for (_ <- 1 to KCoreRounds) {
+      keep = sym
+        .join(keep, Seq("a"))
+        .join(keep.select(col("a").as("b")), Seq("b"))
+        .groupBy("a").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= KCoreK)
+        .select("a")
+        .localCheckpoint(true)
+    }
+    deg.join(keep.withColumn("in_core", lit(true)), Seq("a"), "left")
+      .select(col("a").as("doc_id"), col("degree"),
+        coalesce(col("in_core"), lit(false)).as("in_core"))
+  }
+
+  private lazy val qKcoreSql = {
+    // every k_i is referenced TWICE by round i+1 (both edge endpoints):
+    // without MATERIALIZED, DuckDB inlines CTEs and the peel re-derives
+    // the whole jaccard pipeline 2^rounds times
+    val rounds = (1 to KCoreRounds).map(i =>
+      s"""k$i AS MATERIALIZED (SELECT e.a FROM edges e
+            JOIN k${i - 1} x ON e.a = x.a JOIN k${i - 1} y ON e.b = y.a
+            GROUP BY e.a HAVING count(*) >= $KCoreK)""").mkString(",\n       ")
+    s"""WITH pr AS MATERIALIZED ($qDedupJaccardSql),
+       edges AS MATERIALIZED (
+         SELECT doc_a AS a, doc_b AS b FROM pr
+         UNION ALL SELECT doc_b, doc_a FROM pr),
+       k0 AS MATERIALIZED (SELECT DISTINCT a FROM edges),
+       $rounds,
+       deg AS (SELECT a, CAST(count(*) AS BIGINT) AS degree
+               FROM edges GROUP BY a)
+       SELECT d.a AS doc_id, d.degree, (k.a IS NOT NULL) AS in_core
+       FROM deg d LEFT JOIN k$KCoreRounds k ON d.a = k.a"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assortativity" -> (qAssortativity _),
+    "q_kcore" -> (qKcore _),
     "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1568,6 +1633,7 @@ object Dedup extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_modularity" -> qModularitySql,
+    "q_kcore" -> qKcoreSql,
     "q_assortativity" -> qAssortativitySql,
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_exact" -> qDedupExactSql,

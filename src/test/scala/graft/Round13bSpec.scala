@@ -170,6 +170,21 @@ class Round13bSpec extends SparkSpec {
     assert(math.abs(rev.getAs[Double]("z") + got.getAs[Double]("z")) < 1e-9)
   }
 
+  test("q_kcore: triangle survives the 2-core peel, pendant chain peels in " +
+    "round order; corpus core is a subgraph of the dup graph") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4–1 + chain tail 5–4: round 1 removes 5
+    // (deg 1), round 2 removes 4 (only neighbor 1 left), {1,2,3} stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = graft.operators.Dedup.kcoreOf(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Boolean]("in_core"))).toMap
+    assert(got == Map(
+      1L -> (3L, true), 2L -> (2L, true), 3L -> (2L, true),
+      4L -> (2L, false), 5L -> (1L, false)))
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
