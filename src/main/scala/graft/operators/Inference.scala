@@ -656,15 +656,34 @@ object Inference extends QueryModule {
     * All four cell counts are exact integer aggregates of one equi-join
     * (both sides doc-keyed, corpus-partitioned); the statistic is one
     * double division; b+c = 0 → NULL, never a fabricated verdict. */
-  def qMcnemar(s: SparkSession, dir: String): DataFrame = {
-    val j = TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes"))
+  /** The 2×2 cell aggregate of the (Gopher gate × entropy gate) join —
+    * ONE assembly shared by q_mcnemar and q_mcc (the featureVectors
+    * rule: both tests must score the identical contingency table). */
+  private def gateCells(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes"))
       .join(TextAnalysis.qEntropy(s, dir).select(col("doc_id"), col("entropy_ok")),
         Seq("doc_id"))
-    val agg = j.agg(
-      sum(when(col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_both"),
-      sum(when(col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_gopher_only"),
-      sum(when(!col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_entropy_only"),
-      sum(when(!col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_neither"))
+      .agg(
+        sum(when(col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_gopher_only"),
+        sum(when(!col("passes") && col("entropy_ok"), 1L).otherwise(0L)).as("n_entropy_only"),
+        sum(when(!col("passes") && !col("entropy_ok"), 1L).otherwise(0L)).as("n_neither"))
+
+  /** The shared gate-cell CTE chain (g/e/j/a) — prepended by both
+    * oracle SQLs so the contingency convention cannot drift. */
+  private lazy val gateCellsCtes =
+    s"""g AS (${TextAnalysis.qQualityRulesSql}),
+       e AS (${TextAnalysis.qEntropySql}),
+       j AS (SELECT g.passes, e.entropy_ok FROM g JOIN e USING (doc_id)),
+       a AS (SELECT
+           CAST(count(*) FILTER (WHERE passes AND entropy_ok) AS BIGINT) AS n_both,
+           CAST(count(*) FILTER (WHERE passes AND NOT entropy_ok) AS BIGINT) AS n_gopher_only,
+           CAST(count(*) FILTER (WHERE NOT passes AND entropy_ok) AS BIGINT) AS n_entropy_only,
+           CAST(count(*) FILTER (WHERE NOT passes AND NOT entropy_ok) AS BIGINT) AS n_neither
+         FROM j)"""
+
+  def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val agg = gateCells(s, dir)
     val b = col("n_gopher_only"); val c = col("n_entropy_only")
     val num = greatest(abs(b - c) - 1, lit(0L))
     val chi = (num * num).cast("double") / (b + c).cast("double")
@@ -677,15 +696,7 @@ object Inference extends QueryModule {
   }
 
   private lazy val qMcnemarSql =
-    s"""WITH g AS (${TextAnalysis.qQualityRulesSql}),
-       e AS (${TextAnalysis.qEntropySql}),
-       j AS (SELECT g.passes, e.entropy_ok FROM g JOIN e USING (doc_id)),
-       a AS (SELECT
-           CAST(count(*) FILTER (WHERE passes AND entropy_ok) AS BIGINT) AS n_both,
-           CAST(count(*) FILTER (WHERE passes AND NOT entropy_ok) AS BIGINT) AS n_gopher_only,
-           CAST(count(*) FILTER (WHERE NOT passes AND entropy_ok) AS BIGINT) AS n_entropy_only,
-           CAST(count(*) FILTER (WHERE NOT passes AND NOT entropy_ok) AS BIGINT) AS n_neither
-         FROM j),
+    s"""WITH $gateCellsCtes,
        t AS (SELECT *, greatest(abs(n_gopher_only - n_entropy_only) - 1, 0) AS num,
                n_gopher_only + n_entropy_only AS disc
              FROM a)
@@ -697,8 +708,71 @@ object Inference extends QueryModule {
                 > ${RobustStats.KruskalChiCrit(1)} END AS significant
        FROM t"""
 
+  /** q_mcc: Matthews correlation (= the φ coefficient) and odds ratio
+    * with a 95% log-OR Wald interval over the SAME gate contingency
+    * table as q_mcnemar — the ASSOCIATION companion (McNemar asks "do
+    * the marginal rates differ?"; MCC/OR ask "do the two gates agree on
+    * the same documents more than chance?" — a high-MCC pair is
+    * redundant in a filter stack, a near-zero one is complementary).
+    * MCC = (ad − bc)/√((a+b)(c+d)(a+c)(b+d)): the numerator is an exact
+    * widened-DECIMAL product difference cast to double once; the four
+    * marginal factors multiply as doubles (their product can reach
+    * 10⁴⁰ — past any exact width, the documented single-double
+    * combination). Degenerate margins → NULL MCC; any empty cell →
+    * NULL OR/CI, never ±∞. */
+  def qMcc(s: SparkSession, dir: String): DataFrame = {
+    val a = col("n_both"); val b = col("n_gopher_only")
+    val c = col("n_entropy_only"); val d = col("n_neither")
+    def D(x: Column) = x.cast("double")
+    val num = (a.cast("decimal(38,0)") * d - b.cast("decimal(38,0)") * c)
+      .cast("double")
+    val den = sqrt(D(a + b) * D(c + d) * D(a + c) * D(b + d))
+    val allPos = a > 0 && b > 0 && c > 0 && d > 0
+    val orv = (a.cast("decimal(38,0)") * d).cast("double") /
+      (b.cast("decimal(38,0)") * c).cast("double")
+    val se = sqrt(lit(1.0) / D(a) + lit(1.0) / D(b) +
+      lit(1.0) / D(c) + lit(1.0) / D(d))
+    val zc = RobustStats.DunnZCrit(1)
+    gateCells(s, dir).select(a, b, c, d,
+      when(den =!= 0.0, round(num / den, 6))
+        .otherwise(lit(null).cast("double")).as("mcc"),
+      when(allPos, round(orv, 6))
+        .otherwise(lit(null).cast("double")).as("odds_ratio"),
+      when(allPos, round(log(orv) - lit(zc) * se, 6))
+        .otherwise(lit(null).cast("double")).as("log_or_lo"),
+      when(allPos, round(log(orv) + lit(zc) * se, 6))
+        .otherwise(lit(null).cast("double")).as("log_or_hi"))
+  }
+
+  private lazy val qMccSql = {
+    val zc = RobustStats.DunnZCrit(1)
+    s"""WITH $gateCellsCtes,
+       t AS (SELECT *,
+           CAST(CAST(n_both AS HUGEINT) * n_neither
+             - CAST(n_gopher_only AS HUGEINT) * n_entropy_only AS DOUBLE) AS num,
+           sqrt(CAST(n_both + n_gopher_only AS DOUBLE)
+             * CAST(n_entropy_only + n_neither AS DOUBLE)
+             * CAST(n_both + n_entropy_only AS DOUBLE)
+             * CAST(n_gopher_only + n_neither AS DOUBLE)) AS den,
+           CAST(CAST(n_both AS HUGEINT) * n_neither AS DOUBLE)
+             / CAST(CAST(n_gopher_only AS HUGEINT) * n_entropy_only AS DOUBLE) AS orv,
+           sqrt(CAST(1 AS DOUBLE) / n_both + CAST(1 AS DOUBLE) / n_gopher_only
+             + CAST(1 AS DOUBLE) / n_entropy_only
+             + CAST(1 AS DOUBLE) / n_neither) AS se,
+           (n_both > 0 AND n_gopher_only > 0 AND n_entropy_only > 0
+             AND n_neither > 0) AS allpos
+         FROM a)
+       SELECT n_both, n_gopher_only, n_entropy_only, n_neither,
+         CASE WHEN den <> 0 THEN round(num / den, 6) END AS mcc,
+         CASE WHEN allpos THEN round(orv, 6) END AS odds_ratio,
+         CASE WHEN allpos THEN round(ln(orv) - $zc * se, 6) END AS log_or_lo,
+         CASE WHEN allpos THEN round(ln(orv) + $zc * se, 6) END AS log_or_hi
+       FROM t"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_holm" -> (qHolm _),
+    "q_mcc" -> (qMcc _),
     "q_mcnemar" -> (qMcnemar _),
     "q_sprt" -> (qSprt _),
     "q_conformal" -> (qConformal _),
@@ -710,6 +784,7 @@ object Inference extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_holm" -> qHolmSql,
+    "q_mcc" -> qMccSql,
     "q_mcnemar" -> qMcnemarSql,
     "q_sprt" -> qSprtSql,
     "q_conformal" -> qConformalSql,

@@ -141,6 +141,76 @@ object RobustStats extends QueryModule {
        FROM a, b"""
   }
 
+  /** q_cronbach: Cronbach's alpha (≡ KR-20 for the binary panel) — the
+    * RELIABILITY member of the agreement family (Fleiss/Krippendorff
+    * measure chance-corrected agreement; alpha measures internal
+    * consistency: do the m raters function as one scale? — the
+    * psychometrics gate before averaging panel votes into a single
+    * label). α = m/(m−1)·(1 − Σ_j σ²_j / σ²_L) with σ²_j the per-rater
+    * sample variance (binary: Σv² = Σv, so every moment is an exact
+    * integer aggregate widened to DECIMAL(38,0) before the n·Σ
+    * cross-products) and σ²_L the variance of the per-doc total score.
+    * The one order-sensitive m-term double sum folds over the sorted
+    * rater array (the anovaOf discipline). σ²_L = 0 → NULL, never a
+    * fabricated coefficient. */
+  def qCronbach(s: SparkSession, dir: String): DataFrame = {
+    val m = FleissRaters
+    val v = raterVotes(s, dir)
+    val nd = col("n").cast("decimal(38,0)")
+    val sj = col("sj").cast("decimal(38,0)")
+    val items = v.groupBy("r")
+      .agg(count(lit(1)).as("n"), sum(col("vote")).as("sj"))
+      .select(col("r"),
+        ((nd * sj - sj * sj).cast("double") /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))).as("vj"))
+      .agg(aggregate(array_sort(collect_list(struct(col("r"), col("vj")))),
+        lit(0.0), (acc, x) => acc + x.getField("vj")).as("sum_vj"))
+    val ndd = col("nd").cast("decimal(38,0)")
+    val sl = col("sl").cast("decimal(38,0)")
+    val tot = v.groupBy("doc_id").agg(sum(col("vote")).as("l"))
+      .agg(count(lit(1)).as("nd"), sum(col("l")).as("sl"),
+        sum(col("l") * col("l")).as("sl2"))
+      .select(col("nd").as("n_docs"),
+        ((ndd * col("sl2").cast("decimal(38,0)") - sl * sl).cast("double") /
+          (col("nd").cast("double") * (col("nd") - 1).cast("double")))
+          .as("var_total"))
+    val alpha = lit(m.toDouble / (m - 1)) *
+      (lit(1.0) - col("sum_vj") / col("var_total"))
+    items.crossJoin(broadcast(tot))
+      .select(col("n_docs"), lit(m).as("m"),
+        round(col("sum_vj"), 6).as("sum_item_var"),
+        round(col("var_total"), 6).as("var_total"),
+        when(col("var_total") =!= 0.0, round(alpha, 6))
+          .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
+  private lazy val qCronbachSql = {
+    val m = FleissRaters
+    s"""WITH v AS ($raterVotesSql),
+       items AS (SELECT r, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vote) AS BIGINT) AS sj
+                 FROM v GROUP BY r),
+       iv AS (SELECT r,
+                CAST(CAST(n AS HUGEINT) * sj - CAST(sj AS HUGEINT) * sj AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vj
+              FROM items),
+       sv AS (SELECT list_sum(list(vj ORDER BY r)) AS sum_vj FROM iv),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(l) AS BIGINT) AS sl, CAST(sum(l * l) AS BIGINT) AS sl2
+               FROM (SELECT doc_id, sum(vote) AS l FROM v GROUP BY doc_id)),
+       tv AS (SELECT n_docs,
+                CAST(CAST(n_docs AS HUGEINT) * sl2 - CAST(sl AS HUGEINT) * sl AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)) AS var_total
+              FROM tot)
+       SELECT n_docs, CAST($m AS INT) AS m,
+         round(sum_vj, 6) AS sum_item_var,
+         round(var_total, 6) AS var_total,
+         CASE WHEN var_total <> 0 THEN
+           round(${m.toDouble / (m - 1)} * (1.0 - sum_vj / var_total), 6)
+         END AS alpha
+       FROM sv CROSS JOIN tv"""
+  }
+
   // ---------------------------------------------------------- krippendorff
 
   /** q_krippendorff: Krippendorff's alpha over the same deterministic
@@ -1529,6 +1599,7 @@ object RobustStats extends QueryModule {
     "q_dunn" -> (qDunn _),
     "q_fleiss" -> (qFleiss _),
     "q_cochran_q" -> (qCochranQ _),
+    "q_cronbach" -> (qCronbach _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
@@ -1553,6 +1624,7 @@ object RobustStats extends QueryModule {
     "q_dunn" -> qDunnSql,
     "q_fleiss" -> qFleissSql,
     "q_cochran_q" -> qCochranQSql,
+    "q_cronbach" -> qCronbachSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,

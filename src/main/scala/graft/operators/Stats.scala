@@ -2724,6 +2724,92 @@ object Stats extends QueryModule {
            > ${RobustStats.DunnZCrit(1)} AS significant
        FROM ls CROSS JOIN blocks CROSS JOIN kk"""
 
+  /** q_runs_test: Wald–Wolfowitz runs test on the up/down sequence of
+    * daily value totals per event type — the RANDOMNESS member of the
+    * serial-dependence family (q_autocorr measures linear lag-1
+    * dependence, q_cusum/q_page_hinkley hunt sustained drift; the runs
+    * test asks the weaker, assumption-free question "is the direction
+    * sequence exchangeable at all?" — it catches oscillation AND
+    * clustering that autocorrelation of magnitudes can miss). Zero
+    * day-over-day changes are EXCLUDED (exact DECIMAL(18,6) equality,
+    * identical cross-engine), the sign sequence is re-lagged after the
+    * exclusion, and R = #(sign breaks) + 1 per type. Null moments:
+    * E = 2n₁n₂/n + 1, Var = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — products
+    * widened to DECIMAL(38,0)/HUGEINT before the single double
+    * combination. Degenerate sequences (one-sided or n ≤ 1, or zero
+    * variance) → NULL, never a fabricated z. Two windows over
+    * (type × day) — day count bounds everything. */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame =
+    runsOf(Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("g", "d").agg(sum(col("x")).as("y")))
+
+  /** Runs-test core over a (g, d: ordered step, y) relation — see
+    * [[qRunsTest]]. */
+  def runsOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("d")
+    val signs = daily.withColumn("prev", lag(col("y"), 1).over(w))
+      .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+      .select(col("g"), col("d"),
+        when(col("y") > col("prev"), 1).otherwise(-1).as("sgn"))
+    val agg = signs.withColumn("ps", lag(col("sgn"), 1).over(w))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("ps").isNull || col("ps") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("r"))
+    val p = lit(2).cast("decimal(38,0)") *
+      col("n_up").cast("decimal(38,0)") * col("n_down").cast("decimal(38,0)")
+    val nn = col("n").cast("decimal(38,0)")
+    val e = p.cast("double") / col("n").cast("double") + lit(1.0)
+    val vr = p.cast("double") * (p - nn).cast("double") /
+      (nn * nn * (nn - 1)).cast("double")
+    val z = (col("r").cast("double") - e) / sqrt(vr)
+    val ok = col("n_up") > 0 && col("n_down") > 0 && col("n") > 1 && vr > 0.0
+    agg.select(col("g").as("event_type"), col("n"), col("n_up"),
+      col("n_down"), col("r").as("runs"),
+      when(ok, round(z, 6)).otherwise(lit(null).cast("double")).as("z"),
+      when(ok, abs(z) > RobustStats.DunnZCrit(1))
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
+
+  private lazy val qRunsTestSql =
+    s"""WITH daily AS (
+         SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS d,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       df AS (SELECT g, d, y, lag(y) OVER (PARTITION BY g ORDER BY d) AS prev
+              FROM daily),
+       sg AS (SELECT g, d, CASE WHEN y > prev THEN 1 ELSE -1 END AS sgn
+              FROM df WHERE prev IS NOT NULL AND y <> prev),
+       rr AS (SELECT g, sgn, lag(sgn) OVER (PARTITION BY g ORDER BY d) AS ps
+              FROM sg),
+       agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE sgn = 1) AS BIGINT) AS n_up,
+                 CAST(count(*) FILTER (WHERE sgn = -1) AS BIGINT) AS n_down,
+                 CAST(count(*) FILTER (WHERE ps IS NULL OR ps <> sgn) AS BIGINT) AS r
+               FROM rr GROUP BY g),
+       t AS (SELECT *,
+               CAST(2 AS HUGEINT) * n_up * n_down AS p,
+               CAST(n AS HUGEINT) AS nn
+             FROM agg),
+       u AS (SELECT *,
+               CAST(p AS DOUBLE) / CAST(n AS DOUBLE) + 1.0 AS e,
+               CAST(p AS DOUBLE) * CAST(p - nn AS DOUBLE)
+                 / CAST(nn * nn * (nn - 1) AS DOUBLE) AS vr
+             FROM t)
+       SELECT g AS event_type, n, n_up, n_down, r AS runs,
+         CASE WHEN n_up > 0 AND n_down > 0 AND n > 1 AND vr > 0 THEN
+           round((CAST(r AS DOUBLE) - e) / sqrt(vr), 6) END AS z,
+         CASE WHEN n_up > 0 AND n_down > 0 AND n > 1 AND vr > 0 THEN
+           abs((CAST(r AS DOUBLE) - e) / sqrt(vr)) > ${RobustStats.DunnZCrit(1)}
+         END AS significant
+       FROM u"""
+
   private lazy val qFriedmanSql =
     s"""WITH daily AS (
          SELECT strftime(ts, '%Y-%m-%d') AS b, event_type AS g,
@@ -2933,6 +3019,7 @@ object Stats extends QueryModule {
     "q_tukey" -> (qTukey _),
     "q_friedman" -> (qFriedman _),
     "q_page_trend" -> (qPageTrend _),
+    "q_runs_test" -> (qRunsTest _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
@@ -2982,6 +3069,7 @@ object Stats extends QueryModule {
     "q_tukey" -> qTukeySql,
     "q_friedman" -> qFriedmanSql,
     "q_page_trend" -> qPageTrendSql,
+    "q_runs_test" -> qRunsTestSql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,

@@ -185,6 +185,80 @@ class Round13bSpec extends SparkSpec {
       4L -> (2L, false), 5L -> (1L, false)))
   }
 
+  test("q_runs_test: perfect oscillation maxes the run count and trips; a " +
+    "monotone series is one-sided -> NULL; corpus matches a local re-derivation") {
+    import spark.implicits._
+    // 21 days alternating 10, 20 → 20 nonzero diffs of alternating sign
+    // → n = 20, R = 20 (every step breaks), n1 = n2 = 10
+    val osc = (1 to 21).map(i =>
+      ("a", f"d$i%02d", BigDecimal(if (i % 2 == 0) 20 else 10)))
+    val got = Stats.runsOf(osc.toDF("g", "d", "y")).collect()(0)
+    assert(got.getAs[Long]("n") == 20L && got.getAs[Long]("runs") == 20L)
+    val e = 2.0 * 10 * 10 / 20 + 1
+    val v = (2.0 * 10 * 10) * (2.0 * 10 * 10 - 20) / (20.0 * 20 * 19)
+    assert(math.abs(got.getAs[Double]("z") - (20.0 - e) / math.sqrt(v)) < 1e-6)
+    assert(got.getAs[Boolean]("significant"))
+    // strictly increasing → n_down = 0 → NULL verdict
+    val mono = (1 to 10).map(i => ("b", f"d$i%02d", BigDecimal(i)))
+    val got2 = Stats.runsOf(mono.toDF("g", "d", "y")).collect()(0)
+    assert(got2.isNullAt(got2.fieldIndex("z")))
+    assert(got2.isNullAt(got2.fieldIndex("significant")))
+  }
+
+  test("q_cronbach matches a driver-side alpha over the re-derived panel") {
+    val m = RobustStats.FleissRaters
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def vote(docId: Long, r: Int, base: Boolean): Int = {
+      val h = md.digest(s"$docId:$r".getBytes("UTF-8"))
+      val v = if (((h(0) & 0xff) >> 4) < 3) !base else base
+      if (v) 1 else 0
+    }
+    val votes = docs.map { case (id, nc) =>
+      (0 until m).map(r =>
+        vote(id, r, nc >= RobustStats.FleissLenThreshold)).toArray
+    }
+    val n = votes.length.toDouble
+    def sampleVar(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    val sumVj = (0 until m).map(r => sampleVar(votes.map(_(r).toDouble))).sum
+    val varL = sampleVar(votes.map(_.sum.toDouble))
+    val refAlpha = m.toDouble / (m - 1) * (1.0 - sumVj / varL)
+    val got = RobustStats.qCronbach(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n_docs") == votes.length.toLong)
+    assert(math.abs(got.getAs[Double]("alpha") - refAlpha) < 1e-4,
+      s"alpha ${got.getAs[Double]("alpha")} vs ref $refAlpha")
+  }
+
+  test("q_mcc matches a driver-side MCC/OR over the two collected gates") {
+    val g = TextAnalysis.qQualityRules(spark, sfDir)
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val e = TextAnalysis.qEntropy(spark, sfDir)
+      .select(col("doc_id"), col("entropy_ok")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val keys = g.keySet intersect e.keySet
+    val a = keys.count(k => g(k) && e(k)).toDouble
+    val b = keys.count(k => g(k) && !e(k)).toDouble
+    val c = keys.count(k => !g(k) && e(k)).toDouble
+    val d = keys.count(k => !g(k) && !e(k)).toDouble
+    val row = Inference.qMcc(spark, sfDir).collect()(0)
+    val den = math.sqrt((a + b) * (c + d) * (a + c) * (b + d))
+    if (den != 0) {
+      assert(math.abs(row.getAs[Double]("mcc") - (a * d - b * c) / den) < 1e-6)
+    }
+    if (a > 0 && b > 0 && c > 0 && d > 0) {
+      assert(math.abs(row.getAs[Double]("odds_ratio") - a * d / (b * c)) < 1e-4)
+      val se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+      assert(math.abs(row.getAs[Double]("log_or_lo") -
+        (math.log(a * d / (b * c)) - 1.959964 * se)) < 1e-4)
+    }
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
