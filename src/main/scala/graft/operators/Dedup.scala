@@ -1330,7 +1330,11 @@ object Dedup extends QueryModule {
     * per-pair gram join fans out by |pairs|·|doc grams| — bounded by the
     * near-dup density times doc length, never corpus² — and shuffles on
     * (doc, gram) keys. */
-  def qRougePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-pair multiset 1/2-gram match counts + both docs' gram totals —
+    * ONE assembly shared by q_rouge_pairs and q_bleu_pairs (the
+    * featureVectors rule: both metrics must score the identical match
+    * multiset). Columns: doc_a, doc_b, m1, m2, n1a, n2a, n1b, n2b. */
+  private def pairGramStats(s: SparkSession, dir: String): DataFrame = {
     val pairs = qDedupJaccard(s, dir).select("doc_a", "doc_b")
     val toks = TextPrep.rawDocs(s, dir).select(col("doc_id"), col("rtoks"))
     val uni = toks.select(col("doc_id"), explode(col("rtoks")).as("g"))
@@ -1356,16 +1360,93 @@ object Dedup extends QueryModule {
         col("n1").as("n1a"), col("n2").as("n2a")), Seq("doc_a"))
       .join(tot.select(col("doc_id").as("doc_b"),
         col("n1").as("n1b"), col("n2").as("n2b")), Seq("doc_b"))
+  }
+
+  def qRougePairs(s: SparkSession, dir: String): DataFrame =
+    pairGramStats(s, dir)
       .select(col("doc_a"), col("doc_b"), col("m1"), col("m2"),
         round((col("m1") * 2).cast("double") / (col("n1a") + col("n1b")), 6)
           .as("rouge1_f"),
         round((col("m2") * 2).cast("double") / (col("n2a") + col("n2b")), 6)
           .as("rouge2_f"))
+
+  /** q_bleu_pairs: sentence-BLEU-2 with brevity penalty over the SAME
+    * memoized near-dup candidate stream and gram-match multiset as
+    * q_rouge_pairs — the PRECISION-side twin (ROUGE-F is symmetric
+    * recall-ish; BLEU is directional: "how much of the CANDIDATE is
+    * covered", so a short verbatim extract scores high BLEU against its
+    * source but low the other way — the asymmetry that separates
+    * quote-extraction from template reuse, complementing 40b2's
+    * set-level containment with multiset n-gram evidence). bleu2_ab
+    * scores doc_b as candidate against reference doc_a (and ba the
+    * reverse): BP·√(p₁·p₂) with pₙ the clipped precisions mₙ/nₙ and
+    * BP = min(1, e^(1−ref/cand)). Any zero match or empty candidate →
+    * NULL (log-undefined), never a fabricated 0. All counts exact
+    * integers; one fixed double expression per direction. */
+  def qBleuPairs(s: SparkSession, dir: String): DataFrame = {
+    def D(c: Column) = c.cast("double")
+    def bleu(m1: Column, m2: Column, refN1: Column,
+        candN1: Column, candN2: Column): Column =
+      when(m1 > 0 && m2 > 0 && candN2 > 0,
+        round(least(lit(1.0), exp(lit(1.0) - D(refN1) / D(candN1))) *
+          sqrt((D(m1) / D(candN1)) * (D(m2) / D(candN2))), 6))
+        .otherwise(lit(null).cast("double"))
+    pairGramStats(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("m1"), col("m2"),
+        bleu(col("m1"), col("m2"), col("n1a"), col("n1b"), col("n2b"))
+          .as("bleu2_ab"),
+        bleu(col("m1"), col("m2"), col("n1b"), col("n1a"), col("n2a"))
+          .as("bleu2_ba"))
   }
 
-  private lazy val qRougePairsSql = {
+  /** Splice-window width (tokens). */
+  val SpliceK = 4
+
+  /** q_splice_pairs: suffix→prefix splice detection — doc A whose LAST
+    * k raw tokens equal doc B's FIRST k (A ≠ B), the boilerplate-splice
+    * / continuation signal the window-based dedup family cannot see
+    * cheaply (a Jaccard candidate needs global shingle overlap; a
+    * splice shares exactly ONE boundary window — chunked-crawl page
+    * continuations, template headers glued to fresh bodies). Scale
+    * shape: each doc contributes exactly one head key and one tail key,
+    * so the candidate generation is ONE equi-join on the window string
+    * (inverted-index shape, never corpus²); docs shorter than 2k are
+    * excluded so head and tail windows cannot overlap. Emits the
+    * matched window verbatim for triage. */
+  def qSplicePairs(s: SparkSession, dir: String): DataFrame = {
+    val k = SpliceK
+    val ends = TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("rtoks"))
+      .filter(size(col("rtoks")) >= 2 * k)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("rtoks"), 1, k)).as("head_g"),
+        concat_ws(" ", slice(col("rtoks"), -k, k)).as("tail_g"))
+    ends.as("a").join(ends.as("b"),
+        col("a.tail_g") === col("b.head_g") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.tail_g").as("window"))
+  }
+
+  private lazy val qSplicePairsSql = {
+    val k = SpliceK
     val toks = TextFns.rawTokensSql("text")
-    s"""WITH $pairCountCtes,
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       e AS (SELECT doc_id,
+               array_to_string(toks[1:$k], ' ') AS head_g,
+               array_to_string(toks[len(toks) - ${k - 1}:len(toks)], ' ') AS tail_g
+             FROM t WHERE len(toks) >= ${2 * k})
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_g AS "window"
+       FROM e a JOIN e b ON a.tail_g = b.head_g AND a.doc_id <> b.doc_id"""
+  }
+
+  /** The shared pair-gram CTE chain + join tail (pr/t/uni/bi/tot/o1/o2
+    * with m1/m2/ta/tb in scope) — rouge and bleu oracle SQLs differ
+    * only in their SELECT list, so the match-multiset convention cannot
+    * drift between the two gated metrics. */
+  private lazy val pairGramSqlCtes = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""$pairCountCtes,
        pr AS (
          SELECT doc_a, doc_b FROM pairs
          JOIN sizes sa ON sa.doc_id = doc_a
@@ -1384,16 +1465,38 @@ object Dedup extends QueryModule {
          JOIN uni b ON b.doc_id = pr.doc_b AND b.g = a.g GROUP BY 1, 2),
        o2 AS (SELECT pr.doc_a, pr.doc_b, CAST(sum(LEAST(a.cnt, b.cnt)) AS BIGINT) AS m2
          FROM pr JOIN bi a ON a.doc_id = pr.doc_a
-         JOIN bi b ON b.doc_id = pr.doc_b AND b.g = a.g GROUP BY 1, 2)
-       SELECT pr.doc_a, pr.doc_b,
-         COALESCE(o1.m1, 0) AS m1, COALESCE(o2.m2, 0) AS m2,
-         round(CAST(2 * COALESCE(o1.m1, 0) AS DOUBLE) / (ta.n1 + tb.n1), 6) AS rouge1_f,
-         round(CAST(2 * COALESCE(o2.m2, 0) AS DOUBLE) / (ta.n2 + tb.n2), 6) AS rouge2_f
-       FROM pr
+         JOIN bi b ON b.doc_id = pr.doc_b AND b.g = a.g GROUP BY 1, 2)"""
+  }
+
+  private lazy val pairGramSqlTail =
+    s"""FROM pr
        LEFT JOIN o1 ON o1.doc_a = pr.doc_a AND o1.doc_b = pr.doc_b
        LEFT JOIN o2 ON o2.doc_a = pr.doc_a AND o2.doc_b = pr.doc_b
        JOIN tot ta ON ta.doc_id = pr.doc_a
        JOIN tot tb ON tb.doc_id = pr.doc_b"""
+
+  private lazy val qRougePairsSql =
+    s"""WITH $pairGramSqlCtes
+       SELECT pr.doc_a, pr.doc_b,
+         COALESCE(o1.m1, 0) AS m1, COALESCE(o2.m2, 0) AS m2,
+         round(CAST(2 * COALESCE(o1.m1, 0) AS DOUBLE) / (ta.n1 + tb.n1), 6) AS rouge1_f,
+         round(CAST(2 * COALESCE(o2.m2, 0) AS DOUBLE) / (ta.n2 + tb.n2), 6) AS rouge2_f
+       $pairGramSqlTail"""
+
+  private lazy val qBleuPairsSql = {
+    def bleu(refN1: String, candN1: String, candN2: String) =
+      s"""CASE WHEN COALESCE(o1.m1, 0) > 0 AND COALESCE(o2.m2, 0) > 0
+              AND $candN2 > 0 THEN
+           round(least(1.0, exp(1.0 - CAST($refN1 AS DOUBLE) / CAST($candN1 AS DOUBLE)))
+             * sqrt((CAST(o1.m1 AS DOUBLE) / CAST($candN1 AS DOUBLE))
+                 * (CAST(o2.m2 AS DOUBLE) / CAST($candN2 AS DOUBLE))), 6)
+         END"""
+    s"""WITH $pairGramSqlCtes
+       SELECT pr.doc_a, pr.doc_b,
+         COALESCE(o1.m1, 0) AS m1, COALESCE(o2.m2, 0) AS m2,
+         ${bleu("ta.n1", "tb.n1", "tb.n2")} AS bleu2_ab,
+         ${bleu("tb.n1", "ta.n1", "ta.n2")} AS bleu2_ba
+       $pairGramSqlTail"""
   }
 
   /** q_modularity: Newman modularity of the near-dup graph under the
@@ -1606,6 +1709,8 @@ object Dedup extends QueryModule {
     "q_kcore" -> (qKcore _),
     "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
+    "q_bleu_pairs" -> (qBleuPairs _),
+    "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_novelty" -> (qNovelty _),
@@ -1636,6 +1741,8 @@ object Dedup extends QueryModule {
     "q_kcore" -> qKcoreSql,
     "q_assortativity" -> qAssortativitySql,
     "q_rouge_pairs" -> qRougePairsSql,
+    "q_bleu_pairs" -> qBleuPairsSql,
+    "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_novelty" -> qNoveltySql,

@@ -2724,6 +2724,96 @@ object Stats extends QueryModule {
            > ${RobustStats.DunnZCrit(1)} AS significant
        FROM ls CROSS JOIN blocks CROSS JOIN kk"""
 
+  /** Ljung–Box portmanteau lag depth. */
+  val LjungBoxLags = 7
+
+  /** q_ljung_box: Ljung–Box portmanteau test of the daily value totals
+    * per event type — the MULTI-LAG member of the serial-dependence
+    * family (q_autocorr reads lag-1 only; a weekly cycle hides at lag 7
+    * with r₁ ≈ 0, and the portmanteau pools the first h lags into one
+    * χ²(h) verdict — the standard residual-whiteness gate before
+    * trusting q_holt/q_seasonal forecasts). Q = n(n+2)·Σ_{k≤h}
+    * r_k²/(n−k) over the SAME n-scaled exact-decimal centering as
+    * q_autocorr (d = n·x − S, the scale cancels in every r_k), each
+    * lag's num/den an exact DECIMAL(38,12) aggregate; the h-term
+    * combination is ONE fixed-order double expression, identical in
+    * both engines. n ≤ h or zero variance → NULL. One pass, h leads in
+    * a single projection. */
+  def qLjungBox(s: SparkSession, dir: String): DataFrame =
+    ljungBoxOf(Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot")))
+
+  /** Ljung–Box core over an (event_type, day, tot) relation — see
+    * [[qLjungBox]]. */
+  def ljungBoxOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = LjungBoxLags
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d = daily.join(st, Seq("event_type"))
+      .withColumn("d", (col("n") * col("tot") - col("s")).cast("decimal(18,6)"))
+    val withLeads = d.select(col("event_type") +: col("n") +: col("d") +:
+      (1 to h).map(k => lead(col("d"), k).over(w).as(s"l$k")): _*)
+    val agg = withLeads.groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        (sum(col("d") * col("d")).as("den")) +:
+          (1 to h).map(k =>
+            sum(col("d") * col(s"l$k")).as(s"num$k")): _*)
+    val nD = col("n_days").cast("double")
+    val q = (1 to h).map { k =>
+      val rk = col(s"num$k").cast("double") / col("den").cast("double")
+      rk * rk / (nD - k)
+    }.reduce(_ + _) * (nD * (nD + 2))
+    val ok = col("n_days") > h &&
+      col("den") =!= lit(0).cast("decimal(38,12)")
+    agg.select(col("event_type"), col("n_days"),
+      when(ok, round(q, 6)).otherwise(lit(null).cast("double")).as("q_lb"),
+      when(ok, q > RobustStats.KruskalChiCrit(h))
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
+
+  private lazy val qLjungBoxSql = {
+    val h = LjungBoxLags
+    // DECIMAL(19,6) forces int128 storage so the d·d products cannot
+    // overflow DuckDB's int64 DECIMAL(18) multiply (the qAutocorr rule)
+    val leadCols = (1 to h).map(k =>
+      s"CAST(lead(d, $k) OVER (PARTITION BY event_type ORDER BY day) " +
+        s"AS DECIMAL(19,6)) AS l$k")
+      .mkString(",\n                ")
+    val leads = (1 to h).map(k =>
+      s"CAST(sum(d * l$k) AS DECIMAL(38,12)) AS num$k")
+      .mkString(",\n           ")
+    val qExpr = "(" + (1 to h).map(k =>
+      s"(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)) * " +
+        s"(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)) " +
+        s"/ (CAST(n_days AS DOUBLE) - $k)").mkString(" + ") +
+      ") * (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2))"
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(tot) AS s
+              FROM daily GROUP BY 1),
+       dd AS (SELECT event_type, day,
+                CAST(n * tot - s AS DECIMAL(18,6)) AS d, n
+              FROM daily JOIN st USING (event_type)),
+       dl AS (SELECT event_type, n, CAST(d AS DECIMAL(19,6)) AS d,
+                $leadCols
+              FROM dd),
+       agg AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(d * d) AS DECIMAL(38,12)) AS den,
+           $leads
+         FROM dl GROUP BY event_type)
+       SELECT event_type, n_days,
+         CASE WHEN n_days > $h AND den <> 0 THEN round($qExpr, 6) END AS q_lb,
+         CASE WHEN n_days > $h AND den <> 0 THEN
+           $qExpr > ${RobustStats.KruskalChiCrit(h)} END AS significant
+       FROM agg"""
+  }
+
   /** q_runs_test: Wald–Wolfowitz runs test on the up/down sequence of
     * daily value totals per event type — the RANDOMNESS member of the
     * serial-dependence family (q_autocorr measures linear lag-1
@@ -3020,6 +3110,7 @@ object Stats extends QueryModule {
     "q_friedman" -> (qFriedman _),
     "q_page_trend" -> (qPageTrend _),
     "q_runs_test" -> (qRunsTest _),
+    "q_ljung_box" -> (qLjungBox _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
     "q_spearman" -> (qSpearman _),
@@ -3070,6 +3161,7 @@ object Stats extends QueryModule {
     "q_friedman" -> qFriedmanSql,
     "q_page_trend" -> qPageTrendSql,
     "q_runs_test" -> qRunsTestSql,
+    "q_ljung_box" -> qLjungBoxSql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,
     "q_spearman" -> qSpearmanSql,

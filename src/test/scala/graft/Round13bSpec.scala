@@ -259,6 +259,67 @@ class Round13bSpec extends SparkSpec {
     }
   }
 
+  test("q_bleu_pairs: hand-traced BLEU-2 on the two-doc near-dup fixture " +
+    "(equal lengths -> BP = 1, directional symmetry)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bleu13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aa bb cc dd ee aa", "en", "t", 17L),
+      (2L, "aa bb cc dd ee ff", "en", "t", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.qBleuPairs(spark, dir).collect()
+    assert(r.length == 1)
+    val p = r(0)
+    // m1 = 5, m2 = 4; lengths 6/6 → BP = 1 both ways;
+    // bleu = √(5/6 · 4/5) = √(2/3)
+    assert(p.getAs[Long]("m1") == 5L && p.getAs[Long]("m2") == 4L)
+    val want = math.floor(math.sqrt(2.0 / 3.0) * 1e6 + 0.5) / 1e6
+    assert(math.abs(p.getAs[Double]("bleu2_ab") - want) < 1e-9)
+    assert(math.abs(p.getAs[Double]("bleu2_ba") - want) < 1e-9)
+  }
+
+  test("q_splice_pairs: tail-of-A = head-of-B fixture yields exactly the " +
+    "spliced pair with the boundary window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-splice13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aa bb cc dd ee ff gg hh", "en", "t", 23L),
+      (2L, "ee ff gg hh xx yy zz ww", "en", "t", 23L),
+      (3L, "qq rr ss tt uu vv", "en", "t", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.qSplicePairs(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_a") == 1L && r(0).getAs[Long]("doc_b") == 2L)
+    assert(r(0).getAs[String]("window") == "ee ff gg hh")
+  }
+
+  test("q_ljung_box: period-2 oscillation trips the portmanteau and matches a " +
+    "driver-side reference; a too-short series is NULL") {
+    import spark.implicits._
+    val n = 30
+    val osc = (1 to n).map(i =>
+      ("a", f"d$i%02d", BigDecimal(if (i % 2 == 0) 30 else 10)))
+    val got = Stats.ljungBoxOf(osc.toDF("event_type", "day", "tot")).collect()(0)
+    // independent reference: plain double autocorrelations
+    val xs = (1 to n).map(i => if (i % 2 == 0) 30.0 else 10.0)
+    val mu = xs.sum / n
+    val d = xs.map(_ - mu)
+    val den = d.map(x => x * x).sum
+    val q = (1 to Stats.LjungBoxLags).map { k =>
+      val rk = d.dropRight(k).zip(d.drop(k)).map { case (x, y) => x * y }.sum / den
+      rk * rk / (n - k)
+    }.sum * n * (n + 2)
+    assert(math.abs(got.getAs[Double]("q_lb") - q) < 1e-4,
+      s"q ${got.getAs[Double]("q_lb")} vs ref $q")
+    assert(got.getAs[Boolean]("significant"))
+    // n = 7 = h → NULL (degenerate depth)
+    val short7 = (1 to 7).map(i => ("b", f"d$i%02d", BigDecimal(i)))
+    val g2 = Stats.ljungBoxOf(short7.toDF("event_type", "day", "tot")).collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("q_lb")))
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
