@@ -1079,6 +1079,89 @@ object RobustStats extends QueryModule {
     kruskalWallis(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
 
+  /** q_median_test: Mood's median test of doc length across languages —
+    * the COARSEST (and most outlier-proof) member of the k-group
+    * location family (q_anova compares means, q_kruskal rank sums;
+    * Mood's test only asks "does each group straddle the POOLED median
+    * the same way?" — it survives arbitrary monotone transforms and
+    * grotesque tails, the classic robustness/power trade documented
+    * beside its siblings). Pooled nearest-rank median at DISTINCT-VALUE
+    * granularity (one cumulative over the bounded n_chars domain, the
+    * kruskal trick), then a 2×k contingency of ≤-median vs > counts —
+    * all exact integers; the per-group (O−E)²/E terms fold over the
+    * sorted language array; χ²(k−1) from the shared critical table,
+    * degenerate margins (everything on one side) → NULL. */
+  def qMedianTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").cast("long").as("x"))
+    val n = v.count()
+    val half = (n + 1) / 2
+    val med = v.groupBy("x").agg(count(lit(1)).as("c"))
+      .withColumn("cm", sum(col("c")).over(Window.orderBy("x")))
+      .filter(col("cm") >= half)
+      .agg(min(col("x"))).head.getLong(0)
+    val g = v.groupBy("g").agg(count(lit(1)).as("n_g"),
+      sum(when(col("x") <= med, 1L).otherwise(0L)).as("a_g"))
+    val marg = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("a_g")).as("aa"))
+    val nD = col("n").cast("double"); val aD = col("aa").cast("double")
+    val ea = col("n_g").cast("double") * aD / nD
+    val eb = col("n_g").cast("double") * (nD - aD) / nD
+    val oa = col("a_g").cast("double")
+    val ob = (col("n_g") - col("a_g")).cast("double")
+    val term = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+    val chi = g.crossJoin(broadcast(marg))
+      .select(col("g"), col("k"), col("n"), col("aa"), term.as("t"))
+      .groupBy("k", "n", "aa")
+      .agg(aggregate(array_sort(collect_list(struct(col("g"), col("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("chi2"))
+    val crit = KruskalChiCrit.foldLeft(lit(null).cast("double")) {
+      case (acc, (df, cv)) => when(col("k") - 1 === df, cv).otherwise(acc)
+    }
+    val ok = col("aa") > 0 && col("aa") < col("n")
+    chi.select(col("k"), col("n"), lit(med).as("median"),
+      when(ok, round(col("chi2"), 6)).otherwise(lit(null).cast("double"))
+        .as("chi2"),
+      when(ok, col("chi2") > crit).otherwise(lit(null).cast("boolean"))
+        .as("significant"))
+  }
+
+  private lazy val qMedianTestSql =
+    s"""WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS x FROM documents),
+       dom AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+       cum AS (SELECT x, sum(c) OVER (ORDER BY x) AS cm FROM dom),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       med AS (SELECT min(x) AS med FROM cum, tot WHERE cm >= (n + 1) // 2),
+       g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(count(*) FILTER (WHERE x <= (SELECT med FROM med))
+                 AS BIGINT) AS a_g
+             FROM v GROUP BY g),
+       marg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(n_g) AS BIGINT) AS n,
+                  CAST(sum(a_g) AS BIGINT) AS aa FROM g),
+       t AS (SELECT g.g,
+               (CAST(a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE))
+               + (CAST(n_g - a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+                    / CAST(n AS DOUBLE))
+                * (CAST(n_g - a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+                    / CAST(n AS DOUBLE))
+                / (CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+                    / CAST(n AS DOUBLE)) AS t
+             FROM g CROSS JOIN marg),
+       m AS (SELECT list_sum(list(t ORDER BY g)) AS chi2 FROM t)
+       SELECT k, n, (SELECT med FROM med) AS median,
+         CASE WHEN aa > 0 AND aa < n THEN round(chi2, 6) END AS chi2,
+         CASE WHEN aa > 0 AND aa < n THEN
+           chi2 > ${KruskalChiCrit(4)} END AS significant
+       FROM m CROSS JOIN marg"""
+
   /** q_jonckheere: Jonckheere–Terpstra ordered-alternative test of
     * l_quantity across order MONTHS (the calendar is the natural ordered
     * k-group lattice in this schema) — the rank member of the ordered
@@ -1596,6 +1679,7 @@ object RobustStats extends QueryModule {
     "q_mannwhitney" -> (qMannwhitney _),
     "q_kruskal" -> (qKruskal _),
     "q_jonckheere" -> (qJonckheere _),
+    "q_median_test" -> (qMedianTest _),
     "q_dunn" -> (qDunn _),
     "q_fleiss" -> (qFleiss _),
     "q_cochran_q" -> (qCochranQ _),
@@ -1621,6 +1705,7 @@ object RobustStats extends QueryModule {
     "q_mannwhitney" -> qMannwhitneySql,
     "q_kruskal" -> qKruskalSql,
     "q_jonckheere" -> qJonckheereSql,
+    "q_median_test" -> qMedianTestSql,
     "q_dunn" -> qDunnSql,
     "q_fleiss" -> qFleissSql,
     "q_cochran_q" -> qCochranQSql,

@@ -289,6 +289,97 @@ object TextAnalysis extends QueryModule {
     * burst = cf/df is an exact-integer ratio to one division; ranked
     * (burst desc, tok asc) with a top-k cut so the output stays bounded
     * when the vocabulary is 10⁸ tokens. */
+  /** Burrows Delta function-word count. */
+  val BurrowsM = 30
+
+  /** q_burrows: Burrows' Delta stylometric distance between every
+    * source pair — the authorship-attribution classic (Burrows 2002):
+    * distances over z-scored RELATIVE frequencies of the corpus' top-m
+    * most frequent words (function words — kept, not stopped, which is
+    * why this runs on raw tokens), Δ(a,b) = (1/m)·Σ_t |z_ta − z_tb|.
+    * A high-Δ source pair writes in measurably different styles even
+    * when topics overlap — the provenance-drift signal c-TF-IDF's
+    * content signatures can't give. Everything after one corpus scan is
+    * bounded (m × k grid, k² pairs): top-m by collection frequency with
+    * a deterministic (cf desc, token asc) tie-break; per-token mean/std
+    * across sources and the per-pair |Δz| sums are ordered sorted-array
+    * folds so both engines walk identical IEEE additions; zero-variance
+    * tokens are excluded from the mean (same exact doubles → same
+    * exclusion set cross-engine), their count visible via m_used. */
+  def qBurrows(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextPrep.rawDocs(s, dir)
+      .select(col("source"), explode(col("rtoks")).as("t"))
+    val cnt = toks.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val top = cnt.groupBy("t").agg(sum(col("c")).as("cf"))
+      .orderBy(col("cf").desc, col("t").asc).limit(BurrowsM)
+      .select("t")
+    val grid = broadcast(top).crossJoin(ns)
+      .join(cnt, Seq("source", "t"), "left").na.fill(0L, Seq("c"))
+      .select(col("t"), col("source"),
+        (col("c").cast("double") / col("n_s").cast("double")).as("f"))
+    def fold(src: DataFrame, key: String, ord: String, term: Column,
+        name: String) =
+      src.groupBy(key)
+        .agg(count(lit(1)).as(s"${name}_n"),
+          aggregate(array_sort(collect_list(struct(col(ord), term.as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")).as(name))
+    val sf = fold(grid, "t", "source", col("f"), "sf")
+    val sf2 = fold(grid, "t", "source", col("f") * col("f"), "sf2")
+    val st = sf.join(sf2, Seq("t"))
+      .select(col("t"), col("sf_n").as("k"),
+        (col("sf") / col("sf_n").cast("double")).as("mu"),
+        sqrt((col("sf_n").cast("double") * col("sf2") - col("sf") * col("sf")) /
+          (col("sf_n").cast("double") * (col("sf_n") - 1).cast("double")))
+          .as("sigma"))
+      .filter(col("sigma") > 0.0)
+    val z = grid.join(broadcast(st), Seq("t"))
+      .select(col("t"), col("source"),
+        ((col("f") - col("mu")) / col("sigma")).as("z"))
+    val pairs = z.as("a").join(z.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.t").as("t"), abs(col("a.z") - col("b.z")).as("dz"))
+    pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("m_used"),
+        aggregate(array_sort(collect_list(struct(col("t"), col("dz").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("sd"))
+      .select(col("source_a"), col("source_b"), col("m_used"),
+        round(col("sd") / col("m_used").cast("double"), 6).as("delta"))
+  }
+
+  private lazy val qBurrowsSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH w AS (SELECT source, unnest($toks) AS t FROM documents),
+       cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+               FROM w GROUP BY 1, 2),
+       ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+              FROM w GROUP BY 1),
+       top AS (SELECT t FROM (SELECT t, sum(c) AS cf FROM cnt GROUP BY t)
+               ORDER BY cf DESC, t ASC LIMIT $BurrowsM),
+       grid AS (SELECT top.t, ns.source,
+                  CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS f
+                FROM top CROSS JOIN ns
+                LEFT JOIN cnt ON cnt.source = ns.source AND cnt.t = top.t),
+       st AS (SELECT t, CAST(count(*) AS BIGINT) AS k,
+                list_sum(list(f ORDER BY source)) AS sf,
+                list_sum(list(f * f ORDER BY source)) AS sf2
+              FROM grid GROUP BY t),
+       sig AS (SELECT t, sf / CAST(k AS DOUBLE) AS mu,
+                 sqrt((CAST(k AS DOUBLE) * sf2 - sf * sf)
+                   / (CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE))) AS sigma
+               FROM st),
+       z AS (SELECT grid.t, grid.source, (f - mu) / sigma AS z
+             FROM grid JOIN sig ON sig.t = grid.t WHERE sigma > 0),
+       pd AS (SELECT a.source AS source_a, b.source AS source_b, a.t,
+                abs(a.z - b.z) AS dz
+              FROM z a JOIN z b ON a.t = b.t AND a.source < b.source)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS m_used,
+         round(list_sum(list(dz ORDER BY t)) / CAST(count(*) AS DOUBLE), 6)
+           AS delta
+       FROM pd GROUP BY 1, 2"""
+  }
+
   /** q_yule_k: Yule's characteristic K and Simpson's diversity D per
     * language — the CORPUS-level lexical-concentration pair beside the
     * per-doc measures (q_ttr is per-doc type/token, q_entropy per-doc
@@ -1447,6 +1538,7 @@ object TextAnalysis extends QueryModule {
     "q_llr" -> (qLlr _),
     "q_ttr" -> (qTtr _),
     "q_yule_k" -> (qYuleK _),
+    "q_burrows" -> (qBurrows _),
     "q_burstiness" -> (qBurstiness _),
     "q_concordance" -> (qConcordance _),
     "q_ctfidf" -> (qCtfidf _),
@@ -1481,6 +1573,7 @@ object TextAnalysis extends QueryModule {
     "q_llr" -> qLlrSql,
     "q_ttr" -> qTtrSql,
     "q_yule_k" -> qYuleKSql,
+    "q_burrows" -> qBurrowsSql,
     "q_burstiness" -> qBurstinessSql,
     "q_concordance" -> qConcordanceSql,
     "q_ctfidf" -> qCtfidfSql,

@@ -320,6 +320,47 @@ class Round13bSpec extends SparkSpec {
     assert(g2.isNullAt(g2.fieldIndex("q_lb")))
   }
 
+  test("q_median_test: disjoint-length two-language fixture scores the " +
+    "textbook chi-square 20 and trips; corpus runs clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mood13").toString
+    import spark.implicits._
+    val rows = (1 to 10).map(i => (i.toLong, "x", "aa", "t", i.toLong)) ++
+      (11 to 20).map(i => (i.toLong, "x", "bb", "t", i.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // pooled median = 10 (nearest-rank at ceil(20/2)); aa entirely ≤,
+    // bb entirely > → each group term (5²/5 + 5²/5) = 10, χ² = 20
+    val got = RobustStats.qMedianTest(spark, dir).collect()(0)
+    assert(got.getAs[Long]("median") == 10L)
+    assert(math.abs(got.getAs[Double]("chi2") - 20.0) < 1e-9)
+    assert(got.getAs[Boolean]("significant"))
+    // corpus: honest result with valid margins
+    val c = RobustStats.qMedianTest(spark, sfDir).collect()(0)
+    assert(c.getAs[Long]("k") == 5L && c.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q_burrows: hand-computed delta on a three-source fixture (identical " +
+    "styles at 0, flipped style at sqrt(3))") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-burrows13").toString
+    import spark.implicits._
+    Seq(
+      (1L, "aa aa bb", "en", "s1", 8L),
+      (2L, "aa aa bb", "en", "s2", 8L),
+      (3L, "bb bb aa", "en", "s3", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // f(aa) = (2/3, 2/3, 1/3): z = (0.577, 0.577, −1.155); bb mirrors →
+    // Δ(s1,s2) = 0, Δ(s1,s3) = Δ(s2,s3) = √3
+    val got = TextAnalysis.qBurrows(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("m_used"), r.getAs[Double]("delta"))).toMap
+    assert(got.size == 3)
+    assert(got(("s1", "s2"))._1 == 2L && got(("s1", "s2"))._2 == 0.0)
+    val rt3 = math.floor(math.sqrt(3.0) * 1e6 + 0.5) / 1e6
+    assert(math.abs(got(("s1", "s3"))._2 - rt3) < 1e-6)
+    assert(math.abs(got(("s2", "s3"))._2 - rt3) < 1e-6)
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
