@@ -289,6 +289,124 @@ object TextAnalysis extends QueryModule {
     * burst = cf/df is an exact-integer ratio to one division; ranked
     * (burst desc, tok asc) with a top-k cut so the output stays bounded
     * when the vocabulary is 10⁸ tokens. */
+  /** Token-budget fraction for the water-filling allocator. */
+  val BudgetFrac = 0.5
+
+  /** q_token_budget: water-filling token-budget allocation across
+    * sources — the CORRECT version of the uniform-share heuristic
+    * (q_mix_rates hands every source tot·frac/k, but a small source
+    * cannot fill its share and the surplus is silently lost; water-
+    * filling raises one common cap C so undersized sources keep
+    * EVERYTHING, oversized ones are cut to C, and Σ min(m_s, C) equals
+    * the budget exactly — the standard allocator for "fit these k
+    * corpora into B tokens without starving the small ones"). The cap
+    * is found analytically on the k-row mass relation: sort by mass,
+    * one prefix-sum window, the FIRST index where
+    * p_{i−1} + (k−i+1)·m_i ≥ B (exact widened-integer comparison)
+    * yields C = (B − p_{i−1})/(k−i+1); total mass under budget → no
+    * cap (NULL → everything allocated). One corpus scan; everything
+    * after is k-row. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = TextPrep.rawDocs(s, dir).groupBy("source")
+      .agg(sum(size(col("rtoks"))).cast("long").as("m"))
+    val tot = perSrc.agg(sum(col("m")).cast("long").as("tm"),
+      count(lit(1)).as("k"))
+    val w = Window.orderBy(col("m").asc, col("source").asc)
+    val ranked = perSrc.crossJoin(broadcast(tot))
+      .withColumn("b", (col("tm").cast("double") * BudgetFrac).cast("long"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("p", sum(col("m")).over(w))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val capRow = ranked
+      .filter(dec(col("p") - col("m")) +
+        dec(col("k") - col("i") + 1) * dec(col("m")) >= dec(col("b")))
+      .agg(min(struct(col("i"), col("p"), col("m"), col("b"), col("k"))).as("s"))
+      .select(((col("s.b") - (col("s.p") - col("s.m"))).cast("double") /
+        (col("s.k") - col("s.i") + 1).cast("double")).as("cap"))
+    val mD = col("m").cast("double")
+    ranked.crossJoin(broadcast(capRow))
+      .select(col("source"), col("m").as("n_tokens"),
+        round(when(col("cap").isNull || mD <= col("cap"), mD)
+          .otherwise(col("cap")), 6).as("alloc"),
+        (col("cap").isNotNull && mD > col("cap")).as("capped"))
+  }
+
+  private lazy val qTokenBudgetSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH per AS (SELECT source, CAST(sum(len($toks)) AS BIGINT) AS m
+             FROM documents GROUP BY source),
+       tot AS (SELECT CAST(sum(m) AS BIGINT) AS tm,
+                 CAST(count(*) AS BIGINT) AS k FROM per),
+       r AS (SELECT source, m, k,
+               CAST(CAST(tm AS DOUBLE) * $BudgetFrac AS BIGINT) AS b,
+               row_number() OVER (ORDER BY m ASC, source ASC) AS i,
+               sum(m) OVER (ORDER BY m ASC, source ASC) AS p
+             FROM per CROSS JOIN tot),
+       cr AS (SELECT i, p, m, b, k FROM r
+              WHERE CAST(p - m AS HUGEINT) + CAST(k - i + 1 AS HUGEINT) * m >= b
+              ORDER BY i LIMIT 1),
+       cap AS (SELECT CAST(b - (p - m) AS DOUBLE)
+                 / CAST(k - i + 1 AS DOUBLE) AS cap FROM cr)
+       SELECT source, m AS n_tokens,
+         round(CASE WHEN cap.cap IS NULL OR CAST(m AS DOUBLE) <= cap.cap
+                    THEN CAST(m AS DOUBLE) ELSE cap.cap END, 6) AS alloc,
+         (cap.cap IS NOT NULL AND CAST(m AS DOUBLE) > cap.cap) AS capped
+       FROM r LEFT JOIN cap ON TRUE"""
+  }
+
+  /** Cohen's h magnitude thresholds (Cohen 1988). */
+  val CohensHSmall = 0.2
+  val CohensHMedium = 0.5
+  val CohensHLarge = 0.8
+
+  /** q_cohens_h: Cohen's h effect size of the Gopher pass RATE between
+    * every language pair — the PROPORTION member of the effect-size
+    * family (61h's Cohen's d standardizes mean differences; h is the
+    * arcsine-stabilized difference 2·(asin√p_a − asin√p_b), the correct
+    * magnitude scale when the quantity is a rate — a 1% vs 2% pass-rate
+    * gap is a LARGE effect that a raw difference hides). Rates from
+    * exact integer counts; one asin-expression per side, identical
+    * cross-engine; magnitude labelled on the standard 0.2/0.5/0.8
+    * thresholds. k² pair grid, everything group-level. */
+  def qCohensH(s: SparkSession, dir: String): DataFrame = {
+    val rates = qQualityRules(s, dir).select(col("doc_id"), col("passes"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("np"))
+      .select(col("lang"), col("n"), col("np"),
+        (col("np").cast("double") / col("n").cast("double")).as("p"))
+    val h = lit(2.0) * (asin(sqrt(col("a.p"))) - asin(sqrt(col("b.p"))))
+    rates.as("a").join(rates.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        round(col("a.p"), 6).as("p_a"), round(col("b.p"), 6).as("p_b"),
+        round(h, 6).as("h"),
+        when(abs(h) < CohensHSmall, "negligible")
+          .when(abs(h) < CohensHMedium, "small")
+          .when(abs(h) < CohensHLarge, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  private lazy val qCohensHSql =
+    s"""WITH g AS ($qQualityRulesSql),
+       rates AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE passes) AS BIGINT) AS np
+                 FROM g JOIN documents USING (doc_id) GROUP BY lang),
+       p AS (SELECT lang, CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS p
+             FROM rates)
+       SELECT a.lang AS lang_a, b.lang AS lang_b,
+         round(a.p, 6) AS p_a, round(b.p, 6) AS p_b,
+         round(2.0 * (asin(sqrt(a.p)) - asin(sqrt(b.p))), 6) AS h,
+         CASE WHEN abs(2.0 * (asin(sqrt(a.p)) - asin(sqrt(b.p)))) < $CohensHSmall
+                THEN 'negligible'
+              WHEN abs(2.0 * (asin(sqrt(a.p)) - asin(sqrt(b.p)))) < $CohensHMedium
+                THEN 'small'
+              WHEN abs(2.0 * (asin(sqrt(a.p)) - asin(sqrt(b.p)))) < $CohensHLarge
+                THEN 'medium'
+              ELSE 'large' END AS magnitude
+       FROM p a JOIN p b ON a.lang < b.lang"""
+
   /** Burrows Delta function-word count. */
   val BurrowsM = 30
 
@@ -1539,6 +1657,8 @@ object TextAnalysis extends QueryModule {
     "q_ttr" -> (qTtr _),
     "q_yule_k" -> (qYuleK _),
     "q_burrows" -> (qBurrows _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_cohens_h" -> (qCohensH _),
     "q_burstiness" -> (qBurstiness _),
     "q_concordance" -> (qConcordance _),
     "q_ctfidf" -> (qCtfidf _),
@@ -1574,6 +1694,8 @@ object TextAnalysis extends QueryModule {
     "q_ttr" -> qTtrSql,
     "q_yule_k" -> qYuleKSql,
     "q_burrows" -> qBurrowsSql,
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_cohens_h" -> qCohensHSql,
     "q_burstiness" -> qBurstinessSql,
     "q_concordance" -> qConcordanceSql,
     "q_ctfidf" -> qCtfidfSql,

@@ -361,6 +361,49 @@ class Round13bSpec extends SparkSpec {
     assert(math.abs(got(("s2", "s3"))._2 - rt3) < 1e-6)
   }
 
+  test("q_token_budget: hand-traced water-filling on a (10,20,70) fixture; " +
+    "allocations sum exactly to the budget when capping engages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wf13").toString
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(10), "en", "sa", 30L),
+      (2L, words(20), "en", "sb", 60L),
+      (3L, words(70), "en", "sc", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // B = 50; first feasible index i=2: C = (50−10)/2 = 20
+    val got = TextAnalysis.qTokenBudget(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("alloc"), r.getAs[Boolean]("capped"))).toMap
+    assert(got("sa") == (10.0, false))
+    assert(got("sb") == (20.0, false), "at-cap source keeps its mass, uncapped")
+    assert(got("sc") == (20.0, true))
+    assert(math.abs(got.values.map(_._1).sum - 50.0) < 1e-9)
+    // corpus invariant: total allocation never exceeds the budget
+    val rows = TextAnalysis.qTokenBudget(spark, sfDir).collect()
+    val totM = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(rows.map(_.getAs[Double]("alloc")).sum <= totM * 0.5 + 1e-6)
+  }
+
+  test("q_cohens_h matches a driver-side arcsine recomputation from the rates") {
+    val rows = TextAnalysis.qCohensH(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val h = 2.0 * (math.asin(math.sqrt(r.getAs[Double]("p_a"))) -
+        math.asin(math.sqrt(r.getAs[Double]("p_b"))))
+      // p_a/p_b are 6dp-rounded copies, so allow the rounding slack
+      assert(math.abs(r.getAs[Double]("h") - h) < 1e-4)
+      val mag = r.getAs[String]("magnitude")
+      val ah = math.abs(r.getAs[Double]("h"))
+      val want =
+        if (ah < 0.2 - 1e-4) "negligible"
+        else if (ah < 0.5 - 1e-4) "small"
+        else if (ah < 0.8 - 1e-4) "medium" else "large"
+      if (math.abs(ah - 0.2) > 1e-3 && math.abs(ah - 0.5) > 1e-3 &&
+        math.abs(ah - 0.8) > 1e-3) assert(mag == want)
+    }
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
