@@ -513,4 +513,51 @@ object EventStream {
           ranked.iterator.map(v => TopKOut(t, v.id, v.est, v.err, n))
       }
   }
+
+  case class RunsState(n: Long, nUp: Long, runs: Long,
+      prevVal: Double, hasVal: Boolean, prevSign: Int)
+  case class RunsOut(event_type: String, n: Long, n_up: Long, n_down: Long,
+      runs: Long, z: Option[Double], significant: Option[Boolean])
+
+  /** Streaming Wald–Wolfowitz runs monitor per event type — the stateful
+    * twin of the batch Stats.qRunsTest: the IDENTICAL direction
+    * recursion (zero changes excluded by exact equality, runs counted
+    * at sign breaks, first retained sign opens run one), carried as ONE
+    * (n, nUp, runs, prevVal, prevSign) tuple per key regardless of
+    * stream length — the exchangeability alarm a pipeline runs against
+    * a live metric while the batch twin scores history. The same
+    * moments and DunnZCrit(1) gate as the batch; degenerate (one-sided
+    * or too-short) sequences emit None, never a fabricated z. Rows are
+    * processed in seq order within a batch (caller orders; production
+    * carries event-time); state persists across micro-batches. */
+  def runningRuns(values: Dataset[TypedValue]): Dataset[RunsOut] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunsState, RunsOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[RunsState]) =>
+          var cur = state.getOption.getOrElse(
+            RunsState(0L, 0L, 0L, 0.0, hasVal = false, 0))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            if (cur.hasVal && r.value != cur.prevVal) {
+              val sgn = if (r.value > cur.prevVal) 1 else -1
+              cur = RunsState(cur.n + 1,
+                cur.nUp + (if (sgn == 1) 1L else 0L),
+                cur.runs + (if (cur.prevSign == 0 || sgn != cur.prevSign) 1L else 0L),
+                r.value, hasVal = true, sgn)
+            } else cur = cur.copy(prevVal = r.value, hasVal = true)
+          }
+          state.update(cur)
+          val n = cur.n; val n1 = cur.nUp; val n2 = n - n1
+          val zOpt =
+            if (n1 > 0 && n2 > 0 && n > 1) {
+              val p = 2.0 * n1 * n2
+              val e = p / n + 1.0
+              val v = p * (p - n) / (n.toDouble * n * (n - 1))
+              if (v > 0) Some((cur.runs - e) / math.sqrt(v)) else None
+            } else None
+          Iterator(RunsOut(et, n, n1, n2, cur.runs, zOpt,
+            zOpt.map(z => math.abs(z) > graft.operators.RobustStats.DunnZCrit(1))))
+      }
+  }
 }

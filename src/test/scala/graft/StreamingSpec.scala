@@ -595,4 +595,56 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming runs monitor walks the identical direction recursion as " +
+    "the batch runs test, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningRuns(input.toDS())
+      .writeStream.format("memory").queryName("runs_out")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Long, Long, Long, Option[Double], Option[Boolean])] =
+      spark.table("runs_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getBoolean(6)))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }.toMap
+    try {
+      // batch 1: strictly increasing -> one-sided, z undefined
+      input.addData((1 to 5).map(i =>
+        EventStream.TypedValue("m", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+      val r1 = latest()("m")
+      assert(r1._1 == 4L && r1._2 == 4L && r1._3 == 0L && r1._4 == 1L)
+      assert(r1._5.isEmpty && r1._6.isEmpty)
+      // batch 2: oscillation resumes ACROSS the batch boundary (6th value
+      // continues from 5.0) -- total n = 20 with 10 up / 10 down as in the
+      // batch fixture model
+      input.addData((6 to 21).map(i => EventStream.TypedValue("m", i.toLong,
+        if (i % 2 == 0) 0.0 else 30.0)))
+      q.processAllAvailable()
+      val r2 = latest()("m")
+      // recompute with a plain local fold over the full value sequence
+      val xs = (1 to 5).map(_.toDouble) ++
+        (6 to 21).map(i => if (i % 2 == 0) 0.0 else 30.0)
+      var n = 0L; var n1 = 0L; var runs = 0L; var prev = xs.head; var ps = 0
+      xs.tail.foreach { x =>
+        if (x != prev) {
+          val s = if (x > prev) 1 else -1
+          n += 1; if (s == 1) n1 += 1
+          if (ps == 0 || s != ps) runs += 1
+          ps = s
+        }
+        prev = x
+      }
+      assert(r2._1 == n && r2._2 == n1 && r2._4 == runs)
+      val n2 = n - n1
+      val p = 2.0 * n1 * n2
+      val e = p / n + 1.0
+      val v = p * (p - n) / (n.toDouble * n * (n - 1))
+      assert(math.abs(r2._5.get - (runs - e) / math.sqrt(v)) < 1e-12)
+      assert(r2._6.get, "sustained oscillation must trip the two-sided gate")
+    } finally q.stop()
+  }
 }
