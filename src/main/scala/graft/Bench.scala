@@ -69,7 +69,8 @@ object Bench {
     "q_bartlett", "q_cochran_q", "q_mcnemar", "q_yule_k", "q_theil",
     "q_page_trend", "q_jonckheere", "q_cronbach", "q_mcc", "q_runs_test",
     "q_ljung_box", "q_bleu_pairs", "q_splice_pairs", "q_median_test",
-    "q_burrows", "q_token_budget", "q_cohens_h")
+    "q_burrows", "q_token_budget", "q_cohens_h", "q_seasonal_strength",
+    "q_simpson")
   // q_features_audit / q_lda_audit / q_isotonic_audit / q_classify_audit /
   // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit — and the r12
   // additions q_coherence_audit / q_hdp_audit (LDA upstream),

@@ -2724,6 +2724,152 @@ object Stats extends QueryModule {
            > ${RobustStats.DunnZCrit(1)} AS significant
        FROM ls CROSS JOIN blocks CROSS JOIN kk"""
 
+  /** q_simpson: Simpson's-paradox detector on the length→quality
+    * association — does the POOLED regression slope point the other way
+    * than the per-language slopes? (The aggregation trap every
+    * cross-corpus dashboard walks into: language is a confounder of
+    * both doc length and quality score, so the pooled trend can reverse
+    * every within-group trend.) The verdict needs only slope SIGNS, and
+    * the OLS slope sign is the sign of n·Σxy − Σx·Σy — an EXACT decimal
+    * integer comparison, no floating point anywhere in the flag. Widths
+    * are the declared 100 TB envelope: n ≤ 10¹² docs (DECIMAL(12,0)),
+    * Σxy ≤ 10²⁰ (DECIMAL(26,6)), both products inside DECIMAL(38,6).
+    * Emits one row per language with its sign, the pooled sign, and the
+    * global strict-paradox flag (EVERY group reversed). */
+  def qSimpson(s: SparkSession, dir: String): DataFrame =
+    simpsonOf(TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+      .select(col("lang"), col("n_chars").cast("decimal(18,0)").as("x"),
+        col("quality").cast("decimal(18,6)").as("y")))
+
+  /** Simpson core over a (lang, x, y) relation — see [[qSimpson]]. */
+  def simpsonOf(base: DataFrame): DataFrame = {
+    def num(df: DataFrame, keys: Column*): DataFrame =
+      df.groupBy(keys: _*).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+        .select((keys :+ col("n").as("n") :+
+          (col("n").cast("decimal(12,0)") * col("sxy").cast("decimal(26,6)") -
+            col("sx").cast("decimal(19,0)") * col("sy").cast("decimal(19,6)"))
+            .as("nm")): _*)
+    val perLang = num(base, col("lang"))
+      .select(col("lang"), col("n"), (col("nm") > 0).as("slope_up"))
+    val pooled = num(base.select(lit("all").as("g"), col("x"), col("y")), col("g"))
+      .select((col("nm") > 0).as("pooled_up"))
+    val joined = perLang.crossJoin(broadcast(pooled))
+    val par = joined
+      .agg(min((col("slope_up") =!= col("pooled_up")).cast("int")).as("p"))
+      .select((col("p") === 1).as("paradox"))
+    joined.crossJoin(broadcast(par))
+      .select(col("lang"), col("n"), col("slope_up"), col("pooled_up"),
+        col("paradox"))
+  }
+
+  private lazy val qSimpsonSql = {
+    val qs = TextAnalysis.qQualitySql
+    s"""WITH q AS ($qs),
+       b AS (SELECT lang, CAST(n_chars AS DECIMAL(18,0)) AS x,
+               CAST(quality AS DECIMAL(18,6)) AS y
+             FROM q JOIN documents USING (doc_id)),
+       g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+               CAST(sum(y) AS DECIMAL(19,6)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(26,6)) AS sxy
+             FROM b GROUP BY lang),
+       gl AS (SELECT lang, n,
+                (CAST(n AS DECIMAL(12,0)) * sxy - sx * sy > 0) AS slope_up
+              FROM g),
+       p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+               CAST(sum(y) AS DECIMAL(19,6)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(26,6)) AS sxy
+             FROM b),
+       pl AS (SELECT (CAST(n AS DECIMAL(12,0)) * sxy - sx * sy > 0) AS pooled_up
+              FROM p),
+       par AS (SELECT bool_and(slope_up <> pooled_up) AS paradox
+               FROM gl CROSS JOIN pl)
+       SELECT lang, n, slope_up, pooled_up, paradox
+       FROM gl CROSS JOIN pl CROSS JOIN par"""
+  }
+
+  /** Strong-seasonality threshold on the day-of-week η² (the Hyndman
+    * seasonal-strength reading: above this, the weekly component
+    * explains most daily variance). */
+  val SeasonalStrengthMin = 0.5
+
+  /** q_seasonal_strength: day-of-week seasonal strength per event type —
+    * the SUMMARY companion to q_seasonal (which emits per-day residual
+    * flags but no "how seasonal is this series overall" number).
+    * Identity used: the strength IS the η² of the day-of-week grouping —
+    * F_s = SSB/SST = 1 − Var(residual)/Var(detrended) exactly, because
+    * removing the dow means is the within-group projection. So the whole
+    * statistic reduces to the anovaOf partitioning over dow groups:
+    * exact DECIMAL moments per (type, dow), the one order-sensitive
+    * 7-term sum (Σ_w S_w²/n_w) folded over the SORTED weekday array,
+    * F_s = (sb − cf)/(sstot − cf) in one double expression. Zero total
+    * variance → NULL. One events scan + a 7-row-per-type rollup. */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    seasonalStrengthOf(Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("y"))
+      .withColumn("weekday", (dayofweek(to_date(col("day"))) - 1).cast("int")))
+
+  /** Strength core over an (event_type, weekday, y) relation — see
+    * [[qSeasonalStrength]]. */
+  def seasonalStrengthOf(daily: DataFrame): DataFrame = {
+    val g = daily.groupBy("event_type", "weekday")
+      .agg(count(lit(1)).as("nw"), sum(col("y")).as("sw"),
+        sum(col("y") * col("y")).as("ssw"))
+      .select(col("event_type"), col("weekday"), col("nw"), col("sw"), col("ssw"),
+        (col("sw").cast("double") * col("sw").cast("double") /
+          col("nw").cast("double")).as("term"))
+    val m = g.groupBy("event_type").agg(
+      sum(col("nw")).as("n_days"),
+      sum(col("sw")).cast("double").as("stot"),
+      sum(col("ssw")).cast("double").as("sstot"),
+      aggregate(array_sort(collect_list(struct(col("weekday"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("sb"))
+    val cf = col("stot") * col("stot") / col("n_days").cast("double")
+    val fs = (col("sb") - cf) / (col("sstot") - cf)
+    m.select(col("event_type"), col("n_days"),
+      when(col("sstot") - cf =!= 0.0, round(fs, 6))
+        .otherwise(lit(null).cast("double")).as("strength"),
+      when(col("sstot") - cf =!= 0.0, fs > SeasonalStrengthMin)
+        .otherwise(lit(null).cast("boolean")).as("strongly_seasonal"))
+  }
+
+  private lazy val qSeasonalStrengthSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       dw AS (SELECT event_type, y,
+                CAST(dayofweek(CAST(day AS DATE)) AS INT) AS weekday
+              FROM daily),
+       g AS (SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS nw,
+               sum(y) AS sw,
+               sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS ssw
+             FROM dw GROUP BY 1, 2),
+       t AS (SELECT event_type, weekday, nw, sw, ssw,
+               CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS term
+             FROM g),
+       m AS (SELECT event_type, CAST(sum(nw) AS BIGINT) AS n_days,
+               CAST(sum(sw) AS DOUBLE) AS stot, CAST(sum(ssw) AS DOUBLE) AS sstot,
+               list_sum(list(term ORDER BY weekday)) AS sb
+             FROM t GROUP BY event_type)
+       SELECT event_type, n_days,
+         CASE WHEN sstot - stot * stot / CAST(n_days AS DOUBLE) <> 0 THEN
+           round((sb - stot * stot / CAST(n_days AS DOUBLE))
+             / (sstot - stot * stot / CAST(n_days AS DOUBLE)), 6) END AS strength,
+         CASE WHEN sstot - stot * stot / CAST(n_days AS DOUBLE) <> 0 THEN
+           (sb - stot * stot / CAST(n_days AS DOUBLE))
+             / (sstot - stot * stot / CAST(n_days AS DOUBLE))
+             > $SeasonalStrengthMin END AS strongly_seasonal
+       FROM m"""
+
   /** Ljung–Box portmanteau lag depth. */
   val LjungBoxLags = 7
 
@@ -3110,6 +3256,8 @@ object Stats extends QueryModule {
     "q_friedman" -> (qFriedman _),
     "q_page_trend" -> (qPageTrend _),
     "q_runs_test" -> (qRunsTest _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_simpson" -> (qSimpson _),
     "q_ljung_box" -> (qLjungBox _),
     "q_levene" -> (qLevene _),
     "q_trend" -> (qTrend _),
@@ -3161,6 +3309,8 @@ object Stats extends QueryModule {
     "q_friedman" -> qFriedmanSql,
     "q_page_trend" -> qPageTrendSql,
     "q_runs_test" -> qRunsTestSql,
+    "q_seasonal_strength" -> qSeasonalStrengthSql,
+    "q_simpson" -> qSimpsonSql,
     "q_ljung_box" -> qLjungBoxSql,
     "q_levene" -> qLeveneSql,
     "q_trend" -> qTrendSql,

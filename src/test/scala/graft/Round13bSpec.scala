@@ -404,6 +404,52 @@ class Round13bSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonal_strength: a pure weekly pattern scores exactly 1, a " +
+    "constant series is NULL, corpus values stay in [0,1]") {
+    import spark.implicits._
+    // 21 days, y = weekday value → residual ≡ 0 → strength = SSB/SST = 1
+    val weekly = (0 until 21).map(i =>
+      ("a", i % 7, BigDecimal(10 + (i % 7) * 5)))
+    val got = Stats.seasonalStrengthOf(
+      weekly.toDF("event_type", "weekday", "y")).collect()(0)
+    assert(got.getAs[Long]("n_days") == 21L)
+    assert(math.abs(got.getAs[Double]("strength") - 1.0) < 1e-9)
+    assert(got.getAs[Boolean]("strongly_seasonal"))
+    val const = (0 until 21).map(i => ("b", i % 7, BigDecimal(10)))
+    val g2 = Stats.seasonalStrengthOf(
+      const.toDF("event_type", "weekday", "y")).collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("strength")))
+    Stats.qSeasonalStrength(spark, sfDir).collect().foreach { r =>
+      val v = r.getAs[Double]("strength")
+      assert(v >= -1e-9 && v <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_simpson: the textbook reversal fixture flags a strict paradox; " +
+    "aligned groups do not") {
+    import spark.implicits._
+    def df(rows: Seq[(String, Long, BigDecimal)]) =
+      rows.toDF("lang", "xx", "y")
+        .select(col("lang"), col("xx").cast("decimal(18,0)").as("x"),
+          col("y").cast("decimal(18,6)").as("y"))
+    // within both groups y falls with x; pooled rises (group b sits
+    // higher on both axes)
+    val rev = Seq(
+      ("a", 1L, BigDecimal(10)), ("a", 2L, BigDecimal(9)),
+      ("b", 11L, BigDecimal(20)), ("b", 12L, BigDecimal(19)))
+    val got = Stats.simpsonOf(df(rev)).collect()
+    assert(got.forall(!_.getAs[Boolean]("slope_up")))
+    assert(got.forall(_.getAs[Boolean]("pooled_up")))
+    assert(got.forall(_.getAs[Boolean]("paradox")))
+    // aligned: everything rises → no paradox
+    val ali = Seq(
+      ("a", 1L, BigDecimal(9)), ("a", 2L, BigDecimal(10)),
+      ("b", 11L, BigDecimal(19)), ("b", 12L, BigDecimal(20)))
+    val got2 = Stats.simpsonOf(df(ali)).collect()
+    assert(got2.forall(_.getAs[Boolean]("slope_up")))
+    assert(got2.forall(!_.getAs[Boolean]("paradox")))
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
