@@ -141,6 +141,177 @@ object RobustStats extends QueryModule {
        FROM a, b"""
   }
 
+  /** q_trimmed_mean: 10%-trimmed mean per return flag — the third member
+    * of the robust-location family (59c winsorizes CLIPS the tails to
+    * the cut values; trimming DROPS exactly k = ⌊n/10⌋ observations from
+    * each end, the estimator with the textbook breakdown/efficiency
+    * trade between mean and median). Rank-exact under ties: the cut
+    * VALUES come from the distributed nearest-rank pick (ranks k and
+    * n−k+1 — the largest dropped-low and smallest dropped-high), and
+    * tied boundary copies are kept by COUNT correction
+    * (c_{≤lo} − k copies of lo, c_{≥hi} − k of hi), so exactly n−2k
+    * values contribute regardless of tie structure. Everything is an
+    * exact DECIMAL/integer aggregate; lo = hi (degenerate spread) →
+    * the trimmed mean IS that value; k = 0 (n < 10) → untrimmed mean. */
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    def kOf(n: Long) = n / 10
+    val (counts, picks) = graft.functions.Ranks.groupedValueAtRanks(
+      base, "flag", "price",
+      n => { val k = kOf(n); if (k >= 1) Seq(k, n - k + 1) else Seq(1L) })
+    val byG = picks.groupBy(_._1).map { case (g, sq) =>
+      g -> sq.map(t => t._2 -> t._3).toMap }
+    val cutRows = counts.toSeq.map { case (g, n) =>
+      val k = kOf(n)
+      if (k >= 1) Row(g, n, k, byG(g)(k), byG(g)(n - k + 1))
+      else Row(g, n, 0L, null, null)
+    }
+    val cuts = s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(cutRows).asJava),
+      StructType(Seq(base.schema("flag"),
+        StructField("n", LongType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("lo", base.schema("price").dataType),
+        StructField("hi", base.schema("price").dataType))))
+    val agg = base.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(first(col("n")).as("n"), first(col("k")).as("k"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(col("price")).as("raw_sum"),
+        sum(when(col("price") > col("lo") && col("price") < col("hi"),
+          col("price"))).as("mid_sum"),
+        sum(when(col("price") <= col("lo"), 1L).otherwise(0L)).as("c_le_lo"),
+        sum(when(col("price") >= col("hi"), 1L).otherwise(0L)).as("c_ge_hi"))
+    val kept = (col("n") - col("k") * 2).cast("double")
+    val trimmed =
+      when(col("k") === 0, col("raw_sum").cast("double") / col("n").cast("double"))
+        .when(col("lo") === col("hi"), col("lo").cast("double"))
+        .otherwise((coalesce(col("mid_sum"), lit(0).cast("decimal(38,2)"))
+          .cast("double") +
+          (col("c_le_lo") - col("k")).cast("double") * col("lo").cast("double") +
+          (col("c_ge_hi") - col("k")).cast("double") * col("hi").cast("double")) /
+          kept)
+    agg.select(col("flag"), col("n"), col("k"),
+      round(col("raw_sum").cast("double") / col("n").cast("double"), 6)
+        .as("raw_mean"),
+      round(trimmed, 6).as("trimmed_mean"))
+  }
+
+  private lazy val qTrimmedMeanSql =
+    """WITH base AS (SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem),
+       c AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               count(*) // 10 AS k
+             FROM base GROUP BY flag),
+       r AS (SELECT flag, price,
+               row_number() OVER (PARTITION BY flag ORDER BY price ASC) AS rn
+             FROM base),
+       lo AS (SELECT r.flag, r.price AS lo FROM r JOIN c ON c.flag = r.flag
+              AND c.k >= 1 AND r.rn = c.k),
+       hi AS (SELECT r.flag, r.price AS hi FROM r JOIN c ON c.flag = r.flag
+              AND c.k >= 1 AND r.rn = c.n - c.k + 1),
+       cuts AS (SELECT c.flag, c.n, c.k, lo.lo, hi.hi FROM c
+                LEFT JOIN lo ON lo.flag = c.flag
+                LEFT JOIN hi ON hi.flag = c.flag),
+       a AS (SELECT base.flag, any_value(n) AS n, any_value(k) AS k,
+               any_value(lo) AS lo, any_value(hi) AS hi,
+               sum(price) AS raw_sum,
+               sum(CASE WHEN price > lo AND price < hi THEN price END) AS mid_sum,
+               CAST(count(*) FILTER (WHERE price <= lo) AS BIGINT) AS c_le_lo,
+               CAST(count(*) FILTER (WHERE price >= hi) AS BIGINT) AS c_ge_hi
+             FROM base JOIN cuts ON cuts.flag = base.flag
+             GROUP BY base.flag)
+       SELECT flag, n, k,
+         round(CAST(raw_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+         round(CASE
+           WHEN k = 0 THEN CAST(raw_sum AS DOUBLE) / CAST(n AS DOUBLE)
+           WHEN lo = hi THEN CAST(lo AS DOUBLE)
+           ELSE (CAST(coalesce(mid_sum, 0) AS DOUBLE)
+             + CAST(c_le_lo - k AS DOUBLE) * CAST(lo AS DOUBLE)
+             + CAST(c_ge_hi - k AS DOUBLE) * CAST(hi AS DOUBLE))
+             / CAST(n - 2 * k AS DOUBLE)
+         END, 6) AS trimmed_mean
+       FROM a"""
+
+  /** Tukey fence multiplier. */
+  val IqrFenceK = 1.5
+
+  /** q_iqr_outliers: Tukey-fence outlier audit per return flag — the
+    * box-plot rule run distributed (Q1/Q3 as nearest-rank picks via the
+    * same ceil(n·p/100) convention as 59c, fences Q1 − 1.5·IQR and
+    * Q3 + 1.5·IQR as EXACT decimal arithmetic — 1.5·DECIMAL(12,2) is
+    * scale-3 exact, no fp until the final fraction), counting how much
+    * mass sits beyond each fence. The audit a pipeline runs before
+    * trusting mean-based metrics; complements 35j's z-score anomaly days
+    * (which assume near-normal tails — Tukey fences don't). */
+  def qIqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    def k25(n: Long) = (n * 25 + 99) / 100
+    def k75(n: Long) = (n * 75 + 99) / 100
+    val (counts, picks) = graft.functions.Ranks.groupedValueAtRanks(
+      base, "flag", "price", n => Seq(k25(n), k75(n)))
+    val byG = picks.groupBy(_._1).map { case (g, sq) =>
+      g -> sq.map(t => t._2 -> t._3).toMap }
+    val cutRows = counts.toSeq.map { case (g, n) =>
+      Row(g, n, byG(g)(k25(n)), byG(g)(k75(n))) }
+    val cuts = s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(cutRows).asJava),
+      StructType(Seq(base.schema("flag"),
+        StructField("n", LongType, nullable = false),
+        StructField("q1", base.schema("price").dataType),
+        StructField("q3", base.schema("price").dataType))))
+    // DECIMAL literal, not a double: the fence must stay exact-decimal
+    // (scale 3) so boundary comparisons agree with DuckDB's decimal
+    // arithmetic — a double 1.5·IQR could flip a strict < at an exactly
+    // representable fence
+    val fk = lit(new java.math.BigDecimal("1.5"))
+    val loF = col("q1") - fk * (col("q3") - col("q1"))
+    val hiF = col("q3") + fk * (col("q3") - col("q1"))
+    base.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(first(col("n")).as("n"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        sum(when(col("price") < loF, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("price") > hiF, 1L).otherwise(0L)).as("n_high"))
+      .select(col("flag"), col("n"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"),
+        round((col("n_low") + col("n_high")).cast("double") /
+          col("n").cast("double"), 6).as("outlier_frac"))
+  }
+
+  private lazy val qIqrOutliersSql =
+    s"""WITH base AS (SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem),
+       c AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               (count(*)*25+99)//100 AS k25, (count(*)*75+99)//100 AS k75
+             FROM base GROUP BY flag),
+       r AS (SELECT flag, price,
+               row_number() OVER (PARTITION BY flag ORDER BY price ASC) AS rn
+             FROM base),
+       q1 AS (SELECT r.flag, r.price AS q1 FROM r JOIN c ON c.flag = r.flag AND r.rn = c.k25),
+       q3 AS (SELECT r.flag, r.price AS q3 FROM r JOIN c ON c.flag = r.flag AND r.rn = c.k75),
+       cuts AS (SELECT c.flag, c.n, q1.q1, q3.q3 FROM c
+                JOIN q1 ON q1.flag = c.flag JOIN q3 ON q3.flag = c.flag)
+       SELECT base.flag, any_value(n) AS n,
+         any_value(q1) AS q1, any_value(q3) AS q3,
+         CAST(count(*) FILTER (WHERE price < q1 - $IqrFenceK * (q3 - q1)) AS BIGINT) AS n_low,
+         CAST(count(*) FILTER (WHERE price > q3 + $IqrFenceK * (q3 - q1)) AS BIGINT) AS n_high,
+         round(CAST(count(*) FILTER (WHERE price < q1 - $IqrFenceK * (q3 - q1))
+             + count(*) FILTER (WHERE price > q3 + $IqrFenceK * (q3 - q1)) AS DOUBLE)
+           / CAST(any_value(n) AS DOUBLE), 6) AS outlier_frac
+       FROM base JOIN cuts ON cuts.flag = base.flag
+       GROUP BY base.flag"""
+
   /** q_cronbach: Cronbach's alpha (≡ KR-20 for the binary panel) — the
     * RELIABILITY member of the agreement family (Fleiss/Krippendorff
     * measure chance-corrected agreement; alpha measures internal
@@ -1684,6 +1855,8 @@ object RobustStats extends QueryModule {
     "q_fleiss" -> (qFleiss _),
     "q_cochran_q" -> (qCochranQ _),
     "q_cronbach" -> (qCronbach _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_iqr_outliers" -> (qIqrOutliers _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
     "q_kanon" -> (qKanon _),
@@ -1710,6 +1883,8 @@ object RobustStats extends QueryModule {
     "q_fleiss" -> qFleissSql,
     "q_cochran_q" -> qCochranQSql,
     "q_cronbach" -> qCronbachSql,
+    "q_trimmed_mean" -> qTrimmedMeanSql,
+    "q_iqr_outliers" -> qIqrOutliersSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,
     "q_kanon" -> qKanonSql,

@@ -450,6 +450,47 @@ class Round13bSpec extends SparkSpec {
     assert(got2.forall(!_.getAs[Boolean]("paradox")))
   }
 
+  test("q_trimmed_mean equals a local sort-and-drop per flag; trimming moves " +
+    "the estimate toward the median on the skewed price tail") {
+    val prices = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    val got = RobustStats.qTrimmedMean(spark, sfDir).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("k"),
+          r.getAs[Double]("trimmed_mean"))).toMap
+    prices.foreach { case (f, xs) =>
+      val n = xs.length; val k = n / 10
+      val kept = xs.slice(k, n - k)
+      val ref = kept.map(BigDecimal(_)).sum / kept.length
+      val (gn, gk, gt) = got(f)
+      assert(gn == n.toLong && gk == k.toLong)
+      assert(math.abs(gt - ref.toDouble) < 1e-4, s"$f: $gt vs $ref")
+    }
+  }
+
+  test("q_iqr_outliers matches a local Tukey-fence count per flag") {
+    val prices = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)")).collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    val got = RobustStats.qIqrOutliers(spark, sfDir).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))).toMap
+    prices.foreach { case (f, xs) =>
+      val n = xs.length
+      def pick(p: Int) = xs(((n.toLong * p + 99) / 100).toInt - 1)
+      val q1 = pick(25); val q3 = pick(75); val iqr = q3 - q1
+      val lo = q1 - BigDecimal("1.5") * iqr
+      val hi = q3 + BigDecimal("1.5") * iqr
+      assert(got(f) == (xs.count(_ < lo).toLong, xs.count(_ > hi).toLong),
+        s"fence counts diverge for $f")
+    }
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
