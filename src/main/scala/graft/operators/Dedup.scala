@@ -1399,6 +1399,51 @@ object Dedup extends QueryModule {
           .as("bleu2_ba"))
   }
 
+  /** Threshold ladder for the dedup sensitivity curve (starts at the
+    * gated candidate floor 0.12). */
+  val DedupThresholds: Seq[Double] =
+    Seq(0.12, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q_dedup_rate_curve: threshold-sensitivity curve of the Jaccard
+    * near-dup stage — pair count and affected-doc count at every
+    * threshold of a declared ladder, in ONE pass over the memoized
+    * candidate relation (explode-over-thresholds, the scoreCombos
+    * trick: widening the ladder costs an explode factor over the
+    * BOUNDED pair set, not a rerun of the shingle join). The tuning
+    * question every dedup deployment asks — "how much does the corpus
+    * shrink if I tighten τ?" — answered as a hash-gated relation
+    * instead of nine ad-hoc reruns; a cliff between adjacent rungs
+    * marks a template family about to flip in or out of dedup. */
+  def qDedupRateCurve(s: SparkSession, dir: String): DataFrame = {
+    val ths = array(DedupThresholds.map(lit): _*)
+    val hit = qDedupJaccard(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(ths).as("t"))
+      .filter(col("jaccard") >= col("t"))
+    val nPairs = hit.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("t"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("t").agg(countDistinct(col("d")).as("n_docs"))
+    val total = Tables.documents(s, dir).count()
+    nPairs.join(nDocs, Seq("t"))
+      .select(col("t").as("threshold"), col("n_pairs"), col("n_docs"),
+        round(col("n_docs").cast("double") / total, 6).as("doc_frac"))
+  }
+
+  private lazy val qDedupRateCurveSql =
+    s"""WITH pr AS ($qDedupJaccardSql),
+       th AS (SELECT CAST(unnest([${DedupThresholds.mkString(", ")}]) AS DOUBLE) AS t),
+       hit AS (SELECT th.t, pr.doc_a, pr.doc_b FROM pr JOIN th
+               ON pr.jaccard >= th.t),
+       np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY t),
+       nd AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+              FROM (SELECT t, doc_a AS d FROM hit
+                    UNION ALL SELECT t, doc_b FROM hit) GROUP BY t),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       SELECT np.t AS threshold, n_pairs, n_docs,
+         round(CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS doc_frac
+       FROM np JOIN nd ON nd.t = np.t CROSS JOIN tot"""
+
   /** Splice-window width (tokens). */
   val SpliceK = 4
 
@@ -1709,6 +1754,7 @@ object Dedup extends QueryModule {
     "q_kcore" -> (qKcore _),
     "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
+    "q_dedup_rate_curve" -> (qDedupRateCurve _),
     "q_bleu_pairs" -> (qBleuPairs _),
     "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1741,6 +1787,7 @@ object Dedup extends QueryModule {
     "q_kcore" -> qKcoreSql,
     "q_assortativity" -> qAssortativitySql,
     "q_rouge_pairs" -> qRougePairsSql,
+    "q_dedup_rate_curve" -> qDedupRateCurveSql,
     "q_bleu_pairs" -> qBleuPairsSql,
     "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.functions.TextFns
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scoring operators a large-scale training-data pipeline runs on
@@ -315,6 +315,40 @@ object TextScoring extends QueryModule {
         round((col("s") / col("z")) / col("p"), 6).as("boost"))
   }
 
+  /** q_ess: Kish effective sample size of the temperature-sampling
+    * design — the single number that tells you what the α-reweighting
+    * COSTS in statistical power (q_temp_sampling emits per-language
+    * boosts; importance-weighting docs by those boosts inflates
+    * variance by n/ESS, the standard survey-sampling diagnostic):
+    * ESS = (Σ_d w_d)² / Σ_d w_d² with w_d the doc's language boost, so
+    * both sums collapse to per-language n_l·b and n_l·b² — k-term
+    * ordered sorted-array folds over the language relation, no fp
+    * outside them. ess_frac = ESS/n ∈ (0, 1]; 1 ⇔ uniform weights. */
+  def qEss(s: SparkSession, dir: String): DataFrame = {
+    val w = qTempSampling(s, dir).select(col("lang"), col("n_docs"), col("boost"))
+    def fold(term: Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("lang"), term.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as(name)
+    val m = w.agg(count(lit(1)).as("k"), sum(col("n_docs")).as("n"),
+      fold(col("n_docs").cast("double") * col("boost"), "sw"),
+      fold(col("n_docs").cast("double") * col("boost") * col("boost"), "sw2"))
+    val ess = col("sw") * col("sw") / col("sw2")
+    m.select(col("k"), col("n"), round(ess, 6).as("ess"),
+      round(ess / col("n").cast("double"), 6).as("ess_frac"))
+  }
+
+  private lazy val qEssSql =
+    s"""WITH ts AS ($qTempSamplingSql),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_docs) AS BIGINT) AS n,
+               list_sum(list(CAST(n_docs AS DOUBLE) * boost ORDER BY lang)) AS sw,
+               list_sum(list(CAST(n_docs AS DOUBLE) * boost * boost ORDER BY lang))
+                 AS sw2
+             FROM ts)
+       SELECT k, n, round(sw * sw / sw2, 6) AS ess,
+         round(sw * sw / sw2 / CAST(n AS DOUBLE), 6) AS ess_frac
+       FROM m"""
+
   private lazy val qTempSamplingSql = {
     val toks = TextFns.rawTokensSql("text")
     s"""WITH d AS (SELECT lang, CAST(len($toks) AS BIGINT) AS nt FROM documents),
@@ -566,6 +600,7 @@ object TextScoring extends QueryModule {
     "q_tok_fertility" -> (qTokFertility _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_temp_sampling" -> (qTempSampling _),
+    "q_ess" -> (qEss _),
     "q_calibration" -> (qCalibration _),
     "q_lift" -> (qLift _),
     "q_fourfifths" -> (qFourFifths _))
@@ -579,6 +614,7 @@ object TextScoring extends QueryModule {
     "q_tok_fertility" -> qTokFertilitySql,
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_temp_sampling" -> qTempSamplingSql,
+    "q_ess" -> qEssSql,
     "q_calibration" -> qCalibrationSql,
     "q_lift" -> qLiftSql,
     "q_fourfifths" -> qFourFifthsSql)

@@ -491,6 +491,42 @@ class Round13bSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_rate_curve: monotone in the threshold and exact against the " +
+    "collected pair relation at every rung") {
+    import graft.operators.Dedup
+    val pairs = Dedup.qDedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val got = Dedup.qDedupRateCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    assert(got.keySet == Dedup.DedupThresholds.toSet)
+    Dedup.DedupThresholds.foreach { t =>
+      val hit = pairs.filter(_._3 >= t)
+      val docs = hit.flatMap(p => Seq(p._1, p._2)).distinct.length
+      assert(got(t) == (hit.length.toLong, docs.toLong), s"rung $t diverges")
+    }
+    val sorted = Dedup.DedupThresholds.map(got)
+    assert(sorted.sliding(2).forall {
+      case Seq(a, b) => b._1 <= a._1 && b._2 <= a._2
+      case _ => true
+    }, "curve must be nonincreasing in the threshold")
+  }
+
+  test("q_ess matches a driver-side Kish recomputation from the sampling design") {
+    import graft.operators.TextScoring
+    val rows = TextScoring.qTempSampling(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("boost")))
+    val sw = rows.sortBy(_._2).map { case (n, b) => n * b }.sum
+    val sw2 = rows.sortBy(_._2).map { case (n, b) => n * b * b }.sum
+    val got = TextScoring.qEss(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n") == rows.map(_._1).sum)
+    assert(math.abs(got.getAs[Double]("ess") - sw * sw / sw2) < 1e-3)
+    val frac = got.getAs[Double]("ess_frac")
+    assert(frac > 0.0 && frac <= 1.0 + 1e-9,
+      "Kish ESS can never exceed the sample size")
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
