@@ -1363,8 +1363,11 @@ object RobustStats extends QueryModule {
   def jonckheereOf(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    // broadcast the value-domain side: without the hint two fresh
+    // aggregates cross-join as a CartesianProduct (the r11 plan-probe
+    // class); the domain is bounded (≤ 50 quantities) by contract
     val grid = cells.select("g").distinct()
-      .crossJoin(cells.select("x").distinct())
+      .crossJoin(broadcast(cells.select("x").distinct()))
       .join(cells, Seq("g", "x"), "left")
       .na.fill(0L, Seq("c"))
       .withColumn("cumlt",

@@ -527,6 +527,43 @@ class Round13bSpec extends SparkSpec {
       "Kish ESS can never exceed the sample size")
   }
 
+  test("round-13b plans: no CartesianProduct in any fact-scanning operator; " +
+    "the bounded cross joins are broadcast scalars/grids") {
+    import graft.operators.{Dedup, Inference, Stats, TextAnalysis, TextScoring}
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val plans = Map(
+      "q_bartlett" -> plan(Stats.qBartlett(spark, sfDir)),
+      "q_jonckheere" -> plan(RobustStats.qJonckheere(spark, sfDir)),
+      "q_burrows" -> plan(TextAnalysis.qBurrows(spark, sfDir)),
+      "q_yule_k" -> plan(TextAnalysis.qYuleK(spark, sfDir)),
+      "q_mcnemar" -> plan(Inference.qMcnemar(spark, sfDir)),
+      "q_bleu_pairs" -> plan(Dedup.qBleuPairs(spark, sfDir)),
+      "q_splice_pairs" -> plan(Dedup.qSplicePairs(spark, sfDir)),
+      "q_kcore" -> plan(Dedup.qKcore(spark, sfDir)),
+      "q_runs_test" -> plan(Stats.qRunsTest(spark, sfDir)),
+      "q_ljung_box" -> plan(Stats.qLjungBox(spark, sfDir)),
+      "q_trimmed_mean" -> plan(RobustStats.qTrimmedMean(spark, sfDir)),
+      "q_iqr_outliers" -> plan(RobustStats.qIqrOutliers(spark, sfDir)),
+      "q_dedup_rate_curve" -> plan(Dedup.qDedupRateCurve(spark, sfDir)),
+      "q_ess" -> plan(TextScoring.qEss(spark, sfDir)),
+      "q_token_budget" -> plan(TextAnalysis.qTokenBudget(spark, sfDir)))
+    plans.foreach { case (q, p) =>
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+    }
+    // the splice candidate generation must be an equi-join on the window
+    // string (a theta formulation would plan as BroadcastNestedLoopJoin)
+    assert(!plans("q_splice_pairs").contains("BroadcastNestedLoopJoin"),
+      plans("q_splice_pairs").take(800))
+    // jonckheere's cell-pair join is value-keyed (an equi hash/merge
+    // join on x somewhere in the plan); the BroadcastNestedLoopJoins it
+    // ALSO contains are the 1-row scalar assembly (jt × gm × tm), the
+    // repo's adjudicated-benign broadcast(one-row-agg) pattern
+    assert(plans("q_jonckheere").contains("HashJoin") ||
+      plans("q_jonckheere").contains("SortMergeJoin"),
+      plans("q_jonckheere").take(800))
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
