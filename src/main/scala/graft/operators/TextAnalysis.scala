@@ -289,6 +289,95 @@ object TextAnalysis extends QueryModule {
     * burst = cf/df is an exact-integer ratio to one division; ranked
     * (burst desc, tok asc) with a top-k cut so the output stays bounded
     * when the vocabulary is 10⁸ tokens. */
+  /** q_chao1: Chao1 vocabulary-richness estimator per language — "how
+    * many word types does this language's corpus REALLY have, counting
+    * the ones we haven't seen yet?" (the Good–Turing sibling: 60n models
+    * the frequency-of-frequencies, Chao1 turns its first two cells into
+    * the classic lower-bound estimate V + f₁(f₁−1)/(2(f₂+1)),
+    * bias-corrected form so f₂ = 0 stays defined). The vocabulary-growth
+    * planning number beside q_heaps' empirical curve. All exact integer
+    * aggregates of the per-(lang, token) counts; one double expression. */
+  def qChao1(s: SparkSession, dir: String): DataFrame = {
+    val tf = TextPrep.cleanDocs(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+    val chao = col("n_types").cast("double") +
+      col("f1").cast("double") * (col("f1") - 1).cast("double") /
+        (lit(2.0) * (col("f2") + 1).cast("double"))
+    tf.groupBy("lang").agg(
+        count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"), round(chao, 6).as("chao1"))
+  }
+
+  private lazy val qChao1Sql = {
+    val t = TextFns.cleanTokensSql("text")
+    s"""WITH w AS (SELECT lang, unnest($t) AS tok FROM documents),
+       tf AS (SELECT lang, tok, count(*) AS f FROM w GROUP BY 1, 2),
+       a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE f = 1) AS BIGINT) AS f1,
+               CAST(count(*) FILTER (WHERE f = 2) AS BIGINT) AS f2
+             FROM tf GROUP BY lang)
+       SELECT lang, n_tokens, n_types, f1, f2,
+         round(CAST(n_types AS DOUBLE)
+           + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+             / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1
+       FROM a"""
+  }
+
+  /** KS 95% critical coefficient (asymptotic, c(α)=1.358). */
+  val KsCrit95 = 1.358
+
+  /** q_sampler_audit: Kolmogorov–Smirnov uniformity certificate of the
+    * md5 sampling uniforms — the methodological audit underneath the
+    * whole deterministic-sampling family (47j's 3/16 gate, 47j2's hex
+    * prefixes, 47j3's hash ranks and 55b's Efraimidis–Spirakis keys ALL
+    * assume md5(doc_id) behaves as U(0,1); this query tests exactly
+    * that, corpus-visible instead of folklore). u = first 52 bits of
+    * md5 / 2⁵² (exactly representable doubles), exact ECDF via the
+    * distributed global ranking (range-partitioned, never one task),
+    * D = max(i/n − u, u − (i−1)/n) per rank, gate at the asymptotic
+    * 95% band 1.358/√n. A biased hash, a doc_id→hex bug, or a
+    * truncation mistake all move D outside the band. */
+  def qSamplerAudit(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.documents(s, dir).select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0)).as("u"))
+    val n = u.count()
+    val ranked = graft.functions.Ranks.globalRowNumber(
+      u, col("u").asc, col("doc_id").asc)
+    val nD = lit(n.toDouble)
+    val term = greatest(col("rn").cast("double") / nD - col("u"),
+      col("u") - (col("rn") - 1).cast("double") / nD)
+    val crit = KsCrit95 / math.sqrt(n.toDouble)
+    ranked.agg(max(term).as("d"))
+      .select(lit(n).as("n"), round(col("d"), 6).as("d_stat"),
+        round(lit(crit), 6).as("d_crit"),
+        (col("d") < crit).as("uniform_ok"))
+  }
+
+  private lazy val qSamplerAuditSql =
+    s"""WITH u AS (SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
+         FROM documents),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+       r AS (SELECT u, row_number() OVER (ORDER BY u ASC, doc_id ASC) AS rn
+             FROM u),
+       t AS (SELECT greatest(
+               CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) - u,
+               u - CAST(rn - 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+             FROM r CROSS JOIN tot)
+       SELECT n, round(max(term), 6) AS d_stat,
+         round($KsCrit95 / sqrt(CAST(n AS DOUBLE)), 6) AS d_crit,
+         max(term) < $KsCrit95 / sqrt(CAST(n AS DOUBLE)) AS uniform_ok
+       FROM t CROSS JOIN tot GROUP BY n"""
+
   /** Token-budget fraction for the water-filling allocator. */
   val BudgetFrac = 0.5
 
@@ -1659,6 +1748,8 @@ object TextAnalysis extends QueryModule {
     "q_burrows" -> (qBurrows _),
     "q_token_budget" -> (qTokenBudget _),
     "q_cohens_h" -> (qCohensH _),
+    "q_chao1" -> (qChao1 _),
+    "q_sampler_audit" -> (qSamplerAudit _),
     "q_burstiness" -> (qBurstiness _),
     "q_concordance" -> (qConcordance _),
     "q_ctfidf" -> (qCtfidf _),
@@ -1696,6 +1787,8 @@ object TextAnalysis extends QueryModule {
     "q_burrows" -> qBurrowsSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_cohens_h" -> qCohensHSql,
+    "q_chao1" -> qChao1Sql,
+    "q_sampler_audit" -> qSamplerAuditSql,
     "q_burstiness" -> qBurstinessSql,
     "q_concordance" -> qConcordanceSql,
     "q_ctfidf" -> qCtfidfSql,

@@ -564,6 +564,47 @@ class Round13bSpec extends SparkSpec {
       plans("q_jonckheere").take(800))
   }
 
+  test("q_chao1: hand-traced (1,1,2)-spectrum fixture gives 3.5; estimate " +
+    "never falls below the observed vocabulary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chao13").toString
+    import spark.implicits._
+    // ≥3-char tokens: the cleaning chain drops 2-char words
+    Seq((1L, "alpha beta gamma gamma", "en", "t", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // V = 3, f1 = 2, f2 = 1 → chao1 = 3 + 2·1/(2·2) = 3.5
+    val r = TextAnalysis.qChao1(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_types") == 3L && r.getAs[Long]("f1") == 2L &&
+      r.getAs[Long]("f2") == 1L)
+    assert(math.abs(r.getAs[Double]("chao1") - 3.5) < 1e-9)
+    TextAnalysis.qChao1(spark, sfDir).collect().foreach { row =>
+      assert(row.getAs[Double]("chao1") >=
+        row.getAs[Long]("n_types").toDouble - 1e-9,
+        "Chao1 is a lower-bound richness estimate ≥ observed types")
+    }
+  }
+
+  test("q_sampler_audit matches a driver-side KS recomputation and the md5 " +
+    "uniforms clear the 95% band on the corpus") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val us = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).map { id =>
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(13)
+        java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      }.sorted
+    val n = us.length
+    val ref = us.zipWithIndex.map { case (u, i) =>
+      math.max((i + 1).toDouble / n - u, u - i.toDouble / n)
+    }.max
+    val got = TextAnalysis.qSamplerAudit(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(math.abs(got.getAs[Double]("d_stat") -
+      math.floor(ref * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(got.getAs[Boolean]("uniform_ok"),
+      "the md5 sampler must clear its own uniformity band")
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
