@@ -238,6 +238,47 @@ object RobustStats extends QueryModule {
          END, 6) AS trimmed_mean
        FROM a"""
 
+  /** q_trimmed_mean_approx: the GK-sketch swap for q_trimmed_mean —
+    * completing the exact/sketch pairing for the THIRD robust-location
+    * member (percentiles, ntile, winsorize and MAD already carry
+    * theirs): two mergeable approx_percentile thresholds replace the
+    * range-shuffle rank picks, the mean runs over the strictly-interior
+    * values, and the hash gate carries the SCALE-INVARIANT contract
+    * (the q_winsorize_approx pattern): thresholds ordered and inside
+    * the population range, each side trims 10%·n within the GK error
+    * band 1%·n + 2, and the mean lands between the cuts. The spec
+    * additionally bounds the value against the exact twin. */
+  def qTrimmedMeanApprox(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("price"))
+    val cuts = base.groupBy("flag")
+      .agg(expr("approx_percentile(price, array(0.1, 0.9), 10000)").as("c"))
+      .select(col("flag"), col("c")(0).as("lo"), col("c")(1).as("hi"))
+    val slack = col("n") * 0.01 + 2
+    base.join(broadcast(cuts), Seq("flag"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        min(col("price")).as("pmin"), max(col("price")).as("pmax"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("price") <= col("lo"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col("price") >= col("hi"), 1L).otherwise(0L)).as("c_hi"),
+        avg(when(col("price") > col("lo") && col("price") < col("hi"),
+          col("price"))).as("tm"))
+      .select(col("flag"), col("n"),
+        (col("lo") <= col("hi") && col("lo") >= col("pmin") &&
+          col("hi") <= col("pmax")).as("bounds_ok"),
+        (abs(col("c_lo") - col("n") * 0.1) <= slack).as("trim_lo_ok"),
+        (abs(col("c_hi") - col("n") * 0.1) <= slack).as("trim_hi_ok"),
+        (col("tm") >= col("lo") && col("tm") <= col("hi")).as("mean_ok"))
+  }
+
+  private lazy val qTrimmedMeanApproxSql =
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+         TRUE AS bounds_ok, TRUE AS trim_lo_ok, TRUE AS trim_hi_ok,
+         TRUE AS mean_ok
+       FROM lineitem GROUP BY 1"""
+
   /** Tukey fence multiplier. */
   val IqrFenceK = 1.5
 
@@ -1859,6 +1900,7 @@ object RobustStats extends QueryModule {
     "q_cochran_q" -> (qCochranQ _),
     "q_cronbach" -> (qCronbach _),
     "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_trimmed_mean_approx" -> (qTrimmedMeanApprox _),
     "q_iqr_outliers" -> (qIqrOutliers _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_dp_counts" -> (qDpCounts _),
@@ -1887,6 +1929,7 @@ object RobustStats extends QueryModule {
     "q_cochran_q" -> qCochranQSql,
     "q_cronbach" -> qCronbachSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
+    "q_trimmed_mean_approx" -> qTrimmedMeanApproxSql,
     "q_iqr_outliers" -> qIqrOutliersSql,
     "q_krippendorff" -> qKrippendorffSql,
     "q_dp_counts" -> qDpCountsSql,

