@@ -1269,16 +1269,30 @@ object SimilaritySearch extends QueryModule {
     val (cens, _, _) = kmeansRun(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    silhouetteOf(e, cens)
+  }
+
+  /** Simplified-silhouette core over (vec_id, v: array<double>) rows and
+    * FIXED centroids — the scoring stage of [[qSilhouette]], split out so
+    * the tie semantics (a point exactly equidistant from its own and
+    * another centroid must score s = 0) are testable against hand-picked
+    * centroids independent of the Lloyd run. */
+  def silhouetteOf(e: DataFrame, cens: Array[Array[Double]]): DataFrame = {
     val dists = array(cens.map { c =>
       val c2 = c.map(x => x * x).sum
       sqrt(greatest(dot(col("v"), array(c.map(lit): _*)) * -2.0 + c2 +
         dot(col("v"), col("v")), lit(0.0)))
     }: _*)
+    // b is the min over the OTHER centroids BY INDEX (drop the assigned
+    // cluster's slot), not by value: a point exactly equidistant from its
+    // own and another centroid must get b = a and s = 0, which a strict
+    // `d > a` value filter would skip (r13 advice).
     val scored = e.select(col("vec_id"), dists.as("ds"))
-      .select(
+      .select(col("ds"),
         (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int").as("cluster"),
-        array_min(col("ds")).as("a"),
-        array_min(filter(col("ds"), d => d > array_min(col("ds")))).as("b0"))
+        array_min(col("ds")).as("a"))
+      .select(col("cluster"), col("a"),
+        array_min(filter(col("ds"), (_, i) => i =!= col("cluster"))).as("b0"))
       .select(col("cluster"),
         when(greatest(col("a"), coalesce(col("b0"), col("a"))) === 0.0, lit(0.0))
           .otherwise((coalesce(col("b0"), col("a")) - col("a")) /

@@ -297,7 +297,13 @@ object Stats extends QueryModule {
     * engines (π then sums to < 1 by the leaked mass — on this corpus
     * every type recurs, so the chain is closed and π stays a simplex
     * point); no renormalization, so there is no cross-engine division
-    * seam. */
+    * seam. Row-set invariance (r13 advice): an OUTGOING-ONLY state (a
+    * from_type that is never a to_type) decays to π = 0 after iter 0 and
+    * would vanish from the oracle's recursive walk (the iter-N rows come
+    * from GROUP BY to_type) while Spark still emits it — so the oracle's
+    * final SELECT left-joins the iter-N walk back onto `states` and
+    * emits coalesce(round(π,6), 0.0), making the emitted row set exactly
+    * `states` in both engines on ANY corpus, closed chain or not. */
   def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
     val rows = qMarkov(s, dir).select("from_type", "to_type", "p").collect()
     val states = rows.map(_.getString(0)).distinct.sorted
@@ -346,8 +352,9 @@ object Stats extends QueryModule {
          FROM walk w JOIN tpc t ON t.from_type = w.st
          WHERE w.iter < $MarkovIters
          GROUP BY w.iter + 1, t.to_type)
-       SELECT st AS state, round(pi, 6) AS pi
-       FROM walk WHERE iter = $MarkovIters"""
+       SELECT s.st AS state, coalesce(round(w.pi, 6), 0.0) AS pi
+       FROM states s LEFT JOIN (
+         SELECT st, pi FROM walk WHERE iter = $MarkovIters) w ON w.st = s.st"""
 
   /** q_nelson_aalen: cumulative-hazard estimator beside q_kaplan_meier —
     * the additive survival summary (H(t) = Σ_{s≤t} d_s/r_s with the
@@ -2395,6 +2402,12 @@ object Stats extends QueryModule {
     * a SORTED group array (the anovaOf discipline) so both engines walk
     * identical IEEE additions. Significance vs χ²(k−1) from the shared
     * critical table — out-of-table df → NULL, never a silent false.
+    * Degenerate guard (r13 advice): a zero-variance group makes ln(s_j²)
+    * undefined — Spark's log() returns null but DuckDB's ln() RAISES, an
+    * asymmetric gate error. Both engines therefore compute ln over a
+    * guarded argument (v>0 ? v : 1 — identical to v on every valid path)
+    * and gate the final stat/significant on min group variance > 0,
+    * emitting NULL beyond it (the q_runs_test degeneracy discipline).
     * One scan + one k-row shuffle, k bounds everything downstream. */
   def qBartlett(s: SparkSession, dir: String): DataFrame =
     bartlettOf(Tables.lineitem(s, dir)
@@ -2415,8 +2428,10 @@ object Stats extends QueryModule {
         lit(0.0), (acc, x) => acc + x.getField("t")).as(name)
     val m = g.agg(
       count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      min(col("v")).as("minv"),
       fold((col("nj") - 1).cast("double") * col("v"), "sw"),
-      fold((col("nj") - 1).cast("double") * log(col("v")), "sl"),
+      fold((col("nj") - 1).cast("double") *
+        log(when(col("v") > 0, col("v")).otherwise(lit(1.0))), "sl"),
       fold(lit(1.0) / (col("nj") - 1).cast("double"), "si"))
     val nk = (col("n") - col("k")).cast("double")
     val t = nk * log(col("sw") / nk) - col("sl")
@@ -2426,8 +2441,9 @@ object Stats extends QueryModule {
       .foldLeft(lit(null).cast("double")) { case (acc, (df, cv)) =>
         when(col("k") - 1 === df, cv).otherwise(acc)
       }
-    m.select(col("k"), col("n"), round(t / c, 6).as("stat"),
-      (t / c > crit).as("significant"))
+    m.select(col("k"), col("n"),
+      when(col("minv") > 0, round(t / c, 6)).as("stat"),
+      when(col("minv") > 0, t / c > crit).as("significant"))
   }
 
   private lazy val qBartlettSql =
@@ -2441,18 +2457,22 @@ object Stats extends QueryModule {
                    / CAST(nj AS DOUBLE)) / CAST(nj - 1 AS DOUBLE) AS v
               FROM g),
        m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+               min(v) AS minv,
                list_sum(list(CAST(nj - 1 AS DOUBLE) * v ORDER BY g)) AS sw,
-               list_sum(list(CAST(nj - 1 AS DOUBLE) * ln(v) ORDER BY g)) AS sl,
+               list_sum(list(CAST(nj - 1 AS DOUBLE)
+                 * ln(CASE WHEN v > 0 THEN v ELSE 1 END) ORDER BY g)) AS sl,
                list_sum(list(CAST(1 AS DOUBLE) / CAST(nj - 1 AS DOUBLE) ORDER BY g)) AS si
              FROM gv)
        SELECT k, n,
-         round((CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
-           / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
-              / (3 * CAST(k - 1 AS DOUBLE))), 6) AS stat,
-         (CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
-           / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
-              / (3 * CAST(k - 1 AS DOUBLE)))
-           > ${RobustStats.KruskalChiCrit(2)} AS significant
+         CASE WHEN minv > 0 THEN
+           round((CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
+             / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                / (3 * CAST(k - 1 AS DOUBLE))), 6) END AS stat,
+         CASE WHEN minv > 0 THEN
+           (CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
+             / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                / (3 * CAST(k - 1 AS DOUBLE)))
+             > ${RobustStats.KruskalChiCrit(2)} END AS significant
        FROM m"""
 
   /** Studentized-range 95th-percentile critical values q(0.95; k, ∞) —
