@@ -112,8 +112,17 @@ object Bench {
     // lands in one round and the per-query median absorbs it, instead of
     // poisoning every rep of whichever query was running (r8: q_key_skew
     // 0.37→2.01 s on unchanged code, adjudicated as suite contention).
+    // ROTATED rep rounds: round r starts at offset r·|Q|/reps, so no
+    // query sits at a round boundary in every rep. Without rotation the
+    // first queries of each round always absorb round-start turnover
+    // (executor-pool churn, page-cache refill after the previous round's
+    // tail) — r14: q_trimmed_mean reps [18.8, 1.9, 2.1], a 9× first-
+    // position tax on unchanged code. Rotation spreads the boundary cost
+    // across the suite so min-of-reps needs only one clean placement.
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to reps; name <- names) {
+    for (r <- 0 until reps;
+         offset = if (names.isEmpty) 0 else (r.toLong * names.size / reps).toInt;
+         name <- names.drop(offset) ++ names.take(offset)) {
       try {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

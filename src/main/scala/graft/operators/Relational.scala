@@ -564,19 +564,37 @@ object Relational extends QueryModule {
       .select(col("o_custkey").as("hub"), col("l_partkey").as("auth")))
 
   /** HITS core over a (hub, auth) directed bipartite edge relation —
-    * see [[qHits]]. Ids are prefix-namespaced internally so the two
+    * see [[qHits]]. Ids are even/odd-namespaced internally so the two
     * sides can never collide. */
   def hitsOf(edges: DataFrame): DataFrame = {
+    // Ids are namespaced as LONGS (hub → 2k, auth → 2k+1), not strings:
+    // every round hashes, shuffles and broadcasts these keys, and an
+    // 8-byte long beats a "c<key>" string on all three (r15). The
+    // string form exists only in the final projection.
     val e = edges
-      .select(concat(lit("c"), col("hub")).as("c"),
-        concat(lit("p"), col("auth")).as("p"))
+      .select((col("hub").cast("long") * 2).as("c"),
+        (col("auth").cast("long") * 2 + 1).as("p"))
       .distinct()
+    // Checkpoint the symmetric adjacency PRE-PARTITIONED on tgt — the
+    // key every round both joins (broadcast, partitioning-preserving)
+    // and aggregates on — so all HitsIters contribution sums are
+    // SHUFFLE-FREE partition-local aggregates over the same layout
+    // (r15 probe: with keys ≫ rows/partition the per-round partial agg
+    // expanded 1.1M adjacency rows to ~2M shuffled partials; paying ONE
+    // repartition here retired 7 of those shuffles, 6.2 s → ~4 s at
+    // sf0.1). This is the iterative-workload form of "reuse a
+    // partitioning across stages" — at cluster scale the win grows with
+    // the shuffle fan-out.
     val adj = e.select(col("c").as("src"), col("p").as("tgt"))
       .unionByName(e.select(col("p").as("src"), col("c").as("tgt")))
+      .repartition(edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col("tgt"))
       .localCheckpoint(true)
-    var score = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1).cast("decimal(38,0)").as("score"))
-      .localCheckpoint(true)
+    // Iteration 1 from the all-ones init IS the degree count (Σ over
+    // neighbors of 1) — run it as a plain count aggregate, which also
+    // yields the node id set for free (every node appears as tgt in the
+    // symmetric adjacency), dropping the separate distinct-ids init job
+    // and the first broadcast round of the old form. Exactness is
+    // untouched: count(*) is the identical DECIMAL(38,0) integer.
     // scores are NODE-sized (≪ edges) → broadcast them and keep the
     // edge table in place: each half-step is a map-side hash join + one
     // partial-aggregated shuffle of contribution sums, instead of
@@ -585,29 +603,29 @@ object Relational extends QueryModule {
     // the q_pagerank shuffle-join form — the adjacency is already
     // checkpointed for exactly that.
     //
-    // TWO half-steps run per eager checkpoint: the first lands inside
-    // the second's broadcast-exchange build (its agg is node-sized, so
-    // the materialization is free compared to a full checkpoint), which
-    // halves the checkpoint jobs of the synchronous loop. Exactness is
-    // untouched — the per-node sums are exact DECIMAL(38,0) integers,
-    // associative under any regrouping.
+    // NO intermediate checkpoints (r15): every round's scores enter the
+    // next round as a BROADCAST build side, and the broadcast exchange
+    // already materializes its child exactly once — so a per-round
+    // localCheckpoint only adds a redundant materialization job on top
+    // (measured: dropping the 4 intermediate checkpoints of the r12 form
+    // cut ~1 s of pure job-scheduling overhead at sf0.1). The chain is
+    // HitsIters nested joins; ONE eager checkpoint at the end truncates
+    // the lineage before normalization reads the final scores twice.
+    // Exactness is untouched — the per-node sums are exact
+    // DECIMAL(38,0) integers, associative under any regrouping.
     def halfStep(prev: DataFrame): DataFrame =
       adj.join(broadcast(prev.withColumnRenamed("id", "src")), Seq("src"))
         .groupBy(col("tgt").as("id"))
         .agg(sum(col("score")).cast("decimal(38,0)").as("score"))
-    var done = 0
-    while (done < HitsIters) {
-      val step = math.min(2, HitsIters - done)
-      val next = (1 to step).foldLeft(score)((acc, _) => halfStep(acc))
-        .localCheckpoint(true)
-      score.unpersist()
-      score = next
-      done += step
-    }
-    val side = substring(col("id"), 1, 1)
+    val chain = (2 to HitsIters).foldLeft(
+      adj.groupBy(col("tgt").as("id"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("score")))(
+      (acc, _) => halfStep(acc))
+    val score = chain.localCheckpoint(true)
+    val side = when(col("id") % 2 === 0, lit("c")).otherwise(lit("p"))
     val mx = score.groupBy(side.as("node_type")).agg(max(col("score")).as("mx"))
     score.select(side.as("node_type"),
-        expr("substring(id, 2)").cast("long").as("node_key"), col("score"))
+        expr("id div 2").as("node_key"), col("score"))
       .join(broadcast(mx), Seq("node_type"))
       .select(col("node_type"), col("node_key"),
         round(col("score").cast("double") / col("mx").cast("double"), 6)

@@ -2406,8 +2406,11 @@ object Stats extends QueryModule {
     * undefined — Spark's log() returns null but DuckDB's ln() RAISES, an
     * asymmetric gate error. Both engines therefore compute ln over a
     * guarded argument (v>0 ? v : 1 — identical to v on every valid path)
-    * and gate the final stat/significant on min group variance > 0,
-    * emitting NULL beyond it (the q_runs_test degeneracy discipline).
+    * and gate the final stat/significant on min group variance > 0 AND
+    * min group size > 1 (r14 advice: nj=1 makes v NULL in Spark but NaN
+    * in DuckDB, where min() orders NaN greatest — v is pinned to a
+    * 0-sentinel for singletons so both locks fail identically), emitting
+    * NULL beyond it (the q_runs_test degeneracy discipline).
     * One scan + one k-row shuffle, k bounds everything downstream. */
   def qBartlett(s: SparkSession, dir: String): DataFrame =
     bartlettOf(Tables.lineitem(s, dir)
@@ -2419,20 +2422,31 @@ object Stats extends QueryModule {
     val g = vals.groupBy("g")
       .agg(count(lit(1)).as("nj"), sum(d).as("s"), sum(d * d).as("ss"))
       .select(col("g"), col("nj"),
-        ((col("ss").cast("double") -
-          col("s").cast("double") * col("s").cast("double") /
-            col("nj").cast("double")) /
-          (col("nj") - 1).cast("double")).as("v"))
+        // Singleton guard (r14 advice): nj=1 makes v = x/0 — NULL in
+        // Spark but NaN in DuckDB (and DuckDB orders NaN greatest, so a
+        // bare minv>0 gate would PASS there while Spark's NULL-skipping
+        // min ignores it). Pin v to a non-positive sentinel so minv ≤ 0
+        // fails the gate identically in both engines; the min(nj)>1
+        // clause below is the belt-and-braces second lock.
+        when(col("nj") > 1,
+          (col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("nj").cast("double")) /
+            (col("nj") - 1).cast("double")).otherwise(lit(0.0)).as("v"))
     def fold(term: Column, name: String) =
       aggregate(array_sort(collect_list(struct(col("g"), term.as("t")))),
         lit(0.0), (acc, x) => acc + x.getField("t")).as(name)
     val m = g.agg(
       count(lit(1)).as("k"), sum(col("nj")).as("n"),
-      min(col("v")).as("minv"),
+      min(col("v")).as("minv"), min(col("nj")).as("minn"),
       fold((col("nj") - 1).cast("double") * col("v"), "sw"),
       fold((col("nj") - 1).cast("double") *
         log(when(col("v") > 0, col("v")).otherwise(lit(1.0))), "sl"),
-      fold(lit(1.0) / (col("nj") - 1).cast("double"), "si"))
+      // the 1/(nj−1) term needs its own singleton guard: under ANSI
+      // mode 1/0 THROWS in Spark (DuckDB yields inf) — the gate below
+      // nulls the output either way, but the fold must not error
+      fold(when(col("nj") > 1,
+        lit(1.0) / (col("nj") - 1).cast("double")).otherwise(lit(0.0)), "si"))
     val nk = (col("n") - col("k")).cast("double")
     val t = nk * log(col("sw") / nk) - col("sl")
     val c = lit(1.0) +
@@ -2442,8 +2456,8 @@ object Stats extends QueryModule {
         when(col("k") - 1 === df, cv).otherwise(acc)
       }
     m.select(col("k"), col("n"),
-      when(col("minv") > 0, round(t / c, 6)).as("stat"),
-      when(col("minv") > 0, t / c > crit).as("significant"))
+      when(col("minv") > 0 && col("minn") > 1, round(t / c, 6)).as("stat"),
+      when(col("minv") > 0 && col("minn") > 1, t / c > crit).as("significant"))
   }
 
   private lazy val qBartlettSql =
@@ -2453,22 +2467,25 @@ object Stats extends QueryModule {
            sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
          FROM lineitem GROUP BY 1),
        gv AS (SELECT g, nj,
-                (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                   / CAST(nj AS DOUBLE)) / CAST(nj - 1 AS DOUBLE) AS v
+                CASE WHEN nj > 1 THEN
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(nj AS DOUBLE)) / CAST(nj - 1 AS DOUBLE)
+                ELSE 0 END AS v
               FROM g),
        m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
-               min(v) AS minv,
+               min(v) AS minv, min(nj) AS minn,
                list_sum(list(CAST(nj - 1 AS DOUBLE) * v ORDER BY g)) AS sw,
                list_sum(list(CAST(nj - 1 AS DOUBLE)
                  * ln(CASE WHEN v > 0 THEN v ELSE 1 END) ORDER BY g)) AS sl,
-               list_sum(list(CAST(1 AS DOUBLE) / CAST(nj - 1 AS DOUBLE) ORDER BY g)) AS si
+               list_sum(list(CASE WHEN nj > 1 THEN
+                 CAST(1 AS DOUBLE) / CAST(nj - 1 AS DOUBLE) ELSE 0 END ORDER BY g)) AS si
              FROM gv)
        SELECT k, n,
-         CASE WHEN minv > 0 THEN
+         CASE WHEN minv > 0 AND minn > 1 THEN
            round((CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
              / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
                 / (3 * CAST(k - 1 AS DOUBLE))), 6) END AS stat,
-         CASE WHEN minv > 0 THEN
+         CASE WHEN minv > 0 AND minn > 1 THEN
            (CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl)
              / (1 + (si - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
                 / (3 * CAST(k - 1 AS DOUBLE)))
