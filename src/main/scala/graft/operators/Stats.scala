@@ -203,7 +203,9 @@ object Stats extends QueryModule {
     * over a fixed 10-bucket value grid with add-1 smoothing (empty cells
     * are real signal, so the grid is densified before smoothing).
     * PSI = Σ_buckets (p_a − p_b)·ln(p_a/p_b); ≳0.2 flags drift.
-    * Sum order over the 10 bucket terms is engine-dependent → round(6). */
+    * The 10 bucket terms fold over a bucket-SORTED array (r15, the
+    * bartlett/anova discipline) so both engines walk identical IEEE
+    * additions — bit-exact before the cosmetic round(6). */
   def qPsi(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_type"),
       least(floor(col("value") / 50.0).cast("int"), lit(9)).as("bucket"),
@@ -222,7 +224,10 @@ object Stats extends QueryModule {
     val pb = (col("nb") + 1).cast("double") / (col("tb") + 10)
     dense.join(tot, Seq("event_type"))
       .groupBy(col("event_type"), col("ta").as("n_a"), col("tb").as("n_b"))
-      .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("bucket"),
+          ((pa - pb) * log(pa / pb)).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("psi"))
       .select("event_type", "n_a", "n_b", "psi")
   }
 
@@ -245,10 +250,10 @@ object Stats extends QueryModule {
          SELECT event_type, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
          FROM dense GROUP BY 1)
        SELECT d.event_type, t.ta AS n_a, t.tb AS n_b,
-         round(sum(
+         round(list_sum(list(
            (CAST(d.na + 1 AS DOUBLE) / (t.ta + 10) - CAST(d.nb + 1 AS DOUBLE) / (t.tb + 10))
            * ln((CAST(d.na + 1 AS DOUBLE) / (t.ta + 10)) / (CAST(d.nb + 1 AS DOUBLE) / (t.tb + 10)))
-         ), 6) AS psi
+           ORDER BY d.bucket)), 6) AS psi
        FROM dense d JOIN tot t ON d.event_type = t.event_type
        GROUP BY d.event_type, t.ta, t.tb"""
 

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Load-bearing plan-shape regression probes (r13 verdict task 7): the
+  * suite already pins no-CartesianProduct for recent batches, but nothing
+  * asserted the shapes the headline bench DEPENDS on — q1_agg's single
+  * shuffle, q6_agg's pushed-down scan filters, the broadcast dims of the
+  * join queries, the equi-banded candidate joins of the dedup family —
+  * against silent plan drift from a future Spark/AQE/config change. Each
+  * probe asserts operator PRESENCE/ABSENCE on the executed plan string,
+  * not exact plan text, so legitimate optimizer evolution (AQE numbering,
+  * codegen ids) cannot break it.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("q1_agg is one scan + one shuffle: a single hash exchange, no join") {
+    val p = plan(operators.Relational.q1Agg(spark, sfDir))
+    assert(exchanges(p) == 1, s"q1_agg must shuffle exactly once:\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"q1_agg must not join:\n${p.take(1200)}")
+  }
+
+  test("q6_agg pushes every predicate into the parquet scan") {
+    val p = plan(operators.Relational.q6Agg(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p.take(1200))
+    assert(!p.contains("PushedFilters: []"),
+      s"q6_agg's filters must reach the scan:\n${p.take(1200)}")
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("q3_join and q5_join broadcast their dimension sides (no sort-merge " +
+    "of a dim against the fact)") {
+    Seq("q3_join" -> operators.Relational.q3Join(spark, sfDir),
+      "q5_join" -> operators.Relational.q5Join(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(1200)}")
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("dedup candidate generation stays equi-banded: no cartesian or " +
+    "nested-loop pair explosion in minhash/jaccard/exact") {
+    Seq(
+      "q_dedup_exact" -> operators.Dedup.qDedupExact(spark, sfDir),
+      "q_dedup_jaccard" -> operators.Dedup.qDedupJaccard(spark, sfDir),
+      "q_dedup_minhash" -> operators.Dedup.qDedupMinhash(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q_dedup_exact aggregates without any join") {
+    val p = plan(operators.Dedup.qDedupExact(spark, sfDir))
+    assert(!p.contains("Join"), s"exact dedup is a pure groupBy:\n${p.take(1200)}")
+  }
+
+  test("q_hits final assembly: broadcast side-maxima join over the " +
+    "checkpointed scores, never a sort-merge or cartesian") {
+    // the 8 iteration rounds execute eagerly inside hitsOf (each round's
+    // scores are a broadcast build side — Round10bSpec pins their
+    // semantics); the returned plan is the normalization, whose shape is
+    // the one a regression would silently flip to SMJ
+    val p = plan(operators.Relational.qHits(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("q_topk combines map-side through the typed O(k) aggregator " +
+    "(ObjectHashAggregate partial+final, no raw-row sort-shuffle)") {
+    val p = plan(operators.Relational.qTopk(spark, sfDir))
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(exchanges(p) <= 2, s"top-k must not re-shuffle raw rows:\n${p.take(1200)}")
+  }
+
+  test("q_moving_avg runs in one window pass over one shuffle") {
+    val p = plan(operators.Relational.qMovingAvg(spark, sfDir))
+    assert("Window".r.findAllIn(p).size >= 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("capstone compositions plan no cartesian and no nested-loop " +
+    "(q_pipeline, q_curation_full, q_rouge_pairs, q_bleu_pairs)") {
+    Seq(
+      "q_rouge_pairs" -> operators.Dedup.qRougePairs(spark, sfDir),
+      "q_bleu_pairs" -> operators.Dedup.qBleuPairs(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1200)}")
+    }
+    // The funnels legitimately carry BroadcastNestedLoopJoins: each is a
+    // non-equi SCALAR-threshold gate (e.g. avg_nll <= nll_p95) against a
+    // broadcast ONE-ROW corpus-percentile relation — bounded by
+    // construction. Pin the count (1 gate in q_pipeline, 5 in the full
+    // funnel) so a NEW unbounded nested loop cannot hide among them, and
+    // require every one to be the Cross-with-residual-condition shape.
+    Seq(("q_pipeline", operators.ScaleOps.qPipeline(spark, sfDir), 1),
+      ("q_curation_full", operators.TextAnalysis.qCurationFull(spark, sfDir), 5))
+      .foreach { case (q, df, maxBnlj) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toList
+        assert(bnlj.size <= maxBnlj, s"$q: ${bnlj.size} nested loops:\n$bnlj")
+        // every nested loop must be the scalar-attach Cross shape (some
+        // gates carry the threshold inline, some filter downstream)
+        bnlj.foreach(l => assert(l.contains("Cross"),
+          s"$q: non-Cross nested loop: $l"))
+      }
+  }
+}
