@@ -514,8 +514,20 @@ object TopicModeling extends QueryModule {
       modelSelectScoresUncached(s, dir)
     }
 
-  def qModelSelect(s: SparkSession, dir: String): DataFrame = {
-    val scores = modelSelectScores(s, dir)
+  def qModelSelect(s: SparkSession, dir: String): DataFrame =
+    selectFrame(s, modelSelectScores(s, dir))
+
+  /** [[qModelSelect]] over an EXPLICIT k grid (the qHdpAt seam pattern):
+    * the thesis-scale replay spec drives a slice of the reference's
+    * 10..990 grid through the identical code path without the env var.
+    * Unmemoized — the caller owns the grid, so the default-grid cache
+    * must not be poisoned by it. */
+  private[graft] def qModelSelectAt(s: SparkSession, dir: String,
+      ks: Seq[Int]): DataFrame =
+    selectFrame(s, modelSelectScoresUncached(s, dir, ks))
+
+  private def selectFrame(s: SparkSession,
+      scores: Seq[(Int, Double, Double)]): DataFrame = {
     val best = scores.maxBy(_._2)._1
     import s.implicits._
     scores.toDF("k", "mean_umass", "log_perplexity")
@@ -524,11 +536,10 @@ object TopicModeling extends QueryModule {
         (col("k") === best).as("selected"))
   }
 
-  private def modelSelectScoresUncached(s: SparkSession, dir: String)
-      : Seq[(Int, Double, Double)] = {
+  private def modelSelectScoresUncached(s: SparkSession, dir: String,
+      ks: Seq[Int] = modelKs): Seq[(Int, Double, Double)] = {
     val (bow, vocab) = corpus(s, dir)
     val vocabLit = array(vocab.map(lit): _*)
-    val ks = modelKs
     // the sweep is embarrassingly parallel ACROSS k (each fit is an
     // independent seeded job DAG over the shared cached bow), so fits are
     // dispatched from a bounded driver pool and the cluster scheduler

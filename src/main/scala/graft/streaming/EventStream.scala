@@ -514,6 +514,160 @@ object EventStream {
       }
   }
 
+  case class LbState(n: Long, s: Double, ss: Double,
+      first: List[Double], last: List[Double], c: List[Double])
+  case class LbOut(event_type: String, n: Long,
+      q_lb: Option[Double], significant: Option[Boolean])
+
+  /** Streaming Ljung–Box whiteness monitor per event type — the stateful
+    * twin of the batch Stats.qLjungBox (r13 verdict task 6): the same
+    * portmanteau Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) over the first
+    * h = LjungBoxLags autocorrelations, carried as O(h) state per key
+    * regardless of stream length: running (n, Σx, Σx²), the raw lag
+    * cross-products C_k = Σ_t x_t·x_{t−k} (each new value multiplies
+    * into the ≤h most recent), and the FIRST h and LAST h values — the
+    * only order statistics the centered expansion needs, since
+    * Σ(x_t−m)(x_{t−k}−m) = C_k − m·(A_k+B_k) + (n−k)m² with
+    * A_k = Σx minus the first k values and B_k = Σx minus the last k.
+    * The batch twin centers through exact decimals; the monitor carries
+    * doubles (state must be bounded), so StreamingSpec pins equality to
+    * the batch within 1e-6 of the rounded statistic. Degenerate
+    * (n ≤ h or zero-variance) prefixes emit None, never a fabricated Q.
+    * Rows are processed in seq order within a batch (caller orders;
+    * production carries event-time); state persists across batches. */
+  def runningLjungBox(values: Dataset[TypedValue]): Dataset[LbOut] = {
+    import values.sparkSession.implicits._
+    val h = graft.operators.Stats.LjungBoxLags
+    val crit = graft.operators.RobustStats.KruskalChiCrit(h)
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[LbState, LbOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[LbState]) =>
+          var cur = state.getOption.getOrElse(
+            LbState(0L, 0.0, 0.0, Nil, Nil, List.fill(h)(0.0)))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val x = r.value
+            val c2 = cur.c.zipWithIndex.map { case (ck, i) =>
+              if (i < cur.last.size) ck + x * cur.last(i) else ck
+            }
+            cur = LbState(cur.n + 1, cur.s + x, cur.ss + x * x,
+              if (cur.first.size < h) cur.first :+ x else cur.first,
+              (x :: cur.last).take(h), c2)
+          }
+          state.update(cur)
+          val n = cur.n
+          val m = if (n > 0) cur.s / n else 0.0
+          val den = cur.ss - n * m * m
+          val qOpt =
+            if (n > h && den > 0) {
+              val nD = n.toDouble
+              val q = (1 to h).map { k =>
+                val ak = cur.s - cur.first.take(k).sum
+                val bk = cur.s - cur.last.take(k).sum
+                val num = cur.c(k - 1) - m * (ak + bk) + (n - k) * m * m
+                val rk = num / den
+                rk * rk / (nD - k)
+              }.sum * (nD * (nD + 2))
+              Some(q)
+            } else None
+          Iterator(LbOut(et, n, qOpt, qOpt.map(_ > crit)))
+      }
+  }
+
+  /** One Greenwald–Khanna tuple: value, rank mass g, rank slack Δ. */
+  case class GkEntry(v: Double, g: Long, d: Long)
+  case class GkState(entries: List[GkEntry], n: Long)
+  case class TrimOut(event_type: String, n: Long,
+      lo: Double, hi: Double, trimmed_mean: Double)
+
+  /** GK accuracy of the streaming quantile monitor (rank error ≤ ε·n). */
+  val GkEps = 0.01
+
+  /** Streaming GK-quantile / trimmed-mean monitor per event type — the
+    * stateful twin of the batch RobustStats.qTrimmedMeanApprox (r13
+    * verdict task 6): the SAME mergeable-sketch idea (bounded-memory
+    * quantiles in one pass), here carried as flatMapGroupsWithState
+    * state — a Greenwald–Khanna summary of (v, g, Δ) tuples, O(1/ε·log
+    * εn) per key regardless of stream length. Each batch inserts its
+    * values in seq order and compresses; the emission reads the p10/p90
+    * cuts and a sketch-integrated 10%-trimmed mean (entry masses g
+    * overlapped with the interior rank window [0.1n, 0.9n] — the
+    * t-digest trimmed-mean construction). Guarantees (pinned by
+    * StreamingSpec): reported cuts sit within rank ε·n + 2 of the exact
+    * order statistics, and the trimmed mean lies inside [lo, hi]. */
+  def runningTrimmedMean(values: Dataset[TypedValue]): Dataset[TrimOut] = {
+    import values.sparkSession.implicits._
+    val eps = GkEps
+    def insert(st: GkState, x: Double): GkState = {
+      val (before, after) = st.entries.span(_.v < x)
+      val d = if (before.isEmpty || after.isEmpty) 0L
+        else math.floor(2 * eps * st.n).toLong
+      GkState(before ::: GkEntry(x, 1L, d) :: after, st.n + 1)
+    }
+    def compress(st: GkState): GkState = {
+      val cap = math.max(1L, math.floor(2 * eps * st.n).toLong)
+      val merged = st.entries.foldRight(List.empty[GkEntry]) { (e, acc) =>
+        acc match {
+          case next :: rest if e.g + next.g + next.d < cap &&
+              acc.size > 1 => // never merge into the last (max) entry's slot
+            GkEntry(next.v, e.g + next.g, next.d) :: rest
+          case _ => e :: acc
+        }
+      }
+      GkState(merged, st.n)
+    }
+    def cut(st: GkState, q: Double): Double = {
+      // standard GK query: first entry whose rank envelope [rmin, rmax]
+      // covers the target within ±εn on BOTH sides
+      val r = math.max(1L, math.ceil(q * st.n).toLong)
+      val e = eps * st.n
+      var rmin = 0L
+      var res = st.entries.last.v
+      var found = false
+      st.entries.foreach { en =>
+        rmin += en.g
+        if (!found && rmin + en.d - e <= r && r <= rmin + e) {
+          res = en.v; found = true
+        }
+      }
+      res
+    }
+    def trimmedMean(st: GkState, trim: Double): Double = {
+      val loR = trim * st.n
+      val hiR = (1 - trim) * st.n
+      var rmin = 0L
+      var wsum = 0.0
+      var vsum = 0.0
+      st.entries.foreach { en =>
+        val a = rmin.toDouble
+        val b = (rmin + en.g).toDouble
+        val w = math.max(0.0, math.min(b, hiR) - math.max(a, loR))
+        wsum += w; vsum += w * en.v
+        rmin += en.g
+      }
+      if (wsum > 0) vsum / wsum else st.entries.head.v
+    }
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[GkState, TrimOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[GkState]) =>
+          var cur = state.getOption.getOrElse(GkState(Nil, 0L))
+          var sinceCompress = 0
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            cur = insert(cur, r.value)
+            sinceCompress += 1
+            if (sinceCompress >= math.max(8, (1 / (2 * eps)).toInt)) {
+              cur = compress(cur); sinceCompress = 0
+            }
+          }
+          cur = compress(cur)
+          state.update(cur)
+          if (cur.n == 0) Iterator.empty
+          else Iterator(TrimOut(et, cur.n,
+            cut(cur, 0.1), cut(cur, 0.9), trimmedMean(cur, 0.1)))
+      }
+  }
+
   case class RunsState(n: Long, nUp: Long, runs: Long,
       prevVal: Double, hasVal: Boolean, prevSign: Int)
   case class RunsOut(event_type: String, n: Long, n_up: Long, n_down: Long,

@@ -647,4 +647,88 @@ class StreamingSpec extends SparkSpec {
       assert(r2._6.get, "sustained oscillation must trip the two-sided gate")
     } finally q.stop()
   }
+
+  test("streaming Ljung-Box monitor matches the batch portmanteau across " +
+    "a batch boundary, and stays None below the lag depth") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = graft.operators.Stats.LjungBoxLags
+    // a weekly-ish cycle + noise so Q is large and well-conditioned
+    val xs = (1 to 21).map(i => 100.0 + 40.0 * (i % 7) + (i % 3))
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningLjungBox(input.toDS())
+      .writeStream.format("memory").queryName("lb_out")
+      .outputMode("update").start()
+    def latest(): (Long, Option[Double], Option[Boolean]) =
+      spark.table("lb_out").collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+        .maxBy(_._1)
+    try {
+      // batch 1: only h values -> n <= h, Q undefined
+      input.addData(xs.take(h).zipWithIndex.map { case (x, i) =>
+        EventStream.TypedValue("m", i.toLong, x) })
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1._1 == h.toLong && r1._2.isEmpty && r1._3.isEmpty)
+      // batch 2: the rest -> compare against the batch twin on the SAME
+      // series (as daily totals with day = zero-padded seq so the window
+      // order matches insertion order)
+      input.addData(xs.drop(h).zipWithIndex.map { case (x, i) =>
+        EventStream.TypedValue("m", (h + i).toLong, x) })
+      q.processAllAvailable()
+      val r2 = latest()
+      assert(r2._1 == xs.size.toLong)
+      val daily = xs.zipWithIndex.map { case (x, i) =>
+        ("m", f"2024-$i%04d", BigDecimal(x)) }
+        .toDF("event_type", "day", "tot")
+        .select(col("event_type"), col("day"),
+          col("tot").cast("decimal(18,6)").as("tot"))
+      val b = graft.operators.Stats.ljungBoxOf(daily).collect()(0)
+      assert(!b.isNullAt(b.fieldIndex("q_lb")))
+      val batchQ = b.getAs[Double]("q_lb")
+      assert(math.abs(r2._2.get - batchQ) < 1e-4,
+        s"stream ${r2._2.get} vs batch $batchQ")
+      assert(r2._3.get == b.getAs[Boolean]("significant"))
+    } finally q.stop()
+  }
+
+  test("streaming GK trimmed-mean monitor: cuts within the rank error " +
+    "band, trimmed mean inside the cuts and near the exact value, " +
+    "across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic shuffled-ish values 1..500 (content-keyed, no RNG)
+    val xs = (1 to 500).map(i => ((i * 137) % 500 + 1).toDouble)
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningTrimmedMean(input.toDS())
+      .writeStream.format("memory").queryName("trim_out")
+      .outputMode("update").start()
+    def latest(): (Long, Double, Double, Double) =
+      spark.table("trim_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .maxBy(_._1)
+    try {
+      input.addData(xs.take(200).zipWithIndex.map { case (x, i) =>
+        EventStream.TypedValue("m", i.toLong, x) })
+      q.processAllAvailable()
+      input.addData(xs.drop(200).zipWithIndex.map { case (x, i) =>
+        EventStream.TypedValue("m", (200 + i).toLong, x) })
+      q.processAllAvailable()
+      val (n, lo, hi, tm) = latest()
+      assert(n == 500L)
+      val sorted = xs.sorted
+      def rankOf(v: Double): Int = sorted.count(_ <= v)
+      val slack = EventStream.GkEps * n + 2
+      assert(math.abs(rankOf(lo) - 0.1 * n) <= slack,
+        s"lo=$lo rank=${rankOf(lo)} target=${0.1 * n}")
+      assert(math.abs(rankOf(hi) - 0.9 * n) <= slack,
+        s"hi=$hi rank=${rankOf(hi)} target=${0.9 * n}")
+      assert(tm >= lo && tm <= hi)
+      // values are 1..500 uniform -> exact 10% trimmed mean is 250.5;
+      // the sketch integral must land within the rank-error-scaled band
+      val exact = sorted.slice(50, 450).sum / 400
+      assert(math.abs(tm - exact) <= 0.05 * exact,
+        s"tm=$tm exact=$exact")
+    } finally q.stop()
+  }
 }
