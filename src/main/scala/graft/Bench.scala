@@ -30,7 +30,9 @@ object Bench {
     "q_sample", "q_sample_stratified", "q_sample_weighted", "q_sample_group",
     "q_scd2", "q_wau", "q_percentiles_approx",
     "q_histogram", "q_corr_matrix", "q_regr", "q_regr_multi", "q_psi", "q_markov",
-    "q_attribution", "q_markov_stationary", "q_nelson_aalen", "q_readability", "q_zipf", "q_kappa", "q_cube",
+    "q_attribution", "q_attribution_markov", "q_markov_stationary",
+    "q_dw", "q_bhattacharyya",
+    "q_nelson_aalen", "q_readability", "q_zipf", "q_kappa", "q_cube",
     "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords",
     "q2_topsupp", "q4_priority", "q7_volume", "q8_share", "q9_profit",
     "q10_returns", "q12_priority", "q13_custdist", "q15_topsupp", "q14_promo", "q16_suppcnt", "q17_smallqty",

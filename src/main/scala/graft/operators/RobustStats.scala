@@ -1087,6 +1087,74 @@ object RobustStats extends QueryModule {
     * distributions per language pair — rounds out q_psi (binned) and
     * q_ks_test (sup-norm) with the transport distance production drift
     * monitors alert on. */
+  /** q_bhattacharyya: Bhattacharyya / Hellinger drift matrix over every
+    * event-type PAIR on the shared 10-bucket value grid (the q_psi
+    * substrate, densified + add-1 smoothed) — the BINNED-DENSITY member
+    * of the drift family: q_ks_test/q_wasserstein integrate ECDF gaps
+    * over raw doc lengths, q_psi scores a single A/B split per type;
+    * the Bhattacharyya coefficient BC = Σ_b √(p_a·p_b) compares every
+    * pair of types symmetrically, with d_B = −ln BC unbounded for
+    * disjoint supports and Hellinger = √(1−BC) a proper bounded metric.
+    * The 10 bucket terms fold over a bucket-SORTED array in both engines
+    * (√ is IEEE-exact, products of exactly-equal doubles — the q_psi r15
+    * discipline); 1−BC is clamped at 0 before the square root (BC can
+    * exceed 1 by one ulp on identical distributions in either engine).
+    * One scan → k×10 grid → k² bounded pair join; nothing fact-sized
+    * past the first aggregate. */
+  def qBhattacharyya(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      least(floor(col("value") / 50.0).cast("int"), lit(9)).as("bucket"))
+    val counts = e.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(s.range(0, 10).select(col("id").cast("int").as("bucket")))
+    val dense = grid.join(counts, Seq("event_type", "bucket"), "left_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.groupBy("event_type").agg(sum("n").as("t"))
+    val p = dense.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("bucket"),
+        ((col("n") + 1).cast("double") / (col("t") + 10)).as("p"))
+    val pa = p.select(col("event_type").as("type_a"), col("bucket"),
+      col("p").as("p_a"))
+    val pb = p.select(col("event_type").as("type_b"), col("bucket"),
+      col("p").as("p_b"))
+    val bc = pa.join(pb, Seq("bucket")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("bucket"),
+          sqrt(col("p_a") * col("p_b")).as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as("bc"))
+    bc.select(col("type_a"), col("type_b"),
+      round(-log(col("bc")), 6).as("bhattacharyya"),
+      round(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))), 6).as("hellinger"))
+  }
+
+  private lazy val qBhattacharyyaSql =
+    """WITH e AS (SELECT event_type,
+           least(CAST(floor(value / 50.0) AS INT), 9) AS bucket
+         FROM events),
+       counts AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+       grid AS (SELECT t.event_type, b.bucket
+                FROM (SELECT DISTINCT event_type FROM e) t
+                CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+       dense AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+                 FROM grid g LEFT JOIN counts c
+                   ON g.event_type = c.event_type AND g.bucket = c.bucket),
+       tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+               FROM dense GROUP BY 1),
+       p AS (SELECT d.event_type, d.bucket,
+               CAST(d.n + 1 AS DOUBLE) / (tot.t + 10) AS p
+             FROM dense d JOIN tot ON tot.event_type = d.event_type),
+       bc AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                list_sum(list(sqrt(a.p * b.p) ORDER BY a.bucket)) AS bc
+              FROM p a JOIN p b
+                ON a.bucket = b.bucket AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+       SELECT type_a, type_b, round(-ln(bc), 6) AS bhattacharyya,
+         round(sqrt(greatest(1 - bc, 0)), 6) AS hellinger
+       FROM bc"""
+
   def qWasserstein(s: SparkSession, dir: String): DataFrame =
     w1Pairs(Tables.documents(s, dir)
       .select(col("lang").as("g"), col("n_chars").as("x")))
@@ -1890,6 +1958,7 @@ object RobustStats extends QueryModule {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ks_test" -> (qKsTest _),
     "q_wasserstein" -> (qWasserstein _),
+    "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_kruskal" -> (qKruskal _),
@@ -1919,6 +1988,7 @@ object RobustStats extends QueryModule {
     "q_quantile_norm" -> qQuantileNormSql,
     "q_ks_test" -> qKsTestSql,
     "q_wasserstein" -> qWassersteinSql,
+    "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,
     "q_kruskal" -> qKruskalSql,

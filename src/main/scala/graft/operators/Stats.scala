@@ -447,6 +447,173 @@ object Stats extends QueryModule {
        FROM ranked r JOIN conv c ON r.user_id = c.user_id
        WHERE r.rn = 1 GROUP BY 1"""
 
+  /** Fixed absorption-walk depth of the Markov attribution chain. */
+  val AttribIters = 30
+
+  /** q_attribution_markov: Markov-chain removal-effect attribution
+    * (Anderl et al. 2014) — the data-driven member of the attribution
+    * family (53c credits the FIRST touch only; 61z's Shapley prices
+    * coalitions of PRESENCE; the Markov model prices each channel by how
+    * much conversion probability the journey graph LOSES when that
+    * channel is removed, which is the industry-standard "removal
+    * effect"). Journeys: per user, the touch sequence strictly before
+    * the first purchase (converters absorb into __conv, never-buyers
+    * into __null, START opens every journey); transitions are counted
+    * distributed (one shuffle on user_id for the lead(), one on the
+    * bounded (from,to) pair key) and only the k² matrix reaches the
+    * driver (the qMarkovStationary bounded-state rule). Absorption
+    * probability a(st) = P(reach __conv) is computed by the FIXED
+    * [[AttribIters]]-step recursion a⁽¹⁾ = c, a⁽ⁿ⁺¹⁾(f) = c(f) +
+    * Σ_to p(f,to)·a⁽ⁿ⁾(to) (c = direct-conversion mass), once on the
+    * full graph and once per removed channel; removal_effect(ch) = 1 −
+    * a_ch(START)/a(START), share = effect / Σ effects. Determinism
+    * discipline: every Σ is an ordered fold over to-states ascending
+    * (list_sum(list(… ORDER BY to_st)) in the oracle — term-by-term
+    * identical IEEE arithmetic; dead-end states contribute exact-zero
+    * terms in Spark and drop out of the oracle's join, an IEEE
+    * identity); the oracle replays the identical recursion as ONE
+    * recursive CTE keyed (removed, iter, state). Degenerate corpus
+    * (zero conversions) → NULL effects, never a division error. */
+  def qAttributionMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"), "left_outer")
+      .filter(col("fp").isNull || struct(col("ts"), col("event_id")) < col("fp"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("fp").isNotNull.as("conv"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seqd = touches.select(col("user_id"), col("event_type"), col("conv"),
+      row_number().over(w).as("trn"),
+      lead(col("event_type"), 1).over(w).as("next"))
+    val inner = seqd.select(col("event_type").as("from_st"),
+      coalesce(col("next"),
+        when(col("conv"), lit("__conv")).otherwise(lit("__null"))).as("to_st"))
+    val starts = seqd.filter(col("trn") === 1)
+      .select(lit("__start").as("from_st"), col("event_type").as("to_st"))
+    // converters whose very first event IS the purchase: no prior touch
+    val directs = fp
+      .join(touches.select("user_id").distinct(), Seq("user_id"), "left_anti")
+      .select(lit("__start").as("from_st"), lit("__conv").as("to_st"))
+    val edges = inner.unionByName(starts).unionByName(directs)
+      .groupBy("from_st", "to_st").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_st")))
+      .select("from_st", "to_st", "p").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val channels = edges.map(_._1).filter(_ != "__start").distinct.sorted
+    def absorb(removed: Option[String]): Double = {
+      val keep = edges.filter { case (f, t, _) =>
+        !removed.contains(f) && !removed.contains(t) }
+      val froms = keep.map(_._1).distinct.sorted
+      val cvec = froms.map { f =>
+        f -> keep.filter(e => e._1 == f && e._2 == "__conv").map(_._3).sum
+      }.toMap
+      val chEdges = froms.map { f =>
+        f -> keep.filter(e =>
+          e._1 == f && e._2 != "__conv" && e._2 != "__null").sortBy(_._2)
+      }.toMap
+      var a = cvec
+      for (_ <- 2 to AttribIters) {
+        a = froms.map { f =>
+          var acc = 0.0
+          // ordered fold over to ascending — the oracle's
+          // list_sum(ORDER BY to_st); absent to-states contribute an
+          // exact 0.0 (the oracle drops the term — IEEE-identical)
+          chEdges(f).foreach { case (_, t, p) =>
+            acc += p * a.getOrElse(t, 0.0) }
+          f -> (cvec(f) + acc)
+        }.toMap
+      }
+      a.getOrElse("__start", 0.0)
+    }
+    val aFull = absorb(None)
+    val effects = channels.map(c => c -> (1.0 - absorb(Some(c)) / aFull))
+    val total = effects.map(_._2).foldLeft(0.0)(_ + _) // channel-ascending
+    channels.map { c =>
+      val re = effects.toMap.apply(c)
+      if (aFull > 0)
+        (c, Some(math.floor(re * 1e6 + 0.5) / 1e6),
+          if (total > 0) Some(math.floor(re / total * 1e6 + 0.5) / 1e6)
+          else None)
+      else (c, None: Option[Double], None: Option[Double])
+    }.toSeq.toDF("channel", "removal_effect", "share")
+  }
+
+  private lazy val qAttributionMarkovSql =
+    s"""WITH RECURSIVE
+       o AS (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM events),
+       fpr AS (SELECT user_id, min(rn) AS prn FROM o
+               WHERE event_type = 'purchase' GROUP BY 1),
+       t AS (SELECT o.user_id, o.event_type, o.rn,
+               fpr.prn IS NOT NULL AS conv
+             FROM o LEFT JOIN fpr USING (user_id)
+             WHERE o.event_type <> 'purchase'
+               AND (fpr.prn IS NULL OR o.rn < fpr.prn)),
+       seqd AS (SELECT user_id, event_type, conv,
+                  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS trn,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS next
+                FROM t),
+       edges AS (
+         SELECT event_type AS from_st,
+           coalesce(next, CASE WHEN conv THEN '__conv' ELSE '__null' END) AS to_st
+         FROM seqd
+         UNION ALL
+         SELECT '__start', event_type FROM seqd WHERE trn = 1
+         UNION ALL
+         SELECT '__start', '__conv' FROM fpr
+         WHERE user_id NOT IN (SELECT DISTINCT user_id FROM t)),
+       trans AS (SELECT from_st, to_st,
+                   CAST(count(*) AS DOUBLE)
+                     / CAST(sum(count(*)) OVER (PARTITION BY from_st) AS BIGINT) AS p
+                 FROM edges GROUP BY 1, 2),
+       chans AS (SELECT DISTINCT from_st AS c FROM trans WHERE from_st <> '__start'),
+       removals AS (SELECT '__none' AS removed UNION ALL SELECT c FROM chans),
+       rt AS (SELECT r.removed, t.from_st, t.to_st, t.p
+              FROM trans t CROSS JOIN removals r
+              WHERE t.from_st <> r.removed AND t.to_st <> r.removed),
+       cv AS (SELECT removed, from_st,
+                coalesce(sum(CASE WHEN to_st = '__conv' THEN p END),
+                  CAST(0 AS DOUBLE)) AS cvec
+              FROM rt GROUP BY 1, 2),
+       rch AS ( -- channel-to-channel edges + zero self-edges so every
+                -- from-state persists in the walk (exact-zero addend)
+         SELECT removed, from_st, to_st, p FROM rt
+         WHERE to_st NOT IN ('__conv', '__null')
+         UNION ALL
+         SELECT removed, from_st, from_st, CAST(0 AS DOUBLE) FROM cv),
+       walk(removed, iter, st, a) AS (
+         SELECT removed, 1, from_st, cvec FROM cv
+         UNION ALL
+         SELECT w.removed, w.iter + 1, e.from_st,
+           cv2.cvec + list_sum(list(e.p * w.a ORDER BY e.to_st))
+         FROM walk w
+         JOIN rch e ON e.removed = w.removed AND e.to_st = w.st
+         JOIN cv cv2 ON cv2.removed = w.removed AND cv2.from_st = e.from_st
+         WHERE w.iter < $AttribIters
+         GROUP BY w.removed, w.iter + 1, e.from_st, cv2.cvec),
+       base AS (SELECT a FROM walk
+                WHERE iter = $AttribIters AND removed = '__none'
+                  AND st = '__start'),
+       eff AS (SELECT c.c AS channel,
+                 1 - coalesce(w.a, CAST(0 AS DOUBLE)) / (SELECT a FROM base) AS re
+               FROM chans c LEFT JOIN walk w
+                 ON w.removed = c.c AND w.iter = $AttribIters
+                    AND w.st = '__start'
+               WHERE (SELECT a FROM base) > 0),
+       tot AS (SELECT list_sum(list(re ORDER BY channel)) AS t FROM eff)
+       SELECT c.c AS channel, round(e.re, 6) AS removal_effect,
+         CASE WHEN tot.t > 0 THEN round(e.re / tot.t, 6) END AS share
+       FROM chans c
+       LEFT JOIN eff e ON e.channel = c.c
+       CROSS JOIN tot"""
+
   /** q_readability: Flesch reading ease per document from pure per-row
     * regex counts (codegen'd, no shuffle at all): words, sentence marks,
     * and the vowel-group syllable heuristic. Counts are integers, so the
@@ -2280,6 +2447,104 @@ object Stats extends QueryModule {
          round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1
        FROM a WHERE den <> 0"""
 
+  /** q_dw: Durbin–Watson serial-correlation test of the DETRENDED daily
+    * value totals per event type — the residual-whiteness member of the
+    * serial-dependence family that q_autocorr (raw lag-1) and
+    * q_ljung_box (multi-lag, raw) do not cover: a strong calendar trend
+    * masquerades as autocorrelation in both, while DW asks the question
+    * a forecaster actually needs answered — "after fitting the linear
+    * trend, are the RESIDUALS still serially dependent?" (the classic
+    * regression-diagnostics companion to 52c's OLS). d = Σ(e_t−e_{t−1})²
+    * / Σe_t² ∈ [0,4], <2 positive autocorrelation. Trend moments (n, Σt,
+    * Σy, Σt², Σty) are exact integer/DECIMAL sums cast to double once;
+    * slope/intercept are identical double expressions of exactly-equal
+    * inputs; both order-sensitive residual sums fold over a day-SORTED
+    * array in BOTH engines (first difference enters as an exact-0.0
+    * first term via coalesce — IEEE-identical), the SumAuditSpec
+    * discipline. n < 3 or zero residual variance → NULL. One scan, one
+    * day-window pass, calendar-bounded state. */
+  def qDw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val idx = daily.select(col("event_type"), col("day"), col("tot"),
+      row_number().over(w).cast("long").as("t"))
+    val m = idx.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("t")).as("st"),
+      sum(col("tot")).as("sy"), sum(col("t") * col("t")).as("stt"),
+      sum(col("tot") * col("t").cast("decimal(10,0)")).as("sty"))
+    val nD = col("n").cast("double")
+    val b = (nD * col("sty").cast("double") -
+        col("st").cast("double") * col("sy").cast("double")) /
+      (nD * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val m2 = m.select(col("event_type"), col("n"), b.as("b"),
+      ((col("sy").cast("double") - b * col("st").cast("double")) / nD).as("a"))
+    val resid = idx.join(m2, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("tot").cast("double") - col("a") -
+          col("b") * col("t").cast("double")).as("e"))
+      .withColumn("ep", lag(col("e"), 1).over(w))
+    def fold(term: Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("day"), term.as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as(name)
+    val agg = resid.groupBy("event_type").agg(
+      max(col("n")).as("n_days"),
+      fold(col("e") * col("e"), "den"),
+      fold(coalesce((col("e") - col("ep")) * (col("e") - col("ep")),
+        lit(0.0)), "num"))
+    val ok = col("n_days") >= 3 && col("den") > 0
+    agg.select(col("event_type"), col("n_days"),
+      when(ok, round(col("num") / col("den"), 6)).as("dw"),
+      when(ok, col("num") / col("den") < 2.0).as("positive_autocorr"))
+  }
+
+  private lazy val qDwSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT event_type, day, tot,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS BIGINT) AS t
+               FROM daily),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st, sum(tot) AS sy,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               sum(tot * CAST(t AS DECIMAL(10,0))) AS sty
+             FROM idx GROUP BY 1),
+       ab AS (SELECT event_type, n,
+                (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+                (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+                    * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+              FROM m),
+       r AS (SELECT i.event_type, i.day, ab.n,
+               CAST(i.tot AS DOUBLE) - ab.a - ab.b * CAST(i.t AS DOUBLE) AS e
+             FROM idx i JOIN ab ON ab.event_type = i.event_type),
+       r2 AS (SELECT event_type, day, n, e,
+                lag(e) OVER (PARTITION BY event_type ORDER BY day) AS ep
+              FROM r),
+       agg AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+                 list_sum(list(e * e ORDER BY day)) AS den,
+                 list_sum(list(coalesce((e - ep) * (e - ep),
+                   CAST(0 AS DOUBLE)) ORDER BY day)) AS num
+               FROM r2 GROUP BY 1)
+       SELECT event_type, n_days,
+         CASE WHEN n_days >= 3 AND den > 0 THEN round(num / den, 6) END AS dw,
+         CASE WHEN n_days >= 3 AND den > 0 THEN num / den < 2.0 END
+           AS positive_autocorr
+       FROM agg"""
+
   /** q_spearman: Spearman rank correlation between the quality score and
     * Flesch readability — the robust (monotone-invariant) alternative to
     * 52b's Pearson matrix. Average ranks with tie handling, computed
@@ -3339,6 +3604,8 @@ object Stats extends QueryModule {
     "q_psi" -> (qPsi _),
     "q_markov" -> (qMarkov _),
     "q_attribution" -> (qAttribution _),
+    "q_attribution_markov" -> (qAttributionMarkov _),
+    "q_dw" -> (qDw _),
     "q_readability" -> (qReadability _),
     "q_zipf" -> (qZipf _),
     "q_profile" -> (qProfile _),
@@ -3392,6 +3659,8 @@ object Stats extends QueryModule {
     "q_psi" -> qPsiSql,
     "q_markov" -> qMarkovSql,
     "q_attribution" -> qAttributionSql,
+    "q_attribution_markov" -> qAttributionMarkovSql,
+    "q_dw" -> qDwSql,
     "q_readability" -> qReadabilitySql,
     "q_zipf" -> qZipfSql,
     "q_profile" -> qProfileSql,

@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.Stats
+import graft.operators.{RobustStats, Stats}
+import java.sql.Timestamp
 
 /** Round-15 hardening pins — the r14-advice seam:
   *  - q_bartlett must go NULL (not error, not a silent value) when any
@@ -32,5 +33,88 @@ class Round15Spec extends SparkSpec {
     val ok = Stats.bartlettOf(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "x")).collect()(0)
     assert(!ok.isNullAt(ok.fieldIndex("stat")))
+  }
+
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String, Double)])
+      : String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r15").toString
+    rows.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q_attribution_markov: removal effects match the hand-solved " +
+    "absorption chain (useless channel scores 0, shares normalize)") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 10: landing -> view -> PURCHASE   (journey absorbs in __conv)
+    // user 20: view -> click                 (never buys -> __null)
+    // user 30: purchase only                 (direct START -> __conv)
+    val dir = writeEvents(Seq(
+      (1L, t(0), 10L, "landing", 0.0), (2L, t(1), 10L, "view", 0.0),
+      (3L, t(2), 10L, "purchase", 0.0),
+      (4L, t(0), 20L, "view", 0.0), (5L, t(1), 20L, "click", 0.0),
+      (6L, t(0), 30L, "purchase", 0.0)))
+    // hand solution: a(view)=a(landing)=1/2, a(start)=2/3;
+    // removing click changes nothing (it never reaches __conv) -> re=0;
+    // removing landing: a(start)=1/2 -> re=1/4;
+    // removing view: a(start)=1/3 -> re=1/2; shares 0 : 1/3 : 2/3.
+    val got = Stats.qAttributionMarkov(spark, dir).orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("click", "landing", "view"))
+    val expected = Seq(("click", 0.0, 0.0), ("landing", 0.25, 0.333333),
+      ("view", 0.5, 0.666667))
+    got.zip(expected).foreach { case ((c, re, sh), (ec, ere, esh)) =>
+      assert(c == ec)
+      assert(math.abs(re - ere) < 1e-6, s"$c removal effect $re vs $ere")
+      assert(math.abs(sh - esh) < 1e-6, s"$c share $sh vs $esh")
+    }
+  }
+
+  test("q_dw: perfect linear trend yields NULL (zero residual variance); " +
+    "an oscillating detrended series lands near 4 (negative autocorr)") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 'lin': exact trend y=t -> residuals all 0 -> NULL
+    // 'osc': y = t + r with r = (1,-1,-2,2,1,-1), chosen ORTHOGONAL to
+    // span{1,t} so the OLS fit is exactly (a,b)=(0,1) and the residuals
+    // are exactly r: den = 12, num = 4+1+16+1+4 = 26 -> dw = 13/6
+    val r = Seq(1.0, -1.0, -2.0, 2.0, 1.0, -1.0)
+    val lin = (1 to 6).map(d => ((d + 100).toLong, t(d), 1L, "lin", d.toDouble))
+    val osc = (1 to 6).map(d => ((d + 200).toLong, t(d), 2L, "osc",
+      d.toDouble + r(d - 1)))
+    val dir = writeEvents(lin ++ osc)
+    val rows = Stats.qDw(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("lin").isNullAt(rows("lin").fieldIndex("dw")),
+      "zero residual variance must gate to NULL")
+    val dwOsc = rows("osc").getAs[Double]("dw")
+    assert(math.abs(dwOsc - 13.0 / 6) < 1e-6, s"dw=$dwOsc")
+    assert(!rows("osc").getAs[Boolean]("positive_autocorr"))
+  }
+
+  test("q_bhattacharyya: identical value distributions score 0 distance; " +
+    "disjoint buckets score the hand-computed smoothed coefficient") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // A and B: five values each in bucket 0; C: five values in bucket 9
+    val rows = (0 until 5).flatMap { i =>
+      Seq(((i * 3 + 1).toLong, t(i), 1L, "a_type", 10.0),
+        ((i * 3 + 2).toLong, t(i), 2L, "b_type", 20.0),
+        ((i * 3 + 3).toLong, t(i), 3L, "c_type", 470.0))
+    }
+    val dir = writeEvents(rows)
+    val got = RobustStats.qBhattacharyya(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("a_type", "b_type"), ("a_type", "c_type"),
+      ("b_type", "c_type")))
+    val (dAb, hAb) = got(("a_type", "b_type"))
+    assert(dAb == 0.0 && hAb == 0.0, s"identical dists: $dAb / $hAb")
+    // a vs c: p = [0.4, 1/15 x9] vs [1/15 x9, 0.4]:
+    // BC = 2*sqrt(0.4/15) + 8/15
+    val bcExp = 2 * math.sqrt(0.4 / 15) + 8.0 / 15
+    val (dAc, hAc) = got(("a_type", "c_type"))
+    assert(math.abs(dAc - (-math.log(bcExp))) < 1e-5, s"$dAc")
+    assert(math.abs(hAc - math.sqrt(1 - bcExp)) < 1e-5, s"$hAc")
   }
 }
