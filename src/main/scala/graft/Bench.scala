@@ -18,6 +18,7 @@ object Bench {
     "q_curation_full",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_decon_semantic", "q_line_dedup", "q_dedup_clusters",
+    "q_dedup_canonical",
     "q_rouge_pairs", "q_rake", "q_blocklist",
     "q_asof_join", "q_asof_native", "q_range_join", "q_bm25", "q_pivot", "q_anomaly",
     "q_ntile", "q_ntile_approx", "q_compact", "q_chisq", "q_events_hop",
@@ -47,7 +48,7 @@ object Bench {
     "q_ccnet_buckets", "q_bigram_lm", "q_tok_fertility", "q_dup_ngrams",
     "q_fleiss", "q_dp_counts", "q_winsorize", "q_winsorize_approx", "q_mutual_info", "q_rocchio",
     "q_cusum", "q_calibration", "q_ann_recall", "q_hll_merge",
-    "q_ks_test", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
+    "q_ks_test", "q_kuiper", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
     "q_mad", "q_mad_approx", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint",

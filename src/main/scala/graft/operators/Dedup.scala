@@ -750,6 +750,56 @@ object Dedup extends QueryModule {
        SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
        FROM walk GROUP BY id"""
 
+  /** q_dedup_canonical: quality-aware duplicate canonicalization — the
+    * curation decision the min-id survivor rule (37/40d) gets WRONG when
+    * duplicates differ in quality (a truncated page and its full copy
+    * are near-dups; min-id keeps whichever crawled first): per near-dup
+    * cluster, keep the member with the HIGHEST quality score (ties
+    * broken by lowest doc_id — max over a (quality, −doc_id) struct, a
+    * partial-aggregable argmax, no row_number pass), and report the
+    * quality the corpus GAINS over the min-id baseline. Reuses the
+    * memoized cluster labels and the gated quality substrate — one
+    * node-sized join, one cluster-keyed aggregate. q_gain subtracts two
+    * floor-6dp grid values, so the final round() never straddles the
+    * HALF_UP seam. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+    clustersOf(s, dir).join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("doc_id"), col("quality").as("q0"))).as("firstm"))
+      .select(col("cluster_id"),
+        (-col("best.nid")).cast("long").as("canonical_doc"),
+        col("n_members"),
+        col("best.quality").as("q_canonical"),
+        col("firstm.q0").as("q_min_id"),
+        round(col("best.quality") - col("firstm.q0"), 6).as("q_gain"))
+  }
+
+  private lazy val qDedupCanonicalSql =
+    s"""WITH RECURSIVE
+       $clusterWalkCtes,
+       cl AS (SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+              FROM walk GROUP BY id),
+       q AS (SELECT doc_id, quality FROM (${TextAnalysis.qQualitySql})),
+       m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+             FROM cl JOIN q USING (doc_id)),
+       r AS (SELECT m.*,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY quality DESC, doc_id ASC) AS rk,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY doc_id ASC) AS rid
+             FROM m)
+       SELECT cluster_id,
+         CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+         CAST(count(*) AS BIGINT) AS n_members,
+         max(CASE WHEN rk = 1 THEN quality END) AS q_canonical,
+         max(CASE WHEN rid = 1 THEN quality END) AS q_min_id,
+         round(max(CASE WHEN rk = 1 THEN quality END)
+           - max(CASE WHEN rid = 1 THEN quality END), 6) AS q_gain
+       FROM r GROUP BY 1"""
+
   /** Backstop on BFS rounds (near-dup components are near-cliques; their
     * diameter is tiny — the cap only guards pathological chains). */
   val BfsMaxDepth = 20
@@ -1779,6 +1829,7 @@ object Dedup extends QueryModule {
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_stats" -> (qGraphStats _),
     "q_pagerank" -> (qPagerank _))
 
@@ -1808,6 +1859,7 @@ object Dedup extends QueryModule {
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_graph_stats" -> qGraphStatsSql,
     "q_pagerank" -> qPagerankSql)
 }

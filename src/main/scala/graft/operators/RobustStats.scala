@@ -1035,6 +1035,84 @@ object RobustStats extends QueryModule {
       .select(ksOutputCols: _*)
   }
 
+  /** Kuiper 5% asymptotic coefficient (the 1.358 of the V statistic). */
+  val KuiperAlpha005 = 1.747
+
+  /** q_kuiper: Kuiper's test matrix over document-length distributions
+    * per language pair — the ROTATION-INVARIANT member of the ECDF drift
+    * family (Kuiper 1960): V = D⁺ + D⁻ weighs both one-sided gaps, so a
+    * distribution that shifts mass INTO both tails symmetrically (which
+    * KS's single sup under-scores) trips it, and the statistic is
+    * invariant under cyclic re-parameterizations. Identical distributed
+    * shape to ksPairs — value-domain window, exact integer gaps
+    * c1·n_b − c2·n_a with max of both signs, ONE final division — and
+    * the asymptotic 5% critical V = 1.747·√(N/(n_a·n_b)). D⁻ includes
+    * the pre-first-value gap of 0 (both ECDFs 0 there), so the max is
+    * floored at 0 in both engines identically. */
+  def qKuiper(s: SparkSession, dir: String): DataFrame =
+    kuiperPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  /** Kuiper core over a (g, x) relation — see [[qKuiper]]. */
+  def kuiperPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vExpr = (col("dp") + col("dm")).cast("double") / (col("na") * col("nb"))
+    val critExpr = lit(KuiperAlpha005) *
+      sqrt((col("na") + col("nb")).cast("double") / (col("na") * col("nb")))
+    tagged
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(greatest(max(col("c1") * col("nb") - col("c2") * col("na")),
+          lit(0L)).as("dp"),
+        greatest(max(col("c2") * col("na") - col("c1") * col("nb")),
+          lit(0L)).as("dm"))
+      .select(col("ga").as("g_a"), col("gb").as("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(vExpr, 6).as("v"), round(critExpr, 6).as("v_crit"),
+        (vExpr > critExpr).as("significant"))
+  }
+
+  private lazy val qKuiperSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb,
+               sum(d1) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               greatest(CAST(max(c1*nb - c2*na) AS BIGINT), 0) AS dp,
+               greatest(CAST(max(c2*na - c1*nb) AS BIGINT), 0) AS dm
+             FROM c GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(CAST(dp + dm AS DOUBLE) / (na * nb), 6) AS v,
+         round($KuiperAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6)
+           AS v_crit,
+         CAST(dp + dm AS DOUBLE) / (na * nb) >
+           $KuiperAlpha005 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+           AS significant
+       FROM m"""
+
   private def ksOutputCols: Seq[org.apache.spark.sql.Column] = {
     val dExpr = col("d_scaled").cast("double") / (col("na") * col("nb"))
     val critExpr = lit(KsAlpha005) *
@@ -1957,6 +2035,7 @@ object RobustStats extends QueryModule {
     "q_eb_shrink" -> (qEbShrink _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ks_test" -> (qKsTest _),
+    "q_kuiper" -> (qKuiper _),
     "q_wasserstein" -> (qWasserstein _),
     "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
@@ -1987,6 +2066,7 @@ object RobustStats extends QueryModule {
     "q_eb_shrink" -> qEbShrinkSql,
     "q_quantile_norm" -> qQuantileNormSql,
     "q_ks_test" -> qKsTestSql,
+    "q_kuiper" -> qKuiperSql,
     "q_wasserstein" -> qWassersteinSql,
     "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,

@@ -117,4 +117,50 @@ class Round15Spec extends SparkSpec {
     assert(math.abs(dAc - (-math.log(bcExp))) < 1e-5, s"$dAc")
     assert(math.abs(hAc - math.sqrt(1 - bcExp)) < 1e-5, s"$hAc")
   }
+
+  test("q_kuiper fires on a symmetric-into-both-tails shift that KS " +
+    "under-scores (V = D+ + D-, the rotation-invariant member)") {
+    import spark.implicits._
+    // b = 1..400; a matches b on 1..344 but moves 7% of its mass below
+    // and 7% above the support: D+ = D- = 0.07 exactly, so
+    // KS D = 0.07 < 0.0960 (silent) while V = 0.14 > 0.1235 (fires)
+    val b = (1 to 400).map(v => ("b", v))
+    val a = Seq.fill(28)(("a", 0)) ++ (1 to 344).map(v => ("a", v)) ++
+      Seq.fill(28)(("a", 500))
+    val vals = (a ++ b).toDF("g", "x")
+    val ku = RobustStats.kuiperPairs(vals).collect()(0)
+    assert(math.abs(ku.getAs[Double]("v") - 0.14) < 1e-9)
+    assert(ku.getAs[Boolean]("significant"), "Kuiper must fire at V=0.14")
+    val ks = RobustStats.ksPairs(vals).collect()(0)
+    assert(math.abs(ks.getAs[Double]("d") - 0.07) < 1e-9)
+    assert(!ks.getAs[Boolean]("significant"), "KS must stay silent at D=0.07")
+  }
+
+  test("q_dedup_canonical picks the highest-quality member per cluster " +
+    "(min doc_id on ties) and q_gain is nonnegative vs the min-id baseline") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val quality = TextAnalysis.qQuality(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clusters = Dedup.qDedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val got = Dedup.qDedupCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("canonical_doc"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("q_canonical"), r.getAs[Double]("q_min_id"),
+          r.getAs[Double]("q_gain")))).toMap
+    val byCluster = clusters.filter(c => quality.contains(c._1))
+      .groupBy(_._2).map { case (cid, ms) => cid -> ms.map(_._1).sorted }
+    assert(got.keySet == byCluster.keySet)
+    byCluster.foreach { case (cid, members) =>
+      val (canon, n, qc, qm, gain) = got(cid)
+      assert(n == members.size.toLong)
+      // argmax by (quality, -doc_id): best quality, lowest id on ties
+      val best = members.map(d => (quality(d), -d)).max
+      assert(canon == -best._2, s"cluster $cid canonical")
+      assert(math.abs(qc - best._1) < 1e-12)
+      assert(math.abs(qm - quality(members.min)) < 1e-12)
+      assert(gain >= 0.0 && math.abs(gain - (qc - qm)) < 1e-6)
+    }
+  }
 }
