@@ -574,6 +574,60 @@ object EventStream {
       }
   }
 
+  case class PsiState(counts: List[Long])
+  case class PsiOut(event_type: String, n: Long, psi: Double,
+      bc: Double, drifting: Boolean)
+
+  /** PSI drift alarm threshold (the standard ≳0.2 rule q_psi documents). */
+  val PsiDriftMin = 0.2
+
+  /** Streaming histogram-drift monitor per event type — the stateful
+    * twin of the batch q_psi / q_bhattacharyya binned-drift pair: state
+    * is the live 10-bucket value histogram per key (ten counters,
+    * O(1) regardless of stream length; same bucket rule
+    * min(⌊value/50⌋, 9) as the batch grid), scored each batch against a
+    * static BASELINE histogram (the reference snapshot ops would pin at
+    * deploy time) with the identical add-1-smoothed formulas: PSI =
+    * Σ(p_b−p_a)·ln(p_b/p_a) and the Bhattacharyya coefficient
+    * BC = Σ√(p_a·p_b), both folded in bucket order (the r15 q_psi
+    * discipline). Emits the running PSI + BC and the standard ≥0.2
+    * drift alarm — the monitor a pipeline runs against live traffic
+    * while the batch twin scores history. Keys with no baseline emit
+    * nothing (no reference to drift FROM). */
+  def runningPsi(values: Dataset[TypedValue],
+      baseline: Map[String, Seq[Long]]): Dataset[PsiOut] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[PsiState, PsiOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[PsiState]) =>
+          var counts = state.getOption
+            .map(_.counts.toArray).getOrElse(Array.fill(10)(0L))
+          rows.foreach { r =>
+            val b = math.min(math.floor(r.value / 50.0).toLong, 9L).toInt
+            counts(math.max(b, 0)) += 1L
+          }
+          state.update(PsiState(counts.toList))
+          baseline.get(et) match {
+            case Some(base) =>
+              val ta = base.sum
+              val tb = counts.sum
+              var psi = 0.0
+              var bc = 0.0
+              var i = 0
+              while (i < 10) {
+                val pa = (base(i) + 1).toDouble / (ta + 10)
+                val pb = (counts(i) + 1).toDouble / (tb + 10)
+                psi += (pb - pa) * math.log(pb / pa)
+                bc += math.sqrt(pa * pb)
+                i += 1
+              }
+              Iterator(PsiOut(et, tb, psi, bc, psi >= PsiDriftMin))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** One Greenwald–Khanna tuple: value, rank mass g, rank slack Δ. */
   case class GkEntry(v: Double, g: Long, d: Long)
   case class GkState(entries: List[GkEntry], n: Long)

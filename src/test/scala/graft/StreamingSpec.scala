@@ -731,4 +731,55 @@ class StreamingSpec extends SparkSpec {
         s"tm=$tm exact=$exact")
     } finally q.stop()
   }
+
+  test("streaming histogram-drift monitor: matched traffic scores ~0 PSI, " +
+    "a shifted batch trips the 0.2 alarm, BC tracks the overlap") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: 100 values uniform over buckets 0..3
+    val baseline = Map("m" -> Seq(25L, 25L, 25L, 25L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningPsi(input.toDS(), baseline)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("update").start()
+    def latest(): (Long, Double, Double, Boolean) =
+      spark.table("psi_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+        .maxBy(_._1)
+    def expected(live: Seq[Long]): (Double, Double) = {
+      val base = baseline("m")
+      val (ta, tb) = (base.sum, live.sum)
+      val terms = (0 until 10).map { i =>
+        val pa = (base(i) + 1).toDouble / (ta + 10)
+        val pb = (live(i) + 1).toDouble / (tb + 10)
+        ((pb - pa) * math.log(pb / pa), math.sqrt(pa * pb))
+      }
+      (terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    try {
+      // batch 1: same distribution as the baseline -> psi ~ 0, no alarm
+      val match1 = (0 until 100).map(i =>
+        EventStream.TypedValue("m", i.toLong, (i % 4) * 50.0 + 10.0))
+      input.addData(match1)
+      q.processAllAvailable()
+      val r1 = latest()
+      val (e1psi, e1bc) = expected(Seq(25L, 25L, 25L, 25L, 0L, 0L, 0L, 0L, 0L, 0L))
+      assert(r1._1 == 100L && math.abs(r1._2 - e1psi) < 1e-12 && !r1._4)
+      assert(math.abs(r1._3 - e1bc) < 1e-12)
+      // batch 2: mass moves to buckets 8-9 -> the CUMULATIVE histogram
+      // drifts -> alarm
+      input.addData((0 until 200).map(i =>
+        EventStream.TypedValue("m", (100 + i).toLong, 430.0 + (i % 2) * 50.0)))
+      q.processAllAvailable()
+      val r2 = latest()
+      val (e2psi, e2bc) = expected(Seq(25L, 25L, 25L, 25L, 0L, 0L, 0L, 0L, 100L, 100L))
+      assert(r2._1 == 300L && math.abs(r2._2 - e2psi) < 1e-12)
+      assert(math.abs(r2._3 - e2bc) < 1e-12)
+      assert(r2._4, s"shifted traffic must trip the alarm, psi=${r2._2}")
+      // a key with no baseline emits nothing
+      input.addData(Seq(EventStream.TypedValue("unknown", 1L, 10.0)))
+      q.processAllAvailable()
+      assert(!spark.table("psi_out").collect()
+        .exists(_.getString(0) == "unknown"))
+    } finally q.stop()
+  }
 }
