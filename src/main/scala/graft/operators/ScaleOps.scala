@@ -545,6 +545,71 @@ object ScaleOps extends QueryModule {
        FROM est JOIN top ON top.tok = est.tok CROSS JOIN tot"""
   }
 
+  /** q_join_size_sketch: sketch-based join-cardinality estimation — the
+    * shuffle-explosion early warning a 100 TB planner runs BEFORE a
+    * join: the self-join size of the events user-key (= the second
+    * frequency moment F₂ = Σ_u f(u)², the quantity that decides whether
+    * a user-keyed join is safe or needs salting) estimated from the CMS
+    * inner product (Alon–Matias–Szegedy via Cormode–Muthukrishnan §4.2:
+    * est_i = Σ_b cms_i[b]², min over the d rows) in d·w integers instead
+    * of a key-domain aggregate. Same md5-keyed deterministic sketch
+    * geometry as q_cms_audit, merge-by-addition. The estimate is exact-
+    * integer deterministic, so the WHOLE row hash-gates (not only the
+    * contract booleans): exact F₂ (from the key-count table — the oracle
+    * recomputes it), the sketch estimate, the slack, the hard
+    * `overestimates` guarantee (cross terms only ADD: est ≥ F₂ always),
+    * and the ε = e/w envelope cross-multiplied (slack·w ≤ 3·N²).
+    * Products run in DECIMAL(38,0) — cell counts square past int64 at
+    * web scale. */
+  def qJoinSizeSketch(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cf"))
+    val hashed = f.select(col("k"), col("cf"),
+      explode(array((0 until CmsDepth).map(lit): _*)).as("j"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("j").cast("string"), lit(":"), col("k"))),
+          1, 8), 16, 10).cast("long") % CmsWidth)
+    val sketch = hashed.groupBy("j", "bucket").agg(sum(col("cf")).as("cnt"))
+    val est = sketch.groupBy("j")
+      .agg(sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+    val exact = f.agg(count(lit(1)).as("n_keys"), sum(col("cf")).as("n_rows"),
+      sum(col("cf").cast("decimal(38,0)") * col("cf")).as("exact_size"))
+    exact.crossJoin(est).select(
+      col("n_keys"), col("n_rows"), col("exact_size"), col("est_size"),
+      (col("est_size") - col("exact_size")).as("slack"),
+      (col("est_size") >= col("exact_size")).as("overestimates"),
+      ((col("est_size") - col("exact_size")) * CmsWidth <=
+        col("n_rows").cast("decimal(38,0)") * col("n_rows") * 3)
+        .as("within_bound"))
+  }
+
+  private lazy val qJoinSizeSketchSql =
+    s"""WITH f AS (SELECT CAST(user_id AS VARCHAR) AS k,
+           CAST(count(*) AS BIGINT) AS cf
+         FROM events GROUP BY 1),
+       hashed AS (
+         SELECT k, cf, j,
+           CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+             AS BIGINT) % $CmsWidth AS bucket
+         FROM f CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS j)),
+       sk AS (SELECT j, bucket, CAST(sum(cf) AS BIGINT) AS cnt
+              FROM hashed GROUP BY 1, 2),
+       est AS (SELECT min(ip) AS est_size FROM (
+                 SELECT j, sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS ip
+                 FROM sk GROUP BY 1)),
+       ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cf) AS BIGINT) AS n_rows,
+                sum(CAST(cf AS DECIMAL(38,0)) * cf) AS exact_size
+              FROM f)
+       SELECT n_keys, n_rows, exact_size, est_size,
+         est_size - exact_size AS slack,
+         est_size >= exact_size AS overestimates,
+         (est_size - exact_size) * $CmsWidth
+           <= CAST(n_rows AS DECIMAL(38,0)) * n_rows * 3 AS within_bound
+       FROM ex CROSS JOIN est"""
+
   /** q_incr_agg: incremental aggregate maintenance — the algebraic
     * contract every materialized rollup at 100 TB depends on: aggregate
     * the BASE partitions once, aggregate only the DELTA partition (here
@@ -608,6 +673,7 @@ object ScaleOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_agg" -> (qIncrAgg _),
+    "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
     "q_hll_merge" -> (qHllMerge _),
     "q_cms_audit" -> (qCmsAudit _),
@@ -624,6 +690,7 @@ object ScaleOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_incr_agg" -> qIncrAggSql,
+    "q_join_size_sketch" -> qJoinSizeSketchSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,
     "q_hll_merge" -> qHllMergeSql,
     "q_cms_audit" -> qCmsAuditSql,

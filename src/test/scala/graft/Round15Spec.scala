@@ -136,6 +136,25 @@ class Round15Spec extends SparkSpec {
     assert(!ks.getAs[Boolean]("significant"), "KS must stay silent at D=0.07")
   }
 
+  test("q_join_size_sketch: F2 self-join size exact on a tiny key set, " +
+    "sketch estimate honors both CMS guarantees") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user frequencies 3 / 2 / 1 -> F2 = 9 + 4 + 1 = 14 over n_rows = 6
+    val dir = writeEvents(Seq(
+      (1L, t(0), 10L, "view", 0.0), (2L, t(1), 10L, "view", 0.0),
+      (3L, t(2), 10L, "view", 0.0),
+      (4L, t(0), 20L, "view", 0.0), (5L, t(1), 20L, "view", 0.0),
+      (6L, t(0), 30L, "view", 0.0)))
+    val r = graft.operators.ScaleOps.qJoinSizeSketch(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_keys") == 3L && r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[java.math.BigDecimal]("exact_size").longValue == 14L)
+    assert(r.getAs[Boolean]("overestimates"),
+      "CMS inner product must never underestimate F2")
+    assert(r.getAs[Boolean]("within_bound"))
+    // 3 keys in 256 buckets: any collision only ADDS cross terms
+    assert(r.getAs[java.math.BigDecimal]("est_size").longValue >= 14L)
+  }
+
   test("q_dedup_canonical picks the highest-quality member per cluster " +
     "(min doc_id on ties) and q_gain is nonnegative vs the min-id baseline") {
     import graft.operators.{Dedup, TextAnalysis}
