@@ -808,6 +808,75 @@ object Relational extends QueryModule {
          round(quantile_cont(conv.delay_us, 0.5) / 1000000.0, 4) AS median_delay_sec
        FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id"""
 
+  /** The strict step sequence of the multi-step funnel. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q_funnel_steps: K-step STRICT-ORDER funnel (view → click → purchase,
+    * each step within 7 days of the previous step's completion) — the
+    * general form of q_funnel's 2-step shape, and the query every product
+    * dashboard runs: a user advances to step k only after completing
+    * step k−1, so a purchase without a preceding click does NOT count
+    * (q_funnel would credit it). Each step is ONE conditional-min
+    * equi-join against the previous step's per-user completion time —
+    * K−1 chained user-keyed shuffles, never a self-join of the event
+    * stream — and the rollup is a K-row relation: per step, the surviving
+    * users, the step-over-step rate (lag over the K-row window — bounded)
+    * and the overall rate vs step 1. Micros arithmetic keeps both engines
+    * integral; NULL step_conv on step 1 (no previous step). */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val windowUs = 7L * 24 * 3600 * 1000000L
+    val first = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+    val stages = FunnelSteps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("tp")), Seq("user_id"))
+        .filter(col("us") > col("tp") && col("us") <= col("tp") + windowUs)
+        .groupBy("user_id").agg(min(col("us")).as("t"))
+    }
+    val perStep = stages.zip(FunnelSteps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.select(lit(i + 1).as("step"), lit(step).as("event_type"),
+          col("user_id"))
+    }.reduce(_ unionByName _)
+      .groupBy("step", "event_type").agg(count(lit(1)).as("n_users"))
+    // K-row relation: the single-task global window is bounded by
+    // construction (K = the declared step count, never data-sized)
+    val w = Window.orderBy("step")
+    perStep.select(col("step"), col("event_type"), col("n_users"),
+      round(col("n_users").cast("double") / lag(col("n_users"), 1).over(w), 6)
+        .as("step_conv"),
+      round(col("n_users").cast("double") / first_value(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+        .as("overall_conv"))
+  }
+
+  private val qFunnelStepsSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       s1 AS (SELECT user_id, min(us) AS t FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT e.user_id, min(e.us) AS t
+              FROM ev e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.us > s1.t
+                AND e.us <= s1.t + CAST(604800000000 AS BIGINT)
+              GROUP BY 1),
+       s3 AS (SELECT e.user_id, min(e.us) AS t
+              FROM ev e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.us > s2.t
+                AND e.us <= s2.t + CAST(604800000000 AS BIGINT)
+              GROUP BY 1),
+       n AS (SELECT 1 AS step, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+             UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+             UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+       SELECT step, event_type, n_users,
+         round(CAST(n_users AS DOUBLE)
+           / lag(n_users) OVER (ORDER BY step), 6) AS step_conv,
+         round(CAST(n_users AS DOUBLE)
+           / first_value(n_users) OVER (ORDER BY step), 6) AS overall_conv
+       FROM n"""
+
   /** Cohort retention: users grouped by first-seen day, distinct active
     * users per (cohort, day offset). Three shuffles — (user, day) distinct,
     * first-day agg, cohort rollup — all on bounded keys. */
@@ -1393,7 +1462,8 @@ object Relational extends QueryModule {
     "q_percentiles_approx" -> (qPercentilesApproxGate _),
     "q_events_json" -> (qEventsJson _),
     "q_retention" -> (qRetention _),
-    "q_funnel" -> (qFunnel _))
+    "q_funnel" -> (qFunnel _),
+    "q_funnel_steps" -> (qFunnelSteps _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1436,5 +1506,6 @@ object Relational extends QueryModule {
     "q_percentiles" -> qPercentilesSql,
     "q_events_json" -> qEventsJsonSql,
     "q_retention" -> qRetentionSql,
-    "q_funnel" -> qFunnelSql)
+    "q_funnel" -> qFunnelSql,
+    "q_funnel_steps" -> qFunnelStepsSql)
 }

@@ -628,6 +628,73 @@ object EventStream {
       }
   }
 
+  case class CmsF2State(cells: List[Long], n: Long)
+  case class F2Out(stream: String, n_rows: Long, est_f2: Double,
+      skew_ratio: Double, needs_salting: Boolean)
+
+  /** CMS geometry of the streaming F₂ monitor (mirrors the batch
+    * q_join_size_sketch / q_cms_audit constants). */
+  val F2Depth = 4
+  val F2Width = 256
+
+  /** Salting alarm: est F₂ ≥ this multiple of the uniform floor n²/w…
+    * — a key distribution this far above uniform will hot-spot a
+    * shuffle partition. */
+  val F2SkewAlarm = 16.0
+
+  /** Streaming join-size / F₂ monitor — the stateful twin of the batch
+    * q_join_size_sketch: the SAME d×w count-min sketch carried as
+    * flatMapGroupsWithState state (d·w long counters per monitored
+    * stream, O(1) regardless of stream length; cell-wise addition IS the
+    * merge, so micro-batches fold in exactly), keyed here by a stream
+    * tag so several key-spaces can be watched by one query. Each batch
+    * hashes the new keys into the cells (identical md5 row-hash family
+    * as the batch sketch) and emits the running F₂ estimate (min over
+    * rows of Σ cell²), the skew ratio est/(n²/w) — 1.0 = perfectly
+    * uniform keys — and the ≥[[F2SkewAlarm]] salting alarm: the live
+    * early warning that a user-keyed join downstream of this stream is
+    * about to hot-spot, while the batch twin scores history. */
+  def runningF2(keys: Dataset[TypedUser]): Dataset[F2Out] = {
+    import keys.sparkSession.implicits._
+    val (d, w) = (F2Depth, F2Width)
+    keys.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CmsF2State, F2Out](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tag, rows, state: GroupState[CmsF2State]) =>
+          var st = state.getOption.getOrElse(
+            CmsF2State(List.fill(d * w)(0L), 0L))
+          val cells = st.cells.toArray
+          var n = st.n
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { r =>
+            var j = 0
+            while (j < d) {
+              md.reset()
+              val h = md.digest(s"$j:${r.user_id}".getBytes("UTF-8"))
+              // first 4 md5 bytes as an unsigned int — the same
+              // hex-prefix row hash the batch sketch keys on
+              val b = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+                ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % w
+              cells(j * w + b.toInt) += 1L
+              j += 1
+            }
+            n += 1L
+          }
+          state.update(CmsF2State(cells.toList, n))
+          if (n == 0) Iterator.empty
+          else {
+            val est = (0 until d).map { j =>
+              (0 until w).map { b =>
+                val c = cells(j * w + b).toDouble; c * c
+              }.sum
+            }.min
+            val uniformFloor = n.toDouble * n / w
+            val ratio = if (n > 0) est / uniformFloor else 0.0
+            Iterator(F2Out(tag, n, est, ratio, ratio >= F2SkewAlarm))
+          }
+      }
+  }
+
   /** One Greenwald–Khanna tuple: value, rank mass g, rank slack Δ. */
   case class GkEntry(v: Double, g: Long, d: Long)
   case class GkState(entries: List[GkEntry], n: Long)

@@ -136,6 +136,32 @@ class Round15Spec extends SparkSpec {
     assert(!ks.getAs[Boolean]("significant"), "KS must stay silent at D=0.07")
   }
 
+  test("q_funnel_steps enforces STRICT step order and the per-step window " +
+    "(purchase without a click does not count; late click drops out)") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def lateT = Timestamp.valueOf("2024-01-09 00:00:00") // 8 days later
+    val dir = writeEvents(Seq(
+      // A: view -> click -> purchase, all inside windows -> all 3 steps
+      (1L, t(0), 1L, "view", 0.0), (2L, t(1), 1L, "click", 0.0),
+      (3L, t(2), 1L, "purchase", 0.0),
+      // B: view -> purchase WITHOUT click -> step 1 only (q_funnel's
+      // 2-step shape would credit this conversion; the strict funnel must not)
+      (4L, t(0), 2L, "view", 0.0), (5L, t(1), 2L, "purchase", 0.0),
+      // C: click -> purchase without a view -> not in the funnel at all
+      (6L, t(0), 3L, "click", 0.0), (7L, t(1), 3L, "purchase", 0.0),
+      // D: view, then the click lands past the 7-day window -> step 1 only
+      (8L, t(0), 4L, "view", 0.0)) :+ ((9L, lateT, 4L, "click", 0.0)))
+    val rows = graft.operators.Relational.qFunnelSteps(spark, dir)
+      .orderBy("step").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("step_conv")))
+    assert(rows(0).getDouble(rows(0).fieldIndex("overall_conv")) == 1.0)
+    assert(math.abs(rows(1).getAs[Double]("step_conv") - 0.333333) < 1e-9)
+    assert(math.abs(rows(2).getAs[Double]("step_conv") - 1.0) < 1e-9)
+    assert(math.abs(rows(2).getAs[Double]("overall_conv") - 0.333333) < 1e-9)
+  }
+
   test("q_join_size_sketch: F2 self-join size exact on a tiny key set, " +
     "sketch estimate honors both CMS guarantees") {
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

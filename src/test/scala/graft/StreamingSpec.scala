@@ -782,4 +782,36 @@ class StreamingSpec extends SparkSpec {
         .exists(_.getString(0) == "unknown"))
     } finally q.stop()
   }
+
+  test("streaming F2 monitor: uniform keys stay quiet, a hot-key burst " +
+    "trips the salting alarm; estimate never underestimates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedUser]
+    val q = EventStream.runningF2(input.toDS())
+      .writeStream.format("memory").queryName("f2_out")
+      .outputMode("update").start()
+    def latest(): (Long, Double, Double, Boolean) =
+      spark.table("f2_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+        .maxBy(_._1)
+    try {
+      // batch 1: 256 distinct users once each -> exact F2 = 256, near
+      // the uniform floor
+      input.addData((0 until 256).map(u =>
+        EventStream.TypedUser("users", u.toLong)))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1._1 == 256L && r1._2 >= 256.0 && !r1._4,
+        s"uniform keys must not alarm: $r1")
+      // batch 2: one user floods 744 rows -> exact F2 = 256 + 744^2 =
+      // 553792, ratio ~141x the uniform floor -> alarm
+      input.addData((0 until 744).map(_ =>
+        EventStream.TypedUser("users", 999L)))
+      q.processAllAvailable()
+      val r2 = latest()
+      assert(r2._1 == 1000L)
+      assert(r2._2 >= 553792.0, s"CMS F2 must not underestimate: ${r2._2}")
+      assert(r2._4, s"hot key must trip the salting alarm: $r2")
+    } finally q.stop()
+  }
 }
