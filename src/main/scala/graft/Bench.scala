@@ -10,7 +10,7 @@ object Bench {
 
   val Headline: Seq[String] = Seq(
     "q1_agg", "q6_agg", "q18_having", "q3_join", "q5_join", "q_window", "q_events_window",
-    "q_sessionize", "q_rollup", "q_percentiles", "q_moving_avg", "q_funnel", "q_funnel_steps",
+    "q_sessionize", "q_session_stats", "q_rollup", "q_percentiles", "q_moving_avg", "q_funnel", "q_funnel_steps",
     "q_clean_text", "q_clean_english", "q_tokens", "q_dictionary", "q_tfidf",
     "q_lang_id", "q_lang_ngram", "q_quality", "q_quality_rules", "q_lm_score",
     "q_rep_ngram",

@@ -1386,6 +1386,75 @@ object Relational extends QueryModule {
          max(us) - min(us) AS duration_us
        FROM g GROUP BY user_id, session_id"""
 
+  /** q_session_stats: the per-day session dashboard rollup over the
+    * gap-sessionized stream (the numbers a product team actually reads
+    * off 35m's sessionization: traffic, engagement, bounce): sessions
+    * keyed to the day they START, per day the session count, bounce rate
+    * (single-event sessions), mean session depth and the exact
+    * interpolated median duration (the q_funnel percentile idiom —
+    * day-bounded session sets, never corpus-sized). Same two-window
+    * micros-integral session construction as q_sessionize; one extra
+    * calendar-bounded rollup. */
+  def qSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        min(col("ts")).as("t_start"))
+    sess.groupBy(date_format(col("t_start"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+          .as("avg_depth"),
+        round(expr("percentile(duration_us, 0.5)") / 1000000.0, 4)
+          .as("median_duration_sec"))
+  }
+
+  private val qSessionStatsSql =
+    """WITH t AS (
+         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) AS prev_us
+         FROM events),
+       f AS (
+         SELECT user_id, event_id, ts, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+             THEN 1 ELSE 0 END AS new_sess
+         FROM t),
+       g AS (
+         SELECT user_id, ts, us,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM f),
+       sess AS (
+         SELECT user_id, session_id, count(*) AS n_events,
+           max(us) - min(us) AS duration_us, min(ts) AS t_start
+         FROM g GROUP BY 1, 2)
+       SELECT strftime(t_start, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+         round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 6) AS bounce_rate,
+         round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_depth,
+         round(quantile_cont(duration_us, 0.5) / 1000000.0, 4)
+           AS median_duration_sec
+       FROM sess GROUP BY 1"""
+
   /** q_skyline: 2-D skyline (Pareto frontier) over parts — minimize
     * retail price, maximize size; a point survives iff nothing is both
     * cheaper-or-equal and bigger-or-equal with one strict. The naive
@@ -1463,7 +1532,8 @@ object Relational extends QueryModule {
     "q_events_json" -> (qEventsJson _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
-    "q_funnel_steps" -> (qFunnelSteps _))
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_session_stats" -> (qSessionStats _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1507,5 +1577,6 @@ object Relational extends QueryModule {
     "q_events_json" -> qEventsJsonSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
-    "q_funnel_steps" -> qFunnelStepsSql)
+    "q_funnel_steps" -> qFunnelStepsSql,
+    "q_session_stats" -> qSessionStatsSql)
 }

@@ -789,6 +789,48 @@ object EventStream {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  case class FunnelState(stepReached: Int, tStep: Long)
+  case class FunnelUser(user_id: Long, step_reached: Int, t_step: Long)
+
+  /** Per-step window of the streaming funnel (the batch twin's 7 days). */
+  val FunnelWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Streaming strict-order funnel — the stateful twin of the batch
+    * Relational.qFunnelSteps: per user ONE (stepReached, tStep) pair
+    * regardless of stream length, advanced greedily in event-time order
+    * (rows sorted by us within a batch; the greedy first-qualifying
+    * advance equals the batch's chained conditional mins — both take the
+    * EARLIEST event of the next step inside the window). A step-k event
+    * advances only when step k−1 is complete and the event lands in
+    * (tStep, tStep + 7d]; everything else is ignored, so a purchase
+    * without a click never advances — the strictness q_funnel's 2-step
+    * shape can't express. Emits the user's current (step_reached,
+    * t_step); the per-step counts the batch twin reports are one
+    * grouped count over this output (kept OUT of the stream — stacking
+    * a second stateful aggregate behind fMGWS is the multi-stateful-op
+    * seam Structured Streaming restricts). */
+  def runningFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    val steps = graft.operators.Relational.FunnelSteps
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var cur = state.getOption.getOrElse(FunnelState(0, 0L))
+          rows.toSeq.sortBy(_.us).foreach { e =>
+            if (cur.stepReached < steps.size &&
+              e.event_type == steps(cur.stepReached) &&
+              (cur.stepReached == 0 ||
+                (e.us > cur.tStep && e.us <= cur.tStep + FunnelWindowUs)))
+              cur = FunnelState(cur.stepReached + 1, e.us)
+          }
+          state.update(cur)
+          if (cur.stepReached == 0) Iterator.empty
+          else Iterator(FunnelUser(uid, cur.stepReached, cur.tStep))
+      }
+  }
+
   case class RunsState(n: Long, nUp: Long, runs: Long,
       prevVal: Double, hasVal: Boolean, prevSign: Int)
   case class RunsOut(event_type: String, n: Long, n_up: Long, n_down: Long,

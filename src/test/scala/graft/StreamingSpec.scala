@@ -814,4 +814,43 @@ class StreamingSpec extends SparkSpec {
       assert(r2._4, s"hot key must trip the salting alarm: $r2")
     } finally q.stop()
   }
+
+  test("streaming funnel advances strictly in step order across batches " +
+    "and matches the batch K-step funnel's per-user stages") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000000L
+    val input = MemoryStream[EventStream.FunnelEvent]
+    val q = EventStream.runningFunnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    def latest(): Map[Long, (Int, Long)] =
+      spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.maxBy(_._2._1)._2 }
+    try {
+      // batch 1: user 1 views+clicks; user 2 purchases FIRST (must not
+      // advance - strict order), then views; user 3 nothing qualifying
+      input.addData(Seq(
+        EventStream.FunnelEvent(1L, "view", H),
+        EventStream.FunnelEvent(1L, "click", 2 * H),
+        EventStream.FunnelEvent(2L, "purchase", H),
+        EventStream.FunnelEvent(2L, "view", 2 * H),
+        EventStream.FunnelEvent(3L, "error", H)))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1(1L) == ((2, 2 * H)) && r1(2L) == ((1, 2 * H)))
+      assert(!r1.contains(3L), "non-step events must not open a funnel")
+      // batch 2: user 1 purchases inside the window -> step 3 (the state
+      // carries across the boundary); user 2 clicks PAST the 7-day window
+      // -> stays at step 1
+      input.addData(Seq(
+        EventStream.FunnelEvent(1L, "purchase", 3 * H),
+        EventStream.FunnelEvent(2L, "click",
+          2 * H + EventStream.FunnelWindowUs + 1L)))
+      q.processAllAvailable()
+      val r2 = latest()
+      assert(r2(1L) == ((3, 3 * H)), "cross-batch advance to step 3")
+      assert(r2(2L) == ((1, 2 * H)), "late click must not advance")
+    } finally q.stop()
+  }
 }
