@@ -88,6 +88,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("r15 operators: funnel chains are equi-joins (no event-stream " +
+    "self-product), the drift/session/attribution family plans no " +
+    "cartesian") {
+    Seq(
+      "q_funnel_steps" -> operators.Relational.qFunnelSteps(spark, sfDir),
+      "q_session_stats" -> operators.Relational.qSessionStats(spark, sfDir),
+      "q_attribution_markov" -> operators.Stats.qAttributionMarkov(spark, sfDir),
+      "q_dw" -> operators.Stats.qDw(spark, sfDir),
+      "q_dedup_canonical" -> operators.Dedup.qDedupCanonical(spark, sfDir))
+      .foreach { case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1200)}")
+      }
+    // bounded-build nested loops pinned by COUNT: q_kuiper inherits the
+    // ksPairs tag join (ONE nested loop, build side the broadcast
+    // k²-bounded group-pair table); q_bhattacharyya densifies the grid
+    // with deliberate type×10-bucket cross joins (10-row build side,
+    // once per pair-join input)
+    Seq(("q_kuiper", operators.RobustStats.qKuiper(spark, sfDir), 2), // +pair build cross
+      ("q_bhattacharyya", operators.RobustStats.qBhattacharyya(spark, sfDir), 4))
+      .foreach { case (q, df, maxBnlj) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= maxBnlj,
+          s"$q: ${p.take(1200)}")
+      }
+    // q_join_size_sketch's single cross join is two ONE-ROW aggregates
+    // (exact × estimate) — bounded by construction, so only the count is
+    // pinned, not its presence
+    val js = plan(operators.ScaleOps.qJoinSizeSketch(spark, sfDir))
+    assert("CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(js).size <= 1,
+      js.take(1200))
+  }
+
   test("capstone compositions plan no cartesian and no nested-loop " +
     "(q_pipeline, q_curation_full, q_rouge_pairs, q_bleu_pairs)") {
     Seq(
