@@ -403,7 +403,10 @@ object TextAnalysis extends QueryModule {
       count(lit(1)).as("k"))
     val w = Window.orderBy(col("m").asc, col("source").asc)
     val ranked = perSrc.crossJoin(broadcast(tot))
-      .withColumn("b", (col("tm").cast("double") * BudgetFrac).cast("long"))
+      // FLOOR, not a bare long cast (r15 sf0.001 sweep): Spark's
+      // double->long cast TRUNCATES while DuckDB's rounds half-away, so
+      // an odd token total under frac=0.5 gave budgets one token apart
+      .withColumn("b", floor(col("tm").cast("double") * BudgetFrac).cast("long"))
       .withColumn("i", row_number().over(w))
       .withColumn("p", sum(col("m")).over(w))
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -428,7 +431,7 @@ object TextAnalysis extends QueryModule {
        tot AS (SELECT CAST(sum(m) AS BIGINT) AS tm,
                  CAST(count(*) AS BIGINT) AS k FROM per),
        r AS (SELECT source, m, k,
-               CAST(CAST(tm AS DOUBLE) * $BudgetFrac AS BIGINT) AS b,
+               CAST(floor(CAST(tm AS DOUBLE) * $BudgetFrac) AS BIGINT) AS b,
                row_number() OVER (ORDER BY m ASC, source ASC) AS i,
                sum(m) OVER (ORDER BY m ASC, source ASC) AS p
              FROM per CROSS JOIN tot),

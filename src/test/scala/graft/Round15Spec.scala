@@ -181,6 +181,34 @@ class Round15Spec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("est_size").longValue >= 14L)
   }
 
+  test("q_token_budget floors the budget identically in both engines " +
+    "(odd token total under frac=0.5 — the truncate-vs-round cast seam)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tb15").toString
+    // sources with 3 / 4 / 4 whitespace tokens -> tm = 11 (odd), so
+    // b = floor(5.5) = 5 in BOTH engines; the old Spark bare long cast
+    // truncated to 5 while DuckDB's round-half-away cast gave 6
+    Seq((1L, "alpha beta gamma", "en", "s1", 16L),
+      (2L, "one two three four", "en", "s2", 18L),
+      (3L, "w x y z", "en", "s3", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.qTokenBudget(spark, dir)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    // water-filling with B=5 over masses (3,4,4) sorted: cap found at
+    // i=1: p0=0 + 3*3 = 9 >= 5 -> C = 5/3; every source capped at 5/3
+    val c = 5.0 / 3
+    val exp = math.floor(c * 1e6 + 0.5) / 1e6
+    rows.foreach { case (_, _, alloc, capped) =>
+      assert(math.abs(alloc - exp) < 1e-9, s"alloc $alloc vs $exp")
+      assert(capped)
+    }
+    // and the allocations sum to the floored budget
+    assert(math.abs(rows.map(_._3).sum - 5.0) < 1e-5)
+  }
+
   test("q_dedup_canonical picks the highest-quality member per cluster " +
     "(min doc_id on ties) and q_gain is nonnegative vs the min-id baseline") {
     import graft.operators.{Dedup, TextAnalysis}
