@@ -181,6 +181,32 @@ class Round15Spec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("est_size").longValue >= 14L)
   }
 
+  test("q_session_stats: bounce and depth roll up to the session START " +
+    "day; the 30-min gap splits sessions") {
+    val dir = writeEvents(Seq(
+      // user 1, day 1: two events 10 min apart -> ONE session, depth 2,
+      // duration 600s, starts on day 1
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click", 0.0),
+      // user 1, 40 min later -> gap > 30 min -> a SECOND session (bounce)
+      (3L, Timestamp.valueOf("2024-01-01 10:50:00"), 1L, "view", 0.0),
+      // user 2 straddles midnight: session starts day 1, rolls up to day 1
+      (4L, Timestamp.valueOf("2024-01-01 23:55:00"), 2L, "view", 0.0),
+      (5L, Timestamp.valueOf("2024-01-02 00:05:00"), 2L, "click", 0.0),
+      // user 3, day 2: single event -> bounce on day 2
+      (6L, Timestamp.valueOf("2024-01-02 12:00:00"), 3L, "view", 0.0)))
+    val rows = graft.operators.Relational.qSessionStats(spark, dir)
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // day 1: 3 sessions (u1 s1, u1 s2 bounce, u2 straddler), 1 bounce,
+    // depths (2,1,2) -> avg 5/3, durations (600, 0, 600) -> median 600
+    assert(rows(0) == (("2024-01-01", 3L, 1L, 0.333333,
+      math.floor(5.0 / 3 * 1e6 + 0.5) / 1e6, 600.0)))
+    // day 2: 1 session, bounce
+    assert(rows(1) == (("2024-01-02", 1L, 1L, 1.0, 1.0, 0.0)))
+  }
+
   test("q_token_budget floors the budget identically in both engines " +
     "(odd token total under frac=0.5 — the truncate-vs-round cast seam)") {
     import spark.implicits._
