@@ -65,6 +65,70 @@ object PatternMining extends QueryModule {
        SELECT itemset, freq FROM supp, tot
        WHERE freq >= CAST(ceil(CAST(0.05 AS DOUBLE) * tot.n) AS BIGINT)"""
 
+  /** q_assoc_rules: association rules off the frequent itemsets — the
+    * actionable half of basket mining (q_freq_itemsets says WHICH
+    * combinations recur; the rules say what one behavior PREDICTS):
+    * for every frequent itemset Z and item y ∈ Z with |Z| ≥ 2, the rule
+    * X = Z∖{y} → y with confidence freq(Z)/freq(X) ≥ 0.2 (MLlib's
+    * generation — X is always itself frequent by downward closure),
+    * lift = confidence/(freq(y)/N) and support freq(Z)/N. The oracle
+    * ENUMERATES the identical rule space from its recursive-subset
+    * support table (bounded vocabulary, the q_freq_itemsets argument)
+    * and replays the IDENTICAL double divisions in the same order, so
+    * confidence/lift/support hash-gate after round(6). Canonical
+    * strings: antecedent sorted, single-item consequent. */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val b = baskets(s, dir)
+    // minConfidence 0.2, not the itemset query's 0.5: the corpus'
+    // strongest rule sits at conf 0.39, and a structurally-empty gate
+    // proves nothing (the q7_volume vacuous-PASS lesson)
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.05).setMinConfidence(0.2)
+      .fit(b)
+    model.associationRules
+      .select(array_join(array_sort(col("antecedent")), " ").as("antecedent"),
+        array_join(col("consequent"), " ").as("consequent"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift"),
+        round(col("support"), 6).as("support"))
+      .orderBy(col("antecedent").asc, col("consequent").asc)
+  }
+
+  private val qAssocRulesSql =
+    """WITH RECURSIVE
+       baskets AS (
+         SELECT list_sort(list(DISTINCT event_type)) AS items
+         FROM events GROUP BY user_id, date_trunc('day', ts)),
+       tot AS (SELECT count(*) AS n FROM baskets),
+       types AS (SELECT DISTINCT event_type AS t FROM events),
+       subsets AS (
+         SELECT [t] AS iset, t AS last FROM types
+         UNION ALL
+         SELECT list_append(s.iset, ty.t), ty.t
+         FROM subsets s JOIN types ty ON ty.t > s.last),
+       supp AS (
+         SELECT s.iset, count(*) AS freq
+         FROM subsets s JOIN baskets b ON list_has_all(b.items, s.iset)
+         GROUP BY 1),
+       freq AS (
+         SELECT iset, freq FROM supp, tot
+         WHERE freq >= CAST(ceil(CAST(0.05 AS DOUBLE) * tot.n) AS BIGINT)),
+       rules AS (
+         SELECT list_sort(list_filter(z.iset, x -> x <> y.y)) AS ante,
+           y.y AS cons, z.freq AS f_union
+         FROM freq z CROSS JOIN LATERAL (SELECT unnest(z.iset) AS y) y
+         WHERE len(z.iset) >= 2)
+       SELECT array_to_string(r.ante, ' ') AS antecedent, r.cons AS consequent,
+         round(CAST(r.f_union AS DOUBLE) / fx.freq, 6) AS confidence,
+         round((CAST(r.f_union AS DOUBLE) / fx.freq)
+           / (CAST(fy.freq AS DOUBLE) / tot.n), 6) AS lift,
+         round(CAST(r.f_union AS DOUBLE) / tot.n, 6) AS support
+       FROM rules r
+       JOIN freq fx ON fx.iset = r.ante
+       JOIN freq fy ON fy.iset = [r.cons]
+       CROSS JOIN tot
+       WHERE CAST(r.f_union AS DOUBLE) / fx.freq >= 0.2"""
+
   /** Per-user-day ordered event-type sequences (each event its own
     * itemset — strict temporal order, ties broken by event_id). */
   private def sequences(s: SparkSession, dir: String): DataFrame =
@@ -121,9 +185,11 @@ object PatternMining extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freq_itemsets" -> (qFreqItemsets _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_seq_patterns" -> (qSeqPatterns _))
 
   override def oracles: Map[String, String] = Map(
     "q_freq_itemsets" -> qFreqItemsetsSql,
+    "q_assoc_rules" -> qAssocRulesSql,
     "q_seq_patterns" -> qSeqPatternsSql)
 }

@@ -181,6 +181,25 @@ class Round15Spec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("est_size").longValue >= 14L)
   }
 
+  test("q_assoc_rules: confidence/lift/support match the hand counts " +
+    "(6 of 10 baskets {click,view}, 4 {view})") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val rows = (1 to 10).flatMap { u =>
+      val base = Seq(((u * 3).toLong, t(1), u.toLong, "view", 0.0))
+      if (u <= 6) base :+ ((u * 3 + 1).toLong, t(1), u.toLong, "click", 0.0)
+      else base
+    }
+    val dir = writeEvents(rows)
+    val got = graft.operators.PatternMining.qAssocRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // click -> view: conf 6/6 = 1, lift 1/(10/10) = 1, support 0.6
+    assert(got(("click", "view")) == ((1.0, 1.0, 0.6)))
+    // view -> click: conf 6/10 = 0.6, lift 0.6/(6/10) = 1, support 0.6
+    assert(got(("view", "click")) == ((0.6, 1.0, 0.6)))
+    assert(got.size == 2)
+  }
+
   test("q_session_stats: bounce and depth roll up to the session START " +
     "day; the 30-min gap splits sessions") {
     val dir = writeEvents(Seq(
