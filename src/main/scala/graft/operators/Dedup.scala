@@ -967,7 +967,11 @@ object Dedup extends QueryModule {
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"),
-      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      // sum the EVEN product exactly in DECIMAL and halve once at the
+      // end — the old per-row /2 promoted to a double sum, which loses
+      // integer exactness past 2^53 at web-scale degree mass (r15 audit)
+      (sum((col("deg") * (col("deg") - 1)).cast("decimal(38,0)")) / 2)
+        .cast("long").as("n_wedges"))
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(degStats).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("max_degree"),
@@ -989,7 +993,7 @@ object Dedup extends QueryModule {
            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
        ds AS (
          SELECT count(*) AS n_nodes, max(deg) AS max_degree,
-           CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+           CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
          FROM deg),
        ec AS (SELECT count(*) AS n_edges FROM e)
        SELECT n_nodes, n_edges, max_degree, CAST(n_triangles AS BIGINT) AS n_triangles,

@@ -46,14 +46,49 @@ class SumAuditSpec extends SparkSpec {
     // expose only wide-margin BOOLEAN contracts (tm between the cuts,
     // trim mass within the GK band) which summation order cannot flip.
     "q_trimmed_mean_approx" -> 1,
-    "q_winsorize_approx" -> 1)
+    "q_winsorize_approx" -> 1,
+    // per-DOC surprisal means avg(−ln p) over a document's tokens: ln
+    // has no exact decimal form, groups are doc-bounded, and the emitted
+    // values round(6) with ~1e-13 summation spread (the q_zipf
+    // justification). One avg in the LM scorer, re-planned twice where
+    // the funnel/buckets compose it.
+    "q_lm_score" -> 1,
+    "q_curation_full" -> 2,
+    "q_ccnet_buckets" -> 2,
+    "q_bigram_lm" -> 1,
+    "q_kneser_ney" -> 1,
+    // per-source mean of the 1e-6-grid quality score: values lie on the
+    // rounding grid, so the ~1e-12 summation spread cannot cross the
+    // round(6) boundary the gate hashes.
+    "q_corpus_stats" -> 1,
+    // PQ/ADC audit: the two distance sums feed SCALE-INVARIANT rank
+    // contracts (fixed-k containment booleans), not hashed values —
+    // summation order cannot flip a rank by construction (documented at
+    // 63c).
+    "q_ann_pq_audit" -> 2)
 
   test("no unaudited order-sensitive double sums in hash-gated " +
-    "Stats/RobustStats/Inference plans") {
-    val mods = Seq(
+    "plans across ALL non-ML modules") {
+    // ML-training modules (TopicModeling/Classification/PolysemyEval/
+    // Bpe/Unigram) are excluded: their hash-gated audits FIT models at
+    // DataFrame construction, which this plan-walking spec must not pay;
+    // their numeric discipline is pinned by the per-family audit
+    // certificates instead.
+    val mods: Seq[(String, graft.QueryModule)] = Seq(
       "Stats" -> operators.Stats,
       "RobustStats" -> operators.RobustStats,
-      "Inference" -> operators.Inference)
+      "Inference" -> operators.Inference,
+      "Relational" -> operators.Relational,
+      "Tpch" -> operators.Tpch,
+      "TextPrep" -> operators.TextPrep,
+      "TextAnalysis" -> operators.TextAnalysis,
+      "TextScoring" -> operators.TextScoring,
+      "Dedup" -> operators.Dedup,
+      "ScaleOps" -> operators.ScaleOps,
+      "Evaluation" -> operators.Evaluation,
+      "Multimodal" -> operators.Multimodal,
+      "PatternMining" -> operators.PatternMining,
+      "SimilaritySearch" -> operators.SimilaritySearch)
     val report = new StringBuilder
     var bad = 0
     mods.foreach { case (mname, m) =>
