@@ -37,6 +37,13 @@ def main():
     strict = "--strict" in sys.argv[1:]
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
+    # Version stamp (r16 task 3): the r15 q_join_size_sketch red gate was
+    # adjudicated as a probable DuckDB-version seam (DECIMAL widening /
+    # hex-cast idioms differ across releases). Stamp every gate run so a
+    # PASS/FAIL is always attributable to a concrete engine version, and
+    # rely on q_oracle_canary to trip loudly on any seam change.
+    print(f"check_oracle: duckdb={duckdb.__version__} pandas={pd.__version__} "
+          f"numpy={np.__version__} sfdir={sfdir}")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

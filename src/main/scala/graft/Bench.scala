@@ -48,7 +48,7 @@ object Bench {
     "q_ccnet_buckets", "q_bigram_lm", "q_tok_fertility", "q_dup_ngrams",
     "q_fleiss", "q_dp_counts", "q_winsorize", "q_winsorize_approx", "q_mutual_info", "q_rocchio",
     "q_cusum", "q_calibration", "q_ann_recall", "q_hll_merge",
-    "q_ks_test", "q_kuiper", "q_join_size_sketch", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
+    "q_ks_test", "q_kuiper", "q_join_size_sketch", "q_oracle_canary", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
     "q_mad", "q_mad_approx", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint",
@@ -107,9 +107,16 @@ object Bench {
     // test, so map-only queries would be timed as empty scans. n=3 reps,
     // median: single-shot numbers at this scale carry ±2× JIT/IO noise.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // Optional comma-separated subset for local iteration (driver leaves unset).
+    // Optional comma-separated subset for local iteration (driver leaves
+    // unset). An explicit subset may name ANY registered query, including
+    // the ML-training ones excluded from the Headline set — that is how
+    // the scale ladder measures a topic-model fit path (r16 task 4)
+    // without putting iterative training in the driver's headline run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val names = Headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
+    val names = only match {
+      case Some(sel) => sel.toSeq.sorted.filter(qs.contains)
+      case None => Headline.filter(qs.contains)
+    }
     // INTERLEAVED rep rounds (A,B,C,A,B,C — not A,A,A,B,B,B): a transient
     // contention spike (GC pause, page-cache eviction, a co-tenant burst)
     // lands in one round and the per-query median absorbs it, instead of
@@ -152,6 +159,16 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min-of-reps","queries":$qjson,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT trailing line (r16): the driver's round artifact keeps only
+    // the last ~2000 chars of stdout, and the full per-query line above
+    // has been ~9 KB since r12 — every BENCH_rN.json since then recorded
+    // "parsed": null. This second line carries the same headline metric
+    // plus the slowest-10 subset and FITS in the captured tail, so the
+    // round artifact parses again; the complete per-query map stays in
+    // the line above and in the BENCH_QUERIES.json sidecar.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min-of-reps","n_queries":${results.size},"queries":$slowest,"queries_note":"slowest-10 of ${results.size}; full map in BENCH_QUERIES.json","sf":"$sfDir"}""")
     // The stdout line gets truncated by log captures once the suite is
     // hundreds of queries (r9: 180 of 256 medians lost to the tail), so
     // the FULL result — min-of-reps headline, medians, plus every

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -565,15 +565,24 @@ object Relational extends QueryModule {
 
   /** HITS core over a (hub, auth) directed bipartite edge relation —
     * see [[qHits]]. Ids are even/odd-namespaced internally so the two
-    * sides can never collide. */
+    * sides can never collide. KEY DOMAIN: ids must be non-negative
+    * longs < Long.MaxValue/2 — the namespacing doubles them, and the
+    * even/odd side split uses `% 2`, which misclassifies negative keys.
+    * The domain is enforced loudly: negative ids raise_error at scan
+    * time, and the ×2 overflow for ids ≥ 2⁶² throws under ANSI mode
+    * (Spark 4 default here) instead of wrapping (r16 ADVICE). */
   def hitsOf(edges: DataFrame): DataFrame = {
     // Ids are namespaced as LONGS (hub → 2k, auth → 2k+1), not strings:
     // every round hashes, shuffles and broadcasts these keys, and an
     // 8-byte long beats a "c<key>" string on all three (r15). The
     // string form exists only in the final projection.
+    def nonneg(c: Column, nm: String): Column =
+      when(c < 0, raise_error(concat(
+        lit(s"hitsOf: negative $nm id outside the key domain: "),
+        c.cast("string")))).otherwise(c)
     val e = edges
-      .select((col("hub").cast("long") * 2).as("c"),
-        (col("auth").cast("long") * 2 + 1).as("p"))
+      .select((nonneg(col("hub").cast("long"), "hub") * 2).as("c"),
+        (nonneg(col("auth").cast("long"), "auth") * 2 + 1).as("p"))
       .distinct()
     // Checkpoint the symmetric adjacency PRE-PARTITIONED on tgt — the
     // key every round both joins (broadcast, partitioning-preserving)

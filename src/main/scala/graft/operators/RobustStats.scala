@@ -1113,6 +1113,182 @@ object RobustStats extends QueryModule {
            AS significant
        FROM m"""
 
+  /** Cramér–von Mises 5% asymptotic critical value of the T statistic
+    * (limiting ω² distribution; Anderson 1962 table). */
+  val CvmAlpha005 = 0.461
+
+  /** q_cvm: two-sample Cramér–von Mises test matrix over document-length
+    * distributions per language pair — the INTEGRATED member of the ECDF
+    * drift family (KS = sup gap, Kuiper = both one-sided sups, CvM =
+    * the MEAN SQUARED gap over the whole support), the statistic that
+    * catches many-small-differences drift a sup-based test under-scores.
+    * T = n·m/N² · Σ_k [F_n(z_k) − G_m(z_k)]² over all N combined
+    * observations, computed tie-robustly on the distinct-value grid:
+    * each distinct value contributes (d1+d2)·(c1·n_b − c2·n_a)², an
+    * EXACT integer (accumulated in DECIMAL(38,0) ↔ HUGEINT — the gap
+    * product cubes past int64 at amplified scale), and
+    * T = S/(N²·n_a·n_b) is ONE final division, so the whole row
+    * hash-gates. Identical distributed shape to ksPairs: value-domain
+    * pre-aggregation (distinct lengths, not rows) before the pair
+    * window. */
+  def qCvm(s: SparkSession, dir: String): DataFrame =
+    cvmPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  /** CvM core over a (g, x) relation — see [[qCvm]]. */
+  def cvmPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = col("c1").cast("decimal(38,0)") * col("nb") -
+      col("c2").cast("decimal(38,0)") * col("na")
+    val agg = tagged
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum((col("d1") + col("d2")).cast("decimal(38,0)") * gap * gap)
+        .as("s"))
+    val nTot = col("na") + col("nb")
+    val tExpr = col("s").cast("double") / col("na") / col("nb") /
+      nTot / nTot
+    agg.select(col("ga").as("g_a"), col("gb").as("g_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(tExpr, 6).as("t"), lit(CvmAlpha005).as("t_crit"),
+      (tExpr > CvmAlpha005).as("significant"))
+  }
+
+  private lazy val qCvmSql =
+    s"""WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb, d1, d2,
+               sum(d1) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               sum(CAST(d1 + d2 AS HUGEINT)
+                 * (CAST(c1 AS HUGEINT) * nb - CAST(c2 AS HUGEINT) * na)
+                 * (CAST(c1 AS HUGEINT) * nb - CAST(c2 AS HUGEINT) * na))
+                 AS s
+             FROM c GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(CAST(s AS DOUBLE) / na / nb / (na + nb) / (na + nb), 6) AS t,
+         $CvmAlpha005 AS t_crit,
+         CAST(s AS DOUBLE) / na / nb / (na + nb) / (na + nb) > $CvmAlpha005
+           AS significant
+       FROM m"""
+
+  /** q_ansari: Ansari–Bradley two-sample SCALE test matrix per language
+    * pair — the dispersion member of the rank-test family (Mann–Whitney
+    * shifts, Ansari–Bradley spreads): scores count in from BOTH ends of
+    * the pooled ordering (s(r) = min(r, N+1−r)), so a sample whose
+    * lengths concentrate in the middle scores high and one spread to the
+    * extremes scores low, location differences cancelling. Ties take
+    * MIDRANKS; everything is carried ×2 so each score is an exact
+    * INTEGER (mr2 = 2·midrank = 2·cum_before + d + 1, S2 = 2·score =
+    * min(mr2, 2(N+1)−mr2)) — the statistic AB = Σ_A score, its tie-
+    * aware null moments E = n_a·ΣS/N and Var = n_a·n_b·(N·ΣS² − (ΣS)²)
+    * / (N²(N−1)) all derive from three exact integer sums, and
+    * z = (AB−E)/√Var is assembled from them identically in both
+    * engines. Same distinct-value pair-window shape as ksPairs. A
+    * degenerate pooled sample (all values tied ⇒ Var = 0) yields NULL z
+    * via nullif in both engines. */
+  def qAnsari(s: SparkSession, dir: String): DataFrame =
+    ansariPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+
+  /** Ansari–Bradley core over a (g, x) relation — see [[qAnsari]]. */
+  def ansariPairs(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val w = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTot = col("na") + col("nb")
+    val d = col("d1") + col("d2")
+    val mr2 = lit(2L) * (sum(d).over(w) - d) + d + 1L
+    val s2 = least(mr2, lit(2L) * (nTot + 1L) - mr2)
+    val agg = tagged
+      .withColumn("s2", s2)
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum(col("d1") * col("s2")).as("ab2"),
+        sum((col("d1") + col("d2")) * col("s2")).as("t2"),
+        sum((col("d1") + col("d2")).cast("decimal(38,0)") *
+          col("s2") * col("s2")).as("q4"))
+    val varNum = col("na").cast("decimal(38,0)") * col("nb") *
+      (nTot.cast("decimal(38,0)") * col("q4") -
+        col("t2").cast("decimal(38,0)") * col("t2"))
+    val zExpr = (col("ab2").cast("double") -
+      col("na").cast("double") * col("t2") / nTot) /
+      sqrt(nullif(varNum.cast("double"), lit(0.0)) /
+        nTot.cast("double") / nTot / (nTot - 1))
+    agg.select(col("ga").as("g_a"), col("gb").as("g_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      (col("ab2").cast("double") / 2).as("ab"),
+      round(zExpr, 6).as("z"),
+      (abs(zExpr) > 1.959964).as("significant"))
+  }
+
+  private lazy val qAnsariSql =
+    """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb, d1, d2,
+               2 * (sum(d1 + d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) - (d1 + d2)) + (d1 + d2) + 1
+                 AS mr2
+             FROM tg),
+       sc AS (SELECT ga, gb, na, nb, d1, d2,
+                least(mr2, 2 * (na + nb + 1) - mr2) AS s2
+              FROM c),
+       m AS (SELECT ga, gb, na, nb,
+               CAST(sum(d1 * s2) AS BIGINT) AS ab2,
+               CAST(sum((d1 + d2) * s2) AS BIGINT) AS t2,
+               sum(CAST(d1 + d2 AS HUGEINT) * s2 * s2) AS q4
+             FROM sc GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         CAST(ab2 AS DOUBLE) / 2 AS ab,
+         round((CAST(ab2 AS DOUBLE) - CAST(na AS DOUBLE) * t2 / (na + nb))
+           / sqrt(nullif(CAST(CAST(na AS HUGEINT) * nb
+               * ((na + nb) * q4 - CAST(t2 AS HUGEINT) * t2) AS DOUBLE), 0.0)
+             / CAST(na + nb AS DOUBLE) / (na + nb) / (na + nb - 1)), 6) AS z,
+         abs((CAST(ab2 AS DOUBLE) - CAST(na AS DOUBLE) * t2 / (na + nb))
+           / sqrt(nullif(CAST(CAST(na AS HUGEINT) * nb
+               * ((na + nb) * q4 - CAST(t2 AS HUGEINT) * t2) AS DOUBLE), 0.0)
+             / CAST(na + nb AS DOUBLE) / (na + nb) / (na + nb - 1)))
+           > 1.959964 AS significant
+       FROM m"""
+
   private def ksOutputCols: Seq[org.apache.spark.sql.Column] = {
     val dExpr = col("d_scaled").cast("double") / (col("na") * col("nb"))
     val critExpr = lit(KsAlpha005) *
@@ -1202,8 +1378,12 @@ object RobustStats extends QueryModule {
         array_sort(collect_list(struct(col("bucket"),
           sqrt(col("p_a") * col("p_b")).as("x")))),
         lit(0.0), (acc, r) => acc + r.getField("x")).as("bc"))
+    // BC can exceed 1 by an ulp on (near-)identical distributions; clamp
+    // it for BOTH derived outputs, so the distance is 0, never -0.0 or a
+    // tiny negative, in exactly the case the scaladoc calls out (the
+    // hellinger column always had the matching guard; r16 ADVICE).
     bc.select(col("type_a"), col("type_b"),
-      round(-log(col("bc")), 6).as("bhattacharyya"),
+      round(-log(least(col("bc"), lit(1.0))), 6).as("bhattacharyya"),
       round(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))), 6).as("hellinger"))
   }
 
@@ -1229,7 +1409,7 @@ object RobustStats extends QueryModule {
               FROM p a JOIN p b
                 ON a.bucket = b.bucket AND a.event_type < b.event_type
               GROUP BY 1, 2)
-       SELECT type_a, type_b, round(-ln(bc), 6) AS bhattacharyya,
+       SELECT type_a, type_b, round(-ln(least(bc, 1.0)), 6) AS bhattacharyya,
          round(sqrt(greatest(1 - bc, 0)), 6) AS hellinger
        FROM bc"""
 
@@ -2036,6 +2216,8 @@ object RobustStats extends QueryModule {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_ks_test" -> (qKsTest _),
     "q_kuiper" -> (qKuiper _),
+    "q_cvm" -> (qCvm _),
+    "q_ansari" -> (qAnsari _),
     "q_wasserstein" -> (qWasserstein _),
     "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
@@ -2067,6 +2249,8 @@ object RobustStats extends QueryModule {
     "q_quantile_norm" -> qQuantileNormSql,
     "q_ks_test" -> qKsTestSql,
     "q_kuiper" -> qKuiperSql,
+    "q_cvm" -> qCvmSql,
+    "q_ansari" -> qAnsariSql,
     "q_wasserstein" -> qWassersteinSql,
     "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,

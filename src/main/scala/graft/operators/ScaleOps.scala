@@ -560,7 +560,14 @@ object ScaleOps extends QueryModule {
     * `overestimates` guarantee (cross terms only ADD: est ≥ F₂ always),
     * and the ε = e/w envelope cross-multiplied (slack·w ≤ 3·N²).
     * Products run in DECIMAL(38,0) — cell counts square past int64 at
-    * web scale. */
+    * web scale. OUTPUT columns are gate-normalized to BIGINT (r16
+    * adjudication of the r15 red gate): this was the only sketch oracle
+    * with DECIMAL arithmetic on its output surface, and DuckDB versions
+    * differ in how DECIMAL(38,0)·BIGINT widens (1.0.0 keeps DECIMAL;
+    * other versions can promote, changing the hashed value text). The
+    * internal products stay exact-decimal (Spark) / HUGEINT (oracle);
+    * only the final projection casts, with ANSI mode making any true
+    * int64 overflow fail loudly rather than wrap. */
   def qJoinSizeSketch(s: SparkSession, dir: String): DataFrame = {
     val f = Tables.events(s, dir)
       .select(col("user_id").cast("string").as("k"))
@@ -577,8 +584,10 @@ object ScaleOps extends QueryModule {
     val exact = f.agg(count(lit(1)).as("n_keys"), sum(col("cf")).as("n_rows"),
       sum(col("cf").cast("decimal(38,0)") * col("cf")).as("exact_size"))
     exact.crossJoin(est).select(
-      col("n_keys"), col("n_rows"), col("exact_size"), col("est_size"),
-      (col("est_size") - col("exact_size")).as("slack"),
+      col("n_keys"), col("n_rows"),
+      col("exact_size").cast("long").as("exact_size"),
+      col("est_size").cast("long").as("est_size"),
+      (col("est_size") - col("exact_size")).cast("long").as("slack"),
       (col("est_size") >= col("exact_size")).as("overestimates"),
       ((col("est_size") - col("exact_size")) * CmsWidth <=
         col("n_rows").cast("decimal(38,0)") * col("n_rows") * 3)
@@ -597,17 +606,19 @@ object ScaleOps extends QueryModule {
        sk AS (SELECT j, bucket, CAST(sum(cf) AS BIGINT) AS cnt
               FROM hashed GROUP BY 1, 2),
        est AS (SELECT min(ip) AS est_size FROM (
-                 SELECT j, sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS ip
+                 SELECT j, sum(CAST(cnt AS HUGEINT) * cnt) AS ip
                  FROM sk GROUP BY 1)),
        ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
                 CAST(sum(cf) AS BIGINT) AS n_rows,
-                sum(CAST(cf AS DECIMAL(38,0)) * cf) AS exact_size
+                sum(CAST(cf AS HUGEINT) * cf) AS exact_size
               FROM f)
-       SELECT n_keys, n_rows, exact_size, est_size,
-         est_size - exact_size AS slack,
+       SELECT n_keys, n_rows,
+         CAST(exact_size AS BIGINT) AS exact_size,
+         CAST(est_size AS BIGINT) AS est_size,
+         CAST(est_size - exact_size AS BIGINT) AS slack,
          est_size >= exact_size AS overestimates,
          (est_size - exact_size) * $CmsWidth
-           <= CAST(n_rows AS DECIMAL(38,0)) * n_rows * 3 AS within_bound
+           <= CAST(n_rows AS HUGEINT) * n_rows * 3 AS within_bound
        FROM ex CROSS JOIN est"""
 
   /** q_incr_agg: incremental aggregate maintenance — the algebraic
@@ -671,7 +682,58 @@ object ScaleOps extends QueryModule {
          CAST(count(*) AS BIGINT) AS n_events
        FROM events GROUP BY event_type"""
 
+  /** q_oracle_canary: engine-seam canary (r16 task 3). Every cross-engine
+    * idiom the oracle suite leans on, concentrated in ONE deterministic
+    * row over a fixed 1..24 grid (no table dependence), so a DuckDB or
+    * Spark version bump that changes any seam fails loudly HERE instead
+    * of on a random operator:
+    *   - md5 lowercase-hex text equality (every sketch bucket derivation);
+    *   - the hex-substring→integer derivation both ways: Spark
+    *     `conv(substr(md5…),16,10)` vs DuckDB `CAST('0x'||… AS BIGINT)`
+    *     must land on the same BIGINT (and the same % CmsWidth bucket);
+    *   - DECIMAL(38,0)·BIGINT widening left RAW on the output surface —
+    *     the exact surface behind the r15 q_join_size_sketch red gate: a
+    *     DuckDB that promotes the product to DOUBLE changes the hashed
+    *     value text of `dec_prod` and trips this row;
+    *   - the ordered double fold (aggregate(array_sort(collect_list…)) ↔
+    *     list_sum(list(… ORDER BY …))) rounded at 6, the repo-wide
+    *     determinism idiom for order-sensitive floating sums. */
+  def qOracleCanary(s: SparkSession, dir: String): DataFrame = {
+    val g = s.range(1, 25).select(col("id").as("i"))
+    val agg = g.agg(
+      sum(col("i").cast("decimal(38,0)") * col("i")).as("dec_prod_raw"),
+      round(aggregate(
+        array_sort(collect_list(struct(col("i"),
+          (lit(1.0) / col("i").cast("double")).as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")), 6).as("fold_sum"))
+    agg.select(
+      md5(lit("graft-canary-0")).as("md5_full"),
+      conv(substring(md5(lit("graft-canary-0")), 1, 8), 16, 10)
+        .cast("long").as("hex_cast"),
+      (conv(substring(md5(lit("graft-canary-0")), 1, 8), 16, 10)
+        .cast("long") % CmsWidth).as("hex_mod"),
+      conv(lit("00ff00ff"), 16, 10).cast("long").as("conv_fixed"),
+      col("dec_prod_raw").as("dec_prod"),
+      (col("dec_prod_raw") === lit(4900).cast("decimal(38,0)")).as("dec_ok"),
+      col("fold_sum"))
+  }
+
+  private lazy val qOracleCanarySql =
+    s"""WITH g AS (SELECT unnest([${(1 to 24).mkString(", ")}]) AS i),
+       a AS (SELECT sum(CAST(i AS DECIMAL(38,0)) * i) AS dec_prod_raw,
+               round(list_sum(list(CAST(1 AS DOUBLE) / i ORDER BY i)), 6) AS fold_sum
+             FROM g)
+       SELECT md5('graft-canary-0') AS md5_full,
+         CAST(('0x' || substr(md5('graft-canary-0'), 1, 8)) AS BIGINT) AS hex_cast,
+         CAST(('0x' || substr(md5('graft-canary-0'), 1, 8)) AS BIGINT) % $CmsWidth AS hex_mod,
+         CAST('0x00ff00ff' AS BIGINT) AS conv_fixed,
+         dec_prod_raw AS dec_prod,
+         dec_prod_raw = 4900 AS dec_ok,
+         fold_sum
+       FROM a"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oracle_canary" -> (qOracleCanary _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
@@ -689,6 +751,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_oracle_canary" -> qOracleCanarySql,
     "q_incr_agg" -> qIncrAggSql,
     "q_join_size_sketch" -> qJoinSizeSketchSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,

@@ -2348,6 +2348,241 @@ object Stats extends QueryModule {
        FROM p JOIN m ON m.event_type = p.event_type AND p.stat = m.ms
        GROUP BY p.event_type"""
 
+  /** q_pettitt: Pettitt's nonparametric change-point test per event type
+    * — the RANK-based member of the change-point family (q_changepoint's
+    * CUSUM statistic reacts to mean shifts in VALUE units; Pettitt is
+    * its distribution-free twin, immune to heavy tails and monotone
+    * rescalings). U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j) collapses to
+    * U_t = S2_t − t(N+1) with DOUBLED midranks (r2 = 2·cum_before+d+1,
+    * ties contribute sgn 0 exactly as midranks do), so every
+    * intermediate is an exact INTEGER and U_N ≡ 0 is a built-in
+    * self-check of the rank algebra. K = max|U_t| (earliest day on
+    * ties), with the standard approximation p ≈ 2·exp(−6K²/(N³+N²)) —
+    * the ONLY fp step, derived from two exact integers identically in
+    * both engines. Day-bounded series (≤ calendar days per type) after
+    * one fact-table aggregate — the same scale shape as q_changepoint. */
+  def qPettitt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val wVal = Window.partitionBy("event_type").orderBy("tot")
+    val wTie = Window.partitionBy("event_type", "tot")
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = count(lit(1)).over(Window.partitionBy("event_type"))
+    val ranked = daily
+      .withColumn("r2", lit(2L) * rank().over(wVal) +
+        count(lit(1)).over(wTie) - 1L)
+      .withColumn("n", n)
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("u", sum(col("r2")).over(wRun) - col("t") * (col("n") + 1L))
+    val best = ranked.groupBy("event_type")
+      .agg(max(abs(col("u"))).as("k_stat"))
+    val p = lit(2.0) * exp(lit(-6.0) * col("k_stat") * col("k_stat") /
+      (col("n_days").cast("double") * col("n_days") * col("n_days") +
+        col("n_days").cast("double") * col("n_days")))
+    ranked.join(best, Seq("event_type"))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n_days"), min(col("day")).as("cp_day"),
+        first(col("k_stat")).as("k_stat"))
+      .select(col("event_type"), col("n_days"), col("cp_day"), col("k_stat"),
+        round(p, 6).as("p_approx"), (p < 0.05).as("significant"))
+  }
+
+  private lazy val qPettittSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       rk AS (
+         SELECT event_type, day,
+           2 * rank() OVER (PARTITION BY event_type ORDER BY tot)
+             + count(*) OVER (PARTITION BY event_type, tot) - 1 AS r2,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         FROM daily),
+       u AS (
+         SELECT event_type, day, n,
+           sum(r2) OVER (PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING) - t * (n + 1) AS u
+         FROM rk),
+       k AS (SELECT event_type, CAST(max(abs(u)) AS BIGINT) AS k_stat
+             FROM u GROUP BY 1)
+       SELECT u.event_type, CAST(any_value(u.n) AS BIGINT) AS n_days,
+         min(u.day) AS cp_day, any_value(k.k_stat) AS k_stat,
+         round(2.0 * exp(-6.0 * any_value(k.k_stat) * any_value(k.k_stat) /
+           (CAST(any_value(u.n) AS DOUBLE) * any_value(u.n) * any_value(u.n)
+             + CAST(any_value(u.n) AS DOUBLE) * any_value(u.n))), 6)
+           AS p_approx,
+         2.0 * exp(-6.0 * any_value(k.k_stat) * any_value(k.k_stat) /
+           (CAST(any_value(u.n) AS DOUBLE) * any_value(u.n) * any_value(u.n)
+             + CAST(any_value(u.n) AS DOUBLE) * any_value(u.n))) < 0.05
+           AS significant
+       FROM u JOIN k ON k.event_type = u.event_type
+         AND abs(u.u) = k.k_stat
+       GROUP BY u.event_type"""
+
+  /** F(1, ~26) α=0.05 critical value for [[qGranger]]'s fixed 30-day
+    * calendar (df₂ = n−3 ≈ 26 ⇒ 4.225; 4.24 is the conservative pin). */
+  val GrangerCrit005 = 4.24
+
+  /** q_granger: pairwise lag-1 Granger-causality screen over the daily
+    * event-count series — "do yesterday's counts of type A improve the
+    * prediction of today's counts of type B beyond B's own yesterday?"
+    * For one lag the F-test of the restricted-vs-full OLS is EXACTLY the
+    * partial-correlation test of corr(y_t, x_{t−1} · y_{t−1}):
+    * F = r²_p·(n−3)/(1−r²_p) — so the whole screen reduces to three
+    * plain correlations per directed pair, each assembled from exact
+    * DECIMAL moment sums of INTEGER daily counts (the q_corr_matrix
+    * discipline: nΣuv−ΣuΣv and the variance products stay exact until
+    * ONE final double division each). Directed k²−k pairs × ≤30 aligned
+    * days — dimension-bounded after one fact aggregate. Degenerate
+    * series (zero variance, |r|≥1 after alignment) yield NULL via
+    * nullif in both engines rather than ±∞. */
+  def qGranger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", lag(col("cnt"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+    val a = daily.select(col("event_type").as("cause"), col("day"),
+      col("prev").as("x1"))
+    val b = daily.select(col("event_type").as("effect"), col("day"),
+      col("cnt").as("y"), col("prev").as("y1"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = a.join(b, Seq("day")).filter(col("cause") =!= col("effect"))
+      .groupBy("cause", "effect")
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("y"))).as("sy"), sum(d38(col("x1"))).as("sx"),
+        sum(d38(col("y1"))).as("sy1"),
+        sum(d38(col("y")) * col("y")).as("syy"),
+        sum(d38(col("x1")) * col("x1")).as("sxx"),
+        sum(d38(col("y1")) * col("y1")).as("sy1y1"),
+        sum(d38(col("y")) * col("x1")).as("syx"),
+        sum(d38(col("y")) * col("y1")).as("syy1"),
+        sum(d38(col("x1")) * col("y1")).as("sxy1"))
+    def r(suv: Column, su: Column, sv: Column, suu: Column, svv: Column) = {
+      val num = (col("n") * suv - su * sv).cast("double")
+      val den = (col("n") * suu - su * su).cast("double") *
+        (col("n") * svv - sv * sv).cast("double")
+      num / sqrt(nullif(den, lit(0.0)))
+    }
+    val staged = m
+      .withColumn("r_yx", r(col("syx"), col("sy"), col("sx"), col("syy"), col("sxx")))
+      .withColumn("r_yy1", r(col("syy1"), col("sy"), col("sy1"), col("syy"), col("sy1y1")))
+      .withColumn("r_xy1", r(col("sxy1"), col("sx"), col("sy1"), col("sxx"), col("sy1y1")))
+      .withColumn("rp", (col("r_yx") - col("r_yy1") * col("r_xy1")) /
+        sqrt(nullif((lit(1.0) - col("r_yy1") * col("r_yy1")) *
+          (lit(1.0) - col("r_xy1") * col("r_xy1")), lit(0.0))))
+      .withColumn("f", col("rp") * col("rp") * (col("n") - 3) /
+        nullif(lit(1.0) - col("rp") * col("rp"), lit(0.0)))
+    staged.select(col("cause"), col("effect"), col("n"),
+      round(col("rp"), 6).as("r_partial"), round(col("f"), 6).as("f_stat"),
+      (col("f") > GrangerCrit005).as("significant"))
+  }
+
+  private lazy val qGrangerSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       lagd AS (
+         SELECT event_type, day, cnt,
+           lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+         FROM daily),
+       f AS (SELECT * FROM lagd WHERE prev IS NOT NULL),
+       m AS (
+         SELECT a.event_type AS cause, b.event_type AS effect,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(b.cnt AS HUGEINT)) AS sy,
+           sum(CAST(a.prev AS HUGEINT)) AS sx,
+           sum(CAST(b.prev AS HUGEINT)) AS sy1,
+           sum(CAST(b.cnt AS HUGEINT) * b.cnt) AS syy,
+           sum(CAST(a.prev AS HUGEINT) * a.prev) AS sxx,
+           sum(CAST(b.prev AS HUGEINT) * b.prev) AS sy1y1,
+           sum(CAST(b.cnt AS HUGEINT) * a.prev) AS syx,
+           sum(CAST(b.cnt AS HUGEINT) * b.prev) AS syy1,
+           sum(CAST(a.prev AS HUGEINT) * b.prev) AS sxy1
+         FROM f a JOIN f b ON a.day = b.day
+           AND a.event_type <> b.event_type
+         GROUP BY 1, 2),
+       rr AS (
+         SELECT cause, effect, n,
+           CAST(n*syx - sx*sy AS DOUBLE)
+             / sqrt(nullif(CAST(n*syy - sy*sy AS DOUBLE)
+                 * CAST(n*sxx - sx*sx AS DOUBLE), 0.0)) AS r_yx,
+           CAST(n*syy1 - sy*sy1 AS DOUBLE)
+             / sqrt(nullif(CAST(n*syy - sy*sy AS DOUBLE)
+                 * CAST(n*sy1y1 - sy1*sy1 AS DOUBLE), 0.0)) AS r_yy1,
+           CAST(n*sxy1 - sx*sy1 AS DOUBLE)
+             / sqrt(nullif(CAST(n*sxx - sx*sx AS DOUBLE)
+                 * CAST(n*sy1y1 - sy1*sy1 AS DOUBLE), 0.0)) AS r_xy1
+         FROM m),
+       pp AS (
+         SELECT cause, effect, n,
+           (r_yx - r_yy1 * r_xy1)
+             / sqrt(nullif((1.0 - r_yy1 * r_yy1) * (1.0 - r_xy1 * r_xy1),
+                 0.0)) AS rp
+         FROM rr),
+       ff AS (
+         SELECT cause, effect, n, rp,
+           rp * rp * (n - 3) / nullif(1.0 - rp * rp, 0.0) AS f
+         FROM pp)
+       SELECT cause, effect, n, round(rp, 6) AS r_partial,
+         round(f, 6) AS f_stat, f > $GrangerCrit005 AS significant
+       FROM ff"""
+
+  /** z₀.₉₇₅ + z₀.₈₀ — the 5%-significance / 80%-power constant of the
+    * two-proportion sample-size identity (1.959964 + 0.841621). */
+  val MdeZ = 2.801585
+
+  /** q_mde: minimum detectable effect per event type — the experiment-
+    * design counterpart of q_two_prop/q_ab_test (those test a lift
+    * AFTER the fact; this reports the smallest lift an A/B split of the
+    * CURRENT traffic could detect at α=0.05 / 80% power): with n users
+    * per arm (half the type's distinct users) and baseline conversion p
+    * (share of users with ≥2 events of the type),
+    * MDE_abs = z·√(2p(1−p)/n). Both inputs are exact integer counts
+    * from one distinct-user aggregate — the divisions and the √ are
+    * the only fp steps, identical in both engines; p = 0/1 degeneracy
+    * yields NULL relative MDE via nullif. */
+  def qMde(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_ev"))
+    val m = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_ev") >= 2, 1L).otherwise(0L)).as("n_conv"))
+    val p = col("n_conv").cast("double") / col("n_users")
+    val nArm = col("n_users").cast("double") / 2
+    val mdeAbs = lit(MdeZ) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm)
+    m.select(col("event_type"), col("n_users"), col("n_conv"),
+      round(p, 6).as("p_base"), round(mdeAbs, 6).as("mde_abs"),
+      round(mdeAbs / nullif(p, lit(0.0)), 6).as("mde_rel"))
+  }
+
+  private lazy val qMdeSql =
+    s"""WITH pu AS (SELECT event_type, user_id, count(*) AS n_ev
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN n_ev >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_conv
+             FROM pu GROUP BY 1)
+       SELECT event_type, n_users, n_conv,
+         round(CAST(n_conv AS DOUBLE) / n_users, 6) AS p_base,
+         round($MdeZ * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+           * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+           / (CAST(n_users AS DOUBLE) / 2)), 6) AS mde_abs,
+         round($MdeZ * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+           * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+           / (CAST(n_users AS DOUBLE) / 2))
+           / nullif(CAST(n_conv AS DOUBLE) / n_users, 0.0), 6) AS mde_rel
+       FROM m"""
+
   /** q_benford: first-significant-digit distribution audit (Benford's
     * law — the classic fabricated-data / unit-mixing smell test for a
     * measure column): per digit 1–9, the observed count, observed and
@@ -3573,6 +3808,9 @@ object Stats extends QueryModule {
     "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
     "q_changepoint" -> (qChangepoint _),
+    "q_pettitt" -> (qPettitt _),
+    "q_granger" -> (qGranger _),
+    "q_mde" -> (qMde _),
     "q_holt" -> (qHolt _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
@@ -3628,6 +3866,9 @@ object Stats extends QueryModule {
     "q_autocorr" -> qAutocorrSql,
     "q_cusum" -> qCusumSql,
     "q_changepoint" -> qChangepointSql,
+    "q_pettitt" -> qPettittSql,
+    "q_granger" -> qGrangerSql,
+    "q_mde" -> qMdeSql,
     "q_holt" -> qHoltSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,

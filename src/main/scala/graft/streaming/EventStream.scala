@@ -51,6 +51,48 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("sess_start"),
         col("sw.end").as("sess_end"), col("n_events"))
 
+  /** Streaming per-day session dashboard — the stateful twin of the
+    * batch q_session_stats rollup (Relational.qSessionStats, 67n): the
+    * session_window sessionization of [[sessionCounts]] CHAINED into a
+    * second event-time aggregation that rolls closed sessions up to the
+    * day they started — session count, bounce count/rate (single-event
+    * sessions) and mean depth, the exact columns the batch dashboard
+    * reads (median duration stays batch-only: an order statistic has no
+    * bounded-state incremental form). Two stateful operators in one
+    * query — Spark's multi-stateful-operator support does the heavy
+    * lifting: the session store emits a session only once its window can
+    * no longer grow (watermark past end + gap), and the day store emits
+    * a day only once the watermark passes midnight + the delay, so every
+    * emitted row is FINAL (append mode, no retractions downstream —
+    * the property a dashboard sink wants). Sessions merge across
+    * micro-batch boundaries before any day sees them; StreamingSpec pins
+    * that against the batch twin's numbers on a shared fixture. */
+  def sessionDashboard(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      // Chain on the session-window column itself (SPARK-40925): the
+      // day window derives its event time from window_time(sw) =
+      // sw.end − 1ms, the only representative that keeps the global
+      // watermark sound. (Re-watermarking a projected sw.start instead
+      // DEADLOCKS: the new watermark node sees no data until operator 1
+      // emits, and operator 1 won't emit until the watermark advances —
+      // the global watermark stays at epoch forever.) Consequence: a
+      // session is keyed to the day of its LAST activity, where the
+      // batch twin keys by first event — identical whenever the session
+      // doesn't straddle midnight, which the spec pins.
+      .groupBy(window(col("sw"), "1 day").as("day_w"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+        round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+          .as("avg_depth"))
+      .select(date_format(col("day_w.start"), "yyyy-MM-dd").as("day"),
+        col("n_sessions"), col("n_bounce"), col("bounce_rate"),
+        col("avg_depth"))
+
   /** Stream-stream interval join — the streaming twin of the batch range
     * join (Relational.qRangeJoin): purchases matched to the same user's
     * clicks from the preceding 30 minutes. Both sides carry watermarks and
@@ -593,7 +635,12 @@ object EventStream {
     * discipline). Emits the running PSI + BC and the standard ≥0.2
     * drift alarm — the monitor a pipeline runs against live traffic
     * while the batch twin scores history. Keys with no baseline emit
-    * nothing (no reference to drift FROM). */
+    * nothing (no reference to drift FROM). Negative values are DROPPED,
+    * matching the batch twins exactly: q_psi/q_bhattacharyya densify a
+    * 0..9 grid, so a negative-bucket row falls outside it and
+    * contributes to neither histogram mass nor the total (r16 ADVICE —
+    * the old clamp-into-bucket-0 diverged from the batch on any
+    * negative value). */
   def runningPsi(values: Dataset[TypedValue],
       baseline: Map[String, Seq[Long]]): Dataset[PsiOut] = {
     import values.sparkSession.implicits._
@@ -605,7 +652,7 @@ object EventStream {
             .map(_.counts.toArray).getOrElse(Array.fill(10)(0L))
           rows.foreach { r =>
             val b = math.min(math.floor(r.value / 50.0).toLong, 9L).toInt
-            counts(math.max(b, 0)) += 1L
+            if (b >= 0) counts(b) += 1L
           }
           state.update(PsiState(counts.toList))
           baseline.get(et) match {
@@ -726,15 +773,21 @@ object EventStream {
       GkState(before ::: GkEntry(x, 1L, d) :: after, st.n + 1)
     }
     def compress(st: GkState): GkState = {
+      // Standard GK keeps BOTH extremes exact: i > 0 protects the head
+      // (minimum) entry from being merged away, len > 1 protects the
+      // last (maximum) entry's slot. `len` tracks the built-list length
+      // as a counter — List.size inside the fold was O(n) per element,
+      // making each compress O(n²) in sketch size (r16 ADVICE).
       val cap = math.max(1L, math.floor(2 * eps * st.n).toLong)
-      val merged = st.entries.foldRight(List.empty[GkEntry]) { (e, acc) =>
-        acc match {
-          case next :: rest if e.g + next.g + next.d < cap &&
-              acc.size > 1 => // never merge into the last (max) entry's slot
-            GkEntry(next.v, e.g + next.g, next.d) :: rest
-          case _ => e :: acc
+      val (merged, _) = st.entries.zipWithIndex
+        .foldRight((List.empty[GkEntry], 0)) { case ((e, i), (acc, len)) =>
+          acc match {
+            case next :: rest if i > 0 && len > 1 &&
+                e.g + next.g + next.d < cap =>
+              (GkEntry(next.v, e.g + next.g, next.d) :: rest, len)
+            case _ => (e :: acc, len + 1)
+          }
         }
-      }
       GkState(merged, st.n)
     }
     def cut(st: GkState, q: Double): Double = {

@@ -278,6 +278,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session dashboard: chained session->day rollup matches " +
+    "the batch q_session_stats numbers, sessions merging across a " +
+    "micro-batch boundary (r16 verdict task 6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStream.sessionDashboard(
+      input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sess_dash")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 starts a session; user 8 bounces (1 event)
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 7L),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), 7L),
+        (Timestamp.valueOf("2024-01-01 02:00:00"), 8L))
+      q.processAllAvailable()
+      // batch 2: user 7's session CONTINUES across the micro-batch
+      // boundary (10-min gap from the last batch-1 event) — the session
+      // store must merge, not open a second session
+      input.addData((Timestamp.valueOf("2024-01-01 01:20:00"), 7L))
+      q.processAllAvailable()
+      // nothing final yet: the watermark hasn't passed day end + delay
+      assert(spark.table("sess_dash").isEmpty)
+      // batch 3: a far-future event pushes the watermark past
+      // 2024-01-01 24:00 + 1h, closing every day-1 session AND the day-1
+      // window; its own day stays open and must NOT emit
+      input.addData((Timestamp.valueOf("2024-01-04 12:00:00"), 9L))
+      q.processAllAvailable()
+      // the watermark computed from batch 3 takes effect in the NEXT
+      // micro-batch; one more batch lets it ripple through both stateful
+      // operators (session close -> day close)
+      input.addData((Timestamp.valueOf("2024-01-04 12:01:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("sess_dash").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      // exactly the batch q_session_stats numbers for the fixture:
+      // 2 sessions (user 7 depth 3, user 8 depth 1), 1 bounce,
+      // bounce_rate 0.5, avg_depth 2.0 — and only the CLOSED day emits
+      assert(out.keySet === Set("2024-01-01"))
+      assert(out("2024-01-01") === ((2L, 1L, 0.5, 2.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks in the preceding 30 min") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
@@ -775,6 +819,15 @@ class StreamingSpec extends SparkSpec {
       assert(r2._1 == 300L && math.abs(r2._2 - e2psi) < 1e-12)
       assert(math.abs(r2._3 - e2bc) < 1e-12)
       assert(r2._4, s"shifted traffic must trip the alarm, psi=${r2._2}")
+      // negative values are DROPPED (r16 ADVICE): the batch twins densify
+      // a 0..9 grid, so a negative-bucket row contributes to neither the
+      // histogram nor the total — the running scores must not move
+      input.addData((0 until 5).map(i =>
+        EventStream.TypedValue("m", (300 + i).toLong, -75.0 - i)))
+      q.processAllAvailable()
+      val r3 = latest()
+      assert(r3._1 == 300L, s"negative values must not count, n=${r3._1}")
+      assert(math.abs(r3._2 - e2psi) < 1e-12 && math.abs(r3._3 - e2bc) < 1e-12)
       // a key with no baseline emits nothing
       input.addData(Seq(EventStream.TypedValue("unknown", 1L, 10.0)))
       q.processAllAvailable()
