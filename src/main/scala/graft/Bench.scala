@@ -74,7 +74,10 @@ object Bench {
     "q_ljung_box", "q_bleu_pairs", "q_splice_pairs", "q_median_test",
     "q_burrows", "q_token_budget", "q_cohens_h", "q_seasonal_strength",
     "q_simpson", "q_trimmed_mean", "q_iqr_outliers", "q_dedup_rate_curve",
-    "q_ess", "q_chao1", "q_sampler_audit", "q_trimmed_mean_approx")
+    "q_ess", "q_chao1", "q_sampler_audit", "q_trimmed_mean_approx",
+    "q_cvm", "q_ansari", "q_pettitt", "q_granger", "q_mde",
+    "q_item_sim", "q_link_pred", "q_concurrency", "q_kmv_intersect",
+    "q_mixture_weights")
   // q_features_audit / q_lda_audit / q_isotonic_audit / q_classify_audit /
   // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit — and the r12
   // additions q_coherence_audit / q_hdp_audit (LDA upstream),

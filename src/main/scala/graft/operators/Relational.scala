@@ -537,6 +537,229 @@ object Relational extends QueryModule {
          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** q_item_sim: item–item cosine similarity with per-item top-k — the
+    * normalized recommender layer on top of q_copurchase's raw pair
+    * counts (raw counts rank popular items first; cosine
+    * n_ab/√(deg_a·deg_b) is the classic Amazon item-to-item correction).
+    * Same bounded pair expansion as q_copurchase (pairs built INSIDE the
+    * basket row via functions.Pairs — one shuffle, never a posting
+    * self-join), symmetrized, degrees attached from the part-sized
+    * distinct-order counts (dimension table — AQE broadcasts it), then
+    * ONE rank window per part keeps top-3 by (cosine desc, part_b asc).
+    * cosine is one double expression over three exact integers —
+    * identical IEEE value in both engines, round(6) only on output,
+    * ranking on the raw double. */
+  def qItemSim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = lp.groupBy("l_partkey").agg(count(lit(1)).as("deg"))
+    val pr = lp.groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val sym = pr.select(col("a").as("part_a"), col("b").as("part_b"), col("n_ab"))
+      .unionByName(pr.select(col("b").as("part_a"), col("a").as("part_b"), col("n_ab")))
+    val cosine = col("n_ab").cast("double") /
+      sqrt(col("deg_a").cast("double") * col("deg_b"))
+    val scored = sym
+      .join(deg.select(col("l_partkey").as("part_a"), col("deg").as("deg_a")), Seq("part_a"))
+      .join(deg.select(col("l_partkey").as("part_b"), col("deg").as("deg_b")), Seq("part_b"))
+      .withColumn("cos", cosine)
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("part_a")
+        .orderBy(col("cos").desc, col("part_b").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  private val qItemSimSql =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       deg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg
+               FROM lp GROUP BY 1),
+       pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+              FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sc AS (SELECT part_a, part_b, n_ab,
+                CAST(n_ab AS DOUBLE)
+                  / sqrt(CAST(da.deg AS DOUBLE) * db.deg) AS cos
+              FROM pr JOIN deg da ON da.l_partkey = part_a
+                JOIN deg db ON db.l_partkey = part_b),
+       rk AS (SELECT part_a, part_b, n_ab, cos,
+                row_number() OVER (PARTITION BY part_a
+                  ORDER BY cos DESC, part_b ASC) AS rank
+              FROM sc)
+       SELECT part_a, part_b, n_ab, round(cos, 6) AS cosine,
+         CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 3"""
+
+  /** Hub cap for [[qLinkPred]]'s wedge centers: a shared neighbor with
+    * more co-purchase partners than this carries ≈ no Adamic–Adar
+    * signal (1/ln(deg) → 0) but degree² wedge pairs — the df-cap rule
+    * the dedup posting joins enforce, applied to link prediction. */
+  val LinkPredHubCap = 64
+
+  /** q_link_pred: link prediction over the co-purchase graph — the
+    * classic common-neighbor score family (Liben-Nowell & Kleinberg):
+    * for part pairs at distance 2 that are NOT yet edges, the
+    * common-neighbor count, Jaccard overlap cn/(deg_a+deg_b−cn), and
+    * Adamic–Adar Σ_z 1/ln(deg_z) over the shared neighbors z.
+    * Candidates come from the wedge posting join (adj(z,a) ⋈ adj(z,b),
+    * a<b) with hub centers df-capped at [[LinkPredHubCap]] — never an
+    * all-pairs product — then existing edges leave by anti-join and
+    * cn ≥ 2 bounds the tail. deg_z ≥ 2 for every wedge center (it has
+    * two edges by construction), so ln(deg_z) > 0 always; the AA sum is
+    * a z-ordered bounded fold (aggregate(array_sort(collect_list…)) ↔
+    * list_sum(… ORDER BY z)) — the repo-wide ordered-double-sum
+    * discipline, round(6) on output only. */
+  def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select("a", "b")
+    val adj = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val centers = adj
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_z")), Seq("a"))
+      .filter(col("deg_z") <= LinkPredHubCap)
+      .select(col("a").as("z"), col("b").as("nb"), col("deg_z"))
+    val wedges = centers.select(col("z"), col("nb").as("pa"), col("deg_z"))
+      .join(centers.select(col("z"), col("nb").as("pb")), Seq("z"))
+      .filter(col("pa") < col("pb"))
+    val cand = wedges
+      .join(edges, wedges("pa") === edges("a") && wedges("pb") === edges("b"),
+        "left_anti")
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("cn"),
+        aggregate(transform(array_sort(collect_list(struct(col("z"),
+          (lit(1.0) / log(col("deg_z").cast("double"))).as("t")))),
+          x => x.getField("t")), lit(0.0), (a, x) => a + x).as("aa"))
+      .filter(col("cn") >= 2)
+    cand
+      .join(deg.select(col("node").as("pa"), col("deg").as("deg_a")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("deg_b")), Seq("pb"))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+  }
+
+  private val qLinkPredSql =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+             FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+       adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM adj GROUP BY 1),
+       ctr AS (SELECT adj.a AS z, adj.b AS nb, deg.deg AS deg_z
+               FROM adj JOIN deg ON deg.node = adj.a
+               WHERE deg.deg <= $LinkPredHubCap),
+       w AS (SELECT x.z, x.nb AS pa, y.nb AS pb, x.deg_z
+             FROM ctr x JOIN ctr y ON x.z = y.z AND x.nb < y.nb),
+       cand AS (
+         SELECT pa, pb, CAST(count(*) AS BIGINT) AS cn,
+           list_sum(list(1.0 / ln(CAST(deg_z AS DOUBLE)) ORDER BY z)) AS aa
+         FROM w WHERE NOT EXISTS (
+           SELECT 1 FROM e WHERE e.a = w.pa AND e.b = w.pb)
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT pa AS part_a, pb AS part_b, cn, da.deg AS deg_a,
+         db.deg AS deg_b,
+         round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard,
+         round(aa, 6) AS adamic_adar
+       FROM cand JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb"""
+
+  /** q_concurrency: peak concurrent sessions per day — the capacity
+    * number an ops dashboard reads (licensing, connection pools,
+    * autoscaler floors): sweep-line over the gap-sessionized intervals
+    * (same session construction as q_session_stats), +1 at each start,
+    * −1 at each end, starts processed first at a tied instant (a
+    * touching handover counts as overlapping). The running sum is the
+    * distributed exclusive prefix over the DISTINCT-instant relation
+    * (Ranks.globalPrefixSum — range-partitioned two-pass, never a
+    * single-partition window), and because the maximum of the sweep is
+    * always attained AT a session start, per-day peak = max over that
+    * day's start instants of cum_before + starts_at_instant. Exact
+    * integers end to end. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("us")).as("st_us"), max(col("us")).as("en_us"))
+    val inst = sess.select(col("st_us").as("us"), lit(1L).as("ds"), lit(0L).as("de"))
+      .unionByName(sess.select(col("en_us").as("us"), lit(0L).as("ds"), lit(1L).as("de")))
+      .groupBy("us")
+      .agg(sum(col("ds")).as("n_starts"), sum(col("de")).as("n_ends"))
+      .withColumn("net", col("n_starts") - col("n_ends"))
+    val cum = graft.functions.Ranks.globalPrefixSum(inst, "net", col("us").asc)
+    cum.filter(col("n_starts") > 0)
+      .select(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"),
+        (col("cum_before") + col("n_starts")).as("peak"),
+        col("n_starts"))
+      .groupBy("day")
+      .agg(max(col("peak")).as("peak_concurrent"),
+        sum(col("n_starts")).as("n_started"))
+  }
+
+  private val qConcurrencySql =
+    """WITH t AS (
+         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) AS prev_us
+         FROM events),
+       f AS (
+         SELECT user_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+             THEN 1 ELSE 0 END AS new_sess,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+             THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+         FROM t),
+       sess AS (
+         SELECT user_id, session_id, min(us) AS st_us, max(us) AS en_us
+         FROM f GROUP BY 1, 2),
+       b AS (SELECT st_us AS us, 1 AS ds, 0 AS de FROM sess
+             UNION ALL SELECT en_us, 0, 1 FROM sess),
+       inst AS (SELECT us, CAST(sum(ds) AS BIGINT) AS n_starts,
+                  CAST(sum(de) AS BIGINT) AS n_ends
+                FROM b GROUP BY 1),
+       c AS (SELECT us, n_starts,
+               sum(n_starts - n_ends) OVER (ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) - (n_starts - n_ends)
+                 AS cum_before
+             FROM inst)
+       SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+         CAST(max(cum_before + n_starts) AS BIGINT) AS peak_concurrent,
+         CAST(sum(n_starts) AS BIGINT) AS n_started
+       FROM c WHERE n_starts > 0
+       GROUP BY 1"""
+
   /** HITS iteration count (synchronous updates — see [[qHits]]). */
   val HitsIters = 8
 
@@ -1542,7 +1765,10 @@ object Relational extends QueryModule {
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_steps" -> (qFunnelSteps _),
-    "q_session_stats" -> (qSessionStats _))
+    "q_session_stats" -> (qSessionStats _),
+    "q_item_sim" -> (qItemSim _),
+    "q_link_pred" -> (qLinkPred _),
+    "q_concurrency" -> (qConcurrency _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1587,5 +1813,8 @@ object Relational extends QueryModule {
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
     "q_funnel_steps" -> qFunnelStepsSql,
-    "q_session_stats" -> qSessionStatsSql)
+    "q_session_stats" -> qSessionStatsSql,
+    "q_item_sim" -> qItemSimSql,
+    "q_link_pred" -> qLinkPredSql,
+    "q_concurrency" -> qConcurrencySql)
 }

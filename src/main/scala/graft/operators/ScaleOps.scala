@@ -682,6 +682,125 @@ object ScaleOps extends QueryModule {
          CAST(count(*) AS BIGINT) AS n_events
        FROM events GROUP BY event_type"""
 
+  /** KMV sketch size for [[qKmvIntersect]] (relative error ≈ 1/√(k−2)). */
+  val KmvK = 64
+
+  /** q_kmv_intersect: KMV (k-minimum-values / bottom-k theta) sketch set
+    * operations — the distinct-cardinality algebra HLL can't do: HLL
+    * unions losslessly but cannot intersect; a KMV sketch (the k
+    * smallest deterministic 48-bit md5 hashes of each set) supports
+    * union AND intersection estimates from k values per set, the
+    * audience-overlap primitive at 100 TB (users in type A ∩ type B
+    * without touching the raw sets twice). est_union = (k−1)·2⁴⁸/h₍ₖ₎
+    * over the merged bottom-k; est_inter = ρ·est_union with ρ the
+    * fraction of the merged bottom-k present in BOTH sketches (a user in
+    * both sets hashes identically, so h-membership IS user-membership).
+    * When the merged set has fewer than k distinct hashes the sketch
+    * saw everything and both estimates collapse to EXACT counts — the
+    * same CASE in both engines. Exact anchors (distinct users per type,
+    * exact intersection) are recomputed by the oracle; the hash-gated
+    * contract: est_union within 3σ = 3/√(k−2) relative, and every
+    * arithmetic step derives from exact integers identically (md5 →
+    * conv ↔ hex-cast, ONE double division each). Per-type bottom-k runs
+    * as a type-partitioned rank window (type-bounded partitions; the
+    * q_topk O(k) typed Aggregator is the documented swap when a key
+    * space outgrows a partition sort). */
+  def qKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = KmvK
+    val tu = Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").cast("string").as("u"))
+      .distinct()
+      .withColumn("h", conv(substring(md5(concat(lit("u:"), col("u"))), 1, 12),
+        16, 10).cast("long"))
+    val exact = tu.groupBy("t").agg(count(lit(1)).as("n_exact"))
+    val sk = tu
+      .withColumn("r", row_number().over(Window.partitionBy("t")
+        .orderBy(col("h").asc, col("u").asc)))
+      .filter(col("r") <= k)
+      .select(col("t"), col("h"))
+    val pairs = exact.select(col("t").as("ta"), col("n_exact").as("n_a"))
+      .crossJoin(exact.select(col("t").as("tb"), col("n_exact").as("n_b")))
+      .filter(col("ta") < col("tb"))
+    val merged = broadcast(pairs)
+      .join(sk, col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy("ta", "tb", "n_a", "n_b", "h")
+      .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+    val ranked = merged
+      .withColumn("r", row_number().over(Window.partitionBy("ta", "tb")
+        .orderBy(col("h").asc)))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("ta", "tb")))
+      .filter(col("r") <= k)
+    val agg = ranked.groupBy("ta", "tb", "n_a", "n_b", "cnt")
+      .agg(max(when(col("r") === least(lit(k.toLong), col("cnt")), col("h")))
+        .as("kth"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        count(lit(1)).as("k_eff"))
+    val exactInter = tu.select(col("t").as("ta"), col("u"))
+      .join(tu.select(col("t").as("tb"), col("u")), Seq("u"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_inter"))
+    val estUnion = when(col("cnt") < k, col("cnt").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) / col("kth"))
+    val estInter = col("n_both").cast("double") / col("k_eff") * estUnion
+    val exU = col("n_a") + col("n_b") - col("n_inter")
+    agg.join(exactInter, Seq("ta", "tb"), "left_outer")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), exU.as("exact_union"),
+        col("n_inter").as("exact_inter"),
+        round(estUnion, 4).as("est_union"), round(estInter, 4).as("est_inter"),
+        (abs(estUnion - exU) <= lit(3.0) * exU / math.sqrt((k - 2).toDouble))
+          .as("union_ok"))
+  }
+
+  private lazy val qKmvIntersectSql = {
+    val k = KmvK
+    s"""WITH tu AS (SELECT DISTINCT event_type AS t,
+           CAST(user_id AS VARCHAR) AS u FROM events),
+       h AS (SELECT t, u,
+               CAST(('0x' || substr(md5('u:' || u), 1, 12)) AS BIGINT) AS h
+             FROM tu),
+       ex AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exact FROM tu GROUP BY 1),
+       sk AS (SELECT t, h FROM (
+                SELECT t, h, row_number() OVER (PARTITION BY t
+                  ORDER BY h ASC, u ASC) AS r
+                FROM h) WHERE r <= $k),
+       pr AS (SELECT a.t AS ta, a.n_exact AS n_a, b.t AS tb, b.n_exact AS n_b
+              FROM ex a JOIN ex b ON a.t < b.t),
+       mg AS (SELECT pr.ta, pr.tb, pr.n_a, pr.n_b, s.h,
+                max(CASE WHEN s.t = pr.ta THEN 1 ELSE 0 END) AS in_a,
+                max(CASE WHEN s.t = pr.tb THEN 1 ELSE 0 END) AS in_b
+              FROM pr JOIN sk s ON s.t = pr.ta OR s.t = pr.tb
+              GROUP BY 1, 2, 3, 4, 5),
+       rk AS (SELECT ta, tb, n_a, n_b, h, in_a, in_b,
+                row_number() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS r,
+                count(*) OVER (PARTITION BY ta, tb) AS cnt
+              FROM mg),
+       ag AS (SELECT ta, tb, n_a, n_b, any_value(cnt) AS cnt,
+                max(CASE WHEN r = least($k, cnt) THEN h END) AS kth,
+                CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+                CAST(count(*) AS BIGINT) AS k_eff
+              FROM rk WHERE r <= $k GROUP BY 1, 2, 3, 4),
+       ei AS (SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_inter
+              FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+              GROUP BY 1, 2),
+       fin AS (SELECT ag.*, coalesce(ei.n_inter, 0) AS n_inter,
+                 CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+                   ELSE CAST(${k - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / kth END
+                   AS est_u
+               FROM ag LEFT JOIN ei ON ei.ta = ag.ta AND ei.tb = ag.tb)
+       SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+         n_a + n_b - n_inter AS exact_union, n_inter AS exact_inter,
+         round(est_u, 4) AS est_union,
+         round(CAST(n_both AS DOUBLE) / k_eff * est_u, 4) AS est_inter,
+         abs(est_u - (n_a + n_b - n_inter))
+           <= 3.0 * (n_a + n_b - n_inter) / ${math.sqrt((k - 2).toDouble)}
+           AS union_ok
+       FROM fin"""
+  }
+
   /** q_oracle_canary: engine-seam canary (r16 task 3). Every cross-engine
     * idiom the oracle suite leans on, concentrated in ONE deterministic
     * row over a fixed 1..24 grid (no table dependence), so a DuckDB or
@@ -734,6 +853,7 @@ object ScaleOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_oracle_canary" -> (qOracleCanary _),
+    "q_kmv_intersect" -> (qKmvIntersect _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_join_size_sketch" -> (qJoinSizeSketch _),
     "q_bitmap_distinct" -> (qBitmapDistinct _),
@@ -752,6 +872,7 @@ object ScaleOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_oracle_canary" -> qOracleCanarySql,
+    "q_kmv_intersect" -> qKmvIntersectSql,
     "q_incr_agg" -> qIncrAggSql,
     "q_join_size_sketch" -> qJoinSizeSketchSql,
     "q_bitmap_distinct" -> qBitmapDistinctSql,

@@ -395,6 +395,50 @@ object TextAnalysis extends QueryModule {
     * yields C = (B − p_{i−1})/(k−i+1); total mass under budget → no
     * cap (NULL → everything allocated). One corpus scan; everything
     * after is k-row. */
+  /** q_mixture_weights: training-data mixture rebalancing per source —
+    * the companion decision to q_token_budget's water-filling cap: given
+    * the corpus' ACTUAL per-source token mass, the sampling rate each
+    * source needs so one pass over the sampled corpus hits a UNIFORM
+    * source mixture (the default target when no downstream signal says
+    * otherwise; DoReMi-style learned weights would replace only the
+    * target vector). weight_s ∝ target/actual collapses to
+    * rate_s = min_tokens/tokens_s — the largest rate is exactly 1 (the
+    * scarcest source is never oversampled, everything else subsamples
+    * down to it), so every output derives from two exact integers per
+    * row: share = m/total, rate = min_m/m, effective = floor(m·rate) =
+    * min_m as a self-check. One source-sized aggregate — dimension-
+    * bounded everywhere. */
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = TextPrep.rawDocs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("rtoks"))).cast("long").as("m"))
+    val tot = perSrc.agg(sum(col("m")).cast("long").as("tm"),
+      min(col("m")).as("mn"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("m").as("n_tokens"),
+        round(col("m").cast("double") / col("tm"), 6).as("share"),
+        round(col("mn").cast("double") / col("m"), 6).as("sampling_rate"),
+        floor(col("m").cast("double") *
+          (col("mn").cast("double") / col("m"))).cast("long")
+          .as("effective_tokens"))
+  }
+
+  private lazy val qMixtureWeightsSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH perSrc AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len($toks)) AS BIGINT) AS m
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(m) AS BIGINT) AS tm,
+                 CAST(min(m) AS BIGINT) AS mn FROM perSrc)
+       SELECT source, n_docs, m AS n_tokens,
+         round(CAST(m AS DOUBLE) / tm, 6) AS share,
+         round(CAST(mn AS DOUBLE) / m, 6) AS sampling_rate,
+         CAST(floor(CAST(m AS DOUBLE) * (CAST(mn AS DOUBLE) / m)) AS BIGINT)
+           AS effective_tokens
+       FROM perSrc CROSS JOIN tot"""
+  }
+
   def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perSrc = TextPrep.rawDocs(s, dir).groupBy("source")
@@ -1750,6 +1794,7 @@ object TextAnalysis extends QueryModule {
     "q_yule_k" -> (qYuleK _),
     "q_burrows" -> (qBurrows _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_mixture_weights" -> (qMixtureWeights _),
     "q_cohens_h" -> (qCohensH _),
     "q_chao1" -> (qChao1 _),
     "q_sampler_audit" -> (qSamplerAudit _),
@@ -1789,6 +1834,7 @@ object TextAnalysis extends QueryModule {
     "q_yule_k" -> qYuleKSql,
     "q_burrows" -> qBurrowsSql,
     "q_token_budget" -> qTokenBudgetSql,
+    "q_mixture_weights" -> qMixtureWeightsSql,
     "q_cohens_h" -> qCohensHSql,
     "q_chao1" -> qChao1Sql,
     "q_sampler_audit" -> qSamplerAuditSql,

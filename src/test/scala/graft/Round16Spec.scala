@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Relational, ScaleOps}
+import graft.operators.{Relational, RobustStats, ScaleOps, Stats, TextAnalysis}
+import java.sql.Timestamp
 
 /** Round-16 pins — the r15-verdict adjudication + ADVICE seams:
   *  - q_oracle_canary's row is a hand-verifiable constant: every
@@ -56,5 +57,203 @@ class Round16Spec extends SparkSpec {
     val r = df.collect()(0)
     assert(r.getAs[Boolean]("overestimates") && r.getAs[Boolean]("within_bound"))
     assert(r.getAs[Long]("est_size") >= r.getAs[Long]("exact_size"))
+  }
+
+  // ------------------------------------------------ r16 operator fixtures
+
+  test("cvmPairs: hand-computed T on a 2x2 fixture; identical " +
+    "distributions score exactly 0") {
+    import spark.implicits._
+    // a={1,2}, b={3,4}: per distinct value (d, gap=c1*nb-c2*na):
+    // 1:(1,2) 2:(1,4) 3:(1,2) 4:(1,0) -> S = 4+16+4+0 = 24,
+    // T = 24/(n_a*n_b*N^2) = 24/64 = 0.375
+    val g1 = RobustStats.cvmPairs(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "x"))
+      .collect()(0)
+    assert(g1.getAs[Double]("t") == 0.375 && !g1.getAs[Boolean]("significant"))
+    val g2 = RobustStats.cvmPairs(
+      Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "x"))
+      .collect()(0)
+    assert(g2.getAs[Double]("t") == 0.0)
+  }
+
+  test("ansariPairs: extremes-vs-middle fixture matches the hand z " +
+    "(scores 1,2,2,1; AB=2, E=3, Var=1/3)") {
+    import spark.implicits._
+    val r = RobustStats.ansariPairs(
+      Seq(("a", 10L), ("a", 40L), ("b", 20L), ("b", 30L)).toDF("g", "x"))
+      .collect()(0)
+    assert(r.getAs[Double]("ab") == 2.0)
+    assert(math.abs(r.getAs[Double]("z") - (-1.0 / math.sqrt(1.0 / 3))) < 1e-6)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String, Double)])
+      : String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16").toString
+    rows.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def day(d: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-$d%02d 08:$m%02d:00")
+
+  test("q_pettitt: level shift at day 3 is found with the hand K and " +
+    "approximate p (U_N = 0 rank identity built in)") {
+    // daily totals 1,2,3 then 10,11,12 -> ranks 1..6,
+    // U_t = 2*S_t - t*7 = [-5,-8,-9,-8,-5,0] -> K=9 at day 3
+    val dir = writeEvents((1 to 6).map(d =>
+      (d.toLong, day(d), d.toLong, "m",
+        if (d <= 3) d.toDouble else d + 7.0)))
+    val r = Stats.qPettitt(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k_stat") == 9L)
+    assert(r.getAs[String]("cp_day") == "2024-01-03")
+    val pExp = 2.0 * math.exp(-6.0 * 81 / (216.0 + 36.0))
+    assert(math.abs(r.getAs[Double]("p_approx") - pExp) < 1e-4)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("q_granger: a count series that leads another is flagged in the " +
+    "leading direction (independent scalar recomputation)") {
+    // type a daily counts [1,2,3,4,5]; type b [1,1,2,3,4]: b_t tracks
+    // a_{t-1} (plus a flat start) -> a->b partial corr ~ 1, b->a weaker
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, String, Double)]
+    var id = 0L
+    for (d <- 1 to 5; _ <- 1 to d) { id += 1; rows += ((id, day(d, (id % 50).toInt), id, "a", 1.0)) }
+    for ((d, c) <- Seq((1, 1), (2, 1), (3, 2), (4, 3), (5, 4)); _ <- 1 to c) {
+      id += 1; rows += ((id, day(d, (id % 50).toInt), id, "b", 1.0))
+    }
+    val got = Stats.qGranger(spark, writeEvents(rows.toSeq))
+      .collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.get(r.fieldIndex("f_stat"))).map(_.toString.toDouble)))
+      .toSeq
+    // independent recomputation of the a->b F from the raw series
+    def corr(u: Seq[Double], v: Seq[Double]): Double = {
+      val n = u.size
+      val (su, sv) = (u.sum, v.sum)
+      val num = n * u.zip(v).map { case (x, y) => x * y }.sum - su * sv
+      num / math.sqrt((n * u.map(x => x * x).sum - su * su) *
+        (n * v.map(x => x * x).sum - sv * sv))
+    }
+    val y = Seq(1.0, 2.0, 3.0, 4.0)   // b at t=2..5
+    val y1 = Seq(1.0, 1.0, 2.0, 3.0)  // b at t-1
+    val x1 = Seq(1.0, 2.0, 3.0, 4.0)  // a at t-1
+    val (ryx, ryy1, rxy1) = (corr(y, x1), corr(y, y1), corr(x1, y1))
+    val rp = (ryx - ryy1 * rxy1) /
+      math.sqrt((1 - ryy1 * ryy1) * (1 - rxy1 * rxy1))
+    val fExp = rp * rp * (4 - 3) / (1 - rp * rp)
+    val ab = got.find(t => t._1 == "a" && t._2 == "b").get._3
+    if (fExp.isInfinite || fExp.isNaN) assert(ab.isEmpty)
+    else assert(math.abs(ab.get - fExp) < 1e-4, s"got $ab expected $fExp")
+  }
+
+  test("q_mde: p=1/3 over 3 users matches the closed form") {
+    val dir = writeEvents(Seq(
+      (1L, day(1), 100L, "t", 1.0), (2L, day(1, 10), 100L, "t", 1.0),
+      (3L, day(1, 20), 200L, "t", 1.0), (4L, day(1, 30), 300L, "t", 1.0)))
+    val r = Stats.qMde(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_users") == 3L && r.getAs[Long]("n_conv") == 1L)
+    val p = 1.0 / 3
+    val mde = Stats.MdeZ * math.sqrt(2 * p * (1 - p) / 1.5)
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / p) < 1e-6)
+  }
+
+  test("q_concurrency: overlapping sessions peak at 2, the touching " +
+    "instant counting start-before-end") {
+    val dir = writeEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "e", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 01:10:00"), 1L, "e", 0.0),
+      (3L, Timestamp.valueOf("2024-01-01 01:05:00"), 2L, "e", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 03:00:00"), 3L, "e", 0.0)))
+    val r = Relational.qConcurrency(spark, dir).collect()(0)
+    assert(r.getAs[String]("day") == "2024-01-01")
+    assert(r.getAs[Long]("peak_concurrent") == 2L)
+    assert(r.getAs[Long]("n_started") == 3L)
+  }
+
+  test("q_kmv_intersect collapses to EXACT counts when the sets are " +
+    "smaller than k (the bottom-k saw everything)") {
+    val dir = writeEvents(Seq(
+      (1L, day(1), 1L, "A", 0.0), (2L, day(1, 1), 2L, "A", 0.0),
+      (3L, day(1, 2), 3L, "A", 0.0),
+      (4L, day(1, 3), 2L, "B", 0.0), (5L, day(1, 4), 3L, "B", 0.0),
+      (6L, day(1, 5), 4L, "B", 0.0)))
+    val r = ScaleOps.qKmvIntersect(spark, dir).collect()(0)
+    assert(r.getAs[Long]("exact_union") == 4L)
+    assert(r.getAs[Long]("exact_inter") == 2L)
+    assert(r.getAs[Double]("est_union") == 4.0)
+    assert(r.getAs[Double]("est_inter") == 2.0)
+    assert(r.getAs[Boolean]("union_ok"))
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16d").toString
+    rows.map { case (id, src, text) =>
+      (id, src, text, "en", text.length.toLong) }
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_mixture_weights: uniform target -> the scarcest source keeps " +
+    "rate 1, larger sources subsample to its token mass") {
+    val dir = writeDocs(Seq(
+      (1L, "s1", "one two three four five six seven eight nine ten"),
+      (2L, "s2", "a b c d e f g h i j k l m n o p q r s t")))
+    val got = TextAnalysis.qMixtureWeights(spark, dir)
+      .orderBy("source").collect()
+    assert(got(0).getAs[Long]("n_tokens") == 10L)
+    assert(got(1).getAs[Long]("n_tokens") == 20L)
+    assert(got(0).getAs[Double]("sampling_rate") == 1.0)
+    assert(got(1).getAs[Double]("sampling_rate") == 0.5)
+    assert(got(0).getAs[Double]("share") == 0.333333)
+    assert(got(0).getAs[Long]("effective_tokens") == 10L)
+    assert(got(1).getAs[Long]("effective_tokens") == 10L)
+  }
+
+  private def writeLineitem(baskets: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16l").toString
+    baskets.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q_item_sim: cosine normalizes away the popular-item bias and " +
+    "top-k ranks deterministically") {
+    // baskets: p1 with p2 twice, p1 with p3 twice -> deg p1=4, p2=p3=2,
+    // cosine(p1,p2) = cosine(p1,p3) = 2/sqrt(8)
+    val dir = writeLineitem(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 1L), (4L, 3L)))
+    val got = Relational.qItemSim(spark, dir)
+      .orderBy("part_a", "rank").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    val c = math.round(2.0 / math.sqrt(8.0) * 1e6) / 1e6
+    assert(got.toSeq == Seq((1L, 2L, c, 1), (1L, 3L, c, 2),
+      (2L, 1L, c, 1), (3L, 1L, c, 1)))
+  }
+
+  test("q_link_pred: two shared neighbors, no direct edge -> jaccard 1, " +
+    "adamic-adar 2/ln(2); direct edges are excluded") {
+    // edges (each co-ordered twice): 102-201, 103-201, 102-202, 103-202
+    val dir = writeLineitem(Seq(
+      (1L, 102L), (1L, 201L), (2L, 102L), (2L, 201L),
+      (3L, 103L), (3L, 201L), (4L, 103L), (4L, 201L),
+      (5L, 102L), (5L, 202L), (6L, 102L), (6L, 202L),
+      (7L, 103L), (7L, 202L), (8L, 103L), (8L, 202L)))
+    val got = Relational.qLinkPred(spark, dir).orderBy("part_a").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("cn"), r.getAs[Double]("jaccard"),
+        r.getAs[Double]("adamic_adar")))
+    val aa = math.round(2.0 / math.log(2.0) * 1e6) / 1e6
+    assert(got.toSeq == Seq((102L, 103L, 2L, 1.0, aa),
+      (201L, 202L, 2L, 1.0, aa)))
   }
 }
