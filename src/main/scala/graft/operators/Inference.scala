@@ -201,6 +201,85 @@ object Inference extends QueryModule {
     * bounded pair list (slope order, (ti, tj) tie-break), and the OLS
     * slope stays cross-multiplied integer×DECIMAL until its single
     * division. */
+  /** q_mann_kendall: Mann–Kendall trend test per event type — the
+    * SIGNIFICANCE companion to q_theil_sen (Theil–Sen answers "what
+    * slope", Mann–Kendall answers "is there a monotone trend at all",
+    * and the two are the standard pairing: MK's S statistic is exactly
+    * the sign-count the Theil–Sen median slope is robust over).
+    * S = Σ_{i<j} sgn(x_j − x_i) over the day-indexed series (an exact
+    * integer from the same bounded ≤30·29/2 pair join as theil_sen),
+    * tie-corrected variance Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18
+    * from exact integer tie-group counts, continuity-corrected
+    * z = (S∓1)/√Var. Everything is calendar-bounded after one fact
+    * aggregate; a constant series (Var = 0) yields NULL z via nullif in
+    * both engines. */
+  def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+    val a = daily.select(col("event_type"), col("t").as("ti"), col("tot").as("yi"))
+    val b = daily.select(col("event_type"), col("t").as("tj"), col("tot").as("yj"))
+    val sSum = a.join(b, Seq("event_type")).filter(col("ti") < col("tj"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("yj") - col("yi")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("event_type", "tot")
+      .agg(count(lit(1)).as("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct"), sum(col("d")).as("n_days"),
+        sum(col("d") * (col("d") - 1) * (lit(2L) * col("d") + 5)).as("tie_corr"))
+    val varS = (col("n_days") * (col("n_days") - 1) *
+      (lit(2L) * col("n_days") + 5) - col("tie_corr")).cast("double") / 18
+    val sigma = sqrt(nullif(varS, lit(0.0)))
+    val z = when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sigma)
+      .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sigma)
+      .otherwise(lit(0.0) / sigma)
+    sSum.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        round(varS, 6).as("var_s"), round(z, 6).as("z"),
+        (abs(z) > 1.959964).as("significant"))
+  }
+
+  private lazy val qMannKendallSql =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, tot,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         FROM daily),
+       s AS (
+         SELECT a.event_type,
+           CAST(sum(CAST(sign(b.tot - a.tot) AS BIGINT)) AS BIGINT) AS s_stat
+         FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.t < b.t
+         GROUP BY 1),
+       tie AS (
+         SELECT event_type, CAST(sum(d) AS BIGINT) AS n_days,
+           CAST(sum(d * (d - 1) * (2 * d + 5)) AS BIGINT) AS tie_corr
+         FROM (SELECT event_type, tot, CAST(count(*) AS BIGINT) AS d
+               FROM daily GROUP BY 1, 2)
+         GROUP BY 1),
+       v AS (
+         SELECT s.event_type, tie.n_days, s.s_stat,
+           CAST(tie.n_days * (tie.n_days - 1) * (2 * tie.n_days + 5)
+             - tie.tie_corr AS DOUBLE) / 18 AS var_s
+         FROM s JOIN tie ON tie.event_type = s.event_type),
+       zz AS (
+         SELECT event_type, n_days, s_stat, var_s,
+           CASE WHEN s_stat > 0
+               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(nullif(var_s, 0.0))
+             WHEN s_stat < 0
+               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(nullif(var_s, 0.0))
+             ELSE 0.0 / sqrt(nullif(var_s, 0.0)) END AS z
+         FROM v)
+       SELECT event_type, n_days, s_stat, round(var_s, 6) AS var_s,
+         round(z, 6) AS z, abs(z) > 1.959964 AS significant
+       FROM zz"""
+
   def qTheilSen(s: SparkSession, dir: String): DataFrame =
     theilSenOf(Tables.events(s, dir)
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
@@ -779,6 +858,7 @@ object Inference extends QueryModule {
     "q_cliffs_delta" -> (qCliffsDelta _),
     "q_cohens_d" -> (qCohensD _),
     "q_theil_sen" -> (qTheilSen _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_page_hinkley" -> (qPageHinkley _))
 
@@ -791,6 +871,7 @@ object Inference extends QueryModule {
     "q_cliffs_delta" -> qCliffsDeltaSql,
     "q_cohens_d" -> qCohensDSql,
     "q_theil_sen" -> qTheilSenSql,
+    "q_mann_kendall" -> qMannKendallSql,
     "q_bh_fdr" -> qBhFdrSql,
     "q_page_hinkley" -> qPageHinkleySql)
 }

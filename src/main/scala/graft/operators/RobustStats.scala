@@ -654,37 +654,52 @@ object RobustStats extends QueryModule {
     * rounded IEEE value on both sides. */
   def qMad(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
     def k(n: Long) = (n * 50 + 99) / 100
+    // Sort domain = LONG CENTS, not Decimal (r16 task-5 profile): prices
+    // are exact 2-decimal values, so ×100 is a lossless bijection and
+    // both range shuffles compare/transfer 8-byte longs instead of
+    // 16-byte Decimals — the picks land on the identical order
+    // statistics, rebuilt as BigDecimal(cents, scale 2) on the way out,
+    // so the gated round(double, 6) output path is bit-identical to the
+    // Decimal-domain form (solo min 2.9 s → ~2.3 s at sf0.1).
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("flag"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (counts, medPicks) = graft.functions.Ranks.groupedValueAtRanks(
-        base, "flag", "price", n => Seq(k(n)))
-      val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
+        base, "flag", "cents", n => Seq(k(n)))
+      val meds = medPicks.map { case (g, _, v) =>
+        g -> v.asInstanceOf[Long] }.toMap
       val groups = counts.keySet.toSeq.sortBy(_.toString)
       val medRows = groups.map(g => Row(g, meds(g)))
       val medDf = s.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(medRows).asJava),
         StructType(Seq(base.schema("flag"),
-          StructField("med", base.schema("price").dataType))))
+          StructField("med_cents", LongType, nullable = false))))
+      // NO persist on devs (r16 task-5 profile): groupedValueAtRanks'
+      // range shuffle materializes the deviation relation into shuffle
+      // files that BOTH its jobs reuse (map stage skipped), so a persist
+      // here only added one redundant full materialization job — the
+      // same finding as q_hits' dropped intermediate checkpoints. The
+      // one persisted base (r10 gate hardening) still feeds every pass.
       val devs = base.join(broadcast(medDf), Seq("flag"))
-        .select(col("flag"), abs(col("price") - col("med")).as("dev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("flag"), abs(col("cents") - col("med_cents")).as("dev"))
       val (_, madPicks) = graft.functions.Ranks.groupedValueAtRanks(
         devs, "flag", "dev", n => Seq(k(n)))
-      devs.unpersist()
-      val mads = madPicks.map { case (g, _, v) => g -> v }.toMap
-      val outRows = groups.map(g => Row(g, counts(g), meds(g), mads(g)))
-      val devType = devs.schema("dev").dataType
+      val mads = madPicks.map { case (g, _, v) =>
+        g -> v.asInstanceOf[Long] }.toMap
+      def dec2(c: Long) =
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(c), 2)
+      val outRows = groups.map(g => Row(g, counts(g), dec2(meds(g)), dec2(mads(g))))
       s.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
         StructType(Seq(base.schema("flag"),
           StructField("n", LongType, nullable = false),
-          StructField("med0", base.schema("price").dataType),
-          StructField("mad0", devType))))
+          StructField("med0", DecimalType(12, 2)),
+          StructField("mad0", DecimalType(12, 2)))))
         .select(col("flag"), col("n"),
           round(col("med0").cast("double"), 6).as("med"),
           round(col("mad0").cast("double"), 6).as("mad"))

@@ -1507,6 +1507,76 @@ object Stats extends QueryModule {
     * mid-range and discriminates. */
   val TwoPropValueCut = 95.0
 
+  /** TOST equivalence margin (absolute proportion points) and the
+    * one-sided z at α=0.05 (z₀.₉₅). */
+  val TostMargin = 0.05
+  val TostZ = 1.644854
+
+  /** q_tost: two-one-sided-tests EQUIVALENCE check over the q_two_prop
+    * A/B arms — the test q_two_prop can't express: failing to reject
+    * "different" is NOT evidence of "same"; a no-harm launch gate needs
+    * the TOST form (Schuirmann), which rejects non-equivalence only when
+    * BOTH one-sided tests clear the ±[[TostMargin]] margin:
+    * z_lower = (p̂_a−p̂_b+δ)/se > z₀.₉₅ AND z_upper = (p̂_a−p̂_b−δ)/se
+    * < −z₀.₉₅, with the standard unpooled se. Same deterministic
+    * md5-hash arm assignment and exact integer (n, k) inputs as
+    * q_two_prop; a degenerate se (both arms all-success or all-failure)
+    * yields NULL via nullif in both engines. */
+  def qTost(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" &&
+        col("value") > TwoPropValueCut).cast("int")).as("success"))
+      .select(col("user_id"), col("success"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val arms = perUser.groupBy("treat")
+      .agg(count(lit(1)).as("n"), sum(col("success")).as("k"))
+    val wide = arms.filter(col("treat")).select(col("n").as("n_a"), col("k").as("k_a"))
+      .crossJoin(arms.filter(!col("treat")).select(col("n").as("n_b"), col("k").as("k_b")))
+    val pa = col("k_a").cast("double") / col("n_a")
+    val pb = col("k_b").cast("double") / col("n_b")
+    val se = sqrt(nullif(pa * (lit(1.0) - pa) / col("n_a") +
+      pb * (lit(1.0) - pb) / col("n_b"), lit(0.0)))
+    val zLo = (pa - pb + TostMargin) / se
+    val zHi = (pa - pb - TostMargin) / se
+    wide.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pa - pb, 6).as("diff"),
+      round(zLo, 6).as("z_lower"), round(zHi, 6).as("z_upper"),
+      (zLo > TostZ && zHi < -TostZ).as("equivalent"))
+  }
+
+  private lazy val qTostSql =
+    s"""WITH pu AS (
+         SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+             THEN 1 ELSE 0 END) AS success,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT)
+             < 8 AS treat
+         FROM events GROUP BY user_id),
+       arms AS (SELECT treat, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(success) AS BIGINT) AS k
+                FROM pu GROUP BY 1),
+       w AS (SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+             FROM (SELECT n, k FROM arms WHERE treat) a
+             CROSS JOIN (SELECT n, k FROM arms WHERE NOT treat) b),
+       z AS (SELECT n_a, k_a, n_b, k_b,
+               CAST(k_a AS DOUBLE) / n_a AS pa,
+               CAST(k_b AS DOUBLE) / n_b AS pb,
+               sqrt(nullif((CAST(k_a AS DOUBLE) / n_a)
+                   * (1.0 - CAST(k_a AS DOUBLE) / n_a) / n_a
+                 + (CAST(k_b AS DOUBLE) / n_b)
+                   * (1.0 - CAST(k_b AS DOUBLE) / n_b) / n_b, 0.0)) AS se
+             FROM w)
+       SELECT n_a, k_a, n_b, k_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         round(pa - pb, 6) AS diff,
+         round((pa - pb + $TostMargin) / se, 6) AS z_lower,
+         round((pa - pb - $TostMargin) / se, 6) AS z_upper,
+         (pa - pb + $TostMargin) / se > $TostZ
+           AND (pa - pb - $TostMargin) / se < -$TostZ AS equivalent
+       FROM z"""
+
   def qTwoProp(s: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(s, dir)
       .groupBy("user_id")
@@ -3828,6 +3898,7 @@ object Stats extends QueryModule {
     "q_ab_test" -> (qAbTest _),
     "q_cuped" -> (qCuped _),
     "q_two_prop" -> (qTwoProp _),
+    "q_tost" -> (qTost _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -3886,6 +3957,7 @@ object Stats extends QueryModule {
     "q_ab_test" -> qAbTestSql,
     "q_cuped" -> qCupedSql,
     "q_two_prop" -> qTwoPropSql,
+    "q_tost" -> qTostSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

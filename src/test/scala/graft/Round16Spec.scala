@@ -256,4 +256,55 @@ class Round16Spec extends SparkSpec {
     assert(got.toSeq == Seq((102L, 103L, 2L, 1.0, aa),
       (201L, 202L, 2L, 1.0, aa)))
   }
+
+  test("q_mann_kendall: strictly rising series scores S = C(n,2) with " +
+    "the hand variance; a constant series goes NULL") {
+    // rising: S=10, no ties -> Var = 5*4*15/18, z = 9/sqrt(Var)
+    val dir = writeEvents((1 to 5).map(d =>
+      (d.toLong, day(d), d.toLong, "up", d.toDouble)) ++
+      (1 to 5).map(d => (10L + d, day(d), d.toLong, "flat", 7.0)))
+    val got = graft.operators.Inference.qMannKendall(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getAs[Long]("s_stat") == 10L)
+    assert(up.getAs[Double]("var_s") == math.floor(300.0 / 18 * 1e6 + 0.5) / 1e6)
+    assert(math.abs(up.getAs[Double]("z") - 9.0 / math.sqrt(300.0 / 18)) < 1e-6)
+    assert(up.getAs[Boolean]("significant"))
+    val flat = got("flat")
+    assert(flat.getAs[Long]("s_stat") == 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z")), "constant series must be NULL")
+  }
+
+  test("q_tost: arm counts recomputed independently from the md5 " +
+    "assignment reproduce the z pair") {
+    // users 1..40, user u converts iff u % 4 == 0
+    val rows = (1 to 40).flatMap { u =>
+      val conv = u % 4 == 0
+      Seq((u.toLong * 10, day(1, u % 50), u.toLong, "purchase",
+        if (conv) 100.0 else 10.0))
+    }
+    val dir = writeEvents(rows)
+    val r = Stats.qTost(spark, dir).collect()(0)
+    // independent recomputation: same md5-first-hex-digit assignment
+    def treat(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) < 8
+    }
+    val users = (1 to 40).map(_.toLong)
+    val (ua, ub) = users.partition(treat)
+    val (ka, kb) = (ua.count(_ % 4 == 0).toLong, ub.count(_ % 4 == 0).toLong)
+    assert(r.getAs[Long]("n_a") == ua.size.toLong &&
+      r.getAs[Long]("k_a") == ka)
+    assert(r.getAs[Long]("n_b") == ub.size.toLong &&
+      r.getAs[Long]("k_b") == kb)
+    val (pa, pb) = (ka.toDouble / ua.size, kb.toDouble / ub.size)
+    val se = math.sqrt(pa * (1 - pa) / ua.size + pb * (1 - pb) / ub.size)
+    assert(math.abs(r.getAs[Double]("z_lower") -
+      (pa - pb + Stats.TostMargin) / se) < 1e-5)
+    assert(r.getAs[Boolean]("equivalent") ==
+      ((pa - pb + Stats.TostMargin) / se > Stats.TostZ &&
+        (pa - pb - Stats.TostMargin) / se < -Stats.TostZ))
+  }
 }
