@@ -405,6 +405,64 @@ object Inference extends QueryModule {
         (col("adj_p") <= FdrQ).as("rejected"))
   }
 
+  /** q_by_fdr: Benjamini–Yekutieli FDR control over the same
+    * Mann–Whitney p-value matrix as q_bh_fdr — the variant that stays
+    * valid under ARBITRARY dependence between the tests, which the drift
+    * matrix has by construction (every pair shares its two languages
+    * with other pairs): adj_p = min-step of p·m·c(m)/rank with
+    * c(m) = Σ_{i≤m} 1/i. The harmonic factor is the one fp-sensitive
+    * addition, folded in ascending-i order through the repo-wide
+    * ordered-fold idiom so both engines run identical IEEE additions;
+    * everything else is the q_bh_fdr machinery verbatim. BY rejects a
+    * subset of BH's rejections by design (c(m) ≥ 1) — the conservative
+    * gate an auto-alerting monitor should use. */
+  def qByFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mw = RobustStats.mannWhitneyPairs(Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x")))
+    val withP = mw.select(col("g_a"), col("g_b"), col("z"),
+      pFromZ(col("z")).as("p"))
+    val m = withP.agg(count(lit(1)).as("m"))
+      .withColumn("cm", aggregate(
+        transform(sequence(lit(1L), col("m")),
+          i => lit(1.0) / i.cast("double")),
+        lit(0.0), (a, x) => a + x))
+    val wRank = Window.orderBy(col("p").asc, col("g_a").asc, col("g_b").asc)
+    val wRevMin = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("adj_p",
+        least(lit(1.0),
+          min(col("p") * col("m") * col("cm") / col("rank")).over(wRevMin)))
+      .select(col("g_a"), col("g_b"), col("z"), col("p"), col("rank"),
+        round(col("cm"), 6).as("c_m"),
+        round(col("adj_p"), 6).as("adj_p"),
+        (col("adj_p") <= FdrQ).as("rejected"))
+  }
+
+  private lazy val qByFdrSql =
+    s"""WITH mw AS (SELECT g_a, g_b, z FROM (${RobustStats.qMannwhitneySql}) x),
+       pt AS (SELECT g_a, g_b, z,
+                1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS tt
+              FROM mw),
+       pv AS (SELECT g_a, g_b, z, ${pFromZSqlOf("z")} AS p FROM pt),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                (SELECT list_sum(list(CAST(1 AS DOUBLE) / i ORDER BY i))
+                 FROM (SELECT unnest(range(1, (SELECT count(*) FROM pv) + 1)) AS i))
+                  AS cm
+              FROM pv),
+       rk AS (SELECT g_a, g_b, z, p, m, cm,
+                row_number() OVER (ORDER BY p ASC, g_a ASC, g_b ASC) AS rank
+              FROM pv CROSS JOIN mm),
+       adj AS (SELECT g_a, g_b, z, p, rank, cm,
+                 least(1.0, min(p * m * cm / rank) OVER (ORDER BY rank DESC
+                   ROWS UNBOUNDED PRECEDING)) AS adj_p
+               FROM rk)
+       SELECT g_a, g_b, z, p, rank, round(cm, 6) AS c_m,
+         round(adj_p, 6) AS adj_p, adj_p <= $FdrQ AS rejected
+       FROM adj"""
+
   private lazy val qBhFdrSql =
     s"""WITH mw AS (SELECT g_a, g_b, z FROM (${RobustStats.qMannwhitneySql}) x),
        pt AS (SELECT g_a, g_b, z,
@@ -859,6 +917,7 @@ object Inference extends QueryModule {
     "q_cohens_d" -> (qCohensD _),
     "q_theil_sen" -> (qTheilSen _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_by_fdr" -> (qByFdr _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_page_hinkley" -> (qPageHinkley _))
 
@@ -872,6 +931,7 @@ object Inference extends QueryModule {
     "q_cohens_d" -> qCohensDSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_mann_kendall" -> qMannKendallSql,
+    "q_by_fdr" -> qByFdrSql,
     "q_bh_fdr" -> qBhFdrSql,
     "q_page_hinkley" -> qPageHinkleySql)
 }

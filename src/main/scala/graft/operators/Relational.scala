@@ -758,6 +758,57 @@ object Relational extends QueryModule {
        FROM c WHERE n_starts > 0
        GROUP BY 1"""
 
+  /** ABC class boundaries on cumulative revenue share (the classic
+    * Pareto 80/15/5 split). */
+  val AbcA = 0.80
+  val AbcB = 0.95
+
+  /** q_abc: ABC / Pareto analysis of parts by revenue — the inventory-
+    * classification staple (A-parts: the few that carry 80% of revenue;
+    * C-parts: the long tail): revenue per part in exact DECIMAL cents,
+    * the cumulative share over the revenue-descending order via the
+    * DISTRIBUTED exclusive prefix sum (Ranks.globalPrefixSum — a global
+    * running total over a scaling table must never be a single-partition
+    * window), class thresholds on one double division per row. Ties are
+    * impossible in the order key (part key is unique, the explicit
+    * tiebreak); the output is part-relation-sized, the natural result
+    * granularity. */
+  def qAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part_key"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    val cum = graft.functions.Ranks.globalPrefixSum(rev, "cents",
+      col("cents").desc, col("part_key").asc)
+    val share = (col("cum_before") + col("cents")).cast("double") / col("tot")
+    cum.crossJoin(broadcast(tot))
+      .select(col("part_key"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        round(share, 6).as("cum_share"),
+        when(share <= AbcA, "A").when(share <= AbcB, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  private val qAbcSql =
+    s"""WITH rev AS (
+         SELECT l_partkey AS part_key,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem GROUP BY 1),
+       tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+       cum AS (
+         SELECT part_key, cents,
+           sum(cents) OVER (ORDER BY cents DESC, part_key ASC
+             ROWS UNBOUNDED PRECEDING) AS c
+         FROM rev)
+       SELECT part_key, CAST(cents AS DOUBLE) / 100 AS revenue,
+         round(CAST(c AS DOUBLE) / tot, 6) AS cum_share,
+         CASE WHEN CAST(c AS DOUBLE) / tot <= $AbcA THEN 'A'
+              WHEN CAST(c AS DOUBLE) / tot <= $AbcB THEN 'B'
+              ELSE 'C' END AS abc_class
+       FROM cum CROSS JOIN tot"""
+
   /** HITS iteration count (synchronous updates — see [[qHits]]). */
   val HitsIters = 8
 
@@ -1766,7 +1817,8 @@ object Relational extends QueryModule {
     "q_session_stats" -> (qSessionStats _),
     "q_item_sim" -> (qItemSim _),
     "q_link_pred" -> (qLinkPred _),
-    "q_concurrency" -> (qConcurrency _))
+    "q_concurrency" -> (qConcurrency _),
+    "q_abc" -> (qAbc _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1814,5 +1866,6 @@ object Relational extends QueryModule {
     "q_session_stats" -> qSessionStatsSql,
     "q_item_sim" -> qItemSimSql,
     "q_link_pred" -> qLinkPredSql,
-    "q_concurrency" -> qConcurrencySql)
+    "q_concurrency" -> qConcurrencySql,
+    "q_abc" -> qAbcSql)
 }

@@ -3197,6 +3197,90 @@ object Stats extends QueryModule {
     * (event types draw the same value distribution, so within-day
     * orderings are exchangeable — Q ≈ 4.3 vs crit 9.49); the spec
     * proves Q trips on a consistently-ordered fixture. */
+  /** F(k−1, (n−1)(k−1)) α=0.05 critical pin for [[qQuade]]'s fixed
+    * 30-day × 5-type calendar (df ≈ (4, 116) ⇒ 2.45). */
+  val QuadeCrit005 = 2.45
+
+  /** q_quade: Quade's weighted blocked-rank test — the Friedman-family
+    * member that WEIGHTS blocks by how much signal they carry (the
+    * within-block range): high-spread days dominate the verdict,
+    * flat days contribute ~nothing, which is exactly right for traffic
+    * data where most days are quiet. Reuses the Friedman/Page midrank
+    * substrate (complete blocks, tie-averaged ranks); block weights are
+    * midranks of the block RANGE across blocks. Everything is carried
+    * in scaled-integer form — r2 = 2·rank, q2 = 2·blockrank, so
+    * S4_ij = q2·(r2−(k+1)) is an exact integer — and the statistic
+    * F = (n−1)·ΣS4_j² / (n·ΣS4_ij² − ΣS4_j²) cancels the scaling
+    * entirely: ONE final double division, NULL on perfect agreement
+    * (denominator 0) via nullif in both engines. */
+  def qQuade(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("b"),
+        col("event_type").as("g"),
+        col("value").cast("decimal(18,6)").as("x"))
+      .groupBy("b", "g").agg(sum(col("x")).as("y"))
+    val (ranked, k) = blockRanked(vals)
+    val rng = vals
+      .withColumn("kb", count(lit(1)).over(Window.partitionBy("b")))
+      .filter(col("kb") === k)
+      .groupBy("b").agg((max(col("y")) - min(col("y"))).as("range"))
+      .withColumn("q2", lit(2L) * rank().over(Window.orderBy(col("range"))) +
+        count(lit(1)).over(Window.partitionBy("range")) - 1L)
+      .select(col("b"), col("q2"))
+    val s4 = ranked.join(rng, Seq("b"))
+      .select(col("b"), col("g"),
+        (col("q2") * ((col("ar") * 2).cast("long") - (k + 1))).as("s4"))
+    val a16 = s4.agg(
+      sum(col("s4").cast("decimal(38,0)") * col("s4")).as("a16"),
+      (count(lit(1)) / k).cast("long").as("n_blocks"))
+    val b16 = s4.groupBy("g")
+      .agg(sum(col("s4")).as("sj4"))
+      .agg(sum(col("sj4").cast("decimal(38,0)") * col("sj4")).as("b16"))
+    val num = (col("n_blocks") - 1).cast("decimal(38,0)") * col("b16")
+    val den = col("n_blocks").cast("decimal(38,0)") * col("a16") - col("b16")
+    val f = num.cast("double") / nullif(den.cast("double"), lit(0.0))
+    a16.crossJoin(b16)
+      .select(lit(k).as("k_groups"), col("n_blocks"),
+        round(f, 6).as("f_stat"), (f > QuadeCrit005).as("significant"))
+  }
+
+  private lazy val qQuadeSql =
+    s"""WITH vals AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS b, event_type AS g,
+           sum(CAST(value AS DECIMAL(18,6))) AS y
+         FROM events GROUP BY 1, 2),
+       kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM vals),
+       complete AS (
+         SELECT b, g, y FROM (
+           SELECT b, g, y, count(*) OVER (PARTITION BY b) AS kb FROM vals)
+         CROSS JOIN kk WHERE kb = k),
+       ranked AS (
+         SELECT b, g,
+           2 * rank() OVER (PARTITION BY b ORDER BY y)
+             + count(*) OVER (PARTITION BY b, y) - 1 AS r2
+         FROM complete),
+       rng AS (
+         SELECT b, 2 * rank() OVER (ORDER BY range)
+             + count(*) OVER (PARTITION BY range) - 1 AS q2
+         FROM (SELECT b, max(y) - min(y) AS range FROM complete GROUP BY b)),
+       s4 AS (
+         SELECT ranked.b, ranked.g,
+           CAST(q2 * (r2 - (k + 1)) AS BIGINT) AS s4
+         FROM ranked JOIN rng ON rng.b = ranked.b CROSS JOIN kk),
+       a AS (SELECT sum(CAST(s4 AS HUGEINT) * s4) AS a16,
+               CAST(count(*) / (SELECT k FROM kk) AS BIGINT) AS n_blocks
+             FROM s4),
+       bb AS (SELECT sum(CAST(sj4 AS HUGEINT) * sj4) AS b16 FROM (
+                SELECT g, CAST(sum(s4) AS BIGINT) AS sj4 FROM s4 GROUP BY g))
+       SELECT (SELECT k FROM kk) AS k_groups, n_blocks,
+         round(CAST((n_blocks - 1) * b16 AS DOUBLE)
+           / nullif(CAST(n_blocks * a16 - b16 AS DOUBLE), 0.0), 6) AS f_stat,
+         CAST((n_blocks - 1) * b16 AS DOUBLE)
+           / nullif(CAST(n_blocks * a16 - b16 AS DOUBLE), 0.0)
+           > $QuadeCrit005 AS significant
+       FROM a CROSS JOIN bb"""
+
   def qFriedman(s: SparkSession, dir: String): DataFrame =
     friedmanOf(Tables.events(s, dir)
       .select(date_format(col("ts"), "yyyy-MM-dd").as("b"),
@@ -3899,6 +3983,7 @@ object Stats extends QueryModule {
     "q_cuped" -> (qCuped _),
     "q_two_prop" -> (qTwoProp _),
     "q_tost" -> (qTost _),
+    "q_quade" -> (qQuade _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -3958,6 +4043,7 @@ object Stats extends QueryModule {
     "q_cuped" -> qCupedSql,
     "q_two_prop" -> qTwoPropSql,
     "q_tost" -> qTostSql,
+    "q_quade" -> qQuadeSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

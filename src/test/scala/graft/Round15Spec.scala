@@ -173,12 +173,14 @@ class Round15Spec extends SparkSpec {
       (6L, t(0), 30L, "view", 0.0)))
     val r = graft.operators.ScaleOps.qJoinSizeSketch(spark, dir).collect()(0)
     assert(r.getAs[Long]("n_keys") == 3L && r.getAs[Long]("n_rows") == 6L)
-    assert(r.getAs[java.math.BigDecimal]("exact_size").longValue == 14L)
+    // r16: the gated surface is BIGINT now (red-gate hardening — see
+    // ADJUDICATIONS.md); decimal stays internal
+    assert(r.getAs[Long]("exact_size") == 14L)
     assert(r.getAs[Boolean]("overestimates"),
       "CMS inner product must never underestimate F2")
     assert(r.getAs[Boolean]("within_bound"))
     // 3 keys in 256 buckets: any collision only ADDS cross terms
-    assert(r.getAs[java.math.BigDecimal]("est_size").longValue >= 14L)
+    assert(r.getAs[Long]("est_size") >= 14L)
   }
 
   test("q_assoc_rules: confidence/lift/support match the hand counts " +

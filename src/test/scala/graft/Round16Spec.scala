@@ -307,4 +307,50 @@ class Round16Spec extends SparkSpec {
       ((pa - pb + Stats.TostMargin) / se > Stats.TostZ &&
         (pa - pb - Stats.TostMargin) / se < -Stats.TostZ))
   }
+
+  test("q_quade: consistent winner with distinct block ranges matches " +
+    "the hand F = 12 (high-spread days dominate)") {
+    // blocks d1..d3, a beats b every day; ranges 9/4/1 -> q2 = 6/4/2,
+    // S4_a = +q2, S4_b = -q2 -> F = 2*288/(3*112-288) = 12
+    val dir = writeEvents(Seq(
+      (1L, day(1), 1L, "a", 10.0), (2L, day(1, 1), 2L, "b", 1.0),
+      (3L, day(2), 3L, "a", 5.0), (4L, day(2, 1), 4L, "b", 1.0),
+      (5L, day(3), 5L, "a", 2.0), (6L, day(3, 1), 6L, "b", 1.0)))
+    val r = Stats.qQuade(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("f_stat") == 12.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("q_by_fdr: harmonic factor equals H(m) and the min-step is " +
+    "reproducible from the emitted p/rank columns") {
+    val got = graft.operators.Inference.qByFdr(spark, "/root/testdata/sf0.001")
+      .orderBy("rank").collect()
+    val m = got.length
+    val hm = (1 to m).map(1.0 / _).sum
+    assert(math.abs(got(0).getAs[Double]("c_m") -
+      math.floor(hm * 1e6 + 0.5) / 1e6) < 1e-9)
+    // independent min-step replay: adj_p(r) = min_{j >= r} min(1, p_j*m*H/j)
+    val ps = got.map(r => (r.getAs[Int]("rank"), r.getAs[Double]("p")))
+    for (row <- got) {
+      val r0 = row.getAs[Int]("rank")
+      val exp = math.min(1.0,
+        ps.filter(_._1 >= r0).map { case (j, p) => p * m * hm / j }.min)
+      assert(math.abs(row.getAs[Double]("adj_p") -
+        math.floor(exp * 1e6 + 0.5) / 1e6) < 1e-9, s"rank $r0")
+    }
+  }
+
+  test("q_abc: the 80/15/5 revenue split classes parts A/B/C") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16a").toString
+    Seq((1L, 1L, 80.0), (2L, 2L, 15.0), (3L, 3L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.qAbc(spark, dir).orderBy("part_key").collect()
+      .map(r => (r.getAs[Long]("part_key"), r.getAs[Double]("revenue"),
+        r.getAs[Double]("cum_share"), r.getAs[String]("abc_class")))
+    assert(got.toSeq == Seq((1L, 80.0, 0.8, "A"), (2L, 15.0, 0.95, "B"),
+      (3L, 5.0, 1.0, "C")))
+  }
 }
