@@ -701,6 +701,58 @@ object EventStream {
     * uniform keys — and the ≥[[F2SkewAlarm]] salting alarm: the live
     * early warning that a user-keyed join downstream of this stream is
     * about to hot-spot, while the batch twin scores history. */
+  case class KmvState(hashes: List[Long], n_rows: Long)
+  case class KmvOut(stream: String, n_rows: Long, n_sketch: Int,
+      est_distinct: Double, saturated: Boolean)
+
+  /** Streaming KMV distinct-cardinality monitor — the stateful twin of
+    * the batch q_kmv_intersect sketch (ScaleOps), the APPROXIMATE
+    * sibling of [[runningDistinct]]'s exact bitmap (the bitmap is exact
+    * but id-space-bounded; KMV is k longs for ANY key domain and
+    * supports cross-set algebra): state is the k
+    * smallest DISTINCT 48-bit md5 hashes of the keys seen so far (≤ k
+    * longs per stream, O(1) in stream length; insertion is idempotent,
+    * so replays and duplicates are free), emitting the running distinct
+    * estimate (k−1)·2⁴⁸/h₍ₖ₎ — or the EXACT count while the sketch is
+    * unsaturated, the same collapse rule as the batch twin. The hash is
+    * bit-identical to the batch derivation (first 12 hex chars of
+    * md5("u:"+id)), so a snapshot of this state IS a batch-compatible
+    * KMV sketch: union/intersection algebra against batch sketches
+    * works by construction. StreamingSpec pins exact-collapse,
+    * duplicate-idempotence, and the saturated estimate against an
+    * independent recomputation. */
+  def runningKmvDistinct(keys: Dataset[TypedUser]): Dataset[KmvOut] = {
+    import keys.sparkSession.implicits._
+    val k = graft.operators.ScaleOps.KmvK
+    keys.groupByKey(_.event_type)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tag, rows, state: GroupState[KmvState]) =>
+          var st = state.getOption.getOrElse(KmvState(Nil, 0L))
+          val set = scala.collection.mutable.TreeSet.empty[Long] ++ st.hashes
+          var n = st.n_rows
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { r =>
+            md.reset()
+            val h = md.digest(s"u:${r.user_id}".getBytes("UTF-8"))
+            val v = ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
+              ((h(2) & 0xffL) << 24) | ((h(3) & 0xffL) << 16) |
+              ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+            if (set.size < k) set += v
+            else if (v < set.max && !set.contains(v)) { set -= set.max; set += v }
+            n += 1L
+          }
+          state.update(KmvState(set.toList, n))
+          if (n == 0) Iterator.empty
+          else {
+            val sat = set.size >= k
+            val est = if (!sat) set.size.toDouble
+              else (k - 1).toDouble * 281474976710656.0 / set.max
+            Iterator(KmvOut(tag, n, set.size, est, sat))
+          }
+      }
+  }
+
   def runningF2(keys: Dataset[TypedUser]): Dataset[F2Out] = {
     import keys.sparkSession.implicits._
     val (d, w) = (F2Depth, F2Width)

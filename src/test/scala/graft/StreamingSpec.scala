@@ -836,6 +836,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct monitor: exact while unsaturated, " +
+    "duplicate-idempotent, saturated estimate matches the independent " +
+    "recomputation (r16: the q_kmv_intersect stateful twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedUser]
+    val q = EventStream.runningKmvDistinct(input.toDS())
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    def latest(): (Long, Int, Double, Boolean) =
+      spark.table("kmv_out").collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+        .maxBy(_._1)
+    def hash48(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"u:$u".getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) |
+        ((h(2) & 0xffL) << 24) | ((h(3) & 0xffL) << 16) |
+        ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+    }
+    try {
+      input.addData((1L to 10L).map(u => EventStream.TypedUser("m", u)))
+      q.processAllAvailable()
+      val r1 = latest()
+      assert(r1 == ((10L, 10, 10.0, false)), s"unsaturated must be exact: $r1")
+      // duplicates are free: the sketch is a SET of hashes
+      input.addData((1L to 10L).map(u => EventStream.TypedUser("m", u)))
+      q.processAllAvailable()
+      val r2 = latest()
+      assert(r2 == ((20L, 10, 10.0, false)), s"duplicates must not move it: $r2")
+      // saturate with 200 distinct keys; the estimate is deterministic
+      input.addData((11L to 200L).map(u => EventStream.TypedUser("m", u)))
+      q.processAllAvailable()
+      val r3 = latest()
+      val k = graft.operators.ScaleOps.KmvK
+      val hk = (1L to 200L).map(hash48).sorted.apply(k - 1)
+      val expected = (k - 1).toDouble * 281474976710656.0 / hk
+      assert(r3._2 == k && r3._4)
+      assert(r3._3 == expected, s"est ${r3._3} vs recomputed $expected")
+      // the deterministic estimator should land near the truth too
+      assert(math.abs(r3._3 - 200) <= 3.0 * 200 / math.sqrt((k - 2).toDouble),
+        s"est ${r3._3} outside the 3-sigma KMV envelope around 200")
+    } finally q.stop()
+  }
+
   test("streaming F2 monitor: uniform keys stay quiet, a hot-key burst " +
     "trips the salting alarm; estimate never underestimates") {
     implicit val sqlCtx = spark.sqlContext
