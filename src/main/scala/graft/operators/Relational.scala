@@ -758,6 +758,88 @@ object Relational extends QueryModule {
        FROM c WHERE n_starts > 0
        GROUP BY 1"""
 
+  /** q_new_vs_returning: the daily new-vs-returning active-user split —
+    * the growth dashboard's first panel (is today's traffic acquisition
+    * or retention?): first-seen day per user from one min-aggregate,
+    * then per day the distinct actives partitioned by whether their
+    * first-seen day IS that day. Two user-keyed aggregates + one
+    * day-keyed count — every relation user- or calendar-bounded; the
+    * one ratio divides two exact counts. */
+  def qNewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new").cast("double") / col("n_active"), 6).as("pct_new"))
+  }
+
+  private val qNewVsReturningSql =
+    """WITH ud AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+         FROM events),
+       f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+       SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(count(*) - sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_returning,
+         round(CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*), 6) AS pct_new
+       FROM ud JOIN f ON f.user_id = ud.user_id
+       GROUP BY 1"""
+
+  /** q_funnel_time: conversion-latency distribution per conversion day —
+    * the LATENCY panel q_funnel's single overall median can't show (a
+    * launch that slows time-to-convert is invisible in the rate):
+    * per user the first view and the earliest in-window purchase (the
+    * q_funnel construction verbatim), keyed to the day the conversion
+    * LANDS, then exact interpolated p25/p50/p90 of the delay in minutes
+    * over day-bounded conversion sets (the q_session_stats percentile
+    * rule: never corpus-sized percentile state). */
+  def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val windowUs = 7L * 24 * 3600 * 1000000L
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") > col("t_view") && col("us") <= col("t_view") + windowUs)
+      .groupBy("user_id", "t_view").agg(min(col("us")).as("t_conv"))
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("t_conv")), "yyyy-MM-dd").as("day"),
+        (col("t_conv") - col("t_view")).as("delay_us"))
+    conv.groupBy("day")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(expr("percentile(delay_us, 0.25)") / 60000000.0, 4).as("p25_min"),
+        round(expr("percentile(delay_us, 0.5)") / 60000000.0, 4).as("p50_min"),
+        round(expr("percentile(delay_us, 0.9)") / 60000000.0, 4).as("p90_min"))
+  }
+
+  private val qFunnelTimeSql =
+    """WITH fv AS (
+         SELECT user_id, min(epoch_us(ts)) AS t_view
+         FROM events WHERE event_type = 'view' GROUP BY user_id),
+       conv AS (
+         SELECT e.user_id,
+           strftime(make_timestamp(min(epoch_us(e.ts))), '%Y-%m-%d') AS day,
+           min(epoch_us(e.ts)) - fv.t_view AS delay_us
+         FROM events e JOIN fv ON e.user_id = fv.user_id
+         WHERE e.event_type = 'purchase'
+           AND epoch_us(e.ts) > fv.t_view
+           AND epoch_us(e.ts) <= fv.t_view + CAST(604800000000 AS BIGINT)
+         GROUP BY e.user_id, fv.t_view)
+       SELECT day, CAST(count(*) AS BIGINT) AS n_conversions,
+         round(quantile_cont(delay_us, 0.25) / 60000000.0, 4) AS p25_min,
+         round(quantile_cont(delay_us, 0.5) / 60000000.0, 4) AS p50_min,
+         round(quantile_cont(delay_us, 0.9) / 60000000.0, 4) AS p90_min
+       FROM conv GROUP BY 1"""
+
   /** ABC class boundaries on cumulative revenue share (the classic
     * Pareto 80/15/5 split). */
   val AbcA = 0.80
@@ -1818,7 +1900,9 @@ object Relational extends QueryModule {
     "q_item_sim" -> (qItemSim _),
     "q_link_pred" -> (qLinkPred _),
     "q_concurrency" -> (qConcurrency _),
-    "q_abc" -> (qAbc _))
+    "q_abc" -> (qAbc _),
+    "q_new_vs_returning" -> (qNewVsReturning _),
+    "q_funnel_time" -> (qFunnelTime _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1867,5 +1951,7 @@ object Relational extends QueryModule {
     "q_item_sim" -> qItemSimSql,
     "q_link_pred" -> qLinkPredSql,
     "q_concurrency" -> qConcurrencySql,
-    "q_abc" -> qAbcSql)
+    "q_abc" -> qAbcSql,
+    "q_new_vs_returning" -> qNewVsReturningSql,
+    "q_funnel_time" -> qFunnelTimeSql)
 }

@@ -3197,6 +3197,97 @@ object Stats extends QueryModule {
     * (event types draw the same value distribution, so within-day
     * orderings are exchangeable — Q ≈ 4.3 vs crit 9.49); the spec
     * proves Q trips on a consistently-ordered fixture. */
+  /** SAX geometry: 10 PAA segments, alphabet size 4 (breakpoints at the
+    * standard-normal quartiles ±0.6745 and 0 — Lin/Keogh 2003). */
+  val SaxSegments = 10
+  val SaxBp = 0.6745
+
+  /** q_sax: Symbolic Aggregate approXimation of the daily series per
+    * event type — the representation that makes time-series MOTIF
+    * search and similarity indexing tractable at 100 TB (a 30-point
+    * double series becomes a 10-char string over a 4-letter alphabet;
+    * strings equi-join, hash, and prefix-index where raw series can't).
+    * Pipeline: per-type z-normalization from exact DECIMAL moments
+    * (cast to double ONCE — the variance subtraction runs in doubles
+    * deliberately, avoiding the cross-engine DECIMAL-widening seam the
+    * canary guards), balanced PAA segment assignment
+    * seg = ⌊(t−1)·S/n⌋ in pure integer arithmetic, per-segment means
+    * from exact decimal sums, breakpoint symbols a|b|c|d, and the
+    * ordered string fold (array_sort ↔ string_agg ORDER BY). A
+    * constant series (σ = 0) z-scores to 0 → all-'c', the same CASE in
+    * both engines. Calendar-bounded after one fact aggregate. */
+  def qSax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+    val mom = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("tot")).cast("double").as("sx"),
+        sum(col("tot") * col("tot")).cast("double").as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("mu"),
+        sqrt(greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)))
+          .as("sigma"))
+    val seg = daily.join(mom, Seq("event_type"))
+      .withColumn("seg", expr(s"((t - 1) * $SaxSegments) div n"))
+      .groupBy("event_type", "n", "mu", "sigma", "seg")
+      .agg((sum(col("tot")).cast("double") / count(lit(1))).as("m"))
+    val z = when(col("sigma") === 0.0, lit(0.0))
+      .otherwise((col("m") - col("mu")) / col("sigma"))
+    val sym = when(z < -SaxBp, "a").when(z < 0.0, "b")
+      .when(z < SaxBp, "c").otherwise("d")
+    seg.withColumn("sym", sym)
+      .groupBy("event_type", "n")
+      .agg(count(lit(1)).as("n_segments"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("seg"), col("sym").as("s")))),
+          x => x.getField("s"))).as("sax"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("n_segments"), col("sax"))
+  }
+
+  private lazy val qSaxSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, tot,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         FROM daily),
+       mom AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(tot) AS DOUBLE) / count(*) AS mu,
+           sqrt(greatest(CAST(sum(tot * tot) AS DOUBLE) / count(*)
+             - (CAST(sum(tot) AS DOUBLE) / count(*))
+               * (CAST(sum(tot) AS DOUBLE) / count(*)), 0.0)) AS sigma
+         FROM idx GROUP BY 1),
+       seg AS (
+         SELECT idx.event_type, mom.n, mom.mu, mom.sigma,
+           ((t - 1) * $SaxSegments) // n AS seg,
+           CAST(sum(tot) AS DOUBLE) / count(*) AS m
+         FROM idx JOIN mom ON mom.event_type = idx.event_type
+         GROUP BY 1, 2, 3, 4, 5),
+       sy AS (
+         SELECT event_type, n, seg,
+           CASE WHEN (CASE WHEN sigma = 0.0 THEN 0.0
+                      ELSE (m - mu) / sigma END) < -$SaxBp THEN 'a'
+                WHEN (CASE WHEN sigma = 0.0 THEN 0.0
+                      ELSE (m - mu) / sigma END) < 0.0 THEN 'b'
+                WHEN (CASE WHEN sigma = 0.0 THEN 0.0
+                      ELSE (m - mu) / sigma END) < $SaxBp THEN 'c'
+                ELSE 'd' END AS sym
+         FROM seg)
+       SELECT event_type, n AS n_days,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         string_agg(sym, '' ORDER BY seg) AS sax
+       FROM sy GROUP BY 1, 2"""
+
   /** F(k−1, (n−1)(k−1)) α=0.05 critical pin for [[qQuade]]'s fixed
     * 30-day × 5-type calendar (df ≈ (4, 116) ⇒ 2.45). */
   val QuadeCrit005 = 2.45
@@ -3984,6 +4075,7 @@ object Stats extends QueryModule {
     "q_two_prop" -> (qTwoProp _),
     "q_tost" -> (qTost _),
     "q_quade" -> (qQuade _),
+    "q_sax" -> (qSax _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -4044,6 +4136,7 @@ object Stats extends QueryModule {
     "q_two_prop" -> qTwoPropSql,
     "q_tost" -> qTostSql,
     "q_quade" -> qQuadeSql,
+    "q_sax" -> qSaxSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

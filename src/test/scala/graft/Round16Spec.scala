@@ -353,4 +353,49 @@ class Round16Spec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 80.0, 0.8, "A"), (2L, 15.0, 0.95, "B"),
       (3L, 5.0, 1.0, "C")))
   }
+
+  test("q_sax: a step series symbolizes to a...d, a constant series to " +
+    "all-c (sigma = 0 path)") {
+    // 20 days: 10 at 1.0 then 10 at 101.0 -> mu=51, sigma=50,
+    // balanced PAA (S=10, n=20) -> 2-day segments, z = -1 then +1
+    val dir = writeEvents(
+      (1 to 20).map(d => (d.toLong, day(d), d.toLong, "step",
+        if (d <= 10) 1.0 else 101.0)) ++
+      (1 to 20).map(d => (100L + d, day(d), d.toLong, "flat", 7.0)))
+    val got = Stats.qSax(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_days"),
+        r.getAs[Long]("n_segments"), r.getAs[String]("sax"))).toMap
+    assert(got("step") == ((20L, 10L, "aaaaaddddd")))
+    assert(got("flat") == ((20L, 10L, "cccccccccc")))
+  }
+
+  test("q_new_vs_returning: first-seen day splits actives into " +
+    "acquisition vs retention") {
+    val dir = writeEvents(Seq(
+      (1L, day(1), 1L, "e", 0.0), (2L, day(1, 1), 2L, "e", 0.0),
+      (3L, day(2), 1L, "e", 0.0), (4L, day(2, 1), 3L, "e", 0.0)))
+    val got = Relational.qNewVsReturning(spark, dir).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_returning"),
+        r.getAs[Double]("pct_new")))
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L, 0L, 1.0),
+      ("2024-01-02", 2L, 1L, 1L, 0.5)))
+  }
+
+  test("q_funnel_time: the earliest in-window purchase sets the delay; " +
+    "non-converters and viewless purchasers are excluded") {
+    val dir = writeEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 0.0),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "purchase", 0.0),
+      (4L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "view", 0.0),
+      (5L, Timestamp.valueOf("2024-01-01 10:05:00"), 3L, "purchase", 0.0)))
+    val got = Relational.qFunnelTime(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("day") == "2024-01-01")
+    assert(r.getAs[Long]("n_conversions") == 1L)
+    assert(r.getAs[Double]("p50_min") == 30.0)
+    assert(r.getAs[Double]("p90_min") == 30.0)
+  }
 }
