@@ -152,4 +152,32 @@ class PlanShapeSpec extends SparkSpec {
           s"$q: non-Cross nested loop: $l"))
       }
   }
+
+  test("r16 additions keep their designed shapes: no cartesian pair " +
+    "explosions, bounded-side broadcasts, no single-partition window " +
+    "over a scaling relation") {
+    // q_link_pred / q_item_sim: wedge/pair joins must stay equi-keyed
+    Seq(
+      "q_link_pred" -> operators.Relational.qLinkPred(spark, sfDir),
+      "q_item_sim" -> operators.Relational.qItemSim(spark, sfDir),
+      "q_kmv_intersect" -> operators.ScaleOps.qKmvIntersect(spark, sfDir),
+      "q_cvm" -> operators.RobustStats.qCvm(spark, sfDir),
+      "q_granger" -> operators.Stats.qGranger(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+    // q_abc and q_concurrency compute GLOBAL running totals: those must
+    // be the two-pass range-partitioned prefix sum, never a
+    // single-partition WindowExec over the scaling relation. q_abc's
+    // plan has no Window at all; q_concurrency's only windows are the
+    // per-USER sessionize lags (keyed partitions) — any Window line
+    // without the user key would be the scale bug.
+    assert(!plan(operators.Relational.qAbc(spark, sfDir)).contains("Window"),
+      "q_abc must carry no WindowExec (prefix sum is the RDD two-pass form)")
+    val pc = plan(operators.Relational.qConcurrency(spark, sfDir))
+    val winLines = pc.linesIterator.filter(_.trim.startsWith("Window")).toList
+    winLines.foreach(l => assert(l.contains("user_id"),
+      s"q_concurrency: unkeyed window in plan line: $l"))
+  }
 }
