@@ -79,7 +79,7 @@ object Bench {
     "q_item_sim", "q_link_pred", "q_concurrency", "q_kmv_intersect",
     "q_mixture_weights", "q_mann_kendall", "q_tost",
     "q_quade", "q_by_fdr", "q_abc", "q_sax", "q_new_vs_returning",
-    "q_funnel_time")
+    "q_funnel_time", "q_rfm", "q_cohort_revenue")
   // q_features_audit / q_lda_audit / q_isotonic_audit / q_classify_audit /
   // q_cv_audit / q_bpe_audit / q_polysemy_eval_audit — and the r12
   // additions q_coherence_audit / q_hdp_audit (LDA upstream),

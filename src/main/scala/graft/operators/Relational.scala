@@ -840,6 +840,120 @@ object Relational extends QueryModule {
          round(quantile_cont(delay_us, 0.9) / 60000000.0, 4) AS p90_min
        FROM conv GROUP BY 1"""
 
+  /** q_rfm: RFM customer segmentation — the marketing-ops workhorse
+    * (recency / frequency / monetary quintile scores, 111..555): per
+    * customer the three metrics from ONE orders aggregate, then three
+    * EXACT global quintile rankings through the distributed ntile
+    * machinery (Ranks.globalRowNumber + ntileOf — the q_ntile path,
+    * never a single-partition window; each ranking carries the custkey
+    * tiebreak so both engines walk identical orders). Scores: R counts
+    * stale days DESC (most recent ⇒ 5), F and M count ASC (heaviest ⇒
+    * 5). Output is the ≤125-cell segment rollup — bounded regardless of
+    * customer count. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val anchor = o.agg(max(col("o_orderdate")).as("d_max"))
+    // customer-sized metric relation, memoized+persisted per dir: three
+    // ranking passes consume it (the copurchasePairs rule)
+    val m = graft.ModelCache.getOrElseUpdate(s, s"rel.rfm_metrics:$dir") {
+      o.crossJoin(broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("d_max"), col("o_orderdate"))).as("recency_days"),
+          count(lit(1)).as("freq"), sum(col("price")).as("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val n = m.agg(count(lit(1)).as("N"))
+    def score(metric: Column, asc: Boolean, name: String) = {
+      val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
+        else Seq(metric.desc, col("o_custkey").asc)
+      graft.functions.Ranks.globalRowNumber(m, ord: _*)
+        .crossJoin(broadcast(n))
+        .select(col("o_custkey"),
+          graft.functions.Ranks.ntileOf(col("rn"), col("N"), 5).as(name))
+    }
+    val scored = score(col("recency_days"), asc = false, "r_score")
+      .join(score(col("freq"), asc = true, "f_score"), Seq("o_custkey"))
+      .join(score(col("monetary"), asc = true, "m_score"), Seq("o_custkey"))
+    scored
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .select((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .cast("int").as("rfm_code"),
+        col("r_score").cast("int").as("r_score"),
+        col("f_score").cast("int").as("f_score"),
+        col("m_score").cast("int").as("m_score"),
+        col("n_customers"))
+  }
+
+  private val qRfmSql =
+    """WITH o AS (SELECT o_custkey, o_orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+       a AS (SELECT max(o_orderdate) AS d_max FROM o),
+       m AS (SELECT o_custkey,
+               min(date_diff('day', CAST(o_orderdate AS DATE),
+                 CAST(d_max AS DATE))) AS recency_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               sum(price) AS monetary
+             FROM o CROSS JOIN a GROUP BY 1),
+       sc AS (SELECT o_custkey,
+                ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC)
+                  AS r_score,
+                ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f_score,
+                ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC)
+                  AS m_score
+              FROM m)
+       SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code,
+         CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+         CAST(m_score AS INT) AS m_score,
+         CAST(count(*) AS BIGINT) AS n_customers
+       FROM sc GROUP BY 1, 2, 3, 4"""
+
+  /** q_cohort_revenue: revenue cohort matrix — the LTV curve finance
+    * reads (how much does the month-X cohort spend in month X+k?):
+    * cohort = each customer's first order month, month index =
+    * 12·Δyear + Δmonth in pure INTEGER arithmetic (never an engine's
+    * months_between — fractional-month conventions differ), revenue in
+    * exact DECIMAL per (cohort, k) cell. Output is months² cells —
+    * calendar-bounded regardless of order volume. */
+  def qCohortRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("mo"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val first = o.groupBy("o_custkey")
+      .agg(min(col("y") * 12 + col("mo")).as("c0"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy(col("c0"), (col("y") * 12 + col("mo") - col("c0")).as("k"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"))
+      .select(
+        concat(expr("(c0 - 1) div 12").cast("string"), lit("-"),
+          lpad(((col("c0") - 1) % 12 + 1).cast("string"), 2, "0"))
+          .as("cohort_month"),
+        col("k").cast("int").as("month_index"),
+        col("n_customers"), col("n_orders"), col("revenue"))
+  }
+
+  private val qCohortRevenueSql =
+    """WITH o AS (SELECT o_custkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders),
+       f AS (SELECT o_custkey, min(y * 12 + mo) AS c0 FROM o GROUP BY 1),
+       j AS (SELECT o.o_custkey, f.c0, o.y * 12 + o.mo - f.c0 AS k, o.price
+             FROM o JOIN f ON f.o_custkey = o.o_custkey)
+       SELECT CAST((c0 - 1) // 12 AS VARCHAR) || '-' ||
+           lpad(CAST((c0 - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+         CAST(k AS INT) AS month_index,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS revenue
+       FROM j GROUP BY c0, k"""
+
   /** ABC class boundaries on cumulative revenue share (the classic
     * Pareto 80/15/5 split). */
   val AbcA = 0.80
@@ -1902,7 +2016,9 @@ object Relational extends QueryModule {
     "q_concurrency" -> (qConcurrency _),
     "q_abc" -> (qAbc _),
     "q_new_vs_returning" -> (qNewVsReturning _),
-    "q_funnel_time" -> (qFunnelTime _))
+    "q_funnel_time" -> (qFunnelTime _),
+    "q_rfm" -> (qRfm _),
+    "q_cohort_revenue" -> (qCohortRevenue _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -1953,5 +2069,7 @@ object Relational extends QueryModule {
     "q_concurrency" -> qConcurrencySql,
     "q_abc" -> qAbcSql,
     "q_new_vs_returning" -> qNewVsReturningSql,
-    "q_funnel_time" -> qFunnelTimeSql)
+    "q_funnel_time" -> qFunnelTimeSql,
+    "q_rfm" -> qRfmSql,
+    "q_cohort_revenue" -> qCohortRevenueSql)
 }

@@ -398,4 +398,43 @@ class Round16Spec extends SparkSpec {
     assert(r.getAs[Double]("p50_min") == 30.0)
     assert(r.getAs[Double]("p90_min") == 30.0)
   }
+
+  private def writeOrders(rows: Seq[(Long, Long, Timestamp, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r16o").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q_rfm: monotone recency/frequency/monetary customers land on the " +
+    "diagonal segments 111..555") {
+    // customer c: c orders on days 1..c, price 10 each -> recency rank,
+    // frequency and monetary all order customers identically
+    var id = 0L
+    val rows = for (c <- 1L to 5L; d <- 1L to c) yield {
+      id += 1
+      (id, c, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), 10.0)
+    }
+    val got = Relational.qRfm(spark, writeOrders(rows.toSeq))
+      .orderBy("rfm_code").collect()
+      .map(r => (r.getAs[Int]("rfm_code"), r.getAs[Long]("n_customers")))
+    assert(got.toSeq == Seq((111, 1L), (222, 1L), (333, 1L), (444, 1L),
+      (555, 1L)))
+  }
+
+  test("q_cohort_revenue: first-order month anchors the cohort; month " +
+    "index is exact integer month arithmetic") {
+    val dir = writeOrders(Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-05 10:00:00"), 10.0),
+      (2L, 1L, Timestamp.valueOf("2024-03-20 10:00:00"), 5.0),
+      (3L, 2L, Timestamp.valueOf("2024-02-11 10:00:00"), 7.0)))
+    val got = Relational.qCohortRevenue(spark, dir)
+      .orderBy("cohort_month", "month_index").collect()
+      .map(r => (r.getAs[String]("cohort_month"), r.getAs[Int]("month_index"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("revenue")))
+    assert(got.toSeq == Seq(("2024-01", 0, 1L, 1L, 10.0),
+      ("2024-01", 2, 1L, 1L, 5.0), ("2024-02", 0, 1L, 1L, 7.0)))
+  }
 }
