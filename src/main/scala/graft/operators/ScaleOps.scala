@@ -810,10 +810,14 @@ object ScaleOps extends QueryModule {
     *   - the hex-substring→integer derivation both ways: Spark
     *     `conv(substr(md5…),16,10)` vs DuckDB `CAST('0x'||… AS BIGINT)`
     *     must land on the same BIGINT (and the same % CmsWidth bucket);
-    *   - DECIMAL(38,0)·BIGINT widening left RAW on the output surface —
-    *     the exact surface behind the r15 q_join_size_sketch red gate: a
-    *     DuckDB that promotes the product to DOUBLE changes the hashed
-    *     value text of `dec_prod` and trips this row;
+    *   - DECIMAL(38,0)·BIGINT widening checked IN-ENGINE only (`dec_ok`,
+    *     an exactness boolean): the raw product was gated in r16 as a
+    *     deliberate tripwire for the r15 q_join_size_sketch seam theory
+    *     and the driver's DuckDB confirmed it (promoted the product,
+    *     hash-FAIL — see ADJUDICATIONS.md). Production eliminated raw
+    *     DECIMAL from every gated surface in r16, so the raw render is
+    *     no longer on the hash-gated projection (r16 verdict task 1);
+    *     a SEMANTIC decimal change still trips `dec_ok`;
     *   - the ordered double fold (aggregate(array_sort(collect_list…)) ↔
     *     list_sum(list(… ORDER BY …))) rounded at 6, the repo-wide
     *     determinism idiom for order-sensitive floating sums. */
@@ -832,7 +836,6 @@ object ScaleOps extends QueryModule {
       (conv(substring(md5(lit("graft-canary-0")), 1, 8), 16, 10)
         .cast("long") % CmsWidth).as("hex_mod"),
       conv(lit("00ff00ff"), 16, 10).cast("long").as("conv_fixed"),
-      col("dec_prod_raw").as("dec_prod"),
       (col("dec_prod_raw") === lit(4900).cast("decimal(38,0)")).as("dec_ok"),
       col("fold_sum"))
   }
@@ -846,7 +849,6 @@ object ScaleOps extends QueryModule {
          CAST(('0x' || substr(md5('graft-canary-0'), 1, 8)) AS BIGINT) AS hex_cast,
          CAST(('0x' || substr(md5('graft-canary-0'), 1, 8)) AS BIGINT) % $CmsWidth AS hex_mod,
          CAST('0x00ff00ff' AS BIGINT) AS conv_fixed,
-         dec_prod_raw AS dec_prod,
          dec_prod_raw = 4900 AS dec_ok,
          fold_sum
        FROM a"""

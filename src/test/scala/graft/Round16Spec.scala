@@ -26,9 +26,13 @@ class Round16Spec extends SparkSpec {
     assert(r.getAs[Long]("hex_cast") == 825230583L)   // 0x313004f7
     assert(r.getAs[Long]("hex_mod") == 247L)          // 825230583 % 256
     assert(r.getAs[Long]("conv_fixed") == 16711935L)  // 0x00ff00ff
-    // Σ i² for i=1..24 = 24·25·49/6, kept RAW decimal on the surface
-    assert(r.getAs[java.math.BigDecimal]("dec_prod").longValueExact == 4900L)
+    // Σ i² for i=1..24 = 24·25·49/6 = 4900, checked in-engine only:
+    // the raw DECIMAL render is off the gated surface since r17 (the
+    // r16 driver run confirmed the DuckDB promotion seam; see
+    // ADJUDICATIONS.md).
     assert(r.getAs[Boolean]("dec_ok"))
+    assert(!r.schema.fieldNames.contains("dec_prod"),
+      "raw DECIMAL must stay off the hash-gated canary surface")
     // H(24) = Σ 1/i folded in ascending-i order, round 6
     assert(r.getAs[Double]("fold_sum") == 3.775958)
   }
