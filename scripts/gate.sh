@@ -13,15 +13,26 @@ if [ "$#" -eq 0 ]; then
   echo "usage: scripts/gate.sh <query ...> | --all" >&2; exit 2
 fi
 queries=""
-[ "$1" != "--all" ] && queries="$*"
+if [ "$1" = "--all" ]; then
+  # --all takes no further args: extra names would be silently ignored
+  # (r16 ADVICE) — reject them loudly instead.
+  [ "$#" -gt 1 ] && { echo "usage: scripts/gate.sh <query ...> | --all (no extra args)" >&2; exit 2; }
+else
+  queries="$*"
+fi
 mkdir -p /tmp/graft-gate
 fail=0
 for sf in 0.01 0.001; do
   out="/tmp/graft-gate/sf${sf}"
   rm -rf "$out"
-  sbt -batch "runMain graft.Verify /root/testdata/sf${sf} ${out} ${queries}" \
-    > /tmp/graft-gate/verify_sf${sf}.log 2>&1 \
-    || { echo "gate: Verify FAILED at sf${sf} (see /tmp/graft-gate/verify_sf${sf}.log)"; exit 1; }
+  # Accumulate BOTH failure kinds across BOTH scales (r16 ADVICE): a
+  # Verify crash at one scale no longer hides the other scale's report.
+  if ! sbt -batch "runMain graft.Verify /root/testdata/sf${sf} ${out} ${queries}" \
+      > /tmp/graft-gate/verify_sf${sf}.log 2>&1; then
+    echo "gate: Verify FAILED at sf${sf} (see /tmp/graft-gate/verify_sf${sf}.log)"
+    fail=1
+    continue
+  fi
   # shellcheck disable=SC2086
   python3 scripts/check_oracle.py "/root/testdata/sf${sf}" "$out" ${queries} || fail=1
 done

@@ -2450,9 +2450,12 @@ object Stats extends QueryModule {
       .withColumn("u", sum(col("r2")).over(wRun) - col("t") * (col("n") + 1L))
     val best = ranked.groupBy("event_type")
       .agg(max(abs(col("u"))).as("k_stat"))
-    val p = lit(2.0) * exp(lit(-6.0) * col("k_stat") * col("k_stat") /
-      (col("n_days").cast("double") * col("n_days") * col("n_days") +
-        col("n_days").cast("double") * col("n_days")))
+    // Clamped at 1: the asymptotic 2·exp(…) form exceeds 1 for small K
+    // and the column claims to be a probability (r16 ADVICE).
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-6.0) * col("k_stat") * col("k_stat") /
+        (col("n_days").cast("double") * col("n_days") * col("n_days") +
+          col("n_days").cast("double") * col("n_days"))))
     ranked.join(best, Seq("event_type"))
       .filter(abs(col("u")) === col("k_stat"))
       .groupBy("event_type")
@@ -2483,9 +2486,10 @@ object Stats extends QueryModule {
              FROM u GROUP BY 1)
        SELECT u.event_type, CAST(any_value(u.n) AS BIGINT) AS n_days,
          min(u.day) AS cp_day, any_value(k.k_stat) AS k_stat,
-         round(2.0 * exp(-6.0 * any_value(k.k_stat) * any_value(k.k_stat) /
+         round(least(1.0,
+           2.0 * exp(-6.0 * any_value(k.k_stat) * any_value(k.k_stat) /
            (CAST(any_value(u.n) AS DOUBLE) * any_value(u.n) * any_value(u.n)
-             + CAST(any_value(u.n) AS DOUBLE) * any_value(u.n))), 6)
+             + CAST(any_value(u.n) AS DOUBLE) * any_value(u.n)))), 6)
            AS p_approx,
          2.0 * exp(-6.0 * any_value(k.k_stat) * any_value(k.k_stat) /
            (CAST(any_value(u.n) AS DOUBLE) * any_value(u.n) * any_value(u.n)

@@ -405,9 +405,10 @@ object TextAnalysis extends QueryModule {
     * rate_s = min_tokens/tokens_s — the largest rate is exactly 1 (the
     * scarcest source is never oversampled, everything else subsamples
     * down to it), so every output derives from two exact integers per
-    * row: share = m/total, rate = min_m/m, effective = floor(m·rate) =
-    * min_m as a self-check. One source-sized aggregate — dimension-
-    * bounded everywhere. */
+    * row: share = m/total, rate = min_m/m, effective = m·rate = min_m
+    * (emitted as the exact integer — the fp detour can floor to
+    * min_m−1). One source-sized aggregate — dimension-bounded
+    * everywhere. */
   def qMixtureWeights(s: SparkSession, dir: String): DataFrame = {
     val perSrc = TextPrep.rawDocs(s, dir).groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -418,9 +419,10 @@ object TextAnalysis extends QueryModule {
       .select(col("source"), col("n_docs"), col("m").as("n_tokens"),
         round(col("m").cast("double") / col("tm"), 6).as("share"),
         round(col("mn").cast("double") / col("m"), 6).as("sampling_rate"),
-        floor(col("m").cast("double") *
-          (col("mn").cast("double") / col("m"))).cast("long")
-          .as("effective_tokens"))
+        // effective = m·(mn/m) = mn EXACTLY; computing it through the fp
+        // rate can floor to mn-1 (e.g. 3·fl(1/3)) — emit the exact
+        // integer (r16 ADVICE).
+        col("mn").as("effective_tokens"))
   }
 
   private lazy val qMixtureWeightsSql = {
@@ -434,8 +436,7 @@ object TextAnalysis extends QueryModule {
        SELECT source, n_docs, m AS n_tokens,
          round(CAST(m AS DOUBLE) / tm, 6) AS share,
          round(CAST(mn AS DOUBLE) / m, 6) AS sampling_rate,
-         CAST(floor(CAST(m AS DOUBLE) * (CAST(mn AS DOUBLE) / m)) AS BIGINT)
-           AS effective_tokens
+         mn AS effective_tokens
        FROM perSrc CROSS JOIN tot"""
   }
 
