@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's trailing JSON line from the captured
+// stdout tail (BENCH_rN.json "parsed"): forward forked run output RAW
+// (no "[info] " prefix on every line) and drop sbt's closing
+// "[success] Total time…" banner so the JSON line is genuinely the last
+// line of the run (r16 verdict task 8 — "parsed": null since r12).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
