@@ -708,6 +708,14 @@ object Relational extends QueryModule {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(min(col("us")).as("st_us"), max(col("us")).as("en_us"))
+    concurrencySweep(sess)
+  }
+
+  /** The sweep-line half of [[qConcurrency]], factored so the streaming
+    * twin (EventStream.concurrencyRefresh — r16 verdict task 5) re-runs
+    * the IDENTICAL arithmetic over its closed-session store on every
+    * refresh. Input: one row per session with (st_us, en_us) micros. */
+  def concurrencySweep(sess: DataFrame): DataFrame = {
     val inst = sess.select(col("st_us").as("us"), lit(1L).as("ds"), lit(0L).as("de"))
       .unionByName(sess.select(col("en_us").as("us"), lit(0L).as("ds"), lit(1L).as("de")))
       .groupBy("us")

@@ -982,4 +982,95 @@ object EventStream {
             zOpt.map(z => math.abs(z) > graft.operators.RobustStats.DunnZCrit(1))))
       }
   }
+
+  case class DayUser(user_id: Long, day: String)
+  case class NvrState(first_day: String, emitted: List[String])
+  case class NvrEmit(day: String, user_id: Long, is_new: Boolean)
+
+  /** Streaming new-vs-returning monitor — the stateful twin of the batch
+    * q_new_vs_returning growth panel (r16 verdict task 5). Keyed by
+    * user: state is the user's first-seen day plus the days already
+    * emitted, so each (user, day) classification is emitted EXACTLY once
+    * — is_new ⇔ the day equals the user's first-seen day. A per-day
+    * dashboard is then one stateless rollup of this stream (n_active =
+    * rows per day, n_new = is_new rows — the spec pins that rollup to
+    * the batch twin across a micro-batch boundary).
+    *
+    * State bound: first_day is O(1) forever (the actual new/returning
+    * decision); the emitted-day dedup list is bounded by the user's
+    * active-day horizon and in production would be trimmed by a
+    * GroupStateTimeout at the dashboard's retention (the decision needs
+    * only first_day, so trimming can never flip a classification).
+    * Assumes per-user event-time-ordered arrival across batches (the
+    * runningUserEwma convention): a user's FIRST-ever day arriving
+    * after a later day would need a retraction to reclassify. */
+  def runningNewVsReturning(events: Dataset[DayUser]): Dataset[NvrEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[NvrState, NvrEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[NvrState]) =>
+          val days = rows.map(_.day).toSeq.distinct.sorted
+          val st = state.getOption.getOrElse(
+            NvrState(days.head, Nil))
+          val firstDay = if (st.first_day <= days.head) st.first_day else days.head
+          val fresh = days.filterNot(st.emitted.contains)
+          state.update(NvrState(firstDay, st.emitted ++ fresh))
+          fresh.iterator.map(d => NvrEmit(d, uid, d == firstDay))
+      }
+  }
+
+  /** Streaming peak-concurrency dashboard refresh — the stateful twin of
+    * batch q_concurrency (r16 verdict task 5). Two composed pieces, each
+    * already load-bearing elsewhere in the library:
+    *
+    *  1. session_window sessionization in APPEND mode: a (user, session)
+    *     row with its (st_us, en_us) sweep boundaries is emitted exactly
+    *     once, only after the watermark passes end + gap — every row
+    *     FINAL, sessions merged across micro-batch boundaries first
+    *     (en_us = the last EVENT instant via max(us), matching the batch
+    *     twin's boundary, not the gap-padded window end);
+    *  2. a foreachBatch incremental-MV refresh (the 36c exactly-once
+    *     sink + 59n q_incr_agg delta rule): closed sessions MERGE into a
+    *     keyed store — replay-idempotent because the key (user, st_us)
+    *     makes a re-delivered batch a no-op — and the dashboard re-runs
+    *     Relational.concurrencySweep, the IDENTICAL distributed
+    *     arithmetic as the batch query, over the store.
+    *
+    * The in-memory TrieMap store stands in for the production MERGE INTO
+    * keyed table (q_merge_upsert) so the spec can observe it; the sweep
+    * itself runs distributed either way. Refresh cost: a full sweep per
+    * trigger here; production recomputes forward from the earliest
+    * touched day only (peaks before it cannot change — cum_before is
+    * fixed once its prefix is), the documented q_incr_agg delta. */
+  def concurrencyRefresh(events: DataFrame,
+      store: scala.collection.concurrent.TrieMap[(Long, Long), Long],
+      peaks: scala.collection.concurrent.TrieMap[String, (Long, Long)]) = {
+    val sess = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("en_us"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("st_us"),
+        col("en_us"))
+    sess.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        batch.collect().foreach { r =>  // closed sessions only: day-bounded
+          store.put((r.getAs[Long]("user_id"), r.getAs[Long]("st_us")),
+            r.getAs[Long]("en_us"))
+        }
+        if (store.nonEmpty) {
+          import s.implicits._
+          val sessDf = store.toSeq
+            .map { case ((u, st), en) => (u, st, en) }
+            .toDF("user_id", "st_us", "en_us")
+          graft.operators.Relational.concurrencySweep(sessDf).collect()
+            .foreach { r =>
+              peaks.put(r.getAs[String]("day"),
+                (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_started")))
+            }
+        }
+      }
+      .start()
+  }
 }

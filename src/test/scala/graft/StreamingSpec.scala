@@ -950,4 +950,110 @@ class StreamingSpec extends SparkSpec {
       assert(r2(2L) == ((1, 2 * H)), "late click must not advance")
     } finally q.stop()
   }
+
+  /** Shared r17 fixture (both monitor twins + their batch queries read
+    * it): three users across two days, one session straddling a
+    * micro-batch boundary, one user active on both days. Written as a
+    * real events.parquet so the BATCH twins run against it verbatim. */
+  private def writeR17Fixture(): (String, Seq[(Timestamp, Long, Long)]) = {
+    val rows = Seq(
+      // day 1: user 1 has one session (2 events, the 2nd arrives in
+      // micro-batch 2 within the 30-min gap), user 2 overlaps it
+      (Timestamp.valueOf("2024-03-01 10:00:00"), 1L, 100L),
+      (Timestamp.valueOf("2024-03-01 10:05:00"), 2L, 101L),
+      (Timestamp.valueOf("2024-03-01 10:20:00"), 1L, 102L),
+      // day 1 later: user 2 again, a SECOND session (gap > 30 min),
+      // non-overlapping — day-1 peak stays 2
+      (Timestamp.valueOf("2024-03-01 15:00:00"), 2L, 103L),
+      // day 2: user 1 returns (session 09:00–09:15), user 3 is new
+      // (single-event point session at 09:10 INSIDE user 1's) → peak 2
+      (Timestamp.valueOf("2024-03-02 09:00:00"), 1L, 104L),
+      (Timestamp.valueOf("2024-03-02 09:10:00"), 3L, 105L),
+      (Timestamp.valueOf("2024-03-02 09:15:00"), 1L, 106L))
+    val dir = java.nio.file.Files.createTempDirectory("r17fix").toString
+    rows.toDF("ts", "user_id", "event_id")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (dir, rows)
+  }
+
+  test("streaming new-vs-returning monitor: per-day rollup of the emitted " +
+    "classifications equals the batch q_new_vs_returning twin across a " +
+    "micro-batch boundary (r16 verdict task 5)") {
+    val (dir, rows) = writeR17Fixture()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DayUser]
+    val q = EventStream.runningNewVsReturning(input.toDS())
+      .writeStream.format("memory").queryName("nvr_out")
+      .outputMode("update").start()
+    def day(t: Timestamp) = t.toString.substring(0, 10)
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      input.addData(b1.map(r => EventStream.DayUser(r._2, day(r._1))))
+      q.processAllAvailable()
+      input.addData(b2.map(r => EventStream.DayUser(r._2, day(r._1))))
+      q.processAllAvailable()
+      val emitted = spark.table("nvr_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      // exactly-once per (user, day): user 1's second day-1 event and
+      // user 2's second day-1 session must not re-emit
+      assert(emitted.length == emitted.distinct.length &&
+        emitted.length == 4, s"expected 4 distinct emissions, got ${emitted.toSeq}")
+      val rollup = emitted.groupBy(_._1).map { case (d, es) =>
+        d -> (es.length.toLong, es.count(_._3).toLong)
+      }
+      val batch = graft.operators.Relational.qNewVsReturning(spark, dir)
+        .collect()
+        .map(r => r.getAs[String]("day") ->
+          (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"))).toMap
+      assert(rollup == batch,
+        s"monitor rollup $rollup != batch twin $batch")
+      assert(batch("2024-03-02") == ((2L, 1L)), "user 1 must be returning on day 2")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("streaming concurrency refresh: the foreachBatch incremental sweep " +
+    "equals the batch q_concurrency twin, with a session merging across " +
+    "a micro-batch boundary (r16 verdict task 5)") {
+    val (dir, rows) = writeR17Fixture()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val store = scala.collection.concurrent.TrieMap.empty[(Long, Long), Long]
+    val peaks = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = EventStream.concurrencyRefresh(
+      input.toDF().toDF("ts", "user_id"), store, peaks)
+    try {
+      val (b1, b2) = rows.splitAt(2)
+      input.addData(b1.map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      // user 1's batch-2 event at 10:20 falls INSIDE the open session
+      // from batch 1 — the session store must merge before closing
+      input.addData(b2.map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      // close everything: advance the watermark far past day 2 + gap
+      input.addData(Seq((Timestamp.valueOf("2024-03-05 00:00:00"), 99L)))
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2024-03-05 00:00:01"), 99L)))
+      q.processAllAvailable()
+      // merged, not split: user 1 day-1 session is ONE store row
+      // spanning 10:00..10:20
+      val u1 = store.keys.filter(_._1 == 1L).toSeq.sortBy(_._2)
+      assert(u1.length == 2, s"user 1 must close 2 sessions, got $u1")
+      assert(store(u1.head) - u1.head._2 == 20L * 60 * 1000000L,
+        "day-1 session must span the micro-batch boundary (20 min)")
+      val batch = graft.operators.Relational.qConcurrency(spark, dir)
+        .collect()
+        .map(r => r.getAs[String]("day") ->
+          (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_started"))).toMap
+      val got = peaks.toMap.view.filterKeys(_ < "2024-03-05").toMap
+      assert(got == batch, s"refresh peaks $got != batch twin $batch")
+      assert(batch("2024-03-01") == ((2L, 3L)) && batch("2024-03-02") == ((2L, 2L)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
