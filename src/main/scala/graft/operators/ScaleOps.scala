@@ -853,7 +853,83 @@ object ScaleOps extends QueryModule {
          fold_sum
        FROM a"""
 
+  /** Ranks read by q_tdigest and certified by q_tdigest_audit. */
+  val TDigestRanks = Seq(0.5, 0.9, 0.99)
+
+  /** Rank-error envelope for the t-digest certificate:
+    * |exact_rank(est_q) − q·n| ≤ TDigestEps·n + 1. DataSketches' k=200
+    * merging digest sits at ~0.1–0.5% rank error at the median (tighter
+    * at the tails); 2% holds under ANY partial-buffer merge order while
+    * remaining far below what a broken sketch could pass. */
+  val TDigestEps = 0.02
+
+  /** Shared build for q_tdigest / q_tdigest_audit: per-event-type
+    * t-digest assembled in TWO levels — per-(type, day) sketches via
+    * [[graft.functions.TDigestAgg]], rolled up via
+    * [[graft.functions.TDigestMergeAgg]] — so the PLAN itself exercises
+    * the mergeable algebra that is the operator's reason to exist (daily
+    * sketch partitions unioned into any coarser window without touching
+    * raw rows, the q_incr_agg posture for percentiles). Both levels are
+    * partial-aggregable ObjectHashAggregates: the shuffle carries one
+    * ~centroid-array-sized buffer per (type, day), never raw values. */
+  private def tdigestPerType(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TDigestSketch._
+    Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .groupBy("event_type", "day").agg(tdigestAgg(col("value")).as("sk"))
+      .groupBy("event_type").agg(tdigestMergeAgg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        tdigestSummary(col("sk"), TDigestRanks).as("t"))
+  }
+
+  /** q_tdigest: per-event-type value percentiles off the merged t-digest
+    * column (rows-only — interpolated estimates are merge-order-
+    * dependent, so they never sit on a hash gate; q_tdigest_audit is the
+    * hash-gated contract). n/vmin/vmax are exact sketch fields. */
+  def qTdigest(s: SparkSession, dir: String): DataFrame =
+    tdigestPerType(s, dir).select(col("event_type"),
+      col("t.n").as("n"), col("t.vmin").as("vmin"), col("t.vmax").as("vmax"),
+      col("t.qs").getItem(0).as("p50"), col("t.qs").getItem(1).as("p90"),
+      col("t.qs").getItem(2).as("p99"))
+
+  /** q_tdigest_audit: the t-digest accuracy certificate (q_cms_audit
+    * shape — exact anchors hash-gated, the approximation pinned through
+    * guarantee booleans): per (event_type, rank) the sketch's total
+    * weight / min / max — which t-digest carries EXACTLY — gate against
+    * the oracle's count/min/max, and rank_ok asserts the estimate's
+    * EXACT rank (one distributed ≤-count per estimate, the estimates
+    * relation broadcast — never a sort) lands within the
+    * [[TDigestEps]]·n + 1 envelope of the requested rank. A sketch that
+    * lost rows, dropped its min/max contract, or answers quantiles
+    * outside the envelope fails the gate. */
+  def qTdigestAudit(s: SparkSession, dir: String): DataFrame = {
+    val est = tdigestPerType(s, dir)
+      .select(col("event_type"), col("t.n").as("n"),
+        round(col("t.vmin"), 6).as("vmin"), round(col("t.vmax"), 6).as("vmax"),
+        posexplode(col("t.qs")).as(Seq("qi", "est")))
+      .withColumn("qr", element_at(typedLit(TDigestRanks), col("qi") + 1))
+      .drop("qi")
+    Tables.events(s, dir).select(col("event_type"), col("value"))
+      .join(broadcast(est), Seq("event_type"))
+      .groupBy("event_type", "qr", "n", "vmin", "vmax", "est")
+      .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(col("event_type"), col("qr"), col("n"), col("vmin"), col("vmax"),
+        (abs(col("cnt_le") - col("qr") * col("n")) <=
+          lit(TDigestEps) * col("n") + 1).as("rank_ok"))
+  }
+
+  private lazy val qTdigestAuditSql =
+    s"""WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+           FROM events GROUP BY 1),
+         r AS (SELECT unnest([${TDigestRanks.map(r => s"CAST($r AS DOUBLE)").mkString(", ")}]) AS qr)
+       SELECT event_type, qr, n, vmin, vmax, TRUE AS rank_ok
+       FROM t CROSS JOIN r"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tdigest" -> (qTdigest _),
+    "q_tdigest_audit" -> (qTdigestAudit _),
     "q_oracle_canary" -> (qOracleCanary _),
     "q_kmv_intersect" -> (qKmvIntersect _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -873,6 +949,7 @@ object ScaleOps extends QueryModule {
     "q_ewma" -> (qEwma _))
 
   override def oracles: Map[String, String] = Map(
+    "q_tdigest_audit" -> qTdigestAuditSql,
     "q_oracle_canary" -> qOracleCanarySql,
     "q_kmv_intersect" -> qKmvIntersectSql,
     "q_incr_agg" -> qIncrAggSql,

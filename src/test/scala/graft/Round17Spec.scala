@@ -52,4 +52,64 @@ class Round17Spec extends SparkSpec {
     assert(r.getAs[Long]("k") == Recommender.AlsRank.toLong)
     assert(r.getAs[Long]("n_interactions") >= r.getAs[Long]("n_users"))
   }
+
+  test("t-digest aggregate: exact n/min/max, rank-bounded quantiles, and " +
+    "the split-build-then-merge path honors the same contract (1..1000)") {
+    import graft.functions.TDigestSketch._
+    import spark.implicits._
+    // deterministic non-sorted arrival: multiplicative shuffle of 1..1000
+    val vals = (1 to 1000).map(i => ((i * 467) % 1000 + 1).toDouble)
+    assert(vals.distinct.length == 1000)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("half", "v").repartition(7)
+    def contract(row: org.apache.spark.sql.Row): Unit = {
+      val t = row.getAs[org.apache.spark.sql.Row]("t")
+      assert(t.getAs[Long]("n") == 1000L)
+      assert(t.getAs[Double]("vmin") == 1.0 && t.getAs[Double]("vmax") == 1000.0)
+      val qs = t.getAs[scala.collection.Seq[Double]]("qs")
+      // envelope: |rank(est) − q·n| ≤ 0.02·n + 1 ⇒ est within ±21 of q·1000
+      for ((q, est) <- Seq(0.5, 0.9, 0.99).zip(qs))
+        assert(math.abs(est - q * 1000) <= 21.0, s"q=$q est=$est")
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2), "quantiles must be monotone")
+    }
+    // one-level build
+    contract(df.agg(tdigestAgg(col("v")).as("sk"))
+      .select(tdigestSummary(col("sk"), Seq(0.5, 0.9, 0.99)).as("t")).collect()(0))
+    // two-level build: per-half sketches merged — the rollup algebra
+    contract(df.groupBy("half").agg(tdigestAgg(col("v")).as("sk"))
+      .agg(tdigestMergeAgg(col("sk")).as("sk"))
+      .select(tdigestSummary(col("sk"), Seq(0.5, 0.9, 0.99)).as("t")).collect()(0))
+  }
+
+  test("q_tdigest / q_tdigest_audit at sf0.001: per-type percentile panel " +
+    "is ordered and the certificate is all-green") {
+    val sf = "/root/testdata/sf0.001"
+    val panel = operators.ScaleOps.qTdigest(spark, sf).collect()
+    assert(panel.nonEmpty)
+    panel.foreach { r =>
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p90") &&
+        r.getAs[Double]("p90") <= r.getAs[Double]("p99") &&
+        r.getAs[Double]("p99") <= r.getAs[Double]("vmax"),
+        s"panel row out of order: $r")
+    }
+    val audit = operators.ScaleOps.qTdigestAudit(spark, sf).collect()
+    assert(audit.length == panel.length * operators.ScaleOps.TDigestRanks.length)
+    audit.foreach(r => assert(r.getAs[Boolean]("rank_ok"), s"rank_ok false: $r"))
+    // the sketch's total weight IS the exact per-type row count
+    val n = panel.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(n == exact, s"sketch weight $n != exact counts $exact")
+  }
+
+  test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
+    "partial+final (the shuffle carries sketch buffers, not raw values)") {
+    val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Expand"), "no Expand belongs in this plan")
+  }
 }
