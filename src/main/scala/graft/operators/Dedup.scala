@@ -1160,6 +1160,183 @@ object Dedup extends QueryModule {
          CAST(max(pos) + ${SpanN - 1} - min(pos) + 1 AS BIGINT) AS span_toks
        FROM g GROUP BY doc_id, span_id"""
 
+  // ---------------- ExactSubstr (suffix-ordering maximal repeats) ----------------
+
+  /** Minimum repeat length L in tokens for [[qExactSubstr]] — Lee et al.
+    * 2022 remove substrings of ≥ 50 BPE tokens; the synthetic corpus's
+    * templates repeat at shorter spans, so the shipped default is 10
+    * (the parameter, not the algorithm, is corpus-tuned). */
+  val ExactSubstrMinLen = 10
+
+  /** Suffix truncation depth C = the longest reportable repeat unit.
+    * Bounds every aggregate's state to C tokens per group; repeats
+    * longer than C surface with repeat_toks = C and capped = true
+    * (coverage, [[qExactSubstrSpans]], is NOT affected by the cap —
+    * every interior position of a long repeat is itself a duplicated
+    * suffix start, so chained members cover the full extent). */
+  val ExactSubstrCap = 40
+
+  /** (doc_id, pos, gram, prev_tok, sufarr) for every position that
+    * begins a full L-gram: the suffix relation, truncated at C tokens.
+    * Recomputed per consumer (a pure projection off the corpus scan —
+    * cheaper than pinning corpus-wide suffix slices in the cache). */
+  private def suffixStarts(s: SparkSession, dir: String): DataFrame = {
+    val d = TextPrep.rawDocs(s, dir)
+    val base =
+      if (d.columns.contains("rtoks")) d.select(col("doc_id"), col("rtoks"))
+      else d.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+    base.select(col("doc_id"), col("rtoks"),
+        posexplode(TextFns.shingles(col("rtoks"), ExactSubstrMinLen))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), col("gram"),
+        when(col("pos") >= 1, element_at(col("rtoks"), col("pos"))).as("prev_tok"),
+        slice(col("rtoks"), col("pos") + 1, lit(ExactSubstrCap)).as("sufarr"))
+  }
+
+  /** TRUE exact-substring dedup (Lee et al. 2022's ExactSubstr) — the
+    * real maximal-repeat semantics q_dup_spans only approximates (hashed
+    * 5-gram islands give COVERAGE; they cannot name the repeated UNITS,
+    * their lengths, or their occurrence counts). The paper builds a
+    * single-machine suffix array; the distributed equivalent here rests
+    * on two order-theoretic facts:
+    *
+    *  1. suffixes sharing a duplicated L-token prefix are CONTIGUOUS in
+    *     suffix order, so the suffix array's LCP-interval structure at
+    *     depth ≥ L is exactly the duplicate-L-gram grouping — no global
+    *     suffix sort has to be materialized;
+    *  2. within one group, the longest prefix shared by ALL occurrences
+    *     (the repeat unit's length) is LCP(lexicographic MIN suffix,
+    *     lexicographic MAX suffix) — a sorted set's common prefix is the
+    *     LCP of its extremes — and min/max are partial-aggregable, so
+    *     the whole suffix-sort collapses into ONE combiner-friendly
+    *     aggregate carrying ≤ C tokens of state per group.
+    *
+    * Left-maximality (the suffix-array diagonal rule) prunes interior
+    * redundancy: a group whose occurrences are ALL preceded by the same
+    * token is an interior slice of a longer repeat reported one position
+    * left, so it is dropped. Emitted per maximal unit: content digest,
+    * exact length m = LCP(min,max) capped at C, exact occurrence and
+    * doc counts — every column deterministic and DuckDB-derivable, so
+    * the gate is a full hash gate, stronger than the certificate the
+    * operator was scoped for. Scale: one shuffle on the gram key with
+    * map-side combining; no window, no sort, no candidate pairs. */
+  def qExactSubstr(s: SparkSession, dir: String): DataFrame =
+    exactSubstrGroups(s, dir)
+      .filter(!(col("n_prev") === col("n_occ") && col("prev_min") === col("prev_max")))
+      .select(
+        md5(array_join(slice(col("min_arr"), lit(1), col("m").cast("int")), " "))
+          .as("repeat_md5"),
+        col("m").as("repeat_toks"), col("n_occ"), col("n_docs"),
+        (col("m") === ExactSubstrCap).as("capped"))
+
+  /** Duplicated-suffix groups with their set-LCP m — memoized: one
+    * aggregate feeds q_exact_substr AND q_exact_substr_spans. */
+  private def exactSubstrGroups(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.exactsubstr:$dir") {
+      val grp = suffixStarts(s, dir)
+        .withColumn("sufkey", array_join(col("sufarr"), " "))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(col("prev_tok")).as("n_prev"),
+          min(col("prev_tok")).as("prev_min"), max(col("prev_tok")).as("prev_max"),
+          min_by(col("sufarr"), col("sufkey")).as("min_arr"),
+          max(col("sufkey")).as("max_key"))
+        .filter(col("n_occ") > 1)
+      val ff = array_position(
+        zip_with(col("min_arr"), split(col("max_key"), " "),
+          (a, b) => a.eqNullSafe(b)), lit(false))
+      grp.withColumn("m",
+          when(ff > 0, ff - 1)
+            .otherwise(least(size(col("min_arr")), size(split(col("max_key"), " "))))
+            .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** q_exact_substr_spans: per-doc merged COVERED intervals off the
+    * suffix groups — each group member covers [pos, pos+m), intervals
+    * union per doc through a doc-keyed running-max-end island pass. The
+    * gate is the operator's cross-paradigm correctness proof run as a
+    * query: the oracle computes coverage the ENTIRELY different
+    * L-gram-island way (every position under a ≥L repeat lies under a
+    * duplicated L-gram and vice versa — the window-union reduction of
+    * ExactSubstr), and the two interval sets must match row-for-row.
+    * This is what a span-scrub consumes; q_span_scrub's rewrite applies
+    * unchanged downstream. */
+  def qExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = suffixStarts(s, dir).select(col("doc_id"), col("pos"), col("gram"))
+      .join(exactSubstrGroups(s, dir).select(col("gram"), col("m")), Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("st"),
+        (col("pos") + col("m") - 1L).as("en"))
+    val w = Window.partitionBy("doc_id").orderBy("st")
+    iv.withColumn("max_en_before",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("st") > coalesce(col("max_en_before"), lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_toks"))
+  }
+
+  private lazy val qExactSubstrSql = {
+    val L = ExactSubstrMinLen; val C = ExactSubstrCap
+    val toks = TextFns.rawTokensSql("text")
+    val sh = TextFns.shinglesSql("toks", L)
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       s AS (SELECT doc_id, generate_subscripts($sh, 1) AS posn,
+               unnest($sh) AS gram, toks
+             FROM t),
+       p AS (SELECT doc_id, gram,
+               CASE WHEN posn >= 2 THEN toks[posn - 1] END AS prev_tok,
+               list_slice(toks, posn, posn + $C - 1) AS suf,
+               array_to_string(list_slice(toks, posn, posn + $C - 1), ' ') AS sufkey
+             FROM s),
+       grp AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 count(prev_tok) AS n_prev,
+                 min(prev_tok) AS prev_min, max(prev_tok) AS prev_max,
+                 arg_min(suf, sufkey) AS min_arr,
+                 string_split(max(sufkey), ' ') AS max_arr
+               FROM p GROUP BY gram HAVING count(*) > 1),
+       lcp AS (SELECT *,
+                 least(len(min_arr), len(max_arr)) AS lo,
+                 list_position(list_transform(range(1, least(len(min_arr), len(max_arr)) + 1),
+                   i -> min_arr[i] = max_arr[i]), false) AS ff
+               FROM grp)
+       SELECT md5(array_to_string(list_slice(min_arr, 1,
+                CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END), ' ')) AS repeat_md5,
+         CAST(CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END AS BIGINT) AS repeat_toks,
+         n_occ, n_docs,
+         CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END = $C AS capped
+       FROM lcp
+       WHERE NOT (n_prev = n_occ AND prev_min = prev_max)"""
+  }
+
+  private lazy val qExactSubstrSpansSql = {
+    val L = ExactSubstrMinLen
+    val toks = TextFns.rawTokensSql("text")
+    val sh = TextFns.shinglesSql("toks", L)
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       s AS (SELECT doc_id, generate_subscripts($sh, 1) - 1 AS pos, unnest($sh) AS gram
+             FROM t),
+       dup AS (SELECT gram FROM s GROUP BY gram HAVING count(*) > 1),
+       d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (gram)),
+       m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
+               OVER (PARTITION BY doc_id ORDER BY pos) <= $L THEN 0 ELSE 1 END AS new_span
+             FROM d),
+       g AS (SELECT doc_id, pos, sum(new_span)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+             FROM m)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + ${L - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) + ${L - 1} - min(pos) + 1 AS BIGINT) AS span_toks
+       FROM g GROUP BY doc_id, span_id"""
+  }
+
   /** q_split_leakfree: LEAKAGE-AWARE train/test split — the reason dedup
     * clusters exist in a training pipeline: near-duplicate docs must land
     * on the SAME side, or eval leaks paraphrases of training data. Every
@@ -1829,6 +2006,8 @@ object Dedup extends QueryModule {
     "q_decon_semantic" -> (qDeconSemantic _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_exact_substr" -> (qExactSubstr _),
+    "q_exact_substr_spans" -> (qExactSubstrSpans _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_line_dedup" -> (qLineDedup _),
@@ -1859,6 +2038,8 @@ object Dedup extends QueryModule {
     "q_decon_semantic" -> qDeconSemanticSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_exact_substr" -> qExactSubstrSql,
+    "q_exact_substr_spans" -> qExactSubstrSpansSql,
     "q_span_scrub" -> qSpanScrubSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,

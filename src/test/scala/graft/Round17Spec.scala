@@ -105,6 +105,64 @@ class Round17Spec extends SparkSpec {
     assert(n == exact, s"sketch weight $n != exact counts $exact")
   }
 
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17d").toString
+    rows.map { case (id, text) => (id, "s1", text, "en", text.length.toLong) }
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_exact_substr fixture: one left-maximal unit per planted repeat, " +
+    "exact length/occurrence counts, cap honored, spans cover the full " +
+    "repeat extents (hand-computed)") {
+    // P = 12 planted tokens shared by docs 1-2 (different neighbors →
+    // exactly ONE left-maximal unit of length 12; the two interior
+    // 10-gram groups share their preceding token and must be pruned).
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    // Q = 45 planted tokens (> cap 40) shared by docs 3-4; doc 3 starts
+    // with it (no preceding token → left-maximal even though doc 4 has
+    // one), so the unit reports at the cap with capped = true.
+    val q = (1 to 45).map(i => s"q$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"xa xb $p ya yb"),
+      (2L, s"za $p wa"),
+      (3L, s"$q aa bb"),
+      (4L, s"ca da ea $q")))
+    try {
+      val units = operators.Dedup.qExactSubstr(spark, dir).collect()
+        .map(r => (r.getAs[Long]("repeat_toks"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("n_docs"), r.getAs[Boolean]("capped"))).sortBy(_._1)
+      assert(units.toSeq == Seq((12L, 2L, 2L, false), (40L, 2L, 2L, true)),
+        s"units: ${units.toSeq}")
+      val spans = operators.Dedup.qExactSubstrSpans(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))).toMap
+      // P sits at tokens 2..13 of doc 1 and 1..12 of doc 2; Q fills
+      // 0..44 of doc 3 and 3..47 of doc 4 — coverage is cap-immune
+      // because interior duplicated suffixes chain to the true extent
+      assert(spans == Map(1L -> ((2L, 13L)), 2L -> ((1L, 12L)),
+        3L -> ((0L, 44L)), 4L -> ((3L, 47L))), s"spans: $spans")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("q_exact_substr at sf0.001: units are what q_dup_spans cannot " +
+    "name — every unit at least MinLen tokens with >=2 occurrences, " +
+    "uncapped units' md5 lengths consistent") {
+    val rows = operators.Dedup.qExactSubstr(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("repeat_toks") >= operators.Dedup.ExactSubstrMinLen.toLong)
+      assert(r.getAs[Long]("repeat_toks") <= operators.Dedup.ExactSubstrCap.toLong)
+      assert(r.getAs[Long]("n_occ") >= 2L)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Boolean]("capped") ==
+        (r.getAs[Long]("repeat_toks") == operators.Dedup.ExactSubstrCap.toLong))
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
