@@ -983,6 +983,46 @@ object EventStream {
       }
   }
 
+  case class TdIn(key: String, v: Double)
+  case class TdEmit(key: String, n: Long, vmin: Double, vmax: Double,
+      p50: Double, p95: Double, sketch: Array[Byte])
+
+  /** Streaming t-digest percentile monitor — the stateful twin of the
+    * batch q_tdigest panel and the quantile member of the
+    * streaming-sketch monitor family (KMV distinct 68s, space-saving
+    * heavy hitters 65k, histogram drift 67j): state per key is ONE
+    * serialized [[graft.functions.TDigestAgg]] wire-format sketch —
+    * O(compression) bytes regardless of stream length — updated in
+    * place each micro-batch; emits the running exact n/min/max, the
+    * p50/p95 estimates, and the snapshot ITSELF. Because the state is
+    * the batch aggregate's own wire format, a snapshot composes with
+    * batch-built sketches through tdigest_merge_agg — a day's stream
+    * monitor state IS that day's sketch-table row, so the streaming and
+    * batch rollup worlds share one artifact (the same property 68s
+    * pins for KMV). Same per-key event-time convention as the other
+    * monitors; replay of an unacknowledged batch double-counts, the
+    * documented flatMapGroupsWithState seam (36c's idempotent sink is
+    * the production answer). */
+  def runningTDigest(events: Dataset[TdIn], k: Int = graft.functions.TDigestSketch.DefaultK): Dataset[TdEmit] = {
+    import events.sparkSession.implicits._
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.tdigest.TDigestDouble
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Byte], TdEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[Array[Byte]]) =>
+          val td = state.getOption
+            .map(b => TDigestDouble.heapify(Memory.wrap(b)))
+            .getOrElse(new TDigestDouble(k.toShort))
+          rows.foreach(r => td.update(r.v))
+          val bytes = td.toByteArray
+          state.update(bytes)
+          Iterator.single(TdEmit(key, td.getTotalWeight,
+            td.getMinValue, td.getMaxValue,
+            td.getQuantile(0.5), td.getQuantile(0.95), bytes))
+      }
+  }
+
   case class DayUser(user_id: Long, day: String)
   case class NvrState(first_day: String, emitted: List[String])
   case class NvrEmit(day: String, user_id: Long, is_new: Boolean)

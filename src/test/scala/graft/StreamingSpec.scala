@@ -1015,6 +1015,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming t-digest monitor: running n/min/max exact across a " +
+    "micro-batch boundary, p50/p95 rank-bounded, and the emitted snapshot " +
+    "merges with a batch-built sketch through tdigest_merge_agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TDigestSketch._
+    val input = MemoryStream[EventStream.TdIn]
+    val q = EventStream.runningTDigest(input.toDS())
+      .writeStream.format("memory").queryName("td_out")
+      .outputMode("update").start()
+    // deterministic non-sorted arrival, split across two micro-batches
+    val all = (1 to 1000).map(i => ((i * 467) % 1000 + 1).toDouble)
+    try {
+      input.addData(all.take(500).map(v => EventStream.TdIn("lat", v)))
+      q.processAllAvailable()
+      input.addData(all.drop(500).map(v => EventStream.TdIn("lat", v)))
+      q.processAllAvailable()
+      val snaps = spark.table("td_out").collect()
+      assert(snaps.length == 2, "one emission per micro-batch")
+      val fin = snaps.maxBy(_.getAs[Long]("n"))
+      assert(fin.getAs[Long]("n") == 1000L, "running weight must be exact")
+      assert(fin.getAs[Double]("vmin") == 1.0 && fin.getAs[Double]("vmax") == 1000.0)
+      assert(math.abs(fin.getAs[Double]("p50") - 500.0) <= 21.0)
+      assert(math.abs(fin.getAs[Double]("p95") - 950.0) <= 21.0)
+      // snapshot composability: the monitor's state merges with a
+      // batch-built sketch of ANOTHER 1000 values into one 2000-weight
+      // digest — streaming state and batch sketch tables share a format
+      import spark.implicits._
+      val other = (1001 to 2000).map(_.toDouble).toDF("v")
+        .agg(tdigestAgg(col("v")).as("sk")).select(col("sk").as("sketch"))
+      val merged = other.unionByName(
+          spark.table("td_out").filter(col("n") === 1000L).select("sketch"))
+        .agg(tdigestMergeAgg(col("sketch")).as("sk"))
+        .select(tdigestSummary(col("sk"), Seq(0.5)).as("t")).collect()(0)
+        .getAs[org.apache.spark.sql.Row]("t")
+      assert(merged.getAs[Long]("n") == 2000L)
+      assert(merged.getAs[Double]("vmin") == 1.0 &&
+        merged.getAs[Double]("vmax") == 2000.0)
+      assert(math.abs(merged.getAs[scala.collection.Seq[Double]]("qs")(0) - 1000.0)
+        <= 41.0)
+    } finally q.stop()
+  }
+
   test("streaming concurrency refresh: the foreachBatch incremental sweep " +
     "equals the batch q_concurrency twin, with a session merging across " +
     "a micro-batch boundary (r16 verdict task 5)") {
