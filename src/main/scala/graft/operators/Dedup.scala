@@ -1183,15 +1183,22 @@ object Dedup extends QueryModule {
   private def suffixStarts(s: SparkSession, dir: String): DataFrame = {
     val d = TextPrep.rawDocs(s, dir)
     val base =
-      if (d.columns.contains("rtoks")) d.select(col("doc_id"), col("rtoks"))
-      else d.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
-    base.select(col("doc_id"), col("rtoks"),
+      if (d.columns.contains("rtoks")) d.select(col("doc_id"), col("source"), col("rtoks"))
+      else d.select(col("doc_id"), col("source"), TextFns.rawTokens(col("text")).as("rtoks"))
+    base.select(col("doc_id"), col("source"), col("rtoks"),
         posexplode(TextFns.shingles(col("rtoks"), ExactSubstrMinLen))
           .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), col("gram"),
+      .select(col("doc_id"), col("source"), col("pos"), col("gram"),
         when(col("pos") >= 1, element_at(col("rtoks"), col("pos"))).as("prev_tok"),
         slice(col("rtoks"), col("pos") + 1, lit(ExactSubstrCap)).as("sufarr"))
   }
+
+  /** Left-maximality (the suffix-array diagonal rule) over the group
+    * aggregates: a group whose occurrences are ALL preceded by one same
+    * token is an interior slice of a longer repeat reported one
+    * position left. */
+  private def leftMaximal: Column =
+    !(col("n_prev") === col("n_occ") && col("prev_min") === col("prev_max"))
 
   /** TRUE exact-substring dedup (Lee et al. 2022's ExactSubstr) — the
     * real maximal-repeat semantics q_dup_spans only approximates (hashed
@@ -1222,7 +1229,7 @@ object Dedup extends QueryModule {
     * map-side combining; no window, no sort, no candidate pairs. */
   def qExactSubstr(s: SparkSession, dir: String): DataFrame =
     exactSubstrGroups(s, dir)
-      .filter(!(col("n_prev") === col("n_occ") && col("prev_min") === col("prev_max")))
+      .filter(leftMaximal)
       .select(
         md5(array_join(slice(col("min_arr"), lit(1), col("m").cast("int")), " "))
           .as("repeat_md5"),
@@ -1282,15 +1289,19 @@ object Dedup extends QueryModule {
         (col("span_end") - col("span_start") + 1L).as("span_toks"))
   }
 
-  private lazy val qExactSubstrSql = {
+  /** Shared oracle CTE chain (t → s → p → grp → lcp, with the set-LCP
+    * `m` computed once in lcp) — ONE definition consumed by the unit and
+    * the cross-source oracles so the LCP/left-maximality rules cannot
+    * drift between gated queries. Callers prepend WITH. */
+  private lazy val exactSubstrCtes = {
     val L = ExactSubstrMinLen; val C = ExactSubstrCap
     val toks = TextFns.rawTokensSql("text")
     val sh = TextFns.shinglesSql("toks", L)
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-       s AS (SELECT doc_id, generate_subscripts($sh, 1) AS posn,
+    s"""t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+       s AS (SELECT doc_id, source, generate_subscripts($sh, 1) AS posn,
                unnest($sh) AS gram, toks
              FROM t),
-       p AS (SELECT doc_id, gram,
+       p AS (SELECT doc_id, source, gram,
                CASE WHEN posn >= 2 THEN toks[posn - 1] END AS prev_tok,
                list_slice(toks, posn, posn + $C - 1) AS suf,
                array_to_string(list_slice(toks, posn, posn + $C - 1), ' ') AS sufkey
@@ -1303,18 +1314,64 @@ object Dedup extends QueryModule {
                  string_split(max(sufkey), ' ') AS max_arr
                FROM p GROUP BY gram HAVING count(*) > 1),
        lcp AS (SELECT *,
-                 least(len(min_arr), len(max_arr)) AS lo,
-                 list_position(list_transform(range(1, least(len(min_arr), len(max_arr)) + 1),
-                   i -> min_arr[i] = max_arr[i]), false) AS ff
-               FROM grp)
-       SELECT md5(array_to_string(list_slice(min_arr, 1,
-                CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END), ' ')) AS repeat_md5,
-         CAST(CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END AS BIGINT) AS repeat_toks,
-         n_occ, n_docs,
-         CASE WHEN ff IS NULL OR ff = 0 THEN lo ELSE ff - 1 END = $C AS capped
+                 CASE WHEN list_position(list_transform(
+                     range(1, least(len(min_arr), len(max_arr)) + 1),
+                     i -> min_arr[i] = max_arr[i]), false) IS NULL
+                   OR list_position(list_transform(
+                     range(1, least(len(min_arr), len(max_arr)) + 1),
+                     i -> min_arr[i] = max_arr[i]), false) = 0
+                 THEN least(len(min_arr), len(max_arr))
+                 ELSE list_position(list_transform(
+                     range(1, least(len(min_arr), len(max_arr)) + 1),
+                     i -> min_arr[i] = max_arr[i]), false) - 1 END AS m
+               FROM grp)"""
+  }
+
+  private lazy val qExactSubstrSql =
+    s"""WITH $exactSubstrCtes
+       SELECT md5(array_to_string(list_slice(min_arr, 1, m), ' ')) AS repeat_md5,
+         CAST(m AS BIGINT) AS repeat_toks, n_occ, n_docs,
+         m = $ExactSubstrCap AS capped
        FROM lcp
        WHERE NOT (n_prev = n_occ AND prev_min = prev_max)"""
+
+  /** q_source_verbatim: cross-source VERBATIM contamination matrix — the
+    * exact-substring counterpart of 47b2's shingle-Jaccard overlap
+    * (which asks "how similar are two sources"; this asks the curation
+    * question "how much text do they share LITERALLY, and how long does
+    * it run"): for each source pair, the number of duplicated L-gram
+    * groups present in both, how many left-maximal repeat UNITS span
+    * both, and the longest shared verbatim run (max set-LCP, capped at
+    * C). Rides the memoized suffix groups; the pair expansion is one
+    * posting self-join on the gram key whose fan-out per gram is
+    * (#sources containing it choose 2) — bounded by the source
+    * DIMENSION, never the corpus (the bounded-dims convention of
+    * q_mutual_info / q_cramers_v). */
+  def qSourceVerbatim(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = suffixStarts(s, dir).select(col("gram"), col("source")).distinct()
+    val pairs = perSrc.as("a").join(perSrc.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .select(col("a.gram").as("gram"), col("a.source").as("src_a"),
+        col("b.source").as("src_b"))
+    pairs.join(exactSubstrGroups(s, dir)
+        .select(col("gram"), col("m"), leftMaximal.as("lm")), Seq("gram"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_grams_shared"),
+        sum(when(col("lm"), 1L).otherwise(0L)).as("n_units_shared"),
+        max(col("m")).as("max_repeat_toks"))
   }
+
+  private lazy val qSourceVerbatimSql =
+    s"""WITH $exactSubstrCtes,
+       ps AS (SELECT DISTINCT gram, source FROM p),
+       pr AS (SELECT a.gram AS gram, a.source AS src_a, b.source AS src_b
+              FROM ps a JOIN ps b ON a.gram = b.gram AND a.source < b.source)
+       SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_grams_shared,
+         CAST(sum(CASE WHEN NOT (n_prev = n_occ AND prev_min = prev_max)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_units_shared,
+         CAST(max(m) AS BIGINT) AS max_repeat_toks
+       FROM pr JOIN lcp USING (gram)
+       GROUP BY src_a, src_b"""
 
   private lazy val qExactSubstrSpansSql = {
     val L = ExactSubstrMinLen
@@ -2008,6 +2065,7 @@ object Dedup extends QueryModule {
     "q_dup_spans" -> (qDupSpans _),
     "q_exact_substr" -> (qExactSubstr _),
     "q_exact_substr_spans" -> (qExactSubstrSpans _),
+    "q_source_verbatim" -> (qSourceVerbatim _),
     "q_span_scrub" -> (qSpanScrub _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_line_dedup" -> (qLineDedup _),
@@ -2040,6 +2098,7 @@ object Dedup extends QueryModule {
     "q_dup_spans" -> qDupSpansSql,
     "q_exact_substr" -> qExactSubstrSql,
     "q_exact_substr_spans" -> qExactSubstrSpansSql,
+    "q_source_verbatim" -> qSourceVerbatimSql,
     "q_span_scrub" -> qSpanScrubSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,

@@ -105,10 +105,10 @@ class Round17Spec extends SparkSpec {
     assert(n == exact, s"sketch weight $n != exact counts $exact")
   }
 
-  private def writeDocs(rows: Seq[(Long, String)]): String = {
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-r17d").toString
-    rows.map { case (id, text) => (id, "s1", text, "en", text.length.toLong) }
+    rows.map { case (id, src, text) => (id, src, text, "en", text.length.toLong) }
       .toDF("doc_id", "source", "text", "lang", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -126,10 +126,10 @@ class Round17Spec extends SparkSpec {
     // one), so the unit reports at the cap with capped = true.
     val q = (1 to 45).map(i => s"q$i").mkString(" ")
     val dir = writeDocs(Seq(
-      (1L, s"xa xb $p ya yb"),
-      (2L, s"za $p wa"),
-      (3L, s"$q aa bb"),
-      (4L, s"ca da ea $q")))
+      (1L, "sa", s"xa xb $p ya yb"),
+      (2L, "sb", s"za $p wa"),
+      (3L, "sc", s"$q aa bb"),
+      (4L, "sd", s"ca da ea $q")))
     try {
       val units = operators.Dedup.qExactSubstr(spark, dir).collect()
         .map(r => (r.getAs[Long]("repeat_toks"), r.getAs[Long]("n_occ"),
@@ -144,6 +144,15 @@ class Round17Spec extends SparkSpec {
       // because interior duplicated suffixes chain to the true extent
       assert(spans == Map(1L -> ((2L, 13L)), 2L -> ((1L, 12L)),
         3L -> ((0L, 44L)), 4L -> ((3L, 47L))), s"spans: $spans")
+      // cross-source matrix (hand-computed): P spans (sa, sb) with its
+      // 3 duplicated 10-grams and 1 left-maximal unit of 12 tokens;
+      // Q spans (sc, sd) with 36 grams, 1 unit, capped max run of 40
+      val verb = operators.Dedup.qSourceVerbatim(spark, dir).collect()
+        .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+          ((r.getAs[Long]("n_grams_shared"), r.getAs[Long]("n_units_shared"),
+            r.getAs[Long]("max_repeat_toks")))).toMap
+      assert(verb == Map(("sa", "sb") -> ((3L, 1L, 12L)),
+        ("sc", "sd") -> ((36L, 1L, 40L))), s"verbatim matrix: $verb")
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
