@@ -180,4 +180,31 @@ class PlanShapeSpec extends SparkSpec {
     winLines.foreach(l => assert(l.contains("user_id"),
       s"q_concurrency: unkeyed window in plan line: $l"))
   }
+
+  test("r17 additions keep their designed shapes: suffix-group joins stay " +
+    "equi-keyed, span windows are doc-keyed, the t-digest estimate side " +
+    "broadcasts, no cartesian anywhere") {
+    Seq(
+      "q_exact_substr" -> operators.Dedup.qExactSubstr(spark, sfDir),
+      "q_exact_substr_spans" -> operators.Dedup.qExactSubstrSpans(spark, sfDir),
+      "q_source_verbatim" -> operators.Dedup.qSourceVerbatim(spark, sfDir),
+      "q_tdigest_audit" -> operators.ScaleOps.qTdigestAudit(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+    // the spans island pass must window per DOC, never globally
+    val ps = plan(operators.Dedup.qExactSubstrSpans(spark, sfDir))
+    ps.linesIterator.filter(_.trim.startsWith("Window")).foreach(l =>
+      assert(l.contains("doc_id"), s"q_exact_substr_spans: unkeyed window: $l"))
+    // the t-digest audit joins the bounded (type, rank) estimates to the
+    // events scan via broadcast — a shuffle join here would shuffle the
+    // fact table against a ~15-row relation
+    assert(plan(operators.ScaleOps.qTdigestAudit(spark, sfDir))
+      .contains("BroadcastHashJoin"), "q_tdigest_audit must broadcast the estimates")
+    // q_tdigest itself: two aggregate levels, sketch buffers in flight,
+    // no window and no join at all
+    val pt = plan(operators.ScaleOps.qTdigest(spark, sfDir))
+    assert(!pt.contains("Window") && !pt.contains("Join"), pt.take(1200))
+  }
 }
