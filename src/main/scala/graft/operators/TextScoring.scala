@@ -591,7 +591,61 @@ object TextScoring extends QueryModule {
        FROM documents"""
   }
 
+  /** Head size reported by [[qNegSampling]] (the full table is
+    * vocabulary-sized; the gate pins the head the trainer actually
+    * inspects — the q_cms_audit TopK convention). */
+  val NegSamplingTopK = 100
+
+  /** q_neg_sampling: word2vec/GloVe negative-sampling distribution —
+    * the embedding-training-prep member of the sampling family beside
+    * q_temp_sampling (α=0.5 via one sqrt): Mikolov's canonical unigram
+    * exponent is 0.75, and x^0.75 = sqrt(x·sqrt(x)) — two IEEE
+    * CORRECTLY-ROUNDED sqrts and one multiply, so the weight is
+    * bit-identical across engines where a general pow(x, 0.75) is not
+    * (the libm-seam rule that bans exp/pow from gated surfaces).
+    * The normalizer dodges the k-bounded ordered-fold idiom entirely:
+    * weights are quantized to exact integers wq = ⌊w·2²⁰⌋ (the scale is
+    * a power of TWO, so the multiply is exact), making Z = Σwq an
+    * order-FREE exact-integer sum — fully partial-aggregable over a
+    * vocabulary no collect_list fold should ever hold (the fold rule is
+    * for k-bounded relations; vocabularies are not k-bounded). share
+    * and the vs-unigram boost are single divisions of exact integers,
+    * rounded on output only. One aggregate over the memoized token
+    * stats + a TakeOrderedAndProject head. */
+  def qNegSampling(s: SparkSession, dir: String): DataFrame = {
+    val w = TextPrep.tokenStats(s, dir).select(col("tok"), col("cf"),
+      floor(sqrt(col("cf").cast("double") * sqrt(col("cf").cast("double")))
+        * 1048576.0).as("wq"))
+    val tot = w.agg(sum(col("wq")).as("zw"), sum(col("cf")).as("zc"))
+    w.orderBy(col("cf").desc, col("tok").asc).limit(NegSamplingTopK)
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("cf"), col("wq"),
+        round(col("wq").cast("double") / col("zw"), 6).as("share"),
+        round((col("wq").cast("double") / col("zw"))
+          * (col("zc").cast("double") / col("cf")), 6).as("boost"))
+  }
+
+  private lazy val qNegSamplingSql = {
+    val toks = TextFns.cleanTokensSql("text")
+    s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+       stats AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tk GROUP BY tok),
+       w AS (SELECT tok, cf,
+               CAST(floor(sqrt(cf * sqrt(cf)) * 1048576) AS BIGINT) AS wq
+             FROM stats),
+       tot AS (SELECT CAST(sum(wq) AS BIGINT) AS zw,
+                 CAST(sum(cf) AS BIGINT) AS zc FROM w),
+       top AS (SELECT tok, cf, wq FROM (
+                 SELECT tok, cf, wq,
+                   row_number() OVER (ORDER BY cf DESC, tok ASC) AS r
+                 FROM w) WHERE r <= $NegSamplingTopK)
+       SELECT tok, cf, wq,
+         round(CAST(wq AS DOUBLE) / zw, 6) AS share,
+         round((CAST(wq AS DOUBLE) / zw) * (CAST(zc AS DOUBLE) / cf), 6) AS boost
+       FROM top CROSS JOIN tot"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neg_sampling" -> (qNegSampling _),
     "q_blocklist" -> (qBlocklist _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_good_turing" -> (qGoodTuring _),
@@ -606,6 +660,7 @@ object TextScoring extends QueryModule {
     "q_fourfifths" -> (qFourFifths _))
 
   override def oracles: Map[String, String] = Map(
+    "q_neg_sampling" -> qNegSamplingSql,
     "q_blocklist" -> qBlocklistSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_good_turing" -> qGoodTuringSql,

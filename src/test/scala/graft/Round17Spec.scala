@@ -172,6 +172,25 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_neg_sampling fixture: wq = floor(2^20 * cf^0.75) through the " +
+    "sqrt composition (hand-computed), rare tokens boosted above their " +
+    "unigram share, frequent ones flattened") {
+    val dir = writeDocs(Seq((1L, "sa", "alpha alpha alpha alpha beta")))
+    try {
+      val rows = operators.TextScoring.qNegSampling(spark, dir).collect()
+        .map(r => r.getAs[String]("tok") ->
+          ((r.getAs[Long]("cf"), r.getAs[Long]("wq"), r.getAs[Double]("share"),
+            r.getAs[Double]("boost")))).toMap
+      // 4^0.75 = sqrt(4*sqrt(4)) = sqrt(8): wq = floor(2.8284271247461903 * 2^20)
+      assert(rows("alpha")._1 == 4L && rows("alpha")._2 == 2965820L, rows.toString)
+      assert(rows("beta")._1 == 1L && rows("beta")._2 == 1048576L)
+      assert(math.abs(rows("alpha")._3 + rows("beta")._3 - 1.0) < 2e-6)
+      // the 0.75 exponent flattens: frequent token boost < 1 < rare boost
+      assert(rows("alpha")._4 < 1.0 && rows("beta")._4 > 1.0, rows.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
