@@ -1975,6 +1975,54 @@ object Relational extends QueryModule {
          WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
            AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"""
 
+  /** q_streaks: longest consecutive-day activity streak per user, rolled
+    * up into the engagement streak-length distribution (the classic
+    * gaps-and-islands shape every growth dashboard carries). Islands via
+    * the day_num − row_number() constant; BOTH the ranking window and the
+    * island aggregation are keyed by user, so the pipeline is one
+    * user-keyed shuffle, a per-user max, and a bounded streak-length
+    * rollup — no unkeyed windows, no self-joins, no inequality joins, the
+    * shape that survives an arbitrarily long history at 100 TB. Share is
+    * one division of exact integers, rounded on output. */
+  def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).as("day_num"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day_num").asc)
+    val best = byDay
+      .withColumn("island", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("streak_days"))
+    val total = best.agg(count(lit(1)).as("n_total"))
+    best.groupBy("streak_days")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("streak_days"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total").cast("double"),
+          6).as("share"))
+  }
+
+  private val qStreaksSql =
+    """WITH bd AS (SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01',
+             CAST(date_trunc('day', ts) AS DATE)) AS day_num
+         FROM events),
+       isl AS (SELECT user_id,
+           day_num - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day_num) AS island
+         FROM bd),
+       st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+              FROM isl GROUP BY user_id, island),
+       best AS (SELECT user_id, max(len) AS streak_days
+                FROM st GROUP BY user_id),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM best)
+       SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users,
+         round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+       FROM best CROSS JOIN tot GROUP BY streak_days, n_total"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> (qSkyline _),
     "q1_agg" -> (q1Agg _),
@@ -2026,7 +2074,8 @@ object Relational extends QueryModule {
     "q_new_vs_returning" -> (qNewVsReturning _),
     "q_funnel_time" -> (qFunnelTime _),
     "q_rfm" -> (qRfm _),
-    "q_cohort_revenue" -> (qCohortRevenue _))
+    "q_cohort_revenue" -> (qCohortRevenue _),
+    "q_streaks" -> (qStreaks _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -2079,5 +2128,6 @@ object Relational extends QueryModule {
     "q_new_vs_returning" -> qNewVsReturningSql,
     "q_funnel_time" -> qFunnelTimeSql,
     "q_rfm" -> qRfmSql,
-    "q_cohort_revenue" -> qCohortRevenueSql)
+    "q_cohort_revenue" -> qCohortRevenueSql,
+    "q_streaks" -> qStreaksSql)
 }

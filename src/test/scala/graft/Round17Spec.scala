@@ -114,6 +114,30 @@ class Round17Spec extends SparkSpec {
     dir
   }
 
+  test("q_streaks fixture: gaps-and-islands longest-run per user, " +
+    "distribution hand-computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17e").toString
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // user 1: days 1,2,3 then 5,6 (two visits on day 2) -> best 3
+    // user 2: days 1, 3 -> best 1;  user 3: days 4..7 -> best 4
+    val rows = Seq((1L, ts(1, 8)), (2L, ts(2, 9)), (3L, ts(2, 21)),
+      (4L, ts(3, 8)), (5L, ts(5, 8)), (6L, ts(6, 8))).map(r => (r._1, r._2, 1L)) ++
+      Seq((7L, ts(1, 8)), (8L, ts(3, 8))).map(r => (r._1, r._2, 2L)) ++
+      (4 to 7).map(d => (8L + d, ts(d, 8), 3L))
+    try {
+      rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = operators.Relational.qStreaks(spark, dir).collect()
+        .map(r => r.getAs[Long]("streak_days") ->
+          ((r.getAs[Long]("n_users"), r.getAs[Double]("share")))).toMap
+      assert(got == Map(3L -> ((1L, 0.333333)), 1L -> ((1L, 0.333333)),
+        4L -> ((1L, 0.333333))), s"got $got")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_exact_substr fixture: one left-maximal unit per planted repeat, " +
     "exact length/occurrence counts, cap honored, spans cover the full " +
     "repeat extents (hand-computed)") {
