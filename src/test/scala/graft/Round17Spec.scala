@@ -114,6 +114,44 @@ class Round17Spec extends SparkSpec {
     dir
   }
 
+  test("q_w2v fixture: vocabulary is exactly the minCount-eligible token " +
+    "set, every anchor gets TopK ranked neighbors, cosines in [-1,1]") {
+    // 4 words, each cf = 6 >= minCount 5; "rare" appears once -> excluded
+    val dir = writeDocs((1L to 6L).map(i =>
+      (i, "sa", "alpha beta gamma delta")) :+ (7L, "sb", "rare"))
+    try {
+      val vocab = operators.Embeddings.vectors(spark, dir).collect()
+        .map(_.getAs[String]("word")).toSet
+      assert(vocab == Set("alpha", "beta", "gamma", "delta"), vocab.toString)
+      val nn = operators.Embeddings.qW2v(spark, dir).collect()
+      val byAnchor = nn.groupBy(_.getAs[String]("anchor"))
+      assert(byAnchor.keySet == vocab)
+      byAnchor.foreach { case (a, rs) =>
+        assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3), a)
+        rs.foreach { r =>
+          val c = r.getAs[Double]("cos")
+          assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"$a cos $c")
+          assert(r.getAs[String]("neighbor") != a)
+        }
+      }
+      val audit = operators.Embeddings.qW2vAudit(spark, dir).collect()(0)
+      assert(audit.getAs[Long]("n_vocab") == 4L)
+      assert(audit.getAs[Long]("n_anchors") == 4L)
+      for (c <- Seq("vocab_ok", "dims_ok", "finite_ok", "norm_ok", "coverage_ok"))
+        assert(audit.getAs[Boolean](c), s"$c false")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("q_w2v_audit: every certificate boolean true at sf0.001") {
+    val r = operators.Embeddings.qW2vAudit(spark, "/root/testdata/sf0.001").collect()(0)
+    for (c <- Seq("vocab_ok", "dims_ok", "finite_ok", "norm_ok", "coverage_ok"))
+      assert(r.getAs[Boolean](c), s"$c false")
+    assert(r.getAs[Long]("k") == operators.Embeddings.W2vDim.toLong)
+    assert(r.getAs[Long]("n_anchors") <=
+      math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
+  }
+
   test("q_streaks fixture: gaps-and-islands longest-run per user, " +
     "distribution hand-computed") {
     import spark.implicits._
