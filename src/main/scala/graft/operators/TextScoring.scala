@@ -396,6 +396,126 @@ object TextScoring extends QueryModule {
        FROM q JOIN r ON r.doc_id = q.doc_id
        GROUP BY 1"""
 
+  /** Brier quantization scale: 2²⁰ — a power of TWO, so quality·2²⁰ is
+    * an exact IEEE multiply and ⌊·⌋ lands on the same integer in both
+    * engines. */
+  private val BrierScale = 1048576L
+  private val BrierScaleSq = 1099511627776.0 // 2^40, exact in double
+
+  /** q_brier: Brier score of the quality score read as a probability
+    * forecast of the Gopher gate, with the FULL Murphy (1973)
+    * decomposition over q_calibration's deciles — reliability (how far
+    * bin forecasts sit from bin outcomes), resolution (how far bin
+    * outcomes spread from the base rate), uncertainty (the base rate's
+    * own variance), and the two within-bin terms — variance AND
+    * covariance — that make the identity
+    * brier = rel − res + unc + wbv − 2·wbc EXACT at doc granularity
+    * (the 3-term textbook decomposition is exact only for forecasts
+    * already collapsed to bin representatives; a continuous score
+    * binned into deciles carries both residual terms, and the spec
+    * asserts the full identity). The score-quality panel beside
+    * q_calibration / q_auc / q_lift.
+    *
+    * Determinism: forecasts are quantized to exact integers
+    * pq = ⌊quality·2²⁰⌋, so the global numerator Σ(pq − y·2²⁰)² is an
+    * order-FREE exact integer sum (DECIMAL-widened internally, cast to
+    * double ONCE on the surface); per-bin means are single divisions of
+    * exact integers; the three bin-level sums fold a SORTED ≤10-element
+    * array (the k-bounded ordered-fold rule); uncertainty is exact
+    * integer arithmetic divided once. One doc-keyed join + one bounded
+    * decile rollup — nothing here outgrows 10 bins at any corpus size. */
+  def qBrier(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.qQualityRules(s, dir).select(col("doc_id"), col("passes")),
+        Seq("doc_id"))
+      .select(least(floor(col("quality") * 10), lit(9)).cast("int").as("bin"),
+        floor(col("quality") * BrierScale.toDouble).cast("long").as("pq"),
+        col("passes").cast("long").as("y"))
+    val d = col("pq") - col("y") * BrierScale
+    val perBin = scored.groupBy("bin").agg(
+      count(lit(1)).as("nk"),
+      sum(col("pq")).as("sp"),
+      sum(col("y")).as("sy"),
+      sum((d * d).cast("decimal(38,0)")).as("ssq"),
+      sum((col("pq") * col("pq")).cast("decimal(38,0)")).as("spq2"),
+      sum((col("pq") * col("y")).cast("decimal(38,0)")).as("spy"))
+    val tot = perBin.agg(sum("nk").as("n"), sum("sy").as("sum_y"),
+      sum("ssq").as("ssq_all"))
+    val pbar = col("sp").cast("double") / (col("nk").cast("double") * BrierScale.toDouble)
+    val ybk = col("sy").cast("double") / col("nk").cast("double")
+    val ybar = col("sum_y").cast("double") / col("n").cast("double")
+    def fold(name: String) =
+      aggregate(array_sort(collect_list(struct(col("bin"), col(name).as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as(name + "_sum")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("sum_y"), col("ssq_all"),
+        (col("nk").cast("double") * ((pbar - ybk) * (pbar - ybk))).as("rel_t"),
+        (col("nk").cast("double") * ((ybk - ybar) * (ybk - ybar))).as("res_t"),
+        ((col("spq2").cast("double") -
+          col("sp").cast("double") * col("sp").cast("double") / col("nk").cast("double"))
+          / BrierScaleSq).as("wbv_t"),
+        ((col("spy").cast("double") -
+          col("sp").cast("double") * col("sy").cast("double") / col("nk").cast("double"))
+          / BrierScale.toDouble).as("wbc_t"))
+      .groupBy(col("n"), col("sum_y"), col("ssq_all"))
+      .agg(fold("rel_t"), fold("res_t"), fold("wbv_t"), fold("wbc_t"))
+      .select(col("n"), col("sum_y").as("n_pass"),
+        round(col("ssq_all").cast("double") /
+          (col("n").cast("double") * BrierScaleSq), 6).as("brier"),
+        round(col("rel_t_sum") / col("n").cast("double"), 6).as("reliability"),
+        round(col("res_t_sum") / col("n").cast("double"), 6).as("resolution"),
+        round((col("sum_y").cast("double") / col("n").cast("double")) *
+          ((col("n") - col("sum_y")).cast("double") / col("n").cast("double")),
+          6).as("uncertainty"),
+        round(col("wbv_t_sum") / col("n").cast("double"), 6).as("within_bin_var"),
+        round(col("wbc_t_sum") / col("n").cast("double"), 6).as("within_bin_cov"))
+  }
+
+  private lazy val qBrierSql =
+    s"""WITH q AS (${TextAnalysis.qQualitySql}),
+       r AS (${TextAnalysis.qQualityRulesSql}),
+       sc AS (SELECT CAST(least(floor(q.quality * 10), 9) AS INT) AS bin,
+                CAST(floor(q.quality * 1048576.0) AS BIGINT) AS pq,
+                CAST(CASE WHEN r.passes THEN 1 ELSE 0 END AS BIGINT) AS y
+              FROM q JOIN r ON r.doc_id = q.doc_id),
+       pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+                CAST(sum(pq) AS BIGINT) AS sp,
+                CAST(sum(y) AS BIGINT) AS sy,
+                sum(CAST((pq - y * 1048576) * (pq - y * 1048576) AS HUGEINT)) AS ssq,
+                sum(CAST(pq * pq AS HUGEINT)) AS spq2,
+                sum(CAST(pq * y AS HUGEINT)) AS spy
+              FROM sc GROUP BY bin),
+       tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                 CAST(sum(sy) AS BIGINT) AS sum_y,
+                 sum(ssq) AS ssq_all FROM pb),
+       terms AS (SELECT pb.bin, t.n, t.sum_y, t.ssq_all,
+           CAST(nk AS DOUBLE) *
+             ((CAST(sp AS DOUBLE) / (CAST(nk AS DOUBLE) * 1048576.0)
+               - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+            * (CAST(sp AS DOUBLE) / (CAST(nk AS DOUBLE) * 1048576.0)
+               - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))) AS rel_t,
+           CAST(nk AS DOUBLE) *
+             ((CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+               - CAST(t.sum_y AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+               - CAST(t.sum_y AS DOUBLE) / CAST(t.n AS DOUBLE))) AS res_t,
+           (CAST(spq2 AS DOUBLE)
+             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE))
+             / 1099511627776.0 AS wbv_t,
+           (CAST(spy AS DOUBLE)
+             - CAST(sp AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+             / 1048576.0 AS wbc_t
+         FROM pb CROSS JOIN tot t)
+       SELECT n, sum_y AS n_pass,
+         round(CAST(ssq_all AS DOUBLE) / (CAST(n AS DOUBLE) * 1099511627776.0), 6) AS brier,
+         round(list_sum(list(rel_t ORDER BY bin)) / CAST(n AS DOUBLE), 6) AS reliability,
+         round(list_sum(list(res_t ORDER BY bin)) / CAST(n AS DOUBLE), 6) AS resolution,
+         round((CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n - sum_y AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty,
+         round(list_sum(list(wbv_t ORDER BY bin)) / CAST(n AS DOUBLE), 6) AS within_bin_var,
+         round(list_sum(list(wbc_t ORDER BY bin)) / CAST(n AS DOUBLE), 6) AS within_bin_cov
+       FROM terms GROUP BY n, sum_y, ssq_all"""
+
   // ----------------------------------------------------------------- lift
 
   /** q_lift: cumulative-gains / lift table at score deciles — the
@@ -646,6 +766,7 @@ object TextScoring extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_neg_sampling" -> (qNegSampling _),
+    "q_brier" -> (qBrier _),
     "q_blocklist" -> (qBlocklist _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_good_turing" -> (qGoodTuring _),
@@ -661,6 +782,7 @@ object TextScoring extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_neg_sampling" -> qNegSamplingSql,
+    "q_brier" -> qBrierSql,
     "q_blocklist" -> qBlocklistSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql,
     "q_good_turing" -> qGoodTuringSql,

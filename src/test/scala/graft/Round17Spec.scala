@@ -152,6 +152,36 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_brier: doc-level recomputation matches and the Murphy " +
+    "decomposition identity brier = rel - res + unc + wbv - 2*wbc holds") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.TextScoring.qBrier(spark, sf).collect()(0)
+    // third arithmetic path: collect the 500 doc-level (quality, pass)
+    // pairs and recompute every component in plain Scala
+    val docs = operators.TextAnalysis.qQuality(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .join(operators.TextAnalysis.qQualityRules(spark, sf)
+        .select(col("doc_id"), col("passes")), Seq("doc_id"))
+      .collect()
+      .map(x => (math.floor(x.getAs[Double]("quality") * 1048576.0).toLong,
+        if (x.getAs[Boolean]("passes")) 1L else 0L,
+        math.min(math.floor(x.getAs[Double]("quality") * 10).toLong, 9L)))
+    val n = docs.length.toDouble
+    val brier = docs.map(d => { val e = (d._1 - d._2 * 1048576L).toDouble; e * e })
+      .sum / (n * 1099511627776.0)
+    assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-5,
+      s"brier ${r.getAs[Double]("brier")} vs recomputed $brier")
+    assert(r.getAs[Long]("n") == docs.length.toLong)
+    assert(r.getAs[Long]("n_pass") == docs.map(_._2).sum)
+    val identityGap = r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty") + r.getAs[Double]("within_bin_var") -
+        2.0 * r.getAs[Double]("within_bin_cov"))
+    assert(math.abs(identityGap) < 5e-6, s"decomposition gap $identityGap")
+    assert(r.getAs[Double]("resolution") >= 0 && r.getAs[Double]("reliability") >= 0
+      && r.getAs[Double]("within_bin_var") >= 0)
+  }
+
   test("q_streaks fixture: gaps-and-islands longest-run per user, " +
     "distribution hand-computed") {
     import spark.implicits._
