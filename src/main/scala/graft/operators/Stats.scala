@@ -2315,6 +2315,98 @@ object Stats extends QueryModule {
          floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend
        FROM h"""
 
+  /** Holt–Winters seasonal constant — dyadic like [[HoltAlpha]]/
+    * [[HoltBeta]] so the recursion's only fp error is the adds/multiplies
+    * themselves, identical in both engines. */
+  val HwGamma = 0.25
+  /** Holt–Winters season length: day-of-week. */
+  val HwPeriod = 7
+
+  /** q_holt_winters: additive triple-exponential (Holt–Winters)
+    * smoothing of the daily value totals per event type — the SEASONAL
+    * member completing the smoothing family (q_ewma tracks level,
+    * q_holt level+trend, this adds the day-of-week component q_seasonal
+    * models statically):
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+    * with the COLD-START init (l_1 = y_1, b_1 = 0, s ≡ 0 until one full
+    * period has passed — the seasonal factors learn through γ), which
+    * keeps the replayed recursion uniform in both engines. The state
+    * carries the last ≤m seasonal values as a rotating array (head =
+    * s_{t−m}); the fold runs over each type's SORTED collected daily
+    * series — calendar-bounded, the q_ks_test granularity rule, never
+    * the fact table. The oracle replays the identical recursion as a
+    * recursive CTE carrying the same rotating list; inputs are
+    * exact-decimal daily sums cast once to double, constants dyadic,
+    * operation order matched term by term, rounding on emission only. */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+    val outType = "array<struct<day:string,l:double,b:double,sn:double>>"
+    val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(true).as("first"),
+      array().cast("array<double>").as("s"), array().cast(outType).as("out"))
+    val folded = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .select(col("event_type"), aggregate(col("arr"), acc0, (acc, x) => {
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val sArr = acc.getField("s"); val y = x.getField("y")
+        val sPrev = when(size(sArr) >= HwPeriod, element_at(sArr, 1))
+          .otherwise(lit(0.0))
+        val nl = when(acc.getField("first"), y)
+          .otherwise(lit(HoltAlpha) * (y - sPrev) + lit(1 - HoltAlpha) * (l + b))
+        val nb = when(acc.getField("first"), lit(0.0))
+          .otherwise(lit(HoltBeta) * (nl - l) + lit(1 - HoltBeta) * b)
+        val ns = lit(HwGamma) * (y - nl) + lit(1 - HwGamma) * sPrev
+        val kept = when(size(sArr) >= HwPeriod,
+          slice(sArr, 2, HwPeriod - 1)).otherwise(sArr)
+        struct(nl.as("l"), nb.as("b"), lit(false).as("first"),
+          concat(kept, array(ns)).as("s"),
+          concat(acc.getField("out"),
+            array(struct(x.getField("day").as("day"), nl.as("l"),
+              nb.as("b"), ns.as("sn")))).as("out"))
+      }).getField("out").as("out"))
+    folded.select(col("event_type"), explode(col("out")).as("h"))
+      .select(col("event_type"), col("h.day").as("day"),
+        (floor(col("h.l") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("level"),
+        (floor(col("h.b") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("trend"),
+        (floor(col("h.sn") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("seasonal"))
+  }
+
+  private lazy val qHoltWintersSql = {
+    val a = HoltAlpha; val b = HoltBeta; val g = HwGamma; val m = HwPeriod
+    // the recursive step needs sPrev/nl inline-expanded (recursive CTEs
+    // can't name intermediates); text mirrors the Spark expression order
+    val sPrev = s"(CASE WHEN len(h.s) >= $m THEN h.s[1] ELSE 0.0 END)"
+    val nl = s"($a*(d.y - $sPrev) + ${1 - a}*(h.l + h.b))"
+    s"""WITH RECURSIVE daily AS (
+         SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT et, day, y,
+                 row_number() OVER (PARTITION BY et ORDER BY day) AS i
+               FROM daily),
+       h(et, i, day, l, b, sn, s) AS (
+         SELECT et, i, day, y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           [CAST(0.0 AS DOUBLE)] FROM idx WHERE i = 1
+         UNION ALL
+         SELECT d.et, d.i, d.day,
+           $nl,
+           $b*($nl - h.l) + ${1 - b}*h.b,
+           $g*(d.y - $nl) + ${1 - g}*$sPrev,
+           (CASE WHEN len(h.s) >= $m THEN h.s[2:] ELSE h.s END)
+             || [$g*(d.y - $nl) + ${1 - g}*$sPrev]
+         FROM h JOIN idx d ON d.et = h.et AND d.i = h.i + 1)
+       SELECT et AS event_type, day,
+         floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+         floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+         floor(sn * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+       FROM h"""
+  }
+
   /** Residual-over-weekday-mean multiple above which a day is flagged
     * (|resid| > 1/10 of the weekday mean — calibrated so the flag
     * discriminates at both test SFs: 84/150 days at sf0.01, 4/150 at
@@ -4061,6 +4153,7 @@ object Stats extends QueryModule {
     "q_granger" -> (qGranger _),
     "q_mde" -> (qMde _),
     "q_holt" -> (qHolt _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4122,6 +4215,7 @@ object Stats extends QueryModule {
     "q_granger" -> qGrangerSql,
     "q_mde" -> qMdeSql,
     "q_holt" -> qHoltSql,
+    "q_holt_winters" -> qHoltWintersSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

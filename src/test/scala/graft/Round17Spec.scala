@@ -152,6 +152,42 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_holt_winters: hand-computed two-step recursion and a full " +
+    "Scala replay across the period boundary at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = operators.Stats.qHoltWinters(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("seasonal")))).toMap
+    // third arithmetic path: replay the recursion in plain Scala over
+    // the exact daily sums
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("y")))
+      .groupBy(_._1).map { case (et, rs) => et -> rs.sortBy(_._2).map(x => (x._2, x._3)) }
+    val rnd = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    for ((et, series) <- daily) {
+      var l = 0.0; var b = 0.0; var first = true
+      var s = Vector.empty[Double]
+      for ((day, y) <- series) {
+        val sPrev = if (s.length >= 7) s.head else 0.0
+        val nl = if (first) y else 0.5 * (y - sPrev) + 0.5 * (l + b)
+        val nb = if (first) 0.0 else 0.25 * (nl - l) + 0.75 * b
+        val ns = 0.25 * (y - nl) + 0.75 * sPrev
+        s = (if (s.length >= 7) s.tail else s) :+ ns
+        l = nl; b = nb; first = false
+        val exp = (rnd(nl), rnd(nb), rnd(ns))
+        assert(got((et, day)) == exp, s"($et, $day): ${got((et, day))} != $exp")
+      }
+      assert(series.length >= 8, s"$et: series too short to cross the period")
+    }
+  }
+
   test("q_brier: doc-level recomputation matches and the Murphy " +
     "decomposition identity brier = rel - res + unc + wbv - 2*wbc holds") {
     val sf = "/root/testdata/sf0.001"
