@@ -1060,6 +1060,46 @@ object EventStream {
       }
   }
 
+  case class StreakState(last_epoch_day: Long, cur_len: Long, best_len: Long)
+  case class StreakOut(user_id: Long, last_day: String, cur_streak: Long,
+    best_streak: Long)
+
+  /** Streaming activity-streak monitor — the stateful twin of the batch
+    * q_streaks gaps-and-islands query. State per user = THREE longs
+    * (last active epoch day, current run length, best run length) — the
+    * O(1) fact the batch query re-derives by sorting each user's whole
+    * history; the engagement panel (streak-length distribution) is one
+    * stateless rollup of the latest emission per user. Same-day repeats
+    * are idempotent; a gap resets the current run; rows within a batch
+    * are processed in day order so the micro-batch boundary is
+    * immaterial; a late (earlier-day) arrival is ignored — the monitor
+    * is forward-watching, matching the runningUserEwma ordered-arrival
+    * convention. */
+  def runningStreaks(events: Dataset[DayUser]): Dataset[StreakOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[StreakState]) =>
+          var cur = state.getOption.getOrElse(StreakState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(_.day).foreach { e =>
+            val d = java.time.LocalDate.parse(e.day).toEpochDay
+            if (cur.cur_len == 0L)
+              cur = StreakState(d, 1L, math.max(1L, cur.best_len))
+            else if (d == cur.last_epoch_day + 1L)
+              cur = StreakState(d, cur.cur_len + 1L,
+                math.max(cur.cur_len + 1L, cur.best_len))
+            else if (d > cur.last_epoch_day)
+              cur = StreakState(d, 1L, cur.best_len)
+            // d <= last_epoch_day: same-day repeat or late arrival — no-op
+          }
+          state.update(cur)
+          Iterator(StreakOut(uid,
+            java.time.LocalDate.ofEpochDay(cur.last_epoch_day).toString,
+            cur.cur_len, cur.best_len))
+      }
+  }
+
   /** Streaming peak-concurrency dashboard refresh — the stateful twin of
     * batch q_concurrency (r16 verdict task 5). Two composed pieces, each
     * already load-bearing elsewhere in the library:

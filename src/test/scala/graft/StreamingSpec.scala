@@ -1015,6 +1015,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming streak monitor: latest per-user best-streak rollup " +
+    "equals the batch q_streaks distribution across a micro-batch " +
+    "boundary, and a gap resets the current run") {
+    val (dir, rows) = writeR17Fixture()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DayUser]
+    val q = EventStream.runningStreaks(input.toDS())
+      .writeStream.format("memory").queryName("streak_out")
+      .outputMode("update").start()
+    def day(t: Timestamp) = t.toString.substring(0, 10)
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      input.addData(b1.map(r => EventStream.DayUser(r._2, day(r._1))))
+      q.processAllAvailable()
+      input.addData(b2.map(r => EventStream.DayUser(r._2, day(r._1))))
+      q.processAllAvailable()
+      // keep each user's LATEST emission (max last_day, then max streak)
+      val latest = spark.table("streak_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_day"),
+          r.getAs[Long]("cur_streak"), r.getAs[Long]("best_streak")))
+        .groupBy(_._1).map { case (u, es) => u -> es.maxBy(e => (e._2, e._4)) }
+      // user 1: days 1+2 consecutive -> cur 2, best 2
+      assert(latest(1L)._3 == 2L && latest(1L)._4 == 2L, latest.toString)
+      val rollup = latest.values.groupBy(_._4)
+        .map { case (len, es) => len -> es.size.toLong }
+      val batch = graft.operators.Relational.qStreaks(spark, dir).collect()
+        .map(r => r.getAs[Long]("streak_days") -> r.getAs[Long]("n_users")).toMap
+      assert(rollup == batch, s"monitor rollup $rollup != batch twin $batch")
+      // gap reset: user 3 re-appears two days later -> cur resets to 1,
+      // best stays
+      input.addData(Seq(EventStream.DayUser(3L, "2024-03-04")))
+      q.processAllAvailable()
+      val u3 = spark.table("streak_out").collect()
+        .filter(_.getAs[Long]("user_id") == 3L)
+        .maxBy(_.getAs[String]("last_day"))
+      assert(u3.getAs[Long]("cur_streak") == 1L &&
+        u3.getAs[Long]("best_streak") == 1L &&
+        u3.getAs[String]("last_day") == "2024-03-04")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming t-digest monitor: running n/min/max exact across a " +
     "micro-batch boundary, p50/p95 rank-bounded, and the emitted snapshot " +
     "merges with a batch-built sketch through tdigest_merge_agg") {
