@@ -3224,6 +3224,90 @@ object Stats extends QueryModule {
         (q > crit).as("significant"))
   }
 
+  /** Welch-df floor below which [[qGamesHowell]] refuses to call
+    * significance: the studentized-range critical values in
+    * [[TukeyQCrit]] are the asymptotic (df → ∞) row, accurate to the
+    * third decimal only once the Welch df is in the hundreds. Out of
+    * range → NULL, never a silent false (the KruskalChiCrit rule). */
+  val GamesHowellMinDf = 100.0
+
+  /** q_games_howell: Games–Howell post-hoc — the UNEQUAL-VARIANCE member
+    * completing the post-hoc family (64u Tukey–Kramer pools one MSW and
+    * assumes homogeneity — exactly what 64n Brown–Forsythe tests; 64v
+    * Dunn is the rank fallback; this is what you run when the variance
+    * check FAILS but the scale is parametric). Per pair: the pooled MSW
+    * is replaced by the pair's own Welch standard error s²ᵢ/nᵢ + s²ⱼ/nⱼ,
+    * q = |x̄ᵢ − x̄ⱼ|/√(se²/2) compared to the studentized range at the
+    * Welch–Satterthwaite df. Same one-scan exact-decimal (nⱼ, s, ss)
+    * moments as the ANOVA core, k²-bounded pair join, every per-pair
+    * statistic one deterministic double expression. */
+  def qGamesHowell(s: SparkSession, dir: String): DataFrame =
+    gamesHowellOf(Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x")))
+
+  /** Games–Howell core over a (g, x) relation — see [[qGamesHowell]]. */
+  def gamesHowellOf(vals: DataFrame): DataFrame = {
+    val d = col("x").cast("decimal(18,2)")
+    val g = vals.groupBy("g")
+      .agg(count(lit(1)).as("nj"), sum(d).as("s"), sum(d * d).as("ss"))
+    val m = g.agg(count(lit(1)).as("k"))
+    def se(c: String) =
+      ((col(s"ss_$c").cast("double") -
+        col(s"s_$c").cast("double") * col(s"s_$c").cast("double") /
+          col(s"n_$c").cast("double")) /
+        (col(s"n_$c").cast("double") - 1.0)) / col(s"n_$c").cast("double")
+    val a = g.select(col("g").as("g_a"), col("nj").as("n_a"),
+      col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = g.select(col("g").as("g_b"), col("nj").as("n_b"),
+      col("s").as("s_b"), col("ss").as("ss_b"))
+    val pair = a.join(broadcast(b), col("g_a") < col("g_b")).crossJoin(broadcast(m))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("k"),
+        (col("s_a").cast("double") / col("n_a").cast("double") -
+          col("s_b").cast("double") / col("n_b").cast("double")).as("diff"),
+        se("a").as("sea"), se("b").as("seb"))
+    val q = abs(col("diff")) / sqrt((col("sea") + col("seb")) / 2.0)
+    val df = (col("sea") + col("seb")) * (col("sea") + col("seb")) /
+      (col("sea") * col("sea") / (col("n_a").cast("double") - 1.0) +
+        col("seb") * col("seb") / (col("n_b").cast("double") - 1.0))
+    val crit = TukeyQCrit.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, c)) => when(col("k") === k, c).otherwise(acc)
+    }
+    pair.select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+      round(col("diff"), 6).as("mean_diff"),
+      round(q, 6).as("q"),
+      round(df, 6).as("df_welch"),
+      when(df >= GamesHowellMinDf, q > crit).as("significant"))
+  }
+
+  private lazy val qGamesHowellSql =
+    s"""WITH g AS (
+         SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
+         FROM lineitem GROUP BY 1),
+       pair AS (SELECT a.g AS g_a, b.g AS g_b, a.nj AS n_a, b.nj AS n_b,
+           CAST(a.s AS DOUBLE) / CAST(a.nj AS DOUBLE)
+             - CAST(b.s AS DOUBLE) / CAST(b.nj AS DOUBLE) AS diff,
+           ((CAST(a.ss AS DOUBLE)
+             - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.nj AS DOUBLE))
+             / (CAST(a.nj AS DOUBLE) - 1.0)) / CAST(a.nj AS DOUBLE) AS sea,
+           ((CAST(b.ss AS DOUBLE)
+             - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(b.nj AS DOUBLE))
+             / (CAST(b.nj AS DOUBLE) - 1.0)) / CAST(b.nj AS DOUBLE) AS seb
+         FROM g a JOIN g b ON a.g < b.g)
+       SELECT g_a, g_b, n_a, n_b,
+         round(diff, 6) AS mean_diff,
+         round(abs(diff) / sqrt((sea + seb) / 2.0), 6) AS q,
+         round((sea + seb) * (sea + seb)
+           / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+            + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch,
+         CASE WHEN (sea + seb) * (sea + seb)
+             / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+              + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) >= $GamesHowellMinDf
+           THEN abs(diff) / sqrt((sea + seb) / 2.0) > ${TukeyQCrit(3)}
+           ELSE NULL END AS significant
+       FROM pair"""
+
   private lazy val qTukeySql =
     s"""WITH g AS (
          SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS nj,
@@ -4154,6 +4238,7 @@ object Stats extends QueryModule {
     "q_mde" -> (qMde _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_games_howell" -> (qGamesHowell _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4216,6 +4301,7 @@ object Stats extends QueryModule {
     "q_mde" -> qMdeSql,
     "q_holt" -> qHoltSql,
     "q_holt_winters" -> qHoltWintersSql,
+    "q_games_howell" -> qGamesHowellSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

@@ -152,6 +152,37 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("games-howell core: hand-computed Welch se/df on an unequal-" +
+    "variance fixture, NULL significance below the df floor, and the " +
+    "shifted high-df fixture trips the flag") {
+    import spark.implicits._
+    // A: tight around 3 (var 2.5), B: spread around 30 (var 250)
+    val small = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(5)(i => ("b", (i + 1) * 10.0))).toDF("g", "x")
+    val r = operators.Stats.gamesHowellOf(small).collect()(0)
+    val (na, nb) = (5.0, 5.0)
+    val (ma, mb) = (3.0, 30.0)
+    val (va, vb) = (2.5, 250.0)
+    val (sea, seb) = (va / na, vb / nb)
+    val qExp = math.abs(ma - mb) / math.sqrt((sea + seb) / 2.0)
+    val dfExp = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert(math.abs(r.getAs[Double]("q") - qExp) < 1e-6, r.toString)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfExp) < 1e-6, r.toString)
+    assert(r.isNullAt(r.fieldIndex("significant")),
+      s"df ${r.getAs[Double]("df_welch")} below floor must yield NULL")
+    // high-df shifted fixture (two 3-group sets so the k=3 crit row
+    // applies): groups c/d/e, d shifted far -> (c,d) and (d,e) flagged
+    val big = (Seq.tabulate(200)(i => ("c", (i % 10).toDouble)) ++
+      Seq.tabulate(200)(i => ("d", 100.0 + (i % 13).toDouble)) ++
+      Seq.tabulate(200)(i => ("e", (i % 11).toDouble))).toDF("g", "x")
+    val flags = operators.Stats.gamesHowellOf(big).collect()
+      .map(x => (x.getAs[String]("g_a"), x.getAs[String]("g_b")) ->
+        x.getAs[Boolean]("significant")).toMap
+    assert(flags == Map(("c", "d") -> true, ("d", "e") -> true,
+      ("c", "e") -> false), flags.toString)
+  }
+
   test("q_holt_winters: hand-computed two-step recursion and a full " +
     "Scala replay across the period boundary at sf0.001") {
     val sf = "/root/testdata/sf0.001"
