@@ -102,8 +102,9 @@ object Bench {
   // q_clf_param_sweep_audit (6 LR fits) and q_bpe_encode_audit (BPE
   // training upstream) follow the ML-training exclusion, as does the
   // whole q_unigram family (EM training upstream).
-  // r17: q_als / q_als_audit (10 ALS sweeps) and q_w2v / q_w2v_audit
-  // (skip-gram training upstream) follow the same ML-training exclusion.
+  // r17: q_als / q_als_audit (10 ALS sweeps), q_w2v / q_w2v_audit
+  // (skip-gram training upstream) and q_gmm / q_gmm_audit (EM training)
+  // follow the same ML-training exclusion.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1207,6 +1207,104 @@ object SimilaritySearch extends QueryModule {
     * accounting. */
   def qKmeans(s: SparkSession, dir: String): DataFrame = kmeansRun(s, dir)._3
 
+  val GmmK = 4
+  val GmmIters = 10
+  val GmmSeed = 20260815L
+  /** GMM runs in the Matryoshka-TRUNCATED leading-dim space (the
+    * q_mrl_audit precedent): full-covariance EM estimates a d×d matrix
+    * per component, which wants n ≫ d² points per component — 64 dims
+    * over these corpora would court singular covariances, 8 dims is the
+    * honest density model. */
+  val GmmDim = 8
+
+  private def gmmInput(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(transform(slice(col("embedding"), 1, GmmDim),
+          x => x.cast("double"))).as("features"))
+  }
+
+  def gmmFit(s: SparkSession, dir: String)
+      : org.apache.spark.ml.clustering.GaussianMixtureModel =
+    graft.ModelCache.getOrElseUpdate(s, s"sim.gmm:$dir") {
+      new org.apache.spark.ml.clustering.GaussianMixture()
+        .setK(GmmK).setMaxIter(GmmIters).setSeed(GmmSeed).setTol(0.0)
+        .setFeaturesCol("features")
+        .fit(gmmInput(s, dir))
+    }
+
+  /** q_gmm: Gaussian-mixture density model over the truncated embedding
+    * space — the SOFT-assignment member completing the clustering family
+    * (65b k-means is the hard-assignment EM limit, 65s HAC the
+    * hierarchical view, 65i silhouette the quality score). Emits the
+    * mixture summary per component: weight, mean norm, covariance trace
+    * (total within-component variance), ordered by weight for a stable
+    * read. Rows-only gate (EM training — distributed sufficient-stat
+    * aggregation, the vocabulary-free E-step never collects the corpus);
+    * q_gmm_audit hash-anchors the accounting. */
+  def qGmm(s: SparkSession, dir: String): DataFrame = {
+    val m = gmmFit(s, dir)
+    import s.implicits._
+    val rows = m.weights.zipWithIndex.map { case (w, i) =>
+      val g = m.gaussians(i)
+      val muNorm = math.sqrt(g.mean.toArray.map(x => x * x).sum)
+      val trace = (0 until GmmDim).map(j => g.cov(j, j)).sum
+      (i, w, muNorm, trace)
+    }.toSeq
+    rows.toDF("component", "weight", "mu_norm", "cov_trace")
+      .select(col("component"),
+        round(col("weight"), 6).as("weight"),
+        round(col("mu_norm"), 6).as("mu_norm"),
+        round(col("cov_trace"), 6).as("cov_trace"))
+      .orderBy(col("weight").desc, col("component").asc)
+  }
+
+  /** q_gmm_audit: mixture-model certificate (the q_kmeans_audit shape).
+    * SQL-derivable anchors: n_points (independent embeddings row count)
+    * and the fixed k/dim. Guarantees asserted Spark-side, oracle emits
+    * TRUE:
+    *  - `weights_ok`: mixture weights are positive and sum to 1 within
+    *    1e-9 (EM's simplex invariant);
+    *  - `resp_ok`: the posterior responsibility vector of EVERY corpus
+    *    row has k entries summing to 1 within 1e-6, and exactly n_points
+    *    rows were scored (a dropped partition breaks it);
+    *  - `finite_ok`: every mean/covariance entry is finite (a collapsed
+    *    component is loud, not silent);
+    *  - `cov_diag_ok`: all covariance diagonals are strictly positive
+    *    (the density is proper — no singular direction). */
+  def qGmmAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val m = gmmFit(s, dir)
+    val nPoints = Tables.embeddings(s, dir).count()
+    val weightsOk = m.weights.forall(_ > 0.0) &&
+      math.abs(m.weights.sum - 1.0) < 1e-9
+    val finiteOk = m.gaussians.forall { g =>
+      g.mean.toArray.forall(x => !x.isNaN && !x.isInfinite) &&
+        g.cov.toArray.forall(x => !x.isNaN && !x.isInfinite)
+    }
+    val covDiagOk = m.gaussians.forall(g =>
+      (0 until GmmDim).forall(j => g.cov(j, j) > 0.0))
+    val scored = m.transform(gmmInput(s, dir))
+      .select(vector_to_array(col("probability")).as("p"))
+      .select(size(col("p")).as("klen"),
+        abs(aggregate(col("p"), lit(0.0), (a, x) => a + x) - 1.0).as("gap"))
+    val respOk = scored.count() == nPoints &&
+      scored.filter(col("klen") =!= GmmK || col("gap") > 1e-6).count() == 0
+    import s.implicits._
+    Seq((nPoints, GmmK.toLong, GmmDim.toLong,
+      weightsOk, respOk, finiteOk, covDiagOk))
+      .toDF("n_points", "k", "dim", "weights_ok", "resp_ok",
+        "finite_ok", "cov_diag_ok")
+  }
+
+  private lazy val qGmmAuditSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST($GmmK AS BIGINT) AS k, CAST($GmmDim AS BIGINT) AS dim,
+         TRUE AS weights_ok, TRUE AS resp_ok,
+         TRUE AS finite_ok, TRUE AS cov_diag_ok
+       FROM embeddings"""
+
   /** q_kmeans_audit: k-means accounting certificate (the q_minhash_audit
     * rule applied to the clustering primitive). SQL-derivable anchors:
     * n_points (the embeddings row count — a dropped partition or a lost
@@ -1396,6 +1494,8 @@ object SimilaritySearch extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> (qKmeans _),
+    "q_gmm" -> (qGmm _),
+    "q_gmm_audit" -> (qGmmAudit _),
     "q_silhouette" -> (qSilhouette _),
     "q_hac" -> (qHac _),
     "q_hac_audit" -> (qHacAudit _),
@@ -1422,6 +1522,7 @@ object SimilaritySearch extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_kmeans_audit" -> qKmeansAuditSql,
+    "q_gmm_audit" -> qGmmAuditSql,
     "q_hac_audit" -> qHacAuditSql,
     "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,

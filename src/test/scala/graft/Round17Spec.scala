@@ -152,6 +152,25 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_gmm: k weight-ordered components at sf0.001, weights a proper " +
+    "simplex, and every q_gmm_audit certificate boolean true") {
+    val sf = "/root/testdata/sf0.001"
+    val comps = operators.SimilaritySearch.qGmm(spark, sf).collect()
+    assert(comps.length == operators.SimilaritySearch.GmmK)
+    val ws = comps.map(_.getAs[Double]("weight"))
+    assert(ws.sliding(2).forall(p => p.size < 2 || p(0) >= p(1)),
+      s"weights not ordered: ${ws.toSeq}")
+    assert(math.abs(ws.sum - 1.0) < 1e-4, s"weight sum ${ws.sum}")
+    comps.foreach { c =>
+      assert(c.getAs[Double]("cov_trace") > 0.0, c.toString)
+      assert(c.getAs[Double]("mu_norm") >= 0.0, c.toString)
+    }
+    val a = operators.SimilaritySearch.qGmmAudit(spark, sf).collect()(0)
+    for (b <- Seq("weights_ok", "resp_ok", "finite_ok", "cov_diag_ok"))
+      assert(a.getAs[Boolean](b), s"$b false")
+    assert(a.getAs[Long]("n_points") == 500L)
+  }
+
   test("games-howell core: hand-computed Welch se/df on an unequal-" +
     "variance fixture, NULL significance below the df floor, and the " +
     "shifted high-df fixture trips the flag") {
