@@ -1047,6 +1047,82 @@ object TextAnalysis extends QueryModule {
     * Support-thresholded so the output is the collocation lexicon, not
     * the long tail (τ=0.2 — calibrated to this near-uniform synthetic
     * corpus; natural text runs τ≈1-3). */
+  /** SPPMI context window (±2 positions) and negative-sampling shift
+    * (k = 5, the word2vec default — ln k is subtracted as one division
+    * INSIDE the log so the gated surface carries a single ln). */
+  val SppmiWindow = 2
+  val SppmiShift = 5.0
+
+  /** Skip-gram (word, context) pairs within ±[[SppmiWindow]], both
+    * directions — built WITHOUT a positions self-join: for each offset k
+    * the pair stream is explode(zip_with(toks, shift_k(toks))), a pure
+    * map-side array op; the only shuffle is the vocabulary²-bounded
+    * (w, c) count. Memoized + persisted: the pair-count relation feeds
+    * the matrix, both marginals, and the total. */
+  private def sppmiPairCounts(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"text.sppmiPairs:$dir") {
+      val docs = TextPrep.cleanDocs(s, dir).select(col("toks"))
+      val pairs = (1 to SppmiWindow).map { k =>
+        docs.filter(size(col("toks")) > k)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - k),
+            slice(col("toks"), lit(k + 1), size(col("toks")) - k),
+            (x, y) => struct(x.as("w"), y.as("c")))).as("p"))
+          .select(col("p.w").as("w"), col("p.c").as("c"))
+      }.reduce(_ unionByName _)
+      val df = pairs
+        .unionByName(pairs.select(col("c").as("w"), col("w").as("c")))
+        .groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once under the cache lock
+      df
+    }
+
+  /** q_sppmi: the shifted positive PMI word-context matrix (Levy &
+    * Goldberg 2014 — the count-based factorization input that skip-gram
+    * with negative sampling implicitly factorizes; completes the
+    * embedding-training-prep trio beside q_neg_sampling's unigram^0.75
+    * table and q_w2v's trained model). Per (w, c) within ±2 positions:
+    * sppmi = max(0, ln(n_wc·N / (n_w·n_c·k))) with the shift k folded
+    * into ONE division inside a single ln (the PSI-established ln idiom;
+    * exp/pow never appear). Counts are exact integers off the memoized
+    * pair relation; marginals are vocabulary-bounded broadcasts; rows
+    * with sppmi ≤ 0 are dropped (the "positive" in SPPMI), the filter
+    * evaluated on the UNROUNDED value in both engines. */
+  def qSppmi(s: SparkSession, dir: String): DataFrame = {
+    val pc = sppmiPairCounts(s, dir)
+    val mg = pc.groupBy("w").agg(sum(col("n_wc")).as("n_w"))
+    val tot = pc.agg(sum(col("n_wc")).as("nn"))
+    val sppmi = log(((col("n_wc").cast("double") * col("nn").cast("double")) /
+      (col("n_w").cast("double") * col("n_c").cast("double"))) / SppmiShift)
+    pc.join(broadcast(mg), Seq("w"))
+      .join(broadcast(mg.select(col("w").as("c"), col("n_w").as("n_c"))), Seq("c"))
+      .crossJoin(broadcast(tot))
+      .filter(sppmi > 0.0)
+      .select(col("w"), col("c"), col("n_wc"), round(sppmi, 6).as("sppmi"))
+  }
+
+  private lazy val qSppmiSql = {
+    val toks = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                 unnest(toks) AS w FROM docs),
+       half AS (SELECT a.w AS w, b.w AS c
+                FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                  AND b.i - a.i BETWEEN 1 AND $SppmiWindow),
+       pr AS (SELECT w, c FROM half UNION ALL SELECT c AS w, w AS c FROM half),
+       pc AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc FROM pr GROUP BY 1, 2),
+       mg AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w FROM pc GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_wc) AS BIGINT) AS nn FROM pc)
+       SELECT p.w, p.c, p.n_wc,
+         round(ln(((CAST(p.n_wc AS DOUBLE) * CAST(t.nn AS DOUBLE))
+           / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))) / $SppmiShift), 6)
+           AS sppmi
+       FROM pc p JOIN mg a ON p.w = a.w JOIN mg b ON p.c = b.w CROSS JOIN tot t
+       WHERE ln(((CAST(p.n_wc AS DOUBLE) * CAST(t.nn AS DOUBLE))
+           / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))) / $SppmiShift) > 0.0"""
+  }
+
   def qPmi(s: SparkSession, dir: String): DataFrame = {
     val bg = bigrams(s, dir)
     val bgCounts = bg.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
@@ -1821,6 +1897,7 @@ object TextAnalysis extends QueryModule {
     "q_sample_group" -> (qSampleGroup _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pmi" -> (qPmi _),
+    "q_sppmi" -> (qSppmi _),
     "q_keywords" -> (qKeywords _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinctGate _))
@@ -1863,6 +1940,7 @@ object TextAnalysis extends QueryModule {
     "q_sample_group" -> qSampleGroupSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_pmi" -> qPmiSql,
+    "q_sppmi" -> qSppmiSql,
     "q_keywords" -> qKeywordsSql,
     "q_lm_score" -> qLmScoreSql)
 }

@@ -152,6 +152,58 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_sppmi fixture: hand-computed pair counts and shifted PMI on a " +
+    "planted strong collocation") {
+    // doc = "alpha beta alpha beta alpha beta ..." (x8): within +/-2,
+    // almost every context of alpha is beta and vice versa -> the
+    // (alpha, beta) cell survives the ln(k=5) shift; same-word pairs
+    // (alpha, alpha) at offset 2 are diluted and must be dropped.
+    val dir = writeDocs(Seq((1L, "sa", Seq.fill(8)("alpha beta").mkString(" "))))
+    try {
+      // positions: a at 1,3,..,15; b at 2,4,..,16 (16 tokens). Offset-1
+      // pairs: 15 (8 ab + 7 ba); offset-2: 14 (7 aa + 7 bb). Both
+      // directions double everything: n(a,b) = n(b,a) = 30,
+      // n(a,a) = n(b,b) = 14. N = 88, n_a = n(a,b)+n(a,a) = 44 = n_b.
+      // sppmi(a,b) = ln((30*88)/(44*44*5)) < 0 ?  (2640/9680 = 0.2727..)
+      // -> ln < 0: dropped! sppmi(a,a) = ln(14*88/(44*44*5)) < 0 too.
+      // With shift k=5 nothing survives on a 2-word vocab - verify the
+      // empty-positive result, then check the UNSHIFTED arithmetic by
+      // recomputing from the memoized pair relation.
+      val got = operators.TextAnalysis.qSppmi(spark, dir).collect()
+      assert(got.isEmpty, s"2-token round-robin has no >ln5 association: " +
+        got.mkString(","))
+      // third arithmetic path: rebuild the ENTIRE matrix in plain Scala
+      // from the collected clean docs and compare cell-for-cell
+      val sf = "/root/testdata/sf0.001"
+      val m = operators.TextAnalysis.qSppmi(spark, sf).collect()
+        .map(r => (r.getAs[String]("w"), r.getAs[String]("c")) ->
+          ((r.getAs[Long]("n_wc"), r.getAs[Double]("sppmi")))).toMap
+      assert(m.nonEmpty)
+      val docs = operators.TextPrep.cleanDocs(spark, sf).select("toks").collect()
+        .map(_.getSeq[String](0))
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for (t <- docs; k <- 1 to 2; i <- 0 until t.length - k) {
+        pc((t(i), t(i + k))) += 1L; pc((t(i + k), t(i))) += 1L
+      }
+      val nW = pc.toSeq.groupBy(_._1._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+      val nn = pc.values.sum.toDouble
+      val exp = pc.flatMap { case ((w, c), nwc) =>
+        val v = math.log(((nwc.toDouble * nn) / (nW(w).toDouble * nW(c).toDouble)) / 5.0)
+        if (v > 0.0) Some((w, c) -> ((nwc, math.floor(v * 1e6 + 0.5) / 1e6))) else None
+      }.toMap
+      val expR = exp.map { case (k, (n, v)) => k -> ((n, BigDecimal(v).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+      assert(m.keySet == expR.keySet,
+        s"cells differ: only-got ${m.keySet -- expR.keySet}, only-exp ${expR.keySet -- m.keySet}")
+      for ((k, (n, v)) <- expR) {
+        assert(m(k)._1 == n, s"$k count ${m(k)._1} != $n")
+        assert(math.abs(m(k)._2 - v) <= 1e-6, s"$k sppmi ${m(k)._2} != $v")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_gmm: k weight-ordered components at sf0.001, weights a proper " +
     "simplex, and every q_gmm_audit certificate boolean true") {
     val sf = "/root/testdata/sf0.001"
