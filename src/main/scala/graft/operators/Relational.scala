@@ -1975,6 +1975,77 @@ object Relational extends QueryModule {
          WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
            AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"""
 
+  /** Path length (consecutive event types per step) and head size of
+    * [[qPaths]]. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** q_paths: top user-journey paths — the [[PathLen]]-step consecutive
+    * event-type sequences inside a session (same 30-min-gap sessionize
+    * as q_sessionize), ranked by frequency with their corpus share (the
+    * product-analytics "path analysis" panel beside 53b's Markov matrix,
+    * which models single transitions — this surfaces whole journeys).
+    * One user-keyed window pass assigns sessions AND reads the two
+    * lead() types; the rollup is bounded by |event types|^len, the head
+    * a TakeOrderedAndProject. Share is one division of exact integers. */
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tri = sess
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum(col("n")).as("n_total"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(PathTopK)
+  }
+
+  private val qPathsSql =
+    s"""WITH t AS (
+         SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_us
+         FROM events),
+       se AS (SELECT user_id, event_id, ts, event_type, us,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+         FROM t),
+       tri AS (SELECT event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+         FROM se
+         WINDOW w AS (PARTITION BY user_id, session_id
+                      ORDER BY us ASC, event_id ASC)),
+       pc AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+              FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              GROUP BY 1, 2, 3),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pc)
+       SELECT e1, e2, e3, n,
+         round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+       FROM pc CROSS JOIN tot
+       ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+       LIMIT $PathTopK"""
+
   /** q_streaks: longest consecutive-day activity streak per user, rolled
     * up into the engagement streak-length distribution (the classic
     * gaps-and-islands shape every growth dashboard carries). Islands via
@@ -2075,7 +2146,8 @@ object Relational extends QueryModule {
     "q_funnel_time" -> (qFunnelTime _),
     "q_rfm" -> (qRfm _),
     "q_cohort_revenue" -> (qCohortRevenue _),
-    "q_streaks" -> (qStreaks _))
+    "q_streaks" -> (qStreaks _),
+    "q_paths" -> (qPaths _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -2129,5 +2201,6 @@ object Relational extends QueryModule {
     "q_funnel_time" -> qFunnelTimeSql,
     "q_rfm" -> qRfmSql,
     "q_cohort_revenue" -> qCohortRevenueSql,
-    "q_streaks" -> qStreaksSql)
+    "q_streaks" -> qStreaksSql,
+    "q_paths" -> qPathsSql)
 }

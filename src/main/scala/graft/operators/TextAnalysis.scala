@@ -1047,6 +1047,72 @@ object TextAnalysis extends QueryModule {
     * Support-thresholded so the output is the collocation lexicon, not
     * the long tail (τ=0.2 — calibrated to this near-uniform synthetic
     * corpus; natural text runs τ≈1-3). */
+  /** Feature-hashing dimensionality: 2¹⁰ buckets (the hashing-trick
+    * output width [[qFeatureHash]] audits). */
+  val FeatureHashDim = 1024L
+
+  /** q_feature_hash: hashing-trick featurization audit — before a
+    * pipeline swaps its dictionary for a fixed-width hashed feature
+    * space (HashingTF's move: no vocabulary state, fully streaming, but
+    * collisions alias features), this panel answers "what does 2¹⁰
+    * dimensions actually cost THIS corpus": vocabulary size, buckets
+    * used, collided buckets, tokens sharing a bucket (and their share
+    * of the vocabulary), the corpus-frequency MASS sitting in collided
+    * buckets (colliding two rare tokens is free; colliding two frequent
+    * ones is not), and the worst bucket. Bucket = the established
+    * md5-hex idiom (`conv(substr(md5…))` ↔ `CAST('0x'||…)`), counts
+    * exact integers off the memoized token stats, two divisions rounded
+    * on output. One vocabulary-bounded aggregate — never the corpus. */
+  def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val buckets = TextPrep.tokenStats(s, dir)
+      .select(col("tok"), col("cf"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % FeatureHashDim).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_toks"), sum(col("cf")).as("cf_sum"))
+    buckets.agg(
+      sum(col("n_toks")).as("n_vocab"),
+      count(lit(1)).as("n_used"),
+      sum(when(col("n_toks") >= 2, 1L).otherwise(0L)).as("n_collided_buckets"),
+      sum(when(col("n_toks") >= 2, col("n_toks")).otherwise(0L))
+        .as("n_collided_tokens"),
+      sum(col("cf_sum")).as("cf_total"),
+      sum(when(col("n_toks") >= 2, col("cf_sum")).otherwise(0L))
+        .as("cf_collided"),
+      max(col("n_toks")).as("max_bucket_tokens"))
+      .select(col("n_vocab"), lit(FeatureHashDim).as("n_buckets"),
+        col("n_used"), col("n_collided_buckets"), col("n_collided_tokens"),
+        round(col("n_collided_tokens").cast("double") /
+          col("n_vocab").cast("double"), 6).as("collided_token_share"),
+        round(col("cf_collided").cast("double") /
+          col("cf_total").cast("double"), 6).as("collided_mass_share"),
+        col("max_bucket_tokens"))
+  }
+
+  private lazy val qFeatureHashSql = {
+    val toks = graft.functions.TextFns.cleanTokensSql("text")
+    s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+       stats AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tk GROUP BY tok),
+       bk AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                  % $FeatureHashDim AS b,
+                CAST(count(*) AS BIGINT) AS n_toks,
+                CAST(sum(cf) AS BIGINT) AS cf_sum
+              FROM stats GROUP BY 1)
+       SELECT CAST(sum(n_toks) AS BIGINT) AS n_vocab,
+         CAST($FeatureHashDim AS BIGINT) AS n_buckets,
+         CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(CASE WHEN n_toks >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_collided_buckets,
+         CAST(sum(CASE WHEN n_toks >= 2 THEN n_toks ELSE 0 END) AS BIGINT)
+           AS n_collided_tokens,
+         round(CAST(sum(CASE WHEN n_toks >= 2 THEN n_toks ELSE 0 END) AS DOUBLE)
+           / CAST(sum(n_toks) AS DOUBLE), 6) AS collided_token_share,
+         round(CAST(sum(CASE WHEN n_toks >= 2 THEN cf_sum ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cf_sum) AS DOUBLE), 6) AS collided_mass_share,
+         CAST(max(n_toks) AS BIGINT) AS max_bucket_tokens
+       FROM bk"""
+  }
+
   /** SPPMI context window (±2 positions) and negative-sampling shift
     * (k = 5, the word2vec default — ln k is subtracted as one division
     * INSIDE the log so the gated surface carries a single ln). */
@@ -1898,6 +1964,7 @@ object TextAnalysis extends QueryModule {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_pmi" -> (qPmi _),
     "q_sppmi" -> (qSppmi _),
+    "q_feature_hash" -> (qFeatureHash _),
     "q_keywords" -> (qKeywords _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinctGate _))
@@ -1941,6 +2008,7 @@ object TextAnalysis extends QueryModule {
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_pmi" -> qPmiSql,
     "q_sppmi" -> qSppmiSql,
+    "q_feature_hash" -> qFeatureHashSql,
     "q_keywords" -> qKeywordsSql,
     "q_lm_score" -> qLmScoreSql)
 }

@@ -152,6 +152,53 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_feature_hash: accounting identities hold and a planted " +
+    "collision is counted once per bucket") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.TextAnalysis.qFeatureHash(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_buckets") == 1024L)
+    assert(r.getAs[Long]("n_used") <= r.getAs[Long]("n_vocab"))
+    assert(r.getAs[Long]("n_collided_tokens") >=
+      2L * r.getAs[Long]("n_collided_buckets"))
+    // identity: vocab = non-collided (used - collided buckets) + collided tokens
+    assert(r.getAs[Long]("n_vocab") ==
+      (r.getAs[Long]("n_used") - r.getAs[Long]("n_collided_buckets")) +
+        r.getAs[Long]("n_collided_tokens"), r.toString)
+    assert(r.getAs[Long]("max_bucket_tokens") >= 1L)
+    val share = r.getAs[Double]("collided_token_share")
+    assert(share >= 0.0 && share <= 1.0)
+  }
+
+  test("q_paths fixture: session-bounded trigrams hand-computed, " +
+    "cross-session sequences never stitched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17p").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1 session A: view,click,purchase,view -> trigrams vcp, cpv
+    // user 1 session B (gap > 30 min): view,view,click -> vvc
+    // user 2: click,view -> too short
+    val rows = Seq(
+      (1L, ts(8, 0), 1L, "view"), (2L, ts(8, 5), 1L, "click"),
+      (3L, ts(8, 10), 1L, "purchase"), (4L, ts(8, 15), 1L, "view"),
+      (5L, ts(10, 0), 1L, "view"), (6L, ts(10, 5), 1L, "view"),
+      (7L, ts(10, 10), 1L, "click"),
+      (8L, ts(9, 0), 2L, "click"), (9L, ts(9, 5), 2L, "view"))
+    try {
+      rows.map { case (id, t, u, e) => (id, t, u, e, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = operators.Relational.qPaths(spark, dir).collect()
+        .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2"),
+          r.getAs[String]("e3")) -> ((r.getAs[Long]("n"), r.getAs[Double]("share"))))
+        .toMap
+      assert(got == Map(
+        ("view", "click", "purchase") -> ((1L, 0.333333)),
+        ("click", "purchase", "view") -> ((1L, 0.333333)),
+        ("view", "view", "click") -> ((1L, 0.333333))), got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_sppmi fixture: hand-computed pair counts and shifted PMI on a " +
     "planted strong collocation") {
     // doc = "alpha beta alpha beta alpha beta ..." (x8): within +/-2,
