@@ -967,6 +967,30 @@ object TextAnalysis extends QueryModule {
        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
        GROUP BY lang"""
 
+  /** Fixed sample size of [[qSampleFixed]]. */
+  val SampleFixedK = 100
+
+  /** q_sample_fixed: deterministic FIXED-SIZE uniform sample — the
+    * distributed reservoir: keep the [[SampleFixedK]] documents with the
+    * smallest md5(doc_id) (47j's q_sample fixes the RATE via a hex-nibble
+    * gate; this fixes the SIZE — bottom-k over a uniform hash IS Vitter's
+    * reservoir computed deterministically, and bottom-k sets are
+    * MERGEABLE: the union's bottom-k = bottom-k of the parts, which is
+    * what makes the streaming twin's state O(k)). TakeOrderedAndProject
+    * — per-partition top-k then one k-row merge, never a global sort. */
+  def qSampleFixed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(SampleFixedK)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  private val qSampleFixedSql =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       LIMIT $SampleFixedK"""
+
   /** Per-language keep-rates for stratified sampling, as 2-hex-char md5
     * prefix thresholds (lexicographic compare — identical in every
     * engine): en 1.0, de ~0.5, es/fr ~0.25, everything else ~0.125. */
@@ -1965,6 +1989,7 @@ object TextAnalysis extends QueryModule {
     "q_pmi" -> (qPmi _),
     "q_sppmi" -> (qSppmi _),
     "q_feature_hash" -> (qFeatureHash _),
+    "q_sample_fixed" -> (qSampleFixed _),
     "q_keywords" -> (qKeywords _),
     "q_lm_score" -> (qLmScore _),
     "q_approx_distinct" -> (qApproxDistinctGate _))
@@ -2009,6 +2034,7 @@ object TextAnalysis extends QueryModule {
     "q_pmi" -> qPmiSql,
     "q_sppmi" -> qSppmiSql,
     "q_feature_hash" -> qFeatureHashSql,
+    "q_sample_fixed" -> qSampleFixedSql,
     "q_keywords" -> qKeywordsSql,
     "q_lm_score" -> qLmScoreSql)
 }

@@ -1060,6 +1060,45 @@ object EventStream {
       }
   }
 
+  case class DocSeen(doc_id: Long, lang: String)
+  case class BkEntry(h: String, doc_id: Long)
+  case class BkState(entries: List[BkEntry], n_seen: Long)
+  case class BkEmit(lang: String, n_seen: Long, n_kept: Int,
+    hashes: Seq[String], doc_ids: Seq[Long])
+
+  /** Streaming deterministic uniform sample — the stateful twin of batch
+    * q_sample_fixed's bottom-k-by-md5 reservoir. State per language =
+    * the k smallest (md5(doc_id), doc_id) entries plus an exact seen
+    * count — O(k) forever, and MERGEABLE: the union's bottom-k is the
+    * bottom-k of the per-key states' union, so per-lang monitor shards
+    * recombine into the exact global sample (the spec does exactly that
+    * merge and pins it to the batch twin). The hash is the same
+    * lowercase md5 hex Spark's `md5()` emits, so streaming state and
+    * batch sample tables share one keying. */
+  def runningSample(docs: Dataset[DocSeen],
+      k: Int = graft.operators.TextAnalysis.SampleFixedK): Dataset[BkEmit] = {
+    import docs.sparkSession.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[BkState, BkEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (lang, rows, state: GroupState[BkState]) =>
+          val st = state.getOption.getOrElse(BkState(Nil, 0L))
+          var n = st.n_seen
+          val merged = scala.collection.mutable.ArrayBuffer(st.entries: _*)
+          rows.foreach { r =>
+            n += 1L
+            merged += BkEntry(md5hex(r.doc_id.toString), r.doc_id)
+          }
+          val kept = merged.distinct.sortBy(e => (e.h, e.doc_id)).take(k).toList
+          state.update(BkState(kept, n))
+          Iterator(BkEmit(lang, n, kept.length,
+            kept.map(_.h), kept.map(_.doc_id)))
+      }
+  }
+
   case class StreakState(last_epoch_day: Long, cur_len: Long, best_len: Long)
   case class StreakOut(user_id: Long, last_day: String, cur_streak: Long,
     best_streak: Long)

@@ -152,6 +152,21 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_sample_fixed: the bottom-k reservoir equals a plain-Scala md5 " +
+    "sort and is a strict subset under k") {
+    val sf = "/root/testdata/sf0.001"
+    val got = operators.TextAnalysis.qSampleFixed(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(got.length == operators.TextAnalysis.SampleFixedK)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => (md5hex(id.toString), id))
+      .take(operators.TextAnalysis.SampleFixedK)
+    assert(got.toSeq == exp.toSeq, "bottom-k by md5 must match exactly")
+  }
+
   test("q_feature_hash: accounting identities hold and a planted " +
     "collision is counted once per bucket") {
     val sf = "/root/testdata/sf0.001"

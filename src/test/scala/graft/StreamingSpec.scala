@@ -1015,6 +1015,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bottom-k sample monitor: merged per-lang states equal " +
+    "the batch q_sample_fixed reservoir across a micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => EventStream.DocSeen(r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val input = MemoryStream[EventStream.DocSeen]
+    val q = EventStream.runningSample(input.toDS())
+      .writeStream.format("memory").queryName("bk_out")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // latest emission per lang = that shard's state; exact seen counts
+      val latest = spark.table("bk_out").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_seen"),
+          r.getSeq[String](3).zip(r.getSeq[Long](4))))
+        .groupBy(_._1).map { case (l, es) => es.maxBy(_._2) }
+      assert(latest.map(_._2).sum == docs.length.toLong, "exact seen count")
+      // MERGE the per-lang bottom-k states -> global bottom-k
+      val mergedIds = latest.flatMap(_._3).toSeq
+        .sortBy(e => (e._1, e._2)).take(operators.TextAnalysis.SampleFixedK)
+        .map(_._2).toSet
+      val batchIds = operators.TextAnalysis.qSampleFixed(spark, sf).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(mergedIds == batchIds,
+        s"merged monitor sample != batch reservoir: " +
+          s"only-monitor ${mergedIds -- batchIds}, only-batch ${batchIds -- mergedIds}")
+    } finally q.stop()
+  }
+
   test("streaming streak monitor: latest per-user best-streak rollup " +
     "equals the batch q_streaks distribution across a micro-batch " +
     "boundary, and a gap resets the current run") {
