@@ -1975,6 +1975,76 @@ object Relational extends QueryModule {
          WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
            AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))"""
 
+  /** q_growth_accounting: the full growth-accounting decomposition of
+    * daily active users (the panel 68u's new-vs-returning split opens:
+    * every active user-day is EXACTLY one of new / retained (active the
+    * previous calendar day) / resurrected (returning after a gap), and
+    * yesterday's actives split into retained + churned — so two
+    * conservation identities hold by construction:
+    * dau = n_new + n_retained + n_resurrected and
+    * dau_prev = n_retained + n_churned (the spec asserts both, the
+    * second being the definition of churn). One (user, day) distinct +
+    * one user-keyed lag() window + a day-bounded rollup joined to its
+    * own lag — nothing outgrows the calendar. */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val classed = byDay
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, "new")
+          .when(datediff(col("day"), col("prev")) === 1, "retained")
+          .otherwise("resurrected").as("cls"))
+    val daily = classed.groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val wd = Window.orderBy(col("day").asc) // day-bounded: one row per day
+    daily
+      .withColumn("dau_prev", lag(col("dau"), 1).over(wd))
+      .withColumn("prev_day", lag(col("day"), 1).over(wd))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        // churn only defined vs a CONSECUTIVE previous day
+        when(datediff(col("day"), col("prev_day")) === 1,
+          col("dau_prev") - col("n_retained")).as("n_churned"),
+        round(when(datediff(col("day"), col("prev_day")) === 1,
+          col("n_retained").cast("double") / col("dau_prev").cast("double")),
+          6).as("retention_rate"))
+  }
+
+  private val qGrowthAccountingSql =
+    """WITH bd AS (SELECT DISTINCT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+       cl AS (SELECT day,
+           CASE WHEN prev IS NULL THEN 'new'
+                WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+                ELSE 'resurrected' END AS cls
+         FROM (SELECT day, lag(day) OVER (PARTITION BY user_id
+                                          ORDER BY day ASC) AS prev
+               FROM bd)),
+       daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected
+         FROM cl GROUP BY day),
+       lagged AS (SELECT *, lag(dau) OVER (ORDER BY day ASC) AS dau_prev,
+           lag(day) OVER (ORDER BY day ASC) AS prev_day FROM daily)
+       SELECT strftime(day, '%Y-%m-%d') AS day, dau, n_new, n_retained,
+         n_resurrected,
+         CASE WHEN date_diff('day', prev_day, day) = 1
+           THEN dau_prev - n_retained ELSE NULL END AS n_churned,
+         round(CASE WHEN date_diff('day', prev_day, day) = 1
+           THEN CAST(n_retained AS DOUBLE) / CAST(dau_prev AS DOUBLE)
+           ELSE NULL END, 6) AS retention_rate
+       FROM lagged"""
+
   /** Path length (consecutive event types per step) and head size of
     * [[qPaths]]. */
   val PathLen = 3
@@ -2147,7 +2217,8 @@ object Relational extends QueryModule {
     "q_rfm" -> (qRfm _),
     "q_cohort_revenue" -> (qCohortRevenue _),
     "q_streaks" -> (qStreaks _),
-    "q_paths" -> (qPaths _))
+    "q_paths" -> (qPaths _),
+    "q_growth_accounting" -> (qGrowthAccounting _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -2202,5 +2273,6 @@ object Relational extends QueryModule {
     "q_rfm" -> qRfmSql,
     "q_cohort_revenue" -> qCohortRevenueSql,
     "q_streaks" -> qStreaksSql,
-    "q_paths" -> qPathsSql)
+    "q_paths" -> qPathsSql,
+    "q_growth_accounting" -> qGrowthAccountingSql)
 }

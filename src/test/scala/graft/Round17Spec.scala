@@ -152,6 +152,51 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_growth_accounting: hand-computed classes on a gap fixture and " +
+    "both conservation identities at sf0.001") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17g").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00")
+    // u1: d1,d2,d4 (retained d2, resurrected d4); u2: d2 only (new);
+    // u3: d1 then gone (churned into d2)
+    val rows = Seq((1L, ts(1), 1L), (2L, ts(2), 1L), (3L, ts(4), 1L),
+      (4L, ts(2), 2L), (5L, ts(1), 3L))
+    try {
+      rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = operators.Relational.qGrowthAccounting(spark, dir).collect()
+        .map(r => r.getAs[String]("day") -> r).toMap
+      val d1 = got("2024-01-01"); val d2 = got("2024-01-02"); val d4 = got("2024-01-04")
+      assert(d1.getAs[Long]("dau") == 2L && d1.getAs[Long]("n_new") == 2L)
+      assert(d1.isNullAt(d1.fieldIndex("n_churned")))
+      assert(d2.getAs[Long]("dau") == 2L && d2.getAs[Long]("n_new") == 1L &&
+        d2.getAs[Long]("n_retained") == 1L && d2.getAs[Long]("n_churned") == 1L)
+      assert(d2.getAs[Double]("retention_rate") == 0.5)
+      assert(d4.getAs[Long]("n_resurrected") == 1L &&
+        d4.isNullAt(d4.fieldIndex("n_churned")), "gap day has no churn baseline")
+      // identities on the real corpus
+      val sf = operators.Relational.qGrowthAccounting(spark, "/root/testdata/sf0.001")
+        .orderBy(col("day")).collect()
+      var prevDau = -1L
+      var prevDay = ""
+      for (r <- sf) {
+        assert(r.getAs[Long]("dau") == r.getAs[Long]("n_new") +
+          r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"),
+          s"identity 1 fails on ${r.getAs[String]("day")}")
+        if (!r.isNullAt(r.fieldIndex("n_churned"))) {
+          assert(java.time.LocalDate.parse(r.getAs[String]("day")).minusDays(1)
+            .toString == prevDay)
+          assert(prevDau == r.getAs[Long]("n_retained") + r.getAs[Long]("n_churned"),
+            s"identity 2 fails on ${r.getAs[String]("day")}")
+        }
+        prevDau = r.getAs[Long]("dau"); prevDay = r.getAs[String]("day")
+      }
+      assert(sf.length >= 2)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_sample_fixed: the bottom-k reservoir equals a plain-Scala md5 " +
     "sort and is a strict subset under k") {
     val sf = "/root/testdata/sf0.001"
