@@ -1298,6 +1298,86 @@ object SimilaritySearch extends QueryModule {
         "finite_ok", "cov_diag_ok")
   }
 
+  /** Axis-sign histogram width for [[qEmbedDrift]]: 2⁴ = 16 buckets from
+    * the sign pattern of the four leading dims — coarse on purpose (the
+    * per-label populations at test SF are ~50; a 256-cell histogram
+    * would be smoothing noise, the 16-cell one is an honest density). */
+  val EmbedDriftBits = 4
+
+  /** q_embed_drift: embedding-distribution drift between label
+    * populations — the EMBEDDING-space member of the drift family (53
+    * q_psi monitors a scalar; 59j/67h monitor ECDFs; this monitors the
+    * vector distribution itself, the check an embedding-backed retrieval
+    * or dedup pipeline runs when the upstream encoder changes). Buckets
+    * are the axis-sign pattern of the leading [[EmbedDriftBits]] dims —
+    * axis-aligned LSH that BOTH engines can replay exactly (seeded
+    * hyperplanes are not SQL-derivable; sign bits are); per label pair,
+    * PSI over the 16-cell dense grid with the q_psi (+1)/(+k) smoothing
+    * and the bucket-ordered k-bounded fold. Pair space is label², the
+    * grid labels×16 — nothing scales with the corpus beyond one
+    * bucket-count scan. */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val nb = 1 << EmbedDriftBits
+    val bucket = (0 until EmbedDriftBits).map { i =>
+      when(element_at(col("embedding"), i + 1).cast("double") > 0.0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val counts = Tables.embeddings(s, dir)
+      .select(col("label"), bucket.as("bucket"))
+      .groupBy("label", "bucket").agg(count(lit(1)).as("n"))
+    val grid = counts.select("label").distinct()
+      .crossJoin(broadcast(
+        counts.sparkSession.range(nb).select(col("id").as("bucket"))))
+    val dense = grid.join(counts, Seq("label", "bucket"), "left")
+      .select(col("label"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = dense.groupBy("label").agg(sum(col("n")).as("t"))
+    val a = dense.join(tot, Seq("label"))
+      .select(col("label").as("label_a"), col("bucket"),
+        col("n").as("na"), col("t").as("ta"))
+    val b = dense.join(tot, Seq("label"))
+      .select(col("label").as("label_b"), col("bucket"),
+        col("n").as("nb"), col("t").as("tb"))
+    val pa = (col("na") + 1).cast("double") / (col("ta") + nb).cast("double")
+    val pb = (col("nb") + 1).cast("double") / (col("tb") + nb).cast("double")
+    a.join(b, Seq("bucket"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"),
+        col("ta").as("n_a"), col("tb").as("n_b"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("bucket"),
+          ((pa - pb) * log(pa / pb)).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")), 6).as("psi"))
+      .select("label_a", "label_b", "n_a", "n_b", "psi")
+  }
+
+  private lazy val qEmbedDriftSql = {
+    val nb = 1 << EmbedDriftBits
+    val bucket = (0 until EmbedDriftBits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT label, $bucket AS bucket, CAST(count(*) AS BIGINT) AS n
+         FROM embeddings GROUP BY 1, 2),
+       grid AS (SELECT l.label, b.bucket
+         FROM (SELECT DISTINCT label FROM c) l
+         CROSS JOIN (SELECT unnest(range(0, $nb)) AS bucket) b),
+       dense AS (SELECT g.label, g.bucket, coalesce(c.n, 0) AS n
+         FROM grid g LEFT JOIN c ON g.label = c.label AND g.bucket = c.bucket),
+       tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS t FROM dense GROUP BY 1),
+       d AS (SELECT dense.label, bucket, n, t
+             FROM dense JOIN tot ON dense.label = tot.label)
+       SELECT a.label AS label_a, b.label AS label_b,
+         a.t AS n_a, b.t AS n_b,
+         round(list_sum(list(
+           (CAST(a.n + 1 AS DOUBLE) / (a.t + $nb)
+             - CAST(b.n + 1 AS DOUBLE) / (b.t + $nb))
+           * ln((CAST(a.n + 1 AS DOUBLE) / (a.t + $nb))
+               / (CAST(b.n + 1 AS DOUBLE) / (b.t + $nb)))
+           ORDER BY a.bucket)), 6) AS psi
+       FROM d a JOIN d b ON a.bucket = b.bucket AND a.label < b.label
+       GROUP BY a.label, b.label, a.t, b.t"""
+  }
+
   private lazy val qGmmAuditSql =
     s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
          CAST($GmmK AS BIGINT) AS k, CAST($GmmDim AS BIGINT) AS dim,
@@ -1496,6 +1576,7 @@ object SimilaritySearch extends QueryModule {
     "q_kmeans" -> (qKmeans _),
     "q_gmm" -> (qGmm _),
     "q_gmm_audit" -> (qGmmAudit _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_silhouette" -> (qSilhouette _),
     "q_hac" -> (qHac _),
     "q_hac_audit" -> (qHacAudit _),
@@ -1523,6 +1604,7 @@ object SimilaritySearch extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_kmeans_audit" -> qKmeansAuditSql,
     "q_gmm_audit" -> qGmmAuditSql,
+    "q_embed_drift" -> qEmbedDriftSql,
     "q_hac_audit" -> qHacAuditSql,
     "q_pca_audit" -> qPcaAuditSql,
     "q_mrr" -> qMrrSql,

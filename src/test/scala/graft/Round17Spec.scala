@@ -152,6 +152,29 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_embed_drift fixture: opposed sign-buckets give the hand-" +
+    "computed PSI, identical populations give 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17e2").toString
+    // label 0: all four leading dims positive (bucket 15); label 1: all
+    // negative (bucket 0); label 2: same as label 0 -> psi(0,2) = 0
+    val rows = (1 to 4).map(i => (i.toLong, Seq(1f, 1f, 1f, 1f), 0)) ++
+      (5 to 8).map(i => (i.toLong, Seq(-1f, -1f, -1f, -1f), 1)) ++
+      (9 to 12).map(i => (i.toLong, Seq(2f, 2f, 2f, 2f), 2))
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = operators.SimilaritySearch.qEmbedDrift(spark, dir).collect()
+        .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+          r.getAs[Double]("psi")).toMap
+      // hand: 2 * 0.2 * ln 5 = 0.643775 for the opposed pairs
+      assert(math.abs(got((0, 1)) - 0.643775) < 1e-6, got.toString)
+      assert(math.abs(got((1, 2)) - 0.643775) < 1e-6, got.toString)
+      assert(got((0, 2)) == 0.0, got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_growth_accounting: hand-computed classes on a gap fixture and " +
     "both conservation identities at sf0.001") {
     import spark.implicits._
