@@ -1060,6 +1060,41 @@ object EventStream {
       }
   }
 
+  case class PathEvent(user_id: Long, event_type: String, us: Long)
+  case class PathState(e1: String, e2: String, last_us: Long)
+  case class PathEmit(user_id: Long, e1: String, e2: String, e3: String)
+
+  /** Streaming session-path monitor — the stateful twin of batch
+    * q_paths. State per user = the last TWO event types plus the last
+    * event instant (three fields, O(1) forever): on each event, a gap
+    * beyond the 30-min session threshold clears the carried pair (paths
+    * never stitch across sessions — the batch fixture's invariant), a
+    * completed (prev2, prev1, current) trigram is emitted exactly once,
+    * then the pair shifts. The journey dashboard is one stateless
+    * rollup + top-k of this stream; the spec pins that rollup to the
+    * batch twin's pre-limit trigram counts across a micro-batch
+    * boundary. In-batch rows are processed in event-time order (the
+    * runningUserEwma ordered-arrival convention). */
+  def runningPaths(events: Dataset[PathEvent]): Dataset[PathEmit] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[PathState]) =>
+          var st = state.getOption.getOrElse(PathState(null, null, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathEmit]
+          rows.toSeq.sortBy(_.us).foreach { e =>
+            val inSession = st.last_us != Long.MinValue && e.us - st.last_us <= gapUs
+            val (p1, p2) = if (inSession) (st.e1, st.e2) else (null, null)
+            if (p1 != null && p2 != null) out += PathEmit(uid, p1, p2, e.event_type)
+            st = PathState(p2, e.event_type, e.us)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class DocSeen(doc_id: Long, lang: String)
   case class BkEntry(h: String, doc_id: Long)
   case class BkState(entries: List[BkEntry], n_seen: Long)

@@ -1015,6 +1015,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming path monitor: trigram rollup equals the batch q_paths " +
+    "counts across a micro-batch boundary, sessions never stitched") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r17paths").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(8, 0), 1L, "view"), (2L, ts(8, 5), 1L, "click"),
+      (3L, ts(8, 10), 1L, "purchase"), (4L, ts(8, 15), 1L, "view"),
+      (5L, ts(10, 0), 1L, "view"), (6L, ts(10, 5), 1L, "view"),
+      (7L, ts(10, 10), 1L, "click"),
+      (8L, ts(9, 0), 2L, "click"), (9L, ts(9, 5), 2L, "view"))
+    val input = MemoryStream[EventStream.PathEvent]
+    val q = EventStream.runningPaths(input.toDS())
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("update").start()
+    try {
+      rows.map { case (id, t, u, e) => (id, t, u, e, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def ev(r: (Long, java.sql.Timestamp, Long, String)) =
+        EventStream.PathEvent(r._3, r._4, r._2.getTime * 1000L)
+      // split MID-SESSION (after the 2nd event of user 1's first session)
+      val ordered = rows.sortBy(_._2.getTime)
+      val (b1, b2) = ordered.splitAt(3)
+      input.addData(b1.map(ev)); q.processAllAvailable()
+      input.addData(b2.map(ev)); q.processAllAvailable()
+      val rollup = spark.table("paths_out").collect()
+        .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2"),
+          r.getAs[String]("e3")))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val batch = graft.operators.Relational.qPaths(spark, dir).collect()
+        .map(r => (r.getAs[String]("e1"), r.getAs[String]("e2"),
+          r.getAs[String]("e3")) -> r.getAs[Long]("n")).toMap
+      assert(rollup == batch, s"monitor rollup $rollup != batch $batch")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming bottom-k sample monitor: merged per-lang states equal " +
     "the batch q_sample_fixed reservoir across a micro-batch boundary") {
     implicit val sqlCtx = spark.sqlContext
