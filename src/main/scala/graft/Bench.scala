@@ -103,8 +103,9 @@ object Bench {
   // training upstream) follow the ML-training exclusion, as does the
   // whole q_unigram family (EM training upstream).
   // r17: q_als / q_als_audit (10 ALS sweeps), q_w2v / q_w2v_audit
-  // (skip-gram training upstream) and q_gmm / q_gmm_audit (EM training)
-  // follow the same ML-training exclusion.
+  // (skip-gram training upstream), q_gmm / q_gmm_audit (EM training) and
+  // q_wordpiece / q_wordpiece_audit (iterative merge training, like the
+  // whole q_bpe/q_unigram families) follow the same ML-training exclusion.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

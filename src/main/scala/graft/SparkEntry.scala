@@ -12,7 +12,7 @@ object SparkEntry {
     Relational, Tpch, TextPrep, TextAnalysis, TextScoring, Dedup,
     SimilaritySearch, Evaluation, NQuads, Multimodal, TopicModeling,
     Classification, PolysemyEval, Stats, RobustStats, Inference, ScaleOps,
-    Bpe, Unigram, PatternMining, Recommender, Embeddings)
+    Bpe, Unigram, Wordpiece, PatternMining, Recommender, Embeddings)
 
   /** Flagship: the polysemy-pipeline front half (clean → dictionary) on
     * sf0.001; driver smoke-checks rows > 0. (The end-to-end headline,

@@ -152,6 +152,37 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("wordpiece localTrain: hand-computed two rounds including the " +
+    "likelihood tie-break (score tie broken by pair count)") {
+    val got = operators.Wordpiece.localTrain(Seq("abab" -> 2L, "ab" -> 3L), 2)
+    // round 1: (a,##b) n=5 vs (##b,##a) n=2 both score 5/35 = 2/14 =
+    // 0.142857...; pair-count tie-break picks (a,##b) -> "ab"
+    assert(got(0)._1 == 1 && got(0)._2 == "a" && got(0)._3 == "##b" &&
+      got(0)._4 == "ab" && got(0)._5 == 5L, got(0).toString)
+    // round 2: (##a,##b) 2/(2*2)=0.5 beats (ab,##a) 2/(5*2)=0.2
+    assert(got(1)._1 == 2 && got(1)._2 == "##a" && got(1)._3 == "##b" &&
+      got(1)._4 == "##ab" && got(1)._5 == 2L, got(1).toString)
+  }
+
+  test("wordpiece: distributed loop equals localTrain on sf0.001 and " +
+    "every audit boolean true") {
+    val sf = "/root/testdata/sf0.001"
+    val local = operators.Wordpiece.qWordpiece(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq.sortBy(_._1)
+    val dist = operators.Wordpiece.train(spark, sf, localVocabLimit = 0L)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq.sortBy(_._1)
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local.length == operators.Wordpiece.WpMerges)
+    val a = operators.Wordpiece.qWordpieceAudit(spark, sf).collect()(0)
+    for (b <- Seq("roundtrip_ok", "bounds_ok", "merges_ok", "scores_ok"))
+      assert(a.getAs[Boolean](b), s"$b false")
+  }
+
   test("q_embed_drift fixture: opposed sign-buckets give the hand-" +
     "computed PSI, identical populations give 0") {
     import spark.implicits._
