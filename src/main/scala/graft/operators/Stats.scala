@@ -1276,6 +1276,150 @@ object Stats extends QueryModule {
       round(e1, 6).as("e1"), round(varT, 6).as("var_t"))
   }
 
+  val CoxNewtonIters = 12
+
+  /** Cox time-to-event risk table — the SAME population, censoring rule,
+    * md5 treatment arm and derived epoch as q_logrank (62e is the score
+    * test of this model at β = 0; this fits the model): per distinct
+    * event time t, deaths and at-risk counts by arm. Distributed build
+    * (one user aggregate + a calendar-bounded prefix window); the
+    * collect is over the distinct-event-time relation — the
+    * bounded-state rule. */
+  private def coxRiskTable(s: SparkSession, dir: String)
+      : Seq[(Int, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = Tables.events(s, dir)
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val lt = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase" &&
+          col("value") > TwoPropValueCut,
+        date_format(col("ts"), "yyyy-MM-dd"))).as("first_day"))
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(col("first_day").isNotNull,
+          (datediff(col("first_day").cast("date"), col("d0")) + 1))
+          .otherwise(datediff(col("d1"), col("d0")) + 2).cast("int").as("t"),
+        col("first_day").isNotNull.as("event"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val perDay = lt.groupBy("t")
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("enter1"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("enter0"),
+        sum(when(col("treat") && col("event"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("treat") && col("event"), 1L).otherwise(0L)).as("d0e"))
+    val tot = lt.agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).as("tot1"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("tot0"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay.crossJoin(broadcast(tot))
+      .withColumn("n1", col("tot1") -
+        coalesce(sum(col("enter1")).over(wCum), lit(0L)))
+      .withColumn("n0", col("tot0") -
+        coalesce(sum(col("enter0")).over(wCum), lit(0L)))
+      .filter(col("d1") + col("d0e") > 0)
+      .select("t", "d1", "d0e", "n1", "n0")
+      .collect()
+      .map(r => (r.getAs[Int]("t"), r.getAs[Long]("d1"), r.getAs[Long]("d0e"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n0")))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Newton fit of the one-covariate Cox model with Breslow ties over a
+    * risk table — (beta, score-at-beta, information-at-beta,
+    * score-at-zero). Sums run in ascending-t order every iteration. */
+  def coxNewton(rows: Seq[(Int, Long, Long, Long, Long)])
+      : (Double, Double, Double, Double) = {
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var u = 0.0; var inf = 0.0
+      rows.foreach { case (_, d1, d0e, n1, n0) =>
+        val d = (d1 + d0e).toDouble
+        val w1 = n1.toDouble * math.exp(beta)
+        val den = n0.toDouble + w1
+        u += d1.toDouble - d * w1 / den
+        inf += d * (n0.toDouble * w1) / (den * den)
+      }
+      (u, inf)
+    }
+    val u0 = scoreInfo(0.0)._1
+    var beta = 0.0
+    for (_ <- 1 to CoxNewtonIters) {
+      val (u, inf) = scoreInfo(beta)
+      if (inf > 0.0) beta += u / inf
+    }
+    val (uF, iF) = scoreInfo(beta)
+    (beta, uF, iF, u0)
+  }
+
+  /** q_cox: Cox proportional-hazards fit — the EFFECT-SIZE member
+    * completing the survival family (60m Kaplan–Meier describes, 65r
+    * Nelson–Aalen accumulates, 62e log-rank tests; Cox says HOW MUCH the
+    * arm shifts the hazard: 62e is exactly this model's score test at
+    * β = 0, an identity the audit gates). One-covariate Newton over the
+    * calendar-bounded risk table (Breslow ties) — the corpus-scale work
+    * is the same one aggregate + prefix window as q_logrank; the
+    * iteration is bounded-state driver arithmetic. Rows-only (exp(β) is
+    * libm-seamed — the established exp/pow ban keeps it off hash-gated
+    * surfaces); q_cox_audit carries the certificate. */
+  def qCox(s: SparkSession, dir: String): DataFrame = {
+    val rows = coxRiskTable(s, dir)
+    val (beta, _, inf, u0) = coxNewton(rows)
+    val se = 1.0 / math.sqrt(inf)
+    import s.implicits._
+    Seq((round6(beta), round6(math.exp(beta)), round6(se),
+      round6(beta / se), round6(u0), rows.length.toLong))
+      .toDF("beta", "hazard_ratio", "se", "z", "score_at_zero", "n_times")
+  }
+
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** q_cox_audit: Cox-fit certificate. SQL-derivable anchors the oracle
+    * recomputes through the identical censoring construction (q_logrank's
+    * oracle CTEs): n_users, n_events, n_events_treat. Gated booleans:
+    *  - `converged_ok`: |U(β̂)| below 1e-6·(1 + I(β̂)) — Newton actually
+    *    found the root;
+    *  - `info_pos_ok` / `finite_ok`: positive information, finite β/se;
+    *  - `logrank_anchor_ok`: U(0) re-derived as O₁ − E₁ in a DIFFERENT
+    *    summation order (total observed minus total expected) agrees
+    *    with the per-time score sum to 1e-9 — the 62e score-test
+    *    identity, checked numerically. */
+  def qCoxAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = coxRiskTable(s, dir)
+    val (beta, uF, iF, u0) = coxNewton(rows)
+    val convergedOk = iF > 0.0 && math.abs(uF) < 1e-6 * (1.0 + iF)
+    val finiteOk = !beta.isNaN && !beta.isInfinite && iF > 0.0
+    val o1 = rows.map(_._2).sum.toDouble
+    val e1 = rows.map { case (_, d1, d0e, n1, n0) =>
+      (d1 + d0e).toDouble * n1.toDouble / (n1 + n0).toDouble
+    }.sum
+    val anchorOk = math.abs(u0 - (o1 - e1)) < 1e-9
+    val nEvents = rows.map(r => r._2 + r._3).sum
+    val nEventsTreat = rows.map(_._2).sum
+    val nUsers = Tables.events(s, dir).select("user_id").distinct().count()
+    import s.implicits._
+    Seq((nUsers, nEvents, nEventsTreat,
+      convergedOk, iF > 0.0, finiteOk, anchorOk))
+      .toDF("n_users", "n_events", "n_events_treat",
+        "converged_ok", "info_pos_ok", "finite_ok", "logrank_anchor_ok")
+  }
+
+  private lazy val qCoxAuditSql =
+    s"""WITH fp AS (
+         SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+             THEN strftime(ts, '%Y-%m-%d') END) AS first_day
+         FROM events GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN first_day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_events,
+         CAST(sum(CASE WHEN first_day IS NOT NULL AND
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_events_treat,
+         TRUE AS converged_ok, TRUE AS info_pos_ok,
+         TRUE AS finite_ok, TRUE AS logrank_anchor_ok
+       FROM fp"""
+
   private lazy val qLogrankSql =
     s"""WITH fp AS (
          SELECT user_id,
@@ -4239,6 +4383,8 @@ object Stats extends QueryModule {
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_games_howell" -> (qGamesHowell _),
+    "q_cox" -> (qCox _),
+    "q_cox_audit" -> (qCoxAudit _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4302,6 +4448,7 @@ object Stats extends QueryModule {
     "q_holt" -> qHoltSql,
     "q_holt_winters" -> qHoltWintersSql,
     "q_games_howell" -> qGamesHowellSql,
+    "q_cox_audit" -> qCoxAuditSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

@@ -78,7 +78,8 @@ class AuditCoverageSpec extends AnyFunSuite {
     "q_unigram_encode" -> "q_unigram_audit",
     "q_w2v" -> "q_w2v_audit",
     "q_gmm" -> "q_gmm_audit",
-    "q_wordpiece" -> "q_wordpiece_audit")
+    "q_wordpiece" -> "q_wordpiece_audit",
+    "q_cox" -> "q_cox_audit")
 
   /** Pure checker so the broken-fixture test can exercise it directly. */
   def violations(queries: Set[String], oracles: Set[String],

@@ -152,6 +152,26 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("cox newton: closed-form root recovered on a one-time risk table " +
+    "and all audit booleans true at sf0.001") {
+    // one event time: d1=2, d0=1, n1=4, n0=4 -> U(beta)=0 gives
+    // 2 = 3*4e^b/(4+4e^b) -> e^b = 2 -> beta = ln 2
+    val (beta, uF, iF, u0) = operators.Stats.coxNewton(Seq((1, 2L, 1L, 4L, 4L)))
+    assert(math.abs(beta - math.log(2.0)) < 1e-9, s"beta $beta")
+    assert(math.abs(uF) < 1e-12 && iF > 0.0)
+    // U(0) = d1 - d*n1/n = 2 - 3*0.5 = 0.5
+    assert(math.abs(u0 - 0.5) < 1e-12)
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.Stats.qCox(spark, sf).collect()(0)
+    assert(math.abs(r.getAs[Double]("hazard_ratio") -
+      math.exp(r.getAs[Double]("beta"))) < 1e-5)
+    assert(r.getAs[Long]("n_times") >= 1L)
+    val a = operators.Stats.qCoxAudit(spark, sf).collect()(0)
+    for (b <- Seq("converged_ok", "info_pos_ok", "finite_ok", "logrank_anchor_ok"))
+      assert(a.getAs[Boolean](b), s"$b false")
+    assert(a.getAs[Long]("n_events") >= a.getAs[Long]("n_events_treat"))
+  }
+
   test("wordpiece localTrain: hand-computed two rounds including the " +
     "likelihood tie-break (score tie broken by pair count)") {
     val got = operators.Wordpiece.localTrain(Seq("abab" -> 2L, "ab" -> 3L), 2)
