@@ -175,10 +175,12 @@ class PlanShapeSpec extends SparkSpec {
     // without the user key would be the scale bug.
     assert(!plan(operators.Relational.qAbc(spark, sfDir)).contains("Window"),
       "q_abc must carry no WindowExec (prefix sum is the RDD two-pass form)")
+    // note: the globalPrefixSum RDD barrier hides the upstream sessionize
+    // stage behind a Scan ExistingRDD leaf, so window lines may be absent
+    // entirely — the pin is that any VISIBLE window is user-keyed
     val pc = plan(operators.Relational.qConcurrency(spark, sfDir))
-    val winLines = pc.linesIterator.filter(_.trim.startsWith("Window")).toList
-    winLines.foreach(l => assert(l.contains("user_id"),
-      s"q_concurrency: unkeyed window in plan line: $l"))
+    pc.linesIterator.filter(_.contains("Window [")).foreach(l =>
+      assert(l.contains("user_id"), s"q_concurrency: unkeyed window in plan line: $l"))
   }
 
   test("r17 additions keep their designed shapes: suffix-group joins stay " +
@@ -195,7 +197,9 @@ class PlanShapeSpec extends SparkSpec {
     }
     // the spans island pass must window per DOC, never globally
     val ps = plan(operators.Dedup.qExactSubstrSpans(spark, sfDir))
-    ps.linesIterator.filter(_.trim.startsWith("Window")).foreach(l =>
+    val spanWins = ps.linesIterator.filter(_.contains("Window [")).toList
+    assert(spanWins.nonEmpty, "q_exact_substr_spans: expected island windows")
+    spanWins.foreach(l =>
       assert(l.contains("doc_id"), s"q_exact_substr_spans: unkeyed window: $l"))
     // the t-digest audit joins the bounded (type, rank) estimates to the
     // events scan via broadcast — a shuffle join here would shuffle the
@@ -206,5 +210,42 @@ class PlanShapeSpec extends SparkSpec {
     // no window and no join at all
     val pt = plan(operators.ScaleOps.qTdigest(spark, sfDir))
     assert(!pt.contains("Window") && !pt.contains("Join"), pt.take(1200))
+  }
+
+  test("r17 mid-round additions: fact-table windows stay user/doc-keyed, " +
+    "bounded sides broadcast, no cartesian over scaling relations") {
+    Seq(
+      "q_streaks" -> operators.Relational.qStreaks(spark, sfDir),
+      "q_paths" -> operators.Relational.qPaths(spark, sfDir),
+      "q_growth_accounting" -> operators.Relational.qGrowthAccounting(spark, sfDir),
+      "q_sppmi" -> operators.TextAnalysis.qSppmi(spark, sfDir),
+      "q_embed_drift" -> operators.SimilaritySearch.qEmbedDrift(spark, sfDir),
+      "q_feature_hash" -> operators.TextAnalysis.qFeatureHash(spark, sfDir),
+      "q_brier" -> operators.TextScoring.qBrier(spark, sfDir)).foreach {
+      case (q, df) =>
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+    def winLines(p: String): List[String] =
+      p.linesIterator.filter(_.contains("Window [")).toList
+    // q_streaks / q_paths: every window over the event stream is keyed
+    // by user (the island/lead machinery) — an unkeyed window would be
+    // the single-task scale bug
+    for ((q, df) <- Seq(
+      "q_streaks" -> operators.Relational.qStreaks(spark, sfDir),
+      "q_paths" -> operators.Relational.qPaths(spark, sfDir))) {
+      val ls = winLines(plan(df))
+      assert(ls.nonEmpty, s"$q: expected window nodes")
+      ls.foreach(l => assert(l.contains("user_id"), s"$q: unkeyed window: $l"))
+    }
+    // q_growth_accounting: the user-level class window is keyed; its only
+    // unkeyed window runs over the DAILY rollup (calendar-bounded)
+    val gWins = winLines(plan(operators.Relational.qGrowthAccounting(spark, sfDir)))
+    assert(gWins.exists(_.contains("user_id")),
+      s"q_growth_accounting: user-keyed class window missing: $gWins")
+    // q_sample_fixed: global bottom-k must be TakeOrdered (per-partition
+    // top-k + k-row merge), never a global Sort+Limit over the corpus
+    val psf = plan(operators.TextAnalysis.qSampleFixed(spark, sfDir))
+    assert(psf.contains("TakeOrderedAndProject"), psf.take(800))
   }
 }
