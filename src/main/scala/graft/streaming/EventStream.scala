@@ -1060,6 +1060,43 @@ object EventStream {
       }
   }
 
+  case class GaState(last_epoch_day: Long)
+  case class GaEmit(day: String, user_id: Long, cls: String)
+
+  /** Streaming growth-accounting monitor — the stateful twin of batch
+    * q_growth_accounting. State per user = ONE long (last active epoch
+    * day): each new (user, day) is classified exactly once as
+    * new / retained (yesterday) / resurrected (after a gap), and the
+    * growth panel is a stateless per-day rollup of this stream (churn is
+    * then derived as dau_prev − n_retained, exactly the batch twin's
+    * definition — the spec pins the rollup to the batch panel across a
+    * micro-batch boundary). Same-day repeats are no-ops; in-batch rows
+    * process in day order; ordered arrival across batches per the
+    * runningUserEwma convention. */
+  def runningGrowthAccounting(events: Dataset[DayUser]): Dataset[GaEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GaState, GaEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[GaState]) =>
+          var last = state.getOption.map(_.last_epoch_day).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GaEmit]
+          rows.map(_.day).toSeq.distinct.sorted.foreach { d =>
+            val ed = java.time.LocalDate.parse(d).toEpochDay
+            if (ed > last) {
+              val cls =
+                if (last == Long.MinValue) "new"
+                else if (ed == last + 1L) "retained"
+                else "resurrected"
+              out += GaEmit(d, uid, cls)
+              last = ed
+            }
+          }
+          state.update(GaState(last))
+          out.iterator
+      }
+  }
+
   case class PathEvent(user_id: Long, event_type: String, us: Long)
   case class PathState(e1: String, e2: String, last_us: Long)
   case class PathEmit(user_id: Long, e1: String, e2: String, e3: String)

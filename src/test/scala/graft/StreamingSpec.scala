@@ -1015,6 +1015,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming growth-accounting monitor: per-day rollup (with derived " +
+    "churn) equals the batch panel across a micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r17ga").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00")
+    // same shape as the batch fixture: u1 d1,d2,d4; u2 d2; u3 d1
+    val rows = Seq((1L, ts(1), 1L), (2L, ts(2), 1L), (3L, ts(4), 1L),
+      (4L, ts(2), 2L), (5L, ts(1), 3L))
+    val input = MemoryStream[EventStream.DayUser]
+    val q = EventStream.runningGrowthAccounting(input.toDS())
+      .writeStream.format("memory").queryName("ga_out")
+      .outputMode("update").start()
+    try {
+      rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def day(t: java.sql.Timestamp) = t.toString.substring(0, 10)
+      val ordered = rows.sortBy(_._2.getTime)
+      val (b1, b2) = ordered.splitAt(2)
+      input.addData(b1.map(r => EventStream.DayUser(r._3, day(r._2))))
+      q.processAllAvailable()
+      input.addData(b2.map(r => EventStream.DayUser(r._3, day(r._2))))
+      q.processAllAvailable()
+      val emitted = spark.table("ga_out").collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"),
+          r.getAs[String]("cls")))
+      assert(emitted.length == emitted.distinct.length, "exactly-once per (user, day)")
+      val rollup = emitted.groupBy(_._1).map { case (d, es) =>
+        d -> ((es.length.toLong, es.count(_._3 == "new").toLong,
+          es.count(_._3 == "retained").toLong,
+          es.count(_._3 == "resurrected").toLong))
+      }
+      val batch = graft.operators.Relational.qGrowthAccounting(spark, dir)
+        .collect()
+        .map(r => r.getAs[String]("day") -> ((r.getAs[Long]("dau"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+          r.getAs[Long]("n_resurrected")))).toMap
+      assert(rollup == batch, s"monitor rollup $rollup != batch $batch")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming path monitor: trigram rollup equals the batch q_paths " +
     "counts across a micro-batch boundary, sessions never stitched") {
     implicit val sqlCtx = spark.sqlContext
