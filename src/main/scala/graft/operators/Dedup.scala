@@ -129,6 +129,77 @@ object Dedup extends QueryModule {
          round(CAST(sum(sdf) AS DOUBLE) / count(*), 6) AS mean_df
        FROM sh JOIN df USING (shingle) GROUP BY doc_id"""
 
+  /** Jaccard threshold of [[qJaccardPrefix]]. */
+  val PrefixJaccardTau = 0.3
+
+  /** q_jaccard_prefix: prefix-filtered set-similarity join (the PPJoin
+    * family, Xiao et al. 2008 — THE candidate-reduction technique for
+    * threshold joins, and the LOSSLESS answer to the df-cap trade the
+    * plain inverted-index path makes): order every doc's shingles by
+    * global rarity (df asc, hash asc); for J ≥ τ a matching pair MUST
+    * share a shingle within both docs' first |A| − ⌈τ·|A|⌉ + 1 shingles,
+    * so the posting self-join runs over PREFIXES only — ultra-common
+    * shingles land at the END of the ordering and never generate
+    * candidates, which is exactly what the lossy ShingleDfCap
+    * approximates. Verification intersects the two sorted per-doc
+    * shingle arrays per CANDIDATE (doc-length-bounded work, the PPJoin
+    * verify stage). Exact by the prefix-filter theorem — the oracle is
+    * the UNCAPPED brute-force threshold join and must match pair for
+    * pair. */
+  def qJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShingles(s, dir)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("sdf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("sdf").asc, col("sh").asc)
+    val prefix = sh.join(df, Seq("sh"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <=
+        col("sz") - ceil(col("sz") * PrefixJaccardTau).cast("long") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("set"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("common"),
+        col("sz_a"), col("sz_b"))
+      .filter(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double")
+        >= PrefixJaccardTau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  private lazy val qJaccardPrefixSql = {
+    val toks = TextFns.rawTokensSql("text")
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, unnest(${TextFns.shinglesSql("toks", 3)}) AS shingle
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)
+         >= $PrefixJaccardTau"""
+  }
+
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sizes = docSizes(s, dir)
     val pairs = cappedPairCounts(s, dir)
@@ -2047,6 +2118,7 @@ object Dedup extends QueryModule {
     "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_novelty" -> (qNovelty _),
     "q_bfs_depth" -> (qBfsDepth _),
     "q_containment" -> (qContainment _),
@@ -2084,6 +2156,7 @@ object Dedup extends QueryModule {
     "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_novelty" -> qNoveltySql,
     "q_bfs_depth" -> qBfsDepthSql,
     "q_minhash_audit" -> qMinhashAuditSql,

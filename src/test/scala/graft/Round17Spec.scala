@@ -152,6 +152,30 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_jaccard_prefix: prefix filter is lossless (same pairs as the " +
+    "unfiltered join) and strictly cheaper (fewer candidate pairs)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val sh = operators.Dedup.docShingles(spark, sf)
+    // brute force in DataFrame algebra: full posting join, same tau
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val full = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double") >=
+        operators.Dedup.PrefixJaccardTau)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = operators.Dedup.qJaccardPrefix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == full, s"only-prefix ${got -- full}, only-full ${full -- got}")
+    assert(got.nonEmpty, "corpus must contain planted near-dups above tau")
+    got.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("cox newton: closed-form root recovered on a one-time risk table " +
     "and all audit booleans true at sf0.001") {
     // one event time: d1=2, d0=1, n1=4, n0=4 -> U(beta)=0 gives
