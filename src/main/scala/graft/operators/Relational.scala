@@ -310,6 +310,85 @@ object Relational extends QueryModule {
        UNION ALL
        SELECT 'either' AS op, c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m)"""
 
+  /** q_setops_bag: the BAG-semantics set operators (INTERSECT ALL /
+    * EXCEPT ALL — 48j's q_setops covers the SET forms; these preserve
+    * multiplicities, which is what reconciliation actually needs: "how
+    * many copies survive in both" vs "which values appear"). Spark's
+    * native intersectAll/exceptAll plan as aggregates + joins with
+    * replicate counts — no row explosion beyond min/difference
+    * multiplicities. Summarized per nation (value, n) so the gated
+    * surface is the multiplicity table itself. */
+  def qSetopsBag(s: SparkSession, dir: String): DataFrame = {
+    def seg(name: String) =
+      Tables.customer(s, dir).filter(col("c_mktsegment") === name)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_nationkey"))
+    val b = seg("BUILDING")
+    val m = seg("MACHINERY")
+    b.intersectAll(m).select(lit("both_all").as("op"), col("c_nationkey"))
+      .unionByName(b.exceptAll(m)
+        .select(lit("building_surplus").as("op"), col("c_nationkey")))
+      .groupBy("op", "c_nationkey").agg(count(lit(1)).as("n"))
+  }
+
+  private val qSetopsBagSql =
+    """WITH b AS (SELECT c_nationkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING'
+                    AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+          m AS (SELECT c_nationkey FROM customer
+                  WHERE c_mktsegment = 'MACHINERY'
+                    AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+       SELECT op, c_nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+         SELECT 'both_all' AS op, c_nationkey
+         FROM (SELECT * FROM b INTERSECT ALL SELECT * FROM m)
+         UNION ALL
+         SELECT 'building_surplus' AS op, c_nationkey
+         FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM m))
+       GROUP BY 1, 2"""
+
+  /** q_audience_overlap: event-type audience-overlap matrix (the
+    * product-analytics "do the same users do X and Y" panel): per
+    * event-type pair, the exact Jaccard of their distinct-user
+    * audiences. One (type, user) distinct, one type-keyed pair join on
+    * the USER key (fan-out = each user's type-set, bounded by
+    * |event types|), |types|²-bounded rollup — never a user×user or
+    * event×event product. */
+  def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val aud = tu.groupBy("event_type").agg(count(lit(1)).as("n_aud"))
+    val inter = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(aud.select(col("event_type").as("type_a"), col("n_aud").as("n_a")),
+        Seq("type_a"))
+      .join(aud.select(col("event_type").as("type_b"), col("n_aud").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  private val qAudienceOverlapSql =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       aud AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_aud
+               FROM tu GROUP BY 1),
+       inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+         FROM tu a JOIN tu b ON a.user_id = b.user_id
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT type_a, type_b, xa.n_aud AS n_a, xb.n_aud AS n_b, n_both,
+         round(CAST(n_both AS DOUBLE) / (xa.n_aud + xb.n_aud - n_both), 6)
+           AS jaccard
+       FROM inter
+       JOIN aud xa ON xa.event_type = type_a
+       JOIN aud xb ON xb.event_type = type_b"""
+
   /** q_wau: 7-day sliding distinct users ("weekly active") per day — the
     * sliding-distinct shape: each (user, day) posts to the 7 window-days
     * it supports (bounded ×7 fan-out, an equi-shuffle on window-day; no
@@ -2218,7 +2297,9 @@ object Relational extends QueryModule {
     "q_cohort_revenue" -> (qCohortRevenue _),
     "q_streaks" -> (qStreaks _),
     "q_paths" -> (qPaths _),
-    "q_growth_accounting" -> (qGrowthAccounting _))
+    "q_growth_accounting" -> (qGrowthAccounting _),
+    "q_setops_bag" -> (qSetopsBag _),
+    "q_audience_overlap" -> (qAudienceOverlap _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -2274,5 +2355,7 @@ object Relational extends QueryModule {
     "q_cohort_revenue" -> qCohortRevenueSql,
     "q_streaks" -> qStreaksSql,
     "q_paths" -> qPathsSql,
-    "q_growth_accounting" -> qGrowthAccountingSql)
+    "q_growth_accounting" -> qGrowthAccountingSql,
+    "q_setops_bag" -> qSetopsBagSql,
+    "q_audience_overlap" -> qAudienceOverlapSql)
 }

@@ -152,6 +152,49 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_setops_bag fixture: multiplicities preserved (intersect-all = " +
+    "min count, except-all = surplus)") {
+    import spark.implicits._
+    // b = {1,1,1,2}, m = {1,2,2}: both_all 1->1? no: min(3,1)... wait
+    // intersectAll keeps min(3,1)=1 copy of 1 and min(1,2)=1 copy of 2;
+    // exceptAll keeps 3-1=2 copies of 1.
+    val b = Seq(1, 1, 1, 2).toDF("v")
+    val m = Seq(1, 2, 2).toDF("v")
+    val got = b.intersectAll(m).groupBy("v").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L), got.toString)
+    val ex = b.exceptAll(m).groupBy("v").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ex == Map(1 -> 2L), ex.toString)
+    // the corpus query: every surplus multiplicity is consistent with
+    // the raw per-nation segment counts
+    val rows = operators.Relational.qSetopsBag(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n") >= 1L))
+  }
+
+  test("q_audience_overlap: identities on a hand fixture (disjoint pair " +
+    "absent, nested pair at |A|/|B|)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17a").toString
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // view audience {1,2,3}; click audience {2,3} (nested); purchase {9}
+    val rows = Seq((1L, 1L, "view"), (2L, 2L, "view"), (3L, 3L, "view"),
+      (4L, 2L, "click"), (5L, 3L, "click"), (6L, 9L, "purchase"))
+    try {
+      rows.zipWithIndex.map { case ((id, u, e), i) => (id, ts(8 + i), u, e, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = operators.Relational.qAudienceOverlap(spark, dir).collect()
+        .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      // click < view alphabetically; nested: |A∩B|=2, |A∪B|=3 -> 0.666667
+      assert(got == Map(("click", "view") -> 0.666667), got.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_jaccard_prefix: prefix filter is lossless (same pairs as the " +
     "unfiltered join) and strictly cheaper (fewer candidate pairs)") {
     import spark.implicits._
