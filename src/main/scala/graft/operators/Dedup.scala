@@ -157,11 +157,21 @@ object Dedup extends QueryModule {
       .filter(col("pos") <=
         col("sz") - ceil(col("sz") * PrefixJaccardTau).cast("long") + 1)
       .select(col("doc_id"), col("sh"))
+    // candidates materialize ONCE (localCheckpoint): three consumers —
+    // the doc restriction below reads it twice and the final join once —
+    // would otherwise each replay the prefix self-join
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = sh.groupBy("doc_id")
+      .localCheckpoint(true)
+    // the verify stage materializes sorted shingle sets ONLY for docs
+    // that appear in some candidate (semi-join first): set building is
+    // candidate-bounded, not corpus-bounded
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("set"),
         count(lit(1)).as("sz"))
     cand

@@ -310,6 +310,77 @@ object Relational extends QueryModule {
        UNION ALL
        SELECT 'either' AS op, c_nationkey FROM (SELECT * FROM b UNION SELECT * FROM m)"""
 
+  /** The CEP pattern [[qPatternMatch]] counts: view (click|view)* purchase
+    * — "a purchase preceded by a view with only browse activity between",
+    * anchored to session start. Sessions are encoded as one |-separated
+    * type string, so the pattern is a REGEX over a session-bounded value
+    * (the MATCH_RECOGNIZE shape, CEP-lite): each alternative/quantifier
+    * change is a one-line regex edit, not a new funnel query. */
+  val PatternRegex = "^view(\\|(click|view))*\\|purchase"
+
+  /** q_pattern_match: regex-over-sessions event-pattern matching (the
+    * composable sequence matcher the fixed funnels 35f/67l special-case:
+    * funnels hard-code steps and windows, PrefixSpan 57b MINES frequent
+    * patterns — this EVALUATES a declared pattern with quantifiers and
+    * alternation). Each session's ordered event types collapse to one
+    * bounded string via a session-keyed sort+concat (session length
+    * bounds the value; the 30-min sessionize is the same user-keyed
+    * machinery as q_paths), then the pattern is one codegen regex per
+    * session row. Per-day rollup: sessions, matches, match share. */
+  def qPatternMatch(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("t_start"),
+        concat_ws("|", array_sort(collect_list(struct(col("us"),
+          col("event_id"), col("event_type"))))
+          .getField("event_type")).as("path"))
+    sess
+      .select(date_format(col("t_start"), "yyyy-MM-dd").as("day"),
+        col("path").rlike(PatternRegex).as("hit"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_matched"))
+      .select(col("day"), col("n_sessions"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_sessions").cast("double"),
+          6).as("match_rate"))
+  }
+
+  private val qPatternMatchSql =
+    s"""WITH t AS (
+         SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_us
+         FROM events),
+       se AS (SELECT user_id, event_id, ts, event_type, us,
+           sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+         FROM t),
+       sess AS (SELECT user_id, session_id, min(ts) AS t_start,
+           string_agg(event_type, '|' ORDER BY us ASC, event_id ASC) AS path
+         FROM se GROUP BY 1, 2)
+       SELECT strftime(t_start, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN regexp_matches(path,
+           '^view(\\|(click|view))*\\|purchase') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         round(CAST(sum(CASE WHEN regexp_matches(path,
+           '^view(\\|(click|view))*\\|purchase') THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 6) AS match_rate
+       FROM sess GROUP BY 1"""
+
   /** q_setops_bag: the BAG-semantics set operators (INTERSECT ALL /
     * EXCEPT ALL — 48j's q_setops covers the SET forms; these preserve
     * multiplicities, which is what reconciliation actually needs: "how
@@ -2299,7 +2370,8 @@ object Relational extends QueryModule {
     "q_paths" -> (qPaths _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_setops_bag" -> (qSetopsBag _),
-    "q_audience_overlap" -> (qAudienceOverlap _))
+    "q_audience_overlap" -> (qAudienceOverlap _),
+    "q_pattern_match" -> (qPatternMatch _))
 
   override def oracles: Map[String, String] = Map(
     "q_percentiles_approx" -> qPercentilesApproxSql,
@@ -2357,5 +2429,6 @@ object Relational extends QueryModule {
     "q_paths" -> qPathsSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_setops_bag" -> qSetopsBagSql,
-    "q_audience_overlap" -> qAudienceOverlapSql)
+    "q_audience_overlap" -> qAudienceOverlapSql,
+    "q_pattern_match" -> qPatternMatchSql)
 }

@@ -152,6 +152,34 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_pattern_match fixture: quantified browse prefix matches, " +
+    "wrong-order and cross-session paths do not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r17pm").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // s1 (u1): view,click,view,purchase -> MATCH (browse* prefix)
+    // s2 (u2): click,purchase -> no (must start with view)
+    // s3 (u3): view,purchase in SEPARATE sessions -> no
+    // s4 (u4): view,purchase -> MATCH (empty quantifier)
+    val rows = Seq(
+      (1L, ts(8, 0), 1L, "view"), (2L, ts(8, 5), 1L, "click"),
+      (3L, ts(8, 10), 1L, "view"), (4L, ts(8, 15), 1L, "purchase"),
+      (5L, ts(9, 0), 2L, "click"), (6L, ts(9, 5), 2L, "purchase"),
+      (7L, ts(10, 0), 3L, "view"), (8L, ts(11, 0), 3L, "purchase"),
+      (9L, ts(12, 0), 4L, "view"), (10L, ts(12, 5), 4L, "purchase"))
+    try {
+      rows.map { case (id, t, u, e) => (id, t, u, e, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val r = operators.Relational.qPatternMatch(spark, dir).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("n_sessions") == 5L, r(0).toString)
+      assert(r(0).getAs[Long]("n_matched") == 2L, r(0).toString)
+      assert(r(0).getAs[Double]("match_rate") == 0.4)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q_setops_bag fixture: multiplicities preserved (intersect-all = " +
     "min count, except-all = surplus)") {
     import spark.implicits._
