@@ -1276,6 +1276,50 @@ object Stats extends QueryModule {
       round(e1, 6).as("e1"), round(varT, 6).as("var_t"))
   }
 
+  /** χ²(1df) critical value at α = 0.05 for [[qSrm]] (pinned constant,
+    * the KruskalChiCrit convention). */
+  val SrmChiCrit = 3.841459
+
+  /** q_srm: sample-ratio-mismatch gate — the A/B hygiene check every
+    * experimentation platform runs BEFORE reading any effect metric
+    * (61x/61n/68h/68o analyze the arms; this asks whether the SPLIT
+    * itself is broken — a biased assignment invalidates them all):
+    * χ²(1df) of observed arm sizes against the designed 50/50 under the
+    * q_two_prop md5 assignment. One user aggregate, exact integers;
+    * the statistic is (n_a−n_b)²/(n_a+n_b) — the 2-cell equal-split
+    * simplification, one division. */
+  def qSrm(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") < 8).as("treat"))
+      .groupBy()
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_b"))
+    arms.select(col("n_a"), col("n_b"),
+      round((col("n_a") - col("n_b")).cast("double") *
+        (col("n_a") - col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+      ((col("n_a") - col("n_b")).cast("double") *
+        (col("n_a") - col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double") > SrmChiCrit).as("mismatch"))
+  }
+
+  private lazy val qSrmSql =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       arms AS (SELECT
+           CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+             THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         FROM u)
+       SELECT n_a, n_b,
+         round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+           / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+         CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+           / CAST(n_a + n_b AS DOUBLE) > $SrmChiCrit AS mismatch
+       FROM arms"""
+
   val CoxNewtonIters = 12
 
   /** Cox time-to-event risk table — the SAME population, censoring rule,
@@ -4385,6 +4429,7 @@ object Stats extends QueryModule {
     "q_games_howell" -> (qGamesHowell _),
     "q_cox" -> (qCox _),
     "q_cox_audit" -> (qCoxAudit _),
+    "q_srm" -> (qSrm _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4449,6 +4494,7 @@ object Stats extends QueryModule {
     "q_holt_winters" -> qHoltWintersSql,
     "q_games_howell" -> qGamesHowellSql,
     "q_cox_audit" -> qCoxAuditSql,
+    "q_srm" -> qSrmSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

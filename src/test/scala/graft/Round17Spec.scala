@@ -152,6 +152,23 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_srm: chi2 identity against plain-Scala recount, no mismatch on " +
+    "the md5 half-split") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.Stats.qSrm(spark, sf).collect()(0)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def md5n(x: Long) = Integer.parseInt(java.security.MessageDigest
+      .getInstance("MD5").digest(x.toString.getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString.take(1), 16)
+    val na = users.count(u => md5n(u) < 8).toLong
+    val nb = users.length - na
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    val chi = (na - nb).toDouble * (na - nb).toDouble / (na + nb).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - chi) < 1e-6)
+    assert(r.getAs[Boolean]("mismatch") == (chi > operators.Stats.SrmChiCrit))
+  }
+
   test("q_pattern_match fixture: quantified browse prefix matches, " +
     "wrong-order and cross-session paths do not") {
     import spark.implicits._
