@@ -104,8 +104,9 @@ object Bench {
   // whole q_unigram family (EM training upstream).
   // r17: q_als / q_als_audit (10 ALS sweeps), q_w2v / q_w2v_audit
   // (skip-gram training upstream), q_gmm / q_gmm_audit (EM training) and
-  // q_wordpiece / q_wordpiece_audit (iterative merge training, like the
-  // whole q_bpe/q_unigram families) follow the same ML-training exclusion.
+  // q_wordpiece / q_wordpiece_audit / q_wordpiece_encode /
+  // q_wordpiece_encode_audit (iterative merge training, like the whole
+  // q_bpe/q_unigram families) follow the same ML-training exclusion.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

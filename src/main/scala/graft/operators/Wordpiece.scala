@@ -174,6 +174,92 @@ object Wordpiece extends QueryModule {
       case (df, (a, b, m)) => df.select(col("w"), mergeFold(col("syms"), a, b, m).as("syms"))
     }
 
+  /** Greedy longest-match-first (max-munch) WordPiece encoding of one
+    * word against a piece vocabulary — the ACTUAL BERT inference path,
+    * deliberately distinct from merge replay: the two can segment the
+    * same word differently (WordpieceSpec pins a hand case), which is
+    * exactly why the encode ships as its own operator. Returns
+    * ([UNK]) when no piece covers the next position. */
+  def longestMatch(w: String, vocab: Set[String]): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      var j = w.length
+      var found: String = null
+      while (found == null && j > i) {
+        val cand = (if (i == 0) "" else "##") + w.substring(i, j)
+        if (vocab(cand)) found = cand else j -= 1
+      }
+      if (found == null) return Vector("[UNK]")
+      out += found
+      i = j
+    }
+    out.toVector
+  }
+
+  /** The inference vocabulary: every initial symbol of the corpus'
+    * distinct words plus the trained merged pieces. */
+  def pieceVocab(words: Seq[String], merged: Seq[String]): Set[String] =
+    words.iterator.flatMap(initSyms).toSet ++ merged
+
+  /** q_wordpiece_encode: tokenize the corpus with the TRAINED WordPiece
+    * vocabulary via greedy longest-match and emit per-doc word/piece/UNK
+    * counts (q_bpe_encode's twin under the third trainer; the replay-vs-
+    * max-munch distinction is the operator's reason to exist). Scale
+    * shape: the encode runs once per DISTINCT word — the vocabulary-sized
+    * driver path, the Bpe.LocalVocabLimit convention (above the limit
+    * the same greedy scan distributes as a per-word task over the
+    * distinct-word relation; the corpus itself is touched only by the
+    * (doc, word) join + rollup). Rows-only (the vocabulary is
+    * data-derived); q_wordpiece_encode_audit is the doc-granularity
+    * certificate. */
+  def qWordpieceEncode(s: SparkSession, dir: String): DataFrame =
+    encodedDocs(s, dir)
+
+  private def encodedDocs(s: SparkSession, dir: String): DataFrame = {
+    val merged = qWordpiece(s, dir).orderBy(col("rank").asc)
+      .collect().map(_.getAs[String]("merged")).toSeq
+    val pairs = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val words = pairs.select("w").distinct().collect().map(_.getString(0)).toSeq
+    val vocab = pieceVocab(words, merged)
+    import s.implicits._
+    val enc = words.map { w =>
+      val ps = longestMatch(w, vocab)
+      (w, ps.length.toLong, (ps == Vector("[UNK]")) && w.nonEmpty)
+    }.toDF("w", "n_pieces", "is_unk")
+    pairs.join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_wp_tokens"),
+        sum(col("is_unk").cast("long")).as("n_unk_words"))
+  }
+
+  /** q_wordpiece_encode_audit: per-doc encode accounting (the
+    * q_bpe_encode_audit shape). Oracle recomputes each doc's clean-token
+    * word count; gated guarantees — `bounds_ok`: n_words ≤ Σpieces ≤
+    * Σchars per doc; `unk_ok`: zero UNK words (the vocabulary contains
+    * every initial symbol of the training corpus by construction, so an
+    * UNK can only mean a broken max-munch or a desynced vocabulary). */
+  def qWordpieceEncodeAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextPrep.cleanDocs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val chars = pairs.groupBy("doc_id").agg(sum(length(col("w"))).as("chars"))
+    encodedDocs(s, dir).join(chars, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") <= col("n_wp_tokens") &&
+          col("n_wp_tokens") <= col("chars")).as("bounds_ok"),
+        (col("n_unk_words") === 0L).as("unk_ok"))
+  }
+
+  private lazy val qWordpieceEncodeAuditSql =
+    s"""WITH t AS (SELECT doc_id,
+             unnest(${graft.functions.TextFns.cleanTokensSql("text")}) AS w
+           FROM documents)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         TRUE AS bounds_ok, TRUE AS unk_ok
+       FROM t GROUP BY doc_id"""
+
   /** q_wordpiece_audit: tokenizer-contract certificate (the q_bpe_audit
     * shape). Oracle anchors: n_words and total_chars recomputed from the
     * clean-token pipeline. Gated guarantees:
@@ -241,8 +327,11 @@ object Wordpiece extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordpiece" -> (qWordpiece _),
-    "q_wordpiece_audit" -> (qWordpieceAudit _))
+    "q_wordpiece_audit" -> (qWordpieceAudit _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
+    "q_wordpiece_encode_audit" -> (qWordpieceEncodeAudit _))
 
   override def oracles: Map[String, String] = Map(
-    "q_wordpiece_audit" -> qWordpieceAuditSql)
+    "q_wordpiece_audit" -> qWordpieceAuditSql,
+    "q_wordpiece_encode_audit" -> qWordpieceEncodeAuditSql)
 }

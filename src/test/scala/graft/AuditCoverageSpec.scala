@@ -79,6 +79,7 @@ class AuditCoverageSpec extends AnyFunSuite {
     "q_w2v" -> "q_w2v_audit",
     "q_gmm" -> "q_gmm_audit",
     "q_wordpiece" -> "q_wordpiece_audit",
+    "q_wordpiece_encode" -> "q_wordpiece_encode_audit",
     "q_cox" -> "q_cox_audit")
 
   /** Pure checker so the broken-fixture test can exercise it directly. */

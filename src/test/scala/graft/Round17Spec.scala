@@ -296,6 +296,30 @@ class Round17Spec extends SparkSpec {
       got(1)._4 == "##ab" && got(1)._5 == 2L, got(1).toString)
   }
 
+  test("wordpiece longest-match: max-munch can legitimately differ from " +
+    "merge replay (hand case), UNK on uncovered positions, and the " +
+    "encode audit is green at sf0.001") {
+    import operators.Wordpiece._
+    // merges (##b,##c)->##bc then (a,##b)->ab. Replay on "abc" gives
+    // [a, ##bc]; max-munch against the SAME piece vocab takes the
+    // longest word-initial piece first: [ab, ##c].
+    val vocab = Set("a", "##b", "##c", "ab", "##bc")
+    assert(longestMatch("abc", vocab) == Vector("ab", "##c"))
+    // replay: apply (##b,##c) first
+    import spark.implicits._
+    val replay = encodeWords(Seq("abc").toDF("w"),
+      Seq(("##b", "##c", "##bc"), ("a", "##b", "ab")))
+      .collect()(0).getSeq[String](1)
+    assert(replay == Seq("a", "##bc"), replay.toString)
+    assert(longestMatch("axc", vocab) == Vector("[UNK]"))
+    val a = qWordpieceEncodeAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("bounds_ok"), r.toString)
+      assert(r.getAs[Boolean]("unk_ok"), r.toString)
+    }
+  }
+
   test("wordpiece: distributed loop equals localTrain on sf0.001 and " +
     "every audit boolean true") {
     val sf = "/root/testdata/sf0.001"
