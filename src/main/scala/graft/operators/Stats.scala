@@ -1280,6 +1280,62 @@ object Stats extends QueryModule {
     * the KruskalChiCrit convention). */
   val SrmChiCrit = 3.841459
 
+  /** q_qte: quantile treatment effects — WHERE in the outcome
+    * distribution the A/B arms differ (61x's two-proportion z and 61n's
+    * CUPED read means; a lift concentrated in heavy users moves p90 and
+    * nothing else, which a mean hides): per-user total event value under
+    * the established md5 arm split, exact interpolated per-arm quantiles
+    * at the deciles, and the per-decile treatment−control gap. One user
+    * aggregate; the quantile state is per-ARM (two groups — the exact
+    * path is safe; the GK swap documented at q_percentiles_approx applies
+    * verbatim if arms ever stop being two). */
+  def qQte(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      .select(col("v"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val byArm = perUser.groupBy("treat")
+      .agg(expr(s"percentile(v, array(${qs.mkString(", ")}))").as("q"),
+        count(lit(1)).as("n"))
+    val t = byArm.filter(col("treat"))
+      .select(col("q").as("q_t"), col("n").as("n_t"))
+    val c = byArm.filter(!col("treat"))
+      .select(col("q").as("q_c"), col("n").as("n_c"))
+    t.crossJoin(c)
+      .select(posexplode(zip_with(col("q_t"), col("q_c"),
+        (a, b) => struct(a.as("qt"), b.as("qc")))).as(Seq("i", "p")),
+        col("n_t"), col("n_c"))
+      .select((((col("i") + 1) * 10)).cast("int").as("pct"),
+        col("n_t"), col("n_c"),
+        round(col("p.qt"), 4).as("q_treat"),
+        round(col("p.qc"), 4).as("q_control"),
+        round(col("p.qt") - col("p.qc"), 4).as("qte"))
+  }
+
+  private lazy val qQteSql = {
+    val qs = (1 to 9).map(_ / 10.0)
+    s"""WITH u AS (SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+             AS treat
+         FROM events GROUP BY user_id),
+       arm AS (SELECT treat,
+           quantile_cont(v, [${qs.mkString(", ")}]) AS q,
+           CAST(count(*) AS BIGINT) AS n
+         FROM u GROUP BY treat),
+       t AS (SELECT q AS q_t, n AS n_t FROM arm WHERE treat),
+       c AS (SELECT q AS q_c, n AS n_c FROM arm WHERE NOT treat),
+       g AS (SELECT unnest(range(1, 10)) AS i FROM (SELECT 1))
+       SELECT CAST(i * 10 AS INT) AS pct, n_t, n_c,
+         round(q_t[i], 4) AS q_treat,
+         round(q_c[i], 4) AS q_control,
+         round(q_t[i] - q_c[i], 4) AS qte
+       FROM g CROSS JOIN t CROSS JOIN c"""
+  }
+
   /** q_srm: sample-ratio-mismatch gate — the A/B hygiene check every
     * experimentation platform runs BEFORE reading any effect metric
     * (61x/61n/68h/68o analyze the arms; this asks whether the SPLIT
@@ -4430,6 +4486,7 @@ object Stats extends QueryModule {
     "q_cox" -> (qCox _),
     "q_cox_audit" -> (qCoxAudit _),
     "q_srm" -> (qSrm _),
+    "q_qte" -> (qQte _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4495,6 +4552,7 @@ object Stats extends QueryModule {
     "q_games_howell" -> qGamesHowellSql,
     "q_cox_audit" -> qCoxAuditSql,
     "q_srm" -> qSrmSql,
+    "q_qte" -> qQteSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

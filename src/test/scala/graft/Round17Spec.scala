@@ -152,6 +152,35 @@ class Round17Spec extends SparkSpec {
       math.min(operators.Embeddings.W2vAnchors.toLong, r.getAs[Long]("n_vocab")))
   }
 
+  test("q_qte: nine decile rows, q_treat - q_control identity, and a " +
+    "plain-Scala interpolated-quantile recomputation on one arm") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.Stats.qQte(spark, sf).collect()
+      .sortBy(_.getAs[Int]("pct"))
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == (1 to 9).map(_ * 10))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte") -
+        BigDecimal(r.getAs[Double]("q_treat") - r.getAs[Double]("q_control"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-4 + 1e-9,
+        r.toString)
+    }
+    // third path: recompute the treatment arm's median in plain Scala
+    val vals = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      .collect()
+      .filter { x =>
+        Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getLong(0).toString.getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.take(1), 16) < 8
+      }
+      .map(_.getAs[Double]("v")).sorted
+    val h = 0.5 * (vals.length - 1)
+    val med = vals(h.toInt) + (h - h.toInt) * (vals(h.toInt + 1) - vals(h.toInt))
+    val p50 = rows.find(_.getAs[Int]("pct") == 50).get.getAs[Double]("q_treat")
+    assert(math.abs(p50 - med) < 1e-3, s"$p50 vs $med")
+  }
+
   test("q_srm: chi2 identity against plain-Scala recount, no mismatch on " +
     "the md5 half-split") {
     val sf = "/root/testdata/sf0.001"
