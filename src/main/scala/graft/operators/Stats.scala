@@ -2584,13 +2584,26 @@ object Stats extends QueryModule {
     * recursive CTE carrying the same rotating list; inputs are
     * exact-decimal daily sums cast once to double, constants dyadic,
     * operation order matched term by term, rounding on emission only. */
-  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame =
+    hwFolded(s, dir)
+      .select(col("event_type"), col("h.day").as("day"),
+        (floor(col("h.l") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("level"),
+        (floor(col("h.b") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("trend"),
+        (floor(col("h.sn") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("seasonal"))
+
+  /** The Holt–Winters recursion, one row per (event_type, day) with the
+    * full state struct `h` = (day, l, b, sn, fit, y): fit is the
+    * ONE-STEP-AHEAD forecast made BEFORE seeing y_t (l+b+s_{t−m} from
+    * the previous state, NULL on each type's first day) — shared by the
+    * smoothing surface and the forecast-accuracy scoreboard. */
+  private def hwFolded(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("value").cast("decimal(18,6)").as("v"))
       .groupBy("event_type", "day")
       .agg(sum(col("v")).cast("double").as("y"))
-    val outType = "array<struct<day:string,l:double,b:double,sn:double>>"
+    val outType =
+      "array<struct<day:string,l:double,b:double,sn:double,fit:double,y:double>>"
     val acc0 = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(true).as("first"),
       array().cast("array<double>").as("s"), array().cast(outType).as("out"))
     val folded = daily.groupBy("event_type")
@@ -2600,6 +2613,8 @@ object Stats extends QueryModule {
         val sArr = acc.getField("s"); val y = x.getField("y")
         val sPrev = when(size(sArr) >= HwPeriod, element_at(sArr, 1))
           .otherwise(lit(0.0))
+        val fit = when(acc.getField("first"), lit(null).cast("double"))
+          .otherwise(l + b + sPrev)
         val nl = when(acc.getField("first"), y)
           .otherwise(lit(HoltAlpha) * (y - sPrev) + lit(1 - HoltAlpha) * (l + b))
         val nb = when(acc.getField("first"), lit(0.0))
@@ -2611,13 +2626,84 @@ object Stats extends QueryModule {
           concat(kept, array(ns)).as("s"),
           concat(acc.getField("out"),
             array(struct(x.getField("day").as("day"), nl.as("l"),
-              nb.as("b"), ns.as("sn")))).as("out"))
+              nb.as("b"), ns.as("sn"), fit.as("fit"), y.as("y")))).as("out"))
       }).getField("out").as("out"))
     folded.select(col("event_type"), explode(col("out")).as("h"))
+  }
+
+  /** q_hw_eval: Holt–Winters forecast-accuracy scoreboard — the
+    * M-competition question q_forecast_eval's naive baselines set up:
+    * does the MODEL actually beat them? Per event type: MAE/RMSE of the
+    * one-step-ahead HW forecast (the fit column of the shared recursion,
+    * made strictly before each observation) and the MASE-style ratio
+    * against the naive-1 forecast over the SAME evaluation days.
+    * Forecast errors are doubles, so every sum folds the SORTED
+    * calendar-bounded day array (the k-bounded ordered-fold rule); the
+    * oracle replays the identical recursion and folds. */
+  def qHwEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("h.day").asc)
+    val rows = hwFolded(s, dir)
+      .withColumn("y_prev", lag(col("h.y"), 1).over(w))
+      .filter(col("h.fit").isNotNull && col("y_prev").isNotNull)
       .select(col("event_type"), col("h.day").as("day"),
-        (floor(col("h.l") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("level"),
-        (floor(col("h.b") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("trend"),
-        (floor(col("h.sn") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("seasonal"))
+        abs(col("h.y") - col("h.fit")).as("e_hw"),
+        ((col("h.y") - col("h.fit")) * (col("h.y") - col("h.fit"))).as("e2_hw"),
+        abs(col("h.y") - col("y_prev")).as("e_n1"))
+    def fold(c: String) =
+      aggregate(array_sort(collect_list(struct(col("day"), col(c).as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as(c + "_sum")
+    rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"), fold("e_hw"), fold("e2_hw"), fold("e_n1"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("e_hw_sum") / col("n_eval").cast("double"), 6).as("mae_hw"),
+        round(sqrt(col("e2_hw_sum") / col("n_eval").cast("double")), 6)
+          .as("rmse_hw"),
+        round(col("e_n1_sum") / col("n_eval").cast("double"), 6).as("mae_naive"),
+        round(col("e_hw_sum") / col("e_n1_sum"), 6).as("mase_vs_naive"),
+        (col("e_hw_sum") < col("e_n1_sum")).as("beats_naive"))
+  }
+
+  private lazy val qHwEvalSql = {
+    val a = HoltAlpha; val b = HoltBeta; val g = HwGamma; val m = HwPeriod
+    val sPrev = s"(CASE WHEN len(h.s) >= $m THEN h.s[1] ELSE 0.0 END)"
+    val nl = s"($a*(d.y - $sPrev) + ${1 - a}*(h.l + h.b))"
+    s"""WITH RECURSIVE daily AS (
+         SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT et, day, y,
+                 row_number() OVER (PARTITION BY et ORDER BY day) AS i
+               FROM daily),
+       h(et, i, day, l, b, sn, s, fit, y) AS (
+         SELECT et, i, day, y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           [CAST(0.0 AS DOUBLE)], CAST(NULL AS DOUBLE), y FROM idx WHERE i = 1
+         UNION ALL
+         SELECT d.et, d.i, d.day,
+           $nl,
+           $b*($nl - h.l) + ${1 - b}*h.b,
+           $g*(d.y - $nl) + ${1 - g}*$sPrev,
+           (CASE WHEN len(h.s) >= $m THEN h.s[2:] ELSE h.s END)
+             || [$g*(d.y - $nl) + ${1 - g}*$sPrev],
+           h.l + h.b + $sPrev,
+           d.y
+         FROM h JOIN idx d ON d.et = h.et AND d.i = h.i + 1),
+       rows_ AS (SELECT et, day,
+           abs(y - fit) AS e_hw,
+           (y - fit) * (y - fit) AS e2_hw,
+           abs(y - y_prev) AS e_n1
+         FROM (SELECT h.*, lag(y) OVER (PARTITION BY et ORDER BY day) AS y_prev
+               FROM h)
+         WHERE fit IS NOT NULL AND y_prev IS NOT NULL)
+       SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+         round(list_sum(list(e_hw ORDER BY day)) / count(*), 6) AS mae_hw,
+         round(sqrt(list_sum(list(e2_hw ORDER BY day)) / count(*)), 6) AS rmse_hw,
+         round(list_sum(list(e_n1 ORDER BY day)) / count(*), 6) AS mae_naive,
+         round(list_sum(list(e_hw ORDER BY day))
+           / list_sum(list(e_n1 ORDER BY day)), 6) AS mase_vs_naive,
+         list_sum(list(e_hw ORDER BY day)) < list_sum(list(e_n1 ORDER BY day))
+           AS beats_naive
+       FROM rows_ GROUP BY et"""
   }
 
   private lazy val qHoltWintersSql = {
@@ -4482,6 +4568,7 @@ object Stats extends QueryModule {
     "q_mde" -> (qMde _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_hw_eval" -> (qHwEval _),
     "q_games_howell" -> (qGamesHowell _),
     "q_cox" -> (qCox _),
     "q_cox_audit" -> (qCoxAudit _),
@@ -4549,6 +4636,7 @@ object Stats extends QueryModule {
     "q_mde" -> qMdeSql,
     "q_holt" -> qHoltSql,
     "q_holt_winters" -> qHoltWintersSql,
+    "q_hw_eval" -> qHwEvalSql,
     "q_games_howell" -> qGamesHowellSql,
     "q_cox_audit" -> qCoxAuditSql,
     "q_srm" -> qSrmSql,

@@ -636,6 +636,46 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_hw_eval: MAE/MASE recomputed through the plain-Scala recursion " +
+    "replay, beats_naive consistent with the sums") {
+    val sf = "/root/testdata/sf0.001"
+    val got = operators.Stats.qHwEval(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("y")))
+      .groupBy(_._1).map { case (et, rs) => et -> rs.sortBy(_._2).map(x => x._3) }
+    for ((et, ys) <- daily) {
+      var l = 0.0; var b = 0.0; var first = true
+      var sArr = Vector.empty[Double]
+      var eHw = 0.0; var eN1 = 0.0; var n = 0
+      var prevY = Double.NaN
+      for (y <- ys) {
+        val sPrev = if (sArr.length >= 7) sArr.head else 0.0
+        if (!first && !prevY.isNaN) {
+          val fit = l + b + sPrev
+          eHw += math.abs(y - fit); eN1 += math.abs(y - prevY); n += 1
+        }
+        val nl = if (first) y else 0.5 * (y - sPrev) + 0.5 * (l + b)
+        val nb = if (first) 0.0 else 0.25 * (nl - l) + 0.75 * b
+        val ns = 0.25 * (y - nl) + 0.75 * sPrev
+        sArr = (if (sArr.length >= 7) sArr.tail else sArr) :+ ns
+        l = nl; b = nb; first = false; prevY = y
+      }
+      val r = got(et)
+      assert(r.getAs[Long]("n_eval") == n.toLong, s"$et n")
+      assert(math.abs(r.getAs[Double]("mae_hw") - eHw / n) < 1e-5, s"$et mae")
+      assert(math.abs(r.getAs[Double]("mase_vs_naive") - eHw / eN1) < 1e-4,
+        s"$et mase")
+      assert(r.getAs[Boolean]("beats_naive") == (eHw < eN1), s"$et beats")
+    }
+  }
+
   test("q_brier: doc-level recomputation matches and the Murphy " +
     "decomposition identity brier = rel - res + unc + wbv - 2*wbc holds") {
     val sf = "/root/testdata/sf0.001"
