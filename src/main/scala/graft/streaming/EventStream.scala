@@ -223,6 +223,46 @@ object EventStream {
       }
   }
 
+  case class HwState(n: Long, level: Double, trend: Double, s: List[Double])
+  case class HwOut(event_type: String, n: Long, level: Double, trend: Double,
+    seasonal: Double)
+
+  /** Streaming Holt–Winters triple-exponential smoothing per event type
+    * — the stateful twin of the batch ordered fold (Stats.qHoltWinters):
+    * the IDENTICAL cold-start recursion (dyadic α/β/γ, same term order),
+    * state = (count, level, trend) plus the rotating ≤[[graft.operators
+    * .Stats.HwPeriod]]-element seasonal list whose head is s_{t−m} —
+    * O(m) per key regardless of stream length. The live-seasonal monitor
+    * beside runningHolt, whose state cannot see day-of-week structure. */
+  def runningHoltWinters(values: Dataset[TypedValue]): Dataset[HwOut] = {
+    import values.sparkSession.implicits._
+    val a = graft.operators.Stats.HoltAlpha
+    val b = graft.operators.Stats.HoltBeta
+    val g = graft.operators.Stats.HwGamma
+    val m = graft.operators.Stats.HwPeriod
+    values.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[HwState]) =>
+          var cur = state.getOption.getOrElse(HwState(0L, 0.0, 0.0, Nil))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val sPrev = if (cur.s.length >= m) cur.s.head else 0.0
+            val nl =
+              if (cur.n == 0L) r.value
+              else a * (r.value - sPrev) + (1 - a) * (cur.level + cur.trend)
+            val nb =
+              if (cur.n == 0L) 0.0
+              else b * (nl - cur.level) + (1 - b) * cur.trend
+            val ns = g * (r.value - nl) + (1 - g) * sPrev
+            val kept = if (cur.s.length >= m) cur.s.tail else cur.s
+            cur = HwState(cur.n + 1, nl, nb, kept :+ ns)
+          }
+          state.update(cur)
+          Iterator(HwOut(et, cur.n, cur.level, cur.trend,
+            if (cur.s.isEmpty) 0.0 else cur.s.last))
+      }
+  }
+
   case class PhState(n: Long, csum: BigDecimal, sK: BigDecimal, minM: BigDecimal)
   case class PhOut(event_type: String, n: Long, ph: Double, alarm: Boolean)
 

@@ -109,6 +109,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters matches the batch last-day row per type " +
+    "across a micro-batch boundary (the rotating seasonal state crosses " +
+    "the period)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // feed each type's daily totals IN DAY ORDER, split mid-stream
+    val daily = graft.operators.Stats.qHoltWinters(spark, sf)
+      .orderBy(col("event_type"), col("day")).collect()
+    val ys = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("y")))
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningHoltWinters(input.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("update").start()
+    try {
+      val feed = ys.groupBy(_._1).values.flatMap(
+        _.sortBy(_._2).zipWithIndex.map { case ((et, _, y), i) =>
+          EventStream.TypedValue(et, i.toLong, y) }).toSeq
+      val (b1, b2) = feed.partition(_.seq < 10) // boundary crosses the period
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val fin = spark.table("hw_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+      val lastBatch = daily.groupBy(_.getAs[String]("event_type"))
+        .map { case (et, rs) => et -> rs.maxBy(_.getAs[String]("day")) }
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      for ((et, b) <- lastBatch) {
+        val m = fin(et)
+        assert(r6(m._2) == b.getAs[Double]("level"), s"$et level")
+        assert(r6(m._3) == b.getAs[Double]("trend"), s"$et trend")
+        assert(r6(m._4) == b.getAs[Double]("seasonal"), s"$et seasonal")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Holt matches the batch recursion, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.TypedValue]
