@@ -1280,6 +1280,85 @@ object Stats extends QueryModule {
     * the KruskalChiCrit convention). */
   val SrmChiCrit = 3.841459
 
+  /** Max lag of [[qAcf]] — one week of daily lags, the q_ljung_box
+    * horizon. */
+  val AcfMaxLag = 7
+
+  /** q_acf: the autocorrelation function at lags 1..[[AcfMaxLag]] per
+    * event type — the PER-LAG diagnostic panel between 59s's single lag-1
+    * coefficient and 66l's all-lags-pooled Ljung–Box statistic (the
+    * portmanteau says "some lag is alive"; this says WHICH — a spike at
+    * 7 is weekly seasonality, at 1 momentum). Daily totals from exact
+    * decimal sums; the mean is one exact sum divided once; every
+    * numerator/denominator folds the SORTED calendar-bounded day array
+    * (k-bounded ordered-fold rule); lead() runs in ONE type-keyed window
+    * pass for all 7 lags. NULL acf where the denominator degenerates. */
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("yd"))
+    val m = daily.groupBy("event_type")
+      .agg((sum(col("yd")).cast("double") /
+        count(lit(1)).cast("double")).as("ybar"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val led = daily.select(col("event_type"), col("day"),
+      col("yd").cast("double").as("y"))
+      .select(col("*") +:
+        (1 to AcfMaxLag).map(k => lead(col("y"), k).over(w).as(s"y$k")): _*)
+      .join(m, Seq("event_type"))
+    def fold(term: Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("day"), term.as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as(name)
+    val aggExprs =
+      fold((col("y") - col("ybar")) * (col("y") - col("ybar")), "den") +:
+        (1 to AcfMaxLag).map(k => fold(coalesce(
+          (col("y") - col("ybar")) * (col(s"y$k") - col("ybar")), lit(0.0)),
+          s"num$k"))
+    val agg = led.groupBy("event_type", "n_days")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    agg.select(col("event_type"), col("n_days"), col("den"),
+      posexplode(array((1 to AcfMaxLag).map(k => col(s"num$k")): _*))
+        .as(Seq("i", "num")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("lag"),
+        col("n_days"),
+        when(col("den") > 0.0, round(col("num") / col("den"), 6)).as("acf"))
+  }
+
+  private lazy val qAcfSql = {
+    val lags = (1 to AcfMaxLag).map { k =>
+      s"""SELECT et AS event_type, $k AS lag, n_days,
+         CASE WHEN den > 0.0 THEN round(num$k / den, 6) END AS acf
+         FROM agg"""
+    }.mkString("\n       UNION ALL\n       ")
+    val numDefs = (1 to AcfMaxLag).map { k =>
+      s"""list_sum(list(coalesce((y - ybar) * (y$k - ybar), 0.0)
+           ORDER BY day)) AS num$k"""
+    }.mkString(",\n           ")
+    val leadDefs = (1 to AcfMaxLag).map { k =>
+      s"lead(y, $k) OVER (PARTITION BY et ORDER BY day ASC) AS y$k"
+    }.mkString(",\n           ")
+    s"""WITH daily AS (
+         SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS yd
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT et, CAST(sum(yd) AS DOUBLE) / count(*) AS ybar,
+               CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY et),
+       led AS (SELECT daily.et, day, CAST(yd AS DOUBLE) AS y,
+           $leadDefs
+         FROM daily),
+       agg AS (SELECT led.et, m.n_days,
+           list_sum(list((y - ybar) * (y - ybar) ORDER BY day)) AS den,
+           $numDefs
+         FROM led JOIN m ON led.et = m.et
+         GROUP BY led.et, m.n_days),
+       u AS ($lags)
+       SELECT event_type, CAST(lag AS INT) AS lag, n_days, acf FROM u"""
+  }
+
   /** q_qte: quantile treatment effects — WHERE in the outcome
     * distribution the A/B arms differ (61x's two-proportion z and 61n's
     * CUPED read means; a lift concentrated in heavy users moves p90 and
@@ -4574,6 +4653,7 @@ object Stats extends QueryModule {
     "q_cox_audit" -> (qCoxAudit _),
     "q_srm" -> (qSrm _),
     "q_qte" -> (qQte _),
+    "q_acf" -> (qAcf _),
     "q_seasonal" -> (qSeasonal _),
     "q_bootstrap" -> (qBootstrap _),
     "q_jackknife" -> (qJackknife _),
@@ -4641,6 +4721,7 @@ object Stats extends QueryModule {
     "q_cox_audit" -> qCoxAuditSql,
     "q_srm" -> qSrmSql,
     "q_qte" -> qQteSql,
+    "q_acf" -> qAcfSql,
     "q_seasonal" -> qSeasonalSql,
     "q_bootstrap" -> qBootstrapSql,
     "q_jackknife" -> qJackknifeSql,

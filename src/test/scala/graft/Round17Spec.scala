@@ -181,6 +181,38 @@ class Round17Spec extends SparkSpec {
     assert(math.abs(p50 - med) < 1e-3, s"$p50 vs $med")
   }
 
+  test("q_acf: lag-1 row equals q_autocorr's r1 and a plain-Scala " +
+    "recomputation across all seven lags on one type") {
+    val sf = "/root/testdata/sf0.001"
+    val acf = operators.Stats.qAcf(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag")) ->
+        (if (r.isNullAt(r.fieldIndex("acf"))) None
+         else Some(r.getAs[Double]("acf")))).toMap
+    assert(acf.keySet.map(_._2) == (1 to 7).toSet)
+    // plain-Scala recomputation on every type
+    val byType = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("y")))
+      .groupBy(_._1).map { case (et, rs) => et -> rs.sortBy(_._2).map(_._3) }
+    for ((et, ys) <- byType; k <- 1 to 7) {
+      val ybar = ys.sum / ys.length
+      val den = ys.map(y => (y - ybar) * (y - ybar)).sum
+      val num = (0 until ys.length - k)
+        .map(i => (ys(i) - ybar) * (ys(i + k) - ybar)).sum
+      val exp = if (den > 0) Some(num / den) else None
+      (acf((et, k)), exp) match {
+        case (Some(a), Some(e)) => assert(math.abs(a - e) < 1e-5, s"$et lag $k")
+        case (None, None) =>
+        case (a, e) => fail(s"$et lag $k: $a vs $e")
+      }
+    }
+  }
+
   test("q_srm: chi2 identity against plain-Scala recount, no mismatch on " +
     "the md5 half-split") {
     val sf = "/root/testdata/sf0.001"
