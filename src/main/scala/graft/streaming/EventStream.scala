@@ -1100,6 +1100,35 @@ object EventStream {
       }
   }
 
+  case class SrmSeen(seen: Boolean)
+  case class SrmEmit(user_id: Long, treat: Boolean)
+
+  /** Streaming sample-ratio-mismatch feed — the stateful twin of batch
+    * q_srm run the way an experimentation platform actually watches it:
+    * each user's arm assignment (the same md5 rule as the batch gate) is
+    * emitted EXACTLY once on first sight (state = one boolean per user),
+    * and the SRM panel is a stateless rollup of this stream — running
+    * arm counts plus the χ² excess, comparable against the pinned
+    * critical value on every refresh. The spec rolls the emissions up
+    * across a micro-batch boundary and pins (n_a, n_b, χ²) to the batch
+    * q_srm row. */
+  def runningSrmFeed(users: Dataset[java.lang.Long]): Dataset[SrmEmit] = {
+    import users.sparkSession.implicits._
+    def md5n(x: Long): Int = Integer.parseInt(java.security.MessageDigest
+      .getInstance("MD5").digest(x.toString.getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString.take(1), 16)
+    users.groupByKey(_.longValue())
+      .flatMapGroupsWithState[SrmSeen, SrmEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, _, state: GroupState[SrmSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SrmSeen(true))
+            Iterator(SrmEmit(uid, md5n(uid) < 8))
+          }
+      }
+  }
+
   case class GaState(last_epoch_day: Long)
   case class GaEmit(day: String, user_id: Long, cls: String)
 

@@ -1058,6 +1058,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SRM feed: exactly-once arm emissions roll up to the " +
+    "batch q_srm row across a micro-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)) // with duplicates
+    val input = MemoryStream[java.lang.Long]
+    val q = EventStream.runningSrmFeed(input.toDS())
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = users.splitAt(users.length / 2)
+      input.addData(b1.map(java.lang.Long.valueOf).toSeq); q.processAllAvailable()
+      input.addData(b2.map(java.lang.Long.valueOf).toSeq); q.processAllAvailable()
+      val emitted = spark.table("srm_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Boolean]("treat")))
+      assert(emitted.length == emitted.map(_._1).distinct.length,
+        "exactly-once per user (duplicates within AND across batches)")
+      val na = emitted.count(_._2).toLong
+      val nb = emitted.length - na
+      val chi = (na - nb).toDouble * (na - nb).toDouble / (na + nb).toDouble
+      val batch = graft.operators.Stats.qSrm(spark, sf).collect()(0)
+      assert(na == batch.getAs[Long]("n_a") && nb == batch.getAs[Long]("n_b"),
+        s"arms ($na, $nb) != batch")
+      assert(math.abs(chi - batch.getAs[Double]("chi2")) < 1e-6)
+    } finally q.stop()
+  }
+
   test("streaming growth-accounting monitor: per-day rollup (with derived " +
     "churn) equals the batch panel across a micro-batch boundary") {
     implicit val sqlCtx = spark.sqlContext
