@@ -52,7 +52,7 @@ object Bench {
     "q_ks_test", "q_kuiper", "q_join_size_sketch", "q_oracle_canary", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
-    "q_mad", "q_mad_approx", "q_wasserstein", "q_krippendorff", "q_auc", "q_changepoint",
+    "q_mad", "q_mad_approx", "q_wasserstein", "q_energy_dist", "q_krippendorff", "q_auc", "q_changepoint",
     "q_oov", "q_ctfidf", "q_js_terms", "q_bootstrap", "q_hill", "q_ldiversity",
     "q_gini", "q_kendall", "q_dispersion", "q_kaplan_meier",
     "q_good_turing", "q_llr", "q11_value", "q_novelty", "q_dq_checks",

@@ -1457,6 +1457,86 @@ object RobustStats extends QueryModule {
          round(CAST(num AS DOUBLE) / (na * nb), 6) AS w1
        FROM m"""
 
+  /** q_energy_dist: exact two-sample ENERGY distance over document-length
+    * distributions per language pair — the squared-gap Lebesgue integral
+    * completing the ECDF-drift quartet (q_ks_test takes the sup of
+    * |F_a−F_b|, q_wasserstein integrates |F_a−F_b|·dx, q_cvm integrates
+    * the squared gap against the POOLED empirical measure dH; energy
+    * distance is Székely's D² = 2∫(F_a−F_b)²·dx against LEBESGUE measure,
+    * identical to 2·E|X−Y| − E|X−X'| − E|Y−Y'| in one dimension, the
+    * statistic behind the energy two-sample test and MMD with the
+    * |x−y| kernel). Rides the exact w1Pairs substrate: per pair, distinct
+    * combined values carry both group ECDF counts, (c_a·n_b − c_b·n_a)²
+    * is integer, × integer value gap, summed in DECIMAL(38,0); the only
+    * floating point is the single final 2·num/(n_a·n_b)² division chain
+    * and the sqrt, mirrored operation-for-operation in the oracle. Same
+    * scale posture as q_wasserstein: the window is bounded by the value
+    * DOMAIN per pair (≤ max n_chars rows), never the fact table, and the
+    * pair space by the language dimension. */
+  def qEnergyDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(s, dir)
+      .select(col("lang").as("g"), col("n_chars").as("x"))
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = counts.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(counts.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = broadcast(pairs).join(vals,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "na", "nb", "x")
+      .agg(sum(when(col("g") === col("ga"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === col("gb"), 1L).otherwise(0L)).as("d2"))
+    val wCum = Window.partitionBy("ga", "gb").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("ga", "gb").orderBy("x")
+    // widths: |c_a·n_b − c_b·n_a| ≤ n_a·n_b (16 digits covers any ladder
+    // scale), the value gap is domain-bounded (6 digits); 16+16+6 = 38
+    // keeps the triple product inside DECIMAL(38,0) in BOTH engines
+    // (DuckDB errors, rather than widens, past 38).
+    val gapExpr = (col("c1") * col("nb") - col("c2") * col("na"))
+      .cast("decimal(16,0)")
+    tagged
+      .withColumn("c1", sum(col("d1")).over(wCum))
+      .withColumn("c2", sum(col("d2")).over(wCum))
+      .withColumn("gap", lead(col("x"), 1).over(wLead) - col("x"))
+      // at the max combined value both ECDFs are 1, the gap term is 0
+      .filter(col("gap").isNotNull)
+      .groupBy("ga", "gb", "na", "nb")
+      .agg(sum(gapExpr * gapExpr * col("gap").cast("decimal(6,0)"))
+        .as("num"))
+      .select(col("ga").as("g_a"), col("gb").as("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(sqrt(lit(2.0) * col("num").cast("double")
+          / col("na") / col("nb") / col("na") / col("nb")), 6).as("e_dist"))
+  }
+
+  private lazy val qEnergyDistSql =
+    """WITH v AS (SELECT lang AS g, n_chars AS x FROM documents),
+       n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+       pr AS (SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+              FROM n a JOIN n b ON a.g < b.g),
+       tg AS (SELECT ga, gb, na, nb, x,
+                sum(CASE WHEN v.g = pr.ga THEN 1 ELSE 0 END) AS d1,
+                sum(CASE WHEN v.g = pr.gb THEN 1 ELSE 0 END) AS d2
+              FROM pr JOIN v ON v.g = pr.ga OR v.g = pr.gb
+              GROUP BY 1, 2, 3, 4, 5),
+       c AS (SELECT ga, gb, na, nb, x,
+               sum(d1) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(d2) OVER (PARTITION BY ga, gb ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS c2,
+               lead(x) OVER (PARTITION BY ga, gb ORDER BY x) - x AS gap
+             FROM tg),
+       m AS (SELECT ga, gb, na, nb,
+               sum(CAST(c1*nb - c2*na AS DECIMAL(16,0))
+                 * CAST(c1*nb - c2*na AS DECIMAL(16,0))
+                 * CAST(gap AS DECIMAL(6,0))) AS num
+             FROM c WHERE gap IS NOT NULL GROUP BY 1, 2, 3, 4)
+       SELECT ga AS g_a, gb AS g_b, na AS n_a, nb AS n_b,
+         round(sqrt(2.0 * CAST(num AS DOUBLE) / na / nb / na / nb), 6)
+           AS e_dist
+       FROM m"""
+
   /** Top shared-vocabulary terms the JS divergence is evaluated over. */
   val JsTopTerms = 50
 
@@ -2234,6 +2314,7 @@ object RobustStats extends QueryModule {
     "q_cvm" -> (qCvm _),
     "q_ansari" -> (qAnsari _),
     "q_wasserstein" -> (qWasserstein _),
+    "q_energy_dist" -> (qEnergyDist _),
     "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -2267,6 +2348,7 @@ object RobustStats extends QueryModule {
     "q_cvm" -> qCvmSql,
     "q_ansari" -> qAnsariSql,
     "q_wasserstein" -> qWassersteinSql,
+    "q_energy_dist" -> qEnergyDistSql,
     "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,

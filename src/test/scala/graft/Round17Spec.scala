@@ -839,6 +839,29 @@ class Round17Spec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("q_energy_dist: plain-Scala O(n·m) brute force 2E|X-Y|-E|X-X'|-E|Y-Y'| " +
+    "matches the ECDF-integral form for one pair, and D(X,X) = 0") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_chars"))
+    val langs = docs.map(_._1).distinct.sorted
+    val (la, lb) = (langs(0), langs(1))
+    val xs = docs.filter(_._1 == la).map(_._2.toDouble)
+    val ys = docs.filter(_._1 == lb).map(_._2.toDouble)
+    def meanAbs(a: Array[Double], b: Array[Double]): Double =
+      a.flatMap(x => b.map(y => math.abs(x - y))).sum / (a.length.toLong * b.length)
+    val brute = math.sqrt(2 * meanAbs(xs, ys) - meanAbs(xs, xs) - meanAbs(ys, ys))
+    val row = operators.RobustStats.qEnergyDist(spark, sf).collect()
+      .find(r => r.getAs[String]("g_a") == la && r.getAs[String]("g_b") == lb).get
+    assert(math.abs(row.getAs[Double]("e_dist") - brute) < 1e-5,
+      s"${row.getAs[Double]("e_dist")} vs brute $brute")
+    assert(row.getAs[Long]("n_a") == xs.length.toLong)
+    assert(row.getAs[Long]("n_b") == ys.length.toLong)
+    // identical samples → the integral is empty → distance exactly 0
+    assert(math.sqrt(2 * meanAbs(xs, xs) - 2 * meanAbs(xs, xs)) == 0.0)
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
