@@ -198,6 +198,109 @@ object Stats extends QueryModule {
                / (n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)), 6) AS b_disc
        FROM m"""
 
+  /** The pinball quantile levels q_quantile_reg fits (tau, tau−1 as exact
+    * DECIMAL(3,2) literals in both engines — the loss never leaves exact
+    * arithmetic until the final per-candidate division). */
+  val QuantRegTaus = Seq(("0.25", "-0.75"), ("0.50", "-0.50"), ("0.90", "-0.10"))
+
+  /** q_quantile_reg: EXACT quantile regression of the daily revenue
+    * series per event type at τ ∈ {.25, .5, .9} — q_regr/q_regr_multi fit
+    * the conditional MEAN in closed form; the conditional-quantile line
+    * (Koenker & Bassett 1978) is an LP whose basic optimal solution
+    * INTERPOLATES two data points, so the exact global optimum is the
+    * argmin of the pinball loss over all 2-point candidate lines. The
+    * trick that makes this hash-gateable: the residual is kept SCALED by
+    * the candidate span, r̃ = (y−y_i)·(x_j−x_i) − (y_j−y_i)·(x−x_i), which
+    * is pure DECIMAL arithmetic (y exact decimal, x integer day index), so
+    * Σ max(τ·r̃, (τ−1)·r̃) is exact and order-independent; the only floating
+    * point is the final loss = ls/span division and the slope/intercept
+    * readout, mirrored op-for-op. Scale shape: one partial-aggregable scan
+    * collapses the fact table to the DAY×TYPE dimension; the O(days²)
+    * candidate enumeration and O(days³) evaluation never touch fact rows
+    * (days = 30 here; a year is 365³ ≈ 5·10⁷ bounded rows — still
+    * dimension-sized next to a 100 TB fact scan). */
+  def qQuantileReg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+    val d0 = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val pts = daily.join(d0, Seq("event_type"))
+      .select(col("event_type"), datediff(col("day"), col("d0")).as("x"),
+        col("y"))
+    val cand = pts.select(col("event_type"), col("x").as("xi"), col("y").as("yi"))
+      .join(pts.select(col("event_type").as("et_b"), col("x").as("xj"),
+          col("y").as("yj")),
+        col("event_type") === col("et_b") && col("xi") < col("xj"))
+      .select(col("event_type"), col("xi"), col("yi"), col("xj"), col("yj"),
+        (col("xj") - col("xi")).as("span"))
+    def dec(v: String) = lit(new java.math.BigDecimal(v)).cast("decimal(3,2)")
+    val taus = s.range(1).select(explode(array(QuantRegTaus.map { case (t, t1) =>
+      struct(dec(t).as("tau"), dec(t1).as("taum1")) }: _*)).as("t"))
+      .select(col("t.tau").as("tau"), col("t.taum1").as("taum1"))
+    val r = (col("py") - col("yi")) * col("span").cast("decimal(2,0)") -
+      (col("yj") - col("yi")) * (col("px") - col("xi")).cast("decimal(2,0)")
+    val agg = cand
+      .join(pts.select(col("event_type").as("et_p"), col("x").as("px"),
+        col("y").as("py")), col("event_type") === col("et_p"))
+      .crossJoin(broadcast(taus))
+      .select(col("event_type"), col("tau"), col("taum1"), col("xi"),
+        col("yi"), col("xj"), col("yj"), col("span"), r.as("r"))
+      .groupBy("event_type", "tau", "taum1", "xi", "yi", "xj", "yj", "span")
+      .agg(sum(greatest(col("tau") * col("r"), col("taum1") * col("r")))
+        .as("ls"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type", "tau")
+      .orderBy((col("ls").cast("double") / col("span")).asc,
+        col("xi").asc, col("xj").asc)
+    agg.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("event_type"), col("tau").cast("double").as("tau"),
+        col("n_days"),
+        round((col("yj") - col("yi")).cast("double") / col("span"), 6)
+          .as("slope"),
+        round(col("yi").cast("double")
+          - (col("yj") - col("yi")).cast("double") / col("span") * col("xi"),
+          6).as("intercept"),
+        round(col("ls").cast("double") / col("span"), 6).as("loss"))
+  }
+
+  private lazy val qQuantileRegSql = {
+    val tausSql = QuantRegTaus.map { case (t, t1) =>
+      s"SELECT CAST($t AS DECIMAL(3,2)) AS tau, CAST($t1 AS DECIMAL(3,2)) AS taum1"
+    }.mkString(" UNION ALL ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+       pts AS (SELECT d.event_type, CAST(d.day - m.d0 AS INT) AS x, d.y
+               FROM daily d JOIN m ON m.event_type = d.event_type),
+       taus AS ($tausSql),
+       cand AS (SELECT a.event_type, a.x AS xi, a.y AS yi, b.x AS xj,
+                  b.y AS yj, b.x - a.x AS span
+                FROM pts a JOIN pts b
+                  ON a.event_type = b.event_type AND a.x < b.x),
+       ev AS (SELECT c.event_type, t.tau, t.taum1, c.xi, c.yi, c.xj, c.yj,
+                c.span,
+                (p.y - c.yi) * CAST(c.span AS DECIMAL(2,0))
+                  - (c.yj - c.yi) * CAST(p.x - c.xi AS DECIMAL(2,0)) AS r
+              FROM cand c JOIN pts p ON p.event_type = c.event_type
+              CROSS JOIN taus t),
+       agg AS (SELECT event_type, tau, taum1, xi, yi, xj, yj, span,
+                 sum(greatest(tau * r, taum1 * r)) AS ls,
+                 CAST(count(*) AS BIGINT) AS n_days
+               FROM ev GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       scored AS (SELECT *, row_number() OVER (PARTITION BY event_type, tau
+                    ORDER BY CAST(ls AS DOUBLE) / span, xi, xj) AS rk
+                  FROM agg)
+       SELECT event_type, CAST(tau AS DOUBLE) AS tau, n_days,
+         round(CAST(yj - yi AS DOUBLE) / span, 6) AS slope,
+         round(CAST(yi AS DOUBLE)
+           - CAST(yj - yi AS DOUBLE) / span * xi, 6) AS intercept,
+         round(CAST(ls AS DOUBLE) / span, 6) AS loss
+       FROM scored WHERE rk = 1"""
+  }
+
   /** q_psi: Population Stability Index — the standard drift gate between
     * two corpus partitions (here: even vs odd event ids), per event type,
     * over a fixed 10-bucket value grid with add-1 smoothing (empty cells
@@ -4684,6 +4787,7 @@ object Stats extends QueryModule {
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_regr" -> (qRegr _),
     "q_regr_multi" -> (qRegrMulti _),
+    "q_quantile_reg" -> (qQuantileReg _),
     "q_psi" -> (qPsi _),
     "q_markov" -> (qMarkov _),
     "q_attribution" -> (qAttribution _),
@@ -4752,6 +4856,7 @@ object Stats extends QueryModule {
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_regr" -> qRegrSql,
     "q_regr_multi" -> qRegrMultiSql,
+    "q_quantile_reg" -> qQuantileRegSql,
     "q_psi" -> qPsiSql,
     "q_markov" -> qMarkovSql,
     "q_attribution" -> qAttributionSql,

@@ -862,6 +862,60 @@ class Round17Spec extends SparkSpec {
     assert(math.sqrt(2 * meanAbs(xs, xs) - 2 * meanAbs(xs, xs)) == 0.0)
   }
 
+  test("q_quantile_reg: plain-Scala exhaustive 2-point enumeration at " +
+    "tau=0.5 reproduces (slope, intercept, loss) for one event type, and " +
+    "every fitted line is pinball-optimal vs the flat-median candidate") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[java.math.BigDecimal]("y")))
+    val et = daily.map(_._1).distinct.sorted.head
+    val d0 = daily.filter(_._1 == et).map(_._2).min
+    val pts = daily.filter(_._1 == et)
+      .map(p => (java.time.temporal.ChronoUnit.DAYS.between(d0, p._2).toInt,
+        BigDecimal(p._3))).sortBy(_._1)
+    def pinball(tau: BigDecimal, xi: Int, yi: BigDecimal, xj: Int,
+        yj: BigDecimal): BigDecimal =
+      pts.map { case (x, y) =>
+        val r = (y - yi) * (xj - xi) - (yj - yi) * (x - xi)
+        (tau * r).max((tau - 1) * r)
+      }.sum
+    val tau = BigDecimal("0.50")
+    val best = (for {
+      (xi, yi) <- pts; (xj, yj) <- pts if xi < xj
+    } yield {
+      val ls = pinball(tau, xi, yi, xj, yj)
+      (ls.toDouble / (xj - xi), xi, yi, xj, yj)
+    }).minBy(c => (c._1, c._2, c._4))
+    val row = operators.Stats.qQuantileReg(spark, sf).collect()
+      .find(r => r.getAs[String]("event_type") == et &&
+        r.getAs[Double]("tau") == 0.5).get
+    val slope = (best._5 - best._3).toDouble / (best._4 - best._2)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-6, row.toString)
+    assert(math.abs(row.getAs[Double]("intercept") -
+      (best._3.toDouble - slope * best._2)) < 1e-5, row.toString)
+    assert(math.abs(row.getAs[Double]("loss") - best._1) < 1e-5, row.toString)
+    // LP-vertex sanity: every fitted line beats the flat-median line
+    operators.Stats.qQuantileReg(spark, sf).collect()
+      .filter(_.getAs[String]("event_type") == et).foreach { r =>
+        val t = BigDecimal(r.getAs[Double]("tau"))
+        val ys = pts.map(_._2).sorted
+        val med = ys(((ys.length - 1) * t).toInt)
+        val flat = pts.map { case (_, y) =>
+          val res = y - med
+          ((t * res).max((t - 1) * res)).toDouble
+        }.sum
+        assert(r.getAs[Double]("loss") <= flat + 1e-9,
+          s"tau=$t loss=${r.getAs[Double]("loss")} flat=$flat")
+      }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
