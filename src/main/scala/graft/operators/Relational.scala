@@ -831,6 +831,88 @@ object Relational extends QueryModule {
          round(aa, 6) AS adamic_adar
        FROM cand JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb"""
 
+  /** Round cap for [[qConnectedComponents]]'s label propagation: rounds
+    * needed = graph diameter; the co-purchase graph's is single-digit at
+    * every test scale, and the loop breaks on the first converged round
+    * (the cap only bounds a pathological chain). */
+  val CcMaxRounds = 50
+
+  /** q_connected_components: connected components of the co-purchase
+    * graph — the graph-topology member the recommender family was
+    * missing (q_copurchase counts edges, q_item_sim normalizes them,
+    * q_link_pred scores wedges, q_als factorizes; components answer
+    * "which items form one connected market at all", the partitioning a
+    * catalog team uses to shard recommendation models). Spark side is
+    * iterative MIN-LABEL propagation to a fixpoint: labels start as node
+    * ids, each round takes the min over the closed neighborhood
+    * (self ∪ neighbors), and the loop breaks on the first round with
+    * zero changed labels — every iteration is one dimension-sized
+    * shuffle join (the fact table was left behind at the basket
+    * aggregate), re-persisted and lineage-cut per round. Rounds = graph
+    * DIAMETER; at 100 TB the same loop swaps to the two-phase
+    * small-star/large-star contraction (Kiveris et al. 2014, O(log n)
+    * rounds) — the per-round operator (join + min-agg) is identical,
+    * only the edge-rewrite between rounds differs, which is why the
+    * propagation form is the honest testbed. The component id is the
+    * MINIMUM part id of the component — deterministic, no RNG — so the
+    * full (part → component, size) mapping hash-gates against a DuckDB
+    * recursive-CTE reachability closure (min reachable id per node):
+    * same semantics, entirely different algorithm, which is exactly what
+    * the gate is for. */
+  def qConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchasePairs(s, dir).select("a", "b")
+    // localCheckpoint (the Bpe/Wordpiece loop discipline): each round's
+    // labels are MATERIALIZED and their lineage truncated, so round k's
+    // plan never re-analyzes rounds 1..k−1 and the driver doesn't
+    // accumulate one broadcast per survived round.
+    val adj = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < CcMaxRounds) {
+      val nbrMin = adj
+        .join(labels.select(col("node").as("b"), col("comp").as("nc")),
+          Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("comp"),
+          (col("nbr_min") < col("comp")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.select("node", "comp")
+      round += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("node").as("part"), col("comp").as("component"),
+        col("comp_size"))
+  }
+
+  private val qConnectedComponentsSql =
+    """WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+       e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+             FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+       adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       walk(node, reach) AS (
+         SELECT DISTINCT a, a FROM adj
+         UNION
+         SELECT w.node, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
+       comp AS (SELECT node, min(reach) AS component
+                FROM walk GROUP BY node),
+       sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY 1)
+       SELECT c.node AS part, c.component, s.comp_size
+       FROM comp c JOIN sz s ON s.component = c.component"""
+
   /** q_concurrency: peak concurrent sessions per day — the capacity
     * number an ops dashboard reads (licensing, connection pools,
     * autoscaler floors): sweep-line over the gap-sessionized intervals
@@ -2360,6 +2442,7 @@ object Relational extends QueryModule {
     "q_session_stats" -> (qSessionStats _),
     "q_item_sim" -> (qItemSim _),
     "q_link_pred" -> (qLinkPred _),
+    "q_connected_components" -> (qConnectedComponents _),
     "q_concurrency" -> (qConcurrency _),
     "q_abc" -> (qAbc _),
     "q_new_vs_returning" -> (qNewVsReturning _),
@@ -2419,6 +2502,7 @@ object Relational extends QueryModule {
     "q_session_stats" -> qSessionStatsSql,
     "q_item_sim" -> qItemSimSql,
     "q_link_pred" -> qLinkPredSql,
+    "q_connected_components" -> qConnectedComponentsSql,
     "q_concurrency" -> qConcurrencySql,
     "q_abc" -> qAbcSql,
     "q_new_vs_returning" -> qNewVsReturningSql,

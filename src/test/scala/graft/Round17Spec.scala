@@ -916,6 +916,33 @@ class Round17Spec extends SparkSpec {
       }
   }
 
+  test("q_connected_components: plain-Scala union-find over the collected " +
+    "edge set reproduces the full (part, component, size) mapping") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = operators.Relational.qCopurchase(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val rows = operators.Relational.qConnectedComponents(spark, sf).collect()
+    assert(rows.length == expected.size, s"${rows.length} vs ${expected.size}")
+    rows.foreach { r =>
+      val (p, c) = (r.getAs[Long]("part"), r.getAs[Long]("component"))
+      assert(expected(p) == c, s"part $p: got $c expected ${expected(p)}")
+      assert(r.getAs[Long]("comp_size") == sizes(c), r.toString)
+      assert(c <= p, "component id must be the minimum member id")
+    }
+    assert(rows.map(_.getAs[Long]("component")).distinct.length == sizes.size)
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
