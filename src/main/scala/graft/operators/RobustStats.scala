@@ -2306,6 +2306,93 @@ object RobustStats extends QueryModule {
        SELECT g, x, cnt, k AS pooled_rank, px AS mapped
        FROM kk JOIN pr ON kk.k > pr.cp AND kk.k <= pr.cc"""
 
+  /** The Box–Cox λ grid — every member's power is expressible through
+    * sqrt / multiply / divide (IEEE-correctly-rounded in BOTH engines),
+    * which is what makes the log-likelihood hash-gateable at all: a
+    * libm pow(x, λ) would be the exact cross-engine seam the
+    * q_oracle_canary family exists to keep OFF hash-gated surfaces. */
+  val BoxCoxLambdas = Seq("-2.0", "-1.0", "-0.5", "0.0", "0.5", "1.0", "2.0")
+
+  /** q_boxcox: Box–Cox power-transform selection over document lengths
+    * per language — the variance-stabilization step a modeling pipeline
+    * runs before Gaussian-assuming statistics (q_quantile_norm forces a
+    * reference shape; Box–Cox picks the PARAMETRIC transform): for each
+    * λ on [[BoxCoxLambdas]], the profile log-likelihood
+    * LL(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σln x over y = (x^λ−1)/λ (ln x at
+    * λ=0), maximized in λ. Scale shape: one scan collapses to the
+    * (lang × distinct length) grid — value-domain-sized — and the λ
+    * sweep runs on that grid; the three moment sums are value-ordered
+    * bounded folds (aggregate(array_sort(collect_list…)) ↔
+    * list_sum(… ORDER BY x)), so the doubles add in the same order in
+    * both engines; powers use only sqrt/·/÷ (see [[BoxCoxLambdas]]);
+    * σ̂² and LL are single mirrored expressions; best-λ rank breaks ties
+    * on λ. */
+  def qBoxCox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val grid = s.range(1).select(explode(array(
+      BoxCoxLambdas.map(l => lit(l.toDouble)): _*)).as("lam"))
+    val xd = col("x").cast("double")
+    val y = when(col("lam") === -2.0, (lit(1.0) / (xd * xd) - 1.0) / -2.0)
+      .when(col("lam") === -1.0, (lit(1.0) / xd - 1.0) / -1.0)
+      .when(col("lam") === -0.5, (lit(1.0) / sqrt(xd) - 1.0) / -0.5)
+      .when(col("lam") === 0.0, log(xd))
+      .when(col("lam") === 0.5, (sqrt(xd) - 1.0) / 0.5)
+      .when(col("lam") === 1.0, xd - 1.0)
+      .otherwise((xd * xd - 1.0) / 2.0)
+    def fold(term: org.apache.spark.sql.Column) =
+      aggregate(transform(array_sort(collect_list(struct(col("x"),
+        term.as("t")))), r => r.getField("t")), lit(0.0), (a, t) => a + t)
+    val cD = col("c").cast("double")
+    val m = dist.crossJoin(broadcast(grid))
+      .select(col("lang"), col("lam"), col("x"), col("c"), y.as("y"))
+      .groupBy("lang", "lam")
+      .agg(sum(col("c")).as("n"), fold(col("y") * cD).as("sy"),
+        fold(col("y") * col("y") * cD).as("syy"),
+        fold(log(col("x").cast("double")) * cD).as("slx"))
+    val nD = col("n").cast("double")
+    val varE = col("syy") / nD - (col("sy") / nD) * (col("sy") / nD)
+    val ll = lit(-0.5) * nD * log(varE) + (col("lam") - 1.0) * col("slx")
+    val w = Window.partitionBy("lang").orderBy(col("ll").desc, col("lam").asc)
+    m.select(col("lang"), col("lam"), col("n"), ll.as("ll"))
+      .withColumn("best", row_number().over(w) === 1)
+      .select(col("lang"), col("lam").as("lambda"), col("n"),
+        round(col("ll"), 6).as("ll"), col("best"))
+  }
+
+  private lazy val qBoxCoxSql = {
+    val lams = BoxCoxLambdas.map(l => s"SELECT CAST($l AS DOUBLE) AS lam")
+      .mkString(" UNION ALL ")
+    s"""WITH dist AS (SELECT lang, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+       grid AS ($lams),
+       ev AS (SELECT lang, lam, x, c,
+                CASE WHEN lam = -2.0 THEN (1.0 / (CAST(x AS DOUBLE) * x) - 1.0) / -2.0
+                     WHEN lam = -1.0 THEN (1.0 / CAST(x AS DOUBLE) - 1.0) / -1.0
+                     WHEN lam = -0.5 THEN (1.0 / sqrt(CAST(x AS DOUBLE)) - 1.0) / -0.5
+                     WHEN lam = 0.0 THEN ln(CAST(x AS DOUBLE))
+                     WHEN lam = 0.5 THEN (sqrt(CAST(x AS DOUBLE)) - 1.0) / 0.5
+                     WHEN lam = 1.0 THEN CAST(x AS DOUBLE) - 1.0
+                     ELSE (CAST(x AS DOUBLE) * x - 1.0) / 2.0 END AS y
+              FROM dist CROSS JOIN grid),
+       m AS (SELECT lang, lam, CAST(sum(c) AS BIGINT) AS n,
+               list_sum(list(y * CAST(c AS DOUBLE) ORDER BY x)) AS sy,
+               list_sum(list(y * y * CAST(c AS DOUBLE) ORDER BY x)) AS syy,
+               list_sum(list(ln(CAST(x AS DOUBLE)) * CAST(c AS DOUBLE)
+                 ORDER BY x)) AS slx
+             FROM ev GROUP BY 1, 2),
+       sc AS (SELECT lang, lam, n,
+                -0.5 * n * ln(syy / n - (sy / n) * (sy / n))
+                  + (lam - 1.0) * slx AS ll
+              FROM m)
+       SELECT lang, lam AS lambda, n, round(ll, 6) AS ll,
+         row_number() OVER (PARTITION BY lang ORDER BY ll DESC, lam ASC) = 1
+           AS best
+       FROM sc"""
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eb_shrink" -> (qEbShrink _),
     "q_quantile_norm" -> (qQuantileNorm _),
@@ -2334,6 +2421,7 @@ object RobustStats extends QueryModule {
     "q_cramers_v" -> (qCramersV _),
     "q_ldiversity" -> (qLdiversity _),
     "q_tcloseness" -> (qTcloseness _),
+    "q_boxcox" -> (qBoxCox _),
     "q_winsorize" -> (qWinsorize _),
     "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_mad_approx" -> (qMadApprox _),
@@ -2368,6 +2456,7 @@ object RobustStats extends QueryModule {
     "q_cramers_v" -> qCramersVSql,
     "q_ldiversity" -> qLdiversitySql,
     "q_tcloseness" -> qTclosenessSql,
+    "q_boxcox" -> qBoxCoxSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_winsorize_approx" -> qWinsorizeApproxSql,
     "q_mad_approx" -> qMadApproxSql,

@@ -943,6 +943,36 @@ class Round17Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("component")).distinct.length == sizes.size)
   }
 
+  test("q_boxcox: plain-Scala profile log-likelihood recomputation at two " +
+    "lambdas for one language, and best = argmax per language") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.RobustStats.qBoxCox(spark, sf).collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    assert(rows.length == langs.length * operators.RobustStats.BoxCoxLambdas.length)
+    // best is the unique argmax of ll within each language
+    langs.foreach { l =>
+      val g = rows.filter(_.getAs[String]("lang") == l)
+      val best = g.filter(_.getAs[Boolean]("best"))
+      assert(best.length == 1, s"$l: ${best.length} best rows")
+      assert(best.head.getAs[Double]("ll") == g.map(_.getAs[Double]("ll")).max)
+    }
+    // plain-Scala LL at lambda = 0.5 and 0.0 for one language
+    val lang = langs.sorted.head
+    val xs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") === lang).select("n_chars").collect()
+      .map(_.getLong(0).toDouble)
+    def ll(y: Array[Double], lam: Double): Double = {
+      val n = y.length.toDouble
+      val v = y.map(a => a * a).sum / n - math.pow(y.sum / n, 2)
+      -0.5 * n * math.log(v) + (lam - 1.0) * xs.map(math.log).sum
+    }
+    val got = rows.filter(_.getAs[String]("lang") == lang)
+      .map(r => r.getAs[Double]("lambda") -> r.getAs[Double]("ll")).toMap
+    assert(math.abs(got(0.5) - ll(xs.map(x => (math.sqrt(x) - 1) / 0.5), 0.5)) < 1e-4,
+      s"${got(0.5)}")
+    assert(math.abs(got(0.0) - ll(xs.map(math.log), 0.0)) < 1e-4, s"${got(0.0)}")
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
