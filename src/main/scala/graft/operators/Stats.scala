@@ -3980,6 +3980,127 @@ object Stats extends QueryModule {
          string_agg(sym, '' ORDER BY seg) AS sax
        FROM sy GROUP BY 1, 2"""
 
+  /** Matrix-profile window length (one day of hourly buckets) and the
+    * standard trivial-match exclusion zone (m/2). */
+  val MpWindow = 24
+  val MpExclusion = 12
+
+  /** q_matrix_profile: the UCR matrix profile (Yeh et al. 2016) over the
+    * hourly event-count series — for every length-[[MpWindow]] window,
+    * the z-normalized Euclidean distance to its nearest non-trivial
+    * neighbor, THE time-series-mining primitive (motifs = profile
+    * minima, discords/anomalies = maxima; q_sax symbolizes shape, the
+    * profile finds repeated structure exactly). Relationalized along
+    * STOMP's own axis: the all-pair dot products QT(i,j) decompose into
+    * DIAGONALS d = i−j, where QT along a diagonal is a sliding sum of
+    * the per-hour products c_t·c_{t−d} — one dense self-join keyed by
+    * diagonal, one window sum per diagonal, never a per-pair
+    * recomputation of the dot product (that O(n²m) is exactly what STOMP
+    * exists to avoid; this plan is its set-based transcription, and the
+    * per-diagonal O(1) state is why it scales to long series). Every
+    * sufficient statistic is an exact INTEGER (hourly counts, window
+    * sums s/ss, dot products qt), so
+    * dist² = 2m(1 − (m·qt − sᵢsⱼ)/√((m·ssᵢ−sᵢ²)(m·ssⱼ−sⱼ²))) is one
+    * mirrored double expression over exactly-equal ints; zero-variance
+    * windows leave by an integer predicate before the division; the
+    * argmin per i breaks ties on j. The hour grid is DENSIFIED (missing
+    * hours count 0) so diagonals are contiguous and every window has
+    * exactly m terms. */
+  def qMatrixProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = MpWindow
+    val hr = Tables.events(s, dir)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("c"))
+    val bounds = hr.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val dense = bounds.select(explode(sequence(lit(0L),
+        col("h1") - col("h0"))).as("t"), col("h0"))
+      .join(hr, col("hr") === col("t") + col("h0"), "left_outer")
+      .select(col("t"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    val wWin = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, m - 1)
+    val stats = dense
+      .select(col("t").as("i"), sum(col("c")).over(wWin).as("s"),
+        sum(col("c") * col("c")).over(wWin).as("ss"),
+        count(lit(1)).over(wWin).as("k"))
+      .filter(col("k") === m && col("ss") * m - col("s") * col("s") > 0)
+      .select(col("i"), col("s"), col("ss"))
+    val prod = dense.select(col("t").as("t1"), col("c").as("c1"))
+      .crossJoin(dense.select(col("t").as("t2"), col("c").as("c2")))
+      .select((col("t1") - col("t2")).as("d"), col("t1"),
+        (col("c1") * col("c2")).as("p"))
+    val wDiag = Window.partitionBy("d").orderBy("t1")
+      .rowsBetween(Window.currentRow, m - 1)
+    val qt = prod
+      .select(col("d"), col("t1").as("i"), sum(col("p")).over(wDiag).as("qt"),
+        count(lit(1)).over(wDiag).as("k"))
+      .filter(col("k") === m && abs(col("d")) >= MpExclusion)
+      .select(col("i"), (col("i") - col("d")).as("j"), col("qt"))
+    // numerator and variance terms stay INTEGER until one cast, exactly
+    // as the oracle writes them
+    val num = (lit(m.toLong) * col("qt") - col("s_i") * col("s_j"))
+      .cast("double")
+    val va = (lit(m.toLong) * col("ss_i") - col("s_i") * col("s_i"))
+      .cast("double")
+    val vb = (lit(m.toLong) * col("ss_j") - col("s_j") * col("s_j"))
+      .cast("double")
+    val dist2 = lit(2.0) * lit(m.toDouble) * (lit(1.0) -
+      num / sqrt(va * vb))
+    val scored = qt
+      .join(stats.select(col("i"), col("s").as("s_i"), col("ss").as("ss_i")),
+        Seq("i"))
+      .join(stats.select(col("i").as("j"), col("s").as("s_j"),
+        col("ss").as("ss_j")), Seq("j"))
+      .select(col("i"), col("j"), dist2.as("d2"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("i")
+        .orderBy(col("d2").asc, col("j").asc)))
+      .filter(col("rk") === 1)
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("nn"),
+        round(sqrt(greatest(col("d2"), lit(0.0))), 6).as("dist"))
+  }
+
+  private lazy val qMatrixProfileSql = {
+    val m = MpWindow
+    s"""WITH hrc AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1),
+       b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hrc),
+       dense AS (SELECT g.t, coalesce(hrc.c, 0) AS c
+                 FROM (SELECT unnest(range(0, h1 - h0 + 1)) AS t, h0 FROM b) g
+                 LEFT JOIN hrc ON hrc.hr = g.t + g.h0),
+       stats AS (SELECT * FROM (
+           SELECT t AS i,
+             sum(c) OVER w AS s, sum(c * c) OVER w AS ss,
+             count(*) OVER w AS k
+           FROM dense
+           WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+             AND ${m - 1} FOLLOWING))
+         WHERE k = $m AND ss * $m - s * s > 0),
+       prod AS (SELECT a.t - b2.t AS d, a.t AS t1, a.c * b2.c AS p
+                FROM dense a CROSS JOIN dense b2),
+       qt AS (SELECT * FROM (
+           SELECT d, t1 AS i, sum(p) OVER w AS qt, count(*) OVER w AS k
+           FROM prod
+           WINDOW w AS (PARTITION BY d ORDER BY t1 ROWS BETWEEN CURRENT ROW
+             AND ${m - 1} FOLLOWING))
+         WHERE k = $m AND abs(d) >= $MpExclusion),
+       sc AS (SELECT qt.i, qt.i - qt.d AS j,
+                2.0 * $m * (1 - CAST($m * qt.qt - si.s * sj.s AS DOUBLE)
+                  / sqrt(CAST($m * si.ss - si.s * si.s AS DOUBLE)
+                    * CAST($m * sj.ss - sj.s * sj.s AS DOUBLE))) AS d2
+              FROM qt JOIN stats si ON si.i = qt.i
+                JOIN stats sj ON sj.i = qt.i - qt.d),
+       rk AS (SELECT i, j, d2, row_number() OVER (PARTITION BY i
+                ORDER BY d2 ASC, j ASC) AS rk
+              FROM sc)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS nn,
+         round(sqrt(greatest(d2, 0.0)), 6) AS dist
+       FROM rk WHERE rk = 1"""
+  }
+
   /** F(k−1, (n−1)(k−1)) α=0.05 critical pin for [[qQuade]]'s fixed
     * 30-day × 5-type calendar (df ≈ (4, 116) ⇒ 2.45). */
   val QuadeCrit005 = 2.45
@@ -4776,6 +4897,7 @@ object Stats extends QueryModule {
     "q_tost" -> (qTost _),
     "q_quade" -> (qQuade _),
     "q_sax" -> (qSax _),
+    "q_matrix_profile" -> (qMatrixProfile _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -4845,6 +4967,7 @@ object Stats extends QueryModule {
     "q_tost" -> qTostSql,
     "q_quade" -> qQuadeSql,
     "q_sax" -> qSaxSql,
+    "q_matrix_profile" -> qMatrixProfileSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -973,6 +973,45 @@ class Round17Spec extends SparkSpec {
     assert(math.abs(got(0.0) - ll(xs.map(math.log), 0.0)) < 1e-4, s"${got(0.0)}")
   }
 
+  test("q_matrix_profile: plain-Scala O(n^2 m) brute force over the dense " +
+    "hourly series reproduces every (i, nn, dist) row") {
+    val sf = "/root/testdata/sf0.001"
+    val m = operators.Stats.MpWindow
+    val hrs = graft.sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hr")).groupBy("hr").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Long]("hr") -> r.getAs[Long]("c")).toMap
+    val h0 = hrs.keys.min
+    val n = (hrs.keys.max - h0 + 1).toInt
+    val c = Array.tabulate(n)(t => hrs.getOrElse(h0 + t, 0L))
+    val nw = n - m + 1
+    val s = Array.tabulate(nw)(i => (i until i + m).map(c(_)).sum)
+    val ss = Array.tabulate(nw)(i => (i until i + m).map(t => c(t) * c(t)).sum)
+    def valid(i: Int) = m * ss(i) - s(i) * s(i) > 0
+    def d2(i: Int, j: Int): Double = {
+      val qt = (0 until m).map(k => c(i + k) * c(j + k)).sum
+      2.0 * m * (1.0 - (m * qt - s(i) * s(j)).toDouble /
+        math.sqrt(((m * ss(i) - s(i) * s(i)) * (m * ss(j) - s(j) * s(j))).toDouble))
+    }
+    val expected = (0 until nw).filter(valid).flatMap { i =>
+      val js = (0 until nw).filter(j => math.abs(i - j) >=
+        operators.Stats.MpExclusion && valid(j))
+      if (js.isEmpty) None else {
+        val best = js.minBy(j => (d2(i, j), j))
+        Some(i -> ((best, BigDecimal(math.sqrt(math.max(d2(i, best), 0.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }.toMap
+    val rows = operators.Stats.qMatrixProfile(spark, sf).collect()
+    assert(rows.length == expected.size, s"${rows.length} vs ${expected.size}")
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i")
+      val (nn, dist) = expected(i)
+      assert(r.getAs[Int]("nn") == nn, s"i=$i: ${r.getAs[Int]("nn")} vs $nn")
+      assert(math.abs(r.getAs[Double]("dist") - dist) <= 1e-6, s"i=$i")
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
