@@ -2451,6 +2451,69 @@ object Stats extends QueryModule {
                / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS between_term
        FROM g, tt"""
 
+  /** q_herfindahl: Herfindahl–Hirschman market-concentration panel per
+    * part brand — the MARKET-STRUCTURE member beside the inequality
+    * family (q_gini/q_lorenz/q_theil measure dispersion over a
+    * population; HHI measures how concentrated a MARKET is among its
+    * suppliers, the antitrust screen): per brand, supplier revenue
+    * shares sᵢ from exact-decimal extendedprice sums, HHI = Σsᵢ²,
+    * the normalized (HHI−1/n)/(1−1/n), the effective supplier count
+    * 1/HHI, and the top-supplier share. One fact scan → (brand ×
+    * supplier) aggregate (dimension-bounded), shares are divisions of
+    * exactly-equal decimals-cast-double, Σsᵢ² and max share fold over
+    * supplier-ordered bounded arrays (the repo-wide ordered-double-sum
+    * discipline). */
+  def qHerfindahl(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_suppkey").as("supp"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val tot = rev.groupBy("brand")
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("tot"),
+        count(lit(1)).as("n_sup"))
+    val sh = rev.join(tot, Seq("brand"))
+      .select(col("brand"), col("supp"), col("n_sup"),
+        (col("rev").cast("double") / col("tot").cast("double")).as("sh"))
+    val hhi = sh.groupBy("brand", "n_sup")
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("supp"),
+          (col("sh") * col("sh")).as("s2")))), r => r.getField("s2")),
+        lit(0.0), (a, t) => a + t).as("hhi"),
+        max(col("sh")).as("top_share"))
+    val nD = col("n_sup").cast("double")
+    hhi.select(col("brand"), col("n_sup"), round(col("hhi"), 6).as("hhi"),
+      // n_sup = 1 would divide by zero with engine-divergent IEEE/NULL
+      // semantics; a one-supplier market has no defined normalized HHI
+      when(col("n_sup") > 1,
+        round((col("hhi") - lit(1.0) / nD) / (lit(1.0) - lit(1.0) / nD), 6))
+        .as("hhi_norm"),
+      round(lit(1.0) / col("hhi"), 6).as("eff_n"),
+      round(col("top_share"), 6).as("top_share"))
+  }
+
+  private lazy val qHerfindahlSql =
+    """WITH rev AS (SELECT p_brand AS brand, l_suppkey AS supp,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+       tot AS (SELECT brand, CAST(sum(rev) AS DECIMAL(18,2)) AS tot,
+           CAST(count(*) AS BIGINT) AS n_sup
+         FROM rev GROUP BY 1),
+       sh AS (SELECT r.brand, r.supp, t.n_sup,
+           CAST(r.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS sh
+         FROM rev r JOIN tot t ON t.brand = r.brand),
+       h AS (SELECT brand, n_sup,
+           list_sum(list(sh * sh ORDER BY supp)) AS hhi,
+           max(sh) AS top_share
+         FROM sh GROUP BY 1, 2)
+       SELECT brand, n_sup, round(hhi, 6) AS hhi,
+         CASE WHEN n_sup > 1 THEN
+           round((hhi - 1.0 / n_sup) / (1.0 - 1.0 / n_sup), 6) END
+           AS hhi_norm,
+         round(1.0 / hhi, 6) AS eff_n,
+         round(top_share, 6) AS top_share
+       FROM h"""
+
   def qGini(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("x"))
@@ -4898,6 +4961,7 @@ object Stats extends QueryModule {
     "q_quade" -> (qQuade _),
     "q_sax" -> (qSax _),
     "q_matrix_profile" -> (qMatrixProfile _),
+    "q_herfindahl" -> (qHerfindahl _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -4968,6 +5032,7 @@ object Stats extends QueryModule {
     "q_quade" -> qQuadeSql,
     "q_sax" -> qSaxSql,
     "q_matrix_profile" -> qMatrixProfileSql,
+    "q_herfindahl" -> qHerfindahlSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

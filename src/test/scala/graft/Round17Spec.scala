@@ -1012,6 +1012,41 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_herfindahl: shares recomputed in plain Scala for one brand, " +
+    "HHI identities (1/n <= hhi <= 1, eff_n <= n_sup, top_share^2 <= hhi)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.Stats.qHerfindahl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_sup"), r.getAs[Double]("hhi"))
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9, r.toString)
+      assert(r.getAs[Double]("eff_n") <= n + 1e-6, r.toString)
+      val ts = r.getAs[Double]("top_share")
+      assert(ts * ts <= hhi + 1e-9 && ts <= 1.0 + 1e-9, r.toString)
+      if (n > 1) {
+        val norm = r.getAs[Double]("hhi_norm")
+        assert(norm >= -1e-9 && norm <= 1.0 + 1e-9, r.toString)
+      } else assert(r.isNullAt(r.fieldIndex("hhi_norm")))
+    }
+    // plain-Scala share recomputation for the lexicographically first brand
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p")).collect()
+    val brand = li.map(_.getAs[String]("p_brand")).min
+    val bySupp = li.filter(_.getAs[String]("p_brand") == brand)
+      .groupBy(_.getAs[Long]("l_suppkey"))
+      .map { case (_, g) => g.map(r =>
+        BigDecimal(r.getAs[java.math.BigDecimal]("p"))).sum }
+    val tot = bySupp.sum
+    val hhiExp = bySupp.map(v => math.pow((v / tot).toDouble, 2)).sum
+    val got = rows.find(_.getAs[String]("brand") == brand).get
+    assert(math.abs(got.getAs[Double]("hhi") - hhiExp) < 1e-6,
+      s"${got.getAs[Double]("hhi")} vs $hhiExp")
+    assert(got.getAs[Long]("n_sup") == bySupp.size.toLong)
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
