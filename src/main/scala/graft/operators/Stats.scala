@@ -4164,6 +4164,114 @@ object Stats extends QueryModule {
        FROM rk WHERE rk = 1"""
   }
 
+  /** q_dtw: EXACT dynamic-time-warping distance between every pair of
+    * event-type daily-revenue series — the alignment-aware series
+    * distance (q_matrix_profile finds repeated structure WITHIN a
+    * series; DTW compares two series that may be locally time-shifted,
+    * the standard series-clustering metric). The DP is relationalized
+    * along ANTI-DIAGONALS k = i+j, where cells are mutually independent:
+    * D(i,j) = |aᵢ−bⱼ| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) reads only
+    * diagonals k−1 and k−2, so the whole recurrence is a bounded fold
+    * over k with two carried lists and a pure element-wise transform per
+    * step — the same wavefront order a systolic/GPU DTW uses, and the
+    * reason the operator is expressible IDENTICALLY as a Catalyst
+    * aggregate-fold and a DuckDB recursive CTE. Every cell stays exact
+    * DECIMAL(25,6) (daily sums are exact decimals, |a−b| and + are
+    * exact, min is exact; out-of-range predecessors are coalesced to a
+    * huge decimal SENTINEL in both engines rather than NULL, because the
+    * engines' least()-with-NULL semantics differ) — the gate hashes an
+    * arithmetic-identical DP, not a float approximation. Scale shape:
+    * the fact table collapses to the TYPE×DAY dimension in one
+    * partial-aggregable scan; each pair's DP is O((n+m)·min(n,m))
+    * dimension-bounded work on one row. */
+  def qDtw(s: SparkSession, dir: String): DataFrame = {
+    val sent = lit(new java.math.BigDecimal("9999999999999999999.999999"))
+      .cast("decimal(25,6)")
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y"))
+    val series = daily.groupBy("event_type")
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
+        r => r.getField("y")).as("ys"))
+    val pairs = series.select(col("event_type").as("ta"), col("ys").as("a"))
+      .crossJoin(series.select(col("event_type").as("tb"), col("ys").as("b")))
+      .filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("a"), col("b"),
+        size(col("a")).as("n"), size(col("b")).as("m"))
+    def cell(acc: Column, k: Column, i: Column) = {
+      val j = k - i
+      val iLo1 = greatest(lit(0), (k - 1) - (col("m") - 1))
+      val iLo2 = greatest(lit(0), (k - 2) - (col("m") - 1))
+      val c1 = when(i >= 1, element_at(acc.getField("d1"),
+        ((i - 1) - iLo1 + 1).cast("int")))
+      val c2 = when(j >= 1, element_at(acc.getField("d1"),
+        (i - iLo1 + 1).cast("int")))
+      val c3 = when(i >= 1 && j >= 1, element_at(acc.getField("d2"),
+        ((i - 1) - iLo2 + 1).cast("int")))
+      (abs(element_at(col("a"), (i + 1).cast("int")) -
+        element_at(col("b"), (j + 1).cast("int"))) +
+        least(coalesce(c1, sent), coalesce(c2, sent), coalesce(c3, sent)))
+        .cast("decimal(25,6)")
+    }
+    val d0 = array((abs(element_at(col("a"), 1) - element_at(col("b"), 1)))
+      .cast("decimal(25,6)"))
+    val zero = struct(d0.as("d1"),
+      array().cast("array<decimal(25,6)>").as("d2"))
+    val folded = pairs.select(col("ta"), col("tb"), col("n"), col("m"),
+      aggregate(sequence(lit(1), col("n") + col("m") - 2), zero,
+        (acc, k) => struct(
+          transform(
+            sequence(greatest(lit(0), k - (col("m") - 1)),
+              least(col("n") - 1, k)),
+            i => cell(acc, k, i)).as("d1"),
+          acc.getField("d1").as("d2"))).as("st_out"))
+    folded.select(col("ta").as("type_a"), col("tb").as("type_b"),
+      col("n"), col("m"),
+      round(element_at(col("st_out").getField("d1"), 1).cast("double"), 6)
+        .as("dtw"),
+      round(element_at(col("st_out").getField("d1"), 1).cast("double") /
+        (col("n") + col("m")), 6).as("dtw_norm"))
+  }
+
+  private lazy val qDtwSql = {
+    val sent = "CAST('9999999999999999999.999999' AS DECIMAL(25,6))"
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+         FROM events GROUP BY 1, 2),
+       ser AS (SELECT event_type, list(y ORDER BY day) AS ys
+               FROM daily GROUP BY 1),
+       pairs AS (SELECT s1.event_type AS ta, s2.event_type AS tb,
+           s1.ys AS a, s2.ys AS b,
+           CAST(len(s1.ys) AS INT) AS n, CAST(len(s2.ys) AS INT) AS m
+         FROM ser s1 JOIN ser s2 ON s1.event_type < s2.event_type),
+       dp(ta, tb, a, b, n, m, k, d1, d2) AS (
+         SELECT ta, tb, a, b, n, m, 0,
+           [CAST(abs(a[1] - b[1]) AS DECIMAL(25,6))],
+           CAST([] AS DECIMAL(25,6)[])
+         FROM pairs
+         UNION ALL
+         SELECT ta, tb, a, b, n, m, k + 1,
+           list_transform(
+             range(greatest(0, (k + 1) - (m - 1)), least(n - 1, k + 1) + 1),
+             i -> CAST(abs(a[i + 1] - b[(k + 1) - i + 1]) + least(
+               coalesce(CASE WHEN i >= 1
+                 THEN d1[(i - 1) - greatest(0, k - (m - 1)) + 1] END, $sent),
+               coalesce(CASE WHEN (k + 1) - i >= 1
+                 THEN d1[i - greatest(0, k - (m - 1)) + 1] END, $sent),
+               coalesce(CASE WHEN i >= 1 AND (k + 1) - i >= 1
+                 THEN d2[(i - 1) - greatest(0, (k - 1) - (m - 1)) + 1] END,
+                 $sent)) AS DECIMAL(25,6))),
+           d1
+         FROM dp WHERE k + 1 <= n + m - 2)
+       SELECT ta AS type_a, tb AS type_b, n, m,
+         round(CAST(d1[1] AS DOUBLE), 6) AS dtw,
+         round(CAST(d1[1] AS DOUBLE) / (n + m), 6) AS dtw_norm
+       FROM dp WHERE k = n + m - 2"""
+  }
+
   /** F(k−1, (n−1)(k−1)) α=0.05 critical pin for [[qQuade]]'s fixed
     * 30-day × 5-type calendar (df ≈ (4, 116) ⇒ 2.45). */
   val QuadeCrit005 = 2.45
@@ -4962,6 +5070,7 @@ object Stats extends QueryModule {
     "q_sax" -> (qSax _),
     "q_matrix_profile" -> (qMatrixProfile _),
     "q_herfindahl" -> (qHerfindahl _),
+    "q_dtw" -> (qDtw _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5033,6 +5142,7 @@ object Stats extends QueryModule {
     "q_sax" -> qSaxSql,
     "q_matrix_profile" -> qMatrixProfileSql,
     "q_herfindahl" -> qHerfindahlSql,
+    "q_dtw" -> qDtwSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1047,6 +1047,55 @@ class Round17Spec extends SparkSpec {
     assert(got.getAs[Long]("n_sup") == bySupp.size.toLong)
   }
 
+  test("q_dtw: plain-Scala row-by-row DP over BigDecimal reproduces every " +
+    "pair's distance, and DTW <= L1 of the aligned prefix (identity path)") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("decimal(18,6)").as("y")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("y"))))
+    val series = daily.groupBy(_._1).map { case (t, g) =>
+      t -> g.sortBy(_._2).map(_._3) }
+    def dtw(a: Seq[BigDecimal], b: Seq[BigDecimal]): BigDecimal = {
+      val big = BigDecimal("1e30")
+      var prev = Array.fill(b.length)(big)
+      a.indices.foreach { i =>
+        val cur = Array.fill(b.length)(big)
+        b.indices.foreach { j =>
+          val cost = (a(i) - b(j)).abs
+          val best =
+            if (i == 0 && j == 0) BigDecimal(0)
+            else Seq(if (i > 0) prev(j) else big,
+              if (j > 0) cur(j - 1) else big,
+              if (i > 0 && j > 0) prev(j - 1) else big).min
+          cur(j) = cost + best
+        }
+        prev = cur
+      }
+      prev.last
+    }
+    val rows = operators.Stats.qDtw(spark, sf).collect()
+    val types = series.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).length)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val exp = dtw(series(ta), series(tb))
+      assert(math.abs(r.getAs[Double]("dtw") - exp.toDouble) < 1e-4,
+        s"$ta/$tb: ${r.getAs[Double]("dtw")} vs $exp")
+      // DTW can never exceed the L1 cost of the identity alignment
+      val (sa, sb) = (series(ta), series(tb))
+      val ident = sa.zip(sb).map { case (x, y) => (x - y).abs }.sum +
+        (if (sa.length > sb.length) sa.drop(sb.length).map(x => (x - sb.last).abs).sum
+         else sb.drop(sa.length).map(x => (x - sa.last).abs).sum)
+      assert(r.getAs[Double]("dtw") <= ident.toDouble + 1e-6)
+      assert(math.abs(r.getAs[Double]("dtw_norm") -
+        r.getAs[Double]("dtw") / (r.getAs[Int]("n") + r.getAs[Int]("m"))) < 1e-5)
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
