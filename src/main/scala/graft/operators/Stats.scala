@@ -1396,7 +1396,9 @@ object Stats extends QueryModule {
     * numerator/denominator folds the SORTED calendar-bounded day array
     * (k-bounded ordered-fold rule); lead() runs in ONE type-keyed window
     * pass for all 7 lags. NULL acf where the denominator degenerates. */
-  def qAcf(s: SparkSession, dir: String): DataFrame = {
+  /** The (event_type, n_days, den, num1..numK) autocovariance aggregate
+    * shared by [[qAcf]] and [[qPacf]]. */
+  private def acfAgg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(s, dir)
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
@@ -1420,8 +1422,12 @@ object Stats extends QueryModule {
         (1 to AcfMaxLag).map(k => fold(coalesce(
           (col("y") - col("ybar")) * (col(s"y$k") - col("ybar")), lit(0.0)),
           s"num$k"))
-    val agg = led.groupBy("event_type", "n_days")
+    led.groupBy("event_type", "n_days")
       .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfAgg(s, dir)
     agg.select(col("event_type"), col("n_days"), col("den"),
       posexplode(array((1 to AcfMaxLag).map(k => col(s"num$k")): _*))
         .as(Seq("i", "num")))
@@ -1430,12 +1436,9 @@ object Stats extends QueryModule {
         when(col("den") > 0.0, round(col("num") / col("den"), 6)).as("acf"))
   }
 
-  private lazy val qAcfSql = {
-    val lags = (1 to AcfMaxLag).map { k =>
-      s"""SELECT et AS event_type, $k AS lag, n_days,
-         CASE WHEN den > 0.0 THEN round(num$k / den, 6) END AS acf
-         FROM agg"""
-    }.mkString("\n       UNION ALL\n       ")
+  /** The daily/led/agg CTE chain shared by qAcfSql and qPacfSql —
+    * byte-identical autocovariance substrate for both oracles. */
+  private lazy val acfAggCtes = {
     val numDefs = (1 to AcfMaxLag).map { k =>
       s"""list_sum(list(coalesce((y - ybar) * (y$k - ybar), 0.0)
            ORDER BY day)) AS num$k"""
@@ -1443,7 +1446,7 @@ object Stats extends QueryModule {
     val leadDefs = (1 to AcfMaxLag).map { k =>
       s"lead(y, $k) OVER (PARTITION BY et ORDER BY day ASC) AS y$k"
     }.mkString(",\n           ")
-    s"""WITH daily AS (
+    s"""daily AS (
          SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
            sum(CAST(value AS DECIMAL(18,6))) AS yd
          FROM events GROUP BY 1, 2),
@@ -1457,9 +1460,90 @@ object Stats extends QueryModule {
            list_sum(list((y - ybar) * (y - ybar) ORDER BY day)) AS den,
            $numDefs
          FROM led JOIN m ON led.et = m.et
-         GROUP BY led.et, m.n_days),
+         GROUP BY led.et, m.n_days)"""
+  }
+
+  private lazy val qAcfSql = {
+    val lags = (1 to AcfMaxLag).map { k =>
+      s"""SELECT et AS event_type, $k AS lag, n_days,
+         CASE WHEN den > 0.0 THEN round(num$k / den, 6) END AS acf
+         FROM agg"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $acfAggCtes,
        u AS ($lags)
        SELECT event_type, CAST(lag AS INT) AS lag, n_days, acf FROM u"""
+  }
+
+  /** q_pacf: partial autocorrelation function — the lag panel an ARIMA
+    * modeler reads NEXT to q_acf (ACF tails off for AR processes; PACF
+    * CUTS OFF at the AR order, which is how p is chosen): Durbin–Levinson
+    * recursion over the same autocovariance ratios ρ₁..ρ₇ the gated ACF
+    * emits — φ₁₁ = ρ₁, then per order m the reflection coefficient
+    * k_m = (ρ_m − Σφ_{m−1,j}·ρ_{m−j})/v_{m−1}, φ-vector update and
+    * v_m = v_{m−1}(1−k_m²); PACF(m) = φ_mm. The recursion carries a
+    * φ LIST over lag steps — the same bounded fold ↔ recursive-CTE pair
+    * as q_dtw, all +·/ arithmetic (no libm), list_sum-ordered inner
+    * products, so the whole recursion hash-gates. The distributed work is
+    * the one autocovariance aggregate (shared subtree with q_acf,
+    * byte-identical oracle CTEs); the recursion is O(K²) on a
+    * dimension-sized row. */
+  def qPacf(s: SparkSession, dir: String): DataFrame = {
+    val agg = acfAgg(s, dir)
+    val withRho = agg.select(col("event_type"), col("n_days"),
+      array((1 to AcfMaxLag).map(k => col(s"num$k") / col("den")): _*)
+        .as("rho"))
+    val rho = col("rho")
+    // state = (φ vector of the CURRENT order, v, out = the φ_mm DIAGONAL
+    // collected so far) — PACF(m) is the diagonal across orders, NOT the
+    // final AR(K) coefficient vector (Round17Spec's plain-Scala replay
+    // caught exactly that confusion in the first cut)
+    val zero = struct(array(element_at(rho, 1)).as("phi"),
+      (lit(1.0) - element_at(rho, 1) * element_at(rho, 1)).as("v"),
+      array(element_at(rho, 1)).as("out"))
+    val folded = withRho.select(col("event_type"), col("n_days"),
+      aggregate(sequence(lit(2), lit(AcfMaxLag)), zero, (acc, mm) => {
+        val phi = acc.getField("phi")
+        val v = acc.getField("v")
+        val s1 = aggregate(transform(sequence(lit(1), mm - 1),
+          j => element_at(phi, j) * element_at(rho, mm - j)),
+          lit(0.0), (a, t) => a + t)
+        val k = (element_at(rho, mm) - s1) / v
+        struct(
+          concat(transform(sequence(lit(1), mm - 1),
+            j => element_at(phi, j) - k * element_at(phi, mm - j)),
+            array(k)).as("phi"),
+          (v * (lit(1.0) - k * k)).as("v"),
+          concat(acc.getField("out"), array(k)).as("out"))
+      }).getField("out").as("pacfs"))
+    folded.select(col("event_type"), col("n_days"),
+      posexplode(col("pacfs")).as(Seq("i", "p")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("lag"),
+        col("n_days"), round(col("p"), 6).as("pacf"))
+  }
+
+  private lazy val qPacfSql = {
+    val rhoList = (1 to AcfMaxLag).map(k => s"num$k / den").mkString(", ")
+    s"""WITH RECURSIVE $acfAggCtes,
+       r AS (SELECT et, n_days, [$rhoList] AS rho FROM agg),
+       dl(et, n_days, rho, m, phi, v, pacfs) AS (
+         SELECT et, n_days, rho, 1, [rho[1]], 1.0 - rho[1] * rho[1],
+           [rho[1]]
+         FROM r
+         UNION ALL
+         SELECT et, n_days, rho, m + 1,
+           list_transform(range(1, m + 1),
+             j -> phi[j] - k * phi[m + 1 - j]) || [k],
+           v * (1.0 - k * k),
+           pacfs || [k]
+         FROM (SELECT et, n_days, rho, m, phi, v, pacfs,
+                 (rho[m + 1] - list_sum(list_transform(range(1, m + 1),
+                   j -> phi[j] * rho[m + 1 - j]))) / v AS k
+               FROM dl WHERE m < $AcfMaxLag) t)
+       SELECT et AS event_type, CAST(l.lag AS INT) AS lag, n_days,
+         round(pacfs[l.lag], 6) AS pacf
+       FROM dl CROSS JOIN
+         (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag) l
+       WHERE m = $AcfMaxLag"""
   }
 
   /** q_qte: quantile treatment effects — WHERE in the outcome
@@ -5071,6 +5155,7 @@ object Stats extends QueryModule {
     "q_matrix_profile" -> (qMatrixProfile _),
     "q_herfindahl" -> (qHerfindahl _),
     "q_dtw" -> (qDtw _),
+    "q_pacf" -> (qPacf _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5143,6 +5228,7 @@ object Stats extends QueryModule {
     "q_matrix_profile" -> qMatrixProfileSql,
     "q_herfindahl" -> qHerfindahlSql,
     "q_dtw" -> qDtwSql,
+    "q_pacf" -> qPacfSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

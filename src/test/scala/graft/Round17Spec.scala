@@ -1096,6 +1096,40 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_pacf: plain-Scala Durbin-Levinson over the gated ACF values " +
+    "reproduces every lag, and pacf(1) == acf(1)") {
+    val sf = "/root/testdata/sf0.001"
+    val acf = operators.Stats.qAcf(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag")) ->
+        r.getAs[Double]("acf")).toMap
+    val rows = operators.Stats.qPacf(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    types.foreach { t =>
+      // rho re-derived from the rounded ACF panel is only 6-dp accurate;
+      // re-derive it exactly the way the operator does
+      val rho = (1 to operators.Stats.AcfMaxLag)
+        .map(k => acf((t, k))).toArray
+      var phi = Array(rho(0))
+      var v = 1.0 - rho(0) * rho(0)
+      val diag = scala.collection.mutable.ArrayBuffer(rho(0))
+      (2 to operators.Stats.AcfMaxLag).foreach { m =>
+        val s1 = (1 until m).map(j => phi(j - 1) * rho(m - j - 1)).sum
+        val k = (rho(m - 1) - s1) / v
+        phi = (1 until m).map(j => phi(j - 1) - k * phi(m - j - 1)).toArray :+ k
+        v = v * (1.0 - k * k)
+        diag += k
+      }
+      val got = rows.filter(_.getAs[String]("event_type") == t)
+        .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("pacf")).toMap
+      assert(got.size == operators.Stats.AcfMaxLag)
+      // rounded-input drift stays tiny because |rho| < 1 and v is O(1)
+      (1 to operators.Stats.AcfMaxLag).foreach { m =>
+        assert(math.abs(got(m) - diag(m - 1)) < 1e-3, s"$t lag $m")
+      }
+      assert(math.abs(got(1) - acf((t, 1))) < 1e-6, s"$t: pacf1 != acf1")
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
