@@ -396,6 +396,120 @@ object TextScoring extends QueryModule {
        FROM q JOIN r ON r.doc_id = q.doc_id
        GROUP BY 1"""
 
+  /** q_isotonic_curve: EXACT hash-gated PAV over the reliability curve —
+    * q_calibration SHOWS the per-decile pass rates; isotonic regression
+    * is what production calibration actually FITS on them (the
+    * monotone-non-decreasing step function minimizing weighted squared
+    * error; sklearn's IsotonicRegression, the standard probability
+    * calibrator beside Platt scaling). Classification.qIsotonic already
+    * fits MLlib's IsotonicRegression at DOC granularity (rows-only + a
+    * conservation certificate); this is the complementary DIRECT PAV on
+    * the decile curve, every merge decision exact, so the whole fit
+    * hash-gates against DuckDB. Pool-adjacent-violators is run as
+    * the same bounded-fold ↔ recursive-CTE pair as q_dtw/q_pacf: state =
+    * (next bin to consume, stack of pooled blocks); each step either
+    * MERGES the top two blocks when the lower's mean exceeds the
+    * upper's — tested by EXACT integer cross-multiplication
+    * s_prev·c_cur > s_cur·c_prev, never a float mean compare — or PUSHES
+    * the next bin; Spark runs 2K guarded fold steps (enough for K pushes
+    * + ≤K−1 merges, extras no-op), DuckDB recurses until quiescent, and
+    * both leave the identical terminal stack. Block sums are exact
+    * integers; the only division is the fitted rate on the output
+    * surface. The distributed work is q_calibration's one join + tiny
+    * groupBy; PAV itself is O(K) on a dimension-sized row. */
+  def qIsotonicCurve(s: SparkSession, dir: String): DataFrame = {
+    val stackT = "array<struct<lo:int,hi:int,s:bigint,c:bigint>>"
+    val bins = qCalibration(s, dir).select("bin", "n", "n_pass")
+    val arrDf = bins.groupBy()
+      .agg(array_sort(collect_list(struct(col("bin"), col("n"),
+        col("n_pass")))).as("arr"))
+      .select(col("arr"), size(col("arr")).as("kk"))
+    val arr = col("arr")
+    // ANSI discipline: the stack carries a SENTINEL bottom block
+    // (lo = −1, mean 0/1 = 0, which can never out-mean a real block and
+    // so never merges), and every element_at index is clamped into
+    // range — Spark 4 runs ANSI mode, where an out-of-bounds or zero
+    // index is an ERROR, not a NULL, even on a when()-untaken branch.
+    val sentinel = struct(lit(-1).as("lo"), lit(-1).as("hi"),
+      lit(0L).as("s"), lit(1L).as("c"))
+    val zero = struct(lit(1).as("pos"), array(sentinel).cast(stackT).as("stack"))
+    val folded = arrDf.select(col("arr"), col("kk"),
+      aggregate(sequence(lit(1), col("kk") * 2), zero, (acc, _) => {
+        val pos = acc.getField("pos")
+        val stack = acc.getField("stack")
+        val len = size(stack)
+        val top = element_at(stack, len)
+        val prev = element_at(stack, greatest(len - 1, lit(1)))
+        val viol = len >= 2 &&
+          prev.getField("s") * top.getField("c") >
+            top.getField("s") * prev.getField("c")
+        val merged = struct(prev.getField("lo").as("lo"),
+          top.getField("hi").as("hi"),
+          (prev.getField("s") + top.getField("s")).as("s"),
+          (prev.getField("c") + top.getField("c")).as("c"))
+        val cur = element_at(arr, least(pos, col("kk")))
+        val pushed = struct(cur.getField("bin").as("lo"),
+          cur.getField("bin").as("hi"),
+          cur.getField("n_pass").as("s"), cur.getField("n").as("c"))
+        when(viol, struct(pos.as("pos"),
+            concat(slice(stack, lit(1), len - 2), array(merged)).cast(stackT)
+              .as("stack")))
+          .when(pos <= col("kk"), struct((pos + 1).as("pos"),
+            concat(stack, array(pushed)).cast(stackT).as("stack")))
+          .otherwise(acc)
+      }).getField("stack").as("stack"))
+    val blocks = folded.select(explode(col("stack")).as("b"))
+      .filter(col("b.lo") >= 0)
+      .select(col("b.lo").as("lo"), col("b.hi").as("hi"),
+        col("b.s").as("bs"), col("b.c").as("bc"))
+    bins.join(blocks, col("bin") >= col("lo") && col("bin") <= col("hi"))
+      .select(col("bin"), col("n"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("bs").cast("double") / col("bc"), 6).as("iso_rate"),
+        (col("hi") > col("lo")).as("pooled"))
+  }
+
+  private lazy val qIsotonicCurveSql =
+    s"""WITH RECURSIVE bins AS (
+         SELECT bin, n, n_pass FROM ($qCalibrationSql)),
+       arr AS (SELECT list(struct_pack(bin := bin, n := n, np := n_pass)
+                 ORDER BY bin) AS arr,
+               CAST(count(*) AS INT) AS kk
+             FROM bins),
+       pav(step, pos, stack, arr, kk) AS (
+         SELECT 0, 1,
+           [struct_pack(lo := -1, hi := -1,
+             s := CAST(0 AS BIGINT), c := CAST(1 AS BIGINT))],
+           arr, kk
+         FROM arr
+         UNION ALL
+         SELECT step + 1,
+           CASE WHEN viol THEN pos ELSE pos + 1 END,
+           CASE WHEN viol THEN
+               stack[1:l - 2] || [struct_pack(
+                 lo := stack[l - 1].lo, hi := stack[l].hi,
+                 s := stack[l - 1].s + stack[l].s,
+                 c := stack[l - 1].c + stack[l].c)]
+             ELSE stack || [struct_pack(
+               lo := arr[pos].bin, hi := arr[pos].bin,
+               s := arr[pos].np, c := arr[pos].n)] END,
+           arr, kk
+         FROM (SELECT step, pos, stack, arr, kk, len(stack) AS l,
+                 (len(stack) >= 2 AND
+                   stack[len(stack) - 1].s * stack[len(stack)].c >
+                   stack[len(stack)].s * stack[len(stack) - 1].c) AS viol
+               FROM pav) t
+         WHERE viol OR pos <= kk),
+       terminal AS (SELECT stack FROM pav ORDER BY step DESC LIMIT 1),
+       blocks AS (SELECT b FROM (SELECT unnest(stack) AS b FROM terminal)
+                  WHERE b.lo >= 0)
+       SELECT bins.bin, bins.n, bins.n_pass,
+         round(CAST(bins.n_pass AS DOUBLE) / bins.n, 6) AS raw_rate,
+         round(CAST(b.s AS DOUBLE) / b.c, 6) AS iso_rate,
+         b.hi > b.lo AS pooled
+       FROM bins JOIN blocks
+         ON bins.bin >= b.lo AND bins.bin <= b.hi"""
+
   /** Brier quantization scale: 2²⁰ — a power of TWO, so quality·2²⁰ is
     * an exact IEEE multiply and ⌊·⌋ lands on the same integer in both
     * engines. */
@@ -777,6 +891,7 @@ object TextScoring extends QueryModule {
     "q_temp_sampling" -> (qTempSampling _),
     "q_ess" -> (qEss _),
     "q_calibration" -> (qCalibration _),
+    "q_isotonic_curve" -> (qIsotonicCurve _),
     "q_lift" -> (qLift _),
     "q_fourfifths" -> (qFourFifths _))
 
@@ -793,6 +908,7 @@ object TextScoring extends QueryModule {
     "q_temp_sampling" -> qTempSamplingSql,
     "q_ess" -> qEssSql,
     "q_calibration" -> qCalibrationSql,
+    "q_isotonic_curve" -> qIsotonicCurveSql,
     "q_lift" -> qLiftSql,
     "q_fourfifths" -> qFourFifthsSql)
 }

@@ -21,6 +21,16 @@ class CountsSpec extends AnyFunSuite {
   private lazy val gated = SparkEntry.oracleSql.size
   private lazy val headline = Bench.Headline.size
 
+  test("no query name is registered by two modules (flatMap.toMap would " +
+    "silently keep the LAST module's and shadow the other)") {
+    val all = SparkEntry.modules.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query registrations: ${dups.toSeq.sorted}")
+    val allO = SparkEntry.modules.flatMap(_.oracles.keys)
+    val dupsO = allO.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupsO.isEmpty, s"duplicate oracle registrations: ${dupsO.toSeq.sorted}")
+  }
+
   test("registry sanity: oracles ⊆ queries, headline ⊆ queries") {
     val q = SparkEntry.queries.keySet
     val orphanOracles = SparkEntry.oracleSql.keySet -- q

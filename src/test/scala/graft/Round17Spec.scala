@@ -1130,6 +1130,39 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_isotonic_curve: plain-Scala PAV reproduces every fitted rate, the fit " +
+    "is monotone non-decreasing in bin, and pooled flags match block width") {
+    val sf = "/root/testdata/sf0.001"
+    val bins = operators.TextScoring.qCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pass"))).sortBy(_._1)
+    // reference PAV over (n_pass, n) blocks
+    val st = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long)]()
+    bins.foreach { case (b, n, np) =>
+      st += ((b, b, np, n))
+      while (st.length >= 2 &&
+        st(st.length - 2)._3 * st.last._4 > st.last._3 * st(st.length - 2)._4) {
+        val t = st.remove(st.length - 1); val p = st.remove(st.length - 1)
+        st += ((p._1, t._2, p._3 + t._3, p._4 + t._4))
+      }
+    }
+    val expected = st.flatMap { case (lo, hi, s2, c2) =>
+      (lo to hi).filter(b => bins.exists(_._1 == b))
+        .map(b => b -> ((s2.toDouble / c2, hi > lo))) }.toMap
+    val rows = operators.TextScoring.qIsotonicCurve(spark, sf).collect()
+    assert(rows.length == bins.length)
+    val byBin = rows.map(r => r.getAs[Int]("bin") -> r).toMap
+    expected.foreach { case (b, (rate, pooled)) =>
+      assert(math.abs(byBin(b).getAs[Double]("iso_rate") - rate) < 1e-6,
+        s"bin $b")
+      assert(byBin(b).getAs[Boolean]("pooled") == pooled, s"bin $b pooled")
+    }
+    val sorted = rows.sortBy(_.getAs[Int]("bin")).map(_.getAs[Double]("iso_rate"))
+    sorted.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1) + 1e-9, "fit must be monotone")
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
