@@ -1537,6 +1537,118 @@ object RobustStats extends QueryModule {
            AS e_dist
        FROM m"""
 
+  /** Sinkhorn entropic regularization and iteration budget. ε is kept
+    * moderate so the plan is visibly smoothed but the transport cost sits
+    * close above the exact W1 the audit lower-bounds it with. */
+  val SinkhornEps = 0.5
+  val SinkhornIters = 200
+
+  /** The add-1-smoothed 10-bucket value histogram per md5 arm — the
+    * distributed half of q_sinkhorn (one scan → 20 dimension rows). */
+  private def sinkhornHists(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") < 8).as("treat"),
+      least(floor(col("value") / 50.0).cast("int"), lit(9)).as("bucket"))
+    val grid = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+      .crossJoin(s.range(0, 2).select((col("id") === 1).as("treat")))
+    grid.join(e.groupBy("treat", "bucket").agg(count(lit(1)).as("n")),
+        Seq("treat", "bucket"), "left_outer")
+      .select(col("treat"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Driver-side Sinkhorn–Knopp on the collected 10×10 problem (the
+    * coxNewton convention: the SCAN is distributed, the solver runs on a
+    * dimension-sized table). Returns (plan, a, b, cost). */
+  private def sinkhornSolve(hist: Array[(Boolean, Int, Long)])
+      : (Array[Array[Double]], Array[Double], Array[Double], Double) = {
+    val k = 10
+    def dist(treat: Boolean): Array[Double] = {
+      val cnt = Array.fill(k)(0L)
+      hist.filter(_._1 == treat).foreach { case (_, b, n) => cnt(b) = n }
+      val tot = cnt.sum + k
+      cnt.map(c => (c + 1).toDouble / tot)
+    }
+    val a = dist(true); val b = dist(false)
+    val ker = Array.tabulate(k, k)((i, j) =>
+      math.exp(-math.abs(i - j) / SinkhornEps))
+    var u = Array.fill(k)(1.0); var v = Array.fill(k)(1.0)
+    (1 to SinkhornIters).foreach { _ =>
+      v = Array.tabulate(k)(j => b(j) /
+        (0 until k).map(i => ker(i)(j) * u(i)).sum)
+      u = Array.tabulate(k)(i => a(i) /
+        (0 until k).map(j => ker(i)(j) * v(j)).sum)
+    }
+    val plan = Array.tabulate(k, k)((i, j) => u(i) * ker(i)(j) * v(j))
+    val cost = (for (i <- 0 until k; j <- 0 until k)
+      yield plan(i)(j) * math.abs(i - j)).sum
+    (plan, a, b, cost)
+  }
+
+  /** q_sinkhorn: entropic optimal transport between the two md5 arms'
+    * value histograms (Cuturi 2013) — the drift family's TRANSPORT-PLAN
+    * member: q_wasserstein/q_energy_dist report a scalar distance; the
+    * Sinkhorn plan says WHERE the mass moved (which value buckets of arm
+    * A map to which of arm B), the readout a distribution-shift
+    * postmortem actually wants. Kernel exp(−|i−j|/ε) is libm-seamed, so
+    * the plan is rows-only; its contract is hash-gated by
+    * q_sinkhorn_audit. Scale shape: the fact scan collapses to 20
+    * dimension rows; Sinkhorn–Knopp runs driver-side on the 10×10
+    * problem (the coxNewton convention). */
+  def qSinkhorn(s: SparkSession, dir: String): DataFrame = {
+    val hist = sinkhornHists(s, dir).collect()
+      .map(r => (r.getAs[Boolean]("treat"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n")))
+    val (plan, _, _, _) = sinkhornSolve(hist)
+    import s.implicits._
+    (for (i <- 0 until 10; j <- 0 until 10)
+      yield (i, j, math.abs(i - j),
+        BigDecimal(plan(i)(j)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("bucket_a", "bucket_b", "move_dist", "mass")
+  }
+
+  /** q_sinkhorn_audit: feasibility + optimality-sandwich certificate for
+    * the rows-only Sinkhorn plan (the q_cox_audit shape): the oracle
+    * recomputes the exact integer histogram substrate (events per arm)
+    * through the identical md5/bucket construction, and the gated
+    * booleans assert (1) the plan's row/col marginals match the smoothed
+    * histograms to 1e-9 — the Sinkhorn fixed-point contract, (2) total
+    * mass 1, (3) the transport cost is sandwiched: ≥ the EXACT W1
+    * between the same two distributions (entropic smoothing can only add
+    * cost; W1 on an ordered unit grid = Σ|cumA−cumB|, recomputed
+    * independently) and ≤ the grid diameter. */
+  def qSinkhornAudit(s: SparkSession, dir: String): DataFrame = {
+    val hist = sinkhornHists(s, dir).collect()
+      .map(r => (r.getAs[Boolean]("treat"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n")))
+    val (plan, a, b, cost) = sinkhornSolve(hist)
+    val rowsOk = (0 until 10).forall(i =>
+      math.abs(plan(i).sum - a(i)) < 1e-9)
+    val colsOk = (0 until 10).forall(j =>
+      math.abs((0 until 10).map(i => plan(i)(j)).sum - b(j)) < 1e-9)
+    val massOk = math.abs(plan.map(_.sum).sum - 1.0) < 1e-9
+    val w1 = (0 until 9).map { i =>
+      math.abs(a.take(i + 1).sum - b.take(i + 1).sum) }.sum
+    val sandwichOk = cost >= w1 - 1e-9 && cost <= 9.0
+    val nA = hist.filter(_._1).map(_._3).sum
+    val nB = hist.filterNot(_._1).map(_._3).sum
+    import s.implicits._
+    Seq((nA, nB, rowsOk, colsOk, massOk, sandwichOk))
+      .toDF("n_treat", "n_control", "row_marginals_ok", "col_marginals_ok",
+        "mass_ok", "cost_sandwich_ok")
+  }
+
+  private lazy val qSinkhornAuditSql =
+    """SELECT
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8
+           THEN 0 ELSE 1 END) AS BIGINT) AS n_control,
+         TRUE AS row_marginals_ok, TRUE AS col_marginals_ok,
+         TRUE AS mass_ok, TRUE AS cost_sandwich_ok
+       FROM events"""
+
   /** Top shared-vocabulary terms the JS divergence is evaluated over. */
   val JsTopTerms = 50
 
@@ -2402,6 +2514,8 @@ object RobustStats extends QueryModule {
     "q_ansari" -> (qAnsari _),
     "q_wasserstein" -> (qWasserstein _),
     "q_energy_dist" -> (qEnergyDist _),
+    "q_sinkhorn" -> (qSinkhorn _),
+    "q_sinkhorn_audit" -> (qSinkhornAudit _),
     "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -2437,6 +2551,7 @@ object RobustStats extends QueryModule {
     "q_ansari" -> qAnsariSql,
     "q_wasserstein" -> qWassersteinSql,
     "q_energy_dist" -> qEnergyDistSql,
+    "q_sinkhorn_audit" -> qSinkhornAuditSql,
     "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,

@@ -73,6 +73,7 @@ class AuditCoverageSpec extends AnyFunSuite {
     "q_polysemy_bayes" -> "q_polysemy_bayes_audit",
     "q_polysemy_eval" -> "q_polysemy_eval_audit",
     "q_silhouette" -> "q_kmeans_audit",
+    "q_sinkhorn" -> "q_sinkhorn_audit",
     "q_tdigest" -> "q_tdigest_audit",
     "q_unigram" -> "q_unigram_audit",
     "q_unigram_encode" -> "q_unigram_audit",

@@ -1163,6 +1163,30 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_sinkhorn: plan feasibility re-checked in plain Scala from the " +
+    "emitted cells, and the audit's gated booleans are all true") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = operators.RobustStats.qSinkhorn(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bucket_a"), r.getAs[Int]("bucket_b"),
+        r.getAs[Double]("mass")))
+    assert(cells.length == 100)
+    assert(cells.forall(_._3 >= 0.0))
+    // mass sums to 1 (up to the 1e-9 output rounding x 100 cells)
+    assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-6)
+    // marginals are valid add-1-smoothed histograms: every row/col > 0
+    val rowSum = cells.groupBy(_._1).map { case (_, g) => g.map(_._3).sum }
+    val colSum = cells.groupBy(_._2).map { case (_, g) => g.map(_._3).sum }
+    assert(rowSum.size == 10 && colSum.size == 10)
+    assert(rowSum.forall(_ > 0.0) && colSum.forall(_ > 0.0))
+    val audit = operators.RobustStats.qSinkhornAudit(spark, sf).collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    Seq("row_marginals_ok", "col_marginals_ok", "mass_ok", "cost_sandwich_ok")
+      .foreach(cn => assert(a.getAs[Boolean](cn), cn))
+    assert(a.getAs[Long]("n_treat") + a.getAs[Long]("n_control") ==
+      graft.sources.Tables.events(spark, sf).count())
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
