@@ -4356,6 +4356,180 @@ object Stats extends QueryModule {
        FROM dp WHERE k = n + m - 2"""
   }
 
+  /** The pinned 3-state HMM q_viterbi decodes with: sticky regimes
+    * (slow / normal / hot), tercile-ish observation symbols. Every libm
+    * value (the LOGS of these probabilities) is computed ONCE here and
+    * injected into both engines as the identical shortest-roundtrip
+    * double literal — the log-domain DP then only ADDS and COMPARES, so
+    * the whole decode is IEEE-identical and hash-gates. */
+  val HmmPi: Array[Double] = Array(1.0 / 3, 1.0 / 3, 1.0 / 3)
+  val HmmTrans: Array[Array[Double]] = Array(
+    Array(0.8, 0.2, 0.0001), Array(0.1, 0.8, 0.1), Array(0.0001, 0.2, 0.8))
+  val HmmEmit: Array[Array[Double]] = Array(
+    Array(0.7, 0.25, 0.05), Array(0.2, 0.6, 0.2), Array(0.05, 0.25, 0.7))
+
+  /** q_viterbi: exact Viterbi decoding of a pinned 3-regime HMM over the
+    * daily-revenue symbol stream per event type — the LATENT-state member
+    * of the sequence family (q_markov/q_markov_stationary model the
+    * OBSERVED chain; an HMM says which unobserved regime best explains
+    * the days, the change-of-behavior readout a revenue dashboard wants
+    * smoothed over noise, with the Viterbi path the MAP regime
+    * assignment). Observations are deterministic symbols — day below
+    * 0.8×, inside, or above 1.2× the type's exact-decimal mean. The
+    * forward DP carries the FULL trellis (a list of 3-vectors) through
+    * the q_dtw-style bounded fold; backtracking then RECOMPUTES each
+    * argmax predecessor from the trellis instead of carrying
+    * backpointers (dp[t−1][s] + lnT[s][cur], ties to the smaller state —
+    * one less parallel structure to keep engine-identical). Log-domain
+    * arithmetic is additions of shared literals (see [[HmmTrans]]), so
+    * every comparison sees bit-identical doubles in both engines. One
+    * scan → TYPE×DAY dimension; the trellis is O(days·9) per type. */
+  def qViterbi(s: SparkSession, dir: String): DataFrame = {
+    val lnPi = HmmPi.map(math.log)
+    val lnT = HmmTrans.map(_.map(math.log))
+    val lnE = HmmEmit.map(_.map(math.log))
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y"))
+    val m = daily.groupBy("event_type")
+      .agg((sum(col("y")) / count(lit(1))).as("mu"))
+    val obsDf = daily.join(m, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        when(col("y") < col("mu") * 0.8, 0)
+          .when(col("y") > col("mu") * 1.2, 2).otherwise(1).as("obs"))
+    val series = obsDf.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("obs")))).as("arr"))
+      .select(col("event_type"),
+        transform(col("arr"), r => r.getField("day")).as("days"),
+        transform(col("arr"), r => r.getField("obs")).as("obs"),
+        size(col("arr")).as("t_len"))
+    // emission lookup: flat 9-literal array, e(s, o) = emitF[s*3 + o + 1]
+    val emitF = array((for (st <- 0 to 2; o <- 0 to 2)
+      yield lit(lnE(st)(o))): _*)
+    val transF = array((for (a <- 0 to 2; b <- 0 to 2)
+      yield lit(lnT(a)(b))): _*)
+    def e(st: Column, o: Column) = element_at(emitF, (st * 3 + o + 1).cast("int"))
+    def tr(a: Column, b: Column) = element_at(transF, (a * 3 + b + 1).cast("int"))
+    val obs = col("obs")
+    def obsAt(t: Column) = element_at(obs, t.cast("int"))
+    val row0 = transform(sequence(lit(0), lit(2)),
+      st => e(st, obsAt(lit(1))) + lit(lnPi(0)))
+    val trellis = aggregate(sequence(lit(2), greatest(col("t_len"), lit(2))),
+      array(row0), (dpAll, t) => {
+        val prev = element_at(dpAll, size(dpAll))
+        val newRow = transform(sequence(lit(0), lit(2)), st =>
+          e(st, obsAt(t)) + greatest(
+            element_at(prev, 1) + tr(lit(0), st),
+            element_at(prev, 2) + tr(lit(1), st),
+            element_at(prev, 3) + tr(lit(2), st)))
+        when(t <= col("t_len"), concat(dpAll, array(newRow)))
+          .otherwise(dpAll)
+      })
+    // argmax over a 3-vector with ties to the SMALLER state id
+    def amax3(v: Column): Column =
+      when(element_at(v, 1) >= element_at(v, 2) &&
+        element_at(v, 1) >= element_at(v, 3), 0)
+        .when(element_at(v, 2) >= element_at(v, 3), 1).otherwise(2)
+    val withDp = series.select(col("event_type"), col("days"), col("obs"),
+      col("t_len"), trellis.as("dp"))
+    val dp = col("dp")
+    val lastState = amax3(element_at(dp, col("t_len").cast("int")))
+    // backtrack by RECOMPUTING the argmax predecessor from the trellis
+    val path = aggregate(
+      when(col("t_len") >= 2, sequence(col("t_len"), lit(2))) // descending
+        .otherwise(array().cast("array<int>")),
+      struct(lastState.cast("int").as("cur"),
+        array(lastState.cast("int")).as("path")),
+      (acc, t) => {
+        val cur = acc.getField("cur")
+        val prevRow = element_at(dp, (t - 1).cast("int"))
+        val scores = transform(sequence(lit(0), lit(2)),
+          st => element_at(prevRow, (st + 1).cast("int")) + tr(st, cur))
+        val prevState = amax3(scores).cast("int")
+        struct(prevState.as("cur"),
+          concat(array(prevState), acc.getField("path")).as("path"))
+      }).getField("path")
+    withDp.select(col("event_type"), col("days"), col("obs"),
+      path.as("states"))
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("days"), col("obs"), col("states")))
+          .as(Seq("i", "z")))
+      .select(col("event_type"), col("z.days").as("day"),
+        col("z.obs").cast("int").as("obs"),
+        col("z.states").cast("int").as("regime"))
+  }
+
+  private lazy val qViterbiSql = {
+    val lnPi0 = math.log(HmmPi(0))
+    val emitF = (for (st <- 0 to 2; o <- 0 to 2)
+      yield math.log(HmmEmit(st)(o))).mkString("[", ", ", "]")
+    val transF = (for (a <- 0 to 2; b <- 0 to 2)
+      yield math.log(HmmTrans(a)(b))).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, sum(y) / count(*) AS mu
+             FROM daily GROUP BY 1),
+       od AS (SELECT d.event_type, d.day,
+                CASE WHEN d.y < m.mu * 0.8 THEN 0
+                     WHEN d.y > m.mu * 1.2 THEN 2 ELSE 1 END AS obs
+              FROM daily d JOIN m ON m.event_type = d.event_type),
+       ser AS (SELECT event_type,
+                 list(day ORDER BY day) AS days,
+                 list(obs ORDER BY day) AS obs,
+                 CAST(count(*) AS INT) AS t_len
+               FROM od GROUP BY 1),
+       cons AS (SELECT CAST($emitF AS DOUBLE[]) AS ef,
+                  CAST($transF AS DOUBLE[]) AS tf),
+       fwd(event_type, days, obs, t_len, t, dp) AS (
+         SELECT event_type, days, obs, t_len, 1,
+           [list_transform(range(0, 3),
+             st -> ef[st * 3 + obs[1] + 1] + CAST($lnPi0 AS DOUBLE))]
+         FROM ser CROSS JOIN cons
+         UNION ALL
+         SELECT f.event_type, f.days, f.obs, f.t_len, f.t + 1,
+           f.dp || [list_transform(range(0, 3), st ->
+             c.ef[st * 3 + f.obs[f.t + 1] + 1] + greatest(
+               f.dp[f.t][1] + c.tf[st + 1],
+               f.dp[f.t][2] + c.tf[3 + st + 1],
+               f.dp[f.t][3] + c.tf[6 + st + 1]))]
+         FROM fwd f CROSS JOIN cons c WHERE f.t < f.t_len),
+       done AS (SELECT event_type, days, obs, t_len, dp
+                FROM fwd WHERE t = t_len),
+       bt(event_type, days, obs, t_len, dp, t, cur, path) AS (
+         SELECT event_type, days, obs, t_len, dp, t_len,
+           CASE WHEN dp[t_len][1] >= dp[t_len][2]
+                  AND dp[t_len][1] >= dp[t_len][3] THEN 0
+                WHEN dp[t_len][2] >= dp[t_len][3] THEN 1 ELSE 2 END,
+           [CASE WHEN dp[t_len][1] >= dp[t_len][2]
+                  AND dp[t_len][1] >= dp[t_len][3] THEN 0
+                WHEN dp[t_len][2] >= dp[t_len][3] THEN 1 ELSE 2 END]
+         FROM done
+         UNION ALL
+         SELECT b.event_type, b.days, b.obs, b.t_len, b.dp, b.t - 1,
+           amax, [amax] || b.path
+         FROM (SELECT b0.*, c.tf,
+                 CASE WHEN b0.dp[b0.t - 1][1] + c.tf[b0.cur + 1] >=
+                        b0.dp[b0.t - 1][2] + c.tf[3 + b0.cur + 1]
+                    AND b0.dp[b0.t - 1][1] + c.tf[b0.cur + 1] >=
+                        b0.dp[b0.t - 1][3] + c.tf[6 + b0.cur + 1] THEN 0
+                   WHEN b0.dp[b0.t - 1][2] + c.tf[3 + b0.cur + 1] >=
+                        b0.dp[b0.t - 1][3] + c.tf[6 + b0.cur + 1] THEN 1
+                   ELSE 2 END AS amax
+               FROM bt b0 CROSS JOIN cons c) b
+         WHERE b.t > 1),
+       fin AS (SELECT event_type, days, obs, path FROM bt WHERE t = 1),
+       g AS (SELECT event_type, unnest(range(1, len(days) + 1)) AS i,
+               days, obs, path
+             FROM fin)
+       SELECT event_type, days[i] AS day, CAST(obs[i] AS INT) AS obs,
+         CAST(path[i] AS INT) AS regime
+       FROM g"""
+  }
+
   /** F(k−1, (n−1)(k−1)) α=0.05 critical pin for [[qQuade]]'s fixed
     * 30-day × 5-type calendar (df ≈ (4, 116) ⇒ 2.45). */
   val QuadeCrit005 = 2.45
@@ -5156,6 +5330,7 @@ object Stats extends QueryModule {
     "q_herfindahl" -> (qHerfindahl _),
     "q_dtw" -> (qDtw _),
     "q_pacf" -> (qPacf _),
+    "q_viterbi" -> (qViterbi _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5229,6 +5404,7 @@ object Stats extends QueryModule {
     "q_herfindahl" -> qHerfindahlSql,
     "q_dtw" -> qDtwSql,
     "q_pacf" -> qPacfSql,
+    "q_viterbi" -> qViterbiSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1187,6 +1187,46 @@ class Round17Spec extends SparkSpec {
       graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("q_viterbi: plain-Scala Viterbi replay decodes the identical path " +
+    "for every type, and the MAP path log-prob beats the all-normal path") {
+    val sf = "/root/testdata/sf0.001"
+    val lnPi = operators.Stats.HmmPi.map(math.log)
+    val lnT = operators.Stats.HmmTrans.map(_.map(math.log))
+    val lnE = operators.Stats.HmmEmit.map(_.map(math.log))
+    val rows = operators.Stats.qViterbi(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, g) =>
+      val seq = g.sortBy(_.getAs[String]("day"))
+      val obs = seq.map(_.getAs[Int]("obs"))
+      val got = seq.map(_.getAs[Int]("regime"))
+      // reference forward DP + backpointer Viterbi
+      var dp = Array.tabulate(3)(s => lnPi(s) + lnE(s)(obs(0)))
+      val bp = Array.ofDim[Int](obs.length, 3)
+      (1 until obs.length).foreach { i =>
+        val nd = Array.tabulate(3) { s =>
+          val cands = Array.tabulate(3)(p => dp(p) + lnT(p)(s))
+          val best = cands.indices.minBy(p => (-cands(p), p))
+          bp(i)(s) = best
+          lnE(s)(obs(i)) + cands(best)
+        }
+        dp = nd
+      }
+      var cur = (0 to 2).minBy(s => (-dp(s), s))
+      val path = Array.fill(obs.length)(0)
+      path(obs.length - 1) = cur
+      ((obs.length - 1) to 1 by -1).foreach { i =>
+        cur = bp(i)(cur); path(i - 1) = cur
+      }
+      assert(got.toSeq == path.toSeq, s"$t: $${got.toSeq} vs $${path.toSeq}")
+      // MAP optimality spot check vs the constant 'normal' path
+      def lp(states: Seq[Int]): Double =
+        lnPi(states.head) + lnE(states.head)(obs(0)) +
+          (1 until obs.length).map(i =>
+            lnT(states(i - 1))(states(i)) + lnE(states(i))(obs(i))).sum
+      assert(lp(got.toSeq) >= lp(Seq.fill(obs.length)(1)) - 1e-9, t)
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
