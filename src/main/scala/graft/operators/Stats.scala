@@ -3169,6 +3169,151 @@ object Stats extends QueryModule {
        FROM p JOIN m ON m.event_type = p.event_type AND p.stat = m.ms
        GROUP BY p.event_type"""
 
+  /** Minimum segment length for a level-2 split in [[qBinseg]] (two days
+    * on each side of the candidate split). */
+  val BinsegMinSeg = 4
+
+  /** q_binseg: MULTI-changepoint detection by binary segmentation (Scott
+    * & Knott 1974; the standard first answer to "q_changepoint found one
+    * shift — were there more?"): level 1 is exactly q_changepoint's
+    * scaled-CUSUM argmax; the series is then split there and the SAME
+    * statistic re-run INSIDE each half with segment-local sums —
+    * stat(t) = |len·(csum_t − c_left) − (t − a + 1)·S_seg| — emitting up
+    * to three changepoints (levels 1 / 2L / 2R), halves shorter than
+    * [[BinsegMinSeg]] skipped. Everything stays exact DECIMAL/integer up
+    * to the one normalized readout division (the q_changepoint
+    * discipline); ties break to the earliest day. Depth 2 is the honest
+    * relational form: each level is one window pass + one argmax join,
+    * and deeper trees repeat the same two operators on the emitted
+    * segment table — the iteration is by LEVEL (log-depth), never by
+    * changepoint, which is what makes binary segmentation the scalable
+    * member of the changepoint family at 100 TB. */
+  def qBinseg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day").agg(sum(col("v")).as("tot"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("tot")).as("s"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(st, Seq("event_type"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("csum", sum(col("tot")).over(wRun))
+      .localCheckpoint(true)
+    val stat1 = scored
+      .withColumn("stat", abs(col("n") * col("csum") - col("t") * col("s")))
+    val best1 = stat1.join(
+        stat1.groupBy("event_type").agg(max(col("stat")).as("ms")),
+        Seq("event_type"))
+      .filter(col("stat") === col("ms"))
+      .groupBy("event_type")
+      .agg(min(col("t")).as("cp1"), first(col("n")).as("n_days"),
+        first(col("s")).as("s_all"), first(col("ms")).as("ms1"))
+    val cp1Sum = best1.select(col("event_type"), col("cp1"))
+      .join(scored.select(col("event_type"), col("t"), col("csum")),
+        Seq("event_type"))
+      .filter(col("t") === col("cp1"))
+      .select(col("event_type"), col("csum").as("c1"))
+    val l1 = best1.join(cp1Sum, Seq("event_type"))
+      .localCheckpoint(true)
+    // level 2: the same statistic with segment-local bounds
+    val seg2 = scored.join(l1, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("t"), col("csum"),
+        when(col("t") <= col("cp1"), lit("2L")).otherwise(lit("2R")).as("lvl"),
+        when(col("t") <= col("cp1"), lit(1L)).otherwise(col("cp1") + 1)
+          .as("a"),
+        when(col("t") <= col("cp1"), col("cp1")).otherwise(col("n_days"))
+          .as("b"),
+        when(col("t") <= col("cp1"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,6)")).otherwise(col("c1").cast("decimal(38,6)"))
+          .as("cl"),
+        when(col("t") <= col("cp1"), col("c1").cast("decimal(38,6)"))
+          .otherwise((col("s_all") - col("c1")).cast("decimal(38,6)"))
+          .as("sseg"))
+      .filter(col("b") - col("a") + 1 >= BinsegMinSeg && col("t") < col("b"))
+      .withColumn("stat", abs((col("b") - col("a") + 1) *
+        (col("csum") - col("cl")) - (col("t") - col("a") + 1) * col("sseg")))
+    val best2 = seg2.join(
+        seg2.groupBy("event_type", "lvl").agg(max(col("stat")).as("ms")),
+        Seq("event_type", "lvl"))
+      .filter(col("stat") === col("ms"))
+      .groupBy("event_type", "lvl")
+      .agg(min(col("day")).as("cp_day"),
+        first(col("b") - col("a") + 1).as("seg_len"), first(col("ms")).as("ms2"))
+      .select(col("event_type"), col("lvl").as("level"), col("cp_day"),
+        col("seg_len").cast("long").as("seg_len"),
+        round(col("ms2").cast("double") / (col("seg_len") * col("seg_len")), 6)
+          .as("cp_stat"))
+    val lvl1Out = l1.join(
+        scored.select(col("event_type"), col("t"), col("day")),
+        Seq("event_type"))
+      .filter(col("t") === col("cp1"))
+      .select(col("event_type"), lit("1").as("level"), col("day").as("cp_day"),
+        col("n_days").cast("long").as("seg_len"),
+        round(col("ms1").cast("double") / (col("n_days") * col("n_days")), 6)
+          .as("cp_stat"))
+    lvl1Out.unionByName(best2)
+  }
+
+  private lazy val qBinsegSql =
+    s"""WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS tot
+         FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(tot) AS s
+              FROM daily GROUP BY 1),
+       idx AS (
+         SELECT d.event_type, d.day, st.n, st.s,
+           row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t,
+           sum(d.tot) OVER (PARTITION BY d.event_type ORDER BY d.day
+             ROWS UNBOUNDED PRECEDING) AS csum
+         FROM daily d JOIN st ON st.event_type = d.event_type),
+       p1 AS (SELECT event_type, day, t, n, s, csum,
+                abs(n*csum - t*s) AS stat FROM idx),
+       m1 AS (SELECT event_type, max(stat) AS ms FROM p1 GROUP BY 1),
+       b1 AS (SELECT p1.event_type, min(p1.t) AS cp1,
+                any_value(p1.n) AS n_days, any_value(p1.s) AS s_all,
+                any_value(m1.ms) AS ms1
+              FROM p1 JOIN m1 ON m1.event_type = p1.event_type
+                AND p1.stat = m1.ms
+              GROUP BY 1),
+       l1 AS (SELECT b1.*, i.csum AS c1
+              FROM b1 JOIN idx i ON i.event_type = b1.event_type
+                AND i.t = b1.cp1),
+       s2 AS (SELECT i.event_type, i.day, i.t, i.csum,
+                CASE WHEN i.t <= l1.cp1 THEN '2L' ELSE '2R' END AS lvl,
+                CASE WHEN i.t <= l1.cp1 THEN 1 ELSE l1.cp1 + 1 END AS a,
+                CASE WHEN i.t <= l1.cp1 THEN l1.cp1 ELSE l1.n_days END AS b,
+                CASE WHEN i.t <= l1.cp1
+                  THEN CAST(0 AS DECIMAL(38,6))
+                  ELSE CAST(l1.c1 AS DECIMAL(38,6)) END AS cl,
+                CASE WHEN i.t <= l1.cp1
+                  THEN CAST(l1.c1 AS DECIMAL(38,6))
+                  ELSE CAST(l1.s_all - l1.c1 AS DECIMAL(38,6)) END AS sseg
+              FROM idx i JOIN l1 ON l1.event_type = i.event_type),
+       p2 AS (SELECT event_type, day, lvl, a, b,
+                abs((b - a + 1) * (csum - cl) - (t - a + 1) * sseg) AS stat
+              FROM s2 WHERE b - a + 1 >= $BinsegMinSeg AND t < b),
+       m2 AS (SELECT event_type, lvl, max(stat) AS ms
+              FROM p2 GROUP BY 1, 2),
+       b2 AS (SELECT p2.event_type, p2.lvl AS level, min(p2.day) AS cp_day,
+                CAST(any_value(p2.b - p2.a + 1) AS BIGINT) AS seg_len,
+                round(CAST(any_value(m2.ms) AS DOUBLE)
+                  / (any_value(p2.b - p2.a + 1) * any_value(p2.b - p2.a + 1)),
+                  6) AS cp_stat
+              FROM p2 JOIN m2 ON m2.event_type = p2.event_type
+                AND m2.lvl = p2.lvl AND p2.stat = m2.ms
+              GROUP BY 1, 2),
+       o1 AS (SELECT l1.event_type, '1' AS level, i.day AS cp_day,
+                CAST(l1.n_days AS BIGINT) AS seg_len,
+                round(CAST(l1.ms1 AS DOUBLE) / (l1.n_days * l1.n_days), 6)
+                  AS cp_stat
+              FROM l1 JOIN idx i ON i.event_type = l1.event_type
+                AND i.t = l1.cp1)
+       SELECT * FROM o1 UNION ALL SELECT * FROM b2"""
+
   /** q_pettitt: Pettitt's nonparametric change-point test per event type
     * — the RANK-based member of the change-point family (q_changepoint's
     * CUSUM statistic reacts to mean shifts in VALUE units; Pettitt is
@@ -5331,6 +5476,7 @@ object Stats extends QueryModule {
     "q_dtw" -> (qDtw _),
     "q_pacf" -> (qPacf _),
     "q_viterbi" -> (qViterbi _),
+    "q_binseg" -> (qBinseg _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5405,6 +5551,7 @@ object Stats extends QueryModule {
     "q_dtw" -> qDtwSql,
     "q_pacf" -> qPacfSql,
     "q_viterbi" -> qViterbiSql,
+    "q_binseg" -> qBinsegSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1227,6 +1227,59 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_binseg: plain-Scala binary segmentation over BigDecimal daily " +
+    "sums reproduces all three levels, and level 1 agrees with " +
+    "q_changepoint") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("tot")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("tot"))))
+    val rows = operators.Stats.qBinseg(spark, sf).collect()
+    val cp = operators.Stats.qChangepoint(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[String]("cp_day"))
+      .toMap
+    daily.groupBy(_._1).foreach { case (et, g) =>
+      val ys = g.sortBy(_._2).map(x => (x._2, x._3))
+      def split(a: Int, b: Int): Option[(Int, BigDecimal)] = {
+        // 1-based inclusive [a, b]; returns (t, stat) maximizing the
+        // segment-local scaled CUSUM, earliest t on ties (min-seg
+        // filtering is the caller's job, matching the operator)
+        val cl = if (a == 1) BigDecimal(0) else ys.take(a - 1).map(_._2).sum
+        val sseg = ys.take(b).map(_._2).sum - cl
+        val len = b - a + 1
+        val cands = (a until b).map { t =>
+          val cs = ys.take(t).map(_._2).sum
+          t -> ((cs - cl) * len - sseg * (t - a + 1)).abs
+        }
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (t, st) => (-st, t) })
+      }
+      val n = ys.length
+      val Some((cp1, ms1)) = split(1, n)
+      val got = rows.filter(_.getAs[String]("event_type") == et)
+        .map(r => r.getAs[String]("level") ->
+          ((r.getAs[String]("cp_day"), r.getAs[Long]("seg_len"),
+            r.getAs[Double]("cp_stat")))).toMap
+      assert(got("1")._1 == ys(cp1 - 1)._1, s"$et level1 day")
+      assert(got("1")._1 == cp(et), s"$et level1 must agree with q_changepoint")
+      assert(math.abs(got("1")._3 - (ms1 / (n.toLong * n)).toDouble) < 1e-5)
+      Seq(("2L", 1, cp1), ("2R", cp1 + 1, n)).foreach { case (lvl, a, b) =>
+        if (b - a + 1 >= operators.Stats.BinsegMinSeg) {
+          val Some((t2, ms2)) = split(a, b)
+          val len = (b - a + 1).toLong
+          assert(got.contains(lvl), s"$et $lvl missing")
+          assert(got(lvl)._1 == ys(t2 - 1)._1, s"$et $lvl day")
+          assert(got(lvl)._2 == len, s"$et $lvl len")
+          assert(math.abs(got(lvl)._3 - (ms2 / (len * len)).toDouble) < 1e-5)
+        } else assert(!got.contains(lvl), s"$et $lvl should be skipped")
+      }
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
