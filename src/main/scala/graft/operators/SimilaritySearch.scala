@@ -988,6 +988,116 @@ object SimilaritySearch extends QueryModule {
        SELECT q_id, fused_rank, nb_id, rf, rt, round(rrf, 6) AS rrf_score
        FROM fused WHERE fused_rank <= 5"""
 
+  /** RBO persistence parameter and evaluation depth (Webber et al. 2010;
+    * p = 0.9 ≈ "the reader's attention covers the top 10"). The weights
+    * p^(d−1) are precomputed ONCE here and injected into both engines as
+    * identical shortest-roundtrip literals — the q_viterbi discipline
+    * for libm-derived constants. */
+  val RboP = 0.9
+  val RboK = 20
+  lazy val RboWeights: Array[Double] =
+    Array.iterate(1.0, RboK)(_ * RboP)
+
+  /** q_rbo: rank-biased overlap between the top-[[RboK]] part-revenue
+    * rankings of the two HALVES of the order calendar — "did the
+    * best-seller list change, and how deeply?": the ranking-SIMILARITY
+    * member beside the retrieval graders (q_ndcg/q_mrr/q_map score one
+    * ranking against labels; q_rrf fuses two; RBO compares two rankings
+    * to each other with top-weighted geometric attention,
+    * RBO = (1−p)·Σ_d p^(d−1)·|A_:d ∩ B_:d|/d — Webber et al. 2010, the
+    * standard for comparing search-engine result drift). The overlap
+    * curve is computed the set-free way: every part in both top-K joins
+    * once, m = max(rank_a, rank_b), and |A_:d ∩ B_:d| is the running
+    * count of m ≤ d — one cumulative sum over the densified depth grid,
+    * exact integers; agreement divides once per depth and the cumulative
+    * RBO is a depth-ordered running sum of weight·agreement (sequential
+    * in both engines). Ranks are revenue-desc with partkey tie-break
+    * over exact decimal sums; the calendar splits at the midpoint day of
+    * the order-date range. Scale shape: two fact aggregates →
+    * part-dimension ranks → a K-bounded join and a 20-row grid. */
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_orderdate").as("od"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    // floor() rather than a bare int cast: Spark CAST(double AS INT)
+    // truncates while DuckDB rounds — floor is the one shared semantic
+    val mid = li.agg(min(col("od")).as("d0"), max(col("od")).as("d1"))
+      .select(floor(datediff(col("d1"), col("d0")) / 2).cast("int")
+        .as("half"), col("d0"))
+    val tagged = li.crossJoin(broadcast(mid))
+      .select(col("part"), col("price"),
+        (datediff(col("od"), col("d0")) <= col("half")).as("first_half"))
+    val w = Window.partitionBy("first_half")
+      .orderBy(col("rev").desc, col("part").asc)
+    val ranked = tagged.groupBy("first_half", "part")
+      .agg(sum(col("price")).as("rev"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RboK)
+    val both = ranked.filter(col("first_half"))
+      .select(col("part"), col("rk").as("ra"))
+      .join(ranked.filter(!col("first_half"))
+        .select(col("part"), col("rk").as("rb")), Seq("part"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+    val weights = array(RboWeights.map(lit(_)): _*)
+    val grid = s.range(1, RboK + 1)
+      .select(col("id").cast("int").as("d"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(both, col("m") === col("d"), "left_outer")
+      .select(col("d"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("overlap", sum(col("c")).over(wCum))
+      .select(col("d"), col("overlap"),
+        (col("overlap").cast("double") / col("d")).as("agree"),
+        element_at(weights, col("d")).as("wt"))
+      .withColumn("rbo_cum",
+        sum(col("agree") * col("wt")).over(wCum) * (1.0 - RboP))
+      .select(col("d"), col("overlap"), round(col("agree"), 6).as("agreement"),
+        round(col("wt"), 6).as("weight"), round(col("rbo_cum"), 6).as("rbo"))
+  }
+
+  private lazy val qRboSql = {
+    val wts = RboWeights.mkString("[", ", ", "]")
+    s"""WITH li AS (SELECT l_partkey AS part, o_orderdate AS od,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       mid AS (SELECT CAST(floor(date_diff('day', min(od), max(od)) / 2)
+                 AS INT) AS half, min(od) AS d0
+               FROM li),
+       tagged AS (SELECT part, price,
+                    date_diff('day', d0, od) <= half AS first_half
+                  FROM li CROSS JOIN mid),
+       ranked AS (SELECT * FROM (
+           SELECT first_half, part, sum(price) AS rev,
+             row_number() OVER (PARTITION BY first_half
+               ORDER BY sum(price) DESC, part ASC) AS rk
+           FROM tagged GROUP BY first_half, part)
+         WHERE rk <= $RboK),
+       ov AS (SELECT greatest(a.rk, b.rk) AS m,
+                CAST(count(*) AS BIGINT) AS c
+              FROM ranked a JOIN ranked b
+                ON a.part = b.part AND a.first_half AND NOT b.first_half
+              GROUP BY 1),
+       grid AS (SELECT CAST(unnest(range(1, $RboK + 1)) AS INT) AS d),
+       dense AS (SELECT d, coalesce(c, 0) AS c
+                 FROM grid LEFT JOIN ov ON ov.m = grid.d),
+       cum AS (SELECT d,
+                 CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS overlap,
+                 CAST($wts AS DOUBLE[]) AS wts
+               FROM dense),
+       sc AS (SELECT d, overlap,
+                CAST(overlap AS DOUBLE) / d AS agree,
+                wts[d] AS wt
+              FROM cum)
+       SELECT d, overlap, round(agree, 6) AS agreement,
+         round(wt, 6) AS weight,
+         round(sum(agree * wt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+           * ${1.0 - RboP}, 6) AS rbo
+       FROM sc"""
+  }
+
   /** q_mrr: reciprocal rank of the FIRST relevant hit per query — the
     * retrieval metric that grades single-answer lookups (nDCG grades the
     * whole list; MRR only cares where the first same-label item lands).
@@ -1584,6 +1694,7 @@ object SimilaritySearch extends QueryModule {
     "q_mrr" -> (qMrr _),
     "q_map" -> (qMap _),
     "q_rrf" -> (qRrf _),
+    "q_rbo" -> (qRbo _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
     "q_pca_audit" -> (qPcaAudit _),
@@ -1610,6 +1721,7 @@ object SimilaritySearch extends QueryModule {
     "q_mrr" -> qMrrSql,
     "q_map" -> qMapSql,
     "q_rrf" -> qRrfSql,
+    "q_rbo" -> qRboSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,

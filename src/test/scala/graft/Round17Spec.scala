@@ -1280,6 +1280,50 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_rbo: plain-Scala set-intersection replay reproduces the overlap " +
+    "curve and cumulative RBO, and RBO identities hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.SimilaritySearch.qRbo(spark, sf).collect()
+      .sortBy(_.getAs[Int]("d"))
+    assert(rows.length == operators.SimilaritySearch.RboK)
+    // rebuild the two rankings in plain Scala
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_orderdate").cast("date").as("od"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p")).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[java.sql.Date]("od"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("p"))))
+    val days = li.map(_._2.toLocalDate)
+    val d0 = days.min
+    val half = (java.time.temporal.ChronoUnit.DAYS.between(d0, days.max) / 2)
+      .toInt
+    def top(first: Boolean): Map[Long, Int] = li
+      .filter(x => (java.time.temporal.ChronoUnit.DAYS
+        .between(d0, x._2.toLocalDate) <= half) == first)
+      .groupBy(_._1).map { case (p2, g) => p2 -> g.map(_._3).sum }.toSeq
+      .sortBy { case (p2, rev) => (-rev, p2) }
+      .take(operators.SimilaritySearch.RboK)
+      .zipWithIndex.map { case ((p2, _), i) => p2 -> (i + 1) }.toMap
+    val (ta, tb) = (top(true), top(false))
+    var cum = 0.0
+    rows.foreach { r =>
+      val d = r.getAs[Int]("d")
+      val ov = ta.keySet.filter(p2 => ta(p2) <= d && tb.getOrElse(p2, 99) <= d)
+      assert(r.getAs[Long]("overlap") == ov.size.toLong, s"d=$d")
+      assert(r.getAs[Long]("overlap") <= d, "overlap can never exceed depth")
+      cum += (ov.size.toDouble / d) *
+        operators.SimilaritySearch.RboWeights(d - 1)
+      assert(math.abs(r.getAs[Double]("rbo") -
+        cum * (1 - operators.SimilaritySearch.RboP)) < 1e-5, s"d=$d rbo")
+      assert(r.getAs[Double]("rbo") >= 0 && r.getAs[Double]("rbo") <= 1 + 1e-9)
+    }
+    // rbo is non-decreasing in depth
+    rows.map(_.getAs[Double]("rbo")).sliding(2).foreach {
+      case Array(x, y) => assert(x <= y + 1e-9); case _ => ()
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
