@@ -988,6 +988,99 @@ object SimilaritySearch extends QueryModule {
        SELECT q_id, fused_rank, nb_id, rf, rt, round(rrf, 6) AS rrf_score
        FROM fused WHERE fused_rank <= 5"""
 
+  /** LOF neighborhood size and panel width (the LOWEST-id vectors form a
+    * fixed, corpus-size-independent panel — the exactness gate; the
+    * full-corpus path LSH-prefilters candidates exactly like q_ann_lsh
+    * over q_knn_search's exact gate). */
+  val LofK = 5
+  val LofN = 400
+
+  /** q_lof: Local Outlier Factor (Breunig et al. 2000) over the
+    * embedding panel — the DENSITY-relative anomaly score the z-score
+    * family can't express (q_embed_outliers flags points far from their
+    * label centroid; LOF flags points whose local density is low
+    * RELATIVE to their own neighbors' densities, catching outliers
+    * inside sparse-but-legitimate clusters and ignoring dense-cluster
+    * borders): exact kNN by euclidean distance via the
+    * d² = |a|²+|b|²−2ab dot-product identity (the codegen DotProduct
+    * kernel whose IEEE order already hash-matches DuckDB's
+    * list_dot_product), reach-dist_k(i←j) = max(kdist(j), d(i,j)),
+    * lrd = k/Σreach, LOF = Σlrd(j)/(k·lrd(i)) — every sum a
+    * neighbor-ordered bounded fold, every division mirrored, the
+    * neighbor SET taken as rank ≤ k with id tie-break (deterministic in
+    * both engines; the classical ties-inclusive variant differs only on
+    * exact distance ties). Zero-sum lrd guards return NULL identically.
+    * The panel is the LOWEST [[LofN]] ids: fixed work at every corpus
+    * scale, with the LSH-prefilter as the documented full-corpus path. */
+  def qLof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val wAll = Window.orderBy(col("vec_id").asc)
+    val panel = e.withColumn("rnk", row_number().over(wAll))
+      .filter(col("rnk") <= LofN)
+      .select(col("vec_id"), col("v"),
+        graft.functions.VectorMath.dot(col("v"), col("v")).as("nn"))
+    val pr = panel.select(col("vec_id").as("i"), col("v").as("va"),
+        col("nn").as("na"))
+      .join(panel.select(col("vec_id").as("j"), col("v").as("vb"),
+        col("nn").as("nb")), col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        sqrt(greatest(col("na") + col("nb") -
+          lit(2.0) * graft.functions.VectorMath.dot(col("va"), col("vb")),
+          lit(0.0))).as("d"))
+    val wI = Window.partitionBy("i").orderBy(col("d").asc, col("j").asc)
+    val knn = pr.withColumn("rk", row_number().over(wI))
+      .filter(col("rk") <= LofK)
+      .localCheckpoint(true)
+    val kd = knn.groupBy("i").agg(max(col("d")).as("kdist"))
+    val rch = knn.join(kd.select(col("i").as("j"), col("kdist").as("kd_j")),
+        Seq("j"))
+      .select(col("i"), col("j"), greatest(col("kd_j"), col("d")).as("reach"))
+    def foldBy(by: Column, term: Column) =
+      aggregate(transform(array_sort(collect_list(struct(by,
+        term.as("t")))), r => r.getField("t")), lit(0.0), (a, t) => a + t)
+    val lrd = rch.groupBy("i").agg(foldBy(col("j"), col("reach")).as("sr"))
+      .select(col("i"),
+        when(col("sr") > 0, lit(LofK.toDouble) / col("sr")).as("lrd"))
+    val slrd = knn
+      .join(lrd.select(col("i").as("j"), col("lrd").as("lrd_j")), Seq("j"))
+      .groupBy("i").agg(foldBy(col("j"), col("lrd_j")).as("slrd"))
+    kd.join(lrd, Seq("i")).join(slrd, Seq("i"))
+      .select(col("i").as("vec_id"), round(col("kdist"), 6).as("kdist"),
+        round(col("lrd"), 6).as("lrd"),
+        round(col("slrd") / (lit(LofK.toDouble) * col("lrd")), 6).as("lof"))
+  }
+
+  private lazy val qLofSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+       pnl AS (SELECT vec_id, v, list_dot_product(v, v) AS nn FROM (
+           SELECT vec_id, v, row_number() OVER (ORDER BY vec_id ASC) AS rnk
+           FROM e) WHERE rnk <= $LofN),
+       pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
+                sqrt(greatest(a.nn + b.nn
+                  - 2.0 * list_dot_product(a.v, b.v), 0.0)) AS d
+              FROM pnl a JOIN pnl b ON a.vec_id <> b.vec_id),
+       knn AS (SELECT i, j, d FROM (
+           SELECT i, j, d, row_number() OVER (PARTITION BY i
+             ORDER BY d ASC, j ASC) AS rk
+           FROM pr) WHERE rk <= $LofK),
+       kd AS (SELECT i, max(d) AS kdist FROM knn GROUP BY i),
+       rch AS (SELECT knn.i, knn.j, greatest(kdj.kdist, knn.d) AS reach
+               FROM knn JOIN kd kdj ON kdj.i = knn.j),
+       lrd AS (SELECT i,
+                 CASE WHEN list_sum(list(reach ORDER BY j)) > 0
+                   THEN ${LofK.toDouble} / list_sum(list(reach ORDER BY j))
+                   END AS lrd
+               FROM rch GROUP BY i),
+       sl AS (SELECT knn.i, list_sum(list(lj.lrd ORDER BY knn.j)) AS slrd
+              FROM knn JOIN lrd lj ON lj.i = knn.j GROUP BY knn.i)
+       SELECT kd.i AS vec_id, round(kd.kdist, 6) AS kdist,
+         round(l.lrd, 6) AS lrd,
+         round(sl.slrd / (${LofK.toDouble} * l.lrd), 6) AS lof
+       FROM kd JOIN lrd l ON l.i = kd.i JOIN sl ON sl.i = kd.i"""
+
   /** RBO persistence parameter and evaluation depth (Webber et al. 2010;
     * p = 0.9 ≈ "the reader's attention covers the top 10"). The weights
     * p^(d−1) are precomputed ONCE here and injected into both engines as
@@ -1695,6 +1788,7 @@ object SimilaritySearch extends QueryModule {
     "q_map" -> (qMap _),
     "q_rrf" -> (qRrf _),
     "q_rbo" -> (qRbo _),
+    "q_lof" -> (qLof _),
     "q_ndcg" -> (qNdcg _),
     "q_pca" -> (qPca _),
     "q_pca_audit" -> (qPcaAudit _),
@@ -1722,6 +1816,7 @@ object SimilaritySearch extends QueryModule {
     "q_map" -> qMapSql,
     "q_rrf" -> qRrfSql,
     "q_rbo" -> qRboSql,
+    "q_lof" -> qLofSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,
     "q_hard_negatives" -> qHardNegativesSql,

@@ -1324,6 +1324,43 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_lof: plain-Scala LOF replay reproduces every panel row, scores " +
+    "are positive, and the bulk of a homogeneous panel sits near 1") {
+    val sf = "/root/testdata/sf0.001"
+    val k = operators.SimilaritySearch.LofK
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).take(operators.SimilaritySearch.LofN)
+    val ids = vecs.map(_._1)
+    val byId = vecs.toMap
+    def d(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a), byId(b))
+      math.sqrt(math.max(
+        x.map(v => v * v).sum + y.map(v => v * v).sum -
+          2.0 * x.zip(y).map { case (p, q) => p * q }.sum, 0.0))
+    }
+    val knn = ids.map(i => i -> ids.filter(_ != i)
+      .sortBy(j => (d(i, j), j)).take(k)).toMap
+    val kdist = ids.map(i => i -> knn(i).map(d(i, _)).max).toMap
+    val lrd = ids.map(i => i -> k /
+      knn(i).map(j => math.max(kdist(j), d(i, j))).sum).toMap
+    val lof = ids.map(i => i -> knn(i).map(lrd).sum / (k * lrd(i))).toMap
+    val rows = operators.SimilaritySearch.qLof(spark, sf).collect()
+    assert(rows.length == ids.length)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("kdist") - kdist(i)) < 1e-5, s"kdist $i")
+      assert(math.abs(r.getAs[Double]("lrd") - lrd(i)) < 1e-5, s"lrd $i")
+      assert(math.abs(r.getAs[Double]("lof") - lof(i)) < 1e-4, s"lof $i")
+      assert(r.getAs[Double]("lof") > 0)
+    }
+    // random-ish embeddings are homogeneous: most LOF mass near 1
+    val med = rows.map(_.getAs[Double]("lof")).sorted.apply(rows.length / 2)
+    assert(med > 0.8 && med < 1.3, s"median LOF $med")
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
