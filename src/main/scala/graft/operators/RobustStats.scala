@@ -1649,6 +1649,95 @@ object RobustStats extends QueryModule {
          TRUE AS mass_ok, TRUE AS cost_sandwich_ok
        FROM events"""
 
+  /** q_l_moments: the first four L-moments + L-ratios of per-user spend
+    * per event type (Hosking 1990) — the ROBUST distribution-shape panel
+    * beside the point statistics (q_mad/q_trimmed_mean robustify
+    * location/scale; L-skewness and L-kurtosis are the robust SHAPE
+    * summaries, defined for any distribution with a mean, bounded in
+    * [−1,1], and the standard basis for regional frequency analysis and
+    * heavy-tail typing): λ₁=b₀, λ₂=2b₁−b₀, λ₃=6b₂−6b₁+b₀,
+    * λ₄=20b₃−30b₂+12b₁−b₀ over the probability-weighted moments
+    * b_r = (1/n)Σ [(i−1)…(i−r)]/[(n−1)…(n−r)]·x₍ᵢ₎. EXACT the whole way:
+    * ranks come from the q_gini range-shuffle machinery (never a
+    * one-task window), the rank-coefficient products are BIGINT, each
+    * numerator Σ coef·x is DECIMAL, and the b_r are single mirrored
+    * double divisions with the denominator built as a double PRODUCT
+    * CHAIN (n·(n−1)·… overflows BIGINT at 10⁶ users — the same reason
+    * q_gini's doc says its auxiliary products go decimal). */
+  def qLMoments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ranks
+    val base = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+        .as("x"))
+    val ranked = Ranks.globalRowNumber(base,
+      col("event_type").asc, col("x").asc, col("user_id").asc)
+    val offsets = ranked.groupBy("event_type").agg(min(col("rn")).as("rn0"))
+    val idx = ranked.join(broadcast(offsets), Seq("event_type"))
+      .select(col("event_type"), col("x"),
+        (col("rn") - col("rn0") + 1L).as("i"))
+    def coef(r: Int): org.apache.spark.sql.Column =
+      (1 to r).map(k => col("i") - k).reduceOption(_ * _)
+        .getOrElse(lit(1L)).cast("decimal(19,0)")
+    val agg = idx.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(coef(0) * col("x")).as("s0"), sum(coef(1) * col("x")).as("s1"),
+      sum(coef(2) * col("x")).as("s2"), sum(coef(3) * col("x")).as("s3"))
+    val nD = col("n").cast("double")
+    val b0 = col("s0").cast("double") / nD
+    val b1 = when(col("n") > 1,
+      col("s1").cast("double") / (nD * (col("n") - 1)))
+    val b2 = when(col("n") > 2,
+      col("s2").cast("double") / (nD * (col("n") - 1) * (col("n") - 2)))
+    // n ≤ 3 would zero the b3 denominator with engine-divergent 0-div
+    // semantics; four points are the minimum for a fourth L-moment
+    val b3 = when(col("n") > 3, col("s3").cast("double") /
+      (nD * (col("n") - 1) * (col("n") - 2) * (col("n") - 3)))
+    val l1 = b0
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+    agg.select(col("event_type"), col("n"),
+      round(l1, 6).as("l1"), round(l2, 6).as("l2"),
+      round(l3, 6).as("l3"), round(l4, 6).as("l4"),
+      round(l2 / l1, 6).as("l_cv"),
+      round(l3 / l2, 6).as("l_skew"), round(l4 / l2, 6).as("l_kurt"))
+  }
+
+  private lazy val qLMomentsSql =
+    """WITH ux AS (SELECT event_type, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+         FROM events GROUP BY 1, 2),
+       idx AS (SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY x ASC, user_id ASC) AS i
+         FROM ux),
+       agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(1 AS DECIMAL(19,0)) * x) AS s0,
+           sum(CAST(i - 1 AS DECIMAL(19,0)) * x) AS s1,
+           sum(CAST((i - 1) * (i - 2) AS DECIMAL(19,0)) * x) AS s2,
+           sum(CAST((i - 1) * (i - 2) * (i - 3) AS DECIMAL(19,0)) * x) AS s3
+         FROM idx GROUP BY 1),
+       b AS (SELECT event_type, n,
+           CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+           CASE WHEN n > 1 THEN
+             CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) END AS b1,
+           CASE WHEN n > 2 THEN CAST(s2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1) * (n - 2)) END AS b2,
+           CASE WHEN n > 3 THEN CAST(s3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1) * (n - 2) * (n - 3)) END AS b3
+         FROM agg)
+       SELECT event_type, n,
+         round(b0, 6) AS l1,
+         round(2.0 * b1 - b0, 6) AS l2,
+         round(6.0 * b2 - 6.0 * b1 + b0, 6) AS l3,
+         round(20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0, 6) AS l4,
+         round((2.0 * b1 - b0) / b0, 6) AS l_cv,
+         round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0), 6) AS l_skew,
+         round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0)
+           / (2.0 * b1 - b0), 6) AS l_kurt
+       FROM b"""
+
   /** Top shared-vocabulary terms the JS divergence is evaluated over. */
   val JsTopTerms = 50
 
@@ -2515,6 +2604,7 @@ object RobustStats extends QueryModule {
     "q_wasserstein" -> (qWasserstein _),
     "q_energy_dist" -> (qEnergyDist _),
     "q_sinkhorn" -> (qSinkhorn _),
+    "q_l_moments" -> (qLMoments _),
     "q_sinkhorn_audit" -> (qSinkhornAudit _),
     "q_bhattacharyya" -> (qBhattacharyya _),
     "q_js_terms" -> (qJsTerms _),
@@ -2552,6 +2642,7 @@ object RobustStats extends QueryModule {
     "q_wasserstein" -> qWassersteinSql,
     "q_energy_dist" -> qEnergyDistSql,
     "q_sinkhorn_audit" -> qSinkhornAuditSql,
+    "q_l_moments" -> qLMomentsSql,
     "q_bhattacharyya" -> qBhattacharyyaSql,
     "q_js_terms" -> qJsTermsSql,
     "q_mannwhitney" -> qMannwhitneySql,

@@ -1361,6 +1361,41 @@ class Round17Spec extends SparkSpec {
     assert(med > 0.8 && med < 1.3, s"median LOF $med")
   }
 
+  test("q_l_moments: plain-Scala PWM recomputation for one type, " +
+    "lambda2 > 0, and |l_skew|, l_kurt bounds hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.RobustStats.qLMoments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l2") > 0, "L-scale must be positive")
+      assert(math.abs(r.getAs[Double]("l_skew")) <= 1 + 1e-9)
+      // tau4 >= (5*tau3^2 - 1) / 4, and tau4 < 1 (Hosking's bounds)
+      val t3 = r.getAs[Double]("l_skew"); val t4 = r.getAs[Double]("l_kurt")
+      assert(t4 < 1 + 1e-9 && t4 >= (5 * t3 * t3 - 1) / 4 - 1e-6, r.toString)
+    }
+    val et = rows.map(_.getAs[String]("event_type")).min
+    val xs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("x")).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("x"))))
+      .sortBy(x => (x._2, x._1)).map(_._2.toDouble)
+    val n = xs.length.toDouble
+    def b(r2: Int): Double =
+      xs.zipWithIndex.map { case (x, i0) =>
+        val i = i0 + 1
+        (1 to r2).map(k => (i - k).toDouble).product * x
+      }.sum / (1 to r2).map(k => n - k).foldLeft(n)(_ * _)
+    val (b0, b1, b2, b3) = (b(0), b(1), b(2), b(3))
+    val got = rows.find(_.getAs[String]("event_type") == et).get
+    assert(math.abs(got.getAs[Double]("l1") - b0) < 1e-4)
+    assert(math.abs(got.getAs[Double]("l2") - (2 * b1 - b0)) < 1e-4)
+    assert(math.abs(got.getAs[Double]("l3") - (6 * b2 - 6 * b1 + b0)) < 1e-4)
+    assert(math.abs(got.getAs[Double]("l4") -
+      (20 * b3 - 30 * b2 + 12 * b1 - b0)) < 1e-4)
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
