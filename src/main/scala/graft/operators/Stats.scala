@@ -1244,6 +1244,73 @@ object Stats extends QueryModule {
     * windows); arms = the md5 split. One fact scan → per-(user, period)
     * DECIMAL sums → FOUR moment cells (n, Σy, Σy²) — every input to the
     * final fixed double expression is exact; one row out. */
+  /** q_iv_wald: instrumental-variable (Wald / one-instrument 2SLS) LATE
+    * estimator — the causal-family member the adjustment designs can't
+    * replace (q_did nets out time trends, q_cuped nets out pre-period
+    * variance, q_treat/q_qte read intention-to-treat effects; the Wald
+    * ratio answers the EFFECT-OF-TREATMENT-ON-COMPLIERS question when
+    * the randomized assignment only ENCOURAGES the behavior): the md5
+    * arm is the instrument z, a qualifying purchase (value >
+    * [[TwoPropValueCut]]) is the endogenous treatment x, total user
+    * spend is the outcome y, and LATE = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) =
+    * ITT / first-stage (Angrist–Imbens–Rubin). One user aggregate →
+    * 2-row arm table; every mean is one division of an exact DECIMAL /
+    * integer sum and the ratio is mirrored op-for-op; a degenerate
+    * first stage (identical compliance) NULLs identically in both
+    * engines. */
+  def qIvWald(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("y"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > TwoPropValueCut, 1L).otherwise(0L)).as("x"))
+      .select(col("y"), col("x"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("z"))
+    val arms = perUser.groupBy("z")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("x")).as("sx"))
+    val wide = arms.filter(col("z"))
+      .select(col("n").as("n1"), col("sy").as("sy1"), col("sx").as("sx1"))
+      .crossJoin(arms.filter(!col("z"))
+        .select(col("n").as("n0"), col("sy").as("sy0"), col("sx").as("sx0")))
+    val itt = col("sy1").cast("double") / col("n1") -
+      col("sy0").cast("double") / col("n0")
+    val fs = col("sx1").cast("double") / col("n1") -
+      col("sx0").cast("double") / col("n0")
+    wide.select(col("n1"), col("n0"),
+      round(col("sx1").cast("double") / col("n1"), 6).as("compl_treat"),
+      round(col("sx0").cast("double") / col("n0"), 6).as("compl_control"),
+      round(itt, 6).as("itt"), round(fs, 6).as("first_stage"),
+      when(fs =!= 0.0, round(itt / fs, 6)).as("late"))
+  }
+
+  private lazy val qIvWaldSql =
+    s"""WITH u AS (SELECT user_id,
+           sum(CAST(value AS DECIMAL(18,6))) AS y,
+           max(CASE WHEN event_type = 'purchase' AND value > $TwoPropValueCut
+             THEN 1 ELSE 0 END) AS x,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT)
+             < 8 AS z
+         FROM events GROUP BY user_id),
+       arms AS (SELECT z, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+                  CAST(sum(x) AS BIGINT) AS sx
+                FROM u GROUP BY z),
+       w AS (SELECT a.n AS n1, a.sy AS sy1, a.sx AS sx1,
+               b.n AS n0, b.sy AS sy0, b.sx AS sx0
+             FROM arms a CROSS JOIN arms b WHERE a.z AND NOT b.z)
+       SELECT n1, n0,
+         round(CAST(sx1 AS DOUBLE) / n1, 6) AS compl_treat,
+         round(CAST(sx0 AS DOUBLE) / n0, 6) AS compl_control,
+         round(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0, 6) AS itt,
+         round(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0, 6)
+           AS first_stage,
+         CASE WHEN CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0 <> 0.0
+           THEN round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+             / (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0), 6) END
+           AS late
+       FROM w"""
+
   def qDid(s: SparkSession, dir: String): DataFrame = {
     val perUserPeriod = Tables.events(s, dir)
       .select(col("user_id"),
@@ -5477,6 +5544,7 @@ object Stats extends QueryModule {
     "q_pacf" -> (qPacf _),
     "q_viterbi" -> (qViterbi _),
     "q_binseg" -> (qBinseg _),
+    "q_iv_wald" -> (qIvWald _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5552,6 +5620,7 @@ object Stats extends QueryModule {
     "q_pacf" -> qPacfSql,
     "q_viterbi" -> qViterbiSql,
     "q_binseg" -> qBinsegSql,
+    "q_iv_wald" -> qIvWaldSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1396,6 +1396,38 @@ class Round17Spec extends SparkSpec {
       (20 * b3 - 30 * b2 + 12 * b1 - b0)) < 1e-4)
   }
 
+  test("q_iv_wald: plain-Scala recomputation of ITT/first-stage/LATE, " +
+    "and the Wald identity late = itt / first_stage holds") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.Stats.qIvWald(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("y"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > operators.Stats.TwoPropValueCut, 1L).otherwise(0L))
+          .as("x")).collect()
+      .map { rr =>
+        val z = Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(rr.getLong(0).toString.getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.take(1), 16) < 8
+        (z, BigDecimal(rr.getAs[java.math.BigDecimal]("y")), rr.getAs[Long]("x"))
+      }
+    def arm(z: Boolean) = users.filter(_._1 == z)
+    val itt = (arm(true).map(_._2).sum / arm(true).length).toDouble -
+      (arm(false).map(_._2).sum / arm(false).length).toDouble
+    val fs = arm(true).map(_._3).sum.toDouble / arm(true).length -
+      arm(false).map(_._3).sum.toDouble / arm(false).length
+    assert(row.getAs[Long]("n1") == arm(true).length.toLong)
+    assert(math.abs(row.getAs[Double]("itt") - itt) < 1e-4)
+    assert(math.abs(row.getAs[Double]("first_stage") - fs) < 1e-6)
+    assert(math.abs(row.getAs[Double]("late") - itt / fs) < 1e-2,
+      s"${row.getAs[Double]("late")} vs ${itt / fs}")
+    assert(row.getAs[Double]("compl_treat") >= 0 &&
+      row.getAs[Double]("compl_treat") <= 1)
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
