@@ -1333,4 +1333,53 @@ object EventStream {
       }
       .start()
   }
+
+  case class SymObs(event_type: String, seq: Long, obs: Int)
+  case class RegimeState(n: Long, d0: Double, d1: Double, d2: Double)
+  case class RegimeOut(event_type: String, n: Long, regime: Int, lp: Double)
+
+  /** Streaming HMM regime FILTER per event type — the stateful twin of
+    * the batch Viterbi decoder (Stats.qViterbi): the IDENTICAL
+    * log-domain forward recursion over the pinned [[graft.operators
+    * .Stats.HmmTrans]]/[[graft.operators.Stats.HmmEmit]] literals, state
+    * = exactly the current trellis column (three doubles) — O(1) per key
+    * forever. The relationship is the textbook filtering-vs-smoothing
+    * split: the stream's day-t column equals the batch trellis's dp[t]
+    * BIT-FOR-BIT (StreamingSpec pins it across a micro-batch boundary),
+    * and its emitted regime is the causal argmax of that column, while
+    * the batch path may later REVISE earlier days with hindsight —
+    * that's Viterbi's job, not a monitor's. Symbols arrive pre-bucketed
+    * (the batch symbolizer needs the full-window mean; a live monitor
+    * feeds its own reference mean). */
+  def runningRegime(obs: Dataset[SymObs]): Dataset[RegimeOut] = {
+    import obs.sparkSession.implicits._
+    val lnPi0 = math.log(graft.operators.Stats.HmmPi(0))
+    val lnT = graft.operators.Stats.HmmTrans.map(_.map(math.log))
+    val lnE = graft.operators.Stats.HmmEmit.map(_.map(math.log))
+    obs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RegimeState, RegimeOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (et, rows, state: GroupState[RegimeState]) =>
+          var cur = state.getOption.getOrElse(RegimeState(0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            cur =
+              if (cur.n == 0L)
+                RegimeState(1L, lnE(0)(r.obs) + lnPi0,
+                  lnE(1)(r.obs) + lnPi0, lnE(2)(r.obs) + lnPi0)
+              else {
+                val prev = Array(cur.d0, cur.d1, cur.d2)
+                def nd(s2: Int) = lnE(s2)(r.obs) +
+                  math.max(prev(0) + lnT(0)(s2),
+                    math.max(prev(1) + lnT(1)(s2), prev(2) + lnT(2)(s2)))
+                RegimeState(cur.n + 1, nd(0), nd(1), nd(2))
+              }
+          }
+          state.update(cur)
+          val regime =
+            if (cur.d0 >= cur.d1 && cur.d0 >= cur.d2) 0
+            else if (cur.d1 >= cur.d2) 1 else 2
+          val lp = math.max(cur.d0, math.max(cur.d1, cur.d2))
+          Iterator(RegimeOut(et, cur.n, regime, lp))
+      }
+  }
 }

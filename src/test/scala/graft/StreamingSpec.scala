@@ -1332,4 +1332,61 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("streaming regime filter: trellis column matches the plain-Scala " +
+    "forward recursion bit-for-bit across a micro-batch boundary, and the " +
+    "final filtered regime equals the batch Viterbi path's last state") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the batch symbolizer: daily exact-decimal sums vs the type mean
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).cast("double").as("y")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Double]("y")))
+    val byType = daily.groupBy(_._1).map { case (t, g) =>
+      val mu = g.map(_._3).sum / g.length
+      t -> g.sortBy(_._2).map(x =>
+        if (x._3 < mu * 0.8) 0 else if (x._3 > mu * 1.2) 2 else 1)
+    }
+    val input = MemoryStream[EventStream.SymObs]
+    val q = EventStream.runningRegime(input.toDS())
+      .writeStream.format("memory").queryName("regime_out")
+      .outputMode("update").start()
+    try {
+      val feed = byType.toSeq.flatMap { case (t, obs) =>
+        obs.zipWithIndex.map { case (o, i) =>
+          EventStream.SymObs(t, i.toLong, o) } }
+      val (b1, b2) = feed.partition(_.seq < 11) // boundary mid-series
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val fin = spark.table("regime_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 }
+      val lnPi0 = math.log(operators.Stats.HmmPi(0))
+      val lnT = operators.Stats.HmmTrans.map(_.map(math.log))
+      val lnE = operators.Stats.HmmEmit.map(_.map(math.log))
+      val lastViterbi = operators.Stats.qViterbi(spark, sf).collect()
+        .groupBy(_.getAs[String]("event_type"))
+        .map { case (t, g) =>
+          t -> g.maxBy(_.getAs[String]("day")).getAs[Int]("regime") }
+      byType.foreach { case (t, obs) =>
+        var dp = Array.tabulate(3)(s => lnE(s)(obs.head) + lnPi0)
+        obs.tail.foreach { o =>
+          dp = Array.tabulate(3)(s => lnE(s)(o) +
+            (0 to 2).map(p => dp(p) + lnT(p)(s)).max)
+        }
+        val (n, regime, lp) = fin(t)
+        assert(n == obs.length.toLong, t)
+        assert(lp == dp.max, s"$t: lp $lp != ${dp.max} (must be bit-identical)")
+        val expReg = if (dp(0) >= dp(1) && dp(0) >= dp(2)) 0
+          else if (dp(1) >= dp(2)) 1 else 2
+        assert(regime == expReg, t)
+        // filtering's last column argmax IS the smoothed path's last state
+        assert(regime == lastViterbi(t), s"$t vs batch Viterbi last state")
+      }
+    } finally q.stop()
+  }
 }
