@@ -249,8 +249,13 @@ object Stats extends QueryModule {
       .select(col("event_type"), col("tau"), col("taum1"), col("xi"),
         col("yi"), col("xj"), col("yj"), col("span"), r.as("r"))
       .groupBy("event_type", "tau", "taum1", "xi", "yi", "xj", "yj", "span")
-      .agg(sum(greatest(col("tau") * col("r"), col("taum1") * col("r")))
-        .as("ls"), count(lit(1)).as("n_days"))
+      // max(τr, (τ−1)r) via the SIGN of r, not greatest(): τ > 0 > τ−1
+      // makes the branch exact, and DuckDB's greatest(DECIMAL, DECIMAL)
+      // silently returns DOUBLE — the full-gate rerun caught the oracle's
+      // pinball sum drifting by an ulp under parallel double summation
+      .agg(sum(when(col("r") >= 0, col("tau") * col("r"))
+        .otherwise(col("taum1") * col("r"))).as("ls"),
+        count(lit(1)).as("n_days"))
     val w = Window.partitionBy("event_type", "tau")
       .orderBy((col("ls").cast("double") / col("span")).asc,
         col("xi").asc, col("xj").asc)
@@ -287,7 +292,7 @@ object Stats extends QueryModule {
               FROM cand c JOIN pts p ON p.event_type = c.event_type
               CROSS JOIN taus t),
        agg AS (SELECT event_type, tau, taum1, xi, yi, xj, yj, span,
-                 sum(greatest(tau * r, taum1 * r)) AS ls,
+                 sum(CASE WHEN r >= 0 THEN tau * r ELSE taum1 * r END) AS ls,
                  CAST(count(*) AS BIGINT) AS n_days
                FROM ev GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
        scored AS (SELECT *, row_number() OVER (PARTITION BY event_type, tau
@@ -4476,7 +4481,13 @@ object Stats extends QueryModule {
     * exact, min is exact; out-of-range predecessors are coalesced to a
     * huge decimal SENTINEL in both engines rather than NULL, because the
     * engines' least()-with-NULL semantics differ) — the gate hashes an
-    * arithmetic-identical DP, not a float approximation. Scale shape:
+    * arithmetic-identical DP, not a float approximation. One audited
+    * seam: DuckDB's least(DECIMAL,…) silently returns DOUBLE (the
+    * q_quantile_reg full-gate catch), so the oracle's cell passes
+    * through a double before the CAST back to DECIMAL(25,6) — exact
+    * HERE because every cell value fits in ≲2⁴⁶ decimal units (« 2⁵³,
+    * the double round-trip is lossless) and the min is a per-cell
+    * SCALAR, never a parallel double sum. Scale shape:
     * the fact table collapses to the TYPE×DAY dimension in one
     * partial-aggregable scan; each pair's DP is O((n+m)·min(n,m))
     * dimension-bounded work on one row. */
