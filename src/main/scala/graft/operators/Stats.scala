@@ -4611,17 +4611,22 @@ object Stats extends QueryModule {
     val lnPi = HmmPi.map(math.log)
     val lnT = HmmTrans.map(_.map(math.log))
     val lnE = HmmEmit.map(_.map(math.log))
+    // the per-day totals stay DECIMAL through the mean so the symbol
+    // thresholds derive from an exact order-free sum (SumAuditSpec
+    // caught the first cut summing doubles — the same order-sensitivity
+    // class as the q_quantile_reg greatest() adjudication)
     val daily = Tables.events(s, dir)
       .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("value").cast("decimal(18,6)").as("v"))
       .groupBy("event_type", "day")
-      .agg(sum(col("v")).cast("double").as("y"))
+      .agg(sum(col("v")).as("yd"))
     val m = daily.groupBy("event_type")
-      .agg((sum(col("y")) / count(lit(1))).as("mu"))
+      .agg((sum(col("yd")).cast("double") / count(lit(1))).as("mu"))
     val obsDf = daily.join(m, Seq("event_type"))
       .select(col("event_type"), col("day"),
-        when(col("y") < col("mu") * 0.8, 0)
-          .when(col("y") > col("mu") * 1.2, 2).otherwise(1).as("obs"))
+        when(col("yd").cast("double") < col("mu") * 0.8, 0)
+          .when(col("yd").cast("double") > col("mu") * 1.2, 2)
+          .otherwise(1).as("obs"))
     val series = obsDf.groupBy("event_type")
       .agg(array_sort(collect_list(struct(col("day"), col("obs")))).as("arr"))
       .select(col("event_type"),
@@ -4692,13 +4697,14 @@ object Stats extends QueryModule {
       yield math.log(HmmTrans(a)(b))).mkString("[", ", ", "]")
     s"""WITH RECURSIVE daily AS (SELECT event_type,
            strftime(ts, '%Y-%m-%d') AS day,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+           sum(CAST(value AS DECIMAL(18,6))) AS yd
          FROM events GROUP BY 1, 2),
-       m AS (SELECT event_type, sum(y) / count(*) AS mu
+       m AS (SELECT event_type, CAST(sum(yd) AS DOUBLE) / count(*) AS mu
              FROM daily GROUP BY 1),
        od AS (SELECT d.event_type, d.day,
-                CASE WHEN d.y < m.mu * 0.8 THEN 0
-                     WHEN d.y > m.mu * 1.2 THEN 2 ELSE 1 END AS obs
+                CASE WHEN CAST(d.yd AS DOUBLE) < m.mu * 0.8 THEN 0
+                     WHEN CAST(d.yd AS DOUBLE) > m.mu * 1.2 THEN 2
+                     ELSE 1 END AS obs
               FROM daily d JOIN m ON m.event_type = d.event_type),
        ser AS (SELECT event_type,
                  list(day ORDER BY day) AS days,
