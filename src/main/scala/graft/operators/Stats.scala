@@ -1249,6 +1249,79 @@ object Stats extends QueryModule {
     * windows); arms = the md5 split. One fact scan → per-(user, period)
     * DECIMAL sums → FOUR moment cells (n, Σy, Σy²) — every input to the
     * final fixed double expression is exact; one row out. */
+  /** Critical value for [[qAaTest]]'s pairwise |z| flags (two-sided 5%,
+    * the q_srm pin). */
+  val AaZCrit = 1.959964
+
+  /** q_aa_test: A/A calibration panel — the check an experimentation
+    * platform runs to certify its OWN plumbing before any real A/B is
+    * trusted (q_srm checks the split sizes; this checks the METRIC
+    * pipeline: under the null, pairwise tests between pseudo-arms must
+    * trip at ≈ the nominal rate, and a platform that can't reproduce 5%
+    * here has a variance, interference, or assignment bug): users are
+    * split into 16 pseudo-arms by md5 nibble 2 — INDEPENDENT of nibble
+    * 1, the real-arm split every q_ab_* member uses — and all 120 arm
+    * pairs get a Welch z on per-user spend. Sums are exact DECIMAL /
+    * integer, each variance is one mirrored expression of exact inputs,
+    * and the flag compares |z| to the pinned [[AaZCrit]]. One user
+    * aggregate → 16-row arm table → bounded pair join. */
+  def qAaTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("y"))
+      .select(col("y"),
+        conv(substring(md5(col("user_id").cast("string")), 2, 1), 16, 10)
+          .cast("int").as("arm"))
+    // a one-user pseudo-arm has no variance estimate (and divides by
+    // zero under ANSI); it simply doesn't participate in the panel
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+    def vOver(sfx: String) = {
+      val n = col(s"n_$sfx").cast("double")
+      (col(s"n_$sfx") * col(s"syy_$sfx") - col(s"sy_$sfx") * col(s"sy_$sfx"))
+        .cast("double") / (n * (n - 1.0)) / n
+    }
+    // a degenerate zero-variance pair would DIVIDE_BY_ZERO under ANSI;
+    // it has no test statistic — NULL identically in both engines
+    val z = when(vOver("a") + vOver("b") > 0,
+      (col("sy_a").cast("double") / col("n_a") -
+        col("sy_b").cast("double") / col("n_b")) /
+        sqrt(vOver("a") + vOver("b")))
+    arms.select(col("arm").as("arm_a"), col("n").as("n_a"),
+        col("sy").as("sy_a"), col("syy").as("syy_a"))
+      .join(arms.select(col("arm").as("arm_b"), col("n").as("n_b"),
+        col("sy").as("sy_b"), col("syy").as("syy_b")),
+        col("arm_a") < col("arm_b"))
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        round(z, 6).as("z"), (abs(z) > AaZCrit).as("false_positive"))
+  }
+
+  private lazy val qAaTestSql =
+    s"""WITH u AS (SELECT user_id,
+           sum(CAST(value AS DECIMAL(18,6))) AS y,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) AS INT)
+             AS arm
+         FROM events GROUP BY user_id),
+       arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+                  sum(y * y) AS syy
+                FROM u GROUP BY arm HAVING count(*) >= 2),
+       v AS (SELECT arm, n, sy,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                 / CAST(n AS DOUBLE) AS vo
+             FROM arms),
+       pr AS (SELECT a.arm AS arm_a, b.arm AS arm_b,
+                a.n AS n_a, b.n AS n_b,
+                CASE WHEN a.vo + b.vo > 0 THEN
+                  (CAST(a.sy AS DOUBLE) / a.n - CAST(b.sy AS DOUBLE) / b.n)
+                  / sqrt(a.vo + b.vo) END AS z
+              FROM v a JOIN v b ON a.arm < b.arm)
+       SELECT arm_a, arm_b, n_a, n_b, round(z, 6) AS z,
+         abs(z) > $AaZCrit AS false_positive
+       FROM pr"""
+
   /** q_iv_wald: instrumental-variable (Wald / one-instrument 2SLS) LATE
     * estimator — the causal-family member the adjustment designs can't
     * replace (q_did nets out time trends, q_cuped nets out pre-period
@@ -5562,6 +5635,7 @@ object Stats extends QueryModule {
     "q_viterbi" -> (qViterbi _),
     "q_binseg" -> (qBinseg _),
     "q_iv_wald" -> (qIvWald _),
+    "q_aa_test" -> (qAaTest _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5638,6 +5712,7 @@ object Stats extends QueryModule {
     "q_viterbi" -> qViterbiSql,
     "q_binseg" -> qBinsegSql,
     "q_iv_wald" -> qIvWaldSql,
+    "q_aa_test" -> qAaTestSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1428,6 +1428,51 @@ class Round17Spec extends SparkSpec {
       row.getAs[Double]("compl_treat") <= 1)
   }
 
+  test("q_aa_test: 120 pair rows, Welch z recomputed in plain Scala for " +
+    "one pair, and the null false-positive rate stays plausible") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = operators.Stats.qAaTest(spark, sf).collect()
+    // arms with a single user are excluded (no variance estimate), so at
+    // tiny scales the panel is smaller than the full 120 pairs
+    assert(rows.nonEmpty && rows.length <= 16 * 15 / 2)
+    assert(rows.forall(r => r.getAs[Long]("n_a") >= 2 &&
+      r.getAs[Long]("n_b") >= 2))
+    val fpRate = rows.count(_.getAs[Boolean]("false_positive")).toDouble /
+      rows.length
+    // under the null with correlated pairs, allow a wide band around 5%
+    assert(fpRate <= 0.25, s"A/A false-positive rate $fpRate")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("false_positive") ==
+        (math.abs(r.getAs[Double]("z")) > operators.Stats.AaZCrit) ||
+        math.abs(math.abs(r.getAs[Double]("z")) - operators.Stats.AaZCrit) < 1e-6)
+    }
+    // plain-Scala Welch z for the (0, 1) pair
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("y")).collect()
+      .map { rr =>
+        val arm = Integer.parseInt(java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(rr.getLong(0).toString.getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString.substring(1, 2), 16)
+        arm -> BigDecimal(rr.getAs[java.math.BigDecimal]("y"))
+      }
+    def st(a: Int) = {
+      val ys = users.filter(_._1 == a).map(_._2.toDouble)
+      val n = ys.length.toDouble
+      val m = ys.sum / n
+      (n, m, ys.map(v => (v - m) * (v - m)).sum / (n - 1) / n)
+    }
+    val pair = rows.find(r => r.getAs[Int]("arm_a") == 0 &&
+      r.getAs[Int]("arm_b") == 1)
+    if (pair.isDefined && st(0)._1 > 1 && st(1)._1 > 1) {
+      val ((_, m0, v0), (_, m1, v1)) = (st(0), st(1))
+      val zExp = (m0 - m1) / math.sqrt(v0 + v1)
+      assert(math.abs(pair.get.getAs[Double]("z") - zExp) < 1e-4,
+        s"${pair.get.getAs[Double]("z")} vs $zExp")
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
