@@ -1249,6 +1249,98 @@ object Stats extends QueryModule {
     * windows); arms = the md5 split. One fact scan → per-(user, period)
     * DECIMAL sums → FOUR moment cells (n, Σy, Σy²) — every input to the
     * final fixed double expression is exact; one row out. */
+  /** q_simpson_flip: Simpson's-paradox detector — per acquisition
+    * channel (the user's FIRST event type, deterministically the min
+    * (ts, event_id) event), does the arm conversion-rate gap point the
+    * OPPOSITE way from the aggregate gap? The aggregation-trap audit a
+    * metrics platform runs beside its A/B readouts (q_simpson is the
+    * DIVERSITY index; this is the PARADOX — a subgroup sign reversal
+    * means channel mix, not treatment, drives the headline number).
+    * First-event channel is derived join-wise (min ts per user → min
+    * event_id at that instant → its type), never via a struct-min whose
+    * cross-engine ordering would be a seam; rates are exact-integer
+    * divisions; channels present in only one arm emit NULL gap and NULL
+    * flip identically. One scan + two dimension joins + one channel
+    * aggregate. */
+  def qSimpsonFlip(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t0 = ev.groupBy(col("user_id").as("u0")).agg(min(col("ts")).as("t0"))
+    val e0 = ev.select(col("user_id").as("u1"), col("ts").as("ts1"),
+        col("event_id").as("eid1"))
+      .join(t0, col("u1") === col("u0") && col("ts1") === col("t0"))
+      .groupBy(col("u1").as("uid")).agg(min(col("eid1")).as("eid"))
+    val channel = e0.join(ev.select(col("event_id").as("eid"),
+        col("event_type").as("channel")), Seq("eid"))
+      .select(col("uid"), col("channel"))
+    val perUser = ev.groupBy(col("user_id").as("uid"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > TwoPropValueCut, 1L).otherwise(0L)).as("conv"))
+      .join(channel, Seq("uid"))
+      .select(col("channel"), col("conv"),
+        (conv(substring(md5(col("uid").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val ch = perUser.groupBy("channel")
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat"), col("conv")).otherwise(0L)).as("c_t"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treat"), col("conv")).otherwise(0L)).as("c_c"))
+    val tot = ch.agg(sum(col("n_t")).as("tn_t"), sum(col("c_t")).as("tc_t"),
+      sum(col("n_c")).as("tn_c"), sum(col("c_c")).as("tc_c"))
+    val gapCh = when(col("n_t") > 0 && col("n_c") > 0,
+      col("c_t").cast("double") / col("n_t") -
+        col("c_c").cast("double") / col("n_c"))
+    val gapAll = col("tc_t").cast("double") / col("tn_t") -
+      col("tc_c").cast("double") / col("tn_c")
+    ch.crossJoin(tot)
+      .select(col("channel"), col("n_t"), col("n_c"),
+        round(gapCh, 6).as("gap_channel"),
+        round(gapAll, 6).as("gap_overall"),
+        ((gapCh > 0 && gapAll < 0) || (gapCh < 0 && gapAll > 0))
+          .as("simpson_flip"))
+  }
+
+  private lazy val qSimpsonFlipSql =
+    s"""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           GROUP BY user_id),
+       e0 AS (SELECT t0.user_id AS uid, min(e.event_id) AS eid
+              FROM t0 JOIN events e
+                ON e.user_id = t0.user_id AND e.ts = t0.t0
+              GROUP BY 1),
+       chan AS (SELECT e0.uid, e.event_type AS channel
+                FROM e0 JOIN events e ON e.event_id = e0.eid),
+       pu AS (SELECT e.user_id AS uid,
+                max(CASE WHEN e.event_type = 'purchase'
+                  AND e.value > $TwoPropValueCut THEN 1 ELSE 0 END) AS conv
+              FROM events e GROUP BY 1),
+       j AS (SELECT chan.channel, pu.conv,
+               CAST(('0x' || substr(md5(CAST(pu.uid AS VARCHAR)), 1, 1))
+                 AS INT) < 8 AS treat
+             FROM pu JOIN chan ON chan.uid = pu.uid),
+       ch AS (SELECT channel,
+                CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+                CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                CAST(sum(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT) AS c_c
+              FROM j GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tn_t,
+                 CAST(sum(c_t) AS BIGINT) AS tc_t,
+                 CAST(sum(n_c) AS BIGINT) AS tn_c,
+                 CAST(sum(c_c) AS BIGINT) AS tc_c
+               FROM ch),
+       sc AS (SELECT channel, n_t, n_c,
+                CASE WHEN n_t > 0 AND n_c > 0 THEN
+                  CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c
+                  END AS gap_ch,
+                CAST(tc_t AS DOUBLE) / tn_t - CAST(tc_c AS DOUBLE) / tn_c
+                  AS gap_all
+              FROM ch CROSS JOIN tot)
+       SELECT channel, n_t, n_c,
+         round(gap_ch, 6) AS gap_channel,
+         round(gap_all, 6) AS gap_overall,
+         (gap_ch > 0 AND gap_all < 0) OR (gap_ch < 0 AND gap_all > 0)
+           AS simpson_flip
+       FROM sc"""
+
   /** Critical value for [[qAaTest]]'s pairwise |z| flags (two-sided 5%,
     * the q_srm pin). */
   val AaZCrit = 1.959964
@@ -5636,6 +5728,7 @@ object Stats extends QueryModule {
     "q_binseg" -> (qBinseg _),
     "q_iv_wald" -> (qIvWald _),
     "q_aa_test" -> (qAaTest _),
+    "q_simpson_flip" -> (qSimpsonFlip _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5713,6 +5806,7 @@ object Stats extends QueryModule {
     "q_binseg" -> qBinsegSql,
     "q_iv_wald" -> qIvWaldSql,
     "q_aa_test" -> qAaTestSql,
+    "q_simpson_flip" -> qSimpsonFlipSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1473,6 +1473,49 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_simpson_flip: plain-Scala channel assignment and rate gaps " +
+    "reproduce every row, and the flip flag obeys its sign definition") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    def arm(u: Long): Boolean =
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.take(1), 16) < 8
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      val first = g.minBy(x => (x._3.getTime, x._3.getNanos, x._2))
+      val conv = g.exists(x => x._4 == "purchase" &&
+        x._5 > operators.Stats.TwoPropValueCut)
+      (u, first._4, conv, arm(u))
+    }.toSeq
+    val byCh = perUser.groupBy(_._2)
+    def rate(g: Seq[(Long, String, Boolean, Boolean)], t: Boolean) = {
+      val a = g.filter(_._4 == t)
+      if (a.isEmpty) None else Some(a.count(_._3).toDouble / a.length)
+    }
+    val gAll = rate(perUser, true).get - rate(perUser, false).get
+    val rows = operators.Stats.qSimpsonFlip(spark, sf).collect()
+    assert(rows.length == byCh.size)
+    rows.foreach { r =>
+      val g = byCh(r.getAs[String]("channel"))
+      assert(r.getAs[Long]("n_t") == g.count(_._4).toLong)
+      assert(math.abs(r.getAs[Double]("gap_overall") - gAll) < 1e-5)
+      (rate(g, true), rate(g, false)) match {
+        case (Some(rt), Some(rc)) =>
+          val gap = rt - rc
+          assert(math.abs(r.getAs[Double]("gap_channel") - gap) < 1e-5)
+          assert(r.getAs[Boolean]("simpson_flip") ==
+            ((gap > 0 && gAll < 0) || (gap < 0 && gAll > 0)), r.toString)
+        case _ =>
+          assert(r.isNullAt(r.fieldIndex("gap_channel")), r.toString)
+      }
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
