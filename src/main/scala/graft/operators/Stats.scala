@@ -1262,7 +1262,11 @@ object Stats extends QueryModule {
     * divisions; channels present in only one arm emit NULL gap and NULL
     * flip identically. One scan + two dimension joins + one channel
     * aggregate. */
-  def qSimpsonFlip(s: SparkSession, dir: String): DataFrame = {
+  /** The (channel, conv, treat) per-user relation shared by
+    * [[qSimpsonFlip]] and [[qCmh]] — channel = first event's type
+    * (min ts → min event_id, join-wise), conv = qualifying purchase,
+    * treat = the md5 nibble-1 arm. */
+  private def channelConvArms(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val t0 = ev.groupBy(col("user_id").as("u0")).agg(min(col("ts")).as("t0"))
     val e0 = ev.select(col("user_id").as("u1"), col("ts").as("ts1"),
@@ -1272,13 +1276,37 @@ object Stats extends QueryModule {
     val channel = e0.join(ev.select(col("event_id").as("eid"),
         col("event_type").as("channel")), Seq("eid"))
       .select(col("uid"), col("channel"))
-    val perUser = ev.groupBy(col("user_id").as("uid"))
+    ev.groupBy(col("user_id").as("uid"))
       .agg(max(when(col("event_type") === "purchase" &&
         col("value") > TwoPropValueCut, 1L).otherwise(0L)).as("conv"))
       .join(channel, Seq("uid"))
       .select(col("channel"), col("conv"),
         (conv(substring(md5(col("uid").cast("string")), 1, 1), 16, 10)
           .cast("int") < 8).as("treat"))
+  }
+
+  /** The shared SQL CTE chain producing the same (channel, conv, treat)
+    * relation as [[channelConvArms]], ending in a CTE named `j`. */
+  private lazy val channelConvArmsCtes =
+    s"""t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           GROUP BY user_id),
+       e0 AS (SELECT t0.user_id AS uid, min(e.event_id) AS eid
+              FROM t0 JOIN events e
+                ON e.user_id = t0.user_id AND e.ts = t0.t0
+              GROUP BY 1),
+       chan AS (SELECT e0.uid, e.event_type AS channel
+                FROM e0 JOIN events e ON e.event_id = e0.eid),
+       pu AS (SELECT e.user_id AS uid,
+                max(CASE WHEN e.event_type = 'purchase'
+                  AND e.value > $TwoPropValueCut THEN 1 ELSE 0 END) AS conv
+              FROM events e GROUP BY 1),
+       j AS (SELECT chan.channel, pu.conv,
+               CAST(('0x' || substr(md5(CAST(pu.uid AS VARCHAR)), 1, 1))
+                 AS INT) < 8 AS treat
+             FROM pu JOIN chan ON chan.uid = pu.uid)"""
+
+  def qSimpsonFlip(s: SparkSession, dir: String): DataFrame = {
+    val perUser = channelConvArms(s, dir)
     val ch = perUser.groupBy("channel")
       .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
         sum(when(col("treat"), col("conv")).otherwise(0L)).as("c_t"),
@@ -1300,22 +1328,7 @@ object Stats extends QueryModule {
   }
 
   private lazy val qSimpsonFlipSql =
-    s"""WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
-           GROUP BY user_id),
-       e0 AS (SELECT t0.user_id AS uid, min(e.event_id) AS eid
-              FROM t0 JOIN events e
-                ON e.user_id = t0.user_id AND e.ts = t0.t0
-              GROUP BY 1),
-       chan AS (SELECT e0.uid, e.event_type AS channel
-                FROM e0 JOIN events e ON e.event_id = e0.eid),
-       pu AS (SELECT e.user_id AS uid,
-                max(CASE WHEN e.event_type = 'purchase'
-                  AND e.value > $TwoPropValueCut THEN 1 ELSE 0 END) AS conv
-              FROM events e GROUP BY 1),
-       j AS (SELECT chan.channel, pu.conv,
-               CAST(('0x' || substr(md5(CAST(pu.uid AS VARCHAR)), 1, 1))
-                 AS INT) < 8 AS treat
-             FROM pu JOIN chan ON chan.uid = pu.uid),
+    s"""WITH $channelConvArmsCtes,
        ch AS (SELECT channel,
                 CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
                 CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS c_t,
@@ -1340,6 +1353,89 @@ object Stats extends QueryModule {
          (gap_ch > 0 AND gap_all < 0) OR (gap_ch < 0 AND gap_all > 0)
            AS simpson_flip
        FROM sc"""
+
+  /** q_cmh: Cochran–Mantel–Haenszel stratified 2×2 association — the
+    * ANSWER to the trap q_simpson_flip detects (when subgroup gaps
+    * contradict the aggregate, the aggregate is confounded by channel
+    * mix; CMH pools the per-stratum treatment↔conversion association
+    * WITHOUT collapsing the strata): per channel the 2×2 cells
+    * (a,b,c,d), the MH common odds ratio Σ(a·d/n)/Σ(b·c/n), and the CMH
+    * χ²(1df) (Σa − ΣE)²/ΣV with E = (a+b)(a+c)/n and
+    * V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)), against the pinned
+    * [[SrmChiCrit]]. Shares [[channelConvArms]] with q_simpson_flip
+    * (byte-identical oracle CTEs). Cells are exact integers; E/V terms
+    * are single mirrored double expressions; the three stratum sums fold
+    * channel-ordered bounded arrays; one-user strata are excluded
+    * identically (V's n−1 would divide by zero under ANSI). */
+  def qCmh(s: SparkSession, dir: String): DataFrame = {
+    val cells = channelConvArms(s, dir).groupBy("channel")
+      .agg(sum(when(col("treat") && col("conv") === 1L, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(!col("treat") && col("conv") === 1L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("treat") && col("conv") === 0L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col("treat") && col("conv") === 0L, 1L).otherwise(0L))
+          .as("d"))
+      .select(col("*"), (col("a") + col("b") + col("c") + col("d")).as("n"))
+      .filter(col("n") >= 2)
+    def fold(term: Column, name: String) =
+      aggregate(transform(array_sort(collect_list(struct(col("channel"),
+        term.as("t")))), r => r.getField("t")), lit(0.0), (x, t) => x + t)
+        .as(name)
+    val nD = col("n").cast("double")
+    val m = cells.groupBy()
+      .agg(count(lit(1)).as("k_strata"), sum(col("a")).as("sum_a"),
+        fold(col("a").cast("double") * col("d") / nD, "num"),
+        fold(col("b").cast("double") * col("c") / nD, "den"),
+        fold((col("a") + col("b")).cast("double") * (col("a") + col("c"))
+          / nD, "se"),
+        fold((col("a") + col("b")).cast("double") * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d"))
+          / (nD * nD * (nD - 1.0)), "sv"))
+    val chi2 = (col("sum_a").cast("double") - col("se")) *
+      (col("sum_a").cast("double") - col("se")) / col("sv")
+    m.select(col("k_strata"), col("sum_a"),
+      when(col("den") > 0, round(col("num") / col("den"), 6)).as("or_cmh"),
+      when(col("sv") > 0, round(chi2, 6)).as("chi2"),
+      when(col("sv") > 0, chi2 > SrmChiCrit).as("significant"))
+  }
+
+  private lazy val qCmhSql =
+    s"""WITH $channelConvArmsCtes,
+       cells AS (SELECT channel,
+           CAST(sum(CASE WHEN treat AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(sum(CASE WHEN NOT treat AND conv = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(sum(CASE WHEN treat AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           CAST(sum(CASE WHEN NOT treat AND conv = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+         FROM j GROUP BY 1),
+       cn AS (SELECT *, a + b + c + d AS n FROM cells
+              WHERE a + b + c + d >= 2),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+               CAST(sum(a) AS BIGINT) AS sum_a,
+               list_sum(list(CAST(a AS DOUBLE) * d / CAST(n AS DOUBLE)
+                 ORDER BY channel)) AS num,
+               list_sum(list(CAST(b AS DOUBLE) * c / CAST(n AS DOUBLE)
+                 ORDER BY channel)) AS den,
+               list_sum(list(CAST(a + b AS DOUBLE) * (a + c)
+                 / CAST(n AS DOUBLE) ORDER BY channel)) AS se,
+               list_sum(list(CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                 * (b + d) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)) ORDER BY channel)) AS sv
+             FROM cn)
+       SELECT k_strata, sum_a,
+         CASE WHEN den > 0 THEN round(num / den, 6) END AS or_cmh,
+         CASE WHEN sv > 0 THEN
+           round((CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se)
+             / sv, 6) END AS chi2,
+         CASE WHEN sv > 0 THEN
+           (CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se) / sv
+             > $SrmChiCrit END AS significant
+       FROM m"""
 
   /** Critical value for [[qAaTest]]'s pairwise |z| flags (two-sided 5%,
     * the q_srm pin). */
@@ -5729,6 +5825,7 @@ object Stats extends QueryModule {
     "q_iv_wald" -> (qIvWald _),
     "q_aa_test" -> (qAaTest _),
     "q_simpson_flip" -> (qSimpsonFlip _),
+    "q_cmh" -> (qCmh _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5807,6 +5904,7 @@ object Stats extends QueryModule {
     "q_iv_wald" -> qIvWaldSql,
     "q_aa_test" -> qAaTestSql,
     "q_simpson_flip" -> qSimpsonFlipSql,
+    "q_cmh" -> qCmhSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1516,6 +1516,62 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_cmh: plain-Scala MH odds ratio and chi2 from the 2x2 strata, " +
+    "consistent with q_simpson_flip's channel substrate") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.Stats.qCmh(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // rebuild the strata from q_simpson_flip's per-channel counts plus
+    // the conversion splits recomputed here
+    val flips = operators.Stats.qSimpsonFlip(spark, sf).collect()
+    val nUsers = flips.map(x => x.getAs[Long]("n_t") + x.getAs[Long]("n_c")).sum
+    // plain-Scala strata via the same first-event/conv/arm definitions
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("event_id"),
+        x.getAs[java.sql.Timestamp]("ts"), x.getAs[String]("event_type"),
+        x.getAs[Double]("value")))
+    def arm(u: Long): Boolean =
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.take(1), 16) < 8
+    val strata = ev.groupBy(_._1).map { case (u, g) =>
+      val ch = g.minBy(x => (x._3.getTime, x._3.getNanos, x._2))._4
+      val conv = g.exists(x => x._4 == "purchase" &&
+        x._5 > operators.Stats.TwoPropValueCut)
+      (ch, conv, arm(u))
+    }.toSeq.groupBy(_._1).map { case (ch, g) =>
+      (ch, g.count(x => x._3 && x._2).toLong,
+        g.count(x => !x._3 && x._2).toLong,
+        g.count(x => x._3 && !x._2).toLong,
+        g.count(x => !x._3 && !x._2).toLong)
+    }.filter(s2 => s2._2 + s2._3 + s2._4 + s2._5 >= 2).toSeq.sortBy(_._1)
+    assert(row.getAs[Long]("k_strata") == strata.length.toLong)
+    assert(row.getAs[Long]("sum_a") == strata.map(_._2).sum)
+    assert(strata.map(s2 => s2._2 + s2._3 + s2._4 + s2._5).sum == nUsers)
+    def n(s2: (String, Long, Long, Long, Long)) = s2._2 + s2._3 + s2._4 + s2._5
+    val num2 = strata.map(s2 => s2._2.toDouble * s2._5 / n(s2)).sum
+    val den2 = strata.map(s2 => s2._3.toDouble * s2._4 / n(s2)).sum
+    if (den2 == 0)
+      assert(row.isNullAt(row.fieldIndex("or_cmh")), "OR must be NULL")
+    else
+      assert(math.abs(row.getAs[Double]("or_cmh") - num2 / den2) < 1e-4,
+        s"${row.getAs[Double]("or_cmh")} vs ${num2 / den2}")
+    val se = strata.map(s2 =>
+      (s2._2 + s2._3).toDouble * (s2._2 + s2._4) / n(s2)).sum
+    val sv = strata.map { s2 =>
+      val nn = n(s2).toDouble
+      (s2._2 + s2._3).toDouble * (s2._4 + s2._5) * (s2._2 + s2._4) *
+        (s2._3 + s2._5) / (nn * nn * (nn - 1.0))
+    }.sum
+    val chi2 = math.pow(strata.map(_._2).sum - se, 2) / sv
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-4,
+      s"${row.getAs[Double]("chi2")} vs $chi2")
+    assert(row.getAs[Boolean]("significant") == (chi2 > 3.841459))
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
