@@ -1712,6 +1712,84 @@ object Stats extends QueryModule {
       round(e1, 6).as("e1"), round(varT, 6).as("var_t"))
   }
 
+  /** q_weighted_logrank: the weighted-log-rank FAMILY over q_logrank's
+    * risk table — three tests in one panel (Fleming–Harrington G-rho
+    * members): w=1 is the plain log-rank (late differences weigh the
+    * same as early), w=n_t is Gehan–Breslow–Wilcoxon (EARLY differences
+    * dominate — the test to run when a treatment's effect fades), and
+    * w=√n_t is Tarone–Ware (the compromise). Z_w = Σw(d₁−E₁)/√(Σw²V).
+    * Consumes the SAME risk table q_logrank emits (the oracle embeds
+    * q_logrank's SQL as a subquery, so the substrate is byte-identical
+    * by construction) and re-derives E₁/V from the table's EXACT integer
+    * columns rather than its rounded display columns; weights are
+    * integer-or-√integer (IEEE-exact); the two sums fold the t-ordered
+    * bounded array per test. The log-rank member doubles as a
+    * consistency anchor: its Z² is q_cox's score test at β=0. */
+  def qWeightedLogrank(s: SparkSession, dir: String): DataFrame = {
+    val rt = qLogrank(s, dir)
+      .select(col("t"), col("n1t"), col("n2t"), col("d1"), col("d2"))
+    val nt = (col("n1t") + col("n2t")).cast("double")
+    val dt = (col("d1") + col("d2")).cast("double")
+    val e1 = dt * col("n1t") / nt
+    val v = dt * (col("n1t").cast("double") / nt) *
+      (col("n2t").cast("double") / nt) * ((nt - dt) / (nt - 1.0))
+    val w = when(col("test") === "logrank", lit(1.0))
+      .when(col("test") === "gehan", nt)
+      .otherwise(sqrt(nt))
+    val terms = rt
+      .crossJoin(s.range(1).select(explode(array(lit("logrank"),
+        lit("gehan"), lit("tarone_ware"))).as("test")))
+      .select(col("test"), col("t"),
+        (w * (col("d1").cast("double") - e1)).as("u"),
+        (w * w * v).as("wv"))
+    def fold(term: Column, name: String) =
+      aggregate(transform(array_sort(collect_list(struct(col("t"),
+        term.as("x")))), r => r.getField("x")), lit(0.0), (a, x) => a + x)
+        .as(name)
+    val agg = terms.groupBy("test")
+      .agg(fold(col("u"), "su"), fold(col("wv"), "sv"))
+    val z = col("su") / sqrt(col("sv"))
+    agg.select(col("test"),
+      when(col("sv") > 0, round(z, 6)).as("z"),
+      when(col("sv") > 0, round(z * z, 6)).as("chi2"),
+      when(col("sv") > 0, abs(z) > AaZCrit).as("significant"))
+  }
+
+  private lazy val qWeightedLogrankSql =
+    s"""WITH rt AS (SELECT t, n1t, n2t, d1, d2 FROM ($qLogrankSql)),
+       terms AS (SELECT tst.test, rt.t,
+           CASE WHEN tst.test = 'logrank' THEN 1.0
+                WHEN tst.test = 'gehan' THEN CAST(rt.n1t + rt.n2t AS DOUBLE)
+                ELSE sqrt(CAST(rt.n1t + rt.n2t AS DOUBLE)) END
+             * (CAST(rt.d1 AS DOUBLE)
+               - CAST(rt.d1 + rt.d2 AS DOUBLE) * rt.n1t
+                 / CAST(rt.n1t + rt.n2t AS DOUBLE)) AS u,
+           CASE WHEN tst.test = 'logrank' THEN 1.0
+                WHEN tst.test = 'gehan' THEN CAST(rt.n1t + rt.n2t AS DOUBLE)
+                ELSE sqrt(CAST(rt.n1t + rt.n2t AS DOUBLE)) END
+           * CASE WHEN tst.test = 'logrank' THEN 1.0
+                WHEN tst.test = 'gehan' THEN CAST(rt.n1t + rt.n2t AS DOUBLE)
+                ELSE sqrt(CAST(rt.n1t + rt.n2t AS DOUBLE)) END
+           * (CAST(rt.d1 + rt.d2 AS DOUBLE)
+             * (CAST(rt.n1t AS DOUBLE) / CAST(rt.n1t + rt.n2t AS DOUBLE))
+             * (CAST(rt.n2t AS DOUBLE) / CAST(rt.n1t + rt.n2t AS DOUBLE))
+             * ((CAST(rt.n1t + rt.n2t AS DOUBLE)
+               - CAST(rt.d1 + rt.d2 AS DOUBLE))
+               / (CAST(rt.n1t + rt.n2t AS DOUBLE) - 1.0))) AS wv
+         FROM rt CROSS JOIN (SELECT unnest(['logrank', 'gehan',
+           'tarone_ware']) AS test) tst),
+       agg AS (SELECT test,
+           list_sum(list(u ORDER BY t)) AS su,
+           list_sum(list(wv ORDER BY t)) AS sv
+         FROM terms GROUP BY 1)
+       SELECT test,
+         CASE WHEN sv > 0 THEN round(su / sqrt(sv), 6) END AS z,
+         CASE WHEN sv > 0 THEN
+           round((su / sqrt(sv)) * (su / sqrt(sv)), 6) END AS chi2,
+         CASE WHEN sv > 0 THEN abs(su / sqrt(sv)) > $AaZCrit END
+           AS significant
+       FROM agg"""
+
   /** χ²(1df) critical value at α = 0.05 for [[qSrm]] (pinned constant,
     * the KruskalChiCrit convention). */
   val SrmChiCrit = 3.841459
@@ -5826,6 +5904,7 @@ object Stats extends QueryModule {
     "q_aa_test" -> (qAaTest _),
     "q_simpson_flip" -> (qSimpsonFlip _),
     "q_cmh" -> (qCmh _),
+    "q_weighted_logrank" -> (qWeightedLogrank _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5905,6 +5984,7 @@ object Stats extends QueryModule {
     "q_aa_test" -> qAaTestSql,
     "q_simpson_flip" -> qSimpsonFlipSql,
     "q_cmh" -> qCmhSql,
+    "q_weighted_logrank" -> qWeightedLogrankSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

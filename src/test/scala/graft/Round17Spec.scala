@@ -1572,6 +1572,36 @@ class Round17Spec extends SparkSpec {
     assert(row.getAs[Boolean]("significant") == (chi2 > 3.841459))
   }
 
+  test("q_weighted_logrank: plain-Scala recomputation of all three tests " +
+    "from the q_logrank risk table, and the w=1 member is the log-rank") {
+    val sf = "/root/testdata/sf0.001"
+    val rt = operators.Stats.qLogrank(spark, sf).collect()
+      .map(r => (r.getAs[Int]("t"), r.getAs[Long]("n1t"),
+        r.getAs[Long]("n2t"), r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .sortBy(_._1)
+    def test(wf: Double => Double): (Double, Double) = {
+      var su = 0.0; var sv = 0.0
+      rt.foreach { case (_, n1, n2, dd1, dd2) =>
+        val nt = (n1 + n2).toDouble; val dt = (dd1 + dd2).toDouble
+        val w = wf(nt)
+        su += w * (dd1.toDouble - dt * n1 / nt)
+        sv += w * w * (dt * (n1.toDouble / nt) * (n2.toDouble / nt) *
+          ((nt - dt) / (nt - 1.0)))
+      }
+      (su / math.sqrt(sv), su * su / sv)
+    }
+    val exp = Map("logrank" -> test(_ => 1.0), "gehan" -> test(n => n),
+      "tarone_ware" -> test(math.sqrt))
+    val rows = operators.Stats.qWeightedLogrank(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (z, chi2) = exp(r.getAs[String]("test"))
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-4, r.toString)
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-4, r.toString)
+      assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.959964))
+    }
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
