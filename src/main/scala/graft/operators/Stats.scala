@@ -1437,6 +1437,89 @@ object Stats extends QueryModule {
              > $SrmChiCrit END AS significant
        FROM m"""
 
+  /** q_meta_fixed: fixed-effect (inverse-variance) meta-analysis of the
+    * per-channel treatment effects — the experimentation ROLL-UP
+    * operator (q_simpson_flip warns when the naive aggregate lies; CMH
+    * pools association for 2×2 tables; this pools the EFFECT SIZES the
+    * way a meta-analysis or a multi-market experiment readout does,
+    * and reports whether pooling was even legitimate): per channel the
+    * rate gap θᵢ = p_t − p_c with variance vᵢ = p_t(1−p_t)/n_t +
+    * p_c(1−p_c)/n_c, weights w = 1/v, pooled θ̄ = Σwθ/Σw,
+    * SE = √(1/Σw), and Cochran's heterogeneity Q = Σwθ² − (Σwθ)²/Σw
+    * (the one-pass identity — no second sweep at θ̄) with
+    * I² = max(0, (Q−(k−1))/Q). Channels missing an arm or with
+    * degenerate variance leave identically; the three sums fold
+    * channel-ordered bounded arrays; every rate/variance is one
+    * mirrored expression over exact integers. */
+  def qMetaFixed(s: SparkSession, dir: String): DataFrame = {
+    val ch = channelConvArms(s, dir).groupBy("channel")
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat"), col("conv")).otherwise(0L)).as("c_t"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treat"), col("conv")).otherwise(0L)).as("c_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+    val pt = col("c_t").cast("double") / col("n_t")
+    val pc = col("c_c").cast("double") / col("n_c")
+    val v = pt * (lit(1.0) - pt) / col("n_t") +
+      pc * (lit(1.0) - pc) / col("n_c")
+    val scored = ch.select(col("channel"), (pt - pc).as("theta"), v.as("v"))
+      .filter(col("v") > 0)
+    def fold(term: Column, name: String) =
+      aggregate(transform(array_sort(collect_list(struct(col("channel"),
+        term.as("t")))), r => r.getField("t")), lit(0.0), (a, t) => a + t)
+        .as(name)
+    val m = scored.groupBy().agg(count(lit(1)).as("k"),
+      fold(lit(1.0) / col("v"), "sw"),
+      fold(col("theta") / col("v"), "swt"),
+      fold(col("theta") * col("theta") / col("v"), "swt2"))
+    val theta = col("swt") / col("sw")
+    val q = col("swt2") - col("swt") * col("swt") / col("sw")
+    val z = (col("swt") / col("sw")) / sqrt(lit(1.0) / col("sw"))
+    m.select(col("k"), round(theta, 6).as("theta_fixed"),
+      round(sqrt(lit(1.0) / col("sw")), 6).as("se"),
+      round(z, 6).as("z"),
+      round(q, 6).as("q_het"),
+      when(q > 0, round(greatest((q - (col("k") - 1).cast("double")) / q,
+        lit(0.0)), 6)).otherwise(lit(0.0)).as("i2"),
+      (abs(z) > AaZCrit).as("significant"))
+  }
+
+  private lazy val qMetaFixedSql =
+    s"""WITH $channelConvArmsCtes,
+       ch AS (SELECT channel,
+           CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+           CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN NOT treat THEN conv ELSE 0 END) AS BIGINT)
+             AS c_c
+         FROM j GROUP BY 1
+         HAVING sum(CASE WHEN treat THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) > 0),
+       sc AS (SELECT channel,
+           CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c AS theta,
+           CAST(c_t AS DOUBLE) / n_t * (1.0 - CAST(c_t AS DOUBLE) / n_t)
+             / n_t
+           + CAST(c_c AS DOUBLE) / n_c * (1.0 - CAST(c_c AS DOUBLE) / n_c)
+             / n_c AS v
+         FROM ch),
+       f AS (SELECT channel, theta, v FROM sc WHERE v > 0),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           list_sum(list(1.0 / v ORDER BY channel)) AS sw,
+           list_sum(list(theta / v ORDER BY channel)) AS swt,
+           list_sum(list(theta * theta / v ORDER BY channel)) AS swt2
+         FROM f)
+       SELECT k,
+         round(swt / sw, 6) AS theta_fixed,
+         round(sqrt(1.0 / sw), 6) AS se,
+         round((swt / sw) / sqrt(1.0 / sw), 6) AS z,
+         round(swt2 - swt * swt / sw, 6) AS q_het,
+         CASE WHEN swt2 - swt * swt / sw > 0 THEN
+             round(greatest((swt2 - swt * swt / sw
+               - CAST(k - 1 AS DOUBLE)) / (swt2 - swt * swt / sw), 0.0), 6)
+           ELSE 0.0 END AS i2,
+         abs((swt / sw) / sqrt(1.0 / sw)) > $AaZCrit AS significant
+       FROM m"""
+
   /** Critical value for [[qAaTest]]'s pairwise |z| flags (two-sided 5%,
     * the q_srm pin). */
   val AaZCrit = 1.959964
@@ -5905,6 +5988,7 @@ object Stats extends QueryModule {
     "q_simpson_flip" -> (qSimpsonFlip _),
     "q_cmh" -> (qCmh _),
     "q_weighted_logrank" -> (qWeightedLogrank _),
+    "q_meta_fixed" -> (qMetaFixed _),
     "q_shapley_attrib" -> (qShapleyAttrib _),
     "q_slo_burn" -> (qSloBurn _),
     "q_did" -> (qDid _),
@@ -5985,6 +6069,7 @@ object Stats extends QueryModule {
     "q_simpson_flip" -> qSimpsonFlipSql,
     "q_cmh" -> qCmhSql,
     "q_weighted_logrank" -> qWeightedLogrankSql,
+    "q_meta_fixed" -> qMetaFixedSql,
     "q_shapley_attrib" -> qShapleyAttribSql,
     "q_slo_burn" -> qSloBurnSql,
     "q_did" -> qDidSql,

@@ -1602,6 +1602,57 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("q_meta_fixed: plain-Scala inverse-variance pooling reproduces the " +
+    "pooled effect, SE, Q and I2, and the one-pass Q identity holds") {
+    val sf = "/root/testdata/sf0.001"
+    val r = operators.Stats.qMetaFixed(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // rebuild strata effects from q_simpson_flip's substrate recomputation
+    val flips = operators.Stats.qSimpsonFlip(spark, sf).collect()
+    // channel rates need the conversion splits; recompute via q_cmh's path
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("event_id"),
+        x.getAs[java.sql.Timestamp]("ts"), x.getAs[String]("event_type"),
+        x.getAs[Double]("value")))
+    def arm(u: Long): Boolean =
+      Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.take(1), 16) < 8
+    val strata = ev.groupBy(_._1).map { case (u, g) =>
+      val chn = g.minBy(x => (x._3.getTime, x._3.getNanos, x._2))._4
+      val conv = g.exists(x => x._4 == "purchase" &&
+        x._5 > operators.Stats.TwoPropValueCut)
+      (chn, conv, arm(u))
+    }.toSeq.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, g) =>
+      val (t, c) = g.partition(_._3)
+      if (t.isEmpty || c.isEmpty) None
+      else {
+        val ptv = t.count(_._2).toDouble / t.length
+        val pcv = c.count(_._2).toDouble / c.length
+        val vv = ptv * (1 - ptv) / t.length + pcv * (1 - pcv) / c.length
+        if (vv > 0) Some((ptv - pcv, vv)) else None
+      }
+    }
+    assert(row.getAs[Long]("k") == strata.length.toLong)
+    val sw = strata.map(1.0 / _._2).sum
+    val swt = strata.map(s2 => s2._1 / s2._2).sum
+    val swt2 = strata.map(s2 => s2._1 * s2._1 / s2._2).sum
+    assert(math.abs(row.getAs[Double]("theta_fixed") - swt / sw) < 1e-4)
+    assert(math.abs(row.getAs[Double]("se") - math.sqrt(1.0 / sw)) < 1e-5)
+    val q = swt2 - swt * swt / sw
+    assert(math.abs(row.getAs[Double]("q_het") - q) < 1e-4)
+    // one-pass identity vs the textbook two-pass Q
+    val q2 = strata.map { case (th, vv) =>
+      (th - swt / sw) * (th - swt / sw) / vv }.sum
+    assert(math.abs(q - q2) < 1e-9, "one-pass Q identity")
+    val i2 = if (q > 0) math.max((q - (strata.length - 1)) / q, 0.0) else 0.0
+    assert(math.abs(row.getAs[Double]("i2") - i2) < 1e-4)
+    assert(flips.nonEmpty) // the substrate both queries share is non-trivial
+  }
+
   test("q_tdigest plan: both aggregation levels are ObjectHashAggregate " +
     "partial+final (the shuffle carries sketch buffers, not raw values)") {
     val plan = operators.ScaleOps.qTdigest(spark, "/root/testdata/sf0.001")
