@@ -2555,7 +2555,12 @@ object RobustStats extends QueryModule {
         fold(log(col("x").cast("double")) * cD).as("slx"))
     val nD = col("n").cast("double")
     val varE = col("syy") / nD - (col("sy") / nD) * (col("sy") / nD)
-    val ll = lit(-0.5) * nD * log(varE) + (col("lam") - 1.0) * col("slx")
+    // var > 0 guard: a single-length group has σ̂² = 0 (or cancellation
+    // can drive it a hair negative) — Spark's log(≤0) is NULL but DuckDB's
+    // ln(≤0) THROWS, crashing the whole oracle. Both engines must emit
+    // NULL ll for the degenerate cell.
+    val ll = when(varE > 0.0,
+      lit(-0.5) * nD * log(varE) + (col("lam") - 1.0) * col("slx"))
     val w = Window.partitionBy("lang").orderBy(col("ll").desc, col("lam").asc)
     m.select(col("lang"), col("lam"), col("n"), ll.as("ll"))
       .withColumn("best", row_number().over(w) === 1)
@@ -2585,8 +2590,9 @@ object RobustStats extends QueryModule {
                  ORDER BY x)) AS slx
              FROM ev GROUP BY 1, 2),
        sc AS (SELECT lang, lam, n,
-                -0.5 * n * ln(syy / n - (sy / n) * (sy / n))
-                  + (lam - 1.0) * slx AS ll
+                CASE WHEN syy / n - (sy / n) * (sy / n) > 0.0
+                  THEN -0.5 * n * ln(syy / n - (sy / n) * (sy / n))
+                    + (lam - 1.0) * slx END AS ll
               FROM m)
        SELECT lang, lam AS lambda, n, round(ll, 6) AS ll,
          row_number() OVER (PARTITION BY lang ORDER BY ll DESC, lam ASC) = 1

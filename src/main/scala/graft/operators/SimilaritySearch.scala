@@ -1043,8 +1043,13 @@ object SimilaritySearch extends QueryModule {
     val lrd = rch.groupBy("i").agg(foldBy(col("j"), col("reach")).as("sr"))
       .select(col("i"),
         when(col("sr") > 0, lit(LofK.toDouble) / col("sr")).as("lrd"))
+    // NULL-lrd neighbors (all-zero reach sums from ≥k duplicate vectors)
+    // are dropped BEFORE the fold: Spark's + propagates the NULL while
+    // DuckDB's list_sum skips it, so the summed term sets must be made
+    // identical by filtering in both engines.
     val slrd = knn
       .join(lrd.select(col("i").as("j"), col("lrd").as("lrd_j")), Seq("j"))
+      .filter(col("lrd_j").isNotNull)
       .groupBy("i").agg(foldBy(col("j"), col("lrd_j")).as("slrd"))
     kd.join(lrd, Seq("i")).join(slrd, Seq("i"))
       .select(col("i").as("vec_id"), round(col("kdist"), 6).as("kdist"),
@@ -1075,7 +1080,8 @@ object SimilaritySearch extends QueryModule {
                    END AS lrd
                FROM rch GROUP BY i),
        sl AS (SELECT knn.i, list_sum(list(lj.lrd ORDER BY knn.j)) AS slrd
-              FROM knn JOIN lrd lj ON lj.i = knn.j GROUP BY knn.i)
+              FROM knn JOIN lrd lj ON lj.i = knn.j
+              WHERE lj.lrd IS NOT NULL GROUP BY knn.i)
        SELECT kd.i AS vec_id, round(kd.kdist, 6) AS kdist,
          round(l.lrd, 6) AS lrd,
          round(sl.slrd / (${LofK.toDouble} * l.lrd), 6) AS lof

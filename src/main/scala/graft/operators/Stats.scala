@@ -214,9 +214,11 @@ object Stats extends QueryModule {
     * is pure DECIMAL arithmetic (y exact decimal, x integer day index), so
     * Σ max(τ·r̃, (τ−1)·r̃) is exact and order-independent; the only floating
     * point is the final loss = ls/span division and the slope/intercept
-    * readout, mirrored op-for-op. Scale shape: one partial-aggregable scan
-    * collapses the fact table to the DAY×TYPE dimension; the O(days²)
-    * candidate enumeration and O(days³) evaluation never touch fact rows
+    * readout, mirrored op-for-op. The day-index factors are DECIMAL(4,0),
+    * so spans up to 9,999 days (~27 years of daily series) stay exact in
+    * both engines. Scale shape: one partial-aggregable scan collapses the
+    * fact table to the DAY×TYPE dimension; the O(days²) candidate
+    * enumeration and O(days³) evaluation never touch fact rows
     * (days = 30 here; a year is 365³ ≈ 5·10⁷ bounded rows — still
     * dimension-sized next to a 100 TB fact scan). */
   def qQuantileReg(s: SparkSession, dir: String): DataFrame = {
@@ -240,8 +242,8 @@ object Stats extends QueryModule {
     val taus = s.range(1).select(explode(array(QuantRegTaus.map { case (t, t1) =>
       struct(dec(t).as("tau"), dec(t1).as("taum1")) }: _*)).as("t"))
       .select(col("t.tau").as("tau"), col("t.taum1").as("taum1"))
-    val r = (col("py") - col("yi")) * col("span").cast("decimal(2,0)") -
-      (col("yj") - col("yi")) * (col("px") - col("xi")).cast("decimal(2,0)")
+    val r = (col("py") - col("yi")) * col("span").cast("decimal(4,0)") -
+      (col("yj") - col("yi")) * (col("px") - col("xi")).cast("decimal(4,0)")
     val agg = cand
       .join(pts.select(col("event_type").as("et_p"), col("x").as("px"),
         col("y").as("py")), col("event_type") === col("et_p"))
@@ -287,8 +289,8 @@ object Stats extends QueryModule {
                   ON a.event_type = b.event_type AND a.x < b.x),
        ev AS (SELECT c.event_type, t.tau, t.taum1, c.xi, c.yi, c.xj, c.yj,
                 c.span,
-                (p.y - c.yi) * CAST(c.span AS DECIMAL(2,0))
-                  - (c.yj - c.yi) * CAST(p.x - c.xi AS DECIMAL(2,0)) AS r
+                (p.y - c.yi) * CAST(c.span AS DECIMAL(4,0))
+                  - (c.yj - c.yi) * CAST(p.x - c.xi AS DECIMAL(4,0)) AS r
               FROM cand c JOIN pts p ON p.event_type = c.event_type
               CROSS JOIN taus t),
        agg AS (SELECT event_type, tau, taum1, xi, yi, xj, yj, span,
@@ -1809,8 +1811,14 @@ object Stats extends QueryModule {
     * bounded array per test. The log-rank member doubles as a
     * consistency anchor: its Z² is q_cox's score test at β=0. */
   def qWeightedLogrank(s: SparkSession, dir: String): DataFrame = {
+    // nt > 1 filter: the variance factor (nt−dt)/(nt−1) is 0/0 at nt=1 —
+    // Spark folds the NaN through + while DuckDB's NULL is SKIPPED by
+    // list_sum, so the summed term sets would differ. The nt=1 row
+    // carries zero information anyway (u = 0, V undefined); both engines
+    // drop it before the fold.
     val rt = qLogrank(s, dir)
       .select(col("t"), col("n1t"), col("n2t"), col("d1"), col("d2"))
+      .filter(col("n1t") + col("n2t") > 1)
     val nt = (col("n1t") + col("n2t")).cast("double")
     val dt = (col("d1") + col("d2")).cast("double")
     val e1 = dt * col("n1t") / nt
@@ -1839,7 +1847,8 @@ object Stats extends QueryModule {
   }
 
   private lazy val qWeightedLogrankSql =
-    s"""WITH rt AS (SELECT t, n1t, n2t, d1, d2 FROM ($qLogrankSql)),
+    s"""WITH rt AS (SELECT t, n1t, n2t, d1, d2 FROM ($qLogrankSql)
+           WHERE n1t + n2t > 1),
        terms AS (SELECT tst.test, rt.t,
            CASE WHEN tst.test = 'logrank' THEN 1.0
                 WHEN tst.test = 'gehan' THEN CAST(rt.n1t + rt.n2t AS DOUBLE)
@@ -1983,8 +1992,13 @@ object Stats extends QueryModule {
     * dimension-sized row. */
   def qPacf(s: SparkSession, dir: String): DataFrame = {
     val agg = acfAgg(s, dir)
+    // den > 0 guard mirrors qAcf: a constant series (den = 0) must emit
+    // NULL pacf in BOTH engines — unguarded, Spark's 0/0 is NaN while
+    // DuckDB's is NULL. A NULL rho[1] makes v NULL, which forces every
+    // reflection coefficient NULL regardless of list_sum NULL-skipping.
     val withRho = agg.select(col("event_type"), col("n_days"),
-      array((1 to AcfMaxLag).map(k => col(s"num$k") / col("den")): _*)
+      array((1 to AcfMaxLag).map(k =>
+        when(col("den") > 0.0, col(s"num$k") / col("den"))): _*)
         .as("rho"))
     val rho = col("rho")
     // state = (φ vector of the CURRENT order, v, out = the φ_mm DIAGONAL
@@ -2016,7 +2030,8 @@ object Stats extends QueryModule {
   }
 
   private lazy val qPacfSql = {
-    val rhoList = (1 to AcfMaxLag).map(k => s"num$k / den").mkString(", ")
+    val rhoList = (1 to AcfMaxLag)
+      .map(k => s"CASE WHEN den > 0.0 THEN num$k / den END").mkString(", ")
     s"""WITH RECURSIVE $acfAggCtes,
        r AS (SELECT et, n_days, [$rhoList] AS rho FROM agg),
        dl(et, n_days, rho, m, phi, v, pacfs) AS (
