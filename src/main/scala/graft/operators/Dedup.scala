@@ -740,18 +740,33 @@ object Dedup extends QueryModule {
   // ---------------- Duplicate-cluster assembly ----------------
 
   /** Connected components over an undirected edge list `(a, b)` by
-    * iterative min-label propagation: every node starts as its own label;
-    * each round takes the min of its own and its neighbors' labels until a
-    * fixpoint. Converges in O(component diameter) rounds — near-dup
-    * graphs are unions of near-cliques, so a handful in practice, with
-    * `maxIter` as the backstop.
+    * min-label propagation WITH pointer jumping (Shiloach–Vishkin-style
+    * hook + shortcut — the same O(log n)-round contraction class as the
+    * small-star/large-star algorithm of Kiveris et al. 2014): every node
+    * starts as its own label; each round (1) HOOKS — takes the min of its
+    * own and its neighbors' labels, moving the component minimum one hop
+    * through the GRAPH — and (2) SHORTCUTS — replaces l(v) with l(l(v)),
+    * compressing pointer chains through LABEL space, so the distance the
+    * minimum has traveled grows geometrically instead of linearly.
+    * Converges in O(log diameter) rounds: near-clique dup farms finish in
+    * 2–3 rounds exactly as plain propagation did, and a diameter-D
+    * contamination CHAIN (the shape Amplify's chain mode certifies)
+    * finishes in ~log₂ D rounds instead of D. `maxIter` is the backstop.
     *
-    * Scale shape: each round is one equi-join + one groupBy(min) on the
-    * node id, with the frontier persisted and the previous one released;
-    * the only thing that ever reaches the driver is the changed-row COUNT
-    * (the convergence test). This is the standard large-scale dedup
-    * clustering step (a pair list alone doesn't say which docs to drop —
-    * the cluster id does: keep min(doc_id) per cluster, drop the rest). */
+    * Labels are always node ids of the same component (min of node ids
+    * under hook; l(l(v)) under shortcut), so the parent lookup always
+    * hits, labels decrease monotonically, and the fixpoint of the hook
+    * step alone already forces label = component minimum — the shortcut
+    * only accelerates, never changes, the answer (the recursive-CTE hash
+    * gate on q_dedup_clusters pins this).
+    *
+    * Scale shape: each round is one edge equi-join + one groupBy(min) on
+    * the node id (hook) plus one node-sized self-join (shortcut), with
+    * each round's labels materialized and the previous released; the only
+    * thing that ever reaches the driver is the changed-row COUNT (the
+    * convergence test). This is the standard large-scale dedup clustering
+    * step (a pair list alone doesn't say which docs to drop — the cluster
+    * id does: keep min(doc_id) per cluster, drop the rest). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a"), col("b"))
@@ -768,10 +783,19 @@ object Dedup extends QueryModule {
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
       // `prev` is aliased BEFORE the new `label`: a lateral alias named
-      // `label` later in the same select would shadow the input column
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      // `label` later in the same select would shadow the input column.
+      // hooked materializes (localCheckpoint) because the shortcut below
+      // reads it from TWO join positions — child and parent lookup.
+      val hooked = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("lh"))
+        .localCheckpoint(true)
+      // shortcut: l(v) ← min(l(v), l(l(v))) — one node-sized self-join
+      val next = hooked.join(
+          hooked.select(col("id").as("pid"), col("lh").as("pl")),
+          col("lh") === col("pid"), "left_outer")
+        .select(col("id"), col("prev"),
+          least(col("lh"), coalesce(col("pl"), col("lh"))).as("label"))
         .persist(lvl)
       converged = next.filter(col("label") =!= col("prev")).limit(1).count() == 0
       labels.unpersist()

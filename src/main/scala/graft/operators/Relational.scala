@@ -831,10 +831,10 @@ object Relational extends QueryModule {
          round(aa, 6) AS adamic_adar
        FROM cand JOIN deg da ON da.node = pa JOIN deg db ON db.node = pb"""
 
-  /** Round cap for [[qConnectedComponents]]'s label propagation: rounds
-    * needed = graph diameter; the co-purchase graph's is single-digit at
-    * every test scale, and the loop breaks on the first converged round
-    * (the cap only bounds a pathological chain). */
+  /** Round cap for [[qConnectedComponents]]'s label propagation: with the
+    * pointer-jumping shortcut each round, rounds needed = O(log diameter)
+    * (the chain-mode Amplify ladder certifies this), and the loop breaks
+    * on the first converged round — the cap only bounds pathology. */
   val CcMaxRounds = 50
 
   /** q_connected_components: connected components of the co-purchase
@@ -848,12 +848,12 @@ object Relational extends QueryModule {
     * (self ∪ neighbors), and the loop breaks on the first round with
     * zero changed labels — every iteration is one dimension-sized
     * shuffle join (the fact table was left behind at the basket
-    * aggregate), re-persisted and lineage-cut per round. Rounds = graph
-    * DIAMETER; at 100 TB the same loop swaps to the two-phase
-    * small-star/large-star contraction (Kiveris et al. 2014, O(log n)
-    * rounds) — the per-round operator (join + min-agg) is identical,
-    * only the edge-rewrite between rounds differs, which is why the
-    * propagation form is the honest testbed. The component id is the
+    * aggregate), re-persisted and lineage-cut per round, FOLLOWED by a
+    * pointer-jumping shortcut (l(v) ← l(l(v)), one node-sized self-join —
+    * the Shiloach–Vishkin hook/shortcut discipline, same O(log n)-round
+    * contraction class as Kiveris et al. 2014's small-star/large-star):
+    * rounds = O(log diameter), not diameter, so a chained 100 TB graph
+    * converges in tens of rounds, not thousands. The component id is the
     * MINIMUM part id of the component — deterministic, no RNG — so the
     * full (part → component, size) mapping hash-gates against a DuckDB
     * recursive-CTE reachability closure (min reachable id per node):
@@ -878,13 +878,22 @@ object Relational extends QueryModule {
         .join(labels.select(col("node").as("b"), col("comp").as("nc")),
           Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"),
+      // hook (neighborhood min), materialized once — the shortcut reads
+      // it from both join positions
+      val hooked = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-            .as("comp"),
-          (col("nbr_min") < col("comp")).as("moved"))
+            .as("ch"))
         .localCheckpoint(true)
-      changed = next.filter(col("moved")).count()
+      // shortcut: comp(v) ← min(comp(v), comp(comp(v)))
+      val next = hooked.join(
+          hooked.select(col("node").as("pid"), col("ch").as("pc")),
+          col("ch") === col("pid"), "left_outer")
+        .select(col("node"),
+          least(col("ch"), coalesce(col("pc"), col("ch"))).as("comp"),
+          col("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select("node", "comp")
       round += 1
     }

@@ -122,4 +122,43 @@ class AmplifySpec extends SparkSpec {
       assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L, name)
     }
   }
+
+  test("chain mode bridges adjacent copies: graph diameter grows with K") {
+    val d3 = java.nio.file.Files.createTempDirectory("amplify-chain").toFile
+    d3.deleteOnExit()
+    val dir = d3.getAbsolutePath
+    Amplify.run(spark, sfDir, dir, k, chain = true)
+
+    // documents: the K−1 bridge docs and BOTH endpoint copies of the base
+    // doc must land in ONE near-dup cluster spanning every copy's id band
+    val cl = operators.Dedup.qDedupClusters(spark, dir)
+    val bridgeIds = (0 until k - 1).map(c => c * Amplify.KeyShift + Amplify.ChainBase)
+    val bridgeClusters = cl
+      .filter(col("doc_id").isin(bridgeIds.map(Long.box): _*))
+      .select("cluster_id").distinct().collect().map(_.getLong(0))
+    assert(bridgeClusters.length === 1,
+      "all bridge docs must share one cluster")
+    val span = cl.filter(col("cluster_id") === bridgeClusters.head)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()(0)
+    assert(span.getLong(0) < Amplify.KeyShift, "chain reaches copy 0")
+    assert(span.getLong(1) >= (k - 1) * Amplify.KeyShift,
+      "chain reaches the last copy")
+
+    // co-purchase graph: the bridged part's copies must share a component
+    val bridgeParts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") % Amplify.KeyShift >= Amplify.ChainBase)
+      .select("l_partkey").distinct().collect().map(_.getLong(0))
+    assert(bridgeParts.length === k, s"k bridged part copies, got ${bridgeParts.length}")
+    val comps = operators.Relational.qConnectedComponents(spark, dir)
+      .filter(col("part").isin(bridgeParts.map(Long.box): _*))
+      .select("component").distinct().count()
+    assert(comps === 1L, "bridged part copies must share one component")
+
+    // chain rows are O(K): facts grow by exactly the bridge rows
+    assert(spark.read.parquet(s"$dir/documents.parquet").count() ===
+      k * src("documents").count() + (k - 1))
+    assert(spark.read.parquet(s"$dir/lineitem.parquet").count() ===
+      k * src("lineitem").count() + 4L * (k - 1))
+  }
 }
