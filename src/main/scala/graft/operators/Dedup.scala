@@ -1235,28 +1235,33 @@ object Dedup extends QueryModule {
   def qDupSpans(s: SparkSession, dir: String): DataFrame =
     spansOf(s, dir)
 
-  /** The duplicated-position island chain (t/s/dup/d/m/g) — ONE
-    * definition shared by the span-detection and span-scrub oracles, so
-    * the merge rule cannot drift between the two gated queries. Callers
-    * prepend WITH. */
-  private lazy val spanChainCtes = {
+  /** The duplicated-position island chain (t/s/dup/d/m/g) parameterized
+    * by window length n — ONE definition shared by the span-detection
+    * and BOTH span-scrub oracles (hashed 5-gram at [[SpanN]], TRUE
+    * ExactSubstr coverage at [[ExactSubstrMinLen]] — the window-union
+    * reduction q_exact_substr_spans' gate proves equals the suffix-group
+    * coverage), so the merge rule cannot drift between gated queries.
+    * Callers prepend WITH. */
+  private def islandCtes(n: Int) = {
     val toks = TextFns.rawTokensSql("text")
     s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        s AS (
-         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", SpanN)}) AS shingle,
-           generate_subscripts(${TextFns.shinglesSql("toks", SpanN)}, 1) - 1 AS pos
+         SELECT doc_id, unnest(${TextFns.shinglesSql("toks", n)}) AS shingle,
+           generate_subscripts(${TextFns.shinglesSql("toks", n)}, 1) - 1 AS pos
          FROM t),
        dup AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 1),
        d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (shingle)),
        m AS (
          SELECT doc_id, pos, CASE WHEN pos - lag(pos)
-           OVER (PARTITION BY doc_id ORDER BY pos) <= $SpanN THEN 0 ELSE 1 END AS new_span
+           OVER (PARTITION BY doc_id ORDER BY pos) <= $n THEN 0 ELSE 1 END AS new_span
          FROM d),
        g AS (
          SELECT doc_id, pos, sum(new_span)
            OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
          FROM m)"""
   }
+
+  private lazy val spanChainCtes = islandCtes(SpanN)
 
   private lazy val qDupSpansSql =
     s"""WITH $spanChainCtes
@@ -1375,7 +1380,20 @@ object Dedup extends QueryModule {
     * ExactSubstr), and the two interval sets must match row-for-row.
     * This is what a span-scrub consumes; q_span_scrub's rewrite applies
     * unchanged downstream. */
-  def qExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+  def qExactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    exactSpansOf(s, dir)
+
+  /** The TRUE-span coverage intervals, memoized + persisted: TWO gated
+    * consumers (the spans query itself and the exact scrub 40g4, which
+    * q_pipeline's capstone rides) — the docShingles shared-hot-stage
+    * rule. */
+  private def exactSpansOf(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.exactspans:$dir") {
+      exactSubstrSpansUncached(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def exactSubstrSpansUncached(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val iv = suffixStarts(s, dir).select(col("doc_id"), col("pos"), col("gram"))
       .join(exactSubstrGroups(s, dir).select(col("gram"), col("m")), Seq("gram"))
@@ -1480,19 +1498,7 @@ object Dedup extends QueryModule {
 
   private lazy val qExactSubstrSpansSql = {
     val L = ExactSubstrMinLen
-    val toks = TextFns.rawTokensSql("text")
-    val sh = TextFns.shinglesSql("toks", L)
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-       s AS (SELECT doc_id, generate_subscripts($sh, 1) - 1 AS pos, unnest($sh) AS gram
-             FROM t),
-       dup AS (SELECT gram FROM s GROUP BY gram HAVING count(*) > 1),
-       d AS (SELECT doc_id, pos FROM s SEMI JOIN dup USING (gram)),
-       m AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)
-               OVER (PARTITION BY doc_id ORDER BY pos) <= $L THEN 0 ELSE 1 END AS new_span
-             FROM d),
-       g AS (SELECT doc_id, pos, sum(new_span)
-               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
-             FROM m)
+    s"""WITH ${islandCtes(L)}
        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          CAST(max(pos) + ${L - 1} AS BIGINT) AS span_end,
          CAST(max(pos) + ${L - 1} - min(pos) + 1 AS BIGINT) AS span_toks
@@ -1538,6 +1544,20 @@ object Dedup extends QueryModule {
   def qSpanScrub(s: SparkSession, dir: String): DataFrame =
     scrubWith(TextPrep.rawDocs(s, dir), spansOf(s, dir))
 
+  /** q_span_scrub_exact: the same span-removal rewrite fed by the TRUE
+    * ExactSubstr coverage intervals (q_exact_substr_spans) instead of
+    * the hashed 5-gram islands — the semantically-right scrub unit (Lee
+    * et al. 2022 remove the maximal repeated SUBSTRINGS, not a fixed-n
+    * window union at n=5): only text under a ≥[[ExactSubstrMinLen]]-token
+    * verbatim repeat is dropped, so short formulaic 5-grams survive. The
+    * rewrite machinery (explode + equi-anti-join + ordered kept-digest)
+    * is byte-identical to q_span_scrub — only the spans relation differs,
+    * and it arrives memoized (exactSpansOf). The oracle reuses the
+    * L-gram island chain whose equality to the suffix-group coverage is
+    * q_exact_substr_spans' gated theorem. */
+  def qSpanScrubExact(s: SparkSession, dir: String): DataFrame =
+    scrubWith(TextPrep.rawDocs(s, dir), exactSpansOf(s, dir))
+
   def qSpanScrubOf(docsIn: DataFrame): DataFrame =
     scrubWith(docsIn, repeatedSpans(docsIn))
 
@@ -1565,10 +1585,12 @@ object Dedup extends QueryModule {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
-  private[operators] lazy val qSpanScrubSql = {
-    s"""WITH $spanChainCtes,
+  /** The scrub oracle over the n-token island chain — shared by the
+    * 5-gram and exact-span scrub gates (only n differs). */
+  private def scrubSqlOver(n: Int) = {
+    s"""WITH ${islandCtes(n)},
        spans AS (
-         SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanN - 1} AS span_end
+         SELECT doc_id, min(pos) AS span_start, max(pos) + ${n - 1} AS span_end
          FROM g GROUP BY doc_id, span_id),
        dropped AS (
          SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans),
@@ -1587,6 +1609,11 @@ object Dedup extends QueryModule {
        FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
        WHERE len(t.toks) > 0"""
   }
+
+  private[operators] lazy val qSpanScrubSql = scrubSqlOver(SpanN)
+
+  private[operators] lazy val qSpanScrubExactSql =
+    scrubSqlOver(ExactSubstrMinLen)
 
   /** q_source_overlap: pairwise cross-SOURCE content overlap — the
     * dataset-card matrix that says which ingestion sources duplicate each
@@ -2173,6 +2200,7 @@ object Dedup extends QueryModule {
     "q_exact_substr_spans" -> (qExactSubstrSpans _),
     "q_source_verbatim" -> (qSourceVerbatim _),
     "q_span_scrub" -> (qSpanScrub _),
+    "q_span_scrub_exact" -> (qSpanScrubExact _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -2207,6 +2235,7 @@ object Dedup extends QueryModule {
     "q_exact_substr_spans" -> qExactSubstrSpansSql,
     "q_source_verbatim" -> qSourceVerbatimSql,
     "q_span_scrub" -> qSpanScrubSql,
+    "q_span_scrub_exact" -> qSpanScrubExactSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -347,8 +347,10 @@ object ScaleOps extends QueryModule {
   /** q_pipeline: the END-TO-END training-data pipeline capstone — every
     * major family composed into ONE hash-gated query: the full curation
     * funnel (quality ∧ repetition ∧ LM-surprisal ∧ language ∧ dedup
-    * survivor ∧ decontaminated), exact-substring SPAN SCRUB for the
-    * post-scrub token counts, the LEAKAGE-FREE train split (near-dup
+    * survivor ∧ decontaminated), the TRUE ExactSubstr SPAN SCRUB
+    * (q_span_scrub_exact — maximal-repeat coverage, not the 5-gram
+    * island approximation) for the post-scrub token counts, the
+    * LEAKAGE-FREE train split (near-dup
     * clusters move together), then GPT-style sequence packing of the
     * surviving train tokens (distributed prefix sum, PackCapacity
     * boundaries), rolled up per training shard. This is the query a 100 TB
@@ -362,7 +364,7 @@ object ScaleOps extends QueryModule {
     // is memoized + persisted like every other hot stage
     val train = graft.ModelCache.getOrElseUpdate(s, s"pipeline.train:$dir") {
       TextAnalysis.qCurationFull(s, dir).select("doc_id")
-        .join(Dedup.qSpanScrub(s, dir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
+        .join(Dedup.qSpanScrubExact(s, dir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
         .join(Dedup.qSplitLeakfree(s, dir).select(col("doc_id"), col("split")), Seq("doc_id"))
         .filter(col("split") === "train" && col("n_kept") > 0)
         .select(col("doc_id"), col("n_kept"))
@@ -378,7 +380,7 @@ object ScaleOps extends QueryModule {
   private lazy val qPipelineSql =
     s"""WITH
        cur AS (${TextAnalysis.qCurationFullSql}),
-       kept AS (${Dedup.qSpanScrubSql}),
+       kept AS (${Dedup.qSpanScrubExactSql}),
        sp AS (${Dedup.qSplitLeakfreeSql}),
        train AS (
          SELECT cur.doc_id, kept.n_kept
