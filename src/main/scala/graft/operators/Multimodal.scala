@@ -7,29 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * The container has no image/audio codecs, so decode is STUBBED with a
-  * deterministic fake (clearly marked), but the Spark-side shape is real:
-  * binary column, per-row metadata extraction as codegen expressions, and a
-  * partition-parallel decode path (`decodeBatch`) with the batch signature a
-  * real codec UDF would have. Payloads here are synthesized from `text`
-  * (cast to utf8 bytes) since the driver tables carry no media.
+  * Decode is REAL: graft.functions.ImageCodec is a pure-JVM parser for
+  * PNG (IHDR + zlib IDAT, all five scanline filters, CRC-verified) and
+  * 24-bit BMP (bottom-up rows, 4-byte padding) — no external codec
+  * libraries, only the JDK's bundled zlib. The Spark-side shape is the
+  * one a 100 TB media pipeline needs: binary column, partition-parallel
+  * decode (`decodeBatch` — mapPartitions, not a per-row UDF), and a
+  * hash-gated roundtrip query. Payloads are synthesized from `text`
+  * (the driver tables carry no media), but the synthesized containers
+  * are REAL files: ImageCodecSpec cross-checks them against the JDK's
+  * independent ImageIO reader byte-for-byte.
   */
 object Multimodal extends QueryModule {
-
-  /** STUB decoder: deterministic fake dimensions derived from the payload.
-    * A real implementation would decode the codec header here. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, String) = {
-    val n = payload.length
-    (n % 640 + 1, (n * 7) % 480 + 1, if (n % 2 == 0) "png" else "jpeg")
-  }
-
-  /** Per-partition codec-context seam: a real decoder opens its expensive
-    * state ONCE per partition here (decoder handle, pinned buffers, a
-    * feature-extractor's weights) and every row of the batch reuses it —
-    * the stub's "context" is just a marker proving the call pattern. */
-  private final class DecoderContext {
-    def decode(payload: Array[Byte]): (Int, Int, String) = stubDecode(payload)
-  }
 
   /** Partition-parallel decode with the batch shape a real codec needs:
     * `mapPartitions`, NOT a per-row UDF — per-row invocation re-pays
@@ -37,43 +26,93 @@ object Multimodal extends QueryModule {
     * round-trip per row, which is exactly what dies first at 100 TB of
     * media; the iterator shape amortizes init per PARTITION and streams
     * rows without materializing the batch. Input rows are (id: long,
-    * payload: binary); the decoded columns append after the passthroughs.
-    * Swapping in a real codec touches only DecoderContext. */
+    * payload: binary); the decoded columns append after the passthroughs. */
   def decodeBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idCol = df.columns.head
-    val out = df.select(col(idCol).cast("long"), col("payload"))
+    df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val ctx = new DecoderContext // once per partition, not per row
         it.map { case (id, payload) =>
-          val (w, h, f) = ctx.decode(payload)
-          (id, payload, w, h, f)
+          val d = graft.functions.ImageCodec.decode(payload)
+          (id, payload, d.width, d.height, d.channels, d.format)
         }
       }
-      .toDF(idCol, "payload", "width", "height", "format")
-    out
+      .toDF(idCol, "payload", "width", "height", "channels", "format")
   }
 
-  /** q_multimodal: binary payload metadata — byte length, content digest,
-    * deterministic stub dimensions — as pure codegen expressions. */
-  def qMultimodal(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Raster width q_multimodal uses per container. PNG is grayscale at
+    * 32 px; BMP is RGB at 15 px — 15·3 = 45 bytes/row is NOT 4-byte
+    * aligned, so the BMP row-padding path sits on the gated surface. */
+  val PngWidth = 32
+  val BmpWidth = 15
+
+  /** q_multimodal: REAL encode→decode roundtrip, hash-gated. Each doc's
+    * UTF-8 bytes become the pixel samples of a deterministic raster
+    * (zero-padded to whole rows), encoded as a REAL container — PNG
+    * (grayscale; the encoder cycles ALL FIVE scanline filters, so every
+    * de-filter branch is on the gated path) for even doc_ids, 24-bit BMP
+    * (bottom-up, padded rows) for odd — then decoded back with the
+    * pure-JVM parser, emitting decode-derived width/height/pixel
+    * statistics. The DuckDB oracle never sees a container: it predicts
+    * the decoded stats arithmetically from the text (width fixed, height
+    * = ceil(bytes/rowSamples), sample sum = sum of the ASCII codes —
+    * padding contributes zero), so ANY defect in filter inversion,
+    * padding, row order, channel order or the inflate path breaks the
+    * hash. Scale shape: one mapPartitions pass, no shuffle. */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        md5(col("payload")).as("payload_md5"))
-      .select(col("doc_id"), col("n_bytes"), col("payload_md5"),
-        (col("n_bytes") % 640 + 1).as("fake_width"),
-        ((col("n_bytes") * 7) % 480 + 1).as("fake_height"))
+      .filter(octet_length(col("payload")) > 0)
+      .as[(Long, Array[Byte])]
+    val decoded = base.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img =
+          if (id % 2 == 0) {
+            val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, PngWidth, 1)
+            graft.functions.ImageCodec.encodePng(PngWidth, h, 1, px)
+          } else {
+            val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, BmpWidth, 3)
+            graft.functions.ImageCodec.encodeBmp(BmpWidth, h, px)
+          }
+        val d = graft.functions.ImageCodec.decode(img)
+        var sum = 0L
+        var i = 0
+        while (i < d.pixels.length) { sum += d.pixels(i) & 0xFF; i += 1 }
+        (id, bytes.length.toLong, d.format, d.width, d.height,
+          d.width.toLong * d.height, sum)
+      }
+    }.toDF("doc_id", "n_bytes", "format", "width", "height", "n_px", "px_sum")
+    decoded.select(col("doc_id"), col("n_bytes"), col("format"),
+      col("width"), col("height"), col("n_px"), col("px_sum"),
+      round(col("px_sum").cast("double") /
+        (col("n_px") * when(col("format") === "png", 1).otherwise(3))
+          .cast("double"), 6).as("px_mean"))
+  }
 
   private val qMultimodalSql =
-    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-       md5(text) AS payload_md5,
-       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS fake_width,
-       CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 + 1 AS INT) AS fake_height
-       FROM documents"""
+    s"""WITH b AS (
+         SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+           CAST(list_sum(list_transform(
+             range(1, CAST(octet_length(CAST(text AS BLOB)) AS INT) + 1),
+             i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS s
+         FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+       g AS (
+         SELECT doc_id, n, s,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN $PngWidth ELSE $BmpWidth END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN (n + ${PngWidth - 1}) // $PngWidth
+                ELSE (n + ${BmpWidth * 3 - 1}) // ${BmpWidth * 3} END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+         FROM b)
+       SELECT doc_id, n AS n_bytes, format,
+         CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         CAST(width * height AS BIGINT) AS n_px, s AS px_sum,
+         round(CAST(s AS DOUBLE) / CAST(width * height * channels AS DOUBLE), 6)
+           AS px_mean
+       FROM g"""
 
   /** q_multimodal_frames: frame-sampling plumbing — K evenly spaced
     * fixed-size byte windows per payload (the shape of video frame-sampling

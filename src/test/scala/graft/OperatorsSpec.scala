@@ -126,10 +126,14 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("f1") - 2.0 * 2 / (2 * 2 + 1 + 1)) < 1e-5)
   }
 
-  test("multimodal stub decode plumbing") {
-    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+  test("multimodal decode plumbing: real PNG through the batch path") {
+    val px = Array.tabulate[Byte](6 * 4)(i => (i * 11 % 251).toByte)
+    val png = graft.functions.ImageCodec.encodePng(6, 4, 1, px)
+    val df = Seq((1L, png)).toDF("id", "payload")
     val out = Multimodal.decodeBatch(df).collect().head
-    assert(out.getAs[Int]("width") === 4 % 640 + 1)
+    assert(out.getAs[Int]("width") === 6)
+    assert(out.getAs[Int]("height") === 4)
+    assert(out.getAs[Int]("channels") === 1)
     assert(out.getAs[String]("format") === "png")
   }
 
