@@ -1864,6 +1864,98 @@ object Dedup extends QueryModule {
          round(CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS doc_frac
        FROM np JOIN nd ON nd.t = np.t CROSS JOIN tot"""
 
+  /** Target Jaccard threshold the LSH planner optimizes for (a realistic
+    * dedup operating point inside the observed candidate range). */
+  val LshPlanTau = 0.5
+
+  /** The planner's signature budget = [[NumHashes]]; candidates are every
+    * (b, r) split with b·r = budget and r a power of two, so every power
+    * in the S-curve is computable by a SQUARING CHAIN — exact IEEE,
+    * identical in both engines, no libm pow anywhere. */
+  val LshPlanBudgetLog2 = 7 // 2^7 = NumHashes
+
+  /** q_lsh_plan: analytic (b, r) band planner for the MinHash family —
+    * the design tool that replaces knob-twiddling (the r17 adaptive-width
+    * fix tuned ONE knob empirically; this evaluates the whole design
+    * space): for each candidate split of the 128-hash budget, the banding
+    * S-curve p(s) = 1 − (1 − s^r)^b is evaluated against the corpus'
+    * OBSERVED pair-similarity distribution (the q_dedup_rate_curve
+    * substrate: the exact ≥0.12 Jaccard pairs), emitting per candidate
+    *  - expected FALSE-NEGATIVE mass Σ_{j ≥ τ} (1 − p(j)) — true pairs
+    *    the banding would fail to surface,
+    *  - expected FALSE-POSITIVE mass Σ_{j < τ} p(j) — observed sub-τ
+    *    candidates it would surface anyway (the verify-stage bill),
+    *  - the MMDS threshold approximation s50 ≈ (1/b)^(1/r) (a sqrt
+    *    chain over exact power-of-two literals, precomputed once and
+    *    injected into both engines — the q_viterbi libm-constant
+    *    discipline),
+    * and flags the total-mass argmin. All powers are squaring chains
+    * (r, b powers of two); per-pair probabilities are rounded to 6dp and
+    * summed as EXACT DECIMALS, so the masses are order-independent — no
+    * bounded-fold needed, the aggregate map-side combines, and the whole
+    * planner is one pass over the memoized pair relation at any corpus
+    * scale. */
+  def qLshPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sq(c: Column, k: Int): Column = (1 to k).foldLeft(c)((x, _) => x * x)
+    val cands = (0 to LshPlanBudgetLog2).map { m =>
+      val r = 1 << m
+      val b = 1 << (LshPlanBudgetLog2 - m)
+      val s50 = (1 to m).foldLeft(1.0 / b)((x, _) => math.sqrt(x))
+      val jr = sq(col("jaccard"), m)
+      val p = lit(1.0) - sq(lit(1.0) - jr, LshPlanBudgetLog2 - m)
+      struct(lit(b).as("b"), lit(r).as("r"), lit(s50).as("s50"), p.as("p"))
+    }
+    val dec = "decimal(28,6)"
+    val ex = qDedupJaccard(s, dir)
+      .select(col("jaccard"), explode(array(cands: _*)).as("c"))
+      .select(col("jaccard"), col("c.b").as("b"), col("c.r").as("r"),
+        col("c.s50").as("s50"), col("c.p").as("p"))
+    val agg = ex.groupBy("b", "r", "s50").agg(
+      count(when(col("jaccard") >= LshPlanTau, 1)).as("n_true"),
+      count(when(col("jaccard") < LshPlanTau, 1)).as("n_below"),
+      sum(when(col("jaccard") >= LshPlanTau,
+        round(lit(1.0) - col("p"), 6).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("fn"),
+      sum(when(col("jaccard") < LshPlanTau, round(col("p"), 6).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("fp"))
+    val w = Window.orderBy((col("fn") + col("fp")).asc, col("b").asc)
+    agg.withColumn("best", row_number().over(w) === 1)
+      .select(col("b"), col("r"), round(col("s50"), 6).as("s50"),
+        col("n_true"), col("n_below"),
+        col("fn").cast("double").as("exp_fn_mass"),
+        col("fp").cast("double").as("exp_fp_mass"), col("best"))
+  }
+
+  private lazy val qLshPlanSql = {
+    def sqs(e: String, k: Int): String =
+      (1 to k).foldLeft(e)((x, _) => s"($x * $x)")
+    val cands = (0 to LshPlanBudgetLog2).map { m =>
+      val r = 1 << m
+      val b = 1 << (LshPlanBudgetLog2 - m)
+      val s50 = (1 to m).foldLeft(1.0 / b)((x, _) => math.sqrt(x))
+      val p = s"(1.0 - ${sqs(s"(1.0 - ${sqs("jaccard", m)})", LshPlanBudgetLog2 - m)})"
+      s"""SELECT jaccard, $b AS b, $r AS r, CAST($s50 AS DOUBLE) AS s50,
+          $p AS p FROM pr"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH pr AS MATERIALIZED ($qDedupJaccardSql),
+       ex AS ($cands),
+       agg AS (SELECT b, r, s50,
+           CAST(count(CASE WHEN jaccard >= $LshPlanTau THEN 1 END) AS BIGINT) AS n_true,
+           CAST(count(CASE WHEN jaccard < $LshPlanTau THEN 1 END) AS BIGINT) AS n_below,
+           sum(CASE WHEN jaccard >= $LshPlanTau
+             THEN CAST(round(1.0 - p, 6) AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END) AS fn,
+           sum(CASE WHEN jaccard < $LshPlanTau
+             THEN CAST(round(p, 6) AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END) AS fp
+         FROM ex GROUP BY 1, 2, 3)
+       SELECT b, r, round(s50, 6) AS s50, n_true, n_below,
+         CAST(fn AS DOUBLE) AS exp_fn_mass, CAST(fp AS DOUBLE) AS exp_fp_mass,
+         row_number() OVER (ORDER BY fn + fp ASC, b ASC) = 1 AS best
+       FROM agg"""
+  }
+
   /** Splice-window width (tokens). */
   val SpliceK = 4
 
@@ -2175,6 +2267,7 @@ object Dedup extends QueryModule {
     "q_modularity" -> (qModularity _),
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_rate_curve" -> (qDedupRateCurve _),
+    "q_lsh_plan" -> (qLshPlan _),
     "q_bleu_pairs" -> (qBleuPairs _),
     "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2214,6 +2307,7 @@ object Dedup extends QueryModule {
     "q_assortativity" -> qAssortativitySql,
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_rate_curve" -> qDedupRateCurveSql,
+    "q_lsh_plan" -> qLshPlanSql,
     "q_bleu_pairs" -> qBleuPairsSql,
     "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
