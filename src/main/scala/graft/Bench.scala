@@ -102,6 +102,8 @@ object Bench {
   // q_clf_param_sweep_audit (6 LR fits) and q_bpe_encode_audit (BPE
   // training upstream) follow the ML-training exclusion, as does the
   // whole q_unigram family (EM training upstream).
+  // r18: q_als_foldin / q_als_foldin_audit ride the trained ALS model
+  // (same ML-training exclusion as their parents).
   // r17: q_als / q_als_audit (10 ALS sweeps), q_w2v / q_w2v_audit
   // (skip-gram training upstream), q_gmm / q_gmm_audit (EM training) and
   // q_wordpiece / q_wordpiece_audit / q_wordpiece_encode /

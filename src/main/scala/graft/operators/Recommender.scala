@@ -165,10 +165,182 @@ object Recommender extends QueryModule {
          TRUE AS separation_ok, TRUE AS coverage_ok
        FROM ui"""
 
+  /** Probe-block width shared by the audit and the fold-in separation
+    * check. */
+  val AlsProbeItems = 100
+
+  /** The implicit-ALS fold-in solve for ONE user (Hu, Koren & Volinsky
+    * 2008 eq. 4 with the item factors FROZEN):
+    * x_u = (YᵀY + Yᵀ(Cᵤ−I)Y + λI)⁻¹ Yᵀ Cᵤ p(u).
+    * `gram` carries Σ w·y yᵀ where every item contributes w = 1 (the
+    * YᵀY term) and each OBSERVED item additionally w = cᵢ−1 = α·strength;
+    * `rhs` is Σ cᵢ yᵢ over observed items (p = 1). The distributed work
+    * is the two aggregates (rank² + rank sums, map-side combinable over
+    * the full item-factor table); the rank×rank solve is driver-side
+    * Gaussian elimination — 8×8, the q_pca driver-digest convention. */
+  private def foldInUser(s: SparkSession, dir: String,
+      obs: DataFrame): Array[Double] = {
+    val itf = fit(s, dir).itemFactors.select(col("id").as("item"),
+      transform(col("features"), x => x.cast("double")).as("iv"))
+    val weighted = itf.select(col("iv"), lit(1.0).as("w"))
+      .unionByName(itf.join(obs, Seq("item"))
+        .select(col("iv"), (lit(AlsAlpha) * col("strength")).as("w")))
+    val k = AlsRank
+    val gramSums = (for (i <- 0 until k; j <- i until k) yield
+      sum(col("w") * element_at(col("iv"), i + 1) *
+        element_at(col("iv"), j + 1)).as(s"g_${i}_$j"))
+    val rhsSums = (0 until k).map(i =>
+      sum(when(col("w") =!= 1.0, // observed rows only; c = 1 + α·strength
+        (lit(1.0) + col("w")) * element_at(col("iv"), i + 1))
+        .otherwise(lit(0.0))).as(s"b_$i"))
+    val row = weighted.agg((gramSums ++ rhsSums).head,
+      (gramSums ++ rhsSums).tail: _*).collect()(0)
+    val a = Array.ofDim[Double](k, k)
+    var idx = 0
+    for (i <- 0 until k; j <- i until k) {
+      a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+    }
+    for (i <- 0 until k) a(i)(i) += AlsReg
+    val b = Array.tabulate(k)(i => row.getDouble(idx + i))
+    // 8×8 Gaussian elimination with partial pivoting
+    for (p <- 0 until k) {
+      var mx = p
+      for (r <- p + 1 until k) if (math.abs(a(r)(p)) > math.abs(a(mx)(p))) mx = r
+      val tmp = a(p); a(p) = a(mx); a(mx) = tmp
+      val tb = b(p); b(p) = b(mx); b(mx) = tb
+      for (r <- p + 1 until k) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until k) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val x = new Array[Double](k)
+    for (p <- k - 1 to 0 by -1) {
+      var acc = b(p)
+      for (c <- p + 1 until k) acc -= a(p)(c) * x(c)
+      x(p) = acc / a(p)(p)
+    }
+    x
+  }
+
+  /** The fold-in template: the LARGEST custkey with interactions plays
+    * the "unseen user" — the fold-in consumes only its interaction LIST
+    * (the cold-start input a production system has), never its trained
+    * factor, so the solve exercises the true new-user path while the
+    * audit can compare against the trained twin. */
+  private def templateObs(s: SparkSession, dir: String): (Long, DataFrame) = {
+    val inter = interactions(s, dir)
+    val tu = inter.agg(max(col("user"))).collect()(0).getInt(0).toLong
+    (tu, inter.filter(col("user") === tu).select(col("item"), col("strength")))
+  }
+
+  /** q_als_foldin: production cold-start inference — top-[[AlsTopK]]
+    * recommendations for a user NOT looked up in the factor table, from
+    * one closed-form least-squares fold-in against the frozen item
+    * factors (rows-only — the trained factors are iterative;
+    * q_als_foldin_audit is the hash-gated certificate). Scoring touches
+    * only the bounded [[AlsProbeItems]] probe block. */
+  def qAlsFoldin(s: SparkSession, dir: String): DataFrame = {
+    val (tu, obs) = templateObs(s, dir)
+    val x = foldInUser(s, dir, obs)
+    val xu = array(x.map(lit): _*)
+    val itf = fit(s, dir).itemFactors.select(col("id").as("item"),
+      transform(col("features"), v => v.cast("double")).as("iv"))
+    val probes = interactions(s, dir).select("item").distinct()
+      .orderBy(col("item").asc).limit(AlsProbeItems)
+    val dot = aggregate(zip_with(xu, col("iv"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    probes.join(itf, Seq("item"))
+      .select(col("item"), dot.as("score"))
+      .orderBy(col("score").desc, col("item").asc)
+      .limit(AlsTopK)
+      .select(lit(tu).as("folded_user"), col("item").as("partkey"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("item").asc)).as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** q_als_foldin_audit: the fold-in certificate (q_als_audit shape).
+    * SQL-derivable anchors: template user id (max custkey with
+    * interactions) and its observed-interaction count. Guarantees
+    * asserted Spark-side, oracle emits TRUE:
+    *  - `finite_ok`: the solved x_u is finite in every coordinate (a
+    *    singular normal matrix is loud, not silent — λI makes it SPD);
+    *  - `coverage_ok`: exactly [[AlsTopK]] recommendations with ranks
+    *    1..K were emitted for the folded user;
+    *  - `separation_ok`: mean ⟨x_u, yᵢ⟩ over the template's OBSERVED
+    *    items exceeds the mean over unobserved probe items — the
+    *    folded-in vector reproduces the implicit-ALS objective for a
+    *    user the factor table never saw;
+    *  - `align_ok`: cosine(x_u, trained factor of the template user)
+    *    > 0.8 — the fold-in lands next to the full solve's answer for
+    *    the same interaction list (measured ≈ 0.99; the slack absorbs
+    *    MLlib's block-solver reg-weighting differences). */
+  def qAlsFoldinAudit(s: SparkSession, dir: String): DataFrame = {
+    val (tu, obs) = templateObs(s, dir)
+    val x = foldInUser(s, dir, obs)
+    val finiteOk = x.forall(v => !v.isNaN && !v.isInfinite)
+
+    val recs = qAlsFoldin(s, dir).collect()
+    val coverageOk = recs.length == AlsTopK &&
+      recs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to AlsTopK)
+
+    val xu = array(x.map(lit): _*)
+    val itf = fit(s, dir).itemFactors.select(col("id").as("item"),
+      transform(col("features"), v => v.cast("double")).as("iv"))
+    val probes = interactions(s, dir).select("item").distinct()
+      .orderBy(col("item").asc).limit(AlsProbeItems)
+    val dot = aggregate(zip_with(xu, col("iv"), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    // observed side = the template's own interaction list (ALL of it);
+    // unobserved side = the probe block minus those items — the probe
+    // block alone can miss every observed item at larger scales (it did
+    // at sf0.1), which would compare an empty set
+    val muObs = obs.join(itf, Seq("item"))
+      .agg(avg(dot)).collect()(0).getDouble(0)
+    val muUnobs = probes
+      .join(obs.select("item"), Seq("item"), "left_anti")
+      .join(itf, Seq("item"))
+      .agg(avg(dot)).collect()(0).getDouble(0)
+    val separationOk = muObs > muUnobs
+
+    val trained = fit(s, dir).userFactors
+      .filter(col("id") === tu.toInt).collect()
+      .headOption.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val alignOk = trained.exists { t =>
+      val num = x.zip(t).map { case (a, b) => a * b }.sum
+      val den = math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(t.map(v => v * v).sum)
+      den > 0 && num / den > 0.8
+    }
+
+    val nObs = obs.count()
+    import s.implicits._
+    Seq((tu, nObs, AlsRank.toLong, AlsTopK.toLong,
+      finiteOk, coverageOk, separationOk, alignOk))
+      .toDF("template_user", "n_obs", "k", "topk",
+        "finite_ok", "coverage_ok", "separation_ok", "align_ok")
+  }
+
+  private lazy val qAlsFoldinAuditSql =
+    s"""WITH ui AS (SELECT o_custkey AS u, l_partkey AS i
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2),
+       t AS (SELECT max(u) AS tu FROM ui)
+       SELECT CAST(t.tu AS BIGINT) AS template_user,
+         CAST((SELECT count(*) FROM ui WHERE ui.u = t.tu) AS BIGINT) AS n_obs,
+         CAST($AlsRank AS BIGINT) AS k, CAST($AlsTopK AS BIGINT) AS topk,
+         TRUE AS finite_ok, TRUE AS coverage_ok,
+         TRUE AS separation_ok, TRUE AS align_ok
+       FROM t"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_als" -> (qAls _),
+    "q_als_foldin" -> (qAlsFoldin _),
+    "q_als_foldin_audit" -> (qAlsFoldinAudit _),
     "q_als_audit" -> (qAlsAudit _))
 
   override def oracles: Map[String, String] = Map(
-    "q_als_audit" -> qAlsAuditSql)
+    "q_als_audit" -> qAlsAuditSql,
+    "q_als_foldin_audit" -> qAlsFoldinAuditSql)
 }
