@@ -1389,4 +1389,105 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  // -------------------- late / out-of-order arrival audit (r18) --------
+  // The twins' ordering contract, pinned (SURVEY §5 documents it):
+  //  * WATERMARKED operators reorder freely within the watermark and DROP
+  //    rows whose window is already finalized — late data inside the
+  //    horizon is exact, beyond it is dropped, never mis-aggregated.
+  //  * SEQUENCED stateful twins (runningCusum et al.) reorder WITHIN a
+  //    micro-batch (explicit seq sort); ACROSS batches arrival order is
+  //    the fold order — a cross-batch straggler folds where it lands.
+  //  * MONOTONE-EMISSION twins (runningNewVsReturning et al.) never
+  //    retract: a late FIRST day re-emits is_new under the corrected
+  //    first_day; the earlier emission stands.
+
+  test("late-data: windowed counts reorder within the watermark, drop past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.windowedCounts(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_late")
+      .outputMode("update").start()
+    def day1Updates(): Seq[Long] = spark.table("win_late").collect()
+      .filter(_.getAs[String]("day") == "2024-01-01").map(_.getAs[Long]("n")).toSeq
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable() // watermark → 01-01 11:00
+      // OUT-OF-ORDER but window [01-01, 01-02) is still open → counted
+      input.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "click", 2.0))
+      q.processAllAvailable()
+      assert(day1Updates().max === 2L, "in-horizon late row must aggregate")
+      // advance the watermark past the window end (01-03 01:00 > 01-02)
+      input.addData((Timestamp.valueOf("2024-01-03 02:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val before = day1Updates()
+      // TOO-LATE row: its window is finalized → dropped, no new update
+      input.addData((Timestamp.valueOf("2024-01-01 05:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      assert(day1Updates() === before, "row past the watermark must be dropped")
+      assert(day1Updates().max === 2L)
+    } finally q.stop()
+  }
+
+  test("late-data: CUSUM reorders within a batch by seq; cross-batch " +
+    "stragglers fold in arrival order (the documented bound)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.TypedValue]
+    val q = EventStream.runningCusum(input.toDS(), target = 2.0, threshold = 100.0)
+      .writeStream.format("memory").queryName("cusum_late")
+      .outputMode("update").start()
+    def fold(xs: Seq[Double]): Double = {
+      var pref = 0.0; var mn = 0.0
+      xs.foreach { x => pref += x - 2.0; mn = math.min(mn, pref) }
+      pref - mn
+    }
+    def latest(): (Long, Double) = spark.table("cusum_late")
+      .as[EventStream.CusumOut].collect().maxBy(_.n) match {
+        case o => (o.n, o.cusum)
+      }
+    try {
+      // one batch, seq SHUFFLED (3, 1, 2) → the explicit seq sort restores
+      // event order: result = fold over values in seq order 1, 2, 3
+      input.addData(EventStream.TypedValue("a", 3L, 9.0),
+        EventStream.TypedValue("a", 1L, 5.0), EventStream.TypedValue("a", 2L, 1.0))
+      q.processAllAvailable()
+      assert(latest() === ((3L, fold(Seq(5.0, 1.0, 9.0)))),
+        "within-batch shuffle must be reordered by seq")
+      // a CROSS-BATCH straggler (seq 0) folds where it ARRIVES — after
+      // seq 1..3, not before them; no retraction, state is monotone
+      input.addData(EventStream.TypedValue("a", 0L, 0.0))
+      q.processAllAvailable()
+      assert(latest() === ((4L, fold(Seq(5.0, 1.0, 9.0, 0.0)))),
+        "cross-batch straggler folds in arrival order")
+      assert(latest()._2 !== fold(Seq(0.0, 5.0, 1.0, 9.0)),
+        "(and that differs from full event-time order — the bound is real)")
+    } finally q.stop()
+  }
+
+  test("late-data: new-vs-returning re-emits under a corrected first day, " +
+    "never retracts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.DayUser]
+    val q = EventStream.runningNewVsReturning(input.toDS())
+      .writeStream.format("memory").queryName("nvr_late")
+      .outputMode("update").start()
+    def rows(): Set[(String, Boolean)] = spark.table("nvr_late")
+      .as[EventStream.NvrEmit].collect().map(e => (e.day, e.is_new)).toSet
+    try {
+      input.addData(EventStream.DayUser(5L, "2024-01-05"))
+      q.processAllAvailable()
+      assert(rows() === Set(("2024-01-05", true)))
+      // LATE first day: emitted as new under the corrected first_day;
+      // the 01-05 emission stands (no retraction — the documented bound:
+      // downstream consumers needing a unique "new" row dedup by min day)
+      input.addData(EventStream.DayUser(5L, "2024-01-03"))
+      q.processAllAvailable()
+      assert(rows() === Set(("2024-01-05", true), ("2024-01-03", true)))
+      // subsequent days classify against the CORRECTED first day
+      input.addData(EventStream.DayUser(5L, "2024-01-04"))
+      q.processAllAvailable()
+      assert(rows() === Set(("2024-01-05", true), ("2024-01-03", true),
+        ("2024-01-04", false)))
+    } finally q.stop()
+  }
 }
