@@ -2055,6 +2055,190 @@ object Stats extends QueryModule {
        WHERE m = $AcfMaxLag"""
   }
 
+  /** Forecast horizon of [[qArForecast]]. */
+  val ArHorizon = 3
+
+  /** q_ar_forecast: Yule–Walker AR(2) fit + [[ArHorizon]]-step forecast
+    * per event type — the panel an ARIMA modeler reads AFTER q_acf/q_pacf
+    * chose the order (the ACF says structure exists, the PACF says p;
+    * this FITS the AR(p) and projects it): φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),
+    * φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) from the SAME gated autocovariance aggregate
+    * q_acf/q_pacf ride (byte-identical oracle CTEs), then the mean-
+    * centered recursion x̂₁ = φ₁xₙ + φ₂xₙ₋₁, x̂ₕ = φ₁x̂ₕ₋₁ + φ₂x̂ₕ₋₂
+    * unrolled for the fixed horizon — pure mirrored +·/ arithmetic, no
+    * libm. The last two observations come from a 2-row-per-type ranked
+    * window over the daily dimension. Degenerate guard: NULL forecasts
+    * when den ≤ 0 or 1−ρ₁² = 0 (constant or perfectly lag-1-correlated
+    * series), identical in both engines. Scale shape: the one
+    * autocovariance scan is shared (memoizable subtree); everything
+    * after runs on the type×day dimension. */
+  def qArForecast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = acfAgg(s, dir)
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("yd"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").desc)
+    val lastTwo = daily.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("event_type")
+      .agg(max(when(col("rk") === 1, col("yd"))).cast("double").as("yn"),
+        max(when(col("rk") === 2, col("yd"))).cast("double").as("yn1"))
+    val ybar = (col("sum_yd").cast("double") / col("n_days").cast("double"))
+    val withMean = daily.groupBy("event_type")
+      .agg(sum(col("yd")).as("sum_yd"), count(lit(1)).as("n_days"))
+      .select(col("event_type"), ybar.as("ybar"))
+    val rho1 = col("num1") / col("den")
+    val rho2 = col("num2") / col("den")
+    val ok = col("den") > 0.0 && (lit(1.0) - rho1 * rho1) =!= 0.0
+    val phi1 = (rho1 * (lit(1.0) - rho2)) / (lit(1.0) - rho1 * rho1)
+    val phi2 = (rho2 - rho1 * rho1) / (lit(1.0) - rho1 * rho1)
+    val base = agg.select(col("event_type"), col("n_days"),
+        when(ok, phi1).as("phi1"), when(ok, phi2).as("phi2"))
+      .join(lastTwo, Seq("event_type"))
+      .join(withMean, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("phi1"), col("phi2"),
+        (col("yn") - col("ybar")).as("xn"),
+        (col("yn1") - col("ybar")).as("xn1"), col("ybar"))
+    val f1 = col("phi1") * col("xn") + col("phi2") * col("xn1")
+    val withF = base
+      .withColumn("f1", f1)
+      .withColumn("f2", col("phi1") * col("f1") + col("phi2") * col("xn"))
+      .withColumn("f3", col("phi1") * col("f2") + col("phi2") * col("f1"))
+    withF.select(col("event_type"), col("n_days"), col("ybar"),
+        round(col("phi1"), 6).as("phi1"), round(col("phi2"), 6).as("phi2"),
+        posexplode(array(col("f1"), col("f2"), col("f3"))).as(Seq("i", "f")))
+      .select(col("event_type"), col("n_days"), col("phi1"), col("phi2"),
+        (col("i") + 1).cast("int").as("h"),
+        round(col("f") + col("ybar"), 6).as("forecast"))
+  }
+
+  private lazy val qArForecastSql =
+    s"""WITH $acfAggCtes,
+       lt AS (SELECT et, max(CASE WHEN rk = 1 THEN y END) AS yn,
+                max(CASE WHEN rk = 2 THEN y END) AS yn1
+              FROM (SELECT et, CAST(yd AS DOUBLE) AS y,
+                      row_number() OVER (PARTITION BY et ORDER BY day DESC) AS rk
+                    FROM daily) WHERE rk <= 2 GROUP BY et),
+       mn AS (SELECT et, CAST(sum(yd) AS DOUBLE) / count(*) AS ybar
+              FROM daily GROUP BY et),
+       ph AS (SELECT agg.et, agg.n_days,
+                CASE WHEN den > 0.0 AND 1.0 - (num1/den) * (num1/den) <> 0.0
+                  THEN ((num1/den) * (1.0 - num2/den))
+                    / (1.0 - (num1/den) * (num1/den)) END AS phi1,
+                CASE WHEN den > 0.0 AND 1.0 - (num1/den) * (num1/den) <> 0.0
+                  THEN ((num2/den) - (num1/den) * (num1/den))
+                    / (1.0 - (num1/den) * (num1/den)) END AS phi2
+              FROM agg),
+       b AS (SELECT ph.et, ph.n_days, ph.phi1, ph.phi2,
+               lt.yn - mn.ybar AS xn, lt.yn1 - mn.ybar AS xn1, mn.ybar
+             FROM ph JOIN lt ON lt.et = ph.et JOIN mn ON mn.et = ph.et),
+       f AS (SELECT *, phi1 * xn + phi2 * xn1 AS f1 FROM b),
+       f2t AS (SELECT *, phi1 * f1 + phi2 * xn AS f2 FROM f),
+       f3t AS (SELECT *, phi1 * f2 + phi2 * f1 AS f3 FROM f2t)
+       SELECT et AS event_type, n_days, round(phi1, 6) AS phi1,
+         round(phi2, 6) AS phi2, CAST(h.h AS INT) AS h,
+         round(CASE h.h WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END + ybar, 6)
+           AS forecast
+       FROM f3t CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h"""
+
+  /** q_cooks_distance: OLS influence diagnostics for the per-type daily
+    * revenue trend — WHICH days drive the fitted line (q_regr fits it;
+    * q_anomaly z-scores raw totals; Cook's D asks the regression-native
+    * question "how much does the fit MOVE if this day is deleted"):
+    * slope/intercept from the exact-moment normal equations, residual
+    * eᵢ, leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, s² = SSE/(n−2) via an exact
+    * decimal-able residual pass, Dᵢ = eᵢ²·hᵢ/(p·s²·(1−hᵢ)²) with p = 2,
+    * flagged at the 4/n rule of thumb. Everything is mirrored +·/
+    * algebra off ONE day×type aggregate joined back to the day rows —
+    * the leverage identity needs no matrix anywhere. */
+  def qCooksDistance(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("v")).as("yd"))
+    val d0 = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val pts = daily.join(d0, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), col("d0")).cast("double").as("x"),
+        col("yd").cast("double").as("y"))
+    def dx(c: String) = col(c) // doubles from exact decimals, one cast
+    val m = pts.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx2"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("sx") / col("n")).as("xbar"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx2") - col("sx") * col("sx"))).as("b"),
+        (col("sxx2") - col("sx") * col("sx") / col("n")).as("sxx"),
+        (col("sy") / col("n")).as("ybar_"))
+      .select(col("event_type"), col("n"), col("xbar"), col("b"), col("sxx"),
+        (col("ybar_") - col("b") * col("xbar")).as("a"))
+    val joined = pts.join(m, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("x"), col("n"),
+        (col("y") - (col("a") + col("b") * col("x"))).as("e"),
+        (lit(1.0) / col("n") +
+          (col("x") - col("xbar")) * (col("x") - col("xbar")) / col("sxx"))
+          .as("h"))
+    // s² = SSE/(n−2): SSE from the SAME residuals, one more aggregate —
+    // e is a deterministic double per row, summed as a day-ordered fold
+    // (calendar-bounded, the k-bounded ordered-fold rule)
+    val sse = joined.groupBy("event_type")
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("day"),
+        (col("e") * col("e")).as("t")))), r => r.getField("t")),
+        lit(0.0), (acc, t) => acc + t).as("sse"))
+    joined.join(sse, Seq("event_type"))
+      .filter(col("n") > 2.0 && col("h") < 1.0)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("e"), 6).as("residual"), round(col("h"), 6).as("leverage"),
+        round(col("e") * col("e") * col("h") /
+          (lit(2.0) * (col("sse") / (col("n") - 2.0)) *
+            (lit(1.0) - col("h")) * (lit(1.0) - col("h"))), 6).as("cooks_d"),
+        (col("e") * col("e") * col("h") /
+          (lit(2.0) * (col("sse") / (col("n") - 2.0)) *
+            (lit(1.0) - col("h")) * (lit(1.0) - col("h"))) >
+          lit(4.0) / col("n")).as("influential"))
+  }
+
+  private lazy val qCooksDistanceSql =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS yd
+         FROM events GROUP BY 1, 2),
+       m0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+       pts AS (SELECT d.event_type, d.day,
+                 CAST(CAST(d.day - m0.d0 AS INT) AS DOUBLE) AS x,
+                 CAST(d.yd AS DOUBLE) AS y
+               FROM daily d JOIN m0 ON m0.event_type = d.event_type),
+       m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx2, sum(x * y) AS sxy
+             FROM pts GROUP BY 1),
+       c AS (SELECT event_type, n, sx / n AS xbar,
+               (n * sxy - sx * sy) / (n * sxx2 - sx * sx) AS b,
+               sxx2 - sx * sx / n AS sxx,
+               sy / n - (n * sxy - sx * sy) / (n * sxx2 - sx * sx) * (sx / n)
+                 AS a
+             FROM m),
+       j AS (SELECT p.event_type, p.day, p.x, c.n,
+               p.y - (c.a + c.b * p.x) AS e,
+               1.0 / c.n + (p.x - c.xbar) * (p.x - c.xbar) / c.sxx AS h
+             FROM pts p JOIN c ON c.event_type = p.event_type),
+       s AS (SELECT event_type, list_sum(list(e * e ORDER BY day)) AS sse
+             FROM j GROUP BY 1)
+       SELECT j.event_type, strftime(j.day, '%Y-%m-%d') AS day,
+         round(j.e, 6) AS residual, round(j.h, 6) AS leverage,
+         round(j.e * j.e * j.h / (2.0 * (s.sse / (j.n - 2.0))
+           * (1.0 - j.h) * (1.0 - j.h)), 6) AS cooks_d,
+         j.e * j.e * j.h / (2.0 * (s.sse / (j.n - 2.0))
+           * (1.0 - j.h) * (1.0 - j.h)) > 4.0 / j.n AS influential
+       FROM j JOIN s ON s.event_type = j.event_type
+       WHERE j.n > 2.0 AND j.h < 1.0"""
+
   /** q_qte: quantile treatment effects — WHERE in the outcome
     * distribution the A/B arms differ (61x's two-proportion z and 61n's
     * CUPED read means; a lift concentrated in heavy users moves p90 and
@@ -5996,6 +6180,8 @@ object Stats extends QueryModule {
     "q_herfindahl" -> (qHerfindahl _),
     "q_dtw" -> (qDtw _),
     "q_pacf" -> (qPacf _),
+    "q_ar_forecast" -> (qArForecast _),
+    "q_cooks_distance" -> (qCooksDistance _),
     "q_viterbi" -> (qViterbi _),
     "q_binseg" -> (qBinseg _),
     "q_iv_wald" -> (qIvWald _),
@@ -6077,6 +6263,8 @@ object Stats extends QueryModule {
     "q_herfindahl" -> qHerfindahlSql,
     "q_dtw" -> qDtwSql,
     "q_pacf" -> qPacfSql,
+    "q_ar_forecast" -> qArForecastSql,
+    "q_cooks_distance" -> qCooksDistanceSql,
     "q_viterbi" -> qViterbiSql,
     "q_binseg" -> qBinsegSql,
     "q_iv_wald" -> qIvWaldSql,
