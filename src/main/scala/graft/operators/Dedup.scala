@@ -743,15 +743,17 @@ object Dedup extends QueryModule {
     * min-label propagation WITH pointer jumping (Shiloach–Vishkin-style
     * hook + shortcut — the same O(log n)-round contraction class as the
     * small-star/large-star algorithm of Kiveris et al. 2014): every node
-    * starts as its own label; each round (1) HOOKS — takes the min of its
+    * starts as its own label; each round HOOKS — takes the min of its
     * own and its neighbors' labels, moving the component minimum one hop
-    * through the GRAPH — and (2) SHORTCUTS — replaces l(v) with l(l(v)),
-    * compressing pointer chains through LABEL space, so the distance the
-    * minimum has traveled grows geometrically instead of linearly.
-    * Converges in O(log diameter) rounds: near-clique dup farms finish in
-    * 2–3 rounds exactly as plain propagation did, and a diameter-D
+    * through the GRAPH — and every SECOND round also SHORTCUTS —
+    * replaces l(v) with l(l(v)), compressing pointer chains through
+    * LABEL space, so the distance the minimum has traveled grows
+    * geometrically instead of linearly. Alternating keeps near-clique
+    * dup farms at exactly plain propagation's cost (they converge in 2
+    * hook rounds, before any shortcut runs), while a diameter-D
     * contamination CHAIN (the shape Amplify's chain mode certifies)
-    * finishes in ~log₂ D rounds instead of D. `maxIter` is the backstop.
+    * finishes in O(log D) rounds instead of D. `maxIter` is the
+    * backstop.
     *
     * Labels are always node ids of the same component (min of node ids
     * under hook; l(l(v)) under shortcut), so the parent lookup always
@@ -784,18 +786,23 @@ object Dedup extends QueryModule {
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
       // `prev` is aliased BEFORE the new `label`: a lateral alias named
       // `label` later in the same select would shadow the input column.
-      // hooked materializes (localCheckpoint) because the shortcut below
-      // reads it from TWO join positions — child and parent lookup.
       val hooked = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("lh"))
-        .localCheckpoint(true)
-      // shortcut: l(v) ← min(l(v), l(l(v))) — one node-sized self-join
-      val next = hooked.join(
-          hooked.select(col("id").as("pid"), col("lh").as("pl")),
-          col("lh") === col("pid"), "left_outer")
-        .select(col("id"), col("prev"),
-          least(col("lh"), coalesce(col("pl"), col("lh"))).as("label"))
+      // shortcut l(v) ← min(l(v), l(l(v))) on ALTERNATE rounds only: a
+      // near-clique dup farm converges in 2 hook rounds and never pays
+      // the extra materialization + self-join, while a deep chain still
+      // compresses geometrically (hook, hook+shortcut, … is O(log d) —
+      // the chain-mode ladder certifies it). When the shortcut runs,
+      // hooked materializes (localCheckpoint) because the self-join
+      // reads it from TWO positions.
+      val next = (if (i % 2 == 1) {
+        val h = hooked.localCheckpoint(true)
+        h.join(h.select(col("id").as("pid"), col("lh").as("pl")),
+            col("lh") === col("pid"), "left_outer")
+          .select(col("id"), col("prev"),
+            least(col("lh"), coalesce(col("pl"), col("lh"))).as("label"))
+      } else hooked.select(col("id"), col("prev"), col("lh").as("label")))
         .persist(lvl)
       converged = next.filter(col("label") =!= col("prev")).limit(1).count() == 0
       labels.unpersist()

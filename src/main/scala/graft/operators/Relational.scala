@@ -848,12 +848,14 @@ object Relational extends QueryModule {
     * (self ∪ neighbors), and the loop breaks on the first round with
     * zero changed labels — every iteration is one dimension-sized
     * shuffle join (the fact table was left behind at the basket
-    * aggregate), re-persisted and lineage-cut per round, FOLLOWED by a
-    * pointer-jumping shortcut (l(v) ← l(l(v)), one node-sized self-join —
-    * the Shiloach–Vishkin hook/shortcut discipline, same O(log n)-round
-    * contraction class as Kiveris et al. 2014's small-star/large-star):
-    * rounds = O(log diameter), not diameter, so a chained 100 TB graph
-    * converges in tens of rounds, not thousands. The component id is the
+    * aggregate), re-persisted and lineage-cut per round, with a
+    * pointer-jumping shortcut (l(v) ← l(l(v)), one node-sized self-join)
+    * every SECOND round — the Shiloach–Vishkin hook/shortcut discipline,
+    * same O(log n)-round contraction class as Kiveris et al. 2014's
+    * small-star/large-star: rounds = O(log diameter), not diameter, so a
+    * chained 100 TB graph converges in tens of rounds, not thousands,
+    * while small-diameter graphs converge before any shortcut runs and
+    * pay nothing extra. The component id is the
     * MINIMUM part id of the component — deterministic, no RNG — so the
     * full (part → component, size) mapping hash-gates against a DuckDB
     * recursive-CTE reachability closure (min reachable id per node):
@@ -878,20 +880,22 @@ object Relational extends QueryModule {
         .join(labels.select(col("node").as("b"), col("comp").as("nc")),
           Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
-      // hook (neighborhood min), materialized once — the shortcut reads
-      // it from both join positions
       val hooked = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp")))
             .as("ch"))
-        .localCheckpoint(true)
-      // shortcut: comp(v) ← min(comp(v), comp(comp(v)))
-      val next = hooked.join(
-          hooked.select(col("node").as("pid"), col("ch").as("pc")),
-          col("ch") === col("pid"), "left_outer")
-        .select(col("node"),
-          least(col("ch"), coalesce(col("pc"), col("ch"))).as("comp"),
-          col("prev"))
+      // shortcut comp(v) ← min(comp(v), comp(comp(v))) on ALTERNATE
+      // rounds only (the Dedup.connectedComponents rationale: cliques
+      // converge in 2 hook rounds free of the extra self-join, chains
+      // still compress in O(log d) — the chain-mode ladder certifies it)
+      val next = (if (round % 2 == 1) {
+        val h = hooked.localCheckpoint(true)
+        h.join(h.select(col("node").as("pid"), col("ch").as("pc")),
+            col("ch") === col("pid"), "left_outer")
+          .select(col("node"),
+            least(col("ch"), coalesce(col("pc"), col("ch"))).as("comp"),
+            col("prev"))
+      } else hooked.select(col("node"), col("ch").as("comp"), col("prev")))
         .localCheckpoint(true)
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select("node", "comp")
