@@ -2161,16 +2161,21 @@ object Stats extends QueryModule {
       .groupBy("event_type", "day")
       .agg(sum(col("v")).as("yd"))
     val d0 = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    // moments accumulate as EXACT DECIMALS (x is a small day index, y an
+    // exact decimal daily total), cast to double ONCE after the aggregate
+    // — the SumAuditSpec order-independence discipline for gated sums
     val pts = daily.join(d0, Seq("event_type"))
       .select(col("event_type"), col("day"),
-        datediff(col("day"), col("d0")).cast("double").as("x"),
-        col("yd").cast("double").as("y"))
-    def dx(c: String) = col(c) // doubles from exact decimals, one cast
+        datediff(col("day"), col("d0")).cast("decimal(10,0)").as("xd"),
+        col("yd").cast("decimal(18,6)").as("ydc"))
+      .select(col("event_type"), col("day"), col("xd"), col("ydc"),
+        col("xd").cast("double").as("x"), col("ydc").cast("double").as("y"))
     val m = pts.groupBy("event_type").agg(
       count(lit(1)).cast("double").as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx2"),
-      sum(col("x") * col("y")).as("sxy"))
+      sum(col("xd")).cast("double").as("sx"),
+      sum(col("ydc")).cast("double").as("sy"),
+      sum(col("xd") * col("xd")).cast("double").as("sxx2"),
+      sum(col("xd") * col("ydc")).cast("double").as("sxy"))
       .select(col("event_type"), col("n"),
         (col("sx") / col("n")).as("xbar"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -2212,11 +2217,15 @@ object Stats extends QueryModule {
          FROM events GROUP BY 1, 2),
        m0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
        pts AS (SELECT d.event_type, d.day,
+                 CAST(CAST(d.day - m0.d0 AS INT) AS DECIMAL(10,0)) AS xd,
+                 CAST(d.yd AS DECIMAL(18,6)) AS ydc,
                  CAST(CAST(d.day - m0.d0 AS INT) AS DOUBLE) AS x,
                  CAST(d.yd AS DOUBLE) AS y
                FROM daily d JOIN m0 ON m0.event_type = d.event_type),
        m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-               sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx2, sum(x * y) AS sxy
+               CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(ydc) AS DOUBLE) AS sy,
+               CAST(sum(xd * xd) AS DOUBLE) AS sxx2,
+               CAST(sum(xd * ydc) AS DOUBLE) AS sxy
              FROM pts GROUP BY 1),
        c AS (SELECT event_type, n, sx / n AS xbar,
                (n * sxy - sx * sy) / (n * sxx2 - sx * sx) AS b,

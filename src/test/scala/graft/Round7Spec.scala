@@ -193,8 +193,9 @@ class Round7Spec extends SparkSpec {
     assert(ids.head === 0L)
     assert(ids.toSeq === ids.distinct.toSeq.sorted)
     // totals equal the curated ∩ train ∩ scrubbed token mass
+    // the capstone rides the TRUE ExactSubstr scrub since r18
     val expected = TA.qCurationFull(spark, sfDir).select("doc_id")
-      .join(Dedup.qSpanScrub(spark, sfDir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
+      .join(Dedup.qSpanScrubExact(spark, sfDir).select(col("doc_id"), col("n_kept")), Seq("doc_id"))
       .join(Dedup.qSplitLeakfree(spark, sfDir).select(col("doc_id"), col("split")), Seq("doc_id"))
       .filter(col("split") === "train" && col("n_kept") > 0)
       .agg(count(lit(1)), sum(col("n_kept"))).collect().head
