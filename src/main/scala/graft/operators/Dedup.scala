@@ -813,6 +813,28 @@ object Dedup extends QueryModule {
     labels
   }
 
+  /** Driver-side min-root union-find over a collected Long edge list —
+    * the local twin of [[connectedComponents]] for graphs already PROBED
+    * to be bounded (the pageRankLocal/q_keywords take(limit+1) pattern).
+    * Union-by-min keeps every root the minimum of its component, so the
+    * output labels match the distributed loop's exactly. */
+  def ccLocal(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(k => k -> find(k))
+  }
+
   /** q_dedup_clusters: duplicate CLUSTERS from the exact-Jaccard pair
     * graph — the operator that turns pairwise near-dup hits into a
     * per-doc cluster assignment (cluster id = min doc_id reachable).
