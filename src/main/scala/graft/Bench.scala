@@ -16,7 +16,7 @@ object Bench {
     "q_rep_ngram",
     "q_token_count", "q_fingerprint", "q_corpus_stats", "q_curation",
     "q_curation_full",
-    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_incremental", "q_dedup_minhash", "q_dedup_simhash",
     "q_decontaminate", "q_decon_semantic", "q_line_dedup", "q_dedup_clusters",
     "q_dedup_canonical",
     "q_rouge_pairs", "q_rake", "q_blocklist",

@@ -129,6 +129,114 @@ object Dedup extends QueryModule {
          round(CAST(sum(sdf) AS DOUBLE) / count(*), 6) AS mean_df
        FROM sh JOIN df USING (shingle) GROUP BY doc_id"""
 
+  /** q_dedup_incremental: INCREMENTAL near-dup maintenance — fold a
+    * batch of NEW documents (doc_id ≡ 4 mod 5, ~20%) into an existing
+    * corpus' pair state without re-running the corpus×corpus join. The
+    * subtle part is that the df-capped candidate semantics is NOT
+    * compositional: a shingle's cap status depends on the WHOLE corpus'
+    * df, so new documents can push a shingle over [[ShingleDfCap]] and
+    * change the capped-common count of pairs that contain NO new doc.
+    * The incremental plan handles that exactly:
+    *
+    *  1. shingle dfs merge ADDITIVELY (base df + delta df — the
+    *     q_incr_agg law again);
+    *  2. the delta candidate set is |Δ|-bounded: new-doc posting entries
+    *     join the full posting on MERGED-capped shingles, so only pairs
+    *     touching a new doc are generated (cap ENTRIES — df reaching 2 —
+    *     always involve a new doc, since two base docs sharing a shingle
+    *     already had df ≥ 2);
+    *  3. cap EXITS (df pushed past the cap BY the delta) are the
+    *     non-compositional repairs: every base×base pair of an exiting
+    *     shingle's base posting re-verifies (bounded: an exiting
+    *     shingle's base posting has ≤ cap docs);
+    *  4. all affected pairs re-verify against the MERGED capped shingle
+    *     sets (candidate-bounded set intersection, the qJaccardPrefix
+    *     verify shape); per-doc sizes are corpus-independent, so state
+    *     J values for untouched pairs stay valid;
+    *  5. result = (state ∖ affected) ∪ re-verified.
+    *
+    * The gate is the full point: the oracle is the byte-identical FULL
+    * recompute (qDedupJaccardSql), so the incremental path must
+    * reproduce every pair and every J value, cap transitions included. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val isNew = (col("doc_id") % 5) === 4
+    val shFlag = sh.select(col("doc_id"), col("sh"), isNew.as("is_new"))
+    // additive df merge: base df is the state, delta df the day's count
+    val dfs = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.dfs:$dir") {
+      shFlag.groupBy("sh").agg(
+        count(lit(1)).as("df_full"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("df_base"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val cappedFull = dfs
+      .filter(col("df_full") >= 2 && col("df_full") <= ShingleDfCap).select("sh")
+    // yesterday's pair state: the capped pipeline over base docs only
+    val baseState = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
+      val baseSh = shFlag.filter(!col("is_new")).select("doc_id", "sh")
+      val cappedBase = dfs
+        .filter(col("df_base") >= 2 && col("df_base") <= ShingleDfCap).select("sh")
+      val common = baseSh.join(cappedBase, Seq("sh"))
+        .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      jaccardOfCommon(s, dir, common)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // |Δ|-bounded candidates: new-doc postings against the full posting
+    val newPost = shFlag.filter(col("is_new")).select(col("sh"), col("doc_id").as("nd"))
+      .join(cappedFull, Seq("sh"))
+    val newCand = newPost
+      .join(shFlag.select(col("sh"), col("doc_id").as("od")), Seq("sh"))
+      .filter(col("nd") =!= col("od"))
+      .select(least(col("nd"), col("od")).as("doc_a"),
+        greatest(col("nd"), col("od")).as("doc_b"))
+      .distinct()
+    // cap-exit repairs: base×base pairs of shingles the delta pushed out
+    val exits = dfs.filter(col("df_base") >= 2 &&
+      col("df_base") <= ShingleDfCap && col("df_full") > ShingleDfCap).select("sh")
+    val repairCand = shFlag.filter(!col("is_new"))
+      .join(exits, Seq("sh"))
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val affected = newCand.unionByName(repairCand).distinct()
+      .localCheckpoint(true)
+    // candidate-bounded re-verify over the MERGED capped sets
+    val affDocs = affected.select(col("doc_a").as("doc_id"))
+      .unionByName(affected.select(col("doc_b").as("doc_id"))).distinct()
+    val affSets = shFlag.join(cappedFull, Seq("sh"))
+      .join(affDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
+    val reverified = affected
+      .join(affSets.select(col("doc_id").as("doc_a"), col("set").as("sa")), Seq("doc_a"))
+      .join(affSets.select(col("doc_id").as("doc_b"), col("set").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"))
+      .filter(col("common") > 0)
+    val fresh = jaccardOfCommon(s, dir, reverified)
+    baseState.join(affected, Seq("doc_a", "doc_b"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** (doc_a, doc_b, common) → the gated J ≥ 0.12 pair relation, sizes
+    * from the memoized per-doc distinct-shingle counts (which are
+    * corpus-independent — a doc's size never changes as the corpus
+    * grows, which is what lets incremental state J values stay valid). */
+  private def jaccardOfCommon(s: SparkSession, dir: String,
+      common: DataFrame): DataFrame = {
+    val sizes = docSizes(s, dir)
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.12)
+  }
+
   /** Jaccard threshold of [[qJaccardPrefix]]. */
   val PrefixJaccardTau = 0.3
 
@@ -2301,6 +2409,7 @@ object Dedup extends QueryModule {
     "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_jaccard_prefix" -> (qJaccardPrefix _),
     "q_novelty" -> (qNovelty _),
     "q_bfs_depth" -> (qBfsDepth _),
@@ -2341,6 +2450,7 @@ object Dedup extends QueryModule {
     "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_incremental" -> qDedupJaccardSql, // the full recompute IS the gate
     "q_jaccard_prefix" -> qJaccardPrefixSql,
     "q_novelty" -> qNoveltySql,
     "q_bfs_depth" -> qBfsDepthSql,

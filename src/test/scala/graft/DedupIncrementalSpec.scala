@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_dedup_incremental's non-compositional corner, FORCED: the driver
+  * corpora never push a shingle over the df cap with the delta alone, so
+  * the cap-exit repair path (step 3 of the operator doc) would otherwise
+  * ride along untested. This spec builds a corpus where the delta batch
+  * pushes a shared shingle past [[operators.Dedup.ShingleDfCap]] —
+  * changing the capped-common count of pairs that contain NO new doc —
+  * and pins the incremental result equal to the full recompute pair for
+  * pair, J values included. */
+class DedupIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("dedup-incr").toFile
+    d.deleteOnExit()
+    val cap = operators.Dedup.ShingleDfCap
+    // the EXIT shingle: "alpha beta gamma" appears in (cap − 2) base docs
+    // and 5 new docs → df_base = cap − 2 (capped in the base state),
+    // df_full = cap + 3 (over the cap after the delta). Base doc pairs
+    // sharing it must LOSE it from their capped-common counts.
+    // Docs 0 and 5 additionally share a private near-dup body, so their
+    // pair must SURVIVE re-verification with a changed J; the other
+    // exit-shingle-only pairs must drop out entirely.
+    val body = (1 to 12).map(i => s"word$i").mkString(" ")
+    val exiters = (0 until cap + 3).map { i =>
+      val id = if (i % 5 == 4) i * 5L + 4 else i * 5L // ≡4 mod 5 → "new"
+      val priv = if (i == 0 || i == 5) body else s"solo${i}a solo${i}b solo${i}c"
+      (id, s"alpha beta gamma $priv")
+    }
+    // keep ids unique and the mod-5 split as intended
+    val rows = exiters.zipWithIndex.map { case ((_, text), i) =>
+      val isNew = i >= cap - 2 // last 5 are the delta batch
+      val id = if (isNew) i * 5L + 4 else i * 5L
+      (id, text, "en", "spec", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  test("the delta actually forces a cap exit (fixture is non-vacuous)") {
+    val cap = operators.Dedup.ShingleDfCap
+    val sh = operators.Dedup.docShingles(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet").select("doc_id"), Seq("doc_id"))
+    val dfs = sh.withColumn("is_new", col("doc_id") % 5 === 4)
+      .groupBy("sh").agg(count(lit(1)).as("df_full"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("df_base"))
+    val exits = dfs.filter(col("df_base") >= 2 && col("df_base") <= cap &&
+      col("df_full") > cap).count()
+    assert(exits >= 1L, "fixture must force at least one cap exit")
+  }
+
+  test("incremental result equals the full recompute under cap exits") {
+    val full = operators.Dedup.qDedupJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = operators.Dedup.qDedupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr === full,
+      s"missing=${(full -- incr).take(5)} extra=${(incr -- full).take(5)}")
+    assert(full.nonEmpty, "the surviving private-body pair must exist")
+  }
+}
