@@ -63,9 +63,17 @@ object Multimodal extends QueryModule {
     * hash. Scale shape: one mapPartitions pass, no shuffle. */
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ASCII-only guard (byte count == char count): the oracle predicts
+    // the pixel sum via per-CHARACTER ascii() codes, which equals the
+    // UTF-8 byte sum only for ASCII text — true of the driver corpora
+    // today, filtered explicitly so a future non-ASCII corpus shrinks
+    // the gated set instead of hash-breaking it
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        length(col("text")).as("n_chars_t"))
+      .filter(octet_length(col("payload")) > 0 &&
+        octet_length(col("payload")) === col("n_chars_t"))
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     val decoded = base.mapPartitions { it =>
       it.map { case (id, bytes) =>
@@ -98,7 +106,8 @@ object Multimodal extends QueryModule {
            CAST(list_sum(list_transform(
              range(1, CAST(octet_length(CAST(text AS BLOB)) AS INT) + 1),
              i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS s
-         FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+         FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+           AND octet_length(CAST(text AS BLOB)) = length(text)),
        g AS (
          SELECT doc_id, n, s,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
