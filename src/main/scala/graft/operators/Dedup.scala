@@ -161,33 +161,52 @@ object Dedup extends QueryModule {
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     val isNew = (col("doc_id") % 5) === 4
-    val shFlag = sh.select(col("doc_id"), col("sh"), isNew.as("is_new"))
-    // additive df merge: base df is the state, delta df the day's count
-    val dfs = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.dfs:$dir") {
-      shFlag.groupBy("sh").agg(
-        count(lit(1)).as("df_full"),
-        sum(when(!col("is_new"), 1L).otherwise(0L)).as("df_base"))
+    // yesterday's state, memoized per (session, dir): the fold from an
+    // EMPTY state over the base docs IS the base recompute (the fold is
+    // total — an empty base has no exits and every candidate is new)
+    val prevSh = sh.filter(!isNew)
+    val newSh = sh.filter(isNew)
+    val emptyPairs = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+    val emptySh = prevSh.filter(lit(false))
+    val baseState = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
+      dedupFoldBatch(emptySh, emptyPairs, prevSh, docSizes(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    dedupFoldBatch(prevSh, baseState, newSh, docSizes(s, dir))
+  }
+
+  /** ONE batch step of incremental near-dup maintenance — the reusable
+    * fold behind [[qDedupIncremental]] (see its doc for the algorithm
+    * and the cap-transition argument). Inputs are the STORED state a
+    * production pipeline keeps: the accumulated posting relation
+    * `prevSh` (doc_id, sh), the accumulated pair relation `prevPairs`
+    * (doc_a, doc_b, jaccard), the batch's posting `newSh`, and the
+    * corpus-independent per-doc sizes. Returns the new pair relation.
+    * Folding from an EMPTY state is the full recompute, and
+    * DedupIncrementalSpec pins multi-batch folds equal to the one-shot
+    * recompute — the fold is associative in the only sense that matters.
+    * Scale: every stage is |Δ|-bounded except the one additive df merge. */
+  def dedupFoldBatch(prevSh: DataFrame, prevPairs: DataFrame,
+      newSh: DataFrame, sizes: DataFrame): DataFrame = {
+    val shFlag = prevSh.select(col("doc_id"), col("sh"), lit(false).as("is_new"))
+      .unionByName(newSh.select(col("doc_id"), col("sh"), lit(true).as("is_new")))
+    val dfs = shFlag.groupBy("sh").agg(
+      count(lit(1)).as("df_full"),
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("df_base"))
+      .localCheckpoint(true) // read from three positions below
     val cappedFull = dfs
       .filter(col("df_full") >= 2 && col("df_full") <= ShingleDfCap).select("sh")
-    // yesterday's pair state: the capped pipeline over base docs only
-    val baseState = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
-      val baseSh = shFlag.filter(!col("is_new")).select("doc_id", "sh")
-      val cappedBase = dfs
-        .filter(col("df_base") >= 2 && col("df_base") <= ShingleDfCap).select("sh")
-      val common = baseSh.join(cappedBase, Seq("sh"))
-        .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
-        .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      jaccardOfCommon(s, dir, common)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
     // |Δ|-bounded candidates: new-doc postings against the full posting
-    val newPost = shFlag.filter(col("is_new")).select(col("sh"), col("doc_id").as("nd"))
+    val newCand = newSh.select(col("sh"), col("doc_id").as("nd"))
       .join(cappedFull, Seq("sh"))
-    val newCand = newPost
       .join(shFlag.select(col("sh"), col("doc_id").as("od")), Seq("sh"))
       .filter(col("nd") =!= col("od"))
       .select(least(col("nd"), col("od")).as("doc_a"),
@@ -196,7 +215,7 @@ object Dedup extends QueryModule {
     // cap-exit repairs: base×base pairs of shingles the delta pushed out
     val exits = dfs.filter(col("df_base") >= 2 &&
       col("df_base") <= ShingleDfCap && col("df_full") > ShingleDfCap).select("sh")
-    val repairCand = shFlag.filter(!col("is_new"))
+    val repairCand = prevSh
       .join(exits, Seq("sh"))
       .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
@@ -216,18 +235,17 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"))
       .filter(col("common") > 0)
-    val fresh = jaccardOfCommon(s, dir, reverified)
-    baseState.join(affected, Seq("doc_a", "doc_b"), "left_anti")
+    val fresh = jaccardOfCommon(sizes, reverified)
+    prevPairs.join(affected, Seq("doc_a", "doc_b"), "left_anti")
       .unionByName(fresh)
   }
 
   /** (doc_a, doc_b, common) → the gated J ≥ 0.12 pair relation, sizes
-    * from the memoized per-doc distinct-shingle counts (which are
+    * from the per-doc distinct-shingle counts (which are
     * corpus-independent — a doc's size never changes as the corpus
     * grows, which is what lets incremental state J values stay valid). */
-  private def jaccardOfCommon(s: SparkSession, dir: String,
-      common: DataFrame): DataFrame = {
-    val sizes = docSizes(s, dir)
+  private def jaccardOfCommon(sizes: DataFrame,
+      common: DataFrame): DataFrame =
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
@@ -235,7 +253,6 @@ object Dedup extends QueryModule {
         round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.12)
-  }
 
   /** Jaccard threshold of [[qJaccardPrefix]]. */
   val PrefixJaccardTau = 0.3

@@ -53,6 +53,32 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(exits >= 1L, "fixture must force at least one cap exit")
   }
 
+  test("multi-batch fold: three sequential batches equal the one-shot recompute") {
+    // batches by doc_id mod 3 over the transition-forcing fixture — the
+    // fold must survive a cap exit landing in the MIDDLE batch too
+    val sh = operators.Dedup.docShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    def part(m: Long) = sh.filter(col("doc_id") % 3 === m)
+    val empty = part(0).filter(lit(false))
+    val emptyPairs = operators.Dedup
+      .dedupFoldBatch(empty, // fold from nothing over batch 0
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))),
+        part(0), sizes)
+    val p1 = operators.Dedup.dedupFoldBatch(part(0), emptyPairs, part(1), sizes)
+    val p2 = operators.Dedup.dedupFoldBatch(
+      part(0).unionByName(part(1)), p1, part(2), sizes)
+    val folded = p2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = operators.Dedup.qDedupJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(folded === full,
+      s"missing=${(full -- folded).take(5)} extra=${(folded -- full).take(5)}")
+  }
+
   test("incremental result equals the full recompute under cap exits") {
     val full = operators.Dedup.qDedupJaccard(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
