@@ -59,6 +59,15 @@ object Dedup extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The same distinct hashed-shingle relation over an arbitrary
+    * (doc_id, text) frame — the per-batch input of [[dedupFoldBatch]]
+    * (a streaming micro-batch, a daily delta load). */
+  def docShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.rawTokens(col("text")).as("rtoks"))
+      .select(col("doc_id"), explode(TextFns.shingles(col("rtoks"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+
   /** q_dedup_jaccard: exact n-gram Jaccard via inverted-index self-join.
     * |A∩B| from the posting-list join, |A|,|B| from per-doc shingle counts;
     * J = c / (|A|+|B|-c). Pairs with J ≥ 0.12 (calibrated to the corpus). */

@@ -1464,6 +1464,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup maintenance: foreachBatch folds micro-batches " +
+    "into the pair state (dedupFoldBatch), equal to the one-shot answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import operators.Dedup
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType))))
+    // near-dups CROSS the micro-batch boundary: 11/21 share a batch,
+    // 31 arrives a batch later and must pair with both
+    val b1 = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (21L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (99L, "totally unrelated words about something else entirely"))
+    val b2 = Seq(
+      (31L, "alpha beta gamma delta epsilon zeta eta kappa"),
+      (88L, "another unrelated document with private vocabulary"))
+    var postings = Dedup.docShinglesOf(b1.toDF("doc_id", "text")).filter(lit(false))
+      .localCheckpoint(true)
+    var sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    var pairs = emptyPairs
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sh = Dedup.docShinglesOf(batch).localCheckpoint(true)
+        sizes = sizes.unionByName(
+          sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))).localCheckpoint(true)
+        pairs = Dedup.dedupFoldBatch(postings, pairs, sh, sizes)
+          .localCheckpoint(true)
+        postings = postings.unionByName(sh).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // plain-Scala one-shot recompute with the SAME capped semantics
+    val docs = (b1 ++ b2).toMap
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val dfCnt = sets.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val capped = dfCnt.filter { case (_, c) =>
+      c >= 2 && c <= Dedup.ShingleDfCap }.keySet
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      common = (sets(a) intersect sets(b) intersect capped).size if common > 0
+      j = common.toDouble / (sets(a).size + sets(b).size - common)
+      jr = math.rint(j * 1e6) / 1e6 if jr >= 0.12
+    } yield (a, b, jr)).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.exists { case (a, b, _) => a == 11L && b == 31L },
+      "a cross-batch near-dup pair must exist (fixture is non-vacuous)")
+  }
+
   test("late-data: new-vs-returning re-emits under a corrected first day, " +
     "never retracts") {
     implicit val sqlCtx = spark.sqlContext
