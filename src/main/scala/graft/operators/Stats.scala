@@ -3521,6 +3521,110 @@ object Stats extends QueryModule {
          round(CAST(n_at_risk - d AS DOUBLE) / n_at_risk, 6) AS surv_factor
        FROM r"""
 
+  /** q_competing_risks: the Aalen–Johansen cumulative-incidence estimator
+    * — the survival member KM/Nelson–Aalen cannot express (they treat all
+    * exits as ONE event; competing risks ask "which WAY did the user
+    * exit, and how does each cause's cumulative probability grow":
+    * 1 − KM overstates every cause-specific risk, the classic error
+    * CIF fixes): users exit by the CAUSE of their last event (lexical
+    * max on (ts, event_type) — deterministic in both engines), and
+    * CIF_k(t) = Σ_{s ≤ t} Ŝ(s−)·d_k(s)/n(s) over the same day-bounded
+    * risk table the KM family rides. Ŝ(s−) is the all-cause KM product,
+    * computed as a day-ordered fold (calendar-bounded, the qHolt
+    * sequential-recursion rule — no libm exp/ln product trick); the
+    * per-cause accumulation is a day-ordered running window sum (the
+    * q_rbo sequential-cumsum convention). ΣCIF_k(∞) = 1 − Ŝ(∞) by
+    * construction — the identity the spec asserts. */
+  def qCompetingRisks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"),
+        max(struct(col("ts"), col("event_type"))).getField("event_type")
+          .as("cause"))
+    val dk = lt.groupBy("t", "cause").agg(count(lit(1)).as("d_k"))
+    val d = dk.groupBy("t").agg(sum(col("d_k")).as("d"))
+    val tot = d.agg(sum(col("d")).as("n_users"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = d.crossJoin(broadcast(tot))
+      .withColumn("ended_before", coalesce(sum(col("d")).over(wCum), lit(0L)))
+      .select(col("t"), col("d"), (col("n_users") - col("ended_before")).as("n"))
+    // Ŝ(t−): sequential product over the day-bounded risk rows
+    val outType = "array<struct<t:int,s_before:double>>"
+    val acc0 = struct(lit(1.0).as("s"), array().cast(outType).as("out"))
+    val sBefore = risk
+      .agg(array_sort(collect_list(struct(col("t").cast("int").as("t"),
+        col("d").cast("double").as("dd"), col("n").cast("double").as("nn"))))
+        .as("arr"))
+      .select(aggregate(col("arr"), acc0, (acc, x) => struct(
+        (acc.getField("s") *
+          (lit(1.0) - x.getField("dd") / x.getField("nn"))).as("s"),
+        concat(acc.getField("out"), array(struct(x.getField("t").as("t"),
+          acc.getField("s").as("s_before")))).as("out")))
+        .getField("out").as("out"))
+      .select(explode(col("out")).as("r"))
+      .select(col("r.t").as("t"), col("r.s_before").as("s_before"))
+    val terms = dk.select(col("t").cast("int").as("t"), col("cause"), col("d_k"))
+      .join(risk.select(col("t").cast("int").as("t"), col("n")), Seq("t"))
+      .join(sBefore, Seq("t"))
+      .select(col("t"), col("cause"), col("d_k"), col("n"),
+        (col("s_before") * col("d_k").cast("double") / col("n").cast("double"))
+          .as("term"))
+    val wCif = Window.partitionBy("cause").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .select(col("cause"), col("t").as("t_days"), col("d_k").as("n_exits"),
+        col("n").as("n_at_risk"),
+        round(sum(col("term")).over(wCif), 6).as("cif"))
+  }
+
+  private lazy val qCompetingRisksSql =
+    """WITH lt0 AS (
+         SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_type DESC) AS rk
+         FROM events),
+       ltc AS (SELECT user_id, event_type AS cause FROM lt0 WHERE rk = 1),
+       ltt AS (
+         SELECT user_id,
+           date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t
+         FROM events GROUP BY user_id),
+       lt AS (SELECT ltt.user_id, ltt.t, ltc.cause
+              FROM ltt JOIN ltc USING (user_id)),
+       dk AS (SELECT t, cause, CAST(count(*) AS BIGINT) AS d_k
+              FROM lt GROUP BY 1, 2),
+       d AS (SELECT t, CAST(sum(d_k) AS BIGINT) AS d FROM dk GROUP BY t),
+       tot AS (SELECT CAST(sum(d) AS BIGINT) AS n_users FROM d),
+       risk AS (
+         SELECT CAST(t AS INT) AS t, d,
+           n_users - coalesce(CAST(sum(d) OVER (ORDER BY t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             AS n,
+           row_number() OVER (ORDER BY t ASC) AS rn
+         FROM d CROSS JOIN tot),
+       sb AS (
+         WITH RECURSIVE walk(rn, s, s_before) AS (
+           -- the anchor's s_before is CAST: a bare 1.0 literal would type
+           -- the column DECIMAL(2,1) and silently round every step
+           SELECT 1, 1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)),
+             CAST(1.0 AS DOUBLE)
+           FROM risk WHERE rn = 1
+           UNION ALL
+           SELECT r.rn, w.s * (1.0 - CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)),
+             w.s
+           FROM walk w JOIN risk r ON r.rn = w.rn + 1)
+         SELECT risk.t, walk.s_before FROM walk JOIN risk ON risk.rn = walk.rn),
+       terms AS (
+         SELECT CAST(dk.t AS INT) AS t, dk.cause, dk.d_k, risk.n,
+           sb.s_before * CAST(dk.d_k AS DOUBLE) / CAST(risk.n AS DOUBLE) AS term
+         FROM dk JOIN risk ON risk.t = CAST(dk.t AS INT)
+         JOIN sb ON sb.t = CAST(dk.t AS INT))
+       SELECT cause, t AS t_days, d_k AS n_exits, n AS n_at_risk,
+         round(sum(term) OVER (PARTITION BY cause ORDER BY t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+       FROM terms"""
+
   /** Holt smoothing constants — DYADIC on purpose (0.5, 0.25, 0.75 are
     * exact binary fractions, so the only fp error in the recursion is
     * the adds/multiplies themselves, identical in both engines). */
@@ -6177,6 +6281,7 @@ object Stats extends QueryModule {
     "q_dq_checks" -> (qDqChecks _),
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_competing_risks" -> (qCompetingRisks _),
     "q_nelson_aalen" -> (qNelsonAalen _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_ab_test" -> (qAbTest _),
@@ -6260,6 +6365,7 @@ object Stats extends QueryModule {
     "q_dq_checks" -> qDqChecksSql,
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
+    "q_competing_risks" -> qCompetingRisksSql,
     "q_nelson_aalen" -> qNelsonAalenSql,
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_ab_test" -> qAbTestSql,

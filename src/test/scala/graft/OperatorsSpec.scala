@@ -137,6 +137,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getAs[String]("format") === "png")
   }
 
+  test("competing risks: causes partition the exits and ΣCIF(∞) = 1") {
+    val rows = operators.Stats.qCompetingRisks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every user exits by exactly one cause, so per-t exits sum to the
+    // KM death counts and the final CIFs sum to 1 − Ŝ(∞) = 1 (everyone
+    // exits in this construction; 6dp rounding per cause)
+    val km = operators.Stats.qKaplanMeier(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("t_days").longValue ->
+        r.getAs[Number]("n_deaths").longValue).toMap
+    val perT = rows.groupBy(_.getAs[Number]("t_days").longValue)
+      .map { case (t, g) =>
+        t -> g.map(_.getAs[Number]("n_exits").longValue).sum }
+    assert(perT === km, "per-t exits must partition the KM deaths")
+    val lastCif = rows.groupBy(_.getAs[String]("cause")).values
+      .map(_.maxBy(_.getAs[Number]("t_days").longValue)
+        .getAs[Double]("cif")).sum
+    assert(math.abs(lastCif - 1.0) < 5e-6, s"sum of final CIFs = $lastCif")
+  }
+
   test("entry smoke: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
