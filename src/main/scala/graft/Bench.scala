@@ -60,7 +60,7 @@ object Bench {
     "q_lorenz", "q_cramers_v", "q_concordance", "q_jackknife",
     "q_salted_join", "q_holt", "q_seasonal", "q_mrl_audit", "q_ab_sequential",
     "q_cliffs_delta", "q_cohens_d", "q_theil_sen", "q_bh_fdr", "q_page_hinkley",
-    "q_ndcg", "q_er_blocking", "q_er_sorted", "q_cuped",
+    "q_ndcg", "q_er_blocking", "q_er_sorted", "q_cuped", "q_cem_att",
     "q_kneser_ney", "q_quantile_norm", "q_conformal",
     "q_rrf", "q_cms_audit", "q_sprt",
     "q_holm", "q_eb_shrink", "q_two_prop",

@@ -2872,6 +2872,107 @@ object Stats extends QueryModule {
   /** Pre/post boundary day for the CUPED covariate window. */
   val CupedSplitDay = "2024-01-15"
 
+  /** Pre-period value-mass bin width for [[qCemAtt]]'s coarsening (exact
+    * decimal floor division — no libm log binning on the gated path). */
+  val CemXBinWidth = 50
+
+  /** q_cem_att: coarsened exact matching (Iacus, King & Porro 2012) —
+    * the DETERMINISTIC member of the causal family (propensity scores
+    * need a fitted model; CEM needs only binning, which is why it
+    * hash-gates): per user, pre-period covariates (value mass binned at
+    * [[CemXBinWidth]], event count capped at 10) define the stratum;
+    * strata holding BOTH arms match, controls are weighted nT_s/nC_s,
+    * and ATT = Σ_s nT_s·(ȳT_s − ȳC_s) / Σ_s nT_s over the post-period
+    * outcome — reported next to the naive unadjusted difference the
+    * matching corrects. Reuses the CUPED pre/post substrate and the md5
+    * arm split. Per-stratum sums are exact decimals; the stratum grid is
+    * BOUNDED (bins × count-cap), so the cross-stratum double sums run as
+    * stratum-ordered folds (the k-bounded ordered-fold rule). */
+  def qCemAtt(s: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(18,6)")
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        (date_format(col("ts"), "yyyy-MM-dd") <= CupedSplitDay).as("pre"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("pre"), col("v"))), zero).as("x"),
+        coalesce(sum(when(!col("pre"), col("v"))), zero).as("y"),
+        sum(when(col("pre"), 1L).otherwise(0L)).as("cnt"))
+      .select(col("x"), col("y"),
+        floor(col("x") / lit(CemXBinWidth)).cast("long").as("xbin"),
+        least(col("cnt"), lit(10L)).as("cbin"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val strata = perUser.groupBy("xbin", "cbin")
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("nc"),
+        coalesce(sum(when(col("treat"), col("y"))), zero).as("syt"),
+        coalesce(sum(when(!col("treat"), col("y"))), zero).as("syc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+    def fold(term: Column, name: String) =
+      aggregate(transform(array_sort(collect_list(struct(col("xbin"),
+        col("cbin"), term.as("t")))), r => r.getField("t")),
+        lit(0.0), (a, t) => a + t).as(name)
+    val naive = perUser.groupBy("treat")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .groupBy()
+      .agg(max(when(col("treat"), col("sy").cast("double") / col("n"))).as("mt"),
+        max(when(!col("treat"), col("sy").cast("double") / col("n"))).as("mc"))
+      .select((col("mt") - col("mc")).as("naive_diff"))
+    strata.groupBy()
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("nt")).as("n_treated"), sum(col("nc")).as("n_control"),
+        fold(col("nt").cast("double") *
+          (col("syt").cast("double") / col("nt").cast("double") -
+            col("syc").cast("double") / col("nc").cast("double")), "att_num"))
+      .crossJoin(naive)
+      .select(col("n_strata"), col("n_treated"), col("n_control"),
+        round(col("att_num") / col("n_treated").cast("double"), 6).as("att"),
+        round(col("naive_diff"), 6).as("naive_diff"))
+  }
+
+  private lazy val qCemAttSql =
+    s"""WITH pu AS (
+         SELECT user_id,
+           coalesce(sum(CASE WHEN strftime(ts, '%Y-%m-%d') <= '$CupedSplitDay'
+             THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS x,
+           coalesce(sum(CASE WHEN strftime(ts, '%Y-%m-%d') > '$CupedSplitDay'
+             THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS y,
+           CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') <= '$CupedSplitDay'
+             THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+         FROM events GROUP BY user_id),
+       pt AS (SELECT x, y,
+                CAST(floor(x / $CemXBinWidth) AS BIGINT) AS xbin,
+                least(cnt, 10) AS cbin,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+              FROM pu),
+       st AS (SELECT xbin, cbin,
+                CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                coalesce(sum(CASE WHEN treat THEN y END),
+                  CAST(0 AS DECIMAL(18,6))) AS syt,
+                coalesce(sum(CASE WHEN NOT treat THEN y END),
+                  CAST(0 AS DECIMAL(18,6))) AS syc
+              FROM pt GROUP BY 1, 2
+              HAVING sum(CASE WHEN treat THEN 1 ELSE 0 END) > 0
+                AND sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) > 0),
+       nv AS (SELECT max(CASE WHEN treat THEN mt END)
+                  - max(CASE WHEN NOT treat THEN mt END) AS naive_diff
+              FROM (SELECT treat, CAST(sum(y) AS DOUBLE) / count(*) AS mt
+                    FROM pt GROUP BY treat)),
+       ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                CAST(sum(nt) AS BIGINT) AS n_treated,
+                CAST(sum(nc) AS BIGINT) AS n_control,
+                list_sum(list(CAST(nt AS DOUBLE) *
+                  (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))
+                  ORDER BY xbin, cbin)) AS att_num
+              FROM st)
+       SELECT n_strata, n_treated, n_control,
+         round(att_num / CAST(n_treated AS DOUBLE), 6) AS att,
+         round(naive_diff, 6) AS naive_diff
+       FROM ag CROSS JOIN nv"""
+
   /** q_cuped: CUPED variance-reduced A/B readout — the industry-standard
     * pre-experiment covariate adjustment (Deng et al. 2013): per user,
     * X = pre-period value mass, Y = post-period value mass; the adjusted
@@ -6286,6 +6387,7 @@ object Stats extends QueryModule {
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_ab_test" -> (qAbTest _),
     "q_cuped" -> (qCuped _),
+    "q_cem_att" -> (qCemAtt _),
     "q_two_prop" -> (qTwoProp _),
     "q_tost" -> (qTost _),
     "q_quade" -> (qQuade _),
@@ -6370,6 +6472,7 @@ object Stats extends QueryModule {
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_ab_test" -> qAbTestSql,
     "q_cuped" -> qCupedSql,
+    "q_cem_att" -> qCemAttSql,
     "q_two_prop" -> qTwoPropSql,
     "q_tost" -> qTostSql,
     "q_quade" -> qQuadeSql,
