@@ -54,7 +54,7 @@ object Bench {
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",
     "q_mad", "q_mad_approx", "q_wasserstein", "q_energy_dist", "q_krippendorff", "q_auc", "q_changepoint",
     "q_oov", "q_ctfidf", "q_js_terms", "q_bootstrap", "q_hill", "q_ldiversity",
-    "q_gini", "q_kendall", "q_dispersion", "q_kaplan_meier", "q_competing_risks",
+    "q_gini", "q_kendall", "q_dispersion", "q_kaplan_meier", "q_competing_risks", "q_rmst",
     "q_good_turing", "q_llr", "q11_value", "q_novelty", "q_dq_checks",
     "q_embed_outliers", "q_ttr", "q_burstiness", "q_bfs_depth",
     "q_lorenz", "q_cramers_v", "q_concordance", "q_jackknife",

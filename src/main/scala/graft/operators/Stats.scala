@@ -3726,6 +3726,102 @@ object Stats extends QueryModule {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
        FROM terms"""
 
+  /** RMST horizon (days) — the full driver calendar. */
+  val RmstTau = 30
+
+  /** q_rmst: restricted mean survival time — the ONE-NUMBER summary the
+    * KM curve family reduces to when arms must be compared without a
+    * proportional-hazards assumption (the estimand regulators ask for
+    * when Cox's assumption fails): RMST(τ) = ∫₀^τ Ŝ(t)dt = Σ over
+    * inter-event intervals of Ŝ(t−)·Δt plus the tail to τ, computed from
+    * the SAME day-bounded risk table as q_kaplan_meier with the same
+    * sequential product fold (and the same CAST-the-anchor discipline in
+    * the oracle). Emits RMST at τ = [[RmstTau]] per md5 ARM beside the
+    * arm's Ŝ(τ) — the A/B readout; the whole computation is
+    * calendar-bounded after one user aggregate. */
+  def qRmst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
+      .select(col("t"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val d = lt.groupBy("treat", "t").agg(count(lit(1)).as("d"))
+    val tot = d.groupBy("treat").agg(sum(col("d")).as("n_users"))
+    val wCum = Window.partitionBy("treat").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = d.join(tot, Seq("treat"))
+      .withColumn("ended_before", coalesce(sum(col("d")).over(wCum), lit(0L)))
+      .select(col("treat"), col("t").cast("int").as("t"), col("d"),
+        (col("n_users") - col("ended_before")).as("n"))
+    // fold per arm: running S, running RMST mass, previous t
+    val acc0 = struct(lit(1.0).as("s"), lit(0.0).as("m"), lit(0).as("pt"))
+    val folded = risk.groupBy("treat")
+      .agg(array_sort(collect_list(struct(col("t"),
+        col("d").cast("double").as("dd"), col("n").cast("double").as("nn"))))
+        .as("arr"))
+      .select(col("treat"), aggregate(col("arr"), acc0, (acc, x) => {
+        val tCap = least(x.getField("t"), lit(RmstTau))
+        struct(
+          (acc.getField("s") *
+            (lit(1.0) - x.getField("dd") / x.getField("nn"))).as("s"),
+          (acc.getField("m") + acc.getField("s") *
+            (tCap - least(acc.getField("pt"), lit(RmstTau))).cast("double"))
+            .as("m"),
+          x.getField("t").as("pt"))
+      }).as("f"))
+      .select(col("treat"),
+        (col("f.m") + col("f.s") *
+          greatest(lit(RmstTau) - col("f.pt"), lit(0)).cast("double"))
+          .as("rmst"),
+        col("f.s").as("s_tail"))
+    folded.select(col("treat"), lit(RmstTau).as("tau_days"),
+      round(col("rmst"), 6).as("rmst"), round(col("s_tail"), 6).as("s_tau"))
+  }
+
+  private lazy val qRmstSql =
+    s"""WITH lt AS (
+         SELECT date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS t,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) AS INT) < 8 AS treat
+         FROM events GROUP BY user_id),
+       d AS (SELECT treat, CAST(t AS INT) AS t, CAST(count(*) AS BIGINT) AS d
+             FROM lt GROUP BY 1, 2),
+       tot AS (SELECT treat, CAST(sum(d) AS BIGINT) AS n_users FROM d GROUP BY 1),
+       risk AS (
+         SELECT d.treat, d.t, d.d,
+           tot.n_users - coalesce(CAST(sum(d.d) OVER (PARTITION BY d.treat
+             ORDER BY d.t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+             AS n,
+           row_number() OVER (PARTITION BY d.treat ORDER BY d.t ASC) AS rn
+         FROM d JOIN tot ON tot.treat = d.treat),
+       mx AS (SELECT treat, max(rn) AS mrn FROM risk GROUP BY 1),
+       walk AS (
+         WITH RECURSIVE w(treat, rn, s, m, pt) AS (
+           SELECT treat, 1,
+             1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)),
+             -- anchors CAST: bare literals would type the walk columns
+             -- DECIMAL and silently round every step (the q_competing_risks
+             -- trap)
+             CAST(1.0 AS DOUBLE) *
+               CAST(least(t, $RmstTau) - least(0, $RmstTau) AS DOUBLE),
+             t
+           FROM risk WHERE rn = 1
+           UNION ALL
+           SELECT r.treat, r.rn,
+             w.s * (1.0 - CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)),
+             w.m + w.s *
+               CAST(least(r.t, $RmstTau) - least(w.pt, $RmstTau) AS DOUBLE),
+             r.t
+           FROM w JOIN risk r ON r.treat = w.treat AND r.rn = w.rn + 1)
+         SELECT * FROM w)
+       SELECT walk.treat, $RmstTau AS tau_days,
+         round(walk.m + walk.s *
+           CAST(greatest($RmstTau - walk.pt, 0) AS DOUBLE), 6) AS rmst,
+         round(walk.s, 6) AS s_tau
+       FROM walk JOIN mx ON mx.treat = walk.treat AND walk.rn = mx.mrn"""
+
   /** Holt smoothing constants — DYADIC on purpose (0.5, 0.25, 0.75 are
     * exact binary fractions, so the only fp error in the recursion is
     * the adds/multiplies themselves, identical in both engines). */
@@ -6383,6 +6479,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> (qDispersion _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_competing_risks" -> (qCompetingRisks _),
+    "q_rmst" -> (qRmst _),
     "q_nelson_aalen" -> (qNelsonAalen _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_ab_test" -> (qAbTest _),
@@ -6468,6 +6565,7 @@ object Stats extends QueryModule {
     "q_dispersion" -> qDispersionSql,
     "q_kaplan_meier" -> qKaplanMeierSql,
     "q_competing_risks" -> qCompetingRisksSql,
+    "q_rmst" -> qRmstSql,
     "q_nelson_aalen" -> qNelsonAalenSql,
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_ab_test" -> qAbTestSql,
