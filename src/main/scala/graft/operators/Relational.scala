@@ -1004,24 +1004,38 @@ object Relational extends QueryModule {
       Dedup.connectedComponents(baseEdges) // yesterday's labels
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    // QUOTIENT contraction: map each Δ endpoint to its base component
-    // label (new nodes map to themselves), then run CC over the quotient
-    // graph only — |Δ|-sized, NOT |V|-sized, so the incremental loop's
-    // cost tracks the day's delta regardless of accumulated graph size.
-    // Quotient node ids are base labels (each = the MIN of its base
-    // component) or new node ids, so the quotient CC's min-label IS the
-    // merged component's global min.
+    val labels = ccFoldBatch(baseLabels, deltaEdges)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("part"), col("label").as("component"),
+        col("comp_size"))
+  }
+
+  /** ONE batch step of incremental connected-components maintenance —
+    * the reusable fold behind [[qCcIncremental]] (see its doc for the
+    * contraction argument). `prevLabels` (id, label) is the stored label
+    * state (empty for a cold start — the fold from empty IS the full
+    * recompute), `deltaEdges` (a, b) the batch's new edges; returns the
+    * merged (id, label) state. QUOTIENT contraction: map each Δ endpoint
+    * to its base component label (new nodes map to themselves), run CC
+    * over the |Δ|-sized quotient only (locally under the probe limit —
+    * the q_keywords take(limit+1) pattern; union-by-min gives the
+    * identical min labels — distributed above it), then one join re-maps
+    * the base labels. Quotient node ids are base labels (each = the MIN
+    * of its base component) or new node ids, so the quotient min IS the
+    * merged component's global min. StreamingSpec folds edge
+    * micro-batches through this and pins equality with the one-shot
+    * loop. */
+  def ccFoldBatch(prevLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val s = deltaEdges.sparkSession
     val quotient = deltaEdges
-      .join(baseLabels.select(col("id").as("a"), col("label").as("la")),
+      .join(prevLabels.select(col("id").as("a"), col("label").as("la")),
         Seq("a"), "left_outer")
-      .join(baseLabels.select(col("id").as("b"), col("label").as("lb")),
+      .join(prevLabels.select(col("id").as("b"), col("label").as("lb")),
         Seq("b"), "left_outer")
       .select(coalesce(col("la"), col("a")).as("a"),
         coalesce(col("lb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    // the quotient is |Δ|-bounded: run it locally when the probe says it
-    // fits (the q_keywords take(limit+1) pattern — union-by-min gives
-    // the identical min labels), distributed above the limit
     val qHead = quotient.take(CcIncrLocalLimit + 1)
     val qLabels =
       if (qHead.length <= CcIncrLocalLimit) {
@@ -1034,15 +1048,11 @@ object Relational extends QueryModule {
     // base label; Δ-only nodes enter as themselves
     val newNodes = deltaEdges.select(col("a").as("id"))
       .unionByName(deltaEdges.select(col("b").as("id"))).distinct()
-      .join(baseLabels.select("id"), Seq("id"), "left_anti")
+      .join(prevLabels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
-    val labels = baseLabels.unionByName(newNodes)
+    prevLabels.unionByName(newNodes)
       .join(qLabels, col("label") === col("qid"), "left_outer")
       .select(col("id"), coalesce(col("qlabel"), col("label")).as("label"))
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
-    labels.join(sizes, Seq("label"))
-      .select(col("id").as("part"), col("label").as("component"),
-        col("comp_size"))
   }
 
   /** q_concurrency: peak concurrent sessions per day — the capacity

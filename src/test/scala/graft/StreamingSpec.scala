@@ -1526,6 +1526,38 @@ class StreamingSpec extends SparkSpec {
       "a cross-batch near-dup pair must exist (fixture is non-vacuous)")
   }
 
+  test("streaming CC maintenance: foreachBatch folds edge micro-batches " +
+    "through the quotient contraction (ccFoldBatch), equal to one-shot CC") {
+    implicit val sqlCtx = spark.sqlContext
+    import operators.{Dedup, Relational}
+    // a path 1-2-3-4-5-6 arriving as three batches, plus a separate
+    // component {10,11}: batch 2's edge (3,4) MERGES two previously
+    // disjoint components — the case the quotient must get right
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((4L, 5L), (3L, 4L)),
+      Seq((5L, 6L)))
+    var labels = Seq.empty[(Long, Long)].toDF("id", "label")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        labels = Relational.ccFoldBatch(labels, batch).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      batches.flatten.toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full, s"got=$got full=$full")
+    assert(got.contains((6L, 1L)) && got.contains((11L, 10L)),
+      "path component labels by its min; the side component stays apart")
+  }
+
   test("late-data: new-vs-returning re-emits under a corrected first day, " +
     "never retracts") {
     implicit val sqlCtx = spark.sqlContext
