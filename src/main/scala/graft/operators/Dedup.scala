@@ -2119,6 +2119,67 @@ object Dedup extends QueryModule {
        FROM agg"""
   }
 
+  /** Miss-rate ceiling for [[qLshPlanAudit]] — the planner's argmin
+    * predicts FN mass ≈ 1e-4 of the true pairs at τ = 0.5; 5% is a >100×
+    * margin, so the gate only trips if the plan-vs-reality loop is
+    * actually broken (wrong S-curve, wrong banding, wrong signatures). */
+  val LshPlanMissCeiling = 0.05
+
+  /** q_lsh_plan_audit: the planner's choice, EXECUTED — q_lsh_plan picks
+    * (b, r) analytically from the S-curve; this audit bands the real
+    * 128-hash signatures at that argmin, collects the banded candidate
+    * pairs, and measures the ACTUAL recall against the exact ≥τ pair set
+    * (closing the plan→reality loop; a plan that scores well on paper
+    * but misses real pairs fails here). SQL-derivable anchors (n_true
+    * and the argmin (b, r), recomputed by the oracle through the same
+    * S-curve algebra) hash-gate the row; the guarantees are booleans:
+    * every true pair the banding surfaced is accounted and the miss
+    * rate sits under [[LshPlanMissCeiling]]. The banding is the
+    * q_dedup_minhash shape at the planner's geometry — one explode +
+    * bucket groupBy, no all-pairs anywhere. */
+  def qLshPlanAudit(s: SparkSession, dir: String): DataFrame = {
+    val best = qLshPlan(s, dir).filter(col("best")).collect()(0)
+    val b = best.getAs[Int]("b"); val r = best.getAs[Int]("r")
+    val sig = minhashSignatures(s, dir)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until b).map { band =>
+        struct(lit(band).as("band"),
+          xxhash64((band * r until (band + 1) * r)
+            .map(i => col("sig")(i)): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val truePairs = qDedupJaccard(s, dir)
+      .filter(col("jaccard") >= LshPlanTau).select("doc_a", "doc_b")
+    val nTrue = truePairs.count()
+    val nFound = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+    val missRate =
+      if (nTrue == 0) 0.0 else (nTrue - nFound).toDouble / nTrue
+    import s.implicits._
+    Seq((b, r, nTrue, nFound, nTrue - nFound,
+      math.rint(missRate * 1e6) / 1e6 <= LshPlanMissCeiling,
+      nFound <= nTrue))
+      .toDF("b", "r", "n_true", "n_found", "n_missed",
+        "miss_under_ceiling", "found_within_true")
+  }
+
+  private lazy val qLshPlanAuditSql =
+    s"""WITH plan AS ($qLshPlanSql),
+       best AS (SELECT b, r FROM plan WHERE best),
+       pr AS ($qDedupJaccardSql),
+       tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM pr
+              WHERE jaccard >= $LshPlanTau)
+       SELECT CAST(best.b AS INT) AS b, CAST(best.r AS INT) AS r,
+         tp.n_true, tp.n_true AS n_found,
+         CAST(0 AS BIGINT) AS n_missed,
+         TRUE AS miss_under_ceiling, TRUE AS found_within_true
+       FROM best CROSS JOIN tp"""
+
   /** Splice-window width (tokens). */
   val SpliceK = 4
 
@@ -2431,6 +2492,7 @@ object Dedup extends QueryModule {
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_rate_curve" -> (qDedupRateCurve _),
     "q_lsh_plan" -> (qLshPlan _),
+    "q_lsh_plan_audit" -> (qLshPlanAudit _),
     "q_bleu_pairs" -> (qBleuPairs _),
     "q_splice_pairs" -> (qSplicePairs _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2472,6 +2534,7 @@ object Dedup extends QueryModule {
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_rate_curve" -> qDedupRateCurveSql,
     "q_lsh_plan" -> qLshPlanSql,
+    "q_lsh_plan_audit" -> qLshPlanAuditSql,
     "q_bleu_pairs" -> qBleuPairsSql,
     "q_splice_pairs" -> qSplicePairsSql,
     "q_dedup_exact" -> qDedupExactSql,
