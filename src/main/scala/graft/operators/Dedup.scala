@@ -232,11 +232,13 @@ object Dedup extends QueryModule {
       .distinct()
     val affected = newCand.unionByName(repairCand).distinct()
       .localCheckpoint(true)
-    // candidate-bounded re-verify over the MERGED capped sets
+    // candidate-bounded re-verify over the MERGED capped sets — the
+    // affected-doc SEMI-JOIN runs FIRST so the capped-shingle join only
+    // ever sees the affected docs' postings, never the full relation
     val affDocs = affected.select(col("doc_a").as("doc_id"))
       .unionByName(affected.select(col("doc_b").as("doc_id"))).distinct()
-    val affSets = shFlag.join(cappedFull, Seq("sh"))
-      .join(affDocs, Seq("doc_id"), "left_semi")
+    val affSets = shFlag.join(affDocs, Seq("doc_id"), "left_semi")
+      .join(cappedFull, Seq("sh"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
     val reverified = affected
       .join(affSets.select(col("doc_id").as("doc_a"), col("set").as("sa")), Seq("doc_a"))
