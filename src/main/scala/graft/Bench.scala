@@ -37,7 +37,7 @@ object Bench {
     "q_copurchase", "q_unpivot", "q_profile", "q_key_skew", "q_pmi", "q_keywords",
     "q2_topsupp", "q4_priority", "q7_volume", "q8_share", "q9_profit",
     "q10_returns", "q12_priority", "q13_custdist", "q15_topsupp", "q14_promo", "q16_suppcnt", "q17_smallqty",
-    "q19_disjunct", "q20_excess", "q21_blame", "q22_idle",
+    "q19_disjunct", "q20_excess", "q21_blame", "q22_idle", "q_price_index",
     "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma",
     "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff",
     "q_pca", "q_freq_itemsets", "q_assoc_rules", "q_seq_patterns", "q_pack",

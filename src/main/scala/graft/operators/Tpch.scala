@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryModule
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -611,7 +611,74 @@ object Tpch extends QueryModule {
          WHERE p_size = 15 AND p_type = 'SMALL')
        WHERE rn = 1 ORDER BY p_partkey ASC LIMIT 10"""
 
+  /** q_price_index: the classical index-number family — Laspeyres
+    * (base-period basket), Paasche (current basket) and Fisher (their
+    * geometric mean, the "ideal" index) for every adjacent order-year
+    * pair, over per-(part, year) unit values v = Σ extendedprice / Σ qty
+    * for parts traded in BOTH years. The OLAP-native question "how much
+    * did prices move, holding the basket fixed" that a plain revenue
+    * ratio conflates with volume shifts. Exact decimal sums collapse the
+    * fact table to the part×year dimension; unit values divide once and
+    * are ROUNDED to 6dp so the cross-part Σ p·q terms multiply and sum
+    * as EXACT DECIMALS — order-independent and map-side combinable,
+    * which matters because the PART dimension grows with scale (the
+    * q_lsh_plan decimal-mass discipline, not a bounded fold); Fisher's
+    * sqrt is IEEE-correctly-rounded in both engines. */
+  def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("part"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sv"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .select(col("part"), col("yr"),
+        round(col("sv").cast("double") / col("sq").cast("double"), 6)
+          .cast("decimal(18,6)").as("p"),
+        col("sq").as("q"))
+    val paired = pv.select(col("part"), col("yr").as("y0"),
+        col("p").as("p0"), col("q").as("q0"))
+      .join(pv.select(col("part"), (col("yr") - 1).as("y0"),
+        col("p").as("p1"), col("q").as("q1")), Seq("part", "y0"))
+    val agg = paired.groupBy(col("y0").as("year_from"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p1") * col("q0")).as("n_l"), sum(col("p0") * col("q0")).as("d_l"),
+        sum(col("p1") * col("q1")).as("n_p"), sum(col("p0") * col("q1")).as("d_p"))
+    agg.select(col("year_from"), (col("year_from") + 1).as("year_to"),
+      col("n_parts"),
+      round(col("n_l").cast("double") / col("d_l").cast("double"), 6).as("laspeyres"),
+      round(col("n_p").cast("double") / col("d_p").cast("double"), 6).as("paasche"),
+      round(sqrt((col("n_l").cast("double") / col("d_l").cast("double")) *
+        (col("n_p").cast("double") / col("d_p").cast("double"))), 6)
+        .as("fisher"))
+  }
+
+  private val qPriceIndexSql =
+    """WITH pv AS (
+         SELECT l_partkey AS part, year(o_orderdate) AS yr,
+           CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS p,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2),
+       pr AS (
+         SELECT a.part, a.yr AS year_from, a.p AS p0, a.q AS q0,
+           b.p AS p1, b.q AS q1
+         FROM pv a JOIN pv b ON b.part = a.part AND b.yr = a.yr + 1),
+       ag AS (
+         SELECT year_from, CAST(count(*) AS BIGINT) AS n_parts,
+           sum(p1 * q0) AS n_l, sum(p0 * q0) AS d_l,
+           sum(p1 * q1) AS n_p, sum(p0 * q1) AS d_p
+         FROM pr GROUP BY 1)
+       SELECT year_from, year_from + 1 AS year_to, n_parts,
+         round(CAST(n_l AS DOUBLE) / CAST(d_l AS DOUBLE), 6) AS laspeyres,
+         round(CAST(n_p AS DOUBLE) / CAST(d_p AS DOUBLE), 6) AS paasche,
+         round(sqrt((CAST(n_l AS DOUBLE) / CAST(d_l AS DOUBLE))
+           * (CAST(n_p AS DOUBLE) / CAST(d_p AS DOUBLE))), 6) AS fisher
+       FROM ag"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_index" -> (qPriceIndex _),
     "q2_topsupp" -> (q2TopSupp _),
     "q4_priority" -> (q4Priority _),
     "q7_volume" -> (q7Volume _),
@@ -631,6 +698,7 @@ object Tpch extends QueryModule {
     "q22_idle" -> (q22Idle _))
 
   override def oracles: Map[String, String] = Map(
+    "q_price_index" -> qPriceIndexSql,
     "q2_topsupp" -> q2Sql,
     "q4_priority" -> q4Sql,
     "q7_volume" -> q7Sql,
