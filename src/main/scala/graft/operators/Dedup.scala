@@ -1228,6 +1228,59 @@ object Dedup extends QueryModule {
 
   /** Graph-statistics core over an (a < b)-oriented edge list — see
     * [[qGraphStats]]. */
+  /** q_local_clustering: PER-NODE clustering coefficient over the
+    * near-dup graph — the node-level refinement of q_graph_stats' one
+    * global number (a node embedded in a clique scores 1, a pure hub
+    * bridging otherwise-unconnected copies scores 0 — the difference
+    * between "member of a dup farm" and "template shared by unrelated
+    * docs", which the global coefficient averages away): per node,
+    * triangles through it over C(deg, 2). Triangles come from the SAME
+    * two equi-joins as the global count, then each found triangle
+    * credits its three corners via one explode — degree-bounded fan-out,
+    * no new pair machinery; wedge counts are exact integers and the
+    * division happens once per node. */
+  def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val e = jaccardEdges(s, dir)
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val triCorners = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triCorners, Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        // even product, halved exactly in DECIMAL (the graphStatsOf rule)
+        ((col("deg") * (col("deg") - 1)).cast("decimal(38,0)") / 2)
+          .cast("long").as("n_wedges"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") / col("n_wedges"), 6))
+          .as("local_clustering"))
+  }
+
+  private lazy val qLocalClusteringSql =
+    s"""WITH pr AS MATERIALIZED ($qDedupJaccardSql),
+       e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pr),
+       deg AS (
+         SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+       tc AS (
+         SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+           SELECT unnest([e1.a, e1.b, e2.b]) AS id
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) GROUP BY id)
+       SELECT deg.id AS doc_id, deg.deg AS degree,
+         coalesce(tc.tri, 0) AS n_triangles,
+         CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedges,
+         CASE WHEN deg.deg * (deg.deg - 1) // 2 > 0
+           THEN round(CAST(coalesce(tc.tri, 0) AS DOUBLE)
+             / CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT), 6) END
+           AS local_clustering
+       FROM deg LEFT JOIN tc ON tc.id = deg.id"""
+
   def graphStatsOf(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -2527,6 +2580,7 @@ object Dedup extends QueryModule {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_graph_stats" -> (qGraphStats _),
+    "q_local_clustering" -> (qLocalClustering _),
     "q_pagerank" -> (qPagerank _))
 
   override def oracles: Map[String, String] = Map(
@@ -2565,5 +2619,6 @@ object Dedup extends QueryModule {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_graph_stats" -> qGraphStatsSql,
+    "q_local_clustering" -> qLocalClusteringSql,
     "q_pagerank" -> qPagerankSql)
 }
