@@ -23,7 +23,7 @@ object Bench {
     "q_asof_join", "q_asof_native", "q_range_join", "q_bm25", "q_pivot", "q_anomaly",
     "q_ntile", "q_ntile_approx", "q_compact", "q_chisq", "q_events_hop",
     "q_graph_stats", "q_local_clustering", "q_pagerank", "q_modularity", "q_assortativity", "q_kcore", "q_mix_rates", "q_gapfill", "q_topk",
-    "q_dedup_cosine", "q_dedup_cosine_lsh", "q_knn_search", "q_ann_lsh", "q_ann_pq",
+    "q_dedup_cosine", "q_dedup_cosine_lsh", "q_knn_search", "q_mmr", "q_ann_lsh", "q_ann_pq",
     "q_embed_quant", "q_eval_metrics", "q_concept_docs",
     "q_multimodal", "q_multimodal_frames",
     "q_events_json", "q_events_props", "q_antijoin", "q_retention",

@@ -57,6 +57,93 @@ object SimilaritySearch extends QueryModule {
          FROM scored)
        SELECT q_id, rank, nb_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= 5"""
 
+  /** MMR panel width / selection size / trade-off (λ = 0.5 is dyadic —
+    * exact in both engines). */
+  val MmrPanel = 100
+  val MmrK = 10
+
+  /** q_mmr: maximal marginal relevance — diversified top-k selection
+    * (Carbonell & Goldstein 1998), the retrieval member q_knn_search
+    * cannot express (plain top-k returns ten near-copies of the best
+    * hit; MMR penalizes each candidate by its similarity to what is
+    * ALREADY selected, so the result covers the neighborhood instead of
+    * re-ranking it): seed = the panel's min vec_id, relevance = cosine
+    * to the seed, greedy step = argmax rel(d) − λ·max_{s∈S} cos(d, s),
+    * ties on vec_id. The panel is bounded ([[MmrPanel]] lowest ids — the
+    * q_lof fixed-panel convention, with the ANN candidate paths as the
+    * full-corpus story), relevance and the pairwise sims compute
+    * DISTRIBUTED with the same codegen cosine the knn gate proves
+    * DuckDB-identical, and the greedy walks the collected bounded panel
+    * driver-side; the oracle replays the identical greedy as a
+    * recursive CTE with a LATERAL argmax step — selection-by-selection,
+    * the q_dtw fold↔CTE discipline applied to a greedy. */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < MmrPanel)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seed = e.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("s_id"), col("v").as("sv"))
+    val rel = e.join(broadcast(seed), col("vec_id") =!= col("s_id"))
+      .select(col("vec_id"), cosine(col("v"), col("sv")).as("rel"))
+    val relRows = rel.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = e.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ relRows.keys
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { d =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _) => sims((d, sid)) }.max
+        d -> (if (selected.isEmpty) relRows(d) else relRows(d) - 0.5 * pen)
+      }
+      val (best, sc) = scored.minBy { case (d, v) => (-v, d) }
+      selected += ((best, sc))
+      remaining -= best
+    }
+    import s.implicits._
+    // HALF_UP to mirror both engines' round() (rint would be HALF_EVEN)
+    selected.zipWithIndex
+      .map { case ((vid, sc), i) => (i + 1, vid,
+        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
+
+  private lazy val qMmrSql =
+    s"""WITH RECURSIVE
+       e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id < $MmrPanel),
+       sd AS (SELECT vec_id AS s_id, v AS sv FROM e ORDER BY vec_id LIMIT 1),
+       rel AS MATERIALIZED (
+         SELECT e.vec_id, list_dot_product(e.v, sd.sv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sd.sv, sd.sv)))
+           AS rel
+         FROM e CROSS JOIN sd WHERE e.vec_id <> sd.s_id),
+       sim AS MATERIALIZED (
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS c
+         FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       walk(step, sel, vec_id, score) AS (
+         SELECT 1, [vec_id], vec_id, rel FROM (
+           SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+         UNION ALL
+         SELECT w.step + 1, list_append(w.sel, c.vec_id), c.vec_id, c.score
+         FROM walk w, LATERAL (
+           SELECT r.vec_id,
+             r.rel - 0.5 * (SELECT max(s.c) FROM sim s
+               WHERE s.va = r.vec_id AND list_contains(w.sel, s.vb)) AS score
+           FROM rel r WHERE NOT list_contains(w.sel, r.vec_id)
+           ORDER BY score DESC, r.vec_id LIMIT 1) c
+         WHERE w.step < $MmrK)
+       SELECT CAST(step AS INT) AS rank, vec_id, round(score, 6) AS mmr_score
+       FROM walk"""
+
   /** q_hard_negatives: hard-negative mining for contrastive/embedding
     * training — for each anchor (vec_id < 10), the top-3 most-similar
     * vectors with a DIFFERENT label: maximally confusable cross-class
@@ -1800,6 +1887,7 @@ object SimilaritySearch extends QueryModule {
     "q_pca_audit" -> (qPcaAudit _),
     "q_ann_pq" -> (qAnnPq _),
     "q_knn_search" -> (qKnnSearch _),
+    "q_mmr" -> (qMmr _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_class_centroids" -> (qClassCentroids _),
     "q_rocchio" -> (qRocchio _),
@@ -1825,6 +1913,7 @@ object SimilaritySearch extends QueryModule {
     "q_lof" -> qLofSql,
     "q_ndcg" -> qNdcgSql,
     "q_knn_search" -> qKnnSearchSql,
+    "q_mmr" -> qMmrSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_class_centroids" -> qClassCentroidsSql,
     "q_rocchio" -> qRocchioSql,
