@@ -74,7 +74,7 @@ object Bench {
     "q_page_trend", "q_jonckheere", "q_cronbach", "q_mcc", "q_runs_test",
     "q_ljung_box", "q_bleu_pairs", "q_splice_pairs", "q_median_test",
     "q_burrows", "q_token_budget", "q_cohens_h", "q_seasonal_strength",
-    "q_simpson", "q_trimmed_mean", "q_iqr_outliers", "q_dedup_rate_curve", "q_lsh_plan", "q_lsh_plan_audit",
+    "q_simpson", "q_trimmed_mean", "q_iqr_outliers", "q_dedup_rate_curve", "q_rate_knee", "q_lsh_plan", "q_lsh_plan_audit",
     "q_ess", "q_chao1", "q_sampler_audit", "q_trimmed_mean_approx",
     "q_cvm", "q_ansari", "q_pettitt", "q_granger", "q_mde",
     "q_item_sim", "q_link_pred", "q_concurrency", "q_kmv_intersect",

@@ -2174,6 +2174,60 @@ object Dedup extends QueryModule {
        FROM agg"""
   }
 
+  /** q_rate_knee: knee-point detection (the Kneedle construction,
+    * Satopää et al. 2011, in its exact small-grid form) over the dedup
+    * threshold-sensitivity curve — the DECISION step after
+    * q_dedup_rate_curve draws the curve ("WHERE does tightening τ stop
+    * buying much?"): normalize the (τ, n_pairs) curve to the unit
+    * square, measure each rung's vertical distance ABOVE the
+    * endpoint-to-endpoint chord, and flag the argmax. Pure mirrored
+    * algebra over the already-gated curve (the ladder is a 9-rung
+    * dimension; min/max normalizers are single aggregates; distances
+    * divide once and round on emission; argmax breaks ties on τ). */
+  def qRateKnee(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = qDedupRateCurve(s, dir).select(col("threshold"), col("n_pairs"))
+    val mm = c.agg(min(col("threshold")).as("t0"), max(col("threshold")).as("t1"),
+      min(col("n_pairs")).as("p0"), max(col("n_pairs")).as("p1"))
+    // degenerate guards: a FLAT curve (all rungs hold the same mass —
+    // every pair sits above the top rung, true at sf0.01) has no knee;
+    // NULL normalizers propagate to NULL distances and knee stays false
+    val norm = c.crossJoin(broadcast(mm))
+      .select(col("threshold"), col("n_pairs"),
+        when(col("t1") > col("t0"),
+          (col("threshold") - col("t0")) / (col("t1") - col("t0"))).as("x"),
+        when(col("p1") > col("p0"),
+          (col("n_pairs") - col("p0")).cast("double") /
+            (col("p1") - col("p0")).cast("double")).as("y"))
+    // the curve DECREASES in τ, so the knee is max distance BELOW the
+    // chord y = 1 − x … measured as d = (1 − x) − y
+    val d = norm.select(col("threshold"), col("n_pairs"), col("x"), col("y"),
+      (lit(1.0) - col("x") - col("y")).as("dist"))
+    val w = Window.orderBy(col("dist").desc, col("threshold").asc)
+    d.withColumn("rk", row_number().over(w))
+      .select(col("threshold"), col("n_pairs"),
+        round(col("dist"), 6).as("chord_dist"),
+        (col("rk") === 1 && col("dist").isNotNull).as("knee"))
+  }
+
+  private lazy val qRateKneeSql =
+    s"""WITH c AS ($qDedupRateCurveSql),
+       mm AS (SELECT min(threshold) AS t0, max(threshold) AS t1,
+                min(n_pairs) AS p0, max(n_pairs) AS p1
+              FROM c),
+       n AS (SELECT c.threshold, c.n_pairs,
+               CASE WHEN mm.t1 > mm.t0
+                 THEN (c.threshold - mm.t0) / (mm.t1 - mm.t0) END AS x,
+               CASE WHEN mm.p1 > mm.p0
+                 THEN CAST(c.n_pairs - mm.p0 AS DOUBLE)
+                   / CAST(mm.p1 - mm.p0 AS DOUBLE) END AS y
+             FROM c CROSS JOIN mm),
+       d AS (SELECT threshold, n_pairs, 1.0 - x - y AS dist FROM n)
+       SELECT threshold, n_pairs, round(dist, 6) AS chord_dist,
+         row_number() OVER (ORDER BY dist DESC, threshold ASC) = 1
+           AND dist IS NOT NULL AS knee
+       FROM d"""
+
   /** Miss-rate ceiling for [[qLshPlanAudit]] — the planner's argmin
     * predicts FN mass ≈ 1e-4 of the true pairs at τ = 0.5; 5% is a >100×
     * margin, so the gate only trips if the plan-vs-reality loop is
@@ -2547,6 +2601,7 @@ object Dedup extends QueryModule {
     "q_rouge_pairs" -> (qRougePairs _),
     "q_dedup_rate_curve" -> (qDedupRateCurve _),
     "q_lsh_plan" -> (qLshPlan _),
+    "q_rate_knee" -> (qRateKnee _),
     "q_lsh_plan_audit" -> (qLshPlanAudit _),
     "q_bleu_pairs" -> (qBleuPairs _),
     "q_splice_pairs" -> (qSplicePairs _),
@@ -2590,6 +2645,7 @@ object Dedup extends QueryModule {
     "q_rouge_pairs" -> qRougePairsSql,
     "q_dedup_rate_curve" -> qDedupRateCurveSql,
     "q_lsh_plan" -> qLshPlanSql,
+    "q_rate_knee" -> qRateKneeSql,
     "q_lsh_plan_audit" -> qLshPlanAuditSql,
     "q_bleu_pairs" -> qBleuPairsSql,
     "q_splice_pairs" -> qSplicePairsSql,
