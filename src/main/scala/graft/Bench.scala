@@ -48,7 +48,7 @@ object Bench {
     "q_ccnet_buckets", "q_bigram_lm", "q_tok_fertility", "q_dup_ngrams",
     "q_fleiss", "q_dp_counts", "q_winsorize", "q_winsorize_approx", "q_mutual_info", "q_rocchio",
     "q_cusum", "q_calibration", "q_ann_recall", "q_hll_merge",
-    "q_tdigest", "q_tdigest_audit", "q_exact_substr", "q_exact_substr_spans", "q_source_verbatim", "q_neg_sampling", "q_streaks", "q_brier", "q_holt_winters", "q_games_howell", "q_sppmi", "q_paths", "q_feature_hash", "q_sample_fixed", "q_growth_accounting", "q_embed_drift", "q_cox", "q_cox_audit", "q_jaccard_prefix", "q_setops_bag", "q_audience_overlap", "q_pattern_match", "q_srm", "q_qte", "q_quantile_reg", "q_connected_components", "q_cc_incremental", "q_boxcox", "q_matrix_profile", "q_herfindahl", "q_dtw", "q_pacf", "q_isotonic_curve", "q_sinkhorn", "q_sinkhorn_audit", "q_viterbi", "q_binseg", "q_rbo", "q_lof", "q_l_moments", "q_iv_wald", "q_aa_test", "q_simpson_flip", "q_cmh", "q_weighted_logrank", "q_meta_fixed", "q_hw_eval", "q_acf", "q_ar_forecast", "q_cooks_distance",
+    "q_tdigest", "q_tdigest_audit", "q_exact_substr", "q_exact_substr_spans", "q_source_verbatim", "q_neg_sampling", "q_streaks", "q_brier", "q_holt_winters", "q_games_howell", "q_sppmi", "q_paths", "q_feature_hash", "q_sample_fixed", "q_growth_accounting", "q_embed_drift", "q_cox", "q_cox_audit", "q_jaccard_prefix", "q_setops_bag", "q_audience_overlap", "q_pattern_match", "q_srm", "q_qte", "q_quantile_reg", "q_connected_components", "q_cc_incremental", "q_boxcox", "q_matrix_profile", "q_herfindahl", "q_dtw", "q_pacf", "q_isotonic_curve", "q_sinkhorn", "q_sinkhorn_audit", "q_viterbi", "q_binseg", "q_rbo", "q_lof", "q_l_moments", "q_iv_wald", "q_aa_test", "q_simpson_flip", "q_cmh", "q_weighted_logrank", "q_meta_fixed", "q_hw_eval", "q_acf", "q_ar_forecast", "q_forecast_coherence", "q_cooks_distance",
     "q_ks_test", "q_kuiper", "q_join_size_sketch", "q_oracle_canary", "q_temp_sampling", "q_bitmap_distinct", "q_incr_agg",
     "q_minhash_audit", "q_skyline", "q_kanon", "q_benford", "q_autocorr",
     "q_spearman", "q_mannwhitney", "q_simhash_audit", "q_cosine_lsh_audit",

@@ -2144,6 +2144,122 @@ object Stats extends QueryModule {
            AS forecast
        FROM f3t CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h"""
 
+  /** q_forecast_coherence: hierarchical-forecast reconciliation — the
+    * question a metrics hierarchy forces once per-series forecasts exist
+    * (69-family): does the SUM of the per-type AR(2) forecasts agree
+    * with the AR(2) forecast of the TOTAL series? (They need not: AR is
+    * not linear across aggregation, and the gap — the incoherence — is
+    * what reconciliation methods distribute.) Bottom-up = the per-type
+    * gated forecasts summed as exact decimals of their 6dp emissions
+    * (5 types — but decimal sums stay order-free at any type count);
+    * direct = the identical Yule–Walker machinery run on the summed
+    * daily series (exact decimal daily totals, same guards); emits both
+    * and the signed incoherence per horizon step. */
+  def qForecastCoherence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bottomUp = qArForecast(s, dir)
+      .groupBy("h")
+      .agg(sum(col("forecast").cast("decimal(18,6)")).cast("double")
+        .as("f_bottom_up"))
+    // the TOTAL series through the same machinery (one group)
+    val daily = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("day").agg(sum(col("v")).as("yd"))
+    val m = daily.agg((sum(col("yd")).cast("double") /
+      count(lit(1)).cast("double")).as("ybar"), count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day").asc)
+    val led = daily.select(col("day"), col("yd").cast("double").as("y"))
+      .select(col("*"), lead(col("y"), 1).over(w).as("y1"),
+        lead(col("y"), 2).over(w).as("y2"))
+      .crossJoin(broadcast(m))
+    def fold(term: Column, name: String) =
+      aggregate(array_sort(collect_list(struct(col("day"), term.as("x")))),
+        lit(0.0), (acc, r) => acc + r.getField("x")).as(name)
+    val agg = led.groupBy("n_days").agg(
+      fold((col("y") - col("ybar")) * (col("y") - col("ybar")), "den"),
+      fold(coalesce((col("y") - col("ybar")) * (col("y1") - col("ybar")),
+        lit(0.0)), "num1"),
+      fold(coalesce((col("y") - col("ybar")) * (col("y2") - col("ybar")),
+        lit(0.0)), "num2"))
+    val lastTwo = daily.withColumn("rk",
+        row_number().over(Window.orderBy(col("day").desc)))
+      .filter(col("rk") <= 2)
+      .agg(max(when(col("rk") === 1, col("yd"))).cast("double").as("yn"),
+        max(when(col("rk") === 2, col("yd"))).cast("double").as("yn1"))
+    val ybarT = daily.agg((sum(col("yd")).cast("double") /
+      count(lit(1)).cast("double")).as("ybar"))
+    val rho1 = col("num1") / col("den")
+    val rho2 = col("num2") / col("den")
+    val ok = col("den") > 0.0 && (lit(1.0) - rho1 * rho1) =!= 0.0
+    val direct = agg
+      .select(when(ok, (rho1 * (lit(1.0) - rho2)) /
+          (lit(1.0) - rho1 * rho1)).as("phi1"),
+        when(ok, (rho2 - rho1 * rho1) / (lit(1.0) - rho1 * rho1)).as("phi2"))
+      .crossJoin(lastTwo).crossJoin(ybarT)
+      .select(col("phi1"), col("phi2"), col("ybar"),
+        (col("yn") - col("ybar")).as("xn"), (col("yn1") - col("ybar")).as("xn1"))
+      .withColumn("f1", col("phi1") * col("xn") + col("phi2") * col("xn1"))
+      .withColumn("f2", col("phi1") * col("f1") + col("phi2") * col("xn"))
+      .withColumn("f3", col("phi1") * col("f2") + col("phi2") * col("f1"))
+      .select(posexplode(array(col("f1"), col("f2"), col("f3")))
+        .as(Seq("i", "f")), col("ybar"))
+      .select((col("i") + 1).cast("int").as("h"),
+        round(col("f") + col("ybar"), 6).as("f_direct"))
+    bottomUp.join(direct, Seq("h"))
+      .select(col("h"), round(col("f_bottom_up"), 6).as("f_bottom_up"),
+        col("f_direct"),
+        round(col("f_bottom_up") - col("f_direct"), 6).as("incoherence"))
+  }
+
+  private lazy val qForecastCoherenceSql =
+    s"""WITH bu AS (
+         SELECT h, CAST(sum(CAST(forecast AS DECIMAL(18,6))) AS DOUBLE)
+           AS f_bottom_up
+         FROM ($qArForecastSql) GROUP BY h),
+       dailyt AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS yd
+         FROM events GROUP BY 1),
+       mt AS (SELECT CAST(sum(yd) AS DOUBLE) / count(*) AS ybar,
+               CAST(count(*) AS BIGINT) AS n_days FROM dailyt),
+       ledt AS (SELECT day, CAST(yd AS DOUBLE) AS y,
+           lead(CAST(yd AS DOUBLE), 1) OVER (ORDER BY day ASC) AS y1,
+           lead(CAST(yd AS DOUBLE), 2) OVER (ORDER BY day ASC) AS y2
+         FROM dailyt),
+       aggt AS (SELECT
+           list_sum(list((y - ybar) * (y - ybar) ORDER BY day)) AS den,
+           list_sum(list(coalesce((y - ybar) * (y1 - ybar), 0.0)
+             ORDER BY day)) AS num1,
+           list_sum(list(coalesce((y - ybar) * (y2 - ybar), 0.0)
+             ORDER BY day)) AS num2
+         FROM ledt CROSS JOIN mt),
+       ltt AS (SELECT max(CASE WHEN rk = 1 THEN y END) AS yn,
+                max(CASE WHEN rk = 2 THEN y END) AS yn1
+              FROM (SELECT CAST(yd AS DOUBLE) AS y,
+                      row_number() OVER (ORDER BY day DESC) AS rk
+                    FROM dailyt) WHERE rk <= 2),
+       pht AS (SELECT
+           CASE WHEN den > 0.0 AND 1.0 - (num1/den) * (num1/den) <> 0.0
+             THEN ((num1/den) * (1.0 - num2/den))
+               / (1.0 - (num1/den) * (num1/den)) END AS phi1,
+           CASE WHEN den > 0.0 AND 1.0 - (num1/den) * (num1/den) <> 0.0
+             THEN ((num2/den) - (num1/den) * (num1/den))
+               / (1.0 - (num1/den) * (num1/den)) END AS phi2
+         FROM aggt),
+       bt AS (SELECT pht.phi1, pht.phi2, mt.ybar,
+               ltt.yn - mt.ybar AS xn, ltt.yn1 - mt.ybar AS xn1
+             FROM pht CROSS JOIN ltt CROSS JOIN mt),
+       ft AS (SELECT *, phi1 * xn + phi2 * xn1 AS f1 FROM bt),
+       f2t AS (SELECT *, phi1 * f1 + phi2 * xn AS f2 FROM ft),
+       f3t AS (SELECT *, phi1 * f2 + phi2 * f1 AS f3 FROM f2t),
+       dt AS (SELECT CAST(hh.h AS INT) AS h,
+               round(CASE hh.h WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END
+                 + ybar, 6) AS f_direct
+             FROM f3t CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) hh)
+       SELECT bu.h, round(bu.f_bottom_up, 6) AS f_bottom_up, dt.f_direct,
+         round(bu.f_bottom_up - dt.f_direct, 6) AS incoherence
+       FROM bu JOIN dt ON dt.h = bu.h"""
+
   /** q_cooks_distance: OLS influence diagnostics for the per-type daily
     * revenue trend — WHICH days drive the fitted line (q_regr fits it;
     * q_anomaly z-scores raw totals; Cook's D asks the regression-native
@@ -6494,6 +6610,7 @@ object Stats extends QueryModule {
     "q_dtw" -> (qDtw _),
     "q_pacf" -> (qPacf _),
     "q_ar_forecast" -> (qArForecast _),
+    "q_forecast_coherence" -> (qForecastCoherence _),
     "q_cooks_distance" -> (qCooksDistance _),
     "q_viterbi" -> (qViterbi _),
     "q_binseg" -> (qBinseg _),
@@ -6580,6 +6697,7 @@ object Stats extends QueryModule {
     "q_dtw" -> qDtwSql,
     "q_pacf" -> qPacfSql,
     "q_ar_forecast" -> qArForecastSql,
+    "q_forecast_coherence" -> qForecastCoherenceSql,
     "q_cooks_distance" -> qCooksDistanceSql,
     "q_viterbi" -> qViterbiSql,
     "q_binseg" -> qBinsegSql,
