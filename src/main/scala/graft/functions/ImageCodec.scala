@@ -62,6 +62,9 @@ object ImageCodec {
     while (!seenEnd && off + 8 <= bytes.length) {
       val len = be32(bytes, off)
       val ctype = new String(bytes, off + 4, 4, "US-ASCII")
+      // a signed-negative length would SHRINK the bound below and walk
+      // the CRC update off the array — reject it as malformed up front
+      require(len >= 0, s"negative chunk length in $ctype")
       require(off + 8 + len + 4 <= bytes.length, s"truncated chunk $ctype")
       val crc = new CRC32()
       crc.update(bytes, off + 4, 4 + len)

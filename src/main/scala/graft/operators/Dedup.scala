@@ -2179,8 +2179,9 @@ object Dedup extends QueryModule {
     * threshold-sensitivity curve — the DECISION step after
     * q_dedup_rate_curve draws the curve ("WHERE does tightening τ stop
     * buying much?"): normalize the (τ, n_pairs) curve to the unit
-    * square, measure each rung's vertical distance ABOVE the
-    * endpoint-to-endpoint chord, and flag the argmax. Pure mirrored
+    * square, measure each rung's vertical distance BELOW the
+    * endpoint-to-endpoint chord y = 1 − x (the curve decreases in τ, so
+    * d = (1 − x) − y), and flag the argmax. Pure mirrored
     * algebra over the already-gated curve (the ladder is a 9-rung
     * dimension; min/max normalizers are single aggregates; distances
     * divide once and round on emission; argmax breaks ties on τ). */
@@ -2243,7 +2244,9 @@ object Dedup extends QueryModule {
     * and the argmin (b, r), recomputed by the oracle through the same
     * S-curve algebra) hash-gate the row; the guarantees are booleans:
     * every true pair the banding surfaced is accounted and the miss
-    * rate sits under [[LshPlanMissCeiling]]. The banding is the
+    * rate sits under [[LshPlanMissCeiling]] (exact found/missed counts
+    * are deliberately NOT in the gated row — the ceiling permits
+    * corpus-dependent misses the oracle cannot predict). The banding is the
     * q_dedup_minhash shape at the planner's geometry — one explode +
     * bucket groupBy, no all-pairs anywhere. */
   def qLshPlanAudit(s: SparkSession, dir: String): DataFrame = {
@@ -2270,10 +2273,16 @@ object Dedup extends QueryModule {
     val missRate =
       if (nTrue == 0) 0.0 else (nTrue - nFound).toDouble / nTrue
     import s.implicits._
-    Seq((b, r, nTrue, nFound, nTrue - nFound,
+    // gate ONLY what the contract actually claims: the SQL-derivable
+    // anchors (b, r, n_true) and the guarantee booleans. Exact
+    // n_found/n_missed are NOT gated — the contract explicitly allows
+    // up to [[LshPlanMissCeiling]] banding misses (recall is
+    // corpus-dependent), so pinning n_missed = 0 in the oracle would
+    // encode a stronger invariant than the audit certifies.
+    Seq((b, r, nTrue,
       math.rint(missRate * 1e6) / 1e6 <= LshPlanMissCeiling,
       nFound <= nTrue))
-      .toDF("b", "r", "n_true", "n_found", "n_missed",
+      .toDF("b", "r", "n_true",
         "miss_under_ceiling", "found_within_true")
   }
 
@@ -2284,8 +2293,7 @@ object Dedup extends QueryModule {
        tp AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM pr
               WHERE jaccard >= $LshPlanTau)
        SELECT CAST(best.b AS INT) AS b, CAST(best.r AS INT) AS r,
-         tp.n_true, tp.n_true AS n_found,
-         CAST(0 AS BIGINT) AS n_missed,
+         tp.n_true,
          TRUE AS miss_under_ceiling, TRUE AS found_within_true
        FROM best CROSS JOIN tp"""
 

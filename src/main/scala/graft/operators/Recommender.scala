@@ -182,15 +182,20 @@ object Recommender extends QueryModule {
       obs: DataFrame): Array[Double] = {
     val itf = fit(s, dir).itemFactors.select(col("id").as("item"),
       transform(col("features"), x => x.cast("double")).as("iv"))
-    val weighted = itf.select(col("iv"), lit(1.0).as("w"))
+    // carry an EXPLICIT observed flag rather than keying off the weight
+    // value (w = 1.0 is a reachable α·strength for other α/strength
+    // choices — a magic-sentinel filter would silently drop such rows)
+    val weighted = itf.select(col("iv"), lit(1.0).as("w"),
+        lit(false).as("is_observed"))
       .unionByName(itf.join(obs, Seq("item"))
-        .select(col("iv"), (lit(AlsAlpha) * col("strength")).as("w")))
+        .select(col("iv"), (lit(AlsAlpha) * col("strength")).as("w"),
+          lit(true).as("is_observed")))
     val k = AlsRank
     val gramSums = (for (i <- 0 until k; j <- i until k) yield
       sum(col("w") * element_at(col("iv"), i + 1) *
         element_at(col("iv"), j + 1)).as(s"g_${i}_$j"))
     val rhsSums = (0 until k).map(i =>
-      sum(when(col("w") =!= 1.0, // observed rows only; c = 1 + α·strength
+      sum(when(col("is_observed"), // c = 1 + α·strength
         (lit(1.0) + col("w")) * element_at(col("iv"), i + 1))
         .otherwise(lit(0.0))).as(s"b_$i"))
     val row = weighted.agg((gramSums ++ rhsSums).head,

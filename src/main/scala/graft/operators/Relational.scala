@@ -961,13 +961,20 @@ object Relational extends QueryModule {
     * so the incremental path must reproduce the full recompute row for
     * row, component ids and sizes included. */
   def qCcIncremental(s: SparkSession, dir: String): DataFrame = {
+    // LEFT join: the full-graph oracle derives edges from lineitem
+    // ALONE, so lineitem rows with no matching orders row (chain-mode
+    // Amplify bridge rows use synthetic l_orderkey values) must keep
+    // their edges — an inner join would silently drop them and diverge
+    // from q_connected_components on chain dirs. Orphans default into
+    // the base state (deterministic; any split preserves base ∪ Δ).
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
       .select(col("l_orderkey"), col("l_partkey"),
-        (col("o_orderdate") < lit(CcIncrCutoff).cast("timestamp")).as("is_base"))
+        (coalesce(col("o_orderdate"), lit("1992-01-01").cast("timestamp")) <
+          lit(CcIncrCutoff).cast("timestamp")).as("is_base"))
     def pairCounts(df: DataFrame): DataFrame = df
       .groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("ps"))
