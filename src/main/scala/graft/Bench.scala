@@ -127,7 +127,14 @@ object Bench {
     // without putting iterative training in the driver's headline run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = only match {
-      case Some(sel) => sel.toSeq.sorted.filter(qs.contains)
+      // subsets run in HEADLINE order (not sorted): execution order
+      // decides which query pays each memoized substrate's build cost,
+      // so a reordered subset would not be comparable to the full run
+      // (r18 drift attribution needs common-set-only runs that charge
+      // substrates to the same first consumers as the full suite)
+      case Some(sel) =>
+        Headline.filter(n => sel(n) && qs.contains(n)) ++
+          (sel -- Headline.toSet).toSeq.sorted.filter(qs.contains)
       case None => Headline.filter(qs.contains)
     }
     // INTERLEAVED rep rounds (A,B,C,A,B,C — not A,A,A,B,B,B): a transient
