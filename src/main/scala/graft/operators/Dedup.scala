@@ -168,13 +168,24 @@ object Dedup extends QueryModule {
     * recompute (qDedupJaccardSql), so the incremental path must
     * reproduce every pair and every J value, cap transitions included. */
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // the fold itself runs LIVE here (only the base state is memoized):
+    // this query's bench number measures the delta fold, so a memoized
+    // result would leave nothing measuring it. Consumers that only need
+    // the folded RELATION read the memoized incrFoldedPairs instead.
     val sh = docShingles(s, dir)
-    val isNew = (col("doc_id") % 5) === 4
-    // yesterday's state, memoized per (session, dir): the fold from an
-    // EMPTY state over the base docs IS the base recompute (the fold is
-    // total — an empty base has no exits and every candidate is new)
-    val prevSh = sh.filter(!isNew)
-    val newSh = sh.filter(isNew)
+    dedupFoldBatch(sh.filter(!incrIsNew), incrBaseState(s, dir),
+      sh.filter(incrIsNew), docSizes(s, dir))
+  }
+
+  /** The 80/20 base/delta doc split shared by the incremental family
+    * (q_dedup_incremental and the label-fold consumers). */
+  private def incrIsNew = (col("doc_id") % 5) === 4
+
+  /** Yesterday's PAIR state over the base docs — the fold from an EMPTY
+    * state IS the base recompute (the fold is total: an empty base has
+    * no exits and every candidate is new). Memoized per (session, dir). */
+  private[graft] def incrBaseState(s: SparkSession, dir: String): DataFrame = {
+    val prevSh = docShingles(s, dir).filter(!incrIsNew)
     val emptyPairs = s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -184,12 +195,23 @@ object Dedup extends QueryModule {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("jaccard",
           org.apache.spark.sql.types.DoubleType))))
-    val emptySh = prevSh.filter(lit(false))
-    val baseState = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
-      dedupFoldBatch(emptySh, emptyPairs, prevSh, docSizes(s, dir))
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
+      dedupFoldBatch(prevSh.filter(lit(false)), emptyPairs, prevSh,
+        docSizes(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    dedupFoldBatch(prevSh, baseState, newSh, docSizes(s, dir))
+  }
+
+  /** Today's FOLDED pair relation (base state + the delta batch) —
+    * memoized: the pair fold is read by q_dedup_incremental itself AND
+    * by the label-fold consumers downstream. */
+  private def incrFoldedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.folded:$dir") {
+      dedupFoldBatch(sh.filter(!incrIsNew), incrBaseState(s, dir),
+        sh.filter(incrIsNew), docSizes(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   /** ONE batch step of incremental near-dup maintenance — the reusable
@@ -1751,6 +1773,107 @@ object Dedup extends QueryModule {
                 IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"""
 
+  /** ONE batch step of incremental CLUSTER-LABEL maintenance — the
+    * consumer-side fold that completes the incremental chain (r18 folded
+    * the pair STATE; this folds the LABELS the curation queries read):
+    * given yesterday's labels over yesterday's pair relation and today's
+    * pair relation (a [[dedupFoldBatch]] output), produce today's labels
+    * without re-running CC over the full graph.
+    *
+    * Additions are the classical quotient contraction (the ccFoldBatch
+    * argument: new edges contract through base labels, CC runs on the
+    * |Δ|-sized quotient, and since base labels are component MINIMA the
+    * quotient min IS the global min). Deletions — which the pair fold
+    * CAN produce (a cap exit re-verifies a base pair below threshold) —
+    * break monotone folding, so every base cluster that LOST an edge is
+    * DISSOLVED into singletons and re-solved from its surviving edges
+    * inside the same quotient graph (work bounded by the touched
+    * clusters' edges, never the corpus). Every untouched cluster's
+    * labels are frozen; the final relation carries exactly the rows a
+    * full CC over `newPairs` would — one (doc_id, cluster_id) per doc
+    * with ≥1 current edge (a doc that lost its last edge drops out). */
+  def labelFoldBatch(baseLabels: DataFrame, basePairs: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val baseE = basePairs.select(col("doc_a"), col("doc_b"))
+    val newE = newPairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // read from four positions below
+    val added = newE.except(baseE)
+    val removed = baseE.except(newE)
+    // clusters that lost an edge: dissolve into singletons
+    val dDocs = baseLabels.join(
+        baseLabels.join(removed.select(col("doc_a").as("doc_id"))
+            .unionByName(removed.select(col("doc_b").as("doc_id"))).distinct(),
+          Seq("doc_id"), "left_semi")
+          .select("cluster_id").distinct(),
+        Seq("cluster_id"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    // eff(doc): own id inside a dissolved cluster; else its base label;
+    // else (brand-new doc, handled by coalesce at the join sites) own id
+    val effRel = baseLabels
+      .join(dDocs.withColumn("dd", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("dd").isNotNull, col("doc_id"))
+          .otherwise(col("cluster_id")).as("eff"))
+      .localCheckpoint(true)
+    // the quotient graph: added edges + every surviving edge touching a
+    // dissolved cluster, both endpoints contracted through eff
+    val touchD = newE
+      .join(dDocs.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .unionByName(newE
+        .join(dDocs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .select("doc_a", "doc_b"))
+    val reduced = added.unionByName(touchD).distinct()
+      .join(effRel.select(col("doc_id").as("doc_a"), col("eff").as("ea")),
+        Seq("doc_a"), "left_outer")
+      .join(effRel.select(col("doc_id").as("doc_b"), col("eff").as("eb")),
+        Seq("doc_b"), "left_outer")
+      .select(coalesce(col("ea"), col("doc_a")).as("a"),
+        coalesce(col("eb"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val quotient = connectedComponents(reduced)
+    // final labels for every CURRENT-edge endpoint: quotient result when
+    // its eff node merged/re-solved, frozen base label otherwise
+    newE.select(col("doc_a").as("doc_id"))
+      .unionByName(newE.select(col("doc_b").as("doc_id"))).distinct()
+      .join(effRel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("eff"), col("doc_id")).as("eff"))
+      .join(quotient.select(col("id").as("eff"), col("label")),
+        Seq("eff"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("eff")).as("cluster_id"))
+  }
+
+  /** q_split_incremental: the leakage-free SPLIT maintained
+    * incrementally (r18 verdict task 4 — incremental tier 2, folding the
+    * CONSUMERS of the pair state): yesterday's labels over the base-doc
+    * pair relation fold with today's delta through [[labelFoldBatch]]
+    * (quotient contraction for merges, touched-cluster re-solve for the
+    * deletions cap exits can produce), then the identical md5 group gate
+    * as q_split_leakfree assigns sides. At 100 TB the daily unit of work
+    * is the delta: this path re-labels only quotient-sized state, while
+    * the assignment stays REPRODUCIBLE — the gate is content-hashed on
+    * the group id, so an unchanged cluster's side never moves between
+    * days. The oracle is the byte-identical FULL recompute
+    * (qSplitLeakfreeSql): every doc, every group id, every side. */
+  def qSplitIncremental(s: SparkSession, dir: String): DataFrame = {
+    val basePairs = incrBaseState(s, dir)
+    val baseLabels = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.labels:$dir") {
+      connectedComponents(basePairs
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val labels = labelFoldBatch(baseLabels, basePairs, incrFoldedPairs(s, dir))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        when(substring(md5(col("group_id").cast("string")), 1, 1)
+          .isin("0", "1", "2"), "test").otherwise("train").as("split"))
+  }
+
   /** q_span_scrub: the span-REMOVAL rewrite that consumes q_dup_spans —
     * every token inside any repeated span is dropped (conservative
     * remove-all, the q_line_dedup convention: no survivor election across
@@ -2639,6 +2762,7 @@ object Dedup extends QueryModule {
     "q_span_scrub" -> (qSpanScrub _),
     "q_span_scrub_exact" -> (qSpanScrubExact _),
     "q_split_leakfree" -> (qSplitLeakfree _),
+    "q_split_incremental" -> (qSplitIncremental _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -2679,6 +2803,7 @@ object Dedup extends QueryModule {
     "q_span_scrub" -> qSpanScrubSql,
     "q_span_scrub_exact" -> qSpanScrubExactSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
+    "q_split_incremental" -> qSplitLeakfreeSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,

@@ -88,4 +88,92 @@ class DedupIncrementalSpec extends SparkSpec {
       s"missing=${(full -- incr).take(5)} extra=${(incr -- full).take(5)}")
     assert(full.nonEmpty, "the surviving private-body pair must exist")
   }
+
+  // ---- tier 2 (r18 verdict task 4): folding the LABEL consumers ----
+
+  private def ccOf(pairs: org.apache.spark.sql.DataFrame) =
+    operators.Dedup.connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("labelFoldBatch: a cross-batch cluster MERGE adopts the min id " +
+    "without re-running CC on untouched clusters") {
+    // base: {1,2} and {5,6} and a far cluster {100,101}; the delta adds
+    // the bridge (2,5) — merged component must adopt min id 1, and
+    // {100,101} must come through frozen
+    val basePairs = Seq((1L, 2L), (5L, 6L), (100L, 101L))
+      .toDF("doc_a", "doc_b")
+    val baseLabels = operators.Dedup.connectedComponents(
+      basePairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val newPairs = Seq((1L, 2L), (5L, 6L), (100L, 101L), (2L, 5L))
+      .toDF("doc_a", "doc_b")
+    val folded = labelsOf(
+      operators.Dedup.labelFoldBatch(baseLabels, basePairs, newPairs))
+    assert(folded === Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L),
+      (100L, 100L), (101L, 100L)))
+    assert(folded === ccOf(newPairs), "fold must equal the full recompute")
+  }
+
+  test("labelFoldBatch: an edge DELETION dissolves only the touched " +
+    "cluster and re-solves it from surviving edges") {
+    // base: chain 1-2-3 (one cluster, label 1) plus untouched {10,11};
+    // the delta removes (1,2): doc 1 loses its last edge and must DROP
+    // OUT of the relation; {2,3} re-solves to label 2; {10,11} frozen
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val baseLabels = operators.Dedup.connectedComponents(
+      basePairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val newPairs = Seq((2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val folded = labelsOf(
+      operators.Dedup.labelFoldBatch(baseLabels, basePairs, newPairs))
+    assert(folded === Set((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+    assert(folded === ccOf(newPairs))
+  }
+
+  test("labelFoldBatch: deletion + addition in ONE batch (a dissolved " +
+    "cluster's survivor merges into another cluster)") {
+    // base: {1,2,3} via (1,2),(2,3) and {7,8}; the batch removes (1,2)
+    // AND adds (3,7): {2,3} must re-solve and then merge with {7,8}
+    // under min id 2; doc 1 drops out
+    val basePairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val baseLabels = operators.Dedup.connectedComponents(
+      basePairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val newPairs = Seq((2L, 3L), (7L, 8L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val folded = labelsOf(
+      operators.Dedup.labelFoldBatch(baseLabels, basePairs, newPairs))
+    assert(folded === Set((2L, 2L), (3L, 2L), (7L, 2L), (8L, 2L)))
+    assert(folded === ccOf(newPairs))
+  }
+
+  test("label fold over the cap-exit corpus equals full CC (real " +
+    "deletions from the pair fold, not a hand fixture)") {
+    val basePairs = operators.Dedup.incrBaseState(spark, dir)
+    val baseLabels = operators.Dedup.connectedComponents(
+      basePairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val newPairs = operators.Dedup.qDedupIncremental(spark, dir)
+    val folded = labelsOf(
+      operators.Dedup.labelFoldBatch(baseLabels, basePairs, newPairs))
+    assert(folded === ccOf(newPairs),
+      "label fold must equal full CC over the folded pair relation")
+    // non-vacuous: the cap exit must actually delete at least one edge
+    val removed = basePairs.select("doc_a", "doc_b")
+      .except(newPairs.select("doc_a", "doc_b")).count()
+    assert(removed >= 1L, "fixture must exercise the deletion path")
+  }
+
+  test("q_split_incremental equals q_split_leakfree row for row") {
+    val full = operators.Dedup.qSplitLeakfree(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val incr = operators.Dedup.qSplitIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(incr === full,
+      s"missing=${(full -- incr).take(5)} extra=${(incr -- full).take(5)}")
+  }
 }
