@@ -531,18 +531,29 @@ object SimilaritySearch extends QueryModule {
     * (nlist × dim) BY CONSTRUCTION, so inlining them as literals is the
     * rare broadcast that is always safe. Rows-only oracle (iterative
     * clustering isn't SQL-expressible); seed fixed. */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTop1(s, dir, "ivf.km", trainIsFullCorpus = true)
+
+  /** The IVF search pipeline shared by [[qAnnIvf]] (centroids trained on
+    * the full corpus) and [[qAnnIvfFoldin]] (centroids trained on the
+    * BASE corpus only and FROZEN — the delta batch is assigned, never
+    * re-clustered). Train-set choice is the only difference; the index
+    * assignment, probe, and exact re-rank stages are identical. */
+  private def ivfTop1(s: SparkSession, dir: String, kmKey: String,
+      trainIsFullCorpus: Boolean): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val nlist = 16
     val nProbe = 4
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val corpus = e.filter(col("vec_id") >= 10)
-    val km = graft.ModelCache.getOrElseUpdate(s, s"ivf.km:$dir") {
+    val trainSet =
+      if (trainIsFullCorpus) e.filter(col("vec_id") >= 10)
+      else e.filter(col("vec_id") >= 10 && col("vec_id") % 5 =!= 4)
+    val km = graft.ModelCache.getOrElseUpdate(s, s"$kmKey:$dir") {
       new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
         .setFeaturesCol("features")
-        .fit(corpus.select(array_to_vector(col("v")).as("features")))
+        .fit(trainSet.select(array_to_vector(col("v")).as("features")))
     }
     val cents = km.clusterCenters.map(_.toArray)
     def dist2(cell: Int): Column = aggregate(
@@ -766,6 +777,39 @@ object SimilaritySearch extends QueryModule {
     annAudit(s, dir, hits, "ivf_recall_ok")
   }
 
+  /** q_ann_ivf_foldin: IVF index maintenance by FOLD-IN (the ANN twin of
+    * the ALS cold-start solve, r18 verdict task 5): production vector
+    * indexes do not re-cluster on every ingest — a new-vector batch is
+    * ASSIGNED to the frozen coarse quantizer (nearest existing centroid,
+    * the same nlist-bounded distance explode as indexing), and the
+    * KMeans re-train runs only when distribution drift trips. Here the
+    * centroids train on the BASE corpus only (vec_id % 5 ≠ 4 — the
+    * incremental family's 80/20 convention) and the delta batch folds
+    * into those frozen cells; queries probe nProbe cells and exact
+    * cosine re-ranks exactly as q_ann_ivf. RE-TRAIN TRIGGER WIRING: the
+    * repo's drift gate is q_embed_drift (per-label centroid shift +
+    * dispersion ratio) — a production pipeline runs it over
+    * (base ∪ folded) vs base each ingest and schedules the re-cluster
+    * when the drift flag fires; until then every batch is one
+    * assignment pass, never a Lloyd iteration. Rows-only (clustering is
+    * not SQL-expressible); [[qAnnIvfFoldinAudit]] gates recall on the
+    * FOLDED index against the exact brute-force top-5. */
+  def qAnnIvfFoldin(s: SparkSession, dir: String): DataFrame =
+    ivfTop1(s, dir, "ivf.km.base", trainIsFullCorpus = false)
+
+  /** q_ann_ivf_foldin_audit: the folded index's certificate — top-1 from
+    * the frozen-centroid index (delta assigned, never re-clustered) must
+    * land in the exact top-5 for at least Num/Den of the queries. The
+    * contract that proves fold-in maintenance does not silently degrade
+    * the index between re-trains. */
+  def qAnnIvfFoldinAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact5 = qKnnSearch(s, dir).select(col("q_id"), col("nb_id"))
+    val hits = qAnnIvfFoldin(s, dir).select(col("q_id"), col("nb_id"))
+      .join(exact5, Seq("q_id", "nb_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    annAudit(s, dir, hits, "ivf_foldin_recall_ok")
+  }
+
   /** q_ann_pq_audit: the ADC product-quantizer certificate — top-1's
     * exact rank must fall in the corpus top decile for at least Num/Den
     * of the queries (see AnnAuditRecallNum doc for why containment-at-k
@@ -818,6 +862,7 @@ object SimilaritySearch extends QueryModule {
        FROM top1"""
 
   private lazy val qAnnIvfAuditSql = annAuditSql("ivf_recall_ok")
+  private lazy val qAnnIvfFoldinAuditSql = annAuditSql("ivf_foldin_recall_ok")
   private lazy val qAnnPqAuditSql = annAuditSql("pq_recall_ok")
 
   /** q_pca: PCA whitening of the embedding space — the standard pre-step
@@ -1897,6 +1942,8 @@ object SimilaritySearch extends QueryModule {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_audit" -> (qAnnIvfAudit _),
+    "q_ann_ivf_foldin" -> (qAnnIvfFoldin _),
+    "q_ann_ivf_foldin_audit" -> (qAnnIvfFoldinAudit _),
     "q_ann_pq_audit" -> (qAnnPqAudit _),
     "q_embed_quant" -> (qEmbedQuant _))
 
@@ -1920,6 +1967,7 @@ object SimilaritySearch extends QueryModule {
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_mrl_audit" -> qMrlAuditSql,
     "q_ann_ivf_audit" -> qAnnIvfAuditSql,
+    "q_ann_ivf_foldin_audit" -> qAnnIvfFoldinAuditSql,
     "q_ann_pq_audit" -> qAnnPqAuditSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }

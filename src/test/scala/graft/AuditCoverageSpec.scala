@@ -33,6 +33,7 @@ class AuditCoverageSpec extends AnyFunSuite {
     "q_als" -> "q_als_audit",
     "q_als_foldin" -> "q_als_foldin_audit",
     "q_ann_ivf" -> "q_ann_ivf_audit",
+    "q_ann_ivf_foldin" -> "q_ann_ivf_foldin_audit",
     "q_ann_lsh" -> "q_knn_search",
     "q_ann_pq" -> "q_ann_pq_audit",
     "q_ann_recall" -> "q_knn_search",
