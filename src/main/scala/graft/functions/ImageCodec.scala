@@ -8,9 +8,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * is the JDK's bundled zlib).
   *
   * Decoder support:
-  *  - PNG (ISO/IEC 15948): 8-bit, non-interlaced, color types 0
-  *    (grayscale), 2 (RGB) and 6 (RGBA); chunk CRCs verified; all five
-  *    scanline filters (None/Sub/Up/Average/Paeth) inverted exactly.
+  *  - PNG (ISO/IEC 15948): non-interlaced, color types 0 (grayscale),
+  *    2 (RGB) and 6 (RGBA) at depths 8 and 16 (16-bit samples downsample
+  *    to their high byte), and type 3 (palette, depth 8 — the dominant
+  *    web-crawl variant) with PLTE index expansion; chunk CRCs verified;
+  *    all five scanline filters (None/Sub/Up/Average/Paeth) inverted
+  *    exactly over the format's byte-level pixel step.
   *  - BMP (BITMAPINFOHEADER): 24-bit uncompressed, bottom-up or top-down,
   *    4-byte row padding stripped.
   *
@@ -57,6 +60,7 @@ object ImageCodec {
     require(isPng(bytes), "bad PNG signature")
     var off = 8
     var width = 0; var height = 0; var colorType = -1; var bitDepth = 0
+    var palette: Array[Byte] = null
     val idat = new ByteArrayOutputStream()
     var seenEnd = false
     while (!seenEnd && off + 8 <= bytes.length) {
@@ -76,10 +80,16 @@ object ImageCodec {
           height = be32(bytes, off + 12)
           bitDepth = bytes(off + 16) & 0xFF
           colorType = bytes(off + 17) & 0xFF
-          require(bitDepth == 8, s"unsupported bit depth $bitDepth")
-          require(colorType == 0 || colorType == 2 || colorType == 6,
-            s"unsupported color type $colorType")
+          require(colorType == 0 || colorType == 2 || colorType == 3 ||
+            colorType == 6, s"unsupported color type $colorType")
+          require(bitDepth == 8 ||
+            (bitDepth == 16 && colorType != 3),
+            s"unsupported bit depth $bitDepth for color type $colorType")
           require((bytes(off + 20) & 0xFF) == 0, "interlaced PNG unsupported")
+        case "PLTE" =>
+          require(len % 3 == 0 && len >= 3 && len <= 768,
+            s"bad PLTE length $len")
+          palette = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => seenEnd = true
         case _ => () // ancillary chunks skipped
@@ -87,12 +97,18 @@ object ImageCodec {
       off += 12 + len
     }
     require(seenEnd, "missing IEND")
-    val channels = colorType match {
+    if (colorType == 3) require(palette != null, "palette PNG missing PLTE")
+    val rawChannels = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 => 1 // one palette index per pixel before expansion
       case 6 => 4
     }
-    val stride = width * channels
+    // the filter step and scanline width are in BYTES: 16-bit samples
+    // filter over channels·2-byte pixels (PNG spec: bpp = ceil bytes)
+    val sampleBytes = bitDepth / 8
+    val bpp = rawChannels * sampleBytes
+    val stride = width * bpp
     val raw = inflate(idat.toByteArray, (stride + 1) * height)
     require(raw.length == (stride + 1) * height,
       s"IDAT inflates to ${raw.length}, want ${(stride + 1) * height}")
@@ -105,9 +121,9 @@ object ImageCodec {
       var i = 0
       while (i < stride) {
         val x = raw(src + i) & 0xFF
-        val a = if (i >= channels) out(dst + i - channels) & 0xFF else 0
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
         val b = if (r > 0) out(dst - stride + i) & 0xFF else 0
-        val c = if (r > 0 && i >= channels) out(dst - stride + i - channels) & 0xFF else 0
+        val c = if (r > 0 && i >= bpp) out(dst - stride + i - bpp) & 0xFF else 0
         val recon = filter match {
           case 0 => x
           case 1 => x + a
@@ -121,7 +137,28 @@ object ImageCodec {
       }
       r += 1
     }
-    Decoded("png", width, height, channels, out)
+    if (colorType == 3) {
+      // palette expansion: every index byte becomes its PLTE RGB triple
+      val nEntries = palette.length / 3
+      val px = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < out.length) {
+        val idx = out(i) & 0xFF
+        require(idx < nEntries, s"palette index $idx >= $nEntries entries")
+        px(i * 3) = palette(idx * 3)
+        px(i * 3 + 1) = palette(idx * 3 + 1)
+        px(i * 3 + 2) = palette(idx * 3 + 2)
+        i += 1
+      }
+      Decoded("png8p", width, height, 3, px)
+    } else if (bitDepth == 16) {
+      // 16→8 downsample: keep the high byte of each big-endian sample
+      // (the standard truncating conversion; the low byte is discarded)
+      val px = new Array[Byte](width * height * rawChannels)
+      var i = 0
+      while (i < px.length) { px(i) = out(i * 2); i += 1 }
+      Decoded("png16", width, height, rawChannels, px)
+    } else Decoded("png", width, height, rawChannels, out)
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -152,7 +189,76 @@ object ImageCodec {
       pixels: Array[Byte]): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4)
     require(pixels.length == width * height * channels)
-    val stride = width * channels
+    val raw = filterRows(width, height, bpp = channels, samples = pixels)
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace 0
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Encode a paletted PNG (color type 3, depth 8): `indices` is one
+    * palette index per pixel (row-major), `palette` is up to 256 RGB
+    * triples. Rows cycle all five filters like [[encodePng]], so every
+    * de-filter branch sits on the palette decode path too. */
+  def encodePalettePng(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 768, s"bad palette size ${palette.length}")
+    require(indices.length == width * height)
+    val raw = filterRows(width, height, bpp = 1, samples = indices)
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 3 // depth 8, color type 3 (palette)
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "PLTE", palette)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Encode a 16-bit PNG (color types 0/2/6 at depth 16) from 8-bit
+    * source pixels: each sample b becomes the big-endian 16-bit value
+    * (b<<8 | b), the exact 8→16 scaling PNG recommends, so the decoder's
+    * high-byte downsample reproduces the source exactly. Rows cycle all
+    * five filters over the channels·2-byte pixel step. */
+  def encodePng16(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4)
+    require(pixels.length == width * height * channels)
+    val wide = new Array[Byte](pixels.length * 2)
+    var i = 0
+    while (i < pixels.length) {
+      wide(i * 2) = pixels(i); wide(i * 2 + 1) = pixels(i)
+      i += 1
+    }
+    val raw = filterRows(width, height, bpp = channels * 2, samples = wide)
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 16; ihdr(9) = colorType.toByte
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Apply the cycling scanline filters (row r → filter r mod 5) over
+    * row-major `samples` with a `bpp`-byte pixel step — the shared
+    * filtering stage of all three PNG encoders. */
+  private def filterRows(width: Int, height: Int, bpp: Int,
+      samples: Array[Byte]): Array[Byte] = {
+    val stride = width * bpp
+    require(samples.length == stride * height)
     val raw = new Array[Byte]((stride + 1) * height)
     var r = 0
     while (r < height) {
@@ -162,10 +268,10 @@ object ImageCodec {
       val dst = r * (stride + 1) + 1
       var i = 0
       while (i < stride) {
-        val x = pixels(src + i) & 0xFF
-        val a = if (i >= channels) pixels(src + i - channels) & 0xFF else 0
-        val b = if (r > 0) pixels(src - stride + i) & 0xFF else 0
-        val c = if (r > 0 && i >= channels) pixels(src - stride + i - channels) & 0xFF else 0
+        val x = samples(src + i) & 0xFF
+        val a = if (i >= bpp) samples(src + i - bpp) & 0xFF else 0
+        val b = if (r > 0) samples(src - stride + i) & 0xFF else 0
+        val c = if (r > 0 && i >= bpp) samples(src - stride + i - bpp) & 0xFF else 0
         val filt = filter match {
           case 0 => x
           case 1 => x - a
@@ -178,16 +284,7 @@ object ImageCodec {
       }
       r += 1
     }
-    val out = new ByteArrayOutputStream()
-    out.write(PngSig, 0, 8)
-    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
-    val ihdr = new Array[Byte](13)
-    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace 0
-    writeChunk(out, "IHDR", ihdr)
-    writeChunk(out, "IDAT", deflate(raw))
-    writeChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    raw
   }
 
   private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -77,27 +77,52 @@ object Multimodal extends QueryModule {
       .as[(Long, Array[Byte])]
     val decoded = base.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val img =
-          if (id % 2 == 0) {
+        // id % 4 routes every decoder family onto the gated path:
+        // 0 → gray8 PNG, 1 → 24-bit BMP, 2 → PALETTE PNG (type 3, the
+        // dominant web-crawl variant; bytes are PLTE indices and the
+        // oracle predicts the EXPANDED RGB sum through the palette
+        // formula), 3 → 16-BIT gray PNG ((b<<8|b) samples whose
+        // high-byte downsample reproduces b, so the sum is unchanged)
+        val img = (id % 4) match {
+          case 0 =>
             val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, PngWidth, 1)
             graft.functions.ImageCodec.encodePng(PngWidth, h, 1, px)
-          } else {
+          case 2 =>
+            val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, PngWidth, 1)
+            graft.functions.ImageCodec.encodePalettePng(PngWidth, h, GatedPalette, px)
+          case 3 =>
+            val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, PngWidth, 1)
+            graft.functions.ImageCodec.encodePng16(PngWidth, h, 1, px)
+          case _ =>
             val (h, px) = graft.functions.ImageCodec.bytesToRaster(bytes, BmpWidth, 3)
             graft.functions.ImageCodec.encodeBmp(BmpWidth, h, px)
-          }
+        }
         val d = graft.functions.ImageCodec.decode(img)
         var sum = 0L
         var i = 0
         while (i < d.pixels.length) { sum += d.pixels(i) & 0xFF; i += 1 }
         (id, bytes.length.toLong, d.format, d.width, d.height,
-          d.width.toLong * d.height, sum)
+          d.width.toLong * d.height, sum, d.channels)
       }
-    }.toDF("doc_id", "n_bytes", "format", "width", "height", "n_px", "px_sum")
+    }.toDF("doc_id", "n_bytes", "format", "width", "height", "n_px",
+      "px_sum", "ch")
     decoded.select(col("doc_id"), col("n_bytes"), col("format"),
       col("width"), col("height"), col("n_px"), col("px_sum"),
       round(col("px_sum").cast("double") /
-        (col("n_px") * when(col("format") === "png", 1).otherwise(3))
-          .cast("double"), 6).as("px_mean"))
+        (col("n_px") * col("ch")).cast("double"), 6).as("px_mean"))
+  }
+
+  /** The gated palette (entry i → (i, 255−i, i xor 0x5A)): injective in
+    * every channel direction and arithmetically predictable — the oracle
+    * computes the expanded-RGB pixel sum as
+    * Σ(255 + (index xor 90)) over all pixels, padding included. */
+  private[graft] val GatedPalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (j % 3 match {
+      case 0 => i
+      case 1 => 255 - i
+      case 2 => i ^ 0x5A
+    }).toByte
   }
 
   private val qMultimodalSql =
@@ -105,23 +130,38 @@ object Multimodal extends QueryModule {
          SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
            CAST(list_sum(list_transform(
              range(1, CAST(octet_length(CAST(text AS BLOB)) AS INT) + 1),
-             i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS s
+             i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS s,
+           CAST(list_sum(list_transform(
+             range(1, CAST(octet_length(CAST(text AS BLOB)) AS INT) + 1),
+             i -> xor(ascii(substring(text, CAST(i AS INT), 1)), 90)))
+             AS BIGINT) AS sx
          FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
            AND octet_length(CAST(text AS BLOB)) = length(text)),
        g AS (
-         SELECT doc_id, n, s,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN $PngWidth ELSE $BmpWidth END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN (n + ${PngWidth - 1}) // $PngWidth
-                ELSE (n + ${BmpWidth * 3 - 1}) // ${BmpWidth * 3} END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
-         FROM b)
+         SELECT doc_id, n, s, sx,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+             WHEN 2 THEN 'png8p' ELSE 'png16' END AS format,
+           CASE WHEN doc_id % 4 = 1 THEN $BmpWidth ELSE $PngWidth END AS width,
+           CASE WHEN doc_id % 4 = 1 THEN (n + ${BmpWidth * 3 - 1}) // ${BmpWidth * 3}
+                ELSE (n + ${PngWidth - 1}) // $PngWidth END AS height,
+           CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS channels
+         FROM b),
+       p AS (
+         SELECT doc_id, n, format, width, height, channels,
+           -- palette docs expand index i to (i, 255-i, i xor 90): the
+           -- decoded sum is 255*n_px + sum(index xor 90), where the
+           -- (width*height - n) zero pads contribute 90 each
+           CASE WHEN doc_id % 4 = 2
+             THEN 255 * width * height + sx + 90 * (width * height - n)
+             ELSE s END AS px_sum
+         FROM g)
        SELECT doc_id, n AS n_bytes, format,
          CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-         CAST(width * height AS BIGINT) AS n_px, s AS px_sum,
-         round(CAST(s AS DOUBLE) / CAST(width * height * channels AS DOUBLE), 6)
-           AS px_mean
-       FROM g"""
+         CAST(width * height AS BIGINT) AS n_px,
+         CAST(px_sum AS BIGINT) AS px_sum,
+         round(CAST(px_sum AS DOUBLE) /
+           CAST(width * height * channels AS DOUBLE), 6) AS px_mean
+       FROM p"""
 
   /** q_multimodal_frames: frame-sampling plumbing — K evenly spaced
     * fixed-size byte windows per payload (the shape of video frame-sampling

@@ -107,4 +107,116 @@ class ImageCodecSpec extends AnyFunSuite {
     val (h, px) = ImageCodec.bytesToRaster(Array[Byte](1, 2, 3, 4, 5), 2, 1)
     assert(h === 3 && px.toSeq === Seq[Byte](1, 2, 3, 4, 5, 0))
   }
+
+  // ---- r19: palette (color type 3) and 16-bit depth ----
+
+  /** The gated path's palette: entry i → (i, 255−i, i xor 0x5A). */
+  private def gatedPalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (j % 3 match {
+      case 0 => i
+      case 1 => 255 - i
+      case 2 => i ^ 0x5A
+    }).toByte
+  }
+
+  test("palette PNG roundtrip: indices expand through PLTE to RGB " +
+    "(all 5 filters on the index plane)") {
+    for (h <- Seq(1, 5, 11)) {
+      val idx = fill(7 * h, seed = h + 100)
+      val pal = gatedPalette
+      val d = ImageCodec.decode(ImageCodec.encodePalettePng(7, h, pal, idx))
+      assert(d.format === "png8p" && d.channels === 3 &&
+        d.width === 7 && d.height === h)
+      val want = idx.flatMap { b =>
+        val i = b & 0xFF
+        Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))
+      }
+      assert(d.pixels.toSeq === want.toSeq, s"h=$h")
+    }
+  }
+
+  test("our palette PNGs are real: ImageIO expands to the same RGB") {
+    val w = 9; val h = 6
+    val idx = fill(w * h, seed = 7)
+    val pal = gatedPalette
+    val img = imageIoRead(ImageCodec.encodePalettePng(w, h, pal, idx))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val i = idx(y * w + x) & 0xFF
+      assert(((rgb >> 16) & 0xFF) === (pal(i * 3) & 0xFF), s"R($x,$y)")
+      assert(((rgb >> 8) & 0xFF) === (pal(i * 3 + 1) & 0xFF), s"G($x,$y)")
+      assert((rgb & 0xFF) === (pal(i * 3 + 2) & 0xFF), s"B($x,$y)")
+    }
+  }
+
+  test("our decoder reads palette PNGs written by ImageIO") {
+    val w = 8; val h = 5
+    val idx = fill(w * h, seed = 31)
+    val pal = gatedPalette
+    // build an IndexColorModel image and let ImageIO encode it as PNG
+    val r = Array.tabulate(256)(i => pal(i * 3))
+    val g = Array.tabulate(256)(i => pal(i * 3 + 1))
+    val b = Array.tabulate(256)(i => pal(i * 3 + 2))
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idx(y * w + x) & 0xFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val d = ImageCodec.decode(baos.toByteArray)
+    assert(d.format === "png8p" && d.channels === 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idx(y * w + x) & 0xFF
+      val o = (y * w + x) * 3
+      assert((d.pixels(o) & 0xFF) === (pal(i * 3) & 0xFF), s"R($x,$y)")
+      assert((d.pixels(o + 1) & 0xFF) === (pal(i * 3 + 1) & 0xFF), s"G($x,$y)")
+      assert((d.pixels(o + 2) & 0xFF) === (pal(i * 3 + 2) & 0xFF), s"B($x,$y)")
+    }
+  }
+
+  test("16-bit PNG roundtrip: (b<<8|b) samples downsample back to b " +
+    "(gray and RGB, all 5 filters over the 2-byte step)") {
+    for ((ch, h) <- Seq((1, 7), (3, 6))) {
+      val px = fill(5 * h * ch, seed = ch * 10 + h)
+      val d = ImageCodec.decode(ImageCodec.encodePng16(5, h, ch, px))
+      assert(d.format === "png16" && d.channels === ch &&
+        d.width === 5 && d.height === h)
+      assert(d.pixels.toSeq === px.toSeq, s"ch=$ch")
+    }
+  }
+
+  test("our 16-bit PNGs are real: ImageIO reads 16-bit samples whose " +
+    "high bytes match") {
+    val w = 6; val h = 5
+    val px = fill(w * h, seed = 77)
+    val img = imageIoRead(ImageCodec.encodePng16(w, h, 1, px))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s16 = img.getRaster.getSample(x, y, 0)
+      assert((s16 >> 8) === (px(y * w + x) & 0xFF), s"($x,$y)")
+      assert((s16 & 0xFF) === (px(y * w + x) & 0xFF), s"low($x,$y)")
+    }
+  }
+
+  test("palette PNG without PLTE and sub-byte palette depths are " +
+    "rejected, not mis-decoded") {
+    // a type-3 stream missing its PLTE must fail loudly
+    val good = ImageCodec.encodePalettePng(4, 4, gatedPalette,
+      fill(16, seed = 3))
+    // strip the PLTE chunk: copy signature+IHDR, skip PLTE, keep rest
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8)
+    var off = 8
+    while (off + 8 <= good.length) {
+      val len = ((good(off) & 0xFF) << 24) | ((good(off + 1) & 0xFF) << 16) |
+        ((good(off + 2) & 0xFF) << 8) | (good(off + 3) & 0xFF)
+      val ctype = new String(good, off + 4, 4, "US-ASCII")
+      if (ctype != "PLTE") out.write(good, off, 12 + len)
+      off += 12 + len
+    }
+    intercept[IllegalArgumentException](ImageCodec.decode(out.toByteArray))
+  }
 }
