@@ -1054,9 +1054,16 @@ object Dedup extends QueryModule {
     * node-sized join, one cluster-keyed aggregate. q_gain subtracts two
     * floor-6dp grid values, so the final round() never straddles the
     * HALF_UP seam. */
-  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame =
+    canonicalOf(s, dir, clustersOf(s, dir))
+
+  /** The canonical-election aggregate over an arbitrary (doc_id,
+    * cluster_id) label relation — shared by the full recompute and the
+    * incremental touched-cluster re-derive. */
+  private def canonicalOf(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val q = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
-    clustersOf(s, dir).join(q, Seq("doc_id"))
+    labels.join(q, Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
@@ -1856,15 +1863,21 @@ object Dedup extends QueryModule {
     * the group id, so an unchanged cluster's side never moves between
     * days. The oracle is the byte-identical FULL recompute
     * (qSplitLeakfreeSql): every doc, every group id, every side. */
-  def qSplitIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** Yesterday's LABELS over the base pair state — memoized: both label
+    * consumers (split, canonical) fold from the same stored relation. */
+  private def incrBaseLabels(s: SparkSession, dir: String): DataFrame = {
     val basePairs = incrBaseState(s, dir)
-    val baseLabels = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.labels:$dir") {
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.labels:$dir") {
       connectedComponents(basePairs
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val labels = labelFoldBatch(baseLabels, basePairs, incrFoldedPairs(s, dir))
+  }
+
+  def qSplitIncremental(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelFoldBatch(incrBaseLabels(s, dir),
+      incrBaseState(s, dir), incrFoldedPairs(s, dir))
     Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1872,6 +1885,56 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("group_id"),
         when(substring(md5(col("group_id").cast("string")), 1, 1)
           .isin("0", "1", "2"), "test").otherwise("train").as("split"))
+  }
+
+  /** q_canonical_incremental: the quality-aware canonical election
+    * maintained incrementally — the second label CONSUMER folded (beside
+    * [[qSplitIncremental]]): yesterday's canonical rows stay FROZEN for
+    * every cluster whose membership did not change, and the election
+    * re-runs only over TOUCHED clusters. Touched is computed exactly:
+    *
+    *  - a doc whose label changed (or appeared/dropped) marks BOTH its
+    *    old base cluster (every remaining member's row changes — the
+    *    member count moved) and its new cluster;
+    *  - kept = base canonical rows whose cluster is neither an affected
+    *    base cluster nor a touched new cluster (the second exclusion
+    *    catches a cluster that kept its id but GAINED members — its old
+    *    row is stale even though no original member changed label);
+    *  - recomputed = the canonical aggregate over the touched clusters'
+    *    CURRENT membership only.
+    *
+    * Work is bounded by the touched clusters' size, never the corpus;
+    * doc quality is static so frozen rows cannot go stale through the
+    * quality side. The oracle is the byte-identical FULL recompute
+    * (qDedupCanonicalSql) — every cluster, every canonical pick, every
+    * gain value. */
+  def qCanonicalIncremental(s: SparkSession, dir: String): DataFrame = {
+    val baseLabels = incrBaseLabels(s, dir)
+    val newLabels = labelFoldBatch(baseLabels, incrBaseState(s, dir),
+      incrFoldedPairs(s, dir)).localCheckpoint(true)
+    val j = baseLabels.select(col("doc_id"), col("cluster_id").as("oldc"))
+      .join(newLabels.select(col("doc_id"), col("cluster_id").as("newc")),
+        Seq("doc_id"), "full_outer")
+    val changed = j.filter(!(col("oldc") <=> col("newc")))
+      .localCheckpoint(true)
+    val affectedBase = changed.filter(col("oldc").isNotNull)
+      .select(col("oldc").as("cluster_id")).distinct()
+    val affectedMembers = baseLabels
+      .join(affectedBase, Seq("cluster_id"), "left_semi").select("doc_id")
+    val touchedDocs = changed.select("doc_id")
+      .unionByName(affectedMembers).distinct()
+    val touchedNew = newLabels
+      .join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val baseCanon = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.canon:$dir") {
+      canonicalOf(s, dir, baseLabels)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val obsolete = affectedBase.unionByName(touchedNew).distinct()
+    val kept = baseCanon.join(obsolete, Seq("cluster_id"), "left_anti")
+    val recomputed = canonicalOf(s, dir,
+      newLabels.join(touchedNew, Seq("cluster_id"), "left_semi"))
+    kept.unionByName(recomputed)
   }
 
   /** q_span_scrub: the span-REMOVAL rewrite that consumes q_dup_spans —
@@ -2763,6 +2826,7 @@ object Dedup extends QueryModule {
     "q_span_scrub_exact" -> (qSpanScrubExact _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_split_incremental" -> (qSplitIncremental _),
+    "q_canonical_incremental" -> (qCanonicalIncremental _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -2804,6 +2868,7 @@ object Dedup extends QueryModule {
     "q_span_scrub_exact" -> qSpanScrubExactSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_split_incremental" -> qSplitLeakfreeSql,
+    "q_canonical_incremental" -> qDedupCanonicalSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,

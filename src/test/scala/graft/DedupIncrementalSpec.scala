@@ -168,6 +168,18 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(removed >= 1L, "fixture must exercise the deletion path")
   }
 
+  test("q_canonical_incremental equals q_dedup_canonical row for row " +
+    "(frozen rows + touched-cluster re-derive, real deletions included)") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val full = norm(operators.Dedup.qDedupCanonical(spark, dir))
+    val incr = norm(operators.Dedup.qCanonicalIncremental(spark, dir))
+    assert(incr === full,
+      s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+    assert(full.nonEmpty)
+  }
+
   test("q_split_incremental equals q_split_leakfree row for row") {
     val full = operators.Dedup.qSplitLeakfree(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet

@@ -1558,6 +1558,47 @@ class StreamingSpec extends SparkSpec {
       "path component labels by its min; the side component stays apart")
   }
 
+  test("streaming LABEL maintenance: foreachBatch folds full pair-state " +
+    "snapshots through labelFoldBatch (merges AND deletions), equal to " +
+    "one-shot CC over the final state") {
+    implicit val sqlCtx = spark.sqlContext
+    import operators.Dedup
+    // each micro-batch delivers the CURRENT pair relation (the
+    // dedupFoldBatch output a production job lands each day): batch 2
+    // merges {1,2} with {5,6} via (2,5); batch 3 DELETES (1,2) — a cap
+    // exit's re-verification below threshold — so 1 drops out and the
+    // survivors re-solve
+    val states = Seq(
+      Seq((1L, 2L), (5L, 6L), (100L, 101L)),
+      Seq((1L, 2L), (5L, 6L), (100L, 101L), (2L, 5L)),
+      Seq((5L, 6L), (100L, 101L), (2L, 5L)))
+    var pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      .localCheckpoint(true)
+    var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, Long)]
+    var batchNo = -1
+    val q = input.toDS().toDF("doc_a", "doc_b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        labels = Dedup.labelFoldBatch(labels, pairs, batch)
+          .localCheckpoint(true)
+        pairs = batch.localCheckpoint(true)
+        batchNo += 1
+        ()
+      }
+      .start()
+    try {
+      states.foreach { st => input.addData(st: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      states.last.toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full, s"got=$got full=$full")
+    assert(!got.exists(_._1 == 1L), "doc 1 lost its last edge and drops out")
+    assert(got.contains((6L, 2L)), "survivors re-solve under min id 2")
+  }
+
   test("late-data: new-vs-returning re-emits under a corrected first day, " +
     "never retracts") {
     implicit val sqlCtx = spark.sqlContext
