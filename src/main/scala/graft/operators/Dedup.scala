@@ -1803,9 +1803,24 @@ object Dedup extends QueryModule {
       newPairs: DataFrame): DataFrame = {
     val baseE = basePairs.select(col("doc_a"), col("doc_b"))
     val newE = newPairs.select(col("doc_a"), col("doc_b"))
+    labelFoldDelta(baseLabels, newPairs,
+      newE.except(baseE), baseE.except(newE))
+  }
+
+  /** [[labelFoldBatch]] with the edge delta passed EXPLICITLY — the
+    * production entry point: a pipeline that just ran the pair fold
+    * KNOWS which pairs appeared and disappeared, so handing the delta
+    * over skips the two snapshot-diff anti-joins (the only full-|E|
+    * stages of the fold; everything downstream is delta/touched-bounded
+    * except the final |V|-sized endpoint projection, which is the
+    * output). The two gated consumers share one memoized diff per
+    * (session, dir) through this seam. */
+  def labelFoldDelta(baseLabels: DataFrame, newPairs: DataFrame,
+      addedE: DataFrame, removedE: DataFrame): DataFrame = {
+    val newE = newPairs.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true) // read from four positions below
-    val added = newE.except(baseE)
-    val removed = baseE.except(newE)
+    val added = addedE.select(col("doc_a"), col("doc_b"))
+    val removed = removedE.select(col("doc_a"), col("doc_b"))
     // clusters that lost an edge: dissolve into singletons
     val dDocs = baseLabels.join(
         baseLabels.join(removed.select(col("doc_a").as("doc_id"))
@@ -1875,9 +1890,35 @@ object Dedup extends QueryModule {
     }
   }
 
+  /** The folded labels over today's pair state, via the explicit-delta
+    * seam: the snapshot diff (the only full-|E| stages) is memoized per
+    * (session, dir) so the two gated consumers pay it once. */
+  private def incrNewLabels(s: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val basePairs = incrBaseState(s, dir)
+    val folded = incrFoldedPairs(s, dir)
+    val added = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.added:$dir") {
+      folded.select(col("doc_a"), col("doc_b"))
+        .except(basePairs.select(col("doc_a"), col("doc_b"))).persist(lvl)
+    }
+    val removed = graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.removed:$dir") {
+      basePairs.select(col("doc_a"), col("doc_b"))
+        .except(folded.select(col("doc_a"), col("doc_b"))).persist(lvl)
+    }
+    // today's labels are themselves state a production pipeline lands
+    // (tomorrow's baseLabels) — materialized once, read by both
+    // consumers. localCheckpoint (eager) rather than persist: it also
+    // TRUNCATES the quotient-CC lineage, so the consumers' joins embed
+    // a leaf scan instead of re-optimizing the whole iterative plan
+    // per job (measured 74 s vs 12 s at k9 on the lineage alone).
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.newlabels:$dir") {
+      labelFoldDelta(incrBaseLabels(s, dir), folded, added, removed)
+        .localCheckpoint(true)
+    }
+  }
+
   def qSplitIncremental(s: SparkSession, dir: String): DataFrame = {
-    val labels = labelFoldBatch(incrBaseLabels(s, dir),
-      incrBaseState(s, dir), incrFoldedPairs(s, dir))
+    val labels = incrNewLabels(s, dir)
     Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -1910,8 +1951,8 @@ object Dedup extends QueryModule {
     * gain value. */
   def qCanonicalIncremental(s: SparkSession, dir: String): DataFrame = {
     val baseLabels = incrBaseLabels(s, dir)
-    val newLabels = labelFoldBatch(baseLabels, incrBaseState(s, dir),
-      incrFoldedPairs(s, dir)).localCheckpoint(true)
+    // already persisted by incrNewLabels — no localCheckpoint copy needed
+    val newLabels = incrNewLabels(s, dir)
     val j = baseLabels.select(col("doc_id"), col("cluster_id").as("oldc"))
       .join(newLabels.select(col("doc_id"), col("cluster_id").as("newc")),
         Seq("doc_id"), "full_outer")
