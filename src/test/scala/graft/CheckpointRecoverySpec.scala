@@ -150,6 +150,50 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("watermark-dedup state recovers: a duplicate re-delivered AFTER " +
+    "the restart is still dropped (exactly-once dedup across the resume)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("graft-rec-dedup")
+    val sink = "dd_rec"
+    RecoverySink.clear(sink)
+    try {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      def start() = EventStream.dedupedDocs(
+        input.toDF().toDF("ts", "doc_id", "text"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          RecoverySink.add(sink, b.collect())
+        }
+        .start()
+
+      val q1 = start()
+      try {
+        input.addData(
+          (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "same text"),
+          (Timestamp.valueOf("2024-01-01 01:00:02"), 3L, "other text"))
+        q1.processAllAvailable()
+        assert(RecoverySink.rows(sink).size === 2)
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        // the duplicate arrives only AFTER the resume, inside the
+        // watermark horizon: the recovered dedup store must drop it,
+        // while a genuinely new doc still passes
+        input.addData(
+          (Timestamp.valueOf("2024-01-01 01:00:01"), 2L, "same text"),
+          (Timestamp.valueOf("2024-01-01 01:00:03"), 4L, "third text"))
+        q2.processAllAvailable()
+        val texts = RecoverySink.rows(sink)
+          .map(_.getAs[String]("text")).sorted
+        assert(texts === Vector("other text", "same text", "third text"),
+          "recovered dedup state must drop the re-delivered duplicate")
+      } finally q2.stop()
+    } finally { rmrf(ckpt); RecoverySink.clear(sink) }
+  }
+
   test("chained session->day dashboard recovers BOTH stateful operators " +
     "and the watermark: restart mid-session, final emissions equal the " +
     "uninterrupted run") {
