@@ -86,6 +86,26 @@ object Avro {
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
     case (l: java.util.List[_], ArrayType(e, _)) =>
       l.asScala.map(x => avroToSpark(x, e)).toSeq
+    // Avro-lawful numeric promotions (schema evolution: a container
+    // written with the narrower type reads under the wider target)
+    case (i: java.lang.Integer, LongType) => i.longValue()
+    case (i: java.lang.Integer, DoubleType) => i.doubleValue()
+    case (i: java.lang.Integer, FloatType) => i.floatValue()
+    case (l: java.lang.Long, DoubleType) => l.doubleValue()
+    case (f: java.lang.Float, DoubleType) => f.doubleValue()
+    case (i: java.lang.Integer, IntegerType) => i
+    case (l: java.lang.Long, LongType) => l
+    case (f: java.lang.Float, FloatType) => f
+    case (d: java.lang.Double, DoubleType) => d
+    case (b: java.lang.Boolean, BooleanType) => b
+    // anything else that reaches a typed target with the wrong runtime
+    // class is a writer/target mismatch with NO lawful promotion
+    // (e.g. long → int narrows): surface it as corruption here, at
+    // decode time, instead of a ClassCastException at action time
+    case (x, LongType | IntegerType | DoubleType | FloatType |
+             BooleanType | StringType | BinaryType) =>
+      throw new IllegalArgumentException(
+        s"writer value of ${x.getClass.getName} has no lawful promotion to $dt")
     case (x, _) => x
   }
 
@@ -101,21 +121,45 @@ object Avro {
     df.repartition(shards).rdd.mapPartitionsWithIndex { (pid, rows) =>
       val sch = new Schema.Parser().parse(avroJson)
       val conf = new org.apache.hadoop.conf.Configuration()
-      val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-      val out = p.getFileSystem(conf).create(p, true)
+      // task-attempt commit protocol: stream the partition into a
+      // dot-prefixed attempt-unique temp file (invisible to read()'s
+      // *.avro glob), then atomically rename into the final path on
+      // success — a speculative/retried attempt can never interleave
+      // bytes into the final shard, and a task dying mid-write leaves
+      // only temp litter, never a truncated *.avro
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val finalP = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+      val tmpP = new org.apache.hadoop.fs.Path(
+        path, f".part-$pid%05d.avro.attempt-$attempt.tmp")
+      val pfs = finalP.getFileSystem(conf)
+      val out = pfs.create(tmpP, true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](sch))
       w.setCodec(CodecFactory.deflateCodec(6))
       w.create(sch, out)
-      try rows.foreach { r =>
-        val rec = new GenericData.Record(sch)
-        var i = 0
-        while (i < st.length) {
-          rec.put(st(i).name, sparkToAvro(r.get(i), st(i).dataType))
-          i += 1
+      var committed = false
+      try {
+        rows.foreach { r =>
+          val rec = new GenericData.Record(sch)
+          var i = 0
+          while (i < st.length) {
+            rec.put(st(i).name, sparkToAvro(r.get(i), st(i).dataType))
+            i += 1
+          }
+          w.append(rec)
         }
-        w.append(rec)
-      } finally w.close()
+        w.close()
+        pfs.delete(finalP, false) // losing attempt's output, if any
+        if (!pfs.rename(tmpP, finalP))
+          throw new java.io.IOException(s"commit rename failed: $tmpP -> $finalP")
+        committed = true
+      } finally {
+        if (!committed) {
+          try w.close() catch { case _: Exception => () }
+          try pfs.delete(tmpP, false) catch { case _: Exception => () }
+        }
+      }
       Iterator.single(pid)
     }.count(): Unit
   }
@@ -124,13 +168,29 @@ object Avro {
     * corruption lands in [[Jsonl.CorruptCol]] instead of failing the
     * job (the PERMISSIVE contract of the Jsonl seam). Fields are matched
     * BY NAME against the target schema; a container missing a field
-    * yields nulls there (schema evolution's add-column case). */
-  def read(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    * yields nulls there (schema evolution's add-column case).
+    *
+    * Schema evolution beyond add-column:
+    *  - `aliases` maps a TARGET field name to the container field names
+    *    it was previously written under (Avro reader-schema aliases:
+    *    rename-on-read). The target name wins when both are present.
+    *  - numeric promotion on read: a container written int/long/float
+    *    decodes under a wider target (int→long/float/double,
+    *    long→double, float→double) per Avro's resolution rules; a
+    *    mismatch with no lawful promotion (e.g. long→int) routes that
+    *    record to the corrupt column instead of class-casting at
+    *    action time.
+    *
+    * A nonexistent root fails fast (a typo'd path must not read as an
+    * empty dataset); an existing-but-empty directory reads as empty. */
+  def read(s: SparkSession, path: String, schema: StructType,
+           aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      throw new IllegalArgumentException(s"Avro read path does not exist: $path")
     val files: Seq[String] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro"))
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.avro"))
         .map(_.getPath.toString).toSeq.sorted
     val out = schema.add(Jsonl.CorruptCol, StringType)
     val n = out.length
@@ -148,17 +208,24 @@ object Avro {
             new org.apache.hadoop.conf.Configuration())
           val rdr = DataFileReader.openReader(in,
             new GenericDatumReader[GenericRecord]())
-          // by-name matching against the CONTAINER's schema: a target
-          // field the container lacks reads as null (rec.get(name)
+          // by-name matching against the CONTAINER's schema: resolve
+          // each target field to the container name it travels under —
+          // its own name first, then its reader-schema aliases; a field
+          // the container lacks entirely reads as null (rec.get(name)
           // throws on unknown fields, so probe presence up front)
-          val present = (0 until n - 1)
-            .map(i => rdr.getSchema.getField(schema(i).name) != null)
+          val sourceName: IndexedSeq[String] = (0 until n - 1).map { i =>
+            val tgt = schema(i).name
+            if (rdr.getSchema.getField(tgt) != null) tgt
+            else aliases.getOrElse(tgt, Seq.empty)
+              .find(old => rdr.getSchema.getField(old) != null)
+              .orNull
+          }
           def toRow(rec: GenericRecord): Row = {
             val a = new Array[Any](n)
             var i = 0
             while (i < n - 1) {
-              if (present(i))
-                a(i) = avroToSpark(rec.get(schema(i).name), schema(i).dataType)
+              if (sourceName(i) != null)
+                a(i) = avroToSpark(rec.get(sourceName(i)), schema(i).dataType)
               i += 1
             }
             Row.fromSeq(a.toSeq)

@@ -82,6 +82,84 @@ class AvroSpec extends SparkSpec {
       === Set((1L, "a"), (2L, "b")))
   }
 
+  test("rename-on-read: a target field finds its old container name " +
+    "through reader-schema aliases (schema evolution's rename case)") {
+    val dir = tmp("graft-avro-rename")
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "legacy_name")
+    Avro.write(v1, dir, shards = 1)
+    val v2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType)))
+    val back = Avro.read(spark, dir, v2,
+      aliases = Map("name" -> Seq("old_name", "legacy_name")))
+    assert(back.filter(col(Jsonl.CorruptCol).isNotNull).count() === 0)
+    assert(back.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b")))
+    // the target's own name wins over an alias when both exist
+    val both = tmp("graft-avro-rename2")
+    Avro.write(Seq((1L, "new", "old")).toDF("id", "name", "legacy_name"),
+      both, shards = 1)
+    val r2 = Avro.read(spark, both, v2,
+      aliases = Map("name" -> Seq("legacy_name")))
+    assert(r2.select("name").head().getString(0) === "new")
+  }
+
+  test("numeric promotion on read: int→long and float→double decode " +
+    "under the wider target (Avro resolution rules)") {
+    val dir = tmp("graft-avro-promo")
+    import spark.implicits._
+    val v1 = Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x") // int, float
+    Avro.write(v1, dir, shards = 1)
+    val wide = StructType(Seq(
+      StructField("k", LongType),
+      StructField("x", DoubleType)))
+    val back = Avro.read(spark, dir, wide)
+    assert(back.filter(col(Jsonl.CorruptCol).isNotNull).count() === 0)
+    assert(back.select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      === Set((1L, 1.5), (2L, 2.5)))
+  }
+
+  test("a narrowing mismatch (long container → int target) routes to " +
+    "the corrupt column instead of a ClassCastException at action time") {
+    val dir = tmp("graft-avro-narrow")
+    import spark.implicits._
+    Avro.write(Seq((1L, "a")).toDF("k", "s"), dir, shards = 1)
+    val narrow = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("s", StringType)))
+    val back = Avro.read(spark, dir, narrow)
+    assert(back.filter(col(Jsonl.CorruptCol).isNotNull).count() === 1)
+    assert(back.filter(col(Jsonl.CorruptCol).isNull).count() === 0)
+  }
+
+  test("a nonexistent read path fails fast (a typo must not read as " +
+    "an empty dataset); an existing-but-empty directory reads empty") {
+    intercept[IllegalArgumentException] {
+      Avro.read(spark, "/no/such/graft/avro/dir",
+        StructType(Seq(StructField("id", LongType))))
+    }
+    val empty = tmp("graft-avro-empty")
+    val back = Avro.read(spark, empty,
+      StructType(Seq(StructField("id", LongType))))
+    assert(back.count() === 0)
+  }
+
+  test("writes commit via temp-then-rename: no .tmp litter remains " +
+    "and every visible shard is a complete container") {
+    val dir = tmp("graft-avro-commit")
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    Avro.write(docs, dir, shards = 2)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".avro")) === 2)
+    assert(!names.exists(_.contains(".tmp")), "temp files must be renamed away")
+    val back = Avro.read(spark, dir, docs.schema)
+    assert(back.filter(col(Jsonl.CorruptCol).isNotNull).count() === 0)
+    assert(back.count() === 20)
+  }
+
   test("nullable fields travel as union(null, T): nulls survive") {
     val dir = tmp("graft-avro-null")
     import spark.implicits._

@@ -61,9 +61,12 @@ class CheckpointRecoverySpec extends SparkSpec {
     * query re-executes that batch with the SAME batch id. */
   private def dropLatestCommit(ckpt: String): Unit = {
     val commits = Paths.get(ckpt, "commits")
-    val latest = Files.list(commits).toArray.map(_.asInstanceOf[Path])
-      .filter(p => p.getFileName.toString.forall(_.isDigit))
-      .maxBy(_.getFileName.toString.toLong)
+    val listing = Files.list(commits)
+    val latest =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally listing.close()
     Files.delete(latest)
     val crc = latest.resolveSibling("." + latest.getFileName + ".crc")
     Files.deleteIfExists(crc)

@@ -110,15 +110,10 @@ class ImageCodecSpec extends AnyFunSuite {
 
   // ---- r19: palette (color type 3) and 16-bit depth ----
 
-  /** The gated path's palette: entry i → (i, 255−i, i xor 0x5A). */
-  private def gatedPalette: Array[Byte] = Array.tabulate(768) { j =>
-    val i = j / 3
-    (j % 3 match {
-      case 0 => i
-      case 1 => 255 - i
-      case 2 => i ^ 0x5A
-    }).toByte
-  }
+  /** The gated path's palette — referenced from the operator itself so
+    * the spec can't drift from the values q_multimodal's oracle predicts. */
+  private def gatedPalette: Array[Byte] =
+    graft.operators.Multimodal.GatedPalette
 
   test("palette PNG roundtrip: indices expand through PLTE to RGB " +
     "(all 5 filters on the index plane)") {
