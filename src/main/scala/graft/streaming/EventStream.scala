@@ -111,6 +111,35 @@ object EventStream {
       .select(col("event_id"), p("user_id").as("user_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the absence-reporting twin
+    * of [[clicksBeforePurchase]]: every purchase emits, with its matching
+    * click when one exists in the preceding 30 minutes and with a NULL
+    * click otherwise. The semantics users get wrong in production: the
+    * null row for an unmatched purchase is NOT emitted when the purchase
+    * arrives — it can only be emitted once the engine can PROVE no match
+    * will arrive, i.e. when the click-side watermark passes the end of
+    * the purchase's match interval (p_ts plus the watermark delay). Until
+    * then the purchase sits in the state store; at expiry the store
+    * evicts it and the outer row with the null side is emitted — so
+    * unmatched results trail the stream by the watermark horizon, and a
+    * test (or consumer) must advance event time past the horizon to see
+    * them. State stays bounded exactly as in the inner variant: each
+    * side is retained for the interval plus the delay, no longer. */
+  def clicksBeforePurchaseOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("event_id"), p("user_id").as("user_id"), col("p_ts"),
+        col("c_ts"))
+  }
+
   /** Idempotent micro-batch sink: land each micro-batch in a partitioned
     * parquet table under `batch_id=<id>`, with dynamic partition overwrite
     * so a REPLAYED batch (restart after a failure between sink commit and

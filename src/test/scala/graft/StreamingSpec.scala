@@ -387,6 +387,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched purchases emit " +
+    "a null click exactly at watermark expiry, across a micro-batch " +
+    "boundary — never eagerly") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStream.clicksBeforePurchaseOuter(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ss_join_outer").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Timestamp]("c_ts")))).toSet
+      // batch 1: one matched purchase, one with NO click in its window
+      clicks.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      purchases.addData(
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 100L), // matched
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 2L, 200L)) // no click
+      q.processAllAvailable()
+      // the INNER result emits immediately; the outer null must NOT:
+      // a matching click could still arrive within the watermark horizon
+      assert(rows() === Set(
+        (100L, Some(Timestamp.valueOf("2024-01-01 10:00:00")))),
+        "the unmatched purchase must not emit before its interval expires")
+      // batch 2 (a LATER micro-batch): advance BOTH watermarks past
+      // 10:20 + 1 h so the engine can prove no click for 200 will come
+      clicks.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L))
+      purchases.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 900L))
+      q.processAllAvailable()
+      // state eviction lands in the batch AFTER the watermark advances —
+      // nudge one more micro-batch through
+      clicks.addData((Timestamp.valueOf("2024-01-01 13:01:00"), 9L))
+      purchases.addData((Timestamp.valueOf("2024-01-01 13:01:00"), 9L, 901L))
+      q.processAllAvailable()
+      val out = rows()
+      assert(out.contains((200L, None)),
+        "watermark expiry must emit the unmatched purchase with a null click")
+      assert(out.contains((100L, Some(Timestamp.valueOf("2024-01-01 10:00:00")))))
+      // and the null row is emitted exactly once
+      assert(spark.table("ss_join_outer").collect()
+        .count(_.getAs[Long]("event_id") == 200L) === 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink is idempotent under batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
