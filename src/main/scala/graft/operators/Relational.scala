@@ -2080,6 +2080,60 @@ object Relational extends QueryModule {
           .when(col("s").isNull, "keep").otherwise("update").as("action"))
   }
 
+  /** q_merge_files: q_merge_upsert run THROUGH the copy-on-write table
+    * format (sources.CowTable) instead of as a pure join — the file
+    * rewrite + snapshot commit half the §2 row 35l3 scaladoc deferred
+    * (r19 verdict task 1). The query drives the full production write
+    * path end-to-end and is gated on the SAME oracle as q_merge_upsert:
+    *
+    *  1. the customer projection becomes a hash-bucketed table
+    *     (8 buckets, snapshot v1);
+    *  2. the identical deterministic change feed MERGEs in (touched
+    *     buckets' files rewritten, untouched carried by reference,
+    *     manifest v2 committed by atomic rename);
+    *  3. the SAME batch id merges AGAIN — the replay must be a no-op
+    *     (idempotence is exercised on the gated path, not only in the
+    *     spec: a third snapshot would double-apply the +10 bump and the
+    *     hash gate would catch it);
+    *  4. the result reads the post-merge snapshot and classifies each
+    *     row's action by TIME-TRAVELING to v1 (absent → insert, payload
+    *     moved → update, identical → keep) — so the gate covers the
+    *     snapshot-isolation read too.
+    *
+    * Everything the format does (bucket pruning, rewrite scope, commit
+    * atomicity ordering) is pinned structurally in CowTableSpec; this
+    * query pins the END RESULT byte-equal to the logical MERGE. */
+  def qMergeFiles(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cow-merge").toString
+    val t = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    graft.sources.CowTable.create(t, root, "c_custkey", nBuckets = 8)
+    val updates = t.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("bal") + lit(new java.math.BigDecimal("10.00"))).as("bal"))
+    val inserts = t.filter(col("c_custkey") % 5 === 0 && col("c_custkey") =!= 0)
+      .select((-col("c_custkey")).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"), col("bal"))
+    val src = updates.unionByName(inserts)
+    val applied = graft.sources.CowTable.merge(s, root, src, batchId = "b1")
+    val replay = graft.sources.CowTable.merge(s, root, src, batchId = "b1")
+    require(applied && !replay, "merge must apply once and replay as no-op")
+    val v1 = graft.sources.CowTable.readVersion(s, root, 1)
+      .select(col("c_custkey"),
+        struct(col("c_name"), col("bal")).as("old"))
+    graft.sources.CowTable.read(s, root)
+      .select(col("c_custkey"),
+        struct(col("c_name"), col("bal")).as("cur"))
+      .join(v1, Seq("c_custkey"), "left_outer")
+      .select(col("c_custkey"), col("cur.c_name").as("c_name"),
+        round(col("cur.bal").cast("double"), 2).as("c_acctbal"),
+        when(col("old").isNull, "insert")
+          .when(col("cur") === col("old"), "keep")
+          .otherwise("update").as("action"))
+  }
+
   private val qMergeUpsertSql =
     """WITH t AS (
          SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
@@ -2568,6 +2622,7 @@ object Relational extends QueryModule {
     "q_ntile_approx" -> (qNtileApproxGate _),
     "q_compact" -> (qCompact _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_files" -> (qMergeFiles _),
     "q_scd2" -> (qScd2 _),
     "q_wau" -> (qWau _),
     "q_events_hop" -> (qEventsHop _),
@@ -2630,6 +2685,7 @@ object Relational extends QueryModule {
     "q_ntile" -> qNtileSql,
     "q_compact" -> qCompactSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_merge_files" -> qMergeUpsertSql,
     "q_scd2" -> qScd2Sql,
     "q_wau" -> qWauSql,
     "q_events_hop" -> qEventsHopSql,

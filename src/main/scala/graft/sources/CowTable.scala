@@ -1,0 +1,225 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Copy-on-write table format — the missing half of q_merge_upsert (r19
+  * verdict task 1): the file rewrite + snapshot commit every production
+  * table format (Delta/Iceberg/Hudi) runs behind MERGE INTO, built here
+  * from first principles on parquet + an atomic-rename manifest log.
+  *
+  * Layout under one table root:
+  * {{{
+  *   data/commit-<uuid>/__bucket=<b>/part-*.parquet   immutable data files
+  *   manifests/v00001.tsv, v00002.tsv, ...            one per snapshot
+  * }}}
+  *
+  * Rows are hash-bucketed by the key column (pmod(xxhash64(key), B)); a
+  * snapshot is a manifest listing (bucket → data file) plus header
+  * metadata (version, the committing batch id, bucket count, key
+  * column). The CURRENT snapshot is simply the highest manifest number
+  * present — no mutable pointer file exists anywhere in the layout.
+  *
+  * The three production contracts, and how each is met:
+  *
+  *  - '''Copy-on-write MERGE rewrites ONLY touched files.''' The change
+  *    feed's distinct buckets (a ≤B-sized driver list) select which data
+  *    files participate; untouched buckets' manifest entries are carried
+  *    into the new snapshot BY REFERENCE — their bytes are never read,
+  *    never rewritten. A CDC batch touching k of B buckets costs one
+  *    co-partitioned merge join over k files plus k file writes,
+  *    regardless of table size — the 100 TB posture.
+  *
+  *  - '''Commits are atomic and ordered.''' Data files are written
+  *    FIRST, under a fresh commit-<uuid> directory no manifest
+  *    references yet; the manifest is then written to a dot-temp name
+  *    and atomically renamed to v<N+1>. A crash anywhere before the
+  *    rename leaves orphan data files (vacuum fodder) but NEVER a
+  *    half-visible table; rename-refuses-overwrite makes a lost race
+  *    against a concurrent committer an explicit failure, not silent
+  *    last-writer-wins (the Iceberg optimistic-commit discipline).
+  *
+  *  - '''Snapshots are immutable → time travel and replay idempotence
+  *    are free.''' [[readVersion]] reads any retained snapshot's
+  *    manifest (data files are immutable, so old versions stay exactly
+  *    as committed). Each manifest records the batch id that produced
+  *    it; [[merge]] on a batch id already recorded by the CURRENT
+  *    snapshot is a no-op — the foreachBatch replay contract
+  *    (re-running the batch that died between sink write and checkpoint
+  *    commit must not double-apply).
+  *
+  * MERGE semantics are the q_merge_upsert contract: matched → the
+  * source row wins (update), source-only → insert, target-only → keep.
+  * The source is coerced to the table schema before the join (so e.g. a
+  * widened decimal from arithmetic lands back at the declared
+  * precision, keeping every data file's schema identical). */
+object CowTable {
+
+  private val BucketCol = "__bucket"
+
+  /** Deterministic bucket of a key (engine-stable: xxhash64 seed 42). */
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  case class Manifest(version: Int, batchId: String, nBuckets: Int,
+      keyCol: String, entries: Seq[(Int, String)])
+
+  private def hfs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Int): Path =
+    new Path(s"$root/manifests", f"v$v%05d.tsv")
+
+  /** Highest committed snapshot version, or 0 if the table is empty. */
+  def currentVersion(s: SparkSession, root: String): Int = {
+    val dir = new Path(s"$root/manifests")
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) 0
+    else fs.globStatus(new Path(dir, "v*.tsv"))
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".tsv").toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  def readManifest(s: SparkSession, root: String, v: Int): Manifest = {
+    val p = manifestPath(root, v)
+    val fs = hfs(s, p)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"no snapshot v$v at $root")
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val hdr = lines.head.split(" ").collect {
+      case kv if kv.contains("=") =>
+        val Array(k, vv) = kv.split("=", 2); k -> vv
+    }.toMap
+    Manifest(hdr("v").toInt, hdr("batch"), hdr("buckets").toInt, hdr("key"),
+      lines.tail.map { l =>
+        val Array(b, path) = l.split("\t", 2); (b.toInt, path)
+      }.toSeq)
+  }
+
+  /** Atomic commit: dot-temp write + rename to the NEW version name.
+    * rename refuses an existing destination, so a concurrent committer
+    * that won the race surfaces as an explicit failure here. */
+  private[graft] def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
+    val fin = manifestPath(root, m.version)
+    val fs = hfs(s, fin)
+    fs.mkdirs(fin.getParent)
+    if (fs.exists(fin))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot v${m.version} already committed at $root")
+    val tmp = new Path(fin.getParent,
+      s".${fin.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try {
+      val body = new StringBuilder
+      body ++= s"#graft-cow v=${m.version} batch=${m.batchId} " +
+        s"buckets=${m.nBuckets} key=${m.keyCol}\n"
+      m.entries.foreach { case (b, path) => body ++= s"$b\t$path\n" }
+      out.write(body.toString.getBytes("UTF-8"))
+    } finally out.close()
+    if (!fs.rename(tmp, fin)) {
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      throw new java.util.ConcurrentModificationException(
+        s"lost commit race for snapshot v${m.version} at $root")
+    }
+  }
+
+  /** List the (bucket, root-relative path) pairs of one commit dir. */
+  private def listCommit(s: SparkSession, root: String,
+      commitRel: String): Seq[(Int, String)] = {
+    val fs = hfs(s, new Path(root))
+    fs.globStatus(new Path(s"$root/$commitRel", s"$BucketCol=*/*.parquet"))
+      .map { st =>
+        val b = st.getPath.getParent.getName
+          .stripPrefix(s"$BucketCol=").toInt
+        val rel = s"$commitRel/${st.getPath.getParent.getName}/${st.getPath.getName}"
+        (b, rel)
+      }.toSeq.sortBy(e => (e._1, e._2))
+  }
+
+  private def writeCommitDir(df: DataFrame, root: String, keyCol: String,
+      nBuckets: Int): String = {
+    val commitRel = s"data/commit-${java.util.UUID.randomUUID()}"
+    df.withColumn(BucketCol, bucketOf(col(keyCol), nBuckets))
+      .write.partitionBy(BucketCol).parquet(s"$root/$commitRel")
+    commitRel
+  }
+
+  /** Create the table: bucket `df` by `keyCol`, write all data files,
+    * commit snapshot v1 (batch id "create"). */
+  def create(df: DataFrame, root: String, keyCol: String,
+      nBuckets: Int): Unit = {
+    val s = df.sparkSession
+    require(currentVersion(s, root) == 0, s"table already exists at $root")
+    val commitRel = writeCommitDir(df, root, keyCol, nBuckets)
+    writeManifest(s, root,
+      Manifest(1, "create", nBuckets, keyCol, listCommit(s, root, commitRel)))
+  }
+
+  private def readEntries(s: SparkSession, root: String,
+      entries: Seq[(Int, String)], schema: Option[StructType]): DataFrame = {
+    val paths = entries.map { case (_, rel) => s"$root/$rel" }
+    if (paths.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new StructType()))
+    else schema.fold(s.read)(s.read.schema).parquet(paths: _*)
+  }
+
+  /** Read the current snapshot. */
+  def read(s: SparkSession, root: String): DataFrame =
+    readVersion(s, root, currentVersion(s, root))
+
+  /** Time travel: read snapshot `v` exactly as committed (data files are
+    * immutable; every retained manifest stays readable). */
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
+    readEntries(s, root, readManifest(s, root, v).entries, None)
+
+  /** MERGE `src` into the table (matched → update, source-only →
+    * insert, target-only → keep), rewriting ONLY the data files of
+    * buckets the source touches; everything else is carried into the
+    * new snapshot by reference. Returns true if a new snapshot was
+    * committed, false for a REPLAY (the current snapshot already
+    * records `batchId` — the idempotent re-run contract). */
+  def merge(s: SparkSession, root: String, src: DataFrame,
+      batchId: String): Boolean = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no table at $root — create() first")
+    val man = readManifest(s, root, cur)
+    if (man.batchId == batchId) return false // replayed batch: no-op
+    val key = man.keyCol
+    // table schema from the current snapshot's files; source coerced to
+    // it so every data file of the table keeps the identical schema
+    val tableSchema = readEntries(s, root, man.entries, None).schema
+    val srcCast = src.select(tableSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // touched-file detection from the SOURCE KEYS: ≤B driver-side ints
+    val touched = srcCast
+      .select(bucketOf(col(key), man.nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (touchedEntries, untouchedEntries) =
+      man.entries.partition { case (b, _) => touched(b) }
+    val payload = tableSchema.fieldNames.filterNot(_ == key).toIndexedSeq
+    val target = readEntries(s, root, touchedEntries, Some(tableSchema))
+    val merged = target
+      .select(col(key), struct(payload.map(col): _*).as("t"))
+      .join(srcCast.select(col(key), struct(payload.map(col): _*).as("sr")),
+        Seq(key), "full_outer")
+      // row-level resolution: a matched source row REPLACES the target
+      // row wholly (struct coalesce, not per-column — a NULL in the
+      // source is an update to NULL, not "inherit the old value")
+      .select(col(key), coalesce(col("sr"), col("t")).as("r"))
+      .select(col(key) +: payload.map(p => col(s"r.$p").as(p)): _*)
+    // data first, manifest second: a crash here leaves unreferenced
+    // files (vacuum fodder), never a half-visible snapshot
+    val commitRel = writeCommitDir(merged, root, key, man.nBuckets)
+    writeManifest(s, root, Manifest(cur + 1, batchId, man.nBuckets, key,
+      (untouchedEntries ++ listCommit(s, root, commitRel))
+        .sortBy(e => (e._1, e._2))))
+    true
+  }
+}

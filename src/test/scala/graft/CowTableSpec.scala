@@ -1,0 +1,141 @@
+package graft
+
+import graft.sources.CowTable
+import org.apache.spark.sql.functions._
+
+/** The copy-on-write table format's structural contracts (r19 verdict
+  * task 1) — q_merge_files gates the END RESULT against the DuckDB
+  * oracle; this spec pins the mechanics that make it a table format:
+  * touched-file-only rewrite, snapshot immutability / time travel,
+  * replay idempotence, and commit atomicity ordering. */
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-cowspec").toString
+
+  private def table(n: Int) =
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("name-"), col("id")).as("name"),
+      (col("id") * 10).cast("decimal(12,2)").as("bal"))
+
+  test("create + read roundtrip: all buckets land, content intact") {
+    val root = tmp()
+    CowTable.create(table(100), root, "k", nBuckets = 8)
+    assert(CowTable.currentVersion(spark, root) === 1)
+    val back = CowTable.read(spark, root)
+    assert(back.count() === 100)
+    assert(back.collect().map(_.toSeq).toSet
+      === table(100).collect().map(_.toSeq).toSet)
+    val man = CowTable.readManifest(spark, root, 1)
+    assert(man.entries.map(_._1).distinct.sorted === (0 until 8),
+      "100 keys over 8 hash buckets must populate every bucket")
+  }
+
+  test("MERGE rewrites ONLY the touched buckets: untouched manifest " +
+    "entries carry over by reference, byte-identical paths") {
+    val root = tmp()
+    CowTable.create(table(100), root, "k", nBuckets = 8)
+    // a small CDC batch: update key 7, insert key 1000
+    val src = Seq((7L, "name-7-v2", java.math.BigDecimal.valueOf(777)),
+      (1000L, "name-1000", java.math.BigDecimal.valueOf(1))).toDF("k", "name", "bal")
+    assert(CowTable.merge(spark, root, src, "batch-1"))
+    val m1 = CowTable.readManifest(spark, root, 1)
+    val m2 = CowTable.readManifest(spark, root, 2)
+    val touched = src.select(CowTable.bucketOf(col("k"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size <= 2)
+    // untouched buckets: the v2 manifest lists the SAME file paths
+    val m1ByBucket = m1.entries.groupBy(_._1)
+    val m2ByBucket = m2.entries.groupBy(_._1)
+    for (b <- 0 until 8 if !touched(b))
+      assert(m2ByBucket(b).map(_._2) === m1ByBucket(b).map(_._2),
+        s"untouched bucket $b must carry over by reference")
+    // touched buckets: every file is NEW (copy-on-write, old files kept)
+    for (b <- touched)
+      assert(m2ByBucket(b).map(_._2).toSet
+        .intersect(m1ByBucket(b).map(_._2).toSet).isEmpty,
+        s"touched bucket $b must be rewritten into new files")
+    // and the merged content is the logical MERGE result
+    val back = CowTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDecimal(2).doubleValue))
+      .toMap
+    assert(back.size === 101)
+    assert(back(7L) === (("name-7-v2", 777.0)))
+    assert(back(1000L) === (("name-1000", 1.0)))
+    assert(back(8L) === (("name-8", 80.0)), "non-touched rows unchanged")
+  }
+
+  test("time travel: v1 stays exactly as committed after the merge") {
+    val root = tmp()
+    CowTable.create(table(50), root, "k", nBuckets = 4)
+    val src = Seq((3L, "changed", java.math.BigDecimal.valueOf(0)))
+      .toDF("k", "name", "bal")
+    CowTable.merge(spark, root, src, "batch-1")
+    val v1 = CowTable.readVersion(spark, root, 1)
+    assert(v1.collect().map(_.toSeq).toSet
+      === table(50).collect().map(_.toSeq).toSet,
+      "the pre-merge snapshot must remain readable and unchanged")
+    assert(CowTable.read(spark, root)
+      .filter(col("k") === 3L).select("name").head().getString(0)
+      === "changed")
+  }
+
+  test("replay idempotence: re-running the SAME batch id is a no-op " +
+    "(no new snapshot, content unchanged)") {
+    val root = tmp()
+    CowTable.create(table(50), root, "k", nBuckets = 4)
+    val src = Seq((3L, "v2", java.math.BigDecimal.valueOf(1)))
+      .toDF("k", "name", "bal")
+    assert(CowTable.merge(spark, root, src, "batch-1") === true)
+    val v = CowTable.currentVersion(spark, root)
+    val before = CowTable.read(spark, root).collect().map(_.toSeq).toSet
+    // the foreachBatch replay: same batch, same id, run again
+    assert(CowTable.merge(spark, root, src, "batch-1") === false)
+    assert(CowTable.currentVersion(spark, root) === v,
+      "a replayed batch must not commit a new snapshot")
+    assert(CowTable.read(spark, root).collect().map(_.toSeq).toSet === before)
+    // a genuinely NEW batch still applies
+    val src2 = Seq((3L, "v3", java.math.BigDecimal.valueOf(2)))
+      .toDF("k", "name", "bal")
+    assert(CowTable.merge(spark, root, src2, "batch-2") === true)
+    assert(CowTable.currentVersion(spark, root) === v + 1)
+    assert(CowTable.read(spark, root)
+      .filter(col("k") === 3L).select("name").head().getString(0) === "v3")
+  }
+
+  test("commit atomicity: a snapshot number that got committed between " +
+    "version read and manifest write makes the slower committer FAIL, " +
+    "never silently overwrite (rename refuses an existing destination)") {
+    val root = tmp()
+    CowTable.create(table(20), root, "k", nBuckets = 2)
+    val m1 = CowTable.readManifest(spark, root, 1)
+    // the race: both committers read cur=1 and target v2; the winner's
+    // manifest lands first, the loser's writeManifest must then refuse
+    CowTable.writeManifest(spark, root,
+      m1.copy(version = 2, batchId = "winner"))
+    intercept[java.util.ConcurrentModificationException] {
+      CowTable.writeManifest(spark, root,
+        m1.copy(version = 2, batchId = "loser"))
+    }
+    // the winner's commit is intact, not clobbered by the losing attempt
+    assert(CowTable.readManifest(spark, root, 2).batchId === "winner")
+  }
+
+  test("data-before-manifest ordering: reads are manifest-driven, so " +
+    "orphaned data files from a died-before-commit writer are invisible " +
+    "(never a half-visible table)") {
+    val root = tmp()
+    CowTable.create(table(20), root, "k", nBuckets = 2)
+    val before = CowTable.read(spark, root).collect().map(_.toSeq).toSet
+    // a writer that crashed after its data write, before its manifest
+    // commit: its commit dir sits under data/ unreferenced
+    table(5).select(col("k"), lit("GHOST").as("name"), col("bal"))
+      .write.parquet(s"$root/data/commit-orphan/__bucket=0")
+    assert(CowTable.currentVersion(spark, root) === 1)
+    assert(CowTable.read(spark, root).collect().map(_.toSeq).toSet === before,
+      "unreferenced data files must never surface in a read")
+    assert(!CowTable.read(spark, root).collect()
+      .exists(_.getString(1) == "GHOST"))
+  }
+}
