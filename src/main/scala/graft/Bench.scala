@@ -67,7 +67,7 @@ object Bench {
     "q_mrr", "q_map", "q_shapley_attrib", "q_slo_burn",
     "q_grouping_sets", "q_range_frame", "q_did", "q_logrank", "q_forecast_eval", "q_partial_corr",
     "q_lift", "q_heaps", "q_fourfifths", "q_lang_confusion",
-    "q_fellegi", "q_ann_ivf_audit", "q_ann_ivf_foldin_audit", "q_ann_pq_audit", "q_bloom_audit",
+    "q_fellegi", "q_ann_ivf_audit", "q_ann_ivf_foldin_audit", "q_ann_pq_audit", "q_ann_ivfpq_audit", "q_bloom_audit",
     "q_anova", "q_kruskal", "q_tcloseness", "q_hits", "q_pca_audit",
     "q_levene", "q_trend", "q_tukey", "q_dunn", "q_friedman",
     "q_bartlett", "q_cochran_q", "q_mcnemar", "q_yule_k", "q_theil",

@@ -636,12 +636,20 @@ object SimilaritySearch extends QueryModule {
     * at a few thousand training points per subspace, and at 100 TB a
     * full-corpus K-means per subspace would be pure waste. Returns
     * (m, code, centroid). */
-  def pqCodebooks(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val base = Tables.embeddings(s, dir)
-      .filter(col("vec_id") % 20 === 0 || col("vec_id") < 200) // ≥ 200 rows at any SF
-      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-      .cache()
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    pqCodebooksOf(s,
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 20 === 0 || col("vec_id") < 200) // ≥ 200 rows at any SF
+        .select(transform(col("embedding"), x => x.cast("double")).as("v")),
+      seedBase = 42L)
+
+  /** [[pqCodebooks]] over an arbitrary training relation (one `v`
+    * double-array column) — the seam IVFADC uses to train its codebooks
+    * on RESIDUALS instead of raw vectors. */
+  def pqCodebooksOf(s: SparkSession, train: DataFrame,
+      seedBase: Long): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = train.select(col("v")).cache()
     // the M fits are independent — submit them CONCURRENTLY (Spark's
     // scheduler interleaves jobs from multiple threads on one session),
     // so wall time is ~one fit, not M sequential fixed costs
@@ -652,7 +660,7 @@ object SimilaritySearch extends QueryModule {
       Future {
         val sub = base.select(array_to_vector(slice(col("v"), m * PqSubDim + 1, PqSubDim)).as("features"))
         val km = new org.apache.spark.ml.clustering.KMeans()
-          .setK(PqK).setSeed(42L + m).setInitMode("random").setMaxIter(10).fit(sub)
+          .setK(PqK).setSeed(seedBase + m).setInitMode("random").setMaxIter(10).fit(sub)
         km.clusterCenters.zipWithIndex.toSeq
           .map { case (c, i) => (m, i, c.toArray.toSeq) }
       }
@@ -716,6 +724,97 @@ object SimilaritySearch extends QueryModule {
           lit(0.0), (acc, x) => acc + x).as("pdist"))
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("nb_id").asc)
     codes.join(broadcast(table), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("nb_id"))
+      .agg(sum(col("pdist")).as("adc"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 1)
+      .select(col("q_id"), col("nb_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** q_ann_ivfpq: IVF-PQ residual composition (FAISS IVFADC — the
+    * memory-bound 100 TB index standard): the coarse quantizer's cell
+    * explains most of a vector's magnitude, so PQ codebooks trained on
+    * the RESIDUALS r = v − centroid(cell) spend their 16 codes on the
+    * fine structure instead of re-encoding cell geometry — the reason
+    * IVFADC beats flat PQ at equal code budget. Composition of the two
+    * existing halves, on residuals:
+    *
+    *  - coarse: the SAME memoized nlist=16 quantizer as q_ann_ivf (one
+    *    index family, shared training cost);
+    *  - fine: M=8 × K=16 codebooks trained on a deterministic residual
+    *    sample via [[pqCodebooksOf]] (seed offset so they can never
+    *    silently alias the flat-PQ books), every indexed vector stored
+    *    as (cell, M codes) — 1 small int + M bytes per vector;
+    *  - search: a query probes its nProbe=4 nearest cells; PER PROBED
+    *    CELL it builds the ADC table from its OWN residual against that
+    *    cell's centroid (the table is (q × nProbe × M × K)-bounded and
+    *    broadcast); candidates sum M lookups via the (cell, m, code)
+    *    equi-join — the scan touches codes only, never floats.
+    *
+    * Rows-only (two iterative clusterings upstream);
+    * [[qAnnIvfPqAudit]] gates it with the scale-invariant top-decile
+    * rank contract (63c's: containment-at-k is wrong for lossy codes). */
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nlist = 16
+    val nProbe = 4
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // the SAME coarse quantizer as q_ann_ivf (memoized under its key)
+    val km = graft.ModelCache.getOrElseUpdate(s, s"ivf.km:$dir") {
+      new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features")
+        .fit(e.filter(col("vec_id") >= 10)
+          .select(array_to_vector(col("v")).as("features")))
+    }
+    val cents = km.clusterCenters.map(_.toArray)
+    def dist2(cell: Int): Column = aggregate(
+      zip_with(col("v"), array(cents(cell).map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val centRel = {
+      import s.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cent")
+    }
+    val cellRank = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val withDists = e.select(col("vec_id"), col("v"),
+      explode(array((0 until nlist).map(c =>
+        struct(lit(c).as("cell"), dist2(c).as("d2"))): _*)).as("cd"))
+      .select(col("vec_id"), col("v"), col("cd.cell").as("cell"), col("cd.d2").as("d2"))
+      .withColumn("crk", row_number().over(cellRank))
+    // offline index build, memoized: residual codebooks + per-vector
+    // (cell, m, code) rows — the 1-int-plus-M-bytes posting list
+    val (books, codes) = graft.ModelCache.getOrElseUpdate(s, s"ann.ivfpq:$dir") {
+      val assigned = withDists.filter(col("vec_id") >= 10 && col("crk") === 1)
+        .join(broadcast(centRel), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+        .localCheckpoint(true)
+      val b = pqCodebooksOf(s,
+        assigned.filter(col("vec_id") % 20 === 0 || col("vec_id") < 200)
+          .select(col("rv").as("v")),
+        seedBase = 1042L)
+        .localCheckpoint(true)
+      val c = pqEncode(assigned.select(col("vec_id"), col("rv").as("v")), b)
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .localCheckpoint(true)
+      (b, c)
+    }
+    // query side: nProbe probed cells, ADC table per (query, cell) from
+    // the query's residual against THAT cell's centroid
+    val probes = withDists.filter(col("vec_id") < 10 && col("crk") <= nProbe)
+      .join(broadcast(centRel), Seq("cell"))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        zip_with(col("v"), col("cent"), (a, b) => a - b).as("qr"))
+    val qsubs = probes.select(col("q_id"), col("cell"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice(qr, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "sub")))
+    val table = qsubs.join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("cell"), col("m"), col("code"),
+        aggregate(zip_with(col("sub"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("pdist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("nb_id").asc)
+    codes.join(broadcast(table), Seq("cell", "m", "code"))
       .groupBy(col("q_id"), col("vec_id").as("nb_id"))
       .agg(sum(col("pdist")).as("adc"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 1)
@@ -817,7 +916,25 @@ object SimilaritySearch extends QueryModule {
     * counting corpus vectors that beat the pick under the exact
     * (cos desc, nb_id asc) order — one more broadcast(10-row) ⋈ scan
     * pass, never a global sort. */
-  def qAnnPqAudit(s: SparkSession, dir: String): DataFrame = {
+  def qAnnPqAudit(s: SparkSession, dir: String): DataFrame =
+    decileRankAudit(s, dir,
+      qAnnPq(s, dir).select(col("q_id"), col("nb_id")), "pq_recall_ok")
+
+  /** q_ann_ivfpq_audit: the IVFADC certificate — the residual-composed
+    * index's top-1 must ALSO land in the corpus top decile for at least
+    * Num/Den of the queries (same scale-invariant contract as flat PQ:
+    * the composition may only narrow the searched cells and refine the
+    * codes, never silently degrade below the lossy-code floor). */
+  def qAnnIvfPqAudit(s: SparkSession, dir: String): DataFrame =
+    decileRankAudit(s, dir,
+      qAnnIvfPq(s, dir).select(col("q_id"), col("nb_id")), "ivfpq_recall_ok")
+
+  /** The shared top-decile rank certificate (see [[qAnnPqAudit]]): the
+    * picked neighbor's exact rank is computed by counting corpus vectors
+    * that beat it under the exact (cos desc, nb_id asc) order — one more
+    * broadcast(10-row) ⋈ scan pass, never a global sort. */
+  private def decileRankAudit(s: SparkSession, dir: String,
+      pickRel: DataFrame, okCol: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val queries = e.filter(col("vec_id") < 10)
@@ -826,9 +943,7 @@ object SimilaritySearch extends QueryModule {
     val scored = corpus.join(broadcast(queries))
       .select(col("q_id"), col("vec_id").as("nb_id"),
         cosine(col("qv"), col("v")).as("cos"))
-    val picks = scored.join(
-        broadcast(qAnnPq(s, dir).select(col("q_id"), col("nb_id"))),
-        Seq("q_id", "nb_id"))
+    val picks = scored.join(broadcast(pickRel), Seq("q_id", "nb_id"))
       .select(col("q_id"), col("nb_id").as("pq_nb"), col("cos").as("pq_cos"))
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
     val better = scored.join(broadcast(picks), Seq("q_id"))
@@ -840,7 +955,7 @@ object SimilaritySearch extends QueryModule {
       .crossJoin(broadcast(n))
       .filter((col("n_better") + 1) * 10 <= col("n_corpus"))
       .agg(count(lit(1)).as("n_hit"))
-    annAudit(s, dir, hits, "pq_recall_ok")
+    annAudit(s, dir, hits, okCol)
   }
 
   private def annAuditSql(okCol: String) =
@@ -864,6 +979,7 @@ object SimilaritySearch extends QueryModule {
   private lazy val qAnnIvfAuditSql = annAuditSql("ivf_recall_ok")
   private lazy val qAnnIvfFoldinAuditSql = annAuditSql("ivf_foldin_recall_ok")
   private lazy val qAnnPqAuditSql = annAuditSql("pq_recall_ok")
+  private lazy val qAnnIvfPqAuditSql = annAuditSql("ivfpq_recall_ok")
 
   /** q_pca: PCA whitening of the embedding space — the standard pre-step
     * before quantization/clustering in an embedding pipeline (most
@@ -1931,6 +2047,7 @@ object SimilaritySearch extends QueryModule {
     "q_pca" -> (qPca _),
     "q_pca_audit" -> (qPcaAudit _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_knn_search" -> (qKnnSearch _),
     "q_mmr" -> (qMmr _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -1945,6 +2062,7 @@ object SimilaritySearch extends QueryModule {
     "q_ann_ivf_foldin" -> (qAnnIvfFoldin _),
     "q_ann_ivf_foldin_audit" -> (qAnnIvfFoldinAudit _),
     "q_ann_pq_audit" -> (qAnnPqAudit _),
+    "q_ann_ivfpq_audit" -> (qAnnIvfPqAudit _),
     "q_embed_quant" -> (qEmbedQuant _))
 
   override def oracles: Map[String, String] = Map(
@@ -1969,5 +2087,6 @@ object SimilaritySearch extends QueryModule {
     "q_ann_ivf_audit" -> qAnnIvfAuditSql,
     "q_ann_ivf_foldin_audit" -> qAnnIvfFoldinAuditSql,
     "q_ann_pq_audit" -> qAnnPqAuditSql,
+    "q_ann_ivfpq_audit" -> qAnnIvfPqAuditSql,
     "q_embed_quant" -> qEmbedQuantSql)
 }

@@ -36,6 +36,7 @@ class AuditCoverageSpec extends AnyFunSuite {
     "q_ann_ivf_foldin" -> "q_ann_ivf_foldin_audit",
     "q_ann_lsh" -> "q_knn_search",
     "q_ann_pq" -> "q_ann_pq_audit",
+    "q_ann_ivfpq" -> "q_ann_ivfpq_audit",
     "q_ann_recall" -> "q_knn_search",
     "q_bayes_sweep" -> "q_bayes_audit",
     "q_bpe" -> "q_bpe_audit",
