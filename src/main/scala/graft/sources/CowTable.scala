@@ -222,4 +222,70 @@ object CowTable {
         .sortBy(e => (e._1, e._2))))
     true
   }
+
+  /** Vacuum: delete data files no RETAINED snapshot references —
+    * completes the copy-on-write lifecycle (every merge strands the
+    * touched buckets' old files in superseded snapshots; a crashed
+    * writer strands whole commit dirs). `retainLast` snapshots keep
+    * time-travel working (their manifests and every file they reference
+    * survive); older manifests are dropped too, so the retention window
+    * is explicit. Returns the number of deleted data files.
+    *
+    * Safe by construction: the reachable-file set is computed from the
+    * retained manifests BEFORE anything is deleted, data files are
+    * immutable, and a concurrent reader of a retained snapshot never
+    * loses a file. (A reader of an EXPIRED snapshot can fail — that is
+    * what retention means; pick retainLast accordingly.) */
+  def vacuum(s: SparkSession, root: String, retainLast: Int = 2): Int = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no table at $root")
+    val keepVersions = (math.max(1, cur - retainLast + 1) to cur).toSeq
+    val reachable: Set[String] = keepVersions
+      .flatMap(v => readManifest(s, root, v).entries.map(_._2)).toSet
+    val fs = hfs(s, new Path(root))
+    // commit dirs with ≥1 reachable file keep their skeleton (markers,
+    // checksums) and lose only superseded parquet files; a commit dir
+    // NO retained manifest references at all — a fully superseded merge
+    // or a crashed writer's orphan — is dropped recursively
+    val reachableDirs = reachable.map(_.split("/")(1))
+    var deleted = 0
+    fs.globStatus(new Path(s"$root/data", "commit-*")).foreach { d =>
+      val dirName = d.getPath.getName
+      if (!reachableDirs(dirName)) {
+        deleted += fs.globStatus(
+          new Path(d.getPath, s"$BucketCol=*/*.parquet")).length
+        fs.delete(d.getPath, true): Unit
+      } else {
+        fs.globStatus(new Path(d.getPath, s"$BucketCol=*/*.parquet"))
+          .foreach { st =>
+            val rel = s"data/$dirName/${st.getPath.getParent.getName}/" +
+              s"${st.getPath.getName}"
+            if (!reachable(rel)) { fs.delete(st.getPath, false); deleted += 1 }
+          }
+      }
+    }
+    (1 until keepVersions.head).foreach { v =>
+      fs.delete(manifestPath(root, v), false): Unit
+    }
+    deleted
+  }
+
+  /** Streaming CDC apply: MERGE each micro-batch into the table from
+    * foreachBatch, keyed by the engine's batch id. This is the
+    * exactly-once production sink recipe completed: Structured Streaming
+    * guarantees a batch REPLAYED after a failure between sink write and
+    * checkpoint commit re-runs with the SAME batch id, and [[merge]] on
+    * a batch id the current snapshot already records is a no-op — so the
+    * replay window that doubles rows on a naive sink double-applies
+    * nothing here (CheckpointRecoverySpec pins it with a forced replay).
+    * Returns the started query. */
+  def applyCdc(df: DataFrame, root: String, checkpoint: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          merge(batch.sparkSession, root, batch, s"stream-batch-$id"): Unit
+      }
+      .start()
 }

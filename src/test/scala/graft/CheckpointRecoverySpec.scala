@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.EventStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Dataset, Row}
 
 import java.nio.file.{Files, Path, Paths}
@@ -300,6 +301,54 @@ class CheckpointRecoverySpec extends SparkSpec {
           "HDFS-backed .delta files must not appear on the RocksDB leg")
       } finally { rmrf(ckpt); RecoverySink.clear(sink) }
     }
+  }
+
+  test("CowTable CDC-apply sink: a micro-batch REPLAYED after the " +
+    "commit marker is lost is a no-op (batch-id idempotence closes the " +
+    "exactly-once loop on the table format)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft-rec-cow")
+    val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    try {
+      graft.sources.CowTable.create(
+        spark.range(1, 6).select(col("id").as("k"),
+          concat(lit("name-"), col("id")).as("name"),
+          (col("id") * 10).cast("decimal(12,2)").as("bal")),
+        table, "k", nBuckets = 4)
+      val input = MemoryStream[(Long, String, Double)]
+      def start() = graft.sources.CowTable.applyCdc(
+        input.toDF().toDF("k", "name", "bal"), table, ckpt)
+
+      val q1 = start()
+      try {
+        input.addData((1L, "updated", 11.0), (9L, "inserted", 90.0))
+        q1.processAllAvailable()
+        assert(graft.sources.CowTable.currentVersion(spark, table) === 2)
+      } finally q1.stop()
+
+      // die between sink write and checkpoint commit
+      dropLatestCommit(ckpt)
+
+      val q2 = start()
+      try {
+        q2.processAllAvailable() // replays the batch with the SAME id
+        assert(graft.sources.CowTable.currentVersion(spark, table) === 2,
+          "the replayed batch must not commit another snapshot")
+        val rows = graft.sources.CowTable.read(spark, table).collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), r.getDecimal(2).doubleValue)).toMap
+        assert(rows.size === 6)
+        assert(rows(1L) === (("updated", 11.0)),
+          "the update must be applied exactly once")
+        assert(rows(9L) === (("inserted", 90.0)))
+        // and a genuinely new batch still lands
+        input.addData((2L, "later", 22.0))
+        q2.processAllAvailable()
+        assert(graft.sources.CowTable.currentVersion(spark, table) === 3)
+        assert(graft.sources.CowTable.read(spark, table)
+          .filter(col("k") === 2L).head().getString(1) === "later")
+      } finally q2.stop()
+    } finally rmrf(root)
   }
 
   test("foreachBatch parquet sink: a replayed batch (commit marker lost " +

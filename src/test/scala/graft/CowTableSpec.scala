@@ -122,6 +122,45 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.readManifest(spark, root, 2).batchId === "winner")
   }
 
+  test("vacuum deletes exactly the files no retained snapshot references " +
+    "and keeps every retained snapshot readable") {
+    val root = tmp()
+    CowTable.create(table(100), root, "k", nBuckets = 4)
+    def src(n: Int) = Seq((7L, s"v$n", java.math.BigDecimal.valueOf(n.toLong)))
+      .toDF("k", "name", "bal")
+    CowTable.merge(spark, root, src(2), "b2") // v2
+    CowTable.merge(spark, root, src(3), "b3") // v3
+    // an orphan from a crashed writer
+    table(3).select(col("k"), lit("GHOST").as("name"), col("bal"))
+      .write.parquet(s"$root/data/commit-orphan/__bucket=0")
+    val v3Rows = CowTable.read(spark, root).collect().map(_.toSeq).toSet
+    val v2Rows = CowTable.readVersion(spark, root, 2).collect()
+      .map(_.toSeq).toSet
+    val deleted = CowTable.vacuum(spark, root, retainLast = 2)
+    assert(deleted > 0, "v1's superseded bucket file + the orphan must go")
+    // retained snapshots: byte-identical reads after the vacuum
+    assert(CowTable.read(spark, root).collect().map(_.toSeq).toSet === v3Rows)
+    assert(CowTable.readVersion(spark, root, 2).collect()
+      .map(_.toSeq).toSet === v2Rows)
+    // the expired snapshot and the orphan are gone
+    intercept[IllegalArgumentException] {
+      CowTable.readVersion(spark, root, 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data", "commit-orphan*")).isEmpty, "orphan dir must be vacuumed")
+    // every remaining data file is referenced by a retained manifest
+    val reachable = (2 to 3).flatMap(v =>
+      CowTable.readManifest(spark, root, v).entries.map(_._2)).toSet
+    val remaining = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data", "commit-*/__bucket=*/*.parquet")).map { st =>
+      s"data/${st.getPath.getParent.getParent.getName}/" +
+        s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+    }.toSet
+    assert(remaining === reachable, "vacuum must leave exactly the reachable set")
+  }
+
   test("data-before-manifest ordering: reads are manifest-driven, so " +
     "orphaned data files from a died-before-commit writer are invisible " +
     "(never a half-visible table)") {
