@@ -184,9 +184,20 @@ object CowTable {
     * buckets the source touches; everything else is carried into the
     * new snapshot by reference. Returns true if a new snapshot was
     * committed, false for a REPLAY (the current snapshot already
-    * records `batchId` — the idempotent re-run contract). */
+    * records `batchId` — the idempotent re-run contract).
+    *
+    * `deleteCol`: WHEN MATCHED … THEN DELETE — the name of a boolean
+    * column on `src` (NOT part of the table schema) marking rows whose
+    * key must be REMOVED from the table (the GDPR/right-to-erasure path
+    * every table format carries). A delete-flagged key that does not
+    * exist is a no-op, never an insert. Deletion is copy-on-write like
+    * everything else: only the key's bucket is rewritten, and the row
+    * remains visible in earlier snapshots until [[vacuum]] expires
+    * them — full erasure = delete-merge + vacuum past the retention
+    * window (document THAT as the compliance recipe, not the merge
+    * alone). */
   def merge(s: SparkSession, root: String, src: DataFrame,
-      batchId: String): Boolean = {
+      batchId: String, deleteCol: Option[String] = None): Boolean = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no table at $root — create() first")
     val man = readManifest(s, root, cur)
@@ -195,8 +206,10 @@ object CowTable {
     // table schema from the current snapshot's files; source coerced to
     // it so every data file of the table keeps the identical schema
     val tableSchema = readEntries(s, root, man.entries, None).schema
-    val srcCast = src.select(tableSchema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val srcCast = src.select((tableSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq
+      ++ deleteCol.map(d => coalesce(col(d).cast("boolean"), lit(false))
+        .as("__del"))): _*)
     // touched-file detection from the SOURCE KEYS: ≤B driver-side ints
     val touched = srcCast
       .select(bucketOf(col(key), man.nBuckets).as("b"))
@@ -205,10 +218,17 @@ object CowTable {
       man.entries.partition { case (b, _) => touched(b) }
     val payload = tableSchema.fieldNames.filterNot(_ == key).toIndexedSeq
     val target = readEntries(s, root, touchedEntries, Some(tableSchema))
+    val delFlag: Column =
+      if (deleteCol.isDefined) coalesce(col("__del"), lit(false))
+      else lit(false)
     val merged = target
       .select(col(key), struct(payload.map(col): _*).as("t"))
-      .join(srcCast.select(col(key), struct(payload.map(col): _*).as("sr")),
+      .join(srcCast.select((col(key) +: struct(payload.map(col): _*).as("sr")
+          +: deleteCol.map(_ => col("__del")).toSeq): _*),
         Seq(key), "full_outer")
+      // delete-flagged source rows REMOVE the key (a flagged key with no
+      // target row is a no-op, never an insert)
+      .filter(!delFlag)
       // row-level resolution: a matched source row REPLACES the target
       // row wholly (struct coalesce, not per-column — a NULL in the
       // source is an update to NULL, not "inherit the old value")

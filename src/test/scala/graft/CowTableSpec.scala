@@ -122,6 +122,45 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.readManifest(spark, root, 2).batchId === "winner")
   }
 
+  test("WHEN MATCHED DELETE: a delete-flagged key is removed copy-on-" +
+    "write (only its bucket rewritten), stays visible in the earlier " +
+    "snapshot, and a flagged key that does not exist is a no-op") {
+    val root = tmp()
+    CowTable.create(table(100), root, "k", nBuckets = 8)
+    val src = Seq(
+      (7L, "name-7-v2", java.math.BigDecimal.valueOf(77), false), // update
+      (13L, null.asInstanceOf[String],
+        null.asInstanceOf[java.math.BigDecimal], true),           // delete
+      (5000L, null.asInstanceOf[String],
+        null.asInstanceOf[java.math.BigDecimal], true))           // absent: no-op
+      .toDF("k", "name", "bal", "is_deleted")
+    assert(CowTable.merge(spark, root, src, "b-del",
+      deleteCol = Some("is_deleted")))
+    val back = CowTable.read(spark, root)
+    assert(back.count() === 99, "one deleted, no phantom insert")
+    assert(back.filter(col("k") === 13L).isEmpty, "key 13 erased")
+    assert(back.filter(col("k") === 5000L).isEmpty,
+      "a delete of an absent key must not insert")
+    assert(back.filter(col("k") === 7L).head().getString(1) === "name-7-v2")
+    // earlier snapshot still carries the row (erasure completes via
+    // vacuum past retention — the documented compliance recipe)
+    assert(CowTable.readVersion(spark, root, 1)
+      .filter(col("k") === 13L).count() === 1)
+    // only the touched buckets were rewritten
+    val m1 = CowTable.readManifest(spark, root, 1).entries.groupBy(_._1)
+    val m2 = CowTable.readManifest(spark, root, 2).entries.groupBy(_._1)
+    val touched = src.select(CowTable.bucketOf(col("k"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    for (b <- 0 until 8 if !touched(b))
+      assert(m2(b).map(_._2) === m1(b).map(_._2))
+    // full erasure recipe: vacuum past the retention window
+    CowTable.vacuum(spark, root, retainLast = 1)
+    intercept[IllegalArgumentException] {
+      CowTable.readVersion(spark, root, 1)
+    }
+    assert(CowTable.read(spark, root).filter(col("k") === 13L).isEmpty)
+  }
+
   test("vacuum deletes exactly the files no retained snapshot references " +
     "and keeps every retained snapshot readable") {
     val root = tmp()
