@@ -65,7 +65,10 @@ class SumAuditSpec extends SparkSpec {
     // contracts (fixed-k containment booleans), not hashed values —
     // summation order cannot flip a rank by construction (documented at
     // 63c).
-    "q_ann_pq_audit" -> 2)
+    "q_ann_pq_audit" -> 2,
+    // IVFADC audit: same justification — ADC distance sums feed the
+    // top-decile rank boolean, never a hashed value (documented at 63h).
+    "q_ann_ivfpq_audit" -> 2)
 
   test("no unaudited order-sensitive double sums in hash-gated " +
     "plans across ALL non-ML modules") {
