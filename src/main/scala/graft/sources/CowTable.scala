@@ -64,7 +64,11 @@ object CowTable {
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
 
   case class Manifest(version: Int, batchId: String, nBuckets: Int,
-      keyCol: String, entries: Seq[(Int, String)])
+      keyCol: String, schemaJson: String, entries: Seq[(Int, String)]) {
+    def schema: StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+  }
 
   private def hfs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -96,8 +100,10 @@ object CowTable {
       case kv if kv.contains("=") =>
         val Array(k, vv) = kv.split("=", 2); k -> vv
     }.toMap
+    val schemaJson = lines(1).stripPrefix("#schema ")
     Manifest(hdr("v").toInt, hdr("batch"), hdr("buckets").toInt, hdr("key"),
-      lines.tail.map { l =>
+      schemaJson,
+      lines.drop(2).map { l =>
         val Array(b, path) = l.split("\t", 2); (b.toInt, path)
       }.toSeq)
   }
@@ -119,6 +125,7 @@ object CowTable {
       val body = new StringBuilder
       body ++= s"#graft-cow v=${m.version} batch=${m.batchId} " +
         s"buckets=${m.nBuckets} key=${m.keyCol}\n"
+      body ++= s"#schema ${m.schemaJson}\n"
       m.entries.foreach { case (b, path) => body ++= s"$b\t$path\n" }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
@@ -156,9 +163,11 @@ object CowTable {
       nBuckets: Int): Unit = {
     val s = df.sparkSession
     require(currentVersion(s, root) == 0, s"table already exists at $root")
+    require(df.schema.fieldNames.contains(keyCol),
+      s"key column $keyCol not in ${df.schema.fieldNames.mkString(",")}")
     val commitRel = writeCommitDir(df, root, keyCol, nBuckets)
-    writeManifest(s, root,
-      Manifest(1, "create", nBuckets, keyCol, listCommit(s, root, commitRel)))
+    writeManifest(s, root, Manifest(1, "create", nBuckets, keyCol,
+      df.schema.json, listCommit(s, root, commitRel)))
   }
 
   private def readEntries(s: SparkSession, root: String,
@@ -175,9 +184,16 @@ object CowTable {
     readVersion(s, root, currentVersion(s, root))
 
   /** Time travel: read snapshot `v` exactly as committed (data files are
-    * immutable; every retained manifest stays readable). */
-  def readVersion(s: SparkSession, root: String, v: Int): DataFrame =
-    readEntries(s, root, readManifest(s, root, v).entries, None)
+    * immutable; every retained manifest stays readable). The MANIFEST
+    * schema drives the read — after an add-column evolution the table
+    * holds files of two widths, and file-inferred schemas would be
+    * nondeterministic; with the manifest authoritative, pre-evolution
+    * files surface the new column as null (parquet by-name resolution)
+    * and pre-evolution SNAPSHOTS keep their original width. */
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
+    val m = readManifest(s, root, v)
+    readEntries(s, root, m.entries, Some(m.schema))
+  }
 
   /** MERGE `src` into the table (matched → update, source-only →
     * insert, target-only → keep), rewriting ONLY the data files of
@@ -203,9 +219,20 @@ object CowTable {
     val man = readManifest(s, root, cur)
     if (man.batchId == batchId) return false // replayed batch: no-op
     val key = man.keyCol
-    // table schema from the current snapshot's files; source coerced to
-    // it so every data file of the table keeps the identical schema
-    val tableSchema = readEntries(s, root, man.entries, None).schema
+    // schema evolution, add-column: the source must carry EVERY table
+    // column (row-level replacement semantics need the whole row) and
+    // may APPEND new ones — they join the table schema as nullable
+    // fields, old files read null there (parquet by-name resolution
+    // under the manifest-authoritative schema), and pre-evolution
+    // snapshots keep their original width
+    val baseSchema = man.schema
+    val missing = baseSchema.fieldNames.filterNot(src.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"MERGE source must carry every table column; missing: ${missing.mkString(",")}")
+    val newFields = src.schema.fields.filter(f =>
+      !baseSchema.fieldNames.contains(f.name) && !deleteCol.contains(f.name))
+      .map(_.copy(nullable = true))
+    val tableSchema = StructType(baseSchema.fields ++ newFields)
     val srcCast = src.select((tableSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq
       ++ deleteCol.map(d => coalesce(col(d).cast("boolean"), lit(false))
@@ -238,6 +265,7 @@ object CowTable {
     // files (vacuum fodder), never a half-visible snapshot
     val commitRel = writeCommitDir(merged, root, key, man.nBuckets)
     writeManifest(s, root, Manifest(cur + 1, batchId, man.nBuckets, key,
+      tableSchema.json,
       (untouchedEntries ++ listCommit(s, root, commitRel))
         .sortBy(e => (e._1, e._2))))
     true

@@ -122,6 +122,40 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.readManifest(spark, root, 2).batchId === "winner")
   }
 
+  test("schema evolution, add-column: a merge source with an appended " +
+    "column widens the table; old files and untouched buckets read null " +
+    "there; pre-evolution snapshots keep their original width") {
+    val root = tmp()
+    CowTable.create(table(100), root, "k", nBuckets = 8)
+    val src = Seq(
+      (7L, "name-7-v2", java.math.BigDecimal.valueOf(77), "gold"),
+      (1000L, "name-1000", java.math.BigDecimal.valueOf(1), "silver"))
+      .toDF("k", "name", "bal", "tier")
+    assert(CowTable.merge(spark, root, src, "b-evo"))
+    val back = CowTable.read(spark, root)
+    assert(back.columns.toSeq === Seq("k", "name", "bal", "tier"))
+    val byK = back.collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(byK(7L) === Some("gold") && byK(1000L) === Some("silver"))
+    assert(byK(8L) === None, "pre-evolution rows read null in the new column")
+    assert(byK.size === 101)
+    // untouched buckets carried BY REFERENCE even across the evolution
+    val m1 = CowTable.readManifest(spark, root, 1).entries.groupBy(_._1)
+    val m2 = CowTable.readManifest(spark, root, 2).entries.groupBy(_._1)
+    val touched = src.select(CowTable.bucketOf(col("k"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    for (b <- 0 until 8 if !touched(b))
+      assert(m2(b).map(_._2) === m1(b).map(_._2))
+    // time travel: the pre-evolution snapshot keeps its original width
+    assert(CowTable.readVersion(spark, root, 1).columns.toSeq
+      === Seq("k", "name", "bal"))
+    // and a later merge must now carry the widened schema
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, root,
+        Seq((1L, "x", java.math.BigDecimal.valueOf(0))).toDF("k", "name", "bal"),
+        "b-next")
+    }
+  }
+
   test("WHEN MATCHED DELETE: a delete-flagged key is removed copy-on-" +
     "write (only its bucket rewritten), stays visible in the earlier " +
     "snapshot, and a flagged key that does not exist is a no-op") {
