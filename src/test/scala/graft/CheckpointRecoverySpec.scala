@@ -247,6 +247,54 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally { rmrf(ckpt); RecoverySink.clear(sink) }
   }
 
+  private def outerJoinRecoveryCase(sink: String): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("graft-rec-outer")
+    RecoverySink.clear(sink)
+    try {
+      val clicks = MemoryStream[(Timestamp, Long)]
+      val purchases = MemoryStream[(Timestamp, Long, Long)]
+      def start() = EventStream.clicksBeforePurchaseOuter(
+        clicks.toDF().toDF("ts", "user_id"),
+        purchases.toDF().toDF("ts", "user_id", "event_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          RecoverySink.add(sink, b.collect())
+        }
+        .start()
+
+      val q1 = start()
+      try {
+        // an unmatched purchase enters the join state, then the monitor dies
+        purchases.addData((Timestamp.valueOf("2024-01-01 10:20:00"), 2L, 200L))
+        clicks.addData((Timestamp.valueOf("2024-01-01 10:20:00"), 1L))
+        q1.processAllAvailable()
+        assert(!RecoverySink.rows(sink).exists(_.getLong(0) == 200L),
+          "no null emission before the watermark can prove absence")
+      } finally q1.stop()
+
+      // resume: the buffered purchase must still be in the recovered
+      // join state, and watermark advance after the restart must emit
+      // its null row exactly once
+      val q2 = start()
+      try {
+        clicks.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L))
+        purchases.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 9L, 900L))
+        q2.processAllAvailable()
+        clicks.addData((Timestamp.valueOf("2024-01-01 13:01:00"), 9L))
+        purchases.addData((Timestamp.valueOf("2024-01-01 13:01:00"), 9L, 901L))
+        q2.processAllAvailable()
+        val for200 = RecoverySink.rows(sink).filter(_.getLong(0) == 200L)
+        assert(for200.size === 1,
+          "the recovered outer-join state must emit the null row exactly once")
+        assert(for200.head.isNullAt(3),
+          "the click side must be null for the unmatched purchase")
+      } finally q2.stop()
+    } finally { rmrf(ckpt); RecoverySink.clear(sink) }
+  }
+
   // ---- the stateful recovery matrix: every case × every provider ----
 
   for (((tag, provider), i) <- Providers.zipWithIndex) {
@@ -263,6 +311,12 @@ class CheckpointRecoverySpec extends SparkSpec {
     test(s"chained session->day dashboard recovers BOTH stateful operators " +
       s"and the watermark [$tag]") {
       withProvider(provider)(dashboardRecoveryCase(s"dash_rec_$i"))
+    }
+
+    test(s"LEFT OUTER interval join recovers its buffered side: the null " +
+      s"row for a pre-restart unmatched purchase emits exactly once, " +
+      s"after the post-restart watermark advance [$tag]") {
+      withProvider(provider)(outerJoinRecoveryCase(s"outer_rec_$i"))
     }
   }
 
