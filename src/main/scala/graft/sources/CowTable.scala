@@ -271,6 +271,27 @@ object CowTable {
     true
   }
 
+  /** Bucket-pruned point lookup: read ONLY the data files of the
+    * buckets the requested keys hash to — the read-side payoff of the
+    * layout (an Iceberg bucket-transform scan): a k-key lookup against
+    * a B-bucket table opens ≤k of B buckets' files no matter how large
+    * the table is. Returns exactly the rows of the current snapshot
+    * whose key is in `keys` (the residual key filter runs on the pruned
+    * scan — hash collisions within a bucket are filtered, not surfaced). */
+  def readKeys(s: SparkSession, root: String, keys: Seq[Any]): DataFrame = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no table at $root")
+    val man = readManifest(s, root, cur)
+    val keyLits = keys.map(lit)
+    val wanted: Set[Int] = s.range(1)
+      .select(explode(array(keyLits.map(k =>
+        bucketOf(k, man.nBuckets)): _*)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = man.entries.filter { case (b, _) => wanted(b) }
+    readEntries(s, root, pruned, Some(man.schema))
+      .filter(col(man.keyCol).isin(keys: _*))
+  }
+
   /** Vacuum: delete data files no RETAINED snapshot references —
     * completes the copy-on-write lifecycle (every merge strands the
     * touched buckets' old files in superseded snapshots; a crashed

@@ -122,6 +122,27 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.readManifest(spark, root, 2).batchId === "winner")
   }
 
+  test("bucket-pruned point lookup: readKeys scans only the keys' " +
+    "buckets and returns exactly the matching rows") {
+    val root = tmp()
+    CowTable.create(table(200), root, "k", nBuckets = 8)
+    val got = CowTable.readKeys(spark, root, Seq(7L, 42L, 9999L))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((7L, "name-7"), (42L, "name-42")),
+      "exact rows for present keys, nothing for absent ones")
+    // the pruned scan reads only the wanted buckets' files
+    val man = CowTable.readManifest(spark, root, 1)
+    val wanted = Seq(7L, 42L, 9999L).map(k =>
+      spark.range(1).select(CowTable.bucketOf(lit(k), 8).as("b"))
+        .head().getInt(0)).toSet
+    val scanned = got.inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => wanted.exists(b => p.contains(s"__bucket=$b/"))),
+      s"scan must touch only buckets $wanted, saw: ${scanned.mkString(",")}")
+    assert(scanned.size < CowTable.readManifest(spark, root, 1).entries.size,
+      "the pruned scan must read fewer files than the full table")
+  }
+
   test("schema evolution, add-column: a merge source with an appended " +
     "column widens the table; old files and untouched buckets read null " +
     "there; pre-evolution snapshots keep their original width") {
