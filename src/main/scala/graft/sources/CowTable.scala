@@ -152,7 +152,17 @@ object CowTable {
   private def writeCommitDir(df: DataFrame, root: String, keyCol: String,
       nBuckets: Int): String = {
     val commitRel = s"data/commit-${java.util.UUID.randomUUID()}"
+    // repartition BY THE BUCKET COLUMN before the partitioned write:
+    // without it every shuffle partition writes its own sliver into
+    // every bucket dir (up to spark.sql.shuffle.partitions small files
+    // per bucket per commit — the classic small-files leak); with it
+    // each bucket lands in exactly one task → ONE file per touched
+    // bucket per snapshot, so buckets never accumulate files and the
+    // manifest stays one line per bucket. Write parallelism is then
+    // bounded by the bucket count — at 100 TB you size B accordingly
+    // (thousands), exactly like choosing an Iceberg bucket transform N.
     df.withColumn(BucketCol, bucketOf(col(keyCol), nBuckets))
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$root/$commitRel")
     commitRel
   }

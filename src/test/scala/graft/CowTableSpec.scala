@@ -30,6 +30,8 @@ class CowTableSpec extends SparkSpec {
     val man = CowTable.readManifest(spark, root, 1)
     assert(man.entries.map(_._1).distinct.sorted === (0 until 8),
       "100 keys over 8 hash buckets must populate every bucket")
+    assert(man.entries.groupBy(_._1).values.forall(_.size == 1),
+      "exactly ONE file per bucket per snapshot (no small-files leak)")
   }
 
   test("MERGE rewrites ONLY the touched buckets: untouched manifest " +
