@@ -41,7 +41,7 @@ object Bench {
     "q_chunk", "q_fuzzy_vocab", "q_bloom_semi", "q_heavy_hitters", "q_ewma",
     "q_zorder", "q_window_funcs", "q_setops", "q_bpe", "q_table_diff",
     "q_pca", "q_freq_itemsets", "q_assoc_rules", "q_seq_patterns", "q_pack",
-    "q_dup_spans", "q_merge_upsert", "q_merge_files", "q_entropy", "q_ab_test", "q_bpe_encode",
+    "q_dup_spans", "q_merge_upsert", "q_merge_files", "q_merge_cdf", "q_entropy", "q_ab_test", "q_bpe_encode",
     "q_hard_negatives", "q_span_scrub", "q_span_scrub_exact", "q_split_leakfree", "q_split_incremental", "q_canonical_incremental", "q_normalize",
     "q_class_centroids", "q_media_phash", "q_nquads_source", "q_pipeline",
     "q_source_overlap", "q_containment",

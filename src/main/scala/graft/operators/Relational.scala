@@ -2134,6 +2134,40 @@ object Relational extends QueryModule {
           .otherwise("update").as("action"))
   }
 
+  /** q_merge_cdf: the table format's CHANGE DATA FEED gated end-to-end —
+    * the same create→MERGE fixture as q_merge_files, but the result is
+    * CowTable.changes(v1, v2): the row-level diff downstream
+    * incrementals subscribe to instead of re-diffing whole tables.
+    * Copy-on-write prunes it by construction (only buckets whose file
+    * lists differ between the snapshots are read — rewrite-bounded,
+    * never table-sized), and byte-identical rewritten rows are filtered
+    * out, so the feed is exactly the logical MERGE's insert/update rows:
+    * the oracle is qMergeUpsertSql minus its 'keep' rows. */
+  def qMergeCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cow-cdf").toString
+    val t = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    graft.sources.CowTable.create(t, root, "c_custkey", nBuckets = 8)
+    val updates = t.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("bal") + lit(new java.math.BigDecimal("10.00"))).as("bal"))
+    val inserts = t.filter(col("c_custkey") % 5 === 0 && col("c_custkey") =!= 0)
+      .select((-col("c_custkey")).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"), col("bal"))
+    graft.sources.CowTable.merge(s, root,
+      updates.unionByName(inserts), batchId = "b1"): Unit
+    graft.sources.CowTable.changes(s, root, 1, 2)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("bal").cast("double"), 2).as("c_acctbal"),
+        col("change"))
+  }
+
+  private lazy val qMergeCdfSql =
+    s"""SELECT c_custkey, c_name, c_acctbal, action AS change
+       FROM ($qMergeUpsertSql) WHERE action <> 'keep'"""
+
   private val qMergeUpsertSql =
     """WITH t AS (
          SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
@@ -2623,6 +2657,7 @@ object Relational extends QueryModule {
     "q_compact" -> (qCompact _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_merge_files" -> (qMergeFiles _),
+    "q_merge_cdf" -> (qMergeCdf _),
     "q_scd2" -> (qScd2 _),
     "q_wau" -> (qWau _),
     "q_events_hop" -> (qEventsHop _),
@@ -2686,6 +2721,7 @@ object Relational extends QueryModule {
     "q_compact" -> qCompactSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_merge_files" -> qMergeUpsertSql,
+    "q_merge_cdf" -> qMergeCdfSql,
     "q_scd2" -> qScd2Sql,
     "q_wau" -> qWauSql,
     "q_events_hop" -> qEventsHopSql,

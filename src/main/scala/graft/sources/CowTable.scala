@@ -281,6 +281,47 @@ object CowTable {
     true
   }
 
+  /** Change data feed: the row-level diff between two snapshots —
+    * (key, payload-after, change) with change ∈ insert/update/delete —
+    * the Delta-CDF shape downstream incrementals subscribe to instead
+    * of re-diffing whole tables. Copy-on-write makes it PRUNED BY
+    * CONSTRUCTION: a bucket whose manifest entries are identical in
+    * both snapshots was carried by reference and cannot contain a
+    * change, so only the buckets whose file lists differ are read from
+    * either side — the read is rewrite-bounded, never table-sized.
+    * Update detection compares the full payload struct (a rewrite that
+    * left a row byte-identical is NOT a change). For deletes the
+    * payload columns are NULL and the key survives in the feed. */
+  def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"changes requires fromV < toV, got $fromV..$toV")
+    val mOld = readManifest(s, root, fromV)
+    val mNew = readManifest(s, root, toV)
+    val key = mNew.keyCol
+    val oldByB = mOld.entries.groupBy(_._1)
+    val newByB = mNew.entries.groupBy(_._1)
+    val changedBuckets = (oldByB.keySet ++ newByB.keySet).filter(b =>
+      oldByB.getOrElse(b, Nil).map(_._2) != newByB.getOrElse(b, Nil).map(_._2))
+    val oldSide = readEntries(s, root,
+      mOld.entries.filter(e => changedBuckets(e._1)), Some(mOld.schema))
+    val newSide = readEntries(s, root,
+      mNew.entries.filter(e => changedBuckets(e._1)), Some(mNew.schema))
+    // both sides projected to the NEW schema so an add-column evolution
+    // diffs on the widened payload (old rows read null in new columns)
+    val payload = mNew.schema.fieldNames.filterNot(_ == key).toIndexedSeq
+    def packed(df: DataFrame, as: String) = {
+      val widened = mNew.schema.fields.filterNot(_.name == key)
+        .map(f => (if (df.columns.contains(f.name)) col(f.name)
+          else lit(null)).cast(f.dataType).as(f.name))
+      df.select(col(key), struct(widened.toIndexedSeq: _*).as(as))
+    }
+    packed(oldSide, "o").join(packed(newSide, "n"), Seq(key), "full_outer")
+      .filter(!(col("o") <=> col("n"))) // byte-identical rewrite ≠ change
+      .select(col(key) +: payload.map(p => col(s"n.$p").as(p)) :+
+        when(col("o").isNull, "insert")
+          .when(col("n").isNull, "delete")
+          .otherwise("update").as("change"): _*)
+  }
+
   /** Bucket-pruned point lookup: read ONLY the data files of the
     * buckets the requested keys hash to — the read-side payoff of the
     * layout (an Iceberg bucket-transform scan): a k-key lookup against
