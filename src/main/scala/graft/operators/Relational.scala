@@ -2103,9 +2103,27 @@ object Relational extends QueryModule {
     * Everything the format does (bucket pruning, rewrite scope, commit
     * atomicity ordering) is pinned structurally in CowTableSpec; this
     * query pins the END RESULT byte-equal to the logical MERGE. */
-  def qMergeFiles(s: SparkSession, dir: String): DataFrame = {
+  /** Per-invocation temp roots of the CowTable fixture queries, tracked
+    * so each call best-effort deletes its predecessor's table — bench
+    * reps and repeated verify runs would otherwise leak one full table
+    * copy per invocation into the temp filesystem. */
+  private val cowRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the shared create→MERGE→replay fixture (the q_merge_upsert
+    * change feed driven through the table format) at a fresh temp root;
+    * returns the root with snapshot v1 = the customer projection and
+    * v2 = the merged table. ONE definition for both gated consumers so
+    * the fixtures can never silently desynchronize. */
+  private def cowMergeFixture(s: SparkSession, dir: String,
+      tag: String): String = {
     val root = java.nio.file.Files
-      .createTempDirectory("graft-cow-merge").toString
+      .createTempDirectory(s"graft-cow-$tag").toString
+    Option(cowRoots.put(s"$tag:$dir", root)).foreach { prev =>
+      try new scala.reflect.io.Directory(new java.io.File(prev))
+        .deleteRecursively(): Unit
+      catch { case _: Exception => () }
+    }
     val t = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("decimal(12,2)").as("bal"))
@@ -2120,6 +2138,11 @@ object Relational extends QueryModule {
     val applied = graft.sources.CowTable.merge(s, root, src, batchId = "b1")
     val replay = graft.sources.CowTable.merge(s, root, src, batchId = "b1")
     require(applied && !replay, "merge must apply once and replay as no-op")
+    root
+  }
+
+  def qMergeFiles(s: SparkSession, dir: String): DataFrame = {
+    val root = cowMergeFixture(s, dir, "merge")
     val v1 = graft.sources.CowTable.readVersion(s, root, 1)
       .select(col("c_custkey"),
         struct(col("c_name"), col("bal")).as("old"))
@@ -2144,20 +2167,7 @@ object Relational extends QueryModule {
     * out, so the feed is exactly the logical MERGE's insert/update rows:
     * the oracle is qMergeUpsertSql minus its 'keep' rows. */
   def qMergeCdf(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-cow-cdf").toString
-    val t = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_name"),
-        col("c_acctbal").cast("decimal(12,2)").as("bal"))
-    graft.sources.CowTable.create(t, root, "c_custkey", nBuckets = 8)
-    val updates = t.filter(col("c_custkey") % 3 === 0)
-      .select(col("c_custkey"), col("c_name"),
-        (col("bal") + lit(new java.math.BigDecimal("10.00"))).as("bal"))
-    val inserts = t.filter(col("c_custkey") % 5 === 0 && col("c_custkey") =!= 0)
-      .select((-col("c_custkey")).as("c_custkey"),
-        concat(lit("NEW "), col("c_name")).as("c_name"), col("bal"))
-    graft.sources.CowTable.merge(s, root,
-      updates.unionByName(inserts), batchId = "b1"): Unit
+    val root = cowMergeFixture(s, dir, "cdf")
     graft.sources.CowTable.changes(s, root, 1, 2)
       .select(col("c_custkey"), col("c_name"),
         round(col("bal").cast("double"), 2).as("c_acctbal"),

@@ -41,6 +41,33 @@ import scala.jdk.CollectionConverters._
   * string/boolean/binary plus arrays of those, nullable via
   * union(null, T). Timestamps travel as micros-since-epoch longs
   * (timestamp-micros is Avro's own convention; the caller casts). */
+/** Avro→Spark schema-resolution rules, serializable so executor-side
+  * closures can consult them without capturing the [[Avro]] module. */
+private[sources] object AvroResolve extends Serializable {
+  private def unwrap(sch: Schema): Schema =
+    if (sch.getType == Schema.Type.UNION)
+      sch.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+        .getOrElse(sch)
+    else sch
+
+  /** Does a container-written `w` decode lawfully under target `t`
+    * (identity or an Avro-lawful widening promotion)? */
+  def lawful(w: Schema, t: DataType): Boolean = {
+    import Schema.Type._
+    (unwrap(w).getType, t) match {
+      case (INT, IntegerType | LongType | FloatType | DoubleType) => true
+      case (LONG, LongType | DoubleType) => true
+      case (FLOAT, FloatType | DoubleType) => true
+      case (DOUBLE, DoubleType) => true
+      case (STRING, StringType) => true
+      case (BYTES, BinaryType) => true
+      case (BOOLEAN, BooleanType) => true
+      case (ARRAY, ArrayType(e, _)) => lawful(unwrap(w).getElementType, e)
+      case _ => false
+    }
+  }
+}
+
 object Avro {
 
   /** Spark StructType → Avro record schema (nullable fields become
@@ -177,9 +204,11 @@ object Avro {
     *  - numeric promotion on read: a container written int/long/float
     *    decodes under a wider target (int→long/float/double,
     *    long→double, float→double) per Avro's resolution rules; a
-    *    mismatch with no lawful promotion (e.g. long→int) routes that
-    *    record to the corrupt column instead of class-casting at
-    *    action time.
+    *    mismatch with no lawful promotion (e.g. long→int) is detected
+    *    UP FRONT from the container's schema and routes the whole file
+    *    to one corrupt row — no partial decode, no ClassCastException
+    *    at action time (the writer/target disagreement is a property of
+    *    the file, so per-record rows would just repeat it per record).
     *
     * A nonexistent root fails fast (a typo'd path must not read as an
     * empty dataset); an existing-but-empty directory reads as empty. */
@@ -219,6 +248,20 @@ object Avro {
             else aliases.getOrElse(tgt, Seq.empty)
               .find(old => rdr.getSchema.getField(old) != null)
               .orNull
+          }
+          // up-front resolution check: every present field's CONTAINER
+          // type must map lawfully onto its target type, else the whole
+          // file is one corrupt row (a schema disagreement is a property
+          // of the file, not of any record)
+          val clash = (0 until n - 1).find(i => sourceName(i) != null &&
+            !AvroResolve.lawful(
+              rdr.getSchema.getField(sourceName(i)).schema(),
+              schema(i).dataType))
+          clash.foreach { i =>
+            try rdr.close() catch { case _: Exception => () }
+            throw new IllegalArgumentException(
+              s"field ${sourceName(i)} has no lawful promotion to " +
+                s"${schema(i).dataType}")
           }
           def toRow(rec: GenericRecord): Row = {
             val a = new Array[Any](n)

@@ -108,14 +108,23 @@ object CowTable {
       }.toSeq)
   }
 
-  /** Atomic commit: dot-temp write + rename to the NEW version name.
-    * rename refuses an existing destination, so a concurrent committer
-    * that won the race surfaces as an explicit failure here. */
+  /** Atomic commit: dot-temp write, then publish to the NEW version
+    * name by an operation that atomically FAILS if the destination
+    * exists — so a concurrent committer that won the race surfaces as
+    * an explicit failure, never silent last-writer-wins.
+    *
+    * The publish primitive is scheme-dependent because HDFS and POSIX
+    * disagree about rename: HDFS rename refuses an existing destination
+    * (returns false), but RawLocalFileSystem delegates to rename(2),
+    * which silently REPLACES it — an exists() pre-check would leave a
+    * TOCTOU window. On local filesystems the commit is therefore a hard
+    * LINK (link(2) fails with EEXIST atomically) followed by deleting
+    * the temp name; everywhere else it is the refusing rename. */
   private[graft] def writeManifest(s: SparkSession, root: String, m: Manifest): Unit = {
     val fin = manifestPath(root, m.version)
     val fs = hfs(s, fin)
     fs.mkdirs(fin.getParent)
-    if (fs.exists(fin))
+    if (fs.exists(fin)) // fast-path courtesy check; the publish re-checks atomically
       throw new java.util.ConcurrentModificationException(
         s"snapshot v${m.version} already committed at $root")
     val tmp = new Path(fin.getParent,
@@ -129,11 +138,20 @@ object CowTable {
       m.entries.foreach { case (b, path) => body ++= s"$b\t$path\n" }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
-    if (!fs.rename(tmp, fin)) {
+    val published =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, fin)
+    if (fs.getScheme == "file" || !published)
       try fs.delete(tmp, false) catch { case _: Exception => () }
+    if (!published)
       throw new java.util.ConcurrentModificationException(
         s"lost commit race for snapshot v${m.version} at $root")
-    }
   }
 
   /** List the (bucket, root-relative path) pairs of one commit dir. */
@@ -243,10 +261,24 @@ object CowTable {
       !baseSchema.fieldNames.contains(f.name) && !deleteCol.contains(f.name))
       .map(_.copy(nullable = true))
     val tableSchema = StructType(baseSchema.fields ++ newFields)
+    // materialized once (localCheckpoint): the source plan may be an
+    // expensive CDC transform, and it feeds three consumers below (the
+    // key-uniqueness guard, the touched-bucket collect, the merge join)
     val srcCast = src.select((tableSchema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq
       ++ deleteCol.map(d => coalesce(col(d).cast("boolean"), lit(false))
         .as("__del"))): _*)
+      .localCheckpoint(true)
+    // a MERGE source with duplicate keys is ill-formed: the full-outer
+    // join would pair each duplicate with the one target row and write
+    // duplicate keys into the table PERMANENTLY (every later merge fans
+    // out further). Delta/Iceberg raise on multiple source matches; so
+    // does this seam — one delta-sized aggregate, checked before any write.
+    val Array(nSrc, nKeys) = srcCast
+      .agg(count(lit(1)), count_distinct(col(key))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nSrc == nKeys,
+      s"MERGE source has duplicate keys ($nSrc rows, $nKeys distinct $key)")
     // touched-file detection from the SOURCE KEYS: ≤B driver-side ints
     val touched = srcCast
       .select(bucketOf(col(key), man.nBuckets).as("b"))
@@ -333,12 +365,21 @@ object CowTable {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no table at $root")
     val man = readManifest(s, root, cur)
-    val keyLits = keys.map(lit)
+    // literals are CAST to the table's key type before hashing: xxhash64
+    // hashes an Int (4-byte path) differently from a Long, so an uncast
+    // lit(7: Int) against a LongType key would prune to the WRONG bucket
+    // and silently return nothing (the same coercion merge applies to
+    // its source)
+    val keyType = man.schema(man.keyCol).dataType
+    val keyLits = keys.map(k => lit(k).cast(keyType))
     val wanted: Set[Int] = s.range(1)
       .select(explode(array(keyLits.map(k =>
         bucketOf(k, man.nBuckets)): _*)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val pruned = man.entries.filter { case (b, _) => wanted(b) }
+    // the residual filter needs no manual cast: Catalyst's coercion
+    // rules widen the comparison literals correctly (only HASHING is
+    // width-sensitive)
     readEntries(s, root, pruned, Some(man.schema))
       .filter(col(man.keyCol).isin(keys: _*))
   }
@@ -355,8 +396,18 @@ object CowTable {
     * retained manifests BEFORE anything is deleted, data files are
     * immutable, and a concurrent reader of a retained snapshot never
     * loses a file. (A reader of an EXPIRED snapshot can fail — that is
-    * what retention means; pick retainLast accordingly.) */
-  def vacuum(s: SparkSession, root: String, retainLast: Int = 2): Int = {
+    * what retention means; pick retainLast accordingly.)
+    *
+    * `minOrphanAgeMs` guards the one hole reachability alone cannot
+    * close: an IN-FLIGHT merge that has written its commit dir but not
+    * yet published its manifest is indistinguishable from a crashed
+    * writer's orphan. An unreferenced commit dir is therefore deleted
+    * only once it is older than this window (default 24 h — no merge
+    * runs that long); files SUPERSEDED by a retained manifest carry no
+    * such ambiguity and are deleted regardless of age. Set it to 0 only
+    * when no writer can be live (tests, offline maintenance). */
+  def vacuum(s: SparkSession, root: String, retainLast: Int = 2,
+      minOrphanAgeMs: Long = 24L * 3600 * 1000): Int = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion(s, root)
     require(cur > 0, s"no table at $root")
@@ -364,18 +415,22 @@ object CowTable {
     val reachable: Set[String] = keepVersions
       .flatMap(v => readManifest(s, root, v).entries.map(_._2)).toSet
     val fs = hfs(s, new Path(root))
+    val cutoff = System.currentTimeMillis() - minOrphanAgeMs
     // commit dirs with ≥1 reachable file keep their skeleton (markers,
     // checksums) and lose only superseded parquet files; a commit dir
     // NO retained manifest references at all — a fully superseded merge
-    // or a crashed writer's orphan — is dropped recursively
+    // or a crashed writer's orphan — is dropped recursively once it is
+    // past the in-flight-writer window
     val reachableDirs = reachable.map(_.split("/")(1))
     var deleted = 0
     fs.globStatus(new Path(s"$root/data", "commit-*")).foreach { d =>
       val dirName = d.getPath.getName
       if (!reachableDirs(dirName)) {
-        deleted += fs.globStatus(
-          new Path(d.getPath, s"$BucketCol=*/*.parquet")).length
-        fs.delete(d.getPath, true): Unit
+        if (d.getModificationTime <= cutoff) {
+          deleted += fs.globStatus(
+            new Path(d.getPath, s"$BucketCol=*/*.parquet")).length
+          fs.delete(d.getPath, true): Unit
+        }
       } else {
         fs.globStatus(new Path(d.getPath, s"$BucketCol=*/*.parquet"))
           .foreach { st =>

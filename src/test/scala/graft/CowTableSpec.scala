@@ -255,7 +255,7 @@ class CowTableSpec extends SparkSpec {
     for (b <- 0 until 8 if !touched(b))
       assert(m2(b).map(_._2) === m1(b).map(_._2))
     // full erasure recipe: vacuum past the retention window
-    CowTable.vacuum(spark, root, retainLast = 1)
+    CowTable.vacuum(spark, root, retainLast = 1, minOrphanAgeMs = 0)
     intercept[IllegalArgumentException] {
       CowTable.readVersion(spark, root, 1)
     }
@@ -276,7 +276,17 @@ class CowTableSpec extends SparkSpec {
     val v3Rows = CowTable.read(spark, root).collect().map(_.toSeq).toSet
     val v2Rows = CowTable.readVersion(spark, root, 2).collect()
       .map(_.toSeq).toSet
-    val deleted = CowTable.vacuum(spark, root, retainLast = 2)
+    // a FRESH unreferenced commit dir (possibly an in-flight writer's)
+    // survives the default age gate — superseded files inside referenced
+    // dirs carry no such ambiguity and go regardless of age
+    CowTable.vacuum(spark, root, retainLast = 2): Unit
+    val fsPre = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsPre.exists(new org.apache.hadoop.fs.Path(
+      s"$root/data/commit-orphan")),
+      "a young orphan must survive the in-flight-writer age gate")
+    val deleted = CowTable.vacuum(spark, root, retainLast = 2,
+      minOrphanAgeMs = 0)
     assert(deleted > 0, "v1's superseded bucket file + the orphan must go")
     // retained snapshots: byte-identical reads after the vacuum
     assert(CowTable.read(spark, root).collect().map(_.toSeq).toSet === v3Rows)
