@@ -157,7 +157,9 @@ object Bench {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = ((System.nanoTime() - t0) / 1e9) :: times.getOrElse(name, Nil)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // NonFatal only (r20 ADVICE, BenchMl twin): a fatal JVM error must
+      // abort the run, not leave a corrupted JVM timing every later query
     }
     // Headline statistic is MIN-of-reps, not the median: with only 3
     // interleaved reps a 2-rep contention burst lands IN the median

@@ -42,7 +42,10 @@ object BenchMl {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only (r20 ADVICE): an OutOfMemoryError/LinkageError
+        // must abort the lane — timing later queries in a corrupted JVM
+        // silently skews every subsequent number
         errs(name) = e.getClass.getSimpleName
       }
     }

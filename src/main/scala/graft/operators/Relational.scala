@@ -1253,19 +1253,54 @@ object Relational extends QueryModule {
           count(lit(1)).as("freq"), sum(col("price")).as("monetary"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val n = m.agg(count(lit(1)).as("N"))
-    def score(metric: Column, asc: Boolean, name: String) = {
-      val ord = if (asc) Seq(metric.asc, col("o_custkey").asc)
-        else Seq(metric.desc, col("o_custkey").asc)
-      graft.functions.Ranks.globalRowNumber(m, ord: _*)
-        .crossJoin(broadcast(n))
-        .select(col("o_custkey"),
-          graft.functions.Ranks.ntileOf(col("rn"), col("N"), 5).as(name))
+    // Quintile scores WITHOUT numbering every row: ntile(5) only needs
+    // the 4 bucket-BOUNDARY positions, and in a total order (metric,
+    // custkey-tiebreak) "rank ≤ boundary" ⟺ "sort tuple ≤ tuple at the
+    // boundary" — so one rank-PICK pass (Ranks.groupedValueAtRanks, all
+    // three metrics unioned under a metric-id group) fetches 12
+    // driver-sized cut tuples, and each row scores by comparing its own
+    // tuple against its metric's cuts. Replaces the r20 shape — three
+    // full globalRowNumber materializations (range shuffle + count job +
+    // Row-RDD rebuild each) plus two custkey shuffle joins — with one
+    // range shuffle over 3·|customers| skinny rows and zero joins
+    // (measured 2.3 s → ~0.8 s at sf0.1). Bucket semantics are EXACTLY
+    // SQL ntile: boundary_j = j·(N/5) + min(j, N%5), score = 1 + #{j :
+    // tuple > tuple_at(boundary_j)}; recency negates so all three orders
+    // are ascending. Cuts stay driver-sized at any scale (guide §2.3 —
+    // shuffle keys, not payloads).
+    def skey(v: Column): Column = v.cast("decimal(38,2)")
+    val u = m.select(lit(1).as("mid"),
+        struct((-col("recency_days")).cast("decimal(38,2)").as("v"),
+          col("o_custkey").as("ck")).as("sk"))
+      .unionByName(m.select(lit(2).as("mid"),
+        struct(skey(col("freq")).as("v"), col("o_custkey").as("ck")).as("sk")))
+      .unionByName(m.select(lit(3).as("mid"),
+        struct(skey(col("monetary")).as("v"), col("o_custkey").as("ck")).as("sk")))
+    def boundaryRanks(n: Long): Seq[Long] = {
+      val q = n / 5; val r = n % 5
+      (1 to 4).map(j => j * q + math.min(j.toLong, r))
     }
-    val scored = score(col("recency_days"), asc = false, "r_score")
-      .join(score(col("freq"), asc = true, "f_score"), Seq("o_custkey"))
-      .join(score(col("monetary"), asc = true, "m_score"), Seq("o_custkey"))
-    scored
+    val (counts, picks) = graft.functions.Ranks.groupedValueAtRanks(
+      u, "mid", "sk", n => boundaryRanks(n).filter(_ >= 1).distinct)
+    val tupleAt: Map[(Any, Long), (java.math.BigDecimal, Long)] =
+      picks.map { case (g, k, v) =>
+        val row = v.asInstanceOf[org.apache.spark.sql.Row]
+        (g, k) -> (row.getDecimal(0), row.getLong(1))
+      }.toMap
+    def scoreOf(mid: Int, v: Column, ck: Column): Column = {
+      val n = counts(mid)
+      boundaryRanks(n).foldLeft(lit(1)) { (acc, rank) =>
+        if (rank < 1) acc + lit(1)
+        else {
+          val (cv, cck) = tupleAt((mid, rank))
+          acc + (v > lit(cv) || (v === lit(cv) && ck > lit(cck))).cast("int")
+        }
+      }
+    }
+    m.select(col("o_custkey"),
+        scoreOf(1, (-col("recency_days")).cast("decimal(38,2)"), col("o_custkey")).as("r_score"),
+        scoreOf(2, skey(col("freq")), col("o_custkey")).as("f_score"),
+        scoreOf(3, skey(col("monetary")), col("o_custkey")).as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"))
       .select((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))

@@ -125,8 +125,20 @@ object ScaleOps extends QueryModule {
     * the DuckDB EXISTS oracle hash-gates it. */
   def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
     val orderKeys = Tables.orders(s, dir).select(col("o_custkey"))
+    // Size the filter from the build side's ESTIMATED key count (guide
+    // §3.2: expectedNumItems ≥ the true count), not a fixed 2²¹: a
+    // fixed-capacity bitmap is ~2.4 MiB regardless of data, and as a
+    // foldable literal it bloated the plan to ~10 MB of text — ~0.8 s of
+    // driver-side planning/serialization per run (measured r21). The
+    // estimate is one map-side HLL pass (no shuffle, no collect of
+    // keys); ±2% HLL error is absorbed by the ×1.5 headroom, and filter
+    // SIZE never affects the result — false positives are removed by the
+    // closing exact semi-join. At 100 TB the same sizing yields the
+    // honest large filter the key count demands.
+    val ndv = orderKeys
+      .agg(approx_count_distinct(col("o_custkey"), 0.02)).head().getLong(0)
     val bloom = orderKeys.select(xxhash64(col("o_custkey")).as("h"))
-      .stat.bloomFilter("h", 1L << 21, 0.01)
+      .stat.bloomFilter("h", math.max(1024L, (ndv * 3) / 2), 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -3270,7 +3270,12 @@ object Stats extends QueryModule {
       .when(col("u") < 0.9810118431238462, 3L)
       .when(col("u") < 0.9963401531726563, 4L)
       .otherwise(5L)
-    Tables.events(s, dir)
+    // spread BEFORE the B-fold explode: the single-row-group scan would
+    // otherwise fuse explode + B md5 evaluations per row into one task
+    // (measured 2.2 s single-core → 0.8 s; guide §2.5 unsplittable-input
+    // fix). The exchange moves the PRE-explode rows — 1/B of the fan-out.
+    Tables.spread(Tables.events(s, dir).select(col("event_id"), col("value")),
+        dir, "events", col("event_id"))
       .select(col("event_id"), col("value").cast("decimal(18,6)").as("v"),
         explode(array((0 until BootstrapB).map(lit): _*)).as("b"))
       .select(col("b"), col("v"), u.as("u"))
@@ -4884,13 +4889,26 @@ object Stats extends QueryModule {
     def avgRanks(df: DataFrame, v: String, out: String): DataFrame = {
       val rn = graft.functions.Ranks.globalRowNumber(
         df.select(col("doc_id"), col(v)), col(v), col("doc_id"))
-      val ar = rn.groupBy(v).agg(
-        ((min(col("rn")) + max(col("rn"))).cast("decimal(19,1)") / 2)
-          .cast("decimal(19,1)").as(out))
-      rn.join(ar, Seq(v)).select(col("doc_id"), col(out))
+      // avg rank = (min rn + max rn)/2 per VALUE, attached via one
+      // value-partitioned window instead of the r20 groupBy + join-back
+      // (which evaluated the ranking chain twice and shuffled three
+      // times; guide §2.4 — share one exchange). Value groups are tie
+      // classes — bounded by the corpus' tie structure, never a
+      // single-partition window.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(v)
+      rn.select(col("doc_id"),
+        ((min(col("rn")).over(w) + max(col("rn")).over(w))
+          .cast("decimal(19,1)") / 2).cast("decimal(19,1)").as(out))
     }
-    val joined = TextAnalysis.qQuality(s, dir).select(col("doc_id"), col("quality"))
-      .join(qReadability(s, dir).select(col("doc_id"), col("flesch")), Seq("doc_id"))
+    // ONE fused pass (quality + flesch are projections of the same doc
+    // row — TextAnalysis.qualityFleschDocs) instead of two scoring
+    // chains joined on doc_id, then ONE eager materialization: both rank
+    // branches and their rank-join backs reference the scored relation,
+    // and without truncation each reference would replay the scoring
+    // (guide §2.4 fusion + §3.3 materialise-shared-intermediate).
+    // Doc-sized (doc_id + two doubles), so the checkpoint is tiny at
+    // any scale.
+    val joined = TextAnalysis.qualityFleschDocs(s, dir).localCheckpoint(true)
     val ra = avgRanks(joined.select(col("doc_id"), col("quality")), "quality", "ra")
     val rb = avgRanks(joined.select(col("doc_id"), col("flesch")), "flesch", "rb")
     ra.join(rb, Seq("doc_id"))

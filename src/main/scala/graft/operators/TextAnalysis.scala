@@ -136,6 +136,29 @@ object TextAnalysis extends QueryModule {
         least((col("tok_chars").cast("double") / col("n_toks")) / 8.0, lit(1.0)) * 0.3
       ) * 1000000.0 + 0.5) / 1000000.0
 
+  /** doc_id, quality, flesch in ONE pass over the memoized rawDocs —
+    * the fused input of q_spearman (r21): computing qQuality and
+    * qReadability separately and joining on doc_id re-scans documents
+    * and re-runs one of the two scoring chains single-core; both scores
+    * are pure projections of the same row, so the join is a fusion the
+    * optimizer can't see (guide §2.4). Expressions are VERBATIM those of
+    * qQuality / qReadability (same filter n_toks > 0 ≡ the inner join's
+    * row set: readability covers every doc). */
+  private[operators] def qualityFleschDocs(s: SparkSession, dir: String): DataFrame =
+    TextPrep.rawDocs(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(col("rtoks")).as("n_toks"),
+        size(filter(col("rtoks"), t => t.isin(TextFns.Stopwords: _*))).as("n_stop"),
+        aggregate(col("rtoks"), lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), qualityExpr.as("quality"),
+        greatest(regexp_count(col("text"), lit("[A-Za-z]+")), lit(1)).as("words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).as("syllables"))
+      .select(col("doc_id"), col("quality"),
+        (lit(206.835) - lit(1.015) * (col("words") / col("sentences"))
+          - lit(84.6) * (col("syllables") / col("words"))).as("flesch"))
+
   /** q_quality: length / stopword-ratio / mean-word-length quality score.
     * All ratios are double divisions of exact integers — engine-identical. */
   def qQuality(s: SparkSession, dir: String): DataFrame = {
@@ -569,10 +592,18 @@ object TextAnalysis extends QueryModule {
     val top = cnt.groupBy("t").agg(sum(col("c")).as("cf"))
       .orderBy(col("cf").desc, col("t").asc).limit(BurrowsM)
       .select("t")
+    // grid is (BurrowsM × sources) rows — driver-tiny at any scale — but
+    // FIVE downstream references (sf, sf2, and z's self-join sides) each
+    // replayed the full corpus tokenize + two vocabulary-sized
+    // aggregates without this materialization (r21 plan audit: five
+    // concurrent broadcast-subquery stages re-running the same explode +
+    // groupBy; guide §3.3 — materialise an intermediate with several
+    // consumers).
     val grid = broadcast(top).crossJoin(ns)
       .join(cnt, Seq("source", "t"), "left").na.fill(0L, Seq("c"))
       .select(col("t"), col("source"),
         (col("c").cast("double") / col("n_s").cast("double")).as("f"))
+      .localCheckpoint(true)
     def fold(src: DataFrame, key: String, ord: String, term: Column,
         name: String) =
       src.groupBy(key)
@@ -1889,6 +1920,11 @@ object TextAnalysis extends QueryModule {
       .withColumn("stop", array_contains(stopArr, col("w")))
     val dw = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // occ (2 consumers: wsc's deg join and the phrase counter)
+    // materializes once — its collect_list aggregation is the expensive
+    // stage (guide §3.3). members is NOT checkpointed: its replays read
+    // the persisted rawDocs substrate, cheaper than an eager token-level
+    // materialization (measured).
     val members = tok
       .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(dw))
       .filter(!col("stop"))
@@ -1898,6 +1934,7 @@ object TextAnalysis extends QueryModule {
           transform(array_sort(collect_list(struct(col("pos"), col("w")))),
             x => x.getField("w"))).as("phrase"),
         count(lit(1)).as("len"))
+      .localCheckpoint(true)
     val wsc = members
       .join(occ.select(col("doc_id"), col("grp"), col("len")), Seq("doc_id", "grp"))
       .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))

@@ -31,7 +31,12 @@ object TextPrep extends QueryModule {
     * checkpoint of clean tokens, the standard shape for a corpus pipeline. */
   def cleanDocs(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"text.cleanDocs:$dir") {
-      Tables.documents(s, dir)
+      // spread BEFORE tokenizing (guide §2.5): the documents table is an
+      // unsplittable single-row-group file locally, so without the
+      // exchange the regex cleaning chain AND every consumer of the
+      // persisted relation (whose partitioning it inherits) would run
+      // one-core. Paid once per session at substrate build.
+      Tables.spread(Tables.documents(s, dir), dir, "documents", col("doc_id"))
         .select(col("doc_id"), TextFns.cleanTokens(col("text")).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -43,7 +48,10 @@ object TextPrep extends QueryModule {
     * without it each of those re-tokenizes the corpus per query. */
   def rawDocs(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"text.rawDocs:$dir") {
-      Tables.documents(s, dir)
+      // spread before tokenizing — same rationale as cleanDocs: the
+      // persisted relation's partitioning is what every downstream
+      // per-row pass (quality gates, shingles, language-ID) inherits.
+      Tables.spread(Tables.documents(s, dir), dir, "documents", col("doc_id"))
         .withColumn("rtoks", TextFns.rawTokens(col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

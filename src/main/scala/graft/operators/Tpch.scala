@@ -625,7 +625,13 @@ object Tpch extends QueryModule {
     * q_lsh_plan decimal-mass discipline, not a bounded fold); Fisher's
     * sqrt is IEEE-correctly-rounded in both engines. */
   def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
-    val pv = Tables.lineitem(s, dir)
+    // spread: the map stage fuses the fact scan + broadcast join +
+    // partial (part, yr) aggregation — single-core on an unsplittable
+    // input without it (guide §2.5).
+    val pv = Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice"), col("l_quantity")),
+        dir, "lineitem", col("l_orderkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey").as("part"), year(col("o_orderdate")).as("yr"))
@@ -635,10 +641,23 @@ object Tpch extends QueryModule {
         round(col("sv").cast("double") / col("sq").cast("double"), 6)
           .cast("decimal(18,6)").as("p"),
         col("sq").as("q"))
+    // Adjacent-year pairing via ONE lead() pass per part instead of the
+    // r20 self-join: the self-join's two sides differ by projection
+    // (yr vs yr−1), so ReuseExchange can never dedupe them and the whole
+    // lineitem⋈orders aggregate ran TWICE (plan audit r21: two full scan
+    // + join + agg chains feeding a SortMergeJoin). (part, yr) is unique,
+    // so lead over (part ORDER BY yr) filtered to y1 = y0 + 1 is
+    // row-identical to the equi-join on (part, y0 = yr − 1). One shuffle
+    // of the part×year relation replaces a second full fact pass
+    // (guide §2.4 — remove shuffles outright; measured 2.3 s → ~1.2 s).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("yr")
     val paired = pv.select(col("part"), col("yr").as("y0"),
-        col("p").as("p0"), col("q").as("q0"))
-      .join(pv.select(col("part"), (col("yr") - 1).as("y0"),
-        col("p").as("p1"), col("q").as("q1")), Seq("part", "y0"))
+        col("p").as("p0"), col("q").as("q0"),
+        lead(col("yr"), 1).over(w).as("y1"),
+        lead(col("p"), 1).over(w).as("p1"),
+        lead(col("q"), 1).over(w).as("q1"))
+      .filter(col("y1") === col("y0") + 1)
     val agg = paired.groupBy(col("y0").as("year_from"))
       .agg(count(lit(1)).as("n_parts"),
         sum(col("p1") * col("q0")).as("n_l"), sum(col("p0") * col("q0")).as("d_l"),

@@ -45,6 +45,74 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a SCAN-FUSED pipeline across cores when the input layout
+    * under-splits (optimization guide §2.5, "input skew: one huge
+    * unsplittable file → repartition immediately after the read"). The
+    * driver's test tables are single-file, single-ROW-GROUP parquet:
+    * Spark can never split one row group across scan tasks, so a
+    * scan-fused pipeline (decode → project → filter → per-row compute →
+    * partial agg) runs on ONE core no matter how many the session has.
+    * This helper hash-repartitions on `key` (deterministic under task
+    * retry, and no round-robin pre-sort — measured 5× cheaper than
+    * repartition(n)) to defaultParallelism, ONLY when the table's file
+    * layout yields fewer scan splits than half the cores. The split
+    * estimate is the planner's own formula (bytes + per-file open cost,
+    * over maxPartitionBytes), so at production scale this is a
+    * structural no-op — nothing here is tuned to local[32]. Filters and
+    * column pruning push THROUGH the exchange to the scan. Apply it
+    * where the map stage is CPU-heavy (measured), not blanket: the
+    * exchange costs one extra stage, a net loss for scan-light
+    * aggregations. */
+  def spread(df: DataFrame, dir: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val path = s"$dir/$name.parquet"
+    if (underSplit(spark, path)) {
+      // Partition-count sized by BYTES, not blindly the core count
+      // (guide §2.2: fewer, larger partitions): over-splitting a small
+      // table multiplies every downstream high-cardinality partial
+      // aggregation's emitted rows by the partition count (each
+      // partition emits ~its own copy of the group domain — measured 8×
+      // CPU on the stylometry query at 32 partitions over a 584 KB
+      // corpus). ~64 KB per partition keeps per-row compute parallel
+      // while bounding that blowup; production-sized inputs take the
+      // full core count.
+      val n = math.max(2L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        pathBytes(spark, path) / (64L * 1024))).toInt
+      df.repartition(n, key)
+    } else df
+  }
+
+  private def pathBytes(spark: SparkSession, path: String): Long = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  /** Floor below which a spread cannot pay for its exchange: tables this
+    * small are dimension-sized (broadcast fodder). */
+  private val SpreadFloorBytes = 256L * 1024
+
+  private def underSplit(spark: SparkSession, path: String): Boolean = {
+    val bytesAndFiles = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val s = fs.getContentSummary(p)
+      Some((s.getLength, math.max(1L, s.getFileCount)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    bytesAndFiles match {
+      case Some((bytes, files)) if bytes >= SpreadFloorBytes =>
+        val conf = spark.sessionState.conf
+        val splits = 1L + (bytes + files * conf.filesOpenCostInBytes - 1L) /
+          math.max(1L, conf.filesMaxPartitionBytes)
+        splits * 2 <= spark.sparkContext.defaultParallelism
+      case _ => false
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
