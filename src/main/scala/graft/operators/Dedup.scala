@@ -196,9 +196,12 @@ object Dedup extends QueryModule {
         org.apache.spark.sql.types.StructField("jaccard",
           org.apache.spark.sql.types.DoubleType))))
     graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.base:$dir") {
+      // localCheckpoint (the clustersOf rationale): the fold's returned
+      // plan nests the whole batch pipeline — as prevPairs of the LIVE
+      // fold it would be re-canonicalized by every downstream job
       dedupFoldBatch(prevSh.filter(lit(false)), emptyPairs, prevSh,
         docSizes(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
   }
 
@@ -208,9 +211,10 @@ object Dedup extends QueryModule {
   private def incrFoldedPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.folded:$dir") {
+      // localCheckpoint (the clustersOf rationale)
       dedupFoldBatch(sh.filter(!incrIsNew), incrBaseState(s, dir),
         sh.filter(incrIsNew), docSizes(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
   }
 
@@ -1013,9 +1017,14 @@ object Dedup extends QueryModule {
     * docShingles shared-hot-stage rule. */
   private def clustersOf(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"dedup.clusters:$dir") {
+      // localCheckpoint, not persist (r21): persist keeps the CC fold's
+      // full nested-join LINEAGE as the logical plan, so every consumer
+      // action re-canonicalized a many-thousand-node tree for the cache
+      // lookup (~0.5-1 s of driver time per run on q_dedup_canonical /
+      // q_split_leakfree); the checkpoint's LogicalRDD plan is O(1)
       connectedComponents(jaccardEdges(s, dir))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =

@@ -582,7 +582,13 @@ object Relational extends QueryModule {
     * with grouping_id — subtotals and grand total in ONE pass (Spark plans
     * a single Expand + aggregate; no per-level rescans). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // spread (guide §2.5): the Expand multiplies every row by the
+    // grouping-set count INSIDE the scan-fused stage — single-core on an
+    // unsplittable input without the exchange
+    Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity")),
+        dir, "lineitem", col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("n"),
@@ -604,9 +610,12 @@ object Relational extends QueryModule {
     * aggregate pass, never per-set rescans. Exact counts + DECIMAL sums,
     * grouping_id disambiguates NULL-as-subtotal from NULL-as-value. */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity").cast("decimal(12,2)").as("qty"))
+    // spread: the qRollup rationale, explicit sets
+    Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(12,2)").as("qty")),
+        dir, "lineitem", col("l_orderkey"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("qty"))
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
@@ -1557,7 +1566,12 @@ object Relational extends QueryModule {
     * q_pivot) and re-aggregate — unpivot is a zero-shuffle projection
     * (each input row fans out to |measures| rows map-side). */
   def qUnpivot(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // spread: the long-form explode (3 measure rows per input row) and
+    // the decimal partial agg fuse into the scan stage otherwise
+    Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        dir, "lineitem", col("l_orderkey"))
       .unpivot(Array(col("l_orderkey")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "val")
@@ -1577,7 +1591,11 @@ object Relational extends QueryModule {
     * sets in one pass (Spark expands the sets map-side; one shuffle).
     * Same decimal-exact sum discipline as q_rollup. */
   def qCube(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // spread: the qRollup rationale, full lattice
+    Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity")),
+        dir, "lineitem", col("l_orderkey"))
       .cube("l_returnflag", "l_linestatus")
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("n"),

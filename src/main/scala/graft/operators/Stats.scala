@@ -159,7 +159,13 @@ object Stats extends QueryModule {
     val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
       col("sx1") * (col("sx1") * col("s2y") - col("s1y") * col("sx2")) +
       col("sy") * (col("sx1") * col("s12") - col("s11") * col("sx2"))
-    Tables.lineitem(s, dir)
+    // spread (guide §2.5): nine decimal-product partial sums per row
+    // fuse into the one-task scan stage otherwise (measured ~1.2
+    // task-sec single-core)
+    Tables.spread(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_discount"), col("l_extendedprice")),
+        dir, "lineitem", col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("n"),
