@@ -135,6 +135,22 @@ object Ranks {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = df.repartitionByRange(nPart, col(groupCol).asc, col(valueCol).asc)
       .sortWithinPartitions(col(groupCol).asc, col(valueCol).asc)
+    groupedValueAtRanksSorted(sorted, groupCol, valueCol, ranksFor)
+  }
+
+  /** The pick phase of [[groupedValueAtRanks]] over an ALREADY
+    * range-partitioned-and-sorted relation (groups contiguous, values
+    * ascending within each group; any monotone re-expression of the sort
+    * value is a valid `valueCol`). Callers that ask several rank
+    * questions of the same ordering — the robust-location family all
+    * ranks lineitem prices by return flag — materialize the sorted
+    * relation ONCE (localCheckpoint) and skip the per-query range
+    * shuffle + sampling pass this way (guide §2.4: share one exchange
+    * across consumers). */
+  def groupedValueAtRanksSorted(sorted: DataFrame, groupCol: String,
+      valueCol: String,
+      ranksFor: Long => Seq[Long]): (Map[Any, Long], Seq[(Any, Long, Any)]) = {
+    val spark = sorted.sparkSession
     val gidx = sorted.schema.fieldIndex(groupCol)
     val vidx = sorted.schema.fieldIndex(valueCol)
     val rdd0 = sorted.rdd

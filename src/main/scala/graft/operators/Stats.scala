@@ -6429,30 +6429,35 @@ object Stats extends QueryModule {
     * honest true negative; Round10bSpec proves W trips on a
     * heteroscedastic fixture). */
   def qLevene(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("g"),
-        col("l_quantity").cast("decimal(18,2)").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // materialize the 1-row result WHILE base is cached (the qMad
-      // rule) — returning the lazy plan would unpersist before the
-      // caller's collect and recompute the whole scan uncached
-      val out = leveneOf(s, base)
-      val rows = out.collect()
-      s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-        out.schema)
-    } finally base.unpersist()
+    // checkpointed sorted base (the RobustStats.pricesByFlag pattern):
+    // the median pick runs sort-free over it and the deviation aggregate
+    // reads the same materialized blocks — replaces the per-query
+    // persist + unpersist + collect-and-rebuild dance
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = graft.ModelCache.getOrElseUpdate(s, s"stats.qtyByFlag:$dir") {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("decimal(18,2)").as("x"))
+        .repartitionByRange(nPart, col("g").asc, col("x").asc)
+        .sortWithinPartitions(col("g").asc, col("x").asc)
+        .localCheckpoint(true)
+    }
+    leveneOf(s, base, preSorted = true)
   }
 
-  /** Brown–Forsythe core over a persisted (g, x DECIMAL) relation. */
-  def leveneOf(s: SparkSession, base: DataFrame): DataFrame = {
+  /** Brown–Forsythe core over a (g, x DECIMAL) relation. `preSorted`
+    * callers (qLevene's checkpointed range-sorted substrate) skip the
+    * median pick's range shuffle; the default sorts internally — spec
+    * fixtures arrive unsorted. */
+  def leveneOf(s: SparkSession, base: DataFrame,
+      preSorted: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     def kMed(n: Long) = (n * 50 + 99) / 100
-    val (counts, medPicks) = Ranks.groupedValueAtRanks(
-      base, "g", "x", n => Seq(kMed(n)))
+    val (counts, medPicks) =
+      if (preSorted) Ranks.groupedValueAtRanksSorted(
+        base, "g", "x", n => Seq(kMed(n)))
+      else Ranks.groupedValueAtRanks(base, "g", "x", n => Seq(kMed(n)))
     val meds = medPicks.map { case (g, _, v) => g -> v }.toMap
     val groups = counts.keySet.toSeq.sortBy(_.toString)
     val medRows = groups.map(g => Row(g, meds(g)))
