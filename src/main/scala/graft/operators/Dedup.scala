@@ -1733,7 +1733,11 @@ object Dedup extends QueryModule {
     * DIMENSION, never the corpus (the bounded-dims convention of
     * q_mutual_info / q_cramers_v). */
   def qSourceVerbatim(s: SparkSession, dir: String): DataFrame = {
+    // distinct-gram×source-sized; checkpoint — the self-join's two sides
+    // would otherwise each replay the suffix-start posexplode + slice
+    // chain (token×cap fan-out, the heaviest un-memoized stage here)
     val perSrc = suffixStarts(s, dir).select(col("gram"), col("source")).distinct()
+      .localCheckpoint(true)
     val pairs = perSrc.as("a").join(perSrc.as("b"),
         col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
       .select(col("a.gram").as("gram"), col("a.source").as("src_a"),

@@ -788,10 +788,13 @@ object Relational extends QueryModule {
     val edges = copurchasePairs(s, dir).select("a", "b")
     val adj = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
     val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // hub-capped adjacency, read from BOTH sides of the wedge self-join:
+    // checkpoint so the adjacency ⋈ degree chain materializes once
     val centers = adj
       .join(deg.select(col("node").as("a"), col("deg").as("deg_z")), Seq("a"))
       .filter(col("deg_z") <= LinkPredHubCap)
       .select(col("a").as("z"), col("b").as("nb"), col("deg_z"))
+      .localCheckpoint(true)
     val wedges = centers.select(col("z"), col("nb").as("pa"), col("deg_z"))
       .join(centers.select(col("z"), col("nb").as("pb")), Seq("z"))
       .filter(col("pa") < col("pb"))
