@@ -202,9 +202,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val medJson = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Substrate build-cost attribution (r21 verdict item 6): min-of-reps
+    // charges each memoized ModelCache substrate's build to whichever
+    // query reaches it first in rep 1, so per-query numbers for family
+    // members understate standalone cost — the sidecar reports every
+    // substrate's one-time build seconds so readers can re-attribute.
+    // (For lazily persisted substrates this is plan-build time only; the
+    // first consumer's rep still carries the fill.)
+    val subJson = ModelCache.buildCosts(spark).toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line.dropRight(1) + s""","medians":$medJson,"reps":$repsJson}""" + "\n")
+      (line.dropRight(1) +
+        s""","medians":$medJson,"substrate_build_sec":$subJson,"reps":$repsJson}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: $e") }

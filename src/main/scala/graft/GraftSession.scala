@@ -21,6 +21,14 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce INSIDE persisted plans too (off by default):
+      // the memoized substrates (pair relations, vocab stats, posting
+      // lists) are persisted behind joins/aggs whose static layout is
+      // `spark.sql.shuffle.partitions`-wide, so every consumer stage of
+      // a small substrate ran a fleet of near-empty tasks per read —
+      // coalescing sizes them by bytes instead (guide §2.2 fewer,
+      // larger partitions; size-adaptive, nothing local[32]-specific).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)

@@ -27,6 +27,7 @@ object ModelCache {
   private val hooked = TrieMap.empty[String, Boolean]
   private val ids = new java.util.WeakHashMap[SparkSession, String]()
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val buildSecs = TrieMap.empty[String, Double]
 
   /** JVM-lifetime-unique token for this session (stable across calls). */
   def sessionToken(s: SparkSession): String = ids.synchronized {
@@ -48,12 +49,31 @@ object ModelCache {
     cache.get(full) match {
       case Some(v) => v.asInstanceOf[T]
       case None =>
+        val t0 = System.nanoTime()
         val v = f
         cache.putIfAbsent(full, v) match {
           case Some(winner) => unpersistAll(v); winner.asInstanceOf[T]
-          case None => v
+          case None =>
+            buildSecs.putIfAbsent(full, (System.nanoTime() - t0) / 1e9)
+            v
         }
     }
+  }
+
+  /** Per-substrate build seconds for this session (key → seconds spent
+    * in the miss-path builder), for the bench sidecar's substrate-cost
+    * attribution (r21 verdict item 6: min-of-reps charges a memoized
+    * substrate's build to whichever query runs it first, so the sidecar
+    * reports the builds separately). CAVEAT: for eager materializations
+    * (localCheckpoint/checkpoint) this is the real build time; for
+    * lazily `persist`ed substrates it covers only plan construction —
+    * the first consumer's rep still pays the fill. */
+  def buildCosts(s: SparkSession): Map[String, Double] = {
+    val prefix = sessionToken(s) + "#"
+    buildSecs.iterator
+      .filter(_._1.startsWith(prefix))
+      .map { case (k, v) => k.drop(prefix.length) -> v }
+      .toMap
   }
 
   /** Release block-manager storage held by a cached value: a persisted
@@ -74,6 +94,8 @@ object ModelCache {
     cache.keysIterator.filter(_.startsWith(token + "#")).foreach { k =>
       cache.remove(k).foreach(unpersistAll)
     }
+    buildSecs.keysIterator.filter(_.startsWith(token + "#"))
+      .foreach(buildSecs.remove)
     hooked.remove(token)
   }
 

@@ -173,8 +173,8 @@ object Dedup extends QueryModule {
     // result would leave nothing measuring it. Consumers that only need
     // the folded RELATION read the memoized incrFoldedPairs instead.
     val sh = docShingles(s, dir)
-    dedupFoldBatch(sh.filter(!incrIsNew), incrBaseState(s, dir),
-      sh.filter(incrIsNew), docSizes(s, dir))
+    dedupFoldBatchWithState(sh.filter(!incrIsNew), incrDfState(s, dir),
+      incrBaseState(s, dir), sh.filter(incrIsNew), docSizes(s, dir))
   }
 
   /** The 80/20 base/delta doc split shared by the incremental family
@@ -205,6 +205,23 @@ object Dedup extends QueryModule {
     }
   }
 
+  /** Yesterday's shingle-df STATE (sh → df over the base posting) — the
+    * other half of the stored state a production incremental pipeline
+    * keeps beside the pair relation: the capped-candidate semantics
+    * depends on the whole corpus' df, and re-deriving it meant a full
+    * vocabulary-sized re-aggregation of the accumulated posting on EVERY
+    * fold (the r21 verdict's "df-merge stage" — measured ~5.5 task-sec
+    * of the live fold's ~35 at sf0.1). Stored hash-partitioned AND
+    * sorted on sh so the fold's |Δ|-bounded joins against it reuse the
+    * layout (guide §2.4/§6 sort-once) instead of re-shuffling state. */
+  private[graft] def incrDfState(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.dfs:$dir") {
+      docShingles(s, dir).filter(!incrIsNew)
+        .groupBy("sh").agg(count(lit(1)).as("df_base"))
+        .sortWithinPartitions("sh")
+        .localCheckpoint(true)
+    }
+
   /** Today's FOLDED pair relation (base state + the delta batch) —
     * memoized: the pair fold is read by q_dedup_incremental itself AND
     * by the label-fold consumers downstream. */
@@ -212,8 +229,8 @@ object Dedup extends QueryModule {
     val sh = docShingles(s, dir)
     graft.ModelCache.getOrElseUpdate(s, s"dedup.incr.folded:$dir") {
       // localCheckpoint (the clustersOf rationale)
-      dedupFoldBatch(sh.filter(!incrIsNew), incrBaseState(s, dir),
-        sh.filter(incrIsNew), docSizes(s, dir))
+      dedupFoldBatchWithState(sh.filter(!incrIsNew), incrDfState(s, dir),
+        incrBaseState(s, dir), sh.filter(incrIsNew), docSizes(s, dir))
         .localCheckpoint(true)
     }
   }
@@ -230,49 +247,103 @@ object Dedup extends QueryModule {
     * recompute — the fold is associative in the only sense that matters.
     * Scale: every stage is |Δ|-bounded except the one additive df merge. */
   def dedupFoldBatch(prevSh: DataFrame, prevPairs: DataFrame,
-      newSh: DataFrame, sizes: DataFrame): DataFrame = {
-    val shFlag = prevSh.select(col("doc_id"), col("sh"), lit(false).as("is_new"))
-      .unionByName(newSh.select(col("doc_id"), col("sh"), lit(true).as("is_new")))
-    val dfs = shFlag.groupBy("sh").agg(
-      count(lit(1)).as("df_full"),
-      sum(when(!col("is_new"), 1L).otherwise(0L)).as("df_base"))
-      .localCheckpoint(true) // read from three positions below
-    val cappedFull = dfs
-      .filter(col("df_full") >= 2 && col("df_full") <= ShingleDfCap).select("sh")
-    // |Δ|-bounded candidates: new-doc postings against the full posting
-    val newCand = newSh.select(col("sh"), col("doc_id").as("nd"))
-      .join(cappedFull, Seq("sh"))
-      .join(shFlag.select(col("sh"), col("doc_id").as("od")), Seq("sh"))
-      .filter(col("nd") =!= col("od"))
-      .select(least(col("nd"), col("od")).as("doc_a"),
+      newSh: DataFrame, sizes: DataFrame): DataFrame =
+    dedupFoldBatchWithState(prevSh,
+      prevSh.groupBy("sh").agg(count(lit(1)).as("df_base")),
+      prevPairs, newSh, sizes)
+
+  /** [[dedupFoldBatch]] with the base shingle-df relation supplied as
+    * STORED STATE (`prevDfs`: sh → df_base, the aggregate a production
+    * pipeline maintains additively beside the posting). Every stage is
+    * now |Δ|-bounded: the old form re-aggregated the FULL accumulated
+    * posting for the df merge on every fold and joined the full posting
+    * twice more — here the delta df aggregate joins the stored state
+    * (sort-merge against the state's own sorted layout), and the only
+    * full-posting touches left are the affected-doc semi-join (broadcast
+    * of a candidate-bounded id set over the persisted posting) and the
+    * cap-exit posting lookup (delta-shingle-bounded join). Equivalence:
+    * df_full = df_base + df_delta is the additive law; a capped shingle
+    * with NO delta occurrence has unchanged posting and can generate no
+    * new candidate, so restricting the candidate join to delta shingles
+    * loses nothing (cap ENTRIES and EXITS both require a delta
+    * occurrence — see the qDedupIncremental doc). */
+  def dedupFoldBatchWithState(prevSh: DataFrame, prevDfs: DataFrame,
+      prevPairs: DataFrame, newSh: DataFrame, sizes: DataFrame): DataFrame = {
+    val cap = ShingleDfCap
+    // |Δ|-sized delta df aggregate, merged with the stored base dfs —
+    // read from three positions below (candidates, exits, repair verify)
+    val dMerged = newSh.groupBy("sh").agg(count(lit(1)).as("df_delta"))
+      .join(prevDfs, Seq("sh"), "left_outer")
+      .select(col("sh"), col("df_delta"),
+        coalesce(col("df_base"), lit(0L)).as("df_base"))
+      .select(col("sh"), col("df_base"),
+        (col("df_base") + col("df_delta")).as("df_full"))
+      .localCheckpoint(true)
+    // only delta shingles can be capped-AND-relevant for new candidates:
+    // a shingle without a delta occurrence has an unchanged posting
+    val cappedDelta = dMerged
+      .filter(col("df_full") >= 2 && col("df_full") <= cap).select("sh")
+    // |Δ|-bounded candidates WITH their exact capped-common counts, in
+    // the ONE posting join (r22): every shingle a new doc shares with
+    // anyone is by definition a delta shingle, so counting the
+    // candidate-generation join's matches per pair IS the intersection
+    // |A∩B| over the merged capped shingle sets — the r21 form threw the
+    // join matches away (distinct), re-collected both docs' full sets
+    // and re-intersected 400 k sorted arrays per fold. Both-new pairs
+    // appear from both sides of the join, so they count once via the
+    // nd < od gate; new-base pairs appear once by construction.
+    val fullPost = prevSh.select(col("sh"), col("doc_id"), lit(false).as("od_new"))
+      .unionByName(newSh.select(col("sh"), col("doc_id"), lit(true).as("od_new")))
+    val newCommon = newSh.select(col("sh"), col("doc_id").as("nd"))
+      .join(cappedDelta, Seq("sh"))
+      .join(fullPost.select(col("sh"), col("doc_id").as("od"), col("od_new")),
+        Seq("sh"))
+      .filter(col("nd") =!= col("od") && (!col("od_new") || col("nd") < col("od")))
+      .groupBy(least(col("nd"), col("od")).as("doc_a"),
         greatest(col("nd"), col("od")).as("doc_b"))
-      .distinct()
-    // cap-exit repairs: base×base pairs of shingles the delta pushed out
-    val exits = dfs.filter(col("df_base") >= 2 &&
-      col("df_base") <= ShingleDfCap && col("df_full") > ShingleDfCap).select("sh")
+      .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true) // two consumers: the anti-join's affected set
+      //                        and the fresh-pair scoring
+    // cap-exit repairs: base×base pairs of shingles the delta pushed out.
+    // These pairs may still share OTHER capped shingles (delta or not),
+    // so their common counts come from a repair-doc-bounded posting
+    // self-join over the merged capped shingle status — an exiting
+    // shingle's base posting has ≤ cap docs, so everything here is tiny.
+    val exits = dMerged.filter(col("df_base") >= 2 &&
+      col("df_base") <= cap && col("df_full") > cap).select("sh")
     val repairCand = prevSh
       .join(exits, Seq("sh"))
       .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val affected = newCand.unionByName(repairCand).distinct()
-      .localCheckpoint(true)
-    // candidate-bounded re-verify over the MERGED capped sets — the
-    // affected-doc SEMI-JOIN runs FIRST so the capped-shingle join only
-    // ever sees the affected docs' postings, never the full relation
-    val affDocs = affected.select(col("doc_a").as("doc_id"))
-      .unionByName(affected.select(col("doc_b").as("doc_id"))).distinct()
-    val affSets = shFlag.join(affDocs, Seq("doc_id"), "left_semi")
-      .join(cappedFull, Seq("sh"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
-    val reverified = affected
-      .join(affSets.select(col("doc_id").as("doc_a"), col("set").as("sa")), Seq("doc_a"))
-      .join(affSets.select(col("doc_id").as("doc_b"), col("set").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"))
-      .filter(col("common") > 0)
-    val fresh = jaccardOfCommon(sizes, reverified)
+      .localCheckpoint(true) // read by the affected union, the repair-doc
+      //                        id set, and the repair-common semi-join
+    val repairDocs = repairCand.select(col("doc_a").as("doc_id"))
+      .unionByName(repairCand.select(col("doc_b").as("doc_id"))).distinct()
+    // merged capped posting of the repair docs only (df_full = df_base
+    // + df_delta additively; sh ∉ Δ keeps df_full = df_base)
+    val repairPost = prevSh.select(col("sh"), col("doc_id"))
+      .join(repairDocs, Seq("doc_id"), "left_semi")
+      .join(prevDfs, Seq("sh"), "left_outer")
+      .join(dMerged.select(col("sh"), col("df_full").as("df_m")),
+        Seq("sh"), "left_outer")
+      .filter(coalesce(col("df_m"), col("df_base"), lit(0L)).between(2, cap))
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true) // two sides of the self-join below
+    val repairCommon = repairPost.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(repairPost.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(repairCand, Seq("doc_a", "doc_b"), "left_semi")
+    // affected = every candidate pair, INCLUDING repair pairs whose
+    // merged common dropped to 0 (they must leave the state); new-side
+    // and repair-side pair sets are disjoint (a new-side pair always
+    // contains a new doc, a repair pair never does)
+    val affected = newCommon.select("doc_a", "doc_b")
+      .unionByName(repairCand)
+    val fresh = jaccardOfCommon(sizes,
+      newCommon.unionByName(repairCommon))
     prevPairs.join(affected, Seq("doc_a", "doc_b"), "left_anti")
       .unionByName(fresh)
   }
@@ -318,13 +389,32 @@ object Dedup extends QueryModule {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <=
         col("sz") - ceil(col("sz") * PrefixJaccardTau).cast("long") + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("pos"), col("sz"))
+    // PPJoin length + position filters on top of the prefix filter
+    // (Xiao et al. 2008 §3, r22 — both LOSSLESS for J ≥ τ, in exact
+    // integer arithmetic with τ = 0.3 = 3/10, so τ/(1+τ) = 3/13):
+    //  - length: J ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ τ needs
+    //    10·min ≥ 3·max;
+    //  - position: J ≥ τ ⟺ c ≥ τ/(1+τ)·(|A|+|B|); at a shared prefix
+    //    shingle with positions (pa, pb) the overlap is bounded by
+    //    1 + min(|A|−pa, |B|−pb) PLUS the shared shingles before it —
+    //    for the pair's FIRST shared shingle that prior count is 0, so
+    //    any true pair passes the per-match test 13·(1 + min(|A|−pa,
+    //    |B|−pb)) ≥ 3·(|A|+|B|) at its first match and survives the
+    //    post-filter distinct. Candidates that pass no match are
+    //    provably below τ and skip the verify stage entirely.
     // candidates materialize ONCE (localCheckpoint): three consumers —
     // the doc restriction below reads it twice and the final join once —
     // would otherwise each replay the prefix self-join
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"),
+        col("pos").as("pa"), col("sz").as("sz_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"),
+        col("pos").as("pb"), col("sz").as("sz_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 10 >=
+        greatest(col("sz_a"), col("sz_b")) * 3)
+      .filter((lit(1) + least(col("sz_a") - col("pa"),
+        col("sz_b") - col("pb"))) * 13 >= (col("sz_a") + col("sz_b")) * 3)
       .select("doc_a", "doc_b").distinct()
       .localCheckpoint(true)
     // the verify stage materializes sorted shingle sets ONLY for docs
@@ -1006,9 +1096,31 @@ object Dedup extends QueryModule {
     * graph-stats query references it from six join positions — without
     * materialization each reference re-runs the whole pair pipeline. */
   def jaccardEdges(s: SparkSession, dir: String): DataFrame =
-    graft.ModelCache.getOrElseUpdate(s, s"dedup.jaccard.edges:$dir") {
-      qDedupJaccard(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+
+  /** The exact-Jaccard pair relation WITH its jaccard values, memoized +
+    * persisted per session — the shared INPUT of the cluster family
+    * (edge projection above) and the LSH planner family (which evaluates
+    * its S-curves against the observed jaccard distribution). The r21
+    * form memoized qLshPlan's entire 8-row RESULT, which under the
+    * bench's min-of-reps timed a cache read instead of the planner
+    * computation (r21 ADVICE) — now only this input is memoized and the
+    * planner's explode + aggregate runs live on every invocation. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.getOrElseUpdate(s, s"dedup.jaccard.pairs:$dir") {
+      // size-adaptive layout: the jaccard query ends in broadcast joins,
+      // so its output inherits the capped posting's 32-partition layout
+      // with a few rows each — and every consumer pass (the CC loop
+      // reads the edge projection dozens of times) pays a fleet of
+      // near-empty tasks. The keyed repartition gives AQE a coalesce
+      // point: near-dup-density-sized locally → 1 partition; at 100 TB
+      // the same code keeps size-proportional parallelism (§2.2).
+      // localCheckpoint, not persist (the clustersOf rationale): with
+      // persist every consumer ACTION re-canonicalized the whole
+      // qDedupJaccard join tree per cache lookup — probe: the live LSH
+      // planner spent 0.9 s wall on 0.04 task-sec, all driver time.
+      qDedupJaccard(s, dir).repartition(col("doc_a"))
+        .localCheckpoint(true)
     }
 
   /** Cluster labels memoized per (session, dir): the iterative
@@ -2432,13 +2544,13 @@ object Dedup extends QueryModule {
     * planner is one pass over the memoized pair relation at any corpus
     * scale. */
   def qLshPlan(s: SparkSession, dir: String): DataFrame =
-    // (b, r)-grid-sized relation (8 rows) with TWO consumers — the
-    // planner query and the audit's argmin collect — memoized so the
-    // audit doesn't replay the explode + aggregate over the pair set
-    graft.ModelCache.getOrElseUpdate(s, s"dedup.lshplan:$dir") {
-      qLshPlanBuild(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    // LIVE per invocation (r21 ADVICE: the r21 ModelCache+persist here
+    // memoized this query's own 8-row RESULT, so bench reps 2-3 timed a
+    // cache read rather than the planner computation). The expensive
+    // shared input — the exact pair relation — is what's memoized
+    // ([[jaccardPairs]]); the explode + aggregate over it runs fresh for
+    // the planner query and again inside the audit's argmin collect.
+    qLshPlanBuild(s, dir)
 
   private def qLshPlanBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2452,7 +2564,7 @@ object Dedup extends QueryModule {
       struct(lit(b).as("b"), lit(r).as("r"), lit(s50).as("s50"), p.as("p"))
     }
     val dec = "decimal(28,6)"
-    val ex = qDedupJaccard(s, dir)
+    val ex = jaccardPairs(s, dir)
       .select(col("jaccard"), explode(array(cands: _*)).as("c"))
       .select(col("jaccard"), col("c.b").as("b"), col("c.r").as("r"),
         col("c.s50").as("s50"), col("c.p").as("p"))
@@ -2596,9 +2708,11 @@ object Dedup extends QueryModule {
       .select(explode(graft.functions.Pairs.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val truePairs = qDedupJaccard(s, dir)
+    val truePairs = jaccardPairs(s, dir)
       .filter(col("jaccard") >= LshPlanTau).select("doc_a", "doc_b")
-    val nTrue = truePairs.count()
+    // n_true is already in the collected planner row (identical count in
+    // every (b, r) candidate) — one count job instead of two
+    val nTrue = best.getAs[Long]("n_true")
     val nFound = truePairs.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
     val missRate =
       if (nTrue == 0) 0.0 else (nTrue - nFound).toDouble / nTrue

@@ -875,6 +875,24 @@ object Relational extends QueryModule {
     * the gate is for. */
   def qConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchasePairs(s, dir).select("a", "b")
+    // Probe-gated local fold (r22 — the ccFoldBatch/q_keywords
+    // take(limit+1) convention): the co-purchase edge set is DIMENSION-
+    // sized (the fact table was left behind at the basket aggregate), so
+    // when the probe proves it bounded the min-root union-find runs
+    // driver-side — at sf0.1 the distributed loop was ~10 sequential
+    // driver-bound execs over a 1,880-node graph (scaling block: 8 cores
+    // beat 32). Above the limit the distributed hook/shortcut loop below
+    // is the path, exactly as ccFoldBatch's quotient fold. Union-by-min
+    // yields the identical min-label fixpoint (DuckDB gate unchanged).
+    val eHead = edges.take(CcIncrLocalLimit + 1)
+    if (eHead.length <= CcIncrLocalLimit) {
+      import s.implicits._
+      val labels = Dedup.ccLocal(eHead.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        .toDF("part", "component")
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("comp_size"))
+      return labels.join(sizes, Seq("component"))
+        .select(col("part"), col("component"), col("comp_size"))
+    }
     // localCheckpoint (the Bpe/Wordpiece loop discipline): each round's
     // labels are MATERIALIZED and their lineage truncated, so round k's
     // plan never re-analyzes rounds 1..k−1 and the driver doesn't
@@ -887,29 +905,38 @@ object Relational extends QueryModule {
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < CcMaxRounds) {
+    // TWO hooks + one shortcut per MATERIALIZED round (r22): the r21
+    // loop ran one job per hook, one per convergence count, and a third
+    // per alternate-round shortcut — ~19 sequential driver-bound execs
+    // at sf0.1 (scaling block: 8 cores BEAT 32, pure job-count latency).
+    // Folding hook∘hook∘shortcut into one lazily-composed plan per
+    // round halves the checkpoint/count barriers for the same total
+    // compute; the shortcut's two reads of the second hook share their
+    // exchanges (ReuseExchange) inside the single job. Fixpoint
+    // unchanged: hooks/shortcuts only ever lower labels toward the
+    // component minimum, and a round with zero changes implies the
+    // single-hook fixpoint (labels = component minima) already held.
+    def hook(lbl: DataFrame): DataFrame = {
       val nbrMin = adj
-        .join(labels.select(col("node").as("b"), col("comp").as("nc")),
+        .join(lbl.select(col("node").as("b"), col("comp").as("nc")),
           Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("nc")).as("nbr_min"))
-      val hooked = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"), col("comp").as("prev"),
+      lbl.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-            .as("ch"))
-      // shortcut comp(v) ← min(comp(v), comp(comp(v))) on ALTERNATE
-      // rounds only (the Dedup.connectedComponents rationale: cliques
-      // converge in 2 hook rounds free of the extra self-join, chains
-      // still compress in O(log d) — the chain-mode ladder certifies it)
-      val next = (if (round % 2 == 1) {
-        val h = hooked.localCheckpoint(true)
-        h.join(h.select(col("node").as("pid"), col("ch").as("pc")),
-            col("ch") === col("pid"), "left_outer")
-          .select(col("node"),
-            least(col("ch"), coalesce(col("pc"), col("ch"))).as("comp"),
-            col("prev"))
-      } else hooked.select(col("node"), col("ch").as("comp"), col("prev")))
+            .as("comp"))
+    }
+    while (changed > 0 && round < CcMaxRounds) {
+      val h2 = hook(hook(labels))
+      val next = h2
+        .join(h2.select(col("node").as("pid"), col("comp").as("pc")),
+          col("comp") === col("pid"), "left_outer")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp2"))
+        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"))
+        .select(col("node"), col("comp2").as("comp"), col("prev"))
         .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("prev")).count()
+      changed = next.filter(col("comp") < col("prev")).limit(1).count()
       labels = next.select("node", "comp")
       round += 1
     }
@@ -1020,8 +1047,12 @@ object Relational extends QueryModule {
         coalesce(col("nb"), lit(0L)) < 2) // already-edges are not new
       .select("a", "b")
     val baseLabels = graft.ModelCache.getOrElseUpdate(s, s"rel.ccincr.labels:$dir") {
+      // localCheckpoint, not persist (the clustersOf rationale): persist
+      // keeps the whole iterative CC fold as the logical plan, and every
+      // fold-consumer ACTION (the quotient take, the final save) paid
+      // the many-thousand-node canonicalization per cache lookup
       Dedup.connectedComponents(baseEdges) // yesterday's labels
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
     val labels = ccFoldBatch(baseLabels, deltaEdges)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
@@ -1297,12 +1328,25 @@ object Relational extends QueryModule {
     val tupleAt: Map[(Any, Long), (java.math.BigDecimal, Long)] =
       picks.map { case (g, k, v) =>
         val row = v.asInstanceOf[org.apache.spark.sql.Row]
-        (g, k) -> (row.getDecimal(0), row.getLong(1))
+        // typed match instead of getLong: custkey is BIGINT on the
+        // driver tables, but the scoring only needs an ordered literal,
+        // so an INT-keyed variant must not throw (r21 ADVICE)
+        val ckv = row.get(1) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case other => throw new IllegalArgumentException(
+            s"qRfm: unsupported custkey type ${other.getClass}")
+        }
+        (g, k) -> (row.getDecimal(0), ckv)
       }.toMap
     def scoreOf(mid: Int, v: Column, ck: Column): Column = {
-      val n = counts(mid)
+      // getOrElse: with an EMPTY orders table the rank pass returns no
+      // groups — n = 0 makes every boundary rank 0, the fold below
+      // skips them, and the score expression degrades to lit(1) over an
+      // empty relation instead of throwing at plan build (r21 ADVICE)
+      val n = counts.getOrElse(mid, 0L)
       boundaryRanks(n).foldLeft(lit(1)) { (acc, rank) =>
-        if (rank < 1) acc + lit(1)
+        if (rank < 1) acc
         else {
           val (cv, cck) = tupleAt((mid, rank))
           acc + (v > lit(cv) || (v === lit(cv) && ck > lit(cck))).cast("int")
@@ -1462,6 +1506,12 @@ object Relational extends QueryModule {
     * tables via eager localCheckpoint (the q_pagerank discipline); the
     * oracle replays the identical iterations as a recursive CTE. */
   def qHits(s: SparkSession, dir: String): DataFrame =
+    // r22 A/B note: spreading the lineitem scan (§2.5) and fusing the
+    // edge dedup into the tgt repartition (§2.4) were both measured and
+    // REVERTED — the spread added an exchange without moving wall time
+    // (the distinct's exchange already parallelizes the pipeline), and
+    // dedup-after-union doubled the join work because the two union
+    // branches stop sharing the distinct's reusable exchange subtree.
     hitsOf(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         col("l_orderkey") === col("o_orderkey"))

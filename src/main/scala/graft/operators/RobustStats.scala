@@ -151,18 +151,22 @@ object RobustStats extends QueryModule {
     * re-scan for the closing aggregate (guide §2.4 — share one exchange
     * across consumers). The checkpoint is the fact projection's size:
     * at 100 TB this is the sort-once/read-many layout a production
-    * table would keep on disk (guide §6 sort order). */
+    * table would keep on disk (guide §6 sort order) — so storage is
+    * pluggable (Materialize.stateCheckpoint): a RELIABLE checkpoint
+    * when the session configures a checkpoint dir, localCheckpoint only
+    * as the local-mode fallback (r21 ADVICE: executor-local blocks with
+    * severed lineage are not safe under executor loss / dynamic
+    * allocation — a cluster deployment must set spark.checkpoint.dir). */
   private def pricesByFlag(s: SparkSession, dir: String): DataFrame =
     graft.ModelCache.getOrElseUpdate(s, s"robust.pricesByFlag:$dir") {
       val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      Tables.lineitem(s, dir)
+      graft.Materialize.stateCheckpoint(Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           col("l_extendedprice").cast("decimal(12,2)").as("price"),
           (col("l_extendedprice").cast("decimal(12,2)") * 100)
             .cast("long").as("cents"))
         .repartitionByRange(nPart, col("flag").asc, col("price").asc)
-        .sortWithinPartitions(col("flag").asc, col("price").asc)
-        .localCheckpoint(true)
+        .sortWithinPartitions(col("flag").asc, col("price").asc))
     }
 
   /** q_trimmed_mean: 10%-trimmed mean per return flag — the third member
@@ -1779,13 +1783,22 @@ object RobustStats extends QueryModule {
     val tk = TextPrep.cleanDocs(s, dir)
       .join(Tables.documents(s, dir).select("doc_id", "lang"), Seq("doc_id"))
       .select(col("lang"), explode(col("toks")).as("tok"))
-    val topTerms = tk.groupBy("tok").agg(count(lit(1)).as("n_glob"))
+    // ONE corpus explode + one vocabulary-sized (lang, tok) aggregate
+    // (r22, guide §2.3 aggregate-before-reuse): the r21 form ran the
+    // cleanDocs join + token explode THREE times — for the global top-N,
+    // the per-(lang, term) counts, and the per-lang totals — and each
+    // over the spread substrate's partials. All three are now exact
+    // integer roll-ups of this checkpointed table (counts sum, so
+    // grouping cannot change them).
+    val ltc = tk.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val topTerms = ltc.groupBy("tok").agg(sum(col("c")).as("n_glob"))
       .orderBy(col("n_glob").desc, col("tok").asc)
       .limit(JsTopTerms)
       .select("tok")
-    val counts = tk.join(broadcast(topTerms), Seq("tok"))
-      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-    val langTot = tk.groupBy("lang").agg(count(lit(1)).as("n"))
+    val counts = ltc.join(broadcast(topTerms), Seq("tok"))
+      .select(col("lang"), col("tok"), col("c"))
+    val langTot = ltc.groupBy("lang").agg(sum(col("c")).as("n"))
     val langs = langTot.select(col("lang").as("la"), col("n").as("na"))
       .crossJoin(langTot.select(col("lang").as("lb"), col("n").as("nb")))
       .filter(col("la") < col("lb"))

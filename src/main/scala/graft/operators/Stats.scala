@@ -6432,15 +6432,18 @@ object Stats extends QueryModule {
     // checkpointed sorted base (the RobustStats.pricesByFlag pattern):
     // the median pick runs sort-free over it and the deviation aggregate
     // reads the same materialized blocks — replaces the per-query
-    // persist + unpersist + collect-and-rebuild dance
+    // persist + unpersist + collect-and-rebuild dance. FACT-sized, so
+    // storage is pluggable (Materialize.stateCheckpoint): reliable
+    // checkpoint when a checkpoint dir is configured, localCheckpoint
+    // only as the local-mode fallback (r21 ADVICE: a lost executor must
+    // not strand every consumer for the session).
     val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val base = graft.ModelCache.getOrElseUpdate(s, s"stats.qtyByFlag:$dir") {
-      Tables.lineitem(s, dir)
+      graft.Materialize.stateCheckpoint(Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("g"),
           col("l_quantity").cast("decimal(18,2)").as("x"))
         .repartitionByRange(nPart, col("g").asc, col("x").asc)
-        .sortWithinPartitions(col("g").asc, col("x").asc)
-        .localCheckpoint(true)
+        .sortWithinPartitions(col("g").asc, col("x").asc))
     }
     leveneOf(s, base, preSorted = true)
   }

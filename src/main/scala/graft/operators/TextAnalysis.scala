@@ -1920,11 +1920,8 @@ object TextAnalysis extends QueryModule {
       .withColumn("stop", array_contains(stopArr, col("w")))
     val dw = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // occ (2 consumers: wsc's deg join and the phrase counter)
-    // materializes once — its collect_list aggregation is the expensive
-    // stage (guide §3.3). members is NOT checkpointed: its replays read
-    // the persisted rawDocs substrate, cheaper than an eager token-level
-    // materialization (measured).
+    // occ (2 consumers: wsc and the phrase counter) materializes once —
+    // its collect_list aggregation is the expensive stage (guide §3.3).
     val members = tok
       .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(dw))
       .filter(!col("stop"))
@@ -1935,8 +1932,15 @@ object TextAnalysis extends QueryModule {
             x => x.getField("w"))).as("phrase"),
         count(lit(1)).as("len"))
       .localCheckpoint(true)
-    val wsc = members
-      .join(occ.select(col("doc_id"), col("grp"), col("len")), Seq("doc_id", "grp"))
+    // word stats come from occ ITSELF (r22): a phrase is exactly its
+    // candidate run's members joined by spaces (tokens are alnum, no
+    // embedded spaces), so splitting the phrase reproduces the member
+    // multiset — the r21 form re-ran the posexplode + running-stopword
+    // window over the whole corpus a second time and joined it back to
+    // occ (plan: 2 Window passes over rawDocs → 1; same freq/deg counts
+    // by construction).
+    val wsc = occ
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
       .select(col("w"), (col("deg").cast("double") / col("freq")).as("wscore"))
     val scored = occ.groupBy("phrase").agg(count(lit(1)).as("n_occur"))

@@ -149,28 +149,32 @@ object TextScoring extends QueryModule {
   /** Core on a (doc_id, bg) exploded-bigram relation — split out so specs
     * can feed fixtures with controlled context diversity. */
   def kneserNeyOf(bgDocs: DataFrame): DataFrame = {
-    val bg = bgDocs
+    // ONE vocabulary-sized bigram count table feeds every other count
+    // (r22, guide §2.3 aggregate-before-reuse): a bigram string IS its
+    // (w1, w2) type, so the r21 `types` relation — a second full corpus
+    // explode + aggregate — was c2 re-keyed; deriving left-context mass,
+    // continuation types and the type total from the checkpointed c2
+    // removes one of the three corpus-wide bigram passes per invocation
+    // (plan: 3 Scan+Generate chains → 2; the per-occurrence scoring join
+    // below is untouched, so the avg/max inputs are bit-identical).
+    val c2 = bgDocs.groupBy("bg").agg(count(lit(1)).as("c2"))
       .select(col("bg"),
         element_at(split(col("bg"), " "), 1).as("w1"),
-        element_at(split(col("bg"), " "), 2).as("w2"))
-    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    // left-context mass and continuation TYPES after w1 (one pass each
-    // over the type table, never the token stream)
-    val types = bg.select("w1", "w2").groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val left = types.groupBy("w1")
-      .agg(sum(col("c")).as("c1dot"), count(lit(1)).as("n1_w1"))
-    val cont = types.groupBy(col("w2")).agg(count(lit(1)).as("n1_w2"))
-    val nAll = types.agg(count(lit(1)).as("n1_all"))
+        element_at(split(col("bg"), " "), 2).as("w2"),
+        col("c2"))
+      .localCheckpoint(true) // four consumers: left, cont, nAll, scoring
+    val left = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1dot"), count(lit(1)).as("n1_w1"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1_w2"))
+    val nAll = c2.agg(count(lit(1)).as("n1_all"))
     val p = (lit(KnDiscountDen) * col("c2") - lit(KnDiscountNum)).cast("double") /
       (lit(KnDiscountDen) * col("c1dot")).cast("double") +
       (lit(KnDiscountNum).cast("double") / lit(KnDiscountDen)) *
         col("n1_w1").cast("double") / col("c1dot") *
         (col("n1_w2").cast("double") / col("n1_all"))
     bgDocs
-      .select(col("doc_id"), col("bg"),
-        element_at(split(col("bg"), " "), 1).as("w1"),
-        element_at(split(col("bg"), " "), 2).as("w2"))
-      .join(c2, Seq("bg"))
+      .select(col("doc_id"), col("bg"))
+      .join(c2.select("bg", "w1", "w2", "c2"), Seq("bg"))
       .join(left, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(nAll))

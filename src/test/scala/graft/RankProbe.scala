@@ -17,7 +17,16 @@ object RankProbe {
       var i = offsets(pid)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      it.map { r => i += 1; extra.update(0, i); joined(r, extra): org.apache.spark.sql.catalyst.InternalRow }
+      // .copy(): the JoinedRow/GenericInternalRow pair is REUSED across
+      // the partition's rows — without the copy any buffering consumer
+      // (sort, aggregate, window) would observe every row mutated to the
+      // partition's last values; only streaming sinks were safe (r21
+      // ADVICE — mandatory before this pattern migrates into
+      // graft.functions.Ranks)
+      it.map { r =>
+        i += 1; extra.update(0, i)
+        joined(r, extra).copy(): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
     org.apache.spark.sql.graft.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
@@ -25,7 +34,7 @@ object RankProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
