@@ -636,6 +636,10 @@ object Inference extends QueryModule {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val nib = conv(substring(md5(col("event_id").cast("string")), 1, 1), 16, 10)
       .cast("int")
+    // r22 A/B note: spreading the events scan here (§2.5) was measured
+    // and REVERTED — the md5 split gate is cheap enough that the extra
+    // exchange and the 31-way map side of the rank pick's range shuffle
+    // cost more than the parallelism bought back.
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
         col("value").cast("decimal(18,6)").as("v"),

@@ -627,11 +627,18 @@ object Tpch extends QueryModule {
   def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
     // spread: the map stage fuses the fact scan + broadcast join +
     // partial (part, yr) aggregation — single-core on an unsplittable
-    // input without it (guide §2.5).
+    // input without it (guide §2.5). Keyed on l_partkey, NOT l_orderkey
+    // (r22): orders broadcasts, so the join is partitioning-agnostic,
+    // and hash(part) satisfies the (part, yr) aggregation AND the
+    // per-part lead() window below — the whole query becomes a single
+    // exchange (r21's orderkey spread left a 600 k-row partial-agg
+    // exchange where partials could not reduce — every part's rows were
+    // scattered — plus a third exchange for the window; plan:
+    // 3 Exchange → 1).
     val pv = Tables.spread(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"),
           col("l_extendedprice"), col("l_quantity")),
-        dir, "lineitem", col("l_orderkey"))
+        dir, "lineitem", col("l_partkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_partkey").as("part"), year(col("o_orderdate")).as("yr"))
