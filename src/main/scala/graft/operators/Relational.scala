@@ -1046,6 +1046,9 @@ object Relational extends QueryModule {
       .filter(col("n") + coalesce(col("nb"), lit(0L)) >= 2 &&
         coalesce(col("nb"), lit(0L)) < 2) // already-edges are not new
       .select("a", "b")
+      // |Δ|-bounded; TWO consumers per fold (the quotient probe and the
+      // new-node derivation) each replayed the counts merge otherwise
+      .localCheckpoint(true)
     val baseLabels = graft.ModelCache.getOrElseUpdate(s, s"rel.ccincr.labels:$dir") {
       // localCheckpoint, not persist (the clustersOf rationale): persist
       // keeps the whole iterative CC fold as the logical plan, and every
@@ -1054,7 +1057,9 @@ object Relational extends QueryModule {
       Dedup.connectedComponents(baseEdges) // yesterday's labels
         .localCheckpoint(true)
     }
-    val labels = ccFoldBatch(baseLabels, deltaEdges)
+    // node-sized; the sizes aggregate and the final join both read the
+    // merged labels — materialize once or the whole fold chain replays
+    val labels = ccFoldBatch(baseLabels, deltaEdges).localCheckpoint(true)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, Seq("label"))
       .select(col("id").as("part"), col("label").as("component"),
